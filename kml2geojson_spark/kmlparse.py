@@ -1,0 +1,193 @@
+"""Lightweight lxml-free state-machine KML/XML parser.
+
+A single compiled-regex tokenizer drives a push-down tree builder — no
+``xml.dom.minidom`` (the reference parses with minidom at
+/root/reference/kml2geojson/main.py:586), no lxml. The produced
+:class:`Element` tree reproduces the minidom behaviors the reference
+relies on:
+
+- ``getElementsByTagName`` == :meth:`Element.find_all`: preorder
+  document-order descendant search by *literal* tag name — namespace
+  prefixes like ``gx:Track`` are matched verbatim (minidom is
+  prefix-literal; reference main.py:27-31).
+- ``node.firstChild.wholeText.strip()`` == :meth:`Element.text`:
+  concatenation of the leading run of logically-adjacent Text/CDATA
+  children (a comment or child element breaks adjacency), stripped;
+  empty string when the first child is absent or not character data
+  (reference main.py:54-62 ``val``).
+- ``getAttribute`` == :meth:`Element.attr`: "" when missing
+  (reference main.py:46-51).
+
+The tokenizer handles CDATA sections, XML comments (which appear inside
+geometry containers in real KML), processing instructions, DOCTYPE
+declarations, self-closing tags, and the five standard XML entities plus
+numeric character references.
+
+This module is deliberately dependency-free and allocation-light: it is
+executed per-document inside Arrow-batched ``mapInPandas`` workers, so
+documents stream through in columnar batches and the only per-row Python
+is this parser (the engine never uses row-at-a-time Python UDFs).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator, Optional
+
+# Token alternation order matters: CDATA and comments must win over the
+# generic declaration branch, and close tags over open tags.
+_TOKEN = re.compile(
+    r"<!\[CDATA\[(?P<cdata>.*?)\]\]>"
+    r"|<!--(?P<comment>.*?)-->"
+    r"|<!(?P<decl>[^>]*)>"
+    r"|<\?(?P<pi>.*?)\?>"
+    r"|</\s*(?P<close>[^>\s]+)\s*>"
+    r"|<(?P<open>[^\s/>!?][^\s/>]*)(?P<attrs>(?:\"[^\"]*\"|'[^']*'|[^>])*?)(?P<selfclose>/?)>"
+    r"|(?P<text>[^<]+)",
+    re.S,
+)
+
+_ATTR = re.compile(r"([^\s=/]+)\s*=\s*(?:\"([^\"]*)\"|'([^']*)')")
+
+_ENTITY = re.compile(r"&(#x?[0-9A-Fa-f]+|[A-Za-z][A-Za-z0-9]*);")
+
+_NAMED_ENTITIES = {"amp": "&", "lt": "<", "gt": ">", "quot": '"', "apos": "'"}
+
+# Child-node kind tags (kept as tiny tuples to minimize allocation):
+# Element instance        -> element child
+# ("t", str)              -> text node (entities decoded)
+# ("c", str)              -> CDATA section (verbatim)
+# ("#",)                  -> comment (breaks text adjacency, else ignored)
+_COMMENT_NODE = ("#",)
+
+
+def _decode_entities(s: str) -> str:
+    if "&" not in s:
+        return s
+
+    def sub(m: re.Match) -> str:
+        body = m.group(1)
+        if body.startswith("#x") or body.startswith("#X"):
+            try:
+                return chr(int(body[2:], 16))
+            except ValueError:
+                return m.group(0)
+        if body.startswith("#"):
+            try:
+                return chr(int(body[1:]))
+            except ValueError:
+                return m.group(0)
+        return _NAMED_ENTITIES.get(body, m.group(0))
+
+    return _ENTITY.sub(sub, s)
+
+
+class Element:
+    """One XML element: literal tag name, attribute dict, ordered children."""
+
+    __slots__ = ("tag", "attributes", "children")
+
+    def __init__(self, tag: str, attributes: Optional[dict] = None):
+        self.tag = tag
+        self.attributes = attributes if attributes is not None else {}
+        self.children: list = []
+
+    # -- navigation ------------------------------------------------------
+
+    def iter_elements(self) -> Iterator["Element"]:
+        """Preorder traversal of descendant elements (not self)."""
+        stack = [c for c in reversed(self.children) if type(c) is Element]
+        while stack:
+            el = stack.pop()
+            yield el
+            for c in reversed(el.children):
+                if type(c) is Element:
+                    stack.append(c)
+
+    def find_all(self, tag: str) -> list["Element"]:
+        """All descendant elements with the given literal tag, document order."""
+        return [el for el in self.iter_elements() if el.tag == tag]
+
+    def find(self, tag: str) -> Optional["Element"]:
+        """First descendant element with the given literal tag, else None."""
+        for el in self.iter_elements():
+            if el.tag == tag:
+                return el
+        return None
+
+    # -- value access ----------------------------------------------------
+
+    def attr(self, name: str) -> str:
+        """Attribute value, "" when absent (minidom getAttribute)."""
+        return self.attributes.get(name, "")
+
+    def text(self) -> str:
+        """Leading run of adjacent Text/CDATA children, concatenated and
+        stripped — the reference's ``val`` (main.py:54-62 via minidom
+        ``firstChild.wholeText``). Comments and child elements terminate
+        the run; a non-character-data first child yields ""."""
+        parts = []
+        for child in self.children:
+            t = type(child)
+            if t is tuple:
+                if child[0] == "#":  # comment breaks logical adjacency
+                    break
+                parts.append(child[1])
+            else:
+                break
+        if not parts:
+            return ""
+        return "".join(parts).strip()
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        return f"<Element {self.tag} attrs={self.attributes} children={len(self.children)}>"
+
+
+def parse_kml(source: str) -> Element:
+    """Parse a KML/XML string into an :class:`Element` tree.
+
+    Returns a synthetic document-root Element (tag ``None``-like sentinel
+    ``"#document"``) whose descendants are the document's elements — the
+    equivalent of minidom's ``Document`` node, so ``find_all`` from the
+    root searches the entire document like the reference's
+    ``get(root, ...)`` calls on the parsed Document (main.py:586).
+
+    Lenient on mismatched close tags (pops to the nearest matching open
+    element; ignores unmatched closes) — real-world KML is messy and the
+    engine processes untrusted corpora; strictness is not worth a failed
+    partition at 10^12-document scale.
+    """
+    root = Element("#document")
+    stack = [root]
+    for m in _TOKEN.finditer(source):
+        # NOTE: cannot use m.lastgroup — the optional trailing groups of
+        # the open-tag branch (attrs/selfclose) match "" and would mask
+        # the branch name. Dispatch on which named group is non-None.
+        text_g = m.group("text")
+        if text_g is not None:
+            stack[-1].children.append(("t", _decode_entities(text_g)))
+        elif m.group("open") is not None:
+            attrs_src = m.group("attrs")
+            attrs = {}
+            if attrs_src:
+                for am in _ATTR.finditer(attrs_src):
+                    attrs[am.group(1)] = _decode_entities(
+                        am.group(2) if am.group(2) is not None else am.group(3)
+                    )
+            el = Element(m.group("open"), attrs)
+            stack[-1].children.append(el)
+            if not m.group("selfclose"):
+                stack.append(el)
+        elif m.group("close") is not None:
+            tag = m.group("close")
+            # pop to matching open; ignore stray close tags
+            for i in range(len(stack) - 1, 0, -1):
+                if stack[i].tag == tag:
+                    del stack[i:]
+                    break
+        elif m.group("cdata") is not None:
+            stack[-1].children.append(("c", m.group("cdata")))
+        elif m.group("comment") is not None:
+            stack[-1].children.append(_COMMENT_NODE)
+        # decl / pi: skipped entirely
+    return root
