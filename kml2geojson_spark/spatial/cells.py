@@ -1,0 +1,215 @@
+"""Hierarchical quadtree cell index — Morton / Z-order (S2-like),
+implemented from scratch (no h3/s2/shapely in the environment;
+SURVEY.md §0, BASELINE.json north_star "batched cell encoding at
+resolution r").
+
+Layout of a 64-bit cell id at resolution ``r`` (r ≤ 26):
+
+    [ ... zeros ... | interleaved x/y bits (2r) | resolution (5 bits) ]
+
+- grid: ``2^r × 2^r`` over lon ∈ [-180, 180], lat ∈ [-90, 90]
+- x bits occupy odd positions, y bits even positions of the Morton code
+- ``parent = ((id >> 5) >> 2 << 5) | (r-1)`` — hierarchical by
+  construction (one quadtree level per resolution step, the
+  "interleaved" graft axis)
+
+Three interchangeable implementations of the same bit-exact function:
+
+1. :func:`cell_encode_np` — vectorized numpy (used inside Arrow UDFs)
+2. :func:`cell_encode_col` — pure Spark Column expression (JVM-side,
+   whole-stage codegen; the hot path for bulk encoding — no Python)
+3. :func:`cell_encode_sql` — SQL text in a chosen dialect
+   (``spark`` / ``duckdb``) so the driver's DuckDB oracle computes the
+   identical codes
+
+All use the same double-precision arithmetic (floor((lon+180)/360*2^r))
+so results agree bit-for-bit across numpy, the JVM, and DuckDB.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, functions as F
+
+MAX_RES = 26
+RES_BITS = 5
+RES_MASK = (1 << RES_BITS) - 1
+
+# Magic masks for 32→64 bit interleave (standard Morton spreading).
+_SPREAD_MASKS = (
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+)
+
+
+# ---------------------------------------------------------------------------
+# numpy implementation
+# ---------------------------------------------------------------------------
+
+def _spread_np(v: np.ndarray) -> np.ndarray:
+    x = v.astype(np.uint64)
+    for shift, mask in _SPREAD_MASKS:
+        x = (x | (x << np.uint64(shift))) & np.uint64(mask)
+    return x
+
+
+def _grid_np(lon: np.ndarray, lat: np.ndarray, res: int):
+    n = float(1 << res)
+    ix = np.floor((np.asarray(lon, dtype=np.float64) + 180.0) / 360.0 * n)
+    iy = np.floor((np.asarray(lat, dtype=np.float64) + 90.0) / 180.0 * n)
+    hi = n - 1.0
+    ix = np.clip(ix, 0.0, hi).astype(np.uint64)
+    iy = np.clip(iy, 0.0, hi).astype(np.uint64)
+    return ix, iy
+
+
+def cell_encode_np(lon, lat, res: int) -> np.ndarray:
+    """(lon, lat) arrays → int64 cell ids at resolution ``res``."""
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be in [0, {MAX_RES}]")
+    ix, iy = _grid_np(np.asarray(lon), np.asarray(lat), res)
+    code = (_spread_np(ix) << np.uint64(1)) | _spread_np(iy)
+    return ((code << np.uint64(RES_BITS)) | np.uint64(res)).astype(np.int64)
+
+
+def _compact_np(v: np.ndarray) -> np.ndarray:
+    """Inverse of _spread_np: gather every other bit into the low half."""
+    x = v & np.uint64(0x5555555555555555)
+    x = (x | (x >> np.uint64(1))) & np.uint64(0x3333333333333333)
+    x = (x | (x >> np.uint64(2))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    x = (x | (x >> np.uint64(4))) & np.uint64(0x00FF00FF00FF00FF)
+    x = (x | (x >> np.uint64(8))) & np.uint64(0x0000FFFF0000FFFF)
+    x = (x | (x >> np.uint64(16))) & np.uint64(0x00000000FFFFFFFF)
+    return x
+
+
+def cell_decode_np(cell) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """cell ids → (ix, iy, res) grid coordinates."""
+    c = np.asarray(cell).astype(np.uint64)
+    res = (c & np.uint64(RES_MASK)).astype(np.int64)
+    code = c >> np.uint64(RES_BITS)
+    ix = _compact_np(code >> np.uint64(1)).astype(np.int64)
+    iy = _compact_np(code).astype(np.int64)
+    return ix, iy, res
+
+
+def cell_parent_np(cell, steps: int = 1) -> np.ndarray:
+    """Parent cell ``steps`` resolution levels up."""
+    c = np.asarray(cell).astype(np.uint64)
+    res = (c & np.uint64(RES_MASK)).astype(np.int64)
+    code = c >> np.uint64(RES_BITS)
+    new_res = res - steps
+    if np.any(new_res < 0):
+        raise ValueError("parent below resolution 0")
+    code = code >> (np.uint64(2) * np.uint64(steps))
+    return ((code << np.uint64(RES_BITS)) | new_res.astype(np.uint64)).astype(np.int64)
+
+
+def cell_bounds_np(cell) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """cell ids → (west, south, east, north) degree bounds."""
+    ix, iy, res = cell_decode_np(cell)
+    n = np.power(2.0, res.astype(np.float64))
+    w = ix / n * 360.0 - 180.0
+    s = iy / n * 180.0 - 90.0
+    return w, s, w + 360.0 / n, s + 180.0 / n
+
+
+def cell_kring_np(cell: int, radius: int) -> np.ndarray:
+    """All cells within Chebyshev distance ``radius`` of one cell, at the
+    same resolution. x wraps around the antimeridian; y clamps at the
+    poles. Returns unique sorted int64 ids (the k-ring used for kNN
+    expansion, BASELINE.json north_star)."""
+    ix, iy, res = cell_decode_np(np.array([cell]))
+    ix, iy, res = int(ix[0]), int(iy[0]), int(res[0])
+    n = 1 << res
+    dx, dy = np.meshgrid(np.arange(-radius, radius + 1),
+                         np.arange(-radius, radius + 1))
+    xs = (ix + dx.ravel()) % n
+    ys = iy + dy.ravel()
+    ok = (ys >= 0) & (ys < n)
+    xs, ys = xs[ok].astype(np.uint64), ys[ok].astype(np.uint64)
+    code = (_spread_np(xs) << np.uint64(1)) | _spread_np(ys)
+    out = ((code << np.uint64(RES_BITS)) | np.uint64(res)).astype(np.int64)
+    return np.unique(out)
+
+
+# ---------------------------------------------------------------------------
+# Spark Column implementation (JVM-side, codegen-friendly)
+# ---------------------------------------------------------------------------
+
+def _spread_col(c: Column) -> Column:
+    x = c
+    for shift, mask in _SPREAD_MASKS:
+        x = (F.shiftleft(x, shift).bitwiseOR(x)).bitwiseAND(F.lit(mask))
+    return x
+
+
+def _grid_col(coord: Column, offset: float, extent: float, res: int) -> Column:
+    n = float(1 << res)
+    raw = F.floor((coord + F.lit(offset)) / F.lit(extent) * F.lit(n))
+    return F.greatest(F.lit(0), F.least(F.lit(int(n) - 1), raw)).cast("long")
+
+
+def cell_encode_col(lon: Column, lat: Column, res: int) -> Column:
+    """Pure-Column Morton encode: stays inside whole-stage codegen —
+    zero Python in the hot loop. Bit-exact with :func:`cell_encode_np`
+    and :func:`cell_encode_sql`."""
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be in [0, {MAX_RES}]")
+    ix = _grid_col(lon, 180.0, 360.0, res)
+    iy = _grid_col(lat, 90.0, 180.0, res)
+    code = F.shiftleft(_spread_col(ix), 1).bitwiseOR(_spread_col(iy))
+    return F.shiftleft(code, RES_BITS).bitwiseOR(F.lit(res)).alias("cell_id")
+
+
+def cell_res_col(cell: Column) -> Column:
+    return cell.bitwiseAND(F.lit(RES_MASK))
+
+
+def cell_parent_col(cell: Column, steps: int = 1) -> Column:
+    code = F.shiftright(cell, RES_BITS + 2 * steps)
+    res = cell.bitwiseAND(F.lit(RES_MASK)) - F.lit(steps)
+    return F.shiftleft(code, RES_BITS).bitwiseOR(res)
+
+
+# ---------------------------------------------------------------------------
+# SQL-text implementation (for the DuckDB correctness oracle)
+# ---------------------------------------------------------------------------
+
+def _shift_sql(expr: str, n: int, dialect: str) -> str:
+    if dialect == "spark":
+        return f"shiftleft({expr}, {n})"
+    return f"({expr} << {n})"
+
+
+def _spread_sql(expr: str, dialect: str) -> str:
+    x = expr
+    for shift, mask in _SPREAD_MASKS:
+        x = f"(({_shift_sql(x, shift, dialect)} | {x}) & {mask})"
+    return x
+
+
+def cell_encode_sql(lon_expr: str, lat_expr: str, res: int,
+                    dialect: str = "duckdb") -> str:
+    """SQL text computing the identical cell id — used to express the
+    tiling engine's cell codes in the driver's DuckDB oracle queries.
+
+    Note: the spread expression textually duplicates its input, so pass
+    simple column references (or pre-computed subquery columns), not
+    heavy expressions.
+    """
+    n = float(1 << res)
+    hi = (1 << res) - 1
+    ix = (f"CAST(GREATEST(0, LEAST({hi}, "
+          f"FLOOR(({lon_expr} + 180.0) / 360.0 * {n}))) AS BIGINT)")
+    iy = (f"CAST(GREATEST(0, LEAST({hi}, "
+          f"FLOOR(({lat_expr} + 90.0) / 180.0 * {n}))) AS BIGINT)")
+    # keep the expression tree small: spread over subquery-ready exprs
+    sx = _spread_sql(ix, dialect)
+    sy = _spread_sql(iy, dialect)
+    code = f"({_shift_sql(sx, 1, dialect)} | {sy})"
+    return f"({_shift_sql(code, RES_BITS, dialect)} | {res})"

@@ -1,0 +1,379 @@
+"""Spatial operators over the quadtree cell index.
+
+Design rules (BASELINE.json north_star / SURVEY.md §2.3):
+
+- Bulk cell encoding is a pure Column expression (JVM, codegen) — the
+  100-TB hot path never crosses into Python.
+- Geometry-heavy kernels (polygon clipping, ray casting) run as numpy
+  inside Arrow-batched ``mapInPandas`` — vectorized per batch, never
+  per-row Python.
+- Joins are plain DataFrame equi-joins on ``cell_id`` so Catalyst picks
+  broadcast vs shuffled hash vs SMJ (with AQE); the explicitly-salted
+  variant for hot cells lives in :mod:`.salted`.
+- Every numeric formula that also appears in a DuckDB oracle query uses
+  the identical double-precision expression so results match
+  bit-for-bit (ray-cast crossing rule, interval coverage, squared
+  distances).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .cells import (
+    MAX_RES,
+    cell_encode_col,
+    cell_encode_np,
+    cell_kring_np,
+    cell_bounds_np,
+)
+
+
+# ---------------------------------------------------------------------------
+# Point encoding
+# ---------------------------------------------------------------------------
+
+def encode_points(df: DataFrame, res: int, lon_col: str = "x",
+                  lat_col: str = "y", out_col: str = "cell_id") -> DataFrame:
+    """Attach a cell id to every point row — whole-stage-codegen only."""
+    return df.withColumn(out_col, cell_encode_col(F.col(lon_col), F.col(lat_col), res))
+
+
+# ---------------------------------------------------------------------------
+# Rectangle cover + exact interval coverage (SQL-parity path)
+# ---------------------------------------------------------------------------
+
+def cover_cells_rect(df: DataFrame, res: int, *, west: str = "west",
+                     south: str = "south", east: str = "east",
+                     north: str = "north",
+                     with_fraction: bool = True) -> DataFrame:
+    """Explode each rectangle into the grid cells it intersects at
+    ``res``, with exact area-fraction of each cell covered (interval
+    math — the raster←vector path for axis-aligned extents).
+
+    Pure Column implementation: sequence + explode + Morton encode, all
+    JVM-side. Fractions use ``max(0, min(e,ce)-max(w,cw)) * ... /
+    cell_area`` — the same expression the DuckDB oracle runs.
+    """
+    n = float(1 << res)
+    hi = (1 << res) - 1
+
+    def scale_lo(c, offset, extent):
+        return F.greatest(F.lit(0), F.least(F.lit(hi), F.floor(
+            (F.col(c) + F.lit(offset)) / F.lit(extent) * F.lit(n)).cast("long")))
+
+    def scale_hi(c, offset, extent):
+        return F.greatest(F.lit(0), F.least(F.lit(hi), (F.ceil(
+            (F.col(c) + F.lit(offset)) / F.lit(extent) * F.lit(n)) - F.lit(1)).cast("long")))
+
+    out = (
+        df.withColumn("_ix0", scale_lo(west, 180.0, 360.0))
+        .withColumn("_ix1", scale_hi(east, 180.0, 360.0))
+        .withColumn("_iy0", scale_lo(south, 90.0, 180.0))
+        .withColumn("_iy1", scale_hi(north, 90.0, 180.0))
+        .withColumn("_ix", F.explode(F.sequence("_ix0", "_ix1")))
+        .withColumn("_iy", F.explode(F.sequence("_iy0", "_iy1")))
+    )
+    # encode from grid coords: reuse the Column spreader via cell center
+    cell_w = F.col("_ix") * F.lit(360.0 / n) - F.lit(180.0)
+    cell_s = F.col("_iy") * F.lit(180.0 / n) - F.lit(90.0)
+    cw, cs = cell_w, cell_s
+    ce, cn = cell_w + F.lit(360.0 / n), cell_s + F.lit(180.0 / n)
+    out = out.withColumn(
+        "cell_id",
+        cell_encode_col(cw + F.lit(180.0 / n), cs + F.lit(90.0 / n), res),
+    )
+    if with_fraction:
+        ow = F.greatest(F.lit(0.0), F.least(F.col(east), ce) - F.greatest(F.col(west), cw))
+        oh = F.greatest(F.lit(0.0), F.least(F.col(north), cn) - F.greatest(F.col(south), cs))
+        cell_area = F.lit((360.0 / n) * (180.0 / n))
+        out = out.withColumn("fraction", ow * oh / cell_area)
+    return out.drop("_ix0", "_ix1", "_iy0", "_iy1", "_ix", "_iy")
+
+
+# ---------------------------------------------------------------------------
+# General polygon cover / coverage fractions (numpy kernel)
+# ---------------------------------------------------------------------------
+
+def _clip_half(pts: np.ndarray, axis: int, bound: float, keep_le: bool) -> np.ndarray:
+    """Sutherland–Hodgman clip of a polygon against one half-plane."""
+    if len(pts) == 0:
+        return pts
+    vals = pts[:, axis]
+    inside = (vals <= bound) if keep_le else (vals >= bound)
+    out = []
+    m = len(pts)
+    for i in range(m):
+        j = (i + 1) % m
+        p, q = pts[i], pts[j]
+        pin, qin = inside[i], inside[j]
+        if pin:
+            out.append(p)
+        if pin != qin:
+            t = (bound - p[axis]) / (q[axis] - p[axis])
+            out.append(p + t * (q - p))
+    return np.asarray(out) if out else np.empty((0, 2))
+
+
+def _clip_area_rect(ring: np.ndarray, w: float, s: float, e: float, n: float) -> float:
+    """|area| of ring ∩ [w,e]×[s,n] (shoelace after 4 half-plane clips)."""
+    pts = ring
+    pts = _clip_half(pts, 0, w, keep_le=False)
+    pts = _clip_half(pts, 0, e, keep_le=True)
+    pts = _clip_half(pts, 1, s, keep_le=False)
+    pts = _clip_half(pts, 1, n, keep_le=True)
+    if len(pts) < 3:
+        return 0.0
+    x, y = pts[:, 0], pts[:, 1]
+    return abs(0.5 * np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+
+
+def _rings_to_np(rings) -> list[np.ndarray]:
+    return [np.asarray([p[:2] for p in ring], dtype=np.float64)
+            for ring in rings if len(ring) >= 3]
+
+
+POLY_COVER_SCHEMA = "poly_id long, cell_id long, fraction double"
+
+
+def polygon_cover(polygons: DataFrame, res: int, *,
+                  id_col: str = "poly_id", rings_col: str = "rings",
+                  min_fraction: float = 0.0) -> DataFrame:
+    """General raster←vector coverage: each polygon → the cells of its
+    bbox at ``res`` with the exact fraction of each cell covered
+    (Sutherland–Hodgman clip + shoelace; ring 0 is the outer ring,
+    further rings are holes whose clipped area is subtracted).
+
+    numpy kernel in Arrow batches. Candidate cells per polygon are
+    bounded by the bbox at ``res`` — pick ``res`` so bbox_cells ≈
+    O(100..10k) per polygon; for planetary-scale polygons encode at a
+    coarser parent resolution and refine hierarchically (parent =
+    id >> 2) in a second pass.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        nn = float(1 << res)
+        cell_w, cell_h = 360.0 / nn, 180.0 / nn
+        cell_area = cell_w * cell_h
+        hi = (1 << res) - 1
+        for pdf in batches:
+            pids, cids, fracs = [], [], []
+            for pid, rings in zip(pdf[id_col], pdf[rings_col]):
+                rs = _rings_to_np(rings)
+                if not rs:
+                    continue
+                outer = rs[0]
+                ix0 = int(np.clip(np.floor((outer[:, 0].min() + 180.0) / 360.0 * nn), 0, hi))
+                ix1 = int(np.clip(np.ceil((outer[:, 0].max() + 180.0) / 360.0 * nn) - 1, 0, hi))
+                iy0 = int(np.clip(np.floor((outer[:, 1].min() + 90.0) / 180.0 * nn), 0, hi))
+                iy1 = int(np.clip(np.ceil((outer[:, 1].max() + 90.0) / 180.0 * nn) - 1, 0, hi))
+                for iy in range(iy0, iy1 + 1):
+                    s = iy * cell_h - 90.0
+                    for ix in range(ix0, ix1 + 1):
+                        w = ix * cell_w - 180.0
+                        area = _clip_area_rect(outer, w, s, w + cell_w, s + cell_h)
+                        for hole in rs[1:]:
+                            area -= _clip_area_rect(hole, w, s, w + cell_w, s + cell_h)
+                        frac = area / cell_area
+                        if frac > min_fraction:
+                            cid = int(cell_encode_np(
+                                np.array([w + cell_w / 2]),
+                                np.array([s + cell_h / 2]), res)[0])
+                            pids.append(int(pid))
+                            cids.append(cid)
+                            fracs.append(frac)
+            yield pd.DataFrame({"poly_id": pids, "cell_id": cids,
+                                "fraction": fracs})
+
+    return polygons.select(F.col(id_col), F.col(rings_col)) \
+        .mapInPandas(run, POLY_COVER_SCHEMA)
+
+
+def coverage_fractions(polygons: DataFrame, res: int, **kw) -> DataFrame:
+    """Per-cell total covered fraction across all polygons."""
+    cover = polygon_cover(polygons, res, **kw)
+    return cover.groupBy("cell_id").agg(
+        F.sum("fraction").alias("total_fraction"),
+        F.count(F.lit(1)).alias("n_polygons"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-polygon join (cell-bucketed + ray cast)
+# ---------------------------------------------------------------------------
+
+_PIP_SCHEMA = "point_id long, poly_id long"
+
+
+def _raycast_np(px: np.ndarray, py: np.ndarray, rings) -> np.ndarray:
+    """Vectorized even-odd ray cast of m points against one polygon's
+    rings. Crossing rule — identical expression to the SQL oracle:
+    ``(y1 > py) != (y2 > py) AND px < (x2-x1)*(py-y1)/(y2-y1) + x1``.
+    Holes fall out of even-odd parity automatically."""
+    inside = np.zeros(len(px), dtype=np.int64)
+    for ring in rings:
+        r = ring
+        if len(r) < 3:
+            continue
+        x1, y1 = r[:, 0][:, None], r[:, 1][:, None]  # (k,1)
+        x2, y2 = np.roll(r[:, 0], -1)[:, None], np.roll(r[:, 1], -1)[:, None]
+        cond = (y1 > py[None, :]) != (y2 > py[None, :])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xs = (x2 - x1) * (py[None, :] - y1) / (y2 - y1) + x1
+        cross = cond & (px[None, :] < xs)
+        inside += cross.sum(axis=0)
+    return (inside % 2) == 1
+
+
+def pip_join(points: DataFrame, polygons: DataFrame, res: int, *,
+             point_id: str = "point_id", x: str = "x", y: str = "y",
+             poly_id: str = "poly_id", rings: str = "rings",
+             broadcast_polygons: bool = True,
+             salt: Optional[int] = None) -> DataFrame:
+    """Ray-casting point-in-polygon join, bucketed by quadtree cell.
+
+    Plan shape: points get a cell id (codegen); polygons explode to
+    their bbox cover cells (numpy, tiny side); the candidate join is an
+    equi-join on ``cell_id`` — broadcast when the polygon side is a
+    dimension, hash otherwise (pass ``salt`` to route through the
+    explicitly-salted join for hot cells); the exact ray-cast filter
+    runs vectorized per Arrow batch against broadcast polygon rings.
+
+    A point lives in exactly one cell, so candidate pairs are unique —
+    no post-join dedup shuffle.
+    """
+    pts = encode_points(points.select(
+        F.col(point_id).alias("point_id"), F.col(x).alias("x"),
+        F.col(y).alias("y")), res)
+
+    cover = polygon_cover(polygons, res, id_col=poly_id, rings_col=rings,
+                          min_fraction=-1.0).select("poly_id", "cell_id")
+
+    if salt:
+        from .salted import salted_join
+        cand = salted_join(pts, cover, "cell_id", n_salt=salt)
+    elif broadcast_polygons:
+        cand = pts.join(F.broadcast(cover), "cell_id")
+    else:
+        cand = pts.join(cover, "cell_id")
+
+    ring_rows = polygons.select(F.col(poly_id).alias("poly_id"),
+                                F.col(rings).alias("rings")).collect()
+    ring_map = {int(r["poly_id"]): _rings_to_np(r["rings"]) for r in ring_rows}
+    spark = points.sparkSession
+    bc = spark.sparkContext.broadcast(ring_map)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rmap = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"point_id": [], "poly_id": []}).astype(
+                    {"point_id": "int64", "poly_id": "int64"})
+                continue
+            keep_pt, keep_poly = [], []
+            for pid, grp in pdf.groupby("poly_id"):
+                rs = rmap.get(int(pid))
+                if not rs:
+                    continue
+                mask = _raycast_np(grp["x"].to_numpy(np.float64),
+                                   grp["y"].to_numpy(np.float64), rs)
+                keep_pt.append(grp["point_id"].to_numpy(np.int64)[mask])
+                keep_poly.append(np.full(int(mask.sum()), int(pid), dtype=np.int64))
+            if keep_pt:
+                yield pd.DataFrame({
+                    "point_id": np.concatenate(keep_pt),
+                    "poly_id": np.concatenate(keep_poly)})
+            else:
+                yield pd.DataFrame({"point_id": [], "poly_id": []}).astype(
+                    {"point_id": "int64", "poly_id": "int64"})
+
+    return cand.select("point_id", "x", "y", "poly_id").mapInPandas(run, _PIP_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# kNN
+# ---------------------------------------------------------------------------
+
+def knn_exact(points: DataFrame, queries: DataFrame, k: int, *,
+              point_id: str = "point_id", x: str = "x", y: str = "y",
+              query_id: str = "query_id", qx: str = "x", qy: str = "y") -> DataFrame:
+    """Exact kNN baseline: broadcast the query set, brute-force squared
+    distance, window top-k. Deterministic tie-break on neighbor id."""
+    q = F.broadcast(queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(qx).alias("_qx"), F.col(qy).alias("_qy")))
+    p = points.select(F.col(point_id).alias("neighbor_id"),
+                      F.col(x).alias("_px"), F.col(y).alias("_py"))
+    d2 = (F.col("_px") - F.col("_qx")) ** 2 + (F.col("_py") - F.col("_qy")) ** 2
+    w = Window.partitionBy("query_id").orderBy(F.col("dist2").asc(),
+                                               F.col("neighbor_id").asc())
+    return (p.crossJoin(q)
+            .withColumn("dist2", d2)
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "dist2", "rank"))
+
+
+def knn_join(points: DataFrame, queries: DataFrame, k: int, res: int,
+             radius: int, *, point_id: str = "point_id", x: str = "x",
+             y: str = "y", query_id: str = "query_id") -> DataFrame:
+    """kNN via k-ring expansion + exact distance re-rank
+    (BASELINE.json north_star). Each query point explodes to the cells
+    within Chebyshev ``radius`` rings at ``res``; candidates come from
+    an equi-join on cell, then a window re-ranks by exact distance.
+
+    Correctness contract: exact iff every query's true k-th neighbor
+    lies within ``radius`` rings — i.e. within ``radius × cell_size``
+    degrees (Chebyshev). Callers pick (res, radius) from the known
+    density (tests verify equality against :func:`knn_exact`); an
+    adaptive two-phase expansion is the planned follow-up.
+    """
+    q = queries.select(F.col(query_id).alias("query_id"),
+                       F.col(x).alias("_qx"), F.col(y).alias("_qy"))
+    q = q.withColumn("_qcell", cell_encode_col(F.col("_qx"), F.col("_qy"), res))
+
+    @F.pandas_udf("array<long>")
+    def ring_cells(cells: pd.Series) -> pd.Series:
+        return cells.map(lambda c: cell_kring_np(int(c), radius).tolist())
+
+    q = q.withColumn("cell_id", F.explode(ring_cells(F.col("_qcell"))))
+
+    p = encode_points(points.select(
+        F.col(point_id).alias("neighbor_id"), F.col(x).alias("x"),
+        F.col(y).alias("y")), res)
+
+    cand = p.join(q, "cell_id")
+    d2 = (F.col("x") - F.col("_qx")) ** 2 + (F.col("y") - F.col("_qy")) ** 2
+    w = Window.partitionBy("query_id").orderBy(F.col("dist2").asc(),
+                                               F.col("neighbor_id").asc())
+    return (cand.withColumn("dist2", d2)
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "dist2", "rank"))
+
+
+# ---------------------------------------------------------------------------
+# Tile assignment
+# ---------------------------------------------------------------------------
+
+def tile_assignments(features: DataFrame, res: int) -> DataFrame:
+    """Point features → per-cell tile stats: the engine's headline
+    output table (cell_id, n_features, n_docs). Input is the
+    ``extract_features`` frame; only Point geometries contribute
+    (lines/polygons tile via :func:`polygon_cover`)."""
+    pts = (features.where(F.col("geom_type") == "Point")
+           .where(F.size(F.col("parts")) > 0)
+           .withColumn("_pos", F.col("parts")[0][0])
+           .where(F.size(F.col("_pos")) >= 2)
+           .withColumn("x", F.col("_pos")[0])
+           .withColumn("y", F.col("_pos")[1]))
+    pts = encode_points(pts, res)
+    return pts.groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("n_features"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )

@@ -1,0 +1,120 @@
+"""Cell-index invariants + cross-engine (numpy / Spark Column / DuckDB
+SQL) bit-exactness of the Morton encoder."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from kml2geojson_spark.spatial.cells import (
+    MAX_RES,
+    cell_bounds_np,
+    cell_decode_np,
+    cell_encode_col,
+    cell_encode_np,
+    cell_encode_sql,
+    cell_kring_np,
+    cell_parent_np,
+)
+
+RNG = np.random.default_rng(42)
+LON = RNG.uniform(-180, 180, 500)
+LAT = RNG.uniform(-90, 90, 500)
+
+
+def test_encode_decode_roundtrip():
+    for res in (0, 1, 5, 12, MAX_RES):
+        cells = cell_encode_np(LON, LAT, res)
+        ix, iy, r = cell_decode_np(cells)
+        assert (r == res).all()
+        assert (ix < (1 << res)).all() and (ix >= 0).all()
+        # re-encode cell centers → same cell
+        w, s, e, n = cell_bounds_np(cells)
+        again = cell_encode_np((w + e) / 2, (s + n) / 2, res)
+        assert (again == cells).all()
+
+
+def test_bounds_contain_inputs():
+    res = 10
+    cells = cell_encode_np(LON, LAT, res)
+    w, s, e, n = cell_bounds_np(cells)
+    assert (LON >= w).all() and (LON <= e).all()
+    assert (LAT >= s).all() and (LAT <= n).all()
+
+
+def test_parent_hierarchy():
+    res = 12
+    cells = cell_encode_np(LON, LAT, res)
+    parents = cell_parent_np(cells, 3)
+    # parent is the direct encode at the coarser resolution
+    direct = cell_encode_np(LON, LAT, res - 3)
+    assert (parents == direct).all()
+    pw, ps, pe, pn = cell_bounds_np(parents)
+    w, s, e, n = cell_bounds_np(cells)
+    assert (pw <= w).all() and (pe >= e).all()
+    assert (ps <= s).all() and (pn >= n).all()
+
+
+def test_edge_clipping():
+    res = 8
+    c = cell_encode_np(np.array([180.0, -180.0, 0.0]),
+                       np.array([90.0, -90.0, 0.0]), res)
+    ix, iy, _ = cell_decode_np(c)
+    hi = (1 << res) - 1
+    assert list(ix) == [hi, 0, 1 << (res - 1)]
+    assert list(iy) == [hi, 0, 1 << (res - 1)]
+
+
+def test_kring():
+    res = 6
+    center = int(cell_encode_np(np.array([10.0]), np.array([20.0]), res)[0])
+    ring1 = cell_kring_np(center, 1)
+    assert len(ring1) == 9 and center in ring1
+    # pole clamp: a cell on the top row has a truncated ring
+    top = int(cell_encode_np(np.array([0.0]), np.array([89.9]), res)[0])
+    assert len(cell_kring_np(top, 1)) == 6
+    # antimeridian wrap: full 9 cells even at lon edge
+    edge = int(cell_encode_np(np.array([-179.99]), np.array([0.0]), res)[0])
+    assert len(cell_kring_np(edge, 1)) == 9
+    # all members share the resolution
+    _, _, r = cell_decode_np(cell_kring_np(center, 2))
+    assert (r == res).all()
+
+
+@pytest.mark.parametrize("res", [0, 3, 11, MAX_RES])
+def test_spark_column_encoder_matches_numpy(spark, res):
+    pdf = pd.DataFrame({"x": LON, "y": LAT})
+    df = spark.createDataFrame(pdf)
+    got = np.array([
+        r["cell_id"] for r in
+        df.select(cell_encode_col(df["x"], df["y"], res).alias("cell_id"))
+        .collect()
+    ])
+    # order back by input: collect preserves createDataFrame order locally,
+    # but sort to be safe
+    exp = cell_encode_np(LON, LAT, res)
+    assert sorted(got.tolist()) == sorted(exp.tolist())
+
+
+@pytest.mark.parametrize("res", [0, 3, 11, MAX_RES])
+def test_duckdb_sql_encoder_matches_numpy(res):
+    con = duckdb.connect()
+    con.register("pts", pd.DataFrame({"x": LON, "y": LAT}))
+    expr = cell_encode_sql("x", "y", res, dialect="duckdb")
+    got = con.execute(f"SELECT {expr} AS cell_id FROM pts").fetchnumpy()["cell_id"]
+    exp = cell_encode_np(LON, LAT, res)
+    assert (np.asarray(got, dtype=np.int64) == exp).all()
+
+
+def test_spark_sql_dialect_matches_numpy(spark):
+    res = 9
+    pdf = pd.DataFrame({"x": LON[:100], "y": LAT[:100]})
+    df = spark.createDataFrame(pdf)
+    df.createOrReplaceTempView("pts_sql_enc")
+    expr = cell_encode_sql("x", "y", res, dialect="spark")
+    got = np.array([r["cell_id"] for r in spark.sql(
+        f"SELECT {expr} AS cell_id FROM pts_sql_enc").collect()])
+    exp = cell_encode_np(LON[:100], LAT[:100], res)
+    assert sorted(got.tolist()) == sorted(exp.tolist())

@@ -1,0 +1,183 @@
+"""Spatial-operator correctness vs brute-force numpy oracles
+(SURVEY.md §5.2 Tier 3)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from kml2geojson_spark.spatial import (
+    cover_cells_rect,
+    encode_points,
+    knn_join,
+    pip_join,
+    polygon_cover,
+    salted_join,
+    hot_keys,
+)
+from kml2geojson_spark.spatial.ops import knn_exact, _raycast_np, _rings_to_np
+
+RNG = np.random.default_rng(7)
+N_PTS = 400
+
+
+def _points_pdf():
+    return pd.DataFrame({
+        "point_id": np.arange(N_PTS, dtype=np.int64),
+        "x": RNG.uniform(-20, 20, N_PTS),
+        "y": RNG.uniform(-20, 20, N_PTS),
+    })
+
+
+def _polygons():
+    """A few deliberately non-convex / holed polygons."""
+    star = []
+    for i in range(10):
+        ang = i * np.pi / 5
+        r = 8.0 if i % 2 == 0 else 3.0
+        star.append([float(r * np.cos(ang)), float(r * np.sin(ang))])
+    star.append(star[0])
+    square_with_hole = [
+        [[-15.0, -15.0], [-5.0, -15.0], [-5.0, -5.0], [-15.0, -5.0], [-15.0, -15.0]],
+        [[-12.0, -12.0], [-8.0, -12.0], [-8.0, -8.0], [-12.0, -8.0], [-12.0, -12.0]],
+    ]
+    triangle = [[[5.0, 5.0], [18.0, 6.0], [10.0, 18.0], [5.0, 5.0]]]
+    return [
+        (0, [star]),
+        (1, square_with_hole),
+        (2, triangle),
+    ]
+
+
+def _pip_oracle(pts: pd.DataFrame, polys) -> set:
+    out = set()
+    for pid, rings in polys:
+        rs = _rings_to_np(rings)
+        mask = _raycast_np(pts["x"].to_numpy(), pts["y"].to_numpy(), rs)
+        for point_id in pts["point_id"].to_numpy()[mask]:
+            out.add((int(point_id), int(pid)))
+    return out
+
+
+def test_raycast_basics():
+    ring = [np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0]])]
+    inside = _raycast_np(np.array([2.0, 5.0, -1.0]), np.array([2.0, 2.0, 2.0]), ring)
+    assert inside.tolist() == [True, False, False]
+
+
+@pytest.mark.parametrize("res,salt", [(7, None), (5, None), (7, 4)])
+def test_pip_join_matches_oracle(spark, res, salt):
+    pts = _points_pdf()
+    polys = _polygons()
+    points_df = spark.createDataFrame(pts)
+    poly_df = spark.createDataFrame(
+        [(pid, rings) for pid, rings in polys],
+        "poly_id long, rings array<array<array<double>>>",
+    )
+    got = {(r["point_id"], r["poly_id"])
+           for r in pip_join(points_df, poly_df, res, salt=salt).collect()}
+    assert got == _pip_oracle(pts, polys)
+
+
+def test_polygon_cover_rectangle_exact(spark):
+    # a rect polygon: coverage fractions must sum to its area / cell_area
+    res = 6
+    rect = [[[-10.0, -10.0], [10.0, -10.0], [10.0, 10.0], [-10.0, 10.0],
+             [-10.0, -10.0]]]
+    poly_df = spark.createDataFrame([(0, rect)],
+                                    "poly_id long, rings array<array<array<double>>>")
+    cover = polygon_cover(poly_df, res).toPandas()
+    n = float(1 << res)
+    cell_area = (360.0 / n) * (180.0 / n)
+    assert np.isclose(cover["fraction"].sum() * cell_area, 400.0, rtol=1e-9)
+    assert (cover["fraction"] <= 1.0 + 1e-12).all()
+    # interior cells are fully covered
+    assert np.isclose(cover["fraction"].max(), 1.0)
+
+
+def test_polygon_cover_hole_subtracts(spark):
+    res = 6
+    rings = [
+        [[-10.0, -10.0], [10.0, -10.0], [10.0, 10.0], [-10.0, 10.0], [-10.0, -10.0]],
+        [[-5.0, -5.0], [5.0, -5.0], [5.0, 5.0], [-5.0, 5.0], [-5.0, -5.0]],
+    ]
+    poly_df = spark.createDataFrame([(0, rings)],
+                                    "poly_id long, rings array<array<array<double>>>")
+    cover = polygon_cover(poly_df, res).toPandas()
+    n = float(1 << res)
+    cell_area = (360.0 / n) * (180.0 / n)
+    assert np.isclose(cover["fraction"].sum() * cell_area, 400.0 - 100.0, rtol=1e-9)
+
+
+def test_cover_cells_rect_matches_polygon_cover(spark):
+    res = 5
+    rects = pd.DataFrame({
+        "rect_id": [0, 1],
+        "west": [-10.0, 20.25],
+        "south": [-10.0, 10.5],
+        "east": [10.0, 33.75],
+        "north": [10.0, 22.125],
+    })
+    df = spark.createDataFrame(rects)
+    got = cover_cells_rect(df, res).toPandas()
+    for rid in (0, 1):
+        r = rects[rects["rect_id"] == rid].iloc[0]
+        w, s, e, n = (float(r.west), float(r.south), float(r.east), float(r.north))
+        rings = [[[w, s], [e, s], [e, n], [w, n], [w, s]]]
+        poly_df = spark.createDataFrame([(int(rid), rings)],
+                                        "poly_id long, rings array<array<array<double>>>")
+        exp = polygon_cover(poly_df, res).toPandas()
+        g = got[got["rect_id"] == rid]
+        merged = g.merge(exp, on="cell_id", how="outer", suffixes=("_g", "_e"))
+        # zero-fraction boundary cells may appear on either side; compare nonzero
+        nz = merged[(merged["fraction_g"].fillna(0) > 1e-12) |
+                    (merged["fraction_e"].fillna(0) > 1e-12)]
+        assert np.allclose(nz["fraction_g"], nz["fraction_e"], rtol=1e-9)
+
+
+def test_knn_kring_matches_exact(spark):
+    pts = _points_pdf()
+    points_df = spark.createDataFrame(pts)
+    queries = spark.createDataFrame(pts.head(25))
+    queries = queries.withColumnRenamed("point_id", "query_id")
+    k = 10
+    exact = knn_exact(points_df, queries, k).toPandas()
+    # res 5 → cell ≈ 11.25° wide; radius 3 rings cover ≥ 33° Chebyshev —
+    # far beyond the k-th neighbor distance in a 40°×40° box with 400 pts
+    got = knn_join(points_df, queries, k, res=5, radius=3).toPandas()
+    key = ["query_id", "rank"]
+    a = exact.sort_values(key).reset_index(drop=True)
+    b = got.sort_values(key).reset_index(drop=True)
+    assert a[["query_id", "neighbor_id", "rank"]].equals(
+        b[["query_id", "neighbor_id", "rank"]])
+    assert np.allclose(a["dist2"], b["dist2"])
+
+
+def test_salted_join_equals_plain_join(spark):
+    # heavily skewed probe: 80% of rows on one key
+    n = 5000
+    keys = np.where(RNG.uniform(size=n) < 0.8, 7, RNG.integers(0, 50, n)).astype(np.int64)
+    probe = spark.createDataFrame(pd.DataFrame({
+        "k": keys, "v": np.arange(n, dtype=np.int64)}))
+    build = spark.createDataFrame(pd.DataFrame({
+        "k": np.arange(0, 50, dtype=np.int64),
+        "w": np.arange(0, 50, dtype=np.int64) * 10}))
+    plain = probe.join(build, "k").select("k", "v", "w").toPandas()
+    hot = hot_keys(probe, "k", sample_fraction=0.2)
+    assert 7 in hot
+    salted = salted_join(probe, build, "k", n_salt=8, hot=hot) \
+        .select("k", "v", "w").toPandas()
+    a = plain.sort_values(["k", "v"]).reset_index(drop=True)
+    b = salted.sort_values(["k", "v"]).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_encode_points_plan_stays_jvm(spark):
+    """The bulk encode path must not contain a Python eval node."""
+    df = spark.createDataFrame(_points_pdf())
+    plan = encode_points(df, 12)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
