@@ -1,0 +1,147 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- :func:`cosine_topk_exact` — brute-force exact top-k, the baseline:
+  broadcast the (small) query set, fold the dot product JVM-side with
+  ``aggregate``/``zip_with`` in double precision (in-order fold → the
+  DuckDB oracle's ``list_dot_product`` over ``DOUBLE[]`` matches
+  bit-for-bit), window top-k with deterministic tie-break.
+- :func:`hyperplane_lsh_topk` — the scale path: random-hyperplane bit
+  signatures (numpy, Arrow-batched), candidates from Hamming-band
+  buckets, exact re-rank of candidates only. Recall < 1 by design;
+  tests measure it against the exact baseline.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _as_double(col: str) -> F.Column:
+    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
+def _dot(a: str, b: str) -> F.Column:
+    """In-order double fold of the elementwise product — deterministic
+    and reproducible across engines."""
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding",
+              out_col: str = "norm") -> DataFrame:
+    d = df.withColumn("_vd", _as_double(vec_col))
+    return d.withColumn(out_col, F.sqrt(_dot("_vd", "_vd"))).drop("_vd")
+
+
+def cosine_topk_exact(embeddings: DataFrame, queries: DataFrame, k: int, *,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      query_id_col: str = "query_id") -> DataFrame:
+    """Exact cosine top-k: every query against every vector.
+
+    Output: (query_id, neighbor_id, cosine, rank). Self-matches are
+    excluded. Tie-break on neighbor_id keeps ranks deterministic.
+    """
+    base = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(vec_col).alias("_v"),
+    ).withColumn("_vnorm", F.sqrt(_dot("_v", "_v")))
+
+    q = F.broadcast(queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _as_double(vec_col).alias("_q"),
+    ).withColumn("_qnorm", F.sqrt(_dot("_q", "_q"))))
+
+    cos = _dot("_v", "_q") / (F.col("_vnorm") * F.col("_qnorm"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (base.crossJoin(q)
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("cosine", cos)
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
+def hyperplane_signatures(df: DataFrame, *, dim: int, bits: int = 64,
+                          vec_col: str = "embedding", id_col: str = "vec_id",
+                          seed: int = 42) -> DataFrame:
+    """Random-hyperplane LSH signature per vector (sign pattern of
+    ``V @ H`` for a fixed seeded Gaussian H) — one numpy matmul per
+    Arrow batch."""
+    H = np.random.default_rng(seed).standard_normal((dim, bits))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                                    "sig_bits": pd.Series([], dtype="int64")})
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            signs = (V @ H) > 0
+            weights = np.uint64(1) << np.arange(bits, dtype=np.uint64)
+            sig = (signs.astype(np.uint64) * weights[None, :]).sum(axis=1)
+            yield pd.DataFrame({"vec_id": pdf[id_col].astype("int64"),
+                                "sig_bits": sig.astype(np.int64)})
+
+    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        run, "vec_id long, sig_bits long")
+
+
+def hyperplane_lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int, *,
+                        dim: int, bits: int = 64, bands: int = 8,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        query_id_col: str = "query_id",
+                        seed: int = 42) -> DataFrame:
+    """Approximate cosine top-k: band the signature into ``bands``
+    chunks; vectors sharing any band bucket with a query become
+    candidates; candidates re-rank by exact cosine. One shuffle on the
+    bucket key; re-rank joins are narrow after that."""
+    assert bits % bands == 0
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+
+    def banded(sig_df: DataFrame, ident: str) -> DataFrame:
+        cols = [((F.shiftright(F.col("sig_bits"), b * band_bits))
+                 .bitwiseAND(F.lit(mask))).alias(f"_b{b}")
+                for b in range(bands)]
+        d = sig_df.select(F.col("vec_id").alias(ident), *cols)
+        pairs = F.array(*[
+            F.struct(F.lit(b).alias("band"), F.col(f"_b{b}").alias("bucket"))
+            for b in range(bands)])
+        return (d.select(ident, F.explode(pairs).alias("bb"))
+                .select(ident, F.col("bb.band").alias("band"),
+                        F.col("bb.bucket").alias("bucket")))
+
+    sig_base = hyperplane_signatures(embeddings, dim=dim, bits=bits,
+                                     vec_col=vec_col, id_col=id_col, seed=seed)
+    sig_q = hyperplane_signatures(queries, dim=dim, bits=bits,
+                                  vec_col=vec_col, id_col=query_id_col,
+                                  seed=seed)
+    cand = (banded(sig_base, "neighbor_id")
+            .join(banded(sig_q, "query_id"), ["band", "bucket"])
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id").distinct())
+
+    base = embeddings.select(F.col(id_col).alias("neighbor_id"),
+                             _as_double(vec_col).alias("_v"))
+    base = base.withColumn("_vnorm", F.sqrt(_dot("_v", "_v")))
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       _as_double(vec_col).alias("_q"))
+    q = F.broadcast(q.withColumn("_qnorm", F.sqrt(_dot("_q", "_q"))))
+
+    cos = _dot("_v", "_q") / (F.col("_vnorm") * F.col("_qnorm"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (cand.join(base, "neighbor_id").join(q, "query_id")
+            .withColumn("cosine", cos)
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank"))

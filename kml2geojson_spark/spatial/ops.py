@@ -309,7 +309,8 @@ def knn_exact(points: DataFrame, queries: DataFrame, k: int, *,
         F.col(qx).alias("_qx"), F.col(qy).alias("_qy")))
     p = points.select(F.col(point_id).alias("neighbor_id"),
                       F.col(x).alias("_px"), F.col(y).alias("_py"))
-    d2 = (F.col("_px") - F.col("_qx")) ** 2 + (F.col("_py") - F.col("_qy")) ** 2
+    d2 = ((F.col("_px") - F.col("_qx")) * (F.col("_px") - F.col("_qx"))
+          + (F.col("_py") - F.col("_qy")) * (F.col("_py") - F.col("_qy")))
     w = Window.partitionBy("query_id").orderBy(F.col("dist2").asc(),
                                                F.col("neighbor_id").asc())
     return (p.crossJoin(q)
@@ -348,7 +349,8 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int, res: int,
         F.col(y).alias("y")), res)
 
     cand = p.join(q, "cell_id")
-    d2 = (F.col("x") - F.col("_qx")) ** 2 + (F.col("y") - F.col("_qy")) ** 2
+    d2 = ((F.col("x") - F.col("_qx")) * (F.col("x") - F.col("_qx"))
+          + (F.col("y") - F.col("_qy")) * (F.col("y") - F.col("_qy")))
     w = Window.partitionBy("query_id").orderBy(F.col("dist2").asc(),
                                                F.col("neighbor_id").asc())
     return (cand.withColumn("dist2", d2)

@@ -1,0 +1,266 @@
+"""Training-data pipeline text operators over a ``documents(doc_id,
+text, ...)`` table — deduplication, fingerprinting, token statistics,
+quality scoring, language guessing.
+
+Everything SQL-shaped is a pure Column expression (JVM, codegen, no
+Python); MinHash/SimHash signatures are numpy inside Arrow-batched
+``mapInPandas``. All hash functions used in cross-engine-checked paths
+derive from md5 (identical in Spark and DuckDB), never from engine-
+specific ``hash()``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+# ---------------------------------------------------------------------------
+# Column-expression operators (exact dedup, fingerprints, stats)
+# ---------------------------------------------------------------------------
+
+def content_hash_col(text: F.Column) -> F.Column:
+    """Stable cross-engine content hash (md5 hex)."""
+    return F.md5(text)
+
+
+def fingerprint64_col(text: F.Column) -> F.Column:
+    """64-bit-ish document fingerprint: first 12 md5 hex chars → BIGINT
+    (DuckDB equivalent: ``CAST('0x' || substr(md5(t),1,12) AS BIGINT)``)."""
+    return F.conv(F.substring(F.md5(text), 1, 12), 16, 10).cast("long")
+
+
+def exact_duplicates(documents: DataFrame, *, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via hash-groupBy: one row per duplicated content,
+    with the cluster size and the keeper (min id). Partial aggregation
+    (map-side combine) makes this a single cheap shuffle at scale."""
+    return (documents
+            .select(F.col(id_col).alias("doc_id"),
+                    content_hash_col(F.col(text_col)).alias("content_hash"))
+            .groupBy("content_hash")
+            .agg(F.count(F.lit(1)).alias("n_dups"),
+                 F.min("doc_id").alias("keeper_id"))
+            .where(F.col("n_dups") > 1))
+
+
+def token_count_col(text: F.Column) -> F.Column:
+    """Whitespace token count (single-space split, matching the DuckDB
+    oracle's ``len(string_split(t, ' '))``)."""
+    return F.size(F.split(text, " "))
+
+
+def token_stats(documents: DataFrame) -> DataFrame:
+    return documents.select(
+        "doc_id",
+        token_count_col(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars_measured"),
+    )
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Cheap quality heuristics: alpha ratio, mean token length, and a
+    composite score — all exact integer-length arithmetic divided once,
+    so values are bit-identical across engines."""
+    n_chars = F.length("text")
+    n_alpha = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
+    n_tokens = token_count_col(F.col("text"))
+    return documents.select(
+        "doc_id",
+        n_chars.alias("n_chars_measured"),
+        (n_alpha.cast("double") / n_chars).alias("alpha_ratio"),
+        (n_chars.cast("double") / n_tokens).alias("mean_token_len"),
+    ).where(n_chars > 0)
+
+
+_LANG_MARKERS = [
+    ("en", " the "), ("fr", " le "), ("de", " der "), ("es", " el "),
+    ("zh", " ba "),
+]
+
+
+def _occurrences(text: F.Column, needle: str) -> F.Column:
+    return ((F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit(""))))
+            / F.lit(len(needle))).cast("long")
+
+
+def lang_guess(documents: DataFrame) -> DataFrame:
+    """Marker-token language heuristic. Deterministic argmax: the first
+    marker (fixed order) with count == greatest(counts) wins; all-zero
+    counts → 'und'. Mirrors a plain CASE expression in the oracle."""
+    padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    counts = {lang: _occurrences(padded, needle) for lang, needle in _LANG_MARKERS}
+    best = F.greatest(*counts.values())
+    expr = F.lit("und")
+    for lang, _ in reversed(_LANG_MARKERS):
+        expr = F.when((counts[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    # re-evaluate in fixed order: earlier markers override later ones
+    return documents.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        expr.alias("lang_guess"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash / SimHash near-duplicate detection (numpy kernels)
+# ---------------------------------------------------------------------------
+
+MERSENNE = (1 << 61) - 1
+
+
+def _shingle_hashes(text: str, width: int) -> np.ndarray:
+    """Unique 64-bit polynomial hashes of all character shingles
+    (vectorized: `width` shifted adds over the byte array, wrap-around
+    uint64 arithmetic)."""
+    b = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
+    if len(b) < width:
+        return np.array([hash_bytes_u64(bytes(b))], dtype=np.uint64)
+    acc = np.zeros(len(b) - width + 1, dtype=np.uint64)
+    base = np.uint64(1099511628211)
+    for i in range(width):
+        acc = acc * base + b[i: len(b) - width + 1 + i].astype(np.uint64)
+    return np.unique(acc)
+
+
+def hash_bytes_u64(data: bytes) -> np.uint64:
+    h = np.uint64(14695981039346656037)
+    for byte in data:
+        h = (h ^ np.uint64(byte)) * np.uint64(1099511628211)
+    return h
+
+
+def minhash_signatures(documents: DataFrame, *, n_hashes: int = 32,
+                       shingle: int = 5, text_col: str = "text",
+                       id_col: str = "doc_id", seed: int = 42) -> DataFrame:
+    """Per-document MinHash signature over character shingles.
+
+    numpy inside Arrow batches: shingle rolling hashes once per doc,
+    then ``min((a_i * h + b_i) mod p)`` vectorized over all permutations
+    at once. Output: (doc_id, sig array<long>).
+    """
+    rng = np.random.default_rng(seed)
+    A = rng.integers(1, MERSENNE, n_hashes, dtype=np.uint64)
+    B = rng.integers(0, MERSENNE, n_hashes, dtype=np.uint64)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        p = np.uint64(MERSENNE)
+        for pdf in batches:
+            ids, sigs = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                sh = _shingle_hashes(text or "", shingle).astype(np.uint64) % p
+                # (n_hashes, n_shingles) in uint64 mod-2^64 arithmetic is
+                # fine for minhash (universal enough, deterministic)
+                vals = (A[:, None] * sh[None, :] + B[:, None]) % p
+                sig = vals.min(axis=1).astype(np.int64)
+                ids.append(doc_id)
+                sigs.append(sig.tolist())
+            yield pd.DataFrame({"doc_id": ids, "sig": sigs})
+
+    return documents.select(F.col(id_col).alias(id_col),
+                            F.col(text_col).alias(text_col)) \
+        .mapInPandas(run, "doc_id long, sig array<long>")
+
+
+def minhash_candidate_pairs(documents: DataFrame, *, n_hashes: int = 32,
+                            bands: int = 8, shingle: int = 5,
+                            seed: int = 42) -> DataFrame:
+    """LSH banding: signatures → (band_idx, band_hash) buckets →
+    self-join within buckets → candidate near-duplicate pairs
+    (doc_a < doc_b, deduplicated). The classic shingle→minhash→band→
+    bucket-join pipeline as pure DataFrame ops (one shuffle on the
+    bucket key + one aggregate)."""
+    assert n_hashes % bands == 0
+    rows_per_band = n_hashes // bands
+    sigs = minhash_signatures(documents, n_hashes=n_hashes, shingle=shingle,
+                              seed=seed)
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[
+                F.hash(F.concat_ws(
+                    ",", *[F.col("sig")[i].cast("string")
+                           for i in range(b * rows_per_band,
+                                          (b + 1) * rows_per_band)]))
+                for b in range(bands)
+            ])
+        ).alias("band_idx", "band_hash"),
+    )
+    left = banded.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
+    right = banded.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_hash")
+    pairs = (left.join(right, ["band_idx", "band_hash"])
+             .where(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b").distinct())
+    return pairs
+
+
+def minhash_similarity(pairs: DataFrame, sigs: DataFrame) -> DataFrame:
+    """Estimated Jaccard for candidate pairs: fraction of equal
+    signature positions. Two broadcast-able joins against the signature
+    table."""
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    joined = pairs.join(sa, "doc_a").join(sb, "doc_b")
+    eq = F.expr(
+        "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b))")
+    return joined.select(
+        "doc_a", "doc_b",
+        (eq.cast("double") / F.size("sig_a")).alias("est_jaccard"))
+
+
+def simhash_col_signatures(documents: DataFrame, *, bits: int = 64,
+                           shingle: int = 4, seed: int = 7) -> DataFrame:
+    """SimHash: per-doc 64-bit signature — sum of ±1 per bit over
+    shingle hashes, sign → bit. numpy vectorized per doc."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sigs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                sh = _shingle_hashes(text or "", shingle)
+                # expand each 64-bit hash into bit matrix
+                bits_m = ((sh[:, None] >> np.arange(bits, dtype=np.uint64)[None, :])
+                          & np.uint64(1)).astype(np.int64)
+                weights = (bits_m * 2 - 1).sum(axis=0)
+                sig = np.uint64(0)
+                for i in range(bits):
+                    if weights[i] > 0:
+                        sig |= np.uint64(1) << np.uint64(i)
+                ids.append(doc_id)
+                sigs.append(np.int64(sig))
+            yield pd.DataFrame({"doc_id": ids, "simhash": sigs})
+
+    return documents.select("doc_id", "text") \
+        .mapInPandas(run, "doc_id long, simhash long")
+
+
+def ngram_jaccard_pairs(documents: DataFrame, *, n: int = 3,
+                        threshold: float = 0.0) -> DataFrame:
+    """Exact n-gram Jaccard for all candidate pairs sharing at least one
+    n-gram: explode distinct n-grams, self-join on the gram, count
+    shared per pair, |A∪B| = |A|+|B|-shared. Pure DataFrame ops —
+    SQL-expressible (the DuckDB oracle runs the same algorithm)."""
+    grams = documents.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.expr(
+            f"transform(sequence(1, greatest(length(text) - {n - 1}, 0)), "
+            f"i -> substring(text, i, {n}))"))).alias("gram"),
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = grams.select(F.col("doc_id").alias("doc_a"), "gram")
+    b = grams.select(F.col("doc_id").alias("doc_b"), "gram")
+    shared = (a.join(b, "gram").where(F.col("doc_a") < F.col("doc_b"))
+              .groupBy("doc_a", "doc_b")
+              .agg(F.count(F.lit(1)).alias("n_shared")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb"))
+    out = (shared.join(sa, "doc_a").join(sb, "doc_b")
+           .withColumn("jaccard",
+                       F.col("n_shared").cast("double")
+                       / (F.col("na") + F.col("nb") - F.col("n_shared"))))
+    if threshold > 0:
+        out = out.where(F.col("jaccard") >= threshold)
+    return out.select("doc_a", "doc_b", "n_shared", "jaccard")
