@@ -31,6 +31,7 @@ from .kmlparse import parse_kml, Element
 from .engine import (
     convert_documents,
     extract_features,
+    extract_points,
     extract_styles,
     reassemble_spans_kml,
     resolve_styles,
@@ -57,6 +58,7 @@ __all__ = [
     "Element",
     "convert_documents",
     "extract_features",
+    "extract_points",
     "extract_styles",
     "reassemble_spans_kml",
     "resolve_styles",

@@ -189,6 +189,33 @@ def build_style_catalog(root: Element, style_type: str) -> dict:
 # Geometry
 # ---------------------------------------------------------------------------
 
+_CONTAINER_SET = frozenset(MULTI_CONTAINERS)
+_GEOTYPE_SET = frozenset(GEOTYPES)
+
+
+def _collect_geo_nodes(node: Element):
+    """One preorder walk → (winning multi-container | None,
+    {geotype: [nodes in document order]}).
+
+    Equivalent to the reference's repeated ``get1``/``get`` subtree
+    scans (main.py:349-359) — container priority is by MULTI_CONTAINERS
+    order (not document position), each with its first (preorder)
+    occurrence — but ~8× fewer traversals per placemark.
+    """
+    containers: dict = {}
+    buckets: dict = {g: [] for g in GEOTYPES}
+    for el in node.iter_elements():
+        t = el.tag
+        if t in _GEOTYPE_SET:
+            buckets[t].append(el)
+        elif t in _CONTAINER_SET and t not in containers:
+            containers[t] = el
+    for tag in MULTI_CONTAINERS:
+        if tag in containers:
+            return containers[tag], buckets
+    return None, buckets
+
+
 def _extract_geometries(node: Element) -> tuple[list[dict], list[list[str]]]:
     """Geometry extraction for one placemark-ish node → (geoms, times).
 
@@ -205,15 +232,14 @@ def _extract_geometries(node: Element) -> tuple[list[dict], list[list[str]]]:
       values zipped with ``<when>`` timestamps (main.py:360-392,
       gx_coords main.py:126-143).
     """
-    for container_tag in MULTI_CONTAINERS:
-        inner = node.find(container_tag)
-        if inner is not None:
-            return _extract_geometries(inner)
+    container, buckets = _collect_geo_nodes(node)
+    if container is not None:
+        return _extract_geometries(container)
 
     geoms: list[dict] = []
     times: list[list[str]] = []
     for geotype in GEOTYPES:
-        for geonode in node.find_all(geotype):
+        for geonode in buckets[geotype]:
             if geotype == "Point":
                 geoms.append({
                     "type": "Point",
@@ -321,6 +347,37 @@ def build_feature_dict(node: Element) -> Optional[dict]:
     if node.attr("id"):
         feature["id"] = node.attr("id")
     return feature
+
+
+def iter_point_coords(root: Element):
+    """Fast path for bulk tiling: yield (feature_idx, geom_idx, coords)
+    for every Point geometry of every geometry-bearing placemark, with
+    indices identical to the full feature builder (placemark document
+    order; geometry-less placemarks skipped per main.py:402-404; geom
+    order = :func:`_extract_geometries`). Skips all property work AND
+    the coordinate parsing of non-Point geometries (their count and
+    order still contribute to geom_idx) — several × cheaper than
+    building feature dicts when only point coordinates are needed."""
+    feature_idx = 0
+    for placemark in root.find_all("Placemark"):
+        node = placemark
+        container, buckets = _collect_geo_nodes(node)
+        while container is not None:
+            node = container
+            container, buckets = _collect_geo_nodes(node)
+        n_geoms = sum(len(buckets[g]) for g in GEOTYPES)
+        if n_geoms == 0:
+            continue
+        geom_idx = 0
+        for geotype in GEOTYPES:
+            for geonode in buckets[geotype]:
+                if geotype == "Point":
+                    coords = parse_coord_tuple(
+                        _elem_text(geonode.find("coordinates")))
+                    if len(coords) >= 2:
+                        yield feature_idx, geom_idx, coords
+                geom_idx += 1
+        feature_idx += 1
 
 
 def build_feature_collection_dict(node: Element, name: Optional[str] = None) -> dict:

@@ -19,11 +19,16 @@ import random
 import re
 from typing import Iterator, Optional
 
-import pandas as pd
+import numpy as np
+import pyarrow as pa
 
 from pyspark.sql import DataFrame, SparkSession
 
 from .engine import DOCUMENTS_KML_SCHEMA
+
+_SPAN_TYPE = pa.list_(pa.struct([
+    ("kind", pa.string()), ("text", pa.string()),
+    ("media_ref", pa.string()), ("offset", pa.int32())]))
 
 _HREF = re.compile(r"<href>([^<]*)</href>")
 
@@ -167,17 +172,36 @@ def synthesize_documents_kml(
     if partitions is None:
         partitions = max(spark.sparkContext.defaultParallelism, 4)
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            doc_ids, span_lists = [], []
-            for i in pdf["id"]:
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            doc_ids = []
+            kinds, texts, refs, offs = [], [], [], []
+            lengths = []
+            for i in np.asarray(batch.column(0)):
                 i = int(i)
                 kml = synthesize_kml(i, seed, max_placemarks=max_placemarks)
+                spans = pack_spans(kml)
                 doc_ids.append(f"doc-{i:08d}")
-                span_lists.append(pack_spans(kml))
-            yield pd.DataFrame({"doc_id": doc_ids, "spans": span_lists})
+                lengths.append(len(spans))
+                for s in spans:
+                    kinds.append(s["kind"])
+                    texts.append(s["text"])
+                    refs.append(s["media_ref"])
+                    offs.append(s["offset"])
+            # assemble list<struct> from flat child arrays + offsets —
+            # no per-span Python dicts cross the Arrow boundary
+            bounds = np.zeros(len(lengths) + 1, dtype=np.int32)
+            np.cumsum(lengths, out=bounds[1:])
+            struct = pa.StructArray.from_arrays(
+                [pa.array(kinds, pa.string()), pa.array(texts, pa.string()),
+                 pa.array(refs, pa.string()), pa.array(offs, pa.int32())],
+                names=["kind", "text", "media_ref", "offset"])
+            spans_arr = pa.ListArray.from_arrays(pa.array(bounds), struct)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(doc_ids, pa.string()), spans_arr],
+                names=["doc_id", "spans"])
 
     return (
         spark.range(0, n_docs, numPartitions=partitions)
-        .mapInPandas(gen, DOCUMENTS_KML_SCHEMA)
+        .mapInArrow(gen, DOCUMENTS_KML_SCHEMA)
     )

@@ -1,0 +1,124 @@
+"""Multimodal column plumbing: opaque ``binary`` media payloads with
+typed metadata, decoded / feature-extracted via Arrow-batched UDFs.
+
+The interleaved-span documents carry ``kind='media'`` spans
+(``media_ref`` URLs — e.g. KML icon hrefs). This module provides the
+Spark-side pipeline a training-data job needs over such columns:
+
+- :func:`media_table` — spans → one row per media reference with typed
+  metadata (doc_id, media_ref, ext, offset) — pure Column ops (explode +
+  filter), no Python.
+- :func:`fetch_media_stub` — attaches a ``content binary`` column. Real
+  fetching/decoding needs network + codec libraries that are NOT in this
+  environment, so the default payload generator is a deterministic fake
+  (seeded bytes from the ref hash); pass ``strict=True`` to get the
+  honest ``NotImplementedError`` path. The Spark plumbing — schema,
+  batching, partitioning — is real and tested.
+- :func:`media_features` — binary → fixed-width float feature vector
+  (batched numpy over Arrow; stands in for an image/audio encoder).
+- :func:`sample_frames` — binary video stand-in → N deterministic frame
+  slices with (frame_idx, frame binary) rows, the explode shape a real
+  frame sampler produces.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+MEDIA_SCHEMA = "doc_id string, media_ref string, ext string, offset int"
+
+
+def media_table(documents_kml: DataFrame) -> DataFrame:
+    """documents_kml(doc_id, spans) → (doc_id, media_ref, ext, offset):
+    explode + filter on span kind, extension parsed with JVM string fns."""
+    s = (documents_kml
+         .select("doc_id", F.explode("spans").alias("s"))
+         .where(F.col("s.kind") == "media")
+         .select("doc_id",
+                 F.col("s.media_ref").alias("media_ref"),
+                 F.col("s.offset").alias("offset")))
+    ext = F.lower(F.element_at(F.split(F.col("media_ref"), r"\."), -1))
+    return s.withColumn("ext", ext).select("doc_id", "media_ref", "ext", "offset")
+
+
+def _fake_payload(ref: str, size: int = 4096) -> bytes:
+    seed = int.from_bytes(hashlib.md5(ref.encode()).digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size, dtype=np.uint8).tobytes()
+
+
+def fetch_media_stub(media: DataFrame, *, strict: bool = False,
+                     payload_bytes: int = 4096) -> DataFrame:
+    """Attach ``content binary``. STUB: no network/codecs in this
+    environment — payload is a deterministic fake derived from the ref
+    (same ref → same bytes, so downstream dedup/feature tests are
+    meaningful). ``strict=True`` raises NotImplementedError the way the
+    real fetcher's unsupported-scheme branch would."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "media fetch requires network + codec libs; "
+                    "not available in this environment")
+            pdf = pdf.copy()
+            pdf["content"] = [_fake_payload(r, payload_bytes)
+                              for r in pdf["media_ref"]]
+            yield pdf
+
+    return media.mapInPandas(run, MEDIA_SCHEMA + ", content binary")
+
+
+def media_features(with_content: DataFrame, *, dim: int = 16) -> DataFrame:
+    """binary content → float feature vector (batched: one numpy
+    reshape/mean per Arrow batch — the shape a real CNN/encoder UDF
+    takes; the 'model' here is per-256-byte-block means)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for blob in pdf["content"]:
+                arr = np.frombuffer(blob, dtype=np.uint8).astype(np.float32)
+                pad = (-len(arr)) % dim
+                if pad:
+                    arr = np.pad(arr, (0, pad))
+                feats.append((arr.reshape(dim, -1).mean(axis=1) / 255.0).tolist())
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media_ref": pdf["media_ref"],
+                "feature": feats,
+            })
+
+    return with_content.mapInPandas(
+        run, "doc_id string, media_ref string, feature array<float>")
+
+
+def sample_frames(with_content: DataFrame, *, n_frames: int = 4) -> DataFrame:
+    """Pretend the binary is a video container: emit ``n_frames`` evenly
+    spaced byte-slice 'frames' per row — the (explode → per-frame row)
+    plumbing of a real frame sampler, with deterministic fake decode."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids, refs, idxs, frames = [], [], [], []
+            for doc_id, ref, blob in zip(pdf["doc_id"], pdf["media_ref"],
+                                         pdf["content"]):
+                n = len(blob)
+                step = max(n // n_frames, 1)
+                for i in range(n_frames):
+                    start = min(i * step, max(n - step, 0))
+                    doc_ids.append(doc_id)
+                    refs.append(ref)
+                    idxs.append(i)
+                    frames.append(blob[start:start + step])
+            yield pd.DataFrame({"doc_id": doc_ids, "media_ref": refs,
+                                "frame_idx": idxs, "frame": frames})
+
+    return with_content.mapInPandas(
+        run, "doc_id string, media_ref string, frame_idx int, frame binary")

@@ -374,8 +374,22 @@ def tile_assignments(features: DataFrame, res: int) -> DataFrame:
            .where(F.size(F.col("_pos")) >= 2)
            .withColumn("x", F.col("_pos")[0])
            .withColumn("y", F.col("_pos")[1]))
+    return _tile_agg(pts, res)
+
+
+def _tile_agg(pts: DataFrame, res: int) -> DataFrame:
     pts = encode_points(pts, res)
     return pts.groupBy("cell_id").agg(
         F.count(F.lit(1)).alias("n_features"),
         F.countDistinct("doc_id").alias("n_docs"),
     )
+
+
+def tile_assignments_from_docs(documents_kml: DataFrame, res: int) -> DataFrame:
+    """Hot path: documents_kml → tile stats via the slim point
+    extraction (flat Arrow columns, no feature JSON). Identical result
+    to ``tile_assignments(extract_features(docs), res)`` for Point
+    features — asserted in tests."""
+    from ..engine import extract_points
+
+    return _tile_agg(extract_points(documents_kml), res)

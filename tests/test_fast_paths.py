@@ -1,0 +1,51 @@
+"""Equality of the optimized hot paths vs the full-fidelity paths."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+import kml2geojson_spark as k2gs
+from kml2geojson_spark.engine import extract_points, extract_points_from_parquet
+from kml2geojson_spark.spatial import tile_assignments, tile_assignments_from_docs
+
+
+def _sorted(pdf: pd.DataFrame) -> pd.DataFrame:
+    return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+
+
+def test_extract_points_equals_feature_path(spark):
+    docs = k2gs.synthesize_documents_kml(spark, 60, seed=13, max_placemarks=15)
+    slim = extract_points(docs).toPandas()
+    full = k2gs.extract_features(docs)
+    full_pts = (full.where(F.col("geom_type") == "Point")
+                .where(F.size(F.col("parts")) > 0)
+                .withColumn("_pos", F.col("parts")[0][0])
+                .where(F.size(F.col("_pos")) >= 2)
+                .select("doc_id", "layer_idx", "feature_idx", "geom_idx",
+                        F.col("_pos")[0].alias("x"),
+                        F.col("_pos")[1].alias("y"))).toPandas()
+    assert _sorted(slim).equals(_sorted(full_pts))
+
+
+def test_tile_assignments_paths_equal(spark):
+    docs = k2gs.synthesize_documents_kml(spark, 60, seed=17, max_placemarks=15)
+    a = tile_assignments(k2gs.extract_features(docs), 7).toPandas()
+    b = tile_assignments_from_docs(docs, 7).toPandas()
+    assert _sorted(a).equals(_sorted(b))
+
+
+def test_parquet_file_scan_equals_row_scan(spark, tmp_path):
+    docs = k2gs.synthesize_documents_kml(spark, 80, seed=19, max_placemarks=10)
+    path = str(tmp_path / "corpus")
+    docs.write.parquet(path)
+    via_rows = extract_points(spark.read.parquet(path)).toPandas()
+    via_files = extract_points_from_parquet(spark, path).toPandas()
+    assert _sorted(via_rows).equals(_sorted(via_files))
+
+
+def test_file_scan_missing_dir_raises(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        extract_points_from_parquet(spark, str(tmp_path / "nope"))

@@ -1,0 +1,157 @@
+"""Text/dedup/similarity/multimodal operator tests with brute-force
+oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from kml2geojson_spark.textops import (
+    exact_duplicates,
+    minhash_candidate_pairs,
+    minhash_signatures,
+    minhash_similarity,
+    ngram_jaccard_pairs,
+    simhash_col_signatures,
+)
+from kml2geojson_spark.simsearch import cosine_topk_exact, hyperplane_lsh_topk
+from kml2geojson_spark.multimodal import (
+    fetch_media_stub,
+    media_features,
+    media_table,
+    sample_frames,
+)
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog "
+    rows = [
+        (0, base * 10),
+        (1, base * 10),                                  # exact dup of 0
+        (2, base * 9 + "and then some extra tail text "),  # near dup
+        (3, "completely different content about spark engines and tiles "),
+        (4, "completely different content about spark engines and tiles "),
+        (5, "nothing like the others at all zzz qqq www "),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark):
+    d = exact_duplicates(_docs(spark)).toPandas()
+    got = {(r.n_dups, r.keeper_id) for r in d.itertuples()}
+    assert got == {(2, 0), (2, 3)}
+
+
+def test_minhash_similarity_tracks_jaccard(spark):
+    docs = _docs(spark)
+    sigs = minhash_signatures(docs, n_hashes=64)
+    pairs = minhash_candidate_pairs(docs, n_hashes=64, bands=16)
+    sims = minhash_similarity(pairs, sigs).toPandas()
+    sim = {(int(a), int(b)): s for a, b, s in
+           zip(sims["doc_a"], sims["doc_b"], sims["est_jaccard"])}
+    # exact dups: estimated jaccard 1.0; near-dups high; they must be found
+    assert sim[(0, 1)] == 1.0
+    assert sim[(3, 4)] == 1.0
+    assert (0, 2) in sim and sim[(0, 2)] > 0.5
+    # unrelated doc never pairs with the dup clusters at high bands
+    assert (0, 5) not in sim and (3, 5) not in sim
+
+
+def test_minhash_signature_determinism(spark):
+    docs = _docs(spark)
+    a = minhash_signatures(docs).toPandas().sort_values("doc_id")
+    b = minhash_signatures(docs).toPandas().sort_values("doc_id")
+    assert [list(s) for s in a["sig"]] == [list(s) for s in b["sig"]]
+
+
+def test_simhash_near_dup_distance(spark):
+    sigs = {int(r["doc_id"]): int(r["simhash"]) & ((1 << 64) - 1)
+            for r in simhash_col_signatures(_docs(spark)).collect()}
+
+    def ham(a, b):
+        return bin(int(a) ^ int(b)).count("1")
+
+    assert ham(sigs[0], sigs[1]) == 0          # exact dup
+    assert ham(sigs[0], sigs[2]) <= 12         # near dup: small distance
+    assert ham(sigs[0], sigs[3]) > 12          # different content: far
+
+
+def test_ngram_jaccard_oracle(spark):
+    docs = _docs(spark)
+    got = ngram_jaccard_pairs(docs, n=4).toPandas()
+    rows = {(int(r.doc_a), int(r.doc_b)): (int(r.n_shared), float(r.jaccard))
+            for r in got.itertuples()}
+    # brute-force oracle
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    grams = {k: {t[i:i + 4] for i in range(len(t) - 3)} for k, t in texts.items()}
+    for (a, b), (n_shared, jac) in rows.items():
+        inter = len(grams[a] & grams[b])
+        union = len(grams[a] | grams[b])
+        assert n_shared == inter
+        assert jac == pytest.approx(inter / union)
+    assert rows[(0, 1)][1] == 1.0
+
+
+def _embeddings(spark, n=200, dim=32, seed=3):
+    rng = np.random.default_rng(seed)
+    V = rng.standard_normal((n, dim)).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                        "embedding": [v.tolist() for v in V]})
+    return spark.createDataFrame(pdf), V
+
+
+def test_cosine_topk_exact_oracle(spark):
+    df, V = _embeddings(spark)
+    q = df.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    got = cosine_topk_exact(df, q, 10).toPandas()
+    Vd = V.astype(np.float64)
+    norms = np.linalg.norm(Vd, axis=1)
+    for qid in range(5):
+        cos = (Vd @ Vd[qid]) / (norms * norms[qid])
+        cos[qid] = -np.inf
+        expect = np.argsort(-cos, kind="stable")[:10]
+        mine = got[got["query_id"] == qid].sort_values("rank")["neighbor_id"]
+        assert list(mine) == list(expect)
+
+
+def test_lsh_topk_recall(spark):
+    df, _ = _embeddings(spark, n=300, dim=32)
+    q = df.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = cosine_topk_exact(df, q, 10).toPandas()
+    approx = hyperplane_lsh_topk(df, q, 10, dim=32, bits=64, bands=16).toPandas()
+    e = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.itertuples()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, f"LSH recall too low: {recall}"
+
+
+def test_multimodal_plumbing(spark):
+    import kml2geojson_spark as k2gs
+    docs = k2gs.synthesize_documents_kml(spark, 20, seed=9, max_placemarks=5)
+    media = media_table(docs)
+    m = media.toPandas()
+    assert len(m) > 0
+    assert set(m["ext"]) == {"png"}
+    assert (m["media_ref"].str.startswith("http://")).all()
+
+    fetched = fetch_media_stub(media)
+    feats = media_features(fetched, dim=16).toPandas()
+    assert all(len(f) == 16 for f in feats["feature"])
+    # deterministic fake: same ref → same feature
+    by_ref = feats.groupby("media_ref")["feature"].apply(
+        lambda s: len({tuple(np.round(v, 6)) for v in s}))
+    assert (by_ref == 1).all()
+
+    frames = sample_frames(fetched, n_frames=3).toPandas()
+    assert set(frames["frame_idx"]) == {0, 1, 2}
+    assert (frames["frame"].str.len() > 0).all()
+
+    with pytest.raises(Exception) as exc_info:
+        fetch_media_stub(media, strict=True).collect()
+    assert "NotImplementedError" in str(exc_info.value) or \
+        isinstance(exc_info.value, NotImplementedError)
