@@ -1,0 +1,99 @@
+"""Physical-plan shape assertions: the properties that matter at 100 TB
+must be visible in the plan, not just hoped for (SURVEY.md §4.2)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+import kml2geojson_spark as k2gs
+from kml2geojson_spark.spatial import encode_points
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_parquet_filter_pushdown_and_pruning(spark, tmp_path):
+    path = str(tmp_path / "li")
+    spark.range(1000).selectExpr(
+        "id AS l_orderkey", "id % 7 AS l_linenumber",
+        "CAST(id % 50 AS DOUBLE) AS l_quantity",
+        "CAST(id AS DOUBLE) AS l_extendedprice").write.parquet(path)
+    df = (spark.read.parquet(path)
+          .where(F.col("l_quantity") < 10)
+          .select("l_orderkey", "l_quantity"))
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,10.0)]" in plan \
+        or "LessThan(l_quantity" in plan, plan
+    # column pruning: the scan reads only the two needed columns
+    assert "l_extendedprice" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_style_resolution_is_broadcast(spark):
+    docs = k2gs.synthesize_documents_kml(spark, 20, seed=3, max_placemarks=5)
+    feats = k2gs.extract_features(docs)
+    styles = k2gs.extract_styles(docs)
+    plan = _plan(k2gs.resolve_styles(feats, styles))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_encode_points_whole_stage_codegen(spark, tmp_path):
+    path = str(tmp_path / "pts")
+    spark.range(100).selectExpr(
+        "id AS point_id", "CAST(id AS DOUBLE) / 10 AS x",
+        "CAST(id AS DOUBLE) / 20 AS y").write.parquet(path)
+    df = encode_points(spark.read.parquet(path), 12)
+    plan = _plan(df)
+    # '*' prefix on the Project node == inside a WholeStageCodegen stage
+    assert plan.lstrip().startswith("*("), plan[:200]
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "PythonMapInArrow"):
+        assert marker not in plan, f"{marker} found in encode plan"
+
+
+def test_knn_exact_broadcasts_queries(spark):
+    from kml2geojson_spark.spatial.ops import knn_exact
+    import pandas as pd
+    import numpy as np
+    pts = spark.createDataFrame(pd.DataFrame({
+        "point_id": np.arange(100, dtype=np.int64),
+        "x": np.linspace(-10, 10, 100), "y": np.linspace(-10, 10, 100)}))
+    qs = spark.createDataFrame(pd.DataFrame({
+        "query_id": np.arange(5, dtype=np.int64),
+        "x": np.zeros(5), "y": np.ones(5)}))
+    plan = _plan(knn_exact(pts, qs, 3))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_pip_join_is_cell_equi_join(spark):
+    """The candidate join must be an equi-join on cell_id (hash/broadcast),
+    never a cartesian product."""
+    import pandas as pd
+    import numpy as np
+    from kml2geojson_spark.spatial import pip_join
+    pts = spark.createDataFrame(pd.DataFrame({
+        "point_id": np.arange(50, dtype=np.int64),
+        "x": np.linspace(-10, 10, 50), "y": np.linspace(-10, 10, 50)}))
+    polys = spark.createDataFrame(
+        [(0, [[[-5.0, -5.0], [5.0, -5.0], [5.0, 5.0], [-5.0, 5.0], [-5.0, -5.0]]])],
+        "poly_id long, rings array<array<array<double>>>")
+    plan = _plan(pip_join(pts, polys, 6))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan \
+        or "SortMergeJoin" in plan
+
+
+def test_exact_dedup_has_partial_aggregation(spark):
+    from kml2geojson_spark.textops import exact_duplicates
+    df = spark.createDataFrame([(1, "a"), (2, "a")], "doc_id long, text string")
+    plan = _plan(exact_duplicates(df))
+    # partial (map-side) + final hash aggregate around one exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
