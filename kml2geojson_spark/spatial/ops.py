@@ -31,6 +31,7 @@ from .cells import (
     cell_encode_np,
     cell_kring_np,
     cell_bounds_np,
+    cell_parent_col,
 )
 
 
@@ -357,6 +358,85 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int, res: int,
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "dist2", "rank"))
+
+
+def knn_join_adaptive(points: DataFrame, queries: DataFrame, k: int, res: int,
+                      *, ring_radius: int = 2, level_step: int = 2,
+                      point_id: str = "point_id", x: str = "x", y: str = "y",
+                      query_id: str = "query_id") -> DataFrame:
+    """Exact kNN via MULTI-RESOLUTION k-ring expansion — no magic radius.
+
+    Instead of growing the ring (whose cell count grows quadratically),
+    each round keeps a small fixed ring (``ring_radius``) but climbs the
+    cell hierarchy ``level_step`` levels (parent = id >> 2·step) — the
+    searched area quadruples per round at constant candidate-cell count.
+
+    A query is PROVEN done when it has ≥ k candidates and its k-th
+    distance fits inside the current level's guaranteed coverage
+    (``ring_radius × cell_size``): any closer point would already be a
+    candidate. Unsatisfied queries continue to the coarser level; at
+    resolution 0 the ring is the whole grid, so convergence is
+    unconditional. Each round is one equi-join + window over only the
+    still-unsatisfied queries. Result equals :func:`knn_exact`
+    (tested on clustered data where any fixed radius fails).
+    """
+    p = encode_points(points.select(
+        F.col(point_id).alias("neighbor_id"), F.col(x).alias("x"),
+        F.col(y).alias("y")), res).persist()
+
+    q_all = queries.select(F.col(query_id).alias("query_id"),
+                           F.col(x).alias("_qx"), F.col(y).alias("_qy"))
+
+    @F.pandas_udf("array<long>")
+    def ring_cells(cells: pd.Series) -> pd.Series:
+        return cells.map(lambda c: cell_kring_np(int(c), ring_radius).tolist())
+
+    d2 = ((F.col("x") - F.col("_qx")) * (F.col("x") - F.col("_qx"))
+          + (F.col("y") - F.col("_qy")) * (F.col("y") - F.col("_qy")))
+    w = Window.partitionBy("query_id").orderBy(F.col("dist2").asc(),
+                                               F.col("neighbor_id").asc())
+
+    pending = q_all
+    done_parts = []
+    level = res
+    while True:
+        n = 1 << level
+        cell_w, cell_h = 360.0 / n, 180.0 / n
+        guarantee = ring_radius * min(cell_w, cell_h)
+
+        q = pending.withColumn(
+            "_qcell", cell_encode_col(F.col("_qx"), F.col("_qy"), level))
+        q = q.withColumn("_cell_lvl", F.explode(ring_cells(F.col("_qcell"))))
+        p_lvl = p.withColumn(
+            "_cell_lvl",
+            F.col("cell_id") if level == res
+            else cell_parent_col(F.col("cell_id"), res - level))
+        topk = (q.join(p_lvl, "_cell_lvl")
+                .withColumn("dist2", d2)
+                .withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k))
+        if level == 0:
+            done_parts.append(
+                topk.select("query_id", "neighbor_id", "dist2", "rank"))
+            break
+        stats = (topk.groupBy("query_id")
+                 .agg(F.count(F.lit(1)).alias("_n"),
+                      F.max("dist2").alias("_dk")))
+        ok = (F.col("_n") >= k) & (F.sqrt(F.col("_dk")) <= F.lit(guarantee))
+        satisfied = stats.where(ok).select("query_id")
+        done_parts.append(
+            topk.join(F.broadcast(satisfied), "query_id", "left_semi")
+            .select("query_id", "neighbor_id", "dist2", "rank"))
+        pending = pending.join(F.broadcast(satisfied), "query_id",
+                               "left_anti").persist()
+        if pending.count() == 0:
+            break
+        level = max(level - level_step, 0)
+
+    out = done_parts[0]
+    for part in done_parts[1:]:
+        out = out.unionByName(part)
+    return out
 
 
 # ---------------------------------------------------------------------------

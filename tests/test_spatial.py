@@ -181,3 +181,31 @@ def test_encode_points_plan_stays_jvm(spark):
     plan = encode_points(df, 12)._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "MapInPandas" not in plan
+
+
+def test_knn_adaptive_matches_exact_on_clustered_data(spark):
+    """Clustered + isolated points: any fixed small radius misses the
+    isolated queries' neighbors; the adaptive expansion must still be
+    exact."""
+    from kml2geojson_spark.spatial.ops import knn_join_adaptive
+
+    rng = np.random.default_rng(23)
+    cluster = rng.normal(0, 0.5, (300, 2))
+    outliers = np.array([[150.0, 80.0], [-170.0, -80.0], [90.0, 0.0]])
+    pts = np.vstack([cluster, outliers])
+    pdf = pd.DataFrame({"point_id": np.arange(len(pts), dtype=np.int64),
+                        "x": np.clip(pts[:, 0], -180, 180),
+                        "y": np.clip(pts[:, 1], -85, 85)})
+    points_df = spark.createDataFrame(pdf)
+    # queries include the isolated outliers (fixed radius-1 would fail)
+    qpdf = pd.concat([pdf.head(5), pdf.tail(3)])
+    queries = spark.createDataFrame(qpdf).withColumnRenamed("point_id", "query_id")
+
+    from kml2geojson_spark.spatial.ops import knn_exact
+    exact = knn_exact(points_df, queries, 7).toPandas()
+    got = knn_join_adaptive(points_df, queries, 7, res=7).toPandas()
+    key = ["query_id", "rank"]
+    a = exact.sort_values(key).reset_index(drop=True)
+    b = got.sort_values(key).reset_index(drop=True)
+    assert a[["query_id", "neighbor_id", "rank"]].equals(
+        b[["query_id", "neighbor_id", "rank"]])
