@@ -538,6 +538,44 @@ def _o16() -> str:
               " FROM enc GROUP BY cell6")
 
 
+def _q17_asof_join(spark, sf):
+    """As-of join: each purchase event gets the same user's latest
+    click at or before it (cogrouped applyInPandas merge_asof)."""
+    from kml2geojson_spark.asof import asof_join
+    e = _t(spark, sf, "events")
+    purchases = (e.where(F.col("event_type") == "purchase")
+                 .select(F.col("event_id").alias("purchase_id"),
+                         F.col("user_id"), F.col("ts")))
+    clicks = (e.where(F.col("event_type") == "click")
+              .select(F.col("user_id"), F.col("ts"),
+                      F.col("event_id").alias("click_id")))
+    out = asof_join(purchases, clicks, key="user_id",
+                    left_ts="ts", right_ts="ts")
+    # events.ts is TIMESTAMP_NTZ; cast both sides identically so the
+    # session-zone shift cancels in the difference
+    gap = (F.unix_micros(F.col("ts").cast("timestamp"))
+           - F.unix_micros(F.col("r_ts").cast("timestamp")))
+    return out.select("purchase_id", "user_id",
+                      F.col("r_click_id").alias("click_id"),
+                      gap.alias("gap_us"))
+
+
+_O17 = """
+WITH p AS (SELECT event_id AS purchase_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+c AS (SELECT event_id AS click_id, user_id, ts FROM events
+      WHERE event_type = 'click'),
+j AS (
+  SELECT p.purchase_id, p.user_id, c.click_id,
+         epoch_us(p.ts) - epoch_us(c.ts) AS gap_us,
+         ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                            ORDER BY c.ts DESC, c.click_id DESC) AS rn
+  FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+)
+SELECT purchase_id, user_id, click_id, gap_us FROM j WHERE rn = 1
+"""
+
+
 # -- text / dedup ----------------------------------------------------------
 
 def _q20_exact_dedup(spark, sf):
@@ -650,7 +688,58 @@ WHERE CAST(n_shared AS DOUBLE) / (sa.n_grams + sb.n_grams - n_shared) >= 0.05
 """
 
 
+def _q26_simhash_pairs(spark, sf):
+    from kml2geojson_spark.textops import simhash_near_pairs
+    return simhash_near_pairs(_t(spark, sf, "documents"),
+                              max_hamming=3, bands=4)
+
+
+def _o26() -> str:
+    """Brute-force SimHash near-dup oracle: same md5-derived 60-bit
+    token hashes, per-bit ±1 sums, O(n²) hamming filter. The banded
+    Spark join must equal this exactly (pigeonhole completeness)."""
+    bits = 60
+    sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(bits))
+    asm = " | ".join(
+        f"(CASE WHEN s{b} > 0 THEN 1::BIGINT ELSE 0::BIGINT END << {b})"
+        for b in range(bits))
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok != ''),
+h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+sums AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id),
+sig AS (SELECT doc_id, {asm} AS sig FROM sums)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.sig, b.sig)) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+"""
+
+
 # -- similarity search ------------------------------------------------------
+
+
+def _q31_embed_neardup(spark, sf):
+    """Embedding-cosine near-duplicate pairs at threshold 0.4505 (sits
+    in a ~2e-3 gap of the sf0.01 cosine distribution, so the float
+    threshold test is unambiguous cross-engine)."""
+    from kml2geojson_spark.simsearch import cosine_neardup_pairs
+    return cosine_neardup_pairs(_t(spark, sf, "embeddings"), 0.4505)
+
+
+_O31 = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v))
+           * sqrt(list_dot_product(b.v, b.v))) >= 0.4505
+"""
 
 def _q30_cosine_topk(spark, sf):
     from kml2geojson_spark.simsearch import cosine_topk_exact
@@ -705,6 +794,39 @@ def _q42_convert_kml(spark, sf):
     return k2gs.layer_feature_counts(docs)
 
 
+def _q43_media_features(spark, sf):
+    """Multimodal plumbing over the interleaved spans: media spans →
+    stub fetch (binary) → Arrow-batched feature extraction → quantized
+    checksum per media row (rows-only: payload decode is stubbed; the
+    Spark plumbing — schema, batching, explode shape — is what's
+    exercised, and is deterministic)."""
+    import kml2geojson_spark as k2gs
+    from kml2geojson_spark.multimodal import (fetch_media_stub,
+                                              media_features, media_table)
+    docs = k2gs.synthesize_documents_kml(spark, 80, seed=9, max_placemarks=8)
+    feats = media_features(fetch_media_stub(media_table(docs)), dim=8)
+    checksum = F.round(F.aggregate(
+        F.transform("feature", lambda x: x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v) * 1000).cast("long")
+    return (feats.select("doc_id", "media_ref",
+                         checksum.alias("feat_milli"))
+            .groupBy("media_ref")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.min("feat_milli").alias("feat_milli_min"),
+                 F.max("feat_milli").alias("feat_milli_max")))
+
+
+def _q44_ivf_topk(spark, sf):
+    """IVF-bucketed ANN (rows-only: approximate by design; pytest
+    measures recall against the exact baseline)."""
+    from kml2geojson_spark.simsearch import ivf_topk
+    emb = _t(spark, sf, "embeddings")
+    queries_df = (emb.where(F.col("vec_id") < 10)
+                  .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return (ivf_topk(emb, queries_df, 10, n_centroids=16, nprobe=6)
+            .select("query_id", "neighbor_id", "rank"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -723,16 +845,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_coverage_rect": _q14_coverage_rect,
         "q15_salted_join_agg": _q15,
         "q16_cell_rollup": _q16_cell_rollup,
+        "q17_asof_join": _q17_asof_join,
         "q20_exact_dedup": _q20_exact_dedup,
         "q21_token_stats": _q21_token_stats,
         "q22_quality": _q22_quality,
         "q23_lang_guess": _q23_lang_guess,
         "q24_fingerprint": _q24_fingerprint,
         "q25_ngram_jaccard": _q25_ngram_jaccard,
+        "q26_simhash_pairs": _q26_simhash_pairs,
         "q30_cosine_topk": _q30_cosine_topk,
+        "q31_embed_neardup": _q31_embed_neardup,
         "q40_minhash_pairs": _q40_minhash_pairs,
         "q41_lsh_cosine_topk": _q41_lsh_cosine_topk,
         "q42_convert_kml": _q42_convert_kml,
+        "q43_media_features": _q43_media_features,
+        "q44_ivf_topk": _q44_ivf_topk,
     }
 
 
@@ -754,13 +881,19 @@ def oracle_sql() -> dict[str, str]:
         "q14_coverage_rect": _o14(),
         "q15_salted_join_agg": _O15,
         "q16_cell_rollup": _o16(),
+        "q17_asof_join": _O17,
         "q20_exact_dedup": _O20,
         "q21_token_stats": _O21,
         "q22_quality": _O22,
         "q23_lang_guess": _o23(),
         "q24_fingerprint": _O24,
         "q25_ngram_jaccard": _O25,
+        "q26_simhash_pairs": _o26(),
         "q30_cosine_topk": _O30,
-        # q40/q41/q42: rows-only (LSH candidate sets and the KML engine
-        # have no faithful single-statement SQL equivalent)
+        "q31_embed_neardup": _O31,
+        # q40/q41/q43/q44: rows-only (LSH/IVF candidate sets are
+        # approximate by design — pytest measures recall vs the exact
+        # baseline; media decode is stubbed). q42: the KML engine has no
+        # faithful single-statement SQL equivalent (golden-parity pytest
+        # covers it against the reference fixtures).
     }

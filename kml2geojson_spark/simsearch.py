@@ -70,6 +70,135 @@ def cosine_topk_exact(embeddings: DataFrame, queries: DataFrame, k: int, *,
             .select("query_id", "neighbor_id", "cosine", "rank"))
 
 
+def cosine_neardup_pairs(embeddings: DataFrame, threshold: float, *,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs: all (a < b) with
+    cosine >= threshold. Brute-force baseline (O(n²) pairwise — the
+    oracle-matched reference path); at 100 TB the scale path is the
+    hyperplane-LSH candidate prefilter (:func:`hyperplane_lsh_topk`'s
+    banding) followed by this exact filter on candidates only.
+
+    Output: (vec_a, vec_b) — ids only, so cross-engine comparison never
+    touches float formatting; the in-order double fold in :func:`_dot`
+    makes the threshold test itself bit-identical to the oracle.
+    """
+    a = (embeddings.select(F.col(id_col).alias("vec_a"),
+                           _as_double(vec_col).alias("_va"))
+         .withColumn("_na", F.sqrt(_dot("_va", "_va"))))
+    b = (embeddings.select(F.col(id_col).alias("vec_b"),
+                           _as_double(vec_col).alias("_vb"))
+         .withColumn("_nb", F.sqrt(_dot("_vb", "_vb"))))
+    cos = _dot("_va", "_vb") / (F.col("_na") * F.col("_nb"))
+    return (a.join(b, F.col("vec_a") < F.col("vec_b"))
+            .where(cos >= F.lit(threshold))
+            .select("vec_a", "vec_b"))
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) approximate nearest neighbour
+# ---------------------------------------------------------------------------
+
+def _sq_dist(a: str, b: str) -> F.Column:
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _mean_vectors(assigned: DataFrame, group_col: str,
+                  vec_col: str) -> DataFrame:
+    """Per-group elementwise mean of array<double> — distributed:
+    posexplode → (group, pos) avg → re-assemble sorted. Two narrow-ish
+    shuffles on small keys; never collects vectors to the driver."""
+    e = assigned.select(group_col,
+                        F.posexplode(F.col(vec_col)).alias("pos", "val"))
+    avg = e.groupBy(group_col, "pos").agg(F.avg("val").alias("val"))
+    packed = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "val"))),
+        lambda s: s.val)
+    return avg.groupBy(group_col).agg(packed.alias("cvec"))
+
+
+def ivf_centroids(embeddings: DataFrame, n_centroids: int, *,
+                  iters: int = 2, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Deterministic IVF codebook: init = per-(id % n_centroids) mean,
+    then ``iters`` Lloyd steps (assign to nearest centroid via a
+    broadcast cross join + window argmin; re-average). Everything is
+    DataFrame ops — the centroid table stays tiny and broadcast-able,
+    the vector table is only ever scanned, never collected.
+
+    Output: (cid int, cvec array<double>).
+    """
+    vecs = embeddings.select(F.col(id_col).alias("_id"),
+                             _as_double(vec_col).alias("_v"))
+    cents = (_mean_vectors(
+        vecs.withColumn("cid", (F.col("_id") % n_centroids).cast("int")),
+        "cid", "_v"))
+    for _ in range(iters):
+        assigned = ivf_assign(vecs.select(F.col("_id"), F.col("_v")), cents,
+                              id_col="_id", vec_col="_v")
+        cents = _mean_vectors(assigned, "cid", "_v")
+    return cents.select("cid", "cvec")
+
+
+def ivf_assign(vectors: DataFrame, centroids: DataFrame, *,
+               id_col: str = "vec_id", vec_col: str = "_v") -> DataFrame:
+    """Nearest-centroid assignment: broadcast the codebook, argmin L2
+    with a deterministic tie-break on cid."""
+    joined = vectors.crossJoin(F.broadcast(centroids))
+    d2 = _sq_dist(vec_col, "cvec")
+    w = Window.partitionBy(id_col).orderBy(F.col("_d2").asc(),
+                                           F.col("cid").asc())
+    return (joined.withColumn("_d2", d2)
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_d2", "_rn", "cvec"))
+
+
+def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int, *,
+             n_centroids: int = 16, nprobe: int = 4, iters: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: str = "query_id") -> DataFrame:
+    """IVF-bucketed approximate cosine top-k — the classic ANN scale
+    path: vectors are pre-partitioned into ``n_centroids`` inverted
+    lists; each query probes only its ``nprobe`` nearest lists and
+    exact-re-ranks those candidates. The candidate join is an equi-join
+    on ``cid`` (hash-partitionable at 100 TB; the codebook itself is
+    always broadcast). Recall < 1 by design; tests measure it against
+    :func:`cosine_topk_exact`.
+
+    Output: (query_id, neighbor_id, cosine, rank).
+    """
+    cents = ivf_centroids(embeddings, n_centroids, iters=iters,
+                          id_col=id_col, vec_col=vec_col).cache()
+    base = embeddings.select(F.col(id_col).alias("neighbor_id"),
+                             _as_double(vec_col).alias("_v"))
+    assigned = (ivf_assign(base, cents, id_col="neighbor_id")
+                .withColumn("_vnorm", F.sqrt(_dot("_v", "_v"))))
+
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       _as_double(vec_col).alias("_q"))
+    qc = q.crossJoin(F.broadcast(cents)).withColumn(
+        "_d2", _sq_dist("_q", "cvec"))
+    wp = Window.partitionBy("query_id").orderBy(F.col("_d2").asc(),
+                                                F.col("cid").asc())
+    probes = (qc.withColumn("_rn", F.row_number().over(wp))
+              .where(F.col("_rn") <= nprobe)
+              .select("query_id", "cid"))
+
+    q_full = F.broadcast(q.withColumn("_qnorm", F.sqrt(_dot("_q", "_q"))))
+    cand = probes.join(assigned, "cid").join(q_full, "query_id")
+    cos = _dot("_v", "_q") / (F.col("_vnorm") * F.col("_qnorm"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (cand.where(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("cosine", cos)
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
 def hyperplane_signatures(df: DataFrame, *, dim: int, bits: int = 64,
                           vec_col: str = "embedding", id_col: str = "vec_id",
                           seed: int = 42) -> DataFrame:

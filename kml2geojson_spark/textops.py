@@ -237,6 +237,82 @@ def simhash_col_signatures(documents: DataFrame, *, bits: int = 64,
         .mapInPandas(run, "doc_id long, simhash long")
 
 
+SIMHASH_BITS = 60  # 15 md5 hex chars → fits a signed 64-bit in both engines
+
+
+def simhash_sql_signatures(documents: DataFrame, *,
+                           bits: int = SIMHASH_BITS) -> DataFrame:
+    """SimHash over distinct lowercase word tokens, entirely in JVM
+    Column expressions (codegen; zero Python in the hot path).
+
+    Token hash = first 15 hex chars of md5 → 60-bit integer — the same
+    formula a DuckDB oracle can run (``('0x' || substr(md5(t),1,15))::
+    BIGINT``), so signatures are bit-identical cross-engine. Per-bit ±1
+    weights are 60 conditional-sum aggregates over one hash-groupBy
+    (single shuffle, map-side partial aggregation), then the sign bits
+    are assembled with shiftleft/OR. Output: (doc_id, sig).
+    """
+    toks = documents.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+            lambda t: t != ""))).alias("tok"))
+    h = toks.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)
+        .cast("long").alias("h"))
+    aggs = [
+        F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
+                     1).otherwise(-1)).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    sums = h.groupBy("doc_id").agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"s{b}") > 0,
+                   F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0)))
+    return sums.select("doc_id", sig.alias("sig"))
+
+
+def simhash_near_pairs(documents: DataFrame, *, max_hamming: int = 3,
+                       bands: int = 4,
+                       bits: int = SIMHASH_BITS) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance, found via a
+    banded self-join that is PROVABLY complete: with ``bands`` bands and
+    ``max_hamming < bands``, any pair within the distance budget has at
+    least one band with zero differing bits (pigeonhole), so the
+    band-bucket equi-join loses nothing — the result equals the O(n²)
+    brute force the DuckDB oracle runs. One shuffle on the bucket key,
+    candidate dedup, then exact ``bit_count(xor)`` filter (all JVM).
+
+    Output: (doc_a, doc_b, hamming) with doc_a < doc_b.
+    """
+    if max_hamming >= bands:
+        raise ValueError("completeness requires max_hamming < bands")
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    sigs = simhash_sql_signatures(documents, bits=bits)
+    buckets = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.shiftright(F.col("sig"), b * band_bits)
+                 .bitwiseAND(F.lit(mask)).alias("bucket"))
+        for b in range(bands)])
+    banded = (sigs.select("doc_id", "sig", F.explode(buckets).alias("bb"))
+              .select("doc_id", "sig", "bb.band", "bb.bucket"))
+    a = banded.select(F.col("doc_id").alias("doc_a"),
+                      F.col("sig").alias("sig_a"), "band", "bucket")
+    b_ = banded.select(F.col("doc_id").alias("doc_b"),
+                       F.col("sig").alias("sig_b"), "band", "bucket")
+    pairs = (a.join(b_, ["band", "bucket"])
+             .where(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b", "sig_a", "sig_b").distinct())
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (pairs.withColumn("hamming", ham)
+            .where(F.col("hamming") <= max_hamming)
+            .select("doc_a", "doc_b", "hamming"))
+
+
 def ngram_jaccard_pairs(documents: DataFrame, *, n: int = 3,
                         threshold: float = 0.0) -> DataFrame:
     """Exact n-gram Jaccard for all candidate pairs sharing at least one

@@ -1,0 +1,101 @@
+"""As-of join: semantics (backward match, exact-match inclusion,
+unmatched-left nulls, tie-break on equal timestamps), self-source
+robustness, and a brute-force oracle over a random corpus."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from kml2geojson_spark.asof import asof_join
+
+
+def _mk(spark, rows, cols):
+    return spark.createDataFrame(pd.DataFrame(rows, columns=cols))
+
+
+def test_asof_basic_backward(spark):
+    left = _mk(spark, [(1, 10, pd.Timestamp("2024-01-02")),
+                       (2, 10, pd.Timestamp("2024-01-05")),
+                       (3, 20, pd.Timestamp("2024-01-03"))],
+               ["lid", "k", "ts"])
+    right = _mk(spark, [(10, pd.Timestamp("2024-01-01"), 100),
+                        (10, pd.Timestamp("2024-01-04"), 101)],
+                ["k", "ts", "rid"])
+    out = {r["lid"]: r for r in
+           asof_join(left, right, key="k", left_ts="ts", right_ts="ts")
+           .collect()}
+    assert out[1]["r_rid"] == 100
+    assert out[2]["r_rid"] == 101
+    assert out[3]["r_rid"] is None and out[3]["r_ts"] is None
+
+
+def test_asof_exact_match_and_ties(spark):
+    t = pd.Timestamp("2024-01-02")
+    left = _mk(spark, [(1, 7, t)], ["lid", "k", "ts"])
+    # two right rows at the exact left timestamp: the greater rid wins
+    right = _mk(spark, [(7, t, 50), (7, t, 51),
+                        (7, pd.Timestamp("2024-01-01"), 49)],
+                ["k", "ts", "rid"])
+    row = asof_join(left, right, key="k", left_ts="ts",
+                    right_ts="ts").collect()[0]
+    assert row["r_rid"] == 51
+
+
+def test_asof_self_source(spark, tmp_path):
+    """Both sides filtered from ONE scan (shared attribute ids) — the
+    projection-dedup trap that bites naive cogroup implementations."""
+    pdf = pd.DataFrame({
+        "event_id": range(8),
+        "k": [1, 1, 1, 1, 2, 2, 2, 2],
+        "ts": pd.to_datetime(
+            ["2024-01-0%d" % d for d in (1, 2, 3, 4, 1, 2, 3, 4)]),
+        "typ": ["a", "b", "a", "b", "b", "a", "b", "a"],
+    })
+    path = str(tmp_path / "ev.parquet")
+    spark.createDataFrame(pdf).write.parquet(path)
+    e = spark.read.parquet(path)
+    lhs = e.where(F.col("typ") == "b").select(
+        F.col("event_id").alias("lid"), "k", "ts")
+    rhs = e.where(F.col("typ") == "a").select(
+        "k", "ts", F.col("event_id").alias("rid"))
+    out = {r["lid"]: r["r_rid"] for r in
+           asof_join(lhs, rhs, key="k", left_ts="ts", right_ts="ts")
+           .collect()}
+    assert out == {1: 0, 3: 2, 4: None, 6: 5}
+
+
+def test_asof_oracle_random(spark):
+    """Randomized corpus vs a pandas groupby brute force."""
+    import numpy as np
+    rng = np.random.default_rng(11)
+    n_l, n_r = 300, 300
+    lpdf = pd.DataFrame({
+        "lid": np.arange(n_l),
+        "k": rng.integers(0, 12, n_l),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 10_000, n_l), unit="m"),
+    })
+    rpdf = pd.DataFrame({
+        "k": rng.integers(0, 12, n_r),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 10_000, n_r), unit="m"),
+        "rid": np.arange(n_r),
+    })
+    out = asof_join(spark.createDataFrame(lpdf), spark.createDataFrame(rpdf),
+                    key="k", left_ts="ts", right_ts="ts").toPandas()
+
+    def brute(row):
+        cand = rpdf[(rpdf["k"] == row["k"]) & (rpdf["ts"] <= row["ts"])]
+        if len(cand) == 0:
+            return None
+        best = cand.sort_values(["ts", "rid"]).iloc[-1]
+        return int(best["rid"])
+
+    expect = {int(r["lid"]): brute(r) for _, r in lpdf.iterrows()}
+    got = {int(r["lid"]): (None if pd.isna(r["r_rid"]) else int(r["r_rid"]))
+           for _, r in out.iterrows()}
+    assert len(out) == n_l
+    assert got == expect

@@ -155,3 +155,65 @@ def test_multimodal_plumbing(spark):
         fetch_media_stub(media, strict=True).collect()
     assert "NotImplementedError" in str(exc_info.value) or \
         isinstance(exc_info.value, NotImplementedError)
+
+
+def test_simhash_sql_near_pairs_complete(spark):
+    """Banded SimHash self-join equals the O(n²) brute force (pigeonhole
+    completeness: max_hamming < bands) on a corpus with planted near-dups."""
+    from kml2geojson_spark.textops import (simhash_near_pairs,
+                                           simhash_sql_signatures)
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    rows = [(i, base + f"doc {i % 3} tail") for i in range(12)]
+    rows += [(100, "xyz completely other vocabulary entirely qqq")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sigs = {r["doc_id"]: r["sig"]
+            for r in simhash_sql_signatures(docs).collect()}
+    brute = set()
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if bin(sigs[a] ^ sigs[b]).count("1") <= 3:
+                brute.add((a, b))
+    got = {(r["doc_a"], r["doc_b"])
+           for r in simhash_near_pairs(docs, max_hamming=3, bands=4).collect()}
+    assert got == brute
+    assert len(brute) > 0  # planted duplicates actually collide
+    # hamming values are symmetric-consistent with the signatures
+    for r in simhash_near_pairs(docs, max_hamming=3, bands=4).collect():
+        assert r["hamming"] == bin(sigs[r["doc_a"]] ^ sigs[r["doc_b"]]).count("1")
+
+
+def test_cosine_neardup_pairs(spark):
+    from kml2geojson_spark.simsearch import cosine_neardup_pairs
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0]),   # near-dup of 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.98, 0.21]),    # near-dup of 2
+        (4, [0.577, 0.577, 0.577]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r["vec_a"], r["vec_b"])
+           for r in cosine_neardup_pairs(emb, 0.97).collect()}
+    assert got == {(0, 1), (2, 3)}
+
+
+def test_ivf_topk_recall(spark):
+    """IVF ANN recall vs the exact baseline on a clustered corpus."""
+    from kml2geojson_spark.simsearch import cosine_topk_exact, ivf_topk
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((6, 16)) * 4
+    vecs = []
+    for i in range(180):
+        c = centers[i % 6]
+        vecs.append((i, (c + rng.standard_normal(16) * 0.3).tolist()))
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    qs = (emb.where(F.col("vec_id") < 6)
+          .select(F.col("vec_id").alias("query_id"), "embedding"))
+    exact = cosine_topk_exact(emb, qs, 8).toPandas()
+    approx = ivf_topk(emb, qs, 8, n_centroids=6, nprobe=2).toPandas()
+    e = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.itertuples()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, f"IVF recall too low: {recall}"
