@@ -576,6 +576,107 @@ SELECT purchase_id, user_id, click_id, gap_us FROM j WHERE rn = 1
 """
 
 
+def _q18_rollup(spark, sf):
+    """OLAP rollup with grouping indicators (hierarchical subtotals in
+    one pass — Catalyst expands to a single Expand + hash aggregate)."""
+    li = _t(spark, sf, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.grouping("l_returnflag").cast("long").alias("g_flag"),
+                 F.grouping("l_linestatus").cast("long").alias("g_status"),
+                 F.count(F.lit(1)).alias("n_rows"),
+                 F.round(F.sum(F.col("l_quantity") * 100.0)).cast("long")
+                 .alias("qty_c"))
+            .select("l_returnflag", "l_linestatus", "g_flag", "g_status",
+                    "n_rows", "qty_c"))
+
+
+_O18 = """
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status,
+       COUNT(*) AS n_rows,
+       CAST(ROUND(SUM(l_quantity * 100.0)) AS BIGINT) AS qty_c
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+def _q19_group_median(spark, sf):
+    """Exact per-group median without float interpolation: emit the two
+    middle order statistics (equal for odd counts) as integers, via one
+    window rank — identical arithmetic in both engines."""
+    o = _t(spark, sf, "orders")
+    base = o.select("o_orderpriority",
+                    F.round(F.col("o_totalprice") * 100.0).cast("long")
+                    .alias("price_cents"), "o_orderkey")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("price_cents").asc(), F.col("o_orderkey").asc())
+    ranked = (base.withColumn("rn", F.row_number().over(w))
+              .withColumn("cnt", F.count(F.lit(1)).over(
+                  Window.partitionBy("o_orderpriority"))))
+    mid = ranked.where((F.col("rn") == F.floor((F.col("cnt") + 1) / 2))
+                       | (F.col("rn") == F.floor((F.col("cnt") + 2) / 2)))
+    return (mid.groupBy("o_orderpriority")
+            .agg(F.min("price_cents").alias("median_lo_c"),
+                 F.max("price_cents").alias("median_hi_c")))
+
+
+_O19 = """
+WITH ranked AS (
+  SELECT o_orderpriority,
+         CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS price_cents,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY CAST(ROUND(o_totalprice * 100.0) AS BIGINT) ASC,
+                                     o_orderkey ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS cnt
+  FROM orders
+)
+SELECT o_orderpriority, MIN(price_cents) AS median_lo_c,
+       MAX(price_cents) AS median_hi_c
+FROM ranked
+WHERE rn = CAST(FLOOR((cnt + 1) / 2.0) AS BIGINT)
+   OR rn = CAST(FLOOR((cnt + 2) / 2.0) AS BIGINT)
+GROUP BY o_orderpriority
+"""
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _q27_events_pivot(spark, sf):
+    """Pivot event_type into per-user count columns (one hash agg; the
+    pivot list is explicit so no extra distinct-values pass)."""
+    e = _t(spark, sf, "events")
+    out = (e.groupBy("user_id").pivot("event_type", _EVENT_TYPES)
+           .agg(F.count(F.lit(1))))
+    return out.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
+                     for t in _EVENT_TYPES])
+
+
+_O27 = "SELECT user_id, " + ", ".join(
+    f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)::BIGINT AS n_{t}"
+    for t in _EVENT_TYPES) + " FROM events GROUP BY user_id"
+
+
+def _q28_tumbling_window(spark, sf):
+    """Tumbling 1-hour time-window aggregation (batch shape of the
+    streaming windowed agg; date_trunc keeps wall-clock semantics)."""
+    e = _t(spark, sf, "events")
+    return (e.groupBy(
+        F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("window_start"),
+        "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum(F.col("value") * 100.0)).cast("long")
+             .alias("value_c")))
+
+
+_O28 = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(value * 100.0)) AS BIGINT) AS value_c
+FROM events GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
 # -- text / dedup ----------------------------------------------------------
 
 def _q20_exact_dedup(spark, sf):
@@ -694,10 +795,9 @@ def _q26_simhash_pairs(spark, sf):
                               max_hamming=3, bands=4)
 
 
-def _o26() -> str:
-    """Brute-force SimHash near-dup oracle: same md5-derived 60-bit
-    token hashes, per-bit ±1 sums, O(n²) hamming filter. The banded
-    Spark join must equal this exactly (pigeonhole completeness)."""
+def _simhash_pairs_cte() -> str:
+    """Shared CTE chain: md5-derived 60-bit token hashes, per-bit ±1
+    sums, O(n²) hamming-<=3 pair filter. Final CTE is ``pairs``."""
     bits = 60
     sums = ", ".join(
         f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
@@ -705,19 +805,51 @@ def _o26() -> str:
     asm = " | ".join(
         f"(CASE WHEN s{b} > 0 THEN 1::BIGINT ELSE 0::BIGINT END << {b})"
         for b in range(bits))
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
   SELECT DISTINCT doc_id, tok FROM (
     SELECT doc_id,
            unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
     FROM documents) WHERE tok != ''),
 h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
 sums AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id),
-sig AS (SELECT doc_id, {asm} AS sig FROM sums)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       bit_count(xor(a.sig, b.sig)) AS hamming
-FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.sig, b.sig)) <= 3
+sig AS (SELECT doc_id, {asm} AS sig FROM sums),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(a.sig, b.sig)) AS hamming
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.sig, b.sig)) <= 3)"""
+
+
+def _o26() -> str:
+    """Brute-force SimHash near-dup oracle; the banded Spark join must
+    equal this exactly (pigeonhole completeness)."""
+    return (f"WITH {_simhash_pairs_cte()} "
+            "SELECT doc_a, doc_b, hamming FROM pairs")
+
+
+def _q45_dedup_components(spark, sf):
+    """Dedup-cluster labeling: connected components over the SimHash
+    near-dup graph (iterative min-label propagation; the oracle is a
+    recursive-CTE transitive closure)."""
+    from kml2geojson_spark.graph import connected_components
+    from kml2geojson_spark.textops import simhash_near_pairs
+    pairs = simhash_near_pairs(_t(spark, sf, "documents"),
+                               max_hamming=3, bands=4)
+    return (connected_components(pairs)
+            .select(F.col("node").alias("doc_id"), "component"))
+
+
+def _o45() -> str:
+    return f"""
+WITH RECURSIVE {_simhash_pairs_cte()},
+edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach(node, r) AS (
+  SELECT DISTINCT s, s FROM edges
+  UNION
+  SELECT reach.node, edges.d FROM reach JOIN edges ON reach.r = edges.s
+)
+SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node
 """
 
 
@@ -846,6 +978,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_salted_join_agg": _q15,
         "q16_cell_rollup": _q16_cell_rollup,
         "q17_asof_join": _q17_asof_join,
+        "q18_rollup": _q18_rollup,
+        "q19_group_median": _q19_group_median,
         "q20_exact_dedup": _q20_exact_dedup,
         "q21_token_stats": _q21_token_stats,
         "q22_quality": _q22_quality,
@@ -853,6 +987,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q24_fingerprint": _q24_fingerprint,
         "q25_ngram_jaccard": _q25_ngram_jaccard,
         "q26_simhash_pairs": _q26_simhash_pairs,
+        "q27_events_pivot": _q27_events_pivot,
+        "q28_tumbling_window": _q28_tumbling_window,
         "q30_cosine_topk": _q30_cosine_topk,
         "q31_embed_neardup": _q31_embed_neardup,
         "q40_minhash_pairs": _q40_minhash_pairs,
@@ -860,6 +996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_convert_kml": _q42_convert_kml,
         "q43_media_features": _q43_media_features,
         "q44_ivf_topk": _q44_ivf_topk,
+        "q45_dedup_components": _q45_dedup_components,
     }
 
 
@@ -882,6 +1019,8 @@ def oracle_sql() -> dict[str, str]:
         "q15_salted_join_agg": _O15,
         "q16_cell_rollup": _o16(),
         "q17_asof_join": _O17,
+        "q18_rollup": _O18,
+        "q19_group_median": _O19,
         "q20_exact_dedup": _O20,
         "q21_token_stats": _O21,
         "q22_quality": _O22,
@@ -889,8 +1028,11 @@ def oracle_sql() -> dict[str, str]:
         "q24_fingerprint": _O24,
         "q25_ngram_jaccard": _O25,
         "q26_simhash_pairs": _o26(),
+        "q27_events_pivot": _O27,
+        "q28_tumbling_window": _O28,
         "q30_cosine_topk": _O30,
         "q31_embed_neardup": _O31,
+        "q45_dedup_components": _o45(),
         # q40/q41/q43/q44: rows-only (LSH/IVF candidate sets are
         # approximate by design — pytest measures recall vs the exact
         # baseline; media decode is stubbed). q42: the KML engine has no

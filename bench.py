@@ -34,9 +34,11 @@ BENCH_QUERIES = [
     "q15_salted_join_agg",   # explicit skew-salted join
     "q16_cell_rollup",       # res-12 encode + parent rollup (600k rows)
     "q17_asof_join",         # cogrouped as-of join (events)
+    "q18_rollup",            # OLAP rollup + grouping ids
     "q20_exact_dedup",       # hash dedup
     "q25_ngram_jaccard",     # n-gram explode + self-join
     "q26_simhash_pairs",     # SQL simhash + complete banded self-join
+    "q28_tumbling_window",   # 1h tumbling time-window agg
     "q30_cosine_topk",       # brute-force cosine top-k
     "q40_minhash_pairs",     # minhash + LSH banding
     "q44_ivf_topk",          # IVF-bucketed ANN probe + re-rank
