@@ -1,0 +1,80 @@
+"""Input sources.
+
+The reference reads one local KML file or file object per call
+(/root/reference/kml2geojson/main.py:577-583: utf-8 decode with
+``errors="ignore"``). The engine's native input is the interleaved
+spans table (``documents_kml``); this module bridges the two so a
+reference user can point the engine at their existing files:
+
+- :func:`read_kml_files` — a directory/glob of raw ``.kml`` files →
+  ``documents_kml(doc_id, spans)`` via Spark's distributed
+  ``binaryFile`` source (file-granular tasks; scales to millions of
+  files and prunes on ``pathGlobFilter`` at the scan).
+- :func:`convert_kml_dir` — end-to-end ``k2g``-CLI equivalence over a
+  whole directory: read → convert → one output subdirectory per input
+  document with ``style.json`` + per-layer ``.geojson`` files.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Iterator, Optional
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .datagen import pack_spans, spans_schema
+
+
+def read_kml_files(spark: SparkSession, path: str, *,
+                   pattern: str = "*.kml") -> DataFrame:
+    """Distributed scan of raw KML files → spans table.
+
+    ``binaryFile`` lists and reads files on executors (one task per
+    file group); bytes are decoded utf-8 ``errors="ignore"`` exactly
+    like the reference's reader (main.py:577-583), then packed into the
+    interleaved span layout (text chunks + ``kind='media'`` spans for
+    icon hrefs). ``doc_id`` is the file stem.
+    """
+    files = (spark.read.format("binaryFile")
+             .option("pathGlobFilter", pattern)
+             .load(path)
+             .select("path", "content"))
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids, spans = [], []
+            for p, blob in zip(pdf["path"], pdf["content"]):
+                doc_ids.append(Path(p).stem)
+                spans.append(pack_spans(bytes(blob).decode("utf-8",
+                                                           "ignore")))
+            yield pd.DataFrame({"doc_id": doc_ids, "spans": spans})
+
+    return files.mapInPandas(pack, spans_schema())
+
+
+def convert_kml_dir(spark: SparkSession, input_path: str, output_dir: str, *,
+                    pattern: str = "*.kml",
+                    feature_collection_name: Optional[str] = None,
+                    style_type: Optional[str] = None,
+                    separate_folders: bool = False) -> list[Path]:
+    """Reference-CLI (``k2g``) semantics over a directory: each input
+    file gets ``<output_dir>/<doc_id>/`` with ``style.json`` (when
+    ``style_type`` is set) and one ``.geojson`` per layer. The convert
+    itself is distributed; only the small per-file JSON write happens
+    on the driver (matching the single-file reference CLI,
+    cli.py:48-66). Returns all written paths.
+    """
+    from .engine import convert_documents
+    from .sinks import write_geojson_dir
+
+    docs = read_kml_files(spark, input_path, pattern=pattern)
+    converted = convert_documents(
+        docs, feature_collection_name=feature_collection_name,
+        style_type=style_type, separate_folders=separate_folders)
+    written: list[Path] = []
+    for row in converted.collect():
+        written.extend(write_geojson_dir(
+            row, Path(output_dir) / row["doc_id"]))
+    return written

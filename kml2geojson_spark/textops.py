@@ -304,13 +304,15 @@ def simhash_near_pairs(documents: DataFrame, *, max_hamming: int = 3,
                       F.col("sig").alias("sig_a"), "band", "bucket")
     b_ = banded.select(F.col("doc_id").alias("doc_b"),
                        F.col("sig").alias("sig_b"), "band", "bucket")
-    pairs = (a.join(b_, ["band", "bucket"])
-             .where(F.col("doc_a") < F.col("doc_b"))
-             .select("doc_a", "doc_b", "sig_a", "sig_b").distinct())
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (pairs.withColumn("hamming", ham)
+    # hamming filter BEFORE the dedup: it is a cheap codegen'd row
+    # filter on the join output, so the distinct() shuffle only carries
+    # surviving pairs instead of every band collision
+    return (a.join(b_, ["band", "bucket"])
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .withColumn("hamming", ham)
             .where(F.col("hamming") <= max_hamming)
-            .select("doc_a", "doc_b", "hamming"))
+            .select("doc_a", "doc_b", "hamming").distinct())
 
 
 def ngram_jaccard_pairs(documents: DataFrame, *, n: int = 3,
