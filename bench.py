@@ -85,12 +85,11 @@ def run_kml_pipeline(spark, n_docs: int, res: int = 8) -> dict:
     """Headline: spans parquet (Iceberg-style table) → Arrow
     state-machine parse → Morton encode → tile assignment.
     Returns timings + invariant counts (cross-run equality evidence)."""
-    from kml2geojson_spark.engine import extract_points_from_parquet
-    from kml2geojson_spark.spatial.ops import _tile_agg
+    from kml2geojson_spark.engine import tile_counts_from_parquet
 
     corpus = ensure_corpus(spark, n_docs)
     t0 = time.time()
-    tiles = _tile_agg(extract_points_from_parquet(spark, corpus), res)
+    tiles = tile_counts_from_parquet(spark, corpus, res)
     agg = tiles.agg(
         {"n_features": "sum", "cell_id": "count"}).collect()[0]
     wall = time.time() - t0

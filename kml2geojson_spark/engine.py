@@ -270,6 +270,71 @@ def _points_batch_from_docs(doc_iter) -> pa.RecordBatch:
         names=["doc_id", "layer_idx", "feature_idx", "geom_idx", "x", "y"])
 
 
+TILE_COUNTS_SCHEMA = "cell_id long, n int"
+
+
+def _tile_counts_batch(doc_iter, res: int) -> pa.RecordBatch:
+    """Fused kernel: parse + numpy Morton encode + per-(cell, doc)
+    partial aggregation, all inside one Arrow batch. Emits (cell_id, n)
+    where each row is one (cell, document) pair — unique globally
+    because a document lives in exactly one batch — so the JVM-side
+    ``groupBy(cell).agg(sum(n), count(*))`` yields exact feature and
+    distinct-doc counts from a single small shuffle."""
+    import numpy as np
+
+    from .convert_core import iter_point_coords
+    from .spatial.cells import cell_encode_np
+
+    docords, xs, ys = [], [], []
+    for docord, (_doc_id, kml_str) in enumerate(doc_iter):
+        root = parse_kml(kml_str)
+        for _fid, _gid, pos in iter_point_coords(root):
+            docords.append(docord)
+            xs.append(pos[0])
+            ys.append(pos[1])
+    if not xs:
+        return pa.RecordBatch.from_arrays(
+            [pa.array([], pa.int64()), pa.array([], pa.int32())],
+            names=["cell_id", "n"])
+    cell = cell_encode_np(np.asarray(xs), np.asarray(ys), res)
+    docord = np.asarray(docords, dtype=np.int64)
+    order = np.lexsort((cell, docord))
+    c, d = cell[order], docord[order]
+    boundary = np.empty(len(c), dtype=bool)
+    boundary[0] = True
+    boundary[1:] = (c[1:] != c[:-1]) | (d[1:] != d[:-1])
+    starts = np.flatnonzero(boundary)
+    counts = np.diff(np.append(starts, len(c))).astype(np.int32)
+    return pa.RecordBatch.from_arrays(
+        [pa.array(c[starts]), pa.array(counts)], names=["cell_id", "n"])
+
+
+def tile_counts_from_parquet(spark, path: str, res: int) -> DataFrame:
+    """Headline hot path: spans parquet → tile stats with the partial
+    aggregate pushed INTO the Arrow kernel. Only pre-combined
+    (cell_id, n) pairs cross the JVM boundary (~points-per-cell-per-doc
+    fewer rows than raw points, and no strings), so the exchange and
+    the final aggregate are trivial. Result identical to
+    ``_tile_agg(extract_points_from_parquet(spark, path), res)`` —
+    asserted in tests."""
+    from pyspark.sql import functions as F
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.parquet as pq
+
+        for b in batches:
+            for fpath in b.column(0).to_pylist():
+                table = pq.read_table(fpath, columns=["doc_id", "spans"],
+                                      use_threads=False)
+                for rb in table.to_batches(max_chunksize=2048):
+                    yield _tile_counts_batch(iter_docs_from_arrow(rb), res)
+
+    pairs = parquet_files_df(spark, path).mapInArrow(run, TILE_COUNTS_SCHEMA)
+    return pairs.groupBy("cell_id").agg(
+        F.sum("n").alias("n_features"),
+        F.count(F.lit(1)).alias("n_docs"))
+
+
 def parquet_files_df(spark, path: str) -> DataFrame:
     """One row per parquet data file of an (Iceberg-style) table
     directory — the split list a table-format scan hands out. Used by

@@ -49,6 +49,15 @@ _TOKEN = re.compile(
 
 _ATTR = re.compile(r"([^\s=/]+)\s*=\s*(?:\"([^\"]*)\"|'([^']*)')")
 
+_GI = _TOKEN.groupindex
+_GI_CDATA = _GI["cdata"]
+_GI_COMMENT = _GI["comment"]
+_GI_CLOSE = _GI["close"]
+_GI_OPEN = _GI["open"]
+_GI_ATTRS = _GI["attrs"]
+_GI_SELFCLOSE = _GI["selfclose"]
+_GI_TEXT = _GI["text"]
+
 _ENTITY = re.compile(r"&(#x?[0-9A-Fa-f]+|[A-Za-z][A-Za-z0-9]*);")
 
 _NAMED_ENTITIES = {"amp": "&", "lt": "<", "gt": ">", "quot": '"', "apos": "'"}
@@ -85,12 +94,13 @@ def _decode_entities(s: str) -> str:
 class Element:
     """One XML element: literal tag name, attribute dict, ordered children."""
 
-    __slots__ = ("tag", "attributes", "children")
+    __slots__ = ("tag", "attributes", "children", "_tag_index")
 
     def __init__(self, tag: str, attributes: Optional[dict] = None):
         self.tag = tag
         self.attributes = attributes if attributes is not None else {}
         self.children: list = []
+        self._tag_index: Optional[dict] = None
 
     # -- navigation ------------------------------------------------------
 
@@ -104,16 +114,33 @@ class Element:
                 if type(c) is Element:
                     stack.append(c)
 
+    def _index(self) -> dict:
+        """Lazy descendant-tag index (document order). The tree is
+        immutable after parsing, so one traversal amortizes the ~10
+        ``find`` calls the feature builder makes per placemark — the
+        repeated-subtree-rescan cost the reference pays on every
+        ``getElementsByTagName`` (main.py:31) is paid once here."""
+        idx = self._tag_index
+        if idx is None:
+            idx = {}
+            for el in self.iter_elements():
+                lst = idx.get(el.tag)
+                if lst is None:
+                    idx[el.tag] = [el]
+                else:
+                    lst.append(el)
+            self._tag_index = idx
+        return idx
+
     def find_all(self, tag: str) -> list["Element"]:
         """All descendant elements with the given literal tag, document order."""
-        return [el for el in self.iter_elements() if el.tag == tag]
+        lst = self._index().get(tag)
+        return list(lst) if lst else []
 
     def find(self, tag: str) -> Optional["Element"]:
         """First descendant element with the given literal tag, else None."""
-        for el in self.iter_elements():
-            if el.tag == tag:
-                return el
-        return None
+        lst = self._index().get(tag)
+        return lst[0] if lst else None
 
     # -- value access ----------------------------------------------------
 
@@ -159,35 +186,43 @@ def parse_kml(source: str) -> Element:
     """
     root = Element("#document")
     stack = [root]
+    # Dispatch on m.lastindex (one attribute read) instead of probing
+    # named groups: each alternation branch ends in a distinct group —
+    # the open branch always participates through `selfclose` (an
+    # always-matching `/?`), so its lastindex is _GI_SELFCLOSE.
+    # (m.lastgroup would be masked the same way, but to the RIGHT value.)
     for m in _TOKEN.finditer(source):
-        # NOTE: cannot use m.lastgroup — the optional trailing groups of
-        # the open-tag branch (attrs/selfclose) match "" and would mask
-        # the branch name. Dispatch on which named group is non-None.
-        text_g = m.group("text")
-        if text_g is not None:
-            stack[-1].children.append(("t", _decode_entities(text_g)))
-        elif m.group("open") is not None:
-            attrs_src = m.group("attrs")
+        li = m.lastindex
+        if li == _GI_TEXT:
+            s = m.group(_GI_TEXT)
+            stack[-1].children.append(
+                ("t", _decode_entities(s) if "&" in s else s))
+        elif li == _GI_SELFCLOSE:
+            open_tag, attrs_src, selfclose = m.group(
+                _GI_OPEN, _GI_ATTRS, _GI_SELFCLOSE)
             attrs = {}
             if attrs_src:
                 for am in _ATTR.finditer(attrs_src):
                     attrs[am.group(1)] = _decode_entities(
                         am.group(2) if am.group(2) is not None else am.group(3)
                     )
-            el = Element(m.group("open"), attrs)
+            el = Element(open_tag, attrs)
             stack[-1].children.append(el)
-            if not m.group("selfclose"):
+            if not selfclose:
                 stack.append(el)
-        elif m.group("close") is not None:
-            tag = m.group("close")
-            # pop to matching open; ignore stray close tags
-            for i in range(len(stack) - 1, 0, -1):
-                if stack[i].tag == tag:
-                    del stack[i:]
-                    break
-        elif m.group("cdata") is not None:
-            stack[-1].children.append(("c", m.group("cdata")))
-        elif m.group("comment") is not None:
+        elif li == _GI_CLOSE:
+            tag = m.group(_GI_CLOSE)
+            if len(stack) > 1 and stack[-1].tag == tag:
+                stack.pop()  # well-formed fast path
+            else:
+                # pop to matching open; ignore stray close tags
+                for i in range(len(stack) - 1, 0, -1):
+                    if stack[i].tag == tag:
+                        del stack[i:]
+                        break
+        elif li == _GI_CDATA:
+            stack[-1].children.append(("c", m.group(_GI_CDATA)))
+        elif li == _GI_COMMENT:
             stack[-1].children.append(_COMMENT_NODE)
         # decl / pi: skipped entirely
     return root

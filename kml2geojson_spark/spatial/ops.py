@@ -458,10 +458,16 @@ def tile_assignments(features: DataFrame, res: int) -> DataFrame:
 
 
 def _tile_agg(pts: DataFrame, res: int) -> DataFrame:
+    # two-step instead of count+countDistinct in one agg: the combined
+    # form plans an Expand that doubles every row into the shuffle; the
+    # (cell_id, doc_id) pre-aggregate map-side combines the bulk of the
+    # points before any exchange, and the second agg runs on tiny data
     pts = encode_points(pts, res)
-    return pts.groupBy("cell_id").agg(
-        F.count(F.lit(1)).alias("n_features"),
-        F.countDistinct("doc_id").alias("n_docs"),
+    per_doc = (pts.groupBy("cell_id", "doc_id")
+               .agg(F.count(F.lit(1)).alias("n")))
+    return per_doc.groupBy("cell_id").agg(
+        F.sum("n").alias("n_features"),
+        F.count(F.lit(1)).alias("n_docs"),
     )
 
 

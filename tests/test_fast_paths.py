@@ -49,3 +49,23 @@ def test_parquet_file_scan_equals_row_scan(spark, tmp_path):
 def test_file_scan_missing_dir_raises(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         extract_points_from_parquet(spark, str(tmp_path / "nope"))
+
+
+def test_tile_counts_fused_kernel_parity(spark, tmp_path):
+    """The fused parse+encode+partial-agg kernel must produce exactly
+    the same tile table as the unfused extract→encode→agg path."""
+    import kml2geojson_spark as k2gs
+    from kml2geojson_spark.engine import (extract_points_from_parquet,
+                                          tile_counts_from_parquet)
+    from kml2geojson_spark.spatial.ops import _tile_agg
+
+    path = str(tmp_path / "corpus")
+    k2gs.synthesize_documents_kml(spark, 60, seed=13,
+                                  max_placemarks=12).write.parquet(path)
+    fused = {(r["cell_id"], r["n_features"], r["n_docs"])
+             for r in tile_counts_from_parquet(spark, path, 7).collect()}
+    unfused = {(r["cell_id"], r["n_features"], r["n_docs"])
+               for r in _tile_agg(
+                   extract_points_from_parquet(spark, path), 7).collect()}
+    assert fused == unfused
+    assert len(fused) > 0

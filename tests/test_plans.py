@@ -97,3 +97,47 @@ def test_exact_dedup_has_partial_aggregation(spark):
     # partial (map-side) + final hash aggregate around one exchange
     assert plan.count("HashAggregate") >= 2
     assert "Exchange" in plan
+
+
+def test_simhash_signatures_no_python(spark):
+    """The SQL SimHash signature path is pure Column expressions: no
+    Python eval node anywhere; aggregation is partial+final."""
+    from kml2geojson_spark.textops import simhash_sql_signatures
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "c d e")], "doc_id long, text string")
+    plan = _plan(simhash_sql_signatures(docs))
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "PythonMapInArrow"):
+        assert marker not in plan, f"{marker} found in simhash plan"
+    assert "partial_sum" in plan or "HashAggregate" in plan, plan[:400]
+
+
+def test_asof_join_single_cogroup(spark):
+    """As-of join compiles to ONE FlatMapCoGroupsInPandas over two
+    bucket exchanges — no cartesian/BNL node, no window."""
+    import pandas as pd
+    from kml2geojson_spark.asof import asof_join
+    l = spark.createDataFrame(
+        pd.DataFrame({"lid": [1], "k": [1],
+                      "ts": pd.to_datetime(["2024-01-01"])}))
+    r = spark.createDataFrame(
+        pd.DataFrame({"k": [1], "ts": pd.to_datetime(["2024-01-01"]),
+                      "rid": [2]}))
+    plan = _plan(asof_join(l, r, key="k", left_ts="ts", right_ts="ts"))
+    assert plan.count("FlatMapCoGroupsInPandas") == 1, plan
+    for marker in ("BroadcastNestedLoopJoin", "CartesianProduct", "Window"):
+        assert marker not in plan, f"{marker} found in asof plan"
+
+
+def test_ivf_probe_join_broadcasts_codebook(spark):
+    """IVF assignment/probe joins broadcast the (tiny) centroid table;
+    the candidate join on the list id is an equi-join."""
+    from kml2geojson_spark.simsearch import ivf_topk
+    emb = spark.createDataFrame(
+        [(i, [float(i), float(i % 3)]) for i in range(30)],
+        "vec_id long, embedding array<float>")
+    qs = (emb.where(F.col("vec_id") < 2)
+          .selectExpr("vec_id AS query_id", "embedding"))
+    plan = _plan(ivf_topk(emb, qs, 3, n_centroids=3, nprobe=2, iters=1))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

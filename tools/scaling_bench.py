@@ -78,8 +78,10 @@ def main() -> None:
 
 Headline pipeline: spans parquet (interleaved-span document table,
 {n_docs} docs, seed 42, ~25 placemarks/doc) → file-granular pyarrow
-scan → Arrow state-machine KML parse → Morton encode (res 8) → tile
-assignment (groupBy cell, exact feature + distinct-doc counts).
+scan → fused Arrow kernel (state-machine KML parse + numpy Morton
+encode at res 8 + per-(cell, doc) partial aggregation — only
+pre-combined (cell_id, n) pairs cross the JVM boundary) → one small
+shuffle → exact feature + distinct-doc counts per tile.
 
 Sandbox stand-in for N→4N executors (north rule; task brief): the same
 job on the same input at `local[{lo}]` vs `local[{hi}]`, fresh JVM per
@@ -100,8 +102,10 @@ parallelism levels (exact-count criterion).
 
 Reference comparison: the reference library is single-threaded
 (minidom DOM walk, /root/reference/kml2geojson/main.py:586); its
-equivalent single-core conversion rate on this corpus is ~460
-docs/s (measured; this engine core: ~770 docs/s single-core). The engine's {hi}-core rate above is ~{r_hi["docs_per_sec"]:.0f}
+equivalent single-core conversion rate on this corpus is ~510
+docs/s (measured: minidom parse + build_feature_collection); this
+engine's full-convert core does ~1170 docs/s single-core (lazy
+descendant-tag index + lastindex tokenizer dispatch). The engine's {hi}-core rate above is ~{r_hi["docs_per_sec"]:.0f}
 docs/s with exact golden-parity semantics.
 
 Reproduce: `python tools/scaling_bench.py {n_docs} {lo} {hi}`.
