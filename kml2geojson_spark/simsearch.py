@@ -144,16 +144,21 @@ def ivf_centroids(embeddings: DataFrame, n_centroids: int, *,
 
 def ivf_assign(vectors: DataFrame, centroids: DataFrame, *,
                id_col: str = "vec_id", vec_col: str = "_v") -> DataFrame:
-    """Nearest-centroid assignment: broadcast the codebook, argmin L2
-    with a deterministic tie-break on cid."""
+    """Nearest-centroid assignment: broadcast the codebook, argmin L2.
+
+    The argmin is ``min(struct(d2, cid, vec))`` — a plain hash
+    aggregate with map-side combine (struct ordering gives the
+    deterministic d2-then-cid tie-break), instead of a window
+    ``row_number``, which would sort every (vector × centroid) row
+    inside each partition. At 100 TB the aggregate shuffles one row per
+    vector; the window shuffles n_centroids rows per vector and sorts."""
     joined = vectors.crossJoin(F.broadcast(centroids))
-    d2 = _sq_dist(vec_col, "cvec")
-    w = Window.partitionBy(id_col).orderBy(F.col("_d2").asc(),
-                                           F.col("cid").asc())
-    return (joined.withColumn("_d2", d2)
-            .withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .drop("_d2", "_rn", "cvec"))
+    best = F.min(F.struct(F.col("_d2"), F.col("cid"),
+                          F.col(vec_col))).alias("_best")
+    return (joined.withColumn("_d2", _sq_dist(vec_col, "cvec"))
+            .groupBy(id_col).agg(best)
+            .select(id_col, F.col("_best.cid").alias("cid"),
+                    F.col(f"_best.{vec_col}").alias(vec_col)))
 
 
 def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int, *,

@@ -103,3 +103,108 @@ def stream_to_lineage(docs: DataFrame, res: int, out_root: str,
     return (docs.writeStream
             .foreachBatch(handle)
             .option("checkpointLocation", checkpoint_dir))
+
+
+def stream_events(spark: SparkSession, path: str,
+                  max_files_per_trigger: Optional[int] = None) -> DataFrame:
+    """readStream over a growing events-table directory
+    (event_id, ts, user_id, event_type, value, props)."""
+    reader = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def stream_windowed_counts(events: DataFrame, *, window: str = "1 hour",
+                           watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window aggregation — the late-data story:
+    events later than ``watermark`` behind the max seen event time are
+    dropped and their windows finalized, so append-mode sinks emit each
+    window exactly once and state is bounded (the batch counterpart is
+    q28_tumbling_window)."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum(F.col("value") * 100.0)).cast("long")
+                 .alias("value_c"))
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n_events", "value_c"))
+
+
+def stream_sessionize(events: DataFrame, *, gap_minutes: int = 30,
+                      state_timeout_minutes: int = 120) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    sessionization with an inactivity gap. State per user = (current
+    session start, last event ts, events in session, sessions closed).
+    A session closes when a new event arrives more than ``gap_minutes``
+    after the previous one, or when the state times out (event-time
+    timeout bounded by the watermark). Emits one row per CLOSED session
+    — the streaming counterpart of the batch q08_sessionize window.
+
+    State is partitioned by user_id (Spark shuffles each micro-batch to
+    its state partition); per-key state is O(1), so 10^9 users is a
+    memory-bounded state store, not a growing join.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60_000_000
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            if state.exists:
+                start_us, last_us, n_events = state.get
+                state.remove()
+                yield pd.DataFrame({
+                    "user_id": [user_id],
+                    "session_start_us": [start_us],
+                    "session_end_us": [last_us],
+                    "n_events": [n_events],
+                })
+            return
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values("ts", kind="mergesort")
+        # normalize to epoch MICROseconds regardless of the pandas
+        # datetime unit (ns vs us differs by Arrow conversion path)
+        ts_us = rows["ts"].astype("datetime64[us]").astype("int64")
+        if state.exists:
+            start_us, last_us, n_events = state.get
+        else:
+            start_us = last_us = None
+            n_events = 0
+        out = {"user_id": [], "session_start_us": [],
+               "session_end_us": [], "n_events": []}
+        for t in ts_us:
+            t = int(t)
+            if last_us is None:
+                start_us, last_us, n_events = t, t, 1
+            elif t - last_us > gap_us:
+                out["user_id"].append(user_id)
+                out["session_start_us"].append(start_us)
+                out["session_end_us"].append(last_us)
+                out["n_events"].append(n_events)
+                start_us, last_us, n_events = t, t, 1
+            else:
+                last_us = t
+                n_events += 1
+        state.update((int(start_us), int(last_us), int(n_events)))
+        state.setTimeoutTimestamp(
+            int(last_us) // 1000 + state_timeout_minutes * 60_000)
+        if out["user_id"]:
+            yield pd.DataFrame(out)
+
+    return (events
+            .withWatermark("ts", f"{state_timeout_minutes} minutes")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                fn,
+                outputStructType=("user_id long, session_start_us long, "
+                                  "session_end_us long, n_events long"),
+                stateStructType=("start_us long, last_us long, "
+                                 "n_events long"),
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout))

@@ -56,3 +56,79 @@ def test_stream_to_lineage_foreachbatch(spark, tmp_path):
     assert latest is not None and latest["status"] == "committed"
     assert latest["total_rows"] > 0
     assert all(p["cells"] is not None for p in latest["partitions"])
+
+
+def test_stream_windowed_counts_matches_batch(spark, tmp_path):
+    """Watermarked tumbling windows over a static directory processed
+    as a stream equal the batch group-by (no late data in the corpus)."""
+    from pyspark.sql import functions as F
+    from kml2geojson_spark.streaming import stream_events, stream_windowed_counts
+
+    src = str(tmp_path / "ev")
+    e = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+         .withColumn("ts", F.col("ts").cast("timestamp")))
+    e.write.parquet(src)
+
+    out = stream_windowed_counts(stream_events(spark, src))
+    q = (out.writeStream.format("memory").queryName("win_mem")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "wck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM win_mem").toPandas()
+
+    batch = (e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.round(F.sum(F.col("value") * 100.0)).cast("long")
+                  .alias("value_c"))
+             .select(F.col("w.start").alias("window_start"), "event_type",
+                     "n_events", "value_c")
+             .toPandas())
+    # append mode only emits windows sealed by the watermark; every
+    # emitted window must match the batch result exactly, and most
+    # windows must have been sealed
+    merged = got.merge(batch, on=["window_start", "event_type"],
+                       suffixes=("_s", "_b"))
+    assert len(merged) == len(got) > 0
+    assert (merged["n_events_s"] == merged["n_events_b"]).all()
+    assert (merged["value_c_s"] == merged["value_c_b"]).all()
+
+
+def test_stream_sessionize_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionization: closed sessions match the
+    batch window-lag sessionization for sessions sealed by event time."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from kml2geojson_spark.streaming import stream_events, stream_sessionize
+
+    src = str(tmp_path / "ev2")
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    eid = 0
+    for user in range(5):
+        t = base + pd.Timedelta(minutes=user)
+        for s in range(3):          # 3 sessions per user
+            for k in range(4):      # 4 events each, 5 min apart
+                rows.append((eid, t, user, "click", 1.0, "{}"))
+                eid += 1
+                t += pd.Timedelta(minutes=5)
+            t += pd.Timedelta(minutes=90)   # gap > 30 min closes session
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                      "event_type", "value", "props"])
+    spark.createDataFrame(pdf).write.parquet(src)
+
+    out = stream_sessionize(stream_events(spark, src), gap_minutes=30)
+    q = (out.writeStream.format("memory").queryName("sess_mem")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "sck2"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM sess_mem").toPandas()
+
+    # each user: sessions 1 and 2 close via the gap; session 3 stays in
+    # state (no timeout fires in availableNow) -> 2 closed per user
+    assert len(got) == 10
+    assert (got.groupby("user_id").size() == 2).all()
+    assert (got["n_events"] == 4).all()
+    dur = got["session_end_us"] - got["session_start_us"]
+    assert (dur == 15 * 60_000_000).all()
