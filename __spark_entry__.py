@@ -677,6 +677,76 @@ FROM events GROUP BY date_trunc('hour', ts), event_type
 """
 
 
+def _q46_polygon_stats(spark, sf):
+    """Vector analytics: shoelace area + perimeter per polygon ring,
+    integerized to micro-units so the cross-engine hash is exact."""
+    from kml2geojson_spark.spatial.ops import polygon_stats
+    out = polygon_stats(_nation_diamonds(spark, sf))
+    return out.select(
+        "poly_id",
+        F.round(F.col("area2") * 1e6).cast("long").alias("area2_micro"),
+        F.round(F.col("perimeter") * 1e6).cast("long").alias("perim_micro"))
+
+
+_O46 = f"""
+WITH polys AS ({_POLY_SQL}),
+verts AS (
+  SELECT poly_id,
+         cx + dx1 * r AS x1, cy + dy1 * r AS y1,
+         cx + dx2 * r AS x2, cy + dy2 * r AS y2
+  FROM polys CROSS JOIN (VALUES
+    (1.0, 0.0, 0.0, 1.0), (0.0, 1.0, -1.0, 0.0),
+    (-1.0, 0.0, 0.0, -1.0), (0.0, -1.0, 1.0, 0.0)
+  ) AS d(dx1, dy1, dx2, dy2)
+)
+SELECT poly_id,
+       CAST(ROUND(SUM(x1 * y2 - x2 * y1) * 1e6) AS BIGINT) AS area2_micro,
+       CAST(ROUND(SUM(sqrt((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1)))
+                  * 1e6) AS BIGINT) AS perim_micro
+FROM verts GROUP BY poly_id
+"""
+
+
+_RECTS_SQL = (
+    "SELECT p_partkey AS rect_id, "
+    "((p_partkey * 7349 + 123) % 30000) / 100.0 - 150.0"
+    " - (0.3 + (p_partkey % 5) * 0.35) AS west, "
+    "((p_partkey * 2711 + 77) % 13000) / 100.0 - 65.0"
+    " - (0.3 + (p_partkey % 5) * 0.35) AS south, "
+    "((p_partkey * 7349 + 123) % 30000) / 100.0 - 150.0"
+    " + (0.3 + (p_partkey % 5) * 0.35) AS east, "
+    "((p_partkey * 2711 + 77) % 13000) / 100.0 - 65.0"
+    " + (0.3 + (p_partkey % 5) * 0.35) AS north "
+    "FROM part"
+)
+
+
+def _part_rects(spark, sf):
+    p = _t(spark, sf, "part")
+    cx = ((F.col("p_partkey") * 7349 + 123) % 30000) / 100.0 - 150.0
+    cy = ((F.col("p_partkey") * 2711 + 77) % 13000) / 100.0 - 65.0
+    half = F.lit(0.3) + (F.col("p_partkey") % 5) * 0.35
+    return p.select(F.col("p_partkey").alias("rect_id"),
+                    (cx - half).alias("west"), (cy - half).alias("south"),
+                    (cx + half).alias("east"), (cy + half).alias("north"))
+
+
+def _q47_rect_overlap_join(spark, sf):
+    """Spatial self-join via cell-bucketed candidates + exact interval
+    test (complete: overlapping rects share a covering cell)."""
+    from kml2geojson_spark.spatial.ops import rect_overlap_join
+    return rect_overlap_join(_part_rects(spark, sf), res=6)
+
+
+_O47 = f"""
+WITH rects AS ({_RECTS_SQL})
+SELECT a.rect_id AS rect_a, b.rect_id AS rect_b
+FROM rects a JOIN rects b ON a.rect_id < b.rect_id
+WHERE a.west < b.east AND b.west < a.east
+  AND a.south < b.north AND b.south < a.north
+"""
+
+
 # -- text / dedup ----------------------------------------------------------
 
 def _q20_exact_dedup(spark, sf):
@@ -997,6 +1067,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_media_features": _q43_media_features,
         "q44_ivf_topk": _q44_ivf_topk,
         "q45_dedup_components": _q45_dedup_components,
+        "q46_polygon_stats": _q46_polygon_stats,
+        "q47_rect_overlap_join": _q47_rect_overlap_join,
     }
 
 
@@ -1033,6 +1105,8 @@ def oracle_sql() -> dict[str, str]:
         "q30_cosine_topk": _O30,
         "q31_embed_neardup": _O31,
         "q45_dedup_components": _o45(),
+        "q46_polygon_stats": _O46,
+        "q47_rect_overlap_join": _O47,
         # q40/q41/q43/q44: rows-only (LSH/IVF candidate sets are
         # approximate by design — pytest measures recall vs the exact
         # baseline; media decode is stubbed). q42: the KML engine has no

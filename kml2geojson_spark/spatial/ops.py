@@ -479,3 +479,62 @@ def tile_assignments_from_docs(documents_kml: DataFrame, res: int) -> DataFrame:
     from ..engine import extract_points
 
     return _tile_agg(extract_points(documents_kml), res)
+
+
+def polygon_stats(polys: DataFrame, *, rings_col: str = "rings",
+                  id_col: str = "poly_id") -> DataFrame:
+    """Vector analytics over polygon rings: shoelace area and perimeter
+    of the outer ring, as pure Column expressions (in-order ``aggregate``
+    fold over the vertex array — same double arithmetic an SQL oracle
+    runs edge-by-edge). Rings are closed (first == last vertex).
+
+    Output: (poly_id, area2 = 2x signed shoelace area, perimeter).
+    """
+    ring = F.col(rings_col)[0]
+    idx = F.sequence(F.lit(1), F.size(ring) - 1)  # element_at is 1-based
+
+    def vx(i):
+        return F.element_at(ring, i)
+
+    cross = F.aggregate(
+        F.transform(idx, lambda i: vx(i)[0] * vx(i + 1)[1]
+                    - vx(i + 1)[0] * vx(i)[1]),
+        F.lit(0.0), lambda acc, v: acc + v)
+    length = F.aggregate(
+        F.transform(idx, lambda i: F.sqrt(
+            (vx(i + 1)[0] - vx(i)[0]) * (vx(i + 1)[0] - vx(i)[0])
+            + (vx(i + 1)[1] - vx(i)[1]) * (vx(i + 1)[1] - vx(i)[1]))),
+        F.lit(0.0), lambda acc, v: acc + v)
+    return polys.select(F.col(id_col), cross.alias("area2"),
+                        length.alias("perimeter"))
+
+
+def rect_overlap_join(rects: DataFrame, res: int, *,
+                      id_col: str = "rect_id") -> DataFrame:
+    """Spatial self-join: pairs of axis-aligned rectangles with
+    overlapping interiors, found via the cell-bucket candidate join —
+    PROVABLY complete (an overlap region intersects some grid cell,
+    which both cover lists contain), then an exact interval test.
+
+    One shuffle on the cover cell; the exact test is a codegen'd row
+    filter before the pair dedup, so the distinct only carries true
+    overlaps. At 100 TB pick ``res`` so cells are near the median rect
+    size (cover lists stay short and buckets stay selective); hot cells
+    (dense areas) can be salted with :mod:`.salted`.
+
+    Output: (rect_a, rect_b) with rect_a < rect_b.
+    """
+    cov = cover_cells_rect(rects, res, with_fraction=False)
+    a = cov.select(F.col(id_col).alias("rect_a"),
+                   F.col("west").alias("_wa"), F.col("south").alias("_sa"),
+                   F.col("east").alias("_ea"), F.col("north").alias("_na"),
+                   "cell_id")
+    b = cov.select(F.col(id_col).alias("rect_b"),
+                   F.col("west").alias("_wb"), F.col("south").alias("_sb"),
+                   F.col("east").alias("_eb"), F.col("north").alias("_nb"),
+                   "cell_id")
+    overlap = ((F.col("_wa") < F.col("_eb")) & (F.col("_wb") < F.col("_ea"))
+               & (F.col("_sa") < F.col("_nb")) & (F.col("_sb") < F.col("_na")))
+    return (a.join(b, "cell_id")
+            .where((F.col("rect_a") < F.col("rect_b")) & overlap)
+            .select("rect_a", "rect_b").distinct())

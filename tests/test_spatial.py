@@ -209,3 +209,33 @@ def test_knn_adaptive_matches_exact_on_clustered_data(spark):
     b = got.sort_values(key).reset_index(drop=True)
     assert a[["query_id", "neighbor_id", "rank"]].equals(
         b[["query_id", "neighbor_id", "rank"]])
+
+
+def test_polygon_stats_known_square(spark):
+    from kml2geojson_spark.spatial.ops import polygon_stats
+    ring = [[0.0, 0.0], [4.0, 0.0], [4.0, 3.0], [0.0, 3.0], [0.0, 0.0]]
+    df = spark.createDataFrame(
+        [(1, [ring])],
+        "poly_id long, rings array<array<array<double>>>")
+    row = polygon_stats(df).collect()[0]
+    assert row["area2"] == 24.0     # 2 * (4*3), CCW positive
+    assert row["perimeter"] == 14.0
+
+
+def test_rect_overlap_join_edges(spark):
+    """Touching edges do NOT overlap (strict interiors); overlaps that
+    span cell boundaries are still found (cover completeness)."""
+    from kml2geojson_spark.spatial.ops import rect_overlap_join
+    rows = [
+        (1, 0.0, 0.0, 10.0, 10.0),
+        (2, 10.0, 0.0, 20.0, 10.0),     # touches 1 on an edge: no pair
+        (3, 5.0, 5.0, 15.0, 15.0),      # overlaps 1 and 2
+        (4, -30.0, -30.0, -20.0, -20.0),  # disjoint
+        # crosses the res-3 cell boundary at lon 0/45 etc.
+        (5, -1.0, -1.0, 1.0, 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "rect_id long, west double, south double, east double, north double")
+    got = {(r["rect_a"], r["rect_b"])
+           for r in rect_overlap_join(df, res=3).collect()}
+    assert got == {(1, 3), (2, 3), (1, 5)}
