@@ -859,6 +859,22 @@ WHERE CAST(n_shared AS DOUBLE) / (sa.n_grams + sb.n_grams - n_shared) >= 0.05
 """
 
 
+def _q48_bpe_tokens(spark, sf):
+    """BPE-ish regex pre-tokenization counts (alpha/digit/punct runs)."""
+    from kml2geojson_spark.textops import bpe_token_stats
+    return bpe_token_stats(_t(spark, sf, "documents"))
+
+
+_O48 = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+         AS n_bpe_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+')) AS n_alpha_tokens,
+       len(regexp_extract_all(text, '[0-9]+')) AS n_digit_tokens
+FROM documents
+"""
+
+
 def _q26_simhash_pairs(spark, sf):
     from kml2geojson_spark.textops import simhash_near_pairs
     return simhash_near_pairs(_t(spark, sf, "documents"),
@@ -1069,6 +1085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_dedup_components": _q45_dedup_components,
         "q46_polygon_stats": _q46_polygon_stats,
         "q47_rect_overlap_join": _q47_rect_overlap_join,
+        "q48_bpe_tokens": _q48_bpe_tokens,
     }
 
 
@@ -1107,6 +1124,7 @@ def oracle_sql() -> dict[str, str]:
         "q45_dedup_components": _o45(),
         "q46_polygon_stats": _O46,
         "q47_rect_overlap_join": _O47,
+        "q48_bpe_tokens": _O48,
         # q40/q41/q43/q44: rows-only (LSH/IVF candidate sets are
         # approximate by design — pytest measures recall vs the exact
         # baseline; media decode is stubbed). q42: the KML engine has no

@@ -115,6 +115,18 @@ def run_suite(spark, sf_dir: str, n_docs: int) -> dict:
     timings["kml_parse_tile_pipeline"] = round(pipeline["sec"], 3)
     timings["kml_parse_tile_pipeline_cold"] = round(cold["sec"], 3)
 
+    # full conversion throughput: every document -> complete GeoJSON
+    # layers + style catalog (the reference's convert(), distributed)
+    from kml2geojson_spark.engine import convert_documents
+    corpus = ensure_corpus(spark, n_docs)
+    docs_df = spark.read.parquet(corpus)
+    t0 = time.time()
+    n_layers = convert_documents(docs_df, style_type="svg").select(
+        "doc_id", "layer_names").count()
+    timings["kml_convert_full"] = round(time.time() - t0, 3)
+    if n_layers == 0:
+        print("WARN: convert_full returned 0 rows", file=sys.stderr)
+
     for name in BENCH_QUERIES:
         fn = qdefs[name]
         t0 = time.time()

@@ -53,6 +53,30 @@ def token_count_col(text: F.Column) -> F.Column:
     return F.size(F.split(text, " "))
 
 
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def bpe_token_count_col(text: F.Column) -> F.Column:
+    """BPE-ish token count: alpha runs, digit runs, and single
+    punctuation marks — the pre-tokenization split a byte-pair encoder
+    applies before merges (ASCII-only pattern so Java-regex and RE2
+    engines agree)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
+def bpe_token_stats(documents: DataFrame) -> DataFrame:
+    alpha = F.size(F.regexp_extract_all(
+        F.col("text"), F.lit(r"[A-Za-z]+"), F.lit(0)))
+    digit = F.size(F.regexp_extract_all(
+        F.col("text"), F.lit(r"[0-9]+"), F.lit(0)))
+    return documents.select(
+        "doc_id",
+        bpe_token_count_col(F.col("text")).alias("n_bpe_tokens"),
+        alpha.alias("n_alpha_tokens"),
+        digit.alias("n_digit_tokens"),
+    )
+
+
 def token_stats(documents: DataFrame) -> DataFrame:
     return documents.select(
         "doc_id",
