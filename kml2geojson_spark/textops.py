@@ -311,6 +311,13 @@ def simhash_near_pairs(documents: DataFrame, *, max_hamming: int = 3,
     candidate dedup, then exact ``bit_count(xor)`` filter (all JVM).
 
     Output: (doc_a, doc_b, hamming) with doc_a < doc_b.
+
+    Scale note: a cluster of k IDENTICAL documents shares every bucket
+    and genuinely produces k² pairs — that is the true answer, not a
+    skew bug. On dup-heavy corpora run :func:`exact_duplicates` FIRST,
+    keep one representative per content hash, and near-dup only the
+    representatives; residual hot buckets are handled like hot cells
+    (sampled heavy-hitter detection + salting, :mod:`.spatial.salted`).
     """
     if max_hamming >= bands:
         raise ValueError("completeness requires max_hamming < bands")
