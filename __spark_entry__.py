@@ -538,6 +538,35 @@ def _o16() -> str:
               " FROM enc GROUP BY cell6")
 
 
+_PYRAMID_LEVELS = [12, 10, 8, 6]
+
+
+def _q49_tile_pyramid(spark, sf):
+    """Multi-resolution tile rollup: one encode at res 12, all coarser
+    levels derived by parent bit-shift, one aggregate."""
+    from kml2geojson_spark.spatial.ops import tile_pyramid
+    li = _t(spark, sf, "lineitem")
+    x = ((F.col("l_orderkey") * 131 + F.col("l_linenumber") * 7 + 17) % 36000) / 100.0 - 180.0
+    y = ((F.col("l_orderkey") * 241 + F.col("l_linenumber") * 11 + 29) % 17000) / 100.0 - 85.0
+    return tile_pyramid(li.select(x.alias("x"), y.alias("y")), 12,
+                        _PYRAMID_LEVELS)
+
+
+def _o49() -> str:
+    gx, gy = _grid_sql("x", "y", 12)
+    pts = ("SELECT ((l_orderkey * 131 + l_linenumber * 7 + 17) % 36000) / 100.0 - 180.0 AS x, "
+           "((l_orderkey * 241 + l_linenumber * 11 + 29) % 17000) / 100.0 - 85.0 AS y "
+           "FROM lineitem")
+    levels = ", ".join(str(lv) for lv in _PYRAMID_LEVELS)
+    return (f"WITH pts AS ({pts}), "
+            f"g AS (SELECT {gx} AS gx, {gy} AS gy FROM pts)"
+            + _morton_ctes("1 AS one", 12, "g")
+            + f""", lv AS (SELECT cell_id, unnest([{levels}]) AS level FROM enc)
+SELECT level, ((cell_id >> (5 + 2 * (12 - level))) << 5) | level AS cell_id,
+       COUNT(*) AS n_points
+FROM lv GROUP BY 1, 2""")
+
+
 def _q17_asof_join(spark, sf):
     """As-of join: each purchase event gets the same user's latest
     click at or before it (cogrouped applyInPandas merge_asof)."""
@@ -1086,6 +1115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_polygon_stats": _q46_polygon_stats,
         "q47_rect_overlap_join": _q47_rect_overlap_join,
         "q48_bpe_tokens": _q48_bpe_tokens,
+        "q49_tile_pyramid": _q49_tile_pyramid,
     }
 
 
@@ -1125,6 +1155,7 @@ def oracle_sql() -> dict[str, str]:
         "q46_polygon_stats": _O46,
         "q47_rect_overlap_join": _O47,
         "q48_bpe_tokens": _O48,
+        "q49_tile_pyramid": _o49(),
         # q40/q41/q43/q44: rows-only (LSH/IVF candidate sets are
         # approximate by design — pytest measures recall vs the exact
         # baseline; media decode is stubbed). q42: the KML engine has no

@@ -538,3 +538,31 @@ def rect_overlap_join(rects: DataFrame, res: int, *,
     return (a.join(b, "cell_id")
             .where((F.col("rect_a") < F.col("rect_b")) & overlap)
             .select("rect_a", "rect_b").distinct())
+
+
+def tile_pyramid(pts: DataFrame, base_res: int,
+                 levels: list[int]) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: encode ONCE at
+    ``base_res``, then derive every coarser level's cell id by the
+    hierarchical parent bit-shift (parent = code >> 2·Δres — free,
+    pure Column) and aggregate all levels in one shuffle. At 100 TB
+    this replaces L separate scan+agg jobs with one; the exchange key
+    (level, cell) also keeps level skew bounded because coarse levels
+    have few cells but proportionally fewer rows after the map-side
+    partial aggregate.
+
+    Output: (level, cell_id, n_points).
+    """
+    from .cells import RES_BITS
+
+    assert all(lv <= base_res for lv in levels)
+    enc = encode_points(pts, base_res)
+    lvl = F.explode(F.array(*[F.lit(lv) for lv in levels])).alias("level")
+    cell = F.expr(
+        f"shiftleft(shiftright(cell_id, {RES_BITS} + 2 * ({base_res} - level)),"
+        f" {RES_BITS}) | level").cast("long")
+    return (enc.select("cell_id", lvl)
+            .select("level", cell.alias("cell"))
+            .groupBy("level", "cell")
+            .agg(F.count(F.lit(1)).alias("n_points"))
+            .withColumnRenamed("cell", "cell_id"))

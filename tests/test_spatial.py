@@ -239,3 +239,27 @@ def test_rect_overlap_join_edges(spark):
     got = {(r["rect_a"], r["rect_b"])
            for r in rect_overlap_join(df, res=3).collect()}
     assert got == {(1, 3), (2, 3), (1, 5)}
+
+
+def test_tile_pyramid_hierarchy_invariants(spark):
+    """Every level totals the same point count, and each coarse cell's
+    count equals the sum of its children at the finer level."""
+    from kml2geojson_spark.spatial.ops import tile_pyramid
+    import numpy as np
+    rng = np.random.default_rng(8)
+    pts = spark.createDataFrame(
+        [(float(x), float(y)) for x, y in
+         zip(rng.uniform(-180, 180, 4000), rng.uniform(-90, 90, 4000))],
+        "x double, y double")
+    pyr = tile_pyramid(pts, 10, [10, 8, 6]).toPandas()
+    totals = pyr.groupby("level")["n_points"].sum()
+    assert set(totals) == {4000}
+    fine = pyr[pyr["level"] == 10]
+    coarse = {int(c): int(n) for c, n in
+              zip(pyr[pyr["level"] == 8]["cell_id"],
+                  pyr[pyr["level"] == 8]["n_points"])}
+    rolled = {}
+    for c, n in zip(fine["cell_id"], fine["n_points"]):
+        parent = ((int(c) >> (5 + 4)) << 5) | 8
+        rolled[parent] = rolled.get(parent, 0) + int(n)
+    assert rolled == coarse
