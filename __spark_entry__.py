@@ -888,6 +888,25 @@ WHERE CAST(n_shared AS DOUBLE) / (sa.n_grams + sb.n_grams - n_shared) >= 0.05
 """
 
 
+def _q50_stratified_split(spark, sf):
+    """Deterministic hash-based train/val/test split, counted per
+    language stratum."""
+    from kml2geojson_spark.textops import stratified_split_counts
+    return stratified_split_counts(_t(spark, sf, "documents"))
+
+
+_O50 = """
+SELECT lang,
+       CASE WHEN b < 204 THEN 'train' WHEN b < 229 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs
+FROM (SELECT lang,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT AS b
+      FROM documents)
+GROUP BY 1, 2
+"""
+
+
 def _q48_bpe_tokens(spark, sf):
     """BPE-ish regex pre-tokenization counts (alpha/digit/punct runs)."""
     from kml2geojson_spark.textops import bpe_token_stats
@@ -1116,6 +1135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_rect_overlap_join": _q47_rect_overlap_join,
         "q48_bpe_tokens": _q48_bpe_tokens,
         "q49_tile_pyramid": _q49_tile_pyramid,
+        "q50_stratified_split": _q50_stratified_split,
     }
 
 
@@ -1156,6 +1176,7 @@ def oracle_sql() -> dict[str, str]:
         "q47_rect_overlap_join": _O47,
         "q48_bpe_tokens": _O48,
         "q49_tile_pyramid": _o49(),
+        "q50_stratified_split": _O50,
         # q40/q41/q43/q44: rows-only (LSH/IVF candidate sets are
         # approximate by design — pytest measures recall vs the exact
         # baseline; media decode is stubbed). q42: the KML engine has no

@@ -77,6 +77,33 @@ def bpe_token_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+def split_assign_col(id_col: F.Column, *, train_pct: int = 80,
+                     val_pct: int = 10) -> F.Column:
+    """Deterministic train/val/test assignment by content-independent
+    hash of the id: md5 → 2 hex chars → bucket 0..255. Stable across
+    runs, engines and cluster sizes (no RNG, no partition dependence) —
+    the property a reproducible training-data split needs.
+    """
+    bucket = F.conv(F.substring(F.md5(id_col.cast("string")), 1, 2), 16, 10) \
+        .cast("long")
+    train_hi = 256 * train_pct // 100
+    val_hi = train_hi + 256 * val_pct // 100
+    return (F.when(bucket < train_hi, F.lit("train"))
+            .when(bucket < val_hi, F.lit("val"))
+            .otherwise(F.lit("test")))
+
+
+def stratified_split_counts(documents: DataFrame, *,
+                            strata_col: str = "lang") -> DataFrame:
+    """Split sizes per stratum — the sanity check a pipeline runs after
+    assigning splits (one hash-groupBy; assignment itself is a pure
+    Column, so splitting 10^12 docs is a narrow map)."""
+    return (documents
+            .withColumn("split", split_assign_col(F.col("doc_id")))
+            .groupBy(strata_col, "split")
+            .agg(F.count(F.lit(1)).alias("n_docs")))
+
+
 def token_stats(documents: DataFrame) -> DataFrame:
     return documents.select(
         "doc_id",
