@@ -580,10 +580,11 @@ def _q17_asof_join(spark, sf):
                       F.col("event_id").alias("click_id")))
     out = asof_join(purchases, clicks, key="user_id",
                     left_ts="ts", right_ts="ts")
-    # events.ts is TIMESTAMP_NTZ; cast both sides identically so the
-    # session-zone shift cancels in the difference
-    gap = (F.unix_micros(F.col("ts").cast("timestamp"))
-           - F.unix_micros(F.col("r_ts").cast("timestamp")))
+    # timezone-free gap: timestampdiff on the NTZ values directly — no
+    # session-zone dependence (a cast through TIMESTAMP would shift each
+    # side by its own UTC offset and break across DST transitions; an
+    # interval cast to long truncates to seconds)
+    gap = F.expr("timestampdiff(MICROSECOND, r_ts, ts)")
     return out.select("purchase_id", "user_id",
                       F.col("r_click_id").alias("click_id"),
                       gap.alias("gap_us"))

@@ -24,6 +24,12 @@ split by coarse time range (replicate only the right rows that can
 match each range); per-key volume here is a user/device stream, which
 is bounded in practice.
 
+Null semantics match the SQL formulation (``LEFT JOIN ... ON r.ts <=
+l.ts`` + ``ROW_NUMBER() = 1``): a NULL left timestamp matches nothing
+(the left row survives with NULL right columns); NULL right timestamps
+never match. Unmatched right columns are NULL — including double
+columns, which a naive pandas merge would hand back as NaN.
+
 Tie-break: equal right timestamps resolve to the greatest values of the
 remaining right columns (right is sorted by (ts, other cols) ascending
 and ``merge_asof`` takes the last in-order match per key), matching the
@@ -35,10 +41,10 @@ from __future__ import annotations
 import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import (IntegerType, LongType, ShortType, StructField,
-                               StructType)
+from pyspark.sql.types import (BooleanType, ByteType, IntegerType, LongType,
+                               ShortType, StructField, StructType)
 
-_INT_TYPES = (IntegerType, LongType, ShortType)
+_INT_TYPES = (ByteType, IntegerType, LongType, ShortType)
 
 
 def asof_join(left: DataFrame, right: DataFrame, *, key: str,
@@ -48,11 +54,11 @@ def asof_join(left: DataFrame, right: DataFrame, *, key: str,
     """Left as-of join: every left row, plus the columns of the latest
     right row (same ``key``) with ``right_ts <= left_ts``, or nulls.
 
-    Right columns are emitted under ``right_prefix`` to avoid clashes.
-    Integer right columns come back nullable (unmatched left rows).
-    ``n_buckets`` bounds the number of Python invocations; size it near
-    the cluster's task slots (the shuffle itself is hash-partitioned by
-    Spark independently).
+    Right columns are emitted under ``right_prefix`` to avoid clashes;
+    on unmatched left rows they are NULL (true NULL, not NaN, for every
+    type). ``n_buckets`` bounds the number of Python invocations; size
+    it near the cluster's task slots (the shuffle itself is
+    hash-partitioned by Spark independently).
     """
     lfields = list(left.schema.fields)
     rfields = list(right.schema.fields)
@@ -67,6 +73,8 @@ def asof_join(left: DataFrame, right: DataFrame, *, key: str,
     r_out = [right_prefix + n for n in rnames if n != key]
     r_int_cols = [right_prefix + f.name for f in rfields
                   if f.name != key and isinstance(f.dataType, _INT_TYPES)]
+    r_bool_cols = [right_prefix + f.name for f in rfields
+                   if f.name != key and isinstance(f.dataType, BooleanType)]
     r_ts_col = right_prefix + right_ts
     # deterministic within-key ordering: right sorted by (ts, every
     # other column) so equal timestamps break ties identically on every
@@ -86,26 +94,55 @@ def asof_join(left: DataFrame, right: DataFrame, *, key: str,
     ).withColumn("_asof_b",
                  F.pmod(F.hash(F.col(r_key)), F.lit(n_buckets)))
 
+    def _with_null_right(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.copy()
+        for c in r_out:
+            out[c] = None
+        return out
+
     def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         if len(lpdf) == 0:
             return pd.DataFrame(columns=[f.name for f in out_fields])
-        lpdf = (lpdf.drop(columns=["_asof_b"])
-                .sort_values(left_ts, kind="mergesort").reset_index(drop=True))
-        rpdf = (rpdf.drop(columns=["_asof_b"])
-                .sort_values(r_sort, kind="mergesort").reset_index(drop=True))
-        if len(rpdf) == 0:
-            out = lpdf.copy()
-            for c in r_out:
-                out[c] = None
+        lpdf = lpdf.drop(columns=["_asof_b"])
+        rpdf = rpdf.drop(columns=["_asof_b"])
+        # SQL semantics: NULL timestamps never satisfy r.ts <= l.ts —
+        # null-ts left rows pass through unmatched, null-ts right rows
+        # are dropped (merge_asof would raise on null merge keys)
+        null_l = lpdf[lpdf[left_ts].isna()]
+        lpdf = (lpdf[lpdf[left_ts].notna()]
+                .sort_values(left_ts, kind="mergesort")
+                .reset_index(drop=True))
+        rpdf = (rpdf[rpdf[r_ts_col].notna()]
+                .sort_values(r_sort, kind="mergesort")
+                .reset_index(drop=True))
+        if len(lpdf) == 0:
+            out = _with_null_right(null_l)
         else:
-            out = pd.merge_asof(lpdf, rpdf, left_on=left_ts,
-                                right_on=r_ts_col,
-                                left_by=key, right_by=r_key,
-                                direction="backward",
-                                allow_exact_matches=True)
+            if len(rpdf) == 0:
+                out = _with_null_right(lpdf)
+            else:
+                out = pd.merge_asof(lpdf, rpdf, left_on=left_ts,
+                                    right_on=r_ts_col,
+                                    left_by=key, right_by=r_key,
+                                    direction="backward",
+                                    allow_exact_matches=True)
+            if len(null_l):
+                out = pd.concat([out, _with_null_right(null_l)],
+                                ignore_index=True)
         for c in r_int_cols:
             out[c] = out[c].astype("Int64")
+        for c in r_bool_cols:
+            out[c] = out[c].astype("boolean")
         return out[lnames + r_out]
 
-    return (left_b.groupBy("_asof_b").cogroup(right_b.groupBy("_asof_b"))
-            .applyInPandas(merge, schema))
+    joined = (left_b.groupBy("_asof_b").cogroup(right_b.groupBy("_asof_b"))
+              .applyInPandas(merge, schema))
+    # NaN→NULL restore for unmatched rows: pandas fills float (and any
+    # non-nullable-dtype) right columns with NaN on misses; a miss is
+    # exactly "matched right ts is null", so nullify every other right
+    # column under that mask JVM-side
+    miss = F.col(r_ts_col).isNull()
+    restored = [F.when(miss, F.lit(None)).otherwise(F.col(c)).alias(c)
+                if c != r_ts_col else F.col(c)
+                for c in r_out]
+    return joined.select(*lnames, *restored)

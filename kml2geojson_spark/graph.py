@@ -39,6 +39,7 @@ def connected_components(edges: DataFrame, *, src: str = "doc_a",
     labels = (sym.select(F.col("src").alias("node")).distinct()
               .withColumn("label", F.col("node")))
 
+    converged = False
     for _ in range(max_iters):
         nbr = (sym.join(labels, sym["src"] == labels["node"])
                .select(F.col("dst").alias("node"), F.col("label")))
@@ -51,5 +52,13 @@ def connected_components(edges: DataFrame, *, src: str = "doc_a",
                    .limit(1).count())
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # one hop per round: rounds needed = distance to the component's
+        # min-id node. Returning silently here would hand back WRONG
+        # labels (duplicate docs kept across what is really one cluster).
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds; "
+            "the graph has a longer min-label path — raise max_iters")
     return labels.select(F.col("node"), F.col("label").alias("component"))

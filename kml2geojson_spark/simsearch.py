@@ -119,26 +119,42 @@ def _mean_vectors(assigned: DataFrame, group_col: str,
     return avg.groupBy(group_col).agg(packed.alias("cvec"))
 
 
+def _materialize_codebook(cents: DataFrame) -> DataFrame:
+    """Collect the (tiny — n_centroids rows) codebook to the driver and
+    recreate it: truncates the Lloyd-iteration lineage and avoids
+    leaking a cached RDD per call (``cache()`` with no ``unpersist()``
+    accumulates for the session lifetime)."""
+    rows = cents.collect()
+    return cents.sparkSession.createDataFrame(rows, cents.schema)
+
+
 def ivf_centroids(embeddings: DataFrame, n_centroids: int, *,
                   iters: int = 2, id_col: str = "vec_id",
                   vec_col: str = "embedding") -> DataFrame:
-    """Deterministic IVF codebook: init = per-(id % n_centroids) mean,
-    then ``iters`` Lloyd steps (assign to nearest centroid via a
-    broadcast cross join + window argmin; re-average). Everything is
-    DataFrame ops — the centroid table stays tiny and broadcast-able,
-    the vector table is only ever scanned, never collected.
+    """IVF codebook: seed-free init (per-(id % n_centroids) mean), then
+    ``iters`` Lloyd steps (assign to nearest centroid via a broadcast
+    cross join + hash-aggregate argmin; re-average). The vector table
+    is only ever scanned; the codebook is materialized per iteration
+    (n_centroids rows on the driver), truncating lineage.
+
+    Determinism: the init and every tie-break are deterministic, but
+    centroid coordinates come from ``avg`` over doubles, whose rounding
+    depends on partition/merge order — coordinates are reproducible
+    only to ~ulp across different partitionings, so a vector lying
+    exactly between two centroids may flip lists. ANN recall is
+    unaffected; bit-exact runs require a fixed partitioning.
 
     Output: (cid int, cvec array<double>).
     """
     vecs = embeddings.select(F.col(id_col).alias("_id"),
                              _as_double(vec_col).alias("_v"))
-    cents = (_mean_vectors(
+    cents = _materialize_codebook(_mean_vectors(
         vecs.withColumn("cid", (F.col("_id") % n_centroids).cast("int")),
         "cid", "_v"))
     for _ in range(iters):
         assigned = ivf_assign(vecs.select(F.col("_id"), F.col("_v")), cents,
                               id_col="_id", vec_col="_v")
-        cents = _mean_vectors(assigned, "cid", "_v")
+        cents = _materialize_codebook(_mean_vectors(assigned, "cid", "_v"))
     return cents.select("cid", "cvec")
 
 
@@ -176,7 +192,7 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int, *,
     Output: (query_id, neighbor_id, cosine, rank).
     """
     cents = ivf_centroids(embeddings, n_centroids, iters=iters,
-                          id_col=id_col, vec_col=vec_col).cache()
+                          id_col=id_col, vec_col=vec_col)
     base = embeddings.select(F.col(id_col).alias("neighbor_id"),
                              _as_double(vec_col).alias("_v"))
     assigned = (ivf_assign(base, cents, id_col="neighbor_id")

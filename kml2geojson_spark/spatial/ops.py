@@ -555,7 +555,8 @@ def tile_pyramid(pts: DataFrame, base_res: int,
     """
     from .cells import RES_BITS
 
-    assert all(lv <= base_res for lv in levels)
+    if any(lv > base_res for lv in levels):
+        raise ValueError(f"levels {levels} must all be <= base_res {base_res}")
     enc = encode_points(pts, base_res)
     lvl = F.explode(F.array(*[F.lit(lv) for lv in levels])).alias("level")
     cell = F.expr(

@@ -189,7 +189,14 @@ def stream_sessionize(events: DataFrame, *, gap_minutes: int = 30,
                 out["n_events"].append(n_events)
                 start_us, last_us, n_events = t, t, 1
             else:
-                last_us = t
+                # merge policy for late arrivals (the watermark admits
+                # events up to state_timeout behind): never REGRESS the
+                # session frontier — a late event extends the current
+                # session backwards/inwards instead of shifting last_us
+                # earlier, which would spuriously split on the next
+                # on-time event
+                start_us = min(start_us, t)
+                last_us = max(last_us, t)
                 n_events += 1
         state.update((int(start_us), int(last_us), int(n_events)))
         state.setTimeoutTimestamp(

@@ -99,3 +99,30 @@ def test_asof_oracle_random(spark):
            for _, r in out.iterrows()}
     assert len(out) == n_l
     assert got == expect
+
+
+def test_asof_null_timestamps_and_double_nulls(spark):
+    """SQL null semantics: null left ts matches nothing but survives;
+    null right ts never matches; unmatched double/int right columns are
+    true NULLs, not NaN."""
+    import math
+    left = _mk(spark, [(1, 7, pd.Timestamp("2024-01-02")),
+                       (2, 7, pd.NaT),
+                       (3, 8, pd.Timestamp("2024-01-02"))],
+               ["lid", "k", "ts"])
+    right = _mk(spark, [(7, pd.Timestamp("2024-01-01"), 50, 1.5),
+                        (7, pd.NaT, 99, 9.9),
+                        (8, pd.Timestamp("2024-01-03"), 60, 2.5)],
+                ["k", "ts", "rid", "score"])
+    rows = {r["lid"]: r for r in
+            asof_join(left, right, key="k", left_ts="ts",
+                      right_ts="ts").collect()}
+    assert len(rows) == 3
+    assert rows[1]["r_rid"] == 50 and rows[1]["r_score"] == 1.5
+    # null left ts: unmatched, all right cols NULL (not NaN)
+    assert rows[2]["r_rid"] is None and rows[2]["r_score"] is None
+    assert rows[2]["r_ts"] is None
+    # right row exists but only at a LATER ts: unmatched
+    assert rows[3]["r_rid"] is None and rows[3]["r_score"] is None
+    for r in rows.values():
+        assert r["r_score"] is None or not math.isnan(r["r_score"])

@@ -53,3 +53,11 @@ def test_components_chain_diameter(spark):
            for r in connected_components(df).collect()}
     assert set(got.values()) == {0}
     assert len(got) == 41
+
+
+def test_components_raises_when_not_converged(spark):
+    import pytest
+    edges = [(i, i + 1) for i in range(20)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iters=3)

@@ -132,3 +132,49 @@ def test_stream_sessionize_stateful(spark, tmp_path):
     assert (got["n_events"] == 4).all()
     dur = got["session_end_us"] - got["session_start_us"]
     assert (dur == 15 * 60_000_000).all()
+
+
+def test_stream_sessionize_late_event_does_not_regress(spark, tmp_path):
+    """A late (out-of-order, within-watermark) event arriving in a
+    LATER micro-batch must merge into the open session without moving
+    its frontier backwards — the next on-time event must not spuriously
+    split the session."""
+    import pandas as pd
+    from kml2geojson_spark.streaming import stream_events, stream_sessionize
+
+    src = tmp_path / "ev3"
+    src.mkdir()
+    ckpt = str(tmp_path / "sck3")
+    base = pd.Timestamp("2024-01-01 12:00:00")
+
+    def write_batch(name, rows):
+        pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                          "event_type", "value", "props"])
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(
+            str(src / name))
+
+    sink = str(tmp_path / "sess_out")
+
+    def run_pass():
+        out = stream_sessionize(
+            stream_events(spark, str(src) + "/*"), gap_minutes=30)
+        q = (out.writeStream.format("parquet")
+             .option("path", sink)
+             .outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    # batch 1: events at T and T+20min (one open session)
+    write_batch("b1", [(0, base, 1, "click", 1.0, "{}"),
+                       (1, base + pd.Timedelta(minutes=20), 1, "click", 1.0, "{}")])
+    run_pass()
+    # batch 2 (same checkpoint → state restored): a LATE event at
+    # T+5min, then an on-time event at T+40min (gap to frontier 20min)
+    write_batch("b2", [(2, base + pd.Timedelta(minutes=5), 1, "click", 1.0, "{}"),
+                       (3, base + pd.Timedelta(minutes=40), 1, "click", 1.0, "{}")])
+    run_pass()
+    got = spark.read.parquet(sink).toPandas()
+    # everything is ONE session (max true gap is 20 min < 30); nothing
+    # may have been emitted as closed
+    assert len(got) == 0
