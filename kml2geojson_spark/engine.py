@@ -270,6 +270,22 @@ def _points_batch_from_docs(doc_iter) -> pa.RecordBatch:
         names=["doc_id", "layer_idx", "feature_idx", "geom_idx", "x", "y"])
 
 
+def _iter_file_doc_batches(batches: Iterator[pa.RecordBatch],
+                           max_chunksize: int = 2048
+                           ) -> Iterator[pa.RecordBatch]:
+    """Shared file-granular reader for the parquet hot paths: batches of
+    file paths → (doc_id, spans) RecordBatches, read worker-side with
+    pyarrow (use_threads=False: each concurrent worker reading with its
+    own full-width Arrow thread pool would oversubscribe the host)."""
+    import pyarrow.parquet as pq
+
+    for b in batches:
+        for fpath in b.column(0).to_pylist():
+            table = pq.read_table(fpath, columns=["doc_id", "spans"],
+                                  use_threads=False)
+            yield from table.to_batches(max_chunksize=max_chunksize)
+
+
 TILE_COUNTS_SCHEMA = "cell_id long, n int"
 
 
@@ -280,8 +296,6 @@ def _tile_counts_batch(doc_iter, res: int) -> pa.RecordBatch:
     because a document lives in exactly one batch — so the JVM-side
     ``groupBy(cell).agg(sum(n), count(*))`` yields exact feature and
     distinct-doc counts from a single small shuffle."""
-    import numpy as np
-
     from .convert_core import iter_point_coords
     from .spatial.cells import cell_encode_np
 
@@ -317,17 +331,10 @@ def tile_counts_from_parquet(spark, path: str, res: int) -> DataFrame:
     the final aggregate are trivial. Result identical to
     ``_tile_agg(extract_points_from_parquet(spark, path), res)`` —
     asserted in tests."""
-    from pyspark.sql import functions as F
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        import pyarrow.parquet as pq
-
-        for b in batches:
-            for fpath in b.column(0).to_pylist():
-                table = pq.read_table(fpath, columns=["doc_id", "spans"],
-                                      use_threads=False)
-                for rb in table.to_batches(max_chunksize=2048):
-                    yield _tile_counts_batch(iter_docs_from_arrow(rb), res)
+        for rb in _iter_file_doc_batches(batches):
+            yield _tile_counts_batch(iter_docs_from_arrow(rb), res)
 
     pairs = parquet_files_df(spark, path).mapInArrow(run, TILE_COUNTS_SCHEMA)
     return pairs.groupBy("cell_id").agg(
@@ -364,17 +371,8 @@ def extract_points_from_parquet(spark, path: str) -> DataFrame:
     """
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        import pyarrow.parquet as pq
-
-        for b in batches:
-            for fpath in b.column(0).to_pylist():
-                # use_threads=False: every concurrent worker reading with
-                # its own full-width Arrow thread pool oversubscribes the
-                # host N_workers × N_cores and stalls the parse
-                table = pq.read_table(fpath, columns=["doc_id", "spans"],
-                                      use_threads=False)
-                for rb in table.to_batches(max_chunksize=2048):
-                    yield _points_batch_from_docs(iter_docs_from_arrow(rb))
+        for rb in _iter_file_doc_batches(batches):
+            yield _points_batch_from_docs(iter_docs_from_arrow(rb))
 
     return parquet_files_df(spark, path).mapInArrow(run, POINTS_SCHEMA)
 

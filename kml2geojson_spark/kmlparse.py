@@ -184,6 +184,11 @@ def parse_kml(source: str) -> Element:
     engine processes untrusted corpora; strictness is not worth a failed
     partition at 10^12-document scale.
     """
+    # XML 1.0 §2.11 end-of-line normalization (\r\n and lone \r → \n),
+    # which minidom — and therefore the reference — applies to the whole
+    # input including CDATA; Windows-authored KML differs without this.
+    if "\r" in source:
+        source = source.replace("\r\n", "\n").replace("\r", "\n")
     root = Element("#document")
     stack = [root]
     # Dispatch on m.lastindex (one attribute read) instead of probing
@@ -203,9 +208,12 @@ def parse_kml(source: str) -> Element:
             attrs = {}
             if attrs_src:
                 for am in _ATTR.finditer(attrs_src):
-                    attrs[am.group(1)] = _decode_entities(
-                        am.group(2) if am.group(2) is not None else am.group(3)
-                    )
+                    v = am.group(2) if am.group(2) is not None else am.group(3)
+                    # XML 1.0 §3.3.3 attribute-value normalization:
+                    # literal tab/newline become spaces (minidom parity)
+                    if "\t" in v or "\n" in v:
+                        v = v.replace("\t", " ").replace("\n", " ")
+                    attrs[am.group(1)] = _decode_entities(v)
             el = Element(open_tag, attrs)
             stack[-1].children.append(el)
             if not selfclose:

@@ -94,7 +94,9 @@ class LineageLog:
 
         existing = self.manifest(stage, sid)
         if existing is not None and existing.get("status") == "committed":
-            return spark.read.parquet(str(data_dir)), existing
+            # drop the internal partition column on resume too, so the
+            # schema is identical between fresh and resumed runs
+            return spark.read.parquet(str(data_dir)).drop(_PID), existing
 
         t0 = time.time()
         df = builder().withColumn(_PID, F.spark_partition_id())

@@ -72,13 +72,21 @@ def cover_cells_rect(df: DataFrame, res: int, *, west: str = "west",
         return F.greatest(F.lit(0), F.least(F.lit(hi), (F.ceil(
             (F.col(c) + F.lit(offset)) / F.lit(extent) * F.lit(n)) - F.lit(1)).cast("long")))
 
+    # Spark's sequence(a, b) runs DESCENDING when a > b — a degenerate
+    # (zero-width on a cell boundary) or inverted rectangle would emit
+    # spurious cells. Empty-range → empty array → explode drops the row,
+    # matching the DuckDB oracle's generate_series semantics.
+    def seq(lo, hi):
+        return F.when(F.col(hi) >= F.col(lo), F.sequence(lo, hi)) \
+            .otherwise(F.array().cast("array<bigint>"))
+
     out = (
         df.withColumn("_ix0", scale_lo(west, 180.0, 360.0))
         .withColumn("_ix1", scale_hi(east, 180.0, 360.0))
         .withColumn("_iy0", scale_lo(south, 90.0, 180.0))
         .withColumn("_iy1", scale_hi(north, 90.0, 180.0))
-        .withColumn("_ix", F.explode(F.sequence("_ix0", "_ix1")))
-        .withColumn("_iy", F.explode(F.sequence("_iy0", "_iy1")))
+        .withColumn("_ix", F.explode(seq("_ix0", "_ix1")))
+        .withColumn("_iy", F.explode(seq("_iy0", "_iy1")))
     )
     # encode from grid coords: reuse the Column spreader via cell center
     cell_w = F.col("_ix") * F.lit(360.0 / n) - F.lit(180.0)
@@ -398,6 +406,7 @@ def knn_join_adaptive(points: DataFrame, queries: DataFrame, k: int, res: int,
 
     pending = q_all
     done_parts = []
+    cached = [p]  # unpersisted before return — no session-lifetime leak
     level = res
     while True:
         n = 1 << level
@@ -429,6 +438,7 @@ def knn_join_adaptive(points: DataFrame, queries: DataFrame, k: int, res: int,
             .select("query_id", "neighbor_id", "dist2", "rank"))
         pending = pending.join(F.broadcast(satisfied), "query_id",
                                "left_anti").persist()
+        cached.append(pending)
         if pending.count() == 0:
             break
         level = max(level - level_step, 0)
@@ -436,6 +446,12 @@ def knn_join_adaptive(points: DataFrame, queries: DataFrame, k: int, res: int,
     out = done_parts[0]
     for part in done_parts[1:]:
         out = out.unionByName(part)
+    # materialize the (small: |queries| x k rows) result so every cached
+    # frame it references can be released now rather than leaking for
+    # the session lifetime
+    out = out.localCheckpoint(eager=True)
+    for df in cached:
+        df.unpersist()
     return out
 
 
@@ -505,8 +521,14 @@ def polygon_stats(polys: DataFrame, *, rings_col: str = "rings",
             (vx(i + 1)[0] - vx(i)[0]) * (vx(i + 1)[0] - vx(i)[0])
             + (vx(i + 1)[1] - vx(i)[1]) * (vx(i + 1)[1] - vx(i)[1]))),
         F.lit(0.0), lambda acc, v: acc + v)
-    return polys.select(F.col(id_col), cross.alias("area2"),
-                        length.alias("perimeter"))
+    # degenerate rings (< 2 vertices, empty, or null rings) would make
+    # the descending sequence index element_at(ring, 0) and crash the
+    # job — they contribute 0 area/length instead
+    ok = F.size(ring) >= 2
+    return polys.select(F.col(id_col),
+                        F.when(ok, cross).otherwise(F.lit(0.0)).alias("area2"),
+                        F.when(ok, length).otherwise(F.lit(0.0))
+                        .alias("perimeter"))
 
 
 def rect_overlap_join(rects: DataFrame, res: int, *,

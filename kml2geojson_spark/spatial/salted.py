@@ -54,7 +54,20 @@ def salted_join(probe: DataFrame, build: DataFrame, key: str, *,
     The salt is derived from a hash of the probe row's non-key columns
     (or ``probe_hash_cols``), so retried tasks produce identical salt
     assignments — required for checkpoint/lineage resume determinism.
+
+    Supported ``how``: inner / left / left_semi / left_anti — joins
+    where replicating unmatched BUILD rows cannot surface in the output.
+    right/full outer would emit each unmatched hot build row ``n_salt``
+    times and are rejected.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter",
+               "left_semi", "leftsemi", "semi",
+               "left_anti", "leftanti", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: replicated build "
+            "rows would duplicate unmatched-right output; use an unsalted "
+            "join for right/full outer")
     if hot is None:
         hot = hot_keys(probe, key)
     hot = list(hot)
@@ -62,9 +75,17 @@ def salted_join(probe: DataFrame, build: DataFrame, key: str, *,
         return probe.join(build, key, how)
 
     hash_cols = probe_hash_cols or [c for c in probe.columns if c != key]
+    if not hash_cols:
+        # key-only probe: no row content to hash — spread hot keys with
+        # a deterministic-per-partition row counter instead (stable
+        # under task retry, which replays the same partition)
+        hash_cols = None
+        salt_src = F.pmod(F.monotonically_increasing_id(), F.lit(n_salt))
+    else:
+        salt_src = F.pmod(F.hash(*[F.col(c) for c in hash_cols]),
+                          F.lit(n_salt))
     salt_probe = F.when(
-        F.col(key).isin(hot),
-        F.pmod(F.hash(*[F.col(c) for c in hash_cols]), F.lit(n_salt)),
+        F.col(key).isin(hot), salt_src,
     ).otherwise(F.lit(0)).cast("int")
     p = probe.withColumn("_salt", salt_probe)
 

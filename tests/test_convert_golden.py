@@ -205,3 +205,24 @@ def test_differential_layers_over_all_fixtures(reference_module):
         expect_fc = reference_module.build_feature_collection(dom, name="x")
         got_fc = build_feature_collection_dict(parse_kml(kml_str), name="x")
         assert got_fc == expect_fc, p.name
+
+
+def test_xml_eol_and_attribute_normalization(reference_module):
+    """XML 1.0 §2.11 / §3.3.3 parity with minidom: \r\n in text becomes
+    \n; literal tab/newline in attribute values become spaces."""
+    import io
+    from kml2geojson_spark.convert_core import convert_kml_string
+
+    kml = ('<?xml version="1.0"?><kml><Document>'
+           '<Placemark id="x\ty">'
+           '<name>a\r\nb</name>'
+           '<description>c\rd</description>'
+           '<Point><coordinates>1.0,2.0</coordinates></Point>'
+           '</Placemark></Document></kml>')
+    expect = reference_module.convert(io.StringIO(kml))[0]
+    _style, layers = convert_kml_string(kml)
+    assert layers[0] == expect
+    f = layers[0]["features"][0]
+    assert f["properties"]["name"] == "a\nb"
+    assert f["properties"]["description"] == "c\nd"
+    assert f["id"] == "x y"

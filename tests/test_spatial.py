@@ -263,3 +263,46 @@ def test_tile_pyramid_hierarchy_invariants(spark):
         parent = ((int(c) >> (5 + 4)) << 5) | 8
         rolled[parent] = rolled.get(parent, 0) + int(n)
     assert rolled == coarse
+
+
+def test_cover_cells_rect_degenerate(spark):
+    """Zero-width rect on a cell boundary and inverted rect emit no
+    spurious cells (Spark's sequence runs DESCENDING when start>stop)."""
+    from kml2geojson_spark.spatial.ops import cover_cells_rect
+    rows = [(1, 0.0, 0.0, 0.0, 10.0),       # zero-width on lon-0 boundary
+            (2, 170.0, 0.0, -170.0, 10.0),  # inverted (antimeridian)
+            (3, 1.0, 1.0, 2.0, 2.0)]        # normal
+    df = spark.createDataFrame(
+        rows, "rect_id long, west double, south double, east double, north double")
+    got = cover_cells_rect(df, 5).toPandas()
+    assert set(got[got["fraction"] > 0]["rect_id"]) == {3}
+    assert 2 not in set(got["rect_id"])  # inverted: nothing at all
+
+
+def test_polygon_stats_degenerate_rings(spark):
+    from kml2geojson_spark.spatial.ops import polygon_stats
+    rows = [
+        (1, [[[1.0, 2.0]]]),                 # single vertex
+        (2, [[]]),                           # empty ring
+        (3, None),                           # null rings
+        (4, [[[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 0.0]]]),  # valid
+    ]
+    df = spark.createDataFrame(
+        rows, "poly_id long, rings array<array<array<double>>>")
+    got = {r["poly_id"]: (r["area2"], r["perimeter"])
+           for r in polygon_stats(df).collect()}
+    assert got[1] == (0.0, 0.0)
+    assert got[2] == (0.0, 0.0)
+    assert got[3] == (0.0, 0.0)
+    assert got[4][0] == 4.0  # 2 * area(triangle=2)
+
+
+def test_salted_join_rejects_outer_and_handles_key_only_probe(spark):
+    import pytest
+    from kml2geojson_spark.spatial.salted import salted_join
+    probe = spark.createDataFrame([(1,), (1,), (2,)], "k long")
+    build = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    with pytest.raises(ValueError, match="does not support"):
+        salted_join(probe, build, "k", hot=[1], how="right")
+    out = salted_join(probe, build, "k", hot=[1]).collect()
+    assert sorted((r["k"], r["v"]) for r in out) == [(1, "a"), (1, "a"), (2, "b")]
