@@ -37,6 +37,8 @@ def test_stage_resume_skips_recompute(spark, tmp_path):
     assert m2["snapshot_id"] == m1["snapshot_id"]
     assert sorted(r["v"] for r in df2.collect()) == \
         sorted(r["v"] for r in df1.collect())
+    # resume is schema-transparent: no internal lineage columns leak
+    assert df2.columns == df1.columns == ["id", "v"]
 
     # changed params → new snapshot → recompute
     df3, m3 = log.run_stage(spark, "gen", builder, params={"n": 101})
