@@ -689,21 +689,26 @@ _O27 = "SELECT user_id, " + ", ".join(
 
 def _q28_tumbling_window(spark, sf):
     """Tumbling 1-hour time-window aggregation (batch shape of the
-    streaming windowed agg; date_trunc keeps wall-clock semantics)."""
+    streaming windowed agg). The window key is built from wall-clock
+    components (year/month/day/hour act directly on TIMESTAMP_NTZ), so
+    it is session-timezone independent — date_trunc would round-trip
+    through a TIMESTAMP cast and shift near DST transitions."""
     e = _t(spark, sf, "events")
-    return (e.groupBy(
-        F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("window_start"),
-        "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"),
-             F.round(F.sum(F.col("value") * 100.0)).cast("long")
-             .alias("value_c")))
+    win = F.format_string("%04d-%02d-%02d %02d:00:00",
+                          F.year("ts"), F.month("ts"),
+                          F.dayofmonth("ts"), F.hour("ts"))
+    return (e.groupBy(win.alias("window_start"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum(F.col("value") * 100.0)).cast("long")
+                 .alias("value_c")))
 
 
 _O28 = """
-SELECT date_trunc('hour', ts) AS window_start, event_type,
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS window_start,
+       event_type,
        COUNT(*) AS n_events,
        CAST(ROUND(SUM(value * 100.0)) AS BIGINT) AS value_c
-FROM events GROUP BY date_trunc('hour', ts), event_type
+FROM events GROUP BY 1, 2
 """
 
 
