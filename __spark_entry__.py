@@ -73,13 +73,21 @@ _POLY_SQL = (
 )
 
 
-def _nation_diamonds(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _nation_diamond_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(poly_id, cx, cy, r) — the single Python-side source of the
+    diamond formulas (SQL side: _POLY_SQL). Every consumer derives from
+    this frame so the two copies that must match are exactly one Python
+    + one SQL."""
     n = _t(spark, sf_dir, "nation")
     cx = ((F.col("n_nationkey") * 2971 + 1234) % 30000) / 100.0 - 150.0
     cy = ((F.col("n_nationkey") * 4231 + 567) % 13000) / 100.0 - 65.0
     r = F.lit(4.0) + (F.col("n_nationkey") % 7) * 3.0
-    base = n.select(F.col("n_nationkey").cast("long").alias("poly_id"),
+    return n.select(F.col("n_nationkey").cast("long").alias("poly_id"),
                     cx.alias("cx"), cy.alias("cy"), r.alias("r"))
+
+
+def _nation_diamonds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _nation_diamond_params(spark, sf_dir)
     ring = F.array(
         F.array(F.col("cx") + F.col("r"), F.col("cy")),
         F.array(F.col("cx"), F.col("cy") + F.col("r")),
@@ -453,13 +461,13 @@ def _q13_knn_kring(spark, sf):
 
 def _q14_coverage_rect(spark, sf):
     from kml2geojson_spark.spatial import cover_cells_rect
-    n = _t(spark, sf, "nation")
-    cx = ((F.col("n_nationkey") * 2971 + 1234) % 30000) / 100.0 - 150.0
-    cy = ((F.col("n_nationkey") * 4231 + 567) % 13000) / 100.0 - 65.0
-    r = F.lit(4.0) + (F.col("n_nationkey") % 7) * 3.0
-    rects = n.select(F.col("n_nationkey").cast("long").alias("rect_id"),
-                     (cx - r).alias("west"), (cy - r).alias("south"),
-                     (cx + r).alias("east"), (cy + r).alias("north"))
+    p = _nation_diamond_params(spark, sf)
+    rects = p.select(
+        F.col("poly_id").alias("rect_id"),
+        (F.col("cx") - F.col("r")).alias("west"),
+        (F.col("cy") - F.col("r")).alias("south"),
+        (F.col("cx") + F.col("r")).alias("east"),
+        (F.col("cy") + F.col("r")).alias("north"))
     return cover_cells_rect(rects, 6).select("rect_id", "cell_id", "fraction")
 
 
@@ -514,14 +522,20 @@ GROUP BY s_name
 """
 
 
-def _q16_cell_rollup(spark, sf):
-    from kml2geojson_spark.spatial import encode_points
-    from kml2geojson_spark.spatial.cells import cell_parent_col
+def _lineitem_points(spark, sf) -> DataFrame:
+    """(x, y) per lineitem row — single Python-side source of the point
+    formulas used by q16 and q49 (SQL side: the pts fragment in _o16 /
+    _o49)."""
     li = _t(spark, sf, "lineitem")
     x = ((F.col("l_orderkey") * 131 + F.col("l_linenumber") * 7 + 17) % 36000) / 100.0 - 180.0
     y = ((F.col("l_orderkey") * 241 + F.col("l_linenumber") * 11 + 29) % 17000) / 100.0 - 85.0
-    pts = li.select(x.alias("x"), y.alias("y"))
-    fine = encode_points(pts, 12)
+    return li.select(x.alias("x"), y.alias("y"))
+
+
+def _q16_cell_rollup(spark, sf):
+    from kml2geojson_spark.spatial import encode_points
+    from kml2geojson_spark.spatial.cells import cell_parent_col
+    fine = encode_points(_lineitem_points(spark, sf), 12)
     return (fine.withColumn("cell6", cell_parent_col(F.col("cell_id"), 6))
             .groupBy("cell6").agg(F.count(F.lit(1)).alias("n_points")))
 
@@ -545,11 +559,7 @@ def _q49_tile_pyramid(spark, sf):
     """Multi-resolution tile rollup: one encode at res 12, all coarser
     levels derived by parent bit-shift, one aggregate."""
     from kml2geojson_spark.spatial.ops import tile_pyramid
-    li = _t(spark, sf, "lineitem")
-    x = ((F.col("l_orderkey") * 131 + F.col("l_linenumber") * 7 + 17) % 36000) / 100.0 - 180.0
-    y = ((F.col("l_orderkey") * 241 + F.col("l_linenumber") * 11 + 29) % 17000) / 100.0 - 85.0
-    return tile_pyramid(li.select(x.alias("x"), y.alias("y")), 12,
-                        _PYRAMID_LEVELS)
+    return tile_pyramid(_lineitem_points(spark, sf), 12, _PYRAMID_LEVELS)
 
 
 def _o49() -> str:

@@ -85,6 +85,10 @@ def media_features(with_content: DataFrame, *, dim: int = 16) -> DataFrame:
             feats = []
             for blob in pdf["content"]:
                 arr = np.frombuffer(blob, dtype=np.uint8).astype(np.float32)
+                if len(arr) == 0:
+                    # empty payload (failed fetch): zero vector, not NaN
+                    feats.append([0.0] * dim)
+                    continue
                 pad = (-len(arr)) % dim
                 if pad:
                     arr = np.pad(arr, (0, pad))

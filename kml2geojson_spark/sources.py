@@ -28,15 +28,23 @@ from .datagen import pack_spans, spans_schema
 
 
 def read_kml_files(spark: SparkSession, path: str, *,
-                   pattern: str = "*.kml") -> DataFrame:
+                   pattern: str = "*.kml",
+                   doc_ids: str = "stem") -> DataFrame:
     """Distributed scan of raw KML files → spans table.
 
     ``binaryFile`` lists and reads files on executors (one task per
     file group); bytes are decoded utf-8 ``errors="ignore"`` exactly
     like the reference's reader (main.py:577-583), then packed into the
     interleaved span layout (text chunks + ``kind='media'`` spans for
-    icon hrefs). ``doc_id`` is the file stem.
+    icon hrefs).
+
+    ``doc_ids``: "stem" (file name without extension — human-friendly,
+    but files with the same stem in DIFFERENT directories collide) or
+    "path" (full file path — collision-free; use this for recursive
+    multi-directory scans).
     """
+    if doc_ids not in ("stem", "path"):
+        raise ValueError("doc_ids must be 'stem' or 'path'")
     files = (spark.read.format("binaryFile")
              .option("pathGlobFilter", pattern)
              .load(path)
@@ -44,12 +52,12 @@ def read_kml_files(spark: SparkSession, path: str, *,
 
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            doc_ids, spans = [], []
+            ids, spans = [], []
             for p, blob in zip(pdf["path"], pdf["content"]):
-                doc_ids.append(Path(p).stem)
+                ids.append(Path(p).stem if doc_ids == "stem" else p)
                 spans.append(pack_spans(bytes(blob).decode("utf-8",
                                                            "ignore")))
-            yield pd.DataFrame({"doc_id": doc_ids, "spans": spans})
+            yield pd.DataFrame({"doc_id": ids, "spans": spans})
 
     return files.mapInPandas(pack, spans_schema())
 
@@ -66,6 +74,7 @@ def convert_kml_dir(spark: SparkSession, input_path: str, output_dir: str, *,
     on the driver (matching the single-file reference CLI,
     cli.py:48-66). Returns all written paths.
     """
+    from .convert_core import disambiguate_names
     from .engine import convert_documents
     from .sinks import write_geojson_dir
 
@@ -74,7 +83,11 @@ def convert_kml_dir(spark: SparkSession, input_path: str, output_dir: str, *,
         docs, feature_collection_name=feature_collection_name,
         style_type=style_type, separate_folders=separate_folders)
     written: list[Path] = []
-    for row in converted.collect():
-        written.extend(write_geojson_dir(
-            row, Path(output_dir) / row["doc_id"]))
+    rows = sorted(converted.collect(), key=lambda r: r["doc_id"])
+    # same-stem files from different directories would collide on one
+    # output dir and silently overwrite — disambiguate like the CLI
+    # disambiguates layer stems
+    dirs = disambiguate_names([r["doc_id"] for r in rows])
+    for row, d in zip(rows, dirs):
+        written.extend(write_geojson_dir(row, Path(output_dir) / d))
     return written

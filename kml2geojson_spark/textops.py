@@ -196,6 +196,9 @@ def minhash_signatures(documents: DataFrame, *, n_hashes: int = 32,
     rng = np.random.default_rng(seed)
     A = rng.integers(1, MERSENNE, n_hashes, dtype=np.uint64)
     B = rng.integers(0, MERSENNE, n_hashes, dtype=np.uint64)
+    # output id column adopts the INPUT id type — a hardcoded 'long'
+    # would crash on string doc ids (e.g. datagen's 'doc-00000001')
+    id_type = documents.schema[id_col].dataType.simpleString()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         p = np.uint64(MERSENNE)
@@ -213,7 +216,7 @@ def minhash_signatures(documents: DataFrame, *, n_hashes: int = 32,
 
     return documents.select(F.col(id_col).alias(id_col),
                             F.col(text_col).alias(text_col)) \
-        .mapInPandas(run, "doc_id long, sig array<long>")
+        .mapInPandas(run, f"doc_id {id_type}, sig array<long>")
 
 
 def minhash_candidate_pairs(documents: DataFrame, *, n_hashes: int = 32,
@@ -266,6 +269,7 @@ def simhash_col_signatures(documents: DataFrame, *, bits: int = 64,
                            shingle: int = 4, seed: int = 7) -> DataFrame:
     """SimHash: per-doc 64-bit signature — sum of ±1 per bit over
     shingle hashes, sign → bit. numpy vectorized per doc."""
+    id_type = documents.schema["doc_id"].dataType.simpleString()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -285,7 +289,7 @@ def simhash_col_signatures(documents: DataFrame, *, bits: int = 64,
             yield pd.DataFrame({"doc_id": ids, "simhash": sigs})
 
     return documents.select("doc_id", "text") \
-        .mapInPandas(run, "doc_id long, simhash long")
+        .mapInPandas(run, f"doc_id {id_type}, simhash long")
 
 
 SIMHASH_BITS = 60  # 15 md5 hex chars → fits a signed 64-bit in both engines
@@ -379,12 +383,17 @@ def ngram_jaccard_pairs(documents: DataFrame, *, n: int = 3,
     n-gram: explode distinct n-grams, self-join on the gram, count
     shared per pair, |A∪B| = |A|+|B|-shared. Pure DataFrame ops —
     SQL-expressible (the DuckDB oracle runs the same algorithm)."""
-    grams = documents.select(
-        "doc_id",
-        F.explode(F.array_distinct(F.expr(
-            f"transform(sequence(1, greatest(length(text) - {n - 1}, 0)), "
-            f"i -> substring(text, i, {n}))"))).alias("gram"),
-    )
+    # texts shorter than n have NO grams: guard explicitly — Spark's
+    # sequence(1, 0) runs DESCENDING ([1, 0]) and would emit phantom
+    # whole-text "grams" that the SQL oracle (generate_series → empty)
+    # never produces
+    gram_arr = F.when(
+        F.length("text") >= n,
+        F.array_distinct(F.expr(
+            f"transform(sequence(1, length(text) - {n - 1}), "
+            f"i -> substring(text, i, {n}))"))
+    ).otherwise(F.array().cast("array<string>"))
+    grams = documents.select("doc_id", F.explode(gram_arr).alias("gram"))
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     a = grams.select(F.col("doc_id").alias("doc_a"), "gram")
     b = grams.select(F.col("doc_id").alias("doc_b"), "gram")

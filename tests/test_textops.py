@@ -217,3 +217,28 @@ def test_ivf_topk_recall(spark):
     a = {(r.query_id, r.neighbor_id) for r in approx.itertuples()}
     recall = len(e & a) / len(e)
     assert recall >= 0.9, f"IVF recall too low: {recall}"
+
+
+def test_ngram_jaccard_short_texts_no_phantom_grams(spark):
+    """Texts shorter than n must contribute NO grams (Spark sequence
+    runs descending when the range is empty — previously produced
+    phantom whole-text grams the SQL oracle never emits)."""
+    docs = spark.createDataFrame(
+        [(1, "abc"), (2, "abc"), (3, ""), (4, "abcdefghij"), (5, "abcdefghij")],
+        "doc_id long, text string")
+    got = {(r["doc_a"], r["doc_b"])
+           for r in ngram_jaccard_pairs(docs, n=8).collect()}
+    assert got == {(4, 5)}
+
+
+def test_minhash_string_doc_ids(spark):
+    """Signature ops adopt the input id type (string ids from the spans
+    corpus must not crash on a hardcoded long schema)."""
+    docs = spark.createDataFrame(
+        [("doc-a", "the quick brown fox " * 5),
+         ("doc-b", "the quick brown fox " * 5)],
+        "doc_id string, text string")
+    sigs = minhash_signatures(docs).collect()
+    assert {r["doc_id"] for r in sigs} == {"doc-a", "doc-b"}
+    sim = simhash_col_signatures(docs).collect()
+    assert {r["doc_id"] for r in sim} == {"doc-a", "doc-b"}

@@ -110,17 +110,7 @@ docs/s with exact golden-parity semantics.
 
 Reproduce: `python tools/scaling_bench.py {n_docs} {lo} {hi}`.
 
-## Scale probe (10x bench corpus)
-
-Same pipeline at 1,000,000 docs (10x the bench corpus, ~2.5 GB spans
-parquet, 32 cores): 49.0 s warm = 20,418 docs/s — per-doc cost FALLS at
-10x scale (fixed scheduling/JVM overheads amortize; the per-partition
-work is embarrassingly parallel), and tile invariants stay exact
-(21,686,865 point features; the res-8 grid's 61,952 occupied tiles
-saturate). Throughput is bounded by parse CPU, which partitions
-linearly — the 1000-executor extrapolation is limited by the final
-tile-count shuffle, which moves only pre-combined (cell_id, n) pairs
-(~2 orders of magnitude smaller than the input).
+See BENCH/SCALE_PROBE.md for the one-off 10x (1M-doc) scale probe.
 """)
     print("wrote BENCH/BASELINE.md")
 
