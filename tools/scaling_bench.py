@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import pathlib
+import time
 import subprocess
 import sys
 
@@ -33,8 +34,9 @@ cpus = int(sys.argv[1]); n_docs = int(sys.argv[2])
 spark = make_spark(cpus, app=f"scaling-{{cpus}}")
 spark.sparkContext.setLogLevel("ERROR")
 cold = run_kml_pipeline(spark, n_docs)
-warm = min((run_kml_pipeline(spark, n_docs) for _ in range(2)),
-           key=lambda r: r["sec"])
+runs = [run_kml_pipeline(spark, n_docs) for _ in range(3)]
+warm = min(runs, key=lambda r: r["sec"])
+warm["warm_runs_sec"] = [round(r["sec"], 2) for r in runs]
 warm["cold_sec"] = cold["sec"]
 warm["cpus"] = cpus
 print("RESULT " + json.dumps(warm))
@@ -59,9 +61,19 @@ def main() -> None:
     lo = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     hi = int(sys.argv[3]) if len(sys.argv) > 3 else 4 * lo
 
+    # interleave the levels and take each level's best: the host's
+    # sustained clock drifts over minutes, so measuring one level only
+    # while the package is cool (or only while hot) biases the ratio —
+    # alternating gives both levels a shot at every thermal state
     r_lo = run_level(lo, n_docs)
-    print(f"local[{lo}] :", json.dumps(r_lo))
     r_hi = run_level(hi, n_docs)
+    r_lo2 = run_level(lo, n_docs)
+    r_hi2 = run_level(hi, n_docs)
+    if r_lo2["docs_per_sec"] > r_lo["docs_per_sec"]:
+        r_lo = r_lo2
+    if r_hi2["docs_per_sec"] > r_hi["docs_per_sec"]:
+        r_hi = r_hi2
+    print(f"local[{lo}] :", json.dumps(r_lo))
     print(f"local[{hi}]:", json.dumps(r_hi))
 
     assert r_lo["n_tiles"] == r_hi["n_tiles"], \
@@ -84,9 +96,11 @@ pre-combined (cell_id, n) pairs cross the JVM boundary) → one small
 shuffle → exact feature + distinct-doc counts per tile.
 
 Sandbox stand-in for N→4N executors (north rule; task brief): the same
-job on the same input at `local[{lo}]` vs `local[{hi}]`, fresh JVM per
-level, warm-worker measurement (one untimed priming run; cold shown for
-reference). Level pair {lo}→{hi} chosen because the 32-core host's
+job on the same input at `local[{lo}]` vs `local[{hi}]` — fresh JVM per
+invocation, one untimed priming run then min-of-3 warm runs, and the
+two levels INTERLEAVED (lo, hi, lo, hi — best per level) because the
+host's sustained clock drifts over minutes and measuring one level only
+while the package is cool biases the ratio. Level pair {lo}→{hi} chosen because the 32-core host's
 sustained clock drops under full load (pure-CPU multiprocessing control:
 ~0.85 efficiency 4→16 vs ~0.67 at 8→32 for the same allocation-heavy
 parse) — a real 4N-executor cluster adds machines, not thermal load.
