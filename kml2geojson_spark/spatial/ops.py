@@ -589,3 +589,75 @@ def tile_pyramid(pts: DataFrame, base_res: int,
             .groupBy("level", "cell")
             .agg(F.count(F.lit(1)).alias("n_points"))
             .withColumnRenamed("cell", "cell_id"))
+
+
+def _dp_keep_mask(pts: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas–Peucker keep-mask (iterative, stack-based): endpoints
+    always kept; a point is kept when its distance to the current
+    simplification segment exceeds ``tol`` (segment-clipped distance —
+    every DROPPED point is within ``tol`` of the output chain)."""
+    n = len(pts)
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    tol2 = tol * tol
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        seg = pts[j] - pts[i]
+        seg_l2 = float(seg @ seg)
+        mid = pts[i + 1:j]
+        if seg_l2 == 0.0:
+            d2 = ((mid - pts[i]) ** 2).sum(axis=1)
+        else:
+            t = np.clip((mid - pts[i]) @ seg / seg_l2, 0.0, 1.0)
+            proj = pts[i] + t[:, None] * seg
+            d2 = ((mid - proj) ** 2).sum(axis=1)
+        k = int(np.argmax(d2))
+        if d2[k] > tol2:
+            keep[i + 1 + k] = True
+            stack.append((i, i + 1 + k))
+            stack.append((i + 1 + k, j))
+    return keep
+
+
+def simplify_lines(lines: DataFrame, tolerance: float, *,
+                   id_col: str = "line_id",
+                   coords_col: str = "coords") -> DataFrame:
+    """Geometry generalization for multi-resolution tiling: Douglas–
+    Peucker polyline simplification, numpy per line inside Arrow
+    batches (``mapInPandas`` — a narrow map, no shuffle; at 100 TB each
+    task simplifies its own partition's lines independently).
+
+    Guarantees (property-tested): output vertices are a subsequence of
+    the input with both endpoints kept; every dropped vertex lies
+    within ``tolerance`` of the simplified chain; applying the operator
+    to its own output is a fixpoint. Pair with :func:`tile_pyramid` —
+    coarser levels render simplified geometry at matched tolerance
+    (cell size).
+
+    Input coords: array<array<double>> (one [x, y] per vertex).
+    Output: (line_id, coords, n_in, n_out).
+    """
+    id_type = lines.schema[id_col].dataType.simpleString()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, outs, n_in, n_out = [], [], [], []
+            for line_id, coords in zip(pdf[id_col], pdf[coords_col]):
+                pts = np.asarray([c[:2] for c in coords], dtype=np.float64)
+                if len(pts) <= 2:
+                    kept = pts
+                else:
+                    kept = pts[_dp_keep_mask(pts, tolerance)]
+                ids.append(line_id)
+                outs.append(kept.tolist())
+                n_in.append(len(pts))
+                n_out.append(len(kept))
+            yield pd.DataFrame({id_col: ids, coords_col: outs,
+                                "n_in": n_in, "n_out": n_out})
+
+    return lines.select(id_col, coords_col).mapInPandas(
+        run, f"{id_col} {id_type}, {coords_col} array<array<double>>, "
+             "n_in int, n_out int")

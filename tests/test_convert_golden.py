@@ -226,3 +226,23 @@ def test_xml_eol_and_attribute_normalization(reference_module):
     assert f["properties"]["name"] == "a\nb"
     assert f["properties"]["description"] == "c\nd"
     assert f["id"] == "x y"
+
+
+def test_doctype_pi_entity_parity(reference_module):
+    """DOCTYPE declarations, processing instructions, and the five
+    named + numeric character entities parse identically to minidom."""
+    import xml.dom.minidom as md
+    from kml2geojson_spark.convert_core import build_feature_collection_dict
+    from kml2geojson_spark.kmlparse import parse_kml
+
+    kml = ('<?xml version="1.0" encoding="UTF-8"?>\n'
+           '<!DOCTYPE kml SYSTEM "kml21.dtd">\n'
+           '<?xml-stylesheet type="text/xsl" href="style.xsl"?>\n'
+           '<kml><Document><name>t&#65;il</name>'
+           '<Placemark><name>&quot;q&amp;a&apos; &lt;&gt; &#x4A;</name>'
+           '<Point><coordinates>1,2</coordinates></Point></Placemark>'
+           '</Document></kml>')
+    expect = reference_module.build_feature_collection(
+        md.parseString(kml), name="f")
+    got = build_feature_collection_dict(parse_kml(kml), name="f")
+    assert got == expect

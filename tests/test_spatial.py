@@ -306,3 +306,48 @@ def test_salted_join_rejects_outer_and_handles_key_only_probe(spark):
         salted_join(probe, build, "k", hot=[1], how="right")
     out = salted_join(probe, build, "k", hot=[1]).collect()
     assert sorted((r["k"], r["v"]) for r in out) == [(1, "a"), (1, "a"), (2, "b")]
+
+
+def test_simplify_lines_properties(spark):
+    """DP guarantees: subsequence w/ endpoints, dropped-vertex distance
+    <= tolerance, fixpoint; a straight line collapses to 2 points."""
+    import numpy as np
+    from kml2geojson_spark.spatial.ops import simplify_lines
+
+    rng = np.random.default_rng(17)
+    rows = [(0, [[float(i), 0.0] for i in range(50)])]   # straight
+    for lid in range(1, 8):
+        n = int(rng.integers(5, 60))
+        walk = np.cumsum(rng.standard_normal((n, 2)), axis=0)
+        rows.append((lid, walk.tolist()))
+    df = spark.createDataFrame(rows, "line_id long, coords array<array<double>>")
+    tol = 0.75
+    got = {r["line_id"]: r for r in simplify_lines(df, tol).collect()}
+
+    assert [list(map(round, p)) for p in got[0]["coords"]] == [[0, 0], [49, 0]]
+
+    def seg_dist(p, a, b):
+        a, b, p = map(np.asarray, (a, b, p))
+        seg = b - a
+        l2 = seg @ seg
+        t = 0.0 if l2 == 0 else float(np.clip((p - a) @ seg / l2, 0, 1))
+        return float(np.linalg.norm(p - (a + t * seg)))
+
+    for lid, coords in rows:
+        out = got[lid]["coords"]
+        assert out[0] == coords[0] and out[-1] == coords[-1]
+        # subsequence check
+        it = iter(coords)
+        assert all(any(c == o for c in it) for o in out)
+        # dropped points within tolerance of the simplified chain
+        for p in coords:
+            d = min(seg_dist(p, out[i], out[i + 1])
+                    for i in range(len(out) - 1))
+            assert d <= tol + 1e-9, (lid, p, d)
+    # fixpoint
+    again = {r["line_id"]: r["coords"] for r in
+             simplify_lines(spark.createDataFrame(
+                 [(k, v["coords"]) for k, v in got.items()],
+                 "line_id long, coords array<array<double>>"), tol).collect()}
+    for lid in got:
+        assert again[lid] == got[lid]["coords"]
