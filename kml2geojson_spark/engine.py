@@ -23,7 +23,6 @@ import json
 from typing import Iterator, Optional
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from pyspark.sql import DataFrame, functions as F

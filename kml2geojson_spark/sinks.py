@@ -15,8 +15,6 @@ from __future__ import annotations
 
 import json
 from pathlib import Path
-from typing import Optional
-
 from pyspark.sql import DataFrame, functions as F
 
 from .convert_core import disambiguate_names, sanitize_filename
