@@ -1003,6 +1003,22 @@ SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node
 """
 
 
+def _q51_hll_registers(spark, sf):
+    """HLL cardinality sketch with md5-derived (engine-portable)
+    hashing: the register table is bit-exact cross-engine while the
+    derived estimate keeps normal HLL accuracy (pytest checks it
+    against the exact distinct count)."""
+    from kml2geojson_spark.sketch import hll_registers
+    return hll_registers(_t(spark, sf, "lineitem"), "l_partkey",
+                         group_cols=["l_returnflag"], p=8)
+
+
+def _o51() -> str:
+    from kml2geojson_spark.sketch import hll_registers_sql
+    return hll_registers_sql("l_partkey", "lineitem",
+                             group_cols=["l_returnflag"], p=8)
+
+
 # -- similarity search ------------------------------------------------------
 
 
@@ -1152,6 +1168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_bpe_tokens": _q48_bpe_tokens,
         "q49_tile_pyramid": _q49_tile_pyramid,
         "q50_stratified_split": _q50_stratified_split,
+        "q51_hll_registers": _q51_hll_registers,
     }
 
 
@@ -1193,6 +1210,7 @@ def oracle_sql() -> dict[str, str]:
         "q48_bpe_tokens": _O48,
         "q49_tile_pyramid": _o49(),
         "q50_stratified_split": _O50,
+        "q51_hll_registers": _o51(),
         # q40/q41/q43/q44: rows-only (LSH/IVF candidate sets are
         # approximate by design — pytest measures recall vs the exact
         # baseline; media decode is stubbed). q42: the KML engine has no

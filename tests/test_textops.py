@@ -242,3 +242,22 @@ def test_minhash_string_doc_ids(spark):
     assert {r["doc_id"] for r in sigs} == {"doc-a", "doc-b"}
     sim = simhash_col_signatures(docs).collect()
     assert {r["doc_id"] for r in sim} == {"doc-a", "doc-b"}
+
+
+def test_hll_sketch_estimate_accuracy(spark):
+    """HLL registers are deterministic; the estimate lands within 3x
+    the standard error of the exact distinct count."""
+    from kml2geojson_spark.sketch import hll_estimate, hll_registers
+    df = spark.range(20000).selectExpr("id % 7 AS g", "CAST(id % 3137 AS LONG) AS v")
+    regs = hll_registers(df, "v", group_cols=["g"], p=10)
+    est = {r["g"]: r["estimate"]
+           for r in hll_estimate(regs, group_cols=["g"], p=10).collect()}
+    exact = {r["g"]: r["n"] for r in
+             df.groupBy("g").agg(F.countDistinct("v").alias("n")).collect()}
+    stderr = 1.04 / (1 << 10) ** 0.5
+    for g, n in exact.items():
+        assert abs(est[g] - n) <= 3 * stderr * n + 3, (g, est[g], n)
+    # determinism: same input -> identical registers
+    a = sorted(map(tuple, regs.collect()))
+    b = sorted(map(tuple, hll_registers(df, "v", group_cols=["g"], p=10).collect()))
+    assert a == b
