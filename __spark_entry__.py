@@ -1019,6 +1019,55 @@ def _o51() -> str:
                              group_cols=["l_returnflag"], p=8)
 
 
+def _q52_sampled_quantiles(spark, sf):
+    """Quantiles over a hash-deterministic sample: the same rows are
+    sampled on every engine/run, so the approximate statistic itself is
+    exactly reproducible (price integerized as cents)."""
+    from kml2geojson_spark.sketch import sampled_quantiles
+    o = _t(spark, sf, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100.0).cast("long")
+        .alias("price_cents"))
+    return sampled_quantiles(o, "price_cents",
+                             group_cols=["o_orderpriority"])
+
+
+_O52 = """
+WITH s AS (
+  SELECT o_orderpriority,
+         CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS price_cents
+  FROM orders
+  WHERE ('0x' || substr(md5(CAST(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)
+                             AS VARCHAR)), 1, 2))::BIGINT < 16),
+ranked AS (
+  SELECT o_orderpriority, price_cents,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY price_cents ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS cnt
+  FROM s)
+SELECT o_orderpriority, q, price_cents AS value
+FROM ranked CROSS JOIN (VALUES (0.25), (0.5), (0.75)) AS qs(q)
+WHERE rn = CAST(FLOOR(q * (cnt - 1)) AS BIGINT) + 1
+"""
+
+
+def _q53_keyword_search(spark, sf):
+    """Inverted-index keyword search: docs containing ALL query terms,
+    via token explode → posting-list join (the index-construction shape;
+    the oracle is the scan-side LIKE formulation)."""
+    from kml2geojson_spark.textops import keyword_search_all
+    return keyword_search_all(_t(spark, sf, "documents"),
+                              ["spark", "join", "window"])
+
+
+_O53 = """
+SELECT doc_id FROM documents
+WHERE ' ' || lower(text) || ' ' LIKE '% spark %'
+  AND ' ' || lower(text) || ' ' LIKE '% join %'
+  AND ' ' || lower(text) || ' ' LIKE '% window %'
+"""
+
+
 # -- similarity search ------------------------------------------------------
 
 
@@ -1169,6 +1218,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_tile_pyramid": _q49_tile_pyramid,
         "q50_stratified_split": _q50_stratified_split,
         "q51_hll_registers": _q51_hll_registers,
+        "q52_sampled_quantiles": _q52_sampled_quantiles,
+        "q53_keyword_search": _q53_keyword_search,
     }
 
 
@@ -1211,6 +1262,8 @@ def oracle_sql() -> dict[str, str]:
         "q49_tile_pyramid": _o49(),
         "q50_stratified_split": _O50,
         "q51_hll_registers": _o51(),
+        "q52_sampled_quantiles": _O52,
+        "q53_keyword_search": _O53,
         # q40/q41/q43/q44: rows-only (LSH/IVF candidate sets are
         # approximate by design — pytest measures recall vs the exact
         # baseline; media decode is stubbed). q42: the KML engine has no

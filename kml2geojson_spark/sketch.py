@@ -79,6 +79,56 @@ FROM br GROUP BY {key_grp}bucket
 """
 
 
+def deterministic_sample(df: DataFrame, value_col: str, *,
+                         rate_num: int = 1, rate_den: int = 16) -> DataFrame:
+    """Hash-deterministic row sample: keep rows whose md5 bucket of
+    ``value_col`` falls below rate_num/rate_den of the 8-bit space.
+
+    Unlike ``df.sample`` (RNG seeded per partition — changes with
+    partitioning), the SAME rows are selected on every engine, cluster
+    size, and run, so sampled-statistics pipelines (quantiles below)
+    are exactly reproducible and cross-engine verifiable. The price is
+    value-correlation: identical values are all in or all out —
+    appropriate for distinct-value statistics, not for row counts.
+    """
+    bucket = F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 1, 2),
+                    16, 10).cast("long")
+    return df.where(bucket < (256 * rate_num) // rate_den)
+
+
+def sampled_quantiles(df: DataFrame, value_col: str, *,
+                      group_cols: list[str] | None = None,
+                      quantiles: tuple[float, ...] = (0.25, 0.5, 0.75),
+                      rate_num: int = 1, rate_den: int = 16) -> DataFrame:
+    """Approximate per-group quantiles via the deterministic sample +
+    EXACT order statistics on the sample (lower order statistic:
+    rank = floor(q*(n-1)) + 1) — fully reproducible cross-engine,
+    unlike t-digest/GK sketches whose state depends on merge order.
+
+    Output: (group..., q, value) — one row per requested quantile.
+    """
+    from pyspark.sql import Window
+
+    keys = list(group_cols or [])
+    s = deterministic_sample(df, value_col, rate_num=rate_num,
+                             rate_den=rate_den)
+    w = Window.partitionBy(*keys).orderBy(F.col(value_col).asc())
+    ranked = (s.select(*keys, value_col)
+              .withColumn("_rn", F.row_number().over(w))
+              .withColumn("_cnt", F.count(F.lit(1)).over(
+                  Window.partitionBy(*keys))))
+    parts = []
+    for q in quantiles:
+        rank = F.floor(F.lit(q) * (F.col("_cnt") - 1)) + 1
+        parts.append(ranked.where(F.col("_rn") == rank)
+                     .select(*keys, F.lit(q).alias("q"),
+                             F.col(value_col).alias("value")))
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out
+
+
 def hll_estimate(registers: DataFrame, *,
                  group_cols: list[str] | None = None,
                  p: int = 8) -> DataFrame:

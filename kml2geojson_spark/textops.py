@@ -104,6 +104,29 @@ def stratified_split_counts(documents: DataFrame, *,
             .agg(F.count(F.lit(1)).alias("n_docs")))
 
 
+def keyword_search_all(documents: DataFrame, terms: list[str]) -> DataFrame:
+    """Documents containing ALL query terms as exact space-delimited
+    tokens — the inverted-index retrieval shape: explode distinct
+    tokens, keep only query terms (a tiny broadcast-able filter),
+    count distinct matched terms per doc, require all of them.
+
+    At scale the exploded (token, doc_id) table IS the inverted index —
+    materialize it partitioned by token and every subsequent query is a
+    posting-list merge instead of a corpus scan. Matches the scan-side
+    SQL ``' '||lower(text)||' ' LIKE '% term %'`` formulation exactly.
+    """
+    lowered = [t.lower() for t in terms]
+    toks = documents.select(
+        "doc_id",
+        F.explode(F.array_distinct(
+            F.split(F.lower(F.col("text")), " "))).alias("tok"))
+    return (toks.where(F.col("tok").isin(lowered))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") == len(lowered))
+            .select("doc_id"))
+
+
 def token_stats(documents: DataFrame) -> DataFrame:
     return documents.select(
         "doc_id",

@@ -261,3 +261,28 @@ def test_hll_sketch_estimate_accuracy(spark):
     a = sorted(map(tuple, regs.collect()))
     b = sorted(map(tuple, hll_registers(df, "v", group_cols=["g"], p=10).collect()))
     assert a == b
+
+
+def test_keyword_search_all_exact_tokens(spark):
+    from kml2geojson_spark.textops import keyword_search_all
+    docs = spark.createDataFrame(
+        [(1, "spark join window"), (2, "spark join"), (3, "spark, join window"),
+         (4, "SPARK JOIN WINDOW extra")],
+        "doc_id long, text string")
+    got = {r["doc_id"] for r in
+           keyword_search_all(docs, ["spark", "join", "window"]).collect()}
+    # doc 3: "spark," is not the token "spark"; doc 4: case-insensitive
+    assert got == {1, 4}
+
+
+def test_sampled_quantiles_deterministic(spark):
+    from kml2geojson_spark.sketch import sampled_quantiles
+    df = spark.range(5000).selectExpr("id % 3 AS g", "id AS v")
+    a = sorted(map(tuple, sampled_quantiles(
+        df, "v", group_cols=["g"]).collect()))
+    b = sorted(map(tuple, sampled_quantiles(
+        df.repartition(17), "v", group_cols=["g"]).collect()))
+    assert a == b and len(a) == 9  # 3 groups x 3 quantiles
+    # quantile values are roughly where they should be (uniform data)
+    for g, q, v in a:
+        assert abs(v / 5000.0 - q) < 0.12, (g, q, v)
