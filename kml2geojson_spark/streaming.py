@@ -215,3 +215,35 @@ def stream_sessionize(events: DataFrame, *, gap_minutes: int = 30,
                                  "n_events long"),
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.EventTimeTimeout))
+
+
+def stream_purchase_click_join(events: DataFrame, *,
+                               join_window_minutes: int = 60,
+                               watermark: str = "2 hours") -> DataFrame:
+    """Watermarked stream-stream join: each purchase event pairs with
+    the same user's click events from the preceding ``join_window``
+    (inner join; state for both sides is bounded by the watermark —
+    Spark drops buffered rows once they can no longer match). The
+    interval condition is what makes state finite: an unbounded
+    equi-join between two streams would buffer forever.
+
+    Output: (user_id, purchase_id, click_id, gap_us >= 0).
+    """
+    p = (events.where(F.col("event_type") == "purchase")
+         .select(F.col("user_id").alias("p_user"),
+                 F.col("event_id").alias("purchase_id"),
+                 F.col("ts").alias("p_ts"))
+         .withWatermark("p_ts", watermark))
+    c = (events.where(F.col("event_type") == "click")
+         .select(F.col("user_id").alias("c_user"),
+                 F.col("event_id").alias("click_id"),
+                 F.col("ts").alias("c_ts"))
+         .withWatermark("c_ts", watermark))
+    cond = ((F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") >= F.col("p_ts")
+               - F.expr(f"INTERVAL {join_window_minutes} MINUTES")))
+    gap = F.expr("timestampdiff(MICROSECOND, c_ts, p_ts)")
+    return (p.join(c, cond)
+            .select(F.col("p_user").alias("user_id"), "purchase_id",
+                    "click_id", gap.alias("gap_us")))

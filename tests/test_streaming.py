@@ -178,3 +178,44 @@ def test_stream_sessionize_late_event_does_not_regress(spark, tmp_path):
     # everything is ONE session (max true gap is 20 min < 30); nothing
     # may have been emitted as closed
     assert len(got) == 0
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Watermarked purchase-click stream-stream join equals the batch
+    interval join over a static directory processed as a stream."""
+    from pyspark.sql import functions as F
+    from kml2geojson_spark.streaming import (stream_events,
+                                             stream_purchase_click_join)
+
+    src = str(tmp_path / "ev4")
+    e = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+         .withColumn("ts", F.col("ts").cast("timestamp")))
+    e.write.parquet(src)
+
+    out = stream_purchase_click_join(stream_events(spark, src),
+                                     join_window_minutes=60)
+    q = (out.writeStream.format("memory").queryName("ssj_mem")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "jck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = spark.sql("SELECT * FROM ssj_mem").toPandas()
+
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts"))
+    c = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts"))
+    batch = (p.join(c, (F.col("p_user") == F.col("c_user"))
+                    & (F.col("c_ts") <= F.col("p_ts"))
+                    & (F.col("c_ts") >= F.col("p_ts")
+                       - F.expr("INTERVAL 60 MINUTES")))
+             .select(F.col("p_user").alias("user_id"), "purchase_id",
+                     "click_id")
+             .toPandas())
+    gk = ["user_id", "purchase_id", "click_id"]
+    assert len(got) == len(batch) > 0
+    assert (sorted(map(tuple, got[gk].values.tolist()))
+            == sorted(map(tuple, batch[gk].values.tolist())))
+    assert (got["gap_us"] >= 0).all()
