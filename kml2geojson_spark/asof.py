@@ -41,8 +41,9 @@ from __future__ import annotations
 import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import (BooleanType, ByteType, IntegerType, LongType,
-                               ShortType, StructField, StructType)
+from pyspark.sql.types import (BooleanType, ByteType, DoubleType, FloatType,
+                               IntegerType, LongType, ShortType, StructField,
+                               StructType)
 
 _INT_TYPES = (ByteType, IntegerType, LongType, ShortType)
 
@@ -68,9 +69,18 @@ def asof_join(left: DataFrame, right: DataFrame, *, key: str,
     out_fields = [StructField(f.name, f.dataType, f.nullable) for f in lfields]
     out_fields += [StructField(right_prefix + f.name, f.dataType, True)
                    for f in rfields if f.name != key]
-    schema = StructType(out_fields)
     lnames = [f.name for f in lfields]
     r_out = [right_prefix + n for n in rnames if n != key]
+    # float/double right columns lose NULL-vs-NaN across the Arrow →
+    # pandas boundary; companion null-flag columns carry the truth so
+    # a MATCHED right row's genuine NULL comes back as NULL, not NaN
+    r_float_cols = [right_prefix + f.name for f in rfields
+                    if f.name != key
+                    and isinstance(f.dataType, (DoubleType, FloatType))]
+    r_flags = {c: f"__isnull_{c}" for c in r_float_cols}
+    out_fields += [StructField(fl, BooleanType(), True)
+                   for fl in r_flags.values()]
+    schema = StructType(out_fields)
     r_int_cols = [right_prefix + f.name for f in rfields
                   if f.name != key and isinstance(f.dataType, _INT_TYPES)]
     r_bool_cols = [right_prefix + f.name for f in rfields
@@ -90,7 +100,9 @@ def asof_join(left: DataFrame, right: DataFrame, *, key: str,
     r_key = right_prefix + key
     left_b = left.withColumn("_asof_b", bucket)
     right_b = right.select(
-        *[F.col(n).alias(right_prefix + n) for n in rnames]
+        *[F.col(n).alias(right_prefix + n) for n in rnames],
+        *[F.col(c.removeprefix(right_prefix)).isNull().alias(fl)
+          for c, fl in r_flags.items()]
     ).withColumn("_asof_b",
                  F.pmod(F.hash(F.col(r_key)), F.lit(n_buckets)))
 
@@ -98,6 +110,8 @@ def asof_join(left: DataFrame, right: DataFrame, *, key: str,
         out = pdf.copy()
         for c in r_out:
             out[c] = None
+        for fl in r_flags.values():
+            out[fl] = None
         return out
 
     def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
@@ -105,14 +119,17 @@ def asof_join(left: DataFrame, right: DataFrame, *, key: str,
             return pd.DataFrame(columns=[f.name for f in out_fields])
         lpdf = lpdf.drop(columns=["_asof_b"])
         rpdf = rpdf.drop(columns=["_asof_b"])
-        # SQL semantics: NULL timestamps never satisfy r.ts <= l.ts —
-        # null-ts left rows pass through unmatched, null-ts right rows
-        # are dropped (merge_asof would raise on null merge keys)
-        null_l = lpdf[lpdf[left_ts].isna()]
-        lpdf = (lpdf[lpdf[left_ts].notna()]
+        # SQL semantics: NULL never equals NULL and never satisfies
+        # r.ts <= l.ts — left rows with a null key OR null timestamp
+        # pass through unmatched; right rows with either are dropped
+        # (pandas merge_asof would otherwise group NaN keys together
+        # and would raise on null on-keys)
+        l_bad = lpdf[left_ts].isna() | lpdf[key].isna()
+        null_l = lpdf[l_bad]
+        lpdf = (lpdf[~l_bad]
                 .sort_values(left_ts, kind="mergesort")
                 .reset_index(drop=True))
-        rpdf = (rpdf[rpdf[r_ts_col].notna()]
+        rpdf = (rpdf[rpdf[r_ts_col].notna() & rpdf[r_key].notna()]
                 .sort_values(r_sort, kind="mergesort")
                 .reset_index(drop=True))
         if len(lpdf) == 0:
@@ -131,18 +148,26 @@ def asof_join(left: DataFrame, right: DataFrame, *, key: str,
                                 ignore_index=True)
         for c in r_int_cols:
             out[c] = out[c].astype("Int64")
-        for c in r_bool_cols:
+        for c in r_bool_cols + list(r_flags.values()):
             out[c] = out[c].astype("boolean")
-        return out[lnames + r_out]
+        return out[lnames + r_out + list(r_flags.values())]
 
     joined = (left_b.groupBy("_asof_b").cogroup(right_b.groupBy("_asof_b"))
               .applyInPandas(merge, schema))
-    # NaN→NULL restore for unmatched rows: pandas fills float (and any
-    # non-nullable-dtype) right columns with NaN on misses; a miss is
-    # exactly "matched right ts is null", so nullify every other right
-    # column under that mask JVM-side
+    # NaN→NULL restore: pandas fills float right columns with NaN on
+    # unmatched rows (miss == matched right ts is null) AND turns a
+    # matched row's genuine NULL double into NaN — the companion flags
+    # disambiguate the latter
     miss = F.col(r_ts_col).isNull()
-    restored = [F.when(miss, F.lit(None)).otherwise(F.col(c)).alias(c)
-                if c != r_ts_col else F.col(c)
-                for c in r_out]
+    restored = []
+    for c in r_out:
+        if c == r_ts_col:
+            restored.append(F.col(c))
+        elif c in r_flags:
+            restored.append(
+                F.when(miss | F.col(r_flags[c]), F.lit(None))
+                .otherwise(F.col(c)).alias(c))
+        else:
+            restored.append(
+                F.when(miss, F.lit(None)).otherwise(F.col(c)).alias(c))
     return joined.select(*lnames, *restored)

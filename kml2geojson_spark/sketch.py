@@ -38,6 +38,9 @@ def hll_registers(df: DataFrame, value_col: str, *,
     if not 4 <= p <= 16:
         raise ValueError("p must be in [4, 16]")
     rem_bits = 60 - p
+    # COUNT(DISTINCT) semantics: NULLs contribute nothing (an unfiltered
+    # NULL would become a NULL-bucket register and distort the estimate)
+    df = df.where(F.col(value_col).isNotNull())
     h = F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 1, 15),
                16, 10).cast("long")
     bucket = F.shiftright(h, rem_bits).alias("bucket")
@@ -67,7 +70,7 @@ def hll_registers_sql(value_expr: str, table: str, *,
 WITH h AS (
   SELECT {key_sel}
          ('0x' || substr(md5(CAST({value_expr} AS VARCHAR)), 1, 15))::BIGINT AS h
-  FROM {table}),
+  FROM {table} WHERE {value_expr} IS NOT NULL),
 br AS (
   SELECT {key_sel}
          (h >> {rem_bits}) AS bucket,
@@ -91,9 +94,10 @@ def deterministic_sample(df: DataFrame, value_col: str, *,
     value-correlation: identical values are all in or all out —
     appropriate for distinct-value statistics, not for row counts.
     """
-    bucket = F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 1, 2),
-                    16, 10).cast("long")
-    return df.where(bucket < (256 * rate_num) // rate_den)
+    from .textops import md5_bucket_col
+
+    return df.where(
+        md5_bucket_col(F.col(value_col)) < (256 * rate_num) // rate_den)
 
 
 def sampled_quantiles(df: DataFrame, value_col: str, *,
@@ -104,6 +108,12 @@ def sampled_quantiles(df: DataFrame, value_col: str, *,
     EXACT order statistics on the sample (lower order statistic:
     rank = floor(q*(n-1)) + 1) — fully reproducible cross-engine,
     unlike t-digest/GK sketches whose state depends on merge order.
+
+    One pass: the ranked sample is computed once and every requested
+    quantile is matched via an exploded quantile array. Scale caveat:
+    with no ``group_cols`` the window is GLOBAL — the whole sample
+    lands in one partition, so keep ``rate_num/rate_den`` small enough
+    that the global sample fits one task, or supply group columns.
 
     Output: (group..., q, value) — one row per requested quantile.
     """
@@ -117,16 +127,12 @@ def sampled_quantiles(df: DataFrame, value_col: str, *,
               .withColumn("_rn", F.row_number().over(w))
               .withColumn("_cnt", F.count(F.lit(1)).over(
                   Window.partitionBy(*keys))))
-    parts = []
-    for q in quantiles:
-        rank = F.floor(F.lit(q) * (F.col("_cnt") - 1)) + 1
-        parts.append(ranked.where(F.col("_rn") == rank)
-                     .select(*keys, F.lit(q).alias("q"),
-                             F.col(value_col).alias("value")))
-    out = parts[0]
-    for p_ in parts[1:]:
-        out = out.unionByName(p_)
-    return out
+    q_arr = F.array(*[F.lit(float(q)) for q in quantiles])
+    return (ranked
+            .withColumn("q", F.explode(q_arr))
+            .where(F.col("_rn")
+                   == F.floor(F.col("q") * (F.col("_cnt") - 1)) + 1)
+            .select(*keys, "q", F.col(value_col).alias("value")))
 
 
 def hll_estimate(registers: DataFrame, *,

@@ -646,7 +646,17 @@ def simplify_lines(lines: DataFrame, tolerance: float, *,
         for pdf in batches:
             ids, outs, n_in, n_out = [], [], [], []
             for line_id, coords in zip(pdf[id_col], pdf[coords_col]):
-                pts = np.asarray([c[:2] for c in coords], dtype=np.float64)
+                # one NULL/ragged record must not abort a 100-TB job:
+                # emit it unsimplified-empty instead of raising
+                if coords is None:
+                    ids.append(line_id)
+                    outs.append([])
+                    n_in.append(0)
+                    n_out.append(0)
+                    continue
+                pts = np.asarray(
+                    [c[:2] for c in coords
+                     if c is not None and len(c) >= 2], dtype=np.float64)
                 if len(pts) <= 2:
                     kept = pts
                 else:

@@ -77,6 +77,15 @@ def bpe_token_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+def md5_bucket_col(col: F.Column) -> F.Column:
+    """Engine-portable 8-bit hash bucket (0..255): first 2 md5 hex
+    chars of the value's string form. The ONE definition shared by the
+    split assigner and the deterministic sampler — DuckDB equivalent:
+    ``('0x' || substr(md5(CAST(x AS VARCHAR)), 1, 2))::BIGINT``."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 2), 16, 10) \
+        .cast("long")
+
+
 def split_assign_col(id_col: F.Column, *, train_pct: int = 80,
                      val_pct: int = 10) -> F.Column:
     """Deterministic train/val/test assignment by content-independent
@@ -84,8 +93,7 @@ def split_assign_col(id_col: F.Column, *, train_pct: int = 80,
     runs, engines and cluster sizes (no RNG, no partition dependence) —
     the property a reproducible training-data split needs.
     """
-    bucket = F.conv(F.substring(F.md5(id_col.cast("string")), 1, 2), 16, 10) \
-        .cast("long")
+    bucket = md5_bucket_col(id_col)
     train_hi = 256 * train_pct // 100
     val_hi = train_hi + 256 * val_pct // 100
     return (F.when(bucket < train_hi, F.lit("train"))
@@ -113,9 +121,14 @@ def keyword_search_all(documents: DataFrame, terms: list[str]) -> DataFrame:
     At scale the exploded (token, doc_id) table IS the inverted index —
     materialize it partitioned by token and every subsequent query is a
     posting-list merge instead of a corpus scan. Matches the scan-side
-    SQL ``' '||lower(text)||' ' LIKE '% term %'`` formulation exactly.
+    SQL ``' '||lower(text)||' ' LIKE '% term %'`` formulation exactly
+    for SINGLE-token terms; phrases are rejected (a space-split token
+    can never equal a multi-word term).
     """
-    lowered = [t.lower() for t in terms]
+    lowered = sorted({t.lower() for t in terms})
+    if any(" " in t for t in lowered):
+        raise ValueError("terms must be single tokens (no spaces); "
+                         "phrase search needs positional postings")
     toks = documents.select(
         "doc_id",
         F.explode(F.array_distinct(

@@ -126,3 +126,25 @@ def test_asof_null_timestamps_and_double_nulls(spark):
     assert rows[3]["r_rid"] is None and rows[3]["r_score"] is None
     for r in rows.values():
         assert r["r_score"] is None or not math.isnan(r["r_score"])
+
+
+def test_asof_null_keys_and_matched_null_double(spark):
+    """NULL keys never match (SQL semantics) even against NULL-key
+    right rows; a MATCHED right row's genuine NULL double stays NULL
+    (not NaN)."""
+    import math
+    left = _mk(spark, [(1, None, pd.Timestamp("2024-01-02")),
+                       (2, 7, pd.Timestamp("2024-01-02"))],
+               ["lid", "k", "ts"])
+    right = _mk(spark, [(None, pd.Timestamp("2024-01-01"), 50, 1.5),
+                        (7, pd.Timestamp("2024-01-01"), 60, None)],
+                ["k", "ts", "rid", "score"])
+    rows = {r["lid"]: r for r in
+            asof_join(left, right, key="k", left_ts="ts",
+                      right_ts="ts").collect()}
+    assert len(rows) == 2
+    # NULL key: unmatched even though a NULL-key right row exists
+    assert rows[1]["r_rid"] is None and rows[1]["r_score"] is None
+    # matched row with genuinely NULL double: NULL, not NaN
+    assert rows[2]["r_rid"] == 60
+    assert rows[2]["r_score"] is None

@@ -351,3 +351,15 @@ def test_simplify_lines_properties(spark):
                  "line_id long, coords array<array<double>>"), tol).collect()}
     for lid in got:
         assert again[lid] == got[lid]["coords"]
+
+
+def test_simplify_lines_null_and_ragged(spark):
+    from kml2geojson_spark.spatial.ops import simplify_lines
+    rows = [(1, None), (2, [[1.0], [2.0, 3.0], [4.0, 5.0]]),
+            (3, [[0.0, 0.0], [5.0, 5.0]])]
+    df = spark.createDataFrame(
+        rows, "line_id long, coords array<array<double>>")
+    got = {r["line_id"]: r for r in simplify_lines(df, 0.5).collect()}
+    assert got[1]["n_in"] == 0 and got[1]["coords"] == []
+    assert got[2]["n_in"] == 2          # 1-element vertex dropped
+    assert got[3]["coords"] == [[0.0, 0.0], [5.0, 5.0]]

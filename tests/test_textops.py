@@ -286,3 +286,29 @@ def test_sampled_quantiles_deterministic(spark):
     # quantile values are roughly where they should be (uniform data)
     for g, q, v in a:
         assert abs(v / 5000.0 - q) < 0.12, (g, q, v)
+
+
+def test_keyword_search_duplicates_and_phrases(spark):
+    from kml2geojson_spark.textops import keyword_search_all
+    docs = spark.createDataFrame([(1, "spark join")], "doc_id long, text string")
+    got = {r["doc_id"] for r in
+           keyword_search_all(docs, ["spark", "Spark"]).collect()}
+    assert got == {1}  # duplicate terms collapse, not empty
+    import pytest
+    with pytest.raises(ValueError, match="single tokens"):
+        keyword_search_all(docs, ["new york"])
+
+
+def test_hll_ignores_nulls(spark):
+    from kml2geojson_spark.sketch import hll_estimate, hll_registers
+    df = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, None), (2, None)],
+        "g int, v int")
+    regs = hll_registers(df, "v", group_cols=["g"], p=8)
+    rows = regs.collect()
+    assert all(r["bucket"] is not None and r["max_rho"] is not None
+               for r in rows)
+    est = {r["g"]: r["estimate"]
+           for r in hll_estimate(regs, group_cols=["g"], p=8).collect()}
+    assert est.get(1) == 2      # small range: exact via linear counting
+    assert 2 not in est         # all-NULL group contributes no registers
