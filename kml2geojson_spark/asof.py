@@ -47,6 +47,10 @@ from pyspark.sql.types import (BooleanType, ByteType, DoubleType, FloatType,
 
 _INT_TYPES = (ByteType, IntegerType, LongType, ShortType)
 
+# internal column carrying the per-row "found a right match" truth from
+# pandas back to the JVM (type-independent, unlike ts-nullity inference)
+_MATCHED_FLAG = "__asof_matched"
+
 
 def asof_join(left: DataFrame, right: DataFrame, *, key: str,
               left_ts: str, right_ts: str,
@@ -71,6 +75,18 @@ def asof_join(left: DataFrame, right: DataFrame, *, key: str,
                    for f in rfields if f.name != key]
     lnames = [f.name for f in lfields]
     r_out = [right_prefix + n for n in rnames if n != key]
+    # fail fast on name collisions: a left column literally named like a
+    # prefixed right column (or the internal flag names) would make
+    # pd.merge_asof suffix the duplicates (_x/_y) and the column
+    # selection below raise KeyError inside a running task
+    collisions = (set(lnames) & set(r_out)) \
+        | ({_MATCHED_FLAG, "_asof_b"} & set(lnames)) \
+        | ({_MATCHED_FLAG, "_asof_b"} & set(r_out))
+    if collisions:
+        raise ValueError(
+            f"asof_join column collision: left columns {sorted(collisions)} "
+            f"clash with prefixed right columns / internal names; pick a "
+            f"different right_prefix or rename the left columns")
     # float/double right columns lose NULL-vs-NaN across the Arrow →
     # pandas boundary; companion null-flag columns carry the truth so
     # a MATCHED right row's genuine NULL comes back as NULL, not NaN
@@ -80,6 +96,10 @@ def asof_join(left: DataFrame, right: DataFrame, *, key: str,
     r_flags = {c: f"__isnull_{c}" for c in r_float_cols}
     out_fields += [StructField(fl, BooleanType(), True)
                    for fl in r_flags.values()]
+    # explicit match indicator: a miss must NOT be inferred from r_ts
+    # nullity — a float/double right_ts encodes the miss as NaN (not
+    # NULL) across the pandas boundary, which IS NULL would never see
+    out_fields.append(StructField(_MATCHED_FLAG, BooleanType(), False))
     schema = StructType(out_fields)
     r_int_cols = [right_prefix + f.name for f in rfields
                   if f.name != key and isinstance(f.dataType, _INT_TYPES)]
@@ -112,6 +132,7 @@ def asof_join(left: DataFrame, right: DataFrame, *, key: str,
             out[c] = None
         for fl in r_flags.values():
             out[fl] = None
+        out[_MATCHED_FLAG] = False
         return out
 
     def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
@@ -138,11 +159,18 @@ def asof_join(left: DataFrame, right: DataFrame, *, key: str,
             if len(rpdf) == 0:
                 out = _with_null_right(lpdf)
             else:
+                # constant True on the right side: after the merge its
+                # absence (NaN/None) marks the unmatched left rows —
+                # works for every right_ts type, incl. float/double
+                # where ts-nullity would see NaN instead of NULL
+                rpdf = rpdf.copy()
+                rpdf[_MATCHED_FLAG] = True
                 out = pd.merge_asof(lpdf, rpdf, left_on=left_ts,
                                     right_on=r_ts_col,
                                     left_by=key, right_by=r_key,
                                     direction="backward",
                                     allow_exact_matches=True)
+                out[_MATCHED_FLAG] = out[_MATCHED_FLAG].notna()
             if len(null_l):
                 out = pd.concat([out, _with_null_right(null_l)],
                                 ignore_index=True)
@@ -150,20 +178,20 @@ def asof_join(left: DataFrame, right: DataFrame, *, key: str,
             out[c] = out[c].astype("Int64")
         for c in r_bool_cols + list(r_flags.values()):
             out[c] = out[c].astype("boolean")
-        return out[lnames + r_out + list(r_flags.values())]
+        out[_MATCHED_FLAG] = out[_MATCHED_FLAG].astype("boolean").fillna(False)
+        return out[lnames + r_out + list(r_flags.values()) + [_MATCHED_FLAG]]
 
     joined = (left_b.groupBy("_asof_b").cogroup(right_b.groupBy("_asof_b"))
               .applyInPandas(merge, schema))
     # NaN→NULL restore: pandas fills float right columns with NaN on
-    # unmatched rows (miss == matched right ts is null) AND turns a
-    # matched row's genuine NULL double into NaN — the companion flags
-    # disambiguate the latter
-    miss = F.col(r_ts_col).isNull()
+    # unmatched rows AND turns a matched row's genuine NULL double into
+    # NaN — the explicit matched flag identifies misses (for every
+    # right_ts type, incl. float) and the companion per-column flags
+    # disambiguate genuine NULLs on matched rows
+    miss = ~F.col(_MATCHED_FLAG)
     restored = []
     for c in r_out:
-        if c == r_ts_col:
-            restored.append(F.col(c))
-        elif c in r_flags:
+        if c in r_flags:
             restored.append(
                 F.when(miss | F.col(r_flags[c]), F.lit(None))
                 .otherwise(F.col(c)).alias(c))

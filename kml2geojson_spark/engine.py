@@ -329,7 +329,16 @@ def tile_counts_from_parquet(spark, path: str, res: int) -> DataFrame:
     fewer rows than raw points, and no strings), so the exchange and
     the final aggregate are trivial. Result identical to
     ``_tile_agg(extract_points_from_parquet(spark, path), res)`` —
-    asserted in tests."""
+    asserted in tests.
+
+    Precondition: each document appears EXACTLY ONCE across the table's
+    files (the Iceberg layout invariant — one (doc_id, spans) row per
+    doc, never split or duplicated across data files). ``n_docs`` here
+    counts per-file document occurrences per cell (the doc_id string
+    never crosses the Arrow boundary); a doc_id duplicated across files
+    would inflate it relative to ``_tile_agg``'s countDistinct
+    semantics. Tables that cannot guarantee this must use the unfused
+    ``_tile_agg`` path."""
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for rb in _iter_file_doc_batches(batches):

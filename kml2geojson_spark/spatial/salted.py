@@ -77,8 +77,13 @@ def salted_join(probe: DataFrame, build: DataFrame, key: str, *,
     hash_cols = probe_hash_cols or [c for c in probe.columns if c != key]
     if not hash_cols:
         # key-only probe: no row content to hash — spread hot keys with
-        # a deterministic-per-partition row counter instead (stable
-        # under task retry, which replays the same partition)
+        # a per-partition row counter instead. Stable under plain task
+        # retry (which replays the same partition content), but NOT
+        # under upstream shuffle recomputation, where partition row
+        # order can change and with it the salt assignment: join RESULTS
+        # stay row-identical either way, only lineage-resume determinism
+        # of intermediate salt values is weakened. Callers needing full
+        # determinism should pass probe_hash_cols explicitly.
         hash_cols = None
         salt_src = F.pmod(F.monotonically_increasing_id(), F.lit(n_salt))
     else:

@@ -148,3 +148,36 @@ def test_asof_null_keys_and_matched_null_double(spark):
     # matched row with genuinely NULL double: NULL, not NaN
     assert rows[2]["r_rid"] == 60
     assert rows[2]["r_score"] is None
+
+
+def test_asof_float_timestamp_misses_are_null(spark):
+    """right_ts as a DOUBLE column: a miss reaches pandas as NaN (not
+    NULL), so miss detection must come from the explicit matched flag —
+    unmatched right doubles (including r_ts itself) must be true NULLs."""
+    import math
+    left = _mk(spark, [(1, 7, 5.0), (2, 7, 0.5), (3, 9, 3.0)],
+               ["lid", "k", "ts"])
+    right = _mk(spark, [(7, 1.0, 50, 1.5), (7, 4.0, 51, 2.5)],
+                ["k", "ts", "rid", "score"])
+    rows = {r["lid"]: r for r in
+            asof_join(left, right, key="k", left_ts="ts",
+                      right_ts="ts").collect()}
+    assert len(rows) == 3
+    assert rows[1]["r_rid"] == 51 and rows[1]["r_ts"] == 4.0
+    # left ts BEFORE any right ts: unmatched — every right col NULL
+    assert rows[2]["r_rid"] is None and rows[2]["r_ts"] is None
+    assert rows[2]["r_score"] is None
+    # key with no right rows at all: unmatched
+    assert rows[3]["r_rid"] is None and rows[3]["r_ts"] is None
+    for r in rows.values():
+        for c in ("r_ts", "r_score"):
+            assert r[c] is None or not math.isnan(r[c])
+
+
+def test_asof_column_collision_raises(spark):
+    """A left column named like a prefixed right column must be
+    rejected up front, not crash with KeyError inside a task."""
+    left = _mk(spark, [(1, 7, 1.0, 9)], ["lid", "k", "ts", "r_rid"])
+    right = _mk(spark, [(7, 1.0, 50)], ["k", "ts", "rid"])
+    with pytest.raises(ValueError, match="collision"):
+        asof_join(left, right, key="k", left_ts="ts", right_ts="ts")
