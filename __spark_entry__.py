@@ -1051,6 +1051,51 @@ WHERE rn = CAST(FLOOR(q * (cnt - 1)) AS BIGINT) + 1
 """
 
 
+def _q56_hll_estimate(spark, sf):
+    """HLL cardinality ESTIMATE (not just the registers): the harmonic
+    sum is integer-scaled, so the raw-branch estimate is bit-identical
+    cross-engine — the whole sketch→estimate path is oracle-verifiable."""
+    from kml2geojson_spark.sketch import hll_estimate, hll_registers
+    regs = hll_registers(_t(spark, sf, "lineitem"), "l_partkey",
+                         group_cols=["l_returnflag"], p=8)
+    return hll_estimate(regs, group_cols=["l_returnflag"], p=8)
+
+
+def _o56() -> str:
+    from kml2geojson_spark.sketch import hll_estimate_sql
+    return hll_estimate_sql("l_partkey", "lineitem",
+                            group_cols=["l_returnflag"], p=8)
+
+
+def _q57_global_quantiles(spark, sf):
+    """UNGROUPED quantiles — exercises the two-phase distributed order
+    statistics (range-partitioned cumulative counts + tiny offset
+    merge) instead of a single-task global window."""
+    from kml2geojson_spark.sketch import sampled_quantiles
+    o = _t(spark, sf, "orders").select(
+        F.round(F.col("o_totalprice") * 100.0).cast("long")
+        .alias("price_cents"))
+    return sampled_quantiles(o, "price_cents",
+                             quantiles=(0.1, 0.25, 0.5, 0.75, 0.9))
+
+
+_O57 = """
+WITH s AS (
+  SELECT CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS price_cents
+  FROM orders
+  WHERE ('0x' || substr(md5(CAST(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)
+                             AS VARCHAR)), 1, 2))::BIGINT < 16),
+ranked AS (
+  SELECT price_cents,
+         ROW_NUMBER() OVER (ORDER BY price_cents ASC) AS rn,
+         COUNT(*) OVER () AS cnt
+  FROM s)
+SELECT q, price_cents AS value
+FROM ranked CROSS JOIN (VALUES (0.1), (0.25), (0.5), (0.75), (0.9)) AS qs(q)
+WHERE rn = CAST(FLOOR(q * (cnt - 1)) AS BIGINT) + 1
+"""
+
+
 def _q53_keyword_search(spark, sf):
     """Inverted-index keyword search: docs containing ALL query terms,
     via token explode → posting-list join (the index-construction shape;
@@ -1220,6 +1265,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_hll_registers": _q51_hll_registers,
         "q52_sampled_quantiles": _q52_sampled_quantiles,
         "q53_keyword_search": _q53_keyword_search,
+        "q56_hll_estimate": _q56_hll_estimate,
+        "q57_global_quantiles": _q57_global_quantiles,
     }
 
 
@@ -1264,6 +1311,8 @@ def oracle_sql() -> dict[str, str]:
         "q51_hll_registers": _o51(),
         "q52_sampled_quantiles": _O52,
         "q53_keyword_search": _O53,
+        "q56_hll_estimate": _o56(),
+        "q57_global_quantiles": _O57,
         # q40/q41/q43/q44: rows-only (LSH/IVF candidate sets are
         # approximate by design — pytest measures recall vs the exact
         # baseline; media decode is stubbed). q42: the KML engine has no

@@ -103,17 +103,24 @@ def deterministic_sample(df: DataFrame, value_col: str, *,
 def sampled_quantiles(df: DataFrame, value_col: str, *,
                       group_cols: list[str] | None = None,
                       quantiles: tuple[float, ...] = (0.25, 0.5, 0.75),
-                      rate_num: int = 1, rate_den: int = 16) -> DataFrame:
+                      rate_num: int = 1, rate_den: int = 16,
+                      range_partitions: int | None = None) -> DataFrame:
     """Approximate per-group quantiles via the deterministic sample +
     EXACT order statistics on the sample (lower order statistic:
     rank = floor(q*(n-1)) + 1) — fully reproducible cross-engine,
     unlike t-digest/GK sketches whose state depends on merge order.
+    NULL values are excluded (SQL aggregate semantics).
 
-    One pass: the ranked sample is computed once and every requested
-    quantile is matched via an exploded quantile array. Scale caveat:
-    with no ``group_cols`` the window is GLOBAL — the whole sample
-    lands in one partition, so keep ``rate_num/rate_den`` small enough
-    that the global sample fits one task, or supply group columns.
+    Grouped: one windowed pass per group (each group is one window
+    partition — distributed across groups). Ungrouped: a global window
+    would funnel the whole sample through ONE task, so the global
+    quantiles run as two-phase distributed order statistics instead —
+    range-partition the distinct (value, count) pairs, per-partition
+    cumulative counts (window keyed by the range bucket), then merge
+    the ≤ ``range_partitions`` per-bucket totals into global rank
+    offsets (a window over that tiny frame) and probe the target ranks
+    with a broadcast join. No driver-side data collect; every stage
+    over sample-sized data runs with full parallelism.
 
     Output: (group..., q, value) — one row per requested quantile.
     """
@@ -121,7 +128,10 @@ def sampled_quantiles(df: DataFrame, value_col: str, *,
 
     keys = list(group_cols or [])
     s = deterministic_sample(df, value_col, rate_num=rate_num,
-                             rate_den=rate_den)
+                             rate_den=rate_den) \
+        .where(F.col(value_col).isNotNull())
+    if not keys:
+        return _global_quantiles(s, value_col, quantiles, range_partitions)
     w = Window.partitionBy(*keys).orderBy(F.col(value_col).asc())
     ranked = (s.select(*keys, value_col)
               .withColumn("_rn", F.row_number().over(w))
@@ -135,23 +145,124 @@ def sampled_quantiles(df: DataFrame, value_col: str, *,
             .select(*keys, "q", F.col(value_col).alias("value")))
 
 
+def _global_quantiles(s: DataFrame, value_col: str,
+                      quantiles: tuple[float, ...],
+                      range_partitions: int | None) -> DataFrame:
+    """Distributed global order statistics: per-range-bucket cumulative
+    counts + tiny offset merge. Phase data is lineage-truncated
+    (localCheckpoint) because the bucket ids must be IDENTICAL between
+    the offset computation and the rank probe — a recompute with
+    re-sampled range boundaries would silently corrupt ranks, so a lost
+    block fails loudly instead."""
+    from pyspark.sql import Window
+
+    spark = s.sparkSession
+    n_parts = range_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    vc = s.groupBy(value_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    ranked = (vc.repartitionByRange(n_parts, F.col(value_col).asc())
+              .withColumn("_pid", F.spark_partition_id())
+              .withColumn("_local_cum", F.sum("_cnt").over(
+                  Window.partitionBy("_pid")
+                  .orderBy(F.col(value_col).asc())))
+              .localCheckpoint(eager=True))
+    # ≤ n_parts rows: the only single-task window in the plan runs over
+    # this tiny frame, never over the sample itself
+    ptot = ranked.groupBy("_pid").agg(F.sum("_cnt").alias("_tot"))
+    w_off = (Window.orderBy(F.col("_pid").asc())
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offs = ptot.withColumn(
+        "_off", F.coalesce(F.sum("_tot").over(w_off), F.lit(0)))
+    q_arr = F.array(*[F.lit(float(q)) for q in quantiles])
+    targets = (offs.agg(F.coalesce(F.sum("_tot"), F.lit(0)).alias("_n"))
+               .select(F.explode(q_arr).alias("q"), "_n")
+               .withColumn("_r", F.floor(F.col("q")
+                                         * (F.col("_n") - 1)) + 1)
+               .where(F.col("_n") > 0))
+    out = (ranked.join(F.broadcast(offs.select("_pid", "_off")), "_pid")
+           .withColumn("_cum_end", F.col("_local_cum") + F.col("_off"))
+           .join(F.broadcast(targets),
+                 (F.col("_cum_end") - F.col("_cnt") < F.col("_r"))
+                 & (F.col("_r") <= F.col("_cum_end")))
+           .select("q", F.col(value_col).alias("value")))
+    return out
+
+
+def hll_std_error(p: int) -> float:
+    """Relative standard error of an HLL estimate with 2**p registers
+    (~1.04/sqrt(m)); the proper home of what used to ride along as a
+    DataFrame attribute (lost on any transformation)."""
+    return 1.04 / math.sqrt(1 << p)
+
+
 def hll_estimate(registers: DataFrame, *,
                  group_cols: list[str] | None = None,
                  p: int = 8) -> DataFrame:
     """Registers → cardinality estimate per group (standard HLL with
     linear-counting small-range correction). Missing buckets count as
-    rho=0."""
+    rho=0.
+
+    Bit-deterministic cross-engine: the harmonic sum Σ 2^-rho is
+    accumulated as the INTEGER Σ 2^(R-rho) (R = max rho = 61-p, fits
+    int64 for p ≥ 4) so the only float rounding is one int→double cast
+    + one division by 2^R — identical IEEE results regardless of row
+    order or engine, unlike a float sum whose value depends on
+    aggregation order. The raw-estimate branch is therefore exactly
+    reproducible (see :func:`hll_estimate_sql`); the linear-counting
+    branch uses ln(), whose last-ulp may differ across libm builds —
+    immaterial for the estimate, but oracle comparisons should use
+    cardinalities on the raw branch.
+    """
     m = 1 << p
-    alpha = 0.7213 / (1.0 + 1.079 / m)
+    rem_bits = 60 - p
+    r_max = rem_bits + 1
+    alpha_mm = 0.7213 / (1.0 + 1.079 / m) * m * m
     keys = list(group_cols or [])
     agg = registers.groupBy(*keys).agg(
-        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("_sum"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {r_max} - max_rho)"))
+        .alias("_isum"),
         F.count(F.lit(1)).alias("_nonzero"))
-    raw = F.lit(alpha * m * m) / (F.col("_sum") + (F.lit(m) - F.col("_nonzero")))
     zeros = F.lit(m) - F.col("_nonzero")
+    # missing buckets contribute 2^-0 = 1 each → 2^r_max in the scaled
+    # integer domain; the total stays < 2^62 for p >= 4
+    total = F.col("_isum") + zeros.cast("long") * F.lit(1 << r_max)
+    sumd = total.cast("double") / F.lit(float(1 << r_max))
+    raw = F.lit(alpha_mm) / sumd
     linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
     est = F.when((raw <= 2.5 * m) & (zeros > 0), linear).otherwise(raw)
-    out = agg.select(*keys, F.round(est).cast("long").alias("estimate"))
-    # document the constant for callers computing error bars
-    out._hll_std_error = 1.04 / math.sqrt(m)  # type: ignore[attr-defined]
-    return out
+    return agg.select(*keys, F.round(est).cast("long").alias("estimate"))
+
+
+def hll_estimate_sql(value_expr: str, table: str, *,
+                     group_cols: list[str] | None = None,
+                     p: int = 8) -> str:
+    """DuckDB oracle for ``hll_estimate(hll_registers(...))`` — the
+    identical integer-scaled arithmetic over the register CTE, so the
+    raw-branch estimate matches Spark bit-for-bit."""
+    m = 1 << p
+    rem_bits = 60 - p
+    r_max = rem_bits + 1
+    alpha_mm = 0.7213 / (1.0 + 1.079 / m) * m * m
+    keys = ", ".join(group_cols or [])
+    key_sel = f"{keys}, " if keys else ""
+    key_grp = f"GROUP BY {keys}" if keys else ""
+    regs = hll_registers_sql(value_expr, table, group_cols=group_cols, p=p)
+    return f"""
+WITH regs AS ({regs}),
+agg AS (
+  SELECT {key_sel}
+         SUM((1::BIGINT << ({r_max} - max_rho))) AS isum,
+         COUNT(*) AS nonzero
+  FROM regs {key_grp}),
+est AS (
+  SELECT {key_sel}
+         {alpha_mm!r} / (CAST(isum + ({m} - nonzero) * (1::BIGINT << {r_max})
+                              AS DOUBLE) / {float(1 << r_max)!r}) AS raw,
+         {m} - nonzero AS zeros
+  FROM agg)
+SELECT {key_sel}
+       CAST(ROUND(CASE WHEN raw <= {2.5 * m!r} AND zeros > 0
+                       THEN {float(m)!r} * ln({float(m)!r} / zeros)
+                       ELSE raw END) AS BIGINT) AS estimate
+FROM est
+"""

@@ -312,3 +312,56 @@ def test_hll_ignores_nulls(spark):
            for r in hll_estimate(regs, group_cols=["g"], p=8).collect()}
     assert est.get(1) == 2      # small range: exact via linear counting
     assert 2 not in est         # all-NULL group contributes no registers
+
+
+def test_global_quantiles_distributed_and_correct(spark):
+    """Ungrouped sampled_quantiles: two-phase order statistics — no
+    single-task window over the sample, same values as the windowed
+    formula, robust to input partitioning."""
+    from kml2geojson_spark.sketch import sampled_quantiles
+
+    df = spark.range(20000).selectExpr("id AS v")
+    out = sampled_quantiles(df, "v")
+    got = {r["q"]: r["value"] for r in out.collect()}
+
+    # reference: the same rank formula computed locally on the same
+    # deterministic sample
+    sample = sorted(
+        r["v"] for r in df.collect()
+        if int(__import__("hashlib").md5(str(r["v"]).encode())
+               .hexdigest()[:2], 16) < 16)
+    n = len(sample)
+    expect = {q: sample[int(q * (n - 1))] for q in (0.25, 0.5, 0.75)}
+    assert got == expect
+
+    # partitioning-invariant (range re-bucketing must not change values)
+    got2 = {r["q"]: r["value"]
+            for r in sampled_quantiles(df.repartition(17), "v").collect()}
+    assert got2 == got
+
+    # the ranked stage is genuinely distributed: the only windows in
+    # the plan are keyed by the range bucket (_pid) or run over the
+    # tiny per-bucket totals — never an unpartitioned window over the
+    # sample values themselves
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line and "_pid" not in line:
+            assert "_tot" in line or "_n" in line, line
+
+
+def test_global_quantiles_empty_and_nulls(spark):
+    from kml2geojson_spark.sketch import sampled_quantiles
+
+    empty = spark.range(0).selectExpr("id AS v")
+    assert sampled_quantiles(empty, "v").count() == 0
+
+    withnulls = spark.createDataFrame(
+        [(None,), (1,), (2,), (3,)], "v: long")
+    # nulls are excluded, not ranked first
+    rows = sampled_quantiles(withnulls, "v", rate_den=1).collect()
+    assert all(r["value"] is not None for r in rows)
+
+
+def test_hll_std_error_exposed():
+    from kml2geojson_spark.sketch import hll_std_error
+    assert abs(hll_std_error(8) - 1.04 / 16.0) < 1e-12
