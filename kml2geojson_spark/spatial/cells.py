@@ -76,6 +76,18 @@ def cell_encode_np(lon, lat, res: int) -> np.ndarray:
     return ((code << np.uint64(RES_BITS)) | np.uint64(res)).astype(np.int64)
 
 
+def cell_encode_grid_np(ix, iy, res: int) -> np.ndarray:
+    """Integer grid coords → int64 cell ids (skips the float→grid
+    conversion of :func:`cell_encode_np`; bit-identical for in-range
+    coords — callers guarantee 0 <= ix, iy < 2**res)."""
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be in [0, {MAX_RES}]")
+    gx = np.asarray(ix).astype(np.uint64)
+    gy = np.asarray(iy).astype(np.uint64)
+    code = (_spread_np(gx) << np.uint64(1)) | _spread_np(gy)
+    return ((code << np.uint64(RES_BITS)) | np.uint64(res)).astype(np.int64)
+
+
 def _compact_np(v: np.ndarray) -> np.ndarray:
     """Inverse of _spread_np: gather every other bit into the low half."""
     x = v & np.uint64(0x5555555555555555)

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 from .cells import (
     MAX_RES,
     cell_encode_col,
+    cell_encode_grid_np,
     cell_encode_np,
     cell_kring_np,
     cell_bounds_np,
@@ -130,7 +131,13 @@ def _clip_half(pts: np.ndarray, axis: int, bound: float, keep_le: bool) -> np.nd
 
 
 def _clip_area_rect(ring: np.ndarray, w: float, s: float, e: float, n: float) -> float:
-    """|area| of ring ∩ [w,e]×[s,n] (shoelace after 4 half-plane clips)."""
+    """|area| of ring ∩ [w,e]×[s,n] (shoelace after 4 half-plane clips).
+
+    Scalar reference implementation — production code runs the
+    vectorized :func:`_clip_areas_rect_many`; tests assert the two are
+    bit-identical. The shoelace is an IN-ORDER left-to-right fold
+    (matching the SQL oracle's list_reduce and the vectorized kernel),
+    not np.sum, whose pairwise summation reorders additions."""
     pts = ring
     pts = _clip_half(pts, 0, w, keep_le=False)
     pts = _clip_half(pts, 0, e, keep_le=True)
@@ -139,7 +146,100 @@ def _clip_area_rect(ring: np.ndarray, w: float, s: float, e: float, n: float) ->
     if len(pts) < 3:
         return 0.0
     x, y = pts[:, 0], pts[:, 1]
-    return abs(0.5 * np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+    terms = x * np.roll(y, -1) - np.roll(x, -1) * y
+    acc = 0.0
+    for t in terms:
+        acc = acc + t
+    return abs(0.5 * acc)
+
+
+def _clip_half_many(pts: np.ndarray, cnt: np.ndarray, axis: int,
+                    bounds: np.ndarray, keep_le: bool):
+    """Vectorized Sutherland–Hodgman over C polygons at once: ``pts``
+    is (C, M, 2) padded vertex storage with per-polygon counts ``cnt``,
+    ``bounds`` one half-plane bound per polygon. Emission order per
+    edge (kept vertex, then intersection) and the intersection formula
+    ``p + t*(q-p)`` with ``t = (bound-p)/(q-p)`` are exactly the scalar
+    :func:`_clip_half`'s — results are bit-identical."""
+    C, M, _ = pts.shape
+    if M == 0 or not cnt.any():
+        return pts[:, :0], np.zeros(C, dtype=np.int64)
+    idx = np.arange(M)
+    valid = idx[None, :] < cnt[:, None]
+    safe = np.maximum(cnt, 1)
+    nxt = np.where(idx[None, :] + 1 < safe[:, None], idx[None, :] + 1, 0)
+    vals_p = pts[:, :, axis]
+    vals_q = np.take_along_axis(vals_p, nxt, axis=1)
+    b = bounds[:, None]
+    inside_p = (vals_p <= b) if keep_le else (vals_p >= b)
+    inside_q = (vals_q <= b) if keep_le else (vals_q >= b)
+    keep_v = inside_p & valid
+    cross = (inside_p != inside_q) & valid
+    # interleaved emission slots per edge: (kept vertex, intersection)
+    mask = np.empty((C, 2 * M), dtype=bool)
+    mask[:, 0::2] = keep_v
+    mask[:, 1::2] = cross
+    new_cnt = mask.sum(axis=1).astype(np.int64)
+    new_m = int(new_cnt.max()) if C else 0
+    out = np.zeros((C, new_m, 2))
+    if new_m == 0:
+        return out, new_cnt
+    pos = mask.cumsum(axis=1)
+    pos -= 1
+    r0, k0 = np.nonzero(keep_v)
+    out[r0, pos[r0, 2 * k0]] = pts[r0, k0]
+    r1, k1 = np.nonzero(cross)
+    if len(r1):
+        # intersections computed SPARSELY, only at actual crossings,
+        # where the denominator is guaranteed nonzero (the endpoints
+        # straddle the bound)
+        p = pts[r1, k1]
+        q = pts[r1, nxt[r1, k1]]
+        t = (bounds[r1] - p[:, axis]) / (q[:, axis] - p[:, axis])
+        out[r1, pos[r1, 2 * k1 + 1]] = p + t[:, None] * (q - p)
+    return out, new_cnt
+
+
+def _shoelace_many(pts: np.ndarray, cnt: np.ndarray) -> np.ndarray:
+    """|shoelace area| per padded polygon, IN-ORDER left-to-right fold
+    (bit-matches the SQL oracle's list_reduce and the scalar path)."""
+    C, M, _ = pts.shape
+    if M == 0:
+        return np.zeros(C)
+    idx = np.arange(M)
+    valid = idx[None, :] < cnt[:, None]
+    safe = np.maximum(cnt, 1)
+    nxt = np.where(idx[None, :] + 1 < safe[:, None], idx[None, :] + 1, 0)
+    x, y = pts[:, :, 0], pts[:, :, 1]
+    xn = np.take_along_axis(x, nxt, axis=1)
+    yn = np.take_along_axis(y, nxt, axis=1)
+    terms = x * yn - xn * y
+    acc = np.zeros(C)
+    for j in range(M):
+        acc = acc + np.where(valid[:, j], terms[:, j], 0.0)
+    area = np.abs(0.5 * acc)
+    area[cnt < 3] = 0.0
+    return area
+
+
+def _clip_areas_rect_many(ring: np.ndarray, w: np.ndarray, s: np.ndarray,
+                          e: np.ndarray, n: np.ndarray) -> np.ndarray:
+    """|area| of ``ring`` ∩ [w_i,e_i]×[s_i,n_i] for many rectangles at
+    once — vectorized counterpart of the scalar
+    :func:`_clip_area_rect` (same clip sequence, intersection
+    arithmetic and in-order shoelace fold; bit-identical,
+    property-tested)."""
+    C = len(w)
+    m = len(ring)
+    if C == 0 or m < 3:
+        return np.zeros(C)
+    pts = np.broadcast_to(ring, (C, m, 2)).copy()
+    cnt = np.full(C, m, dtype=np.int64)
+    pts, cnt = _clip_half_many(pts, cnt, 0, w, keep_le=False)
+    pts, cnt = _clip_half_many(pts, cnt, 0, e, keep_le=True)
+    pts, cnt = _clip_half_many(pts, cnt, 1, s, keep_le=False)
+    pts, cnt = _clip_half_many(pts, cnt, 1, n, keep_le=True)
+    return _shoelace_many(pts, cnt)
 
 
 def _rings_to_np(rings) -> list[np.ndarray]:
@@ -148,6 +248,80 @@ def _rings_to_np(rings) -> list[np.ndarray]:
 
 
 POLY_COVER_SCHEMA = "poly_id long, cell_id long, fraction double"
+
+# cap on cells × vertices processed per vectorized chunk (bounds the
+# (C, M, 2, 2) clip scratch to ~1 GB worst-case well below that; the
+# typical chunk is far smaller)
+_COVER_CHUNK_CELLS_X_VERTS = 4_000_000
+
+
+def _bbox_grid(outer: np.ndarray, res: int):
+    """Grid-index ranges (ix0..ix1, iy0..iy1) of a ring's bbox at
+    ``res`` — the same float expressions as the SQL oracle."""
+    nn = float(1 << res)
+    hi = (1 << res) - 1
+    ix0 = int(np.clip(np.floor((outer[:, 0].min() + 180.0) / 360.0 * nn), 0, hi))
+    ix1 = int(np.clip(np.ceil((outer[:, 0].max() + 180.0) / 360.0 * nn) - 1, 0, hi))
+    iy0 = int(np.clip(np.floor((outer[:, 1].min() + 90.0) / 180.0 * nn), 0, hi))
+    iy1 = int(np.clip(np.ceil((outer[:, 1].max() + 90.0) / 180.0 * nn) - 1, 0, hi))
+    return ix0, ix1, iy0, iy1
+
+
+def _ring_cell_areas(ring: np.ndarray, gx: np.ndarray, gy: np.ndarray,
+                     cell_w: float, cell_h: float) -> np.ndarray:
+    """Clipped |area| of ``ring`` against every grid cell (gx × gy),
+    strip-decomposed: the two x clips run ONCE per column strip (cells
+    in a column share their w/e bounds — identical operation sequence,
+    so still bit-exact vs the scalar path), then only the much smaller
+    strip polygons are clipped per cell in y. Output is strip-major
+    (gx outer, gy inner)."""
+    nx, ny = len(gx), len(gy)
+    m = len(ring)
+    if nx == 0 or ny == 0 or m < 3:
+        return np.zeros(nx * ny)
+    w_strip = gx * cell_w - 180.0
+    pts = np.broadcast_to(ring, (nx, m, 2)).copy()
+    cnt = np.full(nx, m, dtype=np.int64)
+    pts, cnt = _clip_half_many(pts, cnt, 0, w_strip, keep_le=False)
+    pts, cnt = _clip_half_many(pts, cnt, 0, w_strip + cell_w, keep_le=True)
+    ms = max(pts.shape[1], 1)
+    s_col = gy * cell_h - 90.0
+    areas = np.empty(nx * ny)
+    strips_per_chunk = max(1, _COVER_CHUNK_CELLS_X_VERTS // (ms * ny))
+    for lo in range(0, nx, strips_per_chunk):
+        hi = min(nx, lo + strips_per_chunk)
+        k = hi - lo
+        cpts = np.repeat(pts[lo:hi], ny, axis=0)
+        ccnt = np.repeat(cnt[lo:hi], ny)
+        s_all = np.tile(s_col, k)
+        cpts, ccnt = _clip_half_many(cpts, ccnt, 1, s_all, keep_le=False)
+        cpts, ccnt = _clip_half_many(cpts, ccnt, 1, s_all + cell_h,
+                                     keep_le=True)
+        areas[lo * ny:hi * ny] = _shoelace_many(cpts, ccnt)
+    return areas
+
+
+def _cover_one(rings: list[np.ndarray], res: int, min_fraction: float):
+    """One polygon → (cell_ids, fractions) over its bbox cells at
+    ``res``, vectorized across all candidate cells (strip-decomposed,
+    chunked to bound memory)."""
+    nn = float(1 << res)
+    cell_w, cell_h = 360.0 / nn, 180.0 / nn
+    cell_area = cell_w * cell_h
+    outer = rings[0]
+    ix0, ix1, iy0, iy1 = _bbox_grid(outer, res)
+    gx = np.arange(ix0, ix1 + 1, dtype=np.int64)
+    gy = np.arange(iy0, iy1 + 1, dtype=np.int64)
+    area = _ring_cell_areas(outer, gx, gy, cell_w, cell_h)
+    for hole in rings[1:]:
+        area = area - _ring_cell_areas(hole, gx, gy, cell_w, cell_h)
+    frac = area / cell_area
+    keep = frac > min_fraction
+    if not keep.any():
+        return (np.empty(0, dtype=np.int64), np.empty(0))
+    gxx = np.repeat(gx, len(gy))
+    gyy = np.tile(gy, len(gx))
+    return (cell_encode_grid_np(gxx[keep], gyy[keep], res), frac[keep])
 
 
 def polygon_cover(polygons: DataFrame, res: int, *,
@@ -158,46 +332,37 @@ def polygon_cover(polygons: DataFrame, res: int, *,
     (Sutherland–Hodgman clip + shoelace; ring 0 is the outer ring,
     further rings are holes whose clipped area is subtracted).
 
-    numpy kernel in Arrow batches. Candidate cells per polygon are
-    bounded by the bbox at ``res`` — pick ``res`` so bbox_cells ≈
-    O(100..10k) per polygon; for planetary-scale polygons encode at a
-    coarser parent resolution and refine hierarchically (parent =
-    id >> 2) in a second pass.
+    numpy kernel in Arrow batches; the clip runs VECTORIZED across all
+    candidate cells of a polygon at once (``_clip_areas_rect_many``) —
+    no per-cell Python. Candidate cells per polygon are bounded by the
+    bbox at ``res`` — pick ``res`` so bbox_cells ≈ O(100..10k) per
+    polygon; for planetary-scale polygons encode at a coarser parent
+    resolution and refine hierarchically (parent = id >> 2) in a
+    second pass. Oracle-checked against a DuckDB Sutherland–Hodgman
+    formulation (driver q54) — the float arithmetic matches
+    operation-for-operation.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        nn = float(1 << res)
-        cell_w, cell_h = 360.0 / nn, 180.0 / nn
-        cell_area = cell_w * cell_h
-        hi = (1 << res) - 1
         for pdf in batches:
             pids, cids, fracs = [], [], []
             for pid, rings in zip(pdf[id_col], pdf[rings_col]):
                 rs = _rings_to_np(rings)
                 if not rs:
                     continue
-                outer = rs[0]
-                ix0 = int(np.clip(np.floor((outer[:, 0].min() + 180.0) / 360.0 * nn), 0, hi))
-                ix1 = int(np.clip(np.ceil((outer[:, 0].max() + 180.0) / 360.0 * nn) - 1, 0, hi))
-                iy0 = int(np.clip(np.floor((outer[:, 1].min() + 90.0) / 180.0 * nn), 0, hi))
-                iy1 = int(np.clip(np.ceil((outer[:, 1].max() + 90.0) / 180.0 * nn) - 1, 0, hi))
-                for iy in range(iy0, iy1 + 1):
-                    s = iy * cell_h - 90.0
-                    for ix in range(ix0, ix1 + 1):
-                        w = ix * cell_w - 180.0
-                        area = _clip_area_rect(outer, w, s, w + cell_w, s + cell_h)
-                        for hole in rs[1:]:
-                            area -= _clip_area_rect(hole, w, s, w + cell_w, s + cell_h)
-                        frac = area / cell_area
-                        if frac > min_fraction:
-                            cid = int(cell_encode_np(
-                                np.array([w + cell_w / 2]),
-                                np.array([s + cell_h / 2]), res)[0])
-                            pids.append(int(pid))
-                            cids.append(cid)
-                            fracs.append(frac)
-            yield pd.DataFrame({"poly_id": pids, "cell_id": cids,
-                                "fraction": fracs})
+                c, f = _cover_one(rs, res, min_fraction)
+                if len(c):
+                    pids.append(np.full(len(c), int(pid), dtype=np.int64))
+                    cids.append(c)
+                    fracs.append(f)
+            if pids:
+                yield pd.DataFrame({"poly_id": np.concatenate(pids),
+                                    "cell_id": np.concatenate(cids),
+                                    "fraction": np.concatenate(fracs)})
+            else:
+                yield pd.DataFrame({"poly_id": pd.Series([], dtype="int64"),
+                                    "cell_id": pd.Series([], dtype="int64"),
+                                    "fraction": pd.Series([], dtype="float64")})
 
     return polygons.select(F.col(id_col), F.col(rings_col)) \
         .mapInPandas(run, POLY_COVER_SCHEMA)
@@ -243,25 +408,69 @@ def pip_join(points: DataFrame, polygons: DataFrame, res: int, *,
              point_id: str = "point_id", x: str = "x", y: str = "y",
              poly_id: str = "poly_id", rings: str = "rings",
              broadcast_polygons: bool = True,
-             salt: Optional[int] = None) -> DataFrame:
+             salt: Optional[int] = None,
+             rings_distribution: str = "auto",
+             max_driver_rings: int = 20_000) -> DataFrame:
     """Ray-casting point-in-polygon join, bucketed by quadtree cell.
 
-    Plan shape: points get a cell id (codegen); polygons explode to
-    their bbox cover cells (numpy, tiny side); the candidate join is an
-    equi-join on ``cell_id`` — broadcast when the polygon side is a
-    dimension, hash otherwise (pass ``salt`` to route through the
-    explicitly-salted join for hot cells); the exact ray-cast filter
-    runs vectorized per Arrow batch against broadcast polygon rings.
+    Two plan shapes, chosen by ``rings_distribution``:
 
-    A point lives in exactly one cell, so candidate pairs are unique —
-    no post-join dedup shuffle.
+    - ``"driver"`` — polygons are a dimension table: rings are
+      collected once and broadcast; points get a cell id (codegen), the
+      candidate join is an equi-join on ``cell_id`` (broadcast when
+      ``broadcast_polygons``; pass ``salt`` to route hot cells through
+      the explicitly-salted join) and the ray-cast runs vectorized per
+      Arrow batch against the broadcast ring map. Zero shuffles of the
+      point side when the cover is broadcast. REFUSED above
+      ``max_driver_rings`` polygons — a driver collect must never sit
+      in a 100-TB hot path.
+    - ``"cogroup"`` — polygons at any scale: rings never touch the
+      driver. Each polygon's bbox cover cells are emitted WITH its
+      rings (executor-side ``mapInPandas``); points and covering
+      polygons are cogrouped per cell and ray-cast there. One shuffle
+      of each side on ``cell_id``; ring bytes are replicated only per
+      covering cell, never per point. ``salt`` splits hot cells'
+      points across ``salt`` cogroup keys (rings replicated per salt).
+    - ``"auto"`` (default) — one cheap count() on the polygon side
+      picks driver below ``max_driver_rings``, cogroup above.
+
+    A point lives in exactly one cell and a polygon covers a cell at
+    most once, so candidate pairs are unique — no post-join dedup
+    shuffle in either shape.
     """
+    if rings_distribution not in ("auto", "driver", "cogroup"):
+        raise ValueError(f"unknown rings_distribution {rings_distribution!r}")
     pts = encode_points(points.select(
         F.col(point_id).alias("point_id"), F.col(x).alias("x"),
         F.col(y).alias("y")), res)
+    polys = polygons.select(F.col(poly_id).alias("poly_id"),
+                            F.col(rings).alias("rings"))
 
-    cover = polygon_cover(polygons, res, id_col=poly_id, rings_col=rings,
-                          min_fraction=-1.0).select("poly_id", "cell_id")
+    if rings_distribution == "auto":
+        n_polys = polys.count()
+        rings_distribution = \
+            "driver" if n_polys <= max_driver_rings else "cogroup"
+    elif rings_distribution == "driver":
+        n_polys = polys.count()
+        if n_polys > max_driver_rings:
+            raise ValueError(
+                f"rings_distribution='driver' with {n_polys} polygons "
+                f"exceeds max_driver_rings={max_driver_rings}: collecting "
+                f"them would bottleneck the driver — use 'cogroup' (or "
+                f"raise the threshold explicitly)")
+
+    if rings_distribution == "cogroup":
+        return _pip_join_cogroup(pts, polys, res, salt)
+    return _pip_join_driver(pts, polys, res, broadcast_polygons, salt)
+
+
+def _pip_join_driver(pts: DataFrame, polys: DataFrame, res: int,
+                     broadcast_polygons: bool,
+                     salt: Optional[int]) -> DataFrame:
+    """Dimension-table shape: driver-broadcast ring map + candidate
+    equi-join (size-gated by the caller)."""
+    cover = polygon_cover(polys, res, min_fraction=-1.0) \
+        .select("poly_id", "cell_id")
 
     if salt:
         from .salted import salted_join
@@ -271,18 +480,15 @@ def pip_join(points: DataFrame, polygons: DataFrame, res: int, *,
     else:
         cand = pts.join(cover, "cell_id")
 
-    ring_rows = polygons.select(F.col(poly_id).alias("poly_id"),
-                                F.col(rings).alias("rings")).collect()
+    ring_rows = polys.collect()
     ring_map = {int(r["poly_id"]): _rings_to_np(r["rings"]) for r in ring_rows}
-    spark = points.sparkSession
-    bc = spark.sparkContext.broadcast(ring_map)
+    bc = pts.sparkSession.sparkContext.broadcast(ring_map)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rmap = bc.value
         for pdf in batches:
             if len(pdf) == 0:
-                yield pd.DataFrame({"point_id": [], "poly_id": []}).astype(
-                    {"point_id": "int64", "poly_id": "int64"})
+                yield _empty_pip()
                 continue
             keep_pt, keep_poly = [], []
             for pid, grp in pdf.groupby("poly_id"):
@@ -298,10 +504,113 @@ def pip_join(points: DataFrame, polygons: DataFrame, res: int, *,
                     "point_id": np.concatenate(keep_pt),
                     "poly_id": np.concatenate(keep_poly)})
             else:
-                yield pd.DataFrame({"point_id": [], "poly_id": []}).astype(
-                    {"point_id": "int64", "poly_id": "int64"})
+                yield _empty_pip()
 
     return cand.select("point_id", "x", "y", "poly_id").mapInPandas(run, _PIP_SCHEMA)
+
+
+def _empty_pip() -> pd.DataFrame:
+    return pd.DataFrame({"point_id": pd.Series([], dtype="int64"),
+                         "poly_id": pd.Series([], dtype="int64")})
+
+
+def _pip_join_cogroup(pts: DataFrame, polys: DataFrame, res: int,
+                      salt: Optional[int]) -> DataFrame:
+    """Any-scale shape: rings ride the cover rows to the executors and
+    meet their cell's points in a cogroup — no driver collect anywhere.
+    """
+    # bbox cover cells computed with PURE Column expressions (array
+    # min/max over the outer ring + sequence/explode + Morton encode):
+    # rings stay JVM-side until the single cogroup exchange — no Python
+    # round-trip of nested ring arrays in the cover stage
+    n = float(1 << res)
+    hi = (1 << res) - 1
+    cw, ch = 360.0 / n, 180.0 / n
+    outer = F.col("rings")[0]
+    xs = F.transform(outer, lambda v: v[0])
+    ys = F.transform(outer, lambda v: v[1])
+    ok = (F.size(F.col("rings")) >= 1) & (F.size(outer) >= 3)
+
+    def lo(c, off, ext):
+        return F.greatest(F.lit(0), F.least(F.lit(hi), F.floor(
+            (c + F.lit(off)) / F.lit(ext) * F.lit(n)).cast("long")))
+
+    def up(c, off, ext):
+        return F.greatest(F.lit(0), F.least(F.lit(hi), (F.ceil(
+            (c + F.lit(off)) / F.lit(ext) * F.lit(n)) - 1).cast("long")))
+
+    def seq(a, b):
+        # sequence(a, b) runs DESCENDING when a > b (degenerate bbox on
+        # a cell boundary) — empty range must drop the row instead
+        return F.when(b >= a, F.sequence(a, b)) \
+            .otherwise(F.array().cast("array<bigint>"))
+
+    # nested array<array<array<double>>> columns segfault pyspark's
+    # Arrow→pandas cogroup deserializer; ship the rings as two FLAT
+    # arrays instead (interleaved x,y coords + per-ring vertex counts),
+    # flattened JVM-side — flat arrays also convert much faster
+    coords = F.flatten(F.transform(
+        F.filter(F.flatten(F.col("rings")), lambda v: F.size(v) >= 2),
+        lambda v: F.slice(v, 1, 2)))
+    ringlens = F.transform(
+        F.col("rings"), lambda r: F.size(F.filter(r, lambda v: F.size(v) >= 2)))
+    cov = (polys.where(ok)
+           .withColumn("_ix", F.explode(seq(lo(F.array_min(xs), 180.0, 360.0),
+                                            up(F.array_max(xs), 180.0, 360.0))))
+           .withColumn("_iy", F.explode(seq(lo(F.array_min(ys), 90.0, 180.0),
+                                            up(F.array_max(ys), 90.0, 180.0))))
+           .withColumn("cell_id", cell_encode_col(
+               F.col("_ix") * F.lit(cw) - F.lit(180.0) + F.lit(cw / 2),
+               F.col("_iy") * F.lit(ch) - F.lit(90.0) + F.lit(ch / 2), res))
+           .select("poly_id", "cell_id", coords.alias("_coords"),
+                   ringlens.alias("_ringlens")))
+
+    keys = ["cell_id"]
+    if salt:
+        from .salted import hot_keys
+        hot = hot_keys(pts, "cell_id")
+        if hot:
+            pts = pts.withColumn(
+                "_salt",
+                F.when(F.col("cell_id").isin(hot),
+                       F.pmod(F.hash(F.col("point_id")), F.lit(salt)))
+                .otherwise(F.lit(0)).cast("int"))
+            cov = (cov.withColumn(
+                "_salt",
+                F.explode(F.when(F.col("cell_id").isin(hot),
+                                 F.sequence(F.lit(0), F.lit(salt - 1)))
+                          .otherwise(F.array(F.lit(0)))))
+                .withColumn("_salt", F.col("_salt").cast("int")))
+            keys = ["cell_id", "_salt"]
+
+    def raycast(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return _empty_pip()
+        px = lpdf["x"].to_numpy(np.float64)
+        py = lpdf["y"].to_numpy(np.float64)
+        pt_ids = lpdf["point_id"].to_numpy(np.int64)
+        keep_pt, keep_poly = [], []
+        for pid, flat, lens in zip(rpdf["poly_id"], rpdf["_coords"],
+                                   rpdf["_ringlens"]):
+            verts = np.asarray(flat, dtype=np.float64).reshape(-1, 2)
+            rs, off = [], 0
+            for ln in np.asarray(lens, dtype=np.int64):
+                ring = verts[off:off + ln]
+                off += ln
+                if len(ring) >= 3:
+                    rs.append(ring)
+            if not rs:
+                continue
+            mask = _raycast_np(px, py, rs)
+            keep_pt.append(pt_ids[mask])
+            keep_poly.append(np.full(int(mask.sum()), int(pid), dtype=np.int64))
+        if keep_pt:
+            return pd.DataFrame({"point_id": np.concatenate(keep_pt),
+                                 "poly_id": np.concatenate(keep_poly)})
+        return _empty_pip()
+
+    return (pts.groupby(*keys).cogroup(cov.groupby(*keys))
+            .applyInPandas(raycast, _PIP_SCHEMA))
 
 
 # ---------------------------------------------------------------------------

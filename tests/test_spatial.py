@@ -363,3 +363,106 @@ def test_simplify_lines_null_and_ragged(spark):
     assert got[1]["n_in"] == 0 and got[1]["coords"] == []
     assert got[2]["n_in"] == 2          # 1-element vertex dropped
     assert got[3]["coords"] == [[0.0, 0.0], [5.0, 5.0]]
+
+
+def test_clip_kernel_vectorized_bitexact_vs_scalar():
+    """The vectorized multi-cell clip must be BIT-identical to the
+    scalar Sutherland–Hodgman reference for arbitrary (non-convex)
+    rings — same emission order, intersection arithmetic, fold order."""
+    from kml2geojson_spark.spatial.ops import (_clip_area_rect,
+                                               _clip_areas_rect_many)
+    rng = np.random.default_rng(123)
+    for trial in range(30):
+        m = int(rng.integers(3, 40))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, m))
+        rad = rng.uniform(1.0, 10.0, m)
+        ring = np.column_stack([rad * np.cos(ang), rad * np.sin(ang)])
+        ring = np.vstack([ring, ring[:1]])  # closed
+        C = 25
+        w = rng.uniform(-12, 8, C)
+        s = rng.uniform(-12, 8, C)
+        e = w + rng.uniform(0.5, 6.0, C)
+        n = s + rng.uniform(0.5, 6.0, C)
+        vec = _clip_areas_rect_many(ring, w, s, e, n)
+        for i in range(C):
+            ref = _clip_area_rect(ring, w[i], s[i], e[i], n[i])
+            assert vec[i] == ref, (trial, i, vec[i], ref)
+
+
+def _big_poly_corpus(n_polys=5000, n_verts=64, n_pts=500, seed=99):
+    rng = np.random.default_rng(seed)
+    polys = []
+    for pid in range(n_polys):
+        cx, cy = rng.uniform(-60, 60), rng.uniform(-40, 40)
+        ang = np.sort(rng.uniform(0, 2 * np.pi, n_verts))
+        rad = rng.uniform(0.5, 2.5, n_verts)
+        xs = cx + rad * np.cos(ang)
+        ys = cy + rad * np.sin(ang)
+        ring = [[float(a), float(b)] for a, b in zip(xs, ys)]
+        ring.append(ring[0])
+        polys.append((pid, [ring]))
+    pts = pd.DataFrame({
+        "point_id": np.arange(n_pts, dtype=np.int64),
+        "x": rng.uniform(-62, 62, n_pts),
+        "y": rng.uniform(-42, 42, n_pts),
+    })
+    return pts, polys
+
+
+def test_pip_join_cogroup_large_polygon_table_no_driver_collect(
+        spark, monkeypatch):
+    """The scale path: a polygon table too large to sensibly collect.
+    Rings are distributed executor-side (cogroup per cell) — asserted
+    by making every DataFrame.collect raise for the whole job — and
+    the result equals the all-pairs brute-force ray-cast oracle."""
+    from pyspark.sql import DataFrame as SparkDF
+
+    pts, polys = _big_poly_corpus()
+    points_df = spark.createDataFrame(pts)
+    poly_df = spark.createDataFrame(
+        polys, "poly_id long, rings array<array<array<double>>>")
+
+    out = pip_join(points_df, poly_df, 7, rings_distribution="cogroup")
+
+    real_collect = SparkDF.collect
+
+    def _no_collect(self):
+        raise AssertionError("driver-side collect in the cogroup pip path")
+
+    monkeypatch.setattr(SparkDF, "collect", _no_collect)
+    try:
+        n = out.count()  # full execution with collect() banned
+    finally:
+        monkeypatch.setattr(SparkDF, "collect", real_collect)
+    got = {(r["point_id"], r["poly_id"]) for r in out.collect()}
+    assert len(got) == n
+    assert got == _pip_oracle(pts, polys)
+
+
+def test_pip_join_driver_mode_refuses_oversized_polygon_table(spark):
+    pts, polys = _big_poly_corpus(n_polys=300, n_pts=10)
+    points_df = spark.createDataFrame(pts)
+    poly_df = spark.createDataFrame(
+        polys, "poly_id long, rings array<array<array<double>>>")
+    with pytest.raises(ValueError, match="max_driver_rings"):
+        pip_join(points_df, poly_df, 7, rings_distribution="driver",
+                 max_driver_rings=100)
+    # auto mode silently takes the cogroup path instead
+    out = pip_join(points_df, poly_df, 7, max_driver_rings=100)
+    assert {(r["point_id"], r["poly_id"]) for r in out.collect()} \
+        == _pip_oracle(pts, polys)
+
+
+def test_pip_join_cogroup_salted_matches_unsalted(spark):
+    pts = _points_pdf()
+    polys = _polygons()
+    points_df = spark.createDataFrame(pts)
+    poly_df = spark.createDataFrame(
+        [(pid, rings) for pid, rings in polys],
+        "poly_id long, rings array<array<array<double>>>")
+    plain = pip_join(points_df, poly_df, 6, rings_distribution="cogroup")
+    salted = pip_join(points_df, poly_df, 6, rings_distribution="cogroup",
+                      salt=4)
+    a = {(r["point_id"], r["poly_id"]) for r in plain.collect()}
+    b = {(r["point_id"], r["poly_id"]) for r in salted.collect()}
+    assert a == b == _pip_oracle(pts, polys)
