@@ -459,6 +459,15 @@ def _q13_knn_kring(spark, sf):
             .withColumnRenamed("rank", "rk"))
 
 
+def _q55_knn_adaptive(spark, sf):
+    """Multi-resolution adaptive kNN — the no-magic-radius scale path;
+    must equal the exact brute-force oracle (same SQL as q12)."""
+    from kml2geojson_spark.spatial.ops import knn_join_adaptive
+    return (knn_join_adaptive(_customer_points(spark, sf),
+                              _supplier_queries(spark, sf), 5, res=6)
+            .withColumnRenamed("rank", "rk"))
+
+
 def _q14_coverage_rect(spark, sf):
     from kml2geojson_spark.spatial import cover_cells_rect
     p = _nation_diamond_params(spark, sf)
@@ -499,6 +508,85 @@ g AS (SELECT rect_id,
              gx, gy FROM ys)
 {_morton_ctes("rect_id, fraction", res, "g")}
 SELECT rect_id, cell_id, fraction FROM enc
+"""
+
+
+def _q54_polygon_cover(spark, sf):
+    """GENERAL polygon coverage fractions (the numpy Sutherland–
+    Hodgman kernel) against a DuckDB oracle that replays the identical
+    clip sequence (w→e→s→n half-planes, ``p + t*(q-p)`` intersections)
+    and in-order shoelace fold via list lambdas — fraction doubles
+    match bit-for-bit."""
+    from kml2geojson_spark.spatial import polygon_cover
+    return polygon_cover(_nation_diamonds(spark, sf), 6)
+
+
+def _sh_clip_sql(src_list: str, ax: str, bound: str, cmp: str) -> str:
+    """One Sutherland–Hodgman half-plane clip as a DuckDB list
+    expression: per edge emit the kept vertex then the intersection —
+    the same order and float arithmetic as ``_clip_half_many``."""
+    L = src_list
+    i_in = f"({L}[i].{ax} {cmp} ({bound}))"
+    j = f"((i % len({L})) + 1)"
+    j_in = f"({L}[{j}].{ax} {cmp} ({bound}))"
+    t = f"((({bound}) - {L}[i].{ax}) / ({L}[{j}].{ax} - {L}[i].{ax}))"
+    inter = (f"{{'x': {L}[i].x + {t} * ({L}[{j}].x - {L}[i].x), "
+             f"'y': {L}[i].y + {t} * ({L}[{j}].y - {L}[i].y)}}")
+    return (f"flatten(list_transform(range(1, len({L}) + 1), i -> "
+            f"(CASE WHEN {i_in} THEN [{L}[i]] ELSE [] END) || "
+            f"(CASE WHEN {i_in} != {j_in} THEN [{inter}] ELSE [] END)))")
+
+
+def _o54() -> str:
+    res = 6
+    n = float(1 << res)
+    hi = (1 << res) - 1
+    cw, ch = 360.0 / n, 180.0 / n
+    cell_area = cw * ch
+    clip_w = _sh_clip_sql("ring", "x", "w", ">=")
+    clip_e = _sh_clip_sql("c1.pts", "x", "w + {cw}".format(cw=repr(cw)), "<=")
+    clip_s = _sh_clip_sql("c2.pts", "y", "s", ">=")
+    clip_n = _sh_clip_sql("c3.pts", "y", "s + {ch}".format(ch=repr(ch)), "<=")
+    shoe_j = "((i % len(c4.pts)) + 1)"
+    terms = (f"list_transform(range(1, len(c4.pts) + 1), i -> "
+             f"c4.pts[i].x * c4.pts[{shoe_j}].y "
+             f"- c4.pts[{shoe_j}].x * c4.pts[i].y)")
+    return f"""
+WITH polys AS ({_POLY_SQL}),
+ring0 AS (
+  SELECT poly_id,
+         [{{'x': cx + r, 'y': cy}}, {{'x': cx, 'y': cy + r}},
+          {{'x': cx - r, 'y': cy}}, {{'x': cx, 'y': cy - r}},
+          {{'x': cx + r, 'y': cy}}] AS ring,
+         cx - r AS minx, cx + r AS maxx, cy - r AS miny, cy + r AS maxy
+  FROM polys),
+rng AS (
+  SELECT poly_id, ring,
+    CAST(GREATEST(0, LEAST({hi}, FLOOR((minx + 180.0) / 360.0 * {n}))) AS BIGINT) AS ix0,
+    CAST(GREATEST(0, LEAST({hi}, CEIL((maxx + 180.0) / 360.0 * {n}) - 1)) AS BIGINT) AS ix1,
+    CAST(GREATEST(0, LEAST({hi}, FLOOR((miny + 90.0) / 180.0 * {n}))) AS BIGINT) AS iy0,
+    CAST(GREATEST(0, LEAST({hi}, CEIL((maxy + 90.0) / 180.0 * {n}) - 1)) AS BIGINT) AS iy1
+  FROM ring0),
+xs AS (SELECT poly_id, ring, iy0, iy1,
+              unnest(generate_series(ix0, ix1)) AS gx FROM rng),
+cells AS (SELECT poly_id, ring, gx,
+                 unnest(generate_series(iy0, iy1)) AS gy FROM xs),
+wb AS (SELECT poly_id, ring, gx, gy,
+              gx * {cw!r} - 180.0 AS w, gy * {ch!r} - 90.0 AS s FROM cells),
+c1 AS MATERIALIZED (SELECT poly_id, gx, gy, w, s, {clip_w} AS pts FROM wb),
+c2 AS MATERIALIZED (SELECT poly_id, gx, gy, w, s, {clip_e} AS pts FROM c1),
+c3 AS MATERIALIZED (SELECT poly_id, gx, gy, w, s, {clip_s} AS pts FROM c2),
+c4 AS MATERIALIZED (SELECT poly_id, gx, gy, {clip_n} AS pts FROM c3),
+ar AS (
+  SELECT poly_id, gx, gy,
+         CASE WHEN len(c4.pts) >= 3
+              THEN abs(0.5 * list_reduce(list_prepend(0.0, {terms}),
+                                         (a, b) -> a + b))
+              ELSE 0.0 END / {cell_area!r} AS fraction
+  FROM c4),
+g AS (SELECT poly_id, fraction, gx, gy FROM ar WHERE fraction > 0.0)
+{_morton_ctes("poly_id, fraction", res, "g")}
+SELECT poly_id, cell_id, fraction FROM enc
 """
 
 
@@ -1265,6 +1353,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_hll_registers": _q51_hll_registers,
         "q52_sampled_quantiles": _q52_sampled_quantiles,
         "q53_keyword_search": _q53_keyword_search,
+        "q54_polygon_cover": _q54_polygon_cover,
+        "q55_knn_adaptive": _q55_knn_adaptive,
         "q56_hll_estimate": _q56_hll_estimate,
         "q57_global_quantiles": _q57_global_quantiles,
     }
@@ -1311,6 +1401,8 @@ def oracle_sql() -> dict[str, str]:
         "q51_hll_registers": _o51(),
         "q52_sampled_quantiles": _O52,
         "q53_keyword_search": _O53,
+        "q54_polygon_cover": _o54(),
+        "q55_knn_adaptive": _O12,  # adaptive must equal exact kNN
         "q56_hll_estimate": _o56(),
         "q57_global_quantiles": _O57,
         # q40/q41/q43/q44: rows-only (LSH/IVF candidate sets are
