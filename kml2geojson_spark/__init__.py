@@ -38,6 +38,7 @@ from .engine import (
     layer_feature_counts,
 )
 from .datagen import pack_spans, synthesize_documents_kml, spans_schema
+from . import compat  # reference-named drop-in API (kml2geojson v5.1.0)
 
 __version__ = "0.1.0"
 

@@ -414,11 +414,22 @@ def simhash_near_pairs(documents: DataFrame, *, max_hamming: int = 3,
 
 
 def ngram_jaccard_pairs(documents: DataFrame, *, n: int = 3,
-                        threshold: float = 0.0) -> DataFrame:
+                        threshold: float = 0.0,
+                        max_doc_freq: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard for all candidate pairs sharing at least one
     n-gram: explode distinct n-grams, self-join on the gram, count
     shared per pair, |A∪B| = |A|+|B|-shared. Pure DataFrame ops —
-    SQL-expressible (the DuckDB oracle runs the same algorithm)."""
+    SQL-expressible (the DuckDB oracle runs the same algorithm).
+
+    ``max_doc_freq`` drops grams appearing in more than that many
+    documents BEFORE the self-join — a single ubiquitous gram (a stop
+    phrase, boilerplate) otherwise contributes O(df²) candidate pairs,
+    the quadratic blowup that kills this join at 100 TB. The trade is
+    documented incompleteness: a pair sharing ONLY capped grams is not
+    emitted, and for emitted pairs ``n_shared``/``jaccard`` still count
+    ALL grams (sizes stay uncapped, shared counts only uncapped grams),
+    so ``jaccard`` is a lower bound. Leave None (default) for the
+    exact oracle-matched semantics."""
     # texts shorter than n have NO grams: guard explicitly — Spark's
     # sequence(1, 0) runs DESCENDING ([1, 0]) and would emit phantom
     # whole-text "grams" that the SQL oracle (generate_series → empty)
@@ -431,6 +442,15 @@ def ngram_jaccard_pairs(documents: DataFrame, *, n: int = 3,
     ).otherwise(F.array().cast("array<string>"))
     grams = documents.select("doc_id", F.explode(gram_arr).alias("gram"))
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    if max_doc_freq is not None:
+        # one extra aggregation on the gram key (map-side combinable),
+        # then a semi-join filter — far cheaper than the df² candidate
+        # pairs a hot gram would emit downstream
+        rare = (grams.groupBy("gram")
+                .agg(F.count(F.lit(1)).alias("_df"))
+                .where(F.col("_df") <= max_doc_freq)
+                .select("gram"))
+        grams = grams.join(rare, "gram", "left_semi")
     a = grams.select(F.col("doc_id").alias("doc_a"), "gram")
     b = grams.select(F.col("doc_id").alias("doc_b"), "gram")
     shared = (a.join(b, "gram").where(F.col("doc_a") < F.col("doc_b"))

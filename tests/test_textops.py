@@ -365,3 +365,27 @@ def test_global_quantiles_empty_and_nulls(spark):
 def test_hll_std_error_exposed():
     from kml2geojson_spark.sketch import hll_std_error
     assert abs(hll_std_error(8) - 1.04 / 16.0) < 1e-12
+
+
+def test_ngram_jaccard_doc_freq_cap(spark):
+    """max_doc_freq drops ubiquitous grams before the pair join: pairs
+    sharing only capped grams vanish; cap off matches exact output."""
+    from kml2geojson_spark.textops import ngram_jaccard_pairs
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat ran"), (3, "the dog ran"),
+         (4, "xyz the qqq")],
+        "doc_id long, text string")
+    exact = ngram_jaccard_pairs(docs, n=3).collect()
+    uncapped = ngram_jaccard_pairs(docs, n=3, max_doc_freq=None).collect()
+    assert sorted(map(tuple, exact)) == sorted(map(tuple, uncapped))
+    # "the" appears in all 4 docs -> capped at 3; doc 4 shares ONLY
+    # grams of "the " with the others, so its pairs disappear
+    capped = ngram_jaccard_pairs(docs, n=3, max_doc_freq=3).collect()
+    capped_pairs = {(r["doc_a"], r["doc_b"]) for r in capped}
+    exact_pairs = {(r["doc_a"], r["doc_b"]) for r in exact}
+    assert capped_pairs < exact_pairs
+    assert not any(4 in p for p in capped_pairs)
+    # emitted pairs: n_shared only counts uncapped grams (lower bound)
+    exact_map = {(r["doc_a"], r["doc_b"]): r["n_shared"] for r in exact}
+    for r in capped:
+        assert r["n_shared"] <= exact_map[(r["doc_a"], r["doc_b"])]
