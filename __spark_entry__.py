@@ -1257,6 +1257,24 @@ def _q40_minhash_pairs(spark, sf):
     return minhash_candidate_pairs(d, n_hashes=32, bands=8, shingle=5)
 
 
+def _q58_minhash_similarity(spark, sf):
+    """Estimated Jaccard over the LSH candidate pairs (rows-only: the
+    signatures are uint64 rolling-hash kernels with no tractable SQL
+    equivalent; pytest verifies the estimate tracks true Jaccard).
+    Output integerized as equal-signature-position counts."""
+    from kml2geojson_spark.textops import (minhash_candidate_pairs,
+                                           minhash_signatures,
+                                           minhash_similarity)
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
+    pairs = minhash_candidate_pairs(d, n_hashes=32, bands=8, shingle=5) \
+        .select("doc_a", "doc_b")
+    sigs = minhash_signatures(d, n_hashes=32, shingle=5)
+    out = minhash_similarity(pairs, sigs)
+    return out.select(
+        "doc_a", "doc_b",
+        F.round(F.col("est_jaccard") * 32).cast("long").alias("eq_positions"))
+
+
 def _q41_lsh_cosine_topk(spark, sf):
     from kml2geojson_spark.simsearch import hyperplane_lsh_topk
     emb = _t(spark, sf, "embeddings")
@@ -1357,6 +1375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_knn_adaptive": _q55_knn_adaptive,
         "q56_hll_estimate": _q56_hll_estimate,
         "q57_global_quantiles": _q57_global_quantiles,
+        "q58_minhash_similarity": _q58_minhash_similarity,
     }
 
 
@@ -1405,9 +1424,11 @@ def oracle_sql() -> dict[str, str]:
         "q55_knn_adaptive": _O12,  # adaptive must equal exact kNN
         "q56_hll_estimate": _o56(),
         "q57_global_quantiles": _O57,
-        # q40/q41/q43/q44: rows-only (LSH/IVF candidate sets are
+        # q40/q41/q43/q44/q58: rows-only (LSH/IVF candidate sets are
         # approximate by design — pytest measures recall vs the exact
-        # baseline; media decode is stubbed). q42: the KML engine has no
-        # faithful single-statement SQL equivalent (golden-parity pytest
-        # covers it against the reference fixtures).
+        # baseline; media decode is stubbed; minhash signatures are
+        # uint64 rolling-hash kernels with no tractable SQL form).
+        # q42: the KML engine has no faithful single-statement SQL
+        # equivalent (golden-parity pytest covers it against the
+        # reference fixtures).
     }

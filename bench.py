@@ -102,6 +102,74 @@ def run_kml_pipeline(spark, n_docs: int, res: int = 8) -> dict:
     }
 
 
+SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "1000000"))
+SCALE_COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "10"))
+
+
+def ensure_scaled_lineitem(spark, sf_dir: str, copies: int) -> str:
+    """10x-replicated lineitem (key-offset copies, deterministic,
+    materialized once via the lineage log) — the shuffle-heavy
+    relational bench input (~6M rows at sf0.1 x10 ≈ sf1)."""
+    from pyspark.sql import functions as F
+    from kml2geojson_spark.lineage import LineageLog
+
+    log = LineageLog(CORPUS_ROOT)
+
+    def build():
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        c = F.explode(F.array(*[F.lit(i) for i in range(copies)])).alias("_c")
+        return (li.select("*", c)
+                .withColumn("l_orderkey",
+                            F.col("l_orderkey")
+                            + F.col("_c").cast("long") * F.lit(1 << 40))
+                .drop("_c"))
+
+    _, manifest = log.run_stage(
+        spark, f"lineitem_x{copies}", build,
+        params={"sf_dir": sf_dir, "copies": copies})
+    sid = manifest["snapshot_id"]
+    return f"{CORPUS_ROOT}/lineitem_x{copies}/{sid}/data"
+
+
+def run_scaled_relational(spark, sf_dir: str, copies: int,
+                          timings: dict) -> None:
+    """Shuffle-heavy operators at ~sf1 row counts (10x lineitem):
+    regressions in exchange/agg plans show up here, not at sf0.1."""
+    from pyspark.sql import functions as F
+    from kml2geojson_spark.spatial import encode_points, salted_join, hot_keys
+    from kml2geojson_spark.spatial.cells import cell_parent_col
+
+    path = ensure_scaled_lineitem(spark, sf_dir, copies)
+    li = spark.read.parquet(path)
+
+    # res-12 encode + parent rollup over ~6M synthetic points
+    t0 = time.time()
+    x = ((F.col("l_orderkey") * 131 + F.col("l_linenumber") * 7 + 17)
+         % 36000) / 100.0 - 180.0
+    y = ((F.col("l_orderkey") * 241 + F.col("l_linenumber") * 11 + 29)
+         % 17000) / 100.0 - 85.0
+    pts = li.select(x.alias("x"), y.alias("y"))
+    fine = encode_points(pts, 12)
+    n = (fine.withColumn("cell6", cell_parent_col(F.col("cell_id"), 6))
+         .groupBy("cell6").agg(F.count(F.lit(1)).alias("n_points"))).count()
+    timings["x10_cell_rollup"] = round(time.time() - t0, 3)
+    if n == 0:
+        print("WARN: x10_cell_rollup returned 0 rows", file=sys.stderr)
+
+    # explicit skew-salted join + agg at 10x probe size
+    t0 = time.time()
+    s = (spark.read.parquet(f"{sf_dir}/supplier.parquet")
+         .select(F.col("s_suppkey").alias("l_suppkey"), "s_name"))
+    probe = li.select("l_suppkey", "l_quantity")
+    hot = hot_keys(probe, "l_suppkey", sample_fraction=0.02, min_share=0.005)
+    joined = salted_join(probe, s, "l_suppkey", n_salt=8, hot=hot)
+    n = (joined.groupBy("s_name")
+         .agg(F.sum("l_quantity").alias("q"))).count()
+    timings["x10_salted_join_agg"] = round(time.time() - t0, 3)
+    if n == 0:
+        print("WARN: x10_salted_join_agg returned 0 rows", file=sys.stderr)
+
+
 def run_suite(spark, sf_dir: str, n_docs: int) -> dict:
     import __spark_entry__ as entry_mod
 
@@ -136,6 +204,21 @@ def run_suite(spark, sf_dir: str, n_docs: int) -> dict:
         if n == 0:
             print(f"WARN: {name} returned 0 rows", file=sys.stderr)
 
+    # the RECORDED scale numbers (not a one-off probe): the headline
+    # pipeline at 10x docs and shuffle-heavy relational ops at 10x rows
+    scale = {}
+    if SCALE_DOCS:
+        big = run_kml_pipeline(spark, SCALE_DOCS)
+        timings["kml_parse_tile_pipeline_10x"] = round(big["sec"], 3)
+        scale = {
+            "scale_docs": big["n_docs"],
+            "scale_docs_per_sec": round(big["docs_per_sec"], 1),
+            "scale_point_features": big["total_point_features"],
+            "scale_n_tiles": big["n_tiles"],
+        }
+    if SCALE_COPIES:
+        run_scaled_relational(spark, sf_dir, SCALE_COPIES, timings)
+
     total = round(sum(timings.values()), 3)
     return {
         "metric": "kml-convert+tile pipeline and operator suite wall time",
@@ -147,6 +230,7 @@ def run_suite(spark, sf_dir: str, n_docs: int) -> dict:
         "docs_per_sec": round(pipeline["docs_per_sec"], 1),
         "total_point_features": pipeline["total_point_features"],
         "n_tiles": pipeline["n_tiles"],
+        **scale,
     }
 
 
