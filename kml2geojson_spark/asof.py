@@ -75,18 +75,6 @@ def asof_join(left: DataFrame, right: DataFrame, *, key: str,
                    for f in rfields if f.name != key]
     lnames = [f.name for f in lfields]
     r_out = [right_prefix + n for n in rnames if n != key]
-    # fail fast on name collisions: a left column literally named like a
-    # prefixed right column (or the internal flag names) would make
-    # pd.merge_asof suffix the duplicates (_x/_y) and the column
-    # selection below raise KeyError inside a running task
-    collisions = (set(lnames) & set(r_out)) \
-        | ({_MATCHED_FLAG, "_asof_b"} & set(lnames)) \
-        | ({_MATCHED_FLAG, "_asof_b"} & set(r_out))
-    if collisions:
-        raise ValueError(
-            f"asof_join column collision: left columns {sorted(collisions)} "
-            f"clash with prefixed right columns / internal names; pick a "
-            f"different right_prefix or rename the left columns")
     # float/double right columns lose NULL-vs-NaN across the Arrow →
     # pandas boundary; companion null-flag columns carry the truth so
     # a MATCHED right row's genuine NULL comes back as NULL, not NaN
@@ -94,6 +82,20 @@ def asof_join(left: DataFrame, right: DataFrame, *, key: str,
                     if f.name != key
                     and isinstance(f.dataType, (DoubleType, FloatType))]
     r_flags = {c: f"__isnull_{c}" for c in r_float_cols}
+    # fail fast on name collisions: a left column literally named like a
+    # prefixed right column (or any internal name — the match flag, the
+    # bucket, or a per-column null flag) would make pd.merge_asof
+    # suffix the duplicates (_x/_y) / duplicate schema fields and crash
+    # inside a running task instead of up front
+    internal = {_MATCHED_FLAG, "_asof_b", *r_flags.values()}
+    collisions = (set(lnames) & (set(r_out) | internal)) \
+        | (set(r_out) & internal)
+    if collisions:
+        raise ValueError(
+            f"asof_join column collision: columns {sorted(collisions)} "
+            f"clash between the left side, prefixed right columns, and "
+            f"internal names; pick a different right_prefix or rename "
+            f"the colliding columns")
     out_fields += [StructField(fl, BooleanType(), True)
                    for fl in r_flags.values()]
     # explicit match indicator: a miss must NOT be inferred from r_ts

@@ -22,9 +22,10 @@ engine entry points live in :mod:`kml2geojson_spark.engine`.
 from __future__ import annotations
 
 import pathlib
+import re
 from typing import Optional
 
-from .constants import STYLE_TYPES
+from .constants import GEOTYPES, SPACE, STYLE_TYPES
 from .convert_core import (
     build_feature_collection_dict,
     build_feature_dict,
@@ -42,6 +43,7 @@ from .convert_core import (
 from .kmlparse import Element, parse_kml
 
 __all__ = [
+    "GEOTYPES", "SPACE", "STYLE_TYPES",
     "get", "get1", "attr", "val", "valf", "numarray",
     "coords1", "coords", "gx_coords1", "gx_coords",
     "disambiguate", "to_filename", "build_rgb_and_opacity",
@@ -186,7 +188,13 @@ def convert(kml_path_or_buffer, feature_collection_name: Optional[str] = None,
         kml_str = kml_path_or_buffer.read()
         kml_path_or_buffer.close()
         if isinstance(kml_str, bytes):
-            kml_str = kml_str.decode("utf-8", errors="ignore")
+            # honor the XML prolog's encoding declaration (the
+            # reference hands raw bytes to md.parseString, which does
+            # the same) before falling back to UTF-8
+            m = re.search(rb'encoding=["\']([A-Za-z0-9._-]+)["\']',
+                          kml_str[:200])
+            enc = m.group(1).decode("ascii") if m else "utf-8"
+            kml_str = kml_str.decode(enc, errors="ignore")
 
     if style_type is not None and style_type not in STYLE_TYPES:
         raise ValueError(f"style type must be one of {STYLE_TYPES}")

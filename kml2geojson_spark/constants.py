@@ -5,6 +5,8 @@ the atomic KML geometry tag names scanned in fixed order (which determines
 multi-geometry output grouping), and the supported style flavors.
 """
 
+import re
+
 # Atomic geometry tags, scanned in THIS order — a placemark containing
 # mixed types emits geometries grouped by type in this order, not in
 # document order (reference main.py:355-359).
@@ -15,6 +17,10 @@ GEOTYPES = ("Polygon", "LineString", "Point", "Track", "gx:Track")
 MULTI_CONTAINERS = ("MultiGeometry", "MultiTrack", "gx:MultiTrack")
 
 STYLE_TYPES = ("svg", "leaflet")
+
+# Whitespace-run pattern used by the coordinate tokenizer — exported for
+# reference-name parity (main.py:24).
+SPACE = re.compile(r"\s+")
 
 # Key vocabularies for the two style flavors. One parameterized builder
 # replaces the reference's two near-identical walkers

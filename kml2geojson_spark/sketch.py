@@ -160,12 +160,17 @@ def _global_quantiles(s: DataFrame, value_col: str,
     n_parts = range_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32"))
     vc = s.groupBy(value_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    # eager=False defers the shuffle + window materialization to the
+    # caller's first action (both consumers below then read the same
+    # checkpointed blocks, and the range boundaries — fixed once at RDD
+    # construction — stay consistent between them); note construction
+    # still runs repartitionByRange's small boundary-sampling job
     ranked = (vc.repartitionByRange(n_parts, F.col(value_col).asc())
               .withColumn("_pid", F.spark_partition_id())
               .withColumn("_local_cum", F.sum("_cnt").over(
                   Window.partitionBy("_pid")
                   .orderBy(F.col(value_col).asc())))
-              .localCheckpoint(eager=True))
+              .localCheckpoint(eager=False))
     # ≤ n_parts rows: the only single-task window in the plan runs over
     # this tiny frame, never over the sample itself
     ptot = ranked.groupBy("_pid").agg(F.sum("_cnt").alias("_tot"))

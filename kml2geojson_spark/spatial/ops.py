@@ -133,8 +133,8 @@ def _clip_half(pts: np.ndarray, axis: int, bound: float, keep_le: bool) -> np.nd
 def _clip_area_rect(ring: np.ndarray, w: float, s: float, e: float, n: float) -> float:
     """|area| of ring ∩ [w,e]×[s,n] (shoelace after 4 half-plane clips).
 
-    Scalar reference implementation — production code runs the
-    vectorized :func:`_clip_areas_rect_many`; tests assert the two are
+    Scalar reference implementation — production runs the vectorized
+    strip kernel :func:`_ring_cell_areas`; tests assert the two are
     bit-identical. The shoelace is an IN-ORDER left-to-right fold
     (matching the SQL oracle's list_reduce and the vectorized kernel),
     not np.sum, whose pairwise summation reorders additions."""
@@ -222,29 +222,18 @@ def _shoelace_many(pts: np.ndarray, cnt: np.ndarray) -> np.ndarray:
     return area
 
 
-def _clip_areas_rect_many(ring: np.ndarray, w: np.ndarray, s: np.ndarray,
-                          e: np.ndarray, n: np.ndarray) -> np.ndarray:
-    """|area| of ``ring`` ∩ [w_i,e_i]×[s_i,n_i] for many rectangles at
-    once — vectorized counterpart of the scalar
-    :func:`_clip_area_rect` (same clip sequence, intersection
-    arithmetic and in-order shoelace fold; bit-identical,
-    property-tested)."""
-    C = len(w)
-    m = len(ring)
-    if C == 0 or m < 3:
-        return np.zeros(C)
-    pts = np.broadcast_to(ring, (C, m, 2)).copy()
-    cnt = np.full(C, m, dtype=np.int64)
-    pts, cnt = _clip_half_many(pts, cnt, 0, w, keep_le=False)
-    pts, cnt = _clip_half_many(pts, cnt, 0, e, keep_le=True)
-    pts, cnt = _clip_half_many(pts, cnt, 1, s, keep_le=False)
-    pts, cnt = _clip_half_many(pts, cnt, 1, n, keep_le=True)
-    return _shoelace_many(pts, cnt)
-
-
 def _rings_to_np(rings) -> list[np.ndarray]:
-    return [np.asarray([p[:2] for p in ring], dtype=np.float64)
-            for ring in rings if len(ring) >= 3]
+    """Nested ring lists → clean float64 (n, 2) arrays: vertices with
+    fewer than 2 coordinates are dropped, then rings with fewer than 3
+    surviving vertices. Identical semantics in every pip/cover mode (a
+    malformed row must neither crash a task nor change results between
+    the driver and cogroup shapes)."""
+    out = []
+    for ring in rings:
+        pts = [p[:2] for p in ring if p is not None and len(p) >= 2]
+        if len(pts) >= 3:
+            out.append(np.asarray(pts, dtype=np.float64))
+    return out
 
 
 POLY_COVER_SCHEMA = "poly_id long, cell_id long, fraction double"
@@ -333,8 +322,8 @@ def polygon_cover(polygons: DataFrame, res: int, *,
     further rings are holes whose clipped area is subtracted).
 
     numpy kernel in Arrow batches; the clip runs VECTORIZED across all
-    candidate cells of a polygon at once (``_clip_areas_rect_many``) —
-    no per-cell Python. Candidate cells per polygon are bounded by the
+    candidate cells of a polygon at once (strip-decomposed
+    ``_ring_cell_areas``) — no per-cell Python. Candidate cells per polygon are bounded by the
     bbox at ``res`` — pick ``res`` so bbox_cells ≈ O(100..10k) per
     polygon; for planetary-scale polygons encode at a coarser parent
     resolution and refine hierarchically (parent = id >> 2) in a
@@ -446,18 +435,20 @@ def pip_join(points: DataFrame, polygons: DataFrame, res: int, *,
     polys = polygons.select(F.col(poly_id).alias("poly_id"),
                             F.col(rings).alias("rings"))
 
-    if rings_distribution == "auto":
-        n_polys = polys.count()
-        rings_distribution = \
-            "driver" if n_polys <= max_driver_rings else "cogroup"
-    elif rings_distribution == "driver":
-        n_polys = polys.count()
-        if n_polys > max_driver_rings:
+    if rings_distribution in ("auto", "driver"):
+        # bounded probe: limit(threshold+1).count() stops scanning once
+        # the threshold is exceeded instead of evaluating the whole
+        # polygon lineage just to size-check it
+        bounded = polys.limit(max_driver_rings + 1).count()
+        if rings_distribution == "auto":
+            rings_distribution = \
+                "driver" if bounded <= max_driver_rings else "cogroup"
+        elif bounded > max_driver_rings:
             raise ValueError(
-                f"rings_distribution='driver' with {n_polys} polygons "
-                f"exceeds max_driver_rings={max_driver_rings}: collecting "
-                f"them would bottleneck the driver — use 'cogroup' (or "
-                f"raise the threshold explicitly)")
+                f"rings_distribution='driver' with more than "
+                f"{max_driver_rings} polygons (max_driver_rings): "
+                f"collecting them would bottleneck the driver — use "
+                f"'cogroup' (or raise the threshold explicitly)")
 
     if rings_distribution == "cogroup":
         return _pip_join_cogroup(pts, polys, res, salt)
@@ -526,10 +517,16 @@ def _pip_join_cogroup(pts: DataFrame, polys: DataFrame, res: int,
     n = float(1 << res)
     hi = (1 << res) - 1
     cw, ch = 360.0 / n, 180.0 / n
-    outer = F.col("rings")[0]
+    # outer ring = FIRST ring with >= 3 well-formed vertices — the same
+    # rule _rings_to_np applies, so driver and cogroup modes agree on
+    # malformed polygons instead of diverging by table size
+    valid_rings = F.filter(
+        F.col("rings"),
+        lambda r: F.size(F.filter(r, lambda v: F.size(v) >= 2)) >= 3)
+    outer = F.filter(valid_rings[0], lambda v: F.size(v) >= 2)
     xs = F.transform(outer, lambda v: v[0])
     ys = F.transform(outer, lambda v: v[1])
-    ok = (F.size(F.col("rings")) >= 1) & (F.size(outer) >= 3)
+    ok = F.size(valid_rings) >= 1
 
     def lo(c, off, ext):
         return F.greatest(F.lit(0), F.least(F.lit(hi), F.floor(

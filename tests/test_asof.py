@@ -181,3 +181,13 @@ def test_asof_column_collision_raises(spark):
     right = _mk(spark, [(7, 1.0, 50)], ["k", "ts", "rid"])
     with pytest.raises(ValueError, match="collision"):
         asof_join(left, right, key="k", left_ts="ts", right_ts="ts")
+
+
+def test_asof_isnull_flag_collision_raises(spark):
+    """A left column colliding with an internal __isnull_* flag name
+    must be rejected up front."""
+    left = _mk(spark, [(1, 7, 1.0, True)],
+               ["lid", "k", "ts", "__isnull_r_score"])
+    right = _mk(spark, [(7, 1.0, 2.5)], ["k", "ts", "score"])
+    with pytest.raises(ValueError, match="collision"):
+        asof_join(left, right, key="k", left_ts="ts", right_ts="ts")

@@ -107,3 +107,25 @@ def test_convert_reference_return_shape():
     fobj = open(k_path, encoding="utf-8")
     out3 = convert(fobj)
     assert fobj.closed and isinstance(out3, list) and len(out3) == 1
+
+
+def test_convert_binary_file_honors_encoding_declaration(tmp_path):
+    """A binary file object with a non-UTF8 XML encoding declaration
+    must decode per the declaration (as minidom does in the reference),
+    not be mangled as UTF-8."""
+    kml = ("<?xml version=\"1.0\" encoding=\"ISO-8859-1\"?>"
+           "<kml><Document><Placemark><name>café</name>"
+           "<Point><coordinates>1,2</coordinates></Point>"
+           "</Placemark></Document></kml>")
+    p = tmp_path / "latin1.kml"
+    p.write_bytes(kml.encode("iso-8859-1"))
+    with open(p, "rb") as f:
+        out = convert(f)
+    feat = out[0]["features"][0]
+    assert feat["properties"]["name"] == "café"
+
+
+def test_compat_exports_reference_constants():
+    from kml2geojson_spark.compat import GEOTYPES, SPACE, STYLE_TYPES
+    assert "Point" in GEOTYPES and "svg" in STYLE_TYPES
+    assert SPACE.sub("", " a b ") == "ab"

@@ -366,27 +366,36 @@ def test_simplify_lines_null_and_ragged(spark):
 
 
 def test_clip_kernel_vectorized_bitexact_vs_scalar():
-    """The vectorized multi-cell clip must be BIT-identical to the
-    scalar Sutherland–Hodgman reference for arbitrary (non-convex)
-    rings — same emission order, intersection arithmetic, fold order."""
-    from kml2geojson_spark.spatial.ops import (_clip_area_rect,
-                                               _clip_areas_rect_many)
+    """The PRODUCTION strip-decomposed clip kernel must be
+    BIT-identical to the scalar Sutherland–Hodgman reference for
+    arbitrary (non-convex) rings — same emission order, intersection
+    arithmetic, fold order."""
+    from kml2geojson_spark.spatial.ops import (_bbox_grid,
+                                               _clip_area_rect,
+                                               _ring_cell_areas)
     rng = np.random.default_rng(123)
-    for trial in range(30):
+    for trial in range(20):
         m = int(rng.integers(3, 40))
         ang = np.sort(rng.uniform(0, 2 * np.pi, m))
         rad = rng.uniform(1.0, 10.0, m)
-        ring = np.column_stack([rad * np.cos(ang), rad * np.sin(ang)])
+        cx, cy = rng.uniform(-90, 90), rng.uniform(-45, 45)
+        ring = np.column_stack([cx + rad * np.cos(ang),
+                                cy + rad * np.sin(ang)])
         ring = np.vstack([ring, ring[:1]])  # closed
-        C = 25
-        w = rng.uniform(-12, 8, C)
-        s = rng.uniform(-12, 8, C)
-        e = w + rng.uniform(0.5, 6.0, C)
-        n = s + rng.uniform(0.5, 6.0, C)
-        vec = _clip_areas_rect_many(ring, w, s, e, n)
-        for i in range(C):
-            ref = _clip_area_rect(ring, w[i], s[i], e[i], n[i])
-            assert vec[i] == ref, (trial, i, vec[i], ref)
+        res = int(rng.integers(4, 8))
+        nn = float(1 << res)
+        cw, ch = 360.0 / nn, 180.0 / nn
+        ix0, ix1, iy0, iy1 = _bbox_grid(ring, res)
+        gx = np.arange(ix0, ix1 + 1, dtype=np.int64)
+        gy = np.arange(iy0, iy1 + 1, dtype=np.int64)
+        vec = _ring_cell_areas(ring, gx, gy, cw, ch)
+        ny = len(gy)
+        for i, gxi in enumerate(gx):
+            w = gxi * cw - 180.0
+            for j, gyj in enumerate(gy):
+                s = gyj * ch - 90.0
+                ref = _clip_area_rect(ring, w, s, w + cw, s + ch)
+                assert vec[i * ny + j] == ref, (trial, gxi, gyj)
 
 
 def _big_poly_corpus(n_polys=5000, n_verts=64, n_pts=500, seed=99):
@@ -465,4 +474,33 @@ def test_pip_join_cogroup_salted_matches_unsalted(spark):
                       salt=4)
     a = {(r["point_id"], r["poly_id"]) for r in plain.collect()}
     b = {(r["point_id"], r["poly_id"]) for r in salted.collect()}
+    assert a == b == _pip_oracle(pts, polys)
+
+
+def test_pip_join_modes_agree_on_malformed_polygons(spark):
+    """Malformed rings (short rings, bad vertices) must produce the
+    SAME output in driver and cogroup modes — auto mode picks by table
+    size, so divergence would make results depend on row count."""
+    pts = _points_pdf()
+    sq = [[-10.0, -10.0], [10.0, -10.0], [10.0, 10.0], [-10.0, 10.0],
+          [-10.0, -10.0]]
+    hole = [[-3.0, -3.0], [3.0, -3.0], [3.0, 3.0], [-3.0, 3.0],
+            [-3.0, -3.0]]
+    polys = [
+        # short first ring is dropped; sq becomes the outer ring
+        (0, [[[0.0, 0.0], [1.0, 1.0]], sq]),
+        # 1-coordinate vertex inside an otherwise-valid outer ring
+        (1, [[[1.0]] + sq, hole]),
+        (2, [sq]),                                  # well-formed
+        (3, [[[5.0, 5.0], [6.0, 6.0]]]),            # no valid ring
+    ]
+    points_df = spark.createDataFrame(pts)
+    poly_df = spark.createDataFrame(
+        polys, "poly_id long, rings array<array<array<double>>>")
+    a = {(r["point_id"], r["poly_id"]) for r in
+         pip_join(points_df, poly_df, 6,
+                  rings_distribution="driver").collect()}
+    b = {(r["point_id"], r["poly_id"]) for r in
+         pip_join(points_df, poly_df, 6,
+                  rings_distribution="cogroup").collect()}
     assert a == b == _pip_oracle(pts, polys)
