@@ -184,7 +184,9 @@ def run_suite(spark, sf_dir: str, n_docs: int) -> dict:
     timings["kml_parse_tile_pipeline_cold"] = round(cold["sec"], 3)
 
     # full conversion throughput: every document -> complete GeoJSON
-    # layers + style catalog (the reference's convert(), distributed)
+    # layers + style catalog (the reference's convert(), distributed;
+    # row path — measured faster than the file-granular scan for this
+    # CPU-dominated op, see convert_documents_from_parquet docstring)
     from kml2geojson_spark.engine import convert_documents
     corpus = ensure_corpus(spark, n_docs)
     docs_df = spark.read.parquet(corpus)

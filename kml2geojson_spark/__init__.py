@@ -30,6 +30,7 @@ from .convert_core import (
 from .kmlparse import parse_kml, Element
 from .engine import (
     convert_documents,
+    convert_documents_from_parquet,
     extract_features,
     extract_points,
     extract_styles,
@@ -58,6 +59,7 @@ __all__ = [
     "parse_kml",
     "Element",
     "convert_documents",
+    "convert_documents_from_parquet",
     "extract_features",
     "extract_points",
     "extract_styles",

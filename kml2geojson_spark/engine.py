@@ -135,26 +135,71 @@ def convert_documents(
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
-            doc_ids, style_jsons, name_lists, layer_lists = [], [], [], []
-            for doc_id, kml_str in iter_docs_from_arrow(batch):
-                style, layers = convert_kml_string(
-                    kml_str,
-                    feature_collection_name=feature_collection_name,
-                    style_type=style_type,
-                    separate_folders=separate_folders,
-                )
-                doc_ids.append(doc_id)
-                style_jsons.append(None if style is None else json.dumps(style))
-                name_lists.append([la.get("name", "") for la in layers])
-                layer_lists.append([json.dumps(la) for la in layers])
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(doc_ids, pa.string()),
-                 pa.array(style_jsons, pa.string()),
-                 pa.array(name_lists, pa.list_(pa.string())),
-                 pa.array(layer_lists, pa.list_(pa.string()))],
-                names=["doc_id", "style_json", "layer_names", "layers"])
+            yield _convert_batch(iter_docs_from_arrow(batch),
+                                 feature_collection_name, style_type,
+                                 separate_folders)
 
     return df.select("doc_id", "spans").mapInArrow(run, CONVERTED_SCHEMA)
+
+
+def _convert_batch(doc_iter, feature_collection_name, style_type,
+                   separate_folders) -> pa.RecordBatch:
+    """Shared conversion kernel: (doc_id, kml_str) iterator → one
+    converted RecordBatch."""
+    doc_ids, style_jsons, name_lists, layer_lists = [], [], [], []
+    for doc_id, kml_str in doc_iter:
+        style, layers = convert_kml_string(
+            kml_str,
+            feature_collection_name=feature_collection_name,
+            style_type=style_type,
+            separate_folders=separate_folders,
+        )
+        doc_ids.append(doc_id)
+        style_jsons.append(None if style is None else json.dumps(style))
+        name_lists.append([la.get("name", "") for la in layers])
+        layer_lists.append([json.dumps(la) for la in layers])
+    return pa.RecordBatch.from_arrays(
+        [pa.array(doc_ids, pa.string()),
+         pa.array(style_jsons, pa.string()),
+         pa.array(name_lists, pa.list_(pa.string())),
+         pa.array(layer_lists, pa.list_(pa.string()))],
+        names=["doc_id", "style_json", "layer_names", "layers"])
+
+
+def convert_documents_from_parquet(
+    spark,
+    path: str,
+    feature_collection_name: Optional[str] = None,
+    style_type: Optional[str] = None,
+    *,
+    separate_folders: bool = False,
+) -> DataFrame:
+    """File-granular full conversion: identical result to
+    ``convert_documents(spark.read.parquet(path), ...)`` (asserted in
+    tests) but each Python worker reads its parquet split directly with
+    pyarrow, skipping the JVM's nested-row conversion of the ``spans``
+    column — the same split-granular scan pattern as
+    :func:`extract_points_from_parquet`.
+
+    When to use which: full conversion is dominated by per-doc
+    parse+JSON CPU, so on a warm local cluster the row path measures
+    slightly FASTER (7.2s vs 8.4s for 100k docs at 32 cores,
+    interleaved min-of-3) — the JVM row conversion overlaps with
+    Python work. This variant wins when executor JVM memory/CPU is the
+    scarce resource (the JVM never materializes the nested spans rows)
+    or when the table format hands out file-granular splits anyway."""
+    from .constants import STYLE_TYPES
+
+    if style_type is not None and style_type not in STYLE_TYPES:
+        raise ValueError(f"style type must be one of {list(STYLE_TYPES)}")
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in _iter_file_doc_batches(batches):
+            yield _convert_batch(iter_docs_from_arrow(rb),
+                                 feature_collection_name, style_type,
+                                 separate_folders)
+
+    return parquet_files_df(spark, path).mapInArrow(run, CONVERTED_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

@@ -69,3 +69,26 @@ def test_tile_counts_fused_kernel_parity(spark, tmp_path):
                    extract_points_from_parquet(spark, path), 7).collect()}
     assert fused == unfused
     assert len(fused) > 0
+
+
+def test_convert_documents_from_parquet_parity(spark, tmp_path):
+    """The file-granular conversion scan must equal the DataFrame path
+    row-for-row (same doc ids, styles, layer names, layer JSON)."""
+    import kml2geojson_spark as k2gs
+
+    docs = k2gs.synthesize_documents_kml(spark, 60, seed=11,
+                                         max_placemarks=6)
+    path = str(tmp_path / "docs.parquet")
+    docs.write.parquet(path)
+
+    via_df = k2gs.convert_documents(
+        spark.read.parquet(path), style_type="svg").collect()
+    via_files = k2gs.convert_documents_from_parquet(
+        spark, path, style_type="svg").collect()
+
+    def norm(rows):
+        return sorted((r["doc_id"], r["style_json"],
+                       tuple(r["layer_names"]), tuple(r["layers"]))
+                      for r in rows)
+
+    assert norm(via_df) == norm(via_files)
