@@ -141,3 +141,62 @@ def test_ivf_probe_join_broadcasts_codebook(spark):
     plan = _plan(ivf_topk(emb, qs, 3, n_centroids=3, nprobe=2, iters=1))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pip_cogroup_plan_two_shuffles_no_python_cover(spark):
+    """Cogroup pip shape: no CartesianProduct, no driver collect, and
+    the polygon cover side is pure JVM (Column bbox explode — the only
+    Python in the plan is the single ray-cast cogroup)."""
+    import numpy as np
+    import pandas as pd
+    from kml2geojson_spark.spatial import pip_join
+    pts = spark.createDataFrame(pd.DataFrame({
+        "point_id": np.arange(50, dtype=np.int64),
+        "x": np.linspace(-10, 10, 50), "y": np.linspace(-10, 10, 50)}))
+    polys = spark.createDataFrame(
+        [(0, [[[-5.0, -5.0], [5.0, -5.0], [5.0, 5.0], [-5.0, 5.0],
+               [-5.0, -5.0]]])],
+        "poly_id long, rings array<array<array<double>>>")
+    plan = _plan(pip_join(pts, polys, 6, rings_distribution="cogroup"))
+    assert "CartesianProduct" not in plan
+    assert "FlatMapCoGroupsInPandas" in plan
+    # exactly one Python eval node (the cogrouped ray-cast): the cover
+    # explode must NOT appear as MapInPandas/ArrowEval
+    assert plan.count("MapInPandas") == 0
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_global_quantiles_no_unpartitioned_sample_window(spark):
+    """Ungrouped quantiles: every window over sample-sized data is
+    keyed by the range bucket; only the tiny per-bucket offset frame
+    may use a global window."""
+    from kml2geojson_spark.sketch import sampled_quantiles
+    df = spark.range(10000).selectExpr("id AS v")
+    plan = _plan(sampled_quantiles(df, "v"))
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line and "_pid" not in line:
+            # global window allowed only over per-bucket totals
+            assert "_tot" in line or "_n" in line, line
+
+
+def test_polygon_cover_is_narrow_map(spark):
+    """polygon_cover is a narrow per-partition kernel: no shuffle
+    (Exchange) anywhere in its plan."""
+    from kml2geojson_spark.spatial import polygon_cover
+    polys = spark.createDataFrame(
+        [(0, [[[-5.0, -5.0], [5.0, -5.0], [5.0, 5.0], [-5.0, 5.0],
+               [-5.0, -5.0]]])],
+        "poly_id long, rings array<array<array<double>>>")
+    plan = _plan(polygon_cover(polys, 6))
+    assert "Exchange" not in plan, plan
+
+
+def test_hll_estimate_partial_aggregation(spark):
+    """The register aggregation must show map-side partial aggregation
+    (two HashAggregate levels around the exchange)."""
+    from kml2geojson_spark.sketch import hll_estimate, hll_registers
+    df = spark.range(1000).selectExpr("id % 5 AS g", "id AS v")
+    plan = _plan(hll_estimate(hll_registers(df, "v", group_cols=["g"]),
+                              group_cols=["g"]))
+    assert plan.count("HashAggregate") >= 2
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
