@@ -15,6 +15,9 @@ Shapes provided:
   state). Exactly the batch ``tile_assignments`` cut down to the
   streaming-legal aggregate (no countDistinct in update mode — doc
   counts use approx or are finalized batch-side).
+- :func:`stream_pip_counts` — stream-static spatial join: streamed
+  points against a static polygon dimension, incremental per-polygon
+  counts.
 - :func:`stream_to_lineage` — ``foreachBatch`` writer that lands each
   micro-batch as a lineage-stage parquet with the manifest recording
   the batch id → the checkpoint/resume story and the streaming story
@@ -247,3 +250,37 @@ def stream_purchase_click_join(events: DataFrame, *,
     return (p.join(c, cond)
             .select(F.col("p_user").alias("user_id"), "purchase_id",
                     "click_id", gap.alias("gap_us")))
+
+
+def stream_pip_counts(docs: DataFrame, polygons: DataFrame,
+                      res: int) -> DataFrame:
+    """Streaming spatial join: points parsed from a documents STREAM
+    against a STATIC polygon dimension → incremental per-polygon point
+    counts.
+
+    Stream-static shape: the polygon cover (cell_id, poly_id) is a
+    broadcast build side (static dimension — the driver ring collect is
+    legitimate here and size-gated by pip_join's driver rules), the
+    streaming points equi-join it on their cell id, and the exact
+    ray-cast runs in the same stateless Arrow map as batch — all
+    streaming-legal operators, so Spark maintains only the final
+    per-polygon running counts as state. The batch counterpart
+    (``pip_join(...).groupBy(poly_id).count()``) equals the streamed
+    result once the stream drains (asserted in tests).
+    """
+    from .spatial import encode_points
+    from .spatial.ops import _pip_join_driver
+
+    pts = _extract_points_stream(docs)
+    # deterministic row id (monotonically_increasing_id is illegal on
+    # streams): _pip_join_driver emits (point_id, poly_id) candidates;
+    # only the count per polygon is aggregated downstream
+    pts = pts.select(
+        F.xxhash64("doc_id", "feature_idx", "geom_idx").alias("point_id"),
+        "x", "y")
+    pts = encode_points(pts, res)
+    polys = polygons.select(F.col("poly_id"), F.col("rings"))
+    matched = _pip_join_driver(pts, polys, res,
+                               broadcast_polygons=True, salt=None)
+    return matched.groupBy("poly_id").agg(
+        F.count(F.lit(1)).alias("n_points"))
