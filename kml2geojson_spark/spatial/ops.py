@@ -646,8 +646,9 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int, res: int,
     Correctness contract: exact iff every query's true k-th neighbor
     lies within ``radius`` rings — i.e. within ``radius × cell_size``
     degrees (Chebyshev). Callers pick (res, radius) from the known
-    density (tests verify equality against :func:`knn_exact`); an
-    adaptive two-phase expansion is the planned follow-up.
+    density (tests verify equality against :func:`knn_exact`);
+    :func:`knn_join_adaptive` removes the radius knob via
+    multi-resolution expansion (driver query q55).
     """
     q = queries.select(F.col(query_id).alias("query_id"),
                        F.col(x).alias("_qx"), F.col(y).alias("_qy"))
