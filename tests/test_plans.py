@@ -200,3 +200,37 @@ def test_hll_estimate_partial_aggregation(spark):
                               group_cols=["g"]))
     assert plan.count("HashAggregate") >= 2
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed by the same key/count must join with ZERO
+    Exchange — the write-time shuffle replaces the read-time one —
+    and results must equal the plain join."""
+    from kml2geojson_spark.bucketed import (colocated_join, read_bucketed,
+                                            write_bucketed)
+    a = spark.range(2000).selectExpr("id % 97 AS k", "id AS va")
+    b = spark.range(500).selectExpr("id % 97 AS k", "id * 10 AS vb")
+    write_bucketed(a, "bk_a", "k", 8)
+    write_bucketed(b, "bk_b", "k", 8)
+    # disable auto-broadcast so the planner actually uses the bucketed
+    # layout (a broadcastable build side short-circuits it — at fact
+    # x fact scale neither side broadcasts, which is the case bucketing
+    # exists for)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = colocated_join(spark, "bk_a", "bk_b", "k")
+        plan = _plan(joined.select("k", "va", "vb"))
+        assert "Exchange" not in plan, plan
+        got = sorted(map(tuple, joined.select("k", "va", "vb").collect()))
+        expect = sorted(map(tuple,
+                            a.join(b, "k").select("k", "va", "vb").collect()))
+        assert got == expect
+        # aggregation on the bucket key is shuffle-free too
+        agg_plan = _plan(read_bucketed(spark, "bk_a")
+                         .groupBy("k").count())
+        assert "Exchange" not in agg_plan, agg_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bk_a")
+        spark.sql("DROP TABLE IF EXISTS bk_b")
