@@ -372,8 +372,10 @@ def iter_point_coords(root: Element):
         for geotype in GEOTYPES:
             for geonode in buckets[geotype]:
                 if geotype == "Point":
+                    # find_first: probed once per Point — skip the
+                    # subtree-index build the amortized find() pays for
                     coords = parse_coord_tuple(
-                        _elem_text(geonode.find("coordinates")))
+                        _elem_text(geonode.find_first("coordinates")))
                     if len(coords) >= 2:
                         yield feature_idx, geom_idx, coords
                 geom_idx += 1

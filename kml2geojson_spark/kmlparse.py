@@ -142,6 +142,21 @@ class Element:
         lst = self._index().get(tag)
         return lst[0] if lst else None
 
+    def find_first(self, tag: str) -> Optional["Element"]:
+        """Same result as :meth:`find` (first matching descendant in
+        preorder) but via an early-exit walk with NO index build — the
+        right call when a node is probed exactly once (the bulk tiling
+        path's per-Point ``coordinates`` lookup), where building and
+        caching the full subtree index is pure overhead. Uses a cached
+        index when one already exists."""
+        if self._tag_index is not None:
+            lst = self._tag_index.get(tag)
+            return lst[0] if lst else None
+        for el in self.iter_elements():
+            if el.tag == tag:
+                return el
+        return None
+
     # -- value access ----------------------------------------------------
 
     def attr(self, name: str) -> str:
