@@ -204,12 +204,21 @@ def _collect_geo_nodes(node: Element):
     """
     containers: dict = {}
     buckets: dict = {g: [] for g in GEOTYPES}
-    for el in node.iter_elements():
+    # inlined preorder walk (≡ node.iter_elements()): this runs once
+    # per placemark on the bulk path — the explicit stack avoids the
+    # generator frame suspension per element
+    Element_t = type(node)
+    stack = [c for c in reversed(node.children) if type(c) is Element_t]
+    while stack:
+        el = stack.pop()
         t = el.tag
         if t in _GEOTYPE_SET:
             buckets[t].append(el)
         elif t in _CONTAINER_SET and t not in containers:
             containers[t] = el
+        for c in reversed(el.children):
+            if type(c) is Element_t:
+                stack.append(c)
     for tag in MULTI_CONTAINERS:
         if tag in containers:
             return containers[tag], buckets

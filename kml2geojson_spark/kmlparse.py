@@ -123,12 +123,21 @@ class Element:
         idx = self._tag_index
         if idx is None:
             idx = {}
-            for el in self.iter_elements():
+            # inlined preorder walk (≡ iter_elements): saves the
+            # generator suspension per element on the once-per-document
+            # whole-tree index build
+            stack = [c for c in reversed(self.children)
+                     if type(c) is Element]
+            while stack:
+                el = stack.pop()
                 lst = idx.get(el.tag)
                 if lst is None:
                     idx[el.tag] = [el]
                 else:
                     lst.append(el)
+                for c in reversed(el.children):
+                    if type(c) is Element:
+                        stack.append(c)
             self._tag_index = idx
         return idx
 
