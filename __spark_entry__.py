@@ -1091,6 +1091,65 @@ SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node
 """
 
 
+def _q59_near_dedup_reps(spark, sf):
+    """The one-call corpus near-dedup pipeline: exact-dup star edges ∪
+    SimHash near pairs → components → per-doc representative (self for
+    singletons). The oracle replays the identical edge set with a
+    recursive-CTE closure."""
+    from kml2geojson_spark.textops import near_dedup_representatives
+    return near_dedup_representatives(_t(spark, sf, "documents"),
+                                      max_hamming=3, bands=4)
+
+
+def _o59() -> str:
+    return f"""
+WITH RECURSIVE {_simhash_pairs_cte()},
+hx AS (SELECT doc_id, md5(text) AS h FROM documents),
+gm AS (SELECT h, MIN(doc_id) AS rep FROM hx GROUP BY h),
+ee AS (SELECT gm.rep AS doc_a, hx.doc_id AS doc_b
+       FROM hx JOIN gm USING (h) WHERE hx.doc_id != gm.rep),
+alledges AS (SELECT doc_a, doc_b FROM pairs
+             UNION SELECT doc_a, doc_b FROM ee),
+edges AS (SELECT doc_a AS s, doc_b AS d FROM alledges
+          UNION SELECT doc_b, doc_a FROM alledges),
+reach(node, r) AS (
+  SELECT DISTINCT s, s FROM edges
+  UNION
+  SELECT reach.node, edges.d FROM reach JOIN edges ON reach.r = edges.s
+),
+comp AS (SELECT node AS doc_id, MIN(r) AS rep_id FROM reach GROUP BY node)
+SELECT doc_id, rep_id FROM comp
+UNION ALL
+SELECT doc_id, doc_id AS rep_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM comp)
+"""
+
+
+def _q60_coverage_fractions(spark, sf):
+    """Aggregated raster←vector coverage: per-cell total covered
+    fraction over all polygons. Fractions are integerized per addend
+    (picounits) BEFORE the sum so the aggregate is order-independent
+    and bit-exact cross-engine."""
+    from kml2geojson_spark.spatial import polygon_cover
+    cover = polygon_cover(_nation_diamonds(spark, sf), 6)
+    return cover.groupBy("cell_id").agg(
+        F.sum(F.round(F.col("fraction") * 1e12).cast("long"))
+        .alias("total_frac_pico"),
+        F.count(F.lit(1)).alias("n_polygons"))
+
+
+def _o60() -> str:
+    inner = _o54().strip()
+    return f"""
+WITH q54 AS ({inner})
+SELECT cell_id,
+       CAST(SUM(CAST(ROUND(fraction * 1e12) AS BIGINT)) AS BIGINT)
+         AS total_frac_pico,
+       COUNT(*) AS n_polygons
+FROM q54 GROUP BY cell_id
+"""
+
+
 def _q51_hll_registers(spark, sf):
     """HLL cardinality sketch with md5-derived (engine-portable)
     hashing: the register table is bit-exact cross-engine while the
@@ -1376,6 +1435,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_hll_estimate": _q56_hll_estimate,
         "q57_global_quantiles": _q57_global_quantiles,
         "q58_minhash_similarity": _q58_minhash_similarity,
+        "q59_near_dedup_reps": _q59_near_dedup_reps,
+        "q60_coverage_fractions": _q60_coverage_fractions,
     }
 
 
@@ -1424,6 +1485,8 @@ def oracle_sql() -> dict[str, str]:
         "q55_knn_adaptive": _O12,  # adaptive must equal exact kNN
         "q56_hll_estimate": _o56(),
         "q57_global_quantiles": _O57,
+        "q59_near_dedup_reps": _o59(),
+        "q60_coverage_fractions": _o60(),
         # q40/q41/q43/q44/q58: rows-only (LSH/IVF candidate sets are
         # approximate by design — pytest measures recall vs the exact
         # baseline; media decode is stubbed; minhash signatures are

@@ -465,3 +465,39 @@ def ngram_jaccard_pairs(documents: DataFrame, *, n: int = 3,
     if threshold > 0:
         out = out.where(F.col("jaccard") >= threshold)
     return out.select("doc_a", "doc_b", "n_shared", "jaccard")
+
+
+def near_dedup_representatives(documents: DataFrame, *,
+                               max_hamming: int = 3,
+                               bands: int = 4) -> DataFrame:
+    """The canonical training-corpus near-dedup pipeline in ONE call:
+    exact duplicates (content-hash groups) ∪ SimHash near-duplicate
+    pairs → connected components → representative = minimum doc_id per
+    component. Output: (doc_id, rep_id) for EVERY input document
+    (singletons map to themselves); the deduped corpus is
+    ``WHERE doc_id = rep_id``.
+
+    Scale shape: exact-dup edges are STAR edges to each content-hash
+    group's minimum (same components as all-pairs without the k²
+    blowup); the SimHash band join is provably complete for
+    ``max_hamming < bands``; components run min-label propagation with
+    per-round lineage truncation. Everything is oracle-checked
+    end-to-end (driver q59: recursive-CTE closure over the same edge
+    set)."""
+    from .graph import connected_components
+
+    docs = documents.select("doc_id", "text")
+    h = docs.select("doc_id", content_hash_col(F.col("text")).alias("_h"))
+    gmin = h.groupBy("_h").agg(F.min("doc_id").alias("_rep"))
+    exact_edges = (h.join(gmin, "_h")
+                   .where(F.col("doc_id") != F.col("_rep"))
+                   .select(F.col("_rep").alias("doc_a"),
+                           F.col("doc_id").alias("doc_b")))
+    near = simhash_near_pairs(documents, max_hamming=max_hamming,
+                              bands=bands).select("doc_a", "doc_b")
+    comp = connected_components(exact_edges.unionByName(near))
+    reps = comp.select(F.col("node").alias("doc_id"),
+                       F.col("component").alias("rep_id"))
+    singletons = (docs.join(reps, "doc_id", "left_anti")
+                  .select("doc_id", F.col("doc_id").alias("rep_id")))
+    return reps.unionByName(singletons)

@@ -389,3 +389,27 @@ def test_ngram_jaccard_doc_freq_cap(spark):
     exact_map = {(r["doc_a"], r["doc_b"]): r["n_shared"] for r in exact}
     for r in capped:
         assert r["n_shared"] <= exact_map[(r["doc_a"], r["doc_b"])]
+
+
+def test_near_dedup_representatives_pipeline(spark):
+    """End-to-end near-dedup: exact dup groups merge, near-dup chains
+    merge transitively, singletons keep themselves, representatives
+    are component minima, and the deduped corpus is doc_id == rep_id."""
+    from kml2geojson_spark.textops import near_dedup_representatives
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    docs = spark.createDataFrame(
+        [(1, base), (2, base),                      # exact dups
+         (3, base + "extra tail words here"),       # near dup of 1/2
+         (4, "completely different content about spark joins and maps"),
+         (5, "another unique document talking about window functions")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["rep_id"]
+           for r in near_dedup_representatives(docs).collect()}
+    assert len(out) == 5
+    assert out[1] == out[2] == 1        # exact pair collapses to min
+    assert out[4] == 4 and out[5] == 5  # singletons survive
+    # rep is always the min of its component and reps map to themselves
+    for d, r in out.items():
+        assert r <= d and out[r] == r
+    kept = {d for d, r in out.items() if d == r}
+    assert 4 in kept and 5 in kept and 1 in kept and 2 not in kept
