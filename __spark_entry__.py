@@ -1308,6 +1308,62 @@ SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 10
 """
 
 
+def _q61_embed_dedup_reps(spark, sf):
+    """Embedding-space near-dedup composite: cosine pairs → components
+    → per-vector representative (self for singletons)."""
+    from kml2geojson_spark.simsearch import embedding_dedup_representatives
+    return embedding_dedup_representatives(_t(spark, sf, "embeddings"),
+                                           0.4505)
+
+
+_O61 = """
+WITH RECURSIVE
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(b.v, b.v))) >= 0.4505),
+edges AS (SELECT vec_a AS s, vec_b AS d FROM pairs
+          UNION SELECT vec_b, vec_a FROM pairs),
+reach(node, r) AS (
+  SELECT DISTINCT s, s FROM edges
+  UNION
+  SELECT reach.node, edges.d FROM reach JOIN edges ON reach.r = edges.s
+),
+comp AS (SELECT node AS vec_id, MIN(r) AS rep_id FROM reach GROUP BY node)
+SELECT vec_id, rep_id FROM comp
+UNION ALL
+SELECT vec_id, vec_id AS rep_id FROM embeddings
+WHERE vec_id NOT IN (SELECT vec_id FROM comp)
+"""
+
+
+def _q62_redact_text(spark, sf):
+    """Corpus scrubbing: email/number patterns replaced by tags with
+    per-pattern match counts — pure Column regexp work, patterns in the
+    Java∩RE2 dialect so DuckDB computes the identical output."""
+    from kml2geojson_spark.textops import redact_text
+    return redact_text(_t(spark, sf, "documents"))
+
+
+_O62 = """
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(text, '[A-Za-z0-9._]+@[A-Za-z0-9.]+[A-Za-z0-9]',
+                        '<EMAIL>', 'g'),
+         '[0-9][0-9.]*', '<NUM>', 'g') AS clean_text,
+       len(regexp_extract_all(text,
+           '[A-Za-z0-9._]+@[A-Za-z0-9.]+[A-Za-z0-9]')) AS n_email,
+       len(regexp_extract_all(
+           regexp_replace(text, '[A-Za-z0-9._]+@[A-Za-z0-9.]+[A-Za-z0-9]',
+                          '<EMAIL>', 'g'),
+           '[0-9][0-9.]*')) AS n_number
+FROM documents
+"""
+
+
 # -- rows-only (non-SQL-expressible) ----------------------------------------
 
 def _q40_minhash_pairs(spark, sf):
@@ -1437,6 +1493,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q58_minhash_similarity": _q58_minhash_similarity,
         "q59_near_dedup_reps": _q59_near_dedup_reps,
         "q60_coverage_fractions": _q60_coverage_fractions,
+        "q61_embed_dedup_reps": _q61_embed_dedup_reps,
+        "q62_redact_text": _q62_redact_text,
     }
 
 
@@ -1487,6 +1545,8 @@ def oracle_sql() -> dict[str, str]:
         "q57_global_quantiles": _O57,
         "q59_near_dedup_reps": _o59(),
         "q60_coverage_fractions": _o60(),
+        "q61_embed_dedup_reps": _O61,
+        "q62_redact_text": _O62,
         # q40/q41/q43/q44/q58: rows-only (LSH/IVF candidate sets are
         # approximate by design — pytest measures recall vs the exact
         # baseline; media decode is stubbed; minhash signatures are

@@ -295,3 +295,30 @@ def hyperplane_lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int, *,
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
+def embedding_dedup_representatives(embeddings: DataFrame,
+                                    threshold: float, *,
+                                    id_col: str = "vec_id",
+                                    vec_col: str = "embedding") -> DataFrame:
+    """Embedding-space near-dedup in one call: cosine near-dup pairs →
+    connected components → representative = component-minimum id; every
+    input vector maps to its representative (self for singletons), and
+    the deduped set is ``WHERE vec_id = rep_id`` — the embedding-space
+    counterpart of ``textops.near_dedup_representatives`` (driver q61,
+    recursive-CTE closure oracle).
+
+    Uses the exact pairwise path; at 100 TB swap the pair source for
+    the LSH-bucketed candidates + exact filter, the components and
+    representative selection are unchanged."""
+    from .graph import connected_components
+
+    pairs = cosine_neardup_pairs(embeddings, threshold,
+                                 id_col=id_col, vec_col=vec_col)
+    comp = connected_components(pairs, src="vec_a", dst="vec_b")
+    reps = comp.select(F.col("node").alias("vec_id"),
+                       F.col("component").alias("rep_id"))
+    singles = (embeddings.select(F.col(id_col).alias("vec_id"))
+               .join(reps, "vec_id", "left_anti")
+               .select("vec_id", F.col("vec_id").alias("rep_id")))
+    return reps.unionByName(singles)

@@ -501,3 +501,34 @@ def near_dedup_representatives(documents: DataFrame, *,
     singletons = (docs.join(reps, "doc_id", "left_anti")
                   .select("doc_id", F.col("doc_id").alias("rep_id")))
     return reps.unionByName(singletons)
+
+
+# patterns safe in BOTH Java regex (Spark) and RE2 (DuckDB): no
+# lookaround, no backrefs, ASCII classes only
+REDACT_PATTERNS = (
+    ("email", r"[A-Za-z0-9._]+@[A-Za-z0-9.]+[A-Za-z0-9]", "<EMAIL>"),
+    ("number", r"[0-9][0-9.]*", "<NUM>"),
+)
+
+
+def redact_text(documents: DataFrame, *,
+                patterns=REDACT_PATTERNS) -> DataFrame:
+    """PII/noise scrubbing for training corpora: replace each pattern
+    with its tag, reporting per-pattern match counts. Pure Column
+    regexp work (JVM, no Python); patterns are restricted to the
+    regex-dialect intersection of Java and RE2 so the DuckDB oracle
+    computes the identical result (driver q62). Patterns apply in
+    order — earlier replacements can consume later patterns' matches
+    (emails are redacted before their digits would be).
+
+    Output: (doc_id, clean_text, n_<name> per pattern).
+    """
+    out = documents.select("doc_id", F.col("text").alias("clean_text"))
+    for name, pat, tag in patterns:
+        n = F.size(F.regexp_extract_all(
+            F.col("clean_text"), F.lit(pat), F.lit(0)))
+        out = (out.withColumn(f"n_{name}", n)
+               .withColumn("clean_text",
+                           F.regexp_replace("clean_text", pat, tag)))
+    return out.select("doc_id", "clean_text",
+                      *[f"n_{name}" for name, _, _ in patterns])

@@ -413,3 +413,20 @@ def test_near_dedup_representatives_pipeline(spark):
         assert r <= d and out[r] == r
     kept = {d for d, r in out.items() if d == r}
     assert 4 in kept and 5 in kept and 1 in kept and 2 not in kept
+
+
+def test_redact_text_counts_and_order(spark):
+    from kml2geojson_spark.textops import redact_text
+    docs = spark.createDataFrame(
+        [(1, "mail bob.smith@example.com or call 555.1234 x99"),
+         (2, "no pii here at all")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in redact_text(docs).collect()}
+    r1 = rows[1]
+    assert r1["n_email"] == 1 and r1["n_number"] == 2
+    # email redacted BEFORE numbers: its digits never count as numbers
+    assert "<EMAIL>" in r1["clean_text"] and "<NUM>" in r1["clean_text"]
+    assert "example" not in r1["clean_text"]
+    r2 = rows[2]
+    assert r2["n_email"] == 0 and r2["n_number"] == 0
+    assert r2["clean_text"] == "no pii here at all"
