@@ -1126,16 +1126,12 @@ WHERE doc_id NOT IN (SELECT doc_id FROM comp)
 
 
 def _q60_coverage_fractions(spark, sf):
-    """Aggregated raster←vector coverage: per-cell total covered
-    fraction over all polygons. Fractions are integerized per addend
-    (picounits) BEFORE the sum so the aggregate is order-independent
-    and bit-exact cross-engine."""
-    from kml2geojson_spark.spatial import polygon_cover
-    cover = polygon_cover(_nation_diamonds(spark, sf), 6)
-    return cover.groupBy("cell_id").agg(
-        F.sum(F.round(F.col("fraction") * 1e12).cast("long"))
-        .alias("total_frac_pico"),
-        F.count(F.lit(1)).alias("n_polygons"))
+    """Aggregated raster←vector coverage via the LIBRARY operator
+    (spatial.coverage_fractions): per-addend picounit integerization
+    makes the sum order-independent and bit-exact cross-engine."""
+    from kml2geojson_spark.spatial import coverage_fractions
+    return (coverage_fractions(_nation_diamonds(spark, sf), 6)
+            .select("cell_id", "total_frac_pico", "n_polygons"))
 
 
 def _o60() -> str:

@@ -126,12 +126,7 @@ def convert_documents(
     holds one canonical-JSON FeatureCollection per layer. JSON strings
     keep int-vs-float fidelity (e.g. ``"stroke-width": 1`` vs ``4.0``).
     """
-    from .constants import STYLE_TYPES
-
-    # Fail fast on the driver (reference main.py:594-597 raises the same
-    # ValueError) instead of lazily inside an executor task.
-    if style_type is not None and style_type not in STYLE_TYPES:
-        raise ValueError(f"style type must be one of {list(STYLE_TYPES)}")
+    _validate_style_type(style_type)
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -140,6 +135,15 @@ def convert_documents(
                                  separate_folders)
 
     return df.select("doc_id", "spans").mapInArrow(run, CONVERTED_SCHEMA)
+
+
+def _validate_style_type(style_type) -> None:
+    """Fail fast on the driver (reference main.py:594-597 raises the
+    same ValueError) instead of lazily inside an executor task."""
+    from .constants import STYLE_TYPES
+
+    if style_type is not None and style_type not in STYLE_TYPES:
+        raise ValueError(f"style type must be one of {list(STYLE_TYPES)}")
 
 
 def _convert_batch(doc_iter, feature_collection_name, style_type,
@@ -188,10 +192,7 @@ def convert_documents_from_parquet(
     Python work. This variant wins when executor JVM memory/CPU is the
     scarce resource (the JVM never materializes the nested spans rows)
     or when the table format hands out file-granular splits anyway."""
-    from .constants import STYLE_TYPES
-
-    if style_type is not None and style_type not in STYLE_TYPES:
-        raise ValueError(f"style type must be one of {list(STYLE_TYPES)}")
+    _validate_style_type(style_type)
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for rb in _iter_file_doc_batches(batches):

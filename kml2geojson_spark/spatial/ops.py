@@ -358,12 +358,26 @@ def polygon_cover(polygons: DataFrame, res: int, *,
 
 
 def coverage_fractions(polygons: DataFrame, res: int, **kw) -> DataFrame:
-    """Per-cell total covered fraction across all polygons."""
+    """Per-cell total covered fraction across all polygons.
+
+    The sum is accumulated as integer picounits (each addend rounded
+    once, identically on every engine) so the aggregate is independent
+    of shuffle/partition order and bit-reproducible — a float SUM over
+    doubles would change in the last ulps with the merge order.
+    Oracle-checked end-to-end (driver q60). ``total_fraction`` is
+    derived from the integer sum (exact division by 1e12).
+
+    Output: (cell_id, total_frac_pico, total_fraction, n_polygons).
+    """
     cover = polygon_cover(polygons, res, **kw)
-    return cover.groupBy("cell_id").agg(
-        F.sum("fraction").alias("total_fraction"),
-        F.count(F.lit(1)).alias("n_polygons"),
-    )
+    pico = F.sum(F.round(F.col("fraction") * 1e12).cast("long")) \
+        .alias("total_frac_pico")
+    return (cover.groupBy("cell_id")
+            .agg(pico, F.count(F.lit(1)).alias("n_polygons"))
+            .withColumn("total_fraction",
+                        F.col("total_frac_pico") / F.lit(1e12))
+            .select("cell_id", "total_frac_pico", "total_fraction",
+                    "n_polygons"))
 
 
 # ---------------------------------------------------------------------------

@@ -253,14 +253,15 @@ def stream_purchase_click_join(events: DataFrame, *,
 
 
 def stream_pip_counts(docs: DataFrame, polygons: DataFrame,
-                      res: int) -> DataFrame:
+                      res: int, *, max_driver_rings: int = 20_000) -> DataFrame:
     """Streaming spatial join: points parsed from a documents STREAM
     against a STATIC polygon dimension → incremental per-polygon point
     counts.
 
     Stream-static shape: the polygon cover (cell_id, poly_id) is a
     broadcast build side (static dimension — the driver ring collect is
-    legitimate here and size-gated by pip_join's driver rules), the
+    legitimate here and size-gated by ``max_driver_rings``, enforced
+    below with a bounded probe), the
     streaming points equi-join it on their cell id, and the exact
     ray-cast runs in the same stateless Arrow map as batch — all
     streaming-legal operators, so Spark maintains only the final
@@ -270,6 +271,18 @@ def stream_pip_counts(docs: DataFrame, polygons: DataFrame,
     """
     from .spatial import encode_points
     from .spatial.ops import _pip_join_driver
+
+    # enforce the driver-broadcast size gate ourselves: the streaming
+    # shape REQUIRES the broadcast plan (cogroup applyInPandas is not
+    # available on streams), so an oversized polygon side must refuse
+    # up front rather than silently collect unbounded rings
+    bounded = polygons.limit(max_driver_rings + 1).count()
+    if bounded > max_driver_rings:
+        raise ValueError(
+            f"stream_pip_counts: polygon dimension exceeds "
+            f"max_driver_rings={max_driver_rings}; the streaming shape "
+            f"needs driver-broadcast rings — pre-aggregate/simplify the "
+            f"polygon side or raise the threshold explicitly")
 
     pts = _extract_points_stream(docs)
     # deterministic row id (monotonically_increasing_id is illegal on

@@ -477,30 +477,37 @@ def near_dedup_representatives(documents: DataFrame, *,
     (singletons map to themselves); the deduped corpus is
     ``WHERE doc_id = rep_id``.
 
-    Scale shape: exact-dup edges are STAR edges to each content-hash
-    group's minimum (same components as all-pairs without the k²
-    blowup); the SimHash band join is provably complete for
-    ``max_hamming < bands``; components run min-label propagation with
-    per-round lineage truncation. Everything is oracle-checked
-    end-to-end (driver q59: recursive-CTE closure over the same edge
-    set)."""
+    Scale shape — exact-dedup FIRST, SimHash over representatives only
+    (the mitigation simhash_near_pairs' own docstring prescribes): a
+    content repeated k times collapses to ONE representative before the
+    band join, so identical duplicates can never produce the k² band
+    collisions the raw corpus would. Each document then maps through
+    its content-hash representative to that representative's component
+    minimum — identical output to running the band join over the full
+    corpus (an exact-dup group's members share a signature, so their
+    component is their representative's). Components run min-label
+    propagation with per-round lineage truncation; everything is
+    oracle-checked end-to-end (driver q59: recursive-CTE closure over
+    the equivalent full edge set)."""
     from .graph import connected_components
 
     docs = documents.select("doc_id", "text")
-    h = docs.select("doc_id", content_hash_col(F.col("text")).alias("_h"))
+    h = docs.select("doc_id", "text",
+                    content_hash_col(F.col("text")).alias("_h"))
     gmin = h.groupBy("_h").agg(F.min("doc_id").alias("_rep"))
-    exact_edges = (h.join(gmin, "_h")
-                   .where(F.col("doc_id") != F.col("_rep"))
-                   .select(F.col("_rep").alias("doc_a"),
-                           F.col("doc_id").alias("doc_b")))
-    near = simhash_near_pairs(documents, max_hamming=max_hamming,
+    rep_docs = (h.join(gmin, "_h")
+                .where(F.col("doc_id") == F.col("_rep"))
+                .select("doc_id", "text"))
+    near = simhash_near_pairs(rep_docs, max_hamming=max_hamming,
                               bands=bands).select("doc_a", "doc_b")
-    comp = connected_components(exact_edges.unionByName(near))
-    reps = comp.select(F.col("node").alias("doc_id"),
-                       F.col("component").alias("rep_id"))
-    singletons = (docs.join(reps, "doc_id", "left_anti")
-                  .select("doc_id", F.col("doc_id").alias("rep_id")))
-    return reps.unionByName(singletons)
+    rep_label = connected_components(near).select(
+        F.col("node").alias("_rep"), F.col("component").alias("_label"))
+    return (h.select("doc_id", "_h")
+            .join(gmin, "_h")
+            .join(rep_label, "_rep", "left")
+            .select("doc_id",
+                    F.coalesce(F.col("_label"), F.col("_rep"))
+                    .alias("rep_id")))
 
 
 # patterns safe in BOTH Java regex (Spark) and RE2 (DuckDB): no
