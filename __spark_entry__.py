@@ -1304,6 +1304,29 @@ SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 10
 """
 
 
+def _q63_vocabulary(spark, sf):
+    """Corpus vocabulary (token document frequencies) with distributed
+    deterministic ranking (df desc, token asc) — histogram-offset
+    scheme, no global window over the vocabulary."""
+    from kml2geojson_spark.textops import vocabulary
+    return vocabulary(_t(spark, sf, "documents"), min_df=3)
+
+
+_O63 = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+    FROM documents) WHERE tok != ''),
+counts AS (
+  SELECT tok AS token, COUNT(*) AS df FROM toks GROUP BY tok
+  HAVING COUNT(*) >= 3)
+SELECT token, df,
+       CAST(ROW_NUMBER() OVER (ORDER BY df DESC, token ASC) AS BIGINT)
+         AS rank
+FROM counts
+"""
+
+
 def _q61_embed_dedup_reps(spark, sf):
     """Embedding-space near-dedup composite: cosine pairs → components
     → per-vector representative (self for singletons)."""
@@ -1491,6 +1514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_coverage_fractions": _q60_coverage_fractions,
         "q61_embed_dedup_reps": _q61_embed_dedup_reps,
         "q62_redact_text": _q62_redact_text,
+        "q63_vocabulary": _q63_vocabulary,
     }
 
 
@@ -1543,6 +1567,7 @@ def oracle_sql() -> dict[str, str]:
         "q60_coverage_fractions": _o60(),
         "q61_embed_dedup_reps": _O61,
         "q62_redact_text": _O62,
+        "q63_vocabulary": _O63,
         # q40/q41/q43/q44/q58: rows-only (LSH/IVF candidate sets are
         # approximate by design — pytest measures recall vs the exact
         # baseline; media decode is stubbed; minhash signatures are

@@ -539,3 +539,49 @@ def redact_text(documents: DataFrame, *,
                            F.regexp_replace("clean_text", pat, tag)))
     return out.select("doc_id", "clean_text",
                       *[f"n_{name}" for name, _, _ in patterns])
+
+
+def vocabulary(documents: DataFrame, *, min_df: int = 1,
+               top_k: int | None = None) -> DataFrame:
+    """Corpus vocabulary with document frequencies — the tokenizer-
+    training / stopword-mining primitive: explode distinct lowercase
+    space-tokens per doc, count docs per token (one map-side-combinable
+    shuffle), keep ``df >= min_df``, rank deterministically by
+    (df desc, token asc). ``top_k`` truncates after ranking.
+
+    Distributed ranking: a naive ``row_number`` over (df desc, token)
+    would funnel the WHOLE vocabulary through one window task. Instead,
+    global ranks come from a per-df offset table (a window over the
+    tiny df histogram — one row per distinct df value) plus a
+    within-df window partitioned by df; with ``top_k``, a df cutoff
+    derived from the histogram prunes the vocabulary BEFORE any
+    ranking, so the ranked set is ≈ top_k rows regardless of corpus
+    size.
+
+    Output: (token, df, rank).
+    """
+    from pyspark.sql import Window
+
+    toks = documents.select(
+        F.explode(F.array_distinct(
+            F.split(F.lower(F.col("text")), " "))).alias("token")) \
+        .where(F.col("token") != "")
+    counts = (toks.groupBy("token")
+              .agg(F.count(F.lit(1)).alias("df"))
+              .where(F.col("df") >= min_df))
+    hist = counts.groupBy("df").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = (Window.orderBy(F.col("df").desc())
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offs = hist.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0)))
+    if top_k is not None:
+        keep = offs.where(F.col("_off") < top_k).select("df")
+        counts = counts.join(F.broadcast(keep), "df")
+    w_in = Window.partitionBy("df").orderBy(F.col("token").asc())
+    out = (counts.join(F.broadcast(offs.select("df", "_off")), "df")
+           .withColumn("rank",
+                       F.row_number().over(w_in) + F.col("_off"))
+           .select("token", "df", F.col("rank").cast("long").alias("rank")))
+    if top_k is not None:
+        out = out.where(F.col("rank") <= top_k)
+    return out

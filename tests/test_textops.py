@@ -430,3 +430,16 @@ def test_redact_text_counts_and_order(spark):
     r2 = rows[2]
     assert r2["n_email"] == 0 and r2["n_number"] == 0
     assert r2["clean_text"] == "no pii here at all"
+
+
+def test_vocabulary_ranking_and_min_df(spark):
+    from kml2geojson_spark.textops import vocabulary
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b"), (3, "A  c"), (4, "a")],
+        "doc_id long, text string")
+    rows = {r["token"]: (r["df"], r["rank"])
+            for r in vocabulary(docs).collect()}
+    assert rows["a"] == (4, 1) and rows["b"] == (2, 2) and rows["c"] == (2, 3)
+    top = vocabulary(docs, min_df=2, top_k=2).collect()
+    assert [(r["token"], r["rank"]) for r in
+            sorted(top, key=lambda r: r["rank"])] == [("a", 1), ("b", 2)]
