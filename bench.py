@@ -170,6 +170,38 @@ def run_scaled_relational(spark, sf_dir: str, copies: int,
         print("WARN: x10_salted_join_agg returned 0 rows", file=sys.stderr)
 
 
+def run_pip_cogroup(spark, sf_dir: str, timings: dict) -> None:
+    """The any-scale PIP shape under per-round measurement: ~600k
+    lineitem-derived points ⋈ 2000 synthetic diamond polygons via the
+    cell cogroup (rings never touch the driver)."""
+    from pyspark.sql import functions as F
+    from kml2geojson_spark.spatial import pip_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    x = ((F.col("l_orderkey") * 131 + F.col("l_linenumber") * 7 + 17)
+         % 36000) / 100.0 - 180.0
+    y = ((F.col("l_orderkey") * 241 + F.col("l_linenumber") * 11 + 29)
+         % 17000) / 100.0 - 85.0
+    pts = li.select(
+        F.xxhash64("l_orderkey", "l_linenumber").alias("point_id"),
+        x.alias("x"), y.alias("y"))
+    p = spark.read.parquet(f"{sf_dir}/part.parquet") \
+        .where(F.col("p_partkey") <= 2000)
+    cx = ((F.col("p_partkey") * 2971 + 1234) % 30000) / 100.0 - 150.0
+    cy = ((F.col("p_partkey") * 4231 + 567) % 13000) / 100.0 - 65.0
+    r = F.lit(2.0) + (F.col("p_partkey") % 7) * 1.0
+    ring = F.array(
+        F.array(cx + r, cy), F.array(cx, cy + r),
+        F.array(cx - r, cy), F.array(cx, cy - r), F.array(cx + r, cy))
+    polys = p.select(F.col("p_partkey").cast("long").alias("poly_id"),
+                     F.array(ring).alias("rings"))
+    t0 = time.time()
+    n = pip_join(pts, polys, 7, rings_distribution="cogroup").count()
+    timings["pip_cogroup_600k"] = round(time.time() - t0, 3)
+    if n == 0:
+        print("WARN: pip_cogroup_600k returned 0 rows", file=sys.stderr)
+
+
 def run_suite(spark, sf_dir: str, n_docs: int) -> dict:
     import __spark_entry__ as entry_mod
 
@@ -220,6 +252,7 @@ def run_suite(spark, sf_dir: str, n_docs: int) -> dict:
         }
     if SCALE_COPIES:
         run_scaled_relational(spark, sf_dir, SCALE_COPIES, timings)
+    run_pip_cogroup(spark, sf_dir, timings)
 
     total = round(sum(timings.values()), 3)
     return {

@@ -520,9 +520,18 @@ def _empty_pip() -> pd.DataFrame:
 
 
 def _pip_join_cogroup(pts: DataFrame, polys: DataFrame, res: int,
-                      salt: Optional[int]) -> DataFrame:
+                      salt: Optional[int], *,
+                      n_buckets: int = 64) -> DataFrame:
     """Any-scale shape: rings ride the cover rows to the executors and
     meet their cell's points in a cogroup — no driver collect anywhere.
+
+    The cogroup key is a BUCKET of cells (pmod(hash(cell), n_buckets)),
+    not the raw cell id: cogrouped applyInPandas dispatches one Python
+    call per key, and per-cell keys cost ~10s of pure dispatch overhead
+    for 600k points at res 7 (measured) — per-bucket calls amortize it
+    to ``n_buckets`` invocations, with the per-cell grouping done in
+    pandas inside each call (the same bucketing trick as
+    :mod:`..asof`).
     """
     # bbox cover cells computed with PURE Column expressions (array
     # min/max over the outer ring + sequence/explode + Morton encode):
@@ -576,7 +585,10 @@ def _pip_join_cogroup(pts: DataFrame, polys: DataFrame, res: int,
            .select("poly_id", "cell_id", coords.alias("_coords"),
                    ringlens.alias("_ringlens")))
 
-    keys = ["cell_id"]
+    bucket = F.pmod(F.hash(F.col("cell_id")), F.lit(n_buckets)).cast("int")
+    pts = pts.withColumn("_bucket", bucket)
+    cov = cov.withColumn("_bucket", bucket)
+    keys = ["_bucket"]
     if salt:
         from .salted import hot_keys
         hot = hot_keys(pts, "cell_id")
@@ -592,33 +604,74 @@ def _pip_join_cogroup(pts: DataFrame, polys: DataFrame, res: int,
                                  F.sequence(F.lit(0), F.lit(salt - 1)))
                           .otherwise(F.array(F.lit(0)))))
                 .withColumn("_salt", F.col("_salt").cast("int")))
-            keys = ["cell_id", "_salt"]
+            keys = ["_bucket", "_salt"]
+
+    def _cell_raycast(px, py, pt_ids, rgrp, keep_pt, keep_poly):
+        # ONE edge table for every polygon covering the cell, with
+        # per-polygon segment starts — the whole cell ray-casts in a
+        # handful of numpy ops instead of a Python call per polygon
+        ex1, ey1, ex2, ey2 = [], [], [], []
+        seg_starts, pids = [], []
+        n_edges = 0
+        for pid, flat, lens in zip(rgrp["poly_id"], rgrp["_coords"],
+                                   rgrp["_ringlens"]):
+            verts = np.asarray(flat, dtype=np.float64).reshape(-1, 2)
+            off = 0
+            start = n_edges
+            for ln in np.asarray(lens, dtype=np.int64):
+                ring = verts[off:off + ln]
+                off += ln
+                if len(ring) < 3:
+                    continue
+                ex1.append(ring[:, 0])
+                ey1.append(ring[:, 1])
+                ex2.append(np.roll(ring[:, 0], -1))
+                ey2.append(np.roll(ring[:, 1], -1))
+                n_edges += len(ring)
+            if n_edges > start:
+                seg_starts.append(start)
+                pids.append(int(pid))
+        if not seg_starts:
+            return
+        x1 = np.concatenate(ex1)[:, None]
+        y1 = np.concatenate(ey1)[:, None]
+        x2 = np.concatenate(ex2)[:, None]
+        y2 = np.concatenate(ey2)[:, None]
+        starts = np.asarray(seg_starts, dtype=np.intp)
+        pid_arr = np.asarray(pids, dtype=np.int64)
+        # chunk points to bound the (edges x points) scratch
+        chunk = max(1, 8_000_000 // max(n_edges, 1))
+        for lo in range(0, len(px), chunk):
+            cpx, cpy = px[None, lo:lo + chunk], py[None, lo:lo + chunk]
+            cond = (y1 > cpy) != (y2 > cpy)
+            # identical crossing expression to _raycast_np / the oracle
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xs = (x2 - x1) * (cpy - y1) / (y2 - y1) + x1
+            cross = cond & (cpx < xs)
+            crossings = np.add.reduceat(
+                cross.astype(np.int64), starts, axis=0)
+            pidx, midx = np.nonzero((crossings % 2) == 1)
+            keep_pt.append(pt_ids[lo + midx])
+            keep_poly.append(pid_arr[pidx])
 
     def raycast(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         if len(lpdf) == 0 or len(rpdf) == 0:
             return _empty_pip()
-        px = lpdf["x"].to_numpy(np.float64)
-        py = lpdf["y"].to_numpy(np.float64)
-        pt_ids = lpdf["point_id"].to_numpy(np.int64)
+        px_all = lpdf["x"].to_numpy(np.float64)
+        py_all = lpdf["y"].to_numpy(np.float64)
+        ids_all = lpdf["point_id"].to_numpy(np.int64)
+        l_idx = lpdf.groupby("cell_id").indices
         keep_pt, keep_poly = [], []
-        for pid, flat, lens in zip(rpdf["poly_id"], rpdf["_coords"],
-                                   rpdf["_ringlens"]):
-            verts = np.asarray(flat, dtype=np.float64).reshape(-1, 2)
-            rs, off = [], 0
-            for ln in np.asarray(lens, dtype=np.int64):
-                ring = verts[off:off + ln]
-                off += ln
-                if len(ring) >= 3:
-                    rs.append(ring)
-            if not rs:
+        for cell, rgrp in rpdf.groupby("cell_id", sort=False):
+            pos = l_idx.get(cell)
+            if pos is None:
                 continue
-            mask = _raycast_np(px, py, rs)
-            keep_pt.append(pt_ids[mask])
-            keep_poly.append(np.full(int(mask.sum()), int(pid), dtype=np.int64))
-        if keep_pt:
-            return pd.DataFrame({"point_id": np.concatenate(keep_pt),
-                                 "poly_id": np.concatenate(keep_poly)})
-        return _empty_pip()
+            _cell_raycast(px_all[pos], py_all[pos], ids_all[pos], rgrp,
+                          keep_pt, keep_poly)
+        if not keep_pt:
+            return _empty_pip()
+        return pd.DataFrame({"point_id": np.concatenate(keep_pt),
+                             "poly_id": np.concatenate(keep_poly)})
 
     return (pts.groupby(*keys).cogroup(cov.groupby(*keys))
             .applyInPandas(raycast, _PIP_SCHEMA))
