@@ -62,3 +62,85 @@ def connected_components(edges: DataFrame, *, src: str = "doc_a",
             f"connected_components did not converge in {max_iters} rounds; "
             "the graph has a longer min-label path — raise max_iters")
     return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
+def connected_components_star(edges: DataFrame, *, src: str = "doc_a",
+                              dst: str = "doc_b",
+                              max_iters: int = 30) -> DataFrame:
+    """Connected components via alternating LARGE-STAR / SMALL-STAR
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    converges in O(log² n) rounds INDEPENDENT of graph diameter, where
+    min-label propagation needs one round per hop. Same output as
+    :func:`connected_components`: (node, component = min id of the
+    node's component); use this variant when clusters can be chains
+    (e.g. transitive near-dup threads) rather than shallow stars.
+
+    Each round is two groupBy-min + join passes over the current edge
+    set; the edge set only shrinks toward the final star forest, and
+    lineage is truncated per round.
+
+    - large-star(u): every neighbor v > u re-attaches to
+      m = min(N(u) ∪ {u})
+    - small-star(u): over edges kept as (u ≥ v): every v (and u)
+      attaches to m = min of that neighborhood ∪ {u}
+    """
+    e = (edges.select(F.col(src).cast("long").alias("u"),
+                      F.col(dst).cast("long").alias("v"))
+         .where(F.col("u") != F.col("v"))
+         .distinct()
+         .localCheckpoint(eager=True))
+    nodes = (e.select(F.col("u").alias("node"))
+             .union(e.select("v")).distinct()
+             .localCheckpoint(eager=True))
+
+    def large_star(ed: DataFrame) -> DataFrame:
+        sym = ed.union(ed.select(F.col("v").alias("u"),
+                                 F.col("u").alias("v")))
+        m = (sym.groupBy("u")
+             .agg(F.least(F.min("v"), F.first("u")).alias("m")))
+        return (sym.join(m, "u")
+                .where(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .where(F.col("u") != F.col("v"))
+                .distinct())
+
+    def small_star(ed: DataFrame) -> DataFrame:
+        canon = ed.select(F.greatest("u", "v").alias("u"),
+                          F.least("u", "v").alias("v"))
+        m = (canon.groupBy("u")
+             .agg(F.least(F.min("v"), F.first("u")).alias("m")))
+        attach_nbrs = (canon.join(m, "u")
+                       .select(F.col("v").alias("u"),
+                               F.col("m").alias("v")))
+        attach_self = m.select(F.col("u"), F.col("m").alias("v"))
+        return (attach_nbrs.union(attach_self)
+                .where(F.col("u") != F.col("v"))
+                .distinct())
+
+    converged = False
+    cur = e
+    for _ in range(max_iters):
+        nxt = small_star(large_star(cur)).localCheckpoint(eager=True)
+        changed = (nxt.exceptAll(cur).limit(1).count()
+                   + cur.exceptAll(nxt).limit(1).count())
+        prev = cur
+        cur = nxt
+        prev.unpersist()
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iters} "
+            "rounds (expected O(log^2 n)); raise max_iters")
+    # converged edge set is a star forest: (u=v_node, v=center)
+    labels = (cur.select(F.col("u").alias("node"),
+                         F.col("v").alias("component"))
+              .groupBy("node").agg(F.min("component").alias("component")))
+    centers = (nodes.join(labels, "node", "left_anti")
+               .select("node", F.col("node").alias("component")))
+    out = labels.unionByName(centers).localCheckpoint(eager=True)
+    cur.unpersist()
+    nodes.unpersist()
+    e.unpersist()
+    return out

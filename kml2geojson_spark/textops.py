@@ -469,7 +469,8 @@ def ngram_jaccard_pairs(documents: DataFrame, *, n: int = 3,
 
 def near_dedup_representatives(documents: DataFrame, *,
                                max_hamming: int = 3,
-                               bands: int = 4) -> DataFrame:
+                               bands: int = 4,
+                               components: str = "label") -> DataFrame:
     """The canonical training-corpus near-dedup pipeline in ONE call:
     exact duplicates (content-hash groups) ∪ SimHash near-duplicate
     pairs → connected components → representative = minimum doc_id per
@@ -485,12 +486,19 @@ def near_dedup_representatives(documents: DataFrame, *,
     its content-hash representative to that representative's component
     minimum — identical output to running the band join over the full
     corpus (an exact-dup group's members share a signature, so their
-    component is their representative's). Components run min-label
-    propagation with per-round lineage truncation; everything is
-    oracle-checked end-to-end (driver q59: recursive-CTE closure over
-    the equivalent full edge set)."""
-    from .graph import connected_components
+    component is their representative's). ``components`` picks
+    min-label propagation (default — rounds = cluster diameter, ideal
+    for shallow near-dup stars) or the diameter-independent
+    large-star/small-star algorithm (``"star"`` — for corpora whose
+    near-dup clusters form long transitive chains); both yield the
+    identical min-id labeling. Oracle-checked end-to-end (driver q59:
+    recursive-CTE closure over the equivalent full edge set)."""
+    from .graph import connected_components, connected_components_star
 
+    if components not in ("label", "star"):
+        raise ValueError(f"unknown components algorithm {components!r}")
+    cc = connected_components if components == "label" \
+        else connected_components_star
     docs = documents.select("doc_id", "text")
     h = docs.select("doc_id", "text",
                     content_hash_col(F.col("text")).alias("_h"))
@@ -500,7 +508,7 @@ def near_dedup_representatives(documents: DataFrame, *,
                 .select("doc_id", "text"))
     near = simhash_near_pairs(rep_docs, max_hamming=max_hamming,
                               bands=bands).select("doc_a", "doc_b")
-    rep_label = connected_components(near).select(
+    rep_label = cc(near).select(
         F.col("node").alias("_rep"), F.col("component").alias("_label"))
     return (h.select("doc_id", "_h")
             .join(gmin, "_h")

@@ -61,3 +61,36 @@ def test_components_raises_when_not_converged(spark):
     df = spark.createDataFrame(edges, "doc_a long, doc_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(df, max_iters=3)
+
+
+def test_star_components_equal_label_propagation(spark):
+    """large-star/small-star must produce exactly the same labeling as
+    min-label propagation on random graphs."""
+    import numpy as np
+    from kml2geojson_spark.graph import (connected_components,
+                                         connected_components_star)
+    rng = np.random.default_rng(77)
+    rows = [(int(a), int(b)) for a, b in
+            rng.integers(0, 120, size=(180, 2)) if a != b]
+    edges = spark.createDataFrame(rows, "doc_a long, doc_b long")
+    a = sorted(map(tuple, connected_components(edges).collect()))
+    b = sorted(map(tuple, connected_components_star(edges).collect()))
+    assert a == b and a
+
+
+def test_star_components_long_chain_beats_propagation(spark):
+    """A path graph of length 300: label propagation needs ~300 rounds
+    (fails at max_iters=20); the star algorithm converges in a handful
+    and labels the whole chain with its minimum."""
+    import pytest as _pytest
+    from kml2geojson_spark.graph import (connected_components,
+                                         connected_components_star)
+    n = 300
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a long, doc_b long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iters=20)
+    out = {r["node"]: r["component"]
+           for r in connected_components_star(edges).collect()}
+    assert len(out) == n + 1
+    assert set(out.values()) == {0}

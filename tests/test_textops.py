@@ -443,3 +443,16 @@ def test_vocabulary_ranking_and_min_df(spark):
     top = vocabulary(docs, min_df=2, top_k=2).collect()
     assert [(r["token"], r["rank"]) for r in
             sorted(top, key=lambda r: r["rank"])] == [("a", 1), ("b", 2)]
+
+
+def test_near_dedup_star_algorithm_same_output(spark):
+    from kml2geojson_spark.textops import near_dedup_representatives
+    base = "alpha beta gamma delta epsilon zeta " * 5
+    docs = spark.createDataFrame(
+        [(i, base + ("x" * (i % 3))) for i in range(1, 8)]
+        + [(9, "entirely different text about shuffles and joins")],
+        "doc_id long, text string")
+    a = sorted(map(tuple, near_dedup_representatives(docs).collect()))
+    b = sorted(map(tuple, near_dedup_representatives(
+        docs, components="star").collect()))
+    assert a == b and a
