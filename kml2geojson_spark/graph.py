@@ -84,14 +84,17 @@ def connected_components_star(edges: DataFrame, *, src: str = "doc_a",
     - small-star(u): over edges kept as (u ≥ v): every v (and u)
       attaches to m = min of that neighborhood ∪ {u}
     """
-    e = (edges.select(F.col(src).cast("long").alias("u"),
-                      F.col(dst).cast("long").alias("v"))
-         .where(F.col("u") != F.col("v"))
+    raw = edges.select(F.col(src).cast("long").alias("u"),
+                       F.col(dst).cast("long").alias("v"))
+    # node universe from the UNFILTERED edges: a node appearing only in
+    # a self-loop must still receive its (singleton) component row,
+    # exactly like connected_components
+    nodes = (raw.select(F.col("u").alias("node"))
+             .union(raw.select("v")).distinct()
+             .localCheckpoint(eager=True))
+    e = (raw.where(F.col("u") != F.col("v"))
          .distinct()
          .localCheckpoint(eager=True))
-    nodes = (e.select(F.col("u").alias("node"))
-             .union(e.select("v")).distinct()
-             .localCheckpoint(eager=True))
 
     def large_star(ed: DataFrame) -> DataFrame:
         sym = ed.union(ed.select(F.col("v").alias("u"),

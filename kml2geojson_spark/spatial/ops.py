@@ -413,7 +413,8 @@ def pip_join(points: DataFrame, polygons: DataFrame, res: int, *,
              broadcast_polygons: bool = True,
              salt: Optional[int] = None,
              rings_distribution: str = "auto",
-             max_driver_rings: int = 20_000) -> DataFrame:
+             max_driver_rings: int = 20_000,
+             cogroup_buckets: int = 64) -> DataFrame:
     """Ray-casting point-in-polygon join, bucketed by quadtree cell.
 
     Two plan shapes, chosen by ``rings_distribution``:
@@ -429,11 +430,17 @@ def pip_join(points: DataFrame, polygons: DataFrame, res: int, *,
       in a 100-TB hot path.
     - ``"cogroup"`` — polygons at any scale: rings never touch the
       driver. Each polygon's bbox cover cells are emitted WITH its
-      rings (executor-side ``mapInPandas``); points and covering
-      polygons are cogrouped per cell and ray-cast there. One shuffle
-      of each side on ``cell_id``; ring bytes are replicated only per
-      covering cell, never per point. ``salt`` splits hot cells'
-      points across ``salt`` cogroup keys (rings replicated per salt).
+      rings (pure Column cover, JVM-side); both sides shuffle once on
+      a HASH BUCKET of the cell id (``cogroup_buckets`` keys — one
+      Python call per bucket, cells regrouped in pandas inside it;
+      per-cell keys would pay Python dispatch per cell) and are
+      ray-cast per cell there. Ring bytes are replicated only per
+      covering cell, never per point. Size ``cogroup_buckets`` ≈
+      cluster task slots × small multiple: each call holds ~1/buckets
+      of the points, so more buckets = less memory per task and more
+      parallelism. ``salt`` additionally splits hot cells' points
+      across ``salt`` sub-keys of their bucket (rings replicated per
+      salt).
     - ``"auto"`` (default) — one cheap count() on the polygon side
       picks driver below ``max_driver_rings``, cogroup above.
 
@@ -465,7 +472,8 @@ def pip_join(points: DataFrame, polygons: DataFrame, res: int, *,
                 f"'cogroup' (or raise the threshold explicitly)")
 
     if rings_distribution == "cogroup":
-        return _pip_join_cogroup(pts, polys, res, salt)
+        return _pip_join_cogroup(pts, polys, res, salt,
+                                 n_buckets=cogroup_buckets)
     return _pip_join_driver(pts, polys, res, broadcast_polygons, salt)
 
 
@@ -648,8 +656,11 @@ def _pip_join_cogroup(pts: DataFrame, polys: DataFrame, res: int,
             with np.errstate(divide="ignore", invalid="ignore"):
                 xs = (x2 - x1) * (cpy - y1) / (y2 - y1) + x1
             cross = cond & (cpx < xs)
+            # int32, not int64: reduceat on bool would logical-or, and
+            # the upcast copy is the widest scratch in the loop —
+            # counts are bounded by the segment edge count (< 2^31)
             crossings = np.add.reduceat(
-                cross.astype(np.int64), starts, axis=0)
+                cross.astype(np.int32), starts, axis=0)
             pidx, midx = np.nonzero((crossings % 2) == 1)
             keep_pt.append(pt_ids[lo + midx])
             keep_poly.append(pid_arr[pidx])

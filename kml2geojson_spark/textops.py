@@ -558,18 +558,22 @@ def vocabulary(documents: DataFrame, *, min_df: int = 1,
     (df desc, token asc). ``top_k`` truncates after ranking.
 
     Distributed ranking: a naive ``row_number`` over (df desc, token)
-    would funnel the WHOLE vocabulary through one window task. Instead,
-    global ranks come from a per-df offset table (a window over the
-    tiny df histogram — one row per distinct df value) plus a
-    within-df window partitioned by df; with ``top_k``, a df cutoff
-    derived from the histogram prunes the vocabulary BEFORE any
-    ranking, so the ranked set is ≈ top_k rows regardless of corpus
-    size.
+    would funnel the WHOLE vocabulary through one window task — and a
+    window partitioned by df merely moves the funnel to the Zipf-heavy
+    lowest df class. Ranks are instead assembled two-phase over a
+    RANGE partitioning of (df desc, token asc): per-range-bucket
+    row numbers plus a global-offset merge over the tiny per-bucket
+    totals (the same shape as the distributed quantiles). With
+    ``top_k``, a df cutoff derived from the df histogram prunes the
+    vocabulary BEFORE any ranking, so the ranked set is ≈ top_k rows
+    regardless of corpus size.
 
     Output: (token, df, rank).
     """
     from pyspark.sql import Window
 
+    spark = documents.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     toks = documents.select(
         F.explode(F.array_distinct(
             F.split(F.lower(F.col("text")), " "))).alias("token")) \
@@ -577,19 +581,32 @@ def vocabulary(documents: DataFrame, *, min_df: int = 1,
     counts = (toks.groupBy("token")
               .agg(F.count(F.lit(1)).alias("df"))
               .where(F.col("df") >= min_df))
-    hist = counts.groupBy("df").agg(F.count(F.lit(1)).alias("_n"))
-    w_off = (Window.orderBy(F.col("df").desc())
-             .rowsBetween(Window.unboundedPreceding, -1))
-    offs = hist.withColumn(
-        "_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0)))
     if top_k is not None:
-        keep = offs.where(F.col("_off") < top_k).select("df")
+        hist = counts.groupBy("df").agg(F.count(F.lit(1)).alias("_n"))
+        w_off = (Window.orderBy(F.col("df").desc())
+                 .rowsBetween(Window.unboundedPreceding, -1))
+        cum_before = hist.withColumn(
+            "_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0)))
+        keep = cum_before.where(F.col("_off") < top_k).select("df")
         counts = counts.join(F.broadcast(keep), "df")
-    w_in = Window.partitionBy("df").orderBy(F.col("token").asc())
-    out = (counts.join(F.broadcast(offs.select("df", "_off")), "df")
-           .withColumn("rank",
-                       F.row_number().over(w_in) + F.col("_off"))
-           .select("token", "df", F.col("rank").cast("long").alias("rank")))
+    # two-phase global rank (lineage-truncated so bucket ids stay
+    # consistent between the offset computation and the rank probe)
+    ranked = (counts.repartitionByRange(
+                  n_parts, F.col("df").desc(), F.col("token").asc())
+              .withColumn("_pid", F.spark_partition_id())
+              .withColumn("_rn", F.row_number().over(
+                  Window.partitionBy("_pid")
+                  .orderBy(F.col("df").desc(), F.col("token").asc())))
+              .localCheckpoint(eager=False))
+    ptot = ranked.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    w_p = (Window.orderBy(F.col("_pid").asc())
+           .rowsBetween(Window.unboundedPreceding, -1))
+    offs = ptot.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(w_p), F.lit(0)))
+    out = (ranked.join(F.broadcast(offs.select("_pid", "_off")), "_pid")
+           .select("token", "df",
+                   (F.col("_rn") + F.col("_off")).cast("long")
+                   .alias("rank")))
     if top_k is not None:
         out = out.where(F.col("rank") <= top_k)
     return out

@@ -94,3 +94,14 @@ def test_star_components_long_chain_beats_propagation(spark):
            for r in connected_components_star(edges).collect()}
     assert len(out) == n + 1
     assert set(out.values()) == {0}
+
+
+def test_star_components_keep_self_loop_nodes(spark):
+    """A node appearing only in a self-loop must still get its
+    singleton component row — identical to label propagation."""
+    from kml2geojson_spark.graph import (connected_components,
+                                         connected_components_star)
+    edges = spark.createDataFrame([(5, 5), (1, 2)], "doc_a long, doc_b long")
+    a = sorted(map(tuple, connected_components(edges).collect()))
+    b = sorted(map(tuple, connected_components_star(edges).collect()))
+    assert a == b == [(1, 1), (2, 1), (5, 5)]
