@@ -18,6 +18,9 @@ Shapes provided:
 - :func:`stream_pip_counts` — stream-static spatial join: streamed
   points against a static polygon dimension, incremental per-polygon
   counts.
+- :func:`stream_dedup_new_docs` — stateful ingestion dedup: first
+  occurrence per exact content, later duplicates suppressed across
+  micro-batches.
 - :func:`stream_to_lineage` — ``foreachBatch`` writer that lands each
   micro-batch as a lineage-stage parquet with the manifest recording
   the batch id → the checkpoint/resume story and the streaming story
@@ -297,3 +300,48 @@ def stream_pip_counts(docs: DataFrame, polygons: DataFrame,
                                broadcast_polygons=True, salt=None)
     return matched.groupBy("poly_id").agg(
         F.count(F.lit(1)).alias("n_points"))
+
+
+def stream_dedup_new_docs(docs: DataFrame) -> DataFrame:
+    """Streaming ingestion dedup: emit each document content's FIRST
+    occurrence across the whole stream, suppress every later exact
+    duplicate — the stateful counterpart of batch
+    ``textops.exact_duplicates``.
+
+    The content hash is a pure Column (md5 over the offset-ordered span
+    text, i.e. the reconstructed document bytes); state per hash is one
+    (kept doc_id) tuple via ``applyInPandasWithState``, so state size
+    is bounded by distinct contents, not stream length. Within a
+    micro-batch the minimum doc_id wins (deterministic); across batches
+    first-arrival wins (ingestion-order semantics). At 10^12-doc scale
+    add a state TTL if content recurrence has a known horizon.
+
+    Output: (content_hash, doc_id) — the keeper per newly seen content.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    text = F.array_join(
+        F.transform(F.expr("array_sort(spans, (a, b) -> a.offset - b.offset)"),
+                    lambda s: s["text"]), "")
+    hashed = docs.select(F.col("doc_id"), F.md5(text).alias("content_hash"))
+
+    def fn(key, pdfs, state):
+        (content_hash,) = key
+        if state.exists:
+            return
+        best = None
+        for pdf in pdfs:
+            if len(pdf):
+                m = pdf["doc_id"].min()
+                best = m if best is None else min(best, m)
+        if best is None:
+            return
+        state.update((str(best),))
+        yield pd.DataFrame({"content_hash": [content_hash],
+                            "doc_id": [best]})
+
+    return (hashed.groupBy("content_hash")
+            .applyInPandasWithState(
+                fn, "content_hash string, doc_id string",
+                "doc_id string", "append", GroupStateTimeout.NoTimeout))

@@ -272,3 +272,37 @@ def test_stream_pip_counts_refuses_oversized_polygons(spark, tmp_path):
     with _pytest.raises(ValueError, match="max_driver_rings"):
         stream_pip_counts(stream_documents(spark, src), polys, 5,
                           max_driver_rings=10)
+
+
+def test_stream_dedup_new_docs_across_batches(spark, tmp_path):
+    """Exact-dup suppression with cross-batch state: a duplicate
+    arriving in a LATER micro-batch is suppressed; each content emits
+    exactly one keeper."""
+    import kml2geojson_spark as k2gs
+    from pyspark.sql import functions as F
+    from kml2geojson_spark.streaming import (stream_dedup_new_docs,
+                                             stream_documents)
+
+    src = str(tmp_path / "dd")
+    base = k2gs.synthesize_documents_kml(spark, 6, seed=51, max_placemarks=3)
+    # file 1: docs as-is; file 2: same CONTENTS under new doc ids
+    base.coalesce(1).write.parquet(src)
+    dup = base.coalesce(1).select(
+        F.concat(F.lit("copy-"), F.col("doc_id")).alias("doc_id"), "spans")
+    dup.write.mode("append").parquet(src)
+
+    out = stream_dedup_new_docs(
+        stream_documents(spark, src, max_files_per_trigger=1))
+    q = (out.writeStream.format("memory").queryName("dd_mem")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ddck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM dd_mem").collect()
+    # one keeper per distinct content; no copy- ids unless that content
+    # arrived first in a copy-only batch (here originals precede copies
+    # OR tie within one batch resolves to min doc_id = original)
+    assert len(rows) == 6
+    hashes = [r["content_hash"] for r in rows]
+    assert len(set(hashes)) == 6
+    assert all(not r["doc_id"].startswith("copy-") for r in rows)
