@@ -1327,6 +1327,38 @@ FROM counts
 """
 
 
+def _q64_interval_join(spark, sf):
+    """Numeric interval join (facts BETWEEN start AND end) via the
+    bucket-candidate shape — never a nested-loop/cartesian plan."""
+    from kml2geojson_spark.rangejoin import interval_join
+    li = _t(spark, sf, "lineitem")
+    facts = li.select(
+        "l_orderkey", "l_linenumber",
+        ((F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 100000)
+        .alias("p"))
+    s = _t(spark, sf, "supplier")
+    ivs = s.select(
+        F.col("s_suppkey").alias("iv_id"),
+        ((F.col("s_suppkey") * 911) % 100000).alias("iv_start"))
+    ivs = ivs.withColumn(
+        "iv_end", F.col("iv_start") + (F.col("iv_id") % 50) * 10)
+    out = interval_join(facts, ivs, point_col="p", start_col="iv_start",
+                        end_col="iv_end", bucket_width=256)
+    return out.select("l_orderkey", "l_linenumber", "p", "iv_id")
+
+
+_O64 = """
+SELECT l.l_orderkey, l.l_linenumber,
+       (l.l_orderkey * 7 + l.l_linenumber) % 100000 AS p,
+       s.s_suppkey AS iv_id
+FROM lineitem l
+JOIN supplier s
+  ON (l.l_orderkey * 7 + l.l_linenumber) % 100000
+       BETWEEN (s.s_suppkey * 911) % 100000
+           AND (s.s_suppkey * 911) % 100000 + (s.s_suppkey % 50) * 10
+"""
+
+
 def _q61_embed_dedup_reps(spark, sf):
     """Embedding-space near-dedup composite: cosine pairs → components
     → per-vector representative (self for singletons)."""
@@ -1515,6 +1547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q61_embed_dedup_reps": _q61_embed_dedup_reps,
         "q62_redact_text": _q62_redact_text,
         "q63_vocabulary": _q63_vocabulary,
+        "q64_interval_join": _q64_interval_join,
     }
 
 
@@ -1568,6 +1601,7 @@ def oracle_sql() -> dict[str, str]:
         "q61_embed_dedup_reps": _O61,
         "q62_redact_text": _O62,
         "q63_vocabulary": _O63,
+        "q64_interval_join": _O64,
         # q40/q41/q43/q44/q58: rows-only (LSH/IVF candidate sets are
         # approximate by design — pytest measures recall vs the exact
         # baseline; media decode is stubbed; minhash signatures are

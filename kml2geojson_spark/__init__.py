@@ -41,6 +41,7 @@ from .engine import (
 from .datagen import pack_spans, synthesize_documents_kml, spans_schema
 from . import compat  # reference-named drop-in API (kml2geojson v5.1.0)
 from . import bucketed  # co-located (pre-shuffled) table layout
+from . import rangejoin  # bucket-candidate interval (range) join
 
 __version__ = "0.1.0"
 

@@ -234,3 +234,35 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bk_a")
         spark.sql("DROP TABLE IF EXISTS bk_b")
+
+
+def test_interval_join_no_nested_loop(spark):
+    """The interval join must plan as an equi-join on the bucket, never
+    a BroadcastNestedLoopJoin/CartesianProduct, and must equal the
+    naive BETWEEN join row-for-row (incl. inverted intervals)."""
+    from kml2geojson_spark.rangejoin import interval_join
+    facts = spark.range(3000).selectExpr("id AS fid", "id % 997 AS p")
+    ivs = spark.range(60).selectExpr(
+        "id AS iv_id", "(id * 37) % 900 AS s",
+        "CASE WHEN id % 7 = 0 THEN (id * 37) % 900 - 5 "
+        "     ELSE (id * 37) % 900 + id END AS e")  # some inverted
+    out = interval_join(facts, ivs, point_col="p", start_col="s",
+                        end_col="e", bucket_width=64)
+    plan = _plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    got = sorted(map(tuple, out.select("fid", "iv_id").collect()))
+    naive = facts.join(ivs, (F.col("s") <= F.col("p"))
+                       & (F.col("p") <= F.col("e")))
+    expect = sorted(map(tuple, naive.select("fid", "iv_id").collect()))
+    assert got == expect and got
+
+
+def test_interval_join_rejects_collisions(spark):
+    from kml2geojson_spark.rangejoin import interval_join
+    import pytest as _pytest
+    facts = spark.range(5).selectExpr("id AS p", "id AS s")
+    ivs = spark.range(5).selectExpr("id AS s", "id + 1 AS e")
+    with _pytest.raises(ValueError, match="collision"):
+        interval_join(facts, ivs, point_col="p", start_col="s",
+                      end_col="e", bucket_width=4)
