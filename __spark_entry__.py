@@ -468,6 +468,24 @@ def _q55_knn_adaptive(spark, sf):
             .withColumnRenamed("rank", "rk"))
 
 
+def _q65_within_distance(spark, sf):
+    """DWithin join: all (query, point) pairs within 5 degrees —
+    k-ring candidates with radius-derived ring count, exact d² filter
+    (identical double formula to the oracle)."""
+    from kml2geojson_spark.spatial.ops import within_distance_join
+    return within_distance_join(_customer_points(spark, sf),
+                                _supplier_queries(spark, sf), 5.0, res=6)
+
+
+_O65 = f"""
+WITH pts AS ({_PTS_SQL}), qs AS ({_QRY_SQL})
+SELECT q.query_id, p.point_id,
+       (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y) AS dist2
+FROM qs q CROSS JOIN pts p
+WHERE (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y) <= 25.0
+"""
+
+
 def _q14_coverage_rect(spark, sf):
     from kml2geojson_spark.spatial import cover_cells_rect
     p = _nation_diamond_params(spark, sf)
@@ -1548,6 +1566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_redact_text": _q62_redact_text,
         "q63_vocabulary": _q63_vocabulary,
         "q64_interval_join": _q64_interval_join,
+        "q65_within_distance": _q65_within_distance,
     }
 
 
@@ -1602,6 +1621,7 @@ def oracle_sql() -> dict[str, str]:
         "q62_redact_text": _O62,
         "q63_vocabulary": _O63,
         "q64_interval_join": _O64,
+        "q65_within_distance": _O65,
         # q40/q41/q43/q44/q58: rows-only (LSH/IVF candidate sets are
         # approximate by design — pytest measures recall vs the exact
         # baseline; media decode is stubbed; minhash signatures are

@@ -753,6 +753,44 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int, res: int,
             .select("query_id", "neighbor_id", "dist2", "rank"))
 
 
+def within_distance_join(points: DataFrame, queries: DataFrame,
+                         radius: float, res: int, *,
+                         point_id: str = "point_id", x: str = "x",
+                         y: str = "y",
+                         query_id: str = "query_id") -> DataFrame:
+    """DWithin: every (query, point) pair with Euclidean distance ≤
+    ``radius`` (degrees). Candidates via k-ring expansion with the ring
+    count derived from the radius — ``rings = floor(r/cell_min_dim)+1``
+    guarantees any point within ``radius`` of a query shares one of the
+    candidate cells (Chebyshev bound) — then the exact ``d² ≤ r²``
+    filter (codegen, identical double expression to the SQL oracle,
+    driver q65). A point lives in one cell → unique pairs, no dedup.
+
+    Output: (query_id, point_id, dist2).
+    """
+    n = 1 << res
+    min_dim = min(360.0 / n, 180.0 / n)
+    rings = int(radius // min_dim) + 1
+    q = queries.select(F.col(query_id).alias("query_id"),
+                       F.col(x).alias("_qx"), F.col(y).alias("_qy"))
+    q = q.withColumn("_qcell", cell_encode_col(F.col("_qx"), F.col("_qy"), res))
+
+    @F.pandas_udf("array<long>")
+    def ring_cells(cells: pd.Series) -> pd.Series:
+        return cells.map(lambda c: cell_kring_np(int(c), rings).tolist())
+
+    q = q.withColumn("cell_id", F.explode(ring_cells(F.col("_qcell"))))
+    p = encode_points(points.select(
+        F.col(point_id).alias("point_id"), F.col(x).alias("x"),
+        F.col(y).alias("y")), res)
+    d2 = ((F.col("x") - F.col("_qx")) * (F.col("x") - F.col("_qx"))
+          + (F.col("y") - F.col("_qy")) * (F.col("y") - F.col("_qy")))
+    return (p.join(q, "cell_id")
+            .withColumn("dist2", d2)
+            .where(F.col("dist2") <= F.lit(float(radius) * float(radius)))
+            .select("query_id", "point_id", "dist2"))
+
+
 def knn_join_adaptive(points: DataFrame, queries: DataFrame, k: int, res: int,
                       *, ring_radius: int = 2, level_step: int = 2,
                       point_id: str = "point_id", x: str = "x", y: str = "y",

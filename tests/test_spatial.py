@@ -504,3 +504,22 @@ def test_pip_join_modes_agree_on_malformed_polygons(spark):
          pip_join(points_df, poly_df, 6,
                   rings_distribution="cogroup").collect()}
     assert a == b == _pip_oracle(pts, polys)
+
+
+def test_within_distance_join_matches_bruteforce(spark):
+    from kml2geojson_spark.spatial.ops import within_distance_join
+    pts = _points_pdf()
+    points_df = spark.createDataFrame(pts)
+    queries = (spark.createDataFrame(pts.head(20))
+               .withColumnRenamed("point_id", "query_id"))
+    for radius, res in ((3.0, 6), (7.5, 5)):
+        got = {(r["query_id"], r["point_id"])
+               for r in within_distance_join(points_df, queries,
+                                             radius, res).collect()}
+        qs = pts.head(20)
+        expect = set()
+        for _, q in qs.iterrows():
+            d2 = (pts["x"] - q["x"]) ** 2 + (pts["y"] - q["y"]) ** 2
+            for pid in pts["point_id"][d2 <= radius * radius]:
+                expect.add((int(q["point_id"]), int(pid)))
+        assert got == expect and got
