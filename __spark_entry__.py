@@ -1377,6 +1377,31 @@ JOIN supplier s
 """
 
 
+def _q66_coverage_pyramid(spark, sf):
+    """Coverage rollup across resolutions: per-cell picounit coverage
+    at res 6 aggregated to the res-4 parents by the hierarchical
+    bit-shift — integer sums, so the rollup is order-independent and
+    bit-exact like q60."""
+    from kml2geojson_spark.spatial import coverage_fractions
+    from kml2geojson_spark.spatial.cells import cell_parent_col
+    cov = coverage_fractions(_nation_diamonds(spark, sf), 6)
+    return (cov.withColumn("cell4", cell_parent_col(F.col("cell_id"), 2))
+            .groupBy("cell4")
+            .agg(F.sum("total_frac_pico").alias("total_frac_pico"),
+                 F.sum("n_polygons").alias("n_cover_rows")))
+
+
+def _o66() -> str:
+    inner = _o60().strip()
+    return f"""
+WITH q60 AS ({inner})
+SELECT (((cell_id >> 9) << 5) | 4) AS cell4,
+       CAST(SUM(total_frac_pico) AS BIGINT) AS total_frac_pico,
+       CAST(SUM(n_polygons) AS BIGINT) AS n_cover_rows
+FROM q60 GROUP BY cell4
+"""
+
+
 def _q61_embed_dedup_reps(spark, sf):
     """Embedding-space near-dedup composite: cosine pairs → components
     → per-vector representative (self for singletons)."""
@@ -1567,6 +1592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_vocabulary": _q63_vocabulary,
         "q64_interval_join": _q64_interval_join,
         "q65_within_distance": _q65_within_distance,
+        "q66_coverage_pyramid": _q66_coverage_pyramid,
     }
 
 
@@ -1622,6 +1648,7 @@ def oracle_sql() -> dict[str, str]:
         "q63_vocabulary": _O63,
         "q64_interval_join": _O64,
         "q65_within_distance": _O65,
+        "q66_coverage_pyramid": _o66(),
         # q40/q41/q43/q44/q58: rows-only (LSH/IVF candidate sets are
         # approximate by design — pytest measures recall vs the exact
         # baseline; media decode is stubbed; minhash signatures are
