@@ -472,7 +472,7 @@ def _q65_within_distance(spark, sf):
     """DWithin join: all (query, point) pairs within 5 degrees —
     k-ring candidates with radius-derived ring count, exact d² filter
     (identical double formula to the oracle)."""
-    from kml2geojson_spark.spatial.ops import within_distance_join
+    from kml2geojson_spark.spatial import within_distance_join
     return within_distance_join(_customer_points(spark, sf),
                                 _supplier_queries(spark, sf), 5.0, res=6)
 

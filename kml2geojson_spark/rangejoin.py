@@ -40,11 +40,13 @@ def interval_join(facts: DataFrame, intervals: DataFrame, *,
     """
     if bucket_width <= 0:
         raise ValueError("bucket_width must be positive")
-    overlap = set(facts.columns) & set(intervals.columns)
+    overlap = (set(facts.columns) & set(intervals.columns)) \
+        | ({"_rj_b"} & (set(facts.columns) | set(intervals.columns)))
     if overlap:
         raise ValueError(
             f"interval_join column collision: {sorted(overlap)} appear on "
-            f"both sides; rename before joining")
+            f"both sides (or clash with the internal bucket column); "
+            f"rename before joining")
     if how != "inner":
         raise ValueError("only how='inner' is supported")
 

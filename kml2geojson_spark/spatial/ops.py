@@ -713,6 +713,32 @@ def knn_exact(points: DataFrame, queries: DataFrame, k: int, *,
             .select("query_id", "neighbor_id", "dist2", "rank"))
 
 
+def _kring_candidates(points: DataFrame, queries: DataFrame, res: int,
+                      rings: int, *, point_id: str, x: str, y: str,
+                      query_id: str) -> DataFrame:
+    """Shared candidate generator for the k-ring family (kNN /
+    DWithin): queries explode to the cells within ``rings`` Chebyshev
+    rings at ``res``; points get their cell (codegen); equi-join on the
+    cell, exact squared distance attached. Output columns:
+    (cell_id, _pid, x, y, query_id, _qx, _qy, dist2) — a point lives
+    in exactly one cell, so (query, point) candidates are unique."""
+    q = queries.select(F.col(query_id).alias("query_id"),
+                       F.col(x).alias("_qx"), F.col(y).alias("_qy"))
+    q = q.withColumn("_qcell", cell_encode_col(F.col("_qx"), F.col("_qy"), res))
+
+    @F.pandas_udf("array<long>")
+    def ring_cells(cells: pd.Series) -> pd.Series:
+        return cells.map(lambda c: cell_kring_np(int(c), rings).tolist())
+
+    q = q.withColumn("cell_id", F.explode(ring_cells(F.col("_qcell"))))
+    p = encode_points(points.select(
+        F.col(point_id).alias("_pid"), F.col(x).alias("x"),
+        F.col(y).alias("y")), res)
+    d2 = ((F.col("x") - F.col("_qx")) * (F.col("x") - F.col("_qx"))
+          + (F.col("y") - F.col("_qy")) * (F.col("y") - F.col("_qy")))
+    return p.join(q, "cell_id").withColumn("dist2", d2)
+
+
 def knn_join(points: DataFrame, queries: DataFrame, k: int, res: int,
              radius: int, *, point_id: str = "point_id", x: str = "x",
              y: str = "y", query_id: str = "query_id") -> DataFrame:
@@ -728,27 +754,13 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int, res: int,
     :func:`knn_join_adaptive` removes the radius knob via
     multi-resolution expansion (driver query q55).
     """
-    q = queries.select(F.col(query_id).alias("query_id"),
-                       F.col(x).alias("_qx"), F.col(y).alias("_qy"))
-    q = q.withColumn("_qcell", cell_encode_col(F.col("_qx"), F.col("_qy"), res))
-
-    @F.pandas_udf("array<long>")
-    def ring_cells(cells: pd.Series) -> pd.Series:
-        return cells.map(lambda c: cell_kring_np(int(c), radius).tolist())
-
-    q = q.withColumn("cell_id", F.explode(ring_cells(F.col("_qcell"))))
-
-    p = encode_points(points.select(
-        F.col(point_id).alias("neighbor_id"), F.col(x).alias("x"),
-        F.col(y).alias("y")), res)
-
-    cand = p.join(q, "cell_id")
-    d2 = ((F.col("x") - F.col("_qx")) * (F.col("x") - F.col("_qx"))
-          + (F.col("y") - F.col("_qy")) * (F.col("y") - F.col("_qy")))
+    cand = _kring_candidates(points, queries, res, radius,
+                             point_id=point_id, x=x, y=y,
+                             query_id=query_id) \
+        .withColumnRenamed("_pid", "neighbor_id")
     w = Window.partitionBy("query_id").orderBy(F.col("dist2").asc(),
                                                F.col("neighbor_id").asc())
-    return (cand.withColumn("dist2", d2)
-            .withColumn("rank", F.row_number().over(w))
+    return (cand.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "dist2", "rank"))
 
@@ -768,27 +780,17 @@ def within_distance_join(points: DataFrame, queries: DataFrame,
 
     Output: (query_id, point_id, dist2).
     """
+    if radius < 0:
+        raise ValueError(f"radius must be non-negative, got {radius}")
     n = 1 << res
     min_dim = min(360.0 / n, 180.0 / n)
     rings = int(radius // min_dim) + 1
-    q = queries.select(F.col(query_id).alias("query_id"),
-                       F.col(x).alias("_qx"), F.col(y).alias("_qy"))
-    q = q.withColumn("_qcell", cell_encode_col(F.col("_qx"), F.col("_qy"), res))
-
-    @F.pandas_udf("array<long>")
-    def ring_cells(cells: pd.Series) -> pd.Series:
-        return cells.map(lambda c: cell_kring_np(int(c), rings).tolist())
-
-    q = q.withColumn("cell_id", F.explode(ring_cells(F.col("_qcell"))))
-    p = encode_points(points.select(
-        F.col(point_id).alias("point_id"), F.col(x).alias("x"),
-        F.col(y).alias("y")), res)
-    d2 = ((F.col("x") - F.col("_qx")) * (F.col("x") - F.col("_qx"))
-          + (F.col("y") - F.col("_qy")) * (F.col("y") - F.col("_qy")))
-    return (p.join(q, "cell_id")
-            .withColumn("dist2", d2)
-            .where(F.col("dist2") <= F.lit(float(radius) * float(radius)))
-            .select("query_id", "point_id", "dist2"))
+    cand = _kring_candidates(points, queries, res, rings,
+                             point_id=point_id, x=x, y=y,
+                             query_id=query_id)
+    return (cand.where(F.col("dist2")
+                       <= F.lit(float(radius) * float(radius)))
+            .select("query_id", F.col("_pid").alias("point_id"), "dist2"))
 
 
 def knn_join_adaptive(points: DataFrame, queries: DataFrame, k: int, res: int,

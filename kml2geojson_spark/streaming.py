@@ -321,10 +321,15 @@ def stream_dedup_new_docs(docs: DataFrame) -> DataFrame:
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    from .textops import content_hash_col
+
     text = F.array_join(
         F.transform(F.expr("array_sort(spans, (a, b) -> a.offset - b.offset)"),
                     lambda s: s["text"]), "")
-    hashed = docs.select(F.col("doc_id"), F.md5(text).alias("content_hash"))
+    # the SAME hash definition as batch exact_duplicates — streaming
+    # and batch keepers must agree for the same corpus
+    hashed = docs.select(F.col("doc_id"),
+                         content_hash_col(text).alias("content_hash"))
 
     def fn(key, pdfs, state):
         (content_hash,) = key
@@ -337,7 +342,8 @@ def stream_dedup_new_docs(docs: DataFrame) -> DataFrame:
                 best = m if best is None else min(best, m)
         if best is None:
             return
-        state.update((str(best),))
+        best = str(best)
+        state.update((best,))
         yield pd.DataFrame({"content_hash": [content_hash],
                             "doc_id": [best]})
 

@@ -283,13 +283,23 @@ def test_stream_dedup_new_docs_across_batches(spark, tmp_path):
     from kml2geojson_spark.streaming import (stream_dedup_new_docs,
                                              stream_documents)
 
+    import glob
+    import os
+
     src = str(tmp_path / "dd")
     base = k2gs.synthesize_documents_kml(spark, 6, seed=51, max_placemarks=3)
     # file 1: docs as-is; file 2: same CONTENTS under new doc ids
     base.coalesce(1).write.parquet(src)
+    first_files = set(glob.glob(src + "/*.parquet"))
     dup = base.coalesce(1).select(
-        F.concat(F.lit("copy-"), F.col("doc_id")).alias("doc_id"), "spans")
+        F.concat(F.lit("zz-copy-"), F.col("doc_id")).alias("doc_id"), "spans")
     dup.write.mode("append").parquet(src)
+    # the file source orders batches by modification time: force the
+    # copy file strictly LATER so batch order (and thus which batch the
+    # duplicates arrive in) is deterministic on coarse-mtime filesystems
+    later = max(os.path.getmtime(f) for f in first_files) + 10
+    for f in set(glob.glob(src + "/*.parquet")) - first_files:
+        os.utime(f, (later, later))
 
     out = stream_dedup_new_docs(
         stream_documents(spark, src, max_files_per_trigger=1))
@@ -299,10 +309,9 @@ def test_stream_dedup_new_docs_across_batches(spark, tmp_path):
          .trigger(availableNow=True).start())
     q.awaitTermination(120)
     rows = spark.sql("SELECT * FROM dd_mem").collect()
-    # one keeper per distinct content; no copy- ids unless that content
-    # arrived first in a copy-only batch (here originals precede copies
-    # OR tie within one batch resolves to min doc_id = original)
+    # one keeper per distinct content; the copy file is mtime-forced
+    # into a LATER batch, so every keeper is an original id
     assert len(rows) == 6
     hashes = [r["content_hash"] for r in rows]
     assert len(set(hashes)) == 6
-    assert all(not r["doc_id"].startswith("copy-") for r in rows)
+    assert all(not r["doc_id"].startswith("zz-copy-") for r in rows)
