@@ -1458,19 +1458,66 @@ FROM documents
 """
 
 
-# -- rows-only (non-SQL-expressible) ----------------------------------------
-
 def _q40_minhash_pairs(spark, sf):
+    """MinHash LSH candidate pairs — md5-derived shingle hashes and
+    engine-portable permutation arithmetic, so the DuckDB oracle
+    replays the signatures (and therefore the candidate set)
+    bit-exactly."""
     from kml2geojson_spark.textops import minhash_candidate_pairs
     d = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
     return minhash_candidate_pairs(d, n_hashes=32, bands=8, shingle=5)
 
 
+_MINHASH_ORACLE_CORE = """
+d AS (SELECT doc_id, coalesce(text, '') AS text
+      FROM documents WHERE doc_id < 200),
+g AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN length(text) >= 5
+              THEN substr(text, CAST(i AS INTEGER), 5)
+              ELSE text END AS gram
+  FROM d, LATERAL (
+    SELECT unnest(generate_series(1, GREATEST(length(text) - 4, 1))) AS i)
+),
+h AS (SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS hv FROM g),
+hh AS (SELECT doc_id, hv >> 30 AS hi, hv & 1073741823 AS lo FROM h),
+perm(i, a1, a2, b) AS (VALUES {perm_values}),
+m AS (SELECT doc_id, i,
+             MIN((a1 * hi + a2 * lo + b) % 2305843009213693951) AS sv
+      FROM hh CROSS JOIN perm GROUP BY doc_id, i),
+s AS (SELECT doc_id, list(sv ORDER BY i) AS sig FROM m GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, band_idx,
+         concat_ws(',', sig[band_idx * 4 + 1], sig[band_idx * 4 + 2],
+                   sig[band_idx * 4 + 3], sig[band_idx * 4 + 4]) AS band_key
+  FROM s, LATERAL (SELECT unnest(generate_series(0, 7)) AS band_idx)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+)
+"""
+
+
+def _minhash_oracle_core() -> str:
+    from kml2geojson_spark.textops import minhash_permutation_constants
+    a1, a2, b = minhash_permutation_constants(32, seed=42)
+    vals = ", ".join(f"({i}, {int(a1[i])}, {int(a2[i])}, {int(b[i])})"
+                     for i in range(32))
+    return _MINHASH_ORACLE_CORE.format(perm_values=vals)
+
+
+def _o40() -> str:
+    return f"WITH {_minhash_oracle_core()} SELECT doc_a, doc_b FROM pairs"
+
+
 def _q58_minhash_similarity(spark, sf):
-    """Estimated Jaccard over the LSH candidate pairs (rows-only: the
-    signatures are uint64 rolling-hash kernels with no tractable SQL
-    equivalent; pytest verifies the estimate tracks true Jaccard).
-    Output integerized as equal-signature-position counts."""
+    """Estimated Jaccard over the MinHash candidate pairs, integerized
+    as equal-signature-position counts — bit-exact vs the DuckDB
+    oracle, which replays the md5-derived signatures position by
+    position."""
     from kml2geojson_spark.textops import (minhash_candidate_pairs,
                                            minhash_signatures,
                                            minhash_similarity)
@@ -1482,6 +1529,24 @@ def _q58_minhash_similarity(spark, sf):
     return out.select(
         "doc_a", "doc_b",
         F.round(F.col("est_jaccard") * 32).cast("long").alias("eq_positions"))
+
+
+def _o58() -> str:
+    return f"""
+WITH {_minhash_oracle_core()}
+SELECT p.doc_a, p.doc_b,
+       CAST(SUM(CASE WHEN sa.sig[CAST(j AS INTEGER)]
+                       = sb.sig[CAST(j AS INTEGER)]
+                THEN 1 ELSE 0 END) AS BIGINT) AS eq_positions
+FROM pairs p
+JOIN s sa ON sa.doc_id = p.doc_a
+JOIN s sb ON sb.doc_id = p.doc_b,
+LATERAL (SELECT unnest(generate_series(1, 32)) AS j)
+GROUP BY p.doc_a, p.doc_b
+"""
+
+
+# -- rows-only (non-SQL-expressible) ----------------------------------------
 
 
 def _q41_lsh_cosine_topk(spark, sf):
@@ -1649,10 +1714,11 @@ def oracle_sql() -> dict[str, str]:
         "q64_interval_join": _O64,
         "q65_within_distance": _O65,
         "q66_coverage_pyramid": _o66(),
-        # q40/q41/q43/q44/q58: rows-only (LSH/IVF candidate sets are
+        "q40_minhash_pairs": _o40(),
+        "q58_minhash_similarity": _o58(),
+        # q41/q43/q44: rows-only (LSH/IVF candidate sets are
         # approximate by design — pytest measures recall vs the exact
-        # baseline; media decode is stubbed; minhash signatures are
-        # uint64 rolling-hash kernels with no tractable SQL form).
+        # baseline; media decode is stubbed).
         # q42: the KML engine has no faithful single-statement SQL
         # equivalent (golden-parity pytest covers it against the
         # reference fixtures).

@@ -75,9 +75,10 @@ def cosine_neardup_pairs(embeddings: DataFrame, threshold: float, *,
                          vec_col: str = "embedding") -> DataFrame:
     """Exact embedding-cosine near-duplicate pairs: all (a < b) with
     cosine >= threshold. Brute-force baseline (O(n²) pairwise — the
-    oracle-matched reference path); at 100 TB the scale path is the
-    hyperplane-LSH candidate prefilter (:func:`hyperplane_lsh_topk`'s
-    banding) followed by this exact filter on candidates only.
+    oracle-matched reference path); at 100 TB use
+    :func:`cosine_neardup_pairs_lsh`, which prefilters candidates
+    through hyperplane-LSH band buckets and applies this same exact
+    filter to candidates only.
 
     Output: (vec_a, vec_b) — ids only, so cross-engine comparison never
     touches float formatting; the in-order double fold in :func:`_dot`
@@ -131,11 +132,14 @@ def _materialize_codebook(cents: DataFrame) -> DataFrame:
 def ivf_centroids(embeddings: DataFrame, n_centroids: int, *,
                   iters: int = 2, id_col: str = "vec_id",
                   vec_col: str = "embedding") -> DataFrame:
-    """IVF codebook: seed-free init (per-(id % n_centroids) mean), then
-    ``iters`` Lloyd steps (assign to nearest centroid via a broadcast
-    cross join + hash-aggregate argmin; re-average). The vector table
-    is only ever scanned; the codebook is materialized per iteration
-    (n_centroids rows on the driver), truncating lineage.
+    """IVF codebook: deterministic hash-spread init (md5 bucket of the
+    id → per-bucket mean — decorrelated from id order, unlike a plain
+    ``id % n_centroids``, which would seed every centroid identically
+    on range-clustered or strided id spaces), then ``iters`` Lloyd
+    steps (assign to nearest centroid via a broadcast cross join +
+    hash-aggregate argmin; re-average). The vector table is only ever
+    scanned; the codebook is materialized per iteration (n_centroids
+    rows on the driver), truncating lineage.
 
     Determinism: the init and every tie-break are deterministic, but
     centroid coordinates come from ``avg`` over doubles, whose rounding
@@ -148,9 +152,11 @@ def ivf_centroids(embeddings: DataFrame, n_centroids: int, *,
     """
     vecs = embeddings.select(F.col(id_col).alias("_id"),
                              _as_double(vec_col).alias("_v"))
+    seed_bucket = (F.conv(F.substring(F.md5(F.col("_id").cast("string")),
+                                      1, 15), 16, 10).cast("long")
+                   % n_centroids).cast("int")
     cents = _materialize_codebook(_mean_vectors(
-        vecs.withColumn("cid", (F.col("_id") % n_centroids).cast("int")),
-        "cid", "_v"))
+        vecs.withColumn("cid", seed_bucket), "cid", "_v"))
     for _ in range(iters):
         assigned = ivf_assign(vecs.select(F.col("_id"), F.col("_v")), cents,
                               id_col="_id", vec_col="_v")
@@ -245,6 +251,24 @@ def hyperplane_signatures(df: DataFrame, *, dim: int, bits: int = 64,
         run, "vec_id long, sig_bits long")
 
 
+def _banded_buckets(sig_df: DataFrame, ident: str, *, bands: int,
+                    band_bits: int) -> DataFrame:
+    """Explode a signature table into (id, band, bucket) rows — the LSH
+    band keys both the top-k search and the near-dup candidate join
+    bucket on."""
+    mask = (1 << band_bits) - 1
+    cols = [((F.shiftright(F.col("sig_bits"), b * band_bits))
+             .bitwiseAND(F.lit(mask))).alias(f"_b{b}")
+            for b in range(bands)]
+    d = sig_df.select(F.col("vec_id").alias(ident), *cols)
+    pairs = F.array(*[
+        F.struct(F.lit(b).alias("band"), F.col(f"_b{b}").alias("bucket"))
+        for b in range(bands)])
+    return (d.select(ident, F.explode(pairs).alias("bb"))
+            .select(ident, F.col("bb.band").alias("band"),
+                    F.col("bb.bucket").alias("bucket")))
+
+
 def hyperplane_lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int, *,
                         dim: int, bits: int = 64, bands: int = 8,
                         id_col: str = "vec_id", vec_col: str = "embedding",
@@ -256,19 +280,10 @@ def hyperplane_lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int, *,
     bucket key; re-rank joins are narrow after that."""
     assert bits % bands == 0
     band_bits = bits // bands
-    mask = (1 << band_bits) - 1
 
     def banded(sig_df: DataFrame, ident: str) -> DataFrame:
-        cols = [((F.shiftright(F.col("sig_bits"), b * band_bits))
-                 .bitwiseAND(F.lit(mask))).alias(f"_b{b}")
-                for b in range(bands)]
-        d = sig_df.select(F.col("vec_id").alias(ident), *cols)
-        pairs = F.array(*[
-            F.struct(F.lit(b).alias("band"), F.col(f"_b{b}").alias("bucket"))
-            for b in range(bands)])
-        return (d.select(ident, F.explode(pairs).alias("bb"))
-                .select(ident, F.col("bb.band").alias("band"),
-                        F.col("bb.bucket").alias("bucket")))
+        return _banded_buckets(sig_df, ident, bands=bands,
+                               band_bits=band_bits)
 
     sig_base = hyperplane_signatures(embeddings, dim=dim, bits=bits,
                                      vec_col=vec_col, id_col=id_col, seed=seed)
@@ -297,10 +312,52 @@ def hyperplane_lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int, *,
             .select("query_id", "neighbor_id", "cosine", "rank"))
 
 
+def cosine_neardup_pairs_lsh(embeddings: DataFrame, threshold: float, *,
+                             dim: int, bits: int = 64, bands: int = 8,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             seed: int = 42) -> DataFrame:
+    """Near-duplicate pairs via LSH candidates — the 100-TB shape of
+    :func:`cosine_neardup_pairs`: random-hyperplane signatures, banded
+    self-join on (band, bucket) for candidates (one shuffle on the
+    bucket key — never an all-pairs comparison), then the SAME exact
+    in-order-fold cosine threshold applied to candidates only.
+
+    Recall < 1 by design (a true pair whose signatures differ in every
+    band is missed — probability decays with ``bands`` and pair
+    cosine); precision is 1 (every emitted pair passed the exact
+    filter). Output: (vec_a, vec_b) with vec_a < vec_b.
+    """
+    assert bits % bands == 0
+    sig = hyperplane_signatures(embeddings, dim=dim, bits=bits,
+                                vec_col=vec_col, id_col=id_col, seed=seed)
+    band_bits = bits // bands
+    cand = (_banded_buckets(sig, "vec_a", bands=bands, band_bits=band_bits)
+            .join(_banded_buckets(sig, "vec_b", bands=bands,
+                                  band_bits=band_bits),
+                  ["band", "bucket"])
+            .where(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b").distinct())
+    a = (embeddings.select(F.col(id_col).alias("vec_a"),
+                           _as_double(vec_col).alias("_va"))
+         .withColumn("_na", F.sqrt(_dot("_va", "_va"))))
+    b = (embeddings.select(F.col(id_col).alias("vec_b"),
+                           _as_double(vec_col).alias("_vb"))
+         .withColumn("_nb", F.sqrt(_dot("_vb", "_vb"))))
+    cos = _dot("_va", "_vb") / (F.col("_na") * F.col("_nb"))
+    return (cand.join(a, "vec_a").join(b, "vec_b")
+            .where(cos >= F.lit(threshold))
+            .select("vec_a", "vec_b"))
+
+
 def embedding_dedup_representatives(embeddings: DataFrame,
                                     threshold: float, *,
                                     id_col: str = "vec_id",
-                                    vec_col: str = "embedding") -> DataFrame:
+                                    vec_col: str = "embedding",
+                                    candidates: str = "exact",
+                                    dim: int | None = None,
+                                    bits: int = 64, bands: int = 8,
+                                    seed: int = 42) -> DataFrame:
     """Embedding-space near-dedup in one call: cosine near-dup pairs →
     connected components → representative = component-minimum id; every
     input vector maps to its representative (self for singletons), and
@@ -308,13 +365,31 @@ def embedding_dedup_representatives(embeddings: DataFrame,
     counterpart of ``textops.near_dedup_representatives`` (driver q61,
     recursive-CTE closure oracle).
 
-    Uses the exact pairwise path; at 100 TB swap the pair source for
-    the LSH-bucketed candidates + exact filter, the components and
-    representative selection are unchanged."""
+    ``candidates`` picks the pair source:
+
+    - ``"exact"`` (default, the oracle-matched baseline) — the O(n²)
+      pairwise comparison of :func:`cosine_neardup_pairs`.
+    - ``"lsh"`` (the 100-TB path; requires ``dim``) — hyperplane-LSH
+      band buckets prefilter candidates, the exact cosine threshold
+      runs on candidates only (:func:`cosine_neardup_pairs_lsh`); the
+      plan contains no nested-loop join (plan-asserted in tests).
+      Components and representative selection are identical; recall vs
+      exact is measured in tests.
+    """
     from .graph import connected_components
 
-    pairs = cosine_neardup_pairs(embeddings, threshold,
-                                 id_col=id_col, vec_col=vec_col)
+    if candidates == "exact":
+        pairs = cosine_neardup_pairs(embeddings, threshold,
+                                     id_col=id_col, vec_col=vec_col)
+    elif candidates == "lsh":
+        if dim is None:
+            raise ValueError("candidates='lsh' requires dim")
+        pairs = cosine_neardup_pairs_lsh(embeddings, threshold, dim=dim,
+                                         bits=bits, bands=bands,
+                                         id_col=id_col, vec_col=vec_col,
+                                         seed=seed)
+    else:
+        raise ValueError(f"unknown candidates mode {candidates!r}")
     comp = connected_components(pairs, src="vec_a", dst="vec_b")
     reps = comp.select(F.col("node").alias("vec_id"),
                        F.col("component").alias("rep_id"))

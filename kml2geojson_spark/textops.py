@@ -3,10 +3,10 @@ text, ...)`` table — deduplication, fingerprinting, token statistics,
 quality scoring, language guessing.
 
 Everything SQL-shaped is a pure Column expression (JVM, codegen, no
-Python); MinHash/SimHash signatures are numpy inside Arrow-batched
-``mapInPandas``. All hash functions used in cross-engine-checked paths
-derive from md5 (identical in Spark and DuckDB), never from engine-
-specific ``hash()``.
+Python) — including the MinHash and SimHash signature pipelines. All
+hash functions used in cross-engine-checked paths derive from md5
+(identical in Spark and DuckDB), never from engine-specific
+``hash()``, so the driver oracle replays signatures bit-exactly.
 """
 
 from __future__ import annotations
@@ -220,49 +220,86 @@ def hash_bytes_u64(data: bytes) -> np.uint64:
     return h
 
 
+# MinHash permutation arithmetic: the 60-bit md5 shingle hash is split
+# into 30-bit halves so (a1*hi + a2*lo + b) stays < 2^62 — never
+# overflowing signed 64-bit in EITHER engine (Spark wraps silently on
+# overflow; DuckDB raises — staying in range keeps both exact and
+# identical). The modulus is the Mersenne prime 2^61-1.
+MINHASH_HALF_BITS = 30
+MINHASH_HALF_MASK = (1 << MINHASH_HALF_BITS) - 1
+
+
+def minhash_permutation_constants(n_hashes: int, seed: int = 42):
+    """Deterministic (a1, a2, b) permutation constants shared by the
+    Spark signatures and the DuckDB oracle (which inlines them as a
+    VALUES list)."""
+    rng = np.random.default_rng(seed)
+    a1 = rng.integers(1, 1 << MINHASH_HALF_BITS, n_hashes, dtype=np.int64)
+    a2 = rng.integers(1, 1 << MINHASH_HALF_BITS, n_hashes, dtype=np.int64)
+    b = rng.integers(0, MERSENNE, n_hashes, dtype=np.int64)
+    return a1, a2, b
+
+
+def _shingle_gram_arr(text_col: str, shingle: int) -> F.Column:
+    """Distinct character shingles of ``text_col`` as an array Column;
+    texts shorter than the shingle width contribute the whole text as
+    their single shingle (mirrors the classic rolling-hash fallback).
+    NULL text is treated as empty."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    return F.when(
+        F.length(t) >= shingle,
+        F.array_distinct(F.expr(
+            f"transform(sequence(1, length(coalesce({text_col}, '')) "
+            f"- {shingle - 1}), "
+            f"i -> substring(coalesce({text_col}, ''), i, {shingle}))"))
+    ).otherwise(F.array(t))
+
+
 def minhash_signatures(documents: DataFrame, *, n_hashes: int = 32,
                        shingle: int = 5, text_col: str = "text",
                        id_col: str = "doc_id", seed: int = 42) -> DataFrame:
-    """Per-document MinHash signature over character shingles.
+    """Per-document MinHash signature over character shingles —
+    entirely in JVM Column expressions (codegen; zero Python).
 
-    numpy inside Arrow batches: shingle rolling hashes once per doc,
-    then ``min((a_i * h + b_i) mod p)`` vectorized over all permutations
-    at once. Output: (doc_id, sig array<long>).
+    Shingle hash = first 15 md5 hex chars → 60-bit integer (the same
+    md5 trick as the SimHash/fingerprint/HLL operators), permuted by
+    ``min((a1*hi + a2*lo + b) mod (2^61-1))`` over the hash's 30-bit
+    halves — every step replayable in DuckDB, so the driver oracle
+    checks signatures bit-exactly (q40/q58) instead of rows-only. The
+    ``n_hashes`` mins ride ONE hash-groupBy (single shuffle, map-side
+    partial aggregation — the same shape as the 60-sum SimHash
+    aggregate). Output: (doc_id, sig array<long>).
     """
-    rng = np.random.default_rng(seed)
-    A = rng.integers(1, MERSENNE, n_hashes, dtype=np.uint64)
-    B = rng.integers(0, MERSENNE, n_hashes, dtype=np.uint64)
-    # output id column adopts the INPUT id type — a hardcoded 'long'
-    # would crash on string doc ids (e.g. datagen's 'doc-00000001')
-    id_type = documents.schema[id_col].dataType.simpleString()
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        p = np.uint64(MERSENNE)
-        for pdf in batches:
-            ids, sigs = [], []
-            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                sh = _shingle_hashes(text or "", shingle).astype(np.uint64) % p
-                # (n_hashes, n_shingles) in uint64 mod-2^64 arithmetic is
-                # fine for minhash (universal enough, deterministic)
-                vals = (A[:, None] * sh[None, :] + B[:, None]) % p
-                sig = vals.min(axis=1).astype(np.int64)
-                ids.append(doc_id)
-                sigs.append(sig.tolist())
-            yield pd.DataFrame({"doc_id": ids, "sig": sigs})
-
-    return documents.select(F.col(id_col).alias(id_col),
-                            F.col(text_col).alias(text_col)) \
-        .mapInPandas(run, f"doc_id {id_type}, sig array<long>")
+    a1, a2, b = minhash_permutation_constants(n_hashes, seed)
+    grams = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_shingle_gram_arr(text_col, shingle)).alias("_gram"))
+    h = F.conv(F.substring(F.md5("_gram"), 1, 15), 16, 10).cast("long")
+    hh = grams.select(
+        "doc_id",
+        F.shiftright(h, MINHASH_HALF_BITS).alias("_hi"),
+        h.bitwiseAND(F.lit(MINHASH_HALF_MASK)).alias("_lo"))
+    aggs = [
+        F.min((F.lit(int(a1[i])) * F.col("_hi")
+               + F.lit(int(a2[i])) * F.col("_lo")
+               + F.lit(int(b[i]))) % F.lit(MERSENNE)).alias(f"_m{i}")
+        for i in range(n_hashes)
+    ]
+    mins = hh.groupBy("doc_id").agg(*aggs)
+    sig = F.array(*[F.col(f"_m{i}") for i in range(n_hashes)])
+    return mins.select("doc_id", sig.alias("sig"))
 
 
 def minhash_candidate_pairs(documents: DataFrame, *, n_hashes: int = 32,
                             bands: int = 8, shingle: int = 5,
                             seed: int = 42) -> DataFrame:
-    """LSH banding: signatures → (band_idx, band_hash) buckets →
+    """LSH banding: signatures → (band_idx, band_key) buckets →
     self-join within buckets → candidate near-duplicate pairs
     (doc_a < doc_b, deduplicated). The classic shingle→minhash→band→
     bucket-join pipeline as pure DataFrame ops (one shuffle on the
-    bucket key + one aggregate)."""
+    bucket key + one aggregate). The band key is the comma-joined
+    signature slice — engine-portable, so the DuckDB oracle replays
+    the candidate set exactly (a Spark-only ``hash()`` would not)."""
     assert n_hashes % bands == 0
     rows_per_band = n_hashes // bands
     sigs = minhash_signatures(documents, n_hashes=n_hashes, shingle=shingle,
@@ -271,17 +308,17 @@ def minhash_candidate_pairs(documents: DataFrame, *, n_hashes: int = 32,
         "doc_id",
         F.posexplode(
             F.array(*[
-                F.hash(F.concat_ws(
+                F.concat_ws(
                     ",", *[F.col("sig")[i].cast("string")
                            for i in range(b * rows_per_band,
-                                          (b + 1) * rows_per_band)]))
+                                          (b + 1) * rows_per_band)])
                 for b in range(bands)
             ])
-        ).alias("band_idx", "band_hash"),
+        ).alias("band_idx", "band_key"),
     )
-    left = banded.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
-    right = banded.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_hash")
-    pairs = (left.join(right, ["band_idx", "band_hash"])
+    left = banded.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_key")
+    right = banded.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_key")
+    pairs = (left.join(right, ["band_idx", "band_key"])
              .where(F.col("doc_a") < F.col("doc_b"))
              .select("doc_a", "doc_b").distinct())
     return pairs
@@ -307,6 +344,8 @@ def simhash_col_signatures(documents: DataFrame, *, bits: int = 64,
     shingle hashes, sign → bit. numpy vectorized per doc."""
     id_type = documents.schema["doc_id"].dataType.simpleString()
 
+    bitvals = np.uint64(1) << np.arange(bits, dtype=np.uint64)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, sigs = [], []
@@ -316,13 +355,16 @@ def simhash_col_signatures(documents: DataFrame, *, bits: int = 64,
                 bits_m = ((sh[:, None] >> np.arange(bits, dtype=np.uint64)[None, :])
                           & np.uint64(1)).astype(np.int64)
                 weights = (bits_m * 2 - 1).sum(axis=0)
-                sig = np.uint64(0)
-                for i in range(bits):
-                    if weights[i] > 0:
-                        sig |= np.uint64(1) << np.uint64(i)
+                # vectorized bit assembly: positive-weight bit values
+                # summed in one pass (no per-bit Python loop)
+                sig = np.where(weights > 0, bitvals,
+                               np.uint64(0)).sum(dtype=np.uint64)
                 ids.append(doc_id)
-                sigs.append(np.int64(sig))
-            yield pd.DataFrame({"doc_id": ids, "simhash": sigs})
+                sigs.append(sig)
+            yield pd.DataFrame(
+                {"doc_id": ids,
+                 "simhash": np.asarray(sigs,
+                                       dtype=np.uint64).astype(np.int64)})
 
     return documents.select("doc_id", "text") \
         .mapInPandas(run, f"doc_id {id_type}, simhash long")
