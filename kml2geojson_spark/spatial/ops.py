@@ -61,6 +61,23 @@ def cover_cells_rect(df: DataFrame, res: int, *, west: str = "west",
     Pure Column implementation: sequence + explode + Morton encode, all
     JVM-side. Fractions use ``max(0, min(e,ce)-max(w,cw)) * ... /
     cell_area`` — the same expression the DuckDB oracle runs.
+
+    Antimeridian / pole rules (the documented tie-breaks):
+
+    - ``west > east`` means the rectangle CROSSES the antimeridian
+      (the GeoJSON bbox convention): it is treated as the union
+      ``[west, 180] ∪ [-180, east]`` — x cell ranges come from both
+      pieces (deduplicated — a near-360° wrap can reach the same cell
+      from both sides, in which case the two piece overlaps are
+      summed into one fraction), and the covered width of a cell is
+      the sum of its overlap with each piece. Rows never vanish
+      silently.
+    - Latitude never wraps: ``south > north`` is degenerate and
+      yields no cells (poles clamp, matching the k-ring's y
+      behavior).
+    - Zero-width/zero-height rectangles on a cell boundary yield no
+      cells (empty integer range), matching the DuckDB oracle's
+      ``generate_series`` semantics.
     """
     n = float(1 << res)
     hi = (1 << res) - 1
@@ -74,19 +91,29 @@ def cover_cells_rect(df: DataFrame, res: int, *, west: str = "west",
             (F.col(c) + F.lit(offset)) / F.lit(extent) * F.lit(n)) - F.lit(1)).cast("long")))
 
     # Spark's sequence(a, b) runs DESCENDING when a > b — a degenerate
-    # (zero-width on a cell boundary) or inverted rectangle would emit
-    # spurious cells. Empty-range → empty array → explode drops the row,
+    # (zero-width on a cell boundary) rectangle would emit spurious
+    # cells. Empty-range → empty array → explode drops the row,
     # matching the DuckDB oracle's generate_series semantics.
     def seq(lo, hi):
         return F.when(F.col(hi) >= F.col(lo), F.sequence(lo, hi)) \
             .otherwise(F.array().cast("array<bigint>"))
 
+    crossing = F.col(west) > F.col(east)
+    # crossing: [west, 180] covers [_ix0, hi]; [-180, east] covers
+    # [0, _ix1] (_ix0 <= hi and _ix1 >= 0 by the clamps, so both
+    # sequences are ascending); a near-global wrap can reach a cell
+    # from both pieces — array_distinct emits it once
+    xcells = F.when(
+        ~crossing, seq("_ix0", "_ix1")
+    ).otherwise(F.array_distinct(F.concat(
+        F.sequence(F.col("_ix0"), F.lit(hi)),
+        F.sequence(F.lit(0), F.col("_ix1")))))
     out = (
         df.withColumn("_ix0", scale_lo(west, 180.0, 360.0))
         .withColumn("_ix1", scale_hi(east, 180.0, 360.0))
         .withColumn("_iy0", scale_lo(south, 90.0, 180.0))
         .withColumn("_iy1", scale_hi(north, 90.0, 180.0))
-        .withColumn("_ix", F.explode(seq("_ix0", "_ix1")))
+        .withColumn("_ix", F.explode(xcells))
         .withColumn("_iy", F.explode(seq("_iy0", "_iy1")))
     )
     # encode from grid coords: reuse the Column spreader via cell center
@@ -99,7 +126,18 @@ def cover_cells_rect(df: DataFrame, res: int, *, west: str = "west",
         cell_encode_col(cw + F.lit(180.0 / n), cs + F.lit(90.0 / n), res),
     )
     if with_fraction:
-        ow = F.greatest(F.lit(0.0), F.least(F.col(east), ce) - F.greatest(F.col(west), cw))
+        ow_simple = F.greatest(
+            F.lit(0.0), F.least(F.col(east), ce) - F.greatest(F.col(west), cw))
+        # crossing: covered width = overlap with [west, 180] plus
+        # overlap with [-180, east] (a cell normally touches one
+        # piece; a near-360° wrap can touch both — the sum is still
+        # the exact covered width)
+        ow_cross = (
+            F.greatest(F.lit(0.0),
+                       F.least(F.lit(180.0), ce) - F.greatest(F.col(west), cw))
+            + F.greatest(F.lit(0.0),
+                         F.least(F.col(east), ce) - F.greatest(F.lit(-180.0), cw)))
+        ow = F.when(crossing, ow_cross).otherwise(ow_simple)
         oh = F.greatest(F.lit(0.0), F.least(F.col(north), cn) - F.greatest(F.col(south), cs))
         cell_area = F.lit((360.0 / n) * (180.0 / n))
         out = out.withColumn("fraction", ow * oh / cell_area)
@@ -969,6 +1007,15 @@ def rect_overlap_join(rects: DataFrame, res: int, *,
     size (cover lists stay short and buckets stay selective); hot cells
     (dense areas) can be salted with :mod:`.salted`.
 
+    Antimeridian rule (inherited from :func:`cover_cells_rect`):
+    ``west > east`` marks a rectangle crossing the antimeridian —
+    its x extent is the union ``[west, 180] ∪ [-180, east]``. The
+    exact test below treats x as that union: two crossing rects
+    always overlap in x (both contain the antimeridian); a crossing
+    and a simple rect overlap when the simple one intersects either
+    piece. The cell-bucket candidates stay complete because the
+    cover emits cells for both pieces.
+
     Output: (rect_a, rect_b) with rect_a < rect_b.
     """
     cov = cover_cells_rect(rects, res, with_fraction=False)
@@ -980,7 +1027,17 @@ def rect_overlap_join(rects: DataFrame, res: int, *,
                    F.col("west").alias("_wb"), F.col("south").alias("_sb"),
                    F.col("east").alias("_eb"), F.col("north").alias("_nb"),
                    "cell_id")
-    overlap = ((F.col("_wa") < F.col("_eb")) & (F.col("_wb") < F.col("_ea"))
+    ca = F.col("_wa") > F.col("_ea")
+    cb = F.col("_wb") > F.col("_eb")
+    x_simple = (F.col("_wa") < F.col("_eb")) & (F.col("_wb") < F.col("_ea"))
+    # one side crossing: the simple side intersects [w,180] when its
+    # east passes the crossing west (wa < eb), or [-180,e] when its
+    # west is before the crossing east (wb < ea) — symmetric in a/b
+    x_one_cross = (F.col("_wa") < F.col("_eb")) | (F.col("_wb") < F.col("_ea"))
+    x_overlap = (F.when(ca & cb, F.lit(True))
+                 .when(ca | cb, x_one_cross)
+                 .otherwise(x_simple))
+    overlap = (x_overlap
                & (F.col("_sa") < F.col("_nb")) & (F.col("_sb") < F.col("_na")))
     return (a.join(b, "cell_id")
             .where((F.col("rect_a") < F.col("rect_b")) & overlap)

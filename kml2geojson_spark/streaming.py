@@ -302,7 +302,10 @@ def stream_pip_counts(docs: DataFrame, polygons: DataFrame,
         F.count(F.lit(1)).alias("n_points"))
 
 
-def stream_dedup_new_docs(docs: DataFrame) -> DataFrame:
+def stream_dedup_new_docs(docs: DataFrame, *,
+                          ttl_minutes: Optional[float] = None,
+                          event_time_col: str = "ingest_ts",
+                          watermark_delay: str = "0 seconds") -> DataFrame:
     """Streaming ingestion dedup: emit each document content's FIRST
     occurrence across the whole stream, suppress every later exact
     duplicate — the stateful counterpart of batch
@@ -313,8 +316,18 @@ def stream_dedup_new_docs(docs: DataFrame) -> DataFrame:
     (kept doc_id) tuple via ``applyInPandasWithState``, so state size
     is bounded by distinct contents, not stream length. Within a
     micro-batch the minimum doc_id wins (deterministic); across batches
-    first-arrival wins (ingestion-order semantics). At 10^12-doc scale
-    add a state TTL if content recurrence has a known horizon.
+    first-arrival wins (ingestion-order semantics).
+
+    ``ttl_minutes`` bounds state at 10^12-doc scale: with it set,
+    ``docs`` must carry an ``event_time_col`` timestamp; the stream is
+    watermarked (``watermark_delay``) and each hash's state carries an
+    event-time timeout at ``last sighting + ttl`` (EVERY sighting —
+    kept or suppressed — refreshes it). When the watermark passes the
+    timeout the entry is dropped, so state holds only hashes seen
+    within the TTL horizon, and a content recurring AFTER the horizon
+    is re-emitted (a documented trade of exactness for bounded state —
+    exactly the recurrence-horizon contract). Default (``None``) keeps
+    the exact unbounded-horizon semantics.
 
     Output: (content_hash, doc_id) — the keeper per newly seen content.
     """
@@ -328,26 +341,50 @@ def stream_dedup_new_docs(docs: DataFrame) -> DataFrame:
                     lambda s: s["text"]), "")
     # the SAME hash definition as batch exact_duplicates — streaming
     # and batch keepers must agree for the same corpus
-    hashed = docs.select(F.col("doc_id"),
-                         content_hash_col(text).alias("content_hash"))
+    cols = [F.col("doc_id"), content_hash_col(text).alias("content_hash")]
+    if ttl_minutes is not None:
+        cols.append(F.col(event_time_col).alias("_evt"))
+        docs = docs.withWatermark(event_time_col, watermark_delay)
+        ttl_ms = int(ttl_minutes * 60_000)
+    hashed = docs.select(*cols)
 
     def fn(key, pdfs, state):
         (content_hash,) = key
-        if state.exists:
+        if ttl_minutes is not None and state.hasTimedOut:
+            state.remove()
             return
-        best = None
+        best, max_evt_ms = None, None
         for pdf in pdfs:
             if len(pdf):
                 m = pdf["doc_id"].min()
                 best = m if best is None else min(best, m)
+                if ttl_minutes is not None:
+                    e = int(pdf["_evt"].max().value // 1_000_000)
+                    max_evt_ms = e if max_evt_ms is None else max(max_evt_ms, e)
         if best is None:
+            return
+
+        def arm_timeout():
+            if ttl_minutes is not None and max_evt_ms is not None:
+                # event-time timeout must sit beyond the current
+                # watermark; last-sighting + ttl always does (the
+                # watermark never passes an event already delivered)
+                state.setTimeoutTimestamp(max_evt_ms + ttl_ms)
+
+        if state.exists:
+            # suppressed duplicate — but each sighting REFRESHES the
+            # TTL horizon (sliding recurrence window)
+            arm_timeout()
             return
         best = str(best)
         state.update((best,))
+        arm_timeout()
         yield pd.DataFrame({"content_hash": [content_hash],
                             "doc_id": [best]})
 
+    timeout = (GroupStateTimeout.EventTimeTimeout if ttl_minutes is not None
+               else GroupStateTimeout.NoTimeout)
     return (hashed.groupBy("content_hash")
             .applyInPandasWithState(
                 fn, "content_hash string, doc_id string",
-                "doc_id string", "append", GroupStateTimeout.NoTimeout))
+                "doc_id string", "append", timeout))

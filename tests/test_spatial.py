@@ -266,17 +266,91 @@ def test_tile_pyramid_hierarchy_invariants(spark):
 
 
 def test_cover_cells_rect_degenerate(spark):
-    """Zero-width rect on a cell boundary and inverted rect emit no
-    spurious cells (Spark's sequence runs DESCENDING when start>stop)."""
+    """Zero-width rect on a cell boundary emits no spurious cells
+    (Spark's sequence runs DESCENDING when start>stop); west > east is
+    the antimeridian-crossing convention and DOES emit cells (checked
+    exactly in test_cover_cells_rect_antimeridian)."""
     from kml2geojson_spark.spatial.ops import cover_cells_rect
     rows = [(1, 0.0, 0.0, 0.0, 10.0),       # zero-width on lon-0 boundary
-            (2, 170.0, 0.0, -170.0, 10.0),  # inverted (antimeridian)
+            (2, 170.0, 0.0, -170.0, 10.0),  # crosses the antimeridian
             (3, 1.0, 1.0, 2.0, 2.0)]        # normal
     df = spark.createDataFrame(
         rows, "rect_id long, west double, south double, east double, north double")
     got = cover_cells_rect(df, 5).toPandas()
-    assert set(got[got["fraction"] > 0]["rect_id"]) == {3}
-    assert 2 not in set(got["rect_id"])  # inverted: nothing at all
+    assert set(got[got["fraction"] > 0]["rect_id"]) == {2, 3}
+    assert 1 not in set(got["rect_id"])  # zero-width: nothing at all
+
+
+def _rect_cover_bruteforce(west, south, east, north, res):
+    """All-cells brute-force cover fractions; a west>east rect is the
+    union [west,180] ∪ [-180,east]."""
+    import numpy as np
+    from kml2geojson_spark.spatial.cells import cell_encode_grid_np
+    n = 1 << res
+    cw, ch = 360.0 / n, 180.0 / n
+    xparts = [(west, east)] if west <= east else [(west, 180.0),
+                                                 (-180.0, east)]
+    out = {}
+    for gx in range(n):
+        for gy in range(n):
+            w, s = gx * cw - 180.0, gy * ch - 90.0
+            ow = sum(max(0.0, min(e, w + cw) - max(ws, w))
+                     for ws, e in xparts)
+            oh = max(0.0, min(north, s + ch) - max(south, s))
+            frac = ow * oh / (cw * ch)
+            if frac > 0:
+                cid = int(cell_encode_grid_np([gx], [gy], res)[0])
+                out[cid] = frac
+    return out
+
+
+def test_cover_cells_rect_antimeridian(spark):
+    """Pacific-crossing rectangles match an all-cells brute-force
+    oracle: cells from BOTH sides of the antimeridian, exact fractions,
+    no silent row drop. Includes a near-360° wrap whose two pieces
+    reach the same cell (their overlaps must be summed)."""
+    from kml2geojson_spark.spatial.ops import cover_cells_rect
+    rows = [(1, 170.0, 0.0, -170.0, 10.0),   # classic Pacific crossing
+            (2, 178.2, -20.0, -176.9, -3.5),  # fractional edges
+            (3, 10.1, -5.0, 9.9, 5.0)]        # near-global wrap
+    df = spark.createDataFrame(
+        rows, "rect_id long, west double, south double, east double, north double")
+    res = 5
+    got = cover_cells_rect(df, res).toPandas()
+    for rect_id, west, south, east, north in rows:
+        exp = _rect_cover_bruteforce(west, south, east, north, res)
+        mine = {int(c): f for c, f in
+                zip(got[got["rect_id"] == rect_id]["cell_id"],
+                    got[got["rect_id"] == rect_id]["fraction"])
+                if f > 0}
+        assert mine.keys() == exp.keys(), f"rect {rect_id} cell set"
+        for c in exp:
+            assert mine[c] == pytest.approx(exp[c], abs=1e-12), \
+                f"rect {rect_id} cell {c}"
+
+
+def test_rect_overlap_join_antimeridian(spark):
+    """Crossing rects pair with simple rects on either side of the
+    antimeridian; two crossing rects always pair; touching at the
+    crossing edge stays non-overlapping."""
+    from kml2geojson_spark.spatial.ops import rect_overlap_join
+    rows = [
+        (1, 170.0, 0.0, -170.0, 10.0),   # crossing
+        (2, 175.0, 2.0, 179.0, 8.0),     # simple, west side: overlaps 1
+        (3, -178.0, 2.0, -172.0, 8.0),   # simple, east side: overlaps 1
+        (4, 150.0, 2.0, 160.0, 8.0),     # simple, disjoint from 1
+        (5, 160.0, -5.0, -160.0, 5.0),   # crossing: overlaps 1 (always),
+                                         # 2, 3 (inside), not 4 (touching
+                                         # handled below is false: 150-160
+                                         # vs [160,180]∪[-180,-160] touch
+                                         # only at 160 — no interior)
+        (6, -170.0, 0.0, -165.0, 10.0),  # simple, touches 1 at east=-170
+    ]
+    df = spark.createDataFrame(
+        rows, "rect_id long, west double, south double, east double, north double")
+    got = {(r["rect_a"], r["rect_b"])
+           for r in rect_overlap_join(df, res=4).collect()}
+    assert got == {(1, 2), (1, 3), (1, 5), (2, 5), (3, 5), (5, 6)}
 
 
 def test_polygon_stats_degenerate_rings(spark):

@@ -315,3 +315,66 @@ def test_stream_dedup_new_docs_across_batches(spark, tmp_path):
     hashes = [r["content_hash"] for r in rows]
     assert len(set(hashes)) == 6
     assert all(not r["doc_id"].startswith("zz-copy-") for r in rows)
+
+
+def test_stream_dedup_ttl_reemits_after_horizon(spark, tmp_path):
+    """With ttl_minutes set, state is event-time-bounded: a content
+    hash whose last sighting fell more than TTL behind the watermark is
+    dropped from state, so a recurrence AFTER the horizon is re-emitted
+    (and within the horizon still suppressed)."""
+    import os
+
+    import kml2geojson_spark as k2gs
+    from pyspark.sql import functions as F
+    from kml2geojson_spark.engine import DOCUMENTS_KML_SCHEMA
+    from kml2geojson_spark.streaming import stream_dedup_new_docs
+
+    src = str(tmp_path / "ddttl")
+
+    def write_batch(stamp, doc_id, content, ts):
+        df = (spark.createDataFrame([(doc_id, k2gs.pack_spans(content))],
+                                    k2gs.spans_schema())
+              .withColumn("ingest_ts",
+                          F.lit(ts).cast("timestamp")))
+        sub = str(tmp_path / f"stage{stamp}")
+        df.coalesce(1).write.parquet(sub)
+        import glob
+        import shutil
+        os.makedirs(src, exist_ok=True)
+        for i, f in enumerate(sorted(glob.glob(sub + "/*.parquet"))):
+            dst = f"{src}/b{stamp}_{i}.parquet"
+            shutil.copy(f, dst)
+            os.utime(dst, (1_700_000_000 + stamp * 100,) * 2)
+
+    A = "<kml><Placemark><name>A</name></Placemark></kml>"
+    B = "<kml><Placemark><name>B</name></Placemark></kml>"
+    C = "<kml><Placemark><name>C</name></Placemark></kml>"
+    # batch 1: A at 10:00 (timeout arms at 11:00)
+    write_batch(1, "a1", A, "2024-01-01 10:00:00")
+    # batch 2: duplicate of A at 10:20 — within horizon: suppressed,
+    # timeout refreshed to 11:20; watermark after this batch = 10:20
+    write_batch(2, "a-dup", A, "2024-01-01 10:20:00")
+    # batch 3: B at 12:00 — watermark after = 12:00 (> 11:20)
+    write_batch(3, "b1", B, "2024-01-01 12:00:00")
+    # batch 4: C at 12:10 — A gets NO data this batch and the watermark
+    # (12:00) has passed its timeout (11:20): state for A is removed
+    write_batch(4, "c1", C, "2024-01-01 12:10:00")
+    # batch 5: A recurs at 12:20 — after the horizon: RE-EMITTED
+    write_batch(5, "a2-late", A, "2024-01-01 12:20:00")
+
+    schema = DOCUMENTS_KML_SCHEMA + ", ingest_ts timestamp"
+    docs = (spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(src))
+    out = stream_dedup_new_docs(docs, ttl_minutes=60.0)
+    q = (out.writeStream.format("memory").queryName("ddttl_mem")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ddttlck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM ddttl_mem ORDER BY doc_id").collect()
+    got = [(r["content_hash"], r["doc_id"]) for r in rows]
+    keepers = {r["doc_id"] for r in rows}
+    # a-dup suppressed (within horizon); a2-late re-emitted (after it)
+    assert keepers == {"a1", "b1", "c1", "a2-late"}, got
+    h = {r["doc_id"]: r["content_hash"] for r in rows}
+    assert h["a1"] == h["a2-late"]  # same content, two emissions
