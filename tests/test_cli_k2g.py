@@ -53,3 +53,37 @@ def test_k2g_cli_matches_reference(tmp_path, stem, extra):
     ours = _run_ours(kml, tmp_path / "ours", *extra)
     ref = _run_reference(kml, tmp_path / "ref", *extra)
     assert _dir_as_dict(ours) == _dir_as_dict(ref)
+
+
+# Full flag matrix: every -st choice (incl. absent → the unpacking
+# quirk) × -f on/off, plus the -fcn/-sf value flags and the long-form
+# spellings the reference's click options also accept. Each combination
+# must be file-for-file identical to the reference console script.
+_FLAG_MATRIX = [st + f for st in ([], ["-st", "svg"], ["-st", "leaflet"])
+                for f in ([], ["-f"])]
+
+
+@pytest.mark.parametrize("extra", _FLAG_MATRIX,
+                         ids=lambda e: "_".join(e) or "bare")
+def test_k2g_cli_flag_matrix(tmp_path, extra):
+    kml = REFERENCE_DATA / "two_layers" / "two_layers.kml"
+    if not kml.is_file():
+        pytest.skip("fixture two_layers missing")
+    ours = _run_ours(kml, tmp_path / "ours", *extra)
+    ref = _run_reference(kml, tmp_path / "ref", *extra)
+    assert _dir_as_dict(ours) == _dir_as_dict(ref)
+
+
+@pytest.mark.parametrize("extra", [
+    ["--feature-collection-name", "renamed", "--style-type", "svg"],
+    ["--style-type", "leaflet", "--style-filename", "catalog.json",
+     "--separate-folders"],
+    ["-fcn", "x", "-st", "leaflet", "-sf", "leaf.json", "-f"],
+])
+def test_k2g_cli_value_flags_and_long_forms(tmp_path, extra):
+    kml = REFERENCE_DATA / "two_layers" / "two_layers.kml"
+    if not kml.is_file():
+        pytest.skip("fixture two_layers missing")
+    ours = _run_ours(kml, tmp_path / "ours", *extra)
+    ref = _run_reference(kml, tmp_path / "ref", *extra)
+    assert _dir_as_dict(ours) == _dir_as_dict(ref)
