@@ -351,9 +351,123 @@ def _cover_one(rings: list[np.ndarray], res: int, min_fraction: float):
     return (cell_encode_grid_np(gxx[keep], gyy[keep], res), frac[keep])
 
 
+def _edge_touched_coarse_mask(rings: list[np.ndarray], cx0: int, cy0: int,
+                              nx: int, ny: int, ccw: float,
+                              cch: float) -> np.ndarray:
+    """(nx, ny) bool mask of coarse cells whose rect MAY be touched by
+    any ring edge — conservative (edge-bbox overlap, widened one cell
+    on each side so edges lying exactly on a cell boundary never slip
+    through). Rectangle marking is O(edges + grid) via a 2-D difference
+    array, never O(edges × grid)."""
+    D = np.zeros((nx + 1, ny + 1), dtype=np.int64)
+    for ring in rings:
+        a, b = ring, np.roll(ring, -1, axis=0)
+        ex0 = np.minimum(a[:, 0], b[:, 0])
+        ex1 = np.maximum(a[:, 0], b[:, 0])
+        ey0 = np.minimum(a[:, 1], b[:, 1])
+        ey1 = np.maximum(a[:, 1], b[:, 1])
+        x0 = np.clip(np.floor((ex0 + 180.0) / ccw).astype(np.int64) - 1 - cx0,
+                     0, nx - 1)
+        x1 = np.clip(np.floor((ex1 + 180.0) / ccw).astype(np.int64) + 1 - cx0,
+                     0, nx - 1)
+        y0 = np.clip(np.floor((ey0 + 90.0) / cch).astype(np.int64) - 1 - cy0,
+                     0, ny - 1)
+        y1 = np.clip(np.floor((ey1 + 90.0) / cch).astype(np.int64) + 1 - cy0,
+                     0, ny - 1)
+        np.add.at(D, (x0, y0), 1)
+        np.add.at(D, (x1 + 1, y0), -1)
+        np.add.at(D, (x0, y1 + 1), -1)
+        np.add.at(D, (x1 + 1, y1 + 1), 1)
+    return D.cumsum(axis=0).cumsum(axis=1)[:nx, :ny] > 0
+
+
+def _cover_one_hier(rings: list[np.ndarray], res: int, min_fraction: float,
+                    coarse_delta: int):
+    """Hierarchical two-pass cover of one polygon: classify cells at
+    the coarse resolution ``res - coarse_delta`` as boundary (an edge
+    may touch them — conservative bbox test), interior (edge-free,
+    center inside by even-odd ray cast over ALL rings, so holes
+    classify correctly), or exterior. Interior coarse cells emit every
+    child at fraction exactly 1 WITHOUT clipping; boundary coarse
+    cells run the exact strip-clip kernel on their child block only
+    (bit-identical per cell to the flat kernel — the clip of a cell
+    never depends on which other cells share the call); exterior
+    cells emit nothing. Work scales with the polygon PERIMETER at
+    ``res`` plus the interior cell count, not with bbox area — the
+    planetary-polygon path the flat kernel's chunk cap only bounds in
+    memory, not in time."""
+    nn = float(1 << res)
+    cell_w, cell_h = 360.0 / nn, 180.0 / nn
+    cell_area = cell_w * cell_h
+    k = 1 << coarse_delta
+    ccw, cch = cell_w * k, cell_h * k
+    outer = rings[0]
+    ix0, ix1, iy0, iy1 = _bbox_grid(outer, res)
+    cx0, cx1, cy0, cy1 = ix0 >> coarse_delta, ix1 >> coarse_delta, \
+        iy0 >> coarse_delta, iy1 >> coarse_delta
+    nx, ny = cx1 - cx0 + 1, cy1 - cy0 + 1
+
+    boundary = _edge_touched_coarse_mask(rings, cx0, cy0, nx, ny, ccw, cch)
+    cgx = np.repeat(np.arange(cx0, cx1 + 1, dtype=np.int64), ny)
+    cgy = np.tile(np.arange(cy0, cy1 + 1, dtype=np.int64), nx)
+    bflat = boundary.ravel()
+    # edge-free coarse cells: center-point even-odd ray cast decides
+    # fully-inside (fraction 1 children) vs fully-outside (dropped) —
+    # a hole's interior ray-casts outside, so it drops correctly
+    interior = np.zeros(nx * ny, dtype=bool)
+    free = ~bflat
+    if free.any():
+        px = (cgx[free] + 0.5) * ccw - 180.0
+        py = (cgy[free] + 0.5) * cch - 90.0
+        interior[free] = _raycast_np(px, py, rings)
+
+    out_cells, out_fracs = [], []
+    child = np.arange(k, dtype=np.int64)
+    # interior: pure enumeration, fully vectorized across blocks —
+    # (B, k²) child coordinates, bbox-clipped by mask, one encode
+    if interior.any() and min_fraction < 1.0:
+        bx, by = cgx[interior], cgy[interior]
+        gxx = np.repeat(bx[:, None] * k + child[None, :], k, axis=1)
+        gyy = np.tile(by[:, None] * k + child[None, :], (1, k))
+        ok = ((gxx >= ix0) & (gxx <= ix1) & (gyy >= iy0) & (gyy <= iy1))
+        gxx, gyy = gxx[ok], gyy[ok]
+        if len(gxx):
+            out_cells.append(cell_encode_grid_np(gxx, gyy, res))
+            out_fracs.append(np.ones(len(gxx)))
+    # boundary: exact clip kernel batched PER COARSE COLUMN — within a
+    # column the wanted fine cells are exactly {column children} ×
+    # {union of boundary blocks' child rows}: a true cross product, so
+    # one kernel call per column with zero fill-in
+    bmask2d = boundary
+    for col in np.nonzero(bmask2d.any(axis=1))[0]:
+        cg_x = cx0 + int(col)
+        gx = np.arange(max(cg_x * k, ix0), min((cg_x + 1) * k - 1, ix1) + 1,
+                       dtype=np.int64)
+        rows = cy0 + np.nonzero(bmask2d[col])[0]
+        gy = (rows[:, None] * k + child[None, :]).ravel()
+        gy = gy[(gy >= iy0) & (gy <= iy1)]
+        if len(gx) == 0 or len(gy) == 0:
+            continue
+        area = _ring_cell_areas(outer, gx, gy, cell_w, cell_h)
+        for hole in rings[1:]:
+            area = area - _ring_cell_areas(hole, gx, gy, cell_w, cell_h)
+        frac = area / cell_area
+        keep = frac > min_fraction
+        if keep.any():
+            out_cells.append(cell_encode_grid_np(
+                np.repeat(gx, len(gy))[keep], np.tile(gy, len(gx))[keep],
+                res))
+            out_fracs.append(frac[keep])
+    if not out_cells:
+        return (np.empty(0, dtype=np.int64), np.empty(0))
+    return (np.concatenate(out_cells), np.concatenate(out_fracs))
+
+
 def polygon_cover(polygons: DataFrame, res: int, *,
                   id_col: str = "poly_id", rings_col: str = "rings",
-                  min_fraction: float = 0.0) -> DataFrame:
+                  min_fraction: float = 0.0,
+                  strategy: str = "flat",
+                  coarse_delta: int = 3) -> DataFrame:
     """General raster←vector coverage: each polygon → the cells of its
     bbox at ``res`` with the exact fraction of each cell covered
     (Sutherland–Hodgman clip + shoelace; ring 0 is the outer ring,
@@ -361,14 +475,35 @@ def polygon_cover(polygons: DataFrame, res: int, *,
 
     numpy kernel in Arrow batches; the clip runs VECTORIZED across all
     candidate cells of a polygon at once (strip-decomposed
-    ``_ring_cell_areas``) — no per-cell Python. Candidate cells per polygon are bounded by the
-    bbox at ``res`` — pick ``res`` so bbox_cells ≈ O(100..10k) per
-    polygon; for planetary-scale polygons encode at a coarser parent
-    resolution and refine hierarchically (parent = id >> 2) in a
-    second pass. Oracle-checked against a DuckDB Sutherland–Hodgman
-    formulation (driver q54) — the float arithmetic matches
-    operation-for-operation.
+    ``_ring_cell_areas``) — no per-cell Python.
+
+    ``strategy`` picks the per-polygon enumeration:
+
+    - ``"flat"`` (default, the oracle-matched baseline, driver q54 —
+      the DuckDB Sutherland–Hodgman formulation matches the float
+      arithmetic operation-for-operation): clip EVERY bbox cell at
+      ``res``. Work and memory scale with bbox area — fine when
+      bbox_cells ≈ O(100..10k) per polygon.
+    - ``"hier"`` (the planetary-polygon path): two-pass hierarchical
+      cover — classify cells at ``res - coarse_delta`` (conservative
+      edge-bbox boundary test + center ray cast), emit interior
+      children at fraction exactly 1 WITHOUT clipping, run the exact
+      clip only on boundary blocks. Work scales with perimeter at
+      ``res`` + interior count instead of bbox area. Per-cell clip
+      results are bit-identical to ``"flat"`` (asserted in tests on
+      the q54 corpus); an edge-free interior cell's flat-kernel clip
+      reproduces the cell rectangle exactly there, so the fraction-1
+      shortcut is also bit-equal — on adversarial rings the flat
+      kernel may round an interior cell to 1 ± few ulps where hier
+      reports the mathematically exact 1.
     """
+    if strategy not in ("flat", "hier"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    def cover_fn(rs):
+        if strategy == "hier" and res >= coarse_delta:
+            return _cover_one_hier(rs, res, min_fraction, coarse_delta)
+        return _cover_one(rs, res, min_fraction)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -377,7 +512,7 @@ def polygon_cover(polygons: DataFrame, res: int, *,
                 rs = _rings_to_np(rings)
                 if not rs:
                     continue
-                c, f = _cover_one(rs, res, min_fraction)
+                c, f = cover_fn(rs)
                 if len(c):
                     pids.append(np.full(len(c), int(pid), dtype=np.int64))
                     cids.append(c)
