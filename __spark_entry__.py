@@ -1546,6 +1546,101 @@ GROUP BY p.doc_a, p.doc_b
 """
 
 
+def _q67_polygon_cover_hier(spark, sf):
+    """The hierarchical two-pass cover against the SAME oracle as the
+    flat q54 — proving the hier strategy (interior fraction-1 shortcut
+    + boundary-only exact clips) is bit-exact vs DuckDB too."""
+    from kml2geojson_spark.spatial import polygon_cover
+    return polygon_cover(_nation_diamonds(spark, sf), 6, strategy="hier",
+                         coarse_delta=2)
+
+
+def _q68_compact_cells(spark, sf):
+    """S2/H3-style cell-set compaction: complete sibling quads collapse
+    to their parent, recursively res 5 → 2 (at sf0.01 this genuinely
+    collapses: 891 cells → 396 across three mixed output resolutions).
+    Oracle replays it level by level in chained CTEs."""
+    from kml2geojson_spark.spatial import compact_cells, encode_points
+    cells = encode_points(_customer_points(spark, sf), 5) \
+        .select("cell_id").distinct()
+    return compact_cells(cells, min_res=2)
+
+
+def _o68() -> str:
+    gx, gy = _grid_sql("x", "y", 5)
+    sql = (f"WITH pts AS ({_PTS_SQL}), "
+           f"g AS (SELECT point_id, {gx} AS gx, {gy} AS gy FROM pts)"
+           + _morton_ctes("point_id", 5, "g")
+           + ", s5 AS (SELECT DISTINCT cell_id FROM enc)")
+    for r in range(5, 2, -1):
+        sql += f"""
+, cur{r} AS (SELECT cell_id FROM s{r} WHERE (cell_id & 31) = {r}),
+rest{r} AS (SELECT cell_id FROM s{r} WHERE (cell_id & 31) <> {r}),
+c{r} AS (SELECT (((cell_id >> 7) << 5) | {r - 1}) AS parent, cell_id
+         FROM cur{r}),
+f{r} AS (SELECT parent FROM c{r} GROUP BY parent HAVING COUNT(*) = 4),
+s{r - 1} AS (
+  SELECT cell_id FROM rest{r}
+  UNION ALL
+  SELECT cell_id FROM c{r}
+  WHERE parent NOT IN (SELECT parent FROM f{r})
+  UNION ALL
+  SELECT parent AS cell_id FROM f{r})"""
+    return sql + " SELECT cell_id FROM s2"
+
+
+def _q69_tfidf_top_terms(spark, sf):
+    """Per-document top-5 characteristic terms by tf/df score (exact
+    integer ratio — no libm in the hash-checked value)."""
+    from kml2geojson_spark.textops import tfidf_top_terms
+    return tfidf_top_terms(_t(spark, sf, "documents"), 5)
+
+
+_O69 = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+  FROM documents),
+t AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY doc_id, token),
+dfx AS (SELECT token, COUNT(*) AS df
+        FROM (SELECT DISTINCT doc_id, token FROM t) GROUP BY token),
+sc AS (SELECT tf.doc_id, tf.token, tf.tf, dfx.df,
+              CAST(tf.tf AS DOUBLE) / dfx.df AS score
+       FROM tf JOIN dfx USING (token)),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, token ASC) AS rank
+      FROM sc)
+SELECT doc_id, token, tf, df, score, rank FROM r WHERE rank <= 5
+"""
+
+
+def _q70_bloom_registers(spark, sf):
+    """Bloom-filter register table over the corpus vocabulary —
+    md5-derived bit positions, 64-bit words, bit_or aggregate; the
+    probe-side dedup prefilter, bit-exact cross-engine."""
+    from kml2geojson_spark.sketch import bloom_registers
+    toks = (_t(spark, sf, "documents")
+            .select(F.explode(F.split(F.lower(F.col("text")), " "))
+                    .alias("token"))
+            .where(F.col("token") != "").distinct())
+    return bloom_registers(toks, "token", m_bits=1 << 16, k=4)
+
+
+_O70 = """
+WITH toks AS (
+  SELECT DISTINCT unnest(string_split(lower(text), ' ')) AS token
+  FROM documents),
+t AS (SELECT token FROM toks WHERE token <> ''),
+pos AS (
+  SELECT (('0x' || substr(md5(i || ':' || token), 1, 15))::BIGINT % 65536)
+         AS p
+  FROM t, LATERAL (SELECT unnest(generate_series(0, 3)) AS i))
+SELECT (p // 63) AS word_idx,
+       bit_or(1::BIGINT << CAST(p % 63 AS INTEGER)) AS bits
+FROM pos GROUP BY word_idx
+"""
+
+
 # -- rows-only (non-SQL-expressible) ----------------------------------------
 
 
@@ -1658,6 +1753,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_interval_join": _q64_interval_join,
         "q65_within_distance": _q65_within_distance,
         "q66_coverage_pyramid": _q66_coverage_pyramid,
+        "q67_polygon_cover_hier": _q67_polygon_cover_hier,
+        "q68_compact_cells": _q68_compact_cells,
+        "q69_tfidf_top_terms": _q69_tfidf_top_terms,
+        "q70_bloom_registers": _q70_bloom_registers,
     }
 
 
@@ -1716,6 +1815,10 @@ def oracle_sql() -> dict[str, str]:
         "q66_coverage_pyramid": _o66(),
         "q40_minhash_pairs": _o40(),
         "q58_minhash_similarity": _o58(),
+        "q67_polygon_cover_hier": _o54(),  # hier must equal flat cover
+        "q68_compact_cells": _o68(),
+        "q69_tfidf_top_terms": _O69,
+        "q70_bloom_registers": _O70,
         # q41/q43/q44: rows-only (LSH/IVF candidate sets are
         # approximate by design — pytest measures recall vs the exact
         # baseline; media decode is stubbed).

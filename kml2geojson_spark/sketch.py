@@ -271,3 +271,72 @@ SELECT {key_sel}
                        ELSE raw END) AS BIGINT) AS estimate
 FROM est
 """
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (md5-portable, register-table representation)
+# ---------------------------------------------------------------------------
+
+def bloom_registers(df: DataFrame, value_col: str, *,
+                    m_bits: int = 1 << 16, k: int = 4) -> DataFrame:
+    """Bloom-filter sketch of a column as a REGISTER TABLE
+    ``(word_idx, bits)`` — 64-bit words, only nonzero words stored.
+    The probe-side prefilter a 100-TB dedup/antijoin pipeline ships to
+    executors instead of the full key set.
+
+    Hash positions derive from md5 (``pos_i = bigint(md5(i ':' value))
+    % m_bits``), so the table is bit-exact cross-engine (driver q70
+    replays it in DuckDB). Words hold 63 bits (positions 0..62): bit
+    63 would be the sign bit, where a portable left shift diverges
+    (Spark wraps silently, DuckDB raises on overflow) — one unused bit
+    per word buys exact cross-engine replay. Building is one explode
+    (k rows per value) + one ``bit_or`` hash aggregate — map-side
+    combinable, a single small shuffle bounded by ~m_bits/63 output
+    rows. Sketches of two datasets merge by OR-ing registers (bit_or
+    over the union).
+    """
+    val = F.col(value_col).cast("string")
+    positions = F.array(*[
+        (F.conv(F.substring(F.md5(F.concat_ws(":", F.lit(i), val)), 1, 15),
+                16, 10).cast("long") % m_bits).alias(f"_p{i}")
+        for i in range(k)
+    ])
+    pos = df.select(F.explode(positions).alias("_pos"))
+    word = F.expr("_pos div 63").alias("word_idx")
+    bit = F.expr("shiftleft(1L, CAST(_pos % 63 AS INT))")
+    return (pos.select(word, bit.alias("_bit"))
+            .groupBy("word_idx")
+            .agg(F.expr("bit_or(_bit)").alias("bits")))
+
+
+def bloom_might_contain(registers: DataFrame, probes: DataFrame,
+                        value_col: str, *, m_bits: int = 1 << 16,
+                        k: int = 4) -> DataFrame:
+    """Membership probe against :func:`bloom_registers` output: a probe
+    value "might be present" iff ALL ``k`` of its bit positions are set
+    (no false negatives; false-positive rate ≈ (1-e^{-kn/m})^k,
+    measured in tests). The register side is tiny (≤ m_bits/64 rows) —
+    broadcast — so probing any number of rows is a narrow map + one
+    small join, never a shuffle of the probe side.
+
+    Output: probes' columns + ``might_contain`` boolean.
+    """
+    val = F.col(value_col).cast("string")
+    positions = F.array(*[
+        (F.conv(F.substring(F.md5(F.concat_ws(":", F.lit(i), val)), 1, 15),
+                16, 10).cast("long") % m_bits)
+        for i in range(k)
+    ])
+    p = probes.withColumn("_pos", F.explode(positions))
+    p = p.withColumn("word_idx", F.expr("_pos div 63")) \
+         .withColumn("_need", F.expr("shiftleft(1L, CAST(_pos % 63 AS INT))"))
+    joined = p.join(F.broadcast(registers), "word_idx", "left")
+    hit = (F.col("bits").isNotNull()
+           & (F.col("bits").bitwiseAND(F.col("_need")) == F.col("_need")))
+    probe_cols = [c for c in probes.columns]
+    # all exploded positions must hit; compare against the row count so
+    # duplicate probe rows (collapsed by the groupBy) stay correct
+    return (joined.withColumn("_hit", hit.cast("int"))
+            .groupBy(*probe_cols)
+            .agg((F.sum("_hit") == F.count(F.lit(1)))
+                 .alias("might_contain")))

@@ -33,6 +33,7 @@ from .cells import (
     cell_kring_np,
     cell_bounds_np,
     cell_parent_col,
+    cell_res_col,
 )
 
 
@@ -1177,6 +1178,78 @@ def rect_overlap_join(rects: DataFrame, res: int, *,
     return (a.join(b, "cell_id")
             .where((F.col("rect_a") < F.col("rect_b")) & overlap)
             .select("rect_a", "rect_b").distinct())
+
+
+def compact_cells(cells: DataFrame, *, cell_col: str = "cell_id",
+                  min_res: int = 0) -> DataFrame:
+    """S2/H3-style compaction of a cell SET: wherever all 4 sibling
+    cells of a parent are present, they are replaced by the parent,
+    recursively up to ``min_res`` — the canonical way to shrink a
+    fine-resolution cover without changing the region it denotes
+    (``uncompact_cells`` restores the original set exactly).
+
+    Mixed input resolutions are supported; the input is deduplicated
+    first. One level per pass: group the current level's cells by
+    parent (hash aggregate, map-side combinable), complete quads
+    collapse, incomplete ones keep their children — each pass is one
+    small shuffle on the parent key and the loop length is the
+    resolution RANGE (≤ 26), not the data size, so the shape holds at
+    any scale. Deterministic; oracle-checked against a DuckDB
+    per-level CTE replay (driver q68).
+    """
+    out = (cells.select(F.col(cell_col).alias("cell_id")).distinct()
+           .withColumn("_res", cell_res_col(F.col("cell_id"))))
+    bounds = out.agg(F.max("_res").alias("mx")).collect()[0]
+    max_res = int(bounds["mx"]) if bounds["mx"] is not None else min_res
+    if not 0 <= min_res <= max_res <= MAX_RES:
+        raise ValueError(f"min_res {min_res} out of range for data "
+                         f"max res {max_res}")
+    for r in range(max_res, min_res, -1):
+        cur = out.where(F.col("_res") == r) \
+            .withColumn("_parent", cell_parent_col(F.col("cell_id"), 1))
+        rest = out.where(F.col("_res") != r)
+        complete = (cur.groupBy("_parent")
+                    .agg(F.count(F.lit(1)).alias("_n"))
+                    .where(F.col("_n") == 4)
+                    .select("_parent"))
+        kept = (cur.join(complete, "_parent", "left_anti")
+                .select("cell_id", "_res"))
+        promoted = complete.select(
+            F.col("_parent").alias("cell_id"),
+            cell_res_col(F.col("_parent")).alias("_res"))
+        # promoted parents can complete a quad at the next level up —
+        # the loop continues at r-1 with them included. `out` is
+        # referenced three times per level (rest/cur/kept), so WITHOUT
+        # truncation the plan tree would grow ~3^levels (janino blows
+        # up and Spark falls back to interpreted mode); a lazy
+        # localCheckpoint per level keeps it linear.
+        out = (rest.unionByName(kept).unionByName(promoted)
+               .localCheckpoint(eager=False))
+    return out.select("cell_id")
+
+
+def uncompact_cells(cells: DataFrame, res: int, *,
+                    cell_col: str = "cell_id") -> DataFrame:
+    """Inverse of :func:`compact_cells`: expand every cell to its
+    descendants at ``res`` (cells already at ``res`` pass through).
+    Pure Column sequence+explode — each Δ-level cell becomes its 4^Δ
+    children via the Morton bit-shift, no Python."""
+    from .cells import RES_BITS, RES_MASK
+
+    d = (cells.select(F.col(cell_col).alias("cell_id"))
+         .withColumn("_r", F.col("cell_id").bitwiseAND(F.lit(RES_MASK))))
+    bad = d.where(F.col("_r") > res).limit(1).count()
+    if bad:
+        raise ValueError(f"input contains cells finer than res {res}")
+    # column-valued shift amounts need the SQL expr form (the pyspark
+    # wrapper only takes literal bit counts)
+    base = F.expr(f"shiftleft(shiftright(cell_id, {RES_BITS}), "
+                  f"2 * ({res} - _r))")
+    child = F.explode(F.expr(
+        f"sequence(0L, shiftleft(1L, 2 * ({res} - _r)) - 1)"))
+    return (d.select(base.alias("_base"), child.alias("_i"))
+            .select(F.expr(f"shiftleft(_base | _i, {RES_BITS})"
+                           f" | {res}").cast("long").alias("cell_id")))
 
 
 def tile_pyramid(pts: DataFrame, base_res: int,

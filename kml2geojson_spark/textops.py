@@ -591,6 +591,42 @@ def redact_text(documents: DataFrame, *,
                       *[f"n_{name}" for name, _, _ in patterns])
 
 
+def tfidf_top_terms(documents: DataFrame, k: int = 5, *,
+                    min_token_len: int = 1) -> DataFrame:
+    """Per-document top-``k`` characteristic terms by a tf·idf-style
+    score — the keyword-extraction primitive for corpus triage and
+    near-dup explanation. Score = tf / df (term frequency over
+    document frequency): both are exact integers and the single
+    division is bit-identical across engines, so the driver oracle
+    hash-matches doubles (a log-idf would hinge on libm parity).
+    Deterministic tie-break (score desc, token asc).
+
+    Shapes at scale: tf is one (doc, token) hash aggregate; df one
+    (token) aggregate whose result broadcast-joins back (token
+    vocabulary ≪ corpus); the top-k window partitions by doc_id, so no
+    global funnel — per-doc term counts bound each partition.
+
+    Output: (doc_id, token, tf, df, score, rank).
+    """
+    toks = documents.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")) \
+        .where((F.col("token") != "")
+               & (F.length("token") >= min_token_len))
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf"))
+    df_ = (toks.select("doc_id", "token").distinct()
+           .groupBy("token").agg(F.count(F.lit(1)).alias("df")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("token").asc())
+    return (tf.join(F.broadcast(df_), "token")
+            .withColumn("score", F.col("tf").cast("double") / F.col("df"))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("doc_id", "token", "tf", "df", "score", "rank"))
+
+
 def vocabulary(documents: DataFrame, *, min_df: int = 1,
                top_k: int | None = None) -> DataFrame:
     """Corpus vocabulary with document frequencies — the tokenizer-

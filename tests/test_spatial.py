@@ -666,3 +666,53 @@ def test_within_distance_join_matches_bruteforce(spark):
             for pid in pts["point_id"][d2 <= radius * radius]:
                 expect.add((int(q["point_id"]), int(pid)))
         assert got == expect and got
+
+
+def test_compact_uncompact_roundtrip(spark):
+    """compact→uncompact restores the original uniform-res set exactly;
+    a complete quad collapses all the way; finer-than-res uncompact
+    input is refused."""
+    from kml2geojson_spark.spatial import compact_cells, uncompact_cells
+    from kml2geojson_spark.spatial.cells import (cell_encode_grid_np,
+                                                 cell_res_col)
+
+    # a full 4x4 block at res 4 (collapses two levels) + a lone cell
+    gx = np.repeat(np.arange(8, 12), 4)
+    gy = np.tile(np.arange(4, 8), 4)
+    block = cell_encode_grid_np(gx, gy, 4).tolist()
+    lone = int(cell_encode_grid_np([0], [0], 4)[0])
+    cells = spark.createDataFrame([(c,) for c in block + [lone]],
+                                  "cell_id long")
+    comp = compact_cells(cells, min_res=0)
+    got = {(int(r["cell_id"]) & 31, int(r["cell_id"]))
+           for r in comp.collect()}
+    # the 16-cell block = one res-2 cell; the lone cell stays at res 4
+    assert {r for r, _ in got} == {2, 4}
+    assert len(got) == 2
+    # round-trip: expanding the compacted set back to res 4 gives the
+    # original set exactly
+    back = {int(r["cell_id"])
+            for r in uncompact_cells(comp, 4).collect()}
+    assert back == set(block + [lone])
+
+
+def test_uncompact_refuses_finer_input(spark):
+    from kml2geojson_spark.spatial import uncompact_cells
+    from kml2geojson_spark.spatial.cells import cell_encode_grid_np
+    fine = int(cell_encode_grid_np([3], [3], 6)[0])
+    df = spark.createDataFrame([(fine,)], "cell_id long")
+    with pytest.raises(ValueError, match="finer"):
+        uncompact_cells(df, 4)
+
+
+def test_compact_cells_idempotent_and_no_false_merge(spark):
+    """An incomplete quad (3 of 4 siblings) must NOT collapse, and
+    compacting an already-compact set is a no-op."""
+    from kml2geojson_spark.spatial import compact_cells
+    from kml2geojson_spark.spatial.cells import cell_encode_grid_np
+    trio = cell_encode_grid_np([0, 0, 1], [0, 1, 0], 3).tolist()
+    df = spark.createDataFrame([(c,) for c in trio], "cell_id long")
+    once = compact_cells(df, min_res=0)
+    assert {int(r["cell_id"]) for r in once.collect()} == set(trio)
+    twice = compact_cells(once, min_res=0)
+    assert {int(r["cell_id"]) for r in twice.collect()} == set(trio)

@@ -456,3 +456,58 @@ def test_near_dedup_star_algorithm_same_output(spark):
     b = sorted(map(tuple, near_dedup_representatives(
         docs, components="star").collect()))
     assert a == b and a
+
+
+def test_tfidf_top_terms_tiny_corpus(spark):
+    from kml2geojson_spark.textops import tfidf_top_terms
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "cherry")],
+        "doc_id long, text string")
+    out = tfidf_top_terms(docs, 2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["rank"], r["token"], r["tf"], r["df"], r["score"]))
+    # doc 1: apple tf=2 df=1 score=2.0 beats banana tf=1 df=2 score=0.5
+    assert sorted(by_doc[1]) == [(1, "apple", 2, 1, 2.0),
+                                 (2, "banana", 1, 2, 0.5)]
+    # doc 2: cherry 1/2 vs banana 1/2 — token asc tie-break
+    assert sorted(by_doc[2]) == [(1, "banana", 1, 2, 0.5),
+                                 (2, "cherry", 1, 2, 0.5)]
+    assert sorted(by_doc[3]) == [(1, "cherry", 1, 2, 0.5)]
+
+
+def test_bloom_filter_no_false_negatives_and_fp_bound(spark):
+    """Every inserted key must probe positive; the false-positive rate
+    on disjoint probes stays near the analytic bound."""
+    from pyspark.sql import functions as F
+    from kml2geojson_spark.sketch import bloom_might_contain, bloom_registers
+    import math
+    n, m, k = 2000, 1 << 16, 4
+    inserted = spark.range(n).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("v"))
+    regs = bloom_registers(inserted, "v", m_bits=m, k=k)
+    hits = bloom_might_contain(regs, inserted, "v", m_bits=m, k=k)
+    assert hits.where(~F.col("might_contain")).count() == 0  # no FN
+    absent = spark.range(n, 3 * n).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("v"))
+    probe = bloom_might_contain(regs, absent, "v", m_bits=m, k=k)
+    fp = probe.where(F.col("might_contain")).count() / (2 * n)
+    bound = (1 - math.exp(-k * n / m)) ** k
+    assert fp <= 3 * bound + 0.01, (fp, bound)
+
+
+def test_bloom_registers_merge_by_or(spark):
+    """Registers of A ∪ B == bit_or-merge of registers(A), registers(B)
+    — the distributed-merge property a sketch needs."""
+    from pyspark.sql import functions as F
+    from kml2geojson_spark.sketch import bloom_registers
+    a = spark.range(0, 500).select(F.col("id").cast("string").alias("v"))
+    b = spark.range(300, 900).select(F.col("id").cast("string").alias("v"))
+    both = a.unionByName(b)
+    direct = {(r["word_idx"], r["bits"])
+              for r in bloom_registers(both, "v").collect()}
+    merged = (bloom_registers(a, "v").unionByName(bloom_registers(b, "v"))
+              .groupBy("word_idx")
+              .agg(F.expr("bit_or(bits)").alias("bits")))
+    assert {(r["word_idx"], r["bits"]) for r in merged.collect()} == direct
