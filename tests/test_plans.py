@@ -266,3 +266,40 @@ def test_interval_join_rejects_collisions(spark):
     with _pytest.raises(ValueError, match="collision"):
         interval_join(facts, ivs, point_col="p", start_col="s",
                       end_col="e", bucket_width=4)
+
+
+def test_tfidf_broadcasts_df_side(spark):
+    """The (token → df) dimension must broadcast back onto tf — a
+    sort-merge there would shuffle the whole (doc, token) table twice."""
+    from kml2geojson_spark.textops import tfidf_top_terms
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma{i % 5}") for i in range(50)],
+        "doc_id long, text string")
+    plan = _plan(tfidf_top_terms(docs, 3))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bloom_probe_broadcasts_registers_and_stays_jvm(spark):
+    """Probing must broadcast the (tiny) register table — the probe
+    side is never shuffled — and the whole path is pure Column work
+    (no Python eval nodes anywhere)."""
+    from kml2geojson_spark.sketch import bloom_might_contain, bloom_registers
+    keys = spark.range(500).selectExpr("CAST(id AS STRING) AS v")
+    regs = bloom_registers(keys, "v")
+    probe = bloom_might_contain(regs, keys, "v")
+    plan = _plan(probe)
+    assert "BroadcastHashJoin" in plan, plan
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert marker not in plan, plan
+
+
+def test_uncompact_cells_stays_jvm(spark):
+    """Expansion is sequence+explode bit math — zero Python nodes."""
+    from kml2geojson_spark.spatial import uncompact_cells
+    from kml2geojson_spark.spatial.cells import cell_encode_grid_np
+    cells = spark.createDataFrame(
+        [(int(c),) for c in cell_encode_grid_np([0, 1], [0, 1], 3)],
+        "cell_id long")
+    plan = _plan(uncompact_cells(cells, 6))
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert marker not in plan, plan
