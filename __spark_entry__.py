@@ -1641,6 +1641,75 @@ FROM pos GROUP BY word_idx
 """
 
 
+def _q71_quality_quota(spark, sf):
+    """Deterministic corpus curation: top-30 docs per language by the
+    exact integer-ratio quality score (alpha_ratio desc, doc_id asc)."""
+    from kml2geojson_spark.textops import quality_quota_sample
+    return quality_quota_sample(_t(spark, sf, "documents"), 30)
+
+
+_O71 = """
+WITH s AS (
+  SELECT doc_id, lang,
+         CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+           / length(text) AS alpha_ratio
+  FROM documents WHERE length(text) > 0),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                   ORDER BY alpha_ratio DESC, doc_id ASC)
+             AS rank
+      FROM s)
+SELECT doc_id, lang, alpha_ratio, rank FROM r WHERE rank <= 30
+"""
+
+
+def _q72_decontaminate(spark, sf):
+    """Benchmark decontamination: corpus docs (id >= 20) sharing any
+    8-gram with the held-out benchmark slice (id < 20)."""
+    from kml2geojson_spark.textops import decontaminate_against
+    d = _t(spark, sf, "documents")
+    return decontaminate_against(d.where(F.col("doc_id") >= 20),
+                                 d.where(F.col("doc_id") < 20), n=8)
+
+
+_O72 = """
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id >= 20),
+bench AS (SELECT doc_id, text FROM documents WHERE doc_id < 20),
+cg AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id, substr(text, CAST(i AS INTEGER), 8) AS gram
+    FROM corpus, LATERAL (
+      SELECT unnest(generate_series(1, GREATEST(length(text) - 7, 0))) AS i))),
+bg AS (
+  SELECT DISTINCT gram FROM (
+    SELECT substr(text, CAST(i AS INTEGER), 8) AS gram
+    FROM bench, LATERAL (
+      SELECT unnest(generate_series(1, GREATEST(length(text) - 7, 0))) AS i)))
+SELECT doc_id, COUNT(*) AS n_shared_grams
+FROM cg JOIN bg USING (gram)
+GROUP BY doc_id HAVING COUNT(*) >= 1
+"""
+
+
+def _q73_repetition_stats(spark, sf):
+    """Intra-document repetition signals (boilerplate/spam filter):
+    total vs distinct 8-grams, hottest gram frequency."""
+    from kml2geojson_spark.textops import repetition_stats
+    return repetition_stats(_t(spark, sf, "documents"), n=8)
+
+
+_O73 = """
+WITH g AS (
+  SELECT doc_id, substr(text, CAST(i AS INTEGER), 8) AS gram
+  FROM documents, LATERAL (
+    SELECT unnest(generate_series(1, GREATEST(length(text) - 7, 0))) AS i)),
+pg AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram)
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams, COUNT(*) AS n_distinct,
+       1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS rep_ratio,
+       MAX(c) AS max_gram_freq
+FROM pg GROUP BY doc_id
+"""
+
+
 # -- rows-only (non-SQL-expressible) ----------------------------------------
 
 
@@ -1757,6 +1826,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_compact_cells": _q68_compact_cells,
         "q69_tfidf_top_terms": _q69_tfidf_top_terms,
         "q70_bloom_registers": _q70_bloom_registers,
+        "q71_quality_quota": _q71_quality_quota,
+        "q72_decontaminate": _q72_decontaminate,
+        "q73_repetition_stats": _q73_repetition_stats,
     }
 
 
@@ -1819,6 +1891,9 @@ def oracle_sql() -> dict[str, str]:
         "q68_compact_cells": _o68(),
         "q69_tfidf_top_terms": _O69,
         "q70_bloom_registers": _O70,
+        "q71_quality_quota": _O71,
+        "q72_decontaminate": _O72,
+        "q73_repetition_stats": _O73,
         # q41/q43/q44: rows-only (LSH/IVF candidate sets are
         # approximate by design — pytest measures recall vs the exact
         # baseline; media decode is stubbed).

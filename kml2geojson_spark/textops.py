@@ -591,6 +591,93 @@ def redact_text(documents: DataFrame, *,
                       *[f"n_{name}" for name, _, _ in patterns])
 
 
+def quality_quota_sample(documents: DataFrame, per_group: int, *,
+                         group_col: str = "lang") -> DataFrame:
+    """Corpus curation: keep the top ``per_group`` documents per group
+    (language, domain, …) ranked by quality — the balanced-mixture
+    sampling step of a training-data pipeline, as a deterministic
+    operator instead of an RNG (re-runs, engines and cluster sizes all
+    pick the identical corpus).
+
+    Rank = alpha_ratio desc (the exact integer-ratio quality signal
+    from :func:`quality_score`), doc_id asc tie-break. The window
+    partitions by group, so no global funnel; each group's partition
+    is bounded by the corpus' per-group size — for pathologically hot
+    groups pre-filter with an approximate per-group threshold first.
+
+    Output: (doc_id, <group_col>, alpha_ratio, rank).
+    """
+    from pyspark.sql import Window
+
+    n_chars = F.length("text")
+    n_alpha = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
+    scored = documents.where(n_chars > 0).select(
+        "doc_id", group_col,
+        (n_alpha.cast("double") / n_chars).alias("alpha_ratio"))
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("alpha_ratio").desc(), F.col("doc_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= per_group))
+
+
+def decontaminate_against(documents: DataFrame, benchmark: DataFrame, *,
+                          n: int = 8, min_shared: int = 1) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing at
+    least ``min_shared`` distinct character n-grams with ANY benchmark
+    document — the standard guard against test-set leakage into
+    training data. Output: (doc_id, n_shared_grams) for flagged docs;
+    the clean corpus is an anti-join against it.
+
+    The benchmark gram set is tiny relative to the corpus (distinct
+    grams of a few thousand eval documents) — it broadcasts, so the
+    corpus side is a narrow scan + explode with NO shuffle of corpus
+    rows; only the per-doc shared-gram counts aggregate.
+    """
+    arr = F.when(
+        F.length("text") >= n,
+        F.array_distinct(F.expr(
+            f"transform(sequence(1, length(text) - {n - 1}), "
+            f"i -> substring(text, i, {n}))"))
+    ).otherwise(F.array().cast("array<string>"))
+    corpus_grams = documents.select("doc_id", F.explode(arr).alias("gram"))
+    bench_grams = benchmark.select(F.explode(arr).alias("gram")).distinct()
+    return (corpus_grams
+            .join(F.broadcast(bench_grams), "gram")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+            .where(F.col("n_shared_grams") >= min_shared))
+
+
+def repetition_stats(documents: DataFrame, *, n: int = 8) -> DataFrame:
+    """Intra-document repetition signals — the boilerplate/spam filter:
+    total vs distinct character n-grams and the hottest gram's
+    frequency. ``rep_ratio = 1 - distinct/total`` is 0 for fully novel
+    text and → 1 for a repeated phrase. Pure Column explode + two
+    map-side-combinable aggregates; the division is a single exact
+    double op (cross-engine identical).
+
+    Output: (doc_id, n_grams, n_distinct, rep_ratio, max_gram_freq).
+    """
+    arr = F.when(
+        F.length("text") >= n,
+        F.expr(f"transform(sequence(1, length(text) - {n - 1}), "
+               f"i -> substring(text, i, {n}))")
+    ).otherwise(F.array().cast("array<string>"))
+    grams = documents.select("doc_id", F.explode(arr).alias("gram"))
+    per_gram = grams.groupBy("doc_id", "gram").agg(
+        F.count(F.lit(1)).alias("_c"))
+    return (per_gram.groupBy("doc_id")
+            .agg(F.sum("_c").alias("n_grams"),
+                 F.count(F.lit(1)).alias("n_distinct"),
+                 F.max("_c").alias("max_gram_freq"))
+            .withColumn(
+                "rep_ratio",
+                F.lit(1.0) - F.col("n_distinct").cast("double")
+                / F.col("n_grams"))
+            .select("doc_id", "n_grams", "n_distinct", "rep_ratio",
+                    "max_gram_freq"))
+
+
 def tfidf_top_terms(documents: DataFrame, k: int = 5, *,
                     min_token_len: int = 1) -> DataFrame:
     """Per-document top-``k`` characteristic terms by a tf·idf-style

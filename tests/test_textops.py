@@ -511,3 +511,44 @@ def test_bloom_registers_merge_by_or(spark):
               .groupBy("word_idx")
               .agg(F.expr("bit_or(bits)").alias("bits")))
     assert {(r["word_idx"], r["bits"]) for r in merged.collect()} == direct
+
+
+def test_quality_quota_sample_deterministic(spark):
+    from kml2geojson_spark.textops import quality_quota_sample
+    docs = spark.createDataFrame(
+        [(1, "en", "pure alpha text here"), (2, "en", "half 1234 digits 99"),
+         (3, "en", "abc"), (4, "fr", "oui oui"), (5, "fr", "123 456 789")],
+        "doc_id long, lang string, text string")
+    out = quality_quota_sample(docs, 2).collect()
+    picked = {(r["lang"], r["rank"]): r["doc_id"] for r in out}
+    # en: doc 3 (all alpha except 0 non-alpha? 'abc' ratio 1.0) beats 1
+    assert picked[("en", 1)] == 3
+    assert picked[("en", 2)] == 1
+    assert picked[("fr", 1)] == 4
+    assert len(out) == 4  # 2 per group, fr has only 2 candidates
+
+
+def test_decontaminate_against_flags_overlap(spark):
+    from kml2geojson_spark.textops import decontaminate_against
+    corpus = spark.createDataFrame(
+        [(10, "the quick brown fox jumps"), (11, "completely novel words"),
+         (12, "short")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(1, "a quick brown fox appears")], "doc_id long, text string")
+    out = {r["doc_id"]: r["n_shared_grams"]
+           for r in decontaminate_against(corpus, bench, n=8).collect()}
+    assert 10 in out and out[10] > 0   # shares "quick brown fox" grams
+    assert 11 not in out and 12 not in out
+
+
+def test_repetition_stats_detects_loops(spark):
+    from kml2geojson_spark.textops import repetition_stats
+    docs = spark.createDataFrame(
+        [(1, "spam spam spam spam spam spam"), (2, "all fresh words here x")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_stats(docs, n=5).collect()}
+    assert out[1]["rep_ratio"] > 0.5          # looped text
+    assert out[2]["rep_ratio"] == 0.0         # fully novel
+    assert out[1]["max_gram_freq"] > 1
+    assert out[2]["max_gram_freq"] == 1
