@@ -1580,12 +1580,13 @@ c{r} AS (SELECT (((cell_id >> 7) << 5) | {r - 1}) AS parent, cell_id
          FROM cur{r}),
 f{r} AS (SELECT parent FROM c{r} GROUP BY parent HAVING COUNT(*) = 4),
 s{r - 1} AS (
-  SELECT cell_id FROM rest{r}
-  UNION ALL
-  SELECT cell_id FROM c{r}
-  WHERE parent NOT IN (SELECT parent FROM f{r})
-  UNION ALL
-  SELECT parent AS cell_id FROM f{r})"""
+  SELECT DISTINCT cell_id FROM (
+    SELECT cell_id FROM rest{r}
+    UNION ALL
+    SELECT cell_id FROM c{r}
+    WHERE parent NOT IN (SELECT parent FROM f{r})
+    UNION ALL
+    SELECT parent AS cell_id FROM f{r}))"""
     return sql + " SELECT cell_id FROM s2"
 
 

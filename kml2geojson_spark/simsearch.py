@@ -148,6 +148,13 @@ def ivf_centroids(embeddings: DataFrame, n_centroids: int, *,
     exactly between two centroids may flip lists. ANN recall is
     unaffected; bit-exact runs require a fixed partitioning.
 
+    The codebook may hold FEWER than ``n_centroids`` rows: a hash
+    bucket that receives no vectors (likely only when n_vectors is
+    within a few multiples of n_centroids), or a Lloyd step that
+    empties a cluster, simply drops it — standard k-means
+    empty-cluster behavior. Callers sizing ``nprobe`` should read the
+    codebook's actual row count rather than assume ``n_centroids``.
+
     Output: (cid int, cvec array<double>).
     """
     vecs = embeddings.select(F.col(id_col).alias("_id"),

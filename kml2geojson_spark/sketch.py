@@ -277,6 +277,18 @@ FROM est
 # Bloom filter (md5-portable, register-table representation)
 # ---------------------------------------------------------------------------
 
+def _bloom_positions(value_col: str, m_bits: int, k: int) -> F.Column:
+    """The ``k`` md5-derived bit positions of a value — the ONE hash
+    definition shared by build and probe (a divergence between the two
+    would silently break the no-false-negatives contract)."""
+    val = F.col(value_col).cast("string")
+    return F.array(*[
+        (F.conv(F.substring(F.md5(F.concat_ws(":", F.lit(i), val)), 1, 15),
+                16, 10).cast("long") % m_bits)
+        for i in range(k)
+    ])
+
+
 def bloom_registers(df: DataFrame, value_col: str, *,
                     m_bits: int = 1 << 16, k: int = 4) -> DataFrame:
     """Bloom-filter sketch of a column as a REGISTER TABLE
@@ -295,13 +307,8 @@ def bloom_registers(df: DataFrame, value_col: str, *,
     rows. Sketches of two datasets merge by OR-ing registers (bit_or
     over the union).
     """
-    val = F.col(value_col).cast("string")
-    positions = F.array(*[
-        (F.conv(F.substring(F.md5(F.concat_ws(":", F.lit(i), val)), 1, 15),
-                16, 10).cast("long") % m_bits).alias(f"_p{i}")
-        for i in range(k)
-    ])
-    pos = df.select(F.explode(positions).alias("_pos"))
+    pos = df.select(F.explode(
+        _bloom_positions(value_col, m_bits, k)).alias("_pos"))
     word = F.expr("_pos div 63").alias("word_idx")
     bit = F.expr("shiftleft(1L, CAST(_pos % 63 AS INT))")
     return (pos.select(word, bit.alias("_bit"))
@@ -321,13 +328,8 @@ def bloom_might_contain(registers: DataFrame, probes: DataFrame,
 
     Output: probes' columns + ``might_contain`` boolean.
     """
-    val = F.col(value_col).cast("string")
-    positions = F.array(*[
-        (F.conv(F.substring(F.md5(F.concat_ws(":", F.lit(i), val)), 1, 15),
-                16, 10).cast("long") % m_bits)
-        for i in range(k)
-    ])
-    p = probes.withColumn("_pos", F.explode(positions))
+    p = probes.withColumn(
+        "_pos", F.explode(_bloom_positions(value_col, m_bits, k)))
     p = p.withColumn("word_idx", F.expr("_pos div 63")) \
          .withColumn("_need", F.expr("shiftleft(1L, CAST(_pos % 63 AS INT))"))
     joined = p.join(F.broadcast(registers), "word_idx", "left")

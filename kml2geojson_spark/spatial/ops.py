@@ -100,15 +100,20 @@ def cover_cells_rect(df: DataFrame, res: int, *, west: str = "west",
             .otherwise(F.array().cast("array<bigint>"))
 
     crossing = F.col(west) > F.col(east)
+    empty = F.array().cast("array<bigint>")
     # crossing: [west, 180] covers [_ix0, hi]; [-180, east] covers
     # [0, _ix1] (_ix0 <= hi and _ix1 >= 0 by the clamps, so both
-    # sequences are ascending); a near-global wrap can reach a cell
-    # from both pieces — array_distinct emits it once
+    # sequences are ascending); a DEGENERATE piece (west = 180 or
+    # east = -180) contributes nothing — without the guard the clamps
+    # would emit a zero-width spurious column. A near-global wrap can
+    # reach a cell from both pieces — array_distinct emits it once
+    piece_w = F.when(F.col(west) < F.lit(180.0),
+                     F.sequence(F.col("_ix0"), F.lit(hi))).otherwise(empty)
+    piece_e = F.when(F.col(east) > F.lit(-180.0),
+                     F.sequence(F.lit(0), F.col("_ix1"))).otherwise(empty)
     xcells = F.when(
         ~crossing, seq("_ix0", "_ix1")
-    ).otherwise(F.array_distinct(F.concat(
-        F.sequence(F.col("_ix0"), F.lit(hi)),
-        F.sequence(F.lit(0), F.col("_ix1")))))
+    ).otherwise(F.array_distinct(F.concat(piece_w, piece_e)))
     out = (
         df.withColumn("_ix0", scale_lo(west, 180.0, 360.0))
         .withColumn("_ix1", scale_hi(east, 180.0, 360.0))
@@ -1197,13 +1202,16 @@ def compact_cells(cells: DataFrame, *, cell_col: str = "cell_id",
     any scale. Deterministic; oracle-checked against a DuckDB
     per-level CTE replay (driver q68).
     """
+    if not 0 <= min_res <= MAX_RES:
+        raise ValueError(f"min_res must be in [0, {MAX_RES}]")
     out = (cells.select(F.col(cell_col).alias("cell_id")).distinct()
            .withColumn("_res", cell_res_col(F.col("cell_id"))))
     bounds = out.agg(F.max("_res").alias("mx")).collect()[0]
     max_res = int(bounds["mx"]) if bounds["mx"] is not None else min_res
-    if not 0 <= min_res <= max_res <= MAX_RES:
-        raise ValueError(f"min_res {min_res} out of range for data "
-                         f"max res {max_res}")
+    if max_res > MAX_RES:
+        raise ValueError(f"data contains res {max_res} > MAX_RES")
+    # cells already at or coarser than min_res pass through untouched
+    # (the loop below is empty when max_res <= min_res)
     for r in range(max_res, min_res, -1):
         cur = out.where(F.col("_res") == r) \
             .withColumn("_parent", cell_parent_col(F.col("cell_id"), 1))
@@ -1218,12 +1226,18 @@ def compact_cells(cells: DataFrame, *, cell_col: str = "cell_id",
             F.col("_parent").alias("cell_id"),
             cell_res_col(F.col("_parent")).alias("_res"))
         # promoted parents can complete a quad at the next level up —
-        # the loop continues at r-1 with them included. `out` is
-        # referenced three times per level (rest/cur/kept), so WITHOUT
-        # truncation the plan tree would grow ~3^levels (janino blows
-        # up and Spark falls back to interpreted mode); a lazy
-        # localCheckpoint per level keeps it linear.
+        # the loop continues at r-1 with them included. The distinct
+        # matters for SET semantics on inputs that mix a parent with
+        # its own children: the promoted parent would otherwise
+        # duplicate the pre-existing one, and the duplicated rows
+        # could fake a complete quad (COUNT = 4 over < 4 distinct
+        # siblings) at the next level. `out` is referenced three times
+        # per level (rest/cur/kept), so WITHOUT truncation the plan
+        # tree would grow ~3^levels (janino blows up and Spark falls
+        # back to interpreted mode); a lazy localCheckpoint per level
+        # keeps it linear.
         out = (rest.unionByName(kept).unionByName(promoted)
+               .distinct()
                .localCheckpoint(eager=False))
     return out.select("cell_id")
 
@@ -1236,11 +1250,16 @@ def uncompact_cells(cells: DataFrame, res: int, *,
     children via the Morton bit-shift, no Python."""
     from .cells import RES_BITS, RES_MASK
 
+    # validation stays LAZY (raise_error inside the _r projection —
+    # both downstream expressions force it) so calling this inside a
+    # pipeline never triggers an extra validation scan; the error
+    # surfaces at action time like any other row-level failure
     d = (cells.select(F.col(cell_col).alias("cell_id"))
-         .withColumn("_r", F.col("cell_id").bitwiseAND(F.lit(RES_MASK))))
-    bad = d.where(F.col("_r") > res).limit(1).count()
-    if bad:
-        raise ValueError(f"input contains cells finer than res {res}")
+         .withColumn("_r", F.expr(
+             f"CASE WHEN (cell_id & {RES_MASK}) > {res} THEN "
+             f"CAST(raise_error('uncompact_cells: input contains cells "
+             f"finer than res {res}') AS BIGINT) "
+             f"ELSE cell_id & {RES_MASK} END")))
     # column-valued shift amounts need the SQL expr form (the pyspark
     # wrapper only takes literal bit counts)
     base = F.expr(f"shiftleft(shiftright(cell_id, {RES_BITS}), "

@@ -359,8 +359,15 @@ def stream_dedup_new_docs(docs: DataFrame, *,
                 m = pdf["doc_id"].min()
                 best = m if best is None else min(best, m)
                 if ttl_minutes is not None:
-                    e = int(pdf["_evt"].max().value // 1_000_000)
-                    max_evt_ms = e if max_evt_ms is None else max(max_evt_ms, e)
+                    # NULL event times arrive as NaT (the watermark
+                    # filter does not drop them); NaT.value is
+                    # INT64_MIN and would arm an impossible timeout —
+                    # skip them and arm only from real timestamps
+                    evt = pdf["_evt"].dropna()
+                    if len(evt):
+                        e = int(evt.max().value // 1_000_000)
+                        max_evt_ms = (e if max_evt_ms is None
+                                      else max(max_evt_ms, e))
         if best is None:
             return
 

@@ -240,19 +240,41 @@ def minhash_permutation_constants(n_hashes: int, seed: int = 42):
     return a1, a2, b
 
 
+def _char_ngram_arr(text_col: str, n: int, *, distinct: bool = True,
+                    short_text: str = "empty") -> F.Column:
+    """Character n-grams of ``text_col`` as an array Column — the ONE
+    definition every gram-based operator builds on (jaccard,
+    decontamination, repetition, minhash shingles), so the subtle
+    guards live in one place: Spark's ``sequence(1, 0)`` runs
+    DESCENDING, so texts shorter than ``n`` are handled explicitly —
+    ``short_text="empty"`` yields no grams (matching SQL
+    generate_series semantics), ``short_text="whole"`` yields the
+    whole NULL-coalesced text as a single gram (the MinHash shingle
+    fallback)."""
+    if short_text == "whole":
+        src = f"coalesce({text_col}, '')"
+    elif short_text == "empty":
+        src = text_col
+    else:
+        raise ValueError(f"unknown short_text mode {short_text!r}")
+    grams = F.expr(f"transform(sequence(1, length({src}) - {n - 1}), "
+                   f"i -> substring({src}, i, {n}))")
+    if distinct:
+        grams = F.array_distinct(grams)
+    if short_text == "whole":
+        t = F.coalesce(F.col(text_col), F.lit(""))
+        return F.when(F.length(t) >= n, grams).otherwise(F.array(t))
+    return F.when(F.length(F.col(text_col)) >= n, grams) \
+        .otherwise(F.array().cast("array<string>"))
+
+
 def _shingle_gram_arr(text_col: str, shingle: int) -> F.Column:
-    """Distinct character shingles of ``text_col`` as an array Column;
-    texts shorter than the shingle width contribute the whole text as
-    their single shingle (mirrors the classic rolling-hash fallback).
-    NULL text is treated as empty."""
-    t = F.coalesce(F.col(text_col), F.lit(""))
-    return F.when(
-        F.length(t) >= shingle,
-        F.array_distinct(F.expr(
-            f"transform(sequence(1, length(coalesce({text_col}, '')) "
-            f"- {shingle - 1}), "
-            f"i -> substring(coalesce({text_col}, ''), i, {shingle}))"))
-    ).otherwise(F.array(t))
+    """Distinct character shingles of ``text_col``; texts shorter than
+    the shingle width contribute the whole text as their single
+    shingle (mirrors the classic rolling-hash fallback). NULL text is
+    treated as empty."""
+    return _char_ngram_arr(text_col, shingle, distinct=True,
+                           short_text="whole")
 
 
 def minhash_signatures(documents: DataFrame, *, n_hashes: int = 32,
@@ -472,17 +494,9 @@ def ngram_jaccard_pairs(documents: DataFrame, *, n: int = 3,
     ALL grams (sizes stay uncapped, shared counts only uncapped grams),
     so ``jaccard`` is a lower bound. Leave None (default) for the
     exact oracle-matched semantics."""
-    # texts shorter than n have NO grams: guard explicitly — Spark's
-    # sequence(1, 0) runs DESCENDING ([1, 0]) and would emit phantom
-    # whole-text "grams" that the SQL oracle (generate_series → empty)
-    # never produces
-    gram_arr = F.when(
-        F.length("text") >= n,
-        F.array_distinct(F.expr(
-            f"transform(sequence(1, length(text) - {n - 1}), "
-            f"i -> substring(text, i, {n}))"))
-    ).otherwise(F.array().cast("array<string>"))
-    grams = documents.select("doc_id", F.explode(gram_arr).alias("gram"))
+    grams = documents.select(
+        "doc_id",
+        F.explode(_char_ngram_arr("text", n, distinct=True)).alias("gram"))
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     if max_doc_freq is not None:
         # one extra aggregation on the gram key (map-side combinable),
@@ -633,12 +647,7 @@ def decontaminate_against(documents: DataFrame, benchmark: DataFrame, *,
     corpus side is a narrow scan + explode with NO shuffle of corpus
     rows; only the per-doc shared-gram counts aggregate.
     """
-    arr = F.when(
-        F.length("text") >= n,
-        F.array_distinct(F.expr(
-            f"transform(sequence(1, length(text) - {n - 1}), "
-            f"i -> substring(text, i, {n}))"))
-    ).otherwise(F.array().cast("array<string>"))
+    arr = _char_ngram_arr("text", n, distinct=True)
     corpus_grams = documents.select("doc_id", F.explode(arr).alias("gram"))
     bench_grams = benchmark.select(F.explode(arr).alias("gram")).distinct()
     return (corpus_grams
@@ -658,12 +667,9 @@ def repetition_stats(documents: DataFrame, *, n: int = 8) -> DataFrame:
 
     Output: (doc_id, n_grams, n_distinct, rep_ratio, max_gram_freq).
     """
-    arr = F.when(
-        F.length("text") >= n,
-        F.expr(f"transform(sequence(1, length(text) - {n - 1}), "
-               f"i -> substring(text, i, {n}))")
-    ).otherwise(F.array().cast("array<string>"))
-    grams = documents.select("doc_id", F.explode(arr).alias("gram"))
+    grams = documents.select(
+        "doc_id",
+        F.explode(_char_ngram_arr("text", n, distinct=False)).alias("gram"))
     per_gram = grams.groupBy("doc_id", "gram").agg(
         F.count(F.lit(1)).alias("_c"))
     return (per_gram.groupBy("doc_id")

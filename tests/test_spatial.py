@@ -273,12 +273,21 @@ def test_cover_cells_rect_degenerate(spark):
     from kml2geojson_spark.spatial.ops import cover_cells_rect
     rows = [(1, 0.0, 0.0, 0.0, 10.0),       # zero-width on lon-0 boundary
             (2, 170.0, 0.0, -170.0, 10.0),  # crosses the antimeridian
-            (3, 1.0, 1.0, 2.0, 2.0)]        # normal
+            (3, 1.0, 1.0, 2.0, 2.0),        # normal
+            (4, 170.0, 0.0, -180.0, 10.0),  # degenerate east piece
+            (5, 180.0, 0.0, -170.0, 10.0)]  # degenerate west piece
     df = spark.createDataFrame(
         rows, "rect_id long, west double, south double, east double, north double")
     got = cover_cells_rect(df, 5).toPandas()
-    assert set(got[got["fraction"] > 0]["rect_id"]) == {2, 3}
+    assert set(got[got["fraction"] > 0]["rect_id"]) == {2, 3, 4, 5}
     assert 1 not in set(got["rect_id"])  # zero-width: nothing at all
+    # degenerate crossing pieces contribute NO spurious zero-fraction
+    # columns: rect 4 = [170, 180] only, rect 5 = [-180, -170] only
+    for rid in (4, 5):
+        sub = got[got["rect_id"] == rid]
+        assert (sub["fraction"] > 0).all(), rid
+        # one x column × 2 y cells ([0,10] spans 2 rows at res 5)
+        assert len(sub) == 2, (rid, len(sub))
 
 
 def _rect_cover_bruteforce(west, south, east, north, res):
@@ -697,12 +706,43 @@ def test_compact_uncompact_roundtrip(spark):
 
 
 def test_uncompact_refuses_finer_input(spark):
+    """Validation is LAZY (raise_error in the plan — no extra
+    validation scan per call); the error surfaces at action time."""
     from kml2geojson_spark.spatial import uncompact_cells
     from kml2geojson_spark.spatial.cells import cell_encode_grid_np
     fine = int(cell_encode_grid_np([3], [3], 6)[0])
     df = spark.createDataFrame([(fine,)], "cell_id long")
-    with pytest.raises(ValueError, match="finer"):
-        uncompact_cells(df, 4)
+    out = uncompact_cells(df, 4)  # must NOT raise at plan time
+    with pytest.raises(Exception, match="finer"):
+        out.collect()
+
+
+def test_compact_cells_parent_child_mix_no_false_merge(spark):
+    """An input mixing a parent with its own children must not fake a
+    complete quad out of duplicated promotions: P1's children collapse
+    into the pre-existing P1 (deduplicated), and the 3-of-4 quad
+    {P1,P2,P3} must NOT merge to the grandparent."""
+    from kml2geojson_spark.spatial import compact_cells
+    from kml2geojson_spark.spatial.cells import cell_encode_grid_np
+    p = cell_encode_grid_np([0, 0, 1], [0, 1, 0], 2).tolist()  # P1,P2,P3
+    children = cell_encode_grid_np([0, 0, 1, 1], [0, 1, 0, 1], 3).tolist()
+    df = spark.createDataFrame([(c,) for c in p + children], "cell_id long")
+    got = sorted(int(r["cell_id"])
+                 for r in compact_cells(df, min_res=0).collect())
+    assert got == sorted(p)  # children absorbed, no grandparent merge
+
+
+def test_compact_cells_coarse_passthrough(spark):
+    """Cells already coarser than min_res pass through unchanged (no
+    error, no modification) — same behavior alone or mixed with finer
+    cells."""
+    from kml2geojson_spark.spatial import compact_cells
+    from kml2geojson_spark.spatial.cells import cell_encode_grid_np
+    coarse = int(cell_encode_grid_np([1], [1], 1)[0])
+    df = spark.createDataFrame([(coarse,)], "cell_id long")
+    got = [int(r["cell_id"])
+           for r in compact_cells(df, min_res=3).collect()]
+    assert got == [coarse]
 
 
 def test_compact_cells_idempotent_and_no_false_merge(spark):

@@ -378,3 +378,39 @@ def test_stream_dedup_ttl_reemits_after_horizon(spark, tmp_path):
     assert keepers == {"a1", "b1", "c1", "a2-late"}, got
     h = {r["doc_id"]: r["content_hash"] for r in rows}
     assert h["a1"] == h["a2-late"]  # same content, two emissions
+
+
+def test_stream_dedup_ttl_survives_null_event_times(spark, tmp_path):
+    """A batch whose rows carry NULL event times must not crash the
+    TTL query (NaT.value is INT64_MIN — an illegal timeout timestamp);
+    the row still dedups, it just arms no timeout."""
+    import os
+
+    import kml2geojson_spark as k2gs
+    from pyspark.sql import functions as F
+    from kml2geojson_spark.engine import DOCUMENTS_KML_SCHEMA
+    from kml2geojson_spark.streaming import stream_dedup_new_docs
+
+    src = str(tmp_path / "ddnull")
+    os.makedirs(src, exist_ok=True)
+    A = "<kml><Placemark><name>NA</name></Placemark></kml>"
+    df = (spark.createDataFrame([("n1", k2gs.pack_spans(A))],
+                                k2gs.spans_schema())
+          .withColumn("ingest_ts", F.lit(None).cast("timestamp")))
+    df.coalesce(1).write.parquet(str(tmp_path / "stage_null"))
+    import glob
+    import shutil
+    for i, f in enumerate(sorted(glob.glob(str(tmp_path / "stage_null")
+                                           + "/*.parquet"))):
+        shutil.copy(f, f"{src}/b0_{i}.parquet")
+
+    schema = DOCUMENTS_KML_SCHEMA + ", ingest_ts timestamp"
+    docs = (spark.readStream.schema(schema).parquet(src))
+    out = stream_dedup_new_docs(docs, ttl_minutes=60.0)
+    q = (out.writeStream.format("memory").queryName("ddnull_mem")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ddnullck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM ddnull_mem").collect()
+    assert [r["doc_id"] for r in rows] == ["n1"]

@@ -86,7 +86,17 @@ def main() -> None:
 
     bench_dir = REPO / "BENCH"
     bench_dir.mkdir(exist_ok=True)
-    (bench_dir / "BASELINE.md").write_text(f"""# BENCH/BASELINE — measured scaling evidence
+    # everything below the marker is hand-maintained (per-round notes)
+    # — regeneration must only replace the measured section above it
+    baseline = bench_dir / "BASELINE.md"
+    marker = "See BENCH/SCALE_PROBE.md"
+    tail = ""
+    if baseline.exists():
+        old = baseline.read_text()
+        if marker in old:
+            tail = old.split(marker, 1)[1].split("\n", 1)[1] \
+                if "\n" in old.split(marker, 1)[1] else ""
+    baseline.write_text(f"""# BENCH/BASELINE — measured scaling evidence
 
 Headline pipeline: spans parquet (interleaved-span document table,
 {n_docs} docs, seed 42, ~25 placemarks/doc) → file-granular pyarrow
@@ -125,7 +135,7 @@ docs/s with exact golden-parity semantics.
 Reproduce: `python tools/scaling_bench.py {n_docs} {lo} {hi}`.
 
 See BENCH/SCALE_PROBE.md for the one-off 10x (1M-doc) scale probe.
-""")
+""" + tail)
     print("wrote BENCH/BASELINE.md")
 
 
