@@ -157,17 +157,26 @@ def ivf_centroids(embeddings: DataFrame, n_centroids: int, *,
 
     Output: (cid int, cvec array<double>).
     """
+    # cache the projected vectors for the duration of the Lloyd loop —
+    # init + every iteration scans them (1 + 2·iters passes); without
+    # the cache each pass re-reads and re-casts the source table
+    # (MLlib's KMeans caches for the same reason). Released before
+    # returning.
     vecs = embeddings.select(F.col(id_col).alias("_id"),
-                             _as_double(vec_col).alias("_v"))
-    seed_bucket = (F.conv(F.substring(F.md5(F.col("_id").cast("string")),
-                                      1, 15), 16, 10).cast("long")
-                   % n_centroids).cast("int")
-    cents = _materialize_codebook(_mean_vectors(
-        vecs.withColumn("cid", seed_bucket), "cid", "_v"))
-    for _ in range(iters):
-        assigned = ivf_assign(vecs.select(F.col("_id"), F.col("_v")), cents,
-                              id_col="_id", vec_col="_v")
-        cents = _materialize_codebook(_mean_vectors(assigned, "cid", "_v"))
+                             _as_double(vec_col).alias("_v")).persist()
+    try:
+        seed_bucket = (F.conv(F.substring(F.md5(F.col("_id").cast("string")),
+                                          1, 15), 16, 10).cast("long")
+                       % n_centroids).cast("int")
+        cents = _materialize_codebook(_mean_vectors(
+            vecs.withColumn("cid", seed_bucket), "cid", "_v"))
+        for _ in range(iters):
+            assigned = ivf_assign(vecs.select(F.col("_id"), F.col("_v")),
+                                  cents, id_col="_id", vec_col="_v")
+            cents = _materialize_codebook(
+                _mean_vectors(assigned, "cid", "_v"))
+    finally:
+        vecs.unpersist()
     return cents.select("cid", "cvec")
 
 
