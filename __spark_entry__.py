@@ -1711,6 +1711,203 @@ FROM pg GROUP BY doc_id
 """
 
 
+def _supplier_lines(spark, sf):
+    """Deterministic 5-vertex polylines from supplier (kept off the
+    antimeridian like the diamonds; SQL twin lives in _o74)."""
+    s = _t(spark, sf, "supplier")
+    coords = F.expr(
+        "transform(sequence(0, 4), j -> array("
+        "((s_suppkey * 3119 + j * 2683 + 801) % 30000) / 100.0 - 150.0, "
+        "((s_suppkey * 1997 + j * 3571 + 450) % 13000) / 100.0 - 65.0))")
+    return s.select(F.col("s_suppkey").cast("long").alias("line_id"),
+                    coords.alias("coords"))
+
+
+def _q74_line_cover(spark, sf):
+    """Polyline supercover rasterization (raster←vector for
+    LineStrings): every cell each segment passes through, via the
+    pure-Column column-sweep kernel. The oracle replays the identical
+    sweep (column x-span → y interpolation → row range) float-for-
+    float in DuckDB."""
+    from kml2geojson_spark.spatial import line_cover
+    return line_cover(_supplier_lines(spark, sf), 7)
+
+
+def _o74() -> str:
+    res = 7
+    n = float(1 << res)
+    hi = (1 << res) - 1
+    cw = 360.0 / n
+    m_expr = "((y1 - y0) / (CASE WHEN x1 = x0 THEN 1.0 ELSE x1 - x0 END))"
+    return f"""
+WITH v AS (
+  SELECT s_suppkey AS line_id, j,
+         ((s_suppkey * 3119 + j * 2683 + 801) % 30000) / 100.0 - 150.0 AS x,
+         ((s_suppkey * 1997 + j * 3571 + 450) % 13000) / 100.0 - 65.0 AS y
+  FROM supplier, LATERAL (SELECT unnest(generate_series(0, 4)) AS j)),
+seg AS (
+  SELECT a.line_id, a.x AS x0, a.y AS y0, b.x AS x1, b.y AS y1
+  FROM v a JOIN v b ON a.line_id = b.line_id AND b.j = a.j + 1),
+sp AS (SELECT *, LEAST(x0, x1) AS sx, GREATEST(x0, x1) AS ex FROM seg),
+rng AS (SELECT *,
+  CAST(GREATEST(0, LEAST({hi}, FLOOR((sx + 180.0) / 360.0 * {n}))) AS BIGINT) AS ix0,
+  CAST(GREATEST(0, LEAST({hi}, FLOOR((ex + 180.0) / 360.0 * {n}))) AS BIGINT) AS ix1
+  FROM sp),
+cols AS (SELECT line_id, x0, y0, x1, y1, sx, ex,
+                unnest(generate_series(ix0, ix1)) AS gx FROM rng),
+yy AS (SELECT line_id, gx,
+  CASE WHEN x1 = x0 THEN LEAST(y0, y1)
+       ELSE y0 + (GREATEST(sx, gx * {cw!r} - 180.0) - x0) * {m_expr}
+  END AS ya,
+  CASE WHEN x1 = x0 THEN GREATEST(y0, y1)
+       ELSE y0 + (LEAST(ex, (gx * {cw!r} - 180.0) + {cw!r}) - x0) * {m_expr}
+  END AS yb
+  FROM cols),
+rr AS (SELECT line_id, gx, unnest(generate_series(
+  CAST(GREATEST(0, LEAST({hi},
+       FLOOR((LEAST(ya, yb) + 90.0) / 180.0 * {n}))) AS BIGINT),
+  CAST(GREATEST(0, LEAST({hi},
+       FLOOR((GREATEST(ya, yb) + 90.0) / 180.0 * {n}))) AS BIGINT))) AS gy
+  FROM yy),
+g AS (SELECT DISTINCT line_id, gx, gy FROM rr)
+{_morton_ctes("line_id", res, "g")}
+SELECT line_id, cell_id FROM enc
+"""
+
+
+def _q75_grid_cluster(spark, sf):
+    """Grid-density clustering (DBSCAN-lite): occupied cells at res 7,
+    8-neighbor adjacency (x wraps), cluster = min cell id of the
+    connected component; oracle = recursive-CTE closure over the same
+    cell graph."""
+    from kml2geojson_spark.spatial import grid_cluster
+    return grid_cluster(_customer_points(spark, sf), 7)
+
+
+def _o75() -> str:
+    res = 7
+    n = float(1 << res)
+    ni = 1 << res
+    hi = ni - 1
+    return f"""
+WITH RECURSIVE pts AS ({_PTS_SQL}),
+gg AS (SELECT
+  CAST(GREATEST(0, LEAST({hi}, FLOOR((x + 180.0) / 360.0 * {n}))) AS BIGINT) AS gx,
+  CAST(GREATEST(0, LEAST({hi}, FLOOR((y + 90.0) / 180.0 * {n}))) AS BIGINT) AS gy
+  FROM pts),
+occ AS (SELECT gx, gy, COUNT(*) AS n_points FROM gg GROUP BY gx, gy),
+o2 AS (SELECT gx AS ogx, gy AS ogy, n_points, gx, gy FROM occ)
+{_morton_ctes("ogx, ogy, n_points", res, "o2")},
+offs AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),
+                               (0,1),(1,-1),(1,0),(1,1)) AS t(dx, dy)),
+nb AS (SELECT a.ogx AS sgx, a.ogy AS sgy,
+              ((a.ogx + o.dx + {ni}) % {ni}) AS nx, (a.ogy + o.dy) AS ny
+       FROM enc a, offs o
+       WHERE (a.ogy + o.dy) >= 0 AND (a.ogy + o.dy) < {ni}),
+es AS (SELECT e1.cell_id AS s, e2.cell_id AS d
+       FROM nb JOIN enc e1 ON nb.sgx = e1.ogx AND nb.sgy = e1.ogy
+               JOIN enc e2 ON nb.nx = e2.ogx AND nb.ny = e2.ogy),
+reach(node, r) AS (
+  SELECT DISTINCT s, s FROM es
+  UNION
+  SELECT reach.node, es.d FROM reach JOIN es ON reach.r = es.s
+),
+comp AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node)
+SELECT enc.cell_id, COALESCE(comp.cluster_id, enc.cell_id) AS cluster_id,
+       enc.n_points
+FROM enc LEFT JOIN comp ON enc.cell_id = comp.node
+"""
+
+
+_CMS_WIDTH = 1024
+
+
+def _q76_cms_registers(spark, sf):
+    """Count-min sketch register table over ALL corpus tokens (with
+    multiplicity — the frequency companion to the q70 Bloom membership
+    sketch); md5-derived buckets, bit-exact cross-engine."""
+    from kml2geojson_spark.sketch import cms_registers
+    toks = (_t(spark, sf, "documents")
+            .select(F.explode(F.split(F.lower(F.col("text")), " "))
+                    .alias("token"))
+            .where(F.col("token") != ""))
+    return cms_registers(toks, "token", depth=4, width=_CMS_WIDTH)
+
+
+_CMS_REGS_CTES = f"""
+toks AS (SELECT unnest(string_split(lower(text), ' ')) AS token
+         FROM documents),
+t AS (SELECT token FROM toks WHERE token <> ''),
+pos AS (SELECT i AS sketch_row,
+               (('0x' || substr(md5(i || ':' || token), 1, 15))::BIGINT
+                % {_CMS_WIDTH}) AS bucket
+        FROM t, LATERAL (SELECT unnest(generate_series(0, 3)) AS i)),
+regs AS (SELECT sketch_row, bucket, COUNT(*) AS cnt
+         FROM pos GROUP BY sketch_row, bucket)
+"""
+
+_O76 = f"WITH {_CMS_REGS_CTES} SELECT sketch_row, bucket, cnt FROM regs"
+
+
+def _q77_cms_estimate(spark, sf):
+    """Point-frequency estimates from the count-min sketch for the
+    distinct tokens of docs 0-4 (min over depth rows; never
+    underestimates — the oracle replays build AND probe)."""
+    from kml2geojson_spark.sketch import cms_estimate, cms_registers
+    d = _t(spark, sf, "documents")
+    toks = (d.select(F.explode(F.split(F.lower(F.col("text")), " "))
+                     .alias("token"))
+            .where(F.col("token") != ""))
+    regs = cms_registers(toks, "token", depth=4, width=_CMS_WIDTH)
+    probes = (d.where(F.col("doc_id") < 5)
+              .select(F.explode(F.split(F.lower(F.col("text")), " "))
+                      .alias("token"))
+              .where(F.col("token") != "").distinct())
+    return cms_estimate(regs, probes, "token", depth=4, width=_CMS_WIDTH)
+
+
+_O77 = f"""
+WITH {_CMS_REGS_CTES},
+pt AS (SELECT DISTINCT unnest(string_split(lower(text), ' ')) AS token
+       FROM documents WHERE doc_id < 5),
+p AS (SELECT token FROM pt WHERE token <> ''),
+ppos AS (SELECT token, i AS sketch_row,
+                (('0x' || substr(md5(i || ':' || token), 1, 15))::BIGINT
+                 % {_CMS_WIDTH}) AS bucket
+         FROM p, LATERAL (SELECT unnest(generate_series(0, 3)) AS i)),
+j AS (SELECT token, COALESCE(r.cnt, 0) AS cnt
+      FROM ppos LEFT JOIN regs r USING (sketch_row, bucket))
+SELECT token, MIN(cnt) AS estimate FROM j GROUP BY token
+"""
+
+
+def _q78_spatial_extent(spark, sf):
+    """Per-group extent planning statistic: bbox + count + bit-exact
+    centroid (nano-degree integer sums, so partial-agg order can't
+    perturb the float)."""
+    from kml2geojson_spark.spatial import spatial_extent
+    pts = _customer_points(spark, sf).withColumn(
+        "grp", F.col("point_id") % 10)
+    return spatial_extent(pts, "grp")
+
+
+_O78 = """
+WITH pts AS ({pts}),
+p2 AS (SELECT point_id % 10 AS grp, x, y,
+              CAST(ROUND(x * 1000000000.0) AS BIGINT) AS px,
+              CAST(ROUND(y * 1000000000.0) AS BIGINT) AS py
+       FROM pts),
+a AS (SELECT grp, MIN(x) AS minx, MIN(y) AS miny,
+             MAX(x) AS maxx, MAX(y) AS maxy, COUNT(*) AS n_points,
+             CAST(SUM(px) AS BIGINT) AS sx, CAST(SUM(py) AS BIGINT) AS sy
+      FROM p2 GROUP BY grp)
+SELECT grp, minx, miny, maxx, maxy, n_points,
+       (CAST(sx AS DOUBLE) / n_points) / 1000000000.0 AS cx,
+       (CAST(sy AS DOUBLE) / n_points) / 1000000000.0 AS cy
+FROM a
+""".format(pts=_PTS_SQL)
+
+
 # -- rows-only (non-SQL-expressible) ----------------------------------------
 
 
@@ -1830,6 +2027,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q71_quality_quota": _q71_quality_quota,
         "q72_decontaminate": _q72_decontaminate,
         "q73_repetition_stats": _q73_repetition_stats,
+        "q74_line_cover": _q74_line_cover,
+        "q75_grid_cluster": _q75_grid_cluster,
+        "q76_cms_registers": _q76_cms_registers,
+        "q77_cms_estimate": _q77_cms_estimate,
+        "q78_spatial_extent": _q78_spatial_extent,
     }
 
 
@@ -1895,6 +2097,11 @@ def oracle_sql() -> dict[str, str]:
         "q71_quality_quota": _O71,
         "q72_decontaminate": _O72,
         "q73_repetition_stats": _O73,
+        "q74_line_cover": _o74(),
+        "q75_grid_cluster": _o75(),
+        "q76_cms_registers": _O76,
+        "q77_cms_estimate": _O77,
+        "q78_spatial_extent": _O78,
         # q41/q43/q44: rows-only (LSH/IVF candidate sets are
         # approximate by design — pytest measures recall vs the exact
         # baseline; media decode is stubbed).

@@ -342,3 +342,74 @@ def bloom_might_contain(registers: DataFrame, probes: DataFrame,
             .groupBy(*probe_cols)
             .agg((F.sum("_hit") == F.count(F.lit(1)))
                  .alias("might_contain")))
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (md5-portable, register-table representation)
+# ---------------------------------------------------------------------------
+
+def _cms_positions(value_col: str, depth: int, width: int) -> F.Column:
+    """The ``depth`` md5-derived (row, bucket) slots of a value — ONE
+    hash definition shared by build and estimate (as with the Bloom
+    filter, any build/probe divergence silently corrupts the
+    overestimate-only guarantee). ``bucket_i = bigint(md5(i ':' value))
+    % width`` — replayable verbatim in DuckDB (driver q76/q77)."""
+    val = F.col(value_col).cast("string")
+    return F.array(*[
+        F.struct(
+            F.lit(i).cast("long").alias("sketch_row"),
+            (F.conv(F.substring(F.md5(F.concat_ws(":", F.lit(i), val)),
+                                1, 15), 16, 10).cast("long") % width)
+            .alias("bucket"))
+        for i in range(depth)
+    ])
+
+
+def cms_registers(df: DataFrame, value_col: str, *,
+                  depth: int = 4, width: int = 1 << 10,
+                  weight_col: str | None = None) -> DataFrame:
+    """Count-min sketch of a column as a REGISTER TABLE
+    ``(sketch_row, bucket, cnt)`` — the heavy-hitter / frequency
+    companion to :func:`hll_registers` (distinct counts) and
+    :func:`bloom_registers` (membership). At 100 TB this is how you
+    ask "how often does each of these trillion tokens appear" without
+    a trillion-row exact aggregate: the sketch is at most
+    ``depth × width`` rows regardless of input size.
+
+    Building is one explode (``depth`` rows per value) + one hash
+    aggregate — map-side combinable, a single shuffle bounded by
+    ``depth × width`` output rows. Sketches of two datasets merge by
+    SUMMING registers; counts are long (``weight_col`` must be
+    integral) so merges and replays are exact cross-engine.
+    """
+    w = (F.col(weight_col).cast("long") if weight_col is not None
+         else F.lit(1).cast("long"))
+    pos = df.select(
+        F.explode(_cms_positions(value_col, depth, width)).alias("_p"),
+        w.alias("_w"))
+    return (pos.select("_p.sketch_row", "_p.bucket", "_w")
+            .groupBy("sketch_row", "bucket")
+            .agg(F.sum("_w").alias("cnt")))
+
+
+def cms_estimate(registers: DataFrame, probes: DataFrame,
+                 value_col: str, *, depth: int = 4,
+                 width: int = 1 << 10) -> DataFrame:
+    """Point-frequency estimate from :func:`cms_registers` output:
+    ``est = min over rows of cnt[row][hash_row(value)]`` (missing
+    register = 0). Never underestimates; overestimate probability
+    shrinks exponentially in ``depth`` (measured in tests). The
+    register side is ≤ depth×width rows — broadcast — so probing is a
+    narrow map + small join; one row per DISTINCT probe value.
+
+    Output: probes' columns + ``estimate`` (long).
+    """
+    p = probes.select(
+        *probes.columns,
+        F.explode(_cms_positions(value_col, depth, width)).alias("_p"))
+    p = p.select(*probes.columns, "_p.sketch_row", "_p.bucket")
+    joined = p.join(F.broadcast(registers), ["sketch_row", "bucket"], "left")
+    return (joined
+            .groupBy(*probes.columns)
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long")))
+                 .alias("estimate")))

@@ -178,6 +178,18 @@ def cell_encode_col(lon: Column, lat: Column, res: int) -> Column:
     return F.shiftleft(code, RES_BITS).bitwiseOR(F.lit(res)).alias("cell_id")
 
 
+def cell_encode_grid_col(ix: Column, iy: Column, res: int) -> Column:
+    """Pure-Column Morton encode from INTEGER grid coordinates (skips
+    the float→grid step of :func:`cell_encode_col`; callers guarantee
+    0 <= ix, iy < 2**res). Bit-exact with :func:`cell_encode_grid_np`
+    and the oracle-side ``_morton_ctes`` replay."""
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be in [0, {MAX_RES}]")
+    code = F.shiftleft(_spread_col(ix.cast("long")), 1) \
+        .bitwiseOR(_spread_col(iy.cast("long")))
+    return F.shiftleft(code, RES_BITS).bitwiseOR(F.lit(res)).alias("cell_id")
+
+
 def cell_res_col(cell: Column) -> Column:
     return cell.bitwiseAND(F.lit(RES_MASK))
 

@@ -1380,3 +1380,200 @@ def simplify_lines(lines: DataFrame, tolerance: float, *,
     return lines.select(id_col, coords_col).mapInPandas(
         run, f"{id_col} {id_type}, {coords_col} array<array<double>>, "
              "n_in int, n_out int")
+
+
+# ---------------------------------------------------------------------------
+# Polyline supercover (raster←vector for LineStrings)
+# ---------------------------------------------------------------------------
+
+def line_cover(lines: DataFrame, res: int, *,
+               id_col: str = "line_id",
+               coords_col: str = "coords") -> DataFrame:
+    """Exact supercover rasterization of polylines: every cell a
+    segment passes through, via the column-sweep method — for each grid
+    column the segment crosses, emit the rows spanned by the segment's
+    y-range within that column. Completes the raster←vector family
+    (points → :func:`encode_points`, polygons → :func:`polygon_cover`,
+    lines → here; reference builds LineString geometry at
+    /root/reference/kml2geojson/main.py:248-255 — this is the tiling
+    engine's rasterization of those features).
+
+    Entirely pure-Column (``transform`` over vertex pairs + two
+    ``sequence`` explodes + Morton encode): zero Python, stays in
+    whole-stage codegen, and at 100 TB is a narrow map + one distinct
+    shuffle bounded by the output cell count. Fan-out is bounded by
+    cells actually touched (O(len/cell_size) per segment), never a
+    bbox blowup like a naive rect cover of a long diagonal line.
+
+    Conventions (documented tie-breaks, same as point encoding):
+    cells are half-open ``[w, w+cw) × [s, s+ch)``; a vertex exactly on
+    a cell boundary belongs to the upper/right cell; coordinates clamp
+    to the grid (no antimeridian wrap — split the input line first if
+    it crosses; degenerate one-vertex lines cover their single cell).
+    Every float expression is replayed verbatim by the DuckDB oracle
+    (q74), so cell sets match bit-for-bit.
+
+    Input coords: array<array<double>> ([x, y] per vertex, as
+    :func:`simplify_lines`). Output: (id_col, cell_id) distinct.
+    """
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be in [0, {MAX_RES}]")
+    n = float(1 << res)
+    cw = 360.0 / n
+
+    # consecutive vertex pairs; a single-vertex line degenerates to a
+    # zero-length segment so it still covers its own cell
+    seg = F.expr(
+        f"transform("
+        f"  slice({coords_col}, 1, greatest(size({coords_col}) - 1, 1)),"
+        f"  (p, i) -> named_struct("
+        f"    'x0', p[0], 'y0', p[1],"
+        f"    'x1', coalesce(get(get({coords_col}, i + 1), 0), p[0]),"
+        f"    'y1', coalesce(get(get({coords_col}, i + 1), 1), p[1])))")
+    segs = (lines.select(id_col, F.explode(seg).alias("s"))
+            .select(id_col, "s.x0", "s.y0", "s.x1", "s.y1"))
+
+    def gx_of(c):
+        return _grid_lo(c, 180.0, 360.0, res)
+
+    def gy_of(c):
+        return _grid_lo(c, 90.0, 180.0, res)
+
+    segs = (segs
+            .withColumn("sx", F.least("x0", "x1"))
+            .withColumn("ex", F.greatest("x0", "x1")))
+    cols = (segs
+            .withColumn("gx", F.explode(F.sequence(gx_of(F.col("sx")),
+                                                   gx_of(F.col("ex"))))))
+    # x-span of the segment inside column gx, then the y-values at both
+    # span ends (linear interpolation from the ORIGINAL endpoint order;
+    # denominator guarded so the unused branch never divides by zero)
+    col_l = F.col("gx") * F.lit(cw) - F.lit(180.0)
+    xa = F.greatest(F.col("sx"), col_l)
+    xb = F.least(F.col("ex"), col_l + F.lit(cw))
+    vertical = F.col("x1") == F.col("x0")
+    m = ((F.col("y1") - F.col("y0"))
+         / F.when(vertical, F.lit(1.0)).otherwise(F.col("x1") - F.col("x0")))
+    ya = F.when(vertical, F.least("y0", "y1")) \
+          .otherwise(F.col("y0") + (xa - F.col("x0")) * m)
+    yb = F.when(vertical, F.greatest("y0", "y1")) \
+          .otherwise(F.col("y0") + (xb - F.col("x0")) * m)
+    rows = (cols
+            .withColumn("ya", ya).withColumn("yb", yb)
+            .withColumn("gy", F.explode(F.sequence(
+                gy_of(F.least("ya", "yb")), gy_of(F.greatest("ya", "yb"))))))
+    from .cells import cell_encode_grid_col
+    return (rows
+            .select(id_col, cell_encode_grid_col(F.col("gx"), F.col("gy"),
+                                                 res).alias("cell_id"))
+            .distinct())
+
+
+def _grid_lo(coord, offset: float, extent: float, res: int):
+    """floor((coord+offset)/extent * 2^res) clamped to [0, 2^res-1] —
+    the shared grid formula (same floats as the DuckDB `_grid_sql`)."""
+    nf = float(1 << res)
+    raw = F.floor((coord + F.lit(offset)) / F.lit(extent) * F.lit(nf))
+    return F.greatest(F.lit(0), F.least(F.lit((1 << res) - 1), raw)) \
+        .cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Grid-density clustering (DBSCAN-lite over occupied cells)
+# ---------------------------------------------------------------------------
+
+def grid_cluster(points: DataFrame, res: int, *,
+                 x_col: str = "x", y_col: str = "y",
+                 min_count: int = 1, diagonal: bool = True,
+                 max_iters: int = 50) -> DataFrame:
+    """Density clustering on the cell grid: cells holding at least
+    ``min_count`` points are occupied; occupied cells that are
+    8-neighbors (4 if ``diagonal=False``; x wraps at the antimeridian,
+    y clamps at the poles — same rules as ``cell_kring_np``) belong to
+    the same cluster; ``cluster_id`` = min cell id in the connected
+    component. A grid-quantized DBSCAN: one pass over the points, then
+    the problem shrinks to the occupied-cell set.
+
+    Scale shape: the only full-data pass is the codegen groupBy
+    (map-side combinable); neighbor generation is an 8-way explode
+    over OCCUPIED CELLS ONLY (≪ points), the adjacency check is a
+    self equi-join on grid coords, and components run on the cell
+    graph via :func:`~kml2geojson_spark.graph.connected_components`
+    (lineage-truncated min-label). At 100 TB the cell graph is
+    millions of rows, not trillions.
+
+    Output: (cell_id, cluster_id, n_points) per occupied cell.
+    """
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be in [0, {MAX_RES}]")
+    n = 1 << res
+    from .cells import cell_encode_grid_col
+
+    occ = (points
+           .select(_grid_lo(F.col(x_col), 180.0, 360.0, res).alias("gx"),
+                   _grid_lo(F.col(y_col), 90.0, 180.0, res).alias("gy"))
+           .groupBy("gx", "gy")
+           .agg(F.count(F.lit(1)).alias("n_points"))
+           .where(F.col("n_points") >= int(min_count))
+           .withColumn("cell_id",
+                       cell_encode_grid_col(F.col("gx"), F.col("gy"), res)))
+    occ = occ.localCheckpoint(eager=False)  # reused 3×: neighbors, join, label
+
+    offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+               if (dx, dy) != (0, 0) and (diagonal or dx == 0 or dy == 0)]
+    off = F.explode(F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx, dy in offsets])).alias("o")
+    nbr = (occ.select("cell_id", "gx", "gy", off)
+           .select("cell_id",
+                   ((F.col("gx") + F.col("o.dx") + F.lit(n)) % F.lit(n))
+                   .alias("nx"),
+                   (F.col("gy") + F.col("o.dy")).alias("ny"))
+           .where((F.col("ny") >= 0) & (F.col("ny") < n)))
+    edges = nbr.join(
+        occ.select(F.col("gx").alias("nx"), F.col("gy").alias("ny"),
+                   F.col("cell_id").alias("nbr_id")),
+        ["nx", "ny"]).select(F.col("cell_id").alias("doc_a"),
+                             F.col("nbr_id").alias("doc_b"))
+
+    from ..graph import connected_components
+    comp = connected_components(edges, max_iters=max_iters)
+    return (occ.join(comp, occ["cell_id"] == comp["node"], "left")
+            .select("cell_id",
+                    F.coalesce(F.col("component"), F.col("cell_id"))
+                    .alias("cluster_id"),
+                    "n_points"))
+
+
+# ---------------------------------------------------------------------------
+# Per-group spatial extent (bbox + exact centroid)
+# ---------------------------------------------------------------------------
+
+def spatial_extent(points: DataFrame, group_col: str, *,
+                   x_col: str = "x", y_col: str = "y") -> DataFrame:
+    """Per-group extent summary: bounding box, point count, and
+    centroid — the planning statistic a tiling job reads FIRST to pick
+    resolutions, detect hot regions, and bound rect covers before
+    touching geometry.
+
+    One map-side-combinable hash aggregate, pure Column — at 100 TB
+    this is a single shuffle of |groups| rows. Centroid sums are
+    integerized to nano-degrees (``round(coord * 1e9)`` as long) so
+    partial-aggregate order can't perturb a float sum — the same
+    integerize-then-divide trick as the money columns — making the
+    centroid bit-exact cross-engine (driver q78 replays it).
+
+    Output: (group_col, minx, miny, maxx, maxy, n_points, cx, cy).
+    """
+    px = F.round(F.col(x_col) * F.lit(1e9)).cast("long")
+    py = F.round(F.col(y_col) * F.lit(1e9)).cast("long")
+    return (points.groupBy(group_col)
+            .agg(F.min(x_col).alias("minx"), F.min(y_col).alias("miny"),
+                 F.max(x_col).alias("maxx"), F.max(y_col).alias("maxy"),
+                 F.count(F.lit(1)).alias("n_points"),
+                 F.sum(px).alias("_sx"), F.sum(py).alias("_sy"))
+            .select(group_col, "minx", "miny", "maxx", "maxy", "n_points",
+                    ((F.col("_sx").cast("double")
+                      / F.col("n_points")) / F.lit(1e9)).alias("cx"),
+                    ((F.col("_sy").cast("double")
+                      / F.col("n_points")) / F.lit(1e9)).alias("cy")))

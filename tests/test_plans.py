@@ -303,3 +303,68 @@ def test_uncompact_cells_stays_jvm(spark):
     plan = _plan(uncompact_cells(cells, 6))
     for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert marker not in plan, plan
+
+
+def test_line_cover_pure_column_no_python(spark, tmp_path):
+    """The supercover kernel must stay JVM-side: two Generate
+    (sequence explode) stages, zero Python eval nodes — at 100 TB this
+    path runs entirely inside codegen + one distinct shuffle."""
+    from kml2geojson_spark.spatial import line_cover
+    path = str(tmp_path / "lines")
+    spark.range(50).selectExpr(
+        "id AS line_id",
+        "array(array(CAST(id AS DOUBLE), 0.0D),"
+        "      array(CAST(id + 30 AS DOUBLE), 20.0D)) AS coords"
+    ).write.parquet(path)
+    df = line_cover(spark.read.parquet(path), 8)
+    plan = _plan(df)
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "PythonMapInArrow"):
+        assert marker not in plan, f"{marker} in line_cover plan"
+    assert plan.count("Generate explode") == 3, plan  # segs + cols + rows
+    assert "HashAggregate" in plan  # the distinct is a hash agg
+
+
+def test_grid_cluster_no_python_no_nested_loop(spark):
+    from kml2geojson_spark.spatial import grid_cluster
+    import numpy as np
+    rng = np.random.RandomState(2)
+    pts = [(float(x), float(y)) for x, y in
+           zip(rng.uniform(-170, 170, 200), rng.uniform(-80, 80, 200))]
+    df = spark.createDataFrame(pts, "x double, y double")
+    out = grid_cluster(df, 5)
+    plan = _plan(out)
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "PythonMapInArrow", "BroadcastNestedLoopJoin",
+                   "CartesianProduct"):
+        assert marker not in plan, f"{marker} in grid_cluster plan"
+
+
+def test_cms_probe_broadcasts_registers(spark):
+    """The sketch side (≤ depth×width rows) must broadcast — probing a
+    100-TB corpus is then a narrow map + local join, no probe shuffle
+    before the per-value min."""
+    from kml2geojson_spark.sketch import cms_estimate, cms_registers
+    vals = spark.range(500).selectExpr("CAST(id % 37 AS STRING) AS v")
+    regs = cms_registers(vals, "v", depth=4, width=256)
+    probes = spark.range(10).selectExpr("CAST(id AS STRING) AS v")
+    est = cms_estimate(regs, probes, "v", depth=4, width=256)
+    plan = _plan(est)
+    assert "BroadcastHashJoin" in plan, plan
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert marker not in plan, f"{marker} in cms plan"
+
+
+def test_spatial_extent_single_shuffle_map_side_combine(spark, tmp_path):
+    from kml2geojson_spark.spatial import spatial_extent
+    path = str(tmp_path / "pts")
+    spark.range(1000).selectExpr(
+        "id % 7 AS g", "CAST(id % 360 AS DOUBLE) - 180.0 AS x",
+        "CAST(id % 170 AS DOUBLE) - 85.0 AS y").write.parquet(path)
+    df = spatial_extent(spark.read.parquet(path), "g")
+    plan = _plan(df)
+    # partial + final HashAggregate around exactly ONE exchange
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("HashAggregate") == 2, plan
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert marker not in plan, f"{marker} in extent plan"

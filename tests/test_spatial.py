@@ -756,3 +756,237 @@ def test_compact_cells_idempotent_and_no_false_merge(spark):
     assert {int(r["cell_id"]) for r in once.collect()} == set(trio)
     twice = compact_cells(once, min_res=0)
     assert {int(r["cell_id"]) for r in twice.collect()} == set(trio)
+
+
+# ---------------------------------------------------------------------------
+# line_cover (polyline supercover)
+# ---------------------------------------------------------------------------
+
+
+def _brute_line_cells(coords, res, samples=20001):
+    """Dense-sampling reference cover (a superset-misses-free check:
+    every sampled cell must appear in the operator output)."""
+    from kml2geojson_spark.spatial.cells import cell_encode_np
+    out = set()
+    c = np.asarray(coords, dtype=np.float64)
+    if len(c) == 1:
+        out.add(int(cell_encode_np(c[:, 0], c[:, 1], res)[0]))
+        return out
+    for a, b in zip(c[:-1], c[1:]):
+        t = np.linspace(0.0, 1.0, samples)
+        px = a[0] + t * (b[0] - a[0])
+        py = a[1] + t * (b[1] - a[1])
+        out.update(int(v) for v in np.unique(cell_encode_np(px, py, res)))
+    return out
+
+
+def test_line_cover_superset_of_dense_sampling(spark):
+    from kml2geojson_spark.spatial import line_cover
+    from kml2geojson_spark.spatial.cells import cell_bounds_np
+
+    rng = np.random.RandomState(11)
+    lines = []
+    for i in range(15):
+        npts = rng.randint(1, 6)
+        xs = rng.uniform(-170, 170, npts)
+        ys = rng.uniform(-80, 80, npts)
+        lines.append((i, [[float(x), float(y)] for x, y in zip(xs, ys)]))
+    df = spark.createDataFrame(
+        lines, "line_id long, coords array<array<double>>")
+    res = 7
+    got = {}
+    for r in line_cover(df, res).collect():
+        got.setdefault(r.line_id, set()).add(r.cell_id)
+
+    for lid, coords in lines:
+        brute = _brute_line_cells(coords, res)
+        cover = got.get(lid, set())
+        # completeness: no sampled cell may be missing
+        assert brute <= cover, (lid, sorted(brute - cover)[:5])
+        # soundness: every extra cell's bbox genuinely intersects a
+        # segment (the sampling just skipped over its sliver)
+        for cid in cover - brute:
+            w, s, e, n = [float(v[0]) for v in
+                          cell_bounds_np(np.array([cid]))]
+            c = np.asarray(coords)
+            hit = False
+            for a, b in zip(c[:-1], c[1:]):
+                t = np.linspace(0.0, 1.0, 400001)
+                px = a[0] + t * (b[0] - a[0])
+                py = a[1] + t * (b[1] - a[1])
+                if np.any((px >= w) & (px < e) & (py >= s) & (py < n)):
+                    hit = True
+                    break
+            assert hit, (lid, cid)
+
+
+def test_line_cover_degenerate_and_axis_aligned(spark):
+    from kml2geojson_spark.spatial import line_cover
+    from kml2geojson_spark.spatial.cells import cell_encode_np
+
+    res = 6
+    cw = 360.0 / (1 << res)
+    lines = [
+        (0, [[10.0, 20.0]]),                        # single vertex
+        (1, [[10.0, 20.0], [10.0, 20.0]]),          # zero-length segment
+        (2, [[-30.0, 5.0], [-30.0, 25.0]]),         # vertical
+        (3, [[-30.0, 5.0], [40.0, 5.0]]),           # horizontal
+        (4, [[0.0, 0.0], [0.0 + cw, 0.0]]),         # vertex ON a boundary
+    ]
+    df = spark.createDataFrame(
+        lines, "line_id long, coords array<array<double>>")
+    got = {}
+    for r in line_cover(df, res).collect():
+        got.setdefault(r.line_id, set()).add(r.cell_id)
+
+    pt = int(cell_encode_np(np.array([10.0]), np.array([20.0]), res)[0])
+    assert got[0] == {pt}
+    assert got[1] == {pt}
+    # vertical: one column, contiguous rows
+    v = sorted(got[2])
+    assert len(v) == len(_brute_line_cells(lines[2][1], res))
+    # horizontal spans several columns, one row
+    h = _brute_line_cells(lines[3][1], res)
+    assert got[3] == h
+    # boundary vertex belongs to the upper cell (half-open convention):
+    # the segment [0, cw] covers exactly two cells
+    assert len(got[4]) == 2
+
+
+def test_line_cover_equals_polygon_edges_on_grid(spark):
+    """Supercover of a diamond's edge cycle must hit every boundary
+    cell the polygon cover clips with fraction < 1 (edge cells)."""
+    from kml2geojson_spark.spatial import line_cover, polygon_cover
+
+    ring = [[20.0, 10.0], [28.0, 18.0], [20.0, 26.0],
+            [12.0, 18.0], [20.0, 10.0]]
+    lines = spark.createDataFrame(
+        [(0, ring)], "line_id long, coords array<array<double>>")
+    polys = spark.createDataFrame(
+        [(0, [ring])],
+        "poly_id long, rings array<array<array<double>>>")
+    res = 8
+    edge_cells = {r.cell_id for r in line_cover(lines, res).collect()}
+    cov = {r.cell_id: r.fraction
+           for r in polygon_cover(polys, res).collect()}
+    partial = {c for c, f in cov.items() if f < 1.0 - 1e-12}
+    # every partially-covered cell is crossed by the boundary
+    assert partial <= edge_cells, sorted(partial - edge_cells)[:5]
+
+
+# ---------------------------------------------------------------------------
+# grid_cluster
+# ---------------------------------------------------------------------------
+
+
+def _brute_grid_cluster(pts, res, min_count=1, diagonal=True):
+    from kml2geojson_spark.spatial.cells import cell_encode_grid_np
+    n = 1 << res
+    gx = np.clip(np.floor((np.array([p[0] for p in pts]) + 180.0)
+                          / 360.0 * n), 0, n - 1).astype(int)
+    gy = np.clip(np.floor((np.array([p[1] for p in pts]) + 90.0)
+                          / 180.0 * n), 0, n - 1).astype(int)
+    occ = {}
+    for a, b in zip(gx, gy):
+        occ[(a, b)] = occ.get((a, b), 0) + 1
+    occ = {c: k for c, k in occ.items() if k >= min_count}
+    cells = {c: int(cell_encode_grid_np(np.array([c[0]]),
+                                        np.array([c[1]]), res)[0])
+             for c in occ}
+    parent = {c: c for c in occ}
+
+    def find(c):
+        while parent[c] != c:
+            parent[c] = parent[parent[c]]
+            c = parent[c]
+        return c
+
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            if (dx, dy) != (0, 0) and (diagonal or dx == 0 or dy == 0)]
+    for (a, b) in occ:
+        for dx, dy in offs:
+            nb = ((a + dx) % n, b + dy)
+            if nb in occ and 0 <= nb[1] < n:
+                ra, rb = find((a, b)), find(nb)
+                if ra != rb:
+                    parent[ra] = rb
+    groups = {}
+    for c in occ:
+        groups.setdefault(find(c), []).append(c)
+    expect = {}
+    for mem in groups.values():
+        lbl = min(cells[m] for m in mem)
+        for m in mem:
+            expect[cells[m]] = (lbl, occ[m])
+    return expect
+
+
+def test_grid_cluster_matches_union_find(spark):
+    from kml2geojson_spark.spatial import grid_cluster
+    rng = np.random.RandomState(3)
+    pts = [(float(x), float(y)) for x, y in
+           zip(rng.uniform(-175, 175, 400), rng.uniform(-85, 85, 400))]
+    df = spark.createDataFrame(pts, "x double, y double")
+    for min_count, diagonal in [(1, True), (2, True), (1, False)]:
+        got = {r.cell_id: (r.cluster_id, r.n_points)
+               for r in grid_cluster(df, 5, min_count=min_count,
+                                     diagonal=diagonal).collect()}
+        expect = _brute_grid_cluster(pts, 5, min_count=min_count,
+                                     diagonal=diagonal)
+        assert got == expect, (min_count, diagonal,
+                               len(got), len(expect))
+
+
+def test_grid_cluster_antimeridian_wrap(spark):
+    """Two blobs hugging x = ±180 at the same latitude must merge into
+    ONE cluster through the antimeridian (x wraps, like the k-ring)."""
+    from kml2geojson_spark.spatial import grid_cluster
+    pts = [(-179.9, 10.0), (179.9, 10.0)]
+    df = spark.createDataFrame(pts, "x double, y double")
+    out = grid_cluster(df, 4).collect()
+    assert len(out) == 2
+    assert len({r.cluster_id for r in out}) == 1
+
+
+def test_grid_cluster_pole_rows_do_not_wrap(spark):
+    """y does NOT wrap: a cell on the north edge and one on the south
+    edge in the same column stay separate clusters."""
+    from kml2geojson_spark.spatial import grid_cluster
+    pts = [(10.0, 89.9), (10.0, -89.9)]
+    df = spark.createDataFrame(pts, "x double, y double")
+    out = grid_cluster(df, 4).collect()
+    assert len({r.cluster_id for r in out}) == 2
+
+
+# ---------------------------------------------------------------------------
+# spatial_extent
+# ---------------------------------------------------------------------------
+
+
+def test_spatial_extent_exact_and_partition_invariant(spark):
+    from kml2geojson_spark.spatial import spatial_extent
+    rng = np.random.RandomState(5)
+    rows = [(int(i % 4), float(x), float(y)) for i, (x, y) in
+            enumerate(zip(rng.uniform(-170, 170, 500),
+                          rng.uniform(-80, 80, 500)))]
+    df = spark.createDataFrame(rows, "g long, x double, y double")
+
+    def run(nparts):
+        out = spatial_extent(df.repartition(nparts), "g").collect()
+        return {r.g: (r.minx, r.miny, r.maxx, r.maxy, r.n_points,
+                      r.cx, r.cy) for r in out}
+
+    a, b = run(1), run(16)
+    assert a == b  # centroid sums integerized → order-independent
+
+    # exact against numpy
+    for g in range(4):
+        sub = np.array([(x, y) for gg, x, y in rows if gg == g])
+        minx, miny = sub.min(axis=0)
+        maxx, maxy = sub.max(axis=0)
+        sx = int(np.round(sub[:, 0] * 1e9).astype(np.int64).sum())
+        sy = int(np.round(sub[:, 1] * 1e9).astype(np.int64).sum())
+        got = a[g]
+        assert got[:5] == (minx, miny, maxx, maxy, len(sub))
+        assert got[5] == (sx / len(sub)) / 1e9
+        assert got[6] == (sy / len(sub)) / 1e9

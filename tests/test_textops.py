@@ -552,3 +552,73 @@ def test_repetition_stats_detects_loops(spark):
     assert out[2]["rep_ratio"] == 0.0         # fully novel
     assert out[1]["max_gram_freq"] > 1
     assert out[2]["max_gram_freq"] == 1
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def test_cms_never_underestimates_and_exact_when_wide(spark):
+    from kml2geojson_spark.sketch import cms_estimate, cms_registers
+    import numpy as np
+    rng = np.random.RandomState(9)
+    vals = []
+    truth = {}
+    for i in range(60):
+        c = int(rng.randint(1, 40))
+        truth[f"t{i}"] = c
+        vals += [f"t{i}"] * c
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    probes = spark.createDataFrame(
+        [(t,) for t in list(truth) + ["absent_a", "absent_b"]], "v string")
+
+    # narrow sketch: overestimates allowed, underestimates never
+    regs = cms_registers(df, "v", depth=3, width=64)
+    est = {r.v: r.estimate
+           for r in cms_estimate(regs, probes, "v",
+                                 depth=3, width=64).collect()}
+    for t, c in truth.items():
+        assert est[t] >= c, (t, est[t], c)
+    assert est["absent_a"] >= 0 and est["absent_b"] >= 0
+
+    # wide sketch: collisions vanish, estimates exact (and absent = 0
+    # with overwhelming probability at width 1<<14, checked exactly
+    # here for this fixed seed)
+    regs_w = cms_registers(df, "v", depth=4, width=1 << 14)
+    est_w = {r.v: r.estimate
+             for r in cms_estimate(regs_w, probes, "v",
+                                   depth=4, width=1 << 14).collect()}
+    assert {t: est_w[t] for t in truth} == truth
+    assert est_w["absent_a"] == 0 and est_w["absent_b"] == 0
+
+
+def test_cms_merge_by_summing_registers(spark):
+    from pyspark.sql import functions as F
+    from kml2geojson_spark.sketch import cms_estimate, cms_registers
+    a = spark.createDataFrame([("x",)] * 5 + [("y",)] * 2, "v string")
+    b = spark.createDataFrame([("x",)] * 3 + [("z",)] * 7, "v string")
+    kw = dict(depth=4, width=512)
+    merged = (cms_registers(a, "v", **kw)
+              .unionByName(cms_registers(b, "v", **kw))
+              .groupBy("sketch_row", "bucket")
+              .agg(F.sum("cnt").alias("cnt")))
+    direct = cms_registers(a.unionByName(b), "v", **kw)
+    assert (sorted(map(tuple, merged.collect()))
+            == sorted(map(tuple, direct.collect())))
+    probes = spark.createDataFrame([("x",), ("y",), ("z",)], "v string")
+    est = {r.v: r.estimate
+           for r in cms_estimate(merged, probes, "v", **kw).collect()}
+    assert est == {"x": 8, "y": 2, "z": 7}
+
+
+def test_cms_weight_col(spark):
+    from kml2geojson_spark.sketch import cms_estimate, cms_registers
+    df = spark.createDataFrame([("x", 10), ("x", 4), ("y", 1)],
+                               "v string, w long")
+    regs = cms_registers(df, "v", depth=4, width=1024, weight_col="w")
+    probes = spark.createDataFrame([("x",), ("y",)], "v string")
+    est = {r.v: r.estimate
+           for r in cms_estimate(regs, probes, "v",
+                                 depth=4, width=1024).collect()}
+    assert est == {"x": 14, "y": 1}
