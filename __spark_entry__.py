@@ -1908,6 +1908,188 @@ FROM a
 """.format(pts=_PTS_SQL)
 
 
+
+def _q79_trajectory_stats(spark, sf):
+    """Per-user trajectory rollup over event-derived positions:
+    partitioned lag window (no global funnel) + order-independent
+    nano-integer path sums."""
+    from kml2geojson_spark.spatial.ops import trajectory_stats
+    e = _t(spark, sf, "events")
+    x = ((F.col("event_id") * 6361 + 211) % 20000) / 1000.0 - 10.0
+    y = ((F.col("event_id") * 4799 + 97) % 16000) / 1000.0 - 8.0
+    pts = e.select("user_id", "event_id", x.alias("x"), y.alias("y"))
+    return trajectory_stats(pts, "user_id", "event_id")
+
+
+_O79 = """
+WITH pts AS (
+  SELECT user_id, event_id,
+         ((event_id * 6361 + 211) % 20000) / 1000.0 - 10.0 AS x,
+         ((event_id * 4799 + 97) % 16000) / 1000.0 - 8.0 AS y
+  FROM events),
+steps AS (
+  SELECT user_id, event_id, x, y,
+         x - LAG(x) OVER (PARTITION BY user_id ORDER BY event_id) AS dx,
+         y - LAG(y) OVER (PARTITION BY user_id ORDER BY event_id) AS dy
+  FROM pts),
+s2 AS (
+  SELECT user_id, event_id, x, y,
+         COALESCE(CAST(ROUND(sqrt(dx * dx + dy * dy) * 1000000000.0)
+                       AS BIGINT), 0) AS step_nano
+  FROM steps),
+agg AS (
+  SELECT user_id, COUNT(*) AS n_points,
+         CAST(SUM(step_nano) AS BIGINT) AS path_nano,
+         arg_min(x, event_id) AS fx, arg_min(y, event_id) AS fy,
+         arg_max(x, event_id) AS lx, arg_max(y, event_id) AS ly
+  FROM s2 GROUP BY user_id)
+SELECT user_id, n_points, path_nano,
+       CAST(ROUND(sqrt((lx - fx) * (lx - fx) + (ly - fy) * (ly - fy))
+                  * 1000000000.0) AS BIGINT) AS disp_nano
+FROM agg
+"""
+
+
+def _q80_rect_intersection(spark, sf):
+    """Rect pairs + exact intersection geometry via the cell-bucket
+    candidate join. All three measures are nano-integerized for stable
+    hashing: DuckDB folds the rect half-width literals in exact
+    DECIMAL, so the raw doubles sit 1 ULP off Spark's."""
+    from kml2geojson_spark.spatial.ops import rect_intersection_join
+    j = rect_intersection_join(_part_rects(spark, sf), res=6)
+    return j.select(
+        "rect_a", "rect_b",
+        F.round(F.col("inter_w") * 1e9).cast("long").alias("inter_w_nano"),
+        F.round(F.col("inter_h") * 1e9).cast("long").alias("inter_h_nano"),
+        "inter_area_nano")
+
+
+_O80 = f"""
+WITH rects AS ({_RECTS_SQL}),
+p AS (
+  SELECT a.rect_id AS rect_a, b.rect_id AS rect_b,
+         LEAST(a.east, b.east) - GREATEST(a.west, b.west) AS inter_w,
+         LEAST(a.north, b.north) - GREATEST(a.south, b.south) AS inter_h
+  FROM rects a JOIN rects b ON a.rect_id < b.rect_id
+  WHERE a.west < b.east AND b.west < a.east
+    AND a.south < b.north AND b.south < a.north)
+SELECT rect_a, rect_b,
+       CAST(ROUND(inter_w * 1000000000.0) AS BIGINT) AS inter_w_nano,
+       CAST(ROUND(inter_h * 1000000000.0) AS BIGINT) AS inter_h_nano,
+       CAST(ROUND(inter_w * inter_h * 1000000000.0) AS BIGINT)
+         AS inter_area_nano
+FROM p
+"""
+
+
+def _q81_geohash(spark, sf):
+    """Interoperable base32 geohash codes for every customer point —
+    pure-Column bit interleave + constant-array char lookup (codegen,
+    zero Python)."""
+    from kml2geojson_spark.spatial.cells import geohash_encode_col
+    pts = _customer_points(spark, sf)
+    return pts.select("point_id",
+                      geohash_encode_col(F.col("x"), F.col("y"), 8)
+                      .alias("gh"))
+
+
+def _o81() -> str:
+    from kml2geojson_spark.spatial.cells import geohash_encode_sql
+    gh = geohash_encode_sql("x", "y", 8)
+    return f"WITH pts AS ({_PTS_SQL}) SELECT point_id, {gh} AS gh FROM pts"
+
+
+def _q82_pack_sequences(spark, sf):
+    """GPT-style concat-and-chunk packing of the documents table into
+    256-token context windows (two-phase distributed running sum — no
+    single-task window)."""
+    from kml2geojson_spark.textops import pack_sequences
+    return pack_sequences(_t(spark, sf, "documents"), 256)
+
+
+_O82 = """
+WITH d AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) - n_tokens AS start
+  FROM d)
+SELECT doc_id, n_tokens, start,
+       start // 256 AS bin_id,
+       start % 256 AS offset_in_bin,
+       ((start + GREATEST(n_tokens, 1) - 1) // 256) - (start // 256) + 1
+         AS n_bins
+FROM c
+"""
+
+
+def _q83_boilerplate(spark, sf):
+    """Cross-document boilerplate fraction from word 4-gram document
+    frequencies."""
+    from kml2geojson_spark.textops import boilerplate_ngrams
+    return boilerplate_ngrams(
+        _t(spark, sf, "documents").where(F.col("doc_id") < 200),
+        n=4, min_docs=2)
+
+
+_O83 = """
+WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM docs),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 3), ' ')
+         AS gram
+  FROM toks, LATERAL (
+    SELECT unnest(generate_series(1, GREATEST(len(t) - 3, 0))) AS i)),
+dfreq AS (SELECT gram, COUNT(*) AS df FROM grams GROUP BY gram)
+SELECT g.doc_id, COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boiler,
+       CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS boiler_ratio
+FROM grams g JOIN dfreq USING (gram)
+GROUP BY g.doc_id
+"""
+
+
+def _q84_containment(spark, sf):
+    """Asymmetric n-gram containment pairs (short-doc-inside-long-doc
+    dedup) — gram-bucketed self-join, never all-pairs."""
+    from kml2geojson_spark.textops import containment_pairs
+    return containment_pairs(
+        _t(spark, sf, "documents").where(F.col("doc_id") < 100),
+        n=8, threshold=0.2)
+
+
+_O84 = """
+WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+grams AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id, substr(text, CAST(i AS INTEGER), 8) AS gram
+    FROM docs, LATERAL (
+      SELECT unnest(generate_series(1, GREATEST(length(text) - 7, 0))) AS i)
+  )
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM grams a JOIN grams b USING (gram)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b, n_shared,
+       CAST(n_shared AS DOUBLE) / sa.n_grams AS cont_a,
+       CAST(n_shared AS DOUBLE) / sb.n_grams AS cont_b
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_shared AS DOUBLE) / sa.n_grams >= 0.2
+   OR CAST(n_shared AS DOUBLE) / sb.n_grams >= 0.2
+"""
+
+
+
 # -- rows-only (non-SQL-expressible) ----------------------------------------
 
 
@@ -2032,6 +2214,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q76_cms_registers": _q76_cms_registers,
         "q77_cms_estimate": _q77_cms_estimate,
         "q78_spatial_extent": _q78_spatial_extent,
+        "q79_trajectory_stats": _q79_trajectory_stats,
+        "q80_rect_intersection": _q80_rect_intersection,
+        "q81_geohash": _q81_geohash,
+        "q82_pack_sequences": _q82_pack_sequences,
+        "q83_boilerplate": _q83_boilerplate,
+        "q84_containment": _q84_containment,
     }
 
 
@@ -2102,6 +2290,12 @@ def oracle_sql() -> dict[str, str]:
         "q76_cms_registers": _O76,
         "q77_cms_estimate": _O77,
         "q78_spatial_extent": _O78,
+        "q79_trajectory_stats": _O79,
+        "q80_rect_intersection": _O80,
+        "q81_geohash": _o81(),
+        "q82_pack_sequences": _O82,
+        "q83_boilerplate": _O83,
+        "q84_containment": _O84,
         # q41/q43/q44: rows-only (LSH/IVF candidate sets are
         # approximate by design — pytest measures recall vs the exact
         # baseline; media decode is stubbed).

@@ -237,3 +237,108 @@ def cell_encode_sql(lon_expr: str, lat_expr: str, res: int,
     sy = _spread_sql(iy, dialect)
     code = f"({_shift_sql(sx, 1, dialect)} | {sy})"
     return f"({_shift_sql(code, RES_BITS, dialect)} | {res})"
+
+# ---------------------------------------------------------------------------
+# Geohash (base32) — interoperable string cell codes
+# ---------------------------------------------------------------------------
+#
+# Standard geohash: interleave longitude/latitude bits with LONGITUDE
+# first (the MSB of the code is the top longitude bit), 5 bits per
+# base32 character.  Precision ``p`` chars → 5p bits → ceil(5p/2) lon
+# bits + floor(5p/2) lat bits.  This is the industry-portable string
+# form of the same quadtree the Morton cell ids encode — emitted when a
+# downstream system (Elasticsearch, Redis geo, BI tools) expects
+# geohash strings rather than int64 cells.
+
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+MAX_GEOHASH_PRECISION = 12  # 60 bits — the longest standard geohash
+
+
+def _geohash_bits(precision: int) -> tuple[int, int, int]:
+    if not 1 <= precision <= MAX_GEOHASH_PRECISION:
+        raise ValueError(
+            f"precision must be in [1, {MAX_GEOHASH_PRECISION}]")
+    total = 5 * precision
+    nlon = (total + 1) // 2
+    nlat = total // 2
+    return total, nlon, nlat
+
+
+def geohash_encode_np(lon, lat, precision: int = 8) -> np.ndarray:
+    """(lon, lat) arrays → geohash strings (numpy reference impl)."""
+    total, nlon, nlat = _geohash_bits(precision)
+    nx, ny = float(1 << nlon), float(1 << nlat)
+    ix = np.clip(np.floor((np.asarray(lon, np.float64) + 180.0)
+                          / 360.0 * nx), 0.0, nx - 1.0).astype(np.uint64)
+    iy = np.clip(np.floor((np.asarray(lat, np.float64) + 90.0)
+                          / 180.0 * ny), 0.0, ny - 1.0).astype(np.uint64)
+    # lon-first interleave: the code's MSB must be lon's top bit AND
+    # the bit at distance k from the MSB alternates lon/lat.  With an
+    # even bit total (nlon == nlat) that places lon on ODD positions
+    # (lsb = lat[0]); with an odd total (nlon = nlat + 1) lon sits on
+    # EVEN positions (lsb = lon[0]).
+    if total % 2 == 0:
+        code = (_spread_np(ix) << np.uint64(1)) | _spread_np(iy)
+    else:
+        code = _spread_np(ix) | (_spread_np(iy) << np.uint64(1))
+    out = np.empty(code.shape, dtype=object)
+    for i in range(code.size):
+        c = int(code.flat[i])
+        out.flat[i] = "".join(
+            GEOHASH_ALPHABET[(c >> (5 * (precision - 1 - k))) & 31]
+            for k in range(precision))
+    return out
+
+
+def geohash_encode_col(lon: Column, lat: Column,
+                       precision: int = 8) -> Column:
+    """Pure-Column geohash encode: grid + Morton spread + per-char
+    base32 lookup, all inside whole-stage codegen (the lookup is an
+    ``element_at`` over a constant 32-element array — no Python).
+    Bit-exact with :func:`geohash_encode_np` and
+    :func:`geohash_encode_sql`."""
+    total, nlon, nlat = _geohash_bits(precision)
+    ix = _grid_col(lon, 180.0, 360.0, nlon)
+    iy = _grid_col(lat, 90.0, 180.0, nlat)
+    if total % 2 == 0:
+        code = F.shiftleft(_spread_col(ix), 1).bitwiseOR(_spread_col(iy))
+    else:
+        code = _spread_col(ix).bitwiseOR(F.shiftleft(_spread_col(iy), 1))
+    alpha = F.array(*[F.lit(ch) for ch in GEOHASH_ALPHABET])
+    chars = [
+        F.element_at(
+            alpha,
+            (F.shiftright(code, 5 * (precision - 1 - k))
+             .bitwiseAND(F.lit(31)) + F.lit(1)).cast("int"))
+        for k in range(precision)]
+    return F.concat(*chars)
+
+
+def geohash_encode_sql(lon_expr: str, lat_expr: str,
+                       precision: int = 8,
+                       dialect: str = "duckdb") -> str:
+    """SQL text computing the identical geohash string (DuckDB oracle
+    replay).  Pass simple column references — the spread duplicates
+    its input textually."""
+    total, nlon, nlat = _geohash_bits(precision)
+    fx, fy = float(1 << nlon), float(1 << nlat)
+    hx, hy = (1 << nlon) - 1, (1 << nlat) - 1
+    ix = (f"CAST(GREATEST(0, LEAST({hx}, "
+          f"FLOOR(({lon_expr} + 180.0) / 360.0 * {fx}))) AS BIGINT)")
+    iy = (f"CAST(GREATEST(0, LEAST({hy}, "
+          f"FLOOR(({lat_expr} + 90.0) / 180.0 * {fy}))) AS BIGINT)")
+    if total % 2 == 0:
+        code = (f"({_shift_sql(_spread_sql(ix, dialect), 1, dialect)}"
+                f" | {_spread_sql(iy, dialect)})")
+    else:
+        code = (f"({_spread_sql(ix, dialect)}"
+                f" | {_shift_sql(_spread_sql(iy, dialect), 1, dialect)})")
+    shr = "shiftright({e}, {n})" if dialect == "spark" else "({e} >> {n})"
+    parts = []
+    for k in range(precision):
+        idx = (f"(({shr.format(e='code', n=5 * (precision - 1 - k))})"
+               " & 31)")
+        parts.append(
+            f"substring('{GEOHASH_ALPHABET}', CAST({idx} AS INTEGER) + 1, 1)")
+    concat = " || ".join(parts)
+    return f"(SELECT {concat} FROM (SELECT {code} AS code) AS _gh)"

@@ -1577,3 +1577,125 @@ def spatial_extent(points: DataFrame, group_col: str, *,
                       / F.col("n_points")) / F.lit(1e9)).alias("cx"),
                     ((F.col("_sy").cast("double")
                       / F.col("n_points")) / F.lit(1e9)).alias("cy")))
+
+
+# ---------------------------------------------------------------------------
+# Trajectory statistics (per-entity path metrics)
+# ---------------------------------------------------------------------------
+
+def trajectory_stats(points: DataFrame, id_col: str, order_col: str, *,
+                     x_col: str = "x", y_col: str = "y") -> DataFrame:
+    """Per-trajectory movement summary over a table of timestamped
+    positions: point count, total planar path length, and net
+    displacement (first→last position in ``order_col`` order) — the
+    GPS-track / fleet-telemetry rollup a tiling engine feeds into
+    speed filters and stay-point detection.
+
+    Scale shape: the lag window partitions by ``id_col`` (millions of
+    independent trajectories — no global funnel; a single whale
+    trajectory is bounded by its own point count, and the follow-up
+    aggregate is map-side combinable on the same key so AQE coalesces
+    the two stages onto one exchange). Endpoints come from
+    ``min_by``/``max_by`` — order-independent aggregates, no second
+    window.
+
+    Cross-engine determinism: each step length is
+    ``sqrt(dx² + dy²)`` (IEEE-exact products/sums + correctly-rounded
+    sqrt — deterministic on JVM, numpy, and DuckDB alike), integerized
+    to nano-degrees BEFORE summation so partial-aggregate order cannot
+    perturb the total (same trick as :func:`spatial_extent`).
+
+    Output: (id_col, n_points, path_nano, disp_nano) — both lengths in
+    round(len·1e9) nano-degree units as BIGINT.
+    """
+    w = Window.partitionBy(id_col).orderBy(order_col)
+    dx = F.col(x_col) - F.lag(x_col).over(w)
+    dy = F.col(y_col) - F.lag(y_col).over(w)
+    step = F.sqrt(dx * dx + dy * dy)
+    stepped = points.select(
+        id_col, order_col, x_col, y_col,
+        F.coalesce(F.round(step * F.lit(1e9)).cast("long"),
+                   F.lit(0)).alias("_step_nano"))
+    first_x = F.min_by(x_col, order_col)
+    first_y = F.min_by(y_col, order_col)
+    last_x = F.max_by(x_col, order_col)
+    last_y = F.max_by(y_col, order_col)
+    ddx = last_x - first_x
+    ddy = last_y - first_y
+    return (stepped.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_points"),
+                 F.sum("_step_nano").alias("path_nano"),
+                 F.round(F.sqrt(ddx * ddx + ddy * ddy) * F.lit(1e9))
+                 .cast("long").alias("disp_nano")))
+
+
+# ---------------------------------------------------------------------------
+# Rectangle intersection join (overlap pairs + exact intersection area)
+# ---------------------------------------------------------------------------
+
+def rect_intersection_join(rects: DataFrame, res: int, *,
+                           id_col: str = "rect_id") -> DataFrame:
+    """:func:`rect_overlap_join` extended with the EXACT intersection
+    geometry: for every overlapping pair, the intersection rectangle's
+    width, height, and area — the building block for IoU dedup of
+    bounding boxes and map-matching conflation.
+
+    Same candidate plan as :func:`rect_overlap_join` (cell-bucketed
+    equi-join, provably complete, codegen'd exact filter before the
+    dedup). Antimeridian-crossing rectangles (west > east) are
+    supported: the x-overlap width is the summed overlap of the
+    [west, 180] ∪ [-180, east] pieces, computed branch-free from the
+    piece intervals.
+
+    Determinism: width/height are single subtractions of input doubles
+    and the area one product — IEEE-exact, so the pico-integerized
+    area (round(area·1e9)) hash-matches the DuckDB replay.
+
+    Output: (rect_a, rect_b, inter_w, inter_h, inter_area_nano).
+    """
+    cov = cover_cells_rect(rects, res, with_fraction=False)
+    a = cov.select(F.col(id_col).alias("rect_a"),
+                   F.col("west").alias("_wa"), F.col("south").alias("_sa"),
+                   F.col("east").alias("_ea"), F.col("north").alias("_na"),
+                   "cell_id")
+    b = cov.select(F.col(id_col).alias("rect_b"),
+                   F.col("west").alias("_wb"), F.col("south").alias("_sb"),
+                   F.col("east").alias("_eb"), F.col("north").alias("_nb"),
+                   "cell_id")
+
+    def _pieces(w, e, cross):
+        # x pieces as (east, west) bounds: [w,e] (or [w,180]∪[-180,e]
+        # when crossing); the second piece of a non-crossing rect is
+        # the EMPTY interval [e, w] (width ≤ 0, clamped below)
+        return (
+            (F.when(cross, F.lit(180.0)).otherwise(e), w),
+            (F.when(cross, e).otherwise(w),
+             F.when(cross, F.lit(-180.0)).otherwise(e)),
+        )
+
+    ca = F.col("_wa") > F.col("_ea")
+    cb = F.col("_wb") > F.col("_eb")
+    pa = _pieces(F.col("_wa"), F.col("_ea"), ca)
+    pb = _pieces(F.col("_wb"), F.col("_eb"), cb)
+    # summed x-overlap of the (≤2)×(≤2) piece grid; empty pieces
+    # contribute 0 via the greatest(0, ·) clamp
+    zero = F.lit(0.0)
+    inter_w = zero
+    for ea_, wa_ in pa:
+        for eb_, wb_ in pb:
+            inter_w = inter_w + F.greatest(
+                zero, F.least(ea_, eb_) - F.greatest(wa_, wb_))
+    inter_h = F.greatest(
+        zero, F.least(F.col("_na"), F.col("_nb"))
+        - F.greatest(F.col("_sa"), F.col("_sb")))
+    pairs = (a.join(b, "cell_id")
+             .where((F.col("rect_a") < F.col("rect_b")))
+             .withColumn("inter_w", inter_w)
+             .withColumn("inter_h", inter_h)
+             .where((F.col("inter_w") > 0) & (F.col("inter_h") > 0))
+             .select("rect_a", "rect_b", "inter_w", "inter_h")
+             .distinct())
+    return pairs.withColumn(
+        "inter_area_nano",
+        F.round(F.col("inter_w") * F.col("inter_h") * F.lit(1e9))
+        .cast("long"))

@@ -781,3 +781,148 @@ def vocabulary(documents: DataFrame, *, min_df: int = 1,
     if top_k is not None:
         out = out.where(F.col("rank") <= top_k)
     return out
+
+
+def _word_ngram_arr(text_col: str, n: int) -> F.Column:
+    """Distinct word n-grams (space-token windows re-joined with a
+    single space) as an array Column; texts with fewer than ``n``
+    tokens yield no grams. Same descending-``sequence`` guard as
+    :func:`_char_ngram_arr`."""
+    toks = f"split({text_col}, ' ')"
+    grams = F.expr(
+        f"transform(sequence(1, size({toks}) - {n - 1}), "
+        f"i -> array_join(slice({toks}, i, {n}), ' '))")
+    return F.when(F.expr(f"size({toks})") >= n,
+                  F.array_distinct(grams)) \
+        .otherwise(F.array().cast("array<string>"))
+
+
+def boilerplate_ngrams(documents: DataFrame, *, n: int = 8,
+                       min_docs: int = 2) -> DataFrame:
+    """Cross-document boilerplate detection: the fraction of each
+    document's distinct word ``n``-grams that also appear in at least
+    ``min_docs`` documents (headers, footers, licence blocks, template
+    chrome — the spans a corpus-curation pipeline strips before
+    training). Complements :func:`repetition_stats`, which is
+    INTRA-document.
+
+    Scale shape: one distinct-gram explode, one (gram) doc-frequency
+    aggregate (map-side combinable), one hash join back on the gram
+    key — the gram vocabulary is Zipf-truncated by construction
+    (n-word spans repeat far less than tokens), so no broadcast is
+    attempted. The final ratio is one exact int/int division.
+
+    Output: (doc_id, n_grams, n_boiler, boiler_ratio).
+    """
+    grams = documents.select(
+        "doc_id", F.explode(_word_ngram_arr("text", n)).alias("gram"))
+    df_ = grams.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("_df"))
+    return (grams.join(df_, "gram")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_grams"),
+                 F.sum(F.when(F.col("_df") >= min_docs, 1).otherwise(0))
+                 .alias("n_boiler"))
+            .withColumn("boiler_ratio",
+                        F.col("n_boiler").cast("double")
+                        / F.col("n_grams"))
+            .select("doc_id", "n_grams", "n_boiler", "boiler_ratio"))
+
+
+def containment_pairs(documents: DataFrame, *, n: int = 8,
+                      threshold: float = 0.8) -> DataFrame:
+    """Asymmetric near-duplicate detection by n-gram CONTAINMENT:
+    ``cont(a→b) = |grams(a) ∩ grams(b)| / |grams(a)|`` — catches a
+    short document embedded in a longer one, which symmetric Jaccard
+    (:func:`ngram_jaccard_pairs`) misses because the union is
+    dominated by the longer side. Pairs are kept when EITHER direction
+    reaches ``threshold``.
+
+    Same scale shape as the Jaccard join: distinct char-gram explode,
+    self equi-join on the gram key (never all-pairs), shared counts
+    via one map-side-combinable aggregate, sizes broadcast back in.
+    Divisions are single exact double ops.
+
+    Output: (doc_a, doc_b, n_shared, cont_a, cont_b) with
+    doc_a < doc_b.
+    """
+    grams = documents.select(
+        "doc_id", F.explode(_char_ngram_arr("text", n)).alias("gram"))
+    sizes = grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"))
+    shared = (grams.alias("a")
+              .join(grams.alias("b"), "gram")
+              .where(F.col("a.doc_id") < F.col("b.doc_id"))
+              .groupBy(F.col("a.doc_id").alias("doc_a"),
+                       F.col("b.doc_id").alias("doc_b"))
+              .agg(F.count(F.lit(1)).alias("n_shared")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_grams").alias("_na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n_grams").alias("_nb"))
+    return (shared.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("cont_a",
+                        F.col("n_shared").cast("double") / F.col("_na"))
+            .withColumn("cont_b",
+                        F.col("n_shared").cast("double") / F.col("_nb"))
+            .where((F.col("cont_a") >= threshold)
+                   | (F.col("cont_b") >= threshold))
+            .select("doc_a", "doc_b", "n_shared", "cont_a", "cont_b"))
+
+
+def pack_sequences(documents: DataFrame, capacity: int, *,
+                   order_col: str = "doc_id",
+                   size_col: str | None = None) -> DataFrame:
+    """Concat-and-chunk sequence packing — the LLM-pretraining step
+    that lays tokenized documents end-to-end in ``order_col`` order
+    and cuts the stream into fixed ``capacity``-token context windows.
+    Each document gets its global token start offset, its first bin
+    (window) id, its offset inside that bin, and the number of bins it
+    spans (documents may straddle a boundary — the standard GPT-style
+    packing; use the span count to decide masking downstream).
+
+    ``size_col`` defaults to the whitespace token count of ``text``.
+
+    Scale shape: the global running sum is NOT a single-task window —
+    it is the same two-phase range-partition pattern as the
+    distributed quantiles: per-range-bucket cumulative sums in
+    parallel, then a tiny (#partitions-row) offset merge broadcast
+    back. Phase data is lineage-truncated so re-sampled range
+    boundaries cannot corrupt offsets on recompute. Bin arithmetic is
+    pure integer (div/mod), cross-engine exact.
+
+    Output: (order_col, n_tokens, start, bin_id, offset_in_bin,
+    n_bins).
+    """
+    if capacity <= 0:
+        raise ValueError("capacity must be positive")
+    from pyspark.sql import Window
+
+    spark = documents.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    size = (F.col(size_col) if size_col is not None
+            else token_count_col(F.col("text")))
+    d = documents.select(order_col, size.cast("long").alias("n_tokens"))
+    ranked = (d.repartitionByRange(n_parts, F.col(order_col).asc())
+              .withColumn("_pid", F.spark_partition_id())
+              .withColumn("_local_cum", F.sum("n_tokens").over(
+                  Window.partitionBy("_pid")
+                  .orderBy(F.col(order_col).asc())))
+              .localCheckpoint(eager=False))
+    ptot = ranked.groupBy("_pid").agg(F.sum("n_tokens").alias("_tot"))
+    w_off = (Window.orderBy(F.col("_pid").asc())
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offs = ptot.withColumn(
+        "_off", F.coalesce(F.sum("_tot").over(w_off), F.lit(0)))
+    cap = F.lit(int(capacity))
+    start = F.col("_local_cum") + F.col("_off") - F.col("n_tokens")
+    return (ranked.join(F.broadcast(offs.select("_pid", "_off")), "_pid")
+            .withColumn("start", start)
+            .withColumn("bin_id", F.expr(f"start div {int(capacity)}"))
+            .withColumn("offset_in_bin", F.col("start") % cap)
+            .withColumn(
+                "n_bins",
+                F.expr(f"(start + greatest(n_tokens, 1L) - 1) "
+                       f"div {int(capacity)}") - F.col("bin_id") + 1)
+            .select(order_col, "n_tokens", "start", "bin_id",
+                    "offset_in_bin", "n_bins"))

@@ -118,3 +118,76 @@ def test_spark_sql_dialect_matches_numpy(spark):
         f"SELECT {expr} AS cell_id FROM pts_sql_enc").collect()])
     exp = cell_encode_np(LON[:100], LAT[:100], res)
     assert sorted(got.tolist()) == sorted(exp.tolist())
+
+
+# ---------------------------------------------------------------------------
+# Geohash
+# ---------------------------------------------------------------------------
+
+
+def test_geohash_known_value():
+    from kml2geojson_spark.spatial.cells import geohash_encode_np
+    # canonical example: (lat 42.605, lon -5.603) → "ezs42..."
+    out = geohash_encode_np(np.array([-5.60302734375]),
+                            np.array([42.60498046875]), 5)
+    assert out[0] == "ezs42"
+    # Palermo (the classic redis GEOADD example), odd precision
+    out = geohash_encode_np(np.array([13.361389]),
+                            np.array([38.115556]), 7)
+    assert out[0] == "sqc8b49"
+
+
+def test_geohash_corner_clamp():
+    from kml2geojson_spark.spatial.cells import geohash_encode_np
+    out = geohash_encode_np(np.array([-180.0, 180.0, 0.0]),
+                            np.array([-90.0, 90.0, 0.0]), 6)
+    assert out[0] == "000000"
+    assert out[1] == "zzzzzz"
+
+
+def test_geohash_precision_validation():
+    from kml2geojson_spark.spatial.cells import geohash_encode_np
+    import pytest
+    with pytest.raises(ValueError):
+        geohash_encode_np(np.array([0.0]), np.array([0.0]), 0)
+    with pytest.raises(ValueError):
+        geohash_encode_np(np.array([0.0]), np.array([0.0]), 13)
+
+
+@pytest.mark.parametrize("precision", [1, 5, 8, 12])
+def test_geohash_column_matches_numpy(spark, precision):
+    from pyspark.sql import functions as F
+    from kml2geojson_spark.spatial.cells import (geohash_encode_col,
+                                                 geohash_encode_np)
+    rng = np.random.default_rng(precision)
+    lon = rng.uniform(-180, 180, 200)
+    lat = rng.uniform(-90, 90, 200)
+    df = spark.createDataFrame(
+        [(i, float(lon[i]), float(lat[i])) for i in range(200)],
+        "i long, lon double, lat double")
+    got = [r.gh for r in
+           df.select("i", geohash_encode_col(F.col("lon"), F.col("lat"),
+                                             precision).alias("gh"))
+           .orderBy("i").collect()]
+    assert got == list(geohash_encode_np(lon, lat, precision))
+
+
+@pytest.mark.parametrize("precision", [3, 8])
+def test_geohash_duckdb_sql_matches_numpy(precision):
+    import duckdb
+    from kml2geojson_spark.spatial.cells import (geohash_encode_np,
+                                                 geohash_encode_sql)
+    rng = np.random.default_rng(99)
+    lon = rng.uniform(-180, 180, 100)
+    lat = rng.uniform(-90, 90, 100)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pts AS SELECT * FROM (VALUES "
+                + ", ".join(
+                    f"({i}, CAST({float(lon[i])!r} AS DOUBLE), "
+                    f"CAST({float(lat[i])!r} AS DOUBLE))"
+                    for i in range(100))
+                + ") AS t(i, x, y)")
+    sql = geohash_encode_sql("x", "y", precision)
+    got = [r[0] for r in con.execute(
+        f"SELECT {sql} FROM pts ORDER BY i").fetchall()]
+    assert got == list(geohash_encode_np(lon, lat, precision))

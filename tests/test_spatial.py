@@ -990,3 +990,92 @@ def test_spatial_extent_exact_and_partition_invariant(spark):
         assert got[:5] == (minx, miny, maxx, maxy, len(sub))
         assert got[5] == (sx / len(sub)) / 1e9
         assert got[6] == (sy / len(sub)) / 1e9
+
+
+# ---------------------------------------------------------------------------
+# trajectory_stats
+# ---------------------------------------------------------------------------
+
+
+def test_trajectory_stats_hand_example(spark):
+    import math
+    from kml2geojson_spark.spatial.ops import trajectory_stats
+    rows = [(1, 0, 0.0, 0.0), (1, 1, 3.0, 4.0), (1, 2, 3.0, 0.0),
+            (2, 0, 7.0, 7.0)]
+    df = spark.createDataFrame(rows, "tid long, seq long, x double, y double")
+    out = {r.tid: r for r in trajectory_stats(df, "tid", "seq").collect()}
+    assert out[1].n_points == 3
+    assert out[1].path_nano == round(5.0 * 1e9) + round(4.0 * 1e9)
+    assert out[1].disp_nano == round(3.0 * 1e9)
+    # singleton trajectory: zero path, zero displacement
+    assert out[2].n_points == 1
+    assert out[2].path_nano == 0 and out[2].disp_nano == 0
+
+
+def test_trajectory_stats_order_column_respected(spark):
+    """Rows arrive shuffled; order_col (not arrival order) defines the
+    path."""
+    from kml2geojson_spark.spatial.ops import trajectory_stats
+    rows = [(1, 2, 2.0, 0.0), (1, 0, 0.0, 0.0), (1, 1, 1.0, 0.0)]
+    df = spark.createDataFrame(rows, "tid long, seq long, x double, y double") \
+        .repartition(4)
+    r = trajectory_stats(df, "tid", "seq").collect()[0]
+    assert r.path_nano == 2_000_000_000  # 0→1→2, not a zigzag
+    assert r.disp_nano == 2_000_000_000
+
+
+# ---------------------------------------------------------------------------
+# rect_intersection_join
+# ---------------------------------------------------------------------------
+
+
+def _brute_rect_intersections(rects):
+    out = {}
+    for i, (ia, wa, sa, ea, na) in enumerate(rects):
+        for ib, wb, sb, eb, nb in rects[i + 1:]:
+            ca, cb = wa > ea, wb > eb
+            pa = [(wa, 180.0), (-180.0, ea)] if ca else [(wa, ea)]
+            pb = [(wb, 180.0), (-180.0, eb)] if cb else [(wb, eb)]
+            w = sum(max(0.0, min(e1, e2) - max(w1, w2))
+                    for w1, e1 in pa for w2, e2 in pb)
+            h = max(0.0, min(na, nb) - max(sa, sb))
+            if w > 0 and h > 0:
+                out[(ia, ib)] = (w, h)
+    return out
+
+
+def test_rect_intersection_matches_brute_force(spark):
+    import random
+    from kml2geojson_spark.spatial.ops import rect_intersection_join
+    rng = random.Random(7)
+    rects = []
+    for i in range(60):
+        cx, cy = rng.uniform(-170, 170), rng.uniform(-60, 60)
+        hw, hh = rng.uniform(1, 12), rng.uniform(1, 12)
+        rects.append((i, cx - hw, cy - hh, cx + hw, cy + hh))
+    # a few antimeridian-crossing rects
+    for i in range(60, 66):
+        s = rng.uniform(-50, 40)
+        rects.append((i, rng.uniform(170, 179), s,
+                      rng.uniform(-179, -170), s + rng.uniform(2, 10)))
+    df = spark.createDataFrame(
+        rects, "rect_id long, west double, south double, "
+               "east double, north double")
+    got = {(r.rect_a, r.rect_b): (r.inter_w, r.inter_h)
+           for r in rect_intersection_join(df, 4).collect()}
+    exp = _brute_rect_intersections(rects)
+    assert set(got) == set(exp)
+    for k, (w, h) in exp.items():
+        assert abs(got[k][0] - w) < 1e-9 and abs(got[k][1] - h) < 1e-9
+
+
+def test_rect_intersection_simple_pair_no_double_count(spark):
+    """Non-crossing rects must use ONE x piece — the empty second
+    piece contributes exactly zero width."""
+    from kml2geojson_spark.spatial.ops import rect_intersection_join
+    df = spark.createDataFrame(
+        [(1, -10.0, -10.0, 10.0, 10.0), (2, 0.0, 0.0, 20.0, 20.0)],
+        "rect_id long, west double, south double, east double, north double")
+    r = rect_intersection_join(df, 3).collect()[0]
+    assert r.inter_w == 10.0 and r.inter_h == 10.0
+    assert r.inter_area_nano == 100_000_000_000

@@ -622,3 +622,97 @@ def test_cms_weight_col(spark):
            for r in cms_estimate(regs, probes, "v",
                                  depth=4, width=1024).collect()}
     assert est == {"x": 14, "y": 1}
+
+
+# ---------------------------------------------------------------------------
+# boilerplate_ngrams / containment_pairs / pack_sequences
+# ---------------------------------------------------------------------------
+
+
+def test_boilerplate_ngrams_hand_example(spark):
+    from kml2geojson_spark.textops import boilerplate_ngrams
+    docs = spark.createDataFrame([
+        (1, "shared header line one unique body alpha beta"),
+        (2, "shared header line one unique body gamma delta"),
+        (3, "nothing in common here at all today friend"),
+    ], "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           boilerplate_ngrams(docs, n=4, min_docs=2).collect()}
+    # 8 tokens → 5 distinct 4-grams each; docs 1/2 share the first 3
+    assert out[1].n_grams == 5 and out[1].n_boiler == 3
+    assert out[2].n_boiler == 3
+    assert out[3].n_boiler == 0 and out[3].boiler_ratio == 0.0
+    assert abs(out[1].boiler_ratio - 3 / 5) < 1e-15
+
+
+def test_boilerplate_ngrams_short_docs_absent(spark):
+    """Docs with fewer than n tokens have no grams — and no output
+    row (nothing to measure)."""
+    from kml2geojson_spark.textops import boilerplate_ngrams
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "one two three four five")],
+        "doc_id long, text string")
+    ids = {r.doc_id for r in boilerplate_ngrams(docs, n=4).collect()}
+    assert ids == {2}
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    from kml2geojson_spark.textops import (containment_pairs,
+                                           ngram_jaccard_pairs)
+    short = "the quick brown fox jumps over it"
+    long_ = short + " " + " ".join(f"filler{i:03d} pad pad" for i in range(40))
+    docs = spark.createDataFrame([(1, short), (2, long_)],
+                                 "doc_id long, text string")
+    got = containment_pairs(docs, n=8, threshold=0.9).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.cont_a > 0.9          # short doc fully inside the long one
+    assert r.cont_b < 0.5          # but the long doc is mostly novel
+    # symmetric jaccard at the same bar finds nothing
+    jac = ngram_jaccard_pairs(docs, n=8, threshold=0.9).collect()
+    assert jac == []
+
+
+def test_pack_sequences_matches_brute_force(spark):
+    from kml2geojson_spark.textops import pack_sequences
+    rows = [(i, " ".join(f"t{j}" for j in range(3 + (i * 7) % 11)))
+            for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string") \
+        .repartition(8)
+    cap = 16
+    got = {r.doc_id: r for r in pack_sequences(docs, cap).collect()}
+    start = 0
+    for i, text in rows:
+        n = len(text.split(" "))
+        r = got[i]
+        assert r.n_tokens == n
+        assert r.start == start
+        assert r.bin_id == start // cap
+        assert r.offset_in_bin == start % cap
+        assert r.n_bins == (start + max(n, 1) - 1) // cap - start // cap + 1
+        start += n
+
+
+def test_pack_sequences_partitioning_invariant(spark):
+    """The two-phase running sum must not depend on the range
+    partition count."""
+    from kml2geojson_spark.textops import pack_sequences
+    docs = spark.createDataFrame(
+        [(i, "w " * (1 + i % 5) + "end") for i in range(40)],
+        "doc_id long, text string")
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = sorted(map(tuple, pack_sequences(docs, 8).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = sorted(map(tuple, pack_sequences(docs, 8).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert a == b
+
+
+def test_pack_sequences_capacity_validation(spark):
+    from kml2geojson_spark.textops import pack_sequences
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        pack_sequences(docs, 0)
