@@ -2090,6 +2090,48 @@ WHERE CAST(n_shared AS DOUBLE) / sa.n_grams >= 0.2
 
 
 
+
+def _q85_pagerank(spark, sf):
+    """3-round integer PageRank over the customer→supplier purchase
+    graph (supplier ids offset to keep the two key spaces disjoint).
+    Pure-BIGINT scores — float PageRank could never hash-match."""
+    from kml2geojson_spark.graph import pagerank
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    edges = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+             .select(F.col("o_custkey").alias("src"),
+                     (F.col("l_suppkey") + 10_000_000).alias("dst")))
+    return pagerank(edges, n_iters=3)
+
+
+def _o85() -> str:
+    rounds = []
+    prev = "s0"
+    for i in (1, 2, 3):
+        rounds.append(f"""
+c{i} AS (
+  SELECT e.dst AS node,
+         CAST(SUM((s.score * 850000) // (1000000 * d.out_deg)) AS BIGINT)
+           AS cin
+  FROM e JOIN deg d ON e.src = d.src JOIN {prev} s ON s.node = e.src
+  GROUP BY e.dst),
+s{i} AS (
+  SELECT n.node, CAST(150000 + COALESCE(c.cin, 0) AS BIGINT) AS score
+  FROM nodes n LEFT JOIN c{i} c ON n.node = c.node)""")
+        prev = f"s{i}"
+    return f"""
+WITH e AS (
+  SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+deg AS (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY src),
+s0 AS (SELECT node, CAST(1000000 AS BIGINT) AS score FROM nodes),
+{",".join(rounds)}
+SELECT node, score AS score_micro FROM s3
+"""
+
+
+
 # -- rows-only (non-SQL-expressible) ----------------------------------------
 
 
@@ -2220,6 +2262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q82_pack_sequences": _q82_pack_sequences,
         "q83_boilerplate": _q83_boilerplate,
         "q84_containment": _q84_containment,
+        "q85_pagerank": _q85_pagerank,
     }
 
 
@@ -2296,6 +2339,7 @@ def oracle_sql() -> dict[str, str]:
         "q82_pack_sequences": _O82,
         "q83_boilerplate": _O83,
         "q84_containment": _O84,
+        "q85_pagerank": _o85(),
         # q41/q43/q44: rows-only (LSH/IVF candidate sets are
         # approximate by design — pytest measures recall vs the exact
         # baseline; media decode is stubbed).

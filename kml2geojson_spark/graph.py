@@ -147,3 +147,58 @@ def connected_components_star(edges: DataFrame, *, src: str = "doc_a",
     nodes.unpersist()
     e.unpersist()
     return out
+
+
+def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
+             n_iters: int = 3, damping_micro: int = 850_000) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list with PURE
+    INTEGER arithmetic — scores in micro-units (node init 1_000_000),
+    per-edge contribution ``(score · damping_micro) div (1e6 · deg)``
+    — so every engine (JVM, DuckDB, numpy) reproduces the identical
+    BIGINT scores: float PageRank sums in nondeterministic partial-
+    aggregate order and would never hash-match an oracle.
+
+    Semantics: ``n_iters`` synchronous power-iteration rounds of
+    ``score' = (1e6 - damping_micro) + Σ_in contrib``; dangling-node
+    mass is dropped, not redistributed (documented deviation from the
+    textbook formulation — the ranking a dedup/link-analysis pass
+    needs, not the exact eigenvector).
+
+    Scale shape: out-degrees are one map-side-combinable aggregate;
+    each round is one hash join of scores to edges on the source key
+    followed by one sum on the destination key — both shuffles stay
+    on node-id keys so AQE/partitioning reuse applies, and lineage is
+    truncated per round (same rationale as
+    :func:`connected_components`). Integer overflow headroom: total
+    mass is ~1e6·|nodes|, so scores stay far below int64 until
+    ~10^12 nodes funnel into one sink.
+
+    Output: (node, score_micro) for every node in src ∪ dst.
+    """
+    if n_iters < 0:
+        raise ValueError("n_iters must be >= 0")
+    if not 0 <= damping_micro <= 1_000_000:
+        raise ValueError("damping_micro must be in [0, 1e6]")
+    e = (edges.select(F.col(src).cast("long").alias("src"),
+                      F.col(dst).cast("long").alias("dst"))
+         .distinct().localCheckpoint(eager=True))
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct().localCheckpoint(eager=True))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    esrc = e.join(deg, "src")
+    base = 1_000_000 - damping_micro
+    scores = nodes.withColumn("score_micro", F.lit(1_000_000).cast("long"))
+    for _ in range(n_iters):
+        contrib = (esrc.join(scores,
+                             esrc["src"] == scores["node"])
+                   .select(F.col("dst").alias("node"),
+                           F.expr(f"(score_micro * {damping_micro}L) div "
+                                  f"(1000000L * out_deg)").alias("_c")))
+        scores = (nodes.join(contrib.groupBy("node")
+                             .agg(F.sum("_c").alias("_in")), "node", "left")
+                  .select("node",
+                          (F.lit(base) + F.coalesce(F.col("_in"), F.lit(0)))
+                          .cast("long").alias("score_micro"))
+                  .localCheckpoint(eager=True))
+    return scores

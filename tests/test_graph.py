@@ -105,3 +105,56 @@ def test_star_components_keep_self_loop_nodes(spark):
     a = sorted(map(tuple, connected_components(edges).collect()))
     b = sorted(map(tuple, connected_components_star(edges).collect()))
     assert a == b == [(1, 1), (2, 1), (5, 5)]
+
+
+# ---------------------------------------------------------------------------
+# pagerank
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_hand_example(spark):
+    from kml2geojson_spark.graph import pagerank
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 1), (1, 4)],
+                                  "src long, dst long")
+    got = {r.node: r.score_micro
+           for r in pagerank(edges, n_iters=3).collect()}
+
+    def step(s):
+        deg = {1: 2, 2: 1, 3: 1}
+        c = {}
+        for a, b in [(1, 2), (2, 3), (3, 1), (1, 4)]:
+            c[b] = c.get(b, 0) + (s[a] * 850_000) // (1_000_000 * deg[a])
+        return {n: 150_000 + c.get(n, 0) for n in s}
+
+    exp = {n: 1_000_000 for n in (1, 2, 3, 4)}
+    for _ in range(3):
+        exp = step(exp)
+    assert got == exp
+
+
+def test_pagerank_zero_iters_is_init(spark):
+    from kml2geojson_spark.graph import pagerank
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    got = {r.node: r.score_micro
+           for r in pagerank(edges, n_iters=0).collect()}
+    assert got == {1: 1_000_000, 2: 1_000_000}
+
+
+def test_pagerank_duplicate_edges_collapse(spark):
+    """The edge list is a SET: repeated (src, dst) rows must not
+    multiply the contribution."""
+    from kml2geojson_spark.graph import pagerank
+    once = spark.createDataFrame([(1, 2)], "src long, dst long")
+    thrice = spark.createDataFrame([(1, 2)] * 3, "src long, dst long")
+    assert (sorted(map(tuple, pagerank(once, n_iters=2).collect()))
+            == sorted(map(tuple, pagerank(thrice, n_iters=2).collect())))
+
+
+def test_pagerank_validation(spark):
+    import pytest
+    from kml2geojson_spark.graph import pagerank
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        pagerank(edges, n_iters=-1)
+    with pytest.raises(ValueError):
+        pagerank(edges, damping_micro=2_000_000)

@@ -368,3 +368,69 @@ def test_spatial_extent_single_shuffle_map_side_combine(spark, tmp_path):
     assert plan.count("HashAggregate") == 2, plan
     for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert marker not in plan, f"{marker} in extent plan"
+
+
+def test_trajectory_stats_partitioned_window_no_python(spark):
+    """The lag window must be keyed by the trajectory id (no global
+    sort funnel) and the whole operator stays JVM-side."""
+    from kml2geojson_spark.spatial.ops import trajectory_stats
+    df = spark.range(1000).selectExpr(
+        "id % 50 AS tid", "id AS seq",
+        "CAST(id % 37 AS DOUBLE) AS x", "CAST(id % 53 AS DOUBLE) AS y")
+    out = trajectory_stats(df, "tid", "seq")
+    plan = _plan(out)
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line:
+            assert "tid" in line, line
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert marker not in plan, marker
+    # map-side partial aggregation on the follow-up rollup
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_rect_intersection_no_nested_loop(spark):
+    from kml2geojson_spark.spatial.ops import rect_intersection_join
+    df = spark.range(100).selectExpr(
+        "id AS rect_id",
+        "CAST(id % 17 AS DOUBLE) - 8 AS west",
+        "CAST(id % 13 AS DOUBLE) - 6 AS south",
+        "CAST(id % 17 AS DOUBLE) - 6 AS east",
+        "CAST(id % 13 AS DOUBLE) - 4 AS north")
+    plan = _plan(rect_intersection_join(df, 5))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_pack_sequences_no_unpartitioned_data_window(spark):
+    """The running sum must be two-phase: any window over document
+    rows is keyed by the range bucket; only the tiny per-bucket totals
+    frame may use a global window."""
+    from kml2geojson_spark.textops import pack_sequences
+    df = spark.range(5000).selectExpr(
+        "id AS doc_id", "'w w w w w' AS text")
+    plan = _plan(pack_sequences(df, 64))
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line and "_pid" not in line:
+            assert "_tot" in line, line
+    # the per-bucket offsets come back via a broadcast, not a shuffle
+    assert "BroadcastHashJoin" in plan
+
+
+def test_containment_pairs_no_cartesian(spark):
+    from kml2geojson_spark.textops import containment_pairs
+    df = spark.range(50).selectExpr(
+        "id AS doc_id", "repeat('abcdefg ', 5) AS text")
+    plan = _plan(containment_pairs(df, n=8, threshold=0.5))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_geohash_whole_stage_codegen(spark):
+    from kml2geojson_spark.spatial.cells import geohash_encode_col
+    df = spark.range(100).selectExpr(
+        "CAST(id AS DOUBLE) / 3 AS x", "CAST(id AS DOUBLE) / 7 AS y")
+    plan = _plan(df.select(geohash_encode_col(F.col("x"), F.col("y"), 8)
+                           .alias("gh")))
+    assert plan.lstrip().startswith("*("), plan[:200]
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert marker not in plan, marker
