@@ -2185,6 +2185,176 @@ def _q44_ivf_topk(spark, sf):
             .select("query_id", "neighbor_id", "rank"))
 
 
+def _q86_triangle_count(spark, sf):
+    """Per-node triangle counts over the part co-order graph (two
+    parts are linked when some order contains both lineitems).
+    Degree-oriented wedge join — hub skew is handled structurally
+    (the hot node stops being the join key), not by salting."""
+    from kml2geojson_spark.graph import triangle_count
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (a.join(b, "l_orderkey")
+             .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+             .select(F.col("a.l_partkey").alias("src"),
+                     F.col("b.l_partkey").alias("dst")))
+    return triangle_count(edges)
+
+
+# Oracle enumerates each triangle once by id order a<b<c (the Spark
+# side orients by degree — different enumeration, same multiset of
+# corner counts).
+_O86 = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey),
+t AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+corners AS (
+  SELECT a AS node FROM t
+  UNION ALL SELECT b FROM t
+  UNION ALL SELECT c FROM t)
+SELECT node, COUNT(*) AS n_triangles FROM corners GROUP BY node
+"""
+
+
+_FUNNEL_STAGES = ["signup", "view", "click", "purchase"]
+
+
+def _q87_funnel(spark, sf):
+    """Ordered-funnel completion over the events table: earliest
+    strictly-after completion per stage, per-stage shrinking frontier
+    joins (eventops.funnel_counts)."""
+    from kml2geojson_spark.eventops import funnel_counts
+    return funnel_counts(_t(spark, sf, "events"), _FUNNEL_STAGES)
+
+
+def _o87() -> str:
+    ctes = ["s0 AS (SELECT user_id AS u, MIN(ts) AS r FROM events "
+            f"WHERE event_type = '{_FUNNEL_STAGES[0]}' GROUP BY user_id)"]
+    for i, stage in enumerate(_FUNNEL_STAGES[1:], start=1):
+        ctes.append(
+            f"s{i} AS (SELECT e.user_id AS u, MIN(e.ts) AS r FROM events e "
+            f"JOIN s{i - 1} p ON e.user_id = p.u "
+            f"WHERE e.event_type = '{stage}' AND e.ts > p.r "
+            f"GROUP BY e.user_id)")
+    selects = [
+        f"SELECT {i} AS stage_idx, '{stage}' AS stage, "
+        f"(SELECT COUNT(*) FROM s{i}) AS n_users"
+        for i, stage in enumerate(_FUNNEL_STAGES)]
+    return ("WITH " + ", ".join(ctes) + " "
+            + " UNION ALL ".join(selects))
+
+
+def _q88_od_matrix(spark, sf):
+    """Origin-destination flow matrix over per-user event trajectories
+    (positions derived deterministically from event ids, 30-degree
+    grid cells)."""
+    from kml2geojson_spark.eventops import od_matrix
+    e = _t(spark, sf, "events")
+    x = ((F.col("event_id") * 9301 + 49297) % 36000) / 100.0 - 180.0
+    y = ((F.col("event_id") * 7919 + 104729) % 17000) / 100.0 - 85.0
+    pts = e.select("event_id", "user_id", x.alias("x"), y.alias("y"))
+    return od_matrix(pts, cell_size=30.0)
+
+
+_O88 = """
+WITH pts AS (
+  SELECT event_id, user_id,
+         ((event_id * 9301 + 49297) % 36000) / 100.0 - 180.0 AS x,
+         ((event_id * 7919 + 104729) % 17000) / 100.0 - 85.0 AS y
+  FROM events),
+lagged AS (
+  SELECT user_id,
+         CAST(FLOOR(x / 30.0) AS BIGINT) AS to_cx,
+         CAST(FLOOR(y / 30.0) AS BIGINT) AS to_cy,
+         LAG(CAST(FLOOR(x / 30.0) AS BIGINT)) OVER w AS from_cx,
+         LAG(CAST(FLOOR(y / 30.0) AS BIGINT)) OVER w AS from_cy
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+SELECT from_cx, from_cy, to_cx, to_cy, COUNT(*) AS n_trips
+FROM lagged WHERE from_cx IS NOT NULL
+GROUP BY from_cx, from_cy, to_cx, to_cy
+"""
+
+
+def _q89_cohort_retention(spark, sf):
+    """Weekly cohort-retention triangle over the events table (date
+    arithmetic on TIMESTAMP_NTZ — session-timezone independent)."""
+    from kml2geojson_spark.eventops import cohort_retention
+    return cohort_retention(_t(spark, sf, "events"))
+
+
+_O89 = """
+WITH ev AS (
+  SELECT user_id AS u,
+         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day
+  FROM events),
+first AS (SELECT u, MIN(day) AS fd FROM ev GROUP BY u)
+SELECT CAST(fd // 7 AS BIGINT) AS cohort_period,
+       CAST(day // 7 - fd // 7 AS BIGINT) AS period_offset,
+       COUNT(DISTINCT ev.u) AS n_users
+FROM ev JOIN first ON ev.u = first.u
+GROUP BY 1, 2
+"""
+
+
+def _q90_group_outliers(spark, sf):
+    """Per-event-type z-score outlier counts in pure BIGINT arithmetic
+    (floor-division mean/variance — partial-agg-order independent,
+    hash-exact on both engines)."""
+    from kml2geojson_spark.eventops import group_outlier_stats
+    return (group_outlier_stats(_t(spark, sf, "events"))
+            .withColumnRenamed("group", "grp"))
+
+
+_O90 = """
+WITH d AS (
+  SELECT event_type AS grp, CAST(ROUND(value * 1000.0) AS BIGINT) AS vm
+  FROM events),
+st AS (
+  SELECT grp, COUNT(*) AS n, CAST(SUM(vm) AS BIGINT) AS s,
+         CAST(SUM(vm * vm) AS BIGINT) AS s2
+  FROM d GROUP BY grp),
+st2 AS (
+  SELECT grp, n, s // n AS mean_milli,
+         (s2 // n) - (s // n) * (s // n) AS var_milli2
+  FROM st)
+SELECT d.grp, n, mean_milli,
+       CAST(SUM(CASE WHEN (vm - mean_milli) * (vm - mean_milli) * 1000000
+                          > 4000000 * var_milli2
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM d JOIN st2 USING (grp)
+GROUP BY d.grp, n, mean_milli
+"""
+
+
+def _q91_skyline(spark, sf):
+    """2-D Pareto skyline (minimize both coords) over deterministic
+    integer points — two-phase bucketed prefix-min, never a global
+    sort (relational.skyline2d)."""
+    from kml2geojson_spark.relational import skyline2d
+    c = _t(spark, sf, "customer")
+    pts = c.select(((F.col("c_custkey") * 9301 + 49297) % 36000).alias("x"),
+                   ((F.col("c_custkey") * 7919 + 104729) % 17000).alias("y"))
+    return skyline2d(pts)
+
+
+# Oracle uses the independent NOT-EXISTS dominance formulation.
+_O91 = """
+WITH p AS (
+  SELECT DISTINCT (c_custkey * 9301 + 49297) % 36000 AS x,
+                  (c_custkey * 7919 + 104729) % 17000 AS y
+  FROM customer)
+SELECT x, y FROM p
+WHERE NOT EXISTS (
+  SELECT 1 FROM p q
+  WHERE q.x <= p.x AND q.y <= p.y AND (q.x < p.x OR q.y < p.y))
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -2263,6 +2433,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q83_boilerplate": _q83_boilerplate,
         "q84_containment": _q84_containment,
         "q85_pagerank": _q85_pagerank,
+        "q86_triangle_count": _q86_triangle_count,
+        "q87_funnel": _q87_funnel,
+        "q88_od_matrix": _q88_od_matrix,
+        "q89_cohort_retention": _q89_cohort_retention,
+        "q90_group_outliers": _q90_group_outliers,
+        "q91_skyline": _q91_skyline,
     }
 
 
@@ -2340,6 +2516,12 @@ def oracle_sql() -> dict[str, str]:
         "q83_boilerplate": _O83,
         "q84_containment": _O84,
         "q85_pagerank": _o85(),
+        "q86_triangle_count": _O86,
+        "q87_funnel": _o87(),
+        "q88_od_matrix": _O88,
+        "q89_cohort_retention": _O89,
+        "q90_group_outliers": _O90,
+        "q91_skyline": _O91,
         # q41/q43/q44: rows-only (LSH/IVF candidate sets are
         # approximate by design — pytest measures recall vs the exact
         # baseline; media decode is stubbed).

@@ -1,0 +1,154 @@
+"""Event-stream analytics: funnels, origin-destination flows, cohort
+retention, and grouped outlier statistics.
+
+The reference (a KML converter, /root/reference/kml2geojson/main.py)
+has no event surface; these are §2.4-style training-/product-analytics
+operators over the synthetic ``events`` table. Every operator is pure
+Column (whole-stage codegen), every window is PARTITIONED (per-user —
+never a global sort), and every emitted measure is integerized so the
+DuckDB oracle hashes bit-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def funnel_counts(events: DataFrame, stages: list[str], *,
+                  user_col: str = "user_id", ts_col: str = "ts",
+                  type_col: str = "event_type") -> DataFrame:
+    """Ordered-funnel completion counts: a user completes stage ``i``
+    when an event of type ``stages[i]`` occurs STRICTLY AFTER the
+    timestamp at which they completed stage ``i-1`` (earliest-possible
+    completion — the standard greedy funnel, which maximizes the number
+    of users reaching later stages).
+
+    Scale shape: one hash-aggregate (min ts per user) plus one
+    user-key equi-join per stage — the per-stage frontier is one row
+    per surviving user, so each round's join input shrinks
+    monotonically. No windows, no event-sequence collection into a
+    single task, no Python.
+
+    Output: (stage_idx, stage, n_users), one row per stage.
+    """
+    if not stages:
+        raise ValueError("stages must be non-empty")
+    per_stage = []
+    frontier = None  # (user, reached_ts) for the previous stage
+    for i, stage in enumerate(stages):
+        ev = events.where(F.col(type_col) == stage).select(
+            F.col(user_col).alias("user"), F.col(ts_col).alias("t"))
+        if frontier is None:
+            frontier = ev.groupBy("user").agg(F.min("t").alias("reached"))
+        else:
+            frontier = (ev.join(frontier, "user")
+                        .where(F.col("t") > F.col("reached"))
+                        .groupBy("user").agg(F.min("t").alias("reached")))
+        per_stage.append(
+            frontier.agg(F.count(F.lit(1)).alias("n_users"))
+            .select(F.lit(i).alias("stage_idx"), F.lit(stage).alias("stage"),
+                    "n_users"))
+    out = per_stage[0]
+    for s in per_stage[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+def od_matrix(points: DataFrame, *, user_col: str = "user_id",
+              order_col: str = "event_id", x_col: str = "x",
+              y_col: str = "y", cell_size: float = 1.0) -> DataFrame:
+    """Origin-destination flow matrix: consecutive per-user positions
+    (ordered by ``order_col``) become trips between integer grid cells
+    of side ``cell_size``; output counts per (from-cell, to-cell) pair.
+
+    Scale shape: one per-user lag window (partitioned — each user's
+    trajectory is small even when the fleet is 10^9 users) + one
+    hash-aggregate on the 4-int cell-pair key with map-side combine.
+    Self-loops (both endpoints in the same cell) are kept: dwell flows
+    are signal for a tiling engine.
+
+    Output: (from_cx, from_cy, to_cx, to_cy, n_trips).
+    """
+    cx = F.floor(F.col(x_col) / cell_size).cast("long")
+    cy = F.floor(F.col(y_col) / cell_size).cast("long")
+    w = Window.partitionBy(user_col).orderBy(F.col(order_col).asc())
+    d = (points.select(F.col(user_col), F.col(order_col),
+                       cx.alias("to_cx"), cy.alias("to_cy"))
+         .withColumn("from_cx", F.lag("to_cx").over(w))
+         .withColumn("from_cy", F.lag("to_cy").over(w))
+         .where(F.col("from_cx").isNotNull()))
+    return (d.groupBy("from_cx", "from_cy", "to_cx", "to_cy")
+            .agg(F.count(F.lit(1)).alias("n_trips")))
+
+
+def cohort_retention(events: DataFrame, *, user_col: str = "user_id",
+                     ts_col: str = "ts", epoch: str = "2024-01-01",
+                     period_days: int = 7) -> DataFrame:
+    """Classic cohort-retention triangle: users are cohorted by the
+    period (default week) of their first event; each (cohort, offset)
+    cell counts distinct users active ``offset`` periods after their
+    cohort period. Day numbers come from DATE arithmetic against a
+    fixed epoch (timezone-free on TIMESTAMP_NTZ), never unix seconds —
+    session-timezone independent on both engines.
+
+    Scale shape: first-day is one hash-aggregate on the user key; the
+    activity join is a user-key equi-join against that (small) frame;
+    the final count-distinct is one aggregate on the (cohort, offset)
+    key. No windows.
+
+    Output: (cohort_period, period_offset, n_users).
+    """
+    day = F.datediff(F.to_date(F.col(ts_col)), F.lit(epoch).cast("date"))
+    ev = events.select(F.col(user_col).alias("user"), day.alias("day"))
+    first = ev.groupBy("user").agg(F.min("day").alias("first_day"))
+    j = ev.join(first, "user")
+    cohort = (F.col("first_day") / period_days).cast("long")
+    offset = ((F.col("day") / period_days).cast("long") - cohort)
+    return (j.select("user", cohort.alias("cohort_period"),
+                     offset.alias("period_offset"))
+            .groupBy("cohort_period", "period_offset")
+            .agg(F.count_distinct(F.col("user")).alias("n_users")))
+
+
+def group_outlier_stats(events: DataFrame, *, group_col: str = "event_type",
+                        value_col: str = "value",
+                        z_milli: int = 2000) -> DataFrame:
+    """Per-group outlier counts by z-score threshold, in PURE INTEGER
+    arithmetic: values are integerized to milli-units per row (the
+    stored doubles round identically on every engine), mean and
+    variance come from exact BIGINT sums with floor division, and the
+    threshold test compares ``(v − mean)² · 10⁶ > z_milli² · var`` —
+    no float aggregate ever happens, so partial-aggregation order
+    cannot perturb the result (float mean/stddev would differ in ULPs
+    across engines and flip boundary rows).
+
+    Definitions (documented, engine-replayable): ``mean_milli = Σv div
+    n``; ``var_milli² = (Σv² div n) − mean_milli²`` — floor-division
+    population variance. Overflow headroom: milli-values |v| ≤ 10⁶
+    keep Σv² ≤ n·10¹² (safe to n ≈ 9·10⁶ rows per group; integerize
+    to centi-units beyond that) and the comparison operands ≤ 10¹⁸.
+
+    Scale shape: one hash-aggregate on the group key for the stats,
+    one broadcast join of the (tiny — group-cardinality) stats frame
+    back onto the rows, one counting aggregate. No windows.
+
+    Output: (group, n, mean_milli, n_outliers).
+    """
+    vm = F.round(F.col(value_col) * 1000.0).cast("long")
+    d = events.select(F.col(group_col).alias("grp"), vm.alias("vm"))
+    stats = (d.groupBy("grp")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("vm").alias("s"),
+                  F.sum(F.col("vm") * F.col("vm")).alias("s2"))
+             .select("grp", "n",
+                     F.expr("s div n").alias("mean_milli"),
+                     (F.expr("s2 div n")
+                      - F.expr("(s div n) * (s div n)")).alias("var_milli2")))
+    j = d.join(F.broadcast(stats), "grp")
+    dev = F.col("vm") - F.col("mean_milli")
+    is_out = (dev * dev * 1_000_000) > (F.lit(z_milli * z_milli)
+                                        * F.col("var_milli2"))
+    return (j.groupBy("grp", "n", "mean_milli")
+            .agg(F.sum(F.when(is_out, 1).otherwise(0)).alias("n_outliers"))
+            .select(F.col("grp").alias("group"), "n", "mean_milli",
+                    "n_outliers"))

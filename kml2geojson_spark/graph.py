@@ -202,3 +202,52 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
                           .cast("long").alias("score_micro"))
                   .localCheckpoint(eager=True))
     return scores
+
+
+def triangle_count(edges: DataFrame, *, src: str = "src",
+                   dst: str = "dst") -> DataFrame:
+    """Per-node triangle participation counts over an undirected edge
+    list — the classic link-analysis clustering signal (the reference
+    has no graph surface; §2.3-style extension).
+
+    Algorithm: node-iterator with DEGREE ORIENTATION — every undirected
+    edge is oriented from its (degree, id)-smaller endpoint to the
+    larger, wedges are enumerated at the smaller endpoint, and a wedge
+    (a→b, a→c) closes iff the oriented edge (b→c) exists. Each triangle
+    a ≺ b ≺ c is found exactly once (only one of (b→c)/(c→b) exists).
+
+    Scale shape: degree orientation bounds every node's out-degree by
+    O(√m) even on power-law graphs, so the wedge self-join on the
+    source key never explodes on hubs — this is *structural* skew
+    handling, stronger than salting (the hot key simply stops being
+    the join key). Three shuffles total: the degree aggregate, the
+    wedge self-join on ``a``, and the closing semi-join on (b, c).
+    All joins are equi-joins; no windows, no Python.
+
+    Output: (node, n_triangles) for every node in ≥ 1 triangle.
+    """
+    e = (edges.select(F.least(F.col(src), F.col(dst)).cast("long").alias("u"),
+                      F.greatest(F.col(src), F.col(dst)).cast("long").alias("v"))
+         .where(F.col("u") != F.col("v"))
+         .distinct())
+    deg = (e.select(F.col("u").alias("node"))
+           .unionAll(e.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    oriented = (e.join(du, "u").join(dv, "v")
+                .select(F.when(u_first, F.col("u")).otherwise(F.col("v"))
+                        .alias("a"),
+                        F.when(u_first, F.col("v")).otherwise(F.col("u"))
+                        .alias("b")))
+    o1 = oriented.select(F.col("a"), F.col("b"))
+    o2 = oriented.select(F.col("a"), F.col("b").alias("c"))
+    wedges = (o1.join(o2, "a").where(F.col("b") != F.col("c")))
+    tris = wedges.join(oriented.select(F.col("a").alias("b"),
+                                       F.col("b").alias("c")),
+                       ["b", "c"], "left_semi")
+    corners = tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_triangles"))

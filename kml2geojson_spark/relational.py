@@ -1,0 +1,77 @@
+"""Relational analytics beyond plain SQL aggregates: the Pareto
+skyline (multi-criteria dominance frontier).
+
+The reference (a KML converter, /root/reference/kml2geojson/main.py)
+has no relational surface; this is a §2.4-style extension — skylines
+are the canonical "pick the non-dominated training examples" primitive
+(e.g. quality-vs-length frontiers over a document corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def skyline2d(points: DataFrame, *, x_col: str = "x", y_col: str = "y",
+              n_buckets: int = 256) -> DataFrame:
+    """Two-dimensional skyline (Pareto frontier, minimizing both
+    coordinates): return the distinct (x, y) points not dominated by
+    any other point, where q dominates p iff q.x <= p.x and
+    q.y <= p.y with at least one strict inequality.
+
+    Algorithm — TWO-PHASE, never a global sort:
+
+    After deduplication, order points by (x asc, y asc); a point is
+    dominated iff some predecessor has y <= its y, i.e. it survives
+    iff the strict-prefix minimum of y exceeds its own y. That prefix
+    minimum is split into two independently-computable parts:
+
+    1. **Bucket phase** — points are binned by ``x`` into
+       ``n_buckets`` equal-width bins; one hash-aggregate produces the
+       per-bucket min y (map-side combined, ``n_buckets`` rows), and
+       the exclusive running minimum over that TINY frame gives each
+       bucket the min y of everything strictly to its left. The frame
+       is ``n_buckets`` rows, so its single-partition window is free,
+       and it broadcast-joins back onto the points.
+    2. **In-bucket phase** — a window PARTITIONED by bucket (never
+       unpartitioned) ordered by (x, y) supplies the within-bucket
+       strict-prefix min. Each partition holds ~n/n_buckets points;
+       at 10^12 rows raise ``n_buckets`` (the bucket frame stays
+       driver-trivial up to millions of buckets). Heavily skewed x
+       distributions concentrate a bucket — pick bucket width from
+       the data's x quantiles in that case.
+
+    A point survives iff y < both partial prefix minima. One extra
+    tiny aggregate (global min/max of x) sizes the bins; it collects
+    exactly one row.
+
+    Output: the skyline points (x, y), distinct, with input types
+    preserved.
+    """
+    pts = (points.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+           .where(F.col("x").isNotNull() & F.col("y").isNotNull())
+           .distinct())
+    lo, hi = pts.agg(F.min("x"), F.max("x")).first()
+    if lo is None:
+        return pts
+    span = float(hi) - float(lo)
+    width = (span / n_buckets) or 1.0
+    bucket = F.least(F.floor((F.col("x") - F.lit(lo)) / F.lit(width)),
+                     F.lit(n_buckets - 1)).cast("long")
+    b = pts.select("x", "y", bucket.alias("bk"))
+    # Phase 1: per-bucket min y, then the exclusive running min over the
+    # n_buckets-row frame (single-partition window over a tiny frame).
+    wb = (Window.orderBy(F.col("bk").asc())
+          .rowsBetween(Window.unboundedPreceding, -1))
+    bmins = (b.groupBy("bk").agg(F.min("y").alias("bk_min"))
+             .select("bk", F.min("bk_min").over(wb).alias("left_min")))
+    j = b.join(F.broadcast(bmins), "bk")
+    # Phase 2: within-bucket strict-prefix min, partitioned by bucket.
+    wp = (Window.partitionBy("bk").orderBy(F.col("x").asc(), F.col("y").asc())
+          .rowsBetween(Window.unboundedPreceding, -1))
+    j = j.withColumn("in_min", F.min("y").over(wp))
+    survives = ((F.col("left_min").isNull()
+                 | (F.col("y") < F.col("left_min")))
+                & (F.col("in_min").isNull()
+                   | (F.col("y") < F.col("in_min"))))
+    return j.where(survives).select("x", "y")

@@ -158,3 +158,52 @@ def test_pagerank_validation(spark):
         pagerank(edges, n_iters=-1)
     with pytest.raises(ValueError):
         pagerank(edges, damping_micro=2_000_000)
+
+
+# ---------------------------------------------------------------------------
+# triangle_count
+# ---------------------------------------------------------------------------
+
+def _brute_triangles(edges):
+    import itertools
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts = {}
+    for a, b, c in itertools.combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for n in (a, b, c):
+                counts[n] = counts.get(n, 0) + 1
+    return counts
+
+
+def test_triangles_hand_example(spark):
+    from kml2geojson_spark.graph import triangle_count
+    # K4 on {1..4} plus a pendant 5: every K4 node is in C(3,2)=3
+    # triangles, the pendant in none.
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangles_random_vs_bruteforce(spark):
+    import random
+    from kml2geojson_spark.graph import triangle_count
+    rng = random.Random(13)
+    edges = {(rng.randrange(30), rng.randrange(30)) for _ in range(160)}
+    df = spark.createDataFrame(sorted(edges), "src long, dst long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
+    assert got == _brute_triangles(edges)
+
+
+def test_triangles_ignore_direction_dups_selfloops(spark):
+    from kml2geojson_spark.graph import triangle_count
+    # (1,2) twice, reversed (2,1), and a self-loop: still ONE triangle.
+    edges = [(1, 2), (1, 2), (2, 1), (2, 3), (3, 1), (3, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}

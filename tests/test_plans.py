@@ -434,3 +434,66 @@ def test_geohash_whole_stage_codegen(spark):
     assert plan.lstrip().startswith("*("), plan[:200]
     for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert marker not in plan, marker
+
+
+def test_triangle_count_all_equi_joins_no_python(spark):
+    from kml2geojson_spark.graph import triangle_count
+    edges = spark.range(300).selectExpr("id % 40 AS src",
+                                        "(id * 7) % 40 AS dst")
+    plan = _plan(triangle_count(edges))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert marker not in plan, marker
+
+
+def test_skyline_only_bucket_frame_window_is_unpartitioned(spark):
+    """The point-level window must be keyed by the x bucket; only the
+    n_buckets-row aggregate frame (its line mentions bk_min) may use a
+    single-partition window, and its result returns via broadcast."""
+    from kml2geojson_spark.relational import skyline2d
+    df = spark.range(5000).selectExpr("id % 997 AS x", "(id * 7) % 991 AS y")
+    plan = _plan(skyline2d(df))
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line and "bk_min" not in line:
+            assert "windowspecdefinition(bk#" in line, line
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("SinglePartition") == 1, plan
+
+
+def test_group_outliers_broadcasts_stats_stays_jvm(spark):
+    from kml2geojson_spark.eventops import group_outlier_stats
+    df = spark.range(2000).selectExpr(
+        "id AS event_id", "concat('g', id % 5) AS event_type",
+        "CAST(id % 100 AS DOUBLE) AS value")
+    plan = _plan(group_outlier_stats(df))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial_" in plan  # map-side combine on the stats aggregate
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert marker not in plan, marker
+
+
+def test_od_matrix_window_is_user_partitioned(spark):
+    from kml2geojson_spark.eventops import od_matrix
+    df = spark.range(1000).selectExpr(
+        "id AS event_id", "id % 50 AS user_id",
+        "CAST(id % 360 AS DOUBLE) AS x", "CAST(id % 170 AS DOUBLE) AS y")
+    plan = _plan(od_matrix(df))
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line:
+            assert "windowspecdefinition(user_id#" in line, line
+    assert "partial_" in plan
+
+
+def test_funnel_no_python_no_cartesian(spark):
+    from kml2geojson_spark.eventops import funnel_counts
+    df = spark.range(2000).selectExpr(
+        "id AS event_id", "id % 100 AS user_id",
+        "concat('s', id % 4) AS event_type",
+        "timestamp_ntz '2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id) AS ts",
+        "0.0 AS value")
+    plan = _plan(funnel_counts(df, ["s0", "s1", "s2"]))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert marker not in plan, marker
