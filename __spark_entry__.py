@@ -2355,6 +2355,49 @@ WHERE NOT EXISTS (
 """
 
 
+def _q92_hilbert_counts(spark, sf):
+    """Hilbert-curve cell counts (the locality-preserving layout key —
+    consecutive keys are always grid-adjacent, so range-partitioning by
+    this column gives compact partition footprints). Pure-Column
+    unrolled state machine, one shuffle."""
+    from kml2geojson_spark.spatial.hilbert import hilbert_encode
+    pts = _customer_points(spark, sf)
+    return (hilbert_encode(pts, "x", "y", 12, out="hcell")
+            .groupBy("hcell").agg(F.count(F.lit(1)).alias("n_points")))
+
+
+def _o92() -> str:
+    from kml2geojson_spark.spatial.hilbert import hilbert_cte_sql
+    inner = hilbert_cte_sql(f"({_PTS_SQL})", "x", "y", 12, "point_id")
+    return (f"SELECT hcell, COUNT(*) AS n_points FROM ({inner}) "
+            f"GROUP BY hcell")
+
+
+def _q93_surprisal(spark, sf):
+    """Corpus unigram surprisal per document (milli-nat integerized
+    per token — order-independent integer sums)."""
+    from kml2geojson_spark.textops import unigram_surprisal
+    return unigram_surprisal(_t(spark, sf, "documents"))
+
+
+_O93 = """
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+    FROM documents) WHERE tok != ''),
+freq AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok),
+total AS (SELECT CAST(SUM(tf) AS BIGINT) AS total FROM freq),
+pt AS (
+  SELECT tok, CAST(ROUND(LN(CAST(total AS DOUBLE) / tf) * 1000.0)
+              AS BIGINT) AS sm
+  FROM freq, total)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(sm) AS BIGINT) AS surprisal_sum_milli,
+       CAST(SUM(sm) AS BIGINT) // COUNT(*) AS mean_surprisal_milli
+FROM toks JOIN pt USING (tok) GROUP BY doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -2439,6 +2482,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q89_cohort_retention": _q89_cohort_retention,
         "q90_group_outliers": _q90_group_outliers,
         "q91_skyline": _q91_skyline,
+        "q92_hilbert_counts": _q92_hilbert_counts,
+        "q93_surprisal": _q93_surprisal,
     }
 
 
@@ -2522,6 +2567,8 @@ def oracle_sql() -> dict[str, str]:
         "q89_cohort_retention": _O89,
         "q90_group_outliers": _O90,
         "q91_skyline": _O91,
+        "q92_hilbert_counts": _o92(),
+        "q93_surprisal": _O93,
         # q41/q43/q44: rows-only (LSH/IVF candidate sets are
         # approximate by design — pytest measures recall vs the exact
         # baseline; media decode is stubbed).

@@ -926,3 +926,48 @@ def pack_sequences(documents: DataFrame, capacity: int, *,
                        f"div {int(capacity)}") - F.col("bin_id") + 1)
             .select(order_col, "n_tokens", "start", "bin_id",
                     "offset_in_bin", "n_bins"))
+
+
+def unigram_surprisal(documents: DataFrame, *, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Per-document mean unigram surprisal — the simplest corpus-level
+    language-model quality score (low = repetitive/common wording,
+    high = rare vocabulary; extreme values flag boilerplate and junk
+    in training-data curation).
+
+    Each token occurrence contributes ``round(ln(total/tf) * 1000)``
+    milli-nats, INTEGERIZED PER TOKEN before any sum, so the per-doc
+    totals are addition-order independent (a float sum would vary in
+    ULPs across partitionings and engines). The only float op is one
+    ``ln`` per DISTINCT token — the rounding boundary of a milli-nat
+    would need ``ln`` of a rational to land within ~1e-12 of 0.0005,
+    which transcendence rules out for any real vocabulary.
+
+    Scale shape: token explode → one hash-aggregate for term
+    frequencies (map-side combine) → 1-row total (broadcast) → token
+    equi-join back (AQE broadcasts when the vocabulary is small;
+    shuffles on the token key — NOT the doc key — when it is not, so a
+    Zipf head token never concentrates a doc's worth of rows in one
+    task beyond its own frequency, and a hot token is a hot KEY fixable
+    by salting, not an algorithmic funnel) → one per-doc aggregate.
+
+    Output: (id_col, n_tokens, surprisal_sum_milli,
+    mean_surprisal_milli) — mean by integer floor division.
+    """
+    toks = documents.select(
+        id_col,
+        F.explode(F.filter(F.split(F.lower(F.col(text_col)), " "),
+                           lambda t: t != "")).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    total = freq.agg(F.sum("tf").alias("total"))
+    per_tok = (freq.crossJoin(F.broadcast(total))
+               .select("tok",
+                       F.round(F.log(F.col("total").cast("double")
+                                     / F.col("tf")) * 1000.0)
+                       .cast("long").alias("sm")))
+    return (toks.join(per_tok, "tok")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.sum("sm").alias("surprisal_sum_milli"))
+            .withColumn("mean_surprisal_milli",
+                        F.expr("surprisal_sum_milli div n_tokens")))

@@ -191,3 +191,120 @@ def test_geohash_duckdb_sql_matches_numpy(precision):
     got = [r[0] for r in con.execute(
         f"SELECT {sql} FROM pts ORDER BY i").fetchall()]
     assert got == list(geohash_encode_np(lon, lat, precision))
+
+
+# ---------------------------------------------------------------------------
+# hilbert curve
+# ---------------------------------------------------------------------------
+
+def _xy2d_classic(n, x, y):
+    """Classic per-bit rotate/reflect algorithm (public-domain
+    reference implementation) — the ground truth for the LUT tables."""
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_lut_matches_classic_exhaustive():
+    from kml2geojson_spark.spatial.hilbert import hilbert_encode_np
+    import numpy as np
+    res = 5
+    n = 1 << res
+    xs, ys = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    lon = (xs.ravel() + 0.5) / n * 360.0 - 180.0
+    lat = (ys.ravel() + 0.5) / n * 180.0 - 90.0
+    got = hilbert_encode_np(lon, lat, res) >> 5
+    want = np.array([_xy2d_classic(n, x, y)
+                     for x, y in zip(xs.ravel(), ys.ravel())])
+    assert (got == want).all()
+
+
+def test_hilbert_adjacency_property():
+    """THE Hilbert property (what Morton lacks): consecutive curve
+    positions are always grid-adjacent — no seam jumps."""
+    from kml2geojson_spark.spatial.hilbert import (hilbert_decode_np,
+                                                   hilbert_encode_np)
+    import numpy as np
+    res = 4
+    n = 1 << res
+    xs, ys = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    lon = (xs.ravel() + 0.5) / n * 360.0 - 180.0
+    lat = (ys.ravel() + 0.5) / n * 180.0 - 90.0
+    cells = np.sort(hilbert_encode_np(lon, lat, res))
+    assert len(set(cells.tolist())) == n * n  # a bijection
+    ix, iy, _ = hilbert_decode_np(cells)
+    steps = np.abs(np.diff(ix)) + np.abs(np.diff(iy))
+    assert (steps == 1).all()
+
+
+def test_hilbert_decode_roundtrip():
+    from kml2geojson_spark.spatial.hilbert import (hilbert_decode_np,
+                                                   hilbert_encode_np)
+    import numpy as np
+    rng = np.random.default_rng(3)
+    lon = rng.uniform(-180, 180, 500)
+    lat = rng.uniform(-90, 90, 500)
+    res = 14
+    cells = hilbert_encode_np(lon, lat, res)
+    ix, iy, r = hilbert_decode_np(cells)
+    assert (r == res).all()
+    n = float(1 << res)
+    import math
+    for k in range(500):
+        assert ix[k] == min((1 << res) - 1,
+                            max(0, math.floor((lon[k] + 180.0) / 360.0 * n)))
+        assert iy[k] == min((1 << res) - 1,
+                            max(0, math.floor((lat[k] + 90.0) / 180.0 * n)))
+
+
+def test_hilbert_col_matches_np(spark):
+    from kml2geojson_spark.spatial.hilbert import (hilbert_encode,
+                                                   hilbert_encode_np)
+    import numpy as np
+    rng = np.random.default_rng(9)
+    lon = rng.uniform(-185, 185, 400)  # include out-of-range clamps
+    lat = rng.uniform(-95, 95, 400)
+    df = spark.createDataFrame(
+        [(i, float(lon[i]), float(lat[i])) for i in range(400)],
+        "id long, lon double, lat double")
+    got = {r["id"]: r["hcell"]
+           for r in hilbert_encode(df, "lon", "lat", 16).collect()}
+    want = hilbert_encode_np(lon, lat, 16)
+    assert all(got[i] == want[i] for i in range(400))
+
+
+def test_hilbert_sql_matches_np():
+    import duckdb
+    import numpy as np
+    from kml2geojson_spark.spatial.hilbert import (hilbert_cte_sql,
+                                                   hilbert_encode_np)
+    rng = np.random.default_rng(4)
+    lon = rng.uniform(-180, 180, 300)
+    lat = rng.uniform(-90, 90, 300)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pts AS SELECT * FROM (SELECT "
+                "UNNEST(range(300)) AS id)")
+    import pandas as pd
+    pdf = pd.DataFrame({"id": np.arange(300), "lon": lon, "lat": lat})
+    con.register("pts2", pdf)
+    sql = hilbert_cte_sql("pts2", "lon", "lat", 12, "id")
+    got = dict(con.execute(sql).fetchall())
+    want = hilbert_encode_np(lon, lat, 12)
+    assert all(got[i] == want[i] for i in range(300))
+
+
+def test_hilbert_res_validation():
+    import pytest
+    from kml2geojson_spark.spatial.hilbert import hilbert_encode_np
+    with pytest.raises(ValueError):
+        hilbert_encode_np([0.0], [0.0], 27)

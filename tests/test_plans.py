@@ -497,3 +497,17 @@ def test_funnel_no_python_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert marker not in plan, marker
+
+
+def test_hilbert_encode_linear_codegen_no_python(spark):
+    """The unrolled state machine must stay LINEAR in the plan (one
+    Project per level, not an exponential substitution) and inside a
+    single whole-stage-codegen span with zero Python."""
+    from kml2geojson_spark.spatial.hilbert import hilbert_encode
+    df = spark.range(100).selectExpr("CAST(id AS DOUBLE) / 3 AS lon",
+                                     "CAST(id AS DOUBLE) / 7 AS lat")
+    plan = _plan(hilbert_encode(df, "lon", "lat", 16))
+    assert plan.lstrip().startswith("*("), plan[:200]
+    assert len(plan) < 60_000, f"plan blew up: {len(plan)} chars"
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert marker not in plan, marker

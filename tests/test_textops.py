@@ -716,3 +716,28 @@ def test_pack_sequences_capacity_validation(spark):
     docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError):
         pack_sequences(docs, 0)
+
+
+def test_unigram_surprisal_hand_example(spark):
+    import math
+    from kml2geojson_spark.textops import unigram_surprisal
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], "doc_id long, text string")
+    # corpus: a=3, b=1, c=1, total=5
+    got = {r["doc_id"]: (r["n_tokens"], r["surprisal_sum_milli"],
+                         r["mean_surprisal_milli"])
+           for r in unigram_surprisal(docs).collect()}
+    sa = round(math.log(5 / 3) * 1000)
+    sb = round(math.log(5 / 1) * 1000)
+    assert got[1] == (3, 2 * sa + sb, (2 * sa + sb) // 3)
+    assert got[2] == (2, sa + sb, (sa + sb) // 2)
+
+
+def test_unigram_surprisal_rare_scores_higher(spark):
+    from kml2geojson_spark.textops import unigram_surprisal
+    rows = [(i, "common common common") for i in range(20)]
+    rows.append((99, "zyzzyva qwerty"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["mean_surprisal_milli"]
+           for r in unigram_surprisal(docs).collect()}
+    assert got[99] > got[0]
