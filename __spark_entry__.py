@@ -2398,6 +2398,45 @@ FROM toks JOIN pt USING (tok) GROUP BY doc_id
 """
 
 
+_BM25_TERMS = ["query", "join", "fast"]
+
+
+def _q94_bm25(spark, sf):
+    """BM25 retrieval scores against a fixed term bag (milli-score
+    integerized per (doc, term) contribution)."""
+    from kml2geojson_spark.textops import bm25_scores
+    return bm25_scores(_t(spark, sf, "documents"), _BM25_TERMS)
+
+
+def _o94() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+    FROM documents) WHERE tok != ''),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl
+          FROM dl),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+       WHERE tok IN ({terms}) GROUP BY doc_id, tok),
+idf AS (
+  SELECT tok,
+         LN((n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf,
+         CAST(sum_dl AS DOUBLE) / n_docs AS avgdl
+  FROM (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok), stats)
+SELECT doc_id, CAST(SUM(c_milli) AS BIGINT) AS bm25_milli FROM (
+  SELECT tf.doc_id,
+         CAST(ROUND(idf * ((tf * (1.2 + 1.0))
+              / (tf + 1.2 * (1.0 - 0.75 + 0.75
+                 * (CAST(dl.dl AS DOUBLE) / avgdl)))) * 1000.0)
+              AS BIGINT) AS c_milli
+  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN idf ON tf.tok = idf.tok)
+GROUP BY doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -2484,6 +2523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q91_skyline": _q91_skyline,
         "q92_hilbert_counts": _q92_hilbert_counts,
         "q93_surprisal": _q93_surprisal,
+        "q94_bm25": _q94_bm25,
     }
 
 
@@ -2569,6 +2609,7 @@ def oracle_sql() -> dict[str, str]:
         "q91_skyline": _O91,
         "q92_hilbert_counts": _o92(),
         "q93_surprisal": _O93,
+        "q94_bm25": _o94(),
         # q41/q43/q44: rows-only (LSH/IVF candidate sets are
         # approximate by design — pytest measures recall vs the exact
         # baseline; media decode is stubbed).

@@ -971,3 +971,54 @@ def unigram_surprisal(documents: DataFrame, *, id_col: str = "doc_id",
                  F.sum("sm").alias("surprisal_sum_milli"))
             .withColumn("mean_surprisal_milli",
                         F.expr("surprisal_sum_milli div n_tokens")))
+
+
+def bm25_scores(documents: DataFrame, terms: list[str], *,
+                id_col: str = "doc_id", text_col: str = "text",
+                k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """BM25 relevance of every document against a bag of query terms
+    (the Lucene-style formula: idf = ln((N − df + 0.5)/(df + 0.5) + 1),
+    tf saturation with k1, length normalization with b).
+
+    Per-(doc, term) contributions are rounded to MILLI-SCORE integers
+    before the per-doc sum, so totals are addition-order independent
+    and hash-exact cross-engine; the float expression is evaluated with
+    one fixed parenthesization on both engines.
+
+    Scale shape: the token explode is filtered to the query terms
+    BEFORE any aggregate (predicate on the exploded value — the
+    (doc, term, tf) frame is |terms|-bounded per doc); document length
+    needs one full-corpus hash-aggregate (map-side combined); N and
+    avgdl are 1-row aggregates; the per-term df/idf frame is
+    |terms| rows and broadcasts. One doc-key equi-join (tf × dl), one
+    broadcast join, one final per-doc aggregate — no windows.
+
+    Output: (id_col, bm25_milli) for documents matching ≥ 1 term.
+    """
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    toks = documents.select(
+        id_col,
+        F.explode(F.filter(F.split(F.lower(F.col(text_col)), " "),
+                           lambda t: t != "")).alias("tok"))
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.sum("dl").alias("sum_dl"))
+    qt = toks.where(F.col("tok").isin(list(terms)))
+    tf = qt.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = (df_.crossJoin(F.broadcast(stats))
+           .select("tok",
+                   F.log((F.col("n_docs") - F.col("df") + 0.5)
+                         / (F.col("df") + 0.5) + 1.0).alias("idf"),
+                   (F.col("sum_dl").cast("double")
+                    / F.col("n_docs")).alias("avgdl")))
+    j = tf.join(dl, id_col).join(F.broadcast(idf), "tok")
+    denom = (F.col("tf")
+             + k1 * (1.0 - b + b * (F.col("dl").cast("double")
+                                    / F.col("avgdl"))))
+    contrib = F.col("idf") * ((F.col("tf") * (k1 + 1.0)) / denom)
+    return (j.select(id_col, F.round(contrib * 1000.0).cast("long")
+                     .alias("c_milli"))
+            .groupBy(id_col)
+            .agg(F.sum("c_milli").alias("bm25_milli")))

@@ -741,3 +741,43 @@ def test_unigram_surprisal_rare_scores_higher(spark):
     got = {r["doc_id"]: r["mean_surprisal_milli"]
            for r in unigram_surprisal(docs).collect()}
     assert got[99] > got[0]
+
+
+def test_bm25_hand_example(spark):
+    import math
+    from kml2geojson_spark.textops import bm25_scores
+    docs = spark.createDataFrame(
+        [(1, "cat dog cat"), (2, "dog bird"), (3, "fish fish fish fish")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["bm25_milli"]
+           for r in bm25_scores(docs, ["cat", "dog"]).collect()}
+    n, avgdl = 3, 9 / 3
+    k1, b = 1.2, 0.75
+
+    def c(tf, dl, df):
+        idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+        return round(idf * ((tf * (k1 + 1.0))
+                            / (tf + k1 * (1.0 - b + b * (dl / avgdl))))
+                     * 1000.0)
+
+    assert got[1] == c(2, 3, 1) + c(1, 3, 2)  # cat tf=2 df=1; dog tf=1 df=2
+    assert got[2] == c(1, 2, 2)
+    assert 3 not in got  # no matching term
+
+
+def test_bm25_rare_term_outscores_common(spark):
+    from kml2geojson_spark.textops import bm25_scores
+    rows = [(i, "common filler words here") for i in range(30)]
+    rows += [(100, "rare common filler"), (101, "common filler target")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["bm25_milli"]
+           for r in bm25_scores(docs, ["rare", "common"]).collect()}
+    assert got[100] > got[101]  # the rare-term doc wins
+
+
+def test_bm25_validation(spark):
+    import pytest
+    from kml2geojson_spark.textops import bm25_scores
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        bm25_scores(docs, [])
