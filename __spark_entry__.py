@@ -2437,6 +2437,43 @@ GROUP BY doc_id
 """
 
 
+def _q95_span_stats(spark, sf):
+    """Interleaving statistics over a spans table derived
+    deterministically from the documents table (text split in half;
+    every third doc gets a media span between the halves — the
+    input_hint's interleaved shape). The operator folds the span
+    arrays; the oracle computes the same statistics analytically from
+    the derivation, so any fold bug breaks the hash."""
+    from kml2geojson_spark.multimodal import span_mix_stats
+    d = (_t(spark, sf, "documents")
+         .select("doc_id", "text",
+                 F.expr("CAST(length(text) / 2 AS INT)").alias("h")))
+    t1 = F.struct(F.lit("text").alias("kind"),
+                  F.expr("substring(text, 1, h)").alias("text"),
+                  F.lit(None).cast("string").alias("media_ref"),
+                  F.lit(0).alias("offset"))
+    t2 = F.struct(F.lit("text").alias("kind"),
+                  F.expr("substring(text, h + 1)").alias("text"),
+                  F.lit(None).cast("string").alias("media_ref"),
+                  F.col("h").alias("offset"))
+    m = F.struct(F.lit("media").alias("kind"), F.lit("").alias("text"),
+                 F.concat(F.lit("m"), F.col("doc_id")).alias("media_ref"),
+                 F.col("h").alias("offset"))
+    spans = F.when(F.col("doc_id") % 3 == 0,
+                   F.array(t1, m, t2)).otherwise(F.array(t1, t2))
+    return span_mix_stats(d.select("doc_id", spans.alias("spans")))
+
+
+_O95 = """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 2 END AS n_spans,
+       CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS n_media,
+       CAST(LENGTH(text) AS BIGINT) AS text_chars,
+       CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 0 END AS n_transitions
+FROM documents
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -2524,6 +2561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q92_hilbert_counts": _q92_hilbert_counts,
         "q93_surprisal": _q93_surprisal,
         "q94_bm25": _q94_bm25,
+        "q95_span_stats": _q95_span_stats,
     }
 
 
@@ -2610,6 +2648,7 @@ def oracle_sql() -> dict[str, str]:
         "q92_hilbert_counts": _o92(),
         "q93_surprisal": _O93,
         "q94_bm25": _o94(),
+        "q95_span_stats": _O95,
         # q41/q43/q44: rows-only (LSH/IVF candidate sets are
         # approximate by design — pytest measures recall vs the exact
         # baseline; media decode is stubbed).

@@ -126,3 +126,35 @@ def sample_frames(with_content: DataFrame, *, n_frames: int = 4) -> DataFrame:
 
     return with_content.mapInPandas(
         run, "doc_id string, media_ref string, frame_idx int, frame binary")
+
+
+def span_mix_stats(documents_kml: DataFrame) -> DataFrame:
+    """Per-document interleaving statistics over the spans layout
+    (doc_id, spans: array<struct<kind, text, media_ref, offset>> —
+    the input_hint table shape): span counts by kind, total text
+    characters, and the number of kind TRANSITIONS between consecutive
+    spans (the interleaving signal — a doc with media scattered through
+    its text transitions often; one with a media appendix doesn't).
+
+    Pure array Columns — no explode, no shuffle, no Python: each
+    statistic is one ``aggregate``/``zip_with`` fold over the array in
+    whole-stage codegen, so the operator is a narrow map whatever the
+    corpus size.
+
+    Output: (doc_id, n_spans, n_media, text_chars, n_transitions).
+    """
+    kinds = F.transform("spans", lambda s: s["kind"])
+    n_media = F.size(F.filter("spans", lambda s: s["kind"] == "media"))
+    text_chars = F.aggregate(
+        "spans", F.lit(0).cast("long"),
+        lambda acc, s: acc + F.length(F.coalesce(s["text"], F.lit(""))))
+    transitions = F.size(F.filter(
+        F.zip_with(kinds, F.slice(kinds, 2, F.greatest(
+            F.size(kinds) - 1, F.lit(0))), lambda a, b: a != b),
+        lambda x: x))
+    return documents_kml.select(
+        "doc_id",
+        F.size("spans").alias("n_spans"),
+        n_media.alias("n_media"),
+        text_chars.alias("text_chars"),
+        transitions.alias("n_transitions"))

@@ -511,3 +511,17 @@ def test_hilbert_encode_linear_codegen_no_python(spark):
     assert len(plan) < 60_000, f"plan blew up: {len(plan)} chars"
     for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert marker not in plan, marker
+
+
+def test_span_mix_stats_narrow_map_no_python(spark):
+    """The interleaving stats must be a narrow map: array folds in
+    codegen — no explode-shuffle, no Python."""
+    import kml2geojson_spark as k2gs
+    from kml2geojson_spark.multimodal import span_mix_stats
+    docs = k2gs.synthesize_documents_kml(spark, 10, seed=1,
+                                         max_placemarks=3)
+    plan = _plan(span_mix_stats(docs))
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan  # no explode
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert marker not in plan, marker

@@ -781,3 +781,47 @@ def test_bm25_validation(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         bm25_scores(docs, [])
+
+
+def test_span_mix_stats_hand_example(spark):
+    import kml2geojson_spark as k2gs
+    from kml2geojson_spark.multimodal import span_mix_stats
+
+    def t(text, off):
+        return ("text", text, None, off)
+
+    def m(ref, off):
+        return ("media", "", ref, off)
+
+    rows = [
+        ("1", [t("ab", 0), m("x.png", 2), t("cde", 2), t("f", 5)]),
+        ("2", [t("hello", 0)]),
+        ("3", [m("a.jpg", 0), m("b.jpg", 0)]),  # media-media: no transition
+        ("4", []),
+        ("5", [t(None, 0)]),                    # null text counts 0 chars
+    ]
+    df = spark.createDataFrame(rows, k2gs.spans_schema())
+    got = {r["doc_id"]: (r["n_spans"], r["n_media"], r["text_chars"],
+                         r["n_transitions"])
+           for r in span_mix_stats(df).collect()}
+    assert got["1"] == (4, 1, 6, 2)   # text->media->text->text
+    assert got["2"] == (1, 0, 5, 0)
+    assert got["3"] == (2, 2, 0, 0)
+    assert got["4"] == (0, 0, 0, 0)
+    assert got["5"] == (1, 0, 0, 0)
+
+
+def test_span_mix_stats_on_synthesized_corpus(spark):
+    import kml2geojson_spark as k2gs
+    from kml2geojson_spark.multimodal import media_table, span_mix_stats
+    docs = k2gs.synthesize_documents_kml(spark, 40, seed=9,
+                                         max_placemarks=6)
+    stats = {r["doc_id"]: r for r in span_mix_stats(docs).collect()}
+    media_counts = {r["doc_id"]: r["n"]
+                    for r in (media_table(docs).groupBy("doc_id")
+                              .count().withColumnRenamed("count", "n")
+                              .collect())}
+    assert len(stats) == 40
+    for doc_id, r in stats.items():
+        assert r["n_media"] == media_counts.get(doc_id, 0)
+        assert 0 <= r["n_transitions"] < r["n_spans"] or r["n_spans"] == 0
