@@ -92,3 +92,100 @@ def test_convert_documents_from_parquet_parity(spark, tmp_path):
                       for r in rows)
 
     assert norm(via_df) == norm(via_files)
+
+
+# ---------------------------------------------------------------------------
+# streaming point extractor (tile-path fast lane)
+# ---------------------------------------------------------------------------
+
+def _tree_points(kml):
+    from kml2geojson_spark.convert_core import iter_point_coords
+    from kml2geojson_spark.kmlparse import parse_kml
+    return [(p[0], p[1]) for _, _, p in iter_point_coords(parse_kml(kml))]
+
+
+def test_stream_point_xy_differential_corpus():
+    """Every synthetic-corpus document must take the fast lane and
+    match the tree path exactly (the kernel parity test then covers
+    the fused path end-to-end)."""
+    from kml2geojson_spark.datagen import synthesize_kml
+    from kml2geojson_spark.kmlparse_stream import stream_point_xy
+    n_fast = 0
+    for i in range(500):
+        kml = synthesize_kml(i, max_placemarks=12)
+        fast = stream_point_xy(kml)
+        if fast is not None:
+            n_fast += 1
+            assert fast == _tree_points(kml), f"doc {i}"
+    assert n_fast == 500  # the corpus has no bail-out shapes
+
+
+def test_stream_point_xy_differential_fuzz():
+    """The grammar fuzzer's nasty corners (CDATA, comments, entities,
+    nested multi-geometry, self-closing tags): stream == tree wherever
+    the stream accepts, and both raise together on malformed coords."""
+    from kml2geojson_spark.kmlparse_stream import stream_point_xy
+
+    from .test_differential_fuzz import make_fuzz_kml
+    n_fast = 0
+    for seed in range(400):
+        kml = make_fuzz_kml(seed)
+        try:
+            tree = _tree_points(kml)
+            tree_err = None
+        except ValueError:
+            tree, tree_err = None, ValueError
+        try:
+            fast = stream_point_xy(kml)
+            fast_err = None
+        except ValueError:
+            fast, fast_err = "raised", ValueError
+        if fast is None:
+            continue  # bail-out: tree path decides
+        n_fast += 1
+        assert fast_err == tree_err, f"seed {seed}"
+        if tree_err is None:
+            assert fast == tree, f"seed {seed}"
+    assert n_fast > 200  # the fast lane must cover most fuzz docs
+
+
+def test_stream_point_xy_adversarial_cases():
+    from kml2geojson_spark.kmlparse_stream import stream_point_xy
+    # descent drops the outer point, keeps the inner
+    k = ("<kml><Placemark><Point><coordinates>1,1</coordinates></Point>"
+         "<MultiGeometry><Point><coordinates>2,2</coordinates></Point>"
+         "</MultiGeometry></Placemark></kml>")
+    assert stream_point_xy(k) == _tree_points(k) == [(2.0, 2.0)]
+    # nested containers: innermost first-preorder chain wins
+    k = ("<kml><Placemark><MultiGeometry><Point><coordinates>1,1"
+         "</coordinates></Point><MultiGeometry><Point><coordinates>3,3"
+         "</coordinates></Point></MultiGeometry></MultiGeometry>"
+         "</Placemark></kml>")
+    assert stream_point_xy(k) == _tree_points(k) == [(3.0, 3.0)]
+    # point after the chosen container closed: dropped
+    k = ("<kml><Placemark><MultiGeometry><Point><coordinates>6,6"
+         "</coordinates></Point></MultiGeometry><Point><coordinates>7,7"
+         "</coordinates></Point></Placemark></kml>")
+    assert stream_point_xy(k) == _tree_points(k) == [(6.0, 6.0)]
+    # self-closed container: empty final scope
+    k = ("<kml><Placemark><Point><coordinates>8,8</coordinates></Point>"
+         "<MultiGeometry/></Placemark></kml>")
+    assert stream_point_xy(k) == _tree_points(k) == []
+    # malformed coords OUTSIDE the final scope: neither path raises
+    k = ("<kml><Placemark><Point><coordinates>junk</coordinates></Point>"
+         "<MultiGeometry><Point><coordinates>2,2</coordinates></Point>"
+         "</MultiGeometry></Placemark></kml>")
+    assert stream_point_xy(k) == _tree_points(k) == [(2.0, 2.0)]
+    # mixed container kinds in one placemark: bail to the tree path
+    k = ("<kml><Placemark><MultiTrack/><MultiGeometry><Point>"
+         "<coordinates>1,1</coordinates></Point></MultiGeometry>"
+         "</Placemark></kml>")
+    assert stream_point_xy(k) is None
+    # nested placemarks WITHOUT containers: multiplicity preserved
+    k = ("<kml><Placemark><Placemark><Point><coordinates>7,8"
+         "</coordinates></Point></Placemark></Placemark></kml>")
+    assert stream_point_xy(k) == _tree_points(k) == [(7.0, 8.0)] * 2
+    # unclosed element at EOF: bail
+    assert stream_point_xy("<kml><Placemark><Point>") is None
+    # mismatched close: bail
+    assert stream_point_xy("<kml><a><b></a></b></kml>") is None
