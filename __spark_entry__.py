@@ -2474,6 +2474,65 @@ FROM documents
 """
 
 
+def _q96_pmi_bigrams(spark, sf):
+    """Adjacent-bigram PMI collocations (milli-nat integerized, exact
+    integer counting, linear-in-tokens bigram generation)."""
+    from kml2geojson_spark.textops import pmi_bigrams
+    return pmi_bigrams(_t(spark, sf, "documents"), min_count=5)
+
+
+_O96 = """
+WITH dt AS (
+  SELECT list_filter(string_split(lower(text), ' '), t -> t != '') AS toks
+  FROM documents),
+uni AS (SELECT unnest(toks) AS tok FROM dt),
+uc AS (SELECT tok, COUNT(*) AS c FROM uni GROUP BY tok),
+nu AS (SELECT COUNT(*) AS n_uni FROM uni),
+big AS (
+  SELECT toks[CAST(i AS INTEGER)] AS tok_a,
+         toks[CAST(i AS INTEGER) + 1] AS tok_b
+  FROM dt, UNNEST(range(1, len(toks))) AS u(i)),
+nb AS (SELECT COUNT(*) AS n_bi FROM big),
+bc AS (SELECT tok_a, tok_b, COUNT(*) AS n_ab FROM big
+       GROUP BY tok_a, tok_b HAVING COUNT(*) >= 5)
+SELECT tok_a, tok_b, n_ab,
+       CAST(ROUND(LN((CAST(n_ab AS DOUBLE) * n_uni * n_uni)
+            / (CAST(n_bi AS DOUBLE) * ca.c * cb.c)) * 1000.0) AS BIGINT)
+         AS pmi_milli
+FROM bc
+JOIN uc ca ON bc.tok_a = ca.tok
+JOIN uc cb ON bc.tok_b = cb.tok, nu, nb
+"""
+
+
+def _q97_common_neighbors(spark, sf):
+    """Jaccard of supplier neighborhoods for customer pairs (bipartite
+    common-neighbor similarity) — pure-integer milli-Jaccard."""
+    from kml2geojson_spark.graph import common_neighbor_similarity
+    li = (_t(spark, sf, "lineitem").where(F.col("l_suppkey") <= 20)
+          .select("l_orderkey", "l_suppkey"))
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    edges = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+             .select(F.col("o_custkey").alias("src"),
+                     F.col("l_suppkey").alias("dst")))
+    return common_neighbor_similarity(edges, min_common=2)
+
+
+_O97 = """
+WITH e AS (
+  SELECT DISTINCT o_custkey AS l, l_suppkey AS r
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_suppkey <= 20),
+deg AS (SELECT l, COUNT(*) AS d FROM e GROUP BY l),
+p AS (SELECT a.l AS node_a, b.l AS node_b, COUNT(*) AS n_common
+      FROM e a JOIN e b ON a.r = b.r AND a.l < b.l
+      GROUP BY a.l, b.l HAVING COUNT(*) >= 2)
+SELECT node_a, node_b, n_common,
+       (1000 * n_common) // (da.d + db.d - n_common) AS jaccard_milli
+FROM p JOIN deg da ON node_a = da.l JOIN deg db ON node_b = db.l
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -2562,6 +2621,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q93_surprisal": _q93_surprisal,
         "q94_bm25": _q94_bm25,
         "q95_span_stats": _q95_span_stats,
+        "q96_pmi_bigrams": _q96_pmi_bigrams,
+        "q97_common_neighbors": _q97_common_neighbors,
     }
 
 
@@ -2649,6 +2710,8 @@ def oracle_sql() -> dict[str, str]:
         "q93_surprisal": _O93,
         "q94_bm25": _o94(),
         "q95_span_stats": _O95,
+        "q96_pmi_bigrams": _O96,
+        "q97_common_neighbors": _O97,
         # q41/q43/q44: rows-only (LSH/IVF candidate sets are
         # approximate by design — pytest measures recall vs the exact
         # baseline; media decode is stubbed).

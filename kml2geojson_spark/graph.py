@@ -251,3 +251,44 @@ def triangle_count(edges: DataFrame, *, src: str = "src",
     corners = tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).alias("n_triangles"))
+
+
+def common_neighbor_similarity(edges: DataFrame, *, left: str = "src",
+                               right: str = "dst",
+                               min_common: int = 1) -> DataFrame:
+    """Jaccard similarity of right-side neighborhoods for pairs of
+    left-side nodes in a bipartite edge list — the classic
+    link-prediction / entity-resolution signal ("customers who share
+    suppliers"). ENTIRELY integer arithmetic: jaccard_milli =
+    (1000·|N(a)∩N(b)|) div (|N(a)|+|N(b)|−|∩|) — no float ever, so
+    results are bit-exact on any engine and any partitioning.
+
+    Scale shape: one distinct (one shuffle), degree hash-aggregate,
+    then the wedge self-join keyed on the RIGHT node — candidate pairs
+    are generated per shared neighbor, never all-pairs; a hot right
+    node (every customer buys from supplier X) blows up the wedge
+    count quadratically, so prune such hubs first (they carry no
+    similarity signal anyway — cap with a degree filter) or salt the
+    wedge key. Pair counting is one hash-aggregate on (a, b) with
+    map-side combine; degrees come back via two token-key joins.
+
+    Output: (node_a, node_b, n_common, jaccard_milli) with
+    node_a < node_b and n_common >= min_common.
+    """
+    e = (edges.select(F.col(left).cast("long").alias("l"),
+                      F.col(right).cast("long").alias("r"))
+         .distinct())
+    deg = e.groupBy("l").agg(F.count(F.lit(1)).alias("d"))
+    w1 = e.select(F.col("l").alias("node_a"), "r")
+    w2 = e.select(F.col("l").alias("node_b"), "r")
+    pairs = (w1.join(w2, "r")
+             .where(F.col("node_a") < F.col("node_b"))
+             .groupBy("node_a", "node_b")
+             .agg(F.count(F.lit(1)).alias("n_common"))
+             .where(F.col("n_common") >= min_common))
+    da = deg.select(F.col("l").alias("node_a"), F.col("d").alias("d_a"))
+    db = deg.select(F.col("l").alias("node_b"), F.col("d").alias("d_b"))
+    return (pairs.join(da, "node_a").join(db, "node_b")
+            .select("node_a", "node_b", "n_common",
+                    F.expr("(1000 * n_common) div (d_a + d_b - n_common)")
+                    .alias("jaccard_milli")))

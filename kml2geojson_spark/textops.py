@@ -1022,3 +1022,51 @@ def bm25_scores(documents: DataFrame, terms: list[str], *,
                      .alias("c_milli"))
             .groupBy(id_col)
             .agg(F.sum("c_milli").alias("bm25_milli")))
+
+
+def pmi_bigrams(documents: DataFrame, *, id_col: str = "doc_id",
+                text_col: str = "text", min_count: int = 5) -> DataFrame:
+    """Pointwise mutual information of ADJACENT token bigrams — the
+    classic collocation signal (tokenizer-merge candidates, multi-word
+    entities). PMI = ln(p(a,b) / (p(a)·p(b))) with p from corpus
+    unigram/bigram counts; emitted as milli-nats (one float expression
+    per OUTPUT row with a fixed operand order, identical on both
+    engines; all counting is exact integers).
+
+    Scale shape: bigrams are linear in tokens (adjacent pairs via two
+    array slices zipped — never a token self-join); one hash-aggregate
+    each for unigram and bigram counts (map-side combined);
+    ``min_count`` prunes the bigram tail BEFORE the two token-key
+    equi-joins against the unigram counts (Zipf-safe: both join keys
+    are tokens, and the surviving bigram frame is small). Totals are
+    1-row broadcasts.
+
+    Output: (tok_a, tok_b, n_ab, pmi_milli) for bigrams with
+    ``n_ab >= min_count``.
+    """
+    toks_arr = F.filter(F.split(F.lower(F.col(text_col)), " "),
+                        lambda t: t != "")
+    d = documents.select(toks_arr.alias("toks"))
+    uni = d.select(F.explode("toks").alias("tok"))
+    uc = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n_uni = uni.agg(F.count(F.lit(1)).alias("n_uni"))
+    pairs = d.select(F.explode(F.arrays_zip(
+        F.slice("toks", 1, F.greatest(F.size("toks") - 1, F.lit(0))),
+        F.slice("toks", 2, F.greatest(F.size("toks") - 1, F.lit(0)))))
+        .alias("p")).select(F.col("p.0").alias("tok_a"),
+                            F.col("p.1").alias("tok_b"))
+    n_bi = pairs.agg(F.count(F.lit(1)).alias("n_bi"))
+    bc = (pairs.groupBy("tok_a", "tok_b")
+          .agg(F.count(F.lit(1)).alias("n_ab"))
+          .where(F.col("n_ab") >= min_count))
+    ca = uc.select(F.col("tok").alias("tok_a"), F.col("c").alias("c_a"))
+    cb = uc.select(F.col("tok").alias("tok_b"), F.col("c").alias("c_b"))
+    j = (bc.join(ca, "tok_a").join(cb, "tok_b")
+         .crossJoin(F.broadcast(n_uni)).crossJoin(F.broadcast(n_bi)))
+    ratio = ((F.col("n_ab").cast("double") * F.col("n_uni")
+              * F.col("n_uni"))
+             / (F.col("n_bi").cast("double") * F.col("c_a")
+                * F.col("c_b")))
+    return j.select("tok_a", "tok_b", "n_ab",
+                    F.round(F.log(ratio) * 1000.0).cast("long")
+                    .alias("pmi_milli"))

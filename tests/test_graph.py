@@ -207,3 +207,48 @@ def test_triangles_ignore_direction_dups_selfloops(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+# ---------------------------------------------------------------------------
+# common_neighbor_similarity
+# ---------------------------------------------------------------------------
+
+def test_common_neighbor_similarity_hand_example(spark):
+    from kml2geojson_spark.graph import common_neighbor_similarity
+    # a -> {1,2,3}; b -> {2,3,4}; c -> {9}
+    edges = [(10, 1), (10, 2), (10, 3), (20, 2), (20, 3), (20, 4), (30, 9)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = [(r["node_a"], r["node_b"], r["n_common"], r["jaccard_milli"])
+           for r in common_neighbor_similarity(df).collect()]
+    assert got == [(10, 20, 2, (1000 * 2) // (3 + 3 - 2))]
+
+
+def test_common_neighbor_similarity_vs_bruteforce(spark):
+    import random
+    from kml2geojson_spark.graph import common_neighbor_similarity
+    rng = random.Random(17)
+    edges = {(rng.randrange(40), rng.randrange(12)) for _ in range(200)}
+    df = spark.createDataFrame(sorted(edges), "src long, dst long")
+    nbrs = {}
+    for l, r in edges:
+        nbrs.setdefault(l, set()).add(r)
+    want = {}
+    nodes = sorted(nbrs)
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            common = len(nbrs[a] & nbrs[b])
+            if common >= 1:
+                want[(a, b)] = (common, 1000 * common
+                                // (len(nbrs[a]) + len(nbrs[b]) - common))
+    got = {(r["node_a"], r["node_b"]): (r["n_common"], r["jaccard_milli"])
+           for r in common_neighbor_similarity(df).collect()}
+    assert got == want
+
+
+def test_common_neighbor_min_common_prunes(spark):
+    from kml2geojson_spark.graph import common_neighbor_similarity
+    edges = [(1, 5), (2, 5), (1, 6), (2, 6), (3, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r["node_a"], r["node_b"])
+           for r in common_neighbor_similarity(df, min_common=2).collect()}
+    assert got == {(1, 2)}

@@ -825,3 +825,30 @@ def test_span_mix_stats_on_synthesized_corpus(spark):
     for doc_id, r in stats.items():
         assert r["n_media"] == media_counts.get(doc_id, 0)
         assert 0 <= r["n_transitions"] < r["n_spans"] or r["n_spans"] == 0
+
+
+def test_pmi_bigrams_hand_example(spark):
+    import math
+    from kml2geojson_spark.textops import pmi_bigrams
+    # corpus: "a b" x3, "a c" x2  -> unigrams a=5 b=3... build precisely:
+    rows = [(1, "a b a b"), (2, "a b c"), (3, "c a")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["tok_a"], r["tok_b"]): (r["n_ab"], r["pmi_milli"])
+           for r in pmi_bigrams(docs, min_count=2).collect()}
+    # bigrams: (a,b)x3 (b,a)x1 (b,c)x1 (c,a)x1 -> n_bi=6
+    # unigrams: a=4, b=3, c=2 -> n_uni=9
+    n_uni, n_bi = 9, 6
+    pmi_ab = round(math.log((3 * n_uni * n_uni) / (n_bi * 4 * 3)) * 1000)
+    assert got == {("a", "b"): (3, pmi_ab)}
+
+
+def test_pmi_bigrams_no_cross_doc_pairs(spark):
+    from kml2geojson_spark.textops import pmi_bigrams
+    # "x" ends doc 1 and "y" starts doc 2: (x,y) must NOT be a bigram
+    rows = [(1, "q x"), (2, "y q")] * 3
+    docs = spark.createDataFrame(
+        [(i, t) for i, (_, t) in enumerate(rows)],
+        "doc_id long, text string")
+    got = {(r["tok_a"], r["tok_b"]) for r in
+           pmi_bigrams(docs, min_count=1).collect()}
+    assert got == {("q", "x"), ("y", "q")}
