@@ -2533,6 +2533,38 @@ FROM p JOIN deg da ON node_a = da.l JOIN deg db ON node_b = db.l
 """
 
 
+def _q98_incremental_tiles(spark, sf):
+    """Incremental tile maintenance: base + delta partial tile counts
+    merged by sum must equal the full recompute (the oracle IS the
+    full recompute — q10's)."""
+    from kml2geojson_spark.spatial import encode_points
+    from kml2geojson_spark.spatial.ops import merge_tile_counts
+    pts = _customer_points(spark, sf)
+    base = pts.where(F.col("point_id") % 10 != 0)
+    delta = pts.where(F.col("point_id") % 10 == 0)
+
+    def counts(df):
+        return (encode_points(df, 9).groupBy("cell_id")
+                .agg(F.count(F.lit(1)).alias("n_points")))
+
+    return merge_tile_counts([counts(base), counts(delta)])
+
+
+def _q99_bbox_prune(spark, sf):
+    """Bbox query through the compacted cell-index cover (pruning-key
+    pattern) — row-identical to the brute half-open bbox filter."""
+    from kml2geojson_spark.spatial.ops import bbox_prune_filter
+    pts = _customer_points(spark, sf)
+    return bbox_prune_filter(pts, west=-60.0, south=-30.0, east=55.0,
+                             north=42.0, res=10).select("point_id")
+
+
+_O99 = f"""
+SELECT point_id FROM ({_PTS_SQL})
+WHERE x >= -60.0 AND x < 55.0 AND y >= -30.0 AND y < 42.0
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -2623,6 +2655,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q95_span_stats": _q95_span_stats,
         "q96_pmi_bigrams": _q96_pmi_bigrams,
         "q97_common_neighbors": _q97_common_neighbors,
+        "q98_incremental_tiles": _q98_incremental_tiles,
+        "q99_bbox_prune": _q99_bbox_prune,
     }
 
 
@@ -2712,6 +2746,8 @@ def oracle_sql() -> dict[str, str]:
         "q95_span_stats": _O95,
         "q96_pmi_bigrams": _O96,
         "q97_common_neighbors": _O97,
+        "q98_incremental_tiles": _o10(),  # merge must equal full recompute
+        "q99_bbox_prune": _O99,
         # q41/q43/q44: rows-only (LSH/IVF candidate sets are
         # approximate by design — pytest measures recall vs the exact
         # baseline; media decode is stubbed).

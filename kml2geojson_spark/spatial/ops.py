@@ -1699,3 +1699,72 @@ def rect_intersection_join(rects: DataFrame, res: int, *,
         "inter_area_nano",
         F.round(F.col("inter_w") * F.col("inter_h") * F.lit(1e9))
         .cast("long"))
+
+
+def merge_tile_counts(tables: list[DataFrame], *,
+                      cell_col: str = "cell_id") -> DataFrame:
+    """Incremental tile maintenance: merge per-cell count tables (a
+    base table plus delta batches) into the table a full recompute
+    would produce. Counts are sum-mergeable by construction, so the
+    merge is a union + one hash-aggregate on the cell key (map-side
+    combined) — the lakehouse pattern where each ingest batch appends
+    its partial tile counts and a compaction job folds them, instead
+    of rescanning the corpus.
+
+    All non-key columns must be additive counts; they are summed under
+    their original names.
+    """
+    if not tables:
+        raise ValueError("tables must be non-empty")
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.unionByName(t)
+    sums = [F.sum(c).alias(c) for c in out.columns if c != cell_col]
+    if not sums:
+        raise ValueError("no count columns to merge")
+    return out.groupBy(cell_col).agg(*sums)
+
+
+def bbox_prune_filter(points: DataFrame, *, west: float, south: float,
+                      east: float, north: float, res: int = 10,
+                      x_col: str = "x", y_col: str = "y") -> DataFrame:
+    """Bbox filter through the CELL INDEX — the partition-pruning
+    pattern: the query bbox is covered at ``res``, the cover is
+    compacted to mixed-resolution cells (a few coarse interior cells +
+    fine boundary cells), and each point's cell ancestry is tested
+    against those per-level sets with codegen ``IN`` predicates, then
+    the exact half-open bbox test (``west <= x < east``,
+    ``south <= y < north``) removes boundary-cell false positives —
+    row-identical to the brute filter (driver q99).
+
+    Why bother when the exact test alone is correct: the cell
+    predicate is a PRUNING key. A planetary point table sorted or
+    bucketed by ``cell_id`` serves this query from the few row groups
+    whose min/max cell ranges intersect the cover — the brute filter
+    reads everything. The cover/compact step is query PLANNING (the
+    collected cell set is bounded by the bbox perimeter at ``res``,
+    independent of the data size).
+    """
+    from .cells import RES_MASK, cell_encode_col, cell_parent_col
+    spark = points.sparkSession
+    bbox = spark.createDataFrame(
+        [(float(west), float(south), float(east), float(north))],
+        "west double, south double, east double, north double")
+    cover = cover_cells_rect(bbox, res, with_fraction=False)
+    cells = [r["cell_id"] for r in
+             compact_cells(cover.select("cell_id")).collect()]
+    exact = ((F.col(x_col) >= west) & (F.col(x_col) < east)
+             & (F.col(y_col) >= south) & (F.col(y_col) < north))
+    if not cells:
+        return points.where(F.lit(False) & exact)
+    by_res: dict = {}
+    for c in cells:
+        by_res.setdefault(int(c) & RES_MASK, []).append(int(c))
+    pcell = cell_encode_col(F.col(x_col), F.col(y_col), res)
+    enc = points.withColumn("_pc", pcell)
+    match = F.lit(False)
+    for lvl in sorted(by_res):
+        anc = (F.col("_pc") if lvl == res
+               else cell_parent_col(F.col("_pc"), res - lvl))
+        match = match | anc.isin(by_res[lvl])
+    return enc.where(match & exact).drop("_pc")

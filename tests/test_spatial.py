@@ -1079,3 +1079,59 @@ def test_rect_intersection_simple_pair_no_double_count(spark):
     r = rect_intersection_join(df, 3).collect()[0]
     assert r.inter_w == 10.0 and r.inter_h == 10.0
     assert r.inter_area_nano == 100_000_000_000
+
+
+# ---------------------------------------------------------------------------
+# merge_tile_counts / bbox_prune_filter
+# ---------------------------------------------------------------------------
+
+def test_merge_tile_counts_equals_full(spark):
+    import pytest
+    from kml2geojson_spark.spatial import encode_points
+    from kml2geojson_spark.spatial.ops import merge_tile_counts
+    pts = spark.range(3000).selectExpr(
+        "id AS point_id",
+        "CAST(id % 360 AS DOUBLE) - 180 AS x",
+        "CAST(id % 170 AS DOUBLE) - 85 AS y")
+
+    def counts(df):
+        from pyspark.sql import functions as F
+        return (encode_points(df, 8).groupBy("cell_id")
+                .agg(F.count(F.lit(1)).alias("n")))
+
+    full = {(r["cell_id"], r["n"]) for r in counts(pts).collect()}
+    parts = [counts(pts.where(f"id % 3 = {k}")) for k in range(3)]
+    merged = {(r["cell_id"], r["n"])
+              for r in merge_tile_counts(parts).collect()}
+    assert merged == full
+    with pytest.raises(ValueError):
+        merge_tile_counts([])
+
+
+def test_bbox_prune_filter_equals_brute(spark):
+    from kml2geojson_spark.spatial.ops import bbox_prune_filter
+    pts = spark.range(5000).selectExpr(
+        "id AS point_id",
+        "(CAST(id * 7919 AS DOUBLE) % 36000) / 100 - 180 AS x",
+        "(CAST(id * 104729 AS DOUBLE) % 17000) / 100 - 85 AS y")
+    for bbox in [(-60.0, -30.0, 55.0, 42.0), (170.0, 80.0, 180.0, 90.0),
+                 (-1.0, -1.0, 1.0, 1.0)]:
+        w, s, e, n = bbox
+        got = {r["point_id"] for r in bbox_prune_filter(
+            pts, west=w, south=s, east=e, north=n, res=9).collect()}
+        brute = {r["point_id"] for r in pts.where(
+            f"x >= {w} AND x < {e} AND y >= {s} AND y < {n}").collect()}
+        assert got == brute, bbox
+
+
+def test_bbox_prune_filter_stays_jvm(spark):
+    from kml2geojson_spark.spatial.ops import bbox_prune_filter
+    pts = spark.range(100).selectExpr(
+        "id AS point_id", "CAST(id AS DOUBLE) / 3 AS x",
+        "CAST(id AS DOUBLE) / 7 AS y")
+    df = bbox_prune_filter(pts, west=0.0, south=0.0, east=20.0,
+                           north=10.0, res=8)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # a pure scan filter: no shuffle
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert marker not in plan, marker
