@@ -2556,7 +2556,7 @@ def _q99_bbox_prune(spark, sf):
     from kml2geojson_spark.spatial.ops import bbox_prune_filter
     pts = _customer_points(spark, sf)
     return bbox_prune_filter(pts, west=-60.0, south=-30.0, east=55.0,
-                             north=42.0, res=10).select("point_id")
+                             north=42.0, res=8).select("point_id")
 
 
 _O99 = f"""

@@ -1725,13 +1725,70 @@ def merge_tile_counts(tables: list[DataFrame], *,
     return out.groupBy(cell_col).agg(*sums)
 
 
+def _bbox_cover_mixed(west: float, south: float, east: float,
+                      north: float, res: int) -> list:
+    """Mixed-resolution cell cover of a bbox by quadtree descent (the
+    classic S2 covering): cells fully inside the bbox are emitted at
+    their (coarse) level, boundary cells split until ``res``. Pure
+    driver-side integer arithmetic — the output size is bounded by the
+    bbox PERIMETER at ``res`` (≈ 4·(perimeter cells + descent levels)),
+    never its area, so this is query planning, not data work. The
+    union of emitted cells contains every res-``res`` cell that
+    intersects the bbox (the correctness contract of
+    :func:`bbox_prune_filter`)."""
+    from .cells import cell_encode_grid_np
+
+    import numpy as np
+
+    # bbox in res-`res` grid coordinates, inclusive cell ranges
+    n = float(1 << res)
+    hi = (1 << res) - 1
+
+    def gx(lon):
+        return min(hi, max(0, int(np.floor((lon + 180.0) / 360.0 * n))))
+
+    def gy(lat):
+        return min(hi, max(0, int(np.floor((lat + 90.0) / 180.0 * n))))
+
+    if east <= west or north <= south:
+        return []
+    x0, y0 = gx(west), gy(south)
+    # half-open upper edge: a bbox ending exactly on a cell boundary
+    # does not touch the next cell
+    x1 = gx(east) if (east + 180.0) / 360.0 * n % 1.0 != 0.0 else \
+        max(x0, gx(east) - 1)
+    y1 = gy(north) if (north + 90.0) / 180.0 * n % 1.0 != 0.0 else \
+        max(y0, gy(north) - 1)
+    out: list = []
+    stack = [(0, 0, 0)]  # (level, cx, cy): cell cx,cy at resolution level
+    while stack:
+        lvl, cx, cy = stack.pop()
+        shift = res - lvl
+        # this cell spans res-grid [cx<<shift, ((cx+1)<<shift)-1] × same for y
+        lo_x, hi_x = cx << shift, ((cx + 1) << shift) - 1
+        lo_y, hi_y = cy << shift, ((cy + 1) << shift) - 1
+        if hi_x < x0 or lo_x > x1 or hi_y < y0 or lo_y > y1:
+            continue  # disjoint
+        if lo_x >= x0 and hi_x <= x1 and lo_y >= y0 and hi_y <= y1:
+            out.append(int(cell_encode_grid_np([cx], [cy], lvl)[0]))
+            continue  # fully inside: emit at this level
+        if lvl == res:
+            out.append(int(cell_encode_grid_np([cx], [cy], lvl)[0]))
+            continue  # boundary leaf
+        for dx in (0, 1):
+            for dy in (0, 1):
+                stack.append((lvl + 1, cx * 2 + dx, cy * 2 + dy))
+    return out
+
+
 def bbox_prune_filter(points: DataFrame, *, west: float, south: float,
                       east: float, north: float, res: int = 10,
                       x_col: str = "x", y_col: str = "y") -> DataFrame:
     """Bbox filter through the CELL INDEX — the partition-pruning
-    pattern: the query bbox is covered at ``res``, the cover is
-    compacted to mixed-resolution cells (a few coarse interior cells +
-    fine boundary cells), and each point's cell ancestry is tested
+    pattern: the query bbox is covered by a driver-side quadtree
+    descent into mixed-resolution cells (a few coarse interior cells +
+    fine boundary cells, perimeter-bounded — see
+    :func:`_bbox_cover_mixed`), and each point's cell ancestry is tested
     against those per-level sets with codegen ``IN`` predicates, then
     the exact half-open bbox test (``west <= x < east``,
     ``south <= y < north``) removes boundary-cell false positives —
@@ -1746,13 +1803,8 @@ def bbox_prune_filter(points: DataFrame, *, west: float, south: float,
     independent of the data size).
     """
     from .cells import RES_MASK, cell_encode_col, cell_parent_col
-    spark = points.sparkSession
-    bbox = spark.createDataFrame(
-        [(float(west), float(south), float(east), float(north))],
-        "west double, south double, east double, north double")
-    cover = cover_cells_rect(bbox, res, with_fraction=False)
-    cells = [r["cell_id"] for r in
-             compact_cells(cover.select("cell_id")).collect()]
+    cells = _bbox_cover_mixed(float(west), float(south), float(east),
+                              float(north), res)
     exact = ((F.col(x_col) >= west) & (F.col(x_col) < east)
              & (F.col(y_col) >= south) & (F.col(y_col) < north))
     if not cells:
