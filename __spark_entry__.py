@@ -2565,6 +2565,35 @@ WHERE x >= -60.0 AND x < 55.0 AND y >= -30.0 AND y < 42.0
 """
 
 
+def _q100_mutual_knn(spark, sf):
+    """Mutual k-NN graph over the embeddings table (exact baseline;
+    the IVF method is the scale path, recall-tested in pytest)."""
+    from kml2geojson_spark.simsearch import mutual_knn_edges
+    return mutual_knn_edges(_t(spark, sf, "embeddings"), 5)
+
+
+_O100 = """
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+d AS (
+  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_dot_product(b.v, q.v)
+           / (sqrt(list_dot_product(b.v, b.v))
+              * sqrt(list_dot_product(q.v, q.v))) AS cosine
+  FROM base b CROSS JOIN base q WHERE b.vec_id != q.vec_id),
+r AS (SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id ASC)
+               AS rank
+      FROM d),
+topk AS (SELECT * FROM r WHERE rank <= 5)
+SELECT f.query_id AS vec_a, f.neighbor_id AS vec_b,
+       f.rank AS rank_ab, g.rank AS rank_ba
+FROM topk f JOIN topk g
+  ON f.query_id = g.neighbor_id AND f.neighbor_id = g.query_id
+WHERE f.query_id < f.neighbor_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -2657,6 +2686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q97_common_neighbors": _q97_common_neighbors,
         "q98_incremental_tiles": _q98_incremental_tiles,
         "q99_bbox_prune": _q99_bbox_prune,
+        "q100_mutual_knn": _q100_mutual_knn,
     }
 
 
@@ -2748,6 +2778,7 @@ def oracle_sql() -> dict[str, str]:
         "q97_common_neighbors": _O97,
         "q98_incremental_tiles": _o10(),  # merge must equal full recompute
         "q99_bbox_prune": _O99,
+        "q100_mutual_knn": _O100,
         # q41/q43/q44: rows-only (LSH/IVF candidate sets are
         # approximate by design — pytest measures recall vs the exact
         # baseline; media decode is stubbed).

@@ -413,3 +413,47 @@ def embedding_dedup_representatives(embeddings: DataFrame,
                .join(reps, "vec_id", "left_anti")
                .select("vec_id", F.col("vec_id").alias("rep_id")))
     return reps.unionByName(singles)
+
+
+def mutual_knn_edges(embeddings: DataFrame, k: int, *,
+                     method: str = "exact", id_col: str = "vec_id",
+                     vec_col: str = "embedding", **ivf_kwargs) -> DataFrame:
+    """Mutual k-NN graph over an embedding table: the edge (a, b)
+    exists iff b is in a's top-k AND a is in b's top-k — the standard
+    graph for density clustering and embedding-space dedup (mutuality
+    kills the hub problem: a generic centroid-ish vector appears in
+    everyone's top-k but reciprocates almost nobody).
+
+    ``method="exact"`` ranks every pair (the oracle baseline; the
+    whole table becomes the broadcast query side — small corpora
+    only). ``method="ivf"`` routes through the bucketed IVF index
+    (broadcast codebook, list-id equi-join) — the 100-TB path;
+    approximate, so pytest-recall-tested rather than oracled.
+
+    The mutuality join is one self-equi-join of the top-k frame on the
+    reversed pair key — |edges| ≤ n·k rows on both sides, never the
+    n² distance matrix.
+
+    Output: (vec_a, vec_b, rank_ab, rank_ba) with vec_a < vec_b.
+    """
+    q = embeddings.select(F.col(id_col).alias("query_id"),
+                          F.col(vec_col).alias("embedding"))
+    if method == "exact":
+        topk = cosine_topk_exact(
+            embeddings.select(F.col(id_col).alias("vec_id"),
+                              F.col(vec_col).alias("embedding")), q, k)
+    elif method == "ivf":
+        topk = ivf_topk(
+            embeddings.select(F.col(id_col).alias("vec_id"),
+                              F.col(vec_col).alias("embedding")), q, k,
+            **ivf_kwargs)
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    fwd = topk.select(F.col("query_id").alias("vec_a"),
+                      F.col("neighbor_id").alias("vec_b"),
+                      F.col("rank").alias("rank_ab"))
+    rev = topk.select(F.col("neighbor_id").alias("vec_a"),
+                      F.col("query_id").alias("vec_b"),
+                      F.col("rank").alias("rank_ba"))
+    return (fwd.join(rev, ["vec_a", "vec_b"])
+            .where(F.col("vec_a") < F.col("vec_b")))

@@ -71,3 +71,57 @@ def test_embedding_dedup_lsh_mode_matches_exact_on_easy_clusters(spark):
                bands=32).collect()}
     assert exact == {1: 1, 2: 1, 3: 3, 4: 3, 5: 5}
     assert lsh == exact
+
+
+def test_mutual_knn_edges_vs_bruteforce(spark):
+    import numpy as np
+    import pandas as pd
+    from kml2geojson_spark.simsearch import mutual_knn_edges
+    rng = np.random.default_rng(8)
+    V = rng.standard_normal((60, 16)).astype(np.float64)
+    pdf = pd.DataFrame({"vec_id": np.arange(60, dtype=np.int64),
+                        "embedding": [v.tolist() for v in V]})
+    df = spark.createDataFrame(pdf)
+    got = {(r["vec_a"], r["vec_b"]): (r["rank_ab"], r["rank_ba"])
+           for r in mutual_knn_edges(df, 4).collect()}
+    norms = np.linalg.norm(V, axis=1)
+    cos = (V @ V.T) / np.outer(norms, norms)
+    np.fill_diagonal(cos, -np.inf)
+    topk = {}
+    for i in range(60):
+        order = sorted(range(60), key=lambda j: (-cos[i, j], j))[:4]
+        topk[i] = {j: r + 1 for r, j in enumerate(order)}
+    want = {}
+    for a in range(60):
+        for b in topk[a]:
+            if a < b and a in topk[b]:
+                want[(a, b)] = (topk[a][b], topk[b][a])
+    assert got == want
+    assert len(want) > 0
+
+
+def test_mutual_knn_edges_ivf_recall(spark):
+    import numpy as np
+    import pandas as pd
+    from kml2geojson_spark.simsearch import mutual_knn_edges
+    rng = np.random.default_rng(12)
+    V = rng.standard_normal((200, 16)).astype(np.float64)
+    pdf = pd.DataFrame({"vec_id": np.arange(200, dtype=np.int64),
+                        "embedding": [v.tolist() for v in V]})
+    df = spark.createDataFrame(pdf)
+    exact = {(r["vec_a"], r["vec_b"])
+             for r in mutual_knn_edges(df, 5).collect()}
+    approx = {(r["vec_a"], r["vec_b"])
+              for r in mutual_knn_edges(df, 5, method="ivf",
+                                        n_centroids=8, nprobe=4).collect()}
+    recall = len(exact & approx) / max(1, len(exact))
+    assert recall >= 0.5, f"mutual-kNN IVF recall too low: {recall}"
+
+
+def test_mutual_knn_edges_validation(spark):
+    import pytest
+    from kml2geojson_spark.simsearch import mutual_knn_edges
+    df = spark.createDataFrame([(0, [1.0, 0.0])],
+                               "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError):
+        mutual_knn_edges(df, 2, method="bogus")
