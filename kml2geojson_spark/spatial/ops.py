@@ -1809,14 +1809,20 @@ def bbox_prune_filter(points: DataFrame, *, west: float, south: float,
              & (F.col(y_col) >= south) & (F.col(y_col) < north))
     if not cells:
         return points.where(F.lit(False) & exact)
-    by_res: dict = {}
-    for c in cells:
-        by_res.setdefault(int(c) & RES_MASK, []).append(int(c))
+    levels = sorted({int(c) & RES_MASK for c in cells})
     pcell = cell_encode_col(F.col(x_col), F.col(y_col), res)
-    enc = points.withColumn("_pc", pcell)
-    match = F.lit(False)
-    for lvl in sorted(by_res):
-        anc = (F.col("_pc") if lvl == res
-               else cell_parent_col(F.col("_pc"), res - lvl))
-        match = match | anc.isin(by_res[lvl])
-    return enc.where(match & exact).drop("_pc")
+    # one ancestry ARRAY via a transform lambda + one set-overlap
+    # test: the encoded cell appears exactly ONCE in the expression
+    # tree, so when predicate pushdown inlines the filter below the
+    # projection it carries a single copy of the Morton-spread tree —
+    # per-level isin (or a per-level array) would be inlined L times
+    # and blow the 64KB codegen method limit (observed fallback)
+    shifts = ",".join(str(res - lvl) for lvl in levels)
+    anc_expr = (f"transform(array({shifts}), s -> "
+                f"(shiftleft(shiftright(_pc, 5 + 2 * s), 5)"
+                f" | ({res} - s)))")
+    enc = (points.withColumn("_pc", pcell)
+           .withColumn("_anc", F.expr(anc_expr)))
+    cover_lit = F.array(*[F.lit(int(c)) for c in cells])
+    return (enc.where(F.arrays_overlap(F.col("_anc"), cover_lit) & exact)
+            .drop("_pc", "_anc"))
