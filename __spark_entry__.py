@@ -2594,6 +2594,50 @@ WHERE f.query_id < f.neighbor_id
 """
 
 
+def _q101_cube(spark, sf):
+    """OLAP CUBE (all grouping-set combinations in one Expand + hash
+    aggregate — completes the rollup/pivot/cube trio)."""
+    li = _t(spark, sf, "lineitem")
+    return (li.cube("l_returnflag", "l_linestatus")
+            .agg(F.grouping("l_returnflag").cast("long").alias("g_flag"),
+                 F.grouping("l_linestatus").cast("long").alias("g_status"),
+                 F.count(F.lit(1)).alias("n_rows"),
+                 F.round(F.sum(F.col("l_extendedprice") * 100.0))
+                 .cast("long").alias("price_c"))
+            .select("l_returnflag", "l_linestatus", "g_flag", "g_status",
+                    "n_rows", "price_c"))
+
+
+_O101 = """
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status,
+       COUNT(*) AS n_rows,
+       CAST(ROUND(SUM(l_extendedprice * 100.0)) AS BIGINT) AS price_c
+FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+
+def _q102_moving_window(spark, sf):
+    """Per-user moving aggregate: trailing-5-event sum of integerized
+    values (a PARTITIONED rows-frame window — never a global sort)."""
+    e = _t(spark, sf, "events")
+    w = (Window.partitionBy("user_id").orderBy("event_id")
+         .rowsBetween(-4, Window.currentRow))
+    vc = F.round(F.col("value") * 100.0).cast("long")
+    return (e.select("event_id", "user_id", vc.alias("v_c"))
+            .withColumn("trail5_c", F.sum("v_c").over(w)))
+
+
+_O102 = """
+SELECT event_id, user_id,
+       CAST(ROUND(value * 100.0) AS BIGINT) AS v_c,
+       CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY event_id
+         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS trail5_c
+FROM events
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -2687,6 +2731,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q98_incremental_tiles": _q98_incremental_tiles,
         "q99_bbox_prune": _q99_bbox_prune,
         "q100_mutual_knn": _q100_mutual_knn,
+        "q101_cube": _q101_cube,
+        "q102_moving_window": _q102_moving_window,
     }
 
 
@@ -2779,6 +2825,8 @@ def oracle_sql() -> dict[str, str]:
         "q98_incremental_tiles": _o10(),  # merge must equal full recompute
         "q99_bbox_prune": _O99,
         "q100_mutual_knn": _O100,
+        "q101_cube": _O101,
+        "q102_moving_window": _O102,
         # q41/q43/q44: rows-only (LSH/IVF candidate sets are
         # approximate by design — pytest measures recall vs the exact
         # baseline; media decode is stubbed).
