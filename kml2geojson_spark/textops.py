@@ -402,10 +402,19 @@ def simhash_sql_signatures(documents: DataFrame, *,
 
     Token hash = first 15 hex chars of md5 → 60-bit integer — the same
     formula a DuckDB oracle can run (``('0x' || substr(md5(t),1,15))::
-    BIGINT``), so signatures are bit-identical cross-engine. Per-bit ±1
-    weights are 60 conditional-sum aggregates over one hash-groupBy
-    (single shuffle, map-side partial aggregation), then the sign bits
-    are assembled with shiftleft/OR. Output: (doc_id, sig).
+    BIGINT``), so signatures are bit-identical cross-engine.
+
+    Per-bit weights need only the per-bit ONES count c_b and the token
+    count n (weight = 2·c_b − n, so bit b is set iff 2·c_b > n). The
+    ones counts are PACKED two per aggregate — bit pair (b, b+1)
+    summed as ``ones(b+1) << 32 | ones(b)`` — halving the aggregate
+    width (60 → 31) and with it the whole-stage-codegen compile cost
+    of the groupBy, while remaining one shuffle with map-side partial
+    aggregation. 32-bit lanes cannot overflow into each other: the
+    count of DISTINCT tokens in one document is far below 2^32.
+    Output: (doc_id, sig) — identical values to the unpacked
+    formulation (the q26 brute-force oracle and the near-pair tests
+    pin this).
     """
     toks = documents.select(
         "doc_id",
@@ -416,17 +425,28 @@ def simhash_sql_signatures(documents: DataFrame, *,
         "doc_id",
         F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)
         .cast("long").alias("h"))
-    aggs = [
-        F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
-                     1).otherwise(-1)).alias(f"s{b}")
-        for b in range(bits)
-    ]
+    bitpairs = [(b, b + 1 if b + 1 < bits else None)
+                for b in range(0, bits, 2)]
+
+    def ones(b):
+        return F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))
+
+    aggs = [F.sum(ones(lo) if hi is None
+                  else F.shiftleft(ones(hi).cast("long"), 32) + ones(lo))
+            .alias(f"p{lo}") for lo, hi in bitpairs]
+    aggs.append(F.count(F.lit(1)).alias("n"))
     sums = h.groupBy("doc_id").agg(*aggs)
+    one = F.lit(1).cast("long")
     sig = F.lit(0).cast("long")
-    for b in range(bits):
-        sig = sig.bitwiseOR(
-            F.when(F.col(f"s{b}") > 0,
-                   F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0)))
+    for lo, hi in bitpairs:
+        c_lo = F.col(f"p{lo}").bitwiseAND(F.lit((1 << 32) - 1))
+        sig = sig.bitwiseOR(F.when(c_lo * 2 > F.col("n"),
+                                   F.shiftleft(one, lo)).otherwise(F.lit(0)))
+        if hi is not None:
+            c_hi = F.shiftright(F.col(f"p{lo}"), 32)
+            sig = sig.bitwiseOR(F.when(c_hi * 2 > F.col("n"),
+                                       F.shiftleft(one, hi))
+                                .otherwise(F.lit(0)))
     return sums.select("doc_id", sig.alias("sig"))
 
 
