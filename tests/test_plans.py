@@ -525,3 +525,54 @@ def test_span_mix_stats_narrow_map_no_python(spark):
     assert "Generate" not in plan  # no explode
     for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert marker not in plan, marker
+
+
+def _docs_for_plan(spark):
+    return spark.range(500).selectExpr(
+        "id AS doc_id",
+        "concat('alpha beta gamma doc ', id % 7, ' tail words') AS text")
+
+
+def test_surprisal_plan_token_join_no_python(spark):
+    """Scalar totals may ride a 1-row broadcast nested loop; the
+    token join must NOT be a cartesian/BNL, and nothing drops to
+    Python."""
+    from kml2geojson_spark.textops import unigram_surprisal
+    plan = _plan(unigram_surprisal(_docs_for_plan(spark)))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # the 1-row total
+    assert "partial_" in plan
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert marker not in plan, marker
+
+
+def test_pmi_plan_linear_bigrams_no_python(spark):
+    from kml2geojson_spark.textops import pmi_bigrams
+    plan = _plan(pmi_bigrams(_docs_for_plan(spark), min_count=2))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2  # n_uni and n_bi
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert marker not in plan, marker
+
+
+def test_bm25_plan_no_python(spark):
+    from kml2geojson_spark.textops import bm25_scores
+    plan = _plan(bm25_scores(_docs_for_plan(spark), ["alpha", "beta"]))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # the stats row
+    assert "partial_" in plan
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert marker not in plan, marker
+
+
+def test_mutual_knn_join_is_hash_join(spark):
+    from kml2geojson_spark.simsearch import mutual_knn_edges
+    df = spark.range(50).selectExpr(
+        "id AS vec_id",
+        "array(CAST(id AS DOUBLE), CAST(id % 7 AS DOUBLE)) AS embedding")
+    plan = _plan(mutual_knn_edges(df, 3))
+    # the mutuality join itself must be an equi-join on the pair key
+    assert "Join" in plan
+    last = plan.split("BroadcastHashJoin")
+    assert ("BroadcastHashJoin [vec_a" in plan
+            or "SortMergeJoin [vec_a" in plan), plan[:500]
