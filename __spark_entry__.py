@@ -2638,6 +2638,22 @@ FROM events
 """
 
 
+def _q103_fuzzy_pairs(spark, sf):
+    """Typo-level fuzzy match: all customer-name pairs at Levenshtein
+    distance <= 1 via the deletion-neighborhood (SymSpell) candidate
+    join — provably complete for d<=1, never all-pairs."""
+    from kml2geojson_spark.textops import edit_distance_pairs
+    return edit_distance_pairs(_t(spark, sf, "customer"), col="c_name")
+
+
+_O103 = """
+WITH w AS (SELECT DISTINCT c_name FROM customer WHERE c_name IS NOT NULL)
+SELECT a.c_name AS name_a, b.c_name AS name_b
+FROM w a JOIN w b ON a.c_name < b.c_name
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -2733,6 +2749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q100_mutual_knn": _q100_mutual_knn,
         "q101_cube": _q101_cube,
         "q102_moving_window": _q102_moving_window,
+        "q103_fuzzy_pairs": _q103_fuzzy_pairs,
     }
 
 
@@ -2827,6 +2844,7 @@ def oracle_sql() -> dict[str, str]:
         "q100_mutual_knn": _O100,
         "q101_cube": _O101,
         "q102_moving_window": _O102,
+        "q103_fuzzy_pairs": _O103,
         # q41/q43/q44: rows-only (LSH/IVF candidate sets are
         # approximate by design — pytest measures recall vs the exact
         # baseline; media decode is stubbed).

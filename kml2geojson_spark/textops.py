@@ -1090,3 +1090,44 @@ def pmi_bigrams(documents: DataFrame, *, id_col: str = "doc_id",
     return j.select("tok_a", "tok_b", "n_ab",
                     F.round(F.log(ratio) * 1000.0).cast("long")
                     .alias("pmi_milli"))
+
+
+def edit_distance_pairs(df: DataFrame, *, col: str = "name") -> DataFrame:
+    """All distinct string pairs at Levenshtein distance <= 1 —
+    typo-level fuzzy matching (entity resolution, OCR/typo dedup of
+    names, near-identical label merging in a training corpus).
+
+    Candidate generation is the deletion-neighborhood blocking scheme
+    (SymSpell): every string emits itself plus each single-character
+    deletion; two strings are within edit distance 1 **iff** their
+    neighborhoods intersect (equal → trivially; substitution at i →
+    both emit the string minus position i; insertion/deletion → the
+    longer one's deletion at the inserted position equals the shorter
+    string itself). So the candidate equi-join on the variant key is
+    provably COMPLETE for d <= 1, and the exact ``levenshtein`` filter
+    on candidates makes precision 1 — never an all-pairs comparison.
+
+    Scale shape: a string of length L emits L+1 variant rows (pure
+    Column ``transform(sequence(...))`` — no Python); the join is a
+    hash equi-join on the variant string, shuffling n·(L+1) rows
+    instead of comparing n² pairs. Bucket skew is bounded by how many
+    strings share one deletion variant — at most alphabet-size·L per
+    bucket for real text.
+
+    Output: (name_a, name_b) with name_a < name_b, distinct.
+    """
+    w = df.select(F.col(col).alias("_w")).where(
+        F.col("_w").isNotNull()).distinct()
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length("_w")),
+        lambda i: F.concat(
+            F.col("_w").substr(F.lit(1), i - 1),
+            F.col("_w").substr(i + 1, F.length("_w"))))
+    variants = F.array_distinct(F.concat(F.array(F.col("_w")), dels))
+    ex = w.select("_w", F.explode(variants).alias("_var"))
+    a = ex.select(F.col("_w").alias("name_a"), "_var")
+    b = ex.select(F.col("_w").alias("name_b"), "_var")
+    return (a.join(b, "_var")
+            .where(F.col("name_a") < F.col("name_b"))
+            .select("name_a", "name_b").distinct()
+            .where(F.levenshtein("name_a", "name_b") <= 1))

@@ -852,3 +852,43 @@ def test_pmi_bigrams_no_cross_doc_pairs(spark):
     got = {(r["tok_a"], r["tok_b"]) for r in
            pmi_bigrams(docs, min_count=1).collect()}
     assert got == {("q", "x"), ("y", "q")}
+
+
+def test_edit_distance_pairs_matches_brute_force(spark):
+    """Deletion-neighborhood candidates are complete for d<=1: the
+    operator's pairs equal the O(n^2) levenshtein brute force on a
+    vocabulary covering substitution, insertion, deletion, doubled
+    letters, length-1 strings, and far-apart words."""
+    from itertools import combinations
+    from kml2geojson_spark.textops import edit_distance_pairs
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    words = ["cat", "cart", "car", "bat", "bats", "a", "at", "hello",
+             "hallo", "hellos", "xyzzy", "book", "boook", "bok", "cat"]
+    docs = spark.createDataFrame([(w,) for w in words], "name string")
+    got = {(r["name_a"], r["name_b"])
+           for r in edit_distance_pairs(docs).collect()}
+    want = {(min(a, b), max(a, b))
+            for a, b in combinations(sorted(set(words)), 2)
+            if lev(a, b) <= 1}
+    assert got == want
+
+
+def test_edit_distance_pairs_plan_no_nested_loop(spark):
+    from kml2geojson_spark.textops import edit_distance_pairs
+    docs = spark.createDataFrame([("aa",), ("ab",)], "name string")
+    plan = edit_distance_pairs(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
