@@ -2132,16 +2132,73 @@ SELECT node, score AS score_micro FROM s3
 
 
 
-# -- rows-only (non-SQL-expressible) ----------------------------------------
-
-
 def _q41_lsh_cosine_topk(spark, sf):
+    """Hyperplane-LSH approximate cosine top-k, md5-Rademacher
+    hyperplanes (pure Column — zero Python in the plan). Bit-exact vs
+    the DuckDB oracle: the ±1 hyperplanes are md5-derived constants
+    inlined into the oracle SQL, the sign-bit dot is the same in-order
+    double fold (`list_dot_product`), so candidate buckets AND the
+    exact cosine re-rank replay identically."""
     from kml2geojson_spark.simsearch import hyperplane_lsh_topk
     emb = _t(spark, sf, "embeddings")
     queries = (emb.where(F.col("vec_id") < 10)
                .select(F.col("vec_id").alias("query_id"), "embedding"))
-    return hyperplane_lsh_topk(emb, queries, 10, dim=64, bits=64, bands=16) \
+    return hyperplane_lsh_topk(emb, queries, 10, dim=64, bits=64, bands=16,
+                               hyperplanes="md5") \
         .select("query_id", "neighbor_id", "rank")
+
+
+def _o41_sql() -> str:
+    """Generated oracle for q41: hyperplanes as literal DOUBLE[] rows
+    (same md5 derivation as simsearch.rademacher_hyperplanes), band
+    buckets by summed sign bits, candidate equi-join on (band, bucket),
+    exact cosine re-rank — every float op an in-order fold."""
+    from kml2geojson_spark.simsearch import rademacher_hyperplanes
+    dim, bits, bands, k = 64, 64, 16, 10
+    band_bits = bits // bands
+    H = rademacher_hyperplanes(dim, bits, seed=42)
+    rows = []
+    for j in range(bits):
+        arr = ", ".join(str(float(H[i, j])) for i in range(dim))
+        rows.append(f"({j // band_bits}, {1 << (j % band_bits)}, [{arr}]::DOUBLE[])")
+    hp = ",\n    ".join(rows)
+    return f"""
+WITH hp(band, w, h) AS (VALUES
+    {hp}),
+base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE vec_id < 10),
+bb AS (
+  SELECT b.vec_id, hp.band,
+         SUM(CASE WHEN list_dot_product(b.v, hp.h) > 0 THEN hp.w
+                  ELSE 0 END)::BIGINT AS bucket
+  FROM base b CROSS JOIN hp GROUP BY b.vec_id, hp.band),
+qb AS (
+  SELECT t.query_id, hp.band,
+         SUM(CASE WHEN list_dot_product(t.v, hp.h) > 0 THEN hp.w
+                  ELSE 0 END)::BIGINT AS bucket
+  FROM q t CROSS JOIN hp GROUP BY t.query_id, hp.band),
+cand AS (
+  SELECT DISTINCT qb.query_id, bb.vec_id AS neighbor_id
+  FROM bb JOIN qb ON bb.band = qb.band AND bb.bucket = qb.bucket
+  WHERE bb.vec_id != qb.query_id),
+d AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_dot_product(bv.v, qv.v)
+           / (sqrt(list_dot_product(bv.v, bv.v))
+              * sqrt(list_dot_product(qv.v, qv.v))) AS cosine
+  FROM cand c
+  JOIN base bv ON bv.vec_id = c.neighbor_id
+  JOIN q qv ON qv.query_id = c.query_id),
+r AS (SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM d)
+SELECT query_id, neighbor_id, rank FROM r WHERE rank <= {k}
+"""
+
+
+# -- rows-only (non-SQL-expressible) ----------------------------------------
 
 
 def _q42_convert_kml(spark, sf):
@@ -2153,25 +2210,51 @@ def _q42_convert_kml(spark, sf):
 
 
 def _q43_media_features(spark, sf):
-    """Multimodal plumbing over the interleaved spans: media spans →
-    stub fetch (binary) → Arrow-batched feature extraction → quantized
-    checksum per media row (rows-only: payload decode is stubbed; the
-    Spark plumbing — schema, batching, explode shape — is what's
-    exercised, and is deterministic)."""
-    import kml2geojson_spark as k2gs
-    from kml2geojson_spark.multimodal import (fetch_media_stub,
-                                              media_features, media_table)
-    docs = k2gs.synthesize_documents_kml(spark, 80, seed=9, max_placemarks=8)
-    feats = media_features(fetch_media_stub(media_table(docs)), dim=8)
-    checksum = F.round(F.aggregate(
-        F.transform("feature", lambda x: x.cast("double")),
-        F.lit(0.0), lambda acc, v: acc + v) * 1000).cast("long")
-    return (feats.select("doc_id", "media_ref",
-                         checksum.alias("feat_milli"))
+    """Multimodal pipeline with a REAL image decode: media refs
+    (derived from the documents table so the oracle can replay them) →
+    stub fetch synthesizing true binary PPM payloads (md5-chain pixels)
+    → numpy PPM header+pixel decode → exact integer checksums over the
+    DECODED pixels. Bit-exact vs the DuckDB oracle, which re-derives
+    the same pixel bytes from the md5 chain in SQL. Only the network
+    fetch remains stubbed (no network/codecs in the sandbox)."""
+    from kml2geojson_spark.multimodal import decode_ppm, fetch_media_stub
+    docs = _t(spark, sf, "documents")
+    refs = (docs.where(F.col("doc_id") % 5 == 0)
+            .select(F.col("doc_id").cast("string").alias("doc_id"),
+                    F.concat(F.lit("media/"), F.col("doc_id").cast("string"),
+                             F.lit(".ppm")).alias("media_ref"),
+                    F.lit("ppm").alias("ext"),
+                    F.lit(0).alias("offset")))
+    fetched = fetch_media_stub(refs, payload="ppm", width=16, height=16)
+    return (decode_ppm(fetched)
             .groupBy("media_ref")
-            .agg(F.count(F.lit(1)).alias("n_rows"),
-                 F.min("feat_milli").alias("feat_milli_min"),
-                 F.max("feat_milli").alias("feat_milli_max")))
+            .agg(F.min("width").alias("width"),
+                 F.min("height").alias("height"),
+                 F.min("pixel_sum").alias("pixel_sum"),
+                 F.min("pixel_wsum").alias("pixel_wsum")))
+
+
+# 16x16 RGB = 768 pixel bytes = exactly 48 md5 digests; byte p of the
+# payload is byte (p % 16) of md5(media_ref || ':' || p // 16) — the
+# same chain multimodal._md5_chain builds, decoded by parse_ppm.
+_O43 = """
+WITH refs AS (
+  SELECT 'media/' || CAST(doc_id AS VARCHAR) || '.ppm' AS media_ref
+  FROM documents WHERE doc_id % 5 = 0),
+chunks AS (
+  SELECT media_ref, i,
+         md5(media_ref || ':' || CAST(i AS VARCHAR)) AS hx
+  FROM refs, generate_series(0, 47) AS t(i)),
+bytes AS (
+  SELECT media_ref, 16 * i + j AS p,
+         (strpos('0123456789abcdef', substr(hx, 2 * j + 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(hx, 2 * j + 2, 1)) - 1) AS b
+  FROM chunks, generate_series(0, 15) AS u(j))
+SELECT media_ref, 16 AS width, 16 AS height,
+       SUM(b)::BIGINT AS pixel_sum,
+       SUM((p + 1) * b)::BIGINT AS pixel_wsum
+FROM bytes GROUP BY media_ref
+"""
 
 
 def _q44_ivf_topk(spark, sf):
@@ -2654,6 +2737,96 @@ WHERE levenshtein(a.c_name, b.c_name) <= 1
 """
 
 
+def _q104_merge_intervals(spark, sf):
+    """Gaps-and-islands: merge each supplier's overlapping-or-touching
+    [shipdate, receiptdate] intervals into maximal coverage islands —
+    one shuffle on the key (window partition = final groupBy key, no
+    second exchange). Dates are emitted as epoch-day integers so the
+    hash compare is engine-neutral."""
+    from kml2geojson_spark.eventops import merge_intervals
+    # integer epoch-day endpoints (timezone-free: NTZ microsecond diff,
+    # the q17 pattern); interval length is quantity-derived since the
+    # synthetic lineitem has no receipt date
+    start_day = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+        "l_shipdate) div 86400000000")
+    li = _t(spark, sf, "lineitem").select(
+        F.col("l_suppkey").alias("key"),
+        start_day.alias("start"),
+        (start_day + (F.col("l_quantity") % 14).cast("int") + 1).alias("end"))
+    out = merge_intervals(li)
+    return out.select(
+        "key",
+        F.col("island_start").alias("start_day"),
+        F.col("island_end").alias("end_day"),
+        "n_intervals")
+
+
+_O104 = """
+WITH iv AS (
+  SELECT l_suppkey AS key,
+         epoch_us(l_shipdate) // 86400000000 AS s,
+         epoch_us(l_shipdate) // 86400000000
+           + CAST(l_quantity % 14 AS INT) + 1 AS e
+  FROM lineitem),
+flagged AS (
+  SELECT key, s, e,
+         CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS ni
+  FROM (SELECT key, s, e,
+               MAX(e) OVER (PARTITION BY key ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS pme
+        FROM iv)),
+isl AS (
+  SELECT key, s, e,
+         SUM(ni) OVER (PARTITION BY key ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS island
+  FROM flagged)
+SELECT key,
+       MIN(s)::BIGINT AS start_day,
+       MAX(e)::BIGINT AS end_day,
+       COUNT(*)::BIGINT AS n_intervals
+FROM isl GROUP BY key, island
+"""
+
+
+def _q105_asof_forward(spark, sf):
+    """Forward as-of join: each purchase event gets the same user's
+    FIRST click at or after it (next-event attribution — the mirror of
+    q17's backward direction, same cogrouped merge_asof kernel)."""
+    from kml2geojson_spark.asof import asof_join
+    e = _t(spark, sf, "events")
+    purchases = (e.where(F.col("event_type") == "purchase")
+                 .select(F.col("event_id").alias("purchase_id"),
+                         F.col("user_id"), F.col("ts")))
+    clicks = (e.where(F.col("event_type") == "click")
+              .select(F.col("user_id"), F.col("ts"),
+                      F.col("event_id").alias("click_id")))
+    out = asof_join(purchases, clicks, key="user_id",
+                    left_ts="ts", right_ts="ts", direction="forward")
+    gap = F.expr("timestampdiff(MICROSECOND, ts, r_ts)")
+    return out.select("purchase_id", "user_id",
+                      F.col("r_click_id").alias("click_id"),
+                      gap.alias("gap_us"))
+
+
+_O105 = """
+WITH p AS (SELECT event_id AS purchase_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+c AS (SELECT event_id AS click_id, user_id, ts FROM events
+      WHERE event_type = 'click'),
+j AS (
+  SELECT p.purchase_id, p.user_id, c.click_id,
+         epoch_us(c.ts) - epoch_us(p.ts) AS gap_us,
+         ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                            ORDER BY c.ts ASC, c.click_id ASC) AS rn
+  FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts >= p.ts
+)
+SELECT purchase_id, user_id, click_id, gap_us FROM j WHERE rn = 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -2750,6 +2923,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q101_cube": _q101_cube,
         "q102_moving_window": _q102_moving_window,
         "q103_fuzzy_pairs": _q103_fuzzy_pairs,
+        "q104_merge_intervals": _q104_merge_intervals,
+        "q105_asof_forward": _q105_asof_forward,
     }
 
 
@@ -2845,9 +3020,13 @@ def oracle_sql() -> dict[str, str]:
         "q101_cube": _O101,
         "q102_moving_window": _O102,
         "q103_fuzzy_pairs": _O103,
-        # q41/q43/q44: rows-only (LSH/IVF candidate sets are
-        # approximate by design — pytest measures recall vs the exact
-        # baseline; media decode is stubbed).
+        "q104_merge_intervals": _O104,
+        "q105_asof_forward": _O105,
+        "q41_lsh_cosine_topk": _o41_sql(),
+        "q43_media_features": _O43,
+        # q44: rows-only (the IVF candidate set is approximate by
+        # design — Lloyd-iteration centroids have no SQL replay;
+        # pytest measures recall vs the exact baseline).
         # q42: the KML engine has no faithful single-statement SQL
         # equivalent (golden-parity pytest covers it against the
         # reference fixtures).

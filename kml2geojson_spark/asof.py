@@ -55,16 +55,28 @@ _MATCHED_FLAG = "__asof_matched"
 def asof_join(left: DataFrame, right: DataFrame, *, key: str,
               left_ts: str, right_ts: str,
               right_prefix: str = "r_",
-              n_buckets: int = 64) -> DataFrame:
+              n_buckets: int = 64,
+              direction: str = "backward") -> DataFrame:
     """Left as-of join: every left row, plus the columns of the latest
-    right row (same ``key``) with ``right_ts <= left_ts``, or nulls.
+    right row (same ``key``) with ``right_ts <= left_ts``
+    (``direction="backward"``, the default) or the EARLIEST right row
+    with ``right_ts >= left_ts`` (``direction="forward"`` — the
+    next-event lookup, e.g. "first click after each impression"), or
+    nulls.
 
     Right columns are emitted under ``right_prefix`` to avoid clashes;
     on unmatched left rows they are NULL (true NULL, not NaN, for every
     type). ``n_buckets`` bounds the number of Python invocations; size
     it near the cluster's task slots (the shuffle itself is
     hash-partitioned by Spark independently).
+
+    Forward tie-break: equal right timestamps resolve to the SMALLEST
+    values of the remaining right columns (mirror of backward's
+    greatest) — the SQL ``ROW_NUMBER() OVER (ORDER BY ts ASC, tiebreak
+    ASC) = 1`` formulation.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction {direction!r}")
     lfields = list(left.schema.fields)
     rfields = list(right.schema.fields)
     rnames = [f.name for f in rfields]
@@ -143,7 +155,8 @@ def asof_join(left: DataFrame, right: DataFrame, *, key: str,
         lpdf = lpdf.drop(columns=["_asof_b"])
         rpdf = rpdf.drop(columns=["_asof_b"])
         # SQL semantics: NULL never equals NULL and never satisfies
-        # r.ts <= l.ts — left rows with a null key OR null timestamp
+        # the r.ts <= l.ts (backward) / r.ts >= l.ts (forward)
+        # predicate — left rows with a null key OR null timestamp
         # pass through unmatched; right rows with either are dropped
         # (pandas merge_asof would otherwise group NaN keys together
         # and would raise on null on-keys)
@@ -170,7 +183,7 @@ def asof_join(left: DataFrame, right: DataFrame, *, key: str,
                 out = pd.merge_asof(lpdf, rpdf, left_on=left_ts,
                                     right_on=r_ts_col,
                                     left_by=key, right_by=r_key,
-                                    direction="backward",
+                                    direction=direction,
                                     allow_exact_matches=True)
                 out[_MATCHED_FLAG] = out[_MATCHED_FLAG].notna()
             if len(null_l):

@@ -152,3 +152,44 @@ def group_outlier_stats(events: DataFrame, *, group_col: str = "event_type",
             .agg(F.sum(F.when(is_out, 1).otherwise(0)).alias("n_outliers"))
             .select(F.col("grp").alias("group"), "n", "mean_milli",
                     "n_outliers"))
+
+
+def merge_intervals(intervals: DataFrame, *, key_col: str = "key",
+                    start_col: str = "start", end_col: str = "end") -> DataFrame:
+    """Gaps-and-islands: merge overlapping-or-touching ``[start, end]``
+    intervals per key into maximal covered islands — the classic
+    availability / sensor-uptime / coverage-consolidation operator the
+    reference has no counterpart for (its closest relative is the
+    engine's 1-D interval cover in the tiling layer).
+
+    Semantics: intervals sort by (start, end) within a key; an interval
+    STARTS a new island iff its start is strictly greater than the
+    running maximum end of all earlier intervals (touching endpoints
+    merge — ``[1,3]`` and ``[3,5]`` are one island). ``start > end``
+    rows are treated as written (they still carry their endpoints into
+    the running max), matching the SQL oracle exactly.
+
+    Scale shape: ONE shuffle on the key (the window partition), then
+    the island aggregation reuses the same partitioning — no second
+    exchange, no global sort, no Python. Per-key interval counts bound
+    window state; keys are independent so skew is per-key only.
+
+    Output: (key, island_start, island_end, n_intervals).
+    """
+    w = Window.partitionBy("_k").orderBy(F.col("_s").asc(), F.col("_e").asc())
+    prev_max_end = F.max("_e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    d = (intervals.select(F.col(key_col).alias("_k"),
+                          F.col(start_col).alias("_s"),
+                          F.col(end_col).alias("_e"))
+         .withColumn("_new", F.when(
+             prev_max_end.isNull() | (F.col("_s") > prev_max_end),
+             F.lit(1)).otherwise(F.lit(0)))
+         .withColumn("_island", F.sum("_new").over(
+             w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (d.groupBy("_k", "_island")
+            .agg(F.min("_s").alias("island_start"),
+                 F.max("_e").alias("island_end"),
+                 F.count(F.lit(1)).alias("n_intervals"))
+            .select(F.col("_k").alias("key"), "island_start", "island_end",
+                    "n_intervals"))

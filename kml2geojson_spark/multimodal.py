@@ -53,13 +53,69 @@ def _fake_payload(ref: str, size: int = 4096) -> bytes:
     return rng.integers(0, 256, size, dtype=np.uint8).tobytes()
 
 
+def _md5_chain(ref: str, n: int) -> bytes:
+    """First ``n`` bytes of the digest chain md5(ref:0) || md5(ref:1)
+    || ... — the ONE byte-source definition shared with the DuckDB
+    oracle (which replays ``md5(media_ref || ':' || i)`` per 16-byte
+    chunk), so decoded-pixel checksums are bit-exact cross-engine."""
+    chunks = [hashlib.md5(f"{ref}:{i}".encode()).digest()
+              for i in range((n + 15) // 16)]
+    return b"".join(chunks)[:n]
+
+
+def _ppm_payload(ref: str, width: int, height: int) -> bytes:
+    """A real binary PPM (P6) image whose pixel bytes come from the
+    md5 chain of the ref — a stdlib-only stand-in for a fetched image
+    that a REAL header-parsing decoder must decode."""
+    body = _md5_chain(ref, width * height * 3)
+    return b"P6\n%d %d\n255\n" % (width, height) + body
+
+
+def parse_ppm(blob: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Decode a binary PPM (P6): parse the ASCII header (magic, width,
+    height, maxval — whitespace separated, ``#`` comments allowed as
+    per the netpbm spec), then read width*height*3 raw pixel bytes.
+    Returns (width, height, maxval, uint8 pixel array). This is a true
+    format decode, not a stub — malformed input raises ValueError."""
+    if blob[:2] != b"P6":
+        raise ValueError(f"not a P6 PPM (magic {blob[:2]!r})")
+    idx, vals = 2, []
+    while len(vals) < 3:
+        while idx < len(blob) and blob[idx:idx + 1].isspace():
+            idx += 1
+        if blob[idx:idx + 1] == b"#":  # comment to end-of-line
+            while idx < len(blob) and blob[idx:idx + 1] != b"\n":
+                idx += 1
+            continue
+        start = idx
+        while idx < len(blob) and not blob[idx:idx + 1].isspace():
+            idx += 1
+        vals.append(int(blob[start:idx]))
+    idx += 1  # exactly one whitespace byte after maxval
+    width, height, maxval = vals
+    n = width * height * 3
+    if len(blob) - idx < n:
+        raise ValueError(f"truncated PPM: {len(blob) - idx} < {n} bytes")
+    px = np.frombuffer(blob, dtype=np.uint8, count=n, offset=idx)
+    return width, height, maxval, px
+
+
 def fetch_media_stub(media: DataFrame, *, strict: bool = False,
-                     payload_bytes: int = 4096) -> DataFrame:
-    """Attach ``content binary``. STUB: no network/codecs in this
-    environment — payload is a deterministic fake derived from the ref
-    (same ref → same bytes, so downstream dedup/feature tests are
-    meaningful). ``strict=True`` raises NotImplementedError the way the
-    real fetcher's unsupported-scheme branch would."""
+                     payload_bytes: int = 4096, payload: str = "noise",
+                     width: int = 16, height: int = 16) -> DataFrame:
+    """Attach ``content binary``. STUB at the FETCH layer only: no
+    network in this environment, so bytes are synthesized
+    deterministically from the ref (same ref → same bytes, so
+    downstream dedup/feature/decode tests are meaningful).
+
+    ``payload`` picks the byte shape: ``"noise"`` — opaque rng bytes
+    (the original stand-in); ``"ppm"`` — a REAL binary PPM image
+    (md5-chain pixels, :func:`_ppm_payload`) that :func:`decode_ppm` /
+    ``media_features(decode="ppm")`` genuinely parse. ``strict=True``
+    raises NotImplementedError the way the real fetcher's
+    unsupported-scheme branch would."""
+    if payload not in ("noise", "ppm"):
+        raise ValueError(f"unknown payload mode {payload!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -68,23 +124,68 @@ def fetch_media_stub(media: DataFrame, *, strict: bool = False,
                     "media fetch requires network + codec libs; "
                     "not available in this environment")
             pdf = pdf.copy()
-            pdf["content"] = [_fake_payload(r, payload_bytes)
-                              for r in pdf["media_ref"]]
+            if payload == "ppm":
+                pdf["content"] = [_ppm_payload(r, width, height)
+                                  for r in pdf["media_ref"]]
+            else:
+                pdf["content"] = [_fake_payload(r, payload_bytes)
+                                  for r in pdf["media_ref"]]
             yield pdf
 
     return media.mapInPandas(run, MEDIA_SCHEMA + ", content binary")
 
 
-def media_features(with_content: DataFrame, *, dim: int = 16) -> DataFrame:
+def decode_ppm(with_content: DataFrame) -> DataFrame:
+    """Real image decode over the binary column: parse each PPM header
+    + pixel payload (:func:`parse_ppm`, numpy — no codec libs needed)
+    and emit exact integer checksums over the DECODED pixels:
+    ``pixel_sum`` = Σ byte values, ``pixel_wsum`` = Σ (position+1)·byte.
+    Integer arithmetic end-to-end, so the driver oracle (q43) checks
+    the decode bit-exactly by replaying the md5 pixel chain in SQL.
+
+    Output: (doc_id, media_ref, width, height, pixel_sum, pixel_wsum).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            widths, heights, sums, wsums = [], [], [], []
+            for blob in pdf["content"]:
+                w, h, _maxval, px = parse_ppm(bytes(blob))
+                p64 = px.astype(np.int64)
+                widths.append(w)
+                heights.append(h)
+                sums.append(int(p64.sum()))
+                wsums.append(int(np.dot(np.arange(1, len(p64) + 1,
+                                                  dtype=np.int64), p64)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "media_ref": pdf["media_ref"],
+                                "width": widths, "height": heights,
+                                "pixel_sum": sums, "pixel_wsum": wsums})
+
+    return with_content.mapInPandas(
+        run, "doc_id string, media_ref string, width int, height int, "
+             "pixel_sum long, pixel_wsum long")
+
+
+def media_features(with_content: DataFrame, *, dim: int = 16,
+                   decode: str = "raw") -> DataFrame:
     """binary content → float feature vector (batched: one numpy
     reshape/mean per Arrow batch — the shape a real CNN/encoder UDF
-    takes; the 'model' here is per-256-byte-block means)."""
+    takes; the 'model' here is per-block means). ``decode="ppm"``
+    runs the true PPM header+pixel decode (:func:`parse_ppm`) and
+    features the DECODED pixel array; ``"raw"`` features the payload
+    bytes as-is (opaque blobs)."""
+    if decode not in ("raw", "ppm"):
+        raise ValueError(f"unknown decode mode {decode!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
             for blob in pdf["content"]:
-                arr = np.frombuffer(blob, dtype=np.uint8).astype(np.float32)
+                if decode == "ppm":
+                    arr = parse_ppm(bytes(blob))[3].astype(np.float32)
+                else:
+                    arr = np.frombuffer(blob, dtype=np.uint8).astype(np.float32)
                 if len(arr) == 0:
                     # empty payload (failed fetch): zero vector, not NaN
                     feats.append([0.0] * dim)

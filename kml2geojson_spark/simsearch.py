@@ -5,10 +5,14 @@
   ``aggregate``/``zip_with`` in double precision (in-order fold → the
   DuckDB oracle's ``list_dot_product`` over ``DOUBLE[]`` matches
   bit-for-bit), window top-k with deterministic tie-break.
-- :func:`hyperplane_lsh_topk` — the scale path: random-hyperplane bit
-  signatures (numpy, Arrow-batched), candidates from Hamming-band
-  buckets, exact re-rank of candidates only. Recall < 1 by design;
-  tests measure it against the exact baseline.
+- :func:`hyperplane_lsh_topk` — the scale path: random-hyperplane sign
+  signatures, candidates from Hamming-band buckets, exact re-rank of
+  candidates only. Default hyperplanes are md5-derived ±1 rows
+  (:func:`rademacher_hyperplanes`) evaluated as PURE Column folds —
+  zero Python in the plan and bit-replayable by the DuckDB oracle
+  (driver q41); ``hyperplanes="gaussian"`` keeps the numpy
+  Arrow-batched matmul variant. Recall < 1 by design; tests measure it
+  against the exact baseline.
 """
 
 from __future__ import annotations
@@ -242,6 +246,64 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int, *,
             .select("query_id", "neighbor_id", "cosine", "rank"))
 
 
+def rademacher_hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
+    """±1 hyperplane matrix ``H[dim, bits]`` derived from md5 — the
+    engine-independent analogue of the MinHash permutation constants
+    (textops.minhash_permutation_constants): ``H[i, j] = +1`` iff bit
+    ``i`` of ``md5(f"hp:{seed}:{j}")`` is set. Sign-random-projection
+    LSH with Rademacher (±1) projections has the same collision
+    guarantees as Gaussian ones (Achlioptas 2001, database-friendly
+    random projections), and because any engine can recompute the md5
+    digests, a DuckDB oracle can replay the sign bits exactly — the
+    hyperplanes are inlined into the oracle SQL as literal arrays."""
+    if dim > 128:
+        raise ValueError("md5 hyperplane derivation covers dim <= 128")
+    import hashlib
+    rows = []
+    for j in range(bits):
+        digest = hashlib.md5(f"hp:{seed}:{j}".encode()).digest()
+        bits_j = np.unpackbits(np.frombuffer(digest, dtype=np.uint8))
+        rows.append(np.where(bits_j[:dim] == 1, 1.0, -1.0))
+    return np.stack(rows, axis=1)  # (dim, bits)
+
+
+def hyperplane_band_buckets(df: DataFrame, ident: str, *, dim: int,
+                            bits: int = 64, bands: int = 8,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            seed: int = 42) -> DataFrame:
+    """(id, band, bucket) LSH bucket rows as PURE Column expressions —
+    zero Python in the plan: each sign bit is an in-order
+    ``aggregate``/``zip_with`` double fold of the vector against an
+    md5-derived ±1 literal array (:func:`rademacher_hyperplanes`), the
+    exact fold the DuckDB oracle's ``list_dot_product`` computes, so
+    the candidate set is bit-replayable cross-engine (driver q41).
+    Buckets are assembled per band from ``bits // bands`` sign bits —
+    no packed 64-bit signature, so no signed-overflow edge at bit 63."""
+    assert bits % bands == 0
+    band_bits = bits // bands
+    H = rademacher_hyperplanes(dim, bits, seed)
+    d = df.select(F.col(id_col).alias(ident),
+                  _as_double(vec_col).alias("_v"))
+
+    def dot_j(j: int) -> F.Column:
+        hl = F.array(*[F.lit(float(H[i, j])) for i in range(dim)])
+        return F.aggregate(F.zip_with(F.col("_v"), hl, lambda x, y: x * y),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
+    bucket_structs = []
+    for b in range(bands):
+        bucket = F.lit(0)
+        for t in range(band_bits):
+            bucket = bucket + F.when(dot_j(b * band_bits + t) > 0,
+                                     F.lit(1 << t)).otherwise(F.lit(0))
+        bucket_structs.append(F.struct(F.lit(b).alias("band"),
+                                       bucket.cast("long").alias("bucket")))
+    return (d.select(ident, F.explode(F.array(*bucket_structs)).alias("bb"))
+            .select(ident, F.col("bb.band").alias("band"),
+                    F.col("bb.bucket").alias("bucket")))
+
+
 def hyperplane_signatures(df: DataFrame, *, dim: int, bits: int = 64,
                           vec_col: str = "embedding", id_col: str = "vec_id",
                           seed: int = 42) -> DataFrame:
@@ -289,25 +351,43 @@ def hyperplane_lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int, *,
                         dim: int, bits: int = 64, bands: int = 8,
                         id_col: str = "vec_id", vec_col: str = "embedding",
                         query_id_col: str = "query_id",
-                        seed: int = 42) -> DataFrame:
+                        seed: int = 42,
+                        hyperplanes: str = "md5") -> DataFrame:
     """Approximate cosine top-k: band the signature into ``bands``
     chunks; vectors sharing any band bucket with a query become
     candidates; candidates re-rank by exact cosine. One shuffle on the
-    bucket key; re-rank joins are narrow after that."""
+    bucket key; re-rank joins are narrow after that.
+
+    ``hyperplanes`` picks the sign-bit source: ``"md5"`` (default) is
+    the pure-Column md5-Rademacher path (:func:`hyperplane_band_buckets`
+    — zero Python in the plan, candidate set replayable in the DuckDB
+    oracle bit-for-bit); ``"gaussian"`` is the Arrow-batched numpy
+    matmul (:func:`hyperplane_signatures`)."""
     assert bits % bands == 0
     band_bits = bits // bands
 
-    def banded(sig_df: DataFrame, ident: str) -> DataFrame:
-        return _banded_buckets(sig_df, ident, bands=bands,
-                               band_bits=band_bits)
-
-    sig_base = hyperplane_signatures(embeddings, dim=dim, bits=bits,
-                                     vec_col=vec_col, id_col=id_col, seed=seed)
-    sig_q = hyperplane_signatures(queries, dim=dim, bits=bits,
-                                  vec_col=vec_col, id_col=query_id_col,
-                                  seed=seed)
-    cand = (banded(sig_base, "neighbor_id")
-            .join(banded(sig_q, "query_id"), ["band", "bucket"])
+    if hyperplanes == "md5":
+        cand_base = hyperplane_band_buckets(
+            embeddings, "neighbor_id", dim=dim, bits=bits, bands=bands,
+            id_col=id_col, vec_col=vec_col, seed=seed)
+        cand_q = hyperplane_band_buckets(
+            queries, "query_id", dim=dim, bits=bits, bands=bands,
+            id_col=query_id_col, vec_col=vec_col, seed=seed)
+    elif hyperplanes == "gaussian":
+        sig_base = hyperplane_signatures(embeddings, dim=dim, bits=bits,
+                                         vec_col=vec_col, id_col=id_col,
+                                         seed=seed)
+        sig_q = hyperplane_signatures(queries, dim=dim, bits=bits,
+                                      vec_col=vec_col, id_col=query_id_col,
+                                      seed=seed)
+        cand_base = _banded_buckets(sig_base, "neighbor_id", bands=bands,
+                                    band_bits=band_bits)
+        cand_q = _banded_buckets(sig_q, "query_id", bands=bands,
+                                 band_bits=band_bits)
+    else:
+        raise ValueError(f"unknown hyperplanes mode {hyperplanes!r}")
+    cand = (cand_base
+            .join(cand_q, ["band", "bucket"])
             .where(F.col("neighbor_id") != F.col("query_id"))
             .select("query_id", "neighbor_id").distinct())
 
@@ -332,7 +412,8 @@ def cosine_neardup_pairs_lsh(embeddings: DataFrame, threshold: float, *,
                              dim: int, bits: int = 64, bands: int = 8,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding",
-                             seed: int = 42) -> DataFrame:
+                             seed: int = 42,
+                             hyperplanes: str = "md5") -> DataFrame:
     """Near-duplicate pairs via LSH candidates — the 100-TB shape of
     :func:`cosine_neardup_pairs`: random-hyperplane signatures, banded
     self-join on (band, bucket) for candidates (one shuffle on the
@@ -342,16 +423,26 @@ def cosine_neardup_pairs_lsh(embeddings: DataFrame, threshold: float, *,
     Recall < 1 by design (a true pair whose signatures differ in every
     band is missed — probability decays with ``bands`` and pair
     cosine); precision is 1 (every emitted pair passed the exact
-    filter). Output: (vec_a, vec_b) with vec_a < vec_b.
+    filter). ``hyperplanes``: see :func:`hyperplane_lsh_topk`.
+    Output: (vec_a, vec_b) with vec_a < vec_b.
     """
     assert bits % bands == 0
-    sig = hyperplane_signatures(embeddings, dim=dim, bits=bits,
-                                vec_col=vec_col, id_col=id_col, seed=seed)
     band_bits = bits // bands
-    cand = (_banded_buckets(sig, "vec_a", bands=bands, band_bits=band_bits)
-            .join(_banded_buckets(sig, "vec_b", bands=bands,
-                                  band_bits=band_bits),
-                  ["band", "bucket"])
+    if hyperplanes == "md5":
+        ba = hyperplane_band_buckets(embeddings, "vec_a", dim=dim,
+                                     bits=bits, bands=bands, id_col=id_col,
+                                     vec_col=vec_col, seed=seed)
+        bb = hyperplane_band_buckets(embeddings, "vec_b", dim=dim,
+                                     bits=bits, bands=bands, id_col=id_col,
+                                     vec_col=vec_col, seed=seed)
+    elif hyperplanes == "gaussian":
+        sig = hyperplane_signatures(embeddings, dim=dim, bits=bits,
+                                    vec_col=vec_col, id_col=id_col, seed=seed)
+        ba = _banded_buckets(sig, "vec_a", bands=bands, band_bits=band_bits)
+        bb = _banded_buckets(sig, "vec_b", bands=bands, band_bits=band_bits)
+    else:
+        raise ValueError(f"unknown hyperplanes mode {hyperplanes!r}")
+    cand = (ba.join(bb, ["band", "bucket"])
             .where(F.col("vec_a") < F.col("vec_b"))
             .select("vec_a", "vec_b").distinct())
     a = (embeddings.select(F.col(id_col).alias("vec_a"),

@@ -1099,13 +1099,15 @@ def edit_distance_pairs(df: DataFrame, *, col: str = "name") -> DataFrame:
 
     Candidate generation is the deletion-neighborhood blocking scheme
     (SymSpell): every string emits itself plus each single-character
-    deletion; two strings are within edit distance 1 **iff** their
-    neighborhoods intersect (equal → trivially; substitution at i →
-    both emit the string minus position i; insertion/deletion → the
-    longer one's deletion at the inserted position equals the shorter
-    string itself). So the candidate equi-join on the variant key is
-    provably COMPLETE for d <= 1, and the exact ``levenshtein`` filter
-    on candidates makes precision 1 — never an all-pairs comparison.
+    deletion; d <= 1 IMPLIES the neighborhoods intersect (equal →
+    trivially; substitution at i → both emit the string minus position
+    i; insertion/deletion → the longer one's deletion at the inserted
+    position equals the shorter string itself), so the candidate
+    equi-join on the variant key is provably COMPLETE for d <= 1. The
+    converse does NOT hold (e.g. 'ab'/'ba' share deletion variants 'a'
+    and 'b' but are at distance 2) — the exact ``levenshtein`` filter
+    on candidates removes such false positives, making precision 1 —
+    and it is never an all-pairs comparison.
 
     Scale shape: a string of length L emits L+1 variant rows (pure
     Column ``transform(sequence(...))`` — no Python); the join is a
@@ -1123,6 +1125,12 @@ def edit_distance_pairs(df: DataFrame, *, col: str = "name") -> DataFrame:
         lambda i: F.concat(
             F.col("_w").substr(F.lit(1), i - 1),
             F.col("_w").substr(i + 1, F.length("_w"))))
+    # guard the empty string explicitly: sequence(1, 0) runs DESCENDING
+    # in Spark, so without it the result would lean on
+    # descending-sequence + negative-length-substr edge semantics that
+    # other engines (and future Sparks) don't guarantee
+    dels = F.when(F.length("_w") > 0, dels) \
+        .otherwise(F.array().cast("array<string>"))
     variants = F.array_distinct(F.concat(F.array(F.col("_w")), dels))
     ex = w.select("_w", F.explode(variants).alias("_var"))
     a = ex.select(F.col("_w").alias("name_a"), "_var")
