@@ -307,19 +307,36 @@ def run_suite(spark, sf_dir: str, n_docs: int) -> dict:
     from kml2geojson_spark.engine import convert_documents
     corpus = ensure_corpus(spark, n_docs)
     docs_df = spark.read.parquet(corpus)
-    t0 = time.time()
-    n_layers = convert_documents(docs_df, style_type="svg").select(
-        "doc_id", "layer_names").count()
-    timings["kml_convert_full"] = round(time.time() - t0, 3)
+    # cold vs warm recorded separately: the first run pays Python
+    # worker spin-up + scan warmup (~2x measured: 16.5s cold vs
+    # 7-9s warm at 100k docs) — exactly the r2→r3 "regression" that
+    # turned out to be which run the sampler caught
+    best, n_layers = None, 0
+    for i in range(2):
+        t0 = time.time()
+        n_layers = convert_documents(docs_df, style_type="svg").select(
+            "doc_id", "layer_names").count()
+        dt = time.time() - t0
+        if i == 0:
+            timings["kml_convert_full_cold"] = round(dt, 3)
+        best = dt if best is None else min(best, dt)
+    timings["kml_convert_full"] = round(best, 3)
     if n_layers == 0:
         print("WARN: convert_full returned 0 rows", file=sys.stderr)
 
+    # min-of-2 warm per query: the per-round driver bench runs on a
+    # shared host, and a single sample conflates host load with code
+    # changes (round 3's driver run measured 2.1x uniform slowdowns on
+    # unchanged queries); the min of two runs is the comparable signal
     for name in BENCH_QUERIES:
         fn = qdefs[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
+        best, n = None, 0
+        for _ in range(2):
+            t0 = time.time()
+            n = fn(spark, sf_dir).count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         if n == 0:
             print(f"WARN: {name} returned 0 rows", file=sys.stderr)
 

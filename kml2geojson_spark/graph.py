@@ -255,7 +255,8 @@ def triangle_count(edges: DataFrame, *, src: str = "src",
 
 def common_neighbor_similarity(edges: DataFrame, *, left: str = "src",
                                right: str = "dst",
-                               min_common: int = 1) -> DataFrame:
+                               min_common: int = 1,
+                               max_degree: int | None = None) -> DataFrame:
     """Jaccard similarity of right-side neighborhoods for pairs of
     left-side nodes in a bipartite edge list — the classic
     link-prediction / entity-resolution signal ("customers who share
@@ -265,12 +266,19 @@ def common_neighbor_similarity(edges: DataFrame, *, left: str = "src",
 
     Scale shape: one distinct (one shuffle), degree hash-aggregate,
     then the wedge self-join keyed on the RIGHT node — candidate pairs
-    are generated per shared neighbor, never all-pairs; a hot right
+    are generated per shared neighbor, never all-pairs. A hot right
     node (every customer buys from supplier X) blows up the wedge
-    count quadratically, so prune such hubs first (they carry no
-    similarity signal anyway — cap with a degree filter) or salt the
-    wedge key. Pair counting is one hash-aggregate on (a, b) with
-    map-side combine; degrees come back via two token-key joins.
+    count quadratically, so ``max_degree`` ENFORCES hub pruning in the
+    engine: right nodes with more than ``max_degree`` left neighbors
+    are dropped BEFORE the wedge join, bounding every bucket of the
+    self-join to ``max_degree²`` pair candidates. Hubs carry no
+    similarity signal (a neighbor shared by everyone distinguishes
+    nothing — the same inverse-frequency argument as tf-idf), but
+    pruning them does change n_common/jaccard for pairs that shared
+    one, so the cap is opt-in; left degrees are computed on the FULL
+    edge set so the denominator stays the true neighborhood size.
+    Pair counting is one hash-aggregate on (a, b) with map-side
+    combine; degrees come back via two token-key joins.
 
     Output: (node_a, node_b, n_common, jaccard_milli) with
     node_a < node_b and n_common >= min_common.
@@ -279,8 +287,15 @@ def common_neighbor_similarity(edges: DataFrame, *, left: str = "src",
                       F.col(right).cast("long").alias("r"))
          .distinct())
     deg = e.groupBy("l").agg(F.count(F.lit(1)).alias("d"))
-    w1 = e.select(F.col("l").alias("node_a"), "r")
-    w2 = e.select(F.col("l").alias("node_b"), "r")
+    we = e
+    if max_degree is not None:
+        if max_degree < 1:
+            raise ValueError(f"max_degree must be >= 1, got {max_degree}")
+        keep = (e.groupBy("r").agg(F.count(F.lit(1)).alias("_rd"))
+                .where(F.col("_rd") <= max_degree).select("r"))
+        we = e.join(keep, "r", "left_semi")
+    w1 = we.select(F.col("l").alias("node_a"), "r")
+    w2 = we.select(F.col("l").alias("node_b"), "r")
     pairs = (w1.join(w2, "r")
              .where(F.col("node_a") < F.col("node_b"))
              .groupBy("node_a", "node_b")

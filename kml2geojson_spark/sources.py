@@ -66,24 +66,43 @@ def convert_kml_dir(spark: SparkSession, input_path: str, output_dir: str, *,
                     pattern: str = "*.kml",
                     feature_collection_name: Optional[str] = None,
                     style_type: Optional[str] = None,
-                    separate_folders: bool = False) -> list[Path]:
+                    separate_folders: bool = False,
+                    max_files: int = 10_000) -> list[Path]:
     """Reference-CLI (``k2g``) semantics over a directory: each input
     file gets ``<output_dir>/<doc_id>/`` with ``style.json`` (when
     ``style_type`` is set) and one ``.geojson`` per layer. The convert
     itself is distributed; only the small per-file JSON write happens
     on the driver (matching the single-file reference CLI,
     cli.py:48-66). Returns all written paths.
+
+    ``max_files`` is the driver-safety gate (the pip_join
+    ``max_driver_rings`` pattern): this CLI-parity path iterates the
+    converted documents through the driver to write local files, which
+    is unbounded state if pointed at a whole corpus — above the gate it
+    raises instead of OOMing mid-write. For corpus-scale output use the
+    distributed sink (``convert_documents`` + ``df.write``), which
+    never routes rows through the driver. Rows stream through
+    ``toLocalIterator`` (one partition in memory at a time), so below
+    the gate peak driver memory is one partition, not the directory.
     """
     from .convert_core import disambiguate_names
     from .engine import convert_documents
     from .sinks import write_geojson_dir
 
     docs = read_kml_files(spark, input_path, pattern=pattern)
+    n_files = docs.count()
+    if n_files > max_files:
+        raise ValueError(
+            f"convert_kml_dir: {n_files} input files exceed max_files="
+            f"{max_files}; this CLI-parity path writes through the "
+            f"driver — raise max_files deliberately or use "
+            f"convert_documents + a distributed writer for corpus-scale "
+            f"output")
     converted = convert_documents(
         docs, feature_collection_name=feature_collection_name,
         style_type=style_type, separate_folders=separate_folders)
     written: list[Path] = []
-    rows = sorted(converted.collect(), key=lambda r: r["doc_id"])
+    rows = sorted(converted.toLocalIterator(), key=lambda r: r["doc_id"])
     # same-stem files from different directories would collide on one
     # output dir and silently overwrite — disambiguate like the CLI
     # disambiguates layer stems

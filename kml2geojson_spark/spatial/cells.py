@@ -190,6 +190,45 @@ def cell_encode_grid_col(ix: Column, iy: Column, res: int) -> Column:
     return F.shiftleft(code, RES_BITS).bitwiseOR(F.lit(res)).alias("cell_id")
 
 
+def cell_kring_col(lon: Column, lat: Column, res: int,
+                   radius: int) -> Column:
+    """k-ring as a PURE Column expression: array of the ≤ (2r+1)²
+    same-resolution cells within Chebyshev ``radius`` of the (lon, lat)
+    home cell — x wraps around the antimeridian (pmod), y clamps at the
+    poles (out-of-range offsets dropped), wrap duplicates on a tiny
+    grid deduped. Mirrors :func:`cell_kring_np` exactly (same grid
+    math, same Morton encode) but stays inside whole-stage codegen —
+    the (dx, dy) offsets are compile-time literals for small rings
+    (fully unrolled in codegen) and a constant-size higher-order
+    ``sequence``/``transform`` expansion for large ones, so there is
+    no per-row Python at any radius."""
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be in [0, {MAX_RES}]")
+    n = 1 << res
+
+    def encode(xs: Column, ys: Column) -> Column:
+        code = F.shiftleft(_spread_col(xs), 1).bitwiseOR(_spread_col(ys))
+        cell = F.shiftleft(code, RES_BITS).bitwiseOR(F.lit(res))
+        return F.when((ys >= 0) & (ys < n), cell)
+
+    ix = _grid_col(lon, 180.0, 360.0, res)
+    iy = _grid_col(lat, 90.0, 180.0, res)
+    if radius <= 4:
+        cells = []
+        for dx in range(-radius, radius + 1):
+            xs = F.pmod(ix + F.lit(dx), F.lit(n))
+            for dy in range(-radius, radius + 1):
+                cells.append(encode(xs, iy + F.lit(dy)))
+        arr = F.array(*cells)
+    else:
+        offs = F.sequence(F.lit(-radius), F.lit(radius))
+        arr = F.flatten(F.transform(
+            offs, lambda dx: F.transform(
+                offs, lambda dy: encode(F.pmod(ix + dx, F.lit(n)),
+                                        iy + dy))))
+    return F.array_distinct(F.filter(arr, lambda c: c.isNotNull()))
+
+
 def cell_res_col(cell: Column) -> Column:
     return cell.bitwiseAND(F.lit(RES_MASK))
 

@@ -30,6 +30,7 @@ from .cells import (
     cell_encode_col,
     cell_encode_grid_np,
     cell_encode_np,
+    cell_kring_col,
     cell_kring_np,
     cell_bounds_np,
     cell_parent_col,
@@ -67,12 +68,16 @@ def cover_cells_rect(df: DataFrame, res: int, *, west: str = "west",
 
     - ``west > east`` means the rectangle CROSSES the antimeridian
       (the GeoJSON bbox convention): it is treated as the union
-      ``[west, 180] ∪ [-180, east]`` — x cell ranges come from both
-      pieces (deduplicated — a near-360° wrap can reach the same cell
-      from both sides, in which case the two piece overlaps are
-      summed into one fraction), and the covered width of a cell is
-      the sum of its overlap with each piece. Rows never vanish
-      silently.
+      ``[west, 180] ∪ [-180, east]``. Implementation: the x range is
+      UNWRAPPED to ``[ix(west), ix(east) + 2^res]`` — one ascending
+      sequence for every case, wrapped back per cell with a bitmask —
+      so the generator input is the same single ``sequence`` whether
+      or not the rect crosses (no array concat/distinct in the hot
+      path). A near-360° wrap that reaches a cell from both sides is
+      clamped to one pass (each cell at most once), and the covered
+      width of a cell is the sum of its overlap with each piece, so
+      the fraction is exact either way. Degenerate pieces (west = 180
+      or east = -180) emit nothing. Rows never vanish silently.
     - Latitude never wraps: ``south > north`` is degenerate and
       yields no cells (poles clamp, matching the k-ring's y
       behavior).
@@ -96,31 +101,35 @@ def cover_cells_rect(df: DataFrame, res: int, *, west: str = "west",
     # cells. Empty-range → empty array → explode drops the row,
     # matching the DuckDB oracle's generate_series semantics.
     def seq(lo, hi):
-        return F.when(F.col(hi) >= F.col(lo), F.sequence(lo, hi)) \
+        return F.when(hi >= lo, F.sequence(lo, hi)) \
             .otherwise(F.array().cast("array<bigint>"))
 
     crossing = F.col(west) > F.col(east)
-    empty = F.array().cast("array<bigint>")
-    # crossing: [west, 180] covers [_ix0, hi]; [-180, east] covers
-    # [0, _ix1] (_ix0 <= hi and _ix1 >= 0 by the clamps, so both
-    # sequences are ascending); a DEGENERATE piece (west = 180 or
-    # east = -180) contributes nothing — without the guard the clamps
-    # would emit a zero-width spurious column. A near-global wrap can
-    # reach a cell from both pieces — array_distinct emits it once
-    piece_w = F.when(F.col(west) < F.lit(180.0),
-                     F.sequence(F.col("_ix0"), F.lit(hi))).otherwise(empty)
-    piece_e = F.when(F.col(east) > F.lit(-180.0),
-                     F.sequence(F.lit(0), F.col("_ix1"))).otherwise(empty)
-    xcells = F.when(
-        ~crossing, seq("_ix0", "_ix1")
-    ).otherwise(F.array_distinct(F.concat(piece_w, piece_e)))
+    ncells = 1 << res
+    # unwrapped x bounds: non-crossing runs [_ix0, _ix1] untouched; a
+    # crossing rect runs [_ix0, _ix1 + 2^res] (east unwrapped past the
+    # antimeridian) with each emitted index wrapped back by `& hi`.
+    # Degenerate pieces emit nothing: west = 180 starts the sequence at
+    # 2^res (first wrapped cell), east = -180 stops it at hi (last
+    # unwrapped cell). The least() clamp bounds a near-360° wrap to one
+    # pass over the grid, so no cell repeats — its fraction sums both
+    # piece overlaps below.
+    x_lo = F.when(~crossing, F.col("_ix0")).otherwise(
+        F.when(F.col(west) < F.lit(180.0), F.col("_ix0"))
+        .otherwise(F.lit(ncells)))
+    x_hi = F.when(~crossing, F.col("_ix1")).otherwise(
+        F.least(
+            F.when(F.col(east) > F.lit(-180.0), F.col("_ix1") + F.lit(ncells))
+            .otherwise(F.lit(hi)),
+            x_lo + F.lit(ncells - 1)))
     out = (
         df.withColumn("_ix0", scale_lo(west, 180.0, 360.0))
         .withColumn("_ix1", scale_hi(east, 180.0, 360.0))
         .withColumn("_iy0", scale_lo(south, 90.0, 180.0))
         .withColumn("_iy1", scale_hi(north, 90.0, 180.0))
-        .withColumn("_ix", F.explode(xcells))
-        .withColumn("_iy", F.explode(seq("_iy0", "_iy1")))
+        .withColumn("_ixu", F.explode(seq(x_lo, x_hi)))
+        .withColumn("_ix", F.col("_ixu").bitwiseAND(F.lit(hi)))
+        .withColumn("_iy", F.explode(seq(F.col("_iy0"), F.col("_iy1"))))
     )
     # encode from grid coords: reuse the Column spreader via cell center
     cell_w = F.col("_ix") * F.lit(360.0 / n) - F.lit(180.0)
@@ -147,7 +156,7 @@ def cover_cells_rect(df: DataFrame, res: int, *, west: str = "west",
         oh = F.greatest(F.lit(0.0), F.least(F.col(north), cn) - F.greatest(F.col(south), cs))
         cell_area = F.lit((360.0 / n) * (180.0 / n))
         out = out.withColumn("fraction", ow * oh / cell_area)
-    return out.drop("_ix0", "_ix1", "_iy0", "_iy1", "_ix", "_iy")
+    return out.drop("_ix0", "_ix1", "_iy0", "_iy1", "_ixu", "_ix", "_iy")
 
 
 # ---------------------------------------------------------------------------
@@ -903,13 +912,10 @@ def _kring_candidates(points: DataFrame, queries: DataFrame, res: int,
     in exactly one cell, so (query, point) candidates are unique."""
     q = queries.select(F.col(query_id).alias("query_id"),
                        F.col(x).alias("_qx"), F.col(y).alias("_qy"))
-    q = q.withColumn("_qcell", cell_encode_col(F.col("_qx"), F.col("_qy"), res))
-
-    @F.pandas_udf("array<long>")
-    def ring_cells(cells: pd.Series) -> pd.Series:
-        return cells.map(lambda c: cell_kring_np(int(c), rings).tolist())
-
-    q = q.withColumn("cell_id", F.explode(ring_cells(F.col("_qcell"))))
+    # ring cells as a pure-Column expansion (no per-row Python in the
+    # candidate stage; plan-asserted)
+    q = q.withColumn("cell_id", F.explode(
+        cell_kring_col(F.col("_qx"), F.col("_qy"), res, rings)))
     p = encode_points(points.select(
         F.col(point_id).alias("_pid"), F.col(x).alias("x"),
         F.col(y).alias("y")), res)
@@ -999,10 +1005,6 @@ def knn_join_adaptive(points: DataFrame, queries: DataFrame, k: int, res: int,
     q_all = queries.select(F.col(query_id).alias("query_id"),
                            F.col(x).alias("_qx"), F.col(y).alias("_qy"))
 
-    @F.pandas_udf("array<long>")
-    def ring_cells(cells: pd.Series) -> pd.Series:
-        return cells.map(lambda c: cell_kring_np(int(c), ring_radius).tolist())
-
     d2 = ((F.col("x") - F.col("_qx")) * (F.col("x") - F.col("_qx"))
           + (F.col("y") - F.col("_qy")) * (F.col("y") - F.col("_qy")))
     w = Window.partitionBy("query_id").orderBy(F.col("dist2").asc(),
@@ -1017,9 +1019,13 @@ def knn_join_adaptive(points: DataFrame, queries: DataFrame, k: int, res: int,
         cell_w, cell_h = 360.0 / n, 180.0 / n
         guarantee = ring_radius * min(cell_w, cell_h)
 
+        # ring cells as a pure-Column literal-offset expansion — the
+        # candidate stage stays entirely inside whole-stage codegen
+        # (plan-asserted: no Python eval node)
         q = pending.withColumn(
-            "_qcell", cell_encode_col(F.col("_qx"), F.col("_qy"), level))
-        q = q.withColumn("_cell_lvl", F.explode(ring_cells(F.col("_qcell"))))
+            "_cell_lvl",
+            F.explode(cell_kring_col(F.col("_qx"), F.col("_qy"),
+                                     level, ring_radius)))
         p_lvl = p.withColumn(
             "_cell_lvl",
             F.col("cell_id") if level == res

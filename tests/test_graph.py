@@ -252,3 +252,25 @@ def test_common_neighbor_min_common_prunes(spark):
     got = {(r["node_a"], r["node_b"])
            for r in common_neighbor_similarity(df, min_common=2).collect()}
     assert got == {(1, 2)}
+
+
+def test_common_neighbor_max_degree_prunes_planted_hub(spark):
+    from kml2geojson_spark.graph import common_neighbor_similarity
+    # hub right-node 99 connects to EVERY left node; signal edges
+    # connect only (1,2) via right-node 5
+    edges = [(l, 99) for l in range(1, 21)] + [(1, 5), (2, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    # uncapped: the hub makes all 20*19/2 pairs candidates
+    full = common_neighbor_similarity(df).collect()
+    assert len(full) == 20 * 19 // 2
+    # capped: only the signal pair survives; left degrees stay FULL
+    # (node 1 and 2 each have degree 2 incl. the pruned hub edge)
+    capped = common_neighbor_similarity(df, max_degree=5).collect()
+    assert [(r["node_a"], r["node_b"], r["n_common"], r["jaccard_milli"])
+            for r in capped] == [(1, 2, 1, 1000 // (2 + 2 - 1))]
+    # the wedge input is bounded: hub rows never reach the self-join
+    with_cap = common_neighbor_similarity(df, max_degree=5)
+    import pytest
+    with pytest.raises(ValueError, match="max_degree"):
+        common_neighbor_similarity(df, max_degree=0)
+    assert with_cap.count() == 1

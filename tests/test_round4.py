@@ -225,3 +225,47 @@ def test_hyperplane_buckets_match_numpy_signs(spark):
             mine = got[(got["vec_id"] == row["vec_id"])
                        & (got["band"] == b)]["bucket"].iloc[0]
             assert mine == bucket, (row["vec_id"], b)
+
+
+# -- pure-Column k-ring (adaptive kNN candidate stage) ------------------------
+
+def test_cell_kring_col_matches_np(spark):
+    from kml2geojson_spark.spatial.cells import (cell_encode_np,
+                                                 cell_kring_col,
+                                                 cell_kring_np)
+    rng = np.random.default_rng(3)
+    pts = pd.DataFrame({
+        "x": np.concatenate([rng.uniform(-180, 180, 40),
+                             [-180.0, 179.999, 0.0, -179.999]]),
+        "y": np.concatenate([rng.uniform(-90, 90, 40),
+                             [89.999, -89.999, 0.0, 45.0]]),
+    })
+    df = spark.createDataFrame(pts)
+    # radius 6 exercises the HOF sequence expansion branch (> 4),
+    # the small radii the unrolled-literal branch
+    for res in (0, 1, 3, 6):
+        for radius in (1, 2, 6):
+            got = df.select(
+                "x", "y",
+                cell_kring_col(F.col("x"), F.col("y"), res,
+                               radius).alias("ring")).toPandas()
+            for _, row in got.iterrows():
+                home = int(cell_encode_np(
+                    np.array([row["x"]]), np.array([row["y"]]), res)[0])
+                expect = sorted(cell_kring_np(home, radius).tolist())
+                assert sorted(row["ring"]) == expect, (row["x"], row["y"],
+                                                       res, radius)
+
+
+def test_adaptive_knn_candidate_stage_pure_column(spark):
+    """The adaptive-kNN ring expansion must plan WITHOUT any Python
+    eval node (it was the package's last per-row Python loop)."""
+    from kml2geojson_spark.spatial.cells import cell_kring_col
+    q = spark.createDataFrame([(1, 10.0, 20.0)], "query_id long, x double, y double")
+    ring = q.select("query_id", F.explode(
+        cell_kring_col(F.col("x"), F.col("y"), 6, 2)).alias("cell"))
+    plan = ring._jdf.queryExecution().executedPlan().toString()
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "PythonMapInArrow"):
+        assert marker not in plan, plan
+    assert ring.count() == 25

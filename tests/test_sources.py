@@ -62,3 +62,14 @@ def test_convert_kml_dir_matches_reference(spark, kml_dir,
         got_layers = [json.loads(f.read_text()) for f in layer_files]
         for g, r in zip(got_layers, ref_layers):
             assert g == r
+
+
+def test_convert_kml_dir_max_files_gate(spark, kml_dir, tmp_path):
+    with pytest.raises(ValueError, match="max_files"):
+        convert_kml_dir(spark, str(kml_dir), str(tmp_path / "gated"),
+                        max_files=1)
+    # at the gate boundary it still works
+    n = len(list(kml_dir.glob("*.kml")))
+    written = convert_kml_dir(spark, str(kml_dir), str(tmp_path / "ok"),
+                              max_files=n)
+    assert written
