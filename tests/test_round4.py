@@ -269,3 +269,17 @@ def test_adaptive_knn_candidate_stage_pure_column(spark):
                    "PythonMapInArrow"):
         assert marker not in plan, plan
     assert ring.count() == 25
+
+
+def test_merge_intervals_single_exchange_plan(spark):
+    """The island aggregation must reuse the window's hash
+    partitioning: exactly ONE Exchange (the key shuffle), one Sort,
+    and partial+final aggregation — no Python eval anywhere."""
+    iv = spark.createDataFrame(
+        [("k", 1, 3)], "key string, start int, end int")
+    plan = merge_intervals(iv)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "PythonMapInArrow"):
+        assert marker not in plan, plan
