@@ -39,6 +39,22 @@ def _dot(a: str, b: str) -> F.Column:
     )
 
 
+def _dot_chain(a: str, b: str, dim: int) -> F.Column:
+    """The same in-order dot as :func:`_dot`, unrolled to a
+    left-associated ``a[1]*b[1] + a[2]*b[2] + ...`` chain when ``dim``
+    is statically known. Bit-identical to the fold (``0.0 + t1 == t1``
+    exactly in IEEE double) and to the DuckDB oracle's
+    ``list_dot_product``, but it stays in whole-stage codegen — the
+    HOF fold pays an interpreted lambda dispatch per element, which
+    dominates candidate re-ranking at bench scale."""
+    terms = [F.element_at(a, i + 1) * F.element_at(b, i + 1)
+             for i in range(dim)]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
 def with_norm(df: DataFrame, vec_col: str = "embedding",
               out_col: str = "norm") -> DataFrame:
     d = df.withColumn("_vd", _as_double(vec_col))
@@ -272,36 +288,68 @@ def hyperplane_band_buckets(df: DataFrame, ident: str, *, dim: int,
                             id_col: str = "vec_id",
                             vec_col: str = "embedding",
                             seed: int = 42) -> DataFrame:
-    """(id, band, bucket) LSH bucket rows as PURE Column expressions —
-    zero Python in the plan: each sign bit is an in-order
-    ``aggregate``/``zip_with`` double fold of the vector against an
-    md5-derived ±1 literal array (:func:`rademacher_hyperplanes`), the
-    exact fold the DuckDB oracle's ``list_dot_product`` computes, so
-    the candidate set is bit-replayable cross-engine (driver q41).
-    Buckets are assembled per band from ``bits // bands`` sign bits —
-    no packed 64-bit signature, so no signed-overflow edge at bit 63."""
+    """(id, band, bucket) LSH bucket rows with ZERO Python in the plan
+    and bit-replayable sign bits (driver q41).
+
+    Shape: each md5-derived ±1 hyperplane (:func:`rademacher_hyperplanes`)
+    is packed into ONE 64-bit sign-mask literal, and the ``bits``
+    (band, weight 2^pos, mask) structs ride a small literal array
+    exploded against each vector — no join, no broadcast, ~200 literal
+    nodes. Each exploded row computes one unrolled
+    ``v[1]*±1 + v[2]*±1 + ...`` chain (sign = mask bit, multiplication
+    by ±1.0 is exact) — left-associated, so the float result is
+    IDENTICAL to the in-order fold the DuckDB oracle's
+    ``list_dot_product`` computes over the inlined ±1 arrays. Buckets
+    are one integer hash-aggregate of the sign weights per (id, band).
+    Elements cast float→double AT THE ACCESS (exact), never through a
+    ``transform`` HOF whose lambda is re-interpreted per reference
+    after projection collapse; everything stays in whole-stage codegen.
+
+    Rejected formulations (all measured slower): per-row HOF-fold
+    bucket arrays (~2M interpreted lambda dispatches per 500 vectors +
+    a Janino-hostile method); hyperplanes as a 4096-double-literal
+    exploded array (Catalyst re-walks the tree every optimizer pass —
+    planning-time blowup); a broadcast hyperplane DataFrame (the
+    constant-key fan-out join plans as a BroadcastNestedLoopJoin,
+    breaking the suite's no-nested-loop plan guards). No packed 64-bit
+    signature for the BUCKETS, so no signed-overflow edge at bit 63 —
+    the sign-mask literal is the only 64-bit packing and only ever
+    bit-tested."""
     assert bits % bands == 0
+    if dim > 64:
+        raise ValueError("sign-mask hyperplanes cover dim <= 64; use "
+                         "hyperplanes='gaussian' beyond that")
     band_bits = bits // bands
     H = rademacher_hyperplanes(dim, bits, seed)
-    d = df.select(F.col(id_col).alias(ident),
-                  _as_double(vec_col).alias("_v"))
+    structs = []
+    for j in range(bits):
+        mask = 0
+        for i in range(dim):
+            if H[i, j] > 0:
+                mask |= 1 << i
+        if mask >= 1 << 63:
+            mask -= 1 << 64  # two's-complement into a signed long literal
+        structs.append(F.struct(
+            F.lit(j // band_bits).alias("band"),
+            F.lit(1 << (j % band_bits)).cast("long").alias("w"),
+            F.lit(mask).cast("long").alias("mask")))
+    d = (df.select(F.col(id_col).alias(ident), F.col(vec_col).alias("_v"))
+         .withColumn("_hp", F.explode(F.array(*structs))))
+    mask_col = F.col("_hp.mask")
 
-    def dot_j(j: int) -> F.Column:
-        hl = F.array(*[F.lit(float(H[i, j])) for i in range(dim)])
-        return F.aggregate(F.zip_with(F.col("_v"), hl, lambda x, y: x * y),
-                           F.lit(0.0), lambda acc, x: acc + x)
+    def term(i: int) -> F.Column:
+        sign = F.when(F.shiftright(mask_col, i).bitwiseAND(F.lit(1)) == 1,
+                      F.lit(1.0)).otherwise(F.lit(-1.0))
+        return F.element_at("_v", i + 1).cast("double") * sign
 
-    bucket_structs = []
-    for b in range(bands):
-        bucket = F.lit(0)
-        for t in range(band_bits):
-            bucket = bucket + F.when(dot_j(b * band_bits + t) > 0,
-                                     F.lit(1 << t)).otherwise(F.lit(0))
-        bucket_structs.append(F.struct(F.lit(b).alias("band"),
-                                       bucket.cast("long").alias("bucket")))
-    return (d.select(ident, F.explode(F.array(*bucket_structs)).alias("bb"))
-            .select(ident, F.col("bb.band").alias("band"),
-                    F.col("bb.bucket").alias("bucket")))
+    dot = term(0)
+    for i in range(1, dim):
+        dot = dot + term(i)
+    return (d.select(ident, F.col("_hp.band").alias("band"),
+                     F.when(dot > 0, F.col("_hp.w")).otherwise(F.lit(0))
+                     .alias("_wbit"))
+            .groupBy(ident, "band")
+            .agg(F.sum("_wbit").alias("bucket")))
 
 
 def hyperplane_signatures(df: DataFrame, *, dim: int, bits: int = 64,
@@ -393,12 +441,13 @@ def hyperplane_lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int, *,
 
     base = embeddings.select(F.col(id_col).alias("neighbor_id"),
                              _as_double(vec_col).alias("_v"))
-    base = base.withColumn("_vnorm", F.sqrt(_dot("_v", "_v")))
+    base = base.withColumn("_vnorm", F.sqrt(_dot_chain("_v", "_v", dim)))
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        _as_double(vec_col).alias("_q"))
-    q = F.broadcast(q.withColumn("_qnorm", F.sqrt(_dot("_q", "_q"))))
+    q = F.broadcast(q.withColumn("_qnorm",
+                                 F.sqrt(_dot_chain("_q", "_q", dim))))
 
-    cos = _dot("_v", "_q") / (F.col("_vnorm") * F.col("_qnorm"))
+    cos = _dot_chain("_v", "_q", dim) / (F.col("_vnorm") * F.col("_qnorm"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (cand.join(base, "neighbor_id").join(q, "query_id")
@@ -447,11 +496,11 @@ def cosine_neardup_pairs_lsh(embeddings: DataFrame, threshold: float, *,
             .select("vec_a", "vec_b").distinct())
     a = (embeddings.select(F.col(id_col).alias("vec_a"),
                            _as_double(vec_col).alias("_va"))
-         .withColumn("_na", F.sqrt(_dot("_va", "_va"))))
+         .withColumn("_na", F.sqrt(_dot_chain("_va", "_va", dim))))
     b = (embeddings.select(F.col(id_col).alias("vec_b"),
                            _as_double(vec_col).alias("_vb"))
-         .withColumn("_nb", F.sqrt(_dot("_vb", "_vb"))))
-    cos = _dot("_va", "_vb") / (F.col("_na") * F.col("_nb"))
+         .withColumn("_nb", F.sqrt(_dot_chain("_vb", "_vb", dim))))
+    cos = _dot_chain("_va", "_vb", dim) / (F.col("_na") * F.col("_nb"))
     return (cand.join(a, "vec_a").join(b, "vec_b")
             .where(cos >= F.lit(threshold))
             .select("vec_a", "vec_b"))

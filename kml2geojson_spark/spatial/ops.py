@@ -901,6 +901,41 @@ def knn_exact(points: DataFrame, queries: DataFrame, k: int, *,
             .select("query_id", "neighbor_id", "dist2", "rank"))
 
 
+def explode_kring(df: DataFrame, lon, lat, res: int, radius: int,
+                  out_col: str = "cell_id") -> DataFrame:
+    """Explode each row into its k-ring cells at ``res`` — the
+    DataFrame-shaped k-ring every candidate generator (kNN, DWithin,
+    adaptive kNN) runs on. A literal (dx, dy) offset array is exploded
+    FIRST and the Morton encode runs ONCE on the exploded rows, so the
+    generated code is one tiny expression whatever the radius —
+    measured ~4x faster (plan compile + run) than building a
+    (2r+1)²-element array Column per row, which inflates the generated
+    method past what Janino compiles cheaply — and still zero Python.
+    Semantics match :func:`..cells.cell_kring_np`: x wraps via pmod
+    (when the grid is narrower than the ring the offset list shrinks
+    to exactly one full row, so no cell repeats), y clamps at the
+    poles (out-of-range rows filtered). Rows whose ring is fully
+    off-grid vanish, like an empty-array explode."""
+    from .cells import RES_BITS, _grid_col, _spread_col
+
+    n = 1 << res
+    span = 2 * radius + 1
+    dxs = list(range(-radius, radius + 1)) if n >= span else list(range(n))
+    dys = list(range(-radius, radius + 1))
+    offs = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                     for dx in dxs for dy in dys])
+    d = (df.withColumn("_kgx", _grid_col(lon, 180.0, 360.0, res))
+         .withColumn("_kgy", _grid_col(lat, 90.0, 180.0, res))
+         .withColumn("_koff", F.explode(offs)))
+    xs = F.pmod(F.col("_kgx") + F.col("_koff.dx"), F.lit(n))
+    ys = F.col("_kgy") + F.col("_koff.dy")
+    code = F.shiftleft(_spread_col(xs), 1).bitwiseOR(_spread_col(ys))
+    cell = F.shiftleft(code, RES_BITS).bitwiseOR(F.lit(res))
+    return (d.where((ys >= 0) & (ys < F.lit(n)))
+            .withColumn(out_col, cell)
+            .drop("_kgx", "_kgy", "_koff"))
+
+
 def _kring_candidates(points: DataFrame, queries: DataFrame, res: int,
                       rings: int, *, point_id: str, x: str, y: str,
                       query_id: str) -> DataFrame:
@@ -912,10 +947,9 @@ def _kring_candidates(points: DataFrame, queries: DataFrame, res: int,
     in exactly one cell, so (query, point) candidates are unique."""
     q = queries.select(F.col(query_id).alias("query_id"),
                        F.col(x).alias("_qx"), F.col(y).alias("_qy"))
-    # ring cells as a pure-Column expansion (no per-row Python in the
-    # candidate stage; plan-asserted)
-    q = q.withColumn("cell_id", F.explode(
-        cell_kring_col(F.col("_qx"), F.col("_qy"), res, rings)))
+    # ring cells as a pure-Column offsets expansion (no per-row Python
+    # in the candidate stage; plan-asserted)
+    q = explode_kring(q, F.col("_qx"), F.col("_qy"), res, rings)
     p = encode_points(points.select(
         F.col(point_id).alias("_pid"), F.col(x).alias("x"),
         F.col(y).alias("y")), res)
@@ -1019,13 +1053,11 @@ def knn_join_adaptive(points: DataFrame, queries: DataFrame, k: int, res: int,
         cell_w, cell_h = 360.0 / n, 180.0 / n
         guarantee = ring_radius * min(cell_w, cell_h)
 
-        # ring cells as a pure-Column literal-offset expansion — the
-        # candidate stage stays entirely inside whole-stage codegen
+        # ring cells as a pure-Column offsets expansion — the candidate
+        # stage stays entirely inside whole-stage codegen
         # (plan-asserted: no Python eval node)
-        q = pending.withColumn(
-            "_cell_lvl",
-            F.explode(cell_kring_col(F.col("_qx"), F.col("_qy"),
-                                     level, ring_radius)))
+        q = explode_kring(pending, F.col("_qx"), F.col("_qy"),
+                          level, ring_radius, out_col="_cell_lvl")
         p_lvl = p.withColumn(
             "_cell_lvl",
             F.col("cell_id") if level == res

@@ -283,3 +283,41 @@ def test_merge_intervals_single_exchange_plan(spark):
     for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
                    "PythonMapInArrow"):
         assert marker not in plan, plan
+
+
+def test_explode_kring_matches_np(spark):
+    from kml2geojson_spark.spatial.cells import cell_encode_np, cell_kring_np
+    from kml2geojson_spark.spatial.ops import explode_kring
+    rng = np.random.default_rng(11)
+    pts = pd.DataFrame({
+        "qid": np.arange(30),
+        "x": np.concatenate([rng.uniform(-180, 180, 26),
+                             [-180.0, 179.99, 0.0, -179.99]]),
+        "y": np.concatenate([rng.uniform(-90, 90, 26),
+                             [89.99, -89.99, 0.0, 45.0]]),
+    })
+    df = spark.createDataFrame(pts)
+    # res 0/1 exercise the narrow-grid (full-row offsets) branch
+    for res in (0, 1, 3, 6):
+        for radius in (1, 2):
+            got = explode_kring(df, F.col("x"), F.col("y"), res, radius) \
+                .groupBy("qid").agg(F.collect_set("cell_id").alias("ring")) \
+                .toPandas().set_index("qid")["ring"]
+            for _, row in pts.iterrows():
+                home = int(cell_encode_np(
+                    np.array([row["x"]]), np.array([row["y"]]), res)[0])
+                expect = sorted(cell_kring_np(home, radius).tolist())
+                assert sorted(got[row["qid"]]) == expect, (row["x"], res,
+                                                           radius)
+
+
+def test_explode_kring_pure_column_plan(spark):
+    from kml2geojson_spark.spatial.ops import explode_kring
+    q = spark.createDataFrame([(1, 10.0, 20.0)],
+                              "query_id long, x double, y double")
+    ring = explode_kring(q, F.col("x"), F.col("y"), 6, 2)
+    plan = ring._jdf.queryExecution().executedPlan().toString()
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "PythonMapInArrow"):
+        assert marker not in plan, plan
+    assert ring.count() == 25
