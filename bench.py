@@ -344,7 +344,12 @@ def run_suite(spark, sf_dir: str, n_docs: int) -> dict:
     # pipeline at 10x docs and shuffle-heavy relational ops at 10x rows
     scale = {}
     if SCALE_DOCS:
+        # min-of-2 for the headline scale entry as well: at 35-75 s a
+        # single sample swings ~2x with shared-host load
         big = run_kml_pipeline(spark, SCALE_DOCS)
+        big2 = run_kml_pipeline(spark, SCALE_DOCS)
+        if big2["sec"] < big["sec"]:
+            big = big2
         timings["kml_parse_tile_pipeline_10x"] = round(big["sec"], 3)
         scale = {
             "scale_docs": big["n_docs"],
