@@ -576,3 +576,27 @@ def test_mutual_knn_join_is_hash_join(spark):
     last = plan.split("BroadcastHashJoin")
     assert ("BroadcastHashJoin [vec_a" in plan
             or "SortMergeJoin [vec_a" in plan), plan[:500]
+
+
+def test_knn_join_and_dwithin_fully_jvm(spark):
+    """The whole fixed-radius k-ring kNN and DWithin pipelines must
+    plan with ZERO Python eval nodes (round 4: the ring expansion is a
+    literal-offset explode, not a pandas_udf) and join candidates via a
+    hash equi-join on the cell, never a nested loop."""
+    import numpy as np
+    import pandas as pd
+    from kml2geojson_spark.spatial.ops import knn_join, within_distance_join
+    pts = spark.createDataFrame(pd.DataFrame({
+        "point_id": np.arange(200, dtype=np.int64),
+        "x": np.linspace(-170, 170, 200), "y": np.linspace(-80, 80, 200)}))
+    qs = spark.createDataFrame(pd.DataFrame({
+        "query_id": np.arange(5, dtype=np.int64),
+        "x": np.zeros(5), "y": np.ones(5)}))
+    for df in (knn_join(pts, qs, 3, res=4, radius=2),
+               within_distance_join(pts, qs, 5.0, 4)):
+        plan = _plan(df)
+        for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                       "PythonMapInArrow", "FlatMapCoGroupsInPandas"):
+            assert marker not in plan, f"{marker} in plan:\n{plan[:400]}"
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
