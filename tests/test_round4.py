@@ -321,3 +321,52 @@ def test_explode_kring_pure_column_plan(spark):
                    "PythonMapInArrow"):
         assert marker not in plan, plan
     assert ring.count() == 25
+
+
+def test_asof_forward_oracle_random(spark):
+    """Forward direction vs a pandas brute force on a random corpus —
+    the mirror of test_asof.test_asof_oracle_random."""
+    rng = np.random.default_rng(23)
+    n_l, n_r = 300, 300
+    lpdf = pd.DataFrame({
+        "lid": np.arange(n_l),
+        "k": rng.integers(0, 12, n_l),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 10_000, n_l), unit="m"),
+    })
+    rpdf = pd.DataFrame({
+        "k": rng.integers(0, 12, n_r),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 10_000, n_r), unit="m"),
+        "rid": np.arange(n_r),
+    })
+    out = asof_join(spark.createDataFrame(lpdf), spark.createDataFrame(rpdf),
+                    key="k", left_ts="ts", right_ts="ts",
+                    direction="forward").toPandas()
+
+    def brute(row):
+        cand = rpdf[(rpdf["k"] == row["k"]) & (rpdf["ts"] >= row["ts"])]
+        if len(cand) == 0:
+            return None
+        best = cand.sort_values(["ts", "rid"]).iloc[0]
+        return int(best["rid"])
+
+    expect = {int(r["lid"]): brute(r) for _, r in lpdf.iterrows()}
+    got = {int(r["lid"]): (None if pd.isna(r["r_rid"]) else int(r["r_rid"]))
+           for _, r in out.iterrows()}
+    assert len(out) == n_l
+    assert got == expect
+
+
+def test_edit_distance_pairs_empty_string(spark):
+    """The empty string pairs with every single-character string (its
+    deletion variant) and with nothing else — pins the explicit
+    empty-deletion-array guard (no reliance on descending-sequence +
+    negative-substr edge behavior)."""
+    from kml2geojson_spark.textops import edit_distance_pairs
+    df = spark.createDataFrame(
+        [("",), ("a",), ("b",), ("ab",), ("xyz",)], "name string")
+    got = {(r["name_a"], r["name_b"])
+           for r in edit_distance_pairs(df, col="name").collect()}
+    assert got == {("", "a"), ("", "b"), ("a", "b"), ("a", "ab"),
+                   ("ab", "b")}
