@@ -8,11 +8,12 @@
 - :func:`hyperplane_lsh_topk` — the scale path: random-hyperplane sign
   signatures, candidates from Hamming-band buckets, exact re-rank of
   candidates only. Default hyperplanes are md5-derived ±1 rows
-  (:func:`rademacher_hyperplanes`) evaluated as PURE Column folds —
-  zero Python in the plan and bit-replayable by the DuckDB oracle
-  (driver q41); ``hyperplanes="gaussian"`` keeps the numpy
-  Arrow-batched matmul variant. Recall < 1 by design; tests measure it
-  against the exact baseline.
+  (:func:`rademacher_hyperplanes`) packed into 64-bit sign-mask
+  literals and evaluated as unrolled in-order multiply-add chains in
+  whole-stage codegen — zero Python in the plan and bit-replayable by
+  the DuckDB oracle (driver q41); ``hyperplanes="gaussian"`` keeps the
+  numpy Arrow-batched matmul variant. Recall < 1 by design; tests
+  measure it against the exact baseline.
 """
 
 from __future__ import annotations
