@@ -370,3 +370,17 @@ def test_edit_distance_pairs_empty_string(spark):
            for r in edit_distance_pairs(df, col="name").collect()}
     assert got == {("", "a"), ("", "b"), ("a", "b"), ("a", "ab"),
                    ("ab", "b")}
+
+
+def test_merge_intervals_degenerate_inverted_rows(spark):
+    """start > end rows participate as written (their endpoints feed
+    the running max) — pinned so the Spark window and the SQL oracle
+    formulation can never drift on degenerate input."""
+    iv = _mk(spark, [("k", 5, 3), ("k", 4, 10), ("z", 7, 2)],
+             ["key", "start", "end"])
+    got = {(r["key"]): (r["island_start"], r["island_end"],
+                        r["n_intervals"])
+           for r in merge_intervals(iv).collect()}
+    # sorted: (4,10) then (5,3): 5 <= 10 -> one island, end max(10,3)
+    assert got["k"] == (4, 10, 2)
+    assert got["z"] == (7, 2, 1)
