@@ -189,3 +189,127 @@ def test_stream_point_xy_adversarial_cases():
     assert stream_point_xy("<kml><Placemark><Point>") is None
     # mismatched close: bail
     assert stream_point_xy("<kml><a><b></a></b></kml>") is None
+
+
+def test_simple_point_xy_differential_corpus():
+    """Every synthetic-corpus document must take the SIMPLE lane (the
+    expat-validated relevant-tag scan) and match the tree path exactly
+    — including the ~65% of docs with MultiGeometry placemarks that
+    the stream lane also accepts."""
+    from kml2geojson_spark.datagen import synthesize_kml
+    from kml2geojson_spark.kmlparse_fast import simple_point_xy
+    n_fast = 0
+    for i in range(500):
+        kml = synthesize_kml(i, max_placemarks=12)
+        fast = simple_point_xy(kml)
+        if fast is not None:
+            n_fast += 1
+            assert fast == _tree_points(kml), f"doc {i}"
+    assert n_fast == 500  # the corpus has no bail-out shapes
+
+
+def test_simple_point_xy_differential_fuzz():
+    """simple == tree wherever the simple lane accepts, and both raise
+    together on malformed coordinates (same contract the stream lane
+    carries; comments / self-closing tags / markup-bearing CDATA bail
+    out, so coverage is lower than the stream lane's by design)."""
+    from kml2geojson_spark.kmlparse_fast import simple_point_xy
+
+    from .test_differential_fuzz import make_fuzz_kml
+    n_fast = 0
+    for seed in range(400):
+        kml = make_fuzz_kml(seed)
+        try:
+            tree = _tree_points(kml)
+            tree_err = None
+        except ValueError:
+            tree, tree_err = None, ValueError
+        try:
+            fast = simple_point_xy(kml)
+            fast_err = None
+        except ValueError:
+            fast, fast_err = "raised", ValueError
+        if fast is None:
+            continue  # bail-out: stream lane / tree path decide
+        n_fast += 1
+        assert fast_err == tree_err, f"seed {seed}"
+        if tree_err is None:
+            assert fast == tree, f"seed {seed}"
+    assert n_fast > 50  # some fuzz docs must exercise the lane
+
+
+def test_simple_point_xy_adversarial_cases():
+    from kml2geojson_spark.kmlparse_fast import simple_point_xy
+    # descent drops the outer point, keeps the inner
+    k = ("<kml><Placemark><Point><coordinates>1,1</coordinates></Point>"
+         "<MultiGeometry><Point><coordinates>2,2</coordinates></Point>"
+         "</MultiGeometry></Placemark></kml>")
+    assert simple_point_xy(k) == _tree_points(k) == [(2.0, 2.0)]
+    # nested containers: innermost first-preorder chain wins
+    k = ("<kml><Placemark><MultiGeometry><Point><coordinates>1,1"
+         "</coordinates></Point><MultiGeometry><Point><coordinates>3,3"
+         "</coordinates></Point></MultiGeometry></MultiGeometry>"
+         "</Placemark></kml>")
+    assert simple_point_xy(k) == _tree_points(k) == [(3.0, 3.0)]
+    # point after the chosen container closed: dropped
+    k = ("<kml><Placemark><MultiGeometry><Point><coordinates>6,6"
+         "</coordinates></Point></MultiGeometry><Point><coordinates>7,7"
+         "</coordinates></Point></Placemark></kml>")
+    assert simple_point_xy(k) == _tree_points(k) == [(6.0, 6.0)]
+    # malformed coords OUTSIDE the final scope: neither path raises
+    k = ("<kml><Placemark><Point><coordinates>junk</coordinates></Point>"
+         "<MultiGeometry><Point><coordinates>2,2</coordinates></Point>"
+         "</MultiGeometry></Placemark></kml>")
+    assert simple_point_xy(k) == _tree_points(k) == [(2.0, 2.0)]
+    # malformed coords INSIDE the final scope: both raise
+    k = ("<kml><Placemark><MultiGeometry><Point><coordinates>junk"
+         "</coordinates></Point></MultiGeometry></Placemark></kml>")
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        _tree_points(k)
+    with _pytest.raises(ValueError):
+        simple_point_xy(k)
+    # nested placemarks WITHOUT containers: multiplicity preserved
+    k = ("<kml><Placemark><Placemark><Point><coordinates>7,8"
+         "</coordinates></Point></Placemark></Placemark></kml>")
+    assert simple_point_xy(k) == _tree_points(k) == [(7.0, 8.0)] * 2
+    # CDATA in a sibling element is fine; markup-bearing CDATA bails
+    k = ("<kml><Placemark><description><![CDATA[x &stuff]]></description>"
+         "<Point><coordinates>4,5</coordinates></Point></Placemark></kml>")
+    assert simple_point_xy(k) == _tree_points(k) == [(4.0, 5.0)]
+    k = ("<kml><Placemark><description><![CDATA[<Point>]]></description>"
+         "<Point><coordinates>4,5</coordinates></Point></Placemark></kml>")
+    assert simple_point_xy(k) is None
+    # CDATA continuing a coordinates capture bails (stream lane handles)
+    k = ("<kml><Placemark><Point><coordinates>1,<![CDATA[2]]>"
+         "</coordinates></Point></Placemark></kml>")
+    assert simple_point_xy(k) is None
+    from kml2geojson_spark.kmlparse_stream import stream_point_xy
+    assert stream_point_xy(k) == _tree_points(k) == [(1.0, 2.0)]
+    # entity in the payload decodes identically
+    k = ("<kml><Placemark><Point><coordinates>1&#44;2</coordinates>"
+         "</Point></Placemark></kml>")
+    assert simple_point_xy(k) == _tree_points(k)
+    # attribute on the coordinates tag (with a quoted '>') still lands
+    k = ('<kml><Placemark><Point><coordinates a="b>c">9,9'
+         "</coordinates></Point></Placemark></kml>")
+    assert simple_point_xy(k) == _tree_points(k) == [(9.0, 9.0)]
+    # self-closing tags anywhere: bail to the stream lane
+    k = ("<kml><Placemark><MultiGeometry/><Point><coordinates>8,8"
+         "</coordinates></Point></Placemark></kml>")
+    assert simple_point_xy(k) is None
+    # comments anywhere: bail
+    assert simple_point_xy(
+        "<kml><!-- c --><Placemark><Point><coordinates>1,2"
+        "</coordinates></Point></Placemark></kml>") is None
+    # not well-formed (mismatched / unclosed / undefined entity): bail
+    assert simple_point_xy("<kml><a><b></a></b></kml>") is None
+    assert simple_point_xy("<kml><Placemark><Point>") is None
+    assert simple_point_xy(
+        "<kml><Placemark><name>a &stuff b</name><Point><coordinates>"
+        "1,2</coordinates></Point></Placemark></kml>") is None
+    # mixed container kinds: bail (priority needs lookahead)
+    k = ("<kml><Placemark><MultiTrack><a>x</a></MultiTrack>"
+         "<MultiGeometry><Point><coordinates>1,1</coordinates></Point>"
+         "</MultiGeometry></Placemark></kml>")
+    assert simple_point_xy(k) is None
