@@ -313,3 +313,50 @@ def test_simple_point_xy_adversarial_cases():
          "<MultiGeometry><Point><coordinates>1,1</coordinates></Point>"
          "</MultiGeometry></Placemark></kml>")
     assert simple_point_xy(k) is None
+
+
+def test_tile_counts_batch_lane_fallbacks():
+    """The fused kernel must produce identical (cell_id, n) batches no
+    matter which lane each document lands in: simple (clean docs),
+    stream (simple-lane bail-outs, e.g. self-closing tags), or tree
+    (stream-lane bail-outs, e.g. mixed container kinds)."""
+    from kml2geojson_spark.datagen import synthesize_kml
+    from kml2geojson_spark.engine import _tile_counts_batch
+    from kml2geojson_spark.kmlparse_fast import simple_point_xy
+    from kml2geojson_spark.kmlparse_stream import stream_point_xy
+
+    docs = [(f"d{i}", synthesize_kml(i, max_placemarks=6))
+            for i in range(40)]
+    # a doc only the STREAM lane accepts (self-closing container)
+    k_stream = ("<kml><Placemark><Point><coordinates>8,8</coordinates>"
+                "</Point><MultiGeometry/></Placemark>"
+                "<Placemark><Point><coordinates>3,4</coordinates>"
+                "</Point></Placemark></kml>")
+    assert simple_point_xy(k_stream) is None
+    assert stream_point_xy(k_stream) is not None
+    # a doc only the TREE path accepts (mixed container kinds)
+    k_tree = ("<kml><Placemark><MultiTrack><a>x</a></MultiTrack>"
+              "<MultiGeometry><Point><coordinates>1,1</coordinates>"
+              "</Point></MultiGeometry></Placemark></kml>")
+    assert simple_point_xy(k_tree) is None
+    assert stream_point_xy(k_tree) is None
+    docs += [("ds", k_stream), ("dt", k_tree)]
+
+    got = _tile_counts_batch(iter(docs), 8)
+
+    # oracle: tree path for every doc, same per-(cell, doc) packing
+    import numpy as np
+    from kml2geojson_spark.spatial.cells import cell_encode_np
+    expect: dict = {}
+    for docord, (_id, kml) in enumerate(docs):
+        pts = _tree_points(kml)
+        if not pts:
+            continue
+        xs = np.array([p[0] for p in pts])
+        ys = np.array([p[1] for p in pts])
+        for c in cell_encode_np(xs, ys, 8):
+            expect[(docord, int(c))] = expect.get((docord, int(c)), 0) + 1
+    got_pairs = sorted(zip(got.column("cell_id").to_pylist(),
+                           got.column("n").to_pylist()))
+    exp_pairs = sorted((c, n) for (_d, c), n in expect.items())
+    assert got_pairs == exp_pairs
