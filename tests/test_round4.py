@@ -384,3 +384,80 @@ def test_merge_intervals_degenerate_inverted_rows(spark):
     # sorted: (4,10) then (5,3): 5 <= 10 -> one island, end max(10,3)
     assert got["k"] == (4, 10, 2)
     assert got["z"] == (7, 2, 1)
+
+
+# --- expat tree-builder lane (kmlparse._parse_kml_expat) -------------------
+
+def _trees_convert_equal(kml):
+    """Both parser lanes must produce identical conversion output."""
+    from kml2geojson_spark.convert_core import build_feature_collection_dict
+    from kml2geojson_spark.kmlparse import _parse_kml_expat, _parse_kml_regex
+    e = _parse_kml_expat(kml)
+    assert e is not None, "expected the expat lane to accept this doc"
+    a = build_feature_collection_dict(e, name="f")
+    b = build_feature_collection_dict(_parse_kml_regex(kml), name="f")
+    assert a == b, (a, b)
+    return a
+
+
+def test_expat_lane_attribute_normalization_parity():
+    # literal tab/newline in attribute values -> space (XML 3.3.3);
+    # character REFERENCES to tab/newline stay verbatim in both lanes
+    k = ('<kml><Placemark id="a\tb\nc"><ExtendedData>'
+         '<Data name="x&#9;y"><value>v</value></Data></ExtendedData>'
+         "<Point><coordinates>1,2</coordinates></Point></Placemark></kml>")
+    fc = _trees_convert_equal(k)
+    assert fc["features"][0]["properties"]["x\ty"] == "v"
+
+
+def test_expat_lane_doctype_falls_back_to_regex():
+    from kml2geojson_spark.kmlparse import _parse_kml_expat, parse_kml
+    k = ('<?xml version="1.0"?><!DOCTYPE kml [<!ENTITY e "X">]>'
+         "<kml><Placemark><name>&e;</name><Point><coordinates>1,2"
+         "</coordinates></Point></Placemark></kml>")
+    assert _parse_kml_expat(k) is None  # custom entity: regex lane only
+    root = parse_kml(k)  # regex lane keeps the reference verbatim
+    assert root.find("name").text() == "&e;"
+
+
+def test_expat_lane_undefined_entity_falls_back():
+    from kml2geojson_spark.kmlparse import _parse_kml_expat, parse_kml
+    k = ("<kml><Placemark><name>a &nope; b</name><Point><coordinates>"
+         "1,2</coordinates></Point></Placemark></kml>")
+    assert _parse_kml_expat(k) is None
+    assert parse_kml(k).find("name").text() == "a &nope; b"
+
+
+def test_expat_lane_large_text_buffer_split():
+    # > expat's 8 KiB text buffer: the run may arrive as several ("t",)
+    # children — Element.text() must join them; coordinate parsing of a
+    # long LineString must be unaffected
+    from kml2geojson_spark.kmlparse import _parse_kml_expat
+    from kml2geojson_spark.convert_core import parse_coord_seq
+    coords = " ".join(f"{i % 180}.5,{i % 85}.25,0" for i in range(2500))
+    assert len(coords) > 20000
+    k = (f"<kml><Placemark><LineString><coordinates>{coords}"
+         "</coordinates></LineString></Placemark></kml>")
+    fc = _trees_convert_equal(k)
+    root = _parse_kml_expat(k)
+    text = root.find("coordinates").text()
+    assert parse_coord_seq(text) == parse_coord_seq(coords)
+    assert len(fc["features"][0]["geometry"]["coordinates"]) == 2500
+
+
+def test_expat_lane_crlf_and_cdata_parity():
+    k = ('<?xml version="1.0"?>\r\n<kml>\r\n<Placemark><name>a\r\nb'
+         "</name><description><![CDATA[x\r\ny]]></description>"
+         "<Point><coordinates>1,2</coordinates></Point></Placemark>"
+         "</kml>\r\n")
+    fc = _trees_convert_equal(k)
+    props = fc["features"][0]["properties"]
+    assert props["name"] == "a\nb"  # XML 2.11 EOL normalization
+
+
+def test_expat_lane_comment_breaks_text_run_parity():
+    k = ("<kml><Placemark><name>lead<!-- c -->tail</name>"
+         "<Point><coordinates>3,4</coordinates></Point></Placemark></kml>")
+    fc = _trees_convert_equal(k)
+    # comment terminates the leading run (minidom firstChild semantics)
+    assert fc["features"][0]["properties"]["name"] == "lead"
