@@ -193,3 +193,53 @@ def merge_intervals(intervals: DataFrame, *, key_col: str = "key",
                  F.count(F.lit(1)).alias("n_intervals"))
             .select(F.col("_k").alias("key"), "island_start", "island_end",
                     "n_intervals"))
+
+
+def sessionize_batch(events: DataFrame, *, gap_seconds: int = 1800,
+                     user_col: str = "user_id",
+                     ts_col: str = "ts") -> DataFrame:
+    """Batch sessionization: split each user's event stream into
+    sessions wherever the gap between consecutive events exceeds
+    ``gap_seconds`` — the batch counterpart of the engine's streaming
+    ``sessionize`` (streaming.py), for backfills and training-data
+    session features over historical logs. (The reference, a KML
+    converter, has no event surface; §2.4-style extension.)
+
+    Semantics: events order by timestamp within a user (equal
+    timestamps always share a session — their gap is 0 — so no
+    tie-break column is needed); an event opens a new session iff
+    ``epoch(ts) - epoch(prev ts) > gap_seconds`` (strictly greater:
+    a gap of exactly ``gap_seconds`` stays in-session). NULL
+    timestamps are dropped, like COUNT(DISTINCT)-style NULL handling
+    everywhere else in the package.
+
+    Scale shape: identical to :func:`merge_intervals` — ONE shuffle on
+    the user key (the window partition), and the per-session
+    aggregation reuses the same partitioning, so the plan carries a
+    single Exchange, no global sort, no Python. Window state is
+    bounded per user; skew is per-user only (a planetary-scale hot
+    user is a data bug, not a partitioning bug).
+
+    Output: (user_id, session_idx 1-based per user, session_start,
+    session_end, n_events).
+    """
+    if gap_seconds < 0:
+        raise ValueError("gap_seconds must be >= 0")
+    w = Window.partitionBy("_u").orderBy(F.col("_t").asc())
+    sec = F.unix_timestamp(F.col("_t"))
+    prev_sec = F.lag(sec).over(w)
+    d = (events.select(F.col(user_col).alias("_u"),
+                       F.col(ts_col).alias("_t"))
+         .where(F.col("_t").isNotNull())
+         .withColumn("_new", F.when(
+             prev_sec.isNull() | ((sec - prev_sec) > gap_seconds),
+             F.lit(1)).otherwise(F.lit(0)))
+         .withColumn("_sess", F.sum("_new").over(
+             w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (d.groupBy("_u", "_sess")
+            .agg(F.min("_t").alias("session_start"),
+                 F.max("_t").alias("session_end"),
+                 F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("_u").alias("user_id"),
+                    F.col("_sess").alias("session_idx"),
+                    "session_start", "session_end", "n_events"))

@@ -413,3 +413,60 @@ def cms_estimate(registers: DataFrame, probes: DataFrame,
             .groupBy(*probes.columns)
             .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long")))
                  .alias("estimate")))
+
+
+def weighted_sample(df: DataFrame, k: int, *, weight_col: str,
+                    id_col: str) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement — the
+    Efraimidis–Spirakis A-Res scheme: each row draws the key
+    ``u**(1/w)`` with ``u`` an md5-derived uniform of its id, and the
+    sample is the ``k`` largest keys. Inclusion probability is
+    proportional-to-weight without replacement; rows with weight <= 0
+    or NULL are excluded (zero mass), NULL ids likewise (no hash).
+
+    Deterministic and cross-engine replayable (same property as
+    :func:`deterministic_sample`): ``u = (h + 1) / 2**60`` with ``h``
+    the first 60 md5 bits of the id — in (0, 1], so ``ln u`` is finite
+    and the key is well-defined for every row. The selected SET is the
+    contract (ties broken by id); the keys of distinct rows differ
+    astronomically far above pow()'s last-ulp cross-libm wiggle.
+
+    Scale shape: ``orderBy(key).limit(k)`` plans as
+    TakeOrderedAndProject — a per-partition top-k heap and a merge of
+    the ≤ k·P survivors, never a global sort (plan-asserted in tests).
+    Driver/single-point memory is O(k); for k beyond driver memory,
+    range-partition on the key and refine a threshold instead.
+
+    Output: (id, weight) of the k sampled rows.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    idc = F.col(id_col)
+    w = F.col(weight_col).cast("double")
+    h = F.conv(F.substring(F.md5(idc.cast("string")), 1, 15), 16, 10) \
+        .cast("long")
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(float(1 << 60))
+    key = F.pow(u, F.lit(1.0) / w)
+    return (df.where(w.isNotNull() & (w > 0) & idc.isNotNull())
+            .select(idc.alias("id"), w.alias("weight"),
+                    key.alias("_key"))
+            .orderBy(F.col("_key").desc(), F.col("id").asc())
+            .limit(k)
+            .select("id", "weight"))
+
+
+def weighted_sample_sql(id_expr: str, weight_expr: str, table: str,
+                        k: int) -> str:
+    """DuckDB oracle for :func:`weighted_sample` — identical key
+    arithmetic (md5 60-bit uniform, pow(u, 1/w)), identical ordering
+    and tie-break."""
+    u = (f"((('0x' || substr(md5(CAST({id_expr} AS VARCHAR)), 1, 15))"
+         f"::BIGINT + 1) / {float(1 << 60)!r})")
+    return f"""
+SELECT {id_expr} AS id, CAST({weight_expr} AS DOUBLE) AS weight
+FROM {table}
+WHERE {weight_expr} IS NOT NULL AND {weight_expr} > 0
+      AND {id_expr} IS NOT NULL
+ORDER BY pow({u}, 1.0 / CAST({weight_expr} AS DOUBLE)) DESC, {id_expr} ASC
+LIMIT {k}
+"""

@@ -1,0 +1,124 @@
+"""Round-5 STAGED operators — implemented and verified in round 4,
+to be registered in ``__spark_entry__.queries()`` in the FIRST commit
+of round 5 (the driver pins the query list at round start; see the
+round-3 verdict item 1 for why registration must not happen
+mid-round). Each test cross-checks the Spark result against the same
+DuckDB SQL that the round-5 oracle entry will use, so registration is
+a pure config change."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from kml2geojson_spark.eventops import sessionize_batch
+from kml2geojson_spark.sketch import weighted_sample, weighted_sample_sql
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+SESSIONIZE_SQL = """
+WITH e AS (
+  SELECT user_id AS _u, ts AS _t,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                   OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS _new
+  FROM events WHERE ts IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (
+  SELECT _u, _t,
+         SUM(_new) OVER (PARTITION BY _u ORDER BY _t
+                         ROWS UNBOUNDED PRECEDING) AS _sess
+  FROM e)
+SELECT _u AS user_id, _sess AS session_idx,
+       MIN(_t) AS session_start, MAX(_t) AS session_end,
+       COUNT(*) AS n_events
+FROM s GROUP BY _u, _sess
+"""
+
+
+def test_sessionize_batch_matches_duckdb(spark):
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    got = (sessionize_batch(events, gap_seconds=1800)
+           .orderBy("user_id", "session_idx").toPandas())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')")
+    exp = con.execute(
+        SESSIONIZE_SQL + " ORDER BY user_id, session_idx").df()
+    assert len(got) == len(exp)
+    for c in ("user_id", "session_idx", "n_events"):
+        assert got[c].astype("int64").tolist() == \
+            exp[c].astype("int64").tolist(), c
+    for c in ("session_start", "session_end"):
+        assert pd.to_datetime(got[c]).tolist() == \
+            pd.to_datetime(exp[c]).tolist(), c
+
+
+def test_sessionize_batch_semantics(spark):
+    rows = [("u", "2024-01-01 00:00:00"), ("u", "2024-01-01 00:29:00"),
+            ("u", "2024-01-01 00:59:00"),   # exactly 30min gap: in-session
+            ("u", "2024-01-01 01:29:01"),   # 30min+1s: NEW session
+            ("v", "2024-01-01 00:00:00"),
+            ("v", None)]                     # NULL ts dropped
+    df = spark.createDataFrame(rows, "user_id string, ts string") \
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    got = {(r["user_id"], r["session_idx"]): r["n_events"]
+           for r in sessionize_batch(df, gap_seconds=1800).collect()}
+    assert got == {("u", 1): 3, ("u", 2): 1, ("v", 1): 1}
+
+
+def test_sessionize_batch_single_exchange_plan(spark):
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(sessionize_batch(events))
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_weighted_sample_matches_duckdb(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = weighted_sample(docs, 200, weight_col="n_chars",
+                          id_col="doc_id").toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')")
+    exp = con.execute(
+        weighted_sample_sql("doc_id", "n_chars", "documents", 200)).df()
+    assert len(got) == 200
+    assert sorted(got["id"]) == sorted(exp["id"])
+    assert dict(zip(got["id"], got["weight"])) == \
+        dict(zip(exp["id"], exp["weight"]))
+
+
+def test_weighted_sample_is_weighted_and_deterministic(spark):
+    # two weight classes, heavy 100x: the heavy half must dominate
+    rows = [(f"h{i}", 1000.0) for i in range(500)] + \
+           [(f"l{i}", 10.0) for i in range(500)]
+    df = spark.createDataFrame(rows, "id string, w double")
+    a = {r["id"] for r in weighted_sample(df, 100, weight_col="w",
+                                          id_col="id").collect()}
+    b = {r["id"] for r in
+         weighted_sample(df.repartition(7), 100, weight_col="w",
+                         id_col="id").collect()}
+    assert a == b  # partitioning-invariant
+    heavy = sum(1 for i in a if i.startswith("h"))
+    assert heavy > 80  # heavy class carries ~99% of the mass
+    # zero/negative/NULL weights excluded
+    df2 = spark.createDataFrame(
+        [("a", 1.0), ("b", 0.0), ("c", -5.0), ("d", None)],
+        "id string, w double")
+    got = {r["id"] for r in weighted_sample(df2, 10, weight_col="w",
+                                            id_col="id").collect()}
+    assert got == {"a"}
+
+
+def test_weighted_sample_take_ordered_plan(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(weighted_sample(docs, 50, weight_col="n_chars",
+                                 id_col="doc_id"))
+    assert "TakeOrderedAndProject" in plan, plan
