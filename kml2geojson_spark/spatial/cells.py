@@ -178,6 +178,31 @@ def cell_encode_col(lon: Column, lat: Column, res: int) -> Column:
     return F.shiftleft(code, RES_BITS).bitwiseOR(F.lit(res)).alias("cell_id")
 
 
+def _compact_col(c: Column) -> Column:
+    """Inverse of :func:`_spread_col`: gather every other bit into the
+    low half (the Column mirror of :func:`_compact_np`)."""
+    x = c.bitwiseAND(F.lit(0x5555555555555555))
+    for shift, mask in ((1, 0x3333333333333333),
+                        (2, 0x0F0F0F0F0F0F0F0F),
+                        (4, 0x00FF00FF00FF00FF),
+                        (8, 0x0000FFFF0000FFFF),
+                        (16, 0x00000000FFFFFFFF)):
+        x = (x.bitwiseOR(F.shiftright(x, shift))).bitwiseAND(F.lit(mask))
+    return x
+
+
+def cell_decode_cols(cell: Column) -> tuple[Column, Column, Column]:
+    """Pure-Column cell decode: cell id → (ix, iy, res) grid
+    coordinates, bit-exact with :func:`cell_decode_np`. Stays inside
+    whole-stage codegen (bitwise only — cells are non-negative, so the
+    arithmetic shifts behave as logical)."""
+    res = cell.bitwiseAND(F.lit(RES_MASK))
+    code = F.shiftright(cell, RES_BITS)
+    ix = _compact_col(F.shiftright(code, 1))
+    iy = _compact_col(code)
+    return ix, iy, res
+
+
 def cell_encode_grid_col(ix: Column, iy: Column, res: int) -> Column:
     """Pure-Column Morton encode from INTEGER grid coordinates (skips
     the float→grid step of :func:`cell_encode_col`; callers guarantee

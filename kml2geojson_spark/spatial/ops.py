@@ -1864,3 +1864,57 @@ def bbox_prune_filter(points: DataFrame, *, west: float, south: float,
     cover_lit = F.array(*[F.lit(int(c)) for c in cells])
     return (enc.where(F.arrays_overlap(F.col("_anc"), cover_lit) & exact)
             .drop("_pc", "_anc"))
+
+
+def cell_smooth(cells: DataFrame, res: int, radius: int = 1, *,
+                cell_col: str = "cell_id",
+                n_col: str = "n") -> DataFrame:
+    """Box-kernel k-ring smoothing of a cell-count raster — heatmap
+    smoothing / kernel density on the quadtree grid: every input cell
+    scatters its count to each cell within Chebyshev distance
+    ``radius`` (itself included), and the output carries the summed
+    value for every cell in the dilated support (occupied cells plus
+    their halo). Ring semantics match :func:`..cells.cell_kring_np`:
+    x wraps at the antimeridian (``pmod``), y clamps at the poles
+    (off-grid contributions vanish); a grid narrower than the ring
+    shrinks the x-offset list to one full row so no cell double-counts.
+
+    Scale shape: the scatter is a literal (dx, dy) offset explode plus
+    one tiny Morton encode — all whole-stage codegen, zero Python, the
+    same shape as :func:`explode_kring` — and the only shuffle is the
+    final ``groupBy(cell)`` hash aggregate with map-side combine
+    ((2r+1)²·rows partial rows, pre-combined per task). No join.
+
+    Precondition: every row's cell is at resolution ``res`` (raises
+    inside the task otherwise — a mixed-resolution raster should be
+    :func:`uncompact_cells`-ed first).
+
+    Output: (cell_id, smoothed) — ``smoothed`` = Σ counts of the input
+    cells within ``radius`` of the output cell.
+    """
+    from .cells import RES_BITS, _spread_col, cell_decode_cols
+
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be in [0, {MAX_RES}]")
+    if radius < 0:
+        raise ValueError("radius must be >= 0")
+    n = 1 << res
+    span = 2 * radius + 1
+    dxs = list(range(-radius, radius + 1)) if n >= span else list(range(n))
+    dys = list(range(-radius, radius + 1))
+    offs = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                     for dx in dxs for dy in dys])
+    ix, iy, cres = cell_decode_cols(F.col(cell_col))
+    guard = F.when(cres == res, ix).otherwise(F.raise_error(F.concat(
+        F.lit(f"cell_smooth: expected resolution {res}, got cell "),
+        F.col(cell_col).cast("string"))))
+    d = (cells.select(guard.alias("_sx"), iy.alias("_sy"),
+                      F.col(n_col).alias("_sn"))
+         .withColumn("_soff", F.explode(offs)))
+    xs = F.pmod(F.col("_sx") + F.col("_soff.dx"), F.lit(n))
+    ys = F.col("_sy") + F.col("_soff.dy")
+    code = F.shiftleft(_spread_col(xs), 1).bitwiseOR(_spread_col(ys))
+    cell = F.shiftleft(code, RES_BITS).bitwiseOR(F.lit(res))
+    return (d.where((ys >= 0) & (ys < F.lit(n)))
+            .groupBy(cell.alias("cell_id"))
+            .agg(F.sum("_sn").alias("smoothed")))

@@ -122,3 +122,118 @@ def test_weighted_sample_take_ordered_plan(spark):
     plan = _plan(weighted_sample(docs, 50, weight_col="n_chars",
                                  id_col="doc_id"))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+# --- cell_smooth (k-ring box smoothing) -------------------------------------
+
+def test_cell_decode_cols_matches_np(spark):
+    import numpy as np
+    from kml2geojson_spark.spatial.cells import (cell_decode_np,
+                                                 cell_encode_np)
+    rng = np.random.default_rng(7)
+    lon = rng.uniform(-180, 180, 300)
+    lat = rng.uniform(-90, 90, 300)
+    for res in (0, 3, 9, 26):
+        cells = cell_encode_np(lon, lat, res)
+        df = spark.createDataFrame([(int(c),) for c in cells], "cell_id long")
+        from kml2geojson_spark.spatial.cells import cell_decode_cols
+        ix, iy, r = cell_decode_cols(F.col("cell_id"))
+        got = df.select(ix.alias("ix"), iy.alias("iy"),
+                        r.alias("r")).collect()
+        eix, eiy, eres = cell_decode_np(cells)
+        assert [g["ix"] for g in got] == eix.tolist()
+        assert [g["iy"] for g in got] == eiy.tolist()
+        assert [g["r"] for g in got] == eres.tolist()
+
+
+def test_cell_smooth_matches_brute_force(spark):
+    import numpy as np
+    from kml2geojson_spark.spatial.cells import cell_encode_np, cell_kring_np
+    from kml2geojson_spark.spatial.ops import cell_smooth
+    rng = np.random.default_rng(3)
+    res, radius = 5, 2
+    lon = rng.uniform(-180, 180, 400)
+    lat = rng.uniform(-90, 90, 400)
+    cells, counts = np.unique(cell_encode_np(lon, lat, res),
+                              return_counts=True)
+    df = spark.createDataFrame(
+        [(int(c), int(n)) for c, n in zip(cells, counts)],
+        "cell_id long, n long")
+    got = {r["cell_id"]: r["smoothed"]
+           for r in cell_smooth(df, res, radius).collect()}
+    # brute force: scatter each occupied cell's count over its k-ring
+    expect: dict = {}
+    for c, n in zip(cells, counts):
+        for nb in cell_kring_np(int(c), radius):
+            expect[int(nb)] = expect.get(int(nb), 0) + int(n)
+    assert got == expect
+
+
+def test_cell_smooth_pole_and_antimeridian(spark):
+    from kml2geojson_spark.spatial.cells import cell_encode_np
+    from kml2geojson_spark.spatial.ops import cell_smooth
+    import numpy as np
+    res = 3  # 8x8 grid
+    # a cell on the top row at the antimeridian edge
+    c = int(cell_encode_np(np.array([-179.0]), np.array([89.0]), res)[0])
+    df = spark.createDataFrame([(c, 10)], "cell_id long, n long")
+    out = cell_smooth(df, res, 1).collect()
+    # 3x3 ring minus the 3 clamped above-pole cells = 6 cells, x wrapped
+    assert len(out) == 6
+    assert all(r["smoothed"] == 10 for r in out)
+
+
+def test_cell_smooth_wrong_res_raises(spark):
+    import pytest
+    from kml2geojson_spark.spatial.cells import cell_encode_np
+    from kml2geojson_spark.spatial.ops import cell_smooth
+    import numpy as np
+    c = int(cell_encode_np(np.array([0.0]), np.array([0.0]), 4)[0])
+    df = spark.createDataFrame([(c, 1)], "cell_id long, n long")
+    from py4j.protocol import Py4JJavaError
+    with pytest.raises(Exception) as ei:
+        cell_smooth(df, 5, 1).collect()
+    assert "expected resolution 5" in str(ei.value)
+
+
+def test_cell_smooth_plan_zero_python_one_exchange(spark):
+    from kml2geojson_spark.spatial.ops import cell_smooth
+    df = spark.range(10).select(
+        (F.col("id") * 32 + 9).alias("cell_id"), F.lit(1).alias("n"))
+    plan = _plan(cell_smooth(df, 9, 1))
+    assert "Python" not in plan and "BatchEval" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_cell_smooth_matches_duckdb_oracle(spark):
+    """The exact SQL the round-5 oracle entry will use: smooth the
+    q10-style customer-point cell counts at res 9, radius 1."""
+    import __spark_entry__ as em
+    from kml2geojson_spark.spatial import encode_points
+    from kml2geojson_spark.spatial.ops import cell_smooth
+
+    pts = em._customer_points(spark, SF)
+    counts = (encode_points(pts, 9)
+              .groupBy("cell_id").agg(F.count(F.lit(1)).alias("n")))
+    got = cell_smooth(counts, 9, 1).orderBy("cell_id").toPandas()
+
+    n = 1 << 9
+    gx, gy = em._grid_sql("x", "y", 9)
+    sql = (
+        f"WITH pts AS ({em._PTS_SQL}), "
+        f"pg AS (SELECT {gx} AS cx, {gy} AS cy FROM pts), "
+        "cnt AS (SELECT cx, cy, COUNT(*) AS smoothed FROM pg GROUP BY cx, cy), "
+        "offs AS (SELECT t1.dx, t2.dy FROM range(-1,2) t1(dx), range(-1,2) t2(dy)), "
+        f"sc AS (SELECT ((cx + dx) % {n} + {n}) % {n} AS gx, cy + dy AS gy, "
+        "smoothed FROM cnt, offs "
+        f"WHERE cy + dy >= 0 AND cy + dy < {n}), "
+        "g AS (SELECT gx, gy, SUM(smoothed) AS smoothed FROM sc GROUP BY gx, gy)"
+        + em._morton_ctes("smoothed", 9, "g")
+        + " SELECT cell_id, smoothed FROM enc ORDER BY cell_id")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW customer AS SELECT * FROM read_parquet('{SF}/customer.parquet')")
+    exp = con.execute(sql).df()
+    assert got["cell_id"].tolist() == exp["cell_id"].tolist()
+    assert got["smoothed"].astype("int64").tolist() == \
+        exp["smoothed"].astype("int64").tolist()
