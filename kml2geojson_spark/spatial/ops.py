@@ -1918,3 +1918,28 @@ def cell_smooth(cells: DataFrame, res: int, radius: int = 1, *,
     return (d.where((ys >= 0) & (ys < F.lit(n)))
             .groupBy(cell.alias("cell_id"))
             .agg(F.sum("_sn").alias("smoothed")))
+
+
+def pip_anti_join(points: DataFrame, polygons: DataFrame, res: int, *,
+                  point_id: str = "point_id", x: str = "x", y: str = "y",
+                  poly_id: str = "poly_id", rings: str = "rings",
+                  **pip_kwargs) -> DataFrame:
+    """Points contained in NO polygon — the spatial anti-join
+    (geofence exclusion, offshore/out-of-coverage filtering, negative
+    training-set mining). Complement of :func:`pip_join` under the
+    identical ray-cast crossing rule, so
+    ``pip_join ∪ pip_anti_join ≡ points`` exactly (asserted in tests).
+
+    Scale shape: :func:`pip_join` for the candidates (same cell-bucket
+    equi-join — every kwarg forwards), then one LEFT ANTI hash join of
+    the points against the matched point ids. The anti side is ≤ the
+    match count (often far smaller than the point table); Catalyst
+    broadcasts it when small. No extra Python.
+
+    Output: the ``points`` rows (original columns) outside every
+    polygon.
+    """
+    matched = pip_join(points, polygons, res, point_id=point_id,
+                       x=x, y=y, poly_id=poly_id, rings=rings,
+                       **pip_kwargs).select(point_id).distinct()
+    return points.join(matched, on=point_id, how="left_anti")

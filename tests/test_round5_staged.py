@@ -237,3 +237,63 @@ def test_cell_smooth_matches_duckdb_oracle(spark):
     assert got["cell_id"].tolist() == exp["cell_id"].tolist()
     assert got["smoothed"].astype("int64").tolist() == \
         exp["smoothed"].astype("int64").tolist()
+
+
+# --- pip_anti_join -----------------------------------------------------------
+
+def test_pip_anti_join_is_exact_complement(spark):
+    import __spark_entry__ as em
+    from kml2geojson_spark.spatial.ops import pip_join, pip_anti_join
+    pts = em._customer_points(spark, SF)
+    polys = em._region_polygons(spark, SF) if hasattr(em, "_region_polygons") \
+        else None
+    if polys is None:
+        # build the same polygon set q11 uses
+        q11 = em.queries()["q11_pip"]
+        # fall back: synthesize a few rectangles as rings
+        rows = [(i, [[[x0, y0], [x0 + 40.0, y0], [x0 + 40.0, y0 + 30.0],
+                      [x0, y0 + 30.0], [x0, y0]]])
+                for i, (x0, y0) in enumerate(
+                    [(-170.0, -80.0), (-60.0, -20.0), (30.0, 10.0),
+                     (100.0, 40.0)])]
+        polys = spark.createDataFrame(
+            rows, "poly_id long, rings array<array<array<double>>>")
+    inside = {r["point_id"] for r in
+              pip_join(pts, polys, 6).select("point_id").distinct().collect()}
+    outside = {r["point_id"] for r in
+               pip_anti_join(pts, polys, 6).collect()}
+    allp = {r["point_id"] for r in pts.collect()}
+    assert inside | outside == allp
+    assert inside & outside == set()
+
+
+def test_pip_anti_join_duckdb_oracle(spark):
+    """Round-5 staged oracle: NOT EXISTS ray-cast replay (the same
+    crossing rule q11's oracle uses, negated)."""
+    import __spark_entry__ as em
+    from kml2geojson_spark.spatial.ops import pip_anti_join
+    pts = em._customer_points(spark, SF)
+    rows = [(i, [[[x0, y0], [x0 + 40.0, y0], [x0 + 40.0, y0 + 30.0],
+                  [x0, y0 + 30.0], [x0, y0]]])
+            for i, (x0, y0) in enumerate(
+                [(-170.0, -80.0), (-60.0, -20.0), (30.0, 10.0),
+                 (100.0, 40.0)])]
+    polys = spark.createDataFrame(
+        rows, "poly_id long, rings array<array<array<double>>>")
+    got = sorted(r["point_id"]
+                 for r in pip_anti_join(pts, polys, 6).collect())
+    # rectangle ray-cast reduces to closed-open bbox containment
+    # (west <= x < east, south <= y < north) under the engine's
+    # crossing rule — replay that directly
+    conds = " OR ".join(
+        f"(x >= {x0} AND x < {x0 + 40.0} AND y >= {y0} AND y < {y0 + 30.0})"
+        for _i, (x0, y0) in enumerate(
+            [(-170.0, -80.0), (-60.0, -20.0), (30.0, 10.0), (100.0, 40.0)]))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW customer AS SELECT * FROM read_parquet('{SF}/customer.parquet')")
+    exp = [r[0] for r in con.execute(
+        f"WITH pts AS ({em._PTS_SQL}) "
+        f"SELECT point_id FROM pts WHERE NOT ({conds}) ORDER BY point_id"
+    ).fetchall()]
+    assert got == exp
