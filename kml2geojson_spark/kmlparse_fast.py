@@ -78,10 +78,6 @@ _REL = re.compile(
 # kmlparse._TOKEN).
 _COORD_TAG = re.compile(r"<coordinates(?:\"[^\"]*\"|'[^']*'|[^>])*>")
 
-_CONTAINER_TAGS = frozenset(("MultiGeometry", "MultiTrack",
-                             "gx:MultiTrack"))
-
-
 def _parse_xy(s: str):
     """(x, y) of one coordinate-tuple payload with ``parse_coord_tuple``
     semantics (convert_core.py:32): raises the identical ValueError on
