@@ -38,16 +38,17 @@ fixtures in tests/test_fast_paths.py. Bail-out conditions:
 - not well-formed XML per expat (undefined entities, mismatched or
   unclosed tags, ``<`` in attribute values, multiple roots, ...);
 - nested ``<Point>`` elements, a container opening inside a Point, or
-  nested Placemarks in a document that also has containers — the same
-  subtree-lookahead cases the stream lane defers to the tree for.
+  nested Placemarks — the same subtree-lookahead / emission-order
+  cases the stream lane defers to the tree for.
 
 Semantics replicated from the stream lane (see its docstring for the
-reference mapping): a Point under k nested Placemarks emits its (x, y)
-k times; in container documents the innermost first-preorder container
-chain per placemark wins, points outside it are dropped, and their
-coordinate text is parsed only if the placemark's final scope keeps
-them (deferred to the placemark close, so malformed text in a
-discarded scope never raises — exactly like the tree path).
+reference mapping): in container documents the innermost
+first-preorder container chain per placemark wins, points outside it
+are dropped, and their coordinate text is parsed only if the
+placemark's final scope keeps them (deferred to the placemark close,
+so malformed text in a discarded scope never raises — exactly like
+the tree path); a Point with no coordinates descendant raises the
+tree path's ValueError under the same scope rules.
 """
 
 from __future__ import annotations
@@ -137,8 +138,12 @@ def simple_point_xy(source: str):
     for m in _REL.finditer(source):
         ev = m.lastindex
         if ev == _PM_O:
-            if multi and pm_depth:
-                return None  # nested placemarks + containers
+            if pm_depth:
+                # nested placemarks: the tree path is the only lane
+                # implementing the k-fold multiplicity AND its emission
+                # order (per-ANCESTOR-placemark grouping, not document
+                # order — unreachable for a single streaming pass)
+                return None
             pm_depth += 1
             if multi:
                 buf, kind, ended = [], None, False
@@ -158,6 +163,16 @@ def simple_point_xy(source: str):
             coords_done = False
         elif ev == _PT_C:
             in_point = False
+            if not coords_done and pm_at_point:
+                # Point closed with NO coordinates descendant: the tree
+                # path parses find_first(None) -> "" and raises
+                # ValueError — match it (deferred via buf in container
+                # docs, exactly like a captured empty payload)
+                if multi:
+                    if not ended:
+                        buf.append("")
+                else:
+                    parse_coord_tuple("")
         elif ev == _CO_O:
             if not in_point or coords_done:
                 continue

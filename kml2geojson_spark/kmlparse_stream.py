@@ -16,12 +16,11 @@ _CONTAINERS = frozenset(MULTI_CONTAINERS)
 def stream_point_xy(source: str):
     """Tile-path fast lane: the (x, y) of every Point exactly as
     ``iter_point_coords(parse_kml(source))`` yields them — including
-    multiplicity (a Point under k nested Placemarks appears k times
-    there, because every enclosing placemark's subtree walk buckets
-    it) and the multi-geometry container descent (points outside the
-    innermost first-preorder container chain are dropped) — WITHOUT
-    building the Element tree: one pass over the token stream with
-    depth counters and a per-placemark scope buffer.
+    the multi-geometry container descent (points outside the innermost
+    first-preorder container chain are dropped) and error parity (a
+    Point with no coordinates raises the tree path's ValueError) —
+    WITHOUT building the Element tree: one pass over the token stream
+    with depth counters and a per-placemark scope buffer.
 
     Returns ``None`` whenever the document needs the general path:
 
@@ -29,7 +28,11 @@ def stream_point_xy(source: str):
       priority rule — MULTI_CONTAINERS order beats document position,
       main.py:349-359 — needs subtree lookahead);
     - a container opening inside a Point, or nested Points;
-    - nested Placemarks in a document that also has containers;
+    - nested Placemarks (the tree walk emits a Point under k
+      placemarks k times, GROUPED PER ANCESTOR placemark — an order a
+      single streaming pass cannot produce);
+    - Placemark/Point/container elements nested inside a captured
+      ``<coordinates>`` run (real subtree elements to the tree parser);
     - a mismatched close tag or unclosed elements at EOF (the tree
       parser's recovery semantics differ).
 
@@ -73,6 +76,14 @@ def stream_point_xy(source: str):
         elif li == _GI_SELFCLOSE:
             tag, selfclose = m.group(_GI_OPEN, _GI_SELFCLOSE)
             if in_coords:
+                if tag == "Placemark" or tag == "Point" \
+                        or tag in _CONTAINERS:
+                    # the tree parser makes these REAL elements of the
+                    # placemark subtree (a Point nested inside another
+                    # Point's coordinates is still bucketed and
+                    # parsed); replicating that while capturing needs
+                    # the tree — bail
+                    return None
                 # an element child ends the leading char-data run
                 capturing = False
                 if not selfclose:
@@ -111,11 +122,27 @@ def stream_point_xy(source: str):
                             buf.append("")  # parsed at placemark close
                         else:
                             parse_coord_tuple("")
+                elif tag == "Point":
+                    # <Point/>: a Point node with NO coordinates — the
+                    # tree path parses find_first(None) -> "" and
+                    # raises; match it (deferred via buf in container
+                    # docs, exactly like a captured empty payload)
+                    if in_point:
+                        return None  # nested Points: tree path decides
+                    if pm_depth and not (multi_mode and ended):
+                        if multi_mode:
+                            buf.append("")
+                        else:
+                            parse_coord_tuple("")
                 continue
             stack.append(tag)
             if tag == "Placemark":
-                if multi_mode and pm_depth:
-                    return None  # nested placemarks + containers
+                if pm_depth:
+                    # nested placemarks: only the tree path implements
+                    # the k-fold multiplicity AND its emission order
+                    # (grouped per ANCESTOR placemark, not document
+                    # order — unreachable in one streaming pass)
+                    return None
                 pm_depth += 1
                 if multi_mode:
                     buf = []
@@ -171,6 +198,16 @@ def stream_point_xy(source: str):
                     buf = []
             elif tag == "Point":
                 in_point = False
+                if not coords_done and pm_at_point \
+                        and not (multi_mode and ended):
+                    # Point closed with NO coordinates descendant: the
+                    # tree path parses find_first(None) -> "" and
+                    # raises ValueError — match it (deferred via buf
+                    # in container docs)
+                    if multi_mode:
+                        buf.append("")
+                    else:
+                        parse_coord_tuple("")
             elif (multi_mode and scope_depth and not ended
                   and tag == kind and len(stack) == scope_depth - 1):
                 ended = True  # the chosen container closed

@@ -181,10 +181,37 @@ def test_stream_point_xy_adversarial_cases():
          "<coordinates>1,1</coordinates></Point></MultiGeometry>"
          "</Placemark></kml>")
     assert stream_point_xy(k) is None
-    # nested placemarks WITHOUT containers: multiplicity preserved
+    # nested placemarks: bail — the tree walk's k-fold multiplicity is
+    # GROUPED PER ANCESTOR placemark (not document order), so with
+    # several points the order is unreachable in one streaming pass
     k = ("<kml><Placemark><Placemark><Point><coordinates>7,8"
          "</coordinates></Point></Placemark></Placemark></kml>")
-    assert stream_point_xy(k) == _tree_points(k) == [(7.0, 8.0)] * 2
+    assert stream_point_xy(k) is None
+    assert _tree_points(k) == [(7.0, 8.0)] * 2
+    k = ("<kml><Placemark><Placemark><Point><coordinates>1,2"
+         "</coordinates></Point><Point><coordinates>3,4</coordinates>"
+         "</Point></Placemark></Placemark></kml>")
+    assert stream_point_xy(k) is None
+    assert _tree_points(k) == [(1.0, 2.0), (3.0, 4.0)] * 2
+    # Point with NO coordinates: the tree path raises — so must we
+    k = ("<kml><Placemark><Point><name>x</name></Point></Placemark>"
+         "</kml>")
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        _tree_points(k)
+    with _pytest.raises(ValueError):
+        stream_point_xy(k)
+    with _pytest.raises(ValueError):
+        stream_point_xy("<kml><Placemark><Point/></Placemark></kml>")
+    # ... but NOT when the empty Point sits in a discarded scope
+    k = ("<kml><Placemark><Point/><MultiGeometry><Point><coordinates>"
+         "2,2</coordinates></Point></MultiGeometry></Placemark></kml>")
+    assert stream_point_xy(k) == _tree_points(k) == [(2.0, 2.0)]
+    # structural elements inside a captured coordinates run: bail
+    # (they are REAL subtree elements to the tree parser)
+    k = ("<kml><Placemark><Point><coordinates>1,1<Point/>"
+         "</coordinates></Point></Placemark></kml>")
+    assert stream_point_xy(k) is None
     # unclosed element at EOF: bail
     assert stream_point_xy("<kml><Placemark><Point>") is None
     # mismatched close: bail
@@ -269,10 +296,22 @@ def test_simple_point_xy_adversarial_cases():
         _tree_points(k)
     with _pytest.raises(ValueError):
         simple_point_xy(k)
-    # nested placemarks WITHOUT containers: multiplicity preserved
+    # nested placemarks: bail (tree-only emission order; see the
+    # stream-lane adversarial test)
     k = ("<kml><Placemark><Placemark><Point><coordinates>7,8"
          "</coordinates></Point></Placemark></Placemark></kml>")
-    assert simple_point_xy(k) == _tree_points(k) == [(7.0, 8.0)] * 2
+    assert simple_point_xy(k) is None
+    assert _tree_points(k) == [(7.0, 8.0)] * 2
+    # Point with NO coordinates: the tree path raises — so must we
+    with _pytest.raises(ValueError):
+        simple_point_xy(
+            "<kml><Placemark><Point><name>x</name></Point></Placemark>"
+            "</kml>")
+    # ... but NOT in a discarded container scope
+    k = ("<kml><Placemark><Point></Point><MultiGeometry><Point>"
+         "<coordinates>2,2</coordinates></Point></MultiGeometry>"
+         "</Placemark></kml>")
+    assert simple_point_xy(k) == _tree_points(k) == [(2.0, 2.0)]
     # CDATA in a sibling element is fine; markup-bearing CDATA bails
     k = ("<kml><Placemark><description><![CDATA[x &stuff]]></description>"
          "<Point><coordinates>4,5</coordinates></Point></Placemark></kml>")
@@ -360,3 +399,60 @@ def test_tile_counts_batch_lane_fallbacks():
                            got.column("n").to_pylist()))
     exp_pairs = sorted((c, n) for (_d, c), n in expect.items())
     assert got_pairs == exp_pairs
+
+
+def test_point_lanes_hypothesis_consistency():
+    """Property: on RANDOMLY COMPOSED documents (random nesting of
+    Placemark/Point/containers/irrelevant tags, CDATA, comments,
+    self-closes, entities, malformed coordinates), each accepting lane
+    yields exactly the tree path's points, and raising is synchronized."""
+    hypothesis = pytest.importorskip("hypothesis")
+    from hypothesis import given, settings, strategies as st
+    from kml2geojson_spark.kmlparse_fast import simple_point_xy
+    from kml2geojson_spark.kmlparse_stream import stream_point_xy
+
+    leaf = st.sampled_from([
+        "<Point><coordinates>1,2</coordinates></Point>",
+        "<Point><coordinates> 3 , 4 ,0</coordinates></Point>",
+        "<Point><coordinates>junk</coordinates></Point>",
+        "<Point><coordinates/></Point>",
+        "<Point><coordinates>5&#44;6</coordinates></Point>",
+        "<Point><coordinates>7,8<b>x</b>9,9</coordinates></Point>",
+        "<LineString><coordinates>1,1 2,2</coordinates></LineString>",
+        "<name>n&amp;m</name>",
+        "<description><![CDATA[ d ]]></description>",
+        "<!-- a comment -->",
+        "<styleUrl/>",
+        "plain text",
+    ])
+    wrap = st.sampled_from(
+        ["Placemark", "Folder", "MultiGeometry", "MultiTrack", "Point"])
+
+    def compose(children, tag):
+        return f"<{tag}>{''.join(children)}</{tag}>"
+
+    node = st.recursive(
+        leaf, lambda kids: st.builds(
+            compose, st.lists(kids, min_size=1, max_size=3), wrap),
+        max_leaves=12)
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(node, min_size=1, max_size=3))
+    def check(parts):
+        kml = f"<kml>{''.join(parts)}</kml>"
+        try:
+            tree, tree_err = _tree_points(kml), None
+        except ValueError:
+            tree, tree_err = None, ValueError
+        for lane in (simple_point_xy, stream_point_xy):
+            try:
+                got, err = lane(kml), None
+            except ValueError:
+                got, err = "raised", ValueError
+            if got is None:
+                continue  # bail-out is always allowed
+            assert err == tree_err, kml
+            if tree_err is None:
+                assert got == tree, kml
+
+    check()
