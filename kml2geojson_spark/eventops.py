@@ -243,3 +243,98 @@ def sessionize_batch(events: DataFrame, *, gap_seconds: int = 1800,
             .select(F.col("_u").alias("user_id"),
                     F.col("_sess").alias("session_idx"),
                     "session_start", "session_end", "n_events"))
+
+
+def time_bucket_gapfill(events: DataFrame, *, bucket_seconds: int = 3600,
+                        group_col: str = "event_type",
+                        ts_col: str = "ts") -> DataFrame:
+    """Tumbling-bucket counts with ZERO-FILLED gaps per group — the
+    hypertable/Timescale-style ``time_bucket_gapfill`` primitive: a
+    downstream charting or feature pipeline needs a DENSE series per
+    key, and "no events this hour" is a real observation (0), not a
+    missing row. Buckets span each group's own [first, last] bucket.
+    (The reference, a KML converter, has no event surface; §2.4-style
+    extension.)
+
+    Semantics: ``bucket_sec = epoch(ts) - epoch(ts) mod bucket_seconds``
+    (pmod — a true floor for pre-1970 timestamps too); NULL timestamps
+    and NULL groups are dropped; every bucket between a group's min and
+    max bucket appears exactly once with its event count (0 for gaps).
+
+    Scale shape: the raw events collapse FIRST through one (group,
+    bucket) hash-aggregate (map-side combined) — everything after runs
+    on the aggregated frame, which is bounded by time-range/bucket per
+    group, not by event count. The per-group [min, max] range is one
+    more tiny aggregate; the dense grid is a per-group ``sequence``
+    explode of ONE row per group (bounded by the group's bucket span —
+    pick ``bucket_seconds`` so span/bucket is sane, it is the OUTPUT
+    size); the final left join keys on (group, bucket) between two
+    aggregated frames. No windows, no global sort, no Python.
+
+    Output: (group_col, bucket_sec BIGINT, n_events BIGINT).
+    """
+    step = int(bucket_seconds)
+    if step <= 0:
+        raise ValueError("bucket_seconds must be positive")
+    sec = F.unix_timestamp(F.col(ts_col)).cast("long")
+    bucket = (sec - F.pmod(sec, F.lit(step))).alias("_b")
+    counts = (events
+              .where(F.col(ts_col).isNotNull()
+                     & F.col(group_col).isNotNull())
+              .select(F.col(group_col).alias("_g"), bucket)
+              .groupBy("_g", "_b").agg(F.count(F.lit(1)).alias("_n")))
+    ranges = counts.groupBy("_g").agg(F.min("_b").alias("_lo"),
+                                      F.max("_b").alias("_hi"))
+    grid = ranges.select(
+        "_g",
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"),
+                             F.lit(step).cast("long"))).alias("_b"))
+    return (grid.join(counts, ["_g", "_b"], "left")
+            .select(F.col("_g").alias(group_col),
+                    F.col("_b").alias("bucket_sec"),
+                    F.coalesce(F.col("_n"), F.lit(0)).cast("long")
+                    .alias("n_events")))
+
+
+def event_transition_counts(events: DataFrame, *, user_col: str = "user_id",
+                            ts_col: str = "ts",
+                            type_col: str = "event_type",
+                            order_col: str = "event_id") -> DataFrame:
+    """First-order Markov transition counts over per-user event
+    streams: for every ordered pair of CONSECUTIVE events of one user,
+    count (prev_type → next_type), plus the transition probability in
+    exact parts-per-million (sequence mining / next-event-prediction
+    features; product analytics "what do users do after X").
+    (The reference, a KML converter, has no event surface; §2.4-style
+    extension.)
+
+    Semantics: a user's events order by (ts, order_col) — the order
+    column makes equal timestamps deterministic; NULL timestamps are
+    dropped; each user's first event has no predecessor and feeds no
+    pair. ``ppm = (n_trans * 10^6) div Σ n_trans over prev_type`` —
+    integer truncating division, so the oracle replays it bit-exactly
+    (no float probability ever materializes).
+
+    Scale shape: one shuffle on the user key for the lag window
+    (bounded per-user state, never a global sort), one (prev, next)
+    hash-aggregate, and the normalizing window runs on the TINY
+    aggregated pair frame (≤ |types|² rows) partitioned by prev_type.
+    No Python.
+
+    Output: (prev_type, next_type, n_trans BIGINT, ppm BIGINT).
+    """
+    w = Window.partitionBy("_u").orderBy(F.col("_t").asc(),
+                                         F.col("_i").asc())
+    d = (events
+         .where(F.col(ts_col).isNotNull())
+         .select(F.col(user_col).alias("_u"), F.col(ts_col).alias("_t"),
+                 F.col(order_col).alias("_i"),
+                 F.col(type_col).alias("_c"))
+         .withColumn("_p", F.lag("_c").over(w))
+         .where(F.col("_p").isNotNull()))
+    pairs = d.groupBy("_p", "_c").agg(F.count(F.lit(1)).alias("n_trans"))
+    tot = F.sum("n_trans").over(Window.partitionBy("_p"))
+    return (pairs.withColumn("_tot", tot)
+            .select(F.col("_p").alias("prev_type"),
+                    F.col("_c").alias("next_type"), "n_trans",
+                    F.expr("(n_trans * 1000000) div _tot").alias("ppm")))

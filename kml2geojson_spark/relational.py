@@ -75,3 +75,46 @@ def skyline2d(points: DataFrame, *, x_col: str = "x", y_col: str = "y",
                 & (F.col("in_min").isNull()
                    | (F.col("y") < F.col("in_min"))))
     return j.where(survives).select("x", "y")
+
+
+def histogram1d(df: DataFrame, *, value_col: str, lo: float, hi: float,
+                n_bins: int = 32) -> DataFrame:
+    """Fixed-width histogram over ``[lo, hi]`` with ALL bins present
+    (gaps zero-filled) — the profiling/data-quality primitive behind
+    distribution dashboards and drift checks. Unlike
+    ``approx_percentile``-style sketches this is EXACT and
+    engine-replayable: bin assignment is one double expression
+    (``floor((v - lo) / width)``, identical IEEE arithmetic on every
+    engine), values equal to ``hi`` fold into the last bin (standard
+    closed-right top edge), NULLs and out-of-range values are dropped.
+
+    Scale shape: one filter + one bin hash-aggregate with map-side
+    combine (each partition collapses to ≤ n_bins cells before the
+    exchange), then a broadcast left join against the tiny
+    ``range(n_bins)`` frame to surface empty bins. No windows, no
+    global sort, no Python.
+
+    Output: (bin BIGINT 0-based, bin_lo DOUBLE inclusive lower edge,
+    n BIGINT).
+    """
+    if n_bins <= 0:
+        raise ValueError("n_bins must be positive")
+    lo = float(lo)
+    hi = float(hi)
+    if not hi > lo:
+        raise ValueError("hi must be greater than lo")
+    width = (hi - lo) / n_bins
+    v = F.col(value_col).cast("double")
+    raw = F.floor((v - F.lit(lo)) / F.lit(width)).cast("long")
+    bin_ = F.when(raw >= n_bins, F.lit(n_bins - 1).cast("long")) \
+        .otherwise(raw)
+    counts = (df.where(v.isNotNull() & (v >= lo) & (v <= hi))
+              .select(bin_.alias("bin"))
+              .groupBy("bin").agg(F.count(F.lit(1)).alias("_n")))
+    bins = df.sparkSession.range(n_bins).select(F.col("id").alias("bin"))
+    return (bins.join(counts, "bin", "left")
+            .select("bin",
+                    (F.lit(lo) + F.col("bin") * F.lit(width))
+                    .alias("bin_lo"),
+                    F.coalesce(F.col("_n"), F.lit(0)).cast("long")
+                    .alias("n")))

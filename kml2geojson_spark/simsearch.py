@@ -598,3 +598,69 @@ def mutual_knn_edges(embeddings: DataFrame, k: int, *,
                       F.col("rank").alias("rank_ba"))
     return (fwd.join(rev, ["vec_a", "vec_b"])
             .where(F.col("vec_a") < F.col("vec_b")))
+
+
+def label_centroids(embeddings: DataFrame, *, vec_col: str = "embedding",
+                    label_col: str = "label",
+                    scale: int = 1_000_000) -> DataFrame:
+    """Per-label centroid components in EXACT integer micro-units —
+    the class-prototype statistic (nearest-centroid classification,
+    embedding-drift monitoring, cluster summarization). Components are
+    integerized PER ROW (``floor(v * scale)`` on the widened double —
+    bit-identical on every engine), summed as exact BIGINTs, and
+    divided by the count with truncating integer division, so no float
+    aggregate ever happens and partial-aggregation order cannot
+    perturb the result (the same discipline as
+    ``eventops.group_outlier_stats``).
+
+    Overflow headroom: |v| ≤ 10³ at scale 10⁶ keeps per-row magnitude
+    ≤ 10⁹, safe to ~9·10⁹ rows per (label, dim) group.
+
+    Scale shape: ``posexplode`` is a narrow map (rows × dim, no
+    shuffle), then ONE (label, dim) hash-aggregate with map-side
+    combine — at 10^12 rows the combine collapses each partition to
+    |labels|·dim cells before the exchange. No joins, no windows, no
+    Python.
+
+    Output: (label, dim BIGINT 0-based, centroid_micro BIGINT,
+    n_vectors BIGINT).
+    """
+    if scale <= 0:
+        raise ValueError("scale must be positive")
+    d = (embeddings
+         .where(F.col(label_col).isNotNull() & F.col(vec_col).isNotNull())
+         .select(F.col(label_col).alias("label"),
+                 F.posexplode(F.col(vec_col)).alias("dim", "_v")))
+    comp = F.floor(F.col("_v").cast("double") * F.lit(float(scale))) \
+        .cast("long")
+    return (d.groupBy("label", "dim")
+            .agg(F.sum(comp).alias("_s"),
+                 F.count(F.lit(1)).alias("n_vectors"))
+            .select("label", F.col("dim").cast("long").alias("dim"),
+                    F.expr("_s div n_vectors").alias("centroid_micro"),
+                    "n_vectors"))
+
+
+def label_centroids_sql(table: str = "embeddings",
+                        vec_col: str = "embedding",
+                        label_col: str = "label",
+                        scale: int = 1_000_000) -> str:
+    """DuckDB oracle for :func:`label_centroids` — identical
+    integerization (floor on the widened double), exact BIGINT sums,
+    and truncating integer division (DuckDB's ``//`` truncates toward
+    zero on integers, matching Spark's ``div``). Parallel ``unnest``
+    calls in one SELECT zip elementwise, giving the (dim, value)
+    pairing."""
+    return f"""
+WITH d AS (
+  SELECT {label_col} AS label,
+         unnest(range(len({vec_col}))) AS dim,
+         unnest({vec_col}) AS v
+  FROM {table}
+  WHERE {label_col} IS NOT NULL AND {vec_col} IS NOT NULL)
+SELECT label, dim,
+       CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * {float(scale)!r}) AS BIGINT))
+            // COUNT(*) AS BIGINT) AS centroid_micro,
+       COUNT(*) AS n_vectors
+FROM d GROUP BY label, dim
+"""

@@ -297,3 +297,234 @@ def test_pip_anti_join_duckdb_oracle(spark):
         f"SELECT point_id FROM pts WHERE NOT ({conds}) ORDER BY point_id"
     ).fetchall()]
     assert got == exp
+
+
+# --- time_bucket_gapfill ------------------------------------------------------
+
+GAPFILL_SQL = """
+WITH e AS (
+  SELECT event_type AS g, CAST(floor(epoch(ts)) AS BIGINT) AS s
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+c AS (SELECT g, s - (((s % {step}) + {step}) % {step}) AS b, COUNT(*) AS n
+      FROM e GROUP BY 1, 2),
+r AS (SELECT g, MIN(b) AS lo, MAX(b) AS hi FROM c GROUP BY g),
+grid AS (SELECT g, unnest(generate_series(lo, hi, {step})) AS b FROM r)
+SELECT grid.g AS event_type, grid.b AS bucket_sec,
+       COALESCE(c.n, 0) AS n_events
+FROM grid LEFT JOIN c ON grid.g = c.g AND grid.b = c.b
+"""
+
+
+def test_time_bucket_gapfill_matches_duckdb(spark):
+    from kml2geojson_spark.eventops import time_bucket_gapfill
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    got = (time_bucket_gapfill(events, bucket_seconds=86400)
+           .orderBy("event_type", "bucket_sec").toPandas())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')")
+    exp = con.execute(GAPFILL_SQL.format(step=86400)
+                      + " ORDER BY event_type, bucket_sec").df()
+    assert len(got) == len(exp) > 0
+    assert got["event_type"].tolist() == exp["event_type"].tolist()
+    assert got["bucket_sec"].astype("int64").tolist() == \
+        exp["bucket_sec"].astype("int64").tolist()
+    assert got["n_events"].astype("int64").tolist() == \
+        exp["n_events"].astype("int64").tolist()
+    # gaps really are zero-filled dense ranges per group
+    for _g, grp in got.groupby("event_type"):
+        b = grp["bucket_sec"].astype("int64").to_numpy()
+        assert (b[1:] - b[:-1] == 86400).all()
+
+
+def test_time_bucket_gapfill_semantics(spark):
+    from kml2geojson_spark.eventops import time_bucket_gapfill
+    rows = [("a", "2024-01-01 00:10:00"), ("a", "2024-01-01 03:50:00"),
+            ("a", None), (None, "2024-01-01 01:00:00")]
+    df = spark.createDataFrame(rows, "event_type string, ts string") \
+        .select("event_type", F.col("ts").cast("timestamp").alias("ts"))
+    got = {(r["bucket_sec"]): r["n_events"]
+           for r in time_bucket_gapfill(df, bucket_seconds=3600,
+                                        group_col="event_type").collect()}
+    t0 = 1704067200  # 2024-01-01 00:00:00 UTC
+    assert got == {t0: 1, t0 + 3600: 0, t0 + 7200: 0, t0 + 10800: 1}
+    import pytest
+    with pytest.raises(ValueError):
+        time_bucket_gapfill(df, bucket_seconds=0)
+
+
+def test_time_bucket_gapfill_plan_zero_python(spark):
+    from kml2geojson_spark.eventops import time_bucket_gapfill
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(time_bucket_gapfill(events))
+    assert "Python" not in plan and "BatchEval" not in plan, plan
+
+
+# --- event_transition_counts --------------------------------------------------
+
+TRANSITIONS_SQL = """
+WITH e AS (
+  SELECT event_type AS c,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS p
+  FROM events WHERE ts IS NOT NULL),
+pr AS (SELECT p, c, COUNT(*) AS n_trans FROM e WHERE p IS NOT NULL
+       GROUP BY p, c)
+SELECT p AS prev_type, c AS next_type, n_trans,
+       CAST((n_trans * 1000000) // SUM(n_trans) OVER (PARTITION BY p)
+            AS BIGINT) AS ppm
+FROM pr
+"""
+
+
+def test_event_transitions_match_duckdb(spark):
+    from kml2geojson_spark.eventops import event_transition_counts
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    got = (event_transition_counts(events)
+           .orderBy("prev_type", "next_type").toPandas())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')")
+    exp = con.execute(TRANSITIONS_SQL
+                      + " ORDER BY prev_type, next_type").df()
+    assert len(got) == len(exp) > 0
+    for c in ("prev_type", "next_type"):
+        assert got[c].tolist() == exp[c].tolist()
+    for c in ("n_trans", "ppm"):
+        assert got[c].astype("int64").tolist() == \
+            exp[c].astype("int64").tolist(), c
+
+
+def test_event_transitions_semantics(spark):
+    from kml2geojson_spark.eventops import event_transition_counts
+    rows = [("u", 1, "A", "2024-01-01 00:00:00"),
+            ("u", 2, "B", "2024-01-01 00:01:00"),
+            ("u", 3, "A", "2024-01-01 00:02:00"),
+            ("v", 4, "B", "2024-01-01 00:00:00"),
+            ("v", 5, "B", "2024-01-01 00:00:00"),  # tie: event_id orders
+            ("w", 6, "C", None)]                   # NULL ts dropped
+    df = spark.createDataFrame(
+        rows, "user_id string, event_id long, event_type string, ts string") \
+        .select("user_id", "event_id", "event_type",
+                F.col("ts").cast("timestamp").alias("ts"))
+    got = {(r["prev_type"], r["next_type"]): (r["n_trans"], r["ppm"])
+           for r in event_transition_counts(df).collect()}
+    assert got == {("A", "B"): (1, 1000000), ("B", "A"): (1, 500000),
+                   ("B", "B"): (1, 500000)}
+
+
+def test_event_transitions_plan_zero_python(spark):
+    from kml2geojson_spark.eventops import event_transition_counts
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(event_transition_counts(events))
+    assert "Python" not in plan and "BatchEval" not in plan, plan
+
+
+# --- label_centroids ----------------------------------------------------------
+
+def test_label_centroids_match_duckdb(spark):
+    from kml2geojson_spark.simsearch import (label_centroids,
+                                             label_centroids_sql)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    got = label_centroids(emb).orderBy("label", "dim").toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{SF}/embeddings.parquet')")
+    exp = con.execute(label_centroids_sql()
+                      + " ORDER BY label, dim").df()
+    assert len(got) == len(exp) > 0
+    assert got["label"].tolist() == exp["label"].tolist()
+    for c in ("dim", "centroid_micro", "n_vectors"):
+        assert got[c].astype("int64").tolist() == \
+            exp[c].astype("int64").tolist(), c
+
+
+def test_label_centroids_exact_semantics(spark):
+    import math
+    from kml2geojson_spark.simsearch import label_centroids
+
+    def trunc_div(s: int, n: int) -> int:
+        q = abs(s) // n
+        return q if s >= 0 else -q
+
+    vecs = {"a": [[1.0, -1.5], [2.0, -2.1]], "b": [[0.3, 0.7]]}
+    rows = [(f"{lab}{i}", v, lab)
+            for lab, vs in vecs.items() for i, v in enumerate(vs)]
+    df = spark.createDataFrame(
+        rows, "vec_id string, embedding array<double>, label string")
+    got = {(r["label"], r["dim"]): (r["centroid_micro"], r["n_vectors"])
+           for r in label_centroids(df).collect()}
+    expect = {}
+    for lab, vs in vecs.items():
+        for d in range(2):
+            s = sum(math.floor(v[d] * 1_000_000.0) for v in vs)
+            expect[(lab, d)] = (trunc_div(s, len(vs)), len(vs))
+    assert got == expect
+    # negative non-divisible sum really exercised trunc-toward-zero
+    assert expect[("a", 1)][0] == trunc_div(
+        math.floor(-1.5e6) + math.floor(-2.1 * 1e6), 2)
+
+
+def test_label_centroids_plan_one_exchange_zero_python(spark):
+    from kml2geojson_spark.simsearch import label_centroids
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(label_centroids(emb))
+    assert "Python" not in plan and "BatchEval" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
+
+
+# --- histogram1d --------------------------------------------------------------
+
+HIST_SQL = """
+WITH v AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+           WHERE value IS NOT NULL AND value >= 0.0 AND value <= 100.0),
+b AS (SELECT CASE WHEN CAST(floor((v - 0.0) / 5.0) AS BIGINT) >= 20 THEN 19
+                  ELSE CAST(floor((v - 0.0) / 5.0) AS BIGINT) END AS bin
+      FROM v),
+c AS (SELECT bin, COUNT(*) AS n FROM b GROUP BY bin)
+SELECT r.range AS bin, 0.0 + r.range * 5.0 AS bin_lo,
+       COALESCE(c.n, 0) AS n
+FROM range(20) r LEFT JOIN c ON r.range = c.bin
+"""
+
+
+def test_histogram1d_matches_duckdb(spark):
+    from kml2geojson_spark.relational import histogram1d
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    got = histogram1d(events, value_col="value", lo=0.0, hi=100.0,
+                      n_bins=20).orderBy("bin").toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')")
+    exp = con.execute(HIST_SQL + " ORDER BY bin").df()
+    assert len(got) == 20 == len(exp)
+    assert got["bin"].astype("int64").tolist() == \
+        exp["bin"].astype("int64").tolist()
+    assert got["bin_lo"].tolist() == exp["bin_lo"].tolist()
+    assert got["n"].astype("int64").tolist() == \
+        exp["n"].astype("int64").tolist()
+    assert got["n"].sum() > 0
+
+
+def test_histogram1d_semantics(spark):
+    import pytest
+    from kml2geojson_spark.relational import histogram1d
+    df = spark.createDataFrame(
+        [(0.0,), (4.999,), (5.0,), (10.0,), (-0.1,), (10.1,), (None,)],
+        "value double")
+    got = {r["bin"]: (r["bin_lo"], r["n"])
+           for r in histogram1d(df, value_col="value", lo=0.0, hi=10.0,
+                                n_bins=2).collect()}
+    # hi folds into last bin; out-of-range and NULL dropped; all bins present
+    assert got == {0: (0.0, 2), 1: (5.0, 2)}
+    with pytest.raises(ValueError):
+        histogram1d(df, value_col="value", lo=0.0, hi=0.0, n_bins=2)
+    with pytest.raises(ValueError):
+        histogram1d(df, value_col="value", lo=0.0, hi=1.0, n_bins=0)
+
+
+def test_histogram1d_plan_zero_python(spark):
+    from kml2geojson_spark.relational import histogram1d
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(histogram1d(events, value_col="value", lo=0.0, hi=100.0))
+    assert "Python" not in plan and "BatchEval" not in plan, plan
