@@ -118,3 +118,47 @@ def histogram1d(df: DataFrame, *, value_col: str, lo: float, hi: float,
                     .alias("bin_lo"),
                     F.coalesce(F.col("_n"), F.lit(0)).cast("long")
                     .alias("n")))
+
+
+def weighted_median(df: DataFrame, *, group_col: str, value_col: str,
+                    weight_col: str, id_col: str) -> DataFrame:
+    """Exact weighted median per group: the smallest value whose
+    cumulative weight (ordered by value, ties by id) reaches half the
+    group's total weight — the robust central-tendency statistic when
+    rows carry unequal mass (quantity-weighted price, token-weighted
+    quality). Weights are integerized to milli-units per row
+    (``round(w * 1000)`` — bit-identical on every engine), so the
+    running and total sums are exact BIGINTs and the half-mass test
+    ``2·cum ≥ tot`` never touches a float aggregate.
+
+    NULL values/ids and NULL/non-positive weights are excluded (zero
+    mass, like :func:`~kml2geojson_spark.sketch.weighted_sample`).
+
+    Scale shape: ONE shuffle on the group key — the running-sum
+    window, the total-weight window, and the final aggregate all share
+    that partitioning. Per-group window state is bounded by the group
+    size; for a single planetary-scale group, pre-bucket by value like
+    :func:`skyline2d` does (two-phase prefix sums) instead. The
+    qualifying-row reduction is ``min(struct(value, id))`` — an
+    order-free aggregate, not a second sort.
+
+    Output: (group_col, median DOUBLE, total_weight_milli BIGINT).
+    """
+    wm = F.round(F.col(weight_col).cast("double") * 1000.0).cast("long")
+    d = (df.where(F.col(value_col).isNotNull()
+                  & F.col(weight_col).isNotNull()
+                  & (F.col(weight_col) > 0) & F.col(id_col).isNotNull())
+         .select(F.col(group_col).alias("_g"),
+                 F.col(value_col).cast("double").alias("_v"),
+                 F.col(id_col).alias("_i"), wm.alias("_wm")))
+    wrun = (Window.partitionBy("_g")
+            .orderBy(F.col("_v").asc(), F.col("_i").asc())
+            .rowsBetween(Window.unboundedPreceding, 0))
+    q = (d.withColumn("_cum", F.sum("_wm").over(wrun))
+         .withColumn("_tot", F.sum("_wm").over(Window.partitionBy("_g")))
+         .where(F.col("_cum") * 2 >= F.col("_tot")))
+    return (q.groupBy("_g")
+            .agg(F.min(F.struct("_v", "_i")).alias("_m"),
+                 F.max("_tot").alias("total_weight_milli"))
+            .select(F.col("_g").alias(group_col),
+                    F.col("_m._v").alias("median"), "total_weight_milli"))

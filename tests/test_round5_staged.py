@@ -528,3 +528,139 @@ def test_histogram1d_plan_zero_python(spark):
     events = spark.read.parquet(f"{SF}/events.parquet")
     plan = _plan(histogram1d(events, value_col="value", lo=0.0, hi=100.0))
     assert "Python" not in plan and "BatchEval" not in plan, plan
+
+
+# --- weighted_median ----------------------------------------------------------
+
+WMEDIAN_SQL = """
+WITH d AS (
+  SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS v,
+         l_orderkey * 100 + l_linenumber AS i,
+         CAST(ROUND(CAST(l_quantity AS DOUBLE) * 1000.0) AS BIGINT) AS wm
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        AND l_quantity > 0),
+c AS (
+  SELECT g, v, i, wm,
+         SUM(wm) OVER (PARTITION BY g ORDER BY v, i
+                       ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(wm) OVER (PARTITION BY g) AS tot
+  FROM d),
+q AS (
+  SELECT g, v, CAST(tot AS BIGINT) AS tot,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY v, i) AS rn
+  FROM c WHERE cum * 2 >= tot)
+SELECT g AS l_returnflag, v AS median, tot AS total_weight_milli
+FROM q WHERE rn = 1
+"""
+
+
+def test_weighted_median_matches_duckdb(spark):
+    from kml2geojson_spark.relational import weighted_median
+    li = (spark.read.parquet(f"{SF}/lineitem.parquet")
+          .withColumn("lid", F.col("l_orderkey") * 100
+                      + F.col("l_linenumber")))
+    got = (weighted_median(li, group_col="l_returnflag",
+                           value_col="l_extendedprice",
+                           weight_col="l_quantity", id_col="lid")
+           .orderBy("l_returnflag").toPandas())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{SF}/lineitem.parquet')")
+    exp = con.execute(WMEDIAN_SQL + " ORDER BY l_returnflag").df()
+    assert len(got) == len(exp) > 0
+    assert got["l_returnflag"].tolist() == exp["l_returnflag"].tolist()
+    assert got["median"].tolist() == exp["median"].tolist()
+    assert got["total_weight_milli"].astype("int64").tolist() == \
+        exp["total_weight_milli"].astype("int64").tolist()
+
+
+def test_weighted_median_semantics(spark):
+    from kml2geojson_spark.relational import weighted_median
+    rows = [("g", 1, 1.0, 1.0), ("g", 2, 2.0, 1.0), ("g", 3, 3.0, 2.0),
+            ("s", 4, 9.0, 5.0),
+            ("z", 5, 1.0, 0.0), ("z", 6, 2.0, -1.0), ("z", 7, 3.0, None)]
+    df = spark.createDataFrame(rows, "g string, i long, v double, w double")
+    got = {r["g"]: (r["median"], r["total_weight_milli"])
+           for r in weighted_median(df, group_col="g", value_col="v",
+                                    weight_col="w", id_col="i").collect()}
+    # half-mass boundary: cum(2.0)=2000, tot=4000 -> 2*cum >= tot picks 2.0
+    assert got == {"g": (2.0, 4000), "s": (9.0, 5000)}
+
+
+def test_weighted_median_single_exchange_zero_python(spark):
+    from kml2geojson_spark.relational import weighted_median
+    li = (spark.read.parquet(f"{SF}/lineitem.parquet")
+          .withColumn("lid", F.col("l_orderkey") * 100
+                      + F.col("l_linenumber")))
+    plan = _plan(weighted_median(li, group_col="l_returnflag",
+                                 value_col="l_extendedprice",
+                                 weight_col="l_quantity", id_col="lid"))
+    assert "Python" not in plan and "BatchEval" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
+
+
+# --- polygon_centroid ---------------------------------------------------------
+
+def test_polygon_centroid_matches_duckdb(spark):
+    import __spark_entry__ as em
+    from kml2geojson_spark.spatial.ops import polygon_centroid
+    out = polygon_centroid(em._nation_diamonds(spark, SF))
+    got = (out.select(
+        "poly_id",
+        F.round(F.col("cx") * 1e6).cast("long").alias("cx_micro"),
+        F.round(F.col("cy") * 1e6).cast("long").alias("cy_micro"),
+        F.round(F.col("area2") * 1e6).cast("long").alias("area2_micro"))
+        .orderBy("poly_id").toPandas())
+    sql = f"""
+WITH polys AS ({em._POLY_SQL}),
+verts AS (
+  SELECT poly_id,
+         cx + dx1 * r AS x1, cy + dy1 * r AS y1,
+         cx + dx2 * r AS x2, cy + dy2 * r AS y2
+  FROM polys CROSS JOIN (VALUES
+    (1.0, 0.0, 0.0, 1.0), (0.0, 1.0, -1.0, 0.0),
+    (-1.0, 0.0, 0.0, -1.0), (0.0, -1.0, 1.0, 0.0)
+  ) AS d(dx1, dy1, dx2, dy2)
+)
+SELECT poly_id,
+       CAST(ROUND(SUM((x1 + x2) * (x1 * y2 - x2 * y1))
+                  / (3.0 * SUM(x1 * y2 - x2 * y1)) * 1e6) AS BIGINT)
+           AS cx_micro,
+       CAST(ROUND(SUM((y1 + y2) * (x1 * y2 - x2 * y1))
+                  / (3.0 * SUM(x1 * y2 - x2 * y1)) * 1e6) AS BIGINT)
+           AS cy_micro,
+       CAST(ROUND(SUM(x1 * y2 - x2 * y1) * 1e6) AS BIGINT) AS area2_micro
+FROM verts GROUP BY poly_id ORDER BY poly_id
+"""
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW nation AS SELECT * FROM read_parquet('{SF}/nation.parquet')")
+    exp = con.execute(sql).df()
+    assert len(got) == len(exp) > 0
+    for c in ("poly_id", "cx_micro", "cy_micro", "area2_micro"):
+        assert got[c].astype("int64").tolist() == \
+            exp[c].astype("int64").tolist(), c
+
+
+def test_polygon_centroid_hand_cases(spark):
+    from kml2geojson_spark.spatial.ops import polygon_centroid
+    tri = [[[0.0, 0.0], [6.0, 0.0], [0.0, 3.0], [0.0, 0.0]]]
+    degen = [[[1.0, 1.0], [1.0, 1.0]]]        # zero area: centroid NULL
+    short = [[[1.0, 1.0]]]                    # < 2 vertices
+    df = spark.createDataFrame(
+        [(0, tri), (1, degen), (2, short)],
+        "poly_id long, rings array<array<array<double>>>")
+    got = {r["poly_id"]: (r["cx"], r["cy"], r["area2"])
+           for r in polygon_centroid(df).collect()}
+    assert got[0] == (2.0, 1.0, 18.0)
+    assert got[1] == (None, None, 0.0)
+    assert got[2] == (None, None, 0.0)
+
+
+def test_polygon_centroid_plan_narrow_zero_python(spark):
+    import __spark_entry__ as em
+    from kml2geojson_spark.spatial.ops import polygon_centroid
+    plan = _plan(polygon_centroid(em._nation_diamonds(spark, SF)))
+    assert "Python" not in plan and "BatchEval" not in plan, plan
+    assert "Exchange" not in plan, plan  # narrow: no shuffle at all
