@@ -162,3 +162,34 @@ def weighted_median(df: DataFrame, *, group_col: str, value_col: str,
                  F.max("_tot").alias("total_weight_milli"))
             .select(F.col("_g").alias(group_col),
                     F.col("_m._v").alias("median"), "total_weight_milli"))
+
+
+def group_mode(df: DataFrame, *, group_col: str,
+               value_col: str) -> DataFrame:
+    """Deterministic mode per group: the most frequent value, ties
+    broken by the smallest value — the categorical summary statistic
+    SQL engines lack a portable primitive for (DuckDB's ``mode`` and
+    Spark's ``mode`` both leave ties engine-defined, so neither is
+    oracle-safe; this one pins the tie-break and replays exactly).
+    NULL values are dropped (they are absence, not a category).
+
+    Scale shape: the raw rows collapse FIRST through one (group,
+    value) hash-aggregate with map-side combine; the ranking window
+    runs on that aggregated frame partitioned by group (bounded by the
+    group's distinct-value count, never the row count — a planetary
+    group with a planetary distinct-value cardinality is a data bug).
+    No joins, no global sort, no Python.
+
+    Output: (group_col, mode, n BIGINT).
+    """
+    counts = (df.where(F.col(value_col).isNotNull()
+                       & F.col(group_col).isNotNull())
+              .select(F.col(group_col).alias("_g"),
+                      F.col(value_col).alias("_v"))
+              .groupBy("_g", "_v").agg(F.count(F.lit(1)).alias("n")))
+    w = Window.partitionBy("_g").orderBy(F.col("n").desc(),
+                                         F.col("_v").asc())
+    return (counts.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(F.col("_g").alias(group_col),
+                    F.col("_v").alias("mode"), "n"))

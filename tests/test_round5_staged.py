@@ -664,3 +664,55 @@ def test_polygon_centroid_plan_narrow_zero_python(spark):
     plan = _plan(polygon_centroid(em._nation_diamonds(spark, SF)))
     assert "Python" not in plan and "BatchEval" not in plan, plan
     assert "Exchange" not in plan, plan  # narrow: no shuffle at all
+
+
+# --- group_mode ---------------------------------------------------------------
+
+MODE_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS n
+  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY user_id, event_type),
+r AS (
+  SELECT user_id, event_type, n,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY n DESC, event_type ASC) AS rn
+  FROM c)
+SELECT user_id, event_type AS mode, n FROM r WHERE rn = 1
+"""
+
+
+def test_group_mode_matches_duckdb(spark):
+    from kml2geojson_spark.relational import group_mode
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    got = (group_mode(events, group_col="user_id", value_col="event_type")
+           .orderBy("user_id").toPandas())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')")
+    exp = con.execute(MODE_SQL + " ORDER BY user_id").df()
+    assert len(got) == len(exp) > 0
+    assert got["user_id"].astype("int64").tolist() == \
+        exp["user_id"].astype("int64").tolist()
+    assert got["mode"].tolist() == exp["mode"].tolist()
+    assert got["n"].astype("int64").tolist() == \
+        exp["n"].astype("int64").tolist()
+
+
+def test_group_mode_tie_break_and_nulls(spark):
+    from kml2geojson_spark.relational import group_mode
+    rows = [("g", "b"), ("g", "b"), ("g", "a"), ("g", "a"),  # tie: a wins
+            ("h", None), ("h", "z"),
+            (None, "x")]
+    df = spark.createDataFrame(rows, "g string, v string")
+    got = {r["g"]: (r["mode"], r["n"])
+           for r in group_mode(df, group_col="g", value_col="v").collect()}
+    assert got == {"g": ("a", 2), "h": ("z", 1)}
+
+
+def test_group_mode_plan_zero_python(spark):
+    from kml2geojson_spark.relational import group_mode
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(group_mode(events, group_col="user_id",
+                            value_col="event_type"))
+    assert "Python" not in plan and "BatchEval" not in plan, plan
