@@ -2827,6 +2827,326 @@ SELECT purchase_id, user_id, click_id, gap_us FROM j WHERE rn = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-5 registrations: the operators staged (implemented + oracle-verified
+# in tests/test_round5_staged.py) during round 4. Each oracle below is the
+# SAME SQL the staged tests assert against, with BIGINT casts on aggregates
+# so the DuckDB frame round-trips to pandas integers.
+# ---------------------------------------------------------------------------
+
+def _q106_sessionize_batch(spark, sf):
+    """Batch sessionization (30-min gap rule) — the batch twin of the
+    streaming sessionizer (q08): one shuffle on the user key, the
+    session aggregate reuses the window partitioning (single Exchange,
+    plan-asserted in tests). Session bounds are emitted as epoch
+    seconds so the cross-engine hash never touches a timestamp."""
+    from kml2geojson_spark.eventops import sessionize_batch
+    out = sessionize_batch(_t(spark, sf, "events"), gap_seconds=1800)
+    return out.select(
+        "user_id", F.col("session_idx").cast("long").alias("session_idx"),
+        F.unix_timestamp("session_start").alias("start_sec"),
+        F.unix_timestamp("session_end").alias("end_sec"), "n_events")
+
+
+_O106 = """
+WITH e AS (
+  SELECT user_id AS _u, ts AS _t,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                   OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS _new
+  FROM events WHERE ts IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (
+  SELECT _u, _t,
+         SUM(_new) OVER (PARTITION BY _u ORDER BY _t
+                         ROWS UNBOUNDED PRECEDING) AS _sess
+  FROM e)
+SELECT _u AS user_id, CAST(_sess AS BIGINT) AS session_idx,
+       CAST(floor(epoch(MIN(_t))) AS BIGINT) AS start_sec,
+       CAST(floor(epoch(MAX(_t))) AS BIGINT) AS end_sec,
+       COUNT(*) AS n_events
+FROM s GROUP BY _u, _sess
+"""
+
+
+def _q107_weighted_sample(spark, sf):
+    """Deterministic weighted sample without replacement (Efraimidis–
+    Spirakis A-Res, md5-uniform keys): plans as TakeOrderedAndProject —
+    per-partition top-k heap, never a global sort."""
+    from kml2geojson_spark.sketch import weighted_sample
+    return weighted_sample(_t(spark, sf, "documents"), 200,
+                           weight_col="n_chars", id_col="doc_id")
+
+
+def _o107() -> str:
+    from kml2geojson_spark.sketch import weighted_sample_sql
+    return weighted_sample_sql("doc_id", "n_chars", "documents", 200)
+
+
+def _q108_lang_hll(spark, sf):
+    """Grouped HLL distinct-text estimate per language — the sketch
+    (md5 registers, q51) composed with the integer-scaled estimator
+    (q56) over the documents table: per-partition registers collapse
+    to |langs|·2^p cells before the one exchange."""
+    from kml2geojson_spark.sketch import hll_estimate, hll_registers
+    regs = hll_registers(_t(spark, sf, "documents"), "text",
+                         group_cols=["lang"], p=8)
+    return hll_estimate(regs, group_cols=["lang"], p=8)
+
+
+def _o108() -> str:
+    from kml2geojson_spark.sketch import hll_estimate_sql
+    return hll_estimate_sql("text", "documents", group_cols=["lang"], p=8)
+
+
+def _q109_cell_smooth(spark, sf):
+    """k-ring box smoothing of the q10 cell-count raster (radius-1
+    heatmap kernel): literal (dx,dy) offset explode + Morton re-encode,
+    zero Python, one hash-aggregate shuffle with map-side combine."""
+    from kml2geojson_spark.spatial import encode_points
+    from kml2geojson_spark.spatial.ops import cell_smooth
+    counts = (encode_points(_customer_points(spark, sf), 9)
+              .groupBy("cell_id").agg(F.count(F.lit(1)).alias("n")))
+    return cell_smooth(counts, 9, 1)
+
+
+def _o109() -> str:
+    n = 1 << 9
+    gx, gy = _grid_sql("x", "y", 9)
+    return (
+        f"WITH pts AS ({_PTS_SQL}), "
+        f"pg AS (SELECT {gx} AS cx, {gy} AS cy FROM pts), "
+        "cnt AS (SELECT cx, cy, COUNT(*) AS smoothed FROM pg GROUP BY cx, cy), "
+        "offs AS (SELECT t1.dx, t2.dy FROM range(-1,2) t1(dx), "
+        "range(-1,2) t2(dy)), "
+        f"sc AS (SELECT ((cx + dx) % {n} + {n}) % {n} AS gx, cy + dy AS gy, "
+        "smoothed FROM cnt, offs "
+        f"WHERE cy + dy >= 0 AND cy + dy < {n}), "
+        "g AS (SELECT gx, gy, SUM(smoothed) AS smoothed FROM sc "
+        "GROUP BY gx, gy)"
+        + _morton_ctes("smoothed", 9, "g")
+        + " SELECT cell_id, CAST(smoothed AS BIGINT) AS smoothed FROM enc")
+
+
+def _q110_pip_anti(spark, sf):
+    """Geofence exclusion: points inside NO nation diamond — the exact
+    complement of q11 under the identical ray-cast rule (cell-bucket
+    candidates, then one LEFT ANTI hash join on the matched ids)."""
+    from kml2geojson_spark.spatial.ops import pip_anti_join
+    return pip_anti_join(_customer_points(spark, sf),
+                         _nation_diamonds(spark, sf), 6)
+
+
+_O110 = f"""
+WITH polys AS ({_POLY_SQL}),
+edges AS (
+  SELECT poly_id,
+         cx + dx1 * r AS x1, cy + dy1 * r AS y1,
+         cx + dx2 * r AS x2, cy + dy2 * r AS y2
+  FROM polys CROSS JOIN (VALUES
+    (1.0, 0.0, 0.0, 1.0), (0.0, 1.0, -1.0, 0.0),
+    (-1.0, 0.0, 0.0, -1.0), (0.0, -1.0, 1.0, 0.0)
+  ) AS d(dx1, dy1, dx2, dy2)
+),
+pts AS ({_PTS_SQL}),
+crossings AS (
+  SELECT p.point_id, e.poly_id,
+         CASE WHEN ((e.y1 > p.y) != (e.y2 > p.y))
+               AND (p.x < (e.x2 - e.x1) * (p.y - e.y1) / (e.y2 - e.y1) + e.x1)
+              THEN 1 ELSE 0 END AS c
+  FROM pts p CROSS JOIN edges e
+),
+inside AS (
+  SELECT point_id FROM crossings
+  GROUP BY point_id, poly_id HAVING SUM(c) % 2 = 1
+)
+SELECT point_id, x, y FROM pts
+WHERE point_id NOT IN (SELECT point_id FROM inside)
+"""
+
+
+def _q111_gapfill(spark, sf):
+    """Dense zero-filled daily event counts per type (the hypertable
+    time_bucket_gapfill): raw rows collapse through one (group, bucket)
+    hash-aggregate first; the dense grid is a per-group sequence
+    explode of ONE row per group."""
+    from kml2geojson_spark.eventops import time_bucket_gapfill
+    return time_bucket_gapfill(_t(spark, sf, "events"),
+                               bucket_seconds=86400)
+
+
+_O111 = """
+WITH e AS (
+  SELECT event_type AS g, CAST(floor(epoch(ts)) AS BIGINT) AS s
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+c AS (SELECT g, s - (((s % 86400) + 86400) % 86400) AS b, COUNT(*) AS n
+      FROM e GROUP BY 1, 2),
+r AS (SELECT g, MIN(b) AS lo, MAX(b) AS hi FROM c GROUP BY g),
+grid AS (SELECT g, unnest(generate_series(lo, hi, 86400)) AS b FROM r)
+SELECT grid.g AS event_type, CAST(grid.b AS BIGINT) AS bucket_sec,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+FROM grid LEFT JOIN c ON grid.g = c.g AND grid.b = c.b
+"""
+
+
+def _q112_transitions(spark, sf):
+    """First-order Markov transition counts over per-user event
+    streams, with exact integer parts-per-million probabilities (no
+    float ever materializes): one user-key shuffle for the lag window,
+    then the normalizing window runs on the tiny |types|² frame."""
+    from kml2geojson_spark.eventops import event_transition_counts
+    return event_transition_counts(_t(spark, sf, "events"))
+
+
+_O112 = """
+WITH e AS (
+  SELECT event_type AS c,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS p
+  FROM events WHERE ts IS NOT NULL),
+pr AS (SELECT p, c, COUNT(*) AS n_trans FROM e WHERE p IS NOT NULL
+       GROUP BY p, c)
+SELECT p AS prev_type, c AS next_type, n_trans,
+       CAST((n_trans * 1000000) // SUM(n_trans) OVER (PARTITION BY p)
+            AS BIGINT) AS ppm
+FROM pr
+"""
+
+
+def _q113_label_centroids(spark, sf):
+    """Per-label embedding centroids in exact integer micro-units
+    (floor-integerized per row, BIGINT sums, truncating division —
+    partial-aggregation order cannot perturb the result): posexplode
+    is a narrow map, then ONE (label, dim) hash-aggregate."""
+    from kml2geojson_spark.simsearch import label_centroids
+    return label_centroids(_t(spark, sf, "embeddings"))
+
+
+def _o113() -> str:
+    from kml2geojson_spark.simsearch import label_centroids_sql
+    return label_centroids_sql()
+
+
+def _q114_histogram(spark, sf):
+    """Exact fixed-width histogram with all bins present (zero-filled):
+    one filter + one ≤n_bins-cell hash-aggregate, then a broadcast
+    left join against the tiny range frame."""
+    from kml2geojson_spark.relational import histogram1d
+    return histogram1d(_t(spark, sf, "events"), value_col="value",
+                       lo=0.0, hi=100.0, n_bins=20)
+
+
+_O114 = """
+WITH v AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+           WHERE value IS NOT NULL AND value >= 0.0 AND value <= 100.0),
+b AS (SELECT CASE WHEN CAST(floor((v - 0.0) / 5.0) AS BIGINT) >= 20 THEN 19
+                  ELSE CAST(floor((v - 0.0) / 5.0) AS BIGINT) END AS bin
+      FROM v),
+c AS (SELECT bin, COUNT(*) AS n FROM b GROUP BY bin)
+SELECT CAST(r.range AS BIGINT) AS bin, 0.0 + r.range * 5.0 AS bin_lo,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+FROM range(20) r LEFT JOIN c ON r.range = c.bin
+"""
+
+
+def _q115_weighted_median(spark, sf):
+    """Exact quantity-weighted median price per return flag: weights
+    integerized to milli-units so the half-mass test is pure BIGINT;
+    ONE shuffle on the group key shared by both windows and the final
+    aggregate (plan-asserted single Exchange in tests)."""
+    from kml2geojson_spark.relational import weighted_median
+    li = (_t(spark, sf, "lineitem")
+          .withColumn("lid", F.col("l_orderkey") * 100
+                      + F.col("l_linenumber")))
+    return weighted_median(li, group_col="l_returnflag",
+                           value_col="l_extendedprice",
+                           weight_col="l_quantity", id_col="lid")
+
+
+_O115 = """
+WITH d AS (
+  SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS v,
+         l_orderkey * 100 + l_linenumber AS i,
+         CAST(ROUND(CAST(l_quantity AS DOUBLE) * 1000.0) AS BIGINT) AS wm
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        AND l_quantity > 0),
+c AS (
+  SELECT g, v, i, wm,
+         SUM(wm) OVER (PARTITION BY g ORDER BY v, i
+                       ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(wm) OVER (PARTITION BY g) AS tot
+  FROM d),
+q AS (
+  SELECT g, v, CAST(tot AS BIGINT) AS tot,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY v, i) AS rn
+  FROM c WHERE cum * 2 >= tot)
+SELECT g AS l_returnflag, v AS median, tot AS total_weight_milli
+FROM q WHERE rn = 1
+"""
+
+
+def _q116_polygon_centroid(spark, sf):
+    """Shoelace area-weighted centroid of each nation diamond,
+    micro-rounded for the cross-engine hash: a narrow per-row fold
+    over the vertex array — no shuffle, no join, no Python
+    (plan-asserted in tests)."""
+    from kml2geojson_spark.spatial.ops import polygon_centroid
+    out = polygon_centroid(_nation_diamonds(spark, sf))
+    return out.select(
+        "poly_id",
+        F.round(F.col("cx") * 1e6).cast("long").alias("cx_micro"),
+        F.round(F.col("cy") * 1e6).cast("long").alias("cy_micro"),
+        F.round(F.col("area2") * 1e6).cast("long").alias("area2_micro"))
+
+
+_O116 = f"""
+WITH polys AS ({_POLY_SQL}),
+verts AS (
+  SELECT poly_id,
+         cx + dx1 * r AS x1, cy + dy1 * r AS y1,
+         cx + dx2 * r AS x2, cy + dy2 * r AS y2
+  FROM polys CROSS JOIN (VALUES
+    (1.0, 0.0, 0.0, 1.0), (0.0, 1.0, -1.0, 0.0),
+    (-1.0, 0.0, 0.0, -1.0), (0.0, -1.0, 1.0, 0.0)
+  ) AS d(dx1, dy1, dx2, dy2)
+)
+SELECT poly_id,
+       CAST(ROUND(SUM((x1 + x2) * (x1 * y2 - x2 * y1))
+                  / (3.0 * SUM(x1 * y2 - x2 * y1)) * 1e6) AS BIGINT)
+           AS cx_micro,
+       CAST(ROUND(SUM((y1 + y2) * (x1 * y2 - x2 * y1))
+                  / (3.0 * SUM(x1 * y2 - x2 * y1)) * 1e6) AS BIGINT)
+           AS cy_micro,
+       CAST(ROUND(SUM(x1 * y2 - x2 * y1) * 1e6) AS BIGINT) AS area2_micro
+FROM verts GROUP BY poly_id
+"""
+
+
+def _q117_group_mode(spark, sf):
+    """Deterministic per-user modal event type (ties → smallest value,
+    so the result is engine-portable unlike built-in mode()): raw rows
+    collapse through one (group, value) hash-aggregate before the
+    ranking window runs on the aggregated frame."""
+    from kml2geojson_spark.relational import group_mode
+    return group_mode(_t(spark, sf, "events"), group_col="user_id",
+                      value_col="event_type")
+
+
+_O117 = """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS n
+  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY user_id, event_type),
+r AS (
+  SELECT user_id, event_type, n,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY n DESC, event_type ASC) AS rn
+  FROM c)
+SELECT user_id, event_type AS mode, n FROM r WHERE rn = 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -2925,6 +3245,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q103_fuzzy_pairs": _q103_fuzzy_pairs,
         "q104_merge_intervals": _q104_merge_intervals,
         "q105_asof_forward": _q105_asof_forward,
+        "q106_sessionize_batch": _q106_sessionize_batch,
+        "q107_weighted_sample": _q107_weighted_sample,
+        "q108_lang_hll": _q108_lang_hll,
+        "q109_cell_smooth": _q109_cell_smooth,
+        "q110_pip_anti": _q110_pip_anti,
+        "q111_gapfill": _q111_gapfill,
+        "q112_transitions": _q112_transitions,
+        "q113_label_centroids": _q113_label_centroids,
+        "q114_histogram": _q114_histogram,
+        "q115_weighted_median": _q115_weighted_median,
+        "q116_polygon_centroid": _q116_polygon_centroid,
+        "q117_group_mode": _q117_group_mode,
     }
 
 
@@ -3022,6 +3354,18 @@ def oracle_sql() -> dict[str, str]:
         "q103_fuzzy_pairs": _O103,
         "q104_merge_intervals": _O104,
         "q105_asof_forward": _O105,
+        "q106_sessionize_batch": _O106,
+        "q107_weighted_sample": _o107(),
+        "q108_lang_hll": _o108(),
+        "q109_cell_smooth": _o109(),
+        "q110_pip_anti": _O110,
+        "q111_gapfill": _O111,
+        "q112_transitions": _O112,
+        "q113_label_centroids": _o113(),
+        "q114_histogram": _O114,
+        "q115_weighted_median": _O115,
+        "q116_polygon_centroid": _O116,
+        "q117_group_mode": _O117,
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by
