@@ -1085,13 +1085,15 @@ def _o26() -> str:
 
 def _q45_dedup_components(spark, sf):
     """Dedup-cluster labeling: connected components over the SimHash
-    near-dup graph (iterative min-label propagation; the oracle is a
-    recursive-CTE transitive closure)."""
-    from kml2geojson_spark.graph import connected_components
+    near-dup graph via the diameter-INDEPENDENT large-star/small-star
+    algorithm (O(log² n) rounds — long transitive near-dup chains at
+    100 TB converge where one-hop-per-round label propagation would
+    not; the oracle is a recursive-CTE transitive closure)."""
+    from kml2geojson_spark.graph import connected_components_star
     from kml2geojson_spark.textops import simhash_near_pairs
     pairs = simhash_near_pairs(_t(spark, sf, "documents"),
                                max_hamming=3, bands=4)
-    return (connected_components(pairs)
+    return (connected_components_star(pairs)
             .select(F.col("node").alias("doc_id"), "component"))
 
 
@@ -2259,12 +2261,18 @@ FROM bytes GROUP BY media_ref
 
 def _q44_ivf_topk(spark, sf):
     """IVF-bucketed ANN (rows-only: approximate by design; pytest
-    measures recall against the exact baseline)."""
+    measures recall against the exact baseline). Codebook training is
+    sample-then-train (deterministic ~1/2 id-hash sample): the Lloyd
+    passes touch only the sample, and the full vector table is scanned
+    exactly once — by the final assignment (the 100-TB shape; at sf
+    scales the halved sample still gives every centroid hundreds of
+    training vectors)."""
     from kml2geojson_spark.simsearch import ivf_topk
     emb = _t(spark, sf, "embeddings")
     queries_df = (emb.where(F.col("vec_id") < 10)
                   .select(F.col("vec_id").alias("query_id"), "embedding"))
-    return (ivf_topk(emb, queries_df, 10, n_centroids=16, nprobe=6)
+    return (ivf_topk(emb, queries_df, 10, n_centroids=16, nprobe=6,
+                     train_rate=(1, 2))
             .select("query_id", "neighbor_id", "rank"))
 
 
@@ -2854,7 +2862,7 @@ WITH e AS (
          CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
                    OR lag(ts) OVER w IS NULL
               THEN 1 ELSE 0 END AS _new
-  FROM events WHERE ts IS NOT NULL
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
 s AS (
   SELECT _u, _t,
@@ -3064,13 +3072,13 @@ def _q115_weighted_median(spark, sf):
 
 
 _O115 = """
-WITH d AS (
+WITH d0 AS (
   SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS v,
          l_orderkey * 100 + l_linenumber AS i,
          CAST(ROUND(CAST(l_quantity AS DOUBLE) * 1000.0) AS BIGINT) AS wm
   FROM lineitem
-  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
-        AND l_quantity > 0),
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+d AS (SELECT * FROM d0 WHERE wm > 0),
 c AS (
   SELECT g, v, i, wm,
          SUM(wm) OVER (PARTITION BY g ORDER BY v, i

@@ -210,8 +210,10 @@ def sessionize_batch(events: DataFrame, *, gap_seconds: int = 1800,
     tie-break column is needed); an event opens a new session iff
     ``epoch(ts) - epoch(prev ts) > gap_seconds`` (strictly greater:
     a gap of exactly ``gap_seconds`` stays in-session). NULL
-    timestamps are dropped, like COUNT(DISTINCT)-style NULL handling
-    everywhere else in the package.
+    timestamps AND NULL user ids are dropped — the package's NULL-key
+    discipline (a NULL user is an unidentified visitor, and grouping
+    all of them into one window partition would sessionize distinct
+    people together as a single pseudo-user).
 
     Scale shape: identical to :func:`merge_intervals` — ONE shuffle on
     the user key (the window partition), and the per-session
@@ -230,7 +232,7 @@ def sessionize_batch(events: DataFrame, *, gap_seconds: int = 1800,
     prev_sec = F.lag(sec).over(w)
     d = (events.select(F.col(user_col).alias("_u"),
                        F.col(ts_col).alias("_t"))
-         .where(F.col("_t").isNotNull())
+         .where(F.col("_t").isNotNull() & F.col("_u").isNotNull())
          .withColumn("_new", F.when(
              prev_sec.isNull() | ((sec - prev_sec) > gap_seconds),
              F.lit(1)).otherwise(F.lit(0)))

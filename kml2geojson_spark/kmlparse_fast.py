@@ -105,7 +105,17 @@ def simple_point_xy(source: str):
     therefore the tree path) yields them, or ``None`` when the document
     is outside this lane's validated envelope — see the module
     docstring for the envelope and the semantics contract."""
-    if "/>" in source or source.find("<?", 2) != -1:
+    if "/>" in source:
+        return None
+    qi = source.find("<?")
+    if qi != -1 and not (
+            qi == 0 and source.startswith("<?xml")
+            and len(source) > 5 and source[5] in " \t\r\n"
+            and source.find("<?", 2) == -1):
+        # Any processing instruction other than a single leading XML
+        # declaration bails: PI data may contain markup-looking text
+        # (e.g. "<?a <Placemark >?>") that the _REL scan would match,
+        # and a PI at offset 0 or 1 is NOT covered by a find from 2.
         return None
     i = source.find("<!")
     while i != -1:  # every "<!" must be a markup-free CDATA section

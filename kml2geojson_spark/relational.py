@@ -131,8 +131,13 @@ def weighted_median(df: DataFrame, *, group_col: str, value_col: str,
     running and total sums are exact BIGINTs and the half-mass test
     ``2·cum ≥ tot`` never touches a float aggregate.
 
-    NULL values/ids and NULL/non-positive weights are excluded (zero
-    mass, like :func:`~kml2geojson_spark.sketch.weighted_sample`).
+    NULL values/ids are excluded, and the mass filter is applied to
+    the INTEGERIZED weight (``wm > 0``): weights are quantized to
+    milli-units, so a row with 0 < w < 0.0005 carries zero mass and is
+    excluded outright (a raw ``w > 0`` filter would admit it and let a
+    group whose weights ALL round to zero report its minimum as the
+    median), and weights closer than ~1e-3 quantize equal — pick a
+    larger scale upstream if sub-milli weight resolution matters.
 
     Scale shape: ONE shuffle on the group key — the running-sum
     window, the total-weight window, and the final aggregate all share
@@ -147,7 +152,7 @@ def weighted_median(df: DataFrame, *, group_col: str, value_col: str,
     wm = F.round(F.col(weight_col).cast("double") * 1000.0).cast("long")
     d = (df.where(F.col(value_col).isNotNull()
                   & F.col(weight_col).isNotNull()
-                  & (F.col(weight_col) > 0) & F.col(id_col).isNotNull())
+                  & (wm > 0) & F.col(id_col).isNotNull())
          .select(F.col(group_col).alias("_g"),
                  F.col(value_col).cast("double").alias("_v"),
                  F.col(id_col).alias("_i"), wm.alias("_wm")))

@@ -152,7 +152,8 @@ def _materialize_codebook(cents: DataFrame) -> DataFrame:
 
 def ivf_centroids(embeddings: DataFrame, n_centroids: int, *,
                   iters: int = 2, id_col: str = "vec_id",
-                  vec_col: str = "embedding") -> DataFrame:
+                  vec_col: str = "embedding",
+                  train_rate: tuple[int, int] | None = None) -> DataFrame:
     """IVF codebook: deterministic hash-spread init (md5 bucket of the
     id → per-bucket mean — decorrelated from id order, unlike a plain
     ``id % n_centroids``, which would seed every centroid identically
@@ -176,6 +177,21 @@ def ivf_centroids(embeddings: DataFrame, n_centroids: int, *,
     empty-cluster behavior. Callers sizing ``nprobe`` should read the
     codebook's actual row count rather than assume ``n_centroids``.
 
+    ``train_rate=(num, den)`` trains on the hash-DETERMINISTIC sample
+    (md5 bucket of the id, the :func:`~kml2geojson_spark.sketch.
+    deterministic_sample` discipline) keeping ~num/den of the vectors
+    — the 100-TB shape: Lloyd is 1 + 2·iters FULL passes over the
+    vector table, so at scale the codebook is trained on a sample
+    (k-means cluster shapes stabilize at sample sizes of ~100–1000
+    vectors per centroid; sampling error shifts list boundaries, which
+    ``nprobe`` already absorbs) and the full table is scanned exactly
+    ONCE — by the final assignment in :func:`ivf_topk`. Every pass
+    here (init and each Lloyd step) touches ONLY the sampled rows:
+    the sample filter is applied before the persist, so the cached
+    training frame is the sample itself (value-asserted in tests).
+    ``None`` (default) trains on the full table — right below ~10⁶
+    rows where the sample would thin small clusters.
+
     Output: (cid int, cvec array<double>).
     """
     # cache the projected vectors for the duration of the Lloyd loop —
@@ -184,7 +200,16 @@ def ivf_centroids(embeddings: DataFrame, n_centroids: int, *,
     # (MLlib's KMeans caches for the same reason). Released before
     # returning.
     vecs = embeddings.select(F.col(id_col).alias("_id"),
-                             _as_double(vec_col).alias("_v")).persist()
+                             _as_double(vec_col).alias("_v"))
+    if train_rate is not None:
+        from .textops import md5_bucket_col
+
+        num, den = train_rate
+        if not 0 < num <= den:
+            raise ValueError("train_rate must satisfy 0 < num <= den")
+        vecs = vecs.where(
+            md5_bucket_col(F.col("_id")) < (256 * num) // den)
+    vecs = vecs.persist()
     try:
         seed_bucket = (F.conv(F.substring(F.md5(F.col("_id").cast("string")),
                                           1, 15), 16, 10).cast("long")
@@ -223,19 +248,25 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame, *,
 def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int, *,
              n_centroids: int = 16, nprobe: int = 4, iters: int = 2,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             query_id_col: str = "query_id") -> DataFrame:
+             query_id_col: str = "query_id",
+             train_rate: tuple[int, int] | None = None) -> DataFrame:
     """IVF-bucketed approximate cosine top-k — the classic ANN scale
     path: vectors are pre-partitioned into ``n_centroids`` inverted
     lists; each query probes only its ``nprobe`` nearest lists and
     exact-re-ranks those candidates. The candidate join is an equi-join
     on ``cid`` (hash-partitionable at 100 TB; the codebook itself is
     always broadcast). Recall < 1 by design; tests measure it against
-    :func:`cosine_topk_exact`.
+    :func:`cosine_topk_exact`. ``train_rate=(num, den)`` trains the
+    codebook on the deterministic ~num/den id-hash sample (see
+    :func:`ivf_centroids`) so the FULL table is scanned exactly once —
+    by the assignment below — instead of 1 + 2·iters times; set it for
+    any corpus where two extra full passes per Lloyd iteration matter.
 
     Output: (query_id, neighbor_id, cosine, rank).
     """
     cents = ivf_centroids(embeddings, n_centroids, iters=iters,
-                          id_col=id_col, vec_col=vec_col)
+                          id_col=id_col, vec_col=vec_col,
+                          train_rate=train_rate)
     base = embeddings.select(F.col(id_col).alias("neighbor_id"),
                              _as_double(vec_col).alias("_v"))
     assigned = (ivf_assign(base, cents, id_col="neighbor_id")

@@ -546,7 +546,7 @@ def ngram_jaccard_pairs(documents: DataFrame, *, n: int = 3,
 def near_dedup_representatives(documents: DataFrame, *,
                                max_hamming: int = 3,
                                bands: int = 4,
-                               components: str = "label") -> DataFrame:
+                               components: str = "star") -> DataFrame:
     """The canonical training-corpus near-dedup pipeline in ONE call:
     exact duplicates (content-hash groups) ∪ SimHash near-duplicate
     pairs → connected components → representative = minimum doc_id per
@@ -562,13 +562,16 @@ def near_dedup_representatives(documents: DataFrame, *,
     its content-hash representative to that representative's component
     minimum — identical output to running the band join over the full
     corpus (an exact-dup group's members share a signature, so their
-    component is their representative's). ``components`` picks
-    min-label propagation (default — rounds = cluster diameter, ideal
-    for shallow near-dup stars) or the diameter-independent
-    large-star/small-star algorithm (``"star"`` — for corpora whose
-    near-dup clusters form long transitive chains); both yield the
-    identical min-id labeling. Oracle-checked end-to-end (driver q59:
-    recursive-CTE closure over the equivalent full edge set)."""
+    component is their representative's). ``components`` picks the
+    algorithm: the DEFAULT ``"star"`` is the diameter-independent
+    large-star/small-star method (O(log² n) rounds — a 100-TB corpus
+    with long transitive near-dup chains, e.g. boilerplate laddering,
+    converges in a dozen rounds where min-label propagation needs one
+    round per hop and would raise after ``max_iters``); ``"label"``
+    keeps min-label propagation for provably-shallow star clusters
+    (fewer, cheaper rounds there). Both yield the identical min-id
+    labeling. Oracle-checked end-to-end (driver q59: recursive-CTE
+    closure over the equivalent full edge set)."""
     from .graph import connected_components, connected_components_star
 
     if components not in ("label", "star"):

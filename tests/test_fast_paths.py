@@ -352,6 +352,32 @@ def test_simple_point_xy_adversarial_cases():
          "<MultiGeometry><Point><coordinates>1,1</coordinates></Point>"
          "</MultiGeometry></Placemark></kml>")
     assert simple_point_xy(k) is None
+    # PI at OFFSET 0 with markup-looking data: must bail (a find("<?", 2)
+    # guard misses it and the _REL scan would see the fake <Placemark )
+    k = ("<?a <Placemark >?>"
+         "<kml><Point><coordinates>1,2</coordinates></Point></kml>")
+    assert simple_point_xy(k) is None
+    from kml2geojson_spark.kmlparse_stream import stream_point_xy
+    assert stream_point_xy(k) == _tree_points(k) == []
+    # PI named xml-stylesheet at offset 0 is a PI, not a declaration
+    k = ("<?xml-stylesheet href='x'?>"
+         "<kml><Placemark><Point><coordinates>1,2</coordinates></Point>"
+         "</Placemark></kml>")
+    assert simple_point_xy(k) is None
+    assert stream_point_xy(k) == _tree_points(k) == [(1.0, 2.0)]
+    # "<?xml?>" with no whitespace after the name: bail, not a decl
+    assert simple_point_xy(
+        "<?xml?><kml><Placemark><Point><coordinates>1,2</coordinates>"
+        "</Point></Placemark></kml>") is None
+    # a real leading XML declaration stays in-lane ...
+    k = ('<?xml version="1.0" encoding="UTF-8"?>\n'
+         "<kml><Placemark><Point><coordinates>4,5</coordinates></Point>"
+         "</Placemark></kml>")
+    assert simple_point_xy(k) == _tree_points(k) == [(4.0, 5.0)]
+    # ... but a declaration PLUS a later PI bails
+    assert simple_point_xy(
+        '<?xml version="1.0"?><kml><?pi data?><Placemark><Point>'
+        "<coordinates>4,5</coordinates></Point></Placemark></kml>") is None
 
 
 def test_tile_counts_batch_lane_fallbacks():
@@ -424,6 +450,7 @@ def test_point_lanes_hypothesis_consistency():
         "<!-- a comment -->",
         "<styleUrl/>",
         "plain text",
+        "<?pi <Placemark > <Point > data?>",
     ])
     wrap = st.sampled_from(
         ["Placemark", "Folder", "MultiGeometry", "MultiTrack", "Point"])

@@ -29,7 +29,7 @@ WITH e AS (
          CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
                    OR lag(ts) OVER w IS NULL
               THEN 1 ELSE 0 END AS _new
-  FROM events WHERE ts IS NOT NULL
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
 s AS (
   SELECT _u, _t,
@@ -66,7 +66,9 @@ def test_sessionize_batch_semantics(spark):
             ("u", "2024-01-01 00:59:00"),   # exactly 30min gap: in-session
             ("u", "2024-01-01 01:29:01"),   # 30min+1s: NEW session
             ("v", "2024-01-01 00:00:00"),
-            ("v", None)]                     # NULL ts dropped
+            ("v", None),                     # NULL ts dropped
+            (None, "2024-01-01 00:00:00"),   # NULL user dropped too:
+            (None, "2024-01-02 00:00:00")]   # no pseudo-user sessions
     df = spark.createDataFrame(rows, "user_id string, ts string") \
         .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
     got = {(r["user_id"], r["session_idx"]): r["n_events"]
@@ -533,13 +535,13 @@ def test_histogram1d_plan_zero_python(spark):
 # --- weighted_median ----------------------------------------------------------
 
 WMEDIAN_SQL = """
-WITH d AS (
+WITH d0 AS (
   SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS v,
          l_orderkey * 100 + l_linenumber AS i,
          CAST(ROUND(CAST(l_quantity AS DOUBLE) * 1000.0) AS BIGINT) AS wm
   FROM lineitem
-  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
-        AND l_quantity > 0),
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+d AS (SELECT * FROM d0 WHERE wm > 0),
 c AS (
   SELECT g, v, i, wm,
          SUM(wm) OVER (PARTITION BY g ORDER BY v, i
@@ -579,12 +581,17 @@ def test_weighted_median_semantics(spark):
     from kml2geojson_spark.relational import weighted_median
     rows = [("g", 1, 1.0, 1.0), ("g", 2, 2.0, 1.0), ("g", 3, 3.0, 2.0),
             ("s", 4, 9.0, 5.0),
-            ("z", 5, 1.0, 0.0), ("z", 6, 2.0, -1.0), ("z", 7, 3.0, None)]
+            ("z", 5, 1.0, 0.0), ("z", 6, 2.0, -1.0), ("z", 7, 3.0, None),
+            # sub-milli weights round to ZERO integerized mass: excluded
+            # (a raw w > 0 filter would keep the row and report this
+            # group's minimum as its median with _tot = 0)
+            ("z", 8, 5.0, 0.0004)]
     df = spark.createDataFrame(rows, "g string, i long, v double, w double")
     got = {r["g"]: (r["median"], r["total_weight_milli"])
            for r in weighted_median(df, group_col="g", value_col="v",
                                     weight_col="w", id_col="i").collect()}
     # half-mass boundary: cum(2.0)=2000, tot=4000 -> 2*cum >= tot picks 2.0
+    # and the all-sub-milli group z vanishes entirely
     assert got == {"g": (2.0, 4000), "s": (9.0, 5000)}
 
 

@@ -217,6 +217,49 @@ def test_ivf_topk_recall(spark):
     a = {(r.query_id, r.neighbor_id) for r in approx.itertuples()}
     recall = len(e & a) / len(e)
     assert recall >= 0.9, f"IVF recall too low: {recall}"
+    # sample-then-train (codebook from the ~1/2 id-hash sample, full
+    # table assigned once) keeps recall on the clustered corpus
+    sampled = ivf_topk(emb, qs, 8, n_centroids=6, nprobe=2,
+                       train_rate=(1, 2)).toPandas()
+    s = {(r.query_id, r.neighbor_id) for r in sampled.itertuples()}
+    recall_s = len(e & s) / len(e)
+    assert recall_s >= 0.9, f"sampled-training IVF recall: {recall_s}"
+
+
+def test_ivf_sampled_training_touches_only_the_sample(spark):
+    """Value-level proof that ``train_rate`` trains on EXACTLY the
+    deterministic id-hash sample: with iters=0 the codebook is the
+    per-seed-bucket mean of the training vectors, which must equal a
+    numpy replay over precisely the md5-sampled subset (and differ
+    from the full-data means)."""
+    import hashlib
+
+    from kml2geojson_spark.simsearch import ivf_centroids
+
+    rng = np.random.default_rng(11)
+    rows = [(i, rng.standard_normal(4).tolist()) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["cid"]: r["cvec"]
+           for r in ivf_centroids(emb, 4, iters=0,
+                                  train_rate=(1, 4)).collect()}
+
+    def bucket8(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:2], 16)
+
+    def seed(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % 4
+
+    sample = [(i, v) for i, v in rows if bucket8(i) < 64]
+    assert 0 < len(sample) < len(rows)
+    expect: dict = {}
+    for i, v in sample:
+        expect.setdefault(seed(i), []).append(v)
+    assert set(got) == set(expect)
+    for cid, vs in expect.items():
+        assert np.allclose(got[cid], np.mean(vs, axis=0), atol=1e-12)
+    full = {r["cid"]: r["cvec"]
+            for r in ivf_centroids(emb, 4, iters=0).collect()}
+    assert any(not np.allclose(full[c], got[c]) for c in got)
 
 
 def test_ngram_jaccard_short_texts_no_phantom_grams(spark):
@@ -446,7 +489,17 @@ def test_vocabulary_ranking_and_min_df(spark):
 
 
 def test_near_dedup_star_algorithm_same_output(spark):
+    import inspect
+
     from kml2geojson_spark.textops import near_dedup_representatives
+
+    # the DEFAULT must be the diameter-independent star algorithm: a
+    # 100-TB corpus with long transitive near-dup chains (boilerplate
+    # laddering) converges in O(log² n) rounds there, while min-label
+    # propagation needs one round per hop and raises past max_iters
+    # (see test_graph.test_star_components_long_chain_beats_propagation)
+    sig = inspect.signature(near_dedup_representatives)
+    assert sig.parameters["components"].default == "star"
     base = "alpha beta gamma delta epsilon zeta " * 5
     docs = spark.createDataFrame(
         [(i, base + ("x" * (i % 3))) for i in range(1, 8)]
@@ -454,7 +507,7 @@ def test_near_dedup_star_algorithm_same_output(spark):
         "doc_id long, text string")
     a = sorted(map(tuple, near_dedup_representatives(docs).collect()))
     b = sorted(map(tuple, near_dedup_representatives(
-        docs, components="star").collect()))
+        docs, components="label").collect()))
     assert a == b and a
 
 
