@@ -118,15 +118,23 @@ def ensure_scaled_lineitem(spark, sf_dir: str, copies: int) -> str:
     def build():
         li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
         c = F.explode(F.array(*[F.lit(i) for i in range(copies)])).alias("_c")
+        # repartition BEFORE the write: the source is one small file, so
+        # without it the whole x10 corpus lands in ONE parquet file /
+        # one row-group — every downstream scan then degenerates to a
+        # single working task (observed: 11 empty byte-range splits + 1
+        # straggler doing all 6M rows). File layout IS the parallelism
+        # at any scale; 64 files ≈ 0.7 MB each here, and at 100 TB the
+        # same rule is "write as many files as you want scan tasks".
         return (li.select("*", c)
                 .withColumn("l_orderkey",
                             F.col("l_orderkey")
                             + F.col("_c").cast("long") * F.lit(1 << 40))
-                .drop("_c"))
+                .drop("_c")
+                .repartition(64))
 
     _, manifest = log.run_stage(
         spark, f"lineitem_x{copies}", build,
-        params={"sf_dir": sf_dir, "copies": copies})
+        params={"sf_dir": sf_dir, "copies": copies, "layout": "r64"})
     sid = manifest["snapshot_id"]
     return f"{CORPUS_ROOT}/lineitem_x{copies}/{sid}/data"
 
@@ -168,6 +176,54 @@ def run_scaled_relational(spark, sf_dir: str, copies: int,
     timings["x10_salted_join_agg"] = round(time.time() - t0, 3)
     if n == 0:
         print("WARN: x10_salted_join_agg returned 0 rows", file=sys.stderr)
+
+
+def run_near_dedup_scaled(spark, sf_dir: str, copies: int,
+                          timings: dict) -> None:
+    """The flagship LLM-pipeline COMPOSITION (q59) at a 10x corpus:
+    exact-dup collapse → SimHash over representatives only → star
+    connected components → per-doc representative. The replicated
+    corpus is adversarial by construction: even copies repeat each
+    document byte-for-byte (a k-member exact-dup group that MUST
+    collapse before the band join — the k² collision hazard), odd
+    copies append a per-copy suffix (near-dup chains for the SimHash +
+    components stages). Materialized once via the lineage log, like
+    the other x10 inputs."""
+    from pyspark.sql import functions as F
+    from kml2geojson_spark.lineage import LineageLog
+    from kml2geojson_spark.textops import near_dedup_representatives
+
+    log = LineageLog(CORPUS_ROOT)
+
+    def build():
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        c = F.explode(F.array(*[F.lit(i) for i in range(copies)])).alias("_c")
+        return (docs.select("doc_id", "text", c)
+                .withColumn("doc_id",
+                            F.col("doc_id")
+                            + F.col("_c").cast("long") * F.lit(1 << 40))
+                .withColumn("text", F.when(
+                    F.col("_c") % 2 == 1,
+                    F.concat(F.col("text"), F.lit(" tail"),
+                             F.col("_c").cast("string")))
+                    .otherwise(F.col("text")))
+                .drop("_c")
+                .repartition(32))  # file layout = scan parallelism
+
+    _, manifest = log.run_stage(
+        spark, f"documents_x{copies}", build,
+        params={"sf_dir": sf_dir, "copies": copies, "layout": "r32"})
+    path = f"{CORPUS_ROOT}/documents_x{copies}/{manifest['snapshot_id']}/data"
+    docs = spark.read.parquet(path)
+    best, n = None, 0
+    for _ in range(2):
+        t0 = time.time()
+        n = near_dedup_representatives(docs).count()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    timings["x10_near_dedup"] = round(best, 3)
+    if n == 0:
+        print("WARN: x10_near_dedup returned 0 rows", file=sys.stderr)
 
 
 SKEW_ROWS = int(os.environ.get("SPARK_GRAFT_SKEW_ROWS", "8000000"))
@@ -362,6 +418,7 @@ def run_suite(spark, sf_dir: str, n_docs: int) -> dict:
         }
     if SCALE_COPIES:
         run_scaled_relational(spark, sf_dir, SCALE_COPIES, timings)
+        run_near_dedup_scaled(spark, sf_dir, SCALE_COPIES, timings)
     run_pip_cogroup(spark, sf_dir, timings)
     if SKEW_ROWS:
         run_skew_join_bench(spark, timings)

@@ -134,6 +134,85 @@ def test_feature_collection_matches_golden(stem):
 
 
 @requires_reference
+def test_nested_multigeometry_early_return_matches_reference(
+        reference_module):
+    """Reference quirk (main.py:349-354): build_geometry descends into
+    the FIRST MultiGeometry descendant and returns — an inner
+    MultiGeometry therefore wins over the outer one and the outer's
+    sibling geometries are DISCARDED. Byte-parity on that exact shape."""
+    import xml.dom.minidom as md
+
+    kml = (
+        '<kml xmlns="http://www.opengis.net/kml/2.2"><Document>'
+        "<Placemark><name>nest</name>"
+        "<MultiGeometry>"
+        "<Point><coordinates>1,1</coordinates></Point>"
+        "<MultiGeometry>"
+        "<LineString><coordinates>2,2 3,3</coordinates></LineString>"
+        "<Point><coordinates>9,9</coordinates></Point>"
+        "</MultiGeometry>"
+        "<Point><coordinates>4,4</coordinates></Point>"
+        "</MultiGeometry>"
+        "</Placemark></Document></kml>"
+    )
+    expected = reference_module.build_feature_collection(md.parseString(kml))
+    got = build_feature_collection_dict(parse_kml(kml))
+    assert got == expected
+    # the quirk really bit: only the INNER MultiGeometry's 2 geoms
+    # survive, the outer's sibling Points are gone
+    gc = expected["features"][0]["geometry"]
+    assert gc["type"] == "GeometryCollection" and len(gc["geometries"]) == 2
+    assert {g["type"] for g in gc["geometries"]} == {"LineString", "Point"}
+    assert [1.0, 1.0] not in [
+        g.get("coordinates") for g in gc["geometries"]]
+
+
+@requires_reference
+def test_gx_multitrack_per_track_times_matches_reference(reference_module):
+    """Reference quirk (main.py:460-465): a gx:MultiTrack with several
+    gx:Tracks nests times as a LIST OF LISTS (one per track), while a
+    single track flattens to one list (times[0]). Byte-parity on both."""
+    import xml.dom.minidom as md
+
+    two = (
+        '<kml xmlns="http://www.opengis.net/kml/2.2" '
+        'xmlns:gx="http://www.google.com/kml/ext/2.2">'
+        "<Placemark><name>trk</name>"
+        "<gx:MultiTrack>"
+        "<gx:Track>"
+        "<when>2010-05-28T02:02:09Z</when><when>2010-05-28T02:02:35Z</when>"
+        "<gx:coord>-122.2 37.4 156.0</gx:coord>"
+        "<gx:coord>-122.3 37.5 152.0</gx:coord>"
+        "</gx:Track>"
+        "<gx:Track>"
+        "<when>2010-05-28T02:02:44Z</when>"
+        "<gx:coord>-122.4 37.6 147.0</gx:coord>"
+        "</gx:Track>"
+        "</gx:MultiTrack>"
+        "</Placemark></kml>"
+    )
+    expected = reference_module.build_feature_collection(md.parseString(two))
+    got = build_feature_collection_dict(parse_kml(two))
+    assert got == expected
+    props = expected["features"][0]["properties"]
+    assert props["times"] == [
+        ["2010-05-28T02:02:09Z", "2010-05-28T02:02:35Z"],
+        ["2010-05-28T02:02:44Z"],
+    ]
+    one = two.replace(
+        "<gx:Track>"
+        "<when>2010-05-28T02:02:44Z</when>"
+        "<gx:coord>-122.4 37.6 147.0</gx:coord>"
+        "</gx:Track>", "", 1)
+    expected1 = reference_module.build_feature_collection(md.parseString(one))
+    got1 = build_feature_collection_dict(parse_kml(one))
+    assert got1 == expected1
+    # single track: times FLATTENS to one list (not a list of lists)
+    assert expected1["features"][0]["properties"]["times"] == [
+        "2010-05-28T02:02:09Z", "2010-05-28T02:02:35Z"]
+
+
+@requires_reference
 def test_style_catalogs_match_reference(reference_module):
     import xml.dom.minidom as md
 
