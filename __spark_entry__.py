@@ -3155,6 +3155,171 @@ SELECT user_id, event_type AS mode, n FROM r WHERE rn = 1
 """
 
 
+def _q118_passage_dedup(spark, sf):
+    """Passage-level exact dedup (C4/RefinedWeb-style, one level below
+    document dedup): fixed 2-token passages on the synthetic corpus so
+    cross-document repeats actually occur; pure-Column chunk → md5 →
+    one hash-aggregate. Registered round 5 post-pin: in-repo oracle
+    sweep only (BENCH/ORACLE_SWEEP), no driver CORRECTNESS row."""
+    from kml2geojson_spark.textops import passage_dedup
+    return passage_dedup(_t(spark, sf, "documents"), window=2)
+
+
+_O118 = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t
+  FROM documents WHERE text IS NOT NULL),
+ix AS (
+  SELECT doc_id, t,
+         unnest(generate_series(0, (len(t) + 1) // 2 - 1)) AS i
+  FROM toks),
+h AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(t, i * 2 + 1, i * 2 + 2), ' '))
+             AS passage_hash
+  FROM ix)
+SELECT passage_hash, COUNT(*) AS n_dups,
+       COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS keeper_doc
+FROM h GROUP BY passage_hash HAVING COUNT(*) > 1
+"""
+
+
+def _q119_lang_profile(spark, sf):
+    """Per-language character-trigram frequency profile (top 8 per
+    language, ties gram-asc) — the training table for the n-gram
+    language guesser (q23). One (lang, gram) hash-aggregate; the
+    ranking window runs on the aggregated frame. Round-5 post-pin
+    registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.textops import lang_ngram_profile
+    return lang_ngram_profile(_t(spark, sf, "documents"), n=3, k=8)
+
+
+_O119 = """
+WITH d AS (
+  SELECT lang, text FROM documents
+  WHERE lang IS NOT NULL AND text IS NOT NULL),
+g AS (
+  SELECT lang, substr(text, CAST(i AS INTEGER), 3) AS gram
+  FROM d, unnest(generate_series(1, length(text) - 2)) AS u(i)),
+c AS (
+  SELECT lang, gram, COUNT(*) AS n_occurrences
+  FROM g GROUP BY lang, gram),
+r AS (
+  SELECT lang, gram, n_occurrences,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY n_occurrences DESC, gram ASC) AS rank
+  FROM c)
+SELECT lang, gram, n_occurrences, rank FROM r WHERE rank <= 8
+"""
+
+
+def _q120_inter_event(spark, sf):
+    """Per-user inter-arrival gap statistics in exact epoch-second
+    integers — the measurement behind sessionization-gap choice (q106)
+    and burstiness features. Single Exchange on the user key (lag
+    window + aggregate share the partitioning). Round-5 post-pin
+    registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.eventops import inter_event_stats
+    return inter_event_stats(_t(spark, sf, "events"))
+
+
+_O120 = """
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+g AS (
+  SELECT user_id,
+         s - LAG(s) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS gap
+  FROM e)
+SELECT user_id, COUNT(*) AS n_events, COUNT(gap) AS n_gaps,
+       MIN(gap) AS min_gap_s, MAX(gap) AS max_gap_s,
+       CAST(COALESCE(SUM(gap), 0) AS BIGINT) AS span_s
+FROM g GROUP BY user_id
+"""
+
+
+def _q121_rfm(spark, sf):
+    """RFM customer scoring over orders: exact-integer recency days /
+    order count / cents, each NTILE(5)-bucketed over a total order
+    (metric, custkey) so both engines assign identical tiles. One
+    per-customer hash-aggregate + a broadcast single-row anchor.
+    Round-5 post-pin registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.eventops import customer_rfm
+    return customer_rfm(_t(spark, sf, "orders"))
+
+
+_O121 = """
+WITH pc AS (
+  SELECT o_custkey AS custkey, MAX(CAST(o_orderdate AS DATE)) AS last_d,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+             AS monetary_cents
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+  GROUP BY o_custkey),
+a AS (SELECT MAX(last_d) AS anchor FROM pc),
+d AS (
+  SELECT custkey,
+         CAST(date_diff('day', last_d, anchor) AS BIGINT) AS recency_days,
+         frequency, monetary_cents
+  FROM pc, a)
+SELECT custkey, recency_days, frequency, monetary_cents,
+       NTILE(5) OVER (ORDER BY recency_days ASC, custkey ASC) AS r_score,
+       NTILE(5) OVER (ORDER BY frequency DESC, custkey ASC) AS f_score,
+       NTILE(5) OVER (ORDER BY monetary_cents DESC, custkey ASC) AS m_score
+FROM d
+"""
+
+
+def _q122_key_skew(spark, sf):
+    """Join-key skew report on lineitem's supplier key — the top-15
+    heavy hitters with exact ppm share and multiple-of-average: the
+    measurement run before choosing q15's salting factor. Hash-agg +
+    TakeOrderedAndProject, no global sort. Round-5 post-pin
+    registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.relational import key_skew_stats
+    return key_skew_stats(_t(spark, sf, "lineitem"), "l_suppkey", k=15)
+
+
+_O122 = """
+WITH c AS (
+  SELECT l_suppkey AS key, COUNT(*) AS cnt
+  FROM lineitem WHERE l_suppkey IS NOT NULL GROUP BY l_suppkey),
+t AS (SELECT SUM(cnt) AS total, COUNT(*) AS n_keys FROM c)
+SELECT key, cnt,
+       CAST(cnt * 1000000 // total AS BIGINT) AS share_ppm,
+       CAST(cnt * n_keys * 1000000 // total AS BIGINT) AS avg_multiple_ppm
+FROM c, t ORDER BY cnt DESC, key ASC LIMIT 15
+"""
+
+
+def _q123_union_cover(spark, sf):
+    """Raster union statistics over the nation diamonds at res 6:
+    distinct covered cells, total (polygon, cell) incidences, and the
+    per-cell max-fraction union area in exact nano-cells — the
+    overlap-removed footprint an O(n²) polygon union would cost at
+    scale. Composes the oracle-matched q54 cover with one cell-keyed
+    hash-aggregate. Round-5 post-pin registration: in-repo oracle
+    sweep only."""
+    from kml2geojson_spark.spatial.ops import union_cover_stats
+    return union_cover_stats(_nation_diamonds(spark, sf), 6)
+
+
+def _o123() -> str:
+    return f"""
+WITH per_cell AS (
+  SELECT cell_id, MAX(fraction) AS mf, COUNT(*) AS n
+  FROM ({_o54()}) GROUP BY cell_id)
+SELECT COUNT(*) AS n_cells,
+       CAST(SUM(n) AS BIGINT) AS n_cover_rows,
+       CAST(SUM(CAST(ROUND(mf * 1e9) AS BIGINT)) AS BIGINT)
+           AS union_cells_nano
+FROM per_cell
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -3265,6 +3430,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q115_weighted_median": _q115_weighted_median,
         "q116_polygon_centroid": _q116_polygon_centroid,
         "q117_group_mode": _q117_group_mode,
+        "q118_passage_dedup": _q118_passage_dedup,
+        "q119_lang_profile": _q119_lang_profile,
+        "q120_inter_event": _q120_inter_event,
+        "q121_rfm": _q121_rfm,
+        "q122_key_skew": _q122_key_skew,
+        "q123_union_cover": _q123_union_cover,
     }
 
 
@@ -3374,6 +3545,12 @@ def oracle_sql() -> dict[str, str]:
         "q115_weighted_median": _O115,
         "q116_polygon_centroid": _O116,
         "q117_group_mode": _O117,
+        "q118_passage_dedup": _O118,
+        "q119_lang_profile": _O119,
+        "q120_inter_event": _O120,
+        "q121_rfm": _O121,
+        "q122_key_skew": _O122,
+        "q123_union_cover": _o123(),
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

@@ -340,3 +340,101 @@ def event_transition_counts(events: DataFrame, *, user_col: str = "user_id",
             .select(F.col("_p").alias("prev_type"),
                     F.col("_c").alias("next_type"), "n_trans",
                     F.expr("(n_trans * 1000000) div _tot").alias("ppm")))
+
+
+def inter_event_stats(events: DataFrame, *, user_col: str = "user_id",
+                      ts_col: str = "ts",
+                      order_col: str = "event_id") -> DataFrame:
+    """Per-user inter-arrival statistics — the raw features behind
+    burstiness / engagement-cadence models and the input for choosing
+    a sessionization gap (:func:`sessionize_batch`): for each user,
+    the count of events and the min / max / total of the gaps between
+    consecutive events, in exact integer seconds. (The reference, a
+    KML converter, has no event surface; §2.4-style extension.)
+
+    Ordering is (ts, order_col) so equal timestamps break
+    deterministically on both engines; NULL timestamps and NULL users
+    are dropped (the package's NULL-key discipline). All outputs are
+    BIGINT (epoch-second arithmetic), so the DuckDB oracle hashes
+    bit-exact.
+
+    Scale shape: ONE shuffle on the user key — the lag window and the
+    per-user aggregate share the same partitioning, so the plan
+    carries a single Exchange, no global sort, no Python. Window state
+    is one row of lookback per user.
+
+    Output: (user_id, n_events, n_gaps, min_gap_s, max_gap_s,
+    span_s = sum of gaps = last - first).
+    """
+    w = Window.partitionBy("_u").orderBy(F.col("_t").asc(),
+                                         F.col("_o").asc())
+    sec = F.unix_timestamp(F.col("_t")).cast("long")
+    gap = (sec - F.lag(sec).over(w)).alias("_gap")
+    d = (events.select(F.col(user_col).alias("_u"),
+                       F.col(ts_col).alias("_t"),
+                       F.col(order_col).alias("_o"))
+         .where(F.col("_t").isNotNull() & F.col("_u").isNotNull())
+         .select("_u", gap))
+    return (d.groupBy("_u")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.count("_gap").alias("n_gaps"),
+                 F.min("_gap").alias("min_gap_s"),
+                 F.max("_gap").alias("max_gap_s"),
+                 F.coalesce(F.sum("_gap"), F.lit(0)).cast("long")
+                 .alias("span_s"))
+            .withColumnRenamed("_u", "user_id"))
+
+
+def customer_rfm(orders: DataFrame, *, cust_col: str = "o_custkey",
+                 ts_col: str = "o_orderdate",
+                 amount_col: str = "o_totalprice",
+                 n_tiles: int = 5) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer scoring — the
+    classic behavioural segmentation table: days since each customer's
+    last order (relative to the corpus-wide latest order date, so the
+    score is reproducible from the data alone), order count, and total
+    spend in exact integer cents, each bucketed into ``n_tiles``
+    quantile scores. (§2.4-style extension; the reference has no
+    relational surface.)
+
+    Determinism: every metric is an exact integer, and each NTILE
+    orders by (metric, customer key), a total order — so Spark and
+    DuckDB assign identical tiles (both use the standard
+    remainder-to-leading-buckets NTILE). Recency scores ascending
+    (most recent = tile 1), frequency and monetary score descending
+    (biggest = tile 1).
+
+    Scale shape: one hash-aggregate per customer (map-side combined),
+    a broadcast of the single-row global max date, and three NTILE
+    windows over the aggregated per-customer frame (one row per
+    customer, not per order). Global windows sort the per-customer
+    frame — at planetary customer counts swap NTILE for a two-pass
+    quantile-boundary join; the aggregate shape is already right.
+
+    Output: (custkey, recency_days, frequency, monetary_cents,
+    r_score, f_score, m_score).
+    """
+    if n_tiles <= 0:
+        raise ValueError("n_tiles must be positive")
+    per_cust = (orders
+                .where(F.col(cust_col).isNotNull()
+                       & F.col(ts_col).isNotNull())
+                .groupBy(F.col(cust_col).alias("custkey"))
+                .agg(F.max(F.to_date(ts_col)).alias("_last"),
+                     F.count(F.lit(1)).alias("frequency"),
+                     F.sum(F.round(F.col(amount_col) * 100.0)
+                           .cast("long")).alias("monetary_cents")))
+    anchor = per_cust.agg(F.max("_last").alias("_anchor"))
+    d = (per_cust.crossJoin(F.broadcast(anchor))
+         .withColumn("recency_days",
+                     F.datediff(F.col("_anchor"), F.col("_last"))
+                     .cast("long")))
+    wr = Window.orderBy(F.col("recency_days").asc(), F.col("custkey").asc())
+    wf = Window.orderBy(F.col("frequency").desc(), F.col("custkey").asc())
+    wm = Window.orderBy(F.col("monetary_cents").desc(),
+                        F.col("custkey").asc())
+    return (d.select("custkey", "recency_days", "frequency",
+                     "monetary_cents")
+            .withColumn("r_score", F.ntile(n_tiles).over(wr))
+            .withColumn("f_score", F.ntile(n_tiles).over(wf))
+            .withColumn("m_score", F.ntile(n_tiles).over(wm)))

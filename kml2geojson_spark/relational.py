@@ -198,3 +198,41 @@ def group_mode(df: DataFrame, *, group_col: str,
             .where(F.col("_rn") == 1)
             .select(F.col("_g").alias(group_col),
                     F.col("_v").alias("mode"), "n"))
+
+
+def key_skew_stats(df: DataFrame, key_col: str, *,
+                   k: int = 10) -> DataFrame:
+    """Join-key skew report: the top-``k`` heaviest keys of a column
+    with exact row counts, each key's corpus share and its multiple of
+    the average key load (both in exact ppm) — the measurement you run
+    BEFORE choosing a salting factor for :func:`~kml2geojson_spark.
+    spatial.salted.salted_join` or trusting AQE's skew-join split.
+    (§2.4-style extension; measured skew, not asserted, is this
+    package's discipline — cf. the salted/unsalted bench pair.)
+
+    All derived measures are exact BIGINT floor divisions replayed
+    identically in the DuckDB oracle — no float ratios to hash-drift.
+
+    Scale shape: ONE hash-aggregate on the key (map-side combined, so
+    the skew being measured never concentrates the measurement
+    itself — the hot key's billion rows combine to one partial per
+    input partition), a single-row global aggregate broadcast back,
+    and a ``TakeOrderedAndProject`` top-k (count desc, key asc) — no
+    global sort, no windows, no Python.
+
+    Output: (key, cnt, share_ppm = cnt·1e6 div total,
+    avg_multiple_ppm = cnt·n_keys·1e6 div total), top-k keys.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    counts = (df.where(F.col(key_col).isNotNull())
+              .groupBy(F.col(key_col).alias("key"))
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    totals = counts.agg(F.sum("cnt").alias("_total"),
+                        F.count(F.lit(1)).alias("_n_keys"))
+    top = counts.orderBy(F.col("cnt").desc(), F.col("key").asc()).limit(k)
+    return (top.crossJoin(F.broadcast(totals))
+            .select("key", "cnt",
+                    F.expr("cnt * 1000000 div _total").alias("share_ppm"),
+                    F.expr("cnt * _n_keys * 1000000 div _total")
+                    .alias("avg_multiple_ppm")))

@@ -1991,3 +1991,38 @@ def polygon_centroid(polys: DataFrame, *, rings_col: str = "rings",
         F.when(ok, cy6 / (area2 * 3.0)).alias("cy"),
         F.when(F.size(ring) >= 2, area2).otherwise(F.lit(0.0))
         .alias("area2"))
+
+
+def union_cover_stats(polygons: DataFrame, res: int, *,
+                      id_col: str = "poly_id",
+                      rings_col: str = "rings") -> DataFrame:
+    """Raster union statistics over a polygon set: how much of the
+    grid the polygons cover TOGETHER, overlap removed — the
+    footprint/served-area measure you cannot get by summing per-polygon
+    areas when coverage zones overlap. Composes :func:`polygon_cover`
+    (flat, oracle-matched) with a per-cell max-fraction collapse: the
+    union's coverage of a cell is at least the largest single-polygon
+    fraction and at most 1, so summing per-cell max fractions is the
+    standard raster lower-bound union area (exact when overlaps nest
+    within cells; the distinct cell count bounds it above).
+
+    Scale shape: the cover rows collapse through ONE cell-keyed
+    hash-aggregate (map-side combined), then a single-row global
+    aggregate — work scales with covered-cell count, never polygon
+    pairs (an O(n²) polygon-intersection union is exactly what this
+    avoids at scale). Fractions integerize to nano-cells BEFORE the
+    global sum so the DuckDB oracle hashes bit-exact.
+
+    Output: one row — (n_cells distinct covered cells, n_cover_rows
+    total (polygon, cell) incidences, union_cells_nano = sum over
+    cells of max fraction ·1e9 as BIGINT).
+    """
+    cov = polygon_cover(polygons, res, id_col=id_col, rings_col=rings_col)
+    per_cell = (cov.groupBy("cell_id")
+                .agg(F.max("fraction").alias("_maxf"),
+                     F.count(F.lit(1)).alias("_n")))
+    return per_cell.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("_n").cast("long").alias("n_cover_rows"),
+        F.sum(F.round(F.col("_maxf") * 1e9).cast("long"))
+        .alias("union_cells_nano"))

@@ -1142,3 +1142,94 @@ def edit_distance_pairs(df: DataFrame, *, col: str = "name") -> DataFrame:
             .where(F.col("name_a") < F.col("name_b"))
             .select("name_a", "name_b").distinct()
             .where(F.levenshtein("name_a", "name_b") <= 1))
+
+
+def passage_dedup(documents: DataFrame, *, window: int = 20,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Passage-level exact dedup (the C4/RefinedWeb recipe one level
+    below document dedup): split each document into fixed
+    ``window``-token passages and find passages that recur across the
+    corpus — boilerplate headers, licence blocks, navigation chrome —
+    which document-level dedup can never see because the surrounding
+    text differs. (The reference, a KML converter
+    /root/reference/kml2geojson/main.py, has no text surface; §2.4
+    training-data-pipeline extension.) Fixed token windows stand in
+    for paragraph splits on newline-free corpora; pass the corpus
+    through a paragraph splitter first if real paragraph bounds exist.
+
+    Tokenization is the package-wide single-space split (see
+    :func:`token_count_col` — consecutive spaces yield empty tokens in
+    BOTH engines, so the oracle replays bit-exact); passage ``i`` is
+    tokens ``[i*window, (i+1)*window)`` joined by a single space, and
+    the chunk count is the exact integer ``(n_tokens + window - 1) div
+    window`` (no float ceil on either engine).
+
+    Scale shape: pure Column end to end — ``split`` →
+    ``transform(sequence(...))`` chunking → ``posexplode`` → md5 →
+    ONE hash-aggregate with map-side combine. A document of T tokens
+    emits ceil(T/window) rows; the only shuffle is the groupBy on the
+    passage hash. No windows, no joins, no Python.
+
+    Output: one row per passage content seen more than once —
+    (passage_hash, n_dups, n_docs, keeper_doc = min doc id).
+    """
+    if window <= 0:
+        raise ValueError("window must be positive")
+    toks = f"split({text_col}, ' ')"
+    chunks = F.expr(
+        f"transform(sequence(0, (size({toks}) + {window - 1}) div {window} - 1), "
+        f"i -> array_join(slice({toks}, i * {window} + 1, {window}), ' '))")
+    return (documents
+            .where(F.col(text_col).isNotNull())
+            .select(F.col(id_col).alias("doc_id"), chunks.alias("_chunks"))
+            .select("doc_id", F.posexplode("_chunks").alias("passage_idx",
+                                                            "_chunk"))
+            .select("doc_id", F.md5("_chunk").alias("passage_hash"))
+            .groupBy("passage_hash")
+            .agg(F.count(F.lit(1)).alias("n_dups"),
+                 F.countDistinct("doc_id").alias("n_docs"),
+                 F.min("doc_id").alias("keeper_doc"))
+            .where(F.col("n_dups") > 1))
+
+
+def lang_ngram_profile(documents: DataFrame, *, n: int = 3, k: int = 10,
+                       lang_col: str = "lang",
+                       text_col: str = "text") -> DataFrame:
+    """Per-language character n-gram frequency profile — the training
+    side of the engine's n-gram language guesser (:func:`lang_guess`):
+    the top-``k`` character ``n``-grams per language by corpus
+    frequency, the classic langid.py / fastText-style feature table.
+    (§2.4 training-data-pipeline extension; the reference has no text
+    surface.)
+
+    Grams come from the package's single n-gram definition
+    (:func:`_char_ngram_arr`, NON-distinct — profiles are frequency
+    weighted), so the short-text guard and SQL ``generate_series``
+    parity live in one place. Ties rank deterministically
+    (count desc, gram asc) so every engine returns the same rows.
+
+    Scale shape: a text of length L emits L-n+1 gram rows, collapsed
+    by ONE (lang, gram) hash-aggregate with map-side combine; the
+    ranking window then runs on the aggregated frame, bounded by the
+    distinct-gram count per language (≤ alphabet^n), never the corpus
+    size. No joins, no global sort, no Python.
+
+    Output: (lang, gram, n_occurrences, rank 1..k).
+    """
+    if n <= 0 or k <= 0:
+        raise ValueError("n and k must be positive")
+    from pyspark.sql import Window
+    counts = (documents
+              .where(F.col(lang_col).isNotNull()
+                     & F.col(text_col).isNotNull())
+              .select(F.col(lang_col).alias("lang"),
+                      F.explode(_char_ngram_arr(text_col, n,
+                                                distinct=False))
+                      .alias("gram"))
+              .groupBy("lang", "gram")
+              .agg(F.count(F.lit(1)).alias("n_occurrences")))
+    w = Window.partitionBy("lang").orderBy(F.col("n_occurrences").desc(),
+                                           F.col("gram").asc())
+    return (counts.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))

@@ -1,0 +1,217 @@
+"""Round-5 late-addition operators (registered q118–q123 AFTER the
+driver pinned the round's query list, so driver CORRECTNESS rows never
+appear for them — the in-repo oracle sweep in BENCH/ is their
+cross-engine evidence, regenerated in-round; these tests pin the edge
+semantics and the plan shapes)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kml2geojson_spark.textops import passage_dedup, lang_ngram_profile
+from kml2geojson_spark.eventops import inter_event_stats, customer_rfm
+from kml2geojson_spark.relational import key_skew_stats
+from kml2geojson_spark.spatial.ops import union_cover_stats
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------- passage
+
+
+def test_passage_dedup_finds_cross_doc_repeats(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d"),        # chunks (w=2): "a b", "c d"
+         (2, "a b x"),          # chunks: "a b", "x"   → "a b" repeats
+         (3, "zz"),             # single chunk, unique
+         (4, None)],            # NULL text dropped
+        "doc_id long, text string")
+    got = {r["passage_hash"]: r
+           for r in passage_dedup(docs, window=2).collect()}
+    assert len(got) == 1
+    (row,) = got.values()
+    assert row["n_dups"] == 2
+    assert row["n_docs"] == 2
+    assert row["keeper_doc"] == 1
+
+
+def test_passage_dedup_counts_within_doc_repeats(spark):
+    docs = spark.createDataFrame(
+        [(7, "a b a b a b")], "doc_id long, text string")
+    rows = passage_dedup(docs, window=2).collect()
+    assert len(rows) == 1 and rows[0]["n_dups"] == 3 \
+        and rows[0]["n_docs"] == 1
+
+
+def test_passage_dedup_partial_tail_chunk(spark):
+    # 5 tokens at window=2 → chunks "a b", "c d", "e" (ceil division)
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "e")], "doc_id long, text string")
+    rows = passage_dedup(docs, window=2).collect()
+    assert len(rows) == 1 and rows[0]["n_dups"] == 2  # the "e" tail
+
+
+def test_passage_dedup_validates_window(spark):
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        passage_dedup(docs, window=0)
+
+
+# ---------------------------------------------------------------- ngrams
+
+
+def test_lang_ngram_profile_counts_and_ties(spark):
+    docs = spark.createDataFrame(
+        [(1, "aaab", "en"),     # grams: aaa, aab
+         (2, "aaa", "en"),      # grams: aaa
+         (3, "xy", "fr"),       # shorter than n → no grams
+         (4, None, "fr"),
+         (5, "abc", None)],     # NULL lang dropped
+        "doc_id long, text string, lang string")
+    got = [(r["lang"], r["gram"], r["n_occurrences"], r["rank"])
+           for r in lang_ngram_profile(docs, n=3, k=5)
+           .orderBy("lang", "rank").collect()]
+    assert got == [("en", "aaa", 2, 1), ("en", "aab", 1, 2)]
+
+
+def test_lang_ngram_profile_rank_is_deterministic_on_count_ties(spark):
+    docs = spark.createDataFrame(
+        [(1, "abcd", "en")],    # grams abc, bcd each once → gram asc
+        "doc_id long, text string, lang string")
+    got = [r["gram"] for r in lang_ngram_profile(docs, n=3, k=2)
+           .orderBy("rank").collect()]
+    assert got == ["abc", "bcd"]
+
+
+# ---------------------------------------------------------------- events
+
+
+def test_inter_event_stats_gaps(spark):
+    rows = [(1, "2024-01-01 00:00:00", 10),
+            (1, "2024-01-01 00:00:30", 11),
+            (1, "2024-01-01 00:02:30", 12),
+            (2, "2024-01-01 09:00:00", 13),    # single event: no gaps
+            (None, "2024-01-01 00:00:00", 14),  # NULL user dropped
+            (3, None, 15)]                      # NULL ts dropped
+    df = spark.createDataFrame(rows, "user_id long, ts string, event_id long") \
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"),
+                "event_id")
+    got = {r["user_id"]: r for r in inter_event_stats(df).collect()}
+    assert set(got) == {1, 2}
+    u1 = got[1]
+    assert (u1["n_events"], u1["n_gaps"], u1["min_gap_s"],
+            u1["max_gap_s"], u1["span_s"]) == (3, 2, 30, 120, 150)
+    u2 = got[2]
+    assert (u2["n_events"], u2["n_gaps"], u2["span_s"]) == (1, 0, 0)
+    assert u2["min_gap_s"] is None and u2["max_gap_s"] is None
+
+
+def test_inter_event_stats_tie_order_by_event_id(spark):
+    # equal timestamps: gap 0 regardless of order, but the lag chain
+    # must be deterministic — assert it runs and yields gap 0
+    rows = [(1, "2024-01-01 00:00:00", 2), (1, "2024-01-01 00:00:00", 1)]
+    df = spark.createDataFrame(rows, "user_id long, ts string, event_id long") \
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"),
+                "event_id")
+    (r,) = inter_event_stats(df).collect()
+    assert (r["n_gaps"], r["min_gap_s"], r["max_gap_s"]) == (1, 0, 0)
+
+
+def test_inter_event_stats_single_exchange_plan(spark):
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(inter_event_stats(events))
+    assert plan.count("Exchange") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+# ------------------------------------------------------------------- rfm
+
+
+def test_customer_rfm_exact_metrics(spark):
+    rows = [(1, "2024-01-10 00:00:00", 10.00),
+            (1, "2024-01-20 00:00:00", 5.50),
+            (2, "2024-01-25 00:00:00", 100.00)]
+    df = spark.createDataFrame(
+        rows, "o_custkey long, o_orderdate string, o_totalprice double") \
+        .select("o_custkey",
+                F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+                "o_totalprice")
+    got = {r["custkey"]: r for r in customer_rfm(df, n_tiles=2).collect()}
+    # anchor = 2024-01-25 (customer 2's last order)
+    assert got[1]["recency_days"] == 5 and got[2]["recency_days"] == 0
+    assert got[1]["frequency"] == 2 and got[2]["frequency"] == 1
+    assert got[1]["monetary_cents"] == 1550
+    assert got[2]["monetary_cents"] == 10000
+    # most recent / biggest spender gets tile 1
+    assert got[2]["r_score"] == 1 and got[1]["r_score"] == 2
+    assert got[2]["m_score"] == 1 and got[1]["m_score"] == 2
+    assert got[1]["f_score"] == 1 and got[2]["f_score"] == 2
+
+
+def test_customer_rfm_validates_tiles(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1.0)],
+        "o_custkey long, o_orderdate string, o_totalprice double") \
+        .select("o_custkey",
+                F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+                "o_totalprice")
+    with pytest.raises(ValueError):
+        customer_rfm(df, n_tiles=0)
+
+
+# ------------------------------------------------------------------ skew
+
+
+def test_key_skew_stats_exact_ppm(spark):
+    # key 7 carries 6 of 10 rows over 3 keys
+    rows = [(7,)] * 6 + [(8,)] * 3 + [(9,)] * 1 + [(None,)]
+    df = spark.createDataFrame(rows, "k long")
+    got = [(r["key"], r["cnt"], r["share_ppm"], r["avg_multiple_ppm"])
+           for r in key_skew_stats(df, "k", k=2).collect()]
+    # share = 6/10, multiple = 6/(10/3)
+    assert got == [(7, 6, 600000, 1800000), (8, 3, 300000, 900000)]
+
+
+def test_key_skew_stats_topk_plan_has_no_global_sort(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    plan = _plan(key_skew_stats(li, "l_suppkey", k=15))
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+# ----------------------------------------------------------------- union
+
+
+def _diamond(spark, poly_id, cx, cy, r):
+    ring = [[cx + r, cy], [cx, cy + r], [cx - r, cy],
+            [cx, cy - r], [cx + r, cy]]
+    return spark.createDataFrame(
+        [(poly_id, [ring])],
+        "poly_id long, rings array<array<array<double>>>")
+
+
+def test_union_cover_stats_single_polygon_is_its_own_union(spark):
+    from kml2geojson_spark.spatial.ops import polygon_cover
+    poly = _diamond(spark, 1, 10.0, 20.0, 5.0)
+    (u,) = union_cover_stats(poly, 6).collect()
+    cov = polygon_cover(poly, 6).collect()
+    assert u["n_cells"] == len(cov)
+    assert u["n_cover_rows"] == len(cov)
+    assert u["union_cells_nano"] == sum(
+        int(round(r["fraction"] * 1e9)) for r in cov)
+
+
+def test_union_cover_stats_duplicate_polygon_does_not_grow_union(spark):
+    one = _diamond(spark, 1, 10.0, 20.0, 5.0)
+    two = one.union(_diamond(spark, 2, 10.0, 20.0, 5.0))
+    (u1,) = union_cover_stats(one, 6).collect()
+    (u2,) = union_cover_stats(two, 6).collect()
+    assert u2["n_cells"] == u1["n_cells"]
+    assert u2["union_cells_nano"] == u1["union_cells_nano"]
+    assert u2["n_cover_rows"] == 2 * u1["n_cover_rows"]
