@@ -1523,7 +1523,8 @@ def _grid_lo(coord, offset: float, extent: float, res: int):
 def grid_cluster(points: DataFrame, res: int, *,
                  x_col: str = "x", y_col: str = "y",
                  min_count: int = 1, diagonal: bool = True,
-                 max_iters: int = 50) -> DataFrame:
+                 max_iters: int = 50,
+                 components: str = "star") -> DataFrame:
     """Density clustering on the cell grid: cells holding at least
     ``min_count`` points are occupied; occupied cells that are
     8-neighbors (4 if ``diagonal=False``; x wraps at the antimeridian,
@@ -1536,9 +1537,15 @@ def grid_cluster(points: DataFrame, res: int, *,
     (map-side combinable); neighbor generation is an 8-way explode
     over OCCUPIED CELLS ONLY (≪ points), the adjacency check is a
     self equi-join on grid coords, and components run on the cell
-    graph via :func:`~kml2geojson_spark.graph.connected_components`
-    (lineage-truncated min-label). At 100 TB the cell graph is
-    millions of rows, not trillions.
+    graph. ``components`` defaults to ``"star"`` (large-star/small-star,
+    O(log² n) rounds independent of cluster diameter) because occupied-
+    cell graphs are the canonical LONG-CHAIN case — a snaking corridor
+    of occupied cells has diameter ~ its length, and min-label
+    propagation (``components="label"``) needs one round per hop (it
+    RAISES past ``max_iters`` rather than return wrong labels; the
+    sf0.1 customer grid at res 7 already exceeds 50 hops). Both
+    variants yield the identical min-cell-id labeling. At 100 TB the
+    cell graph is millions of rows, not trillions.
 
     Output: (cell_id, cluster_id, n_points) per occupied cell.
     """
@@ -1574,8 +1581,12 @@ def grid_cluster(points: DataFrame, res: int, *,
         ["nx", "ny"]).select(F.col("cell_id").alias("doc_a"),
                              F.col("nbr_id").alias("doc_b"))
 
-    from ..graph import connected_components
-    comp = connected_components(edges, max_iters=max_iters)
+    from ..graph import connected_components, connected_components_star
+    if components not in ("label", "star"):
+        raise ValueError(f"unknown components algorithm {components!r}")
+    cc = connected_components if components == "label" \
+        else connected_components_star
+    comp = cc(edges, max_iters=max_iters)
     return (occ.join(comp, occ["cell_id"] == comp["node"], "left")
             .select("cell_id",
                     F.coalesce(F.col("component"), F.col("cell_id"))

@@ -215,3 +215,24 @@ def test_union_cover_stats_duplicate_polygon_does_not_grow_union(spark):
     assert u2["n_cells"] == u1["n_cells"]
     assert u2["union_cells_nano"] == u1["union_cells_nano"]
     assert u2["n_cover_rows"] == 2 * u1["n_cover_rows"]
+
+
+# ------------------------------------------------- grid_cluster chains
+
+
+def test_grid_cluster_long_chain_converges_with_star_default(spark):
+    """A snaking corridor of occupied cells has diameter ~ its length;
+    min-label propagation needs one round per hop (the sf0.1 sweep
+    caught q75 raising at 50 rounds), the star default converges in
+    O(log² n) rounds regardless."""
+    from kml2geojson_spark.spatial.ops import grid_cluster
+    res, n = 9, 120
+    step = 360.0 / (1 << res)
+    pts = [(-170.0 + i * step, 0.0) for i in range(n)]  # 120-cell chain
+    df = spark.createDataFrame(pts, "x double, y double")
+    out = grid_cluster(df, res).collect()
+    assert len(out) == n
+    assert len({r["cluster_id"] for r in out}) == 1  # one component
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError):
+        grid_cluster(df, res, components="label", max_iters=20).collect()
