@@ -3320,6 +3320,116 @@ FROM per_cell
 """
 
 
+def _q124_orphan_audit(spark, sf):
+    """Referential-integrity audit of the three fact→dim/fact
+    relations (orders→customer, lineitem→orders, lineitem→part):
+    rows, NULL keys, distinct keys, orphan keys/rows per relation.
+    Each audit distinct-shrinks the child to (key, count) BEFORE the
+    anti-join, so the probe is |distinct keys| not |rows|
+    (quality.orphan_audit). Round-5 post-pin registration: in-repo
+    oracle sweep only."""
+    from kml2geojson_spark.quality import orphan_audit
+    orders = _t(spark, sf, "orders")
+    lineitem = _t(spark, sf, "lineitem")
+    a1 = orphan_audit(orders, _t(spark, sf, "customer"),
+                      child_key="o_custkey", parent_key="c_custkey",
+                      relation="orders->customer")
+    a2 = orphan_audit(lineitem, orders,
+                      child_key="l_orderkey", parent_key="o_orderkey",
+                      relation="lineitem->orders")
+    a3 = orphan_audit(lineitem, _t(spark, sf, "part"),
+                      child_key="l_partkey", parent_key="p_partkey",
+                      relation="lineitem->part")
+    return a1.unionByName(a2).unionByName(a3)
+
+
+def _o124_one(rel: str, child: str, ck: str, parent: str,
+              pk: str) -> str:
+    return f"""
+SELECT '{rel}' AS relation,
+       (SELECT COUNT(*) FROM {child}) AS n_rows,
+       (SELECT CAST(COALESCE(SUM(CASE WHEN {ck} IS NULL THEN 1
+                                      ELSE 0 END), 0) AS BIGINT)
+        FROM {child}) AS n_null_keys,
+       (SELECT COUNT(*) FROM
+          (SELECT {ck} FROM {child} WHERE {ck} IS NOT NULL
+           GROUP BY {ck})) AS n_distinct_keys,
+       (SELECT COUNT(*) FROM
+          (SELECT k.{ck} FROM
+             (SELECT {ck}, COUNT(*) AS c FROM {child}
+              WHERE {ck} IS NOT NULL GROUP BY {ck}) k
+           LEFT JOIN {parent} p ON k.{ck} = p.{pk}
+           WHERE p.{pk} IS NULL)) AS n_orphan_keys,
+       (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM
+          (SELECT k.c FROM
+             (SELECT {ck}, COUNT(*) AS c FROM {child}
+              WHERE {ck} IS NOT NULL GROUP BY {ck}) k
+           LEFT JOIN {parent} p ON k.{ck} = p.{pk}
+           WHERE p.{pk} IS NULL)) AS n_orphan_rows
+"""
+
+
+def _o124() -> str:
+    return " UNION ALL ".join([
+        _o124_one("orders->customer", "orders", "o_custkey",
+                  "customer", "c_custkey"),
+        _o124_one("lineitem->orders", "lineitem", "l_orderkey",
+                  "orders", "o_orderkey"),
+        _o124_one("lineitem->part", "lineitem", "l_partkey",
+                  "part", "p_partkey")])
+
+
+_Q125_COLS = ["o_orderkey", "o_custkey", "o_orderstatus",
+              "o_orderpriority"]
+
+
+def _q125_column_profile(spark, sf):
+    """Single-pass column profiler over four orders columns: row /
+    NULL / exact-distinct counts plus lexicographic string min/max
+    per column (quality.column_profile: one stack unpivot, one hash
+    aggregate). The registered profile sticks to BIGINT and STRING
+    columns because float→string formatting is not bit-identical
+    across engines (Java pre-Ryū vs DuckDB shortest-round-trip);
+    doubles are profiled engine-side in the pytest instead. Round-5
+    post-pin registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.quality import column_profile
+    return column_profile(_t(spark, sf, "orders"), _Q125_COLS)
+
+
+def _o125() -> str:
+    parts = [f"""
+SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+       CAST(COALESCE(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT CAST({c} AS VARCHAR)) AS BIGINT)
+           AS n_distinct,
+       MIN(CAST({c} AS VARCHAR)) AS min_val,
+       MAX(CAST({c} AS VARCHAR)) AS max_val
+FROM orders
+""" for c in _Q125_COLS]
+    return " UNION ALL ".join(parts)
+
+
+def _q126_dup_cluster_stats(spark, sf):
+    """Duplicate-cluster census over documents: md5-fingerprint each
+    text, histogram the cluster sizes (quality.dup_cluster_stats —
+    two map-side-combinable hash aggregates; the shuffle carries
+    16-byte fingerprints, never documents). Round-5 post-pin
+    registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.quality import dup_cluster_stats
+    return dup_cluster_stats(_t(spark, sf, "documents"))
+
+
+_O126 = """
+WITH s AS (
+  SELECT md5(text) AS fp, COUNT(*) AS cluster_size
+  FROM documents WHERE text IS NOT NULL GROUP BY md5(text))
+SELECT cluster_size, COUNT(*) AS n_clusters,
+       CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+FROM s GROUP BY cluster_size
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -3436,6 +3546,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q121_rfm": _q121_rfm,
         "q122_key_skew": _q122_key_skew,
         "q123_union_cover": _q123_union_cover,
+        "q124_orphan_audit": _q124_orphan_audit,
+        "q125_column_profile": _q125_column_profile,
+        "q126_dup_cluster_stats": _q126_dup_cluster_stats,
     }
 
 
@@ -3551,6 +3664,9 @@ def oracle_sql() -> dict[str, str]:
         "q121_rfm": _O121,
         "q122_key_skew": _O122,
         "q123_union_cover": _o123(),
+        "q124_orphan_audit": _o124(),
+        "q125_column_profile": _o125(),
+        "q126_dup_cluster_stats": _O126,
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

@@ -1,0 +1,135 @@
+"""Data-quality audits for warehouse-scale pipelines: referential-
+integrity orphan checks, single-pass column profiling, and duplicate-
+cluster census.
+
+The reference (a KML converter, /root/reference/kml2geojson/main.py)
+has no data-quality surface; these are §2.4-style extensions — the
+audits every 100-TB training-data pipeline runs BEFORE joining,
+deduplicating, or sampling: do the foreign keys resolve, what do the
+columns actually contain, and how duplicated is the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def orphan_audit(child: DataFrame, parent: DataFrame, *,
+                 child_key: str, parent_key: str,
+                 relation: str | None = None) -> DataFrame:
+    """Referential-integrity audit of one child→parent relation:
+    how many child rows exist, how many carry a NULL key, how many
+    DISTINCT keys appear, and how many of those keys (and the rows
+    behind them) fail to resolve in the parent.
+
+    Scale shape — distinct-shrink BEFORE the join: the child is
+    collapsed to one (key, row_count) pair per distinct key by a
+    map-side-combinable hash aggregate, so the anti-join probes
+    |distinct keys| rows, not |child rows| (lineitem→orders shrinks
+    ~4×; fact→dim relations shrink by the fan-out). The parent side is
+    projected to its key column only before the LEFT ANTI join — with
+    a dimension parent that distinct key set is broadcast by AQE; with
+    a fact parent both sides hash-partition on the key. The three
+    single-row summaries are combined by 1×1 cross joins (no data
+    movement). Never a row-level child×parent join.
+
+    Output: one row (relation STRING, n_rows BIGINT,
+    n_null_keys BIGINT, n_distinct_keys BIGINT, n_orphan_keys BIGINT,
+    n_orphan_rows BIGINT).
+    """
+    rel = relation if relation is not None else f"{child_key}->{parent_key}"
+    ck = F.col(child_key)
+    totals = child.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(ck.isNull().cast("long")).alias("n_null_keys"))
+    keys = (child.where(ck.isNotNull())
+            .groupBy(ck.alias("_k"))
+            .agg(F.count(F.lit(1)).alias("_c")))
+    pkeys = parent.select(F.col(parent_key).alias("_pk")).distinct()
+    orphans = keys.join(pkeys, keys["_k"] == pkeys["_pk"], "left_anti")
+    key_stats = keys.agg(F.count(F.lit(1)).alias("n_distinct_keys"))
+    orphan_stats = orphans.agg(
+        F.count(F.lit(1)).alias("n_orphan_keys"),
+        F.coalesce(F.sum("_c"), F.lit(0)).cast("long")
+        .alias("n_orphan_rows"))
+    return (totals.crossJoin(key_stats).crossJoin(orphan_stats)
+            .select(F.lit(rel).alias("relation"),
+                    F.col("n_rows").cast("long"),
+                    F.coalesce(F.col("n_null_keys"), F.lit(0))
+                    .cast("long").alias("n_null_keys"),
+                    F.col("n_distinct_keys").cast("long"),
+                    F.col("n_orphan_keys").cast("long"),
+                    "n_orphan_rows"))
+
+
+def column_profile(df: DataFrame, cols: list[str], *,
+                   exact: bool = True) -> DataFrame:
+    """Single-pass column profiler: for each requested column report
+    row count, NULL count, distinct count, and lexicographic min/max
+    of the string form — the "what is actually in this table" audit
+    run before schema contracts are trusted.
+
+    All values are CAST to STRING first so one (col_name, val) layout
+    serves every input type; min/max are therefore BINARY-collation
+    string extremes (digits and ASCII text order naturally; document
+    the cast if you profile timestamps). The unpivot is ``stack`` —
+    a narrow per-row explode, NO shuffle — and the single hash
+    aggregate that follows is the only exchange, keyed by col_name
+    (≤ len(cols) groups).
+
+    ``exact=True`` uses ``count(distinct val)``; with a single
+    distinct aggregate Catalyst plans the classic two-level rewrite —
+    a partial aggregate keyed by (col_name, val) that de-duplicates
+    map-side, then a second exchange keyed by col_name — so exact
+    mode costs TWO hash-partitioned exchanges and no Expand blowup;
+    per-partition state is bounded by the distinct-value count.
+    ``exact=False`` swaps in ``approx_count_distinct`` (HLL++, one
+    exchange, constant memory) — the 100-TB default where a ±5%
+    distinct count is acceptable.
+
+    Output: (col_name STRING, n_rows BIGINT, n_null BIGINT,
+    n_distinct BIGINT, min_val STRING, max_val STRING), one row per
+    requested column.
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    pairs = ", ".join(
+        f"'{c}', cast(`{c}` as string)" for c in cols)
+    stacked = df.select(F.expr(
+        f"stack({len(cols)}, {pairs}) as (col_name, val)"))
+    n_distinct = (F.count_distinct(F.col("val")) if exact
+                  else F.approx_count_distinct("val"))
+    return (stacked.groupBy("col_name")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(F.col("val").isNull().cast("long"))
+                 .alias("n_null"),
+                 n_distinct.alias("n_distinct"),
+                 F.min("val").alias("min_val"),
+                 F.max("val").alias("max_val")))
+
+
+def dup_cluster_stats(docs: DataFrame, *,
+                      text_col: str = "text") -> DataFrame:
+    """Duplicate-cluster census: md5-fingerprint every document,
+    group identical texts into clusters, and return the histogram of
+    cluster sizes — the first number a dedup pipeline reports
+    (cluster_size=1 rows are the unique mass; the tail says how
+    pathological the corpus is and predicts the exact-dup collapse
+    ratio before :func:`~kml2geojson_spark.textops.near_dedup_representatives`
+    runs).
+
+    Scale shape: two hash aggregates, both map-side combinable — the
+    first keyed by the 128-bit fingerprint (NOT the text itself: the
+    shuffle carries 16-byte keys, not documents), the second keyed by
+    cluster size (≤ max cluster size groups, essentially free). NULL
+    texts are dropped. No joins, no windows, no Python.
+
+    Output: (cluster_size BIGINT, n_clusters BIGINT, n_docs BIGINT).
+    """
+    sizes = (docs.where(F.col(text_col).isNotNull())
+             .select(F.md5(F.col(text_col)).alias("_fp"))
+             .groupBy("_fp")
+             .agg(F.count(F.lit(1)).alias("cluster_size")))
+    return (sizes.groupBy("cluster_size")
+            .agg(F.count(F.lit(1)).alias("n_clusters"),
+                 F.sum("cluster_size").cast("long").alias("n_docs")))
