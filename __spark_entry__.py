@@ -3430,6 +3430,69 @@ FROM s GROUP BY cluster_size
 """
 
 
+def _q127_join_card(spark, sf):
+    """Pre-flight audit of the lineitem⋈orders equi-join: exact
+    output cardinality, common/distinct key counts, and the max
+    single-key contribution (the skew headline), computed from the
+    two (key, count) aggregates without running the join
+    (quality.join_cardinality_estimate — the probe is |distinct
+    keys|, not |rows|). Round-5 post-pin registration: in-repo
+    oracle sweep only."""
+    from kml2geojson_spark.quality import join_cardinality_estimate
+    return join_cardinality_estimate(
+        _t(spark, sf, "lineitem"), _t(spark, sf, "orders"),
+        left_key="l_orderkey", right_key="o_orderkey")
+
+
+_O127 = """
+WITH lc AS (SELECT l_orderkey AS k, COUNT(*) AS cl FROM lineitem
+            WHERE l_orderkey IS NOT NULL GROUP BY l_orderkey),
+     rc AS (SELECT o_orderkey AS k, COUNT(*) AS cr FROM orders
+            WHERE o_orderkey IS NOT NULL GROUP BY o_orderkey),
+     m AS (SELECT lc.cl * rc.cr AS m FROM lc JOIN rc USING (k))
+SELECT (SELECT COUNT(*) FROM lineitem) AS n_left_rows,
+       (SELECT COUNT(*) FROM orders) AS n_right_rows,
+       (SELECT COUNT(*) FROM lc) AS n_left_keys,
+       (SELECT COUNT(*) FROM rc) AS n_right_keys,
+       (SELECT COUNT(*) FROM m) AS n_common_keys,
+       (SELECT CAST(COALESCE(SUM(m), 0) AS BIGINT) FROM m)
+           AS est_output_rows,
+       (SELECT CAST(COALESCE(MAX(m), 0) AS BIGINT) FROM m)
+           AS max_single_key_rows
+"""
+
+
+def _q128_heavy_hitters(spark, sf):
+    """Per-group heavy hitters: the top-10 supplier keys inside each
+    lineitem return flag with exact count, deterministic (cnt DESC,
+    value ASC) rank, and integer ppm share of the group
+    (quality.grouped_heavy_hitters — windows run on the (group,
+    value) AGGREGATE, never on raw rows). Round-5 post-pin
+    registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.quality import grouped_heavy_hitters
+    return grouped_heavy_hitters(
+        _t(spark, sf, "lineitem"), group_col="l_returnflag",
+        value_col="l_suppkey", k=10)
+
+
+_O128 = """
+WITH c AS (
+  SELECT l_returnflag, l_suppkey AS value, COUNT(*) AS cnt
+  FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_suppkey IS NOT NULL
+  GROUP BY l_returnflag, l_suppkey),
+r AS (
+  SELECT l_returnflag, value, cnt,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY cnt DESC, value ASC) AS rnk,
+         SUM(cnt) OVER (PARTITION BY l_returnflag) AS tot
+  FROM c)
+SELECT l_returnflag, value, cnt, CAST(rnk AS INT) AS rnk,
+       CAST(cnt * 1000000 // tot AS BIGINT) AS share_ppm
+FROM r WHERE rnk <= 10
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -3549,6 +3612,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q124_orphan_audit": _q124_orphan_audit,
         "q125_column_profile": _q125_column_profile,
         "q126_dup_cluster_stats": _q126_dup_cluster_stats,
+        "q127_join_card": _q127_join_card,
+        "q128_heavy_hitters": _q128_heavy_hitters,
     }
 
 
@@ -3667,6 +3732,8 @@ def oracle_sql() -> dict[str, str]:
         "q124_orphan_audit": _o124(),
         "q125_column_profile": _o125(),
         "q126_dup_cluster_stats": _O126,
+        "q127_join_card": _O127,
+        "q128_heavy_hitters": _O128,
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

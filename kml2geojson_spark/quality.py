@@ -108,6 +108,99 @@ def column_profile(df: DataFrame, cols: list[str], *,
                  F.max("val").alias("max_val")))
 
 
+def join_cardinality_estimate(left: DataFrame, right: DataFrame, *,
+                              left_key: str,
+                              right_key: str) -> DataFrame:
+    """Pre-flight join audit: the EXACT output cardinality the
+    equi-join ``left ⋈ right`` would produce, computed without running
+    it — the "will this join explode" check a planner (or an operator
+    reviewing a 100-TB DAG) runs before committing the shuffle. For an
+    equi-join, output rows = Σ over matching keys of
+    count_left(k) · count_right(k), so the whole answer lives in the
+    two (key, count) aggregates.
+
+    Scale shape: each side collapses to one row per distinct key via a
+    map-side-combinable hash aggregate BEFORE anything joins — the
+    join then probes |distinct keys|, not |rows|, and a single-row
+    aggregate over the matched pairs finishes the job. The
+    ``max_single_key_rows`` output is the skew headline: if it rivals
+    ``est_output_rows`` the join needs salting (see q15) or a
+    broadcast, and you learned that for the cost of two shuffles of
+    (key, count) pairs.
+
+    Output: one row (n_left_rows, n_right_rows, n_left_keys,
+    n_right_keys, n_common_keys, est_output_rows,
+    max_single_key_rows — all BIGINT; the max is 0 when no key
+    matches).
+    """
+    lc = (left.where(F.col(left_key).isNotNull())
+          .groupBy(F.col(left_key).alias("_k"))
+          .agg(F.count(F.lit(1)).alias("_cl")))
+    rc = (right.where(F.col(right_key).isNotNull())
+          .groupBy(F.col(right_key).alias("_k"))
+          .agg(F.count(F.lit(1)).alias("_cr")))
+    sides = (left.agg(F.count(F.lit(1)).alias("n_left_rows"))
+             .crossJoin(right.agg(F.count(F.lit(1))
+                                  .alias("n_right_rows")))
+             .crossJoin(lc.agg(F.count(F.lit(1)).alias("n_left_keys")))
+             .crossJoin(rc.agg(F.count(F.lit(1))
+                               .alias("n_right_keys"))))
+    matched = (lc.join(rc, "_k")
+               .select((F.col("_cl") * F.col("_cr")).alias("_m"))
+               .agg(F.count(F.lit(1)).alias("n_common_keys"),
+                    F.coalesce(F.sum("_m"), F.lit(0)).cast("long")
+                    .alias("est_output_rows"),
+                    F.coalesce(F.max("_m"), F.lit(0)).cast("long")
+                    .alias("max_single_key_rows")))
+    return (sides.crossJoin(matched)
+            .select(F.col("n_left_rows").cast("long"),
+                    F.col("n_right_rows").cast("long"),
+                    F.col("n_left_keys").cast("long"),
+                    F.col("n_right_keys").cast("long"),
+                    F.col("n_common_keys").cast("long"),
+                    "est_output_rows", "max_single_key_rows"))
+
+
+def grouped_heavy_hitters(df: DataFrame, *, group_col: str,
+                          value_col: str, k: int = 10) -> DataFrame:
+    """Per-group heavy hitters: the top-``k`` most frequent values
+    inside each group, with their exact count and parts-per-million
+    share of the group — per-language top tokens, per-source top
+    domains, per-segment top priorities; the grouped twin of the
+    global :func:`~kml2geojson_spark.relational.key_skew_stats`.
+
+    Determinism: rank order is (count DESC, value ASC) — a total
+    order, so ties at the k-boundary resolve identically on every
+    engine. The ppm share uses integer floor division
+    (``cnt * 1_000_000 div group_total``), never a float.
+
+    Scale shape: ONE (group, value) hash aggregate with map-side
+    combine collapses the data; the rank and group-total windows then
+    run on the AGGREGATED frame (one row per distinct pair — bounded
+    by the value vocabulary per group, not by input rows) and share
+    one group-keyed exchange. NULL groups and values are dropped.
+
+    Output: (group_col, value, cnt BIGINT, rnk INT, share_ppm BIGINT).
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    from pyspark.sql import Window
+    g = F.col(group_col)
+    v = F.col(value_col)
+    counts = (df.where(g.isNotNull() & v.isNotNull())
+              .groupBy(g.alias(group_col), v.alias("value"))
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    wg = Window.partitionBy(group_col)
+    wr = wg.orderBy(F.col("cnt").desc(), F.col("value").asc())
+    return (counts
+            .withColumn("rnk", F.row_number().over(wr))
+            .withColumn("_tot", F.sum("cnt").over(wg))
+            .where(F.col("rnk") <= k)
+            .select(group_col, "value", "cnt", "rnk",
+                    F.expr("cnt * 1000000 div _tot")
+                    .alias("share_ppm")))
+
+
 def dup_cluster_stats(docs: DataFrame, *,
                       text_col: str = "text") -> DataFrame:
     """Duplicate-cluster census: md5-fingerprint every document,

@@ -10,7 +10,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from kml2geojson_spark.quality import (orphan_audit, column_profile,
-                                       dup_cluster_stats)
+                                       dup_cluster_stats,
+                                       join_cardinality_estimate,
+                                       grouped_heavy_hitters)
 
 
 def _plan(df) -> str:
@@ -152,6 +154,93 @@ def test_dup_cluster_stats_shuffles_fingerprints_not_text(spark):
         else len(plan)].split("Scan")[0]
 
 
+# ------------------------------------------------ join cardinality audit
+
+
+def test_join_cardinality_exact_counts(spark):
+    left = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (3, "d"), (None, "e")],
+        "k long, payload string")
+    right = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (1, "z"), (2, "w"), (9, "v")],
+        "k long, payload string")
+    (row,) = join_cardinality_estimate(
+        left, right, left_key="k", right_key="k").collect()
+    assert row["n_left_rows"] == 5 and row["n_right_rows"] == 5
+    assert row["n_left_keys"] == 3 and row["n_right_keys"] == 3
+    assert row["n_common_keys"] == 2           # keys 1 and 2
+    assert row["est_output_rows"] == 2 * 3 + 1  # k=1: 2·3, k=2: 1·1
+    assert row["max_single_key_rows"] == 6
+    # ground truth: the estimate equals the real join's cardinality
+    real = left.where(F.col("k").isNotNull()).join(
+        right.withColumnRenamed("payload", "p2"), "k").count()
+    assert row["est_output_rows"] == real
+
+
+def test_join_cardinality_disjoint_keys(spark):
+    left = spark.createDataFrame([(1,)], "k long")
+    right = spark.createDataFrame([(2,)], "k long")
+    (row,) = join_cardinality_estimate(
+        left, right, left_key="k", right_key="k").collect()
+    assert row["n_common_keys"] == 0
+    assert row["est_output_rows"] == 0
+    assert row["max_single_key_rows"] == 0
+
+
+def test_join_cardinality_probes_aggregates_not_rows(spark):
+    left = spark.createDataFrame([(i % 3, i) for i in range(60)],
+                                 "k long, v long")
+    right = spark.createDataFrame([(i % 3, i) for i in range(60)],
+                                  "k long, v long")
+    plan = _plan(join_cardinality_estimate(
+        left, right, left_key="k", right_key="k"))
+    # the key-key equi-join consumes two hash aggregates; the raw
+    # tables only ever feed aggregates (no row-level left x right join)
+    assert "HashAggregate" in plan
+
+
+# ------------------------------------------------------ grouped heavy hitters
+
+
+def test_grouped_heavy_hitters_rank_share_and_ties(spark):
+    df = spark.createDataFrame(
+        [("g1", "b"), ("g1", "b"), ("g1", "a"), ("g1", "a"),
+         ("g1", "c"),
+         ("g2", "z"),
+         (None, "q"), ("g3", None)],
+        "grp string, val string")
+    rows = grouped_heavy_hitters(df, group_col="grp", value_col="val",
+                                 k=2).collect()
+    got = {(r["grp"], r["rnk"]): r for r in rows}
+    # g1: a and b tie at cnt=2 → value-asc breaks it; c cut by k=2
+    assert got[("g1", 1)]["value"] == "a"
+    assert got[("g1", 2)]["value"] == "b"
+    assert ("g1", 3) not in got
+    assert got[("g1", 1)]["share_ppm"] == 2 * 1000000 // 5
+    assert got[("g2", 1)]["value"] == "z"
+    assert got[("g2", 1)]["share_ppm"] == 1000000
+    # NULL group / NULL value rows dropped entirely
+    assert all(r["grp"] in ("g1", "g2") for r in rows)
+
+
+def test_grouped_heavy_hitters_windows_on_aggregate(spark):
+    df = spark.createDataFrame([("g", str(i % 4)) for i in range(100)],
+                               "grp string, val string")
+    plan = _plan(grouped_heavy_hitters(df, group_col="grp",
+                                       value_col="val", k=3))
+    # the window input is the (grp, val) aggregate, never raw rows
+    agg_pos = plan.index("HashAggregate")
+    assert "Window" in plan
+    assert plan.index("Window") < agg_pos  # window sits above the agg
+
+
+def test_grouped_heavy_hitters_rejects_bad_k(spark):
+    df = spark.createDataFrame([("g", "v")], "grp string, val string")
+    with pytest.raises(ValueError):
+        grouped_heavy_hitters(df, group_col="grp", value_col="val",
+                              k=0)
+
+
 # ------------------------------------------------- cross-engine (duckdb)
 
 
@@ -168,7 +257,8 @@ def test_q124_q126_match_duckdb_at_sf0001(spark):
     qs = entry.queries()
     oracles = entry.oracle_sql()
     for name in ("q124_orphan_audit", "q125_column_profile",
-                 "q126_dup_cluster_stats"):
+                 "q126_dup_cluster_stats", "q127_join_card",
+                 "q128_heavy_hitters"):
         spdf = qs[name](spark, sf).toPandas()
         dkdf = con.execute(oracles[name]).df()
         assert sorted(spdf.columns) == sorted(dkdf.columns), name
