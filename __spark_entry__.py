@@ -2775,19 +2775,20 @@ WITH iv AS (
   SELECT l_suppkey AS key,
          epoch_us(l_shipdate) // 86400000000 AS s,
          epoch_us(l_shipdate) // 86400000000
-           + CAST(l_quantity % 14 AS INT) + 1 AS e
+           + CAST(l_quantity % 14 AS INT) + 1 AS e,
+         l_orderkey AS u1, l_linenumber AS u2
   FROM lineitem),
 flagged AS (
-  SELECT key, s, e,
+  SELECT key, s, e, u1, u2,
          CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS ni
-  FROM (SELECT key, s, e,
-               MAX(e) OVER (PARTITION BY key ORDER BY s, e
+  FROM (SELECT key, s, e, u1, u2,
+               MAX(e) OVER (PARTITION BY key ORDER BY s, e, u1, u2
                             ROWS BETWEEN UNBOUNDED PRECEDING
                             AND 1 PRECEDING) AS pme
         FROM iv)),
 isl AS (
   SELECT key, s, e,
-         SUM(ni) OVER (PARTITION BY key ORDER BY s, e
+         SUM(ni) OVER (PARTITION BY key ORDER BY s, e, u1, u2
                        ROWS BETWEEN UNBOUNDED PRECEDING
                        AND CURRENT ROW) AS island
   FROM flagged)
@@ -2797,6 +2798,16 @@ SELECT key,
        COUNT(*)::BIGINT AS n_intervals
 FROM isl GROUP BY key, island
 """
+# The (u1, u2) = (l_orderkey, l_linenumber) tiebreaker makes the
+# window ORDER BY a TOTAL order. Without it the flag pass and the
+# running-sum pass are two separate window sorts, and an engine may
+# order duplicate (s, e) rows DIFFERENTLY in each: an ni=0 flag
+# computed behind its twin in pass 1 can land ahead of the twin's
+# ni=1 in pass 2, splicing the island boundary one row early
+# (observed intermittently in DuckDB at sf0.1, key 62's duplicated
+# (10347, 10349) pair; the merged result itself is tie-order
+# invariant, so Spark — which evaluates both functions over ONE
+# sort — was stable and correct all along).
 
 
 def _q105_asof_forward(spark, sf):
@@ -2858,15 +2869,15 @@ def _q106_sessionize_batch(spark, sf):
 
 _O106 = """
 WITH e AS (
-  SELECT user_id AS _u, ts AS _t,
+  SELECT user_id AS _u, ts AS _t, event_id AS _eid,
          CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
                    OR lag(ts) OVER w IS NULL
               THEN 1 ELSE 0 END AS _new
   FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 s AS (
   SELECT _u, _t,
-         SUM(_new) OVER (PARTITION BY _u ORDER BY _t
+         SUM(_new) OVER (PARTITION BY _u ORDER BY _t, _eid
                          ROWS UNBOUNDED PRECEDING) AS _sess
   FROM e)
 SELECT _u AS user_id, CAST(_sess AS BIGINT) AS session_idx,
@@ -2875,6 +2886,13 @@ SELECT _u AS user_id, CAST(_sess AS BIGINT) AS session_idx,
        COUNT(*) AS n_events
 FROM s GROUP BY _u, _sess
 """
+# The event_id tiebreaker totalizes both window ORDER BYs — same
+# two-pass re-sort hazard as _O104: the flag CTE and the running-sum
+# CTE are separate window sorts, and duplicate (user_id, ts) rows
+# carrying (_new=1, _new=0) can swap between passes, splicing a
+# session boundary (semantics are tie-invariant; only the replay's
+# independent sorts can disagree). Spark evaluates both functions
+# over ONE sort, so sessionize_batch itself needs no tiebreak.
 
 
 def _q107_weighted_sample(spark, sf):

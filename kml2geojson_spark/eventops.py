@@ -167,7 +167,14 @@ def merge_intervals(intervals: DataFrame, *, key_col: str = "key",
     running maximum end of all earlier intervals (touching endpoints
     merge — ``[1,3]`` and ``[3,5]`` are one island). ``start > end``
     rows are treated as written (they still carry their endpoints into
-    the running max), matching the SQL oracle exactly.
+    the running max), matching the SQL oracle exactly. The result is
+    invariant to the order of duplicate (start, end) rows, and both
+    window functions here evaluate over the ONE sort of this plan's
+    single Window node; a SQL replay that splits the flag and the
+    running island sum into two windowed subqueries must add a unique
+    tiebreaker to both ORDER BYs (two independent sorts can order
+    duplicates differently and splice an island — see the q104 oracle
+    note in __spark_entry__.py).
 
     Scale shape: ONE shuffle on the key (the window partition), then
     the island aggregation reuses the same partitioning — no second
@@ -207,7 +214,13 @@ def sessionize_batch(events: DataFrame, *, gap_seconds: int = 1800,
 
     Semantics: events order by timestamp within a user (equal
     timestamps always share a session — their gap is 0 — so no
-    tie-break column is needed); an event opens a new session iff
+    tie-break column is needed HERE: both window functions evaluate
+    over the one sort this plan's single Window node produces; a SQL
+    replay that computes the flag and the running sum in two separate
+    windowed subqueries MUST totalize both ORDER BYs with a unique
+    column, or duplicate timestamps can re-sort between the passes
+    and splice a session boundary — see the q104/q106 oracle notes in
+    __spark_entry__.py); an event opens a new session iff
     ``epoch(ts) - epoch(prev ts) > gap_seconds`` (strictly greater:
     a gap of exactly ``gap_seconds`` stays in-session). NULL
     timestamps AND NULL user ids are dropped — the package's NULL-key

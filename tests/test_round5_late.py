@@ -217,6 +217,40 @@ def test_union_cover_stats_duplicate_polygon_does_not_grow_union(spark):
     assert u2["n_cover_rows"] == 2 * u1["n_cover_rows"]
 
 
+# ------------------------------------- two-pass window-oracle totality
+
+
+def test_merge_intervals_duplicate_rows_tie_invariant(spark):
+    """Duplicate (key, start, end) rows at an island boundary must
+    land in ONE island with n_intervals counting both — the case whose
+    two-pass SQL replay flaked in DuckDB until the oracle ORDER BYs
+    were totalized (q104 note in __spark_entry__.py)."""
+    from kml2geojson_spark.eventops import merge_intervals
+    iv = spark.createDataFrame(
+        [(1, 10, 20), (1, 30, 35), (1, 30, 35), (1, 50, 60)],
+        "key long, start long, end long")
+    rows = {(r["island_start"], r["island_end"]): r["n_intervals"]
+            for r in merge_intervals(iv, key_col="key",
+                                     start_col="start",
+                                     end_col="end").collect()}
+    assert rows == {(10, 20): 1, (30, 35): 2, (50, 60): 1}
+
+
+def test_two_pass_window_oracles_are_totally_ordered():
+    """The q104/q106 oracles compute a window flag and a running sum
+    in SEPARATE windowed subqueries; both ORDER BYs must carry the
+    unique tiebreaker or an engine may sort duplicate rows
+    differently in each pass and splice an island/session boundary
+    (observed intermittently in DuckDB at sf0.1 before the fix)."""
+    import __spark_entry__ as entry
+    oracles = entry.oracle_sql()
+    o104 = oracles["q104_merge_intervals"]
+    assert o104.count("ORDER BY s, e, u1, u2") == 2
+    o106 = oracles["q106_sessionize_batch"]
+    assert o106.count("ORDER BY ts, event_id") == 1
+    assert o106.count("ORDER BY _t, _eid") == 1
+
+
 # ------------------------------------------------- grid_cluster chains
 
 

@@ -23,17 +23,21 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+# event_id totalizes both window ORDER BYs: the flag and the running
+# sum are two separate window sorts, and duplicate (user, ts) rows
+# could re-sort between them and splice a session (the q104/q106
+# oracle hazard documented in __spark_entry__.py)
 SESSIONIZE_SQL = """
 WITH e AS (
-  SELECT user_id AS _u, ts AS _t,
+  SELECT user_id AS _u, ts AS _t, event_id AS _eid,
          CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
                    OR lag(ts) OVER w IS NULL
               THEN 1 ELSE 0 END AS _new
   FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 s AS (
   SELECT _u, _t,
-         SUM(_new) OVER (PARTITION BY _u ORDER BY _t
+         SUM(_new) OVER (PARTITION BY _u ORDER BY _t, _eid
                          ROWS UNBOUNDED PRECEDING) AS _sess
   FROM e)
 SELECT _u AS user_id, _sess AS session_idx,
