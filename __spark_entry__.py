@@ -3511,6 +3511,73 @@ FROM r WHERE rnk <= 10
 """
 
 
+def _supplier_segments(spark, sf):
+    """Deterministic short road-like segments, 8 per supplier: hashed
+    center in the customer-point extent plus a ±2-degree delta (so
+    supercover fan-out stays ~1-2 cells per segment). SQL twin inside
+    _O129 — every endpoint expression is replayed operation-for-
+    operation so doubles match bit-exact."""
+    s = _t(spark, sf, "supplier")
+    e = s.select(F.col("s_suppkey").cast("long").alias("k"),
+                 F.explode(F.sequence(F.lit(0), F.lit(7))).alias("j"))
+    x0 = ((F.col("k") * 2551 + F.col("j") * 1733 + 97) % 36000) / 100.0 - 180.0
+    y0 = ((F.col("k") * 1423 + F.col("j") * 911 + 55) % 17000) / 100.0 - 85.0
+    dx = ((F.col("k") * 31 + F.col("j") * 17 + 3) % 400) / 100.0 - 2.0
+    dy = ((F.col("k") * 53 + F.col("j") * 29 + 7) % 400) / 100.0 - 2.0
+    return e.select((F.col("k") * 8 + F.col("j")).alias("seg_id"),
+                    x0.alias("x0"), y0.alias("y0"),
+                    (x0 + dx).alias("x1"), (y0 + dy).alias("y1"))
+
+
+def _q129_nearest_segment(spark, sf):
+    """Map-matching: snap every customer point to its nearest supplier
+    segment (clamped-projection distance, min(struct) arg-min — ONE
+    agg shuffle, candidates bucketed by supercover cell × point
+    k-ring, never all-pairs). res 4 / radius 2 gives a 22.5-degree
+    completeness guarantee; the measured max nearest distance is
+    18.07 (sf0.01), so the ring-bounded result equals the oracle's
+    brute-force nearest. Round-5 post-pin registration: in-repo
+    oracle sweep only."""
+    from kml2geojson_spark.spatial import nearest_segment_join
+    return nearest_segment_join(_customer_points(spark, sf),
+                                _supplier_segments(spark, sf),
+                                res=4, radius=2)
+
+
+_SEG_SQL = (
+    "SELECT s_suppkey * 8 + j AS seg_id, "
+    "((s_suppkey * 2551 + j * 1733 + 97) % 36000) / 100.0 - 180.0 AS x0, "
+    "((s_suppkey * 1423 + j * 911 + 55) % 17000) / 100.0 - 85.0 AS y0, "
+    "(((s_suppkey * 2551 + j * 1733 + 97) % 36000) / 100.0 - 180.0) "
+    "+ (((s_suppkey * 31 + j * 17 + 3) % 400) / 100.0 - 2.0) AS x1, "
+    "(((s_suppkey * 1423 + j * 911 + 55) % 17000) / 100.0 - 85.0) "
+    "+ (((s_suppkey * 53 + j * 29 + 7) % 400) / 100.0 - 2.0) AS y1 "
+    "FROM supplier, LATERAL (SELECT unnest(generate_series(0, 7)) AS j)"
+)
+
+_O129 = f"""
+WITH pts AS ({_PTS_SQL}),
+segs AS ({_SEG_SQL}),
+d AS (
+  SELECT p.point_id, s.seg_id, p.x, p.y, s.x0, s.y0, s.x1, s.y1,
+         CASE WHEN (s.x1 - s.x0) * (s.x1 - s.x0)
+                   + (s.y1 - s.y0) * (s.y1 - s.y0) = 0.0 THEN 0.0
+              ELSE LEAST(1.0, GREATEST(0.0,
+                ((p.x - s.x0) * (s.x1 - s.x0) + (p.y - s.y0) * (s.y1 - s.y0))
+                / ((s.x1 - s.x0) * (s.x1 - s.x0)
+                   + (s.y1 - s.y0) * (s.y1 - s.y0)))) END AS t
+  FROM pts p CROSS JOIN segs s),
+dd AS (
+  SELECT point_id, seg_id, t,
+         (x - (x0 + t * (x1 - x0))) * (x - (x0 + t * (x1 - x0)))
+       + (y - (y0 + t * (y1 - y0))) * (y - (y0 + t * (y1 - y0))) AS dist2
+  FROM d)
+SELECT point_id, seg_id, dist2, t FROM dd
+QUALIFY ROW_NUMBER() OVER (PARTITION BY point_id
+                           ORDER BY dist2 ASC, seg_id ASC) = 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -3632,6 +3699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q126_dup_cluster_stats": _q126_dup_cluster_stats,
         "q127_join_card": _q127_join_card,
         "q128_heavy_hitters": _q128_heavy_hitters,
+        "q129_nearest_segment": _q129_nearest_segment,
     }
 
 
@@ -3752,6 +3820,7 @@ def oracle_sql() -> dict[str, str]:
         "q126_dup_cluster_stats": _O126,
         "q127_join_card": _O127,
         "q128_heavy_hitters": _O128,
+        "q129_nearest_segment": _O129,
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

@@ -2037,3 +2037,86 @@ def union_cover_stats(polygons: DataFrame, res: int, *,
         F.sum("_n").cast("long").alias("n_cover_rows"),
         F.sum(F.round(F.col("_maxf") * 1e9).cast("long"))
         .alias("union_cells_nano"))
+
+
+# ---------------------------------------------------------------------------
+# Nearest-segment join (map-matching / snap-to-road primitive)
+# ---------------------------------------------------------------------------
+
+def nearest_segment_join(points: DataFrame, segments: DataFrame,
+                         res: int, radius: int = 2, *,
+                         point_id: str = "point_id", x: str = "x",
+                         y: str = "y", seg_id: str = "seg_id",
+                         x0: str = "x0", y0: str = "y0",
+                         x1: str = "x1", y1: str = "y1") -> DataFrame:
+    """Snap each point to its nearest line segment — the map-matching
+    primitive (GPS trace → road edge) the reference's LineString
+    features (reference main.py:248-255 builds them) invite at scale.
+
+    Candidates: segments rasterize to their exact supercover cells via
+    :func:`line_cover` (fan-out bounded by cells actually touched,
+    never a bbox blowup); points explode to a ``radius``-ring of cells
+    (:func:`explode_kring`); ONE equi-join on ``cell_id`` buckets the
+    pairs — never all-pairs. Exact re-rank: squared distance to the
+    clamped projection onto the segment (pure-Column IEEE doubles, the
+    identical expression the DuckDB oracle replays), then a
+    ``min(struct(dist2, seg_id, t))`` hash-aggregate per point —
+    map-side combined, ONE shuffle, no window sort, and duplicate
+    candidates from a segment covering several ring cells collapse for
+    free (so no dedup pass is needed).
+
+    Completeness contract (same Chebyshev bound as
+    :func:`within_distance_join`): a segment whose true distance to
+    the point is ≤ ``radius · min(cell_w, cell_h)`` is guaranteed to
+    share a candidate cell, because the segment's closest point lies
+    in a supercover cell at most ``ceil(d/cell_dim) ≤ radius``
+    Chebyshev rings away. Points whose ring holds no segment are
+    DROPPED (document or widen ``radius`` / lower ``res``); when every
+    point's true nearest is inside the guarantee the result equals the
+    brute-force nearest (the q129 oracle checks exactly that).
+
+    Output: (point_id, seg_id, dist2, t) — ``t`` ∈ [0, 1] is the snap
+    parameter along the segment (0 = first endpoint); ties on dist2
+    break to the smallest seg_id. Zero-length segments degenerate to
+    point distance with t = 0.
+    """
+    if radius < 0:
+        raise ValueError(f"radius must be non-negative, got {radius}")
+    segs = segments.select(
+        F.col(seg_id).alias("_sid"),
+        F.col(x0).cast("double").alias("_x0"),
+        F.col(y0).cast("double").alias("_y0"),
+        F.col(x1).cast("double").alias("_x1"),
+        F.col(y1).cast("double").alias("_y1"))
+    cover = line_cover(
+        segs.select("_sid", F.array(
+            F.array("_x0", "_y0"), F.array("_x1", "_y1")).alias("coords")),
+        res, id_col="_sid", coords_col="coords")
+    pts = explode_kring(
+        points.select(F.col(point_id).alias("_pid"),
+                      F.col(x).cast("double").alias("_px"),
+                      F.col(y).cast("double").alias("_py")),
+        F.col("_px"), F.col("_py"), res, radius)
+    cand = (pts.join(cover, "cell_id")
+            .join(segs, "_sid"))
+    dxc = F.col("_x1") - F.col("_x0")
+    dyc = F.col("_y1") - F.col("_y0")
+    len2 = dxc * dxc + dyc * dyc
+    t_raw = ((F.col("_px") - F.col("_x0")) * dxc
+             + (F.col("_py") - F.col("_y0")) * dyc) / len2
+    t = F.when(len2 == F.lit(0.0), F.lit(0.0)) \
+         .otherwise(F.least(F.lit(1.0), F.greatest(F.lit(0.0), t_raw)))
+    cx = F.col("_x0") + t * dxc
+    cy = F.col("_y0") + t * dyc
+    d2 = ((F.col("_px") - cx) * (F.col("_px") - cx)
+          + (F.col("_py") - cy) * (F.col("_py") - cy))
+    best = (cand
+            .withColumn("_t", t).withColumn("_d2", d2)
+            .groupBy("_pid")
+            .agg(F.min(F.struct(F.col("_d2").alias("dist2"),
+                                F.col("_sid").alias("seg_id"),
+                                F.col("_t").alias("t"))).alias("_b")))
+    return best.select(F.col("_pid").alias(point_id),
+                       F.col("_b.seg_id").alias("seg_id"),
+                       F.col("_b.dist2").alias("dist2"),
+                       F.col("_b.t").alias("t"))

@@ -1135,3 +1135,123 @@ def test_bbox_prune_filter_stays_jvm(spark):
     assert "Exchange" not in plan  # a pure scan filter: no shuffle
     for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert marker not in plan, marker
+
+
+# ---------------------------------------------------------------------------
+# nearest_segment_join (map matching)
+# ---------------------------------------------------------------------------
+
+def _brute_nearest_segment(points, segs):
+    """Numpy brute-force nearest segment with the documented
+    (dist2 asc, seg_id asc) tie-break. points: [(pid, x, y)],
+    segs: [(sid, x0, y0, x1, y1)] → {pid: (sid, dist2, t)}."""
+    out = {}
+    for pid, px, py in points:
+        best = None
+        for sid, x0, y0, x1, y1 in segs:
+            dx, dy = x1 - x0, y1 - y0
+            len2 = dx * dx + dy * dy
+            if len2 == 0.0:
+                t = 0.0
+            else:
+                t = min(1.0, max(0.0, ((px - x0) * dx + (py - y0) * dy)
+                                 / len2))
+            cx, cy = x0 + t * dx, y0 + t * dy
+            d2 = (px - cx) ** 2 + (py - cy) ** 2
+            if best is None or (d2, sid) < (best[1], best[0]):
+                best = (sid, d2, t)
+        out[pid] = best
+    return out
+
+
+def test_nearest_segment_matches_brute_force(spark):
+    from kml2geojson_spark.spatial import nearest_segment_join
+
+    rng = np.random.RandomState(29)
+    points = [(i, float(x), float(y)) for i, (x, y) in enumerate(
+        zip(rng.uniform(-60, 60, 80), rng.uniform(-40, 40, 80)))]
+    segs = []
+    for s in range(25):
+        x0, y0 = rng.uniform(-60, 60), rng.uniform(-40, 40)
+        segs.append((s, float(x0), float(y0),
+                     float(x0 + rng.uniform(-3, 3)),
+                     float(y0 + rng.uniform(-3, 3))))
+    segs.append((25, 10.0, 10.0, 10.0, 10.0))  # zero-length
+    pdf = spark.createDataFrame(points, "point_id long, x double, y double")
+    sdf = spark.createDataFrame(
+        segs, "seg_id long, x0 double, y0 double, x1 double, y1 double")
+    # res 2 → min cell dim 22.5°, radius 6 → 135° guarantee: every
+    # point's true nearest is inside the ring, result must be exact
+    got = {r.point_id: (r.seg_id, r.dist2, r.t)
+           for r in nearest_segment_join(pdf, sdf, res=2, radius=6)
+           .collect()}
+    want = _brute_nearest_segment(points, segs)
+    assert set(got) == set(want)
+    for pid in want:
+        assert got[pid][0] == want[pid][0], (pid, got[pid], want[pid])
+        assert got[pid][1] == pytest.approx(want[pid][1], abs=0.0), pid
+        assert 0.0 <= got[pid][2] <= 1.0
+
+
+def test_nearest_segment_edge_cases(spark):
+    from kml2geojson_spark.spatial import nearest_segment_join
+
+    pts = spark.createDataFrame(
+        [(0, 5.0, 1.0),    # beyond the right endpoint → t clamps to 1
+         (1, -5.0, 1.0),   # beyond the left endpoint → t clamps to 0
+         (2, 1.0, 1.0)],   # interior projection
+        "point_id long, x double, y double")
+    segs = spark.createDataFrame(
+        [(7, 0.0, 0.0, 2.0, 0.0)],
+        "seg_id long, x0 double, y0 double, x1 double, y1 double")
+    rows = {r.point_id: r for r in
+            nearest_segment_join(pts, segs, res=3, radius=4).collect()}
+    assert rows[0].t == 1.0 and rows[0].dist2 == pytest.approx(9.0 + 1.0)
+    assert rows[1].t == 0.0 and rows[1].dist2 == pytest.approx(25.0 + 1.0)
+    assert rows[2].t == pytest.approx(0.5) and rows[2].dist2 == 1.0
+
+    # equidistant tie → smallest seg_id wins
+    pts2 = spark.createDataFrame([(0, 0.0, 0.0)],
+                                 "point_id long, x double, y double")
+    segs2 = spark.createDataFrame(
+        [(9, 0.0, 2.0, 1.0, 2.0), (4, 0.0, -2.0, 1.0, -2.0)],
+        "seg_id long, x0 double, y0 double, x1 double, y1 double")
+    [r] = nearest_segment_join(pts2, segs2, res=3, radius=6).collect()
+    assert r.seg_id == 4 and r.dist2 == 4.0
+
+
+def test_nearest_segment_ring_bound_drops_far_points(spark):
+    from kml2geojson_spark.spatial import nearest_segment_join
+
+    # res 5 → cell 11.25×5.625; radius 1 → 5.625° guarantee. The far
+    # point (90° away) has no segment in its 1-ring → dropped.
+    pts = spark.createDataFrame(
+        [(0, 0.5, 0.5), (1, 90.0, 0.5)],
+        "point_id long, x double, y double")
+    segs = spark.createDataFrame(
+        [(1, 0.0, 0.0, 1.0, 0.0)],
+        "seg_id long, x0 double, y0 double, x1 double, y1 double")
+    got = {r.point_id for r in
+           nearest_segment_join(pts, segs, res=5, radius=1).collect()}
+    assert got == {0}
+
+
+def test_nearest_segment_plan_shape(spark):
+    """Candidates are equi-joins (cell, then seg key) + ONE final
+    hash-aggregate arg-min: no cartesian/BNL, no window sort, no
+    Python eval node."""
+    from kml2geojson_spark.spatial import nearest_segment_join
+
+    pts = spark.range(50).selectExpr(
+        "id AS point_id", "CAST(id % 10 AS DOUBLE) AS x",
+        "CAST(id % 7 AS DOUBLE) AS y")
+    segs = spark.range(20).selectExpr(
+        "id AS seg_id", "CAST(id AS DOUBLE) AS x0",
+        "CAST(id % 5 AS DOUBLE) AS y0", "CAST(id + 1 AS DOUBLE) AS x1",
+        "CAST(id % 5 AS DOUBLE) AS y1")
+    df = nearest_segment_join(pts, segs, res=4, radius=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BroadcastNestedLoopJoin", "CartesianProduct", "Window",
+                   "ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert marker not in plan, f"{marker} in nearest_segment plan"
+    assert "HashAggregate" in plan
