@@ -3578,6 +3578,57 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY point_id
 """
 
 
+def _q130_interval_overlap(spark, sf):
+    """Interval×interval overlap join (touching endpoints count,
+    inverted intervals match nothing) via the two-sided bucket cover:
+    equi-join on the bucket, exact predicate, and the ownership-bucket
+    equality (pair kept only in the bucket of greatest(start_l,
+    start_r)) replaces the distinct shuffle — exactly-once with ONE
+    shuffle. Round-5 post-pin registration: in-repo oracle sweep
+    only."""
+    from kml2geojson_spark.rangejoin import interval_overlap_join
+    c = _t(spark, sf, "customer")
+    left = c.select(
+        F.col("c_custkey").alias("lid"),
+        ((F.col("c_custkey") * 263) % 100000).alias("ls"))
+    left = left.withColumn(
+        "le", F.when(F.col("lid") % 11 == 0, F.col("ls") - 7)
+        .otherwise(F.col("ls") + (F.col("lid") % 37) * 9))
+    s = _t(spark, sf, "supplier")
+    right = s.select(
+        F.col("s_suppkey").alias("rid"),
+        ((F.col("s_suppkey") * 7919) % 100000).alias("rs"))
+    right = right.withColumn("rs", F.col("rs").cast("long")) \
+        .withColumn("re", F.col("rs") + (F.col("rid") % 53) * 11)
+    out = interval_overlap_join(
+        left, right, left_start="ls", left_end="le",
+        right_start="rs", right_end="re", bucket_width=256)
+    return out.select(
+        "lid", "rid",
+        F.greatest("ls", "rs").cast("long").alias("ov_start"),
+        F.least("le", "re").cast("long").alias("ov_end"))
+
+
+_O130 = """
+WITH l AS (
+  SELECT c_custkey AS lid, (c_custkey * 263) % 100000 AS ls,
+         CASE WHEN c_custkey % 11 = 0
+              THEN (c_custkey * 263) % 100000 - 7
+              ELSE (c_custkey * 263) % 100000 + (c_custkey % 37) * 9
+         END AS le
+  FROM customer),
+r AS (
+  SELECT s_suppkey AS rid, (s_suppkey * 7919) % 100000 AS rs,
+         (s_suppkey * 7919) % 100000 + (s_suppkey % 53) * 11 AS re
+  FROM supplier)
+SELECT lid, rid,
+       CAST(GREATEST(ls, rs) AS BIGINT) AS ov_start,
+       CAST(LEAST(le, re) AS BIGINT) AS ov_end
+FROM l JOIN r
+  ON ls <= re AND rs <= le AND ls <= le AND rs <= re
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -3700,6 +3751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q127_join_card": _q127_join_card,
         "q128_heavy_hitters": _q128_heavy_hitters,
         "q129_nearest_segment": _q129_nearest_segment,
+        "q130_interval_overlap": _q130_interval_overlap,
     }
 
 
@@ -3821,6 +3873,7 @@ def oracle_sql() -> dict[str, str]:
         "q127_join_card": _O127,
         "q128_heavy_hitters": _O128,
         "q129_nearest_segment": _O129,
+        "q130_interval_overlap": _O130,
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

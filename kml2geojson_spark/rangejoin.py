@@ -64,3 +64,66 @@ def interval_join(facts: DataFrame, intervals: DataFrame, *,
             .where((F.col(start_col) <= F.col(point_col))
                    & (F.col(point_col) <= F.col(end_col)))
             .drop("_rj_b"))
+
+
+def interval_overlap_join(left: DataFrame, right: DataFrame, *,
+                          left_start: str, left_end: str,
+                          right_start: str, right_end: str,
+                          bucket_width: int) -> DataFrame:
+    """Join every left interval to every right interval it overlaps:
+    ``left_start <= right_end AND right_start <= left_end`` (inclusive
+    — touching endpoints count, matching the SQL range predicate).
+    Inverted intervals (start > end) match nothing on either side.
+
+    The interval×interval twin of :func:`interval_join`. Spark plans
+    the naive two-inequality ON as a nested-loop join; the scalable
+    shape buckets BOTH sides:
+
+        each side explodes to every bucket its span touches
+        candidates = equi-join on the bucket       (one shuffle)
+        exact filter = the overlap predicate       (codegen'd)
+        ownership   = keep a pair only in the bucket containing
+                      ``greatest(left_start, right_start)``
+
+    The ownership filter makes the join exactly-once WITHOUT a
+    distinct/dedup shuffle: an overlapping pair's intersection starts
+    at ``max(start_l, start_r)``, a coordinate both spans cover by the
+    overlap predicate itself, so both sides emit that bucket exactly
+    once and every other shared bucket is dropped by the equality.
+
+    Pick ``bucket_width`` near the median interval length (cover
+    explode stays ~2 rows/interval while buckets stay selective); a
+    pathological hot bucket can be salted like a hot cell
+    (:mod:`.spatial.salted`).
+    """
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+    overlap = (set(left.columns) & set(right.columns)) \
+        | ({"_rj_b"} & (set(left.columns) | set(right.columns)))
+    if overlap:
+        raise ValueError(
+            f"interval_overlap_join column collision: {sorted(overlap)} "
+            f"appear on both sides (or clash with the internal bucket "
+            f"column); rename before joining")
+
+    w = F.lit(int(bucket_width))
+
+    def _cover(df: DataFrame, s: str, e: str) -> DataFrame:
+        lo = F.floor(F.col(s) / w).cast("long")
+        hi = F.floor(F.col(e) / w).cast("long")
+        # gate on the RAW start <= end, not lo <= hi: an inverted
+        # interval contained in one bucket has lo == hi, and the
+        # overlap predicate alone would not reject it downstream
+        buckets = F.when(F.col(s) <= F.col(e), F.sequence(lo, hi)) \
+            .otherwise(F.array().cast("array<bigint>"))
+        return df.withColumn("_rj_b", F.explode(buckets))
+
+    lb = _cover(left, left_start, left_end)
+    rb = _cover(right, right_start, right_end)
+    own = F.floor(F.greatest(F.col(left_start), F.col(right_start)) / w) \
+        .cast("long")
+    return (lb.join(rb, "_rj_b")
+            .where((F.col(left_start) <= F.col(right_end))
+                   & (F.col(right_start) <= F.col(left_end))
+                   & (F.col("_rj_b") == own))
+            .drop("_rj_b"))

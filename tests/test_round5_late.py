@@ -270,3 +270,78 @@ def test_grid_cluster_long_chain_converges_with_star_default(spark):
     import pytest as _pytest
     with _pytest.raises(RuntimeError):
         grid_cluster(df, res, components="label", max_iters=20).collect()
+
+
+# ------------------------------------------- interval_overlap_join
+
+
+def test_interval_overlap_join_equals_brute_force(spark):
+    """Bucketed interval×interval overlap must equal the naive range
+    join row-for-row — incl. touching endpoints, containment, spans
+    crossing many buckets, and inverted intervals matching nothing —
+    with NO duplicate pairs (the ownership-bucket filter replaces the
+    distinct shuffle)."""
+    from kml2geojson_spark.rangejoin import interval_overlap_join
+    left = spark.range(80).selectExpr(
+        "id AS lid", "(id * 53) % 700 AS ls",
+        # every 9th inverted; every 5th spans many width-16 buckets
+        "CASE WHEN id % 9 = 0 THEN (id * 53) % 700 - 3 "
+        "     WHEN id % 5 = 0 THEN (id * 53) % 700 + 200 "
+        "     ELSE (id * 53) % 700 + id % 30 END AS le")
+    right = spark.range(60).selectExpr(
+        "id AS rid", "(id * 101) % 700 AS rs",
+        "CASE WHEN id % 7 = 0 THEN (id * 101) % 700 - 1 "
+        "     ELSE (id * 101) % 700 + id % 40 END AS re")
+    out = interval_overlap_join(
+        left, right, left_start="ls", left_end="le",
+        right_start="rs", right_end="re", bucket_width=16)
+    got = sorted(map(tuple, out.select("lid", "rid").collect()))
+    naive = left.join(right, (F.col("ls") <= F.col("re"))
+                      & (F.col("rs") <= F.col("le"))
+                      & (F.col("ls") <= F.col("le"))
+                      & (F.col("rs") <= F.col("re")))
+    expect = sorted(map(tuple, naive.select("lid", "rid").collect()))
+    assert got == expect and got
+    assert len(got) == len(set(got))  # exactly-once, no dedup needed
+
+
+def test_interval_overlap_join_touching_endpoints_count(spark):
+    from kml2geojson_spark.rangejoin import interval_overlap_join
+    left = spark.createDataFrame([(1, 0, 10)], "lid int, ls int, le int")
+    right = spark.createDataFrame(
+        [(1, 10, 20),   # touches at 10 -> match
+         (2, 11, 20),   # gap of 1 -> no match
+         (3, -5, 0)],   # touches at 0 -> match
+        "rid int, rs int, re int")
+    got = sorted(r["rid"] for r in interval_overlap_join(
+        left, right, left_start="ls", left_end="le",
+        right_start="rs", right_end="re", bucket_width=8).collect())
+    assert got == [1, 3]
+
+
+def test_interval_overlap_join_plans_equi_join(spark):
+    from kml2geojson_spark.rangejoin import interval_overlap_join
+    left = spark.range(100).selectExpr("id AS lid", "id AS ls",
+                                       "id + 5 AS le")
+    right = spark.range(100).selectExpr("id AS rid", "id AS rs",
+                                        "id + 3 AS re")
+    plan = _plan(interval_overlap_join(
+        left, right, left_start="ls", left_end="le",
+        right_start="rs", right_end="re", bucket_width=8))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_overlap_join_rejects_collisions_and_bad_width(spark):
+    from kml2geojson_spark.rangejoin import interval_overlap_join
+    a = spark.range(3).selectExpr("id AS s", "id + 1 AS e")
+    b = spark.range(3).selectExpr("id AS s", "id + 1 AS e")
+    with pytest.raises(ValueError, match="collision"):
+        interval_overlap_join(a, b, left_start="s", left_end="e",
+                              right_start="s", right_end="e",
+                              bucket_width=4)
+    c = spark.range(3).selectExpr("id AS rs", "id + 1 AS re")
+    with pytest.raises(ValueError, match="positive"):
+        interval_overlap_join(a, c, left_start="s", left_end="e",
+                              right_start="rs", right_end="re",
+                              bucket_width=0)
