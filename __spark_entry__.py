@@ -3629,6 +3629,55 @@ FROM l JOIN r
 """
 
 
+def _q131_traj_resample(spark, sf):
+    """Fixed-grid trajectory resampling (linear interpolation) over
+    event-derived positions: dedupe + lead window partitioned by user
+    (no global funnel), integer tick ownership, pure-Column nano-unit
+    interpolation. Round-5 post-pin registration: in-repo oracle
+    sweep only."""
+    from kml2geojson_spark.spatial.ops import trajectory_resample
+    e = _t(spark, sf, "events")
+    x = ((F.col("event_id") * 6361 + 211) % 20000) / 1000.0 - 10.0
+    y = ((F.col("event_id") * 4799 + 97) % 16000) / 1000.0 - 8.0
+    pts = e.select("user_id", F.col("event_id").alias("t"),
+                   x.alias("x"), y.alias("y"))
+    return trajectory_resample(pts, "user_id", "t", step=499)
+
+
+_O131 = """
+WITH pts AS (
+  SELECT user_id, event_id AS t0,
+         ((event_id * 6361 + 211) % 20000) / 1000.0 - 10.0 AS x0,
+         ((event_id * 4799 + 97) % 16000) / 1000.0 - 8.0 AS y0
+  FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL),
+seg AS (
+  SELECT user_id, t0, x0, y0,
+         LEAD(t0) OVER w AS t1, LEAD(x0) OVER w AS x1,
+         LEAD(y0) OVER w AS y1,
+         ROW_NUMBER() OVER w AS rn
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY t0)),
+tk AS (
+  SELECT user_id, t0, x0, y0, t1, x1, y1,
+         UNNEST(generate_series(
+           CAST(FLOOR(t0 / 499.0) AS BIGINT)
+             + CASE WHEN rn = 1 AND t0 % 499 = 0 THEN 0 ELSE 1 END,
+           CASE WHEN t1 IS NOT NULL
+                THEN CAST(FLOOR(t1 / 499.0) AS BIGINT)
+                ELSE CAST(FLOOR(t0 / 499.0) AS BIGINT) END)) AS k
+  FROM seg)
+SELECT user_id, CAST(k * 499 AS BIGINT) AS t,
+       CAST(ROUND((CASE WHEN t1 IS NULL THEN x0
+                        ELSE x0 + (x1 - x0)
+                             * ((k * 499 - t0) / CAST(t1 - t0 AS DOUBLE))
+                   END) * 1e9) AS BIGINT) AS x_nano,
+       CAST(ROUND((CASE WHEN t1 IS NULL THEN y0
+                        ELSE y0 + (y1 - y0)
+                             * ((k * 499 - t0) / CAST(t1 - t0 AS DOUBLE))
+                   END) * 1e9) AS BIGINT) AS y_nano
+FROM tk
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -3752,6 +3801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q128_heavy_hitters": _q128_heavy_hitters,
         "q129_nearest_segment": _q129_nearest_segment,
         "q130_interval_overlap": _q130_interval_overlap,
+        "q131_traj_resample": _q131_traj_resample,
     }
 
 
@@ -3874,6 +3924,7 @@ def oracle_sql() -> dict[str, str]:
         "q128_heavy_hitters": _O128,
         "q129_nearest_segment": _O129,
         "q130_interval_overlap": _O130,
+        "q131_traj_resample": _O131,
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

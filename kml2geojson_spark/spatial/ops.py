@@ -1678,6 +1678,79 @@ def trajectory_stats(points: DataFrame, id_col: str, order_col: str, *,
                  .cast("long").alias("disp_nano")))
 
 
+def trajectory_resample(points: DataFrame, id_col: str, t_col: str, *,
+                        step: int, x_col: str = "x",
+                        y_col: str = "y") -> DataFrame:
+    """Resample every trajectory onto the fixed time grid ``T = k·step``
+    by linear interpolation — the align-GPS-traces-to-a-common-clock
+    primitive that precedes cross-trace comparison, map matching
+    (:func:`nearest_segment_join`) and stay-point detection.
+
+    Semantics: rows with a NULL id/t/x/y are dropped; duplicate
+    ``(id, t)`` fixes collapse deterministically to ``min(struct(x,
+    y))``; every grid tick with ``t_first <= T <= t_last`` is emitted
+    exactly once, interpolated inside its owning segment (the unique
+    consecutive pair with ``t_prev < T <= t_curr``; the first fix owns
+    its own tick when it lies exactly on the grid). ``t_col`` is any
+    integer time axis (epoch seconds, event sequence) — deliberately
+    numeric so the semantics and the SQL oracle never touch timezone
+    arithmetic (same rule as :mod:`..rangejoin`).
+
+    Scale shape: dedupe hash-agg + ONE lead window, both partitioned
+    by ``id_col`` (millions of independent trajectories — no global
+    funnel; a whale trajectory costs its own length only), then an
+    integer-sequence explode and pure-Column interpolation — zero
+    Python, no shuffle after the window. Output size is
+    ``(t_last - t_first) / step`` per trajectory: choose ``step``
+    against the fix cadence, not the row count.
+
+    Cross-engine determinism: tick ownership is integer arithmetic;
+    the interpolation ``x0 + (x1-x0)·(T-t0)/(t1-t0)`` is the same IEEE
+    double tree on JVM and DuckDB; outputs integerize to nano units
+    (round(x·1e9) BIGINT) like :func:`trajectory_stats`.
+
+    Output: (id_col, t, x_nano, y_nano).
+    """
+    if step <= 0:
+        raise ValueError("step must be positive")
+    stepL = F.lit(int(step))
+    pts = points.where(F.col(id_col).isNotNull()
+                       & F.col(t_col).isNotNull()
+                       & F.col(x_col).isNotNull()
+                       & F.col(y_col).isNotNull())
+    pts = (pts.groupBy(id_col, t_col)
+           .agg(F.min(F.struct(F.col(x_col).alias("x"),
+                               F.col(y_col).alias("y"))).alias("_p"))
+           .select(id_col, F.col(t_col).cast("long").alias("_t0"),
+                   F.col("_p.x").alias("_x0"), F.col("_p.y").alias("_y0")))
+    w = Window.partitionBy(id_col).orderBy("_t0")
+    seg = pts.select(
+        id_col, "_t0", "_x0", "_y0",
+        F.lead("_t0").over(w).alias("_t1"),
+        F.lead("_x0").over(w).alias("_x1"),
+        F.lead("_y0").over(w).alias("_y1"),
+        F.row_number().over(w).alias("_rn"))
+    base = F.floor(F.col("_t0") / stepL).cast("long")
+    on_grid_first = (F.col("_rn") == 1) & (F.col("_t0") % stepL == 0)
+    lo = base + F.when(on_grid_first, F.lit(0)).otherwise(F.lit(1))
+    hi = F.when(F.col("_t1").isNotNull(),
+                F.floor(F.col("_t1") / stepL).cast("long")).otherwise(base)
+    ticks = F.when(lo <= hi, F.sequence(lo, hi)) \
+        .otherwise(F.array().cast("array<bigint>"))
+    tk = seg.withColumn("_k", F.explode(ticks))
+    t = (F.col("_k") * stepL).cast("long")
+    frac = (t - F.col("_t0")) / (F.col("_t1") - F.col("_t0"))
+
+    def _interp(c0: str, c1: str):
+        v = F.when(F.col("_t1").isNull(), F.col(c0)) \
+            .otherwise(F.col(c0) + (F.col(c1) - F.col(c0)) * frac)
+        return F.round(v * F.lit(1e9)).cast("long")
+
+    return tk.select(id_col, t.alias("t"),
+                     _interp("_x0", "_x1").alias("x_nano"),
+                     _interp("_y0", "_y1").alias("y_nano"))
+
+
 # ---------------------------------------------------------------------------
 # Rectangle intersection join (overlap pairs + exact intersection area)
 # ---------------------------------------------------------------------------

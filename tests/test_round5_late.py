@@ -345,3 +345,71 @@ def test_interval_overlap_join_rejects_collisions_and_bad_width(spark):
         interval_overlap_join(a, c, left_start="s", left_end="e",
                               right_start="rs", right_end="re",
                               bucket_width=0)
+
+
+# --------------------------------------------- trajectory_resample
+
+
+def _resample_ref(fixes, step):
+    """Pure-Python reference: fixes = [(t, x, y)] for ONE id."""
+    fixes = sorted(fixes)
+    out = []
+    for i, (t0, x0, y0) in enumerate(fixes):
+        nxt = fixes[i + 1] if i + 1 < len(fixes) else None
+        lo = t0 // step + (0 if (i == 0 and t0 % step == 0) else 1)
+        hi = (nxt[0] // step) if nxt else t0 // step
+        for k in range(lo, hi + 1):
+            T = k * step
+            if nxt is None:
+                x, y = x0, y0
+            else:
+                f = (T - t0) / (nxt[0] - t0)
+                x = x0 + (nxt[1] - x0) * f
+                y = y0 + (nxt[2] - y0) * f
+            out.append((T, round(x * 1e9), round(y * 1e9)))
+    return out
+
+
+def test_trajectory_resample_matches_reference(spark):
+    from kml2geojson_spark.spatial.ops import trajectory_resample
+    fixes = {
+        1: [(0, 0.0, 0.0), (10, 10.0, -5.0)],       # start on grid
+        2: [(3, 1.5, 2.5), (7, 2.5, 0.5), (23, -1.0, 4.0)],
+        3: [(8, 7.0, 7.0)],                          # single on-grid fix
+        4: [(9, 7.0, 7.0)],                          # single off-grid fix
+    }
+    rows = [(i, t, x, y) for i, fs in fixes.items() for t, x, y in fs]
+    df = spark.createDataFrame(rows, "id long, t long, x double, y double")
+    got = sorted((r["id"], r["t"], r["x_nano"], r["y_nano"])
+                 for r in trajectory_resample(df, "id", "t", step=4)
+                 .collect())
+    expect = sorted((i, T, xn, yn) for i, fs in fixes.items()
+                    for T, xn, yn in _resample_ref(fs, 4))
+    assert got == expect and got
+    # exactly-once per (id, tick)
+    assert len({(i, T) for i, T, _, _ in got}) == len(got)
+    # id=4's lone off-grid fix emits nothing; id=3's on-grid fix emits
+    assert not any(i == 4 for i, *_ in got)
+    assert [(r[1], r[2]) for r in got if r[0] == 3] == [(8, 7_000_000_000)]
+
+
+def test_trajectory_resample_dedup_and_null_drop(spark):
+    from kml2geojson_spark.spatial.ops import trajectory_resample
+    rows = [(1, 0, 4.0, 0.0), (1, 0, 2.0, 9.0),   # dup t -> min struct
+            (1, 8, 2.0, 0.0),
+            (None, 4, 1.0, 1.0), (1, None, 1.0, 1.0),
+            (1, 4, None, 1.0)]
+    df = spark.createDataFrame(rows, "id long, t long, x double, y double")
+    got = sorted((r["t"], r["x_nano"]) for r in
+                 trajectory_resample(df, "id", "t", step=4).collect())
+    # fixes after cleaning: (0, x=2.0), (8, x=2.0) -> ticks 0,4,8 all x=2
+    assert got == [(0, 2_000_000_000), (4, 2_000_000_000),
+                   (8, 2_000_000_000)]
+
+
+def test_trajectory_resample_rejects_bad_step(spark):
+    from kml2geojson_spark.spatial.ops import trajectory_resample
+    df = spark.createDataFrame([(1, 0, 0.0, 0.0)],
+                               "id long, t long, x double, y double")
+    with pytest.raises(ValueError, match="positive"):
+        trajectory_resample(df, "id", "t", step=0)
