@@ -3678,6 +3678,66 @@ FROM tk
 """
 
 
+def _q132_geofence_dwell(spark, sf):
+    """Geofence dwell rollup: user-anchored wander fixes × nation
+    diamonds — pip_join (cell-bucketed ray cast) + trajectory-successor
+    window credit, exact BIGINT dwell. Round-5 post-pin registration:
+    in-repo oracle sweep only."""
+    from kml2geojson_spark.spatial.ops import geofence_dwell
+    e = _t(spark, sf, "events")
+    bx = ((F.col("user_id") * 2971 + 1234) % 30000) / 100.0 - 150.0
+    by = ((F.col("user_id") * 4231 + 567) % 13000) / 100.0 - 65.0
+    x = bx + (((F.col("event_id") * 53 + 11) % 1600) / 100.0 - 8.0)
+    y = by + (((F.col("event_id") * 29 + 7) % 1200) / 100.0 - 6.0)
+    fixes = e.select(F.col("user_id").alias("id"),
+                     F.col("event_id").alias("t"),
+                     F.col("event_id").alias("fix_id"),
+                     x.alias("x"), y.alias("y"))
+    return geofence_dwell(fixes, _nation_diamonds(spark, sf), res=6)
+
+
+_O132 = f"""
+WITH fixes0 AS (
+  SELECT user_id AS id, event_id AS t,
+         (((user_id * 2971 + 1234) % 30000) / 100.0 - 150.0)
+           + (((event_id * 53 + 11) % 1600) / 100.0 - 8.0) AS x,
+         (((user_id * 4231 + 567) % 13000) / 100.0 - 65.0)
+           + (((event_id * 29 + 7) % 1200) / 100.0 - 6.0) AS y
+  FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL),
+seg AS (
+  SELECT id, t, x, y,
+         LEAD(t) OVER (PARTITION BY id ORDER BY t) AS t_next
+  FROM fixes0),
+polys AS ({{_POLY}}),
+edges AS (
+  SELECT poly_id,
+         cx + dx1 * r AS x1, cy + dy1 * r AS y1,
+         cx + dx2 * r AS x2, cy + dy2 * r AS y2
+  FROM polys CROSS JOIN (VALUES
+    (1.0, 0.0, 0.0, 1.0), (0.0, 1.0, -1.0, 0.0),
+    (-1.0, 0.0, 0.0, -1.0), (0.0, -1.0, 1.0, 0.0)
+  ) AS d(dx1, dy1, dx2, dy2)
+),
+crossings AS (
+  SELECT s.id, s.t, s.t_next, e.poly_id,
+         CASE WHEN ((e.y1 > s.y) != (e.y2 > s.y))
+               AND (s.x < (e.x2 - e.x1) * (s.y - e.y1) / (e.y2 - e.y1) + e.x1)
+              THEN 1 ELSE 0 END AS c
+  FROM seg s CROSS JOIN edges e),
+inside AS (
+  SELECT id, t, t_next, poly_id FROM crossings
+  GROUP BY id, t, t_next, poly_id HAVING SUM(c) % 2 = 1),
+w AS (
+  SELECT id, poly_id, t, t_next,
+         LEAD(t) OVER (PARTITION BY id, poly_id ORDER BY t) AS nt
+  FROM inside)
+SELECT id, poly_id, COUNT(*) AS n_inside,
+       CAST(COALESCE(SUM(CASE WHEN nt = t_next THEN t_next - t END), 0)
+            AS BIGINT) AS dwell
+FROM w GROUP BY id, poly_id
+""".replace("{_POLY}", _POLY_SQL)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -3802,6 +3862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q129_nearest_segment": _q129_nearest_segment,
         "q130_interval_overlap": _q130_interval_overlap,
         "q131_traj_resample": _q131_traj_resample,
+        "q132_geofence_dwell": _q132_geofence_dwell,
     }
 
 
@@ -3925,6 +3986,7 @@ def oracle_sql() -> dict[str, str]:
         "q129_nearest_segment": _O129,
         "q130_interval_overlap": _O130,
         "q131_traj_resample": _O131,
+        "q132_geofence_dwell": _O132,
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

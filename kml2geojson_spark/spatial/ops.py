@@ -1751,6 +1751,69 @@ def trajectory_resample(points: DataFrame, id_col: str, t_col: str, *,
                      _interp("_y0", "_y1").alias("y_nano"))
 
 
+def geofence_dwell(fixes: DataFrame, polygons: DataFrame, res: int, *,
+                   id_col: str = "id", t_col: str = "t",
+                   fix_id_col: str = "fix_id", x_col: str = "x",
+                   y_col: str = "y", poly_id: str = "poly_id",
+                   rings: str = "rings", **pip_kwargs) -> DataFrame:
+    """Per (trajectory, polygon) dwell report: how many fixes landed
+    inside each geofence and how long the trajectory stayed — the
+    telematics/geofencing rollup composing :func:`pip_join` with the
+    trajectory windows of :func:`trajectory_stats`.
+
+    Semantics: rows with a NULL id/t/fix-id/x/y are dropped; duplicate
+    ``(id, t)`` fixes collapse to ``min(struct(x, y, fix_id))``. A
+    segment's duration ``t_next - t`` is credited to polygon P iff
+    BOTH endpoints are inside P (the standard fix-level approximation:
+    an unsampled exit-and-return between two inside fixes is credited,
+    an inside-outside straddle is not). ``fix_id_col`` must be a
+    UNIQUE BIGINT per fix (every real feed has one) — it rides through
+    the point-in-polygon kernel as the point key. ``t_col`` is integer
+    time (epoch seconds / sequence), so dwell is an exact BIGINT.
+
+    Scale shape: dedupe hash-agg + lead window partitioned by id (no
+    global funnel), then :func:`pip_join` (cell-bucketed candidates,
+    broadcast or cogroup rings — never all-pairs), ONE equi-join back
+    on the unique fix id, and a (id, poly) window + hash-agg. The
+    successor test needs no self-join: inside fixes of (id, P) sorted
+    by t — the next one equals the trajectory successor iff the
+    successor is inside P, because no trajectory fix exists strictly
+    between t and t_next at all.
+
+    Output: (id_col, poly_id, n_inside, dwell).
+    """
+    reserved = {"point_id", "poly_id", "_t_next"}
+    if {id_col, t_col, fix_id_col} & reserved:
+        raise ValueError(
+            f"geofence_dwell: {sorted(reserved)} are reserved column "
+            f"names; rename the id/t/fix-id columns before calling")
+    f = fixes.where(F.col(id_col).isNotNull() & F.col(t_col).isNotNull()
+                    & F.col(fix_id_col).isNotNull()
+                    & F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    f = (f.groupBy(id_col, t_col)
+         .agg(F.min(F.struct(F.col(x_col).alias("x"),
+                             F.col(y_col).alias("y"),
+                             F.col(fix_id_col).alias("fid"))).alias("_p"))
+         .select(id_col, F.col(t_col).cast("long").alias(t_col),
+                 F.col("_p.x").alias("x"), F.col("_p.y").alias("y"),
+                 F.col("_p.fid").alias("point_id")))
+    w = Window.partitionBy(id_col).orderBy(t_col)
+    seg = f.withColumn("_t_next", F.lead(t_col).over(w))
+    inside = pip_join(seg.select("point_id", "x", "y"), polygons, res,
+                      poly_id=poly_id, rings=rings, **pip_kwargs)
+    j = inside.join(seg.select("point_id", id_col, t_col, "_t_next"),
+                    "point_id")
+    w2 = Window.partitionBy(id_col, "poly_id").orderBy(t_col)
+    nt = F.lead(t_col).over(w2)
+    credit = F.when(nt == F.col("_t_next"),
+                    F.col("_t_next") - F.col(t_col))
+    return (j.withColumn("_credit", credit)
+            .groupBy(id_col, "poly_id")
+            .agg(F.count(F.lit(1)).alias("n_inside"),
+                 F.coalesce(F.sum("_credit"), F.lit(0)).cast("long")
+                 .alias("dwell")))
+
+
 # ---------------------------------------------------------------------------
 # Rectangle intersection join (overlap pairs + exact intersection area)
 # ---------------------------------------------------------------------------

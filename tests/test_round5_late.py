@@ -413,3 +413,60 @@ def test_trajectory_resample_rejects_bad_step(spark):
                                "id long, t long, x double, y double")
     with pytest.raises(ValueError, match="positive"):
         trajectory_resample(df, "id", "t", step=0)
+
+
+# ----------------------------------------------------- geofence_dwell
+
+
+def _square_rings(cx, cy, r):
+    return [[[cx - r, cy - r], [cx + r, cy - r], [cx + r, cy + r],
+             [cx - r, cy + r], [cx - r, cy - r]]]
+
+
+def test_geofence_dwell_hand_example(spark):
+    """One user walks through square P (side 10 around origin):
+    t=0 outside, t=10 in, t=15 in, t=40 in, t=50 outside, t=60 in.
+    Dwell = (15-10) + (40-15) = 30 (the unsampled 40->50 straddle and
+    the 50->60 re-entry edge are NOT credited); n_inside = 4."""
+    from kml2geojson_spark.spatial.ops import geofence_dwell
+    fixes = [(1, 0, 100, -20.0, 0.0), (1, 10, 101, 1.0, 1.0),
+             (1, 15, 102, -2.0, 3.0), (1, 40, 103, 4.0, -4.0),
+             (1, 50, 104, 20.0, 0.0), (1, 60, 105, 0.0, 0.0)]
+    f = spark.createDataFrame(
+        fixes, "id long, t long, fix_id long, x double, y double")
+    polys = spark.createDataFrame([(7, _square_rings(0.0, 0.0, 5.0))],
+                                  "poly_id long, rings array<array<array<double>>>")
+    out = geofence_dwell(f, polys, res=4).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["id"], r["poly_id"], r["n_inside"], r["dwell"]) == (1, 7, 4, 30)
+
+
+def test_geofence_dwell_overlapping_polys_and_dedup(spark):
+    """A fix inside two overlapping fences credits both independently;
+    duplicate (id, t) rows collapse to min(struct) first."""
+    from kml2geojson_spark.spatial.ops import geofence_dwell
+    fixes = [(1, 0, 200, 0.0, 0.0), (1, 5, 201, 1.0, 0.0),
+             (1, 5, 299, 50.0, 50.0),          # dup t -> min struct wins
+             (1, 9, 202, 9.0, 0.0),            # inside A only
+             (2, 0, 300, None, 0.0)]           # NULL x dropped
+    f = spark.createDataFrame(
+        fixes, "id long, t long, fix_id long, x double, y double")
+    polys = spark.createDataFrame(
+        [(1, _square_rings(0.0, 0.0, 12.0)),   # A: all three fixes
+         (2, _square_rings(0.0, 0.0, 3.0))],   # B: t=0 and t=5 only
+        "poly_id long, rings array<array<array<double>>>")
+    got = {(r["id"], r["poly_id"]): (r["n_inside"], r["dwell"])
+           for r in geofence_dwell(f, polys, res=4).collect()}
+    assert got == {(1, 1): (3, 9), (1, 2): (2, 5)}
+
+
+def test_geofence_dwell_rejects_reserved_names(spark):
+    from kml2geojson_spark.spatial.ops import geofence_dwell
+    f = spark.createDataFrame([(1, 0, 1, 0.0, 0.0)],
+                              "point_id long, t long, fix_id long, "
+                              "x double, y double")
+    polys = spark.createDataFrame([(1, _square_rings(0.0, 0.0, 1.0))],
+                                  "poly_id long, rings array<array<array<double>>>")
+    with pytest.raises(ValueError, match="reserved"):
+        geofence_dwell(f, polys, res=4, id_col="point_id")
