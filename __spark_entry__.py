@@ -3684,15 +3684,7 @@ def _q132_geofence_dwell(spark, sf):
     window credit, exact BIGINT dwell. Round-5 post-pin registration:
     in-repo oracle sweep only."""
     from kml2geojson_spark.spatial.ops import geofence_dwell
-    e = _t(spark, sf, "events")
-    bx = ((F.col("user_id") * 2971 + 1234) % 30000) / 100.0 - 150.0
-    by = ((F.col("user_id") * 4231 + 567) % 13000) / 100.0 - 65.0
-    x = bx + (((F.col("event_id") * 53 + 11) % 1600) / 100.0 - 8.0)
-    y = by + (((F.col("event_id") * 29 + 7) % 1200) / 100.0 - 6.0)
-    fixes = e.select(F.col("user_id").alias("id"),
-                     F.col("event_id").alias("t"),
-                     F.col("event_id").alias("fix_id"),
-                     x.alias("x"), y.alias("y"))
+    fixes = _wander_fixes(spark, sf).withColumn("fix_id", F.col("t"))
     return geofence_dwell(fixes, _nation_diamonds(spark, sf), res=6)
 
 
@@ -3736,6 +3728,93 @@ SELECT id, poly_id, COUNT(*) AS n_inside,
             AS BIGINT) AS dwell
 FROM w GROUP BY id, poly_id
 """.replace("{_POLY}", _POLY_SQL)
+
+
+def _wander_fixes(spark, sf):
+    """User-anchored wander fixes (the q132 family): base position per
+    user on the diamond-center grid, per-event offset ±8°/±6°."""
+    e = _t(spark, sf, "events")
+    bx = ((F.col("user_id") * 2971 + 1234) % 30000) / 100.0 - 150.0
+    by = ((F.col("user_id") * 4231 + 567) % 13000) / 100.0 - 65.0
+    x = bx + (((F.col("event_id") * 53 + 11) % 1600) / 100.0 - 8.0)
+    y = by + (((F.col("event_id") * 29 + 7) % 1200) / 100.0 - 6.0)
+    return e.select(F.col("user_id").alias("id"),
+                    F.col("event_id").alias("t"),
+                    x.alias("x"), y.alias("y"))
+
+
+_WANDER_SQL = """
+  SELECT user_id AS id, event_id AS t,
+         (((user_id * 2971 + 1234) % 30000) / 100.0 - 150.0)
+           + (((event_id * 53 + 11) % 1600) / 100.0 - 8.0) AS x,
+         (((user_id * 4231 + 567) % 13000) / 100.0 - 65.0)
+           + (((event_id * 29 + 7) % 1200) / 100.0 - 6.0) AS y
+  FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+"""
+
+
+def _q133_cell_stays(spark, sf):
+    """Grid stay-point detection over the wander fixes: maximal
+    same-cell runs via one id-partitioned sort (lag marker +
+    running-sum run id), duration/fix thresholds. Round-5 post-pin
+    registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.spatial.ops import cell_stays
+    return cell_stays(_wander_fixes(spark, sf), res=5,
+                      min_duration=150, min_fixes=2)
+
+
+def _o133() -> str:
+    from kml2geojson_spark.spatial.cells import cell_encode_sql
+    cell = cell_encode_sql("x", "y", 5)
+    return f"""
+WITH fixes AS ({_WANDER_SQL}),
+cellc AS (SELECT id, t, {cell} AS cell_id FROM fixes),
+m AS (
+  SELECT id, t, cell_id,
+         CASE WHEN LAG(cell_id) OVER w IS NULL
+                OR LAG(cell_id) OVER w != cell_id THEN 1 ELSE 0 END AS nr
+  FROM cellc WINDOW w AS (PARTITION BY id ORDER BY t)),
+r AS (
+  SELECT id, t, cell_id,
+         SUM(nr) OVER (PARTITION BY id ORDER BY t) AS run
+  FROM m),
+g AS (
+  SELECT id, MIN(cell_id) AS cell_id, MIN(t) AS t_start,
+         MAX(t) AS t_end, COUNT(*) AS n_fixes,
+         MAX(t) - MIN(t) AS duration
+  FROM r GROUP BY id, run)
+SELECT id, cell_id, t_start, t_end,
+       CAST(n_fixes AS BIGINT) AS n_fixes,
+       CAST(duration AS BIGINT) AS duration
+FROM g WHERE duration >= 150 AND n_fixes >= 2
+"""
+
+
+def _q134_speed_outliers(spark, sf):
+    """GPS teleport filter over the wander fixes: exact integer
+    dist_nano > max_speed_nano·dt verdict, one id-partitioned lag
+    window. Round-5 post-pin registration: in-repo oracle sweep
+    only."""
+    from kml2geojson_spark.spatial.ops import speed_outliers
+    return speed_outliers(_wander_fixes(spark, sf),
+                          max_speed_nano=80_000_000)
+
+
+_O134 = f"""
+WITH fixes AS ({_WANDER_SQL}),
+lagged AS (
+  SELECT id, t,
+         x - LAG(x) OVER w AS dx, y - LAG(y) OVER w AS dy,
+         t - LAG(t) OVER w AS dt
+  FROM fixes WINDOW w AS (PARTITION BY id ORDER BY t)),
+d AS (
+  SELECT id, t,
+         CAST(ROUND(SQRT(dx * dx + dy * dy) * 1e9) AS BIGINT) AS dist_nano,
+         CAST(dt AS BIGINT) AS dt
+  FROM lagged WHERE dt IS NOT NULL)
+SELECT id, t, dist_nano, dt FROM d
+WHERE dist_nano > 80000000 * dt
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3863,6 +3942,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q130_interval_overlap": _q130_interval_overlap,
         "q131_traj_resample": _q131_traj_resample,
         "q132_geofence_dwell": _q132_geofence_dwell,
+        "q133_cell_stays": _q133_cell_stays,
+        "q134_speed_outliers": _q134_speed_outliers,
     }
 
 
@@ -3987,6 +4068,8 @@ def oracle_sql() -> dict[str, str]:
         "q130_interval_overlap": _O130,
         "q131_traj_resample": _O131,
         "q132_geofence_dwell": _O132,
+        "q133_cell_stays": _o133(),
+        "q134_speed_outliers": _O134,
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

@@ -1814,6 +1814,102 @@ def geofence_dwell(fixes: DataFrame, polygons: DataFrame, res: int, *,
                  .alias("dwell")))
 
 
+def cell_stays(fixes: DataFrame, res: int, *, id_col: str = "id",
+               t_col: str = "t", x_col: str = "x", y_col: str = "y",
+               min_duration: int = 0, min_fixes: int = 1) -> DataFrame:
+    """Grid stay-point detection: a stay is a MAXIMAL run of
+    consecutive fixes (per trajectory, time order) whose positions
+    share one res-``res`` cell, kept when it spans at least
+    ``min_duration`` time units and ``min_fixes`` fixes — the
+    where-did-the-vehicle-stop primitive downstream of
+    :func:`trajectory_resample` and upstream of :func:`geofence_dwell`
+    style reporting.
+
+    Cell-anchored rather than radius-anchored deliberately: the
+    classic radius stay-point scan is sequential per trajectory; the
+    cell formulation is a pure windowed computation with IDENTICAL
+    output across engines and parallelism (q10's cell codes), at the
+    cost of splitting a stay that straddles a cell edge — pick ``res``
+    one level coarser than the stop radius of interest.
+
+    Semantics: NULL id/t/x/y rows are dropped; duplicate ``(id, t)``
+    fixes collapse to ``min(struct(x, y))``; ``duration = t_last -
+    t_first`` of the run (a single-fix run has duration 0).
+
+    Scale shape: dedupe hash-agg + lag marker + running-sum run id —
+    both windows share ONE id-partitioned sort — then a map-side
+    combinable hash-agg on (id, run). No join, no global funnel.
+
+    Output: (id_col, cell_id, t_start, t_end, n_fixes, duration).
+    """
+    f = fixes.where(F.col(id_col).isNotNull() & F.col(t_col).isNotNull()
+                    & F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    f = (f.groupBy(id_col, t_col)
+         .agg(F.min(F.struct(F.col(x_col).alias("x"),
+                             F.col(y_col).alias("y"))).alias("_p"))
+         .select(id_col, F.col(t_col).cast("long").alias(t_col),
+                 cell_encode_col(F.col("_p.x"), F.col("_p.y"), res)
+                 .alias("cell_id")))
+    w = Window.partitionBy(id_col).orderBy(t_col)
+    prev = F.lag("cell_id").over(w)
+    marked = f.withColumn(
+        "_new", F.when(prev.isNull() | (prev != F.col("cell_id")),
+                       F.lit(1)).otherwise(F.lit(0)))
+    runs = marked.withColumn("_run", F.sum("_new").over(w))
+    out = (runs.groupBy(id_col, "_run")
+           .agg(F.min("cell_id").alias("cell_id"),
+                F.min(t_col).alias("t_start"),
+                F.max(t_col).alias("t_end"),
+                F.count(F.lit(1)).alias("n_fixes"))
+           .withColumn("duration",
+                       (F.col("t_end") - F.col("t_start")).cast("long")))
+    return (out.where((F.col("duration") >= int(min_duration))
+                      & (F.col("n_fixes") >= int(min_fixes)))
+            .select(id_col, "cell_id", "t_start", "t_end", "n_fixes",
+                    "duration"))
+
+
+def speed_outliers(fixes: DataFrame, *, max_speed_nano: int,
+                   id_col: str = "id", t_col: str = "t",
+                   x_col: str = "x", y_col: str = "y") -> DataFrame:
+    """GPS speed filter: flag every fix whose implied speed from its
+    trajectory predecessor exceeds ``max_speed_nano`` nano-degrees per
+    time unit — the teleporting-fix cleaner that runs before
+    :func:`trajectory_stats` / :func:`nearest_segment_join`.
+
+    The test is the EXACT integer comparison ``dist_nano >
+    max_speed_nano · dt`` (step length nano-integerized like
+    :func:`trajectory_stats`, dt integer) — no float division, so the
+    verdict is bit-stable across engines and partitionings. The first
+    fix of a trajectory has no predecessor and is never flagged.
+    NULL id/t/x/y rows are dropped; duplicate ``(id, t)`` fixes
+    collapse to ``min(struct(x, y))``.
+
+    Scale shape: dedupe hash-agg + ONE id-partitioned lag window;
+    codegen comparison, no join.
+
+    Output: (id_col, t, dist_nano, dt) — flagged fixes only.
+    """
+    if max_speed_nano <= 0:
+        raise ValueError("max_speed_nano must be positive")
+    f = fixes.where(F.col(id_col).isNotNull() & F.col(t_col).isNotNull()
+                    & F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    f = (f.groupBy(id_col, t_col)
+         .agg(F.min(F.struct(F.col(x_col).alias("x"),
+                             F.col(y_col).alias("y"))).alias("_p"))
+         .select(id_col, F.col(t_col).cast("long").alias(t_col),
+                 F.col("_p.x").alias("x"), F.col("_p.y").alias("y")))
+    w = Window.partitionBy(id_col).orderBy(t_col)
+    dx = F.col("x") - F.lag("x").over(w)
+    dy = F.col("y") - F.lag("y").over(w)
+    dist = F.round(F.sqrt(dx * dx + dy * dy) * F.lit(1e9)).cast("long")
+    dt = (F.col(t_col) - F.lag(t_col).over(w)).cast("long")
+    return (f.select(id_col, t_col, dist.alias("dist_nano"),
+                     dt.alias("dt"))
+            .where(F.col("dist_nano")
+                   > F.lit(int(max_speed_nano)) * F.col("dt")))
+
+
 # ---------------------------------------------------------------------------
 # Rectangle intersection join (overlap pairs + exact intersection area)
 # ---------------------------------------------------------------------------

@@ -470,3 +470,52 @@ def test_geofence_dwell_rejects_reserved_names(spark):
                                   "poly_id long, rings array<array<array<double>>>")
     with pytest.raises(ValueError, match="reserved"):
         geofence_dwell(f, polys, res=4, id_col="point_id")
+
+
+# --------------------------------------- cell_stays / speed_outliers
+
+
+def test_cell_stays_runs_and_thresholds(spark):
+    """Trajectory A: 3 fixes in cell X (t 0-20), 1 in Y (t 30), 2 back
+    in X (t 40-45): three maximal runs — re-entry does NOT merge.
+    min_duration=10 keeps only the first run; min_fixes=2 also drops
+    the singleton."""
+    from kml2geojson_spark.spatial.ops import cell_stays
+    from kml2geojson_spark.spatial.cells import cell_encode_np
+    res = 4  # 22.5 x 11.25 degree cells
+    rows = [(1, 0, 1.0, 1.0), (1, 10, 2.0, 2.0), (1, 20, 3.0, 1.5),
+            (1, 30, 60.0, 1.0),                 # different cell
+            (1, 40, 1.5, 1.2), (1, 45, 2.5, 0.5)]
+    df = spark.createDataFrame(rows, "id long, t long, x double, y double")
+    got = sorted((r["t_start"], r["t_end"], r["n_fixes"], r["duration"])
+                 for r in cell_stays(df, res).collect())
+    assert got == [(0, 20, 3, 20), (30, 30, 1, 0), (40, 45, 2, 5)]
+    kept = cell_stays(df, res, min_duration=10, min_fixes=2).collect()
+    assert [(r["t_start"], r["t_end"]) for r in kept] == [(0, 20)]
+    cx = int(cell_encode_np([2.0], [1.5], res)[0])
+    assert all(r["cell_id"] == cx for r in kept)
+
+
+def test_cell_stays_dedup_and_null_drop(spark):
+    from kml2geojson_spark.spatial.ops import cell_stays
+    rows = [(1, 0, 1.0, 1.0), (1, 0, 170.0, 80.0),  # dup t -> min struct
+            (1, 5, 2.0, 2.0), (None, 1, 1.0, 1.0), (1, None, 1.0, 1.0)]
+    df = spark.createDataFrame(rows, "id long, t long, x double, y double")
+    got = cell_stays(df, 4).collect()
+    assert len(got) == 1 and got[0]["n_fixes"] == 2 \
+        and got[0]["duration"] == 5
+
+
+def test_speed_outliers_integer_verdict(spark):
+    """dist_nano > max_speed_nano * dt exactly: a 1-degree jump in 10
+    units (1e8 nano/unit) is flagged at threshold 99_999_999 and NOT
+    at 100_000_000 (strict >). First fix never flags."""
+    from kml2geojson_spark.spatial.ops import speed_outliers
+    rows = [(1, 0, 0.0, 0.0), (1, 10, 1.0, 0.0), (1, 20, 1.0, 0.0)]
+    df = spark.createDataFrame(rows, "id long, t long, x double, y double")
+    hot = speed_outliers(df, max_speed_nano=99_999_999).collect()
+    assert [(r["t"], r["dist_nano"], r["dt"]) for r in hot] \
+        == [(10, 1_000_000_000, 10)]
+    assert speed_outliers(df, max_speed_nano=100_000_000).count() == 0
+    with pytest.raises(ValueError, match="positive"):
+        speed_outliers(df, max_speed_nano=0)
