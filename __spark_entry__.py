@@ -3817,6 +3817,38 @@ WHERE dist_nano > 80000000 * dt
 """
 
 
+def _q135_heading_octants(spark, sf):
+    """Per-user heading-octant histogram over the wander fixes: fixed
+    comparison CASE chain (no atan2), one lag window + hash-agg.
+    Round-5 post-pin registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.spatial.ops import heading_octants
+    return heading_octants(_wander_fixes(spark, sf))
+
+
+_O135 = f"""
+WITH fixes AS ({_WANDER_SQL}),
+lagged AS (
+  SELECT id,
+         x - LAG(x) OVER w AS dx, y - LAG(y) OVER w AS dy
+  FROM fixes WINDOW w AS (PARTITION BY id ORDER BY t)),
+oct AS (
+  SELECT id,
+         CASE WHEN dx = 0 AND dy = 0 THEN -1
+              WHEN dy >= 0 AND dx > 0 AND dy < dx THEN 0
+              WHEN dx > 0 AND dy >= dx THEN 1
+              WHEN dx <= 0 AND dy > 0 AND dy > -dx THEN 2
+              WHEN dy > 0 AND dy <= -dx THEN 3
+              WHEN dy <= 0 AND dx < 0 AND dy > dx THEN 4
+              WHEN dy < 0 AND dy <= dx AND dx < 0 THEN 5
+              WHEN dy < 0 AND dx >= 0 AND dx < -dy THEN 6
+              ELSE 7 END AS octant
+  FROM lagged WHERE dx IS NOT NULL)
+SELECT id, CAST(octant AS INTEGER) AS octant,
+       COUNT(*) AS n_steps
+FROM oct GROUP BY id, octant
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -3944,6 +3976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q132_geofence_dwell": _q132_geofence_dwell,
         "q133_cell_stays": _q133_cell_stays,
         "q134_speed_outliers": _q134_speed_outliers,
+        "q135_heading_octants": _q135_heading_octants,
     }
 
 
@@ -4070,6 +4103,7 @@ def oracle_sql() -> dict[str, str]:
         "q132_geofence_dwell": _O132,
         "q133_cell_stays": _o133(),
         "q134_speed_outliers": _O134,
+        "q135_heading_octants": _O135,
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

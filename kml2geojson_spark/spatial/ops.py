@@ -1910,6 +1910,59 @@ def speed_outliers(fixes: DataFrame, *, max_speed_nano: int,
                    > F.lit(int(max_speed_nano)) * F.col("dt")))
 
 
+def heading_octants(fixes: DataFrame, *, id_col: str = "id",
+                    t_col: str = "t", x_col: str = "x",
+                    y_col: str = "y") -> DataFrame:
+    """Per-trajectory heading histogram: count movement steps in each
+    of 8 equal compass octants — the direction-mix fingerprint used to
+    separate corridor traffic from milling, and to orient tracks
+    before map matching.
+
+    Octants are indexed 0..7 counterclockwise from east, each covering
+    45° with its LOWER boundary inclusive (0 = [0°,45°), 1 = [45°,90°),
+    …). Classification is a fixed CASE chain of sign/slope COMPARISONS
+    on (dx, dy) — deliberately no atan2, whose last-ulp behaviour is
+    not contractual across engines; comparisons on identical IEEE
+    doubles are. Zero-length steps (repeated position) count as octant
+    -1. NULL id/t/x/y rows are dropped; duplicate ``(id, t)`` fixes
+    collapse to ``min(struct(x, y))``; the first fix of a trajectory
+    contributes no step.
+
+    Scale shape: dedupe hash-agg + ONE id-partitioned lag window +
+    map-side-combinable (id, octant) hash-agg — no join.
+
+    Output: (id_col, octant, n_steps).
+    """
+    f = fixes.where(F.col(id_col).isNotNull() & F.col(t_col).isNotNull()
+                    & F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    f = (f.groupBy(id_col, t_col)
+         .agg(F.min(F.struct(F.col(x_col).alias("x"),
+                             F.col(y_col).alias("y"))).alias("_p"))
+         .select(id_col, F.col(t_col).cast("long").alias(t_col),
+                 F.col("_p.x").alias("x"), F.col("_p.y").alias("y")))
+    w = Window.partitionBy(id_col).orderBy(t_col)
+    stepped = f.select(
+        id_col,
+        (F.col("x") - F.lag("x").over(w)).alias("dx"),
+        (F.col("y") - F.lag("y").over(w)).alias("dy"))
+    dx, dy = F.col("dx"), F.col("dy")
+    octant = (
+        F.when(dx.isNull(), None)
+        .when((dx == 0) & (dy == 0), F.lit(-1))
+        .when((dy >= 0) & (dx > 0) & (dy < dx), F.lit(0))
+        .when((dx > 0) & (dy >= dx), F.lit(1))
+        .when((dx <= 0) & (dy > 0) & (dy > -dx), F.lit(2))
+        .when((dy > 0) & (dy <= -dx), F.lit(3))
+        .when((dy <= 0) & (dx < 0) & (dy > dx), F.lit(4))
+        .when((dy < 0) & (dy <= dx) & (dx < 0), F.lit(5))
+        .when((dy < 0) & (dx >= 0) & (dx < -dy), F.lit(6))
+        .otherwise(F.lit(7)))
+    return (stepped.where(dx.isNotNull())
+            .select(id_col, octant.cast("int").alias("octant"))
+            .groupBy(id_col, "octant")
+            .agg(F.count(F.lit(1)).alias("n_steps")))
+
+
 # ---------------------------------------------------------------------------
 # Rectangle intersection join (overlap pairs + exact intersection area)
 # ---------------------------------------------------------------------------

@@ -519,3 +519,36 @@ def test_speed_outliers_integer_verdict(spark):
     assert speed_outliers(df, max_speed_nano=100_000_000).count() == 0
     with pytest.raises(ValueError, match="positive"):
         speed_outliers(df, max_speed_nano=0)
+
+
+# ----------------------------------------------------- heading_octants
+
+
+def test_heading_octants_boundary_ownership(spark):
+    """Each 45° boundary belongs to the sector it opens: 0°→0, 45°→1,
+    90°→2, 135°→3, 180°→4, 225°→5, 270°→6, 315°→7; a zero step is -1."""
+    from kml2geojson_spark.spatial.ops import heading_octants
+    steps = [(1, 0), (1, 1), (0, 1), (-1, 1),
+             (-1, 0), (-1, -1), (0, -1), (1, -1), (0, 0)]
+    rows, x, y = [], 0.0, 0.0
+    for i, (dx, dy) in enumerate([(0, 0)] + steps):
+        x, y = x + dx, y + dy
+        rows.append((1, i, x, y))
+    df = spark.createDataFrame(rows, "id long, t long, x double, y double")
+    got = sorted((r["octant"], r["n_steps"])
+                 for r in heading_octants(df, id_col="id").collect())
+    assert got == [(-1, 1)] + [(o, 1) for o in range(8)]
+
+
+def test_heading_octants_interior_angles(spark):
+    from kml2geojson_spark.spatial.ops import heading_octants
+    # 30°-ish (0), 60°-ish (1), 200°-ish (4), 250°-ish (5)
+    steps = [(2.0, 1.0), (1.0, 2.0), (-2.0, -0.7), (-0.5, -1.4)]
+    rows, x, y = [(1, 0, 0.0, 0.0)], 0.0, 0.0
+    for i, (dx, dy) in enumerate(steps):
+        x, y = x + dx, y + dy
+        rows.append((1, i + 1, x, y))
+    df = spark.createDataFrame(rows, "id long, t long, x double, y double")
+    got = sorted((r["octant"], r["n_steps"])
+                 for r in heading_octants(df, id_col="id").collect())
+    assert got == [(0, 1), (1, 1), (4, 1), (5, 1)]
