@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "q30_cosine_topk",       # brute-force cosine top-k
     "q40_minhash_pairs",     # minhash + LSH banding
     "q44_ivf_topk",          # IVF-bucketed ANN probe + re-rank
+    "q132_geofence_dwell",   # pip_join x trajectory-window dwell
 ]
 
 
