@@ -1678,6 +1678,27 @@ def trajectory_stats(points: DataFrame, id_col: str, order_col: str, *,
                  .cast("long").alias("disp_nano")))
 
 
+def _dedupe_traj(fixes: DataFrame, id_col: str, t_col: str,
+                 cols: list) -> DataFrame:
+    """Shared trajectory prologue: drop NULL id/t/payload rows, then
+    collapse duplicate ``(id, t)`` fixes to ``min(struct(cols))`` —
+    pre-partitioned BY ID so the dedupe hash-agg (clustering (id, t) ⊇
+    id) and every downstream id-partitioned window reuse ONE exchange
+    instead of shuffling twice. A whale trajectory lands in one
+    partition — inherent to any per-id window, bounded by its own
+    length. ``cols`` = [(source_col, out_alias), ...]; t is cast to
+    long."""
+    cond = F.col(id_col).isNotNull() & F.col(t_col).isNotNull()
+    for src, _ in cols:
+        cond = cond & F.col(src).isNotNull()
+    f = fixes.where(cond).repartition(F.col(id_col))
+    st = F.min(F.struct(*[F.col(s).alias(a) for s, a in cols])) \
+        .alias("_p")
+    return (f.groupBy(id_col, t_col).agg(st)
+            .select(id_col, F.col(t_col).cast("long").alias(t_col),
+                    *[F.col(f"_p.{a}").alias(a) for _, a in cols]))
+
+
 def trajectory_resample(points: DataFrame, id_col: str, t_col: str, *,
                         step: int, x_col: str = "x",
                         y_col: str = "y") -> DataFrame:
@@ -1714,15 +1735,9 @@ def trajectory_resample(points: DataFrame, id_col: str, t_col: str, *,
     if step <= 0:
         raise ValueError("step must be positive")
     stepL = F.lit(int(step))
-    pts = points.where(F.col(id_col).isNotNull()
-                       & F.col(t_col).isNotNull()
-                       & F.col(x_col).isNotNull()
-                       & F.col(y_col).isNotNull())
-    pts = (pts.groupBy(id_col, t_col)
-           .agg(F.min(F.struct(F.col(x_col).alias("x"),
-                               F.col(y_col).alias("y"))).alias("_p"))
-           .select(id_col, F.col(t_col).cast("long").alias("_t0"),
-                   F.col("_p.x").alias("_x0"), F.col("_p.y").alias("_y0")))
+    pts = _dedupe_traj(points, id_col, t_col,
+                       [(x_col, "_x0"), (y_col, "_y0")]) \
+        .withColumnRenamed(t_col, "_t0")
     w = Window.partitionBy(id_col).orderBy("_t0")
     seg = pts.select(
         id_col, "_t0", "_x0", "_y0",
@@ -1787,16 +1802,9 @@ def geofence_dwell(fixes: DataFrame, polygons: DataFrame, res: int, *,
         raise ValueError(
             f"geofence_dwell: {sorted(reserved)} are reserved column "
             f"names; rename the id/t/fix-id columns before calling")
-    f = fixes.where(F.col(id_col).isNotNull() & F.col(t_col).isNotNull()
-                    & F.col(fix_id_col).isNotNull()
-                    & F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
-    f = (f.groupBy(id_col, t_col)
-         .agg(F.min(F.struct(F.col(x_col).alias("x"),
-                             F.col(y_col).alias("y"),
-                             F.col(fix_id_col).alias("fid"))).alias("_p"))
-         .select(id_col, F.col(t_col).cast("long").alias(t_col),
-                 F.col("_p.x").alias("x"), F.col("_p.y").alias("y"),
-                 F.col("_p.fid").alias("point_id")))
+    f = _dedupe_traj(fixes, id_col, t_col,
+                     [(x_col, "x"), (y_col, "y"),
+                      (fix_id_col, "point_id")])
     w = Window.partitionBy(id_col).orderBy(t_col)
     seg = f.withColumn("_t_next", F.lead(t_col).over(w))
     inside = pip_join(seg.select("point_id", "x", "y"), polygons, res,
@@ -1842,14 +1850,10 @@ def cell_stays(fixes: DataFrame, res: int, *, id_col: str = "id",
 
     Output: (id_col, cell_id, t_start, t_end, n_fixes, duration).
     """
-    f = fixes.where(F.col(id_col).isNotNull() & F.col(t_col).isNotNull()
-                    & F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
-    f = (f.groupBy(id_col, t_col)
-         .agg(F.min(F.struct(F.col(x_col).alias("x"),
-                             F.col(y_col).alias("y"))).alias("_p"))
-         .select(id_col, F.col(t_col).cast("long").alias(t_col),
-                 cell_encode_col(F.col("_p.x"), F.col("_p.y"), res)
-                 .alias("cell_id")))
+    f = _dedupe_traj(fixes, id_col, t_col, [(x_col, "x"), (y_col, "y")]) \
+        .select(id_col, t_col,
+                cell_encode_col(F.col("x"), F.col("y"), res)
+                .alias("cell_id"))
     w = Window.partitionBy(id_col).orderBy(t_col)
     prev = F.lag("cell_id").over(w)
     marked = f.withColumn(
@@ -1892,13 +1896,7 @@ def speed_outliers(fixes: DataFrame, *, max_speed_nano: int,
     """
     if max_speed_nano <= 0:
         raise ValueError("max_speed_nano must be positive")
-    f = fixes.where(F.col(id_col).isNotNull() & F.col(t_col).isNotNull()
-                    & F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
-    f = (f.groupBy(id_col, t_col)
-         .agg(F.min(F.struct(F.col(x_col).alias("x"),
-                             F.col(y_col).alias("y"))).alias("_p"))
-         .select(id_col, F.col(t_col).cast("long").alias(t_col),
-                 F.col("_p.x").alias("x"), F.col("_p.y").alias("y")))
+    f = _dedupe_traj(fixes, id_col, t_col, [(x_col, "x"), (y_col, "y")])
     w = Window.partitionBy(id_col).orderBy(t_col)
     dx = F.col("x") - F.lag("x").over(w)
     dy = F.col("y") - F.lag("y").over(w)
@@ -1933,13 +1931,7 @@ def heading_octants(fixes: DataFrame, *, id_col: str = "id",
 
     Output: (id_col, octant, n_steps).
     """
-    f = fixes.where(F.col(id_col).isNotNull() & F.col(t_col).isNotNull()
-                    & F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
-    f = (f.groupBy(id_col, t_col)
-         .agg(F.min(F.struct(F.col(x_col).alias("x"),
-                             F.col(y_col).alias("y"))).alias("_p"))
-         .select(id_col, F.col(t_col).cast("long").alias(t_col),
-                 F.col("_p.x").alias("x"), F.col("_p.y").alias("y")))
+    f = _dedupe_traj(fixes, id_col, t_col, [(x_col, "x"), (y_col, "y")])
     w = Window.partitionBy(id_col).orderBy(t_col)
     stepped = f.select(
         id_col,

@@ -552,3 +552,24 @@ def test_heading_octants_interior_angles(spark):
     got = sorted((r["octant"], r["n_steps"])
                  for r in heading_octants(df, id_col="id").collect())
     assert got == [(0, 1), (1, 1), (4, 1), (5, 1)]
+
+
+def test_trajectory_prologue_single_exchange(spark):
+    """The shared dedupe prologue pre-partitions by id, so the (id, t)
+    dedupe agg and the id-partitioned window reuse ONE exchange —
+    a regression to groupBy-then-window costs a second shuffle of the
+    whole fix table."""
+    from kml2geojson_spark.spatial.ops import (cell_stays,
+                                               speed_outliers,
+                                               heading_octants,
+                                               trajectory_resample)
+    df = spark.range(1000).selectExpr(
+        "id % 7 AS id", "id AS t",
+        "CAST(id % 90 AS DOUBLE) AS x", "CAST(id % 45 AS DOUBLE) AS y")
+    for out in (cell_stays(df, 5), speed_outliers(df, max_speed_nano=1),
+                heading_octants(df), trajectory_resample(df, "id", "t",
+                                                         step=16)):
+        plan = _plan(out)
+        n = plan.count("Exchange hashpartitioning") \
+            + plan.count("Exchange rangepartitioning")
+        assert n == 1, plan
