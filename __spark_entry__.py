@@ -3849,6 +3849,78 @@ FROM oct GROUP BY id, octant
 """
 
 
+def _nation_segments(spark, sf):
+    """Deterministic second segment family, 256 per nation (constant
+    cardinality across SF — keeps the O(|A|·|B|) brute-force oracle
+    tractable at sf0.1 while the engine side stays bucketed). Same
+    hashed-center + bounded-delta construction as
+    :func:`_supplier_segments`; SQL twin inside _O136."""
+    n = _t(spark, sf, "nation")
+    e = n.select(F.col("n_nationkey").cast("long").alias("k"),
+                 F.explode(F.sequence(F.lit(0), F.lit(255))).alias("j"))
+    x0 = ((F.col("k") * 3271 + F.col("j") * 2417 + 131) % 36000) / 100.0 - 180.0
+    y0 = ((F.col("k") * 1579 + F.col("j") * 1201 + 89) % 17000) / 100.0 - 85.0
+    dx = ((F.col("k") * 37 + F.col("j") * 19 + 5) % 400) / 100.0 - 2.0
+    dy = ((F.col("k") * 59 + F.col("j") * 23 + 11) % 400) / 100.0 - 2.0
+    return e.select((F.col("k") * 256 + F.col("j")).alias("seg_id"),
+                    x0.alias("x0"), y0.alias("y0"),
+                    (x0 + dx).alias("x1"), (y0 + dy).alias("y1"))
+
+
+def _q136_segment_intersections(spark, sf):
+    """Road-conflation crossing join: supplier segments × nation
+    segments, properly-crossing pairs with nano-integerized
+    intersection points — both sides supercover-bucketed, ONE cell
+    equi-join, exactly-once by intersection-point cell ownership (no
+    distinct). Round-5 post-pin registration: in-repo oracle sweep
+    only."""
+    from kml2geojson_spark.spatial import segment_intersection_join
+    return segment_intersection_join(
+        _supplier_segments(spark, sf), _nation_segments(spark, sf), res=6)
+
+
+_NSEG_SQL = (
+    "SELECT n_nationkey * 256 + j AS seg_id, "
+    "((n_nationkey * 3271 + j * 2417 + 131) % 36000) / 100.0 - 180.0 AS x0, "
+    "((n_nationkey * 1579 + j * 1201 + 89) % 17000) / 100.0 - 85.0 AS y0, "
+    "(((n_nationkey * 3271 + j * 2417 + 131) % 36000) / 100.0 - 180.0) "
+    "+ (((n_nationkey * 37 + j * 19 + 5) % 400) / 100.0 - 2.0) AS x1, "
+    "(((n_nationkey * 1579 + j * 1201 + 89) % 17000) / 100.0 - 85.0) "
+    "+ (((n_nationkey * 59 + j * 23 + 11) % 400) / 100.0 - 2.0) AS y1 "
+    "FROM nation, LATERAL (SELECT unnest(generate_series(0, 255)) AS j)"
+)
+
+_O136 = f"""
+WITH a AS ({_SEG_SQL}),
+b AS ({_NSEG_SQL}),
+d AS (
+  SELECT a.seg_id AS seg_a, b.seg_id AS seg_b,
+         a.x1 - a.x0 AS rx, a.y1 - a.y0 AS ry,
+         b.x1 - b.x0 AS sx, b.y1 - b.y0 AS sy,
+         (a.x1 - a.x0) * (b.y0 - a.y0)
+           - (a.y1 - a.y0) * (b.x0 - a.x0) AS d1,
+         (a.x1 - a.x0) * (b.y1 - a.y0)
+           - (a.y1 - a.y0) * (b.x1 - a.x0) AS d2,
+         (b.x1 - b.x0) * (a.y0 - b.y0)
+           - (b.y1 - b.y0) * (a.x0 - b.x0) AS d3,
+         (b.x1 - b.x0) * (a.y1 - b.y0)
+           - (b.y1 - b.y0) * (a.x1 - b.x0) AS d4,
+         a.x0 AS ax0, a.y0 AS ay0, b.x0 AS bx0, b.y0 AS by0
+  FROM a CROSS JOIN b),
+x AS (
+  SELECT seg_a, seg_b, ax0, ay0, rx, ry,
+         ((bx0 - ax0) * sy - (by0 - ay0) * sx)
+           / (rx * sy - ry * sx) AS t
+  FROM d
+  WHERE ((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0))
+    AND ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0)))
+SELECT seg_a, seg_b,
+       CAST(ROUND((ax0 + t * rx) * 1e9) AS BIGINT) AS ix_nano,
+       CAST(ROUND((ay0 + t * ry) * 1e9) AS BIGINT) AS iy_nano
+FROM x
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -3977,6 +4049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q133_cell_stays": _q133_cell_stays,
         "q134_speed_outliers": _q134_speed_outliers,
         "q135_heading_octants": _q135_heading_octants,
+        "q136_segment_intersections": _q136_segment_intersections,
     }
 
 
@@ -4104,6 +4177,7 @@ def oracle_sql() -> dict[str, str]:
         "q133_cell_stays": _o133(),
         "q134_speed_outliers": _O134,
         "q135_heading_octants": _O135,
+        "q136_segment_intersections": _O136,
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

@@ -2397,3 +2397,104 @@ def nearest_segment_join(points: DataFrame, segments: DataFrame,
                        F.col("_b.seg_id").alias("seg_id"),
                        F.col("_b.dist2").alias("dist2"),
                        F.col("_b.t").alias("t"))
+
+
+def segment_intersection_join(segs_a: DataFrame, segs_b: DataFrame,
+                              res: int, *,
+                              seg_id: str = "seg_id",
+                              x0: str = "x0", y0: str = "y0",
+                              x1: str = "x1", y1: str = "y1") -> DataFrame:
+    """All properly-crossing segment pairs between two segment sets,
+    with the exact intersection point — the road-network conflation /
+    trajectory-crossing primitive over the reference's LineString
+    features (reference main.py:248-255 builds them; this is the
+    pairwise-geometry join the tiling engine makes scalable).
+
+    Candidates: BOTH sides rasterize to their exact supercover cells
+    (:func:`line_cover`, fan-out bounded by cells actually touched);
+    ONE equi-join on ``cell_id`` buckets the pairs — never all-pairs.
+    A pair sharing k cells would naively emit k duplicates; instead of
+    a ``distinct`` shuffle the join is EXACTLY-ONCE by ownership (the
+    :func:`interval_overlap_join` trick lifted to 2-D): the pair
+    survives only in the cell that contains its intersection point,
+    which both supercovers provably cover (the point lies ON both
+    segments, and the supercover is exact). So the plan is two narrow
+    covers + one equi-join + a codegen filter — no dedup pass.
+
+    Semantics (documented, oracle-replayable): a pair is emitted iff
+    the open segments PROPERLY cross — the strict orientation test
+    ``(d1, d2) opposite signs AND (d3, d4) opposite signs`` on IEEE
+    doubles (the identical expression tree the DuckDB oracle runs, so
+    results match bit-for-bit; comparisons on identical doubles are
+    contractual, unlike transcendentals — same rule as
+    :func:`heading_octants`). Collinear overlaps and endpoint touches
+    (any ``d == 0``) are NOT crossings. Proper crossing implies the
+    segments are not parallel, so the intersection parameter
+    ``t = cross(b0 - a0, s) / cross(r, s)`` is finite; the point
+    integerizes to nano-degrees (``round(p * 1e9)`` BIGINT, the
+    :func:`trajectory_resample` determinism trick).
+
+    Corner caveat: if the intersection point lands EXACTLY on a cell
+    corner that both segments only touch (a measure-zero double
+    coincidence), the owning cell may be absent from a supercover and
+    the pair dropped; real float data never hits this, and the brute-
+    force oracle comparison would surface it if a synthetic corpus did.
+
+    Output: (seg_a, seg_b, ix_nano, iy_nano). Scale shape: two
+    ``line_cover`` distincts + one cell equi-join + two id equi-joins
+    to fetch endpoints (build sides are segment tables — broadcast
+    when small); hot cells (many segments in one cell) are k_a·k_b
+    candidate blowups — raise ``res`` so cells are finer than segment
+    density, exactly like the hot-cell guidance on :func:`pip_join`.
+    """
+    def _prep(df: DataFrame, tag: str) -> tuple[DataFrame, DataFrame]:
+        e = df.select(F.col(seg_id).alias(f"_{tag}id"),
+                      F.col(x0).cast("double").alias(f"_{tag}x0"),
+                      F.col(y0).cast("double").alias(f"_{tag}y0"),
+                      F.col(x1).cast("double").alias(f"_{tag}x1"),
+                      F.col(y1).cast("double").alias(f"_{tag}y1"))
+        cov = line_cover(
+            e.select(f"_{tag}id", F.array(
+                F.array(f"_{tag}x0", f"_{tag}y0"),
+                F.array(f"_{tag}x1", f"_{tag}y1")).alias("coords")),
+            res, id_col=f"_{tag}id", coords_col="coords")
+        return e, cov
+
+    ea, cov_a = _prep(segs_a, "a")
+    eb, cov_b = _prep(segs_b, "b")
+    cand = (cov_a.join(cov_b, "cell_id")
+            .join(ea, "_aid").join(eb, "_bid"))
+
+    rx = F.col("_ax1") - F.col("_ax0")
+    ry = F.col("_ay1") - F.col("_ay0")
+    sx = F.col("_bx1") - F.col("_bx0")
+    sy = F.col("_by1") - F.col("_by0")
+    d1 = rx * (F.col("_by0") - F.col("_ay0")) \
+        - ry * (F.col("_bx0") - F.col("_ax0"))
+    d2 = rx * (F.col("_by1") - F.col("_ay0")) \
+        - ry * (F.col("_bx1") - F.col("_ax0"))
+    d3 = sx * (F.col("_ay0") - F.col("_by0")) \
+        - sy * (F.col("_ax0") - F.col("_bx0"))
+    d4 = sx * (F.col("_ay1") - F.col("_by0")) \
+        - sy * (F.col("_ax1") - F.col("_bx0"))
+    zero = F.lit(0.0)
+    proper = (((d1 > zero) & (d2 < zero)) | ((d1 < zero) & (d2 > zero))) \
+        & (((d3 > zero) & (d4 < zero)) | ((d3 < zero) & (d4 > zero)))
+    # NULL divisor when parallel (ANSI-safe: Catalyst may fuse this
+    # division into the same predicate as `proper`, which would raise
+    # DIVIDE_BY_ZERO before the crossing filter can screen the pair)
+    denom = F.when(rx * sy - ry * sx != zero, rx * sy - ry * sx)
+    tpar = ((F.col("_bx0") - F.col("_ax0")) * sy
+            - (F.col("_by0") - F.col("_ay0")) * sx) / denom
+    px = F.col("_ax0") + tpar * rx
+    py = F.col("_ay0") + tpar * ry
+    owner = cell_encode_col(px, py, res)
+    return (cand.where(proper)
+            .withColumn("_px", px).withColumn("_py", py)
+            .where(owner == F.col("cell_id"))
+            .select(F.col("_aid").alias("seg_a"),
+                    F.col("_bid").alias("seg_b"),
+                    F.round(F.col("_px") * F.lit(1e9)).cast("long")
+                    .alias("ix_nano"),
+                    F.round(F.col("_py") * F.lit(1e9)).cast("long")
+                    .alias("iy_nano")))
