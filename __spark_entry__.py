@@ -3921,6 +3921,48 @@ FROM x
 """
 
 
+def _q137_grid_moran(spark, sf):
+    """Global Moran's I of customer-point density at res 5 — integer
+    pair sums (S1/S2/W/N/Σx/Σx²) then one fixed double expression, so
+    the statistic is partition-order-independent and the DuckDB replay
+    is bit-exact. Round-5 post-pin registration: in-repo oracle sweep
+    only."""
+    from kml2geojson_spark.spatial import grid_moran
+    return grid_moran(_customer_points(spark, sf), res=5)
+
+
+_M = "(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+_O137 = f"""
+WITH pts AS ({_PTS_SQL}),
+cells AS (
+  SELECT CAST(GREATEST(0, LEAST(31,
+           FLOOR((x + 180.0) / 360.0 * 32.0))) AS BIGINT) AS gx,
+         CAST(GREATEST(0, LEAST(31,
+           FLOOR((y + 90.0) / 180.0 * 32.0))) AS BIGINT) AS gy,
+         COUNT(*) AS c
+  FROM pts GROUP BY 1, 2),
+cagg AS (SELECT COUNT(*) AS n, SUM(c) AS sx, SUM(c * c) AS sxx FROM cells),
+pagg AS (
+  SELECT COUNT(*) AS w,
+         COALESCE(SUM(a.c * b.c), 0) AS s1,
+         COALESCE(SUM(a.c + b.c), 0) AS s2
+  FROM cells a JOIN cells b
+    ON b.gx BETWEEN a.gx - 1 AND a.gx + 1
+   AND b.gy BETWEEN a.gy - 1 AND a.gy + 1
+   AND NOT (a.gx = b.gx AND a.gy = b.gy))
+SELECT n AS n_cells, w AS n_pairs,
+       CASE WHEN w > 0 AND (CAST(sxx AS DOUBLE)
+                            - CAST(n AS DOUBLE) * {_M} * {_M}) <> 0.0
+            THEN CAST(ROUND((CAST(n AS DOUBLE) / CAST(w AS DOUBLE))
+              * ((CAST(s1 AS DOUBLE) - {_M} * CAST(s2 AS DOUBLE)
+                  + CAST(w AS DOUBLE) * {_M} * {_M})
+                 / (CAST(sxx AS DOUBLE)
+                    - CAST(n AS DOUBLE) * {_M} * {_M})) * 1e9) AS BIGINT)
+       END AS moran_nano
+FROM cagg, pagg
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -4050,6 +4092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q134_speed_outliers": _q134_speed_outliers,
         "q135_heading_octants": _q135_heading_octants,
         "q136_segment_intersections": _q136_segment_intersections,
+        "q137_grid_moran": _q137_grid_moran,
     }
 
 
@@ -4178,6 +4221,7 @@ def oracle_sql() -> dict[str, str]:
         "q134_speed_outliers": _O134,
         "q135_heading_octants": _O135,
         "q136_segment_intersections": _O136,
+        "q137_grid_moran": _O137,
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

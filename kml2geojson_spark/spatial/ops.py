@@ -2498,3 +2498,81 @@ def segment_intersection_join(segs_a: DataFrame, segs_b: DataFrame,
                     .alias("ix_nano"),
                     F.round(F.col("_py") * F.lit(1e9)).cast("long")
                     .alias("iy_nano")))
+
+
+def grid_moran(points: DataFrame, res: int, *,
+               x: str = "x", y: str = "y") -> DataFrame:
+    """Global Moran's I spatial autocorrelation of point DENSITY on the
+    res-grid — the one-number "is this corpus spatially clustered or
+    dispersed?" diagnostic that decides partitioning strategy (hot-cell
+    salting thresholds, tile pyramid depth) before the heavy joins run.
+
+    Sample = the NON-EMPTY cells (binary queen contiguity, weight 1 to
+    each of the up-to-8 neighbors that are themselves non-empty; empty
+    cells are not observations — document-derived grids are sparse and
+    a dense-lattice variant would be dominated by structural zeros).
+
+        I = (N / W) · Σ_ij (x_i − x̄)(x_j − x̄) / Σ_i (x_i − x̄)²
+
+    over directed neighbor pairs (each unordered pair counts twice in
+    both N·W numerator terms — the standard symmetric-W formulation).
+
+    Determinism at scale: the pair/cell sums are computed as BIGINT
+    aggregates of the integer counts (S1 = Σ x_i·x_j, S2 = Σ x_i+x_j,
+    W, N, Σx, Σx²) — exact and partial-aggregation-order-independent —
+    then I is assembled from them in ONE fixed double expression tree
+    (the centered form Σ(x_i−x̄)(x_j−x̄) = S1 − x̄·S2 + W·x̄²), so the
+    result is bit-identical across partitionings and replayed verbatim
+    by the DuckDB oracle. A float-valued variant would need nano
+    pre-integerization; counts avoid the issue entirely.
+
+    Shape: one hash-agg to cell counts, an 8-offset explode + ONE
+    equi-join on the neighbor coordinate (never a range join), two
+    single-row aggregates. Output (one row): n_cells, n_pairs (directed
+    neighbor pairs, 0 when no cells touch), moran_nano (round(I·1e9)
+    BIGINT; NULL when undefined — no neighbor pairs or zero variance).
+    """
+    from .cells import _grid_col
+
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be in [0, {MAX_RES}]")
+    pts = points.where(F.col(x).isNotNull() & F.col(y).isNotNull())
+    cells = (pts.select(
+        _grid_col(F.col(x).cast("double"), 180.0, 360.0, res).alias("_gx"),
+        _grid_col(F.col(y).cast("double"), 90.0, 180.0, res).alias("_gy"))
+        .groupBy("_gx", "_gy")
+        .agg(F.count(F.lit(1)).alias("_c")))
+    offs = F.expr("array(" + ", ".join(
+        f"named_struct('dx', {dx}L, 'dy', {dy}L)"
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        if (dx, dy) != (0, 0)) + ")")
+    left = (cells.select("_gx", "_gy", "_c", F.explode(offs).alias("_o"))
+            .select((F.col("_gx") + F.col("_o.dx")).alias("_jx"),
+                    (F.col("_gy") + F.col("_o.dy")).alias("_jy"), "_c"))
+    right = cells.select(F.col("_gx").alias("_jx"),
+                         F.col("_gy").alias("_jy"),
+                         F.col("_c").alias("_c2"))
+    pagg = (left.join(right, ["_jx", "_jy"])
+            .agg(F.count(F.lit(1)).alias("_w"),
+                 F.coalesce(F.sum(F.col("_c") * F.col("_c2")),
+                            F.lit(0).cast("long")).alias("_s1"),
+                 F.coalesce(F.sum(F.col("_c") + F.col("_c2")),
+                            F.lit(0).cast("long")).alias("_s2")))
+    cagg = cells.agg(F.count(F.lit(1)).alias("_n"),
+                     F.coalesce(F.sum("_c"), F.lit(0).cast("long"))
+                     .alias("_sx"),
+                     F.coalesce(F.sum(F.col("_c") * F.col("_c")),
+                                F.lit(0).cast("long")).alias("_sxx"))
+    one = cagg.crossJoin(pagg)  # 1 row × 1 row
+    nD = F.col("_n").cast("double")
+    wD = F.col("_w").cast("double")
+    mean = F.col("_sx").cast("double") / nD
+    num = F.col("_s1").cast("double") - mean * F.col("_s2").cast("double") \
+        + wD * mean * mean
+    den = F.col("_sxx").cast("double") - nD * mean * mean
+    moran = F.when((F.col("_w") > 0) & (den != F.lit(0.0)),
+                   (nD / wD) * (num / F.when(den != F.lit(0.0), den)))
+    return one.select(F.col("_n").alias("n_cells"),
+                      F.col("_w").alias("n_pairs"),
+                      F.round(moran * F.lit(1e9)).cast("long")
+                      .alias("moran_nano"))
