@@ -3963,6 +3963,69 @@ FROM cagg, pagg
 """
 
 
+def _q138_cooccurrence(spark, sf):
+    """Co-purchase pairs: parts co-occurring in an order (distinct
+    per basket, basket-key self-equi-join, exact pair count,
+    min_count=2 tail prune). Round-5 post-pin registration: in-repo
+    oracle sweep only."""
+    from kml2geojson_spark.relational import cooccurrence_pairs
+    return cooccurrence_pairs(_t(spark, sf, "lineitem"),
+                              basket_col="l_orderkey",
+                              item_col="l_partkey", min_count=2)
+
+
+_O138 = """
+WITH base AS (
+  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL)
+SELECT a.it AS item_a, b.it AS item_b, COUNT(*) AS n_baskets
+FROM base a JOIN base b ON a.bk = b.bk AND a.it < b.it
+GROUP BY 1, 2 HAVING COUNT(*) >= 2
+"""
+
+
+def _q139_session_paths(spark, sf):
+    """Session journey mining: n_sessions per first-5-event-type path
+    over gap-1800 sessions — one user-key Exchange feeds both window
+    passes, bounded collect_list, path hash-agg. Round-5 post-pin
+    registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.eventops import session_path_counts
+    return session_path_counts(_t(spark, sf, "events"),
+                               gap_seconds=1800, max_len=5)
+
+
+_O139 = """
+WITH e AS (
+  SELECT user_id AS u, ts AS t, event_id AS i, event_type AS ty
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_id IS NOT NULL AND event_type IS NOT NULL),
+f AS (
+  SELECT u, t, i, ty,
+         CASE WHEN lag(epoch(t)) OVER w IS NULL
+                   OR epoch(t) - lag(epoch(t)) OVER w > 1800
+              THEN 1 ELSE 0 END AS new
+  FROM e WINDOW w AS (PARTITION BY u ORDER BY t, i)),
+s AS (
+  SELECT u, ty, t, i,
+         SUM(new) OVER (PARTITION BY u ORDER BY t, i
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM f),
+r AS (
+  SELECT u, sid, ty, ROW_NUMBER() OVER (
+           PARTITION BY u, sid ORDER BY t, i) AS rn
+  FROM s),
+p AS (
+  SELECT u, sid, STRING_AGG(ty, '>' ORDER BY rn) AS path
+  FROM r WHERE rn <= 5 GROUP BY u, sid)
+SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY path
+"""
+# Both window ORDER BYs and the STRING_AGG totalize with event_id /
+# rn — the _O104/_O106 two-pass re-sort hazard; Spark's single-sort
+# plan needs the id tie-break too because path ORDER (unlike session
+# membership) is not tie-invariant under equal timestamps.
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -4093,6 +4156,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q135_heading_octants": _q135_heading_octants,
         "q136_segment_intersections": _q136_segment_intersections,
         "q137_grid_moran": _q137_grid_moran,
+        "q138_cooccurrence": _q138_cooccurrence,
+        "q139_session_paths": _q139_session_paths,
     }
 
 
@@ -4222,6 +4287,8 @@ def oracle_sql() -> dict[str, str]:
         "q135_heading_octants": _O135,
         "q136_segment_intersections": _O136,
         "q137_grid_moran": _O137,
+        "q138_cooccurrence": _O138,
+        "q139_session_paths": _O139,
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

@@ -451,3 +451,63 @@ def customer_rfm(orders: DataFrame, *, cust_col: str = "o_custkey",
             .withColumn("r_score", F.ntile(n_tiles).over(wr))
             .withColumn("f_score", F.ntile(n_tiles).over(wf))
             .withColumn("m_score", F.ntile(n_tiles).over(wm)))
+
+
+def session_path_counts(events: DataFrame, *, gap_seconds: int = 1800,
+                        max_len: int = 5,
+                        user_col: str = "user_id",
+                        ts_col: str = "ts",
+                        id_col: str = "event_id",
+                        type_col: str = "event_type") -> DataFrame:
+    """How many sessions follow each event-type path — the funnel-
+    discovery / UX-flow-mining aggregate (which journeys actually
+    happen, and how often) over the same gap-based sessions as
+    :func:`sessionize_batch`.
+
+    Semantics: rows with a NULL user, timestamp, id or type are
+    dropped (NULL-key discipline); events order within a user by the
+    TOTALIZED key ``(ts, id)`` — the unique id tie-break matters here,
+    unlike :func:`sessionize_batch`, because equal-timestamp events
+    are interchangeable for session MEMBERSHIP but not for path ORDER
+    (and the SQL replay's separate windowed passes must totalize the
+    same way — the q104/q106 oracle lesson). A session's path is its
+    first ``max_len`` event types joined with ``'>'``; longer sessions
+    truncate silently (the head identifies the journey; unbounded
+    paths would make the output cardinality unbounded).
+
+    Scale shape: ONE shuffle on the user key feeds both window passes
+    (boundary lag + running session index — same single-Exchange plan
+    as :func:`sessionize_batch`), a second window ranks inside the
+    session (same partitioning prefix, no new Exchange), then the
+    bounded per-session ``collect_list`` (≤ ``max_len`` structs) and a
+    map-side-combinable path count. No Python anywhere.
+
+    Output: (path, n_sessions).
+    """
+    if gap_seconds < 0:
+        raise ValueError("gap_seconds must be >= 0")
+    if max_len < 1:
+        raise ValueError("max_len must be >= 1")
+    w = Window.partitionBy("_u").orderBy(F.col("_t").asc(),
+                                         F.col("_i").asc())
+    sec = F.unix_timestamp(F.col("_t"))
+    prev_sec = F.lag(sec).over(w)
+    d = (events.select(F.col(user_col).alias("_u"),
+                       F.col(ts_col).alias("_t"),
+                       F.col(id_col).alias("_i"),
+                       F.col(type_col).alias("_ty"))
+         .where(F.col("_u").isNotNull() & F.col("_t").isNotNull()
+                & F.col("_i").isNotNull() & F.col("_ty").isNotNull())
+         .withColumn("_new", F.when(
+             prev_sec.isNull() | ((sec - prev_sec) > gap_seconds),
+             F.lit(1)).otherwise(F.lit(0)))
+         .withColumn("_s", F.sum("_new").over(w))
+         .withColumn("_rn", F.row_number().over(
+             Window.partitionBy("_u", "_s").orderBy(
+                 F.col("_t").asc(), F.col("_i").asc())))
+         .where(F.col("_rn") <= max_len))
+    path = F.concat_ws(">", F.expr(
+        "transform(sort_array(collect_list(struct(_rn, _ty))), p -> p._ty)"))
+    return (d.groupBy("_u", "_s").agg(path.alias("path"))
+            .groupBy("path")
+            .agg(F.count(F.lit(1)).alias("n_sessions")))

@@ -236,3 +236,52 @@ def key_skew_stats(df: DataFrame, key_col: str, *,
                     F.expr("cnt * 1000000 div _total").alias("share_ppm"),
                     F.expr("cnt * _n_keys * 1000000 div _total")
                     .alias("avg_multiple_ppm")))
+
+
+def cooccurrence_pairs(df: DataFrame, *, basket_col: str, item_col: str,
+                       min_count: int = 1,
+                       max_basket: int | None = None) -> DataFrame:
+    """Market-basket co-occurrence: for every unordered item pair,
+    the number of baskets containing both — the co-purchase /
+    co-citation graph builder (frequent-itemset support counting at
+    k = 2, the step before association rules or item-similarity).
+
+    Multiplicity inside a basket is ignored (a basket contributes a
+    pair at most once): the input collapses to DISTINCT (basket, item)
+    first — one hash-agg. Pairs come from a self-equi-join on the
+    basket key (co-located if the table is bucketed by it; exactly the
+    q64-family shape), ``item_a < item_b``, then a map-side-combinable
+    pair count; ``min_count`` prunes the long tail AFTER counting (the
+    count is exact).
+
+    Scale note: a basket with k distinct items emits k·(k−1)/2 pairs —
+    the same quadratic hazard as a hot n-gram
+    (:func:`..textops.ngram_jaccard_pairs`). ``max_basket`` drops
+    whale baskets (more than that many distinct items) BEFORE the
+    self-join — documented incompleteness, identical to the
+    ``max_doc_freq`` contract there: counts for surviving pairs do not
+    include dropped baskets. TPC-H-shaped orders are bounded (≤ ~13
+    lines) so the default None is exact there.
+
+    Output: (item_a, item_b, n_baskets) with item_a < item_b.
+    """
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    base = (df.where(F.col(basket_col).isNotNull()
+                     & F.col(item_col).isNotNull())
+            .select(F.col(basket_col).alias("_bk"),
+                    F.col(item_col).alias("_it"))
+            .distinct())
+    if max_basket is not None:
+        small = (base.groupBy("_bk")
+                 .agg(F.count(F.lit(1)).alias("_sz"))
+                 .where(F.col("_sz") <= max_basket)
+                 .select("_bk"))
+        base = base.join(small, "_bk", "left_semi")
+    a = base.select("_bk", F.col("_it").alias("item_a"))
+    b = base.select("_bk", F.col("_it").alias("item_b"))
+    return (a.join(b, "_bk")
+            .where(F.col("item_a") < F.col("item_b"))
+            .groupBy("item_a", "item_b")
+            .agg(F.count(F.lit(1)).alias("n_baskets"))
+            .where(F.col("n_baskets") >= min_count))

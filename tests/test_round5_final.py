@@ -1,0 +1,98 @@
+"""Round-5 final-session operators: cooccurrence_pairs (q138) and
+session_path_counts (q139) — post-pin registrations, in-repo oracle
+sweep evidence."""
+
+from __future__ import annotations
+
+from datetime import datetime
+from itertools import combinations
+
+import numpy as np
+import pytest
+
+from kml2geojson_spark.relational import cooccurrence_pairs
+from kml2geojson_spark.eventops import session_path_counts
+
+
+# ------------------------------------------------------- cooccurrence
+
+
+def _baskets(spark, rows):
+    return spark.createDataFrame(rows, "bk long, it long")
+
+
+def test_cooccurrence_hand(spark):
+    df = _baskets(spark, [(1, 10), (1, 11), (1, 10),   # dup item ignored
+                          (2, 10), (2, 11), (2, 12),
+                          (3, 10), (None, 9), (4, None)])
+    got = {(r["item_a"], r["item_b"]): r["n_baskets"]
+           for r in cooccurrence_pairs(
+               df, basket_col="bk", item_col="it").collect()}
+    assert got == {(10, 11): 2, (10, 12): 1, (11, 12): 1}
+
+
+def test_cooccurrence_min_count_and_max_basket(spark):
+    df = _baskets(spark, [(1, 10), (1, 11),
+                          (2, 10), (2, 11),
+                          (3, 10), (3, 11), (3, 12)])  # whale if max=2
+    got = cooccurrence_pairs(df, basket_col="bk", item_col="it",
+                             min_count=2).collect()
+    assert {(r["item_a"], r["item_b"], r["n_baskets"])
+            for r in got} == {(10, 11, 3)}
+    got = cooccurrence_pairs(df, basket_col="bk", item_col="it",
+                             max_basket=2).collect()
+    assert {(r["item_a"], r["item_b"], r["n_baskets"])
+            for r in got} == {(10, 11, 2)}
+    with pytest.raises(ValueError):
+        cooccurrence_pairs(df, basket_col="bk", item_col="it", min_count=0)
+
+
+def test_cooccurrence_matches_brute(spark):
+    rng = np.random.default_rng(138)
+    rows = [(int(rng.integers(0, 40)), int(rng.integers(0, 15)))
+            for _ in range(400)]
+    want = {}
+    baskets = {}
+    for bk, it in rows:
+        baskets.setdefault(bk, set()).add(it)
+    for items in baskets.values():
+        for a, b in combinations(sorted(items), 2):
+            want[(a, b)] = want.get((a, b), 0) + 1
+    got = {(r["item_a"], r["item_b"]): r["n_baskets"]
+           for r in cooccurrence_pairs(
+               _baskets(spark, rows), basket_col="bk",
+               item_col="it").collect()}
+    assert got == want
+
+
+# ---------------------------------------------------- session paths
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(u, datetime.fromtimestamp(t), i, ty) for u, t, i, ty in rows],
+        "user_id long, ts timestamp, event_id long, event_type string")
+
+
+def test_session_paths_hand(spark):
+    rows = [
+        (1, 1000, 1, "a"), (1, 1100, 2, "b"),      # session 1: a>b
+        (1, 9000, 3, "a"), (1, 9100, 4, "c"),      # session 2: a>c
+        (2, 1000, 5, "a"), (2, 1000, 6, "b"),      # tie ts → id order: a>b
+        (None, 1000, 7, "z"),
+    ]
+    got = {r["path"]: r["n_sessions"]
+           for r in session_path_counts(
+               _events(spark, rows), gap_seconds=1800).collect()}
+    assert got == {"a>b": 2, "a>c": 1}
+
+
+def test_session_paths_truncation_and_gap_edge(spark):
+    rows = [(1, 1000 + 100 * k, k, "e%d" % k) for k in range(8)]
+    # gap exactly gap_seconds stays in-session
+    rows.append((1, 1700 + 1800, 99, "tail"))
+    got = {r["path"]: r["n_sessions"]
+           for r in session_path_counts(
+               _events(spark, rows), gap_seconds=1800,
+               max_len=3).collect()}
+    assert got == {"e0>e1>e2": 1}
