@@ -4026,6 +4026,46 @@ SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY path
 # membership) is not tie-invariant under equal timestamps.
 
 
+def _q140_decontaminate_near(spark, sf):
+    """Fuzzy decontamination: flag corpus docs (doc_id % 17 != 3)
+    whose SimHash is within 3 bits of any benchmark doc (% 17 == 3) —
+    banded corpus×benchmark equi-join, pigeonhole-complete, benchmark
+    side broadcast. Round-5 post-pin registration: in-repo oracle
+    sweep only."""
+    from kml2geojson_spark.textops import decontaminate_near
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    return decontaminate_near(docs.where(F.col("doc_id") % 17 != 3),
+                              docs.where(F.col("doc_id") % 17 == 3))
+
+
+def _o140() -> str:
+    """Brute-force min-hamming oracle over the same md5 signatures."""
+    bits = 60
+    sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(bits))
+    asm = " | ".join(
+        f"(CASE WHEN s{b} > 0 THEN 1::BIGINT ELSE 0::BIGINT END << {b})"
+        for b in range(bits))
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents) WHERE tok != ''),
+h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+sums AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id),
+sig AS (SELECT doc_id, {asm} AS sig FROM sums),
+corpus AS (SELECT * FROM sig WHERE doc_id % 17 <> 3),
+bench AS (SELECT * FROM sig WHERE doc_id % 17 = 3)
+SELECT c.doc_id AS doc_id,
+       MIN(bit_count(xor(c.sig, b.sig))) AS min_hamming
+FROM corpus c CROSS JOIN bench b
+GROUP BY c.doc_id
+HAVING MIN(bit_count(xor(c.sig, b.sig))) <= 3
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -4158,6 +4198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q137_grid_moran": _q137_grid_moran,
         "q138_cooccurrence": _q138_cooccurrence,
         "q139_session_paths": _q139_session_paths,
+        "q140_decontaminate_near": _q140_decontaminate_near,
     }
 
 
@@ -4289,6 +4330,7 @@ def oracle_sql() -> dict[str, str]:
         "q137_grid_moran": _O137,
         "q138_cooccurrence": _O138,
         "q139_session_paths": _O139,
+        "q140_decontaminate_near": _o140(),
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

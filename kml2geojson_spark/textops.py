@@ -1233,3 +1233,50 @@ def lang_ngram_profile(documents: DataFrame, *, n: int = 3, k: int = 10,
                                            F.col("gram").asc())
     return (counts.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
+
+
+def decontaminate_near(documents: DataFrame, benchmark: DataFrame, *,
+                       max_hamming: int = 3, bands: int = 4,
+                       bits: int = SIMHASH_BITS) -> DataFrame:
+    """FUZZY benchmark decontamination: flag corpus documents whose
+    SimHash signature is within ``max_hamming`` bits of ANY benchmark
+    document — catches paraphrased / lightly-edited test-set leakage
+    that the exact n-gram guard (:func:`decontaminate_against`) misses.
+    The clean corpus is an anti-join against the output.
+
+    Same completeness contract as :func:`simhash_near_pairs`: with
+    ``max_hamming < bands`` the banded corpus×benchmark equi-join
+    provably finds every within-budget pair (pigeonhole), so the
+    result equals the O(|corpus|·|benchmark|) brute force the DuckDB
+    oracle runs — never an all-pairs join on the engine side. The
+    benchmark side is tiny (an eval suite), so its banded signatures
+    broadcast; corpus rows never shuffle, only the per-doc min-hamming
+    aggregate does (map-side combined).
+
+    Output: (doc_id, min_hamming) — corpus docs only, one row each.
+    """
+    if max_hamming >= bands:
+        raise ValueError("completeness requires max_hamming < bands")
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+
+    def _banded(docs: DataFrame, tag: str) -> DataFrame:
+        sigs = simhash_sql_signatures(docs, bits=bits)
+        buckets = F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.shiftright(F.col("sig"), b * band_bits)
+                     .bitwiseAND(F.lit(mask)).alias("bucket"))
+            for b in range(bands)])
+        return (sigs.select("doc_id", "sig", F.explode(buckets).alias("bb"))
+                .select(F.col("doc_id").alias(f"_{tag}id"),
+                        F.col("sig").alias(f"_{tag}sig"),
+                        "bb.band", "bb.bucket"))
+
+    corpus = _banded(documents, "c")
+    bench = _banded(benchmark, "b")
+    ham = F.bit_count(F.col("_csig").bitwiseXOR(F.col("_bsig")))
+    return (corpus.join(F.broadcast(bench), ["band", "bucket"])
+            .withColumn("_h", ham)
+            .where(F.col("_h") <= max_hamming)
+            .groupBy(F.col("_cid").alias("doc_id"))
+            .agg(F.min("_h").alias("min_hamming")))

@@ -96,3 +96,55 @@ def test_session_paths_truncation_and_gap_edge(spark):
                _events(spark, rows), gap_seconds=1800,
                max_len=3).collect()}
     assert got == {"e0>e1>e2": 1}
+
+
+# ------------------------------------------------- fuzzy decontamination
+
+
+from kml2geojson_spark.textops import (decontaminate_near,
+                                       simhash_sql_signatures)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_decontaminate_near_exact_copy_flagged(spark):
+    bench = _docs(spark, [(100, "the quick brown fox jumps")])
+    corpus = _docs(spark, [
+        (1, "the quick brown fox jumps"),          # identical → h=0
+        (2, "completely unrelated words entirely zebra")])
+    got = {(r["doc_id"], r["min_hamming"])
+           for r in decontaminate_near(corpus, bench).collect()}
+    assert (1, 0) in got
+    assert all(d != 2 for d, _ in got)
+
+
+def test_decontaminate_near_matches_brute(spark):
+    import numpy as np
+    rng = np.random.default_rng(140)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta",
+             "theta", "iota", "kappa", "lam", "mu", "nu", "xi"]
+    def mk(n, base):
+        return [(base + k, " ".join(rng.choice(vocab,
+                                               size=rng.integers(3, 9))))
+                for k in range(n)]
+    corpus_rows, bench_rows = mk(60, 0), mk(12, 1000)
+    corpus, bench = _docs(spark, corpus_rows), _docs(spark, bench_rows)
+    sig_c = {r["doc_id"]: r["sig"]
+             for r in simhash_sql_signatures(corpus).collect()}
+    sig_b = [r["sig"] for r in simhash_sql_signatures(bench).collect()]
+    want = {}
+    for d, s in sig_c.items():
+        hmin = min(bin(s ^ sb).count("1") for sb in sig_b)
+        if hmin <= 3:
+            want[d] = hmin
+    got = {r["doc_id"]: r["min_hamming"]
+           for r in decontaminate_near(corpus, bench).collect()}
+    assert got == want
+
+
+def test_decontaminate_near_validates(spark):
+    d = _docs(spark, [(1, "x")])
+    with pytest.raises(ValueError):
+        decontaminate_near(d, d, max_hamming=4, bands=4)
