@@ -120,16 +120,42 @@ def connected_components_star(edges: DataFrame, *, src: str = "doc_a",
                 .where(F.col("u") != F.col("v"))
                 .distinct())
 
+    # Convergence = the edge SET is stable round-over-round. The exact
+    # two-sided exceptAll comparison costs two extra shuffles of the
+    # full edge set EVERY round; instead each round computes a cheap
+    # order-independent fingerprint (count + two independently-salted
+    # modular xxhash64 sums — one map-side-combined agg over the
+    # already-checkpointed edges, no shuffle of edge rows) and only
+    # when the fingerprint repeats runs the EXACT one-sided confirm:
+    # both sets are distinct(), so equal counts + cur ⊆ nxt ⇒ equal.
+    # A differing fingerprint proves the sets differ (sound to
+    # continue); a colliding fingerprint merely triggers the exact
+    # check — correctness never rests on the hash.
+    def _fingerprint(ed: DataFrame) -> tuple:
+        r = ed.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(F.pmod(F.xxhash64("u", "v", F.lit(1)),
+                                    F.lit(1_000_000_007))
+                             .cast("decimal(38,0)")),
+                       F.lit(0)).alias("s1"),
+            F.coalesce(F.sum(F.pmod(F.xxhash64("u", "v", F.lit(2)),
+                                    F.lit(1_000_000_009))
+                             .cast("decimal(38,0)")),
+                       F.lit(0)).alias("s2")).first()
+        return (r["n"], r["s1"], r["s2"])
+
     converged = False
     cur = e
+    cur_fp = _fingerprint(cur)
     for _ in range(max_iters):
         nxt = small_star(large_star(cur)).localCheckpoint(eager=True)
-        changed = (nxt.exceptAll(cur).limit(1).count()
-                   + cur.exceptAll(nxt).limit(1).count())
+        nxt_fp = _fingerprint(nxt)
+        same = (nxt_fp == cur_fp
+                and cur.exceptAll(nxt).limit(1).count() == 0)
         prev = cur
-        cur = nxt
+        cur, cur_fp = nxt, nxt_fp
         prev.unpersist()
-        if changed == 0:
+        if same:
             converged = True
             break
     if not converged:
