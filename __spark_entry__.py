@@ -4066,6 +4066,47 @@ HAVING MIN(bit_count(xor(c.sig, b.sig))) <= 3
 """
 
 
+def _q141_asof_nearest(spark, sf):
+    """Nearest as-of join: each purchase event gets the same user's
+    click CLOSEST in time (either direction) — the sensor-alignment /
+    nearest-context lookup completing q17 (backward) and q105
+    (forward). Tie rule is fully pinned (asof.py): distance tie →
+    backward row; equal right timestamps → smallest click_id. Round-5
+    post-pin registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.asof import asof_join
+    e = _t(spark, sf, "events")
+    purchases = (e.where(F.col("event_type") == "purchase")
+                 .select(F.col("event_id").alias("purchase_id"),
+                         F.col("user_id"), F.col("ts")))
+    clicks = (e.where(F.col("event_type") == "click")
+              .select(F.col("user_id"), F.col("ts"),
+                      F.col("event_id").alias("click_id")))
+    out = asof_join(purchases, clicks, key="user_id",
+                    left_ts="ts", right_ts="ts", direction="nearest")
+    gap = F.expr("timestampdiff(MICROSECOND, ts, r_ts)")
+    return out.select("purchase_id", "user_id",
+                      F.col("r_click_id").alias("click_id"),
+                      gap.alias("gap_us"))
+
+
+_O141 = """
+WITH p AS (SELECT event_id AS purchase_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+c AS (SELECT event_id AS click_id, user_id, ts FROM events
+      WHERE event_type = 'click'),
+j AS (
+  SELECT p.purchase_id, p.user_id, c.click_id,
+         epoch_us(c.ts) - epoch_us(p.ts) AS gap_us,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.purchase_id
+           ORDER BY ABS(epoch_us(c.ts) - epoch_us(p.ts)) ASC,
+                    c.ts ASC, c.click_id ASC) AS rn
+  FROM p LEFT JOIN c ON p.user_id = c.user_id
+)
+SELECT purchase_id, user_id, click_id, gap_us FROM j WHERE rn = 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -4199,6 +4240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q138_cooccurrence": _q138_cooccurrence,
         "q139_session_paths": _q139_session_paths,
         "q140_decontaminate_near": _q140_decontaminate_near,
+        "q141_asof_nearest": _q141_asof_nearest,
     }
 
 
@@ -4331,6 +4373,7 @@ def oracle_sql() -> dict[str, str]:
         "q138_cooccurrence": _O138,
         "q139_session_paths": _O139,
         "q140_decontaminate_near": _o140(),
+        "q141_asof_nearest": _O141,
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

@@ -74,8 +74,20 @@ def asof_join(left: DataFrame, right: DataFrame, *, key: str,
     values of the remaining right columns (mirror of backward's
     greatest) — the SQL ``ROW_NUMBER() OVER (ORDER BY ts ASC, tiebreak
     ASC) = 1`` formulation.
+
+    ``direction="nearest"`` attaches the right row minimizing
+    ``|right_ts - left_ts|`` with a FULLY PINNED tie rule (pandas's
+    own ``merge_asof(direction="nearest")`` tie behavior is
+    undocumented, so it is not used): an exact distance tie between a
+    backward and a forward candidate resolves to the BACKWARD (earlier)
+    row, and equal right timestamps resolve to the SMALLEST remaining
+    right columns in BOTH directions — i.e. the single SQL formulation
+    ``ROW_NUMBER() OVER (ORDER BY abs(r.ts - l.ts) ASC, r.ts ASC,
+    tiebreak ASC) = 1``. Implemented as one backward + one forward
+    vectorized merge per bucket and a row-wise distance pick — still
+    two ``pd.merge_asof`` calls per BUCKET, not per key.
     """
-    if direction not in ("backward", "forward"):
+    if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown direction {direction!r}")
     lfields = list(left.schema.fields)
     rfields = list(right.schema.fields)
@@ -173,6 +185,42 @@ def asof_join(left: DataFrame, right: DataFrame, *, key: str,
         else:
             if len(rpdf) == 0:
                 out = _with_null_right(lpdf)
+            elif direction == "nearest":
+                # pinned-tie nearest: one backward + one forward merge,
+                # then a row-wise distance pick (backward wins exact
+                # ties). Equal right timestamps must resolve to the
+                # SMALLEST remaining columns in BOTH directions so one
+                # SQL oracle covers both: forward already takes the
+                # first in-order row of the ASC sort; backward takes
+                # the LAST, so re-sort equal-ts groups DESC by the
+                # remaining columns to make that last row the smallest.
+                rpdf = rpdf.copy()
+                rpdf[_MATCHED_FLAG] = True
+                rb = rpdf.sort_values(
+                    r_sort,
+                    ascending=[True] + [False] * (len(r_sort) - 1),
+                    kind="mergesort").reset_index(drop=True)
+                ob = pd.merge_asof(lpdf, rb, left_on=left_ts,
+                                   right_on=r_ts_col,
+                                   left_by=key, right_by=r_key,
+                                   direction="backward",
+                                   allow_exact_matches=True)
+                of = pd.merge_asof(lpdf, rpdf, left_on=left_ts,
+                                   right_on=r_ts_col,
+                                   left_by=key, right_by=r_key,
+                                   direction="forward",
+                                   allow_exact_matches=True)
+                bm = ob[_MATCHED_FLAG].notna()
+                fm = of[_MATCHED_FLAG].notna()
+                d_b = (ob[left_ts] - ob[r_ts_col]).abs()
+                d_f = (of[r_ts_col] - of[left_ts]).abs()
+                # NaN distances compare False, so an unmatched side
+                # never wins through the comparison itself
+                take_b = bm & (~fm | (d_b <= d_f))
+                out = of
+                for c in r_out + list(r_flags.values()):
+                    out[c] = ob[c].where(take_b, of[c])
+                out[_MATCHED_FLAG] = bm | fm
             else:
                 # constant True on the right side: after the merge its
                 # absence (NaN/None) marks the unmatched left rows —

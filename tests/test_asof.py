@@ -191,3 +191,70 @@ def test_asof_isnull_flag_collision_raises(spark):
     right = _mk(spark, [(7, 1.0, 2.5)], ["k", "ts", "score"])
     with pytest.raises(ValueError, match="collision"):
         asof_join(left, right, key="k", left_ts="ts", right_ts="ts")
+
+
+def test_asof_nearest_hand_cases(spark):
+    """Pinned nearest semantics: min |r.ts - l.ts|; exact distance tie
+    -> the BACKWARD (earlier) row; equal right timestamps -> SMALLEST
+    remaining right columns in BOTH directions."""
+    base = pd.Timestamp("2024-01-10")
+    day = pd.Timedelta(days=1)
+    left = _mk(spark, [(1, 7, base),            # tie: -2d vs +2d
+                       (2, 7, base + 5 * day),  # forward only closer
+                       (3, 9, base)],           # no right rows for key
+               ["lid", "k", "ts"])
+    right = _mk(spark, [(7, base - 2 * day, 50),
+                        (7, base + 2 * day, 60),
+                        (7, base + 6 * day, 70),
+                        (7, base + 6 * day, 71)],  # equal-ts pair
+                ["k", "ts", "rid"])
+    out = {r["lid"]: r for r in
+           asof_join(left, right, key="k", left_ts="ts", right_ts="ts",
+                     direction="nearest").collect()}
+    assert out[1]["r_rid"] == 50          # distance tie -> backward
+    assert out[2]["r_rid"] == 70          # forward win, smallest rid
+    assert out[3]["r_rid"] is None and out[3]["r_ts"] is None
+
+    # equal-ts tie on a BACKWARD win must also take the smallest rid
+    left2 = _mk(spark, [(1, 7, base + 7 * day)], ["lid", "k", "ts"])
+    row = asof_join(left2, right, key="k", left_ts="ts", right_ts="ts",
+                    direction="nearest").collect()[0]
+    assert row["r_rid"] == 70
+
+
+def test_asof_nearest_oracle_random(spark):
+    """Randomized corpus (coarse timestamps so distance/ts ties are
+    common) vs the SQL-rule brute force: ORDER BY abs ASC, ts ASC,
+    rid ASC."""
+    import numpy as np
+    rng = np.random.default_rng(23)
+    n_l, n_r = 300, 300
+    lpdf = pd.DataFrame({
+        "lid": np.arange(n_l),
+        "k": rng.integers(0, 10, n_l),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 40, n_l), unit="h"),
+    })
+    rpdf = pd.DataFrame({
+        "k": rng.integers(0, 10, n_r),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 40, n_r), unit="h"),
+        "rid": np.arange(n_r),
+    })
+    out = asof_join(spark.createDataFrame(lpdf), spark.createDataFrame(rpdf),
+                    key="k", left_ts="ts", right_ts="ts",
+                    direction="nearest").toPandas()
+
+    def brute(row):
+        cand = rpdf[rpdf["k"] == row["k"]].copy()
+        if len(cand) == 0:
+            return None
+        cand["d"] = (cand["ts"] - row["ts"]).abs()
+        best = cand.sort_values(["d", "ts", "rid"]).iloc[0]
+        return int(best["rid"])
+
+    expect = {int(r["lid"]): brute(r) for _, r in lpdf.iterrows()}
+    got = {int(r["lid"]): (None if pd.isna(r["r_rid"]) else int(r["r_rid"]))
+           for _, r in out.iterrows()}
+    assert len(out) == n_l
+    assert got == expect
