@@ -4107,6 +4107,53 @@ SELECT purchase_id, user_id, click_id, gap_us FROM j WHERE rn = 1
 """
 
 
+def _q142_attribution(spark, sf):
+    """First/last-touch attribution matrix: every purchase attributed
+    to the same user's first and last preceding view/click in the
+    totalized (ts, event_id) order, then counted per (first_type,
+    last_type) cell. ONE user-key exchange, null-skipping struct
+    min/max over a rows-frame window — no conversion×touch join.
+    Round-5 post-pin registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.eventops import touch_attribution
+    out = touch_attribution(_t(spark, sf, "events"),
+                            conversion_type="purchase",
+                            touch_types=["view", "click"])
+    return (out.groupBy(
+        F.coalesce("first_type", F.lit("(none)")).alias("first_type"),
+        F.coalesce("last_type", F.lit("(none)")).alias("last_type"))
+        .agg(F.count(F.lit(1)).alias("n_conversions")))
+
+
+_O142 = """
+WITH conv AS (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase'
+                AND user_id IS NOT NULL AND ts IS NOT NULL),
+t AS (SELECT event_id, user_id, ts, event_type FROM events
+      WHERE event_type IN ('view', 'click')
+        AND user_id IS NOT NULL AND ts IS NOT NULL),
+pairs AS (
+  SELECT c.event_id AS conv_id, t.event_type AS touch_type,
+         ROW_NUMBER() OVER (PARTITION BY c.event_id
+                            ORDER BY t.ts ASC, t.event_id ASC) AS rf,
+         ROW_NUMBER() OVER (PARTITION BY c.event_id
+                            ORDER BY t.ts DESC, t.event_id DESC) AS rl
+  FROM conv c JOIN t ON t.user_id = c.user_id
+                    AND (t.ts, t.event_id) < (c.ts, c.event_id)
+),
+att AS (
+  SELECT c.event_id AS conv_id,
+         MAX(CASE WHEN p.rf = 1 THEN p.touch_type END) AS first_type,
+         MAX(CASE WHEN p.rl = 1 THEN p.touch_type END) AS last_type
+  FROM conv c LEFT JOIN pairs p ON p.conv_id = c.event_id
+  GROUP BY c.event_id
+)
+SELECT COALESCE(first_type, '(none)') AS first_type,
+       COALESCE(last_type, '(none)') AS last_type,
+       COUNT(*)::BIGINT AS n_conversions
+FROM att GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -4241,6 +4288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q139_session_paths": _q139_session_paths,
         "q140_decontaminate_near": _q140_decontaminate_near,
         "q141_asof_nearest": _q141_asof_nearest,
+        "q142_attribution": _q142_attribution,
     }
 
 
@@ -4374,6 +4422,7 @@ def oracle_sql() -> dict[str, str]:
         "q139_session_paths": _O139,
         "q140_decontaminate_near": _o140(),
         "q141_asof_nearest": _O141,
+        "q142_attribution": _O142,
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

@@ -511,3 +511,53 @@ def session_path_counts(events: DataFrame, *, gap_seconds: int = 1800,
     return (d.groupBy("_u", "_s").agg(path.alias("path"))
             .groupBy("path")
             .agg(F.count(F.lit(1)).alias("n_sessions")))
+
+
+def touch_attribution(events: DataFrame, *, conversion_type: str,
+                      touch_types: list[str],
+                      user_col: str = "user_id", ts_col: str = "ts",
+                      id_col: str = "event_id",
+                      type_col: str = "event_type") -> DataFrame:
+    """Multi-touch attribution: for every CONVERSION event (type
+    ``conversion_type``), the same user's FIRST and LAST preceding
+    TOUCH event (type in ``touch_types``) — first-touch and last-touch
+    marketing attribution in one pass. "Preceding" is strict in the
+    TOTALIZED per-user order ``(ts, id)``, so an equal-timestamp touch
+    attributes iff its id is smaller — deterministic under duplicate
+    timestamps, replayable as the SQL row-value predicate
+    ``(t.ts, t.id) < (c.ts, c.id)``.
+
+    Output: one row per conversion — ``(conversion id, user,
+    first_type, first_id, last_type, last_id)`` with NULLs when the
+    user has no preceding touch. Aggregate downstream as needed (e.g.
+    group by (first_type, last_type) for the attribution matrix).
+
+    Scale shape: ONE exchange on the user key; first/last touch are
+    null-skipping min/max of a ``struct(ts, id, type)`` over a
+    rows-frame window (UNBOUNDED PRECEDING .. 1 PRECEDING) — no
+    conversion×touch join, no per-user collect, no Python. NULL user
+    ids are dropped (the package's NULL-key discipline); NULL
+    timestamps are dropped (no position in the order).
+    """
+    e = (events.select(F.col(user_col).alias("user_id"),
+                       F.col(ts_col).alias("ts"),
+                       F.col(id_col).alias("event_id"),
+                       F.col(type_col).alias("event_type"))
+         .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+                & F.col("event_type").isin([conversion_type,
+                                            *touch_types])))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    touch = F.when(F.col("event_type").isin(list(touch_types)),
+                   F.struct(F.col("ts").alias("ts"),
+                            F.col("event_id").alias("event_id"),
+                            F.col("event_type").alias("event_type")))
+    return (e.withColumn("_first", F.min(touch).over(w))
+            .withColumn("_last", F.max(touch).over(w))
+            .where(F.col("event_type") == conversion_type)
+            .select(F.col("event_id").alias("conversion_id"),
+                    "user_id",
+                    F.col("_first.event_type").alias("first_type"),
+                    F.col("_first.event_id").alias("first_id"),
+                    F.col("_last.event_type").alias("last_type"),
+                    F.col("_last.event_id").alias("last_id")))

@@ -241,3 +241,66 @@ def test_skyline_doubles(spark):
     df = spark.createDataFrame(pts, "x double, y double")
     got = {(r["x"], r["y"]) for r in skyline2d(df, n_buckets=8).collect()}
     assert got == {(0.5, 2.4), (10.0, 0.1)}
+
+
+def test_touch_attribution_hand_case(spark):
+    from kml2geojson_spark.eventops import touch_attribution
+    T = dt.datetime
+    rows = [
+        # user 1: view(1) click(2) purchase(3) click(4) purchase(5)
+        (1, T(2024, 1, 1, 10), 1, "view"),
+        (2, T(2024, 1, 1, 11), 1, "click"),
+        (3, T(2024, 1, 1, 12), 1, "purchase"),
+        (4, T(2024, 1, 1, 13), 1, "click"),
+        (5, T(2024, 1, 1, 14), 1, "purchase"),
+        # user 2: purchase with NO preceding touch (error ignored)
+        (6, T(2024, 1, 1, 9), 2, "error"),
+        (7, T(2024, 1, 1, 10), 2, "purchase"),
+        # user 3: equal-ts touch BEFORE (id 8 < 9) and AFTER (id 10)
+        (8, T(2024, 1, 2, 10), 3, "click"),
+        (9, T(2024, 1, 2, 10), 3, "purchase"),
+        (10, T(2024, 1, 2, 10), 3, "view"),
+    ]
+    df = spark.createDataFrame(rows,
+                               "event_id long, ts timestamp, "
+                               "user_id long, event_type string")
+    out = {r["conversion_id"]: r for r in touch_attribution(
+        df, conversion_type="purchase",
+        touch_types=["view", "click"]).collect()}
+    assert len(out) == 4
+    assert (out[3]["first_type"], out[3]["first_id"]) == ("view", 1)
+    assert (out[3]["last_type"], out[3]["last_id"]) == ("click", 2)
+    assert (out[5]["first_id"], out[5]["last_id"]) == (1, 4)
+    assert out[7]["first_type"] is None and out[7]["last_id"] is None
+    # strict (ts, id) order: id 8 attributes, id 10 does not
+    assert (out[9]["first_id"], out[9]["last_id"]) == (8, 8)
+
+
+def test_touch_attribution_brute_force(spark):
+    from kml2geojson_spark.eventops import touch_attribution
+    rng = random.Random(7)
+    types = ["view", "click", "purchase", "error"]
+    rows = [(i, dt.datetime(2024, 1, 1) +
+             dt.timedelta(hours=rng.randrange(24)),  # heavy ts ties
+             rng.randrange(6), rng.choice(types)) for i in range(400)]
+    df = spark.createDataFrame(rows,
+                               "event_id long, ts timestamp, "
+                               "user_id long, event_type string")
+    got = {r["conversion_id"]:
+           (r["first_type"], r["first_id"], r["last_type"], r["last_id"])
+           for r in touch_attribution(
+               df, conversion_type="purchase",
+               touch_types=["view", "click"]).collect()}
+    expect = {}
+    for (cid, cts, cu, ctyp) in rows:
+        if ctyp != "purchase":
+            continue
+        cand = sorted((ts, i, ty) for (i, ts, u, ty) in rows
+                      if u == cu and ty in ("view", "click")
+                      and (ts, i) < (cts, cid))
+        if cand:
+            expect[cid] = (cand[0][2], cand[0][1],
+                           cand[-1][2], cand[-1][1])
+        else:
+            expect[cid] = (None, None, None, None)
+    assert got == expect
