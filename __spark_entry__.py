@@ -1735,8 +1735,10 @@ def _q74_line_cover(spark, sf):
     return line_cover(_supplier_lines(spark, sf), 7)
 
 
-def _o74() -> str:
-    res = 7
+def _line_cover_ctes(res: int) -> str:
+    """WITH chain replaying line_cover over _supplier_lines float-for-
+    float; final CTE is ``g`` = DISTINCT (line_id, gx, gy). Shared by
+    the q74 (line_cover) and q143 (buffer_cells) oracles."""
     n = float(1 << res)
     hi = (1 << res) - 1
     cw = 360.0 / n
@@ -1771,7 +1773,13 @@ rr AS (SELECT line_id, gx, unnest(generate_series(
   CAST(GREATEST(0, LEAST({hi},
        FLOOR((GREATEST(ya, yb) + 90.0) / 180.0 * {n}))) AS BIGINT))) AS gy
   FROM yy),
-g AS (SELECT DISTINCT line_id, gx, gy FROM rr)
+g AS (SELECT DISTINCT line_id, gx, gy FROM rr)"""
+
+
+def _o74() -> str:
+    res = 7
+    return f"""
+{_line_cover_ctes(res)}
 {_morton_ctes("line_id", res, "g")}
 SELECT line_id, cell_id FROM enc
 """
@@ -4154,6 +4162,36 @@ FROM att GROUP BY 1, 2
 """
 
 
+def _q143_line_buffer(spark, sf):
+    """Rasterized line buffer: the supplier polylines' supercover
+    (q74) dilated by one Chebyshev ring — the corridor geofence around
+    each route. buffer_cells = literal offset explode + Morton
+    re-encode + ONE (id, cell) distinct hash-agg; composed with
+    line_cover it stays join-free end-to-end. Round-5 post-pin
+    registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.spatial import buffer_cells, line_cover
+    cover = line_cover(_supplier_lines(spark, sf), 7)
+    return buffer_cells(cover, 7, radius=1)
+
+
+def _o143() -> str:
+    res = 7
+    ni = 1 << res
+    return f"""
+{_line_cover_ctes(res)},
+offs AS (SELECT dxs.dx AS dx, dys.dy AS dy
+         FROM (SELECT unnest(generate_series(-1, 1)) AS dx) dxs,
+              (SELECT unnest(generate_series(-1, 1)) AS dy) dys),
+buf AS (SELECT DISTINCT g.line_id,
+               ((g.gx + o.dx) % {ni} + {ni}) % {ni} AS gx,
+               g.gy + o.dy AS gy
+        FROM g, offs o
+        WHERE g.gy + o.dy >= 0 AND g.gy + o.dy < {ni})
+{_morton_ctes("line_id", res, "buf")}
+SELECT line_id, cell_id FROM enc
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -4289,6 +4327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q140_decontaminate_near": _q140_decontaminate_near,
         "q141_asof_nearest": _q141_asof_nearest,
         "q142_attribution": _q142_attribution,
+        "q143_line_buffer": _q143_line_buffer,
     }
 
 
@@ -4423,6 +4462,7 @@ def oracle_sql() -> dict[str, str]:
         "q140_decontaminate_near": _o140(),
         "q141_asof_nearest": _O141,
         "q142_attribution": _O142,
+        "q143_line_buffer": _o143(),
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

@@ -2208,6 +2208,58 @@ def cell_smooth(cells: DataFrame, res: int, radius: int = 1, *,
             .agg(F.sum("_sn").alias("smoothed")))
 
 
+def buffer_cells(cells: DataFrame, res: int, radius: int = 1, *,
+                 id_col: str = "line_id",
+                 cell_col: str = "cell_id") -> DataFrame:
+    """Morphological DILATION of a per-id cell set: every cell within
+    Chebyshev distance ``radius`` of any of the id's input cells —
+    the grid buffer. Composed with :func:`line_cover` it is the
+    rasterized line buffer (corridor geofence around a route); with
+    :func:`polygon_cover` it is the polygon buffer (expanded
+    containment mask for conservative pre-filters). Ring semantics
+    match :func:`cell_smooth` / :func:`..cells.cell_kring_np`: x wraps
+    at the antimeridian, y clamps at the poles, and a grid narrower
+    than the ring shrinks the x-offset list to one full row so no cell
+    appears twice.
+
+    Scale shape: a literal (dx, dy) offset explode + Morton re-encode
+    (whole-stage codegen, zero Python) and ONE (id, cell) hash
+    aggregate with map-side combine for the distinct — no join, no
+    window. (2r+1)²·rows partial rows, pre-combined per task.
+
+    Precondition: every row's cell is at resolution ``res`` (raises
+    inside the task otherwise — :func:`uncompact_cells` first for
+    mixed-resolution sets).
+
+    Output: (id_col, cell_id) — distinct dilated cells per id.
+    """
+    from .cells import RES_BITS, _spread_col, cell_decode_cols
+
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be in [0, {MAX_RES}]")
+    if radius < 0:
+        raise ValueError("radius must be >= 0")
+    n = 1 << res
+    span = 2 * radius + 1
+    dxs = list(range(-radius, radius + 1)) if n >= span else list(range(n))
+    dys = list(range(-radius, radius + 1))
+    offs = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                     for dx in dxs for dy in dys])
+    ix, iy, cres = cell_decode_cols(F.col(cell_col))
+    guard = F.when(cres == res, ix).otherwise(F.raise_error(F.concat(
+        F.lit(f"buffer_cells: expected resolution {res}, got cell "),
+        F.col(cell_col).cast("string"))))
+    d = (cells.select(F.col(id_col), guard.alias("_sx"), iy.alias("_sy"))
+         .withColumn("_soff", F.explode(offs)))
+    xs = F.pmod(F.col("_sx") + F.col("_soff.dx"), F.lit(n))
+    ys = F.col("_sy") + F.col("_soff.dy")
+    code = F.shiftleft(_spread_col(xs), 1).bitwiseOR(_spread_col(ys))
+    cell = F.shiftleft(code, RES_BITS).bitwiseOR(F.lit(res))
+    return (d.where((ys >= 0) & (ys < F.lit(n)))
+            .select(F.col(id_col), cell.alias("cell_id"))
+            .distinct())
+
+
 def pip_anti_join(points: DataFrame, polygons: DataFrame, res: int, *,
                   point_id: str = "point_id", x: str = "x", y: str = "y",
                   poly_id: str = "poly_id", rings: str = "rings",

@@ -148,3 +148,43 @@ def test_decontaminate_near_validates(spark):
     d = _docs(spark, [(1, "x")])
     with pytest.raises(ValueError):
         decontaminate_near(d, d, max_hamming=4, bands=4)
+
+
+# --- buffer_cells (per-id grid dilation) ------------------------------------
+
+def test_buffer_cells_matches_kring_brute_force(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+    from kml2geojson_spark.spatial.cells import cell_encode_np, cell_kring_np
+    from kml2geojson_spark.spatial import buffer_cells
+    rng = np.random.default_rng(5)
+    res, radius = 5, 2
+    lon = rng.uniform(-180, 180, 300)
+    lat = rng.uniform(-90, 90, 300)
+    ids = rng.integers(0, 6, 300)
+    cells = cell_encode_np(lon, lat, res)
+    rows = sorted({(int(i), int(c)) for i, c in zip(ids, cells)})
+    df = spark.createDataFrame(rows, "line_id long, cell_id long")
+    got = {(r["line_id"], r["cell_id"])
+           for r in buffer_cells(df, res, radius).collect()}
+    expect = {(i, int(nb)) for i, c in rows
+              for nb in cell_kring_np(c, radius)}
+    assert got == expect
+
+
+def test_buffer_cells_radius_zero_identity_and_guards(spark):
+    import pytest
+    from pyspark.sql.utils import SparkUpgradeException
+    from py4j.protocol import Py4JJavaError
+    from kml2geojson_spark.spatial.cells import cell_encode_np
+    from kml2geojson_spark.spatial import buffer_cells
+    c = int(cell_encode_np([10.0], [20.0], 6)[0])
+    df = spark.createDataFrame([(1, c), (1, c), (2, c)],
+                               "line_id long, cell_id long")
+    out = {(r["line_id"], r["cell_id"])
+           for r in buffer_cells(df, 6, 0).collect()}
+    assert out == {(1, c), (2, c)}  # radius 0 = distinct identity
+    with pytest.raises(ValueError):
+        buffer_cells(df, 6, -1)
+    with pytest.raises(Exception):  # wrong-resolution cell raises in-task
+        buffer_cells(df, 7, 1).collect()
