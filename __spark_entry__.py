@@ -4192,6 +4192,45 @@ SELECT line_id, cell_id FROM enc
 """
 
 
+def _q144_chunk_documents(spark, sf):
+    """Overlapping token chunking (64-token windows, 16-token
+    overlap): the context-window splitter preceding embedding /
+    packing. Pure Column split + integer-sequence explode +
+    slice/array_join — zero Python, zero shuffle; exact integer
+    ceiling for the chunk count. Round-5 post-pin registration:
+    in-repo oracle sweep only."""
+    from kml2geojson_spark.textops import chunk_documents
+    return chunk_documents(_t(spark, sf, "documents"),
+                           chunk_tokens=64, overlap=16)
+
+
+def _o144() -> str:
+    chunk, overlap = 64, 16
+    stride = chunk - overlap
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents),
+n AS (SELECT doc_id, toks, len(toks) AS nt FROM t WHERE len(toks) > 0),
+c AS (SELECT doc_id, toks,
+             CASE WHEN nt <= {chunk} THEN 1
+                  ELSE 1 + (nt - {chunk} + {stride - 1}) // {stride}
+             END AS nc
+      FROM n),
+x AS (SELECT doc_id, toks,
+             unnest(generate_series(0, nc - 1)) AS chunk_idx FROM c)
+SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       CAST(len(toks[chunk_idx * {stride} + 1 :
+                     chunk_idx * {stride} + {chunk}]) AS INTEGER)
+         AS n_tokens,
+       array_to_string(toks[chunk_idx * {stride} + 1 :
+                            chunk_idx * {stride} + {chunk}], ' ')
+         AS chunk_text
+FROM x
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -4328,6 +4367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q141_asof_nearest": _q141_asof_nearest,
         "q142_attribution": _q142_attribution,
         "q143_line_buffer": _q143_line_buffer,
+        "q144_chunk_documents": _q144_chunk_documents,
     }
 
 
@@ -4463,6 +4503,7 @@ def oracle_sql() -> dict[str, str]:
         "q141_asof_nearest": _O141,
         "q142_attribution": _O142,
         "q143_line_buffer": _o143(),
+        "q144_chunk_documents": _o144(),
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

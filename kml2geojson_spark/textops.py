@@ -1280,3 +1280,57 @@ def decontaminate_near(documents: DataFrame, benchmark: DataFrame, *,
             .where(F.col("_h") <= max_hamming)
             .groupBy(F.col("_cid").alias("doc_id"))
             .agg(F.min("_h").alias("min_hamming")))
+
+
+def chunk_documents(documents: DataFrame, *, chunk_tokens: int = 256,
+                    overlap: int = 32, doc_id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Fixed-size overlapping token chunking — the context-window
+    splitter that precedes embedding / training-example packing: each
+    document's whitespace tokens are windowed into chunks of
+    ``chunk_tokens`` tokens stepping by ``chunk_tokens - overlap``, so
+    consecutive chunks share ``overlap`` tokens and every token is
+    covered. The last chunk may be shorter but is never empty; a
+    document of ≤ ``chunk_tokens`` tokens yields exactly one chunk;
+    zero-token documents yield no rows. Chunk text is the tokens
+    re-joined with single spaces (whitespace-normalizing, like every
+    tokenizing operator here: split on ``' '``, empty tokens dropped).
+
+    Chunk count uses exact INTEGER ceiling division
+    (``1 + (n - chunk) div stride``) — no float division whose
+    last-ulp could flip a boundary document's chunk count between
+    engines.
+
+    Scale shape: pure Column — split + filter + integer-sequence
+    explode + ``slice``/``array_join`` — zero Python, zero shuffle,
+    zero join; parallelism is the scan's. Output grows by roughly
+    ``1/(1 - overlap/chunk_tokens)`` in tokens; the explode is
+    per-row bounded by the document's own length.
+
+    Output: (doc_id_col, chunk_idx, n_tokens, chunk_text).
+    """
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_tokens must be positive")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("overlap must satisfy 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.filter(F.split(F.col(text_col), " "),
+                    lambda t: t != F.lit(""))
+    base = documents.select(F.col(doc_id_col), toks.alias("_toks"),
+                            F.size(toks).alias("_nt"))
+    n_chunks = F.expr(
+        f"CASE WHEN _nt <= {chunk_tokens} THEN 1 "
+        f"ELSE 1 + (_nt - {chunk_tokens} + {stride - 1}) div {stride} END")
+    return (base.where(F.col("_nt") > 0)
+            .withColumn("chunk_idx",
+                        F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+            .select(
+                doc_id_col,
+                "chunk_idx",
+                F.size(F.slice(F.col("_toks"),
+                               F.col("chunk_idx") * stride + 1,
+                               chunk_tokens)).alias("n_tokens"),
+                F.array_join(F.slice(F.col("_toks"),
+                                     F.col("chunk_idx") * stride + 1,
+                                     chunk_tokens),
+                             " ").alias("chunk_text")))

@@ -945,3 +945,46 @@ def test_edit_distance_pairs_plan_no_nested_loop(spark):
         .executedPlan().toString()
     assert "BroadcastNestedLoop" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_chunk_documents_brute_force(spark):
+    from kml2geojson_spark.textops import chunk_documents
+    import random as _random
+    rng = _random.Random(13)
+    docs = []
+    for i in range(40):
+        n = rng.choice([0, 1, 5, 15, 16, 17, 31, 32, 33, 64, 200])
+        # double spaces sprinkled in: empty tokens must be dropped
+        sep = lambda: "  " if rng.random() < 0.2 else " "
+        docs.append((i, sep().join(f"w{j}" for j in range(n))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    chunk, overlap = 16, 4
+    stride = chunk - overlap
+    got = {(r["doc_id"], r["chunk_idx"]): (r["n_tokens"], r["chunk_text"])
+           for r in chunk_documents(df, chunk_tokens=chunk,
+                                    overlap=overlap).collect()}
+    expect = {}
+    for i, text in docs:
+        toks = [t for t in text.split(" ") if t]
+        if not toks:
+            continue
+        nc = 1 if len(toks) <= chunk else \
+            1 + (len(toks) - chunk + stride - 1) // stride
+        for ci in range(nc):
+            part = toks[ci * stride: ci * stride + chunk]
+            expect[(i, ci)] = (len(part), " ".join(part))
+    assert got == expect
+    # invariants: full coverage, no empty chunk, overlap honored
+    assert all(n > 0 for n, _ in got.values())
+
+
+def test_chunk_documents_param_guards(spark):
+    from kml2geojson_spark.textops import chunk_documents
+    import pytest
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=0)
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=8, overlap=8)
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=8, overlap=-1)
