@@ -4231,6 +4231,63 @@ FROM x
 """
 
 
+def _q145_convex_hull(spark, sf):
+    """Per-group convex hull vertices over deterministic integer
+    points (fixed 1,500-customer slice so the O(n⁴) oracle's group
+    size is scale-independent). Two-level distributed monotone chain:
+    per-batch partial hulls in mapInPandas (hull is a lattice
+    homomorphism, so only hull-sized rows shuffle), final hull per
+    group in applyInPandas; exact Python-int orientation tests.
+    Round-5 post-pin registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.spatial import convex_hull
+    c = _t(spark, sf, "customer").where(F.col("c_custkey") <= 1500)
+    pts = c.select(
+        (F.col("c_custkey") % 50).alias("group_id"),
+        ((F.col("c_custkey") * 7919 + 13) % 2001 - 1000)
+        .cast("long").alias("x"),
+        ((F.col("c_custkey") * 6101 + 47) % 2001 - 1000)
+        .cast("long").alias("y"))
+    return convex_hull(pts)
+
+
+_O145 = """
+WITH pts AS (
+  SELECT DISTINCT c_custkey % 50 AS group_id,
+         (c_custkey * 7919 + 13) % 2001 - 1000 AS x,
+         (c_custkey * 6101 + 47) % 2001 - 1000 AS y
+  FROM customer WHERE c_custkey <= 1500),
+-- non-vertex by Caratheodory: p strictly between two others (the
+-- segment test also catches every on-edge / on-chord case) ...
+seg AS (
+  SELECT DISTINCT p.group_id, p.x, p.y
+  FROM pts p
+  JOIN pts a ON a.group_id = p.group_id AND (a.x, a.y) <> (p.x, p.y)
+  JOIN pts b ON b.group_id = p.group_id AND (b.x, b.y) <> (p.x, p.y)
+            AND (a.x, a.y) < (b.x, b.y)
+  WHERE (b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x) = 0
+    AND p.x BETWEEN LEAST(a.x, b.x) AND GREATEST(a.x, b.x)
+    AND p.y BETWEEN LEAST(a.y, b.y) AND GREATEST(a.y, b.y)),
+-- ... or p STRICTLY inside a triangle of others (all three exact
+-- integer orientation signs agree and are nonzero; a == p etc. give
+-- a zero cross, so no explicit inequality is needed here)
+tri AS (
+  SELECT DISTINCT p.group_id, p.x, p.y
+  FROM pts p
+  JOIN pts a ON a.group_id = p.group_id
+  JOIN pts b ON b.group_id = p.group_id AND (a.x, a.y) < (b.x, b.y)
+  JOIN pts c ON c.group_id = p.group_id AND (b.x, b.y) < (c.x, c.y)
+  WHERE ((b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x) > 0
+     AND (c.x - b.x) * (p.y - b.y) - (c.y - b.y) * (p.x - b.x) > 0
+     AND (a.x - c.x) * (p.y - c.y) - (a.y - c.y) * (p.x - c.x) > 0)
+     OR ((b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x) < 0
+     AND (c.x - b.x) * (p.y - b.y) - (c.y - b.y) * (p.x - b.x) < 0
+     AND (a.x - c.x) * (p.y - c.y) - (a.y - c.y) * (p.x - c.x) < 0))
+SELECT group_id, x, y FROM pts
+EXCEPT SELECT group_id, x, y FROM seg
+EXCEPT SELECT group_id, x, y FROM tri
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -4368,6 +4425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q142_attribution": _q142_attribution,
         "q143_line_buffer": _q143_line_buffer,
         "q144_chunk_documents": _q144_chunk_documents,
+        "q145_convex_hull": _q145_convex_hull,
     }
 
 
@@ -4504,6 +4562,7 @@ def oracle_sql() -> dict[str, str]:
         "q142_attribution": _O142,
         "q143_line_buffer": _o143(),
         "q144_chunk_documents": _o144(),
+        "q145_convex_hull": _O145,
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

@@ -2628,3 +2628,104 @@ def grid_moran(points: DataFrame, res: int, *,
                       F.col("_w").alias("n_pairs"),
                       F.round(moran * F.lit(1e9)).cast("long")
                       .alias("moran_nano"))
+
+
+def _hull_chain(pts: list) -> list:
+    """Andrew's monotone chain over EXACT Python-int coordinates —
+    STRICT hull vertices only (collinear edge-interior points are
+    popped by the <= 0 turn test). Input may contain duplicates."""
+    pts = sorted(set(pts))
+    if len(pts) <= 2:
+        return pts
+
+    def _half(seq):
+        out = []
+        for p in seq:
+            while len(out) >= 2 and (
+                    (out[-1][0] - out[-2][0]) * (p[1] - out[-2][1])
+                    - (out[-1][1] - out[-2][1]) * (p[0] - out[-2][0])) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = _half(pts)
+    upper = _half(reversed(pts))
+    return lower[:-1] + upper[:-1]
+
+
+def convex_hull(points: DataFrame, *, group_col: str = "group_id",
+                x_col: str = "x", y_col: str = "y") -> DataFrame:
+    """Per-group 2-D convex hull VERTICES — the footprint/extent
+    summary (dataset bounding polygon, per-region coverage outline)
+    the axis-aligned :func:`spatial_extent` cannot express. Vertices
+    are STRICT: points interior to a hull edge (collinear) are not
+    vertices; duplicates collapse. Output rows are the vertex SET
+    (unordered — deterministic as a set, which is what the
+    cross-engine hash compares).
+
+    Coordinates must be INTEGER columns (nano-integerize floats first,
+    the package's standard trick): every orientation test is then
+    exact Python-int arithmetic — no epsilon, no engine-dependent
+    float turns. Floating-point x/y raise up front rather than
+    silently truncate.
+
+    Scale shape — the hull is a LATTICE-HOMOMORPHIC summary
+    (hull(A ∪ B) = hull(hull(A) ∪ hull(B))), so it parallelizes like
+    an aggregate: (1) NULL-key/coord rows drop; (2) every Arrow batch
+    of every partition reduces to its per-group PARTIAL hull in
+    ``mapInPandas`` (no shuffle — a random point batch's hull is
+    O(log n) points, so the shuffle that follows moves hull-sized,
+    not data-sized, rows); (3) one ``groupBy(group)`` +
+    ``applyInPandas`` computes the final hull of the surviving
+    candidates. Monotone chain is O(n log n) per batch, pure Python
+    ints for exactness — n is batch-bounded, and stage 3's n is the
+    sum of tiny partial hulls.
+
+    Output: (group_col, x, y) — one row per hull vertex.
+    """
+    from pyspark.sql.types import (DoubleType, FloatType, LongType,
+                                   StructField, StructType)
+
+    fields = {f.name: f for f in points.schema.fields}
+    for c in (group_col, x_col, y_col):
+        if c not in fields:
+            raise ValueError(f"convex_hull: missing column {c!r}")
+    for c in (x_col, y_col):
+        if isinstance(fields[c].dataType, (DoubleType, FloatType)):
+            raise ValueError(
+                f"convex_hull: {c!r} is floating-point — nano-integerize "
+                "coordinates first (exact integer orientation tests are "
+                "the determinism contract)")
+    schema = StructType([
+        StructField(group_col, fields[group_col].dataType, False),
+        StructField("x", LongType(), False),
+        StructField("y", LongType(), False)])
+
+    base = (points
+            .where(F.col(group_col).isNotNull()
+                   & F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+            .select(F.col(group_col),
+                    F.col(x_col).cast("long").alias("x"),
+                    F.col(y_col).cast("long").alias("y")))
+
+    def _partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            gs, xs, ys = [], [], []
+            for g, sub in pdf.groupby(group_col, sort=False):
+                hull = _hull_chain(
+                    list(zip(sub["x"].tolist(), sub["y"].tolist())))
+                gs.extend([g] * len(hull))
+                xs.extend(p[0] for p in hull)
+                ys.extend(p[1] for p in hull)
+            yield pd.DataFrame({group_col: gs, "x": xs, "y": ys})
+
+    def _final(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        hull = _hull_chain(list(zip(pdf["x"].tolist(), pdf["y"].tolist())))
+        return pd.DataFrame({group_col: [key[0]] * len(hull),
+                             "x": [p[0] for p in hull],
+                             "y": [p[1] for p in hull]})
+
+    candidates = base.mapInPandas(_partial, schema)
+    return candidates.groupBy(group_col).applyInPandas(_final, schema)

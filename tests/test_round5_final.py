@@ -188,3 +188,84 @@ def test_buffer_cells_radius_zero_identity_and_guards(spark):
         buffer_cells(df, 6, -1)
     with pytest.raises(Exception):  # wrong-resolution cell raises in-task
         buffer_cells(df, 7, 1).collect()
+
+
+# --- convex_hull (two-level distributed monotone chain) ----------------------
+
+def _in_conv_of_others(p, others):
+    """Exact integer test: p in conv(others)? Carathéodory in 2-D —
+    on a segment between two others, or (strictly) inside a triangle
+    of others (edge cases covered by the segment test)."""
+    from itertools import combinations
+
+    def cross(a, b, c):
+        return (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+
+    for a, b in combinations(others, 2):
+        if (cross(a, b, p) == 0
+                and min(a[0], b[0]) <= p[0] <= max(a[0], b[0])
+                and min(a[1], b[1]) <= p[1] <= max(a[1], b[1])):
+            return True
+    for a, b, c in combinations(others, 3):
+        s1, s2, s3 = cross(a, b, p), cross(b, c, p), cross(c, a, p)
+        if (s1 > 0 and s2 > 0 and s3 > 0) or (s1 < 0 and s2 < 0 and s3 < 0):
+            return True
+    return False
+
+
+def test_convex_hull_brute_force_and_partition_invariance(spark):
+    import random as _random
+    from kml2geojson_spark.spatial import convex_hull
+    rng = _random.Random(17)
+    rows = [(g, rng.randrange(-50, 51), rng.randrange(-50, 51))
+            for g in range(5) for _ in range(25)]
+    # force duplicates and a collinear run in group 0
+    rows += [(0, 0, 0), (0, 0, 0), (0, -50, -50), (0, 50, 50)]
+    df = spark.createDataFrame(rows, "group_id long, x long, y long")
+    got = {}
+    for r in convex_hull(df, group_col="group_id").collect():
+        got.setdefault(r["group_id"], set()).add((r["x"], r["y"]))
+    for g in range(5):
+        pts = sorted({(x, y) for gg, x, y in rows if gg == g})
+        expect = {p for p in pts
+                  if not _in_conv_of_others(p, [q for q in pts if q != p])}
+        assert got[g] == expect, g
+    # hull is partitioning-invariant (lattice homomorphism)
+    got1 = {(r["group_id"], r["x"], r["y"])
+            for r in convex_hull(df.repartition(1)).collect()}
+    got13 = {(r["group_id"], r["x"], r["y"])
+             for r in convex_hull(df.repartition(13)).collect()}
+    assert got1 == got13 == {(g, x, y) for g, s in got.items()
+                             for x, y in s}
+
+
+def test_convex_hull_degenerate_shapes(spark):
+    from kml2geojson_spark.spatial import convex_hull
+    rows = ([(1, 0, 0)]                       # single point
+            + [(2, 5, 5), (2, 5, 5)]          # duplicated point
+            + [(3, i, 2 * i) for i in range(5)]   # all collinear
+            + [(4, 0, 0), (4, 2, 0), (4, 2, 2), (4, 0, 2),
+               (4, 1, 0), (4, 1, 1)])         # square + edge mid + interior
+    df = spark.createDataFrame(rows, "group_id long, x long, y long")
+    got = {}
+    for r in convex_hull(df).collect():
+        got.setdefault(r["group_id"], set()).add((r["x"], r["y"]))
+    assert got[1] == {(0, 0)}
+    assert got[2] == {(5, 5)}
+    assert got[3] == {(0, 0), (4, 8)}
+    assert got[4] == {(0, 0), (2, 0), (2, 2), (0, 2)}
+
+
+def test_convex_hull_guards(spark):
+    import pytest
+    from kml2geojson_spark.spatial import convex_hull
+    df = spark.createDataFrame([(1, 0.5, 1.0)],
+                               "group_id long, x double, y double")
+    with pytest.raises(ValueError):
+        convex_hull(df)
+    dfn = spark.createDataFrame(
+        [(None, 1, 1), (1, None, 2), (1, 3, 3)],
+        "group_id long, x long, y long")
+    out = [(r["group_id"], r["x"], r["y"])
+           for r in convex_hull(dfn).collect()]
+    assert out == [(1, 3, 3)]  # NULL key/coord rows dropped
