@@ -4288,6 +4288,53 @@ EXCEPT SELECT group_id, x, y FROM tri
 """
 
 
+def _q146_quantile_buckets(spark, sf):
+    """Decile bucketing WITHOUT a global sort: boundaries from the
+    deterministic-sample two-phase order statistics (q57's machinery),
+    assignment as count(boundaries <= value) against broadcast
+    boundary literals — zero shuffle in the assignment pass, then one
+    histogram hash-agg. The 100-TB-safe ntile. Round-5 post-pin
+    registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.sketch import quantile_bucket_assign
+    o = _t(spark, sf, "orders").select(
+        F.round(F.col("o_totalprice") * 100.0).cast("long")
+        .alias("price_cents"))
+    assigned = quantile_bucket_assign(o, "price_cents", n_buckets=10)
+    return (assigned.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.min("price_cents").alias("min_cents"),
+                 F.max("price_cents").alias("max_cents")))
+
+
+def _o146() -> str:
+    qs = ", ".join(f"({i / 10!r}::DOUBLE)" for i in range(1, 10))
+    return f"""
+WITH s AS (
+  SELECT CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS price_cents
+  FROM orders
+  WHERE ('0x' || substr(md5(CAST(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)
+                             AS VARCHAR)), 1, 2))::BIGINT < 16),
+ranked AS (
+  SELECT price_cents,
+         ROW_NUMBER() OVER (ORDER BY price_cents ASC) AS rn,
+         COUNT(*) OVER () AS cnt
+  FROM s),
+bounds AS (
+  SELECT price_cents AS b
+  FROM ranked CROSS JOIN (VALUES {qs}) AS qv(q)
+  WHERE rn = CAST(FLOOR(q * (cnt - 1)) AS BIGINT) + 1),
+o AS (SELECT CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS price_cents
+      FROM orders),
+a AS (SELECT price_cents,
+             (SELECT COUNT(*) FROM bounds WHERE b <= o.price_cents)
+               AS bucket
+      FROM o)
+SELECT CAST(bucket AS INTEGER) AS bucket, COUNT(*) AS n_orders,
+       MIN(price_cents) AS min_cents, MAX(price_cents) AS max_cents
+FROM a GROUP BY bucket
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -4426,6 +4473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q143_line_buffer": _q143_line_buffer,
         "q144_chunk_documents": _q144_chunk_documents,
         "q145_convex_hull": _q145_convex_hull,
+        "q146_quantile_buckets": _q146_quantile_buckets,
     }
 
 
@@ -4563,6 +4611,7 @@ def oracle_sql() -> dict[str, str]:
         "q143_line_buffer": _o143(),
         "q144_chunk_documents": _o144(),
         "q145_convex_hull": _O145,
+        "q146_quantile_buckets": _o146(),
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

@@ -470,3 +470,41 @@ WHERE {weight_expr} IS NOT NULL AND {weight_expr} > 0
 ORDER BY pow({u}, 1.0 / CAST({weight_expr} AS DOUBLE)) DESC, {id_expr} ASC
 LIMIT {k}
 """
+
+
+def quantile_bucket_assign(df: DataFrame, value_col: str, *,
+                           n_buckets: int = 10, rate_num: int = 1,
+                           rate_den: int = 16,
+                           bucket_col: str = "bucket") -> DataFrame:
+    """Quantile bucketing (curriculum / difficulty deciles) WITHOUT a
+    global sort: boundaries come from :func:`sampled_quantiles` over
+    the hash-deterministic sample (distributed two-phase order
+    statistics — exactly reproducible cross-engine), then every row's
+    bucket is ``count(boundaries <= value)`` evaluated against the
+    broadcast boundary LITERALS. A true ``ntile`` would range-shuffle
+    all 100 TB; this touches the full data once, with a pure-Column
+    codegen expression and zero shuffle in the assignment pass.
+
+    The boundary collect is PROVABLY TINY (``n_buckets - 1`` rows by
+    construction — the package's size-gated-collect rule). Duplicate
+    boundaries (heavy skew) count with multiplicity, so extreme skew
+    skips bucket ids rather than mis-binning; NULL values get a NULL
+    bucket; boundary-equal values fall in the LOWER bucket (the
+    ``<=`` side, matching the SQL replay).
+
+    Output: ``df`` plus ``bucket_col`` (0 .. n_buckets-1).
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    qs = tuple(i / n_buckets for i in range(1, n_buckets))
+    bounds = sampled_quantiles(df, value_col, quantiles=qs,
+                               rate_num=rate_num, rate_den=rate_den)
+    vals = sorted(r["value"] for r in bounds.select("value").collect())
+    if vals:
+        arr = F.array(*[F.lit(v) for v in vals])
+        bucket = F.size(F.filter(arr, lambda b: b <= F.col(value_col)))
+    else:  # empty input / empty sample: everything is bucket 0
+        bucket = F.lit(0)
+    return df.withColumn(
+        bucket_col,
+        F.when(F.col(value_col).isNull(), F.lit(None)).otherwise(bucket))

@@ -269,3 +269,42 @@ def test_convex_hull_guards(spark):
     out = [(r["group_id"], r["x"], r["y"])
            for r in convex_hull(dfn).collect()]
     assert out == [(1, 3, 3)]  # NULL key/coord rows dropped
+
+
+# --- quantile_bucket_assign (sampled-boundary bucketing) ---------------------
+
+def test_quantile_bucket_assign_matches_boundary_rule(spark):
+    from kml2geojson_spark.sketch import (deterministic_sample,
+                                          quantile_bucket_assign,
+                                          sampled_quantiles)
+    rows = [(i, (i * 7919 + 3) % 100_000) for i in range(4000)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    out = {r["id"]: r["bucket"]
+           for r in quantile_bucket_assign(df, "v",
+                                           n_buckets=10).collect()}
+    qs = tuple(i / 10 for i in range(1, 10))
+    bounds = sorted(r["value"] for r in
+                    sampled_quantiles(df, "v", quantiles=qs).collect())
+    assert len(bounds) == 9
+    for i, v in rows:
+        assert out[i] == sum(1 for b in bounds if b <= v), (i, v)
+    # deciles are roughly balanced on near-uniform data
+    from collections import Counter
+    c = Counter(out.values())
+    assert set(c) == set(range(10))
+    assert max(c.values()) < 2.5 * min(c.values())
+
+
+def test_quantile_bucket_assign_nulls_skew_and_guard(spark):
+    import pytest
+    from kml2geojson_spark.sketch import quantile_bucket_assign
+    # heavy skew: one value dominates -> duplicate boundaries allowed
+    rows = [(i, 5) for i in range(500)] + [(1000 + i, i) for i in range(20)]
+    rows.append((9999, None))
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = {r["id"]: r["bucket"]
+           for r in quantile_bucket_assign(df, "v", n_buckets=4).collect()}
+    assert got[9999] is None           # NULL value -> NULL bucket
+    assert all(b is not None for k, b in got.items() if k != 9999)
+    with pytest.raises(ValueError):
+        quantile_bucket_assign(df, "v", n_buckets=1)
