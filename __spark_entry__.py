@@ -4335,6 +4335,64 @@ FROM a GROUP BY bucket
 """
 
 
+def _q147_group_ols(spark, sf):
+    """Per-priority OLS trend of order value vs order date (dollars ~
+    epoch days): exact BIGINT sufficient statistics (partial-agg-
+    order-independent) assembled by ONE fixed double expression —
+    grid_moran's determinism pattern applied to regression. One
+    map-side-combinable hash-agg, no window, no join. Round-5
+    post-pin registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.relational import group_ols
+    o = _t(spark, sf, "orders").select(
+        "o_orderpriority",
+        F.datediff(F.col("o_orderdate").cast("date"),
+                   F.lit("1970-01-01").cast("date"))
+        .cast("long").alias("x_days"),
+        F.round(F.col("o_totalprice")).cast("long").alias("y_dollars"))
+    return group_ols(o, x_col="x_days", y_col="y_dollars",
+                     group_cols=["o_orderpriority"])
+
+
+_O147 = """
+WITH o AS (
+  SELECT o_orderpriority,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+           AS x,
+         CAST(ROUND(o_totalprice) AS BIGINT) AS y
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_orderdate IS NOT NULL
+    AND o_totalprice IS NOT NULL),
+s AS (SELECT o_orderpriority, COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sx2,
+             CAST(SUM(y * y) AS BIGINT) AS sy2
+      FROM o GROUP BY o_orderpriority)
+SELECT o_orderpriority, n, sx, sy, sxy, sx2, sy2,
+  CASE WHEN n::DOUBLE * sx2::DOUBLE - sx::DOUBLE * sx::DOUBLE = 0
+       THEN NULL
+       ELSE (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+            / (n::DOUBLE * sx2::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+  END AS slope,
+  CASE WHEN n::DOUBLE * sx2::DOUBLE - sx::DOUBLE * sx::DOUBLE = 0
+       THEN NULL
+       ELSE (sy::DOUBLE
+             - ((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                / (n::DOUBLE * sx2::DOUBLE - sx::DOUBLE * sx::DOUBLE))
+               * sx::DOUBLE) / n::DOUBLE
+  END AS intercept,
+  CASE WHEN n::DOUBLE * sx2::DOUBLE - sx::DOUBLE * sx::DOUBLE = 0
+        OR n::DOUBLE * sy2::DOUBLE - sy::DOUBLE * sy::DOUBLE = 0
+       THEN NULL
+       ELSE (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+            * (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+            / ((n::DOUBLE * sx2::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+               * (n::DOUBLE * sy2::DOUBLE - sy::DOUBLE * sy::DOUBLE))
+  END AS r2
+FROM s
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -4474,6 +4532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q144_chunk_documents": _q144_chunk_documents,
         "q145_convex_hull": _q145_convex_hull,
         "q146_quantile_buckets": _q146_quantile_buckets,
+        "q147_group_ols": _q147_group_ols,
     }
 
 
@@ -4612,6 +4671,7 @@ def oracle_sql() -> dict[str, str]:
         "q144_chunk_documents": _o144(),
         "q145_convex_hull": _O145,
         "q146_quantile_buckets": _o146(),
+        "q147_group_ols": _O147,
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

@@ -285,3 +285,74 @@ def cooccurrence_pairs(df: DataFrame, *, basket_col: str, item_col: str,
             .groupBy("item_a", "item_b")
             .agg(F.count(F.lit(1)).alias("n_baskets"))
             .where(F.col("n_baskets") >= min_count))
+
+
+def group_ols(df: DataFrame, *, x_col: str, y_col: str,
+              group_cols: list[str]) -> DataFrame:
+    """Per-group ordinary-least-squares trend — slope, intercept, and
+    R² of ``y ~ x`` for every group (the metric-drift / price-trend /
+    growth-rate primitive), via the closed form over five sufficient
+    statistics.
+
+    Determinism contract (the :func:`grid_moran` pattern): ``x`` and
+    ``y`` must be INTEGER columns (nano-integerize floats first;
+    floating-point inputs raise), so Σx, Σy, Σxy, Σx², Σy² are EXACT
+    BIGINT aggregates whose value is independent of partial-aggregate
+    order — float sums would differ run-to-run. The coefficients are
+    then ONE fixed double expression over the casted sums, bit-
+    identical across engines and partitionings. Caller guarantees the
+    sums fit in 64 bits (|Σx·y|, Σx², Σy² < 2⁶³ — raises under ANSI
+    mode otherwise, never wraps silently).
+
+    Degenerate groups: constant x → slope/intercept/R² NULL; constant
+    y with varying x → slope 0, R² NULL (0/0). NULL group keys and
+    NULL x/y rows are dropped.
+
+    Scale shape: ONE map-side-combinable hash aggregate; the
+    closed-form assembly is per-group scalar arithmetic. No window,
+    no join, no second pass.
+
+    Output: (group..., n, sx, sy, sxy, sx2, sy2, slope, intercept,
+    r2) — the exact sums are emitted alongside the doubles so
+    downstream exact re-assembly stays possible.
+    """
+    from pyspark.sql.types import DoubleType, FloatType
+
+    fields = {f.name: f for f in df.schema.fields}
+    for c in (x_col, y_col):
+        if isinstance(fields[c].dataType, (DoubleType, FloatType)):
+            raise ValueError(
+                f"group_ols: {c!r} is floating-point — integerize first "
+                "(exact integer sums are the determinism contract)")
+    if not group_cols:
+        raise ValueError("group_ols: group_cols must be non-empty")
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    keep = F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    for g in group_cols:
+        keep = keep & F.col(g).isNotNull()
+    base = df.where(keep)
+    s = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sx2"),
+        F.sum(y * y).alias("sy2"))
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    sx2d = F.col("sx2").cast("double")
+    sy2d = F.col("sy2").cast("double")
+    num = nd * sxyd - sxd * syd
+    denx = nd * sx2d - sxd * sxd
+    deny = nd * sy2d - syd * syd
+    return s.select(
+        *group_cols, "n", "sx", "sy", "sxy", "sx2", "sy2",
+        F.when(denx == 0, F.lit(None))
+        .otherwise(num / denx).alias("slope"),
+        F.when(denx == 0, F.lit(None))
+        .otherwise((syd - (num / denx) * sxd) / nd).alias("intercept"),
+        F.when((denx == 0) | (deny == 0), F.lit(None))
+        .otherwise(num * num / (denx * deny)).alias("r2"))

@@ -308,3 +308,56 @@ def test_quantile_bucket_assign_nulls_skew_and_guard(spark):
     assert all(b is not None for k, b in got.items() if k != 9999)
     with pytest.raises(ValueError):
         quantile_bucket_assign(df, "v", n_buckets=1)
+
+
+# --- group_ols (per-group least-squares trend) -------------------------------
+
+def test_group_ols_matches_numpy(spark):
+    import numpy as np
+    import random as _random
+    from kml2geojson_spark.relational import group_ols
+    rng = _random.Random(29)
+    rows = []
+    for g in range(4):
+        for _ in range(60):
+            x = rng.randrange(0, 1000)
+            y = 3 * x + g * 100 + rng.randrange(-50, 51)
+            rows.append((g, x, y))
+    rows += [(7, 5, 9), (7, 5, 11)]      # constant x -> NULL fit
+    rows += [(8, 1, 4), (8, 2, 4)]       # constant y -> slope 0, r2 NULL
+    rows += [(None, 1, 1), (1, None, 1), (1, 1, None)]  # dropped
+    df = spark.createDataFrame(rows, "g int, x long, y long")
+    got = {r["g"]: r for r in
+           group_ols(df, x_col="x", y_col="y", group_cols=["g"]).collect()}
+    for g in range(4):
+        pts = [(x, y) for gg, x, y in rows
+               if gg == g and x is not None and y is not None]
+        xs = np.array([p[0] for p in pts], dtype=float)
+        ys = np.array([p[1] for p in pts], dtype=float)
+        # independent CENTERED formulation vs the operator's
+        # uncentered-sums closed form
+        cov = float(np.mean((xs - xs.mean()) * (ys - ys.mean())))
+        vx = float(np.mean((xs - xs.mean()) ** 2))
+        vy = float(np.mean((ys - ys.mean()) ** 2))
+        slope = cov / vx
+        intercept = float(ys.mean() - slope * xs.mean())
+        r = cov / (vx * vy) ** 0.5
+        assert abs(got[g]["slope"] - slope) < 1e-8
+        assert abs(got[g]["intercept"] - intercept) < 1e-6
+        assert abs(got[g]["r2"] - r * r) < 1e-8
+        assert got[g]["n"] == 60
+        assert got[g]["sx"] == sum(p[0] for p in pts)  # exact sums
+    assert got[7]["slope"] is None and got[7]["r2"] is None
+    assert got[8]["slope"] == 0.0 and got[8]["r2"] is None
+
+
+def test_group_ols_guards(spark):
+    import pytest
+    from pyspark.sql import functions as F
+    from kml2geojson_spark.relational import group_ols
+    df = spark.createDataFrame([(1, 0.5, 2)], "g int, x double, y long")
+    with pytest.raises(ValueError):
+        group_ols(df, x_col="x", y_col="y", group_cols=["g"])
+    with pytest.raises(ValueError):
+        group_ols(df.select("g", F.col("y").alias("x"), "y"),
+                  x_col="x", y_col="y", group_cols=[])
