@@ -4393,6 +4393,45 @@ FROM s
 """
 
 
+def _q148_group_gini(spark, sf):
+    """Per-priority Gini concentration of order value (cents): exact
+    BIGINT rank-formula sums (tie order provably irrelevant — equal
+    values contribute the same Σ rank·x under any tie permutation),
+    ONE group-partitioned window + one hash-agg, final G one fixed
+    double expression. Round-5 post-pin registration: in-repo oracle
+    sweep only."""
+    from kml2geojson_spark.relational import group_gini
+    o = _t(spark, sf, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100.0).cast("long")
+        .alias("price_cents"))
+    return group_gini(o, value_col="price_cents",
+                      group_cols=["o_orderpriority"])
+
+
+_O148 = """
+WITH o AS (
+  SELECT o_orderpriority,
+         CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS v
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+r AS (SELECT o_orderpriority, v,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY v ASC) AS rk
+      FROM o),
+s AS (SELECT o_orderpriority, COUNT(*) AS n,
+             CAST(SUM(v) AS BIGINT) AS total,
+             CAST(SUM(rk * v) AS BIGINT) AS srx
+      FROM r GROUP BY o_orderpriority)
+SELECT o_orderpriority, n, total,
+  CASE WHEN total = 0 THEN NULL
+       ELSE (2.0 * srx::DOUBLE - (n::DOUBLE + 1.0) * total::DOUBLE)
+            / (n::DOUBLE * total::DOUBLE)
+  END AS gini
+FROM s
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -4533,6 +4572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q145_convex_hull": _q145_convex_hull,
         "q146_quantile_buckets": _q146_quantile_buckets,
         "q147_group_ols": _q147_group_ols,
+        "q148_group_gini": _q148_group_gini,
     }
 
 
@@ -4672,6 +4712,7 @@ def oracle_sql() -> dict[str, str]:
         "q145_convex_hull": _O145,
         "q146_quantile_buckets": _o146(),
         "q147_group_ols": _O147,
+        "q148_group_gini": _O148,
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

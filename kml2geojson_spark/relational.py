@@ -356,3 +356,59 @@ def group_ols(df: DataFrame, *, x_col: str, y_col: str,
         .otherwise((syd - (num / denx) * sxd) / nd).alias("intercept"),
         F.when((denx == 0) | (deny == 0), F.lit(None))
         .otherwise(num * num / (denx * deny)).alias("r2"))
+
+
+def group_gini(df: DataFrame, *, value_col: str,
+               group_cols: list[str]) -> DataFrame:
+    """Per-group Gini coefficient — the concentration / inequality
+    measure (revenue concentration per segment, traffic concentration
+    per region) via the rank formulation
+    ``G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx)`` over values ranked
+    ascending within the group.
+
+    Determinism: values must be NON-NEGATIVE INTEGERS (floats raise up
+    front; negatives raise inside the task — Gini is undefined below
+    zero), so both Σx and Σ i·xᵢ are EXACT BIGINT aggregates. Rank
+    ties need no pinning: permuting equal values among their tied
+    ranks leaves Σ i·xᵢ unchanged (the xᵢ are equal), so the result
+    is bit-stable across engines and partitionings even though
+    ``row_number`` tie order is not. The final G is one fixed double
+    expression. Caller guarantees Σ i·xᵢ < 2⁶³ (ANSI-raises, never
+    wraps). All-zero groups (Σx = 0) emit NULL.
+
+    Scale shape: ONE group-partitioned window sort + one map-side-
+    combinable hash-agg — no join, no global sort.
+
+    Output: (group..., n, total, gini).
+    """
+    from pyspark.sql.types import DoubleType, FloatType
+
+    fields = {f.name: f for f in df.schema.fields}
+    if isinstance(fields[value_col].dataType, (DoubleType, FloatType)):
+        raise ValueError(
+            f"group_gini: {value_col!r} is floating-point — integerize "
+            "first (exact integer sums are the determinism contract)")
+    if not group_cols:
+        raise ValueError("group_gini: group_cols must be non-empty")
+    keep = F.col(value_col).isNotNull()
+    for g in group_cols:
+        keep = keep & F.col(g).isNotNull()
+    v = F.when(F.col(value_col) < 0, F.raise_error(F.concat(
+        F.lit("group_gini: negative value "),
+        F.col(value_col).cast("string")))) \
+        .otherwise(F.col(value_col).cast("long"))
+    w = Window.partitionBy(*group_cols).orderBy(F.col("_v").asc())
+    ranked = (df.where(keep).select(*group_cols, v.alias("_v"))
+              .withColumn("_rk", F.row_number().over(w)))
+    s = ranked.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_v").alias("total"),
+        F.sum(F.col("_rk").cast("long") * F.col("_v")).alias("_srx"))
+    nd = F.col("n").cast("double")
+    sxd = F.col("total").cast("double")
+    srxd = F.col("_srx").cast("double")
+    return s.select(
+        *group_cols, "n", "total",
+        F.when(F.col("total") == 0, F.lit(None))
+        .otherwise((2.0 * srxd - (nd + 1.0) * sxd) / (nd * sxd))
+        .alias("gini"))

@@ -361,3 +361,42 @@ def test_group_ols_guards(spark):
     with pytest.raises(ValueError):
         group_ols(df.select("g", F.col("y").alias("x"), "y"),
                   x_col="x", y_col="y", group_cols=[])
+
+
+# --- group_gini (rank-formula concentration) ---------------------------------
+
+def test_group_gini_known_values_and_tie_invariance(spark):
+    from kml2geojson_spark.relational import group_gini
+    rows = ([(1, v) for v in [10, 10, 10, 10]]        # equality -> 0
+            + [(2, v) for v in [0, 0, 0, 100]]        # one holder -> 3/4
+            + [(3, v) for v in [1, 2, 3, 4, 5]]
+            + [(4, 0), (4, 0)]                        # all-zero -> NULL
+            + [(5, 7)])                               # singleton -> 0
+    df = spark.createDataFrame(rows, "g int, v long")
+    got = {r["g"]: r for r in
+           group_gini(df, value_col="v", group_cols=["g"]).collect()}
+    assert got[1]["gini"] == 0.0
+    assert abs(got[2]["gini"] - 0.75) < 1e-12
+    # brute force for group 3: G = sum_i sum_j |xi-xj| / (2 n^2 mean)
+    xs = [1, 2, 3, 4, 5]
+    brute = (sum(abs(a - b) for a in xs for b in xs)
+             / (2.0 * len(xs) ** 2 * (sum(xs) / len(xs))))
+    assert abs(got[3]["gini"] - brute) < 1e-12
+    assert got[4]["gini"] is None
+    assert got[5]["gini"] == 0.0
+    # tie-order invariance: shuffled input partitioning, same result
+    got13 = {r["g"]: r["gini"] for r in
+             group_gini(df.repartition(13), value_col="v",
+                        group_cols=["g"]).collect()}
+    assert got13 == {g: r["gini"] for g, r in got.items()}
+
+
+def test_group_gini_guards(spark):
+    import pytest
+    from kml2geojson_spark.relational import group_gini
+    dff = spark.createDataFrame([(1, 0.5)], "g int, v double")
+    with pytest.raises(ValueError):
+        group_gini(dff, value_col="v", group_cols=["g"])
+    dfn = spark.createDataFrame([(1, -3)], "g int, v long")
+    with pytest.raises(Exception):  # negative raises in-task
+        group_gini(dfn, value_col="v", group_cols=["g"]).collect()
