@@ -4432,6 +4432,37 @@ FROM s
 """
 
 
+def _q149_quantize_embeddings(spark, sf):
+    """Symmetric per-vector int8 quantization of the embeddings table
+    (scale = max|v|/127, q = round(v/scale)), emitted flat so the
+    hash covers every component. Pure Column transform/array_max/
+    posexplode — zero Python, zero shuffle. Round-5 post-pin
+    registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.simsearch import quantize_embeddings
+    return quantize_embeddings(_t(spark, sf, "embeddings"))
+
+
+_O149 = """
+WITH e AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding,
+                                 x -> abs(CAST(x AS DOUBLE)))) / 127.0
+           AS scale
+  FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+x AS (SELECT vec_id, scale,
+             unnest(embedding) AS v,
+             unnest(generate_series(0, len(embedding) - 1)) AS idx
+      FROM e)
+SELECT vec_id, CAST(idx AS INTEGER) AS idx,
+       CAST(CASE WHEN scale = 0 THEN 0
+                 ELSE ROUND(CAST(v AS DOUBLE) / scale)
+            END AS INTEGER) AS qval,
+       scale
+FROM x
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -4573,6 +4604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q146_quantile_buckets": _q146_quantile_buckets,
         "q147_group_ols": _q147_group_ols,
         "q148_group_gini": _q148_group_gini,
+        "q149_quantize_embeddings": _q149_quantize_embeddings,
     }
 
 
@@ -4713,6 +4745,7 @@ def oracle_sql() -> dict[str, str]:
         "q146_quantile_buckets": _o146(),
         "q147_group_ols": _O147,
         "q148_group_gini": _O148,
+        "q149_quantize_embeddings": _O149,
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

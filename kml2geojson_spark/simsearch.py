@@ -695,3 +695,41 @@ SELECT label, dim,
        COUNT(*) AS n_vectors
 FROM d GROUP BY label, dim
 """
+
+
+def quantize_embeddings(embeddings: DataFrame, *, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Symmetric per-vector int8 quantization — the 4× embedding-store
+    compressor (scale = max|v| / 127, q = round(v / scale)) that
+    precedes shipping vectors to an ANN index or a training shard.
+    Emitted FLAT (one row per component) rather than as an array so
+    the cross-engine hash covers every component; re-assembly is one
+    ``collect_list`` over (id, idx).
+
+    Determinism: every element is cast float→double (exact) before
+    any arithmetic, so the max-abs reduction, the division, and the
+    half-away-from-zero ROUND are the identical IEEE double
+    expression on every engine. All-zero vectors (scale 0) quantize
+    to all zeros rather than dividing by zero. NULL ids/vectors drop.
+
+    Scale shape: pure Column (``transform``/``array_max`` +
+    ``posexplode``) — zero Python, zero shuffle, zero join;
+    parallelism is the scan's. Output rows = Σ vector lengths.
+
+    Output: (id_col, idx INT 0-based, qval INT in [-127, 127],
+    scale DOUBLE).
+    """
+    xd = F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double")))
+    scale = (F.array_max(xd) / F.lit(127.0)).alias("scale")
+    base = (embeddings
+            .where(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
+            .select(F.col(id_col), F.col(vec_col).alias("_v"), scale))
+    exploded = base.select(
+        id_col, "scale",
+        F.posexplode(F.col("_v")).alias("idx", "_x"))
+    qval = (F.when(F.col("scale") == 0, F.lit(0))
+            .otherwise(F.round(F.col("_x").cast("double")
+                               / F.col("scale")))
+            .cast("int"))
+    return exploded.select(id_col, F.col("idx").cast("int").alias("idx"),
+                           qval.alias("qval"), "scale")

@@ -400,3 +400,34 @@ def test_group_gini_guards(spark):
     dfn = spark.createDataFrame([(1, -3)], "g int, v long")
     with pytest.raises(Exception):  # negative raises in-task
         group_gini(dfn, value_col="v", group_cols=["g"]).collect()
+
+
+# --- quantize_embeddings (symmetric int8) ------------------------------------
+
+def test_quantize_embeddings_matches_numpy_and_bounds(spark):
+    import numpy as np
+    from kml2geojson_spark.simsearch import quantize_embeddings
+    rng = np.random.default_rng(41)
+    rows = [(i, [float(np.float32(x)) for x in rng.normal(0, 1, 8)])
+            for i in range(50)]
+    rows.append((100, [0.0] * 8))          # all-zero vector
+    rows.append((101, [-2.0, 2.0, 1.0]))   # exact extremes
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r["vec_id"], r["idx"]): (r["qval"], r["scale"])
+           for r in quantize_embeddings(df).collect()}
+    import math
+    for vid, vec in rows:
+        m = max(abs(x) for x in vec)
+        scale = m / 127.0
+        for i, x in enumerate(vec):
+            q, s = got[(vid, i)]
+            if scale == 0:
+                assert q == 0 and s == 0.0
+            else:
+                # half-away-from-zero round, like the operator
+                r = x / scale
+                expect = math.floor(r + 0.5) if r >= 0 else math.ceil(r - 0.5)
+                assert q == expect, (vid, i, x, scale)
+                assert abs(q) <= 127
+                assert s == scale
+    assert got[(101, 0)][0] == -127 and got[(101, 1)][0] == 127
