@@ -600,3 +600,77 @@ def test_knn_join_and_dwithin_fully_jvm(spark):
             assert marker not in plan, f"{marker} in plan:\n{plan[:400]}"
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_touch_attribution_single_exchange(spark):
+    """Attribution = one user-key Exchange feeding the window; no
+    conversion-by-touch join, no Python."""
+    import datetime as dt
+    from kml2geojson_spark.eventops import touch_attribution
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1, "view"),
+         (2, dt.datetime(2024, 1, 2), 1, "purchase")],
+        "event_id long, ts timestamp, user_id long, event_type string")
+    plan = _plan(touch_attribution(df, conversion_type="purchase",
+                                   touch_types=["view", "click"]))
+    assert plan.count("Exchange") == 1, plan
+    for marker in ("Join", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan, f"{marker} found in attribution plan"
+
+
+def test_chunk_documents_no_exchange_no_python(spark):
+    """Chunking is a narrow map: zero shuffles, zero Python eval."""
+    from kml2geojson_spark.textops import chunk_documents
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = _plan(chunk_documents(df, chunk_tokens=2, overlap=1))
+    assert "Exchange" not in plan, plan
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert marker not in plan, f"{marker} found in chunk plan"
+
+
+def test_quantize_embeddings_no_exchange_no_python(spark):
+    from kml2geojson_spark.simsearch import quantize_embeddings
+    df = spark.createDataFrame([(1, [0.5, 1.0])],
+                               "vec_id long, embedding array<float>")
+    plan = _plan(quantize_embeddings(df))
+    assert "Exchange" not in plan, plan
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert marker not in plan, f"{marker} found in quantize plan"
+
+
+def test_buffer_cells_single_distinct_exchange(spark):
+    """Grid dilation: the offset explode is narrow; the only shuffle
+    is the (id, cell) distinct hash aggregate (partial+final)."""
+    from kml2geojson_spark.spatial import buffer_cells
+    from kml2geojson_spark.spatial.cells import cell_encode_np
+    c = int(cell_encode_np([10.0], [20.0], 6)[0])
+    df = spark.createDataFrame([(1, c)], "line_id long, cell_id long")
+    plan = _plan(buffer_cells(df, 6, 1))
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("HashAggregate") >= 2, plan
+    for marker in ("Join", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, f"{marker} found in buffer plan"
+
+
+def test_convex_hull_partial_then_grouped(spark):
+    """Two-level hull: one narrow MapInPandas (partial hulls) before
+    the single group Exchange, one FlatMapGroupsInPandas after — the
+    shuffle moves hull-sized rows only."""
+    from kml2geojson_spark.spatial import convex_hull
+    df = spark.createDataFrame([(1, 0, 0), (1, 2, 2)],
+                               "group_id long, x long, y long")
+    plan = _plan(convex_hull(df))
+    assert plan.count("MapInPandas") == 1, plan
+    assert plan.count("FlatMapGroupsInPandas") == 1, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_group_ols_single_hash_agg(spark):
+    from kml2geojson_spark.relational import group_ols
+    df = spark.createDataFrame([(1, 2, 3)], "g int, x long, y long")
+    plan = _plan(group_ols(df, x_col="x", y_col="y", group_cols=["g"]))
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("HashAggregate") >= 2, plan  # map-side combine
+    for marker in ("Join", "Window", "ArrowEvalPython"):
+        assert marker not in plan, f"{marker} found in ols plan"
