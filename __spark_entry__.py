@@ -4463,6 +4463,59 @@ FROM x
 """
 
 
+def _q150_mad_outliers(spark, sf):
+    """Robust MAD outlier stats per priority: the heavy-tail-safe
+    twin of q90's mean/std outliers — exact integer medians (q19's
+    low-order-statistic rule) applied twice, integer verdict
+    dev·1000 > 3000·MAD. ONE Exchange on the group key; the second
+    median pass re-sorts in place. Round-5 post-pin registration:
+    in-repo oracle sweep only."""
+    from kml2geojson_spark.relational import group_mad_outliers
+    o = _t(spark, sf, "orders").select(
+        "o_orderpriority", "o_orderkey",
+        F.round(F.col("o_totalprice") * 100.0).cast("long")
+        .alias("price_cents"))
+    out = group_mad_outliers(o, value_col="price_cents",
+                             id_col="o_orderkey",
+                             group_cols=["o_orderpriority"])
+    return (out.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("mad").alias("mad"),
+                 F.sum(F.col("is_outlier").cast("long"))
+                 .alias("n_outliers")))
+
+
+_O150 = """
+WITH b AS (
+  SELECT o_orderpriority AS g, o_orderkey AS id,
+         CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS v
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_orderkey IS NOT NULL
+    AND o_totalprice IS NOT NULL),
+r1 AS (SELECT g, id, v,
+              ROW_NUMBER() OVER (PARTITION BY g
+                                 ORDER BY v ASC, id ASC) AS rn,
+              COUNT(*) OVER (PARTITION BY g) AS cnt
+       FROM b),
+med AS (SELECT g, v AS med FROM r1
+        WHERE rn = CAST(FLOOR((cnt + 1) / 2.0) AS BIGINT)),
+d AS (SELECT r1.g, r1.id, ABS(r1.v - med.med) AS dev
+      FROM r1 JOIN med ON med.g = r1.g),
+r2 AS (SELECT g, id, dev,
+              ROW_NUMBER() OVER (PARTITION BY g
+                                 ORDER BY dev ASC, id ASC) AS rn,
+              COUNT(*) OVER (PARTITION BY g) AS cnt
+       FROM d),
+mad AS (SELECT g, dev AS mad FROM r2
+        WHERE rn = CAST(FLOOR((cnt + 1) / 2.0) AS BIGINT)),
+j AS (SELECT d.g, d.dev, mad.mad FROM d JOIN mad ON mad.g = d.g)
+SELECT g AS o_orderpriority, COUNT(*) AS n, MIN(mad) AS mad,
+       CAST(SUM(CASE WHEN dev * 1000 > 3000 * mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM j GROUP BY g
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -4605,6 +4658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q147_group_ols": _q147_group_ols,
         "q148_group_gini": _q148_group_gini,
         "q149_quantize_embeddings": _q149_quantize_embeddings,
+        "q150_mad_outliers": _q150_mad_outliers,
     }
 
 
@@ -4746,6 +4800,7 @@ def oracle_sql() -> dict[str, str]:
         "q147_group_ols": _O147,
         "q148_group_gini": _O148,
         "q149_quantize_embeddings": _O149,
+        "q150_mad_outliers": _O150,
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

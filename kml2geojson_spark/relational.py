@@ -412,3 +412,67 @@ def group_gini(df: DataFrame, *, value_col: str,
         F.when(F.col("total") == 0, F.lit(None))
         .otherwise((2.0 * srxd - (nd + 1.0) * sxd) / (nd * sxd))
         .alias("gini"))
+
+
+def group_mad_outliers(df: DataFrame, *, value_col: str, id_col: str,
+                       group_cols: list[str],
+                       k_milli: int = 3000) -> DataFrame:
+    """Robust per-group outlier detection via MAD (median absolute
+    deviation) — the heavy-tail-safe twin of mean/std z-scores (one
+    whale inflates a std enough to hide itself; it cannot move a
+    median). A row is flagged iff
+    ``|x − median| · 1000 > k_milli · MAD`` — an EXACT INTEGER
+    comparison (k = 3.0 → ``k_milli=3000``), so the verdict never
+    touches a float and is bit-stable everywhere. Zero-MAD groups
+    (>50% identical values) flag every deviating row, the standard
+    MAD degenerate case.
+
+    Medians are the LOW order statistic (rank ``floor((n+1)/2)`` on
+    (value, id) — the q19 ``group_median`` rule), applied twice:
+    once to values, once to the integer deviations. Values must be
+    INTEGER (floats raise; nano-integerize first).
+
+    Scale shape: ONE Exchange on the group key; both median passes
+    are windows over that same partitioning (the second pass re-sorts
+    in place, it does not re-shuffle), and the per-group median/MAD
+    are full-frame conditional ``max`` windows — NO join back. NULL
+    keys/values/ids drop.
+
+    Output: one row per input row — (group..., id, value, dev, mad,
+    is_outlier) — aggregate downstream for rates.
+    """
+    from pyspark.sql.types import DoubleType, FloatType
+
+    fields = {f.name: f for f in df.schema.fields}
+    if isinstance(fields[value_col].dataType, (DoubleType, FloatType)):
+        raise ValueError(
+            f"group_mad_outliers: {value_col!r} is floating-point — "
+            "integerize first (exact integer medians are the contract)")
+    if not group_cols:
+        raise ValueError("group_mad_outliers: group_cols must be non-empty")
+    if k_milli <= 0:
+        raise ValueError("group_mad_outliers: k_milli must be positive")
+    keep = F.col(value_col).isNotNull() & F.col(id_col).isNotNull()
+    for g in group_cols:
+        keep = keep & F.col(g).isNotNull()
+    base = df.where(keep).select(
+        *group_cols, F.col(id_col).alias("_id"),
+        F.col(value_col).cast("long").alias("_v"))
+    wg = Window.partitionBy(*group_cols)
+    w1 = wg.orderBy(F.col("_v").asc(), F.col("_id").asc())
+    mid = F.floor((F.count(F.lit(1)).over(wg) + 1) / 2)
+    s1 = (base
+          .withColumn("_rn", F.row_number().over(w1))
+          .withColumn("_med", F.max(F.when(F.col("_rn") == mid,
+                                           F.col("_v"))).over(wg))
+          .withColumn("dev", F.abs(F.col("_v") - F.col("_med"))))
+    w2 = wg.orderBy(F.col("dev").asc(), F.col("_id").asc())
+    s2 = (s1
+          .withColumn("_rn2", F.row_number().over(w2))
+          .withColumn("mad", F.max(F.when(F.col("_rn2") == mid,
+                                          F.col("dev"))).over(wg)))
+    return s2.select(
+        *group_cols, F.col("_id").alias(id_col),
+        F.col("_v").alias("value"), "dev", "mad",
+        (F.col("dev") * 1000 > F.lit(int(k_milli)) * F.col("mad"))
+        .alias("is_outlier"))

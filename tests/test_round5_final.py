@@ -431,3 +431,53 @@ def test_quantize_embeddings_matches_numpy_and_bounds(spark):
                 assert abs(q) <= 127
                 assert s == scale
     assert got[(101, 0)][0] == -127 and got[(101, 1)][0] == 127
+
+
+# --- group_mad_outliers (robust MAD flags) -----------------------------------
+
+def test_group_mad_outliers_matches_brute(spark):
+    import random as _random
+    from kml2geojson_spark.relational import group_mad_outliers
+    rng = _random.Random(37)
+    rows = []
+    for g in range(3):
+        rows += [(g, i, rng.randrange(90, 111)) for i in range(41)]
+        rows.append((g, 900 + g, 10_000))      # one whale per group
+    rows += [(5, 1, 7), (5, 2, 7), (5, 3, 7), (5, 4, 99)]  # MAD = 0
+    df = spark.createDataFrame(rows, "g int, id long, v long")
+    got = {(r["g"], r["id"]): (r["dev"], r["mad"], r["is_outlier"])
+           for r in group_mad_outliers(
+               df, value_col="v", id_col="id", group_cols=["g"]).collect()}
+
+    def lowmed(pairs):  # pairs of (key, id); returns key at rank
+        s = sorted(pairs)
+        return s[(len(s) + 1) // 2 - 1][0]
+
+    for g in {r[0] for r in rows}:
+        grp = [(i, v) for gg, i, v in rows if gg == g]
+        med = lowmed([(v, i) for i, v in grp])
+        mad = lowmed([(abs(v - med), i) for i, v in grp])
+        for i, v in grp:
+            dev = abs(v - med)
+            assert got[(g, i)] == (dev, mad, dev * 1000 > 3000 * mad), \
+                (g, i, med, mad)
+    # every whale flagged; zero-MAD group flags exactly its deviator
+    assert all(got[(g, 900 + g)][2] for g in range(3))
+    assert got[(5, 4)][2] and not got[(5, 1)][2]
+
+
+def test_group_mad_outliers_guards_and_plan(spark):
+    import pytest
+    from kml2geojson_spark.relational import group_mad_outliers
+    dff = spark.createDataFrame([(1, 1, 0.5)], "g int, id long, v double")
+    with pytest.raises(ValueError):
+        group_mad_outliers(dff, value_col="v", id_col="id",
+                           group_cols=["g"])
+    dfl = spark.createDataFrame([(1, 1, 5)], "g int, id long, v long")
+    with pytest.raises(ValueError):
+        group_mad_outliers(dfl, value_col="v", id_col="id", group_cols=[])
+    # ONE Exchange: the second median pass re-sorts, never re-shuffles
+    plan = group_mad_outliers(dfl, value_col="v", id_col="id",
+                              group_cols=["g"])._jdf \
+        .queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
