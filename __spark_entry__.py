@@ -4516,6 +4516,139 @@ FROM j GROUP BY g
 """
 
 
+def _q151_group_auc(spark, sf):
+    """Per-source ROC AUC of document length predicting lang='en':
+    exact BIGINT midrank sums over the (group, score) distinct table
+    (tie handling is the textbook midrank rule carried as integers),
+    final AUC one fixed double expression. One hash-agg + one
+    group-window + one hash-agg; no join. Round-5 post-pin
+    registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.relational import group_auc
+    d = _t(spark, sf, "documents").select(
+        "source", F.col("n_chars").cast("long").alias("len_score"),
+        F.when(F.col("lang").isNull(), F.lit(None))
+        .otherwise((F.col("lang") == "en").cast("long")).alias("is_en"))
+    return group_auc(d, score_col="len_score", label_col="is_en",
+                     group_cols=["source"])
+
+
+_O151 = """
+WITH b AS (
+  SELECT source AS g, CAST(n_chars AS BIGINT) AS s,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+  WHERE source IS NOT NULL AND n_chars IS NOT NULL
+    AND lang IS NOT NULL),
+ps AS (SELECT g, s, CAST(SUM(y) AS BIGINT) AS p,
+              CAST(COUNT(*) AS BIGINT) AS c
+       FROM b GROUP BY g, s),
+st AS (SELECT g, p, c,
+              CAST(SUM(c) OVER (PARTITION BY g ORDER BY s ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS cum
+       FROM ps),
+agg AS (SELECT g, CAST(SUM(p) AS BIGINT) AS n_pos,
+               CAST(SUM(c) - SUM(p) AS BIGINT) AS n_neg,
+               CAST(SUM(p * (2 * (cum - c) + c + 1)) AS BIGINT) AS s2
+        FROM st GROUP BY g)
+SELECT g AS source, n_pos, n_neg,
+       s2 - n_pos * (n_pos + 1) AS auc_num,
+       CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+            ELSE (s2 - n_pos * (n_pos + 1))::DOUBLE
+                 / (2.0 * n_pos::DOUBLE * n_neg::DOUBLE)
+       END AS auc
+FROM agg
+"""
+
+
+def _q152_ks_2sample(spark, sf):
+    """Per-event-type two-sample KS between the spend distributions
+    of even- vs odd-user shards (the split-balance drift check):
+    exact BIGINT numerator max|cumA*nB - cumB*nA| over the (group,
+    value) distinct table, divided once at the end. One hash-agg,
+    one Exchange for the cumulative+full-frame windows, one final
+    hash-agg. Round-5 post-pin registration: in-repo oracle sweep
+    only."""
+    from kml2geojson_spark.relational import ks_2sample
+    e = _t(spark, sf, "events").where(F.col("user_id").isNotNull()) \
+        .select(
+        "event_type",
+        F.round(F.col("value") * 100.0).cast("long").alias("cents"),
+        F.when(F.col("user_id") % 2 == 0, F.lit("even"))
+        .otherwise(F.lit("odd")).alias("shard"))
+    return ks_2sample(e, value_col="cents", side_col="shard",
+                      side_a="even", side_b="odd",
+                      group_cols=["event_type"])
+
+
+_O152 = """
+WITH b AS (
+  SELECT event_type AS g,
+         CAST(ROUND(value * 100.0) AS BIGINT) AS v,
+         CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS a
+  FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL
+    AND user_id IS NOT NULL),
+pv AS (SELECT g, v, CAST(SUM(a) AS BIGINT) AS ca,
+              CAST(COUNT(*) - SUM(a) AS BIGINT) AS cb
+       FROM b GROUP BY g, v),
+st AS (SELECT g,
+              CAST(SUM(ca) OVER (PARTITION BY g ORDER BY v ASC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS cuma,
+              CAST(SUM(cb) OVER (PARTITION BY g ORDER BY v ASC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS cumb,
+              CAST(SUM(ca) OVER (PARTITION BY g) AS BIGINT) AS na,
+              CAST(SUM(cb) OVER (PARTITION BY g) AS BIGINT) AS nb
+       FROM pv)
+SELECT g AS event_type, MAX(na) AS n_a, MAX(nb) AS n_b,
+       MAX(ABS(cuma * nb - cumb * na)) AS ks_num,
+       CASE WHEN MAX(na) = 0 OR MAX(nb) = 0 THEN NULL
+            ELSE MAX(ABS(cuma * nb - cumb * na))::DOUBLE
+                 / (MAX(na)::DOUBLE * MAX(nb)::DOUBLE)
+       END AS ks
+FROM st GROUP BY g
+"""
+
+
+def _q153_top_p_coverage(spark, sf):
+    """Per-event-type user concentration: the minimal number of
+    distinct users (ranked by event count desc, id asc — pinned)
+    covering 80% of the type's events. Coverage test is the exact
+    integer comparison cum_before*1000 < 800*total; one (group,
+    item) hash-agg + one group window + one final hash-agg. Round-5
+    post-pin registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.relational import top_p_coverage
+    e = _t(spark, sf, "events")
+    return top_p_coverage(e, item_col="user_id",
+                          group_cols=["event_type"], p_milli=800)
+
+
+_O153 = """
+WITH b AS (
+  SELECT event_type AS g, user_id AS it
+  FROM events
+  WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+pi AS (SELECT g, it, CAST(COUNT(*) AS BIGINT) AS c
+       FROM b GROUP BY g, it),
+st AS (SELECT g, c,
+              CAST(SUM(c) OVER (PARTITION BY g
+                                ORDER BY c DESC, it ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS cum,
+              CAST(SUM(c) OVER (PARTITION BY g) AS BIGINT) AS total
+       FROM pi)
+SELECT g AS event_type, COUNT(*) AS n_items,
+       MAX(total) AS total,
+       CAST(SUM(CASE WHEN (cum - c) * 1000 < 800 * total
+                     THEN 1 ELSE 0 END) AS BIGINT) AS k_items,
+       MAX(CASE WHEN (cum - c) * 1000 < 800 * total
+                THEN cum END) AS head_mass
+FROM st GROUP BY g
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -4659,6 +4792,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q148_group_gini": _q148_group_gini,
         "q149_quantize_embeddings": _q149_quantize_embeddings,
         "q150_mad_outliers": _q150_mad_outliers,
+        "q151_group_auc": _q151_group_auc,
+        "q152_ks_2sample": _q152_ks_2sample,
+        "q153_top_p_coverage": _q153_top_p_coverage,
     }
 
 
@@ -4801,6 +4937,9 @@ def oracle_sql() -> dict[str, str]:
         "q148_group_gini": _O148,
         "q149_quantize_embeddings": _O149,
         "q150_mad_outliers": _O150,
+        "q151_group_auc": _O151,
+        "q152_ks_2sample": _O152,
+        "q153_top_p_coverage": _O153,
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

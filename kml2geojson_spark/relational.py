@@ -476,3 +476,196 @@ def group_mad_outliers(df: DataFrame, *, value_col: str, id_col: str,
         F.col("_v").alias("value"), "dev", "mad",
         (F.col("dev") * 1000 > F.lit(int(k_milli)) * F.col("mad"))
         .alias("is_outlier"))
+
+
+def group_auc(df: DataFrame, *, score_col: str, label_col: str,
+              group_cols: list[str]) -> DataFrame:
+    """Per-group ROC AUC (equivalently the Mann-Whitney U statistic)
+    of an integer score against a binary label — the classifier-eval
+    primitive for quality/toxicity/dedup-scorer validation over a
+    labeled corpus slice.
+
+    Tie handling is the textbook midrank rule, carried EXACTLY: with
+    scores grouped by value, the positives at a tied score of block
+    size c preceded by ``cb`` rows contribute ``p·(2·cb + c + 1)`` to
+    TWICE the positive rank-sum — an integer, so the whole statistic
+    stays in BIGINTs: ``auc_num = 2·ΣR₊ − P·(P+1)`` and
+    ``auc = auc_num / (2·P·N)`` is ONE fixed double expression
+    (bit-identical across engines and partitionings, the
+    :func:`group_ols` determinism contract). Floating-point scores
+    raise (nano-integerize first); labels outside {0, 1} raise inside
+    the task; NULL keys/scores/labels are dropped.
+
+    Scale shape: one (group, score) hash-aggregate with map-side
+    combine (the score-distinct table is the small intermediate), one
+    group-partitioned window cumsum over it, one final hash-agg. No
+    join, no global sort, nothing proportional to P·N.
+
+    Output: (group..., n_pos, n_neg, auc_num, auc); auc NULL when a
+    group lacks either class.
+    """
+    from pyspark.sql.types import DoubleType, FloatType
+
+    fields = {f.name: f for f in df.schema.fields}
+    if isinstance(fields[score_col].dataType, (DoubleType, FloatType)):
+        raise ValueError(
+            f"group_auc: {score_col!r} is floating-point — integerize "
+            "first (exact integer rank sums are the determinism "
+            "contract)")
+    if not group_cols:
+        raise ValueError("group_auc: group_cols must be non-empty")
+    keep = (F.col(score_col).isNotNull()
+            & F.col(label_col).isNotNull())
+    for g in group_cols:
+        keep = keep & F.col(g).isNotNull()
+    lab = F.when(~F.col(label_col).cast("long").isin(0, 1),
+                 F.raise_error(F.concat(
+                     F.lit("group_auc: label not in {0,1}: "),
+                     F.col(label_col).cast("string")))) \
+        .otherwise(F.col(label_col).cast("long"))
+    base = df.where(keep).select(
+        *group_cols,
+        F.col(score_col).cast("long").alias("_s"),
+        lab.alias("_y"))
+    per_score = base.groupBy(*group_cols, "_s").agg(
+        F.sum("_y").alias("_p"),
+        F.count(F.lit(1)).alias("_c"))
+    wg = Window.partitionBy(*group_cols)
+    w = wg.orderBy(F.col("_s").asc())
+    cum = F.sum("_c").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ranked = per_score.withColumn(
+        "_contrib",
+        F.col("_p") * (2 * (cum - F.col("_c")) + F.col("_c") + 1))
+    s = ranked.groupBy(*group_cols).agg(
+        F.sum("_p").alias("n_pos"),
+        (F.sum("_c") - F.sum("_p")).alias("n_neg"),
+        F.sum("_contrib").alias("_s2"))
+    num = F.col("_s2") - F.col("n_pos") * (F.col("n_pos") + 1)
+    return s.select(
+        *group_cols, "n_pos", "n_neg", num.alias("auc_num"),
+        F.when((F.col("n_pos") == 0) | (F.col("n_neg") == 0),
+               F.lit(None))
+        .otherwise(num.cast("double")
+                   / (2.0 * F.col("n_pos").cast("double")
+                      * F.col("n_neg").cast("double"))).alias("auc"))
+
+
+def ks_2sample(df: DataFrame, *, value_col: str, side_col: str,
+               side_a: str, side_b: str,
+               group_cols: list[str]) -> DataFrame:
+    """Per-group two-sample Kolmogorov-Smirnov statistic between the
+    integer-value distributions of two labeled sides — the drift /
+    split-balance detector (did shard A's length distribution drift
+    from shard B's?).
+
+    D = max over values of |F̂ₐ − F̂ᵦ| is a RATIONAL with denominator
+    nₐ·nᵦ, so the statistic is carried as the EXACT BIGINT numerator
+    ``max |cumA·nB − cumB·nA|`` and divided once at the end (the
+    :func:`group_ols` fixed-expression contract; caller guarantees
+    nₐ·nᵦ < 2⁶³). Floating-point values raise; rows whose side is
+    neither ``side_a`` nor ``side_b`` and NULL keys/values are
+    dropped.
+
+    Scale shape: one (group, value) hash-aggregate, then cumulative
+    AND full-frame sums over the SAME group partitioning (a single
+    Exchange — the :func:`group_mad_outliers` two-window rule), one
+    final hash-agg. No join, no global sort.
+
+    Output: (group..., n_a, n_b, ks_num, ks); ks NULL when a side is
+    empty.
+    """
+    from pyspark.sql.types import DoubleType, FloatType
+
+    fields = {f.name: f for f in df.schema.fields}
+    if isinstance(fields[value_col].dataType, (DoubleType, FloatType)):
+        raise ValueError(
+            f"ks_2sample: {value_col!r} is floating-point — integerize "
+            "first (exact integer numerators are the determinism "
+            "contract)")
+    if not group_cols:
+        raise ValueError("ks_2sample: group_cols must be non-empty")
+    if side_a == side_b:
+        raise ValueError("ks_2sample: side_a and side_b must differ")
+    keep = (F.col(value_col).isNotNull()
+            & F.col(side_col).isin(side_a, side_b))
+    for g in group_cols:
+        keep = keep & F.col(g).isNotNull()
+    base = df.where(keep).select(
+        *group_cols,
+        F.col(value_col).cast("long").alias("_v"),
+        (F.col(side_col) == side_a).cast("long").alias("_a"))
+    per_val = base.groupBy(*group_cols, "_v").agg(
+        F.sum("_a").alias("_ca"),
+        (F.count(F.lit(1)) - F.sum("_a")).alias("_cb"))
+    wg = Window.partitionBy(*group_cols)
+    w = wg.orderBy(F.col("_v").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    stepped = per_val.select(
+        *group_cols,
+        F.sum("_ca").over(w).alias("_cuma"),
+        F.sum("_cb").over(w).alias("_cumb"),
+        F.sum("_ca").over(wg).alias("_na"),
+        F.sum("_cb").over(wg).alias("_nb"))
+    dev = F.abs(F.col("_cuma") * F.col("_nb")
+                - F.col("_cumb") * F.col("_na"))
+    s = stepped.groupBy(*group_cols).agg(
+        F.max("_na").alias("n_a"),
+        F.max("_nb").alias("n_b"),
+        F.max(dev).alias("ks_num"))
+    return s.select(
+        *group_cols, "n_a", "n_b", "ks_num",
+        F.when((F.col("n_a") == 0) | (F.col("n_b") == 0), F.lit(None))
+        .otherwise(F.col("ks_num").cast("double")
+                   / (F.col("n_a").cast("double")
+                      * F.col("n_b").cast("double"))).alias("ks"))
+
+
+def top_p_coverage(df: DataFrame, *, item_col: str,
+                   group_cols: list[str],
+                   p_milli: int = 900) -> DataFrame:
+    """Per-group head concentration: the minimal number of distinct
+    items (ranked by row count descending) whose cumulative mass
+    reaches ``p_milli``/1000 of the group's total — "how many domains
+    make up 90 % of the corpus", the quota/diversity planning twin of
+    :func:`group_gini`.
+
+    The rank order is PINNED (count desc, item asc) so the answer is
+    unique, and the coverage test is the EXACT INTEGER comparison
+    ``cum_before·1000 < p_milli·total`` (a row is needed iff the head
+    strictly before it is still short) — no float ever enters, so the
+    result is bit-stable across engines and partitionings. NULL keys
+    and items are dropped. 0 < p_milli ≤ 1000 required.
+
+    Scale shape: one (group, item) hash-aggregate with map-side
+    combine, one group-partitioned window over the item-distinct
+    table, one final hash-agg. No join, no global sort.
+
+    Output: (group..., n_items, total, k_items, head_mass) where
+    head_mass is the row count covered by those k_items.
+    """
+    if not group_cols:
+        raise ValueError("top_p_coverage: group_cols must be non-empty")
+    if not (0 < int(p_milli) <= 1000):
+        raise ValueError("top_p_coverage: p_milli must be in (0, 1000]")
+    keep = F.col(item_col).isNotNull()
+    for g in group_cols:
+        keep = keep & F.col(g).isNotNull()
+    per_item = df.where(keep).groupBy(
+        *group_cols, F.col(item_col).alias("_it")).agg(
+        F.count(F.lit(1)).alias("_c"))
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("_c").desc(), F.col("_it").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    wg = Window.partitionBy(*group_cols)
+    stepped = per_item.select(
+        *group_cols, "_c",
+        F.sum("_c").over(w).alias("_cum"),
+        F.sum("_c").over(wg).alias("_total"))
+    needed = ((F.col("_cum") - F.col("_c")) * 1000
+              < F.lit(int(p_milli)) * F.col("_total"))
+    return stepped.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.max("_total").alias("total"),
+        F.sum(needed.cast("long")).alias("k_items"),
+        F.max(F.when(needed, F.col("_cum"))).alias("head_mass"))

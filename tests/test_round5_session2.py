@@ -1,0 +1,218 @@
+"""Round-5 continuation operators: group_auc (q151), ks_2sample
+(q152), top_p_coverage (q153) — post-pin registrations, in-repo
+oracle sweep evidence."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from kml2geojson_spark.relational import (group_auc, ks_2sample,
+                                          top_p_coverage)
+
+
+# ---------------------------------------------------------- group_auc
+
+
+def _scored(spark, rows):
+    return spark.createDataFrame(rows, "g string, s long, y long")
+
+
+def _auc_brute(pairs):
+    """Mean over pos x neg pairs of 1[s_p > s_n] + 0.5 * 1[s_p == s_n]."""
+    pos = [s for s, y in pairs if y == 1]
+    neg = [s for s, y in pairs if y == 0]
+    if not pos or not neg:
+        return None
+    wins = sum(1.0 if p > n else (0.5 if p == n else 0.0)
+               for p in pos for n in neg)
+    return wins / (len(pos) * len(neg))
+
+
+def test_group_auc_hand_perfect_and_ties(spark):
+    df = _scored(spark, [
+        ("a", 1, 0), ("a", 2, 0), ("a", 3, 1), ("a", 4, 1),  # perfect
+        ("b", 5, 0), ("b", 5, 1),                             # all tied
+        ("c", 1, 1), ("c", 2, 0),                             # inverted
+        ("d", 7, 1), ("d", 8, 1),                             # one class
+    ])
+    got = {r["g"]: r for r in group_auc(
+        df, score_col="s", label_col="y", group_cols=["g"]).collect()}
+    assert got["a"]["auc"] == 1.0
+    assert got["b"]["auc"] == 0.5
+    assert got["c"]["auc"] == 0.0
+    assert got["d"]["auc"] is None
+    assert (got["a"]["n_pos"], got["a"]["n_neg"]) == (2, 2)
+
+
+def test_group_auc_matches_brute(spark):
+    rng = np.random.default_rng(151)
+    rows = []
+    for g in ("x", "y", "z"):
+        for _ in range(120):
+            y = int(rng.integers(0, 2))
+            # correlated score with heavy ties
+            s = int(rng.integers(0, 8)) + 3 * y
+            rows.append((g, s, y))
+    got = {r["g"]: r["auc"] for r in group_auc(
+        _scored(spark, rows), score_col="s", label_col="y",
+        group_cols=["g"]).collect()}
+    for g in ("x", "y", "z"):
+        pairs = [(s, y) for gg, s, y in rows if gg == g]
+        assert got[g] == pytest.approx(_auc_brute(pairs), abs=1e-12)
+
+
+def test_group_auc_guards_and_nulls(spark):
+    df = _scored(spark, [("a", 1, 0), ("a", 2, 1), (None, 3, 1),
+                         ("a", None, 0), ("a", 4, None)])
+    rows = group_auc(df, score_col="s", label_col="y",
+                     group_cols=["g"]).collect()
+    assert len(rows) == 1 and rows[0]["n_pos"] == 1 and rows[0]["n_neg"] == 1
+    fdf = spark.createDataFrame([("a", 1.5, 1)], "g string, s double, y long")
+    with pytest.raises(ValueError):
+        group_auc(fdf, score_col="s", label_col="y", group_cols=["g"])
+    with pytest.raises(ValueError):
+        group_auc(df, score_col="s", label_col="y", group_cols=[])
+    bad = _scored(spark, [("a", 1, 2)])
+    with pytest.raises(Exception):
+        group_auc(bad, score_col="s", label_col="y",
+                  group_cols=["g"]).collect()
+
+
+# --------------------------------------------------------- ks_2sample
+
+
+def _sided(spark, rows):
+    return spark.createDataFrame(rows, "g string, v long, side string")
+
+
+def _ks_brute(a, b):
+    if not a or not b:
+        return None
+    vals = sorted(set(a) | set(b))
+    na, nb = len(a), len(b)
+    return max(abs(sum(1 for x in a if x <= v) / na
+                   - sum(1 for x in b if x <= v) / nb) for v in vals)
+
+
+def test_ks_hand_identical_and_disjoint(spark):
+    df = _sided(spark, [
+        ("g", 1, "A"), ("g", 2, "A"), ("g", 1, "B"), ("g", 2, "B"),
+        ("h", 1, "A"), ("h", 2, "A"), ("h", 10, "B"), ("h", 11, "B"),
+    ])
+    got = {r["g"]: r for r in ks_2sample(
+        df, value_col="v", side_col="side", side_a="A", side_b="B",
+        group_cols=["g"]).collect()}
+    assert got["g"]["ks"] == 0.0
+    assert got["h"]["ks"] == 1.0
+    assert got["h"]["ks_num"] == 4  # 2*2
+
+
+def test_ks_matches_brute(spark):
+    rng = np.random.default_rng(152)
+    rows = []
+    for g in ("x", "y"):
+        for _ in range(150):
+            side = "A" if rng.random() < 0.5 else "B"
+            v = int(rng.integers(0, 20)) + (3 if side == "B" else 0)
+            rows.append((g, v, side))
+    got = {r["g"]: r["ks"] for r in ks_2sample(
+        _sided(spark, rows), value_col="v", side_col="side",
+        side_a="A", side_b="B", group_cols=["g"]).collect()}
+    for g in ("x", "y"):
+        a = [v for gg, v, s in rows if gg == g and s == "A"]
+        b = [v for gg, v, s in rows if gg == g and s == "B"]
+        assert got[g] == pytest.approx(_ks_brute(a, b), abs=1e-12)
+
+
+def test_ks_other_sides_dropped_and_guards(spark):
+    df = _sided(spark, [("g", 1, "A"), ("g", 9, "C"), ("g", 2, "B"),
+                        ("g", None, "A"), (None, 3, "B")])
+    rows = ks_2sample(df, value_col="v", side_col="side", side_a="A",
+                      side_b="B", group_cols=["g"]).collect()
+    assert len(rows) == 1 and rows[0]["n_a"] == 1 and rows[0]["n_b"] == 1
+    with pytest.raises(ValueError):
+        ks_2sample(df, value_col="v", side_col="side", side_a="A",
+                   side_b="A", group_cols=["g"])
+    fdf = spark.createDataFrame([("g", 1.5, "A")],
+                                "g string, v double, side string")
+    with pytest.raises(ValueError):
+        ks_2sample(fdf, value_col="v", side_col="side", side_a="A",
+                   side_b="B", group_cols=["g"])
+
+
+def test_ks_single_exchange_plan(spark):
+    df = _sided(spark, [("g", 1, "A"), ("g", 2, "B")])
+    plan = ks_2sample(
+        df, value_col="v", side_col="side", side_a="A", side_b="B",
+        group_cols=["g"])._jdf.queryExecution().executedPlan().toString()
+    # one Exchange for the (group, value) hash-agg, one for the group
+    # windows + final agg — the two windows and final agg share theirs
+    assert plan.count("Exchange") <= 2
+
+
+# ----------------------------------------------------- top_p_coverage
+
+
+def _items(spark, rows):
+    return spark.createDataFrame(rows, "g string, it string")
+
+
+def _coverage_brute(items, p_milli):
+    from collections import Counter
+    c = Counter(items)
+    ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(c.values())
+    cum = k = head = 0
+    for _, n in ranked:
+        if cum * 1000 < p_milli * total:
+            k += 1
+            cum += n
+            head = cum
+        else:
+            break
+    return len(c), total, k, head
+
+
+def test_top_p_hand(spark):
+    rows = ([("g", "a")] * 6 + [("g", "b")] * 3 + [("g", "c")] * 1)
+    got = top_p_coverage(_items(spark, rows), item_col="it",
+                         group_cols=["g"], p_milli=900).collect()[0]
+    # a(6) covers 60% < 90%; a+b = 9 -> cum_before 6*1000 < 900*10 -> b
+    # needed; c: cum_before 9000 >= 9000 -> not needed
+    assert (got["n_items"], got["total"], got["k_items"],
+            got["head_mass"]) == (3, 10, 2, 9)
+
+
+def test_top_p_tie_pinning_and_exact_boundary(spark):
+    # equal counts -> item asc decides; p exactly on a boundary
+    rows = [("g", "b"), ("g", "a")] * 5          # a:5, b:5
+    got = top_p_coverage(_items(spark, rows), item_col="it",
+                         group_cols=["g"], p_milli=500).collect()[0]
+    assert (got["k_items"], got["head_mass"]) == (1, 5)
+
+
+def test_top_p_matches_brute(spark):
+    rng = np.random.default_rng(153)
+    rows = [("x" if rng.random() < 0.6 else "y",
+             f"it{int(rng.integers(0, 30) ** 2 // 37)}")
+            for _ in range(500)]
+    for p in (500, 800, 1000):
+        got = {r["g"]: r for r in top_p_coverage(
+            _items(spark, rows), item_col="it", group_cols=["g"],
+            p_milli=p).collect()}
+        for g in ("x", "y"):
+            items = [it for gg, it in rows if gg == g]
+            want = _coverage_brute(items, p)
+            assert (got[g]["n_items"], got[g]["total"],
+                    got[g]["k_items"], got[g]["head_mass"]) == want
+
+
+def test_top_p_guards(spark):
+    df = _items(spark, [("g", "a")])
+    for bad in (0, 1001, -5):
+        with pytest.raises(ValueError):
+            top_p_coverage(df, item_col="it", group_cols=["g"],
+                           p_milli=bad)
+    with pytest.raises(ValueError):
+        top_p_coverage(df, item_col="it", group_cols=[])
