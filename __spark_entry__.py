@@ -4649,6 +4649,85 @@ FROM st GROUP BY g
 """
 
 
+def _q154_group_entropy(spark, sf):
+    """Per-language Shannon entropy of the source mix: category
+    counts are exact BIGINTs, ln is integerized to micro-nats PER
+    DISTINCT COUNT before any sum (unigram_surprisal's rule), and
+    the final entropy is one division of identical integers. Two
+    hash-aggs, no window/join/collected list. Round-5 post-pin
+    registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.relational import group_entropy
+    return group_entropy(_t(spark, sf, "documents"),
+                         cat_col="source", group_cols=["lang"])
+
+
+_O154 = """
+WITH b AS (
+  SELECT lang AS g, source AS cat FROM documents
+  WHERE lang IS NOT NULL AND source IS NOT NULL),
+pc AS (SELECT g, cat, CAST(COUNT(*) AS BIGINT) AS c
+       FROM b GROUP BY g, cat),
+s AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS k_cats,
+             CAST(SUM(c * CAST(ROUND(LN(c::DOUBLE) * 1000000.0)
+                               AS BIGINT)) AS BIGINT) AS sclc
+      FROM pc GROUP BY g)
+SELECT g AS lang, n, k_cats,
+       n * CAST(ROUND(LN(n::DOUBLE) * 1000000.0) AS BIGINT) - sclc
+         AS ent_num_micro,
+       (n * CAST(ROUND(LN(n::DOUBLE) * 1000000.0) AS BIGINT)
+        - sclc)::DOUBLE / (n::DOUBLE * 1000000.0) AS entropy
+FROM s
+"""
+
+
+def _q155_cusum_changepoint(spark, sf):
+    """Per-event-type CUSUM change-point of the spend series ordered
+    by (epoch-micros, event_id): exact BIGINT deviations carried xn
+    (|n*cum - i*total|), argmax tie pinned to the smallest position
+    via min(struct(-dev, i)), magnitude one division of identical
+    integers. A single Exchange (cumulative + full-frame windows on
+    one partitioning) + one final hash-agg. Round-5 post-pin
+    registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.eventops import cusum_changepoint
+    e = _t(spark, sf, "events").select(
+        "event_type", "event_id",
+        F.expr("timestampdiff(MICROSECOND, "
+               "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+        .alias("ts_us"),
+        F.round(F.col("value") * 100.0).cast("long").alias("cents"))
+    return cusum_changepoint(e, value_col="cents", order_col="ts_us",
+                             id_col="event_id",
+                             group_cols=["event_type"])
+
+
+_O155 = """
+WITH b AS (
+  SELECT event_type AS g, epoch_us(ts) AS o, event_id AS id,
+         CAST(ROUND(value * 100.0) AS BIGINT) AS v
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    AND event_id IS NOT NULL AND value IS NOT NULL),
+r AS (SELECT g, o,
+             ROW_NUMBER() OVER (PARTITION BY g
+                                ORDER BY o ASC, id ASC) AS i,
+             CAST(SUM(v) OVER (PARTITION BY g ORDER BY o ASC, id ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS cum,
+             CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n,
+             CAST(SUM(v) OVER (PARTITION BY g) AS BIGINT) AS tot
+      FROM b),
+d AS (SELECT g, o, i, n, tot, ABS(n * cum - i * tot) AS dev FROM r),
+p AS (SELECT g, o, i, n, tot, dev,
+             ROW_NUMBER() OVER (PARTITION BY g
+                                ORDER BY dev DESC, i ASC) AS pick
+      FROM d)
+SELECT g AS event_type, n, tot AS total, CAST(i AS BIGINT) AS cp_pos,
+       o AS cp_at, dev AS cusum_num,
+       dev::DOUBLE / (n::DOUBLE * n::DOUBLE) AS cusum
+FROM p WHERE pick = 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -4795,6 +4874,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q151_group_auc": _q151_group_auc,
         "q152_ks_2sample": _q152_ks_2sample,
         "q153_top_p_coverage": _q153_top_p_coverage,
+        "q154_group_entropy": _q154_group_entropy,
+        "q155_cusum_changepoint": _q155_cusum_changepoint,
     }
 
 
@@ -4940,6 +5021,8 @@ def oracle_sql() -> dict[str, str]:
         "q151_group_auc": _O151,
         "q152_ks_2sample": _O152,
         "q153_top_p_coverage": _O153,
+        "q154_group_entropy": _O154,
+        "q155_cusum_changepoint": _O155,
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

@@ -561,3 +561,76 @@ def touch_attribution(events: DataFrame, *, conversion_type: str,
                     F.col("_first.event_id").alias("first_id"),
                     F.col("_last.event_type").alias("last_type"),
                     F.col("_last.event_id").alias("last_id")))
+
+
+def cusum_changepoint(df: DataFrame, *, value_col: str, order_col: str,
+                      id_col: str, group_cols: list[str]) -> DataFrame:
+    """Per-group CUSUM change-point: the position in the (order, id)-
+    sorted integer series maximizing |Σ_{j≤i} x_j − i·x̄| — the
+    level-shift locator (when did a metric's mean move?) behind
+    drift alarms and A/B ramp forensics.
+
+    Everything is EXACT INTEGER until one final division: the
+    deviation is carried ×n as ``dev_i = |n·cum_i − i·total|`` (a
+    BIGINT — caller guarantees n·Σ|x| < 2⁶³, ANSI-raises otherwise),
+    the argmax tie is PINNED to the smallest position via
+    ``min(struct(−dev, i))``, and the reported magnitude
+    ``cusum = dev/n²`` (the mean-shift scale) is one division of
+    identical integers — bit-identical across engines and
+    partitionings (the :func:`~kml2geojson_spark.relational.group_ols`
+    contract). Floating-point values raise; NULL keys/orders/ids/
+    values are dropped; (order, id) must be unique per group for a
+    unique answer — id breaks order ties.
+
+    Scale shape: cumulative AND full-frame sums over ONE group
+    partitioning (a single Exchange — the group_mad_outliers
+    two-window rule), then one final hash-agg. No join, no global
+    sort.
+
+    Output: (group..., n, total, cp_pos, cp_at, cusum_num, cusum)
+    where cp_pos is the 1-based position, cp_at the order_col value
+    there, and cusum_num = max dev (×n scaled).
+    """
+    from pyspark.sql.types import DoubleType, FloatType
+
+    fields = {f.name: f for f in df.schema.fields}
+    for c in (value_col, order_col):
+        if isinstance(fields[c].dataType, (DoubleType, FloatType)):
+            raise ValueError(
+                f"cusum_changepoint: {c!r} is floating-point — "
+                "integerize first (exact integer deviations are the "
+                "determinism contract)")
+    if not group_cols:
+        raise ValueError(
+            "cusum_changepoint: group_cols must be non-empty")
+    keep = (F.col(value_col).isNotNull() & F.col(order_col).isNotNull()
+            & F.col(id_col).isNotNull())
+    for g in group_cols:
+        keep = keep & F.col(g).isNotNull()
+    base = df.where(keep).select(
+        *group_cols, F.col(order_col).cast("long").alias("_o"),
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(value_col).cast("long").alias("_v"))
+    wg = Window.partitionBy(*group_cols)
+    w = wg.orderBy(F.col("_o").asc(), F.col("_id").asc())
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    stepped = base.select(
+        *group_cols, "_o",
+        F.row_number().over(w).alias("_i"),
+        F.sum("_v").over(wrun).alias("_cum"),
+        F.count(F.lit(1)).over(wg).alias("_n"),
+        F.sum("_v").over(wg).alias("_tot"))
+    dev = F.abs(F.col("_n") * F.col("_cum") - F.col("_i") * F.col("_tot"))
+    s = stepped.groupBy(*group_cols).agg(
+        F.max("_n").alias("n"),
+        F.max("_tot").alias("total"),
+        F.min(F.struct((-dev).alias("nd"), F.col("_i").alias("i"),
+                       F.col("_o").alias("o"))).alias("_m"))
+    return s.select(
+        *group_cols, "n", "total",
+        F.col("_m.i").alias("cp_pos"),
+        F.col("_m.o").alias("cp_at"),
+        (-F.col("_m.nd")).alias("cusum_num"),
+        ((-F.col("_m.nd")).cast("double")
+         / (F.col("n").cast("double") * F.col("n").cast("double")))
+        .alias("cusum"))

@@ -669,3 +669,50 @@ def top_p_coverage(df: DataFrame, *, item_col: str,
         F.max("_total").alias("total"),
         F.sum(needed.cast("long")).alias("k_items"),
         F.max(F.when(needed, F.col("_cum"))).alias("head_mass"))
+
+
+def group_entropy(df: DataFrame, *, cat_col: str,
+                  group_cols: list[str]) -> DataFrame:
+    """Per-group Shannon entropy (nats) of a categorical column — the
+    diversity / balance diagnostic (source mix per language, label
+    balance per shard) completing :func:`top_p_coverage`'s head-count
+    view of the same question.
+
+    Determinism (the `unigram_surprisal` micro-nat rule): with
+    category counts c exact BIGINTs, each category contributes
+    ``c · round(ln(c)·10⁶)`` micro-nats — ``ln`` is integerized PER
+    DISTINCT COUNT before any sum, so the total is addition-order
+    independent (a float Σ c·ln c would vary in ULPs across engines
+    and partitionings; a micro-nat rounding boundary would need ln of
+    an integer within ~1e-12 of 5e-7, which transcendence rules out).
+    The entropy numerator ``n·round(ln(n)·10⁶) − Σ c·round(ln(c)·10⁶)``
+    is an exact BIGINT and the final entropy is ONE division of
+    identical integers — bit-identical across engines. NULL keys and
+    categories are dropped. Caller guarantees n·ln(n)·10⁶ < 2⁶³
+    (n < ~4·10¹¹ — ANSI-raises, never wraps).
+
+    Scale shape: one (group, category) hash-aggregate with map-side
+    combine, one group hash-aggregate. No window, no join, no
+    collected list — cardinality-unbounded.
+
+    Output: (group..., n, k_cats, ent_num_micro, entropy).
+    """
+    if not group_cols:
+        raise ValueError("group_entropy: group_cols must be non-empty")
+    keep = F.col(cat_col).isNotNull()
+    for g in group_cols:
+        keep = keep & F.col(g).isNotNull()
+    per_cat = df.where(keep).groupBy(
+        *group_cols, F.col(cat_col).alias("_cat")).agg(
+        F.count(F.lit(1)).alias("_c"))
+    lnc = F.round(F.log(F.col("_c").cast("double")) * 1e6).cast("long")
+    s = per_cat.groupBy(*group_cols).agg(
+        F.sum("_c").alias("n"),
+        F.count(F.lit(1)).alias("k_cats"),
+        F.sum(F.col("_c") * lnc).alias("_sclc"))
+    lnn = F.round(F.log(F.col("n").cast("double")) * 1e6).cast("long")
+    num = F.col("n") * lnn - F.col("_sclc")
+    return s.select(
+        *group_cols, "n", "k_cats", num.alias("ent_num_micro"),
+        (num.cast("double")
+         / (F.col("n").cast("double") * 1e6)).alias("entropy"))

@@ -216,3 +216,107 @@ def test_top_p_guards(spark):
                            p_milli=bad)
     with pytest.raises(ValueError):
         top_p_coverage(df, item_col="it", group_cols=[])
+
+
+# ------------------------------------------------------ group_entropy
+
+from math import log
+
+from kml2geojson_spark.relational import group_entropy
+from kml2geojson_spark.eventops import cusum_changepoint
+
+
+def test_group_entropy_hand_and_brute(spark):
+    rows = ([("g", "a")] * 4 + [("g", "b")] * 4          # uniform 2 cats
+            + [("h", "a")] * 9 + [("h", "b")]            # skewed
+            + [("i", "only")] * 5)                        # degenerate
+    df = spark.createDataFrame(rows, "g string, cat string")
+    got = {r["g"]: r for r in group_entropy(
+        df, cat_col="cat", group_cols=["g"]).collect()}
+    assert got["g"]["entropy"] == pytest.approx(log(2), abs=2e-6)
+    assert got["i"]["entropy"] == 0.0
+    n, cs = 10, [9, 1]
+    want = log(n) - sum(c * log(c) for c in cs) / n
+    assert got["h"]["entropy"] == pytest.approx(want, abs=2e-6)
+    assert got["h"]["k_cats"] == 2 and got["h"]["n"] == 10
+
+
+def test_group_entropy_nulls_and_guard(spark):
+    df = spark.createDataFrame(
+        [("g", "a"), ("g", None), (None, "b")], "g string, cat string")
+    rows = group_entropy(df, cat_col="cat", group_cols=["g"]).collect()
+    assert len(rows) == 1 and rows[0]["n"] == 1
+    with pytest.raises(ValueError):
+        group_entropy(df, cat_col="cat", group_cols=[])
+
+
+# -------------------------------------------------- cusum_changepoint
+
+
+def _series(spark, rows):
+    return spark.createDataFrame(rows, "g string, o long, id long, v long")
+
+
+def _cusum_brute(vals):
+    n = len(vals)
+    tot = sum(vals)
+    cum = 0
+    best = (-1, None)
+    for i, v in enumerate(vals, start=1):
+        cum += v
+        d = abs(n * cum - i * tot)
+        if d > best[0]:
+            best = (d, i)
+    return best  # (dev, pos) smallest pos on tie by strict >
+
+
+def test_cusum_hand_level_shift(spark):
+    # 5 zeros then 5 tens -> change point at pos 5
+    rows = [("g", t, t, 0 if t <= 5 else 10) for t in range(1, 11)]
+    got = cusum_changepoint(
+        _series(spark, rows), value_col="v", order_col="o",
+        id_col="id", group_cols=["g"]).collect()[0]
+    assert got["cp_pos"] == 5 and got["cp_at"] == 5
+    assert got["n"] == 10 and got["total"] == 50
+    # dev at i=5: |10*0 - 5*50| = 250; cusum = 250/100 = 2.5
+    assert got["cusum_num"] == 250 and got["cusum"] == 2.5
+
+
+def test_cusum_matches_brute_and_tie_pin(spark):
+    rng = np.random.default_rng(155)
+    rows = []
+    for g in ("x", "y"):
+        shift = int(rng.integers(20, 80))
+        for t in range(100):
+            v = int(rng.integers(0, 5)) + (7 if t >= shift else 0)
+            rows.append((g, t, t, v))
+    # constant series: every dev is 0 -> tie -> pos 1
+    rows += [("z", t, t, 3) for t in range(1, 6)]
+    got = {r["g"]: r for r in cusum_changepoint(
+        _series(spark, rows), value_col="v", order_col="o",
+        id_col="id", group_cols=["g"]).collect()}
+    for g in ("x", "y"):
+        vals = [v for gg, _, _, v in rows if gg == g]
+        dev, pos = _cusum_brute(vals)
+        assert (got[g]["cusum_num"], got[g]["cp_pos"]) == (dev, pos)
+    assert got["z"]["cp_pos"] == 1 and got["z"]["cusum_num"] == 0
+
+
+def test_cusum_guards(spark):
+    df = _series(spark, [("g", 1, 1, 1)])
+    with pytest.raises(ValueError):
+        cusum_changepoint(df, value_col="v", order_col="o",
+                          id_col="id", group_cols=[])
+    fdf = spark.createDataFrame([("g", 1.0, 1, 1)],
+                                "g string, o double, id long, v long")
+    with pytest.raises(ValueError):
+        cusum_changepoint(fdf, value_col="v", order_col="o",
+                          id_col="id", group_cols=["g"])
+
+
+def test_cusum_single_exchange_plan(spark):
+    df = _series(spark, [("g", 1, 1, 1), ("g", 2, 2, 5)])
+    plan = cusum_changepoint(
+        df, value_col="v", order_col="o", id_col="id",
+        group_cols=["g"])._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1
