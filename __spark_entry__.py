@@ -4728,6 +4728,87 @@ FROM p WHERE pick = 1
 """
 
 
+def _q156_cidr_join(spark, sf):
+    """CIDR containment enrichment: md5-derived request IPs (one per
+    event) joined to nation-derived networks of mixed prefix length
+    (8/12/16) via the /16-bucket EQUI-join (a network with plen < 16
+    explodes to its covered buckets, an IP lives in exactly one — no
+    theta-join, no dedup pass), then per-network rollup. All integer
+    bit arithmetic. Round-5 post-pin registration: in-repo oracle
+    sweep only."""
+    from kml2geojson_spark.netops import cidr_contain_join
+    ips = _t(spark, sf, "events").select(
+        "user_id",
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")),
+                           1, 8), 16, 10).cast("long").alias("ipn"))
+    nets = _t(spark, sf, "nation").select(
+        "n_name",
+        F.concat(F.col("n_nationkey").cast("string"), F.lit(".0.0.0/"),
+                 (8 + (F.col("n_nationkey") % 3) * 4).cast("string"))
+        .alias("cidr"))
+    hits = cidr_contain_join(ips, nets, ip_col="ipn", cidr_col="cidr")
+    return hits.groupBy("n_name", "net_plen").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"))
+
+
+_O156 = """
+WITH ip AS (
+  SELECT user_id,
+         CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+              AS BIGINT) AS ipn
+  FROM events WHERE event_id IS NOT NULL),
+net AS (
+  SELECT n_name, n_nationkey * 16777216 AS base,
+         CAST(8 + (n_nationkey % 3) * 4 AS INT) AS plen
+  FROM nation)
+SELECT n_name, plen AS net_plen,
+       COUNT(*) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM ip JOIN net
+  ON (ipn >> (32 - plen)) = (base >> (32 - plen))
+GROUP BY n_name, plen
+"""
+
+
+def _q157_rolling_median(spark, sf):
+    """Per-event-type trailing-25 rolling median of spend cents
+    ordered by (epoch-micros, event_id): exact integer low order
+    statistic per frame (q19's rule applied to a bounded rows frame
+    — task memory O(window), never an unbounded collect). ONE group
+    Exchange. Round-5 post-pin registration: in-repo oracle sweep
+    only."""
+    from kml2geojson_spark.relational import rolling_median
+    e = _t(spark, sf, "events").select(
+        "event_type", "event_id",
+        F.expr("timestampdiff(MICROSECOND, "
+               "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+        .alias("ts_us"),
+        F.round(F.col("value") * 100.0).cast("long").alias("cents"))
+    return rolling_median(e, value_col="cents", order_col="ts_us",
+                          id_col="event_id",
+                          group_cols=["event_type"], window=25)
+
+
+_O157 = """
+WITH b AS (
+  SELECT event_type AS g, epoch_us(ts) AS o, event_id AS id,
+         CAST(ROUND(value * 100.0) AS BIGINT) AS v
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    AND event_id IS NOT NULL AND value IS NOT NULL),
+w AS (
+  SELECT g, o, id, v,
+         list_sort(list(v) OVER (PARTITION BY g ORDER BY o ASC, id ASC
+                                 ROWS BETWEEN 24 PRECEDING
+                                 AND CURRENT ROW)) AS fr
+  FROM b)
+SELECT g AS event_type, o AS ts_us, id AS event_id, v AS value,
+       fr[CAST((len(fr) + 1) // 2 AS INT)] AS roll_med
+FROM w
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -4876,6 +4957,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q153_top_p_coverage": _q153_top_p_coverage,
         "q154_group_entropy": _q154_group_entropy,
         "q155_cusum_changepoint": _q155_cusum_changepoint,
+        "q156_cidr_join": _q156_cidr_join,
+        "q157_rolling_median": _q157_rolling_median,
     }
 
 
@@ -5023,6 +5106,8 @@ def oracle_sql() -> dict[str, str]:
         "q153_top_p_coverage": _O153,
         "q154_group_entropy": _O154,
         "q155_cusum_changepoint": _O155,
+        "q156_cidr_join": _O156,
+        "q157_rolling_median": _O157,
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

@@ -716,3 +716,53 @@ def group_entropy(df: DataFrame, *, cat_col: str,
         *group_cols, "n", "k_cats", num.alias("ent_num_micro"),
         (num.cast("double")
          / (F.col("n").cast("double") * 1e6)).alias("entropy"))
+
+
+def rolling_median(df: DataFrame, *, value_col: str, order_col: str,
+                   id_col: str, group_cols: list[str],
+                   window: int = 25) -> DataFrame:
+    """Per-group trailing-window median (last ``window`` rows
+    including the current, ordered by (order, id)) — the robust
+    smoother for metric dashboards and spike suppression, the
+    windowed twin of :func:`group_median`'s q19 low-median rule.
+
+    Exactness: values must be INTEGER (floats raise); each frame's
+    median is the LOW order statistic ``sorted[(k+1) div 2]`` of the
+    ≤ ``window`` collected values — integer in, integer out, no float
+    ever, so bit-stable across engines and partitionings. The
+    per-row collected array is bounded by the constant ``window``
+    (this is NOT an unbounded collect: frame size ≤ window by
+    construction), so task memory is O(window).
+
+    Scale shape: ONE group-partitioned window — a single Exchange on
+    the group key; no join, no global sort.
+
+    Output: input group/order/id/value columns + ``roll_med``.
+    """
+    from pyspark.sql.types import DoubleType, FloatType
+
+    fields = {f.name: f for f in df.schema.fields}
+    if isinstance(fields[value_col].dataType, (DoubleType, FloatType)):
+        raise ValueError(
+            f"rolling_median: {value_col!r} is floating-point — "
+            "integerize first (exact integer order statistics are the "
+            "determinism contract)")
+    if not group_cols:
+        raise ValueError("rolling_median: group_cols must be non-empty")
+    if int(window) < 1:
+        raise ValueError("rolling_median: window must be >= 1")
+    keep = (F.col(value_col).isNotNull() & F.col(order_col).isNotNull()
+            & F.col(id_col).isNotNull())
+    for g in group_cols:
+        keep = keep & F.col(g).isNotNull()
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col(order_col).asc(), F.col(id_col).asc()).rowsBetween(
+        -(int(window) - 1), Window.currentRow)
+    frame = F.sort_array(F.collect_list(
+        F.col(value_col).cast("long")).over(w))
+    med = F.element_at(frame, ((F.size(frame) + 1) / 2)
+                       .cast("int"))
+    return df.where(keep).select(
+        *group_cols, order_col, id_col,
+        F.col(value_col).cast("long").alias("value"),
+        med.alias("roll_med"))

@@ -110,3 +110,57 @@ def convert_kml_dir(spark: SparkSession, input_path: str, output_dir: str, *,
     for row, d in zip(rows, dirs):
         written.extend(write_geojson_dir(row, Path(output_dir) / d))
     return written
+
+
+def read_kmz_files(spark: SparkSession, path: str, *,
+                   pattern: str = "*.kmz",
+                   doc_ids: str = "stem") -> DataFrame:
+    """Distributed scan of KMZ archives (zip-wrapped KML, the Google
+    Earth distribution format) → the same spans table as
+    :func:`read_kml_files`, so every downstream operator works
+    unchanged on zipped corpora.
+
+    Per the KMZ convention the MAIN file is the first ``.kml`` entry
+    in the archive, with a root-level ``doc.kml`` preferred when
+    present; other entries (icons, overlays) are ignored here — media
+    fetch is :mod:`..multimodal`'s job. Unzipping happens on
+    EXECUTORS inside the same Arrow-batched ``mapInPandas`` kernel as
+    the raw reader (one task per file group — embarrassingly
+    parallel, nothing crosses the driver); bytes decode utf-8
+    ``errors="ignore"`` exactly like the reference's reader
+    (main.py:577-583). Archives with no ``.kml`` entry or that fail
+    to open as zip are SKIPPED (corrupt-input discipline: a poisoned
+    file must not kill a corpus-scale job); pass ``strict=True`` via
+    functools.partial in tests if a hard failure is wanted —
+    corruption surfaces in row-count reconciliation instead.
+    """
+    import io
+    import zipfile
+
+    if doc_ids not in ("stem", "path"):
+        raise ValueError("doc_ids must be 'stem' or 'path'")
+    files = (spark.read.format("binaryFile")
+             .option("pathGlobFilter", pattern)
+             .load(path)
+             .select("path", "content"))
+
+    def unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, spans = [], []
+            for p, blob in zip(pdf["path"], pdf["content"]):
+                try:
+                    zf = zipfile.ZipFile(io.BytesIO(bytes(blob)))
+                    names = [n for n in zf.namelist()
+                             if n.lower().endswith(".kml")]
+                    if not names:
+                        continue
+                    main = "doc.kml" if "doc.kml" in names else names[0]
+                    text = zf.read(main).decode("utf-8", "ignore")
+                except zipfile.BadZipFile:
+                    continue
+                ids.append(Path(p).stem if doc_ids == "stem" else p)
+                spans.append(pack_spans(text))
+            if ids:  # an all-skipped batch has no Arrow-typable frame
+                yield pd.DataFrame({"doc_id": ids, "spans": spans})
+
+    return files.mapInPandas(unpack, spans_schema())

@@ -320,3 +320,165 @@ def test_cusum_single_exchange_plan(spark):
         df, value_col="v", order_col="o", id_col="id",
         group_cols=["g"])._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 1
+
+
+# ------------------------------------------------------------- netops
+
+from kml2geojson_spark.netops import (cidr_contain_join, ipv4_to_long,
+                                      parse_cidr)
+
+
+def test_ipv4_to_long_and_parse_cidr(spark):
+    df = spark.createDataFrame(
+        [("1.2.3.4",), ("0.0.0.0",), ("255.255.255.255",),
+         ("256.1.1.1",), ("1.2.3",), ("a.b.c.d",), ("1.2.3.4.5",),
+         (None,)], "ip string")
+    got = [r["n"] for r in df.select(
+        ipv4_to_long("ip").alias("n")).collect()]
+    assert got == [16909060, 0, 4294967295, None, None, None, None, None]
+    cdf = spark.createDataFrame(
+        [("10.0.0.0/8",), ("1.2.3.4/32",), ("10.1.0.0/8",),   # unaligned
+         ("10.0.0.0/33",), ("10.0.0.0",), ("0.0.0.0/0",)], "c string")
+    got = [r["p"] for r in cdf.select(parse_cidr("c").alias("p")).collect()]
+    assert got[0] == (10 * 16777216, 8)
+    assert got[1] == (16909060, 32)
+    assert got[2] is None and got[3] is None and got[4] is None
+    assert got[5] == (0, 0)
+
+
+def _brute_cidr(ips, nets):
+    out = set()
+    for i, ip in ips:
+        for tag, base, p in nets:
+            if p == 0 or (ip >> (32 - p)) == (base >> (32 - p)):
+                out.add((i, tag))
+    return out
+
+
+def test_cidr_join_matches_brute_across_bucket_bits(spark):
+    rng = np.random.default_rng(156)
+    ips = [(i, int(rng.integers(0, 2 ** 32))) for i in range(300)]
+    # mix of prefixes straddling the bucket width, incl. overlapping
+    nets = []
+    for t in range(40):
+        p = int(rng.choice([0, 6, 8, 12, 16, 20, 24, 32]))
+        base = (int(rng.integers(0, 2 ** 32)) >> (32 - p) << (32 - p)
+                if p else 0)
+        nets.append((t, base, p))
+    want = _brute_cidr(ips, nets)
+    ipdf = spark.createDataFrame(
+        [(i, ".".join(str((ip >> s) & 255) for s in (24, 16, 8, 0)))
+         for i, ip in ips], "row_id long, ip string")
+    netdf = spark.createDataFrame(
+        [(t, ".".join(str((b >> s) & 255) for s in (24, 16, 8, 0))
+          + f"/{p}") for t, b, p in nets], "tag long, cidr string")
+    for bits in (8, 16):
+        got = {(r["row_id"], r["tag"]) for r in cidr_contain_join(
+            ipdf, netdf, ip_col="ip", cidr_col="cidr",
+            bucket_bits=bits).collect()}
+        assert got == want
+
+
+def test_cidr_join_long_ips_malformed_and_guard(spark):
+    ipdf = spark.createDataFrame([(1, 16909060), (2, None)],
+                                 "row_id long, ip long")
+    netdf = spark.createDataFrame([(7, "1.2.0.0/16"), (8, "junk")],
+                                  "tag long, cidr string")
+    got = [(r["row_id"], r["tag"]) for r in cidr_contain_join(
+        ipdf, netdf, ip_col="ip", cidr_col="cidr").collect()]
+    assert got == [(1, 7)]
+    with pytest.raises(ValueError):
+        cidr_contain_join(ipdf, netdf, ip_col="ip", cidr_col="cidr",
+                          bucket_bits=32)
+
+
+def test_cidr_join_no_bnl_plan(spark):
+    ipdf = spark.createDataFrame([(1, "1.2.3.4")], "row_id long, ip string")
+    netdf = spark.createDataFrame([(7, "1.2.0.0/16")], "tag long, cidr string")
+    plan = cidr_contain_join(
+        ipdf, netdf, ip_col="ip",
+        cidr_col="cidr")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+# ------------------------------------------------------ rolling_median
+
+from kml2geojson_spark.relational import rolling_median
+
+
+def test_rolling_median_matches_brute(spark):
+    rng = np.random.default_rng(157)
+    rows = [("g" if i % 3 else "h", i, i, int(rng.integers(0, 100)))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, o long, id long, v long")
+    for w in (1, 5, 25):
+        got = {(r["g"], r["o"]): r["roll_med"] for r in rolling_median(
+            df, value_col="v", order_col="o", id_col="id",
+            group_cols=["g"], window=w).collect()}
+        series = {}
+        for g, o, _, v in sorted(rows):
+            series.setdefault(g, []).append((o, v))
+        for g, s in series.items():
+            vals = [v for _, v in s]
+            for idx, (o, _) in enumerate(s):
+                frame = sorted(vals[max(0, idx - w + 1):idx + 1])
+                assert got[(g, o)] == frame[(len(frame) + 1) // 2 - 1]
+
+
+def test_rolling_median_guards(spark):
+    df = spark.createDataFrame([("g", 1, 1, 1.5)],
+                               "g string, o long, id long, v double")
+    with pytest.raises(ValueError):
+        rolling_median(df, value_col="v", order_col="o", id_col="id",
+                       group_cols=["g"])
+    idf = spark.createDataFrame([("g", 1, 1, 1)],
+                                "g string, o long, id long, v long")
+    with pytest.raises(ValueError):
+        rolling_median(idf, value_col="v", order_col="o", id_col="id",
+                       group_cols=["g"], window=0)
+    with pytest.raises(ValueError):
+        rolling_median(idf, value_col="v", order_col="o", id_col="id",
+                       group_cols=[])
+
+
+# ----------------------------------------------------- read_kmz_files
+
+import zipfile
+
+from kml2geojson_spark.sources import read_kml_files, read_kmz_files
+
+_KML = """<?xml version='1.0' encoding='UTF-8'?>
+<kml xmlns='http://www.opengis.net/kml/2.2'><Document>
+<Placemark><name>{name}</name><Point><coordinates>{x},{y}</coordinates>
+</Point></Placemark></Document></kml>"""
+
+
+def test_read_kmz_matches_raw_kml(spark, tmp_path):
+    raw = tmp_path / "raw"
+    zipped = tmp_path / "zipped"
+    raw.mkdir(), zipped.mkdir()
+    for i in range(3):
+        text = _KML.format(name=f"p{i}", x=i, y=-i)
+        (raw / f"d{i}.kml").write_text(text)
+        with zipfile.ZipFile(zipped / f"d{i}.kmz", "w") as zf:
+            zf.writestr("images/icon.png", b"\x89PNG junk")
+            zf.writestr("doc.kml", text)
+    want = {r["doc_id"]: r["spans"] for r in
+            read_kml_files(spark, str(raw)).collect()}
+    got = {r["doc_id"]: r["spans"] for r in
+           read_kmz_files(spark, str(zipped)).collect()}
+    assert got == want
+
+
+def test_read_kmz_skips_corrupt_and_kml_less(spark, tmp_path):
+    d = tmp_path / "kmz"
+    d.mkdir()
+    with zipfile.ZipFile(d / "good.kmz", "w") as zf:
+        zf.writestr("inner.kml", _KML.format(name="ok", x=1, y=2))
+    with zipfile.ZipFile(d / "empty.kmz", "w") as zf:
+        zf.writestr("readme.txt", "no kml here")
+    (d / "corrupt.kmz").write_bytes(b"not a zip at all")
+    rows = read_kmz_files(spark, str(d)).collect()
+    assert [r["doc_id"] for r in rows] == ["good"]
+    with pytest.raises(ValueError):
+        read_kmz_files(spark, str(d), doc_ids="basename")
