@@ -4809,6 +4809,104 @@ FROM w
 """
 
 
+def _q158_max_streak(spark, sf):
+    """Per-user longest consecutive-active-day streak: classic
+    islands arithmetic (day - row_number constant within a run), all
+    exact integers; distinct + a user-clustered window/agg tail on
+    one Exchange. Round-5 post-pin registration: in-repo oracle
+    sweep only."""
+    from kml2geojson_spark.eventops import max_streak
+    e = _t(spark, sf, "events").select(
+        "user_id",
+        F.expr("timestampdiff(MICROSECOND, "
+               "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+               " div 86400000000").alias("day"))
+    return max_streak(e, user_col="user_id", day_col="day")
+
+
+_O158 = """
+WITH b AS (
+  SELECT DISTINCT user_id AS u,
+         epoch_us(ts) // 86400000000 AS d
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+r AS (SELECT u, d,
+             d - ROW_NUMBER() OVER (PARTITION BY u ORDER BY d ASC)
+               AS isl
+      FROM b),
+runs AS (SELECT u, isl, CAST(COUNT(*) AS BIGINT) AS len
+         FROM r GROUP BY u, isl)
+SELECT u AS user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+       COUNT(*) AS n_streaks, CAST(MAX(len) AS BIGINT) AS max_streak
+FROM runs GROUP BY u
+"""
+
+
+def _q159_percentile_rank(spark, sf):
+    """Per-priority percentile rank of order value (ANSI PERCENT_RANK
+    semantics, min-rank ties) carried as exact integers with ONE
+    final division — the curriculum-ordering primitive. Rank and the
+    full-frame count share a single group Exchange. Round-5 post-pin
+    registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.relational import percentile_rank
+    o = _t(spark, sf, "orders").select(
+        "o_orderpriority", "o_orderkey",
+        F.round(F.col("o_totalprice") * 100.0).cast("long")
+        .alias("price_cents"))
+    return percentile_rank(o, value_col="price_cents",
+                           id_col="o_orderkey",
+                           group_cols=["o_orderpriority"])
+
+
+_O159 = """
+WITH b AS (
+  SELECT o_orderpriority AS g, o_orderkey AS id,
+         CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS v
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_orderkey IS NOT NULL
+    AND o_totalprice IS NOT NULL),
+r AS (SELECT g, id, v,
+             CAST(RANK() OVER (PARTITION BY g ORDER BY v ASC)
+                  AS BIGINT) AS rnk,
+             CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n
+      FROM b)
+SELECT g AS o_orderpriority, id AS o_orderkey, v AS value, rnk, n,
+       CASE WHEN n = 1 THEN NULL
+            ELSE (rnk - 1)::DOUBLE / (n - 1)::DOUBLE
+       END AS pct_rank
+FROM r
+"""
+
+
+def _q160_jaccard_pairs(spark, sf):
+    """Audience overlap between event types: pairwise Jaccard of
+    user sets — cooccurrence_pairs for the exact intersections plus
+    broadcast degree joins; |A∪B| derived as n_a+n_b−n_both, J one
+    division of identical integers. Round-5 post-pin registration:
+    in-repo oracle sweep only."""
+    from kml2geojson_spark.relational import jaccard_pairs
+    e = _t(spark, sf, "events")
+    return jaccard_pairs(e, basket_col="user_id",
+                         item_col="event_type")
+
+
+_O160 = """
+WITH b AS (
+  SELECT DISTINCT user_id AS bk, event_type AS it
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+deg AS (SELECT it, CAST(COUNT(*) AS BIGINT) AS d FROM b GROUP BY it),
+p AS (SELECT a.it AS item_a, bb.it AS item_b,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM b a JOIN b bb ON a.bk = bb.bk AND a.it < bb.it
+      GROUP BY a.it, bb.it)
+SELECT item_a, item_b, da.d AS n_a, db.d AS n_b, n_both,
+       n_both::DOUBLE / (da.d + db.d - n_both)::DOUBLE AS jaccard
+FROM p
+JOIN deg da ON da.it = item_a
+JOIN deg db ON db.it = item_b
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -4959,6 +5057,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q155_cusum_changepoint": _q155_cusum_changepoint,
         "q156_cidr_join": _q156_cidr_join,
         "q157_rolling_median": _q157_rolling_median,
+        "q158_max_streak": _q158_max_streak,
+        "q159_percentile_rank": _q159_percentile_rank,
+        "q160_jaccard_pairs": _q160_jaccard_pairs,
     }
 
 
@@ -5108,6 +5209,9 @@ def oracle_sql() -> dict[str, str]:
         "q155_cusum_changepoint": _O155,
         "q156_cidr_join": _O156,
         "q157_rolling_median": _O157,
+        "q158_max_streak": _O158,
+        "q159_percentile_rank": _O159,
+        "q160_jaccard_pairs": _O160,
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

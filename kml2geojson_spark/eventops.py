@@ -634,3 +634,48 @@ def cusum_changepoint(df: DataFrame, *, value_col: str, order_col: str,
         ((-F.col("_m.nd")).cast("double")
          / (F.col("n").cast("double") * F.col("n").cast("double")))
         .alias("cusum"))
+
+
+def max_streak(df: DataFrame, *, user_col: str, day_col: str) -> DataFrame:
+    """Per-user longest run of CONSECUTIVE active days — the
+    retention/habit metric (current DAU streaks, contributor streaks)
+    and the gaps-and-islands twin of :func:`merge_intervals` on a
+    unit grid.
+
+    Classic islands arithmetic, all exact integers: distinct
+    (user, day), then ``day − row_number()`` over the user's
+    day-ascending order is CONSTANT within a consecutive run and
+    unique across runs, so one more aggregate per (user, island)
+    yields run lengths and a final max picks the streak. Days must be
+    INTEGER (epoch days — floats raise); NULL users/days are dropped.
+
+    Scale shape: one distinct hash-agg, one window + two aggregates
+    all clustered by the user key — Spark satisfies the (user,
+    island) grouping with the user partitioning, so the whole tail
+    runs on a SINGLE Exchange after the distinct.
+
+    Output: (user_col, n_active_days, n_streaks, max_streak).
+    """
+    from pyspark.sql.types import DoubleType, FloatType
+
+    fields = {f.name: f for f in df.schema.fields}
+    if isinstance(fields[day_col].dataType, (DoubleType, FloatType)):
+        raise ValueError(
+            f"max_streak: {day_col!r} is floating-point — integerize "
+            "to epoch days first")
+    base = (df.where(F.col(user_col).isNotNull()
+                     & F.col(day_col).isNotNull())
+            .select(F.col(user_col).alias("_u"),
+                    F.col(day_col).cast("long").alias("_d"))
+            .distinct())
+    w = Window.partitionBy("_u").orderBy(F.col("_d").asc())
+    runs = (base
+            .withColumn("_isl", F.col("_d")
+                        - F.row_number().over(w).cast("long"))
+            .groupBy("_u", "_isl")
+            .agg(F.count(F.lit(1)).alias("_len")))
+    return (runs.groupBy("_u")
+            .agg(F.sum("_len").alias("n_active_days"),
+                 F.count(F.lit(1)).alias("n_streaks"),
+                 F.max("_len").alias("max_streak"))
+            .withColumnRenamed("_u", user_col))

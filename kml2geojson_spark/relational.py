@@ -766,3 +766,99 @@ def rolling_median(df: DataFrame, *, value_col: str, order_col: str,
         *group_cols, order_col, id_col,
         F.col(value_col).cast("long").alias("value"),
         med.alias("roll_med"))
+
+
+def jaccard_pairs(df: DataFrame, *, basket_col: str, item_col: str,
+                  min_both: int = 1,
+                  max_basket: int | None = None) -> DataFrame:
+    """Pairwise Jaccard similarity between items by the baskets they
+    share — audience overlap (how much do two event types' user bases
+    overlap?), tag similarity, co-listening: J = |A∩B| / |A∪B| over
+    basket sets.
+
+    Composition, not a new kernel: the intersection counts are
+    :func:`cooccurrence_pairs` (distinct → self-equi-join on the
+    basket key → exact pair counts; same whale-basket ``max_basket``
+    contract) and the set sizes are one more hash-agg broadcast back
+    onto the pairs. The union is derived, never counted:
+    |A∪B| = |A| + |B| − |A∩B|, all exact BIGINTs; the final J is ONE
+    division of identical integers (bit-identical across engines).
+
+    Output: (item_a, item_b, n_a, n_b, n_both, jaccard) with
+    item_a < item_b; pairs with fewer than ``min_both`` shared
+    baskets are pruned after exact counting.
+    """
+    pairs = cooccurrence_pairs(df, basket_col=basket_col,
+                               item_col=item_col, min_count=min_both,
+                               max_basket=max_basket)
+    base = (df.where(F.col(basket_col).isNotNull()
+                     & F.col(item_col).isNotNull())
+            .select(F.col(basket_col).alias("_bk"),
+                    F.col(item_col).alias("_it"))
+            .distinct())
+    if max_basket is not None:
+        small = (base.groupBy("_bk")
+                 .agg(F.count(F.lit(1)).alias("_sz"))
+                 .where(F.col("_sz") <= max_basket)
+                 .select("_bk"))
+        base = base.join(small, "_bk", "left_semi")
+    deg = base.groupBy(F.col("_it")).agg(F.count(F.lit(1)).alias("_d"))
+    out = (pairs
+           .join(F.broadcast(deg.select(F.col("_it").alias("item_a"),
+                                        F.col("_d").alias("n_a"))),
+                 "item_a")
+           .join(F.broadcast(deg.select(F.col("_it").alias("item_b"),
+                                        F.col("_d").alias("n_b"))),
+                 "item_b"))
+    union = F.col("n_a") + F.col("n_b") - F.col("n_baskets")
+    return out.select(
+        "item_a", "item_b", "n_a", "n_b",
+        F.col("n_baskets").alias("n_both"),
+        (F.col("n_baskets").cast("double") / union.cast("double"))
+        .alias("jaccard"))
+
+
+def percentile_rank(df: DataFrame, *, value_col: str, id_col: str,
+                    group_cols: list[str]) -> DataFrame:
+    """Per-row percentile rank within its group — the
+    curriculum-ordering / difficulty-normalization primitive:
+    ``pct_rank = (rank − 1) / (n − 1)`` with MIN-rank ties (ANSI
+    PERCENT_RANK semantics), carried as exact integers and divided
+    once at the end (bit-identical across engines). Values must be
+    INTEGER (floats raise); single-row groups emit NULL (0/0). NULL
+    keys/values/ids are dropped.
+
+    Scale shape: rank and the full-frame count are windows over ONE
+    group partitioning — a single Exchange, no join, no global sort.
+
+    Output: (group..., id_col, value, rnk, n, pct_rank).
+    """
+    from pyspark.sql.types import DoubleType, FloatType
+
+    fields = {f.name: f for f in df.schema.fields}
+    if isinstance(fields[value_col].dataType, (DoubleType, FloatType)):
+        raise ValueError(
+            f"percentile_rank: {value_col!r} is floating-point — "
+            "integerize first (exact integer ranks are the "
+            "determinism contract)")
+    if not group_cols:
+        raise ValueError(
+            "percentile_rank: group_cols must be non-empty")
+    keep = F.col(value_col).isNotNull() & F.col(id_col).isNotNull()
+    for g in group_cols:
+        keep = keep & F.col(g).isNotNull()
+    wg = Window.partitionBy(*group_cols)
+    w = wg.orderBy(F.col("_v").asc())
+    base = df.where(keep).select(
+        *group_cols, F.col(id_col).alias("_id"),
+        F.col(value_col).cast("long").alias("_v"))
+    ranked = base.select(
+        *group_cols, "_v", "_id",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.count(F.lit(1)).over(wg).alias("n"))
+    return ranked.select(
+        *group_cols, F.col("_id").alias(id_col),
+        F.col("_v").alias("value"), "rnk", "n",
+        F.when(F.col("n") == 1, F.lit(None))
+        .otherwise((F.col("rnk") - 1).cast("double")
+                   / (F.col("n") - 1).cast("double")).alias("pct_rank"))

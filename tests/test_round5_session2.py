@@ -482,3 +482,125 @@ def test_read_kmz_skips_corrupt_and_kml_less(spark, tmp_path):
     assert [r["doc_id"] for r in rows] == ["good"]
     with pytest.raises(ValueError):
         read_kmz_files(spark, str(d), doc_ids="basename")
+
+
+# ------------------------------------------------------- jaccard_pairs
+
+from kml2geojson_spark.relational import jaccard_pairs
+
+
+def test_jaccard_pairs_hand_and_brute(spark):
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (4, "c"),
+            (4, "a"), (1, "a")]  # dup (1,a) ignored
+    df = spark.createDataFrame(rows, "bk long, it string")
+    got = {(r["item_a"], r["item_b"]):
+           (r["n_a"], r["n_b"], r["n_both"], r["jaccard"])
+           for r in jaccard_pairs(
+               df, basket_col="bk", item_col="it").collect()}
+    # a: {1,2,3,4}, b: {1,2}, c: {4}
+    assert got[("a", "b")] == (4, 2, 2, 0.5)
+    assert got[("a", "c")] == (4, 1, 1, 0.25)
+    assert ("b", "c") not in got  # no shared basket
+
+
+def test_jaccard_pairs_matches_brute(spark):
+    rng = np.random.default_rng(160)
+    rows = [(int(rng.integers(0, 50)), f"t{int(rng.integers(0, 8))}")
+            for _ in range(600)]
+    sets = {}
+    for bk, it in rows:
+        sets.setdefault(it, set()).add(bk)
+    want = {}
+    items = sorted(sets)
+    for i, a in enumerate(items):
+        for b in items[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            if inter:
+                want[(a, b)] = (len(sets[a]), len(sets[b]), inter,
+                                inter / len(sets[a] | sets[b]))
+    got = {(r["item_a"], r["item_b"]):
+           (r["n_a"], r["n_b"], r["n_both"], r["jaccard"])
+           for r in jaccard_pairs(
+               spark.createDataFrame(rows, "bk long, it string"),
+               basket_col="bk", item_col="it").collect()}
+    assert got == want
+
+
+# ----------------------------------------------------- percentile_rank
+
+from kml2geojson_spark.relational import percentile_rank
+
+
+def test_percentile_rank_hand_ties_and_singleton(spark):
+    rows = [("g", 1, 10), ("g", 2, 20), ("g", 3, 20), ("g", 4, 30),
+            ("h", 9, 5)]
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    got = {r["id"]: (r["rnk"], r["n"], r["pct_rank"])
+           for r in percentile_rank(df, value_col="v", id_col="id",
+                                    group_cols=["g"]).collect()}
+    assert got[1] == (1, 4, 0.0)
+    assert got[2] == (2, 4, pytest.approx(1 / 3)) == got[3]
+    assert got[4] == (4, 4, 1.0)
+    assert got[9] == (1, 1, None)
+
+
+def test_percentile_rank_guards(spark):
+    df = spark.createDataFrame([("g", 1, 1.5)], "g string, id long, v double")
+    with pytest.raises(ValueError):
+        percentile_rank(df, value_col="v", id_col="id", group_cols=["g"])
+    idf = spark.createDataFrame([("g", 1, 1)], "g string, id long, v long")
+    with pytest.raises(ValueError):
+        percentile_rank(idf, value_col="v", id_col="id", group_cols=[])
+
+
+# ---------------------------------------------------------- max_streak
+
+from kml2geojson_spark.eventops import max_streak
+
+
+def test_max_streak_hand(spark):
+    rows = ([(1, d) for d in (10, 11, 12, 20, 21, 12)]   # dup day
+            + [(2, d) for d in (5,)]
+            + [(3, d) for d in (1, 3, 5)])
+    df = spark.createDataFrame(rows, "u long, d long")
+    got = {r["u"]: (r["n_active_days"], r["n_streaks"], r["max_streak"])
+           for r in max_streak(df, user_col="u", day_col="d").collect()}
+    assert got[1] == (5, 2, 3)
+    assert got[2] == (1, 1, 1)
+    assert got[3] == (3, 3, 1)
+
+
+def test_max_streak_matches_brute(spark):
+    rng = np.random.default_rng(158)
+    rows = [(int(rng.integers(0, 30)), int(rng.integers(0, 60)))
+            for _ in range(800)]
+    days = {}
+    for u, d in rows:
+        days.setdefault(u, set()).add(d)
+    want = {}
+    for u, ds in days.items():
+        ds = sorted(ds)
+        runs, cur = [], 1
+        for a, b in zip(ds, ds[1:]):
+            if b == a + 1:
+                cur += 1
+            else:
+                runs.append(cur)
+                cur = 1
+        runs.append(cur)
+        want[u] = (len(ds), len(runs), max(runs))
+    got = {r["u"]: (r["n_active_days"], r["n_streaks"], r["max_streak"])
+           for r in max_streak(
+               spark.createDataFrame(rows, "u long, d long"),
+               user_col="u", day_col="d").collect()}
+    assert got == want
+
+
+def test_max_streak_single_exchange_after_distinct(spark):
+    df = spark.createDataFrame([(1, 1), (1, 2)], "u long, d long")
+    plan = max_streak(df, user_col="u",
+                      day_col="d")._jdf.queryExecution() \
+        .executedPlan().toString()
+    # distinct needs one Exchange on (u, d); everything after runs on
+    # the single user-key Exchange
+    assert plan.count("Exchange") <= 2
