@@ -4907,6 +4907,155 @@ JOIN deg db ON db.it = item_b
 """
 
 
+def _q161_corr_matrix(spark, sf):
+    """Per-returnflag Pearson correlation matrix over four integer-
+    ized lineitem metrics: ONE hash-aggregate computes all k·(k+1)/2
+    exact BIGINT cross sums (dollars not cents so Σx² stays far from
+    2⁶³ at sf0.1), then each correlation is a fixed double expression
+    of identical integers — bit-exact cross-engine. Round-5 post-pin
+    registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.relational import corr_matrix
+    li = _t(spark, sf, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_quantity")).cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice")).cast("long")
+        .alias("price_dollars"),
+        F.round(F.col("l_discount") * 100.0).cast("long")
+        .alias("disc_pct"),
+        F.round(F.col("l_tax") * 100.0).cast("long").alias("tax_pct"))
+    return corr_matrix(li,
+                       value_cols=["qty", "price_dollars",
+                                   "disc_pct", "tax_pct"],
+                       group_cols=["l_returnflag"])
+
+
+_O161 = """
+WITH b AS (
+  SELECT l_returnflag AS g,
+         CAST(ROUND(l_quantity) AS BIGINT) AS q,
+         CAST(ROUND(l_extendedprice) AS BIGINT) AS p,
+         CAST(ROUND(l_discount * 100.0) AS BIGINT) AS d,
+         CAST(ROUND(l_tax * 100.0) AS BIGINT) AS t
+  FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+    AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
+    AND l_tax IS NOT NULL),
+s AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(d) AS BIGINT) AS s_d,
+             CAST(SUM(p) AS BIGINT) AS s_p,
+             CAST(SUM(q) AS BIGINT) AS s_q,
+             CAST(SUM(t) AS BIGINT) AS s_t,
+             CAST(SUM(d * d) AS BIGINT) AS p_dd,
+             CAST(SUM(d * p) AS BIGINT) AS p_dp,
+             CAST(SUM(d * q) AS BIGINT) AS p_dq,
+             CAST(SUM(d * t) AS BIGINT) AS p_dt,
+             CAST(SUM(p * p) AS BIGINT) AS p_pp,
+             CAST(SUM(p * q) AS BIGINT) AS p_pq,
+             CAST(SUM(p * t) AS BIGINT) AS p_pt,
+             CAST(SUM(q * q) AS BIGINT) AS p_qq,
+             CAST(SUM(q * t) AS BIGINT) AS p_qt,
+             CAST(SUM(t * t) AS BIGINT) AS p_tt
+      FROM b GROUP BY g),
+pairs AS (
+  SELECT g, n, 'disc_pct' AS col_a, 'price_dollars' AS col_b,
+         p_dp AS pab, s_d AS sa, s_p AS sb, p_dd AS paa, p_pp AS pbb
+  FROM s
+  UNION ALL
+  SELECT g, n, 'disc_pct', 'qty', p_dq, s_d, s_q, p_dd, p_qq FROM s
+  UNION ALL
+  SELECT g, n, 'disc_pct', 'tax_pct', p_dt, s_d, s_t, p_dd, p_tt
+  FROM s
+  UNION ALL
+  SELECT g, n, 'price_dollars', 'qty', p_pq, s_p, s_q, p_pp, p_qq
+  FROM s
+  UNION ALL
+  SELECT g, n, 'price_dollars', 'tax_pct', p_pt, s_p, s_t, p_pp,
+         p_tt
+  FROM s
+  UNION ALL
+  SELECT g, n, 'qty', 'tax_pct', p_qt, s_q, s_t, p_qq, p_tt FROM s)
+SELECT g AS l_returnflag, col_a, col_b, n,
+  CASE WHEN n::DOUBLE * paa::DOUBLE - sa::DOUBLE * sa::DOUBLE <= 0
+        OR n::DOUBLE * pbb::DOUBLE - sb::DOUBLE * sb::DOUBLE <= 0
+       THEN NULL
+       ELSE (n::DOUBLE * pab::DOUBLE - sa::DOUBLE * sb::DOUBLE)
+            / sqrt((n::DOUBLE * paa::DOUBLE - sa::DOUBLE * sa::DOUBLE)
+                 * (n::DOUBLE * pbb::DOUBLE - sb::DOUBLE * sb::DOUBLE))
+  END AS corr
+FROM pairs
+"""
+
+
+_Q162_PRED = """
+CASE WHEN {h} % 10 < 7 THEN lang
+     WHEN {h} % 10 < 9 THEN
+       CASE lang WHEN 'de' THEN 'en' WHEN 'en' THEN 'es'
+                 WHEN 'es' THEN 'fr' WHEN 'fr' THEN 'zh'
+                 ELSE 'de' END
+     ELSE
+       CASE lang WHEN 'de' THEN 'es' WHEN 'en' THEN 'fr'
+                 WHEN 'es' THEN 'zh' WHEN 'fr' THEN 'de'
+                 ELSE 'en' END
+END
+"""
+
+
+def _q162_classification_report(spark, sf):
+    """Per-class precision/recall/F1 off one confusion-matrix
+    hash-agg. The 'classifier' under eval is a deterministic
+    md5-noise corruption of the gold lang label (70% correct, 20%
+    rotation-1, 10% rotation-2) so both engines replay the identical
+    predictions; the operator under test is the exact-integer
+    confusion math. Round-5 post-pin registration: in-repo oracle
+    sweep only."""
+    from kml2geojson_spark.quality import classification_report
+    h = ("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 6), "
+         "16, 10) AS BIGINT)")
+    d = _t(spark, sf, "documents").select(
+        F.col("lang").alias("actual"),
+        F.expr(_Q162_PRED.format(h=h)).alias("predicted"))
+    return classification_report(d, actual_col="actual",
+                                 predicted_col="predicted")
+
+
+_O162_TEMPLATE = """
+WITH d AS (
+  SELECT lang AS actual, {pred} AS predicted
+  FROM (SELECT lang,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                 ::BIGINT AS h
+        FROM documents WHERE lang IS NOT NULL)),
+conf AS (SELECT actual AS a, predicted AS p,
+                CAST(COUNT(*) AS BIGINT) AS c
+         FROM d WHERE actual IS NOT NULL AND predicted IS NOT NULL
+         GROUP BY actual, predicted),
+ap AS (SELECT a AS label, CAST(SUM(c) AS BIGINT) AS support
+       FROM conf GROUP BY a),
+pp AS (SELECT p AS label, CAST(SUM(c) AS BIGINT) AS ppn
+       FROM conf GROUP BY p),
+tp AS (SELECT a AS label, CAST(SUM(c) AS BIGINT) AS tpn
+       FROM conf WHERE a = p GROUP BY a),
+o AS (SELECT COALESCE(ap.label, pp.label) AS label,
+             COALESCE(tpn, 0) AS tp,
+             COALESCE(ppn, 0) - COALESCE(tpn, 0) AS fp,
+             COALESCE(support, 0) - COALESCE(tpn, 0) AS fn,
+             COALESCE(support, 0) AS support,
+             COALESCE(ppn, 0) AS ppn
+      FROM ap FULL OUTER JOIN pp ON ap.label = pp.label
+      LEFT JOIN tp ON COALESCE(ap.label, pp.label) = tp.label)
+SELECT label, tp, fp, fn, support,
+  CASE WHEN ppn = 0 THEN NULL
+       ELSE tp::DOUBLE / ppn::DOUBLE END AS precision,
+  CASE WHEN support = 0 THEN NULL
+       ELSE tp::DOUBLE / support::DOUBLE END AS recall,
+  CASE WHEN ppn + support = 0 THEN NULL
+       ELSE 2.0 * tp::DOUBLE / (ppn + support)::DOUBLE END AS f1
+FROM o
+"""
+
+_O162 = _O162_TEMPLATE.format(pred=_Q162_PRED.format(h="h"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -5060,6 +5209,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q158_max_streak": _q158_max_streak,
         "q159_percentile_rank": _q159_percentile_rank,
         "q160_jaccard_pairs": _q160_jaccard_pairs,
+        "q161_corr_matrix": _q161_corr_matrix,
+        "q162_classification_report": _q162_classification_report,
     }
 
 
@@ -5212,6 +5363,8 @@ def oracle_sql() -> dict[str, str]:
         "q158_max_streak": _O158,
         "q159_percentile_rank": _O159,
         "q160_jaccard_pairs": _O160,
+        "q161_corr_matrix": _O161,
+        "q162_classification_report": _O162,
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

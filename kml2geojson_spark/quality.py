@@ -226,3 +226,58 @@ def dup_cluster_stats(docs: DataFrame, *,
     return (sizes.groupBy("cluster_size")
             .agg(F.count(F.lit(1)).alias("n_clusters"),
                  F.sum("cluster_size").cast("long").alias("n_docs")))
+
+
+def classification_report(df: DataFrame, *, actual_col: str,
+                          predicted_col: str) -> DataFrame:
+    """Per-class precision / recall / F1 from a predictions table —
+    the eval readout for any classifier in the pipeline (language
+    guesser vs gold labels, quality-filter vs human audit).
+
+    All counts are exact BIGINTs off ONE confusion-matrix hash-
+    aggregate (classes × classes rows — tiny after the first agg);
+    the metrics are single divisions of identical integers
+    (precision = tp/pp, recall = tp/ap, F1 = 2·tp/(pp+ap), using
+    pp+ap = 2tp+fp+fn), so bit-identical across engines. A class
+    never predicted has NULL precision; never actual → NULL recall;
+    F1 NULL only when both. NULL actual/predicted rows are dropped.
+
+    Output: (label, tp, fp, fn, support, precision, recall, f1) —
+    one row per class appearing in either column.
+    """
+    base = df.where(F.col(actual_col).isNotNull()
+                    & F.col(predicted_col).isNotNull())
+    conf = base.groupBy(
+        F.col(actual_col).alias("_a"),
+        F.col(predicted_col).alias("_p")).agg(
+        F.count(F.lit(1)).alias("_c"))
+    ap = conf.groupBy(F.col("_a").alias("label")).agg(
+        F.sum("_c").alias("support"))
+    pp = conf.groupBy(F.col("_p").alias("label")).agg(
+        F.sum("_c").alias("_pp"))
+    tp = (conf.where(F.col("_a") == F.col("_p"))
+          .groupBy(F.col("_a").alias("label"))
+          .agg(F.sum("_c").alias("_tp")))
+    out = (ap.join(pp, "label", "full_outer")
+           .join(tp, "label", "left_outer")
+           .select(
+               "label",
+               F.coalesce(F.col("_tp"), F.lit(0)).alias("tp"),
+               (F.coalesce(F.col("_pp"), F.lit(0))
+                - F.coalesce(F.col("_tp"), F.lit(0))).alias("fp"),
+               (F.coalesce(F.col("support"), F.lit(0))
+                - F.coalesce(F.col("_tp"), F.lit(0))).alias("fn"),
+               F.coalesce(F.col("support"), F.lit(0)).alias("support"),
+               F.coalesce(F.col("_pp"), F.lit(0)).alias("_ppn")))
+    return out.select(
+        "label", "tp", "fp", "fn", "support",
+        F.when(F.col("_ppn") == 0, F.lit(None))
+        .otherwise(F.col("tp").cast("double")
+                   / F.col("_ppn").cast("double")).alias("precision"),
+        F.when(F.col("support") == 0, F.lit(None))
+        .otherwise(F.col("tp").cast("double")
+                   / F.col("support").cast("double")).alias("recall"),
+        F.when((F.col("_ppn") + F.col("support")) == 0, F.lit(None))
+        .otherwise(2.0 * F.col("tp").cast("double")
+                   / (F.col("_ppn") + F.col("support")).cast("double"))
+        .alias("f1"))

@@ -862,3 +862,78 @@ def percentile_rank(df: DataFrame, *, value_col: str, id_col: str,
         F.when(F.col("n") == 1, F.lit(None))
         .otherwise((F.col("rnk") - 1).cast("double")
                    / (F.col("n") - 1).cast("double")).alias("pct_rank"))
+
+
+def corr_matrix(df: DataFrame, *, value_cols: list[str],
+                group_cols: list[str]) -> DataFrame:
+    """Per-group pairwise Pearson correlation matrix over k integer
+    metrics — the EDA screen before any modeling (which quality
+    signals are redundant?), :func:`group_ols` generalized from one
+    pair to all of them.
+
+    Determinism: all five sufficient statistics per pair are EXACT
+    BIGINT aggregates over rows with NO NULL among the value columns
+    (listwise deletion — every pair sees the same n, so the matrix is
+    coherent); floats raise (integerize first; caller guarantees the
+    sums fit 2⁶³ — ANSI-raises, never wraps). Each correlation is one
+    fixed expression num/sqrt(denx·deny) — sqrt is correctly rounded
+    by IEEE on both engines, so identical integer inputs give
+    bit-identical doubles. Constant columns → NULL.
+
+    Scale shape: ONE map-side-combinable hash-aggregate computing all
+    k·(k+1)/2 cross sums; the long-format explosion afterwards is
+    per-group scalar work. No window, no join, no second pass.
+
+    Output: (group..., col_a, col_b, n, corr) for the k·(k−1)/2
+    unordered pairs with col_a < col_b alphabetically.
+    """
+    from pyspark.sql.types import DoubleType, FloatType
+
+    fields = {f.name: f for f in df.schema.fields}
+    for c in value_cols:
+        if isinstance(fields[c].dataType, (DoubleType, FloatType)):
+            raise ValueError(
+                f"corr_matrix: {c!r} is floating-point — integerize "
+                "first (exact integer sums are the determinism "
+                "contract)")
+    if not group_cols:
+        raise ValueError("corr_matrix: group_cols must be non-empty")
+    if len(value_cols) < 2:
+        raise ValueError("corr_matrix: need at least two value_cols")
+    keep = F.lit(True)
+    for g in group_cols:
+        keep = keep & F.col(g).isNotNull()
+    for c in value_cols:
+        keep = keep & F.col(c).isNotNull()
+    cols = sorted(value_cols)
+    longs = {c: F.col(c).cast("long") for c in cols}
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, a in enumerate(cols):
+        aggs.append(F.sum(longs[a]).alias(f"_s_{a}"))
+        for b_ in cols[i:]:
+            aggs.append(F.sum(longs[a] * longs[b_]).alias(f"_p_{a}_{b_}"))
+    s = df.where(keep).groupBy(*group_cols).agg(*aggs)
+    pair_rows = []
+    nd = F.col("_n").cast("double")
+    for i, a in enumerate(cols):
+        for b_ in cols[i + 1:]:
+            sa, sb = F.col(f"_s_{a}"), F.col(f"_s_{b_}")
+            pab = F.col(f"_p_{a}_{b_}")
+            paa, pbb = F.col(f"_p_{a}_{a}"), F.col(f"_p_{b_}_{b_}")
+            num = nd * pab.cast("double") \
+                - sa.cast("double") * sb.cast("double")
+            denx = nd * paa.cast("double") \
+                - sa.cast("double") * sa.cast("double")
+            deny = nd * pbb.cast("double") \
+                - sb.cast("double") * sb.cast("double")
+            pair_rows.append(F.struct(
+                F.lit(a).alias("col_a"), F.lit(b_).alias("col_b"),
+                F.when((denx <= 0) | (deny <= 0), F.lit(None))
+                .otherwise(num / F.sqrt(denx * deny)).alias("corr")))
+    return (s.select(*group_cols, "_n",
+                     F.explode(F.array(*pair_rows)).alias("_pr"))
+            .select(*group_cols,
+                    F.col("_pr.col_a").alias("col_a"),
+                    F.col("_pr.col_b").alias("col_b"),
+                    F.col("_n").alias("n"),
+                    F.col("_pr.corr").alias("corr")))

@@ -604,3 +604,101 @@ def test_max_streak_single_exchange_after_distinct(spark):
     # distinct needs one Exchange on (u, d); everything after runs on
     # the single user-key Exchange
     assert plan.count("Exchange") <= 2
+
+
+# --------------------------------------------------------- corr_matrix
+
+from kml2geojson_spark.relational import corr_matrix
+
+
+def test_corr_matrix_matches_numpy(spark):
+    rng = np.random.default_rng(161)
+    rows = []
+    for g in ("x", "y"):
+        for _ in range(80):
+            a = int(rng.integers(0, 50))
+            rows.append((g, a, a * 2 + int(rng.integers(0, 10)),
+                         int(rng.integers(0, 50))))
+    df = spark.createDataFrame(rows, "g string, a long, b long, c long")
+    got = {(r["g"], r["col_a"], r["col_b"]): r["corr"]
+           for r in corr_matrix(df, value_cols=["a", "b", "c"],
+                                group_cols=["g"]).collect()}
+    for g in ("x", "y"):
+        m = np.array([[a, b, c] for gg, a, b, c in rows if gg == g],
+                     dtype=float)
+        want = np.corrcoef(m.T)
+        for (i, ca), (j, cb) in [((0, "a"), (1, "b")), ((0, "a"), (2, "c")),
+                                 ((1, "b"), (2, "c"))]:
+            assert got[(g, ca, cb)] == pytest.approx(want[i, j], abs=1e-12)
+
+
+def test_corr_matrix_constant_and_guards(spark):
+    df = spark.createDataFrame([("g", 1, 5), ("g", 2, 5)],
+                               "g string, a long, b long")
+    got = corr_matrix(df, value_cols=["a", "b"],
+                      group_cols=["g"]).collect()
+    assert got[0]["corr"] is None and got[0]["n"] == 2
+    with pytest.raises(ValueError):
+        corr_matrix(df, value_cols=["a"], group_cols=["g"])
+    with pytest.raises(ValueError):
+        corr_matrix(df, value_cols=["a", "b"], group_cols=[])
+    fdf = spark.createDataFrame([("g", 1.5, 1)], "g string, a double, b long")
+    with pytest.raises(ValueError):
+        corr_matrix(fdf, value_cols=["a", "b"], group_cols=["g"])
+
+
+def test_corr_matrix_listwise_nulls_single_agg_plan(spark):
+    df = spark.createDataFrame(
+        [("g", 1, 1, None), ("g", 2, 3, 7), ("g", 3, 5, 9),
+         ("g", 4, 7, 11)], "g string, a long, b long, c long")
+    out = corr_matrix(df, value_cols=["a", "b", "c"], group_cols=["g"])
+    rows = out.collect()
+    assert all(r["n"] == 3 for r in rows)          # null row dropped for ALL
+    perfect = {(r["col_a"], r["col_b"]): r["corr"] for r in rows}
+    assert perfect[("a", "b")] == pytest.approx(1.0)
+    # pre-AQE physical plan (the executed plan repeats the Exchange
+    # inside the AQE final-plan section)
+    plan = out._jdf.queryExecution().sparkPlan().toString()
+    assert plan.count("Exchange") <= 1
+    assert plan.count("HashAggregate") == 2  # partial + final
+
+
+# ----------------------------------------------- classification_report
+
+from kml2geojson_spark.quality import classification_report
+
+
+def test_classification_report_hand(spark):
+    rows = [("cat", "cat")] * 5 + [("cat", "dog")] * 2 + \
+           [("dog", "cat")] * 1 + [("dog", "dog")] * 3 + \
+           [("bird", "cat")] * 2          # bird never predicted
+    df = spark.createDataFrame(rows, "actual string, pred string")
+    got = {r["label"]: r for r in classification_report(
+        df, actual_col="actual", predicted_col="pred").collect()}
+    c = got["cat"]
+    assert (c["tp"], c["fp"], c["fn"], c["support"]) == (5, 3, 2, 7)
+    assert c["precision"] == 5 / 8 and c["recall"] == 5 / 7
+    assert c["f1"] == pytest.approx(2 * 5 / (8 + 7))
+    b = got["bird"]
+    assert b["precision"] is None and b["recall"] == 0.0 and b["tp"] == 0
+    d = got["dog"]
+    assert d["precision"] == 3 / 5 and d["recall"] == 3 / 4
+
+
+def test_classification_report_matches_brute(spark):
+    rng = np.random.default_rng(162)
+    labels = ["a", "b", "c", "d"]
+    rows = [(labels[int(rng.integers(0, 4))],
+             labels[int(rng.integers(0, 4))]) for _ in range(500)]
+    got = {r["label"]: r for r in classification_report(
+        spark.createDataFrame(rows, "actual string, pred string"),
+        actual_col="actual", predicted_col="pred").collect()}
+    for lab in labels:
+        tp = sum(1 for a, p in rows if a == lab and p == lab)
+        fp = sum(1 for a, p in rows if a != lab and p == lab)
+        fn = sum(1 for a, p in rows if a == lab and p != lab)
+        r = got[lab]
+        assert (r["tp"], r["fp"], r["fn"]) == (tp, fp, fn)
+        assert r["precision"] == pytest.approx(tp / (tp + fp))
+        assert r["recall"] == pytest.approx(tp / (tp + fn))
+        assert r["f1"] == pytest.approx(2 * tp / (2 * tp + fp + fn))
