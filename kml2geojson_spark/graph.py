@@ -333,3 +333,62 @@ def common_neighbor_similarity(edges: DataFrame, *, left: str = "src",
             .select("node_a", "node_b", "n_common",
                     F.expr("(1000 * n_common) div (d_a + d_b - n_common)")
                     .alias("jaccard_milli")))
+
+
+def bfs_hops(edges: DataFrame, sources: DataFrame, *,
+             src: str = "src", dst: str = "dst",
+             node: str = "node",
+             max_hops: int = 8,
+             directed: bool = False) -> DataFrame:
+    """Breadth-first hop distance from a SET of source nodes: label
+    every node reachable within ``max_hops`` undirected (default) or
+    directed hops with its minimum hop count — the "blast radius" /
+    influence-propagation primitive (which suppliers sit within 2
+    hops of these customers; which docs share a near-dup chain with a
+    contaminated seed) beside :func:`connected_components`' global
+    clustering.
+
+    Algorithm: frontier-relaxation BFS. ``dist`` starts as the
+    sources at hop 0; each round joins the CURRENT FRONTIER (only the
+    nodes first reached last round — not the whole dist table)
+    against the edges and anti-joins already-visited nodes. Rounds =
+    min(eccentricity, max_hops), each one equi-join + one distinct,
+    both shuffles on the node id so the partitioning is reused;
+    lineage is truncated per round with ``localCheckpoint`` exactly
+    like :func:`connected_components` (use a real checkpoint dir on a
+    cluster). The frontier SHRINKS as the search saturates and the
+    loop exits early on an empty frontier, so max_hops is a cap, not
+    a cost.
+
+    Semantics match a depth-capped recursive-CTE shortest path:
+    node's hops = min over all expansion paths ≤ max_hops. Sources
+    not present in the edge table still report hop 0. NULL ids are
+    dropped.
+
+    Output: (node, hops INT) — one row per reached node.
+    """
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .where(F.col("src").isNotNull() & F.col("dst").isNotNull()))
+    if not directed:
+        e = e.union(e.select(F.col("dst").alias("src"),
+                             F.col("src").alias("dst")))
+    e = e.distinct().localCheckpoint(eager=True)
+    frontier = (sources.select(F.col(node).alias("node"))
+                .where(F.col("node").isNotNull())
+                .distinct()
+                .localCheckpoint(eager=True))
+    dist = frontier.select("node", F.lit(0).alias("hops"))
+    for hop in range(1, max_hops + 1):
+        nxt = (e.join(frontier, e["src"] == frontier["node"])
+               .select(F.col("dst").alias("node"))
+               .distinct()
+               .join(dist.select("node"), "node", "left_anti")
+               .localCheckpoint(eager=True))
+        if nxt.limit(1).count() == 0:
+            break
+        frontier = nxt
+        dist = dist.unionByName(
+            nxt.select("node", F.lit(hop).alias("hops")))
+    return dist.select("node", F.col("hops").cast("int").alias("hops"))

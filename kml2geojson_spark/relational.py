@@ -937,3 +937,154 @@ def corr_matrix(df: DataFrame, *, value_cols: list[str],
                     F.col("_pr.col_b").alias("col_b"),
                     F.col("_n").alias("n"),
                     F.col("_pr.corr").alias("corr")))
+
+
+def chi2_independence(df: DataFrame, *, col_a: str, col_b: str,
+                      ) -> DataFrame:
+    """Pearson chi-square test of independence between two LOW-
+    CARDINALITY categorical columns, with Cramér's V effect size —
+    the "are these two labels related" diagnostic every experiment /
+    data-audit pipeline wants next to :func:`corr_matrix` (which
+    covers the numeric case).
+
+    Determinism (the `group_entropy` micro-unit rule): cell counts
+    ``obs``, row totals ``ra``, column totals ``cb`` and ``n`` are
+    exact BIGINTs, so each cell's deviation ``d = obs·n − ra·cb`` is
+    an exact BIGINT. The cell contribution
+    ``floor(((d² as double) / (n·ra·cb as double)) · 10⁶)`` is ONE
+    fixed IEEE expression of identical integers — bit-identical
+    across engines — and the statistic is an exact BIGINT SUM of
+    those micro-units, so it is addition-order independent (a float
+    Σ (o−e)²/e would vary in ULPs across partitionings). Missing
+    cells of the full k_a×k_b grid participate with obs = 0, as the
+    statistic requires. Caller guarantees n·max(obs) < 2⁶³ and
+    n·ra·cb < 2⁶³ (n < ~2·10⁶ per side is always safe; TPC-H sf100
+    orders is fine) — ANSI mode raises, never wraps.
+
+    Scale shape: ONE map-side-combinable hash-aggregate over the
+    data produces the (a, b) cell counts; everything after runs on
+    k_a·k_b category-level rows (row/column marginals, a tiny
+    broadcast-sized cross grid, one final single-row aggregate).
+    Low-cardinality is the documented contract — the grid is
+    category-level, never data-level.
+
+    Output: ONE row (n, k_a, k_b, dof, chi2_micro, chi2, cramers_v);
+    ``chi2 = chi2_micro / 10⁶`` and Cramér's V are single divisions /
+    sqrt of identical numbers. dof = (k_a−1)(k_b−1); dof = 0 → both
+    doubles NULL.
+    """
+    cells = (df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+             .groupBy(F.col(col_a).alias("_a"), F.col(col_b).alias("_b"))
+             .agg(F.count(F.lit(1)).alias("_obs")))
+    ra = cells.groupBy("_a").agg(F.sum("_obs").alias("_ra"))
+    cb = cells.groupBy("_b").agg(F.sum("_obs").alias("_cb"))
+    grid = (ra.crossJoin(cb)
+            .join(cells, ["_a", "_b"], "left")
+            .select("_a", "_b", "_ra", "_cb",
+                    F.coalesce(F.col("_obs"), F.lit(0)).alias("_obs")))
+    total = F.broadcast(ra.agg(F.sum("_ra").alias("_n")))
+    # d and the denominator are exact BIGINTs; the contribution is one
+    # fixed double expression of them, floored to micro-units.
+    agg = (grid
+           .crossJoin(total)
+           .withColumn("_d", F.col("_obs") * F.col("_n")
+                       - F.col("_ra") * F.col("_cb"))
+           .withColumn(
+               "_contrib",
+               F.floor(F.col("_d").cast("double")
+                       * F.col("_d").cast("double")
+                       / (F.col("_n") * F.col("_ra")
+                          * F.col("_cb")).cast("double")
+                       * F.lit(1000000.0)))
+           .agg(F.max("_n").alias("n"),
+                F.count_distinct(F.col("_a")).alias("k_a"),
+                F.count_distinct(F.col("_b")).alias("k_b"),
+                F.sum("_contrib").alias("chi2_micro")))
+    dof = (F.col("k_a") - 1) * (F.col("k_b") - 1)
+    chi2 = F.col("chi2_micro").cast("double") / F.lit(1000000.0)
+    kmin = F.least(F.col("k_a"), F.col("k_b")) - 1
+    return (agg
+            .select("n", "k_a", "k_b", dof.alias("dof"), "chi2_micro")
+            .withColumn("chi2", F.when(F.col("dof") > 0, chi2))
+            .withColumn(
+                "cramers_v",
+                F.when((F.col("dof") > 0) & (F.col("n") > 0),
+                       F.sqrt(F.col("chi2")
+                              / (F.col("n") * kmin).cast("double")))))
+
+
+def welch_ttest(df: DataFrame, *, value_col: str, group_col: str,
+                group_a: str, group_b: str,
+                group_cols: list[str] | None = None) -> DataFrame:
+    """Welch's unequal-variance t statistic comparing ``value_col``
+    between two levels of ``group_col`` (optionally within each
+    combination of ``group_cols``) — the A/B-experiment primitive
+    beside :func:`group_auc` and :func:`ks_2sample`.
+
+    Determinism (the `corr_matrix` rule): ``value_col`` must be an
+    INTEGER column (ANSI-raises on float input — integerize first),
+    so per-side n / Σv / Σv² are exact BIGINTs from ONE conditional
+    hash-aggregate; mean, Welch variance, t and the
+    Welch–Satterthwaite dof are then fixed IEEE double expressions of
+    identical integers — bit-identical across engines regardless of
+    partitioning (n·Σv² is computed in doubles, so only Σv² itself
+    must stay under 2⁶³: |v| < ~10⁵ is safe beyond 10¹² rows).
+
+    Scale shape: ONE map-side-combinable hash-aggregate; no window,
+    no join, no second pass. Cardinality-unbounded in ``group_cols``.
+
+    Output: (group..., n_a, n_b, mean_a, mean_b, t_stat, welch_df);
+    t/dof are NULL when either side has n < 2 or the pooled standard
+    error is 0.
+    """
+    from pyspark.sql.types import DoubleType, FloatType
+
+    fld = {f.name: f for f in df.schema.fields}
+    if isinstance(fld[value_col].dataType, (DoubleType, FloatType)):
+        raise ValueError(
+            f"welch_ttest: {value_col!r} is floating-point — "
+            "integerize first (exact integer sums are the "
+            "determinism contract)")
+    gcols = list(group_cols or [])
+    keep = F.col(value_col).isNotNull() & F.col(group_col).isin(
+        group_a, group_b)
+    for g in gcols:
+        keep = keep & F.col(g).isNotNull()
+    v = F.col(value_col).cast("long")
+    sides = {}
+    aggs = []
+    for tag, lvl in (("a", group_a), ("b", group_b)):
+        hit = F.col(group_col) == lvl
+        aggs += [
+            F.sum(F.when(hit, 1).otherwise(0)).alias(f"_n_{tag}"),
+            F.sum(F.when(hit, v).otherwise(0)).alias(f"_s_{tag}"),
+            F.sum(F.when(hit, v * v).otherwise(0)).alias(f"_ss_{tag}"),
+        ]
+        sides[tag] = None
+    s = (df.where(keep)
+         .groupBy(*[F.col(g) for g in gcols]) if gcols
+         else df.where(keep).groupBy())
+    s = s.agg(*aggs)
+    out = {}
+    for tag in ("a", "b"):
+        nd = F.col(f"_n_{tag}").cast("double")
+        sd = F.col(f"_s_{tag}").cast("double")
+        ssd = F.col(f"_ss_{tag}").cast("double")
+        mean = sd / nd
+        # unbiased sample variance over n: (n·Σv² − (Σv)²) / (n·(n−1))
+        var = (nd * ssd - sd * sd) / (nd * (nd - F.lit(1.0)))
+        out[tag] = (nd, mean, var / nd)  # (n, mean, var/n)
+    se2 = out["a"][2] + out["b"][2]
+    t = (out["a"][1] - out["b"][1]) / F.sqrt(se2)
+    wdf = (se2 * se2) / (
+        out["a"][2] * out["a"][2] / (out["a"][0] - F.lit(1.0))
+        + out["b"][2] * out["b"][2] / (out["b"][0] - F.lit(1.0)))
+    ok = ((F.col("_n_a") >= 2) & (F.col("_n_b") >= 2)
+          & (se2 > F.lit(0.0)))
+    return s.select(
+        *gcols,
+        F.col("_n_a").alias("n_a"), F.col("_n_b").alias("n_b"),
+        F.when(F.col("_n_a") > 0, out["a"][1]).alias("mean_a"),
+        F.when(F.col("_n_b") > 0, out["b"][1]).alias("mean_b"),
+        F.when(ok, t).alias("t_stat"),
+        F.when(ok, wdf).alias("welch_df"))

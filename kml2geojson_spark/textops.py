@@ -16,7 +16,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window as SparkWindow, functions as F
 
 # ---------------------------------------------------------------------------
 # Column-expression operators (exact dedup, fingerprints, stats)
@@ -1334,3 +1334,138 @@ def chunk_documents(documents: DataFrame, *, chunk_tokens: int = 256,
                                      F.col("chunk_idx") * stride + 1,
                                      chunk_tokens),
                              " ").alias("chunk_text")))
+
+
+def sorted_neighborhood_pairs(documents: DataFrame, *,
+                              id_col: str = "doc_id",
+                              text_col: str = "text",
+                              window: int = 3,
+                              key_len: int = 16,
+                              block_len: int = 2) -> DataFrame:
+    """Sorted-neighborhood blocking (the classic entity-resolution
+    candidate generator, Hernández & Stolfo 1995): sort records by a
+    normalized key and pair each record with its next ``window − 1``
+    neighbors — the third candidate-pair family next to MinHash
+    banding (:func:`minhash_candidate_pairs`) and SimHash
+    (:func:`simhash_near_pairs`), and the cheapest one when near-dups
+    share a PREFIX (titles, names, URLs) rather than shingle sets.
+
+    Key = first ``key_len`` chars of the text lowered and stripped to
+    ``[a-z0-9]``; rows with NULL text or an empty key are dropped
+    (an empty key would fuse all junk rows into one mega-block).
+    Sort order is totalized by the id, so the emitted pair set is
+    partition-count independent; pairs are canonicalized to
+    ``id_a < id_b``.
+
+    Scale shape: the sort is PARTITIONED by the first ``block_len``
+    key chars — one shuffle on the block prefix, per-block windows,
+    never a global single-partition sort (the textbook single-sort
+    SNM does not survive 10¹² rows). Pairs straddling a block
+    boundary are lost, exactly the standard multi-pass SNM trade-off:
+    run a second pass with a different key (e.g. reversed) rather
+    than growing ``window``. Skewed blocks = skewed key prefixes;
+    raise ``block_len`` to split them.
+
+    Output: (id_a, id_b, key_a, key_b) — candidate pairs only;
+    verify with an exact similarity on the candidates, as
+    :func:`cosine_neardup_pairs_lsh` does for LSH.
+    """
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    if not 0 < block_len < key_len:
+        raise ValueError("need 0 < block_len < key_len")
+    key = F.substring(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", ""),
+        1, key_len)
+    base = (documents
+            .where(F.col(text_col).isNotNull()
+                   & F.col(id_col).isNotNull())
+            .select(F.col(id_col).alias("_id"), key.alias("_key"))
+            .where(F.length("_key") > 0)
+            .withColumn("_blk", F.substring("_key", 1, block_len)))
+    w = SparkWindow.partitionBy("_blk").orderBy("_key", "_id")
+    led = base
+    for j in range(1, window):
+        led = (led
+               .withColumn(f"_nid{j}", F.lead("_id", j).over(w))
+               .withColumn(f"_nkey{j}", F.lead("_key", j).over(w)))
+    neigh = led.select(
+        "_id", "_key",
+        F.explode(F.array(*[
+            F.struct(F.col(f"_nid{j}").alias("nid"),
+                     F.col(f"_nkey{j}").alias("nkey"))
+            for j in range(1, window)])).alias("_nb"))
+    nid, nkey = F.col("_nb.nid"), F.col("_nb.nkey")
+    return (neigh.where(nid.isNotNull())
+            .select(F.least(F.col("_id"), nid).alias("id_a"),
+                    F.greatest(F.col("_id"), nid).alias("id_b"),
+                    F.when(F.col("_id") < nid, F.col("_key"))
+                    .otherwise(nkey).alias("key_a"),
+                    F.when(F.col("_id") < nid, nkey)
+                    .otherwise(F.col("_key")).alias("key_b")))
+
+
+def winnow_fingerprints(documents: DataFrame, *,
+                        id_col: str = "doc_id",
+                        text_col: str = "text",
+                        k: int = 8,
+                        w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken
+    2003, the MOSS algorithm): hash every ``k``-gram of the text and,
+    in each sliding window of ``w`` consecutive k-gram hashes, select
+    the minimum — guaranteeing any shared substring of length
+    ``k + w − 1`` between two documents yields at least one shared
+    fingerprint, with only ~2/(w+1) of positions retained. The
+    substring-level complement to shingle-set MinHash: it localizes
+    WHERE the overlap is (plagiarism spans, license boilerplate),
+    not just that it exists.
+
+    Cross-engine determinism: the k-gram hash is the package md5
+    discipline (first 8 hex chars → 32-bit BIGINT; DuckDB replays
+    ``('0x' || substr(md5(g), 1, 8))::BIGINT``); ties inside a window
+    break to the LEFTMOST position (documented deviation from MOSS's
+    rightmost rule) by packing ``hash · 2²⁰ + pos`` into one BIGINT
+    and taking a plain window MIN — positions beyond 2²⁰ − k are
+    ignored (fingerprint the first ~1M chars; chunk longer docs with
+    :func:`chunk_documents` first). Documents shorter than ``k``
+    yield no rows; documents with fewer than ``w`` k-grams yield the
+    min over all their grams (one truncated window), so every doc
+    with ≥ 1 gram fingerprints.
+
+    Scale shape: the explode and the window are PER-DOCUMENT (the
+    window partitions by id over contiguous positions — ROWS frame,
+    no shuffle wider than the doc), then one distinct on
+    (id, fingerprint, pos). No join, no global sort, no Python.
+
+    Output: (id_col, fp BIGINT 32-bit, pos INT 1-based k-gram start),
+    distinct.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    if w < 1:
+        raise ValueError("w must be >= 1")
+    cap = (1 << 20) - 1
+    n_grams = F.least(F.length(F.col(text_col)) - k + 1, F.lit(cap))
+    base = (documents
+            .where(F.col(id_col).isNotNull()
+                   & F.col(text_col).isNotNull()
+                   & (F.length(F.col(text_col)) >= k))
+            .select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"),
+                    n_grams.alias("_ng"))
+            .withColumn("_pos", F.explode(F.sequence(F.lit(1), F.col("_ng"))))
+            .select("_id", "_ng", "_pos",
+                    (F.conv(F.substring(
+                        F.md5(F.expr(f"substring(_t, _pos, {k})")), 1, 8),
+                        16, 10).cast("long") * F.lit(1 << 20)
+                     + F.col("_pos")).alias("_key")))
+    win = (SparkWindow.partitionBy("_id").orderBy("_pos")
+           .rowsBetween(0, w - 1))
+    sel = (base
+           .withColumn("_sel", F.min("_key").over(win))
+           .where(F.col("_pos") <= F.greatest(F.col("_ng") - w + 1,
+                                              F.lit(1))))
+    return (sel.select(
+        F.col("_id").alias(id_col),
+        F.expr(f"_sel div {1 << 20}").alias("fp"),
+        (F.col("_sel") % F.lit(1 << 20)).cast("int").alias("pos"))
+        .distinct())
