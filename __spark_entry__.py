@@ -5056,6 +5056,221 @@ FROM o
 _O162 = _O162_TEMPLATE.format(pred=_Q162_PRED.format(h="h"))
 
 
+def _q163_chi2(spark, sf):
+    """Chi-square independence of order priority × order status with
+    Cramér's V: exact BIGINT contingency marginals, micro-unit-floored
+    per-cell contributions summed as integers (addition-order
+    independent), zero cells of the full grid included. Round-5
+    post-pin registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.relational import chi2_independence
+    return chi2_independence(_t(spark, sf, "orders"),
+                             col_a="o_orderpriority",
+                             col_b="o_orderstatus")
+
+
+_O163 = """
+WITH cells AS (
+  SELECT o_orderpriority AS a, o_orderstatus AS b,
+         CAST(COUNT(*) AS BIGINT) AS obs
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+  GROUP BY 1, 2),
+ra AS (SELECT a, CAST(SUM(obs) AS BIGINT) AS ra FROM cells GROUP BY a),
+cb AS (SELECT b, CAST(SUM(obs) AS BIGINT) AS cb FROM cells GROUP BY b),
+tot AS (SELECT CAST(SUM(ra) AS BIGINT) AS n FROM ra),
+grid AS (
+  SELECT ra.a, cb.b, ra.ra, cb.cb, COALESCE(cells.obs, 0) AS obs, tot.n
+  FROM ra CROSS JOIN cb CROSS JOIN tot
+  LEFT JOIN cells ON cells.a = ra.a AND cells.b = cb.b),
+contrib AS (
+  SELECT n, a, b,
+         CAST(FLOOR(
+           CAST((obs * n - ra * cb) AS DOUBLE)
+           * CAST((obs * n - ra * cb) AS DOUBLE)
+           / CAST(n * ra * cb AS DOUBLE) * 1000000.0) AS BIGINT) AS c
+  FROM grid),
+agg AS (
+  SELECT MAX(n) AS n,
+         CAST(COUNT(DISTINCT a) AS BIGINT) AS k_a,
+         CAST(COUNT(DISTINCT b) AS BIGINT) AS k_b,
+         CAST(SUM(c) AS BIGINT) AS chi2_micro
+  FROM contrib)
+SELECT n, k_a, k_b, (k_a - 1) * (k_b - 1) AS dof, chi2_micro,
+       CASE WHEN (k_a - 1) * (k_b - 1) > 0
+            THEN chi2_micro::DOUBLE / 1000000.0 END AS chi2,
+       CASE WHEN (k_a - 1) * (k_b - 1) > 0 AND n > 0
+            THEN sqrt((chi2_micro::DOUBLE / 1000000.0)
+                      / CAST(n * (LEAST(k_a, k_b) - 1) AS DOUBLE)) END
+         AS cramers_v
+FROM agg
+"""
+
+
+def _q164_welch_ttest(spark, sf):
+    """Welch t of returned-vs-refused line revenue per linestatus:
+    one conditional hash-agg of exact BIGINT n/Σv/Σv² per side, then
+    fixed IEEE double expressions — bit-identical cross-engine.
+    Round-5 post-pin registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.relational import welch_ttest
+    li = _t(spark, sf, "lineitem").select(
+        "l_linestatus", "l_returnflag",
+        F.round(F.col("l_extendedprice")).cast("long")
+        .alias("price_dollars"))
+    return welch_ttest(li, value_col="price_dollars",
+                       group_col="l_returnflag",
+                       group_a="A", group_b="R",
+                       group_cols=["l_linestatus"])
+
+
+_O164 = """
+WITH b AS (
+  SELECT l_linestatus AS g, l_returnflag AS f,
+         CAST(ROUND(l_extendedprice) AS BIGINT) AS v
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_linestatus IS NOT NULL
+    AND l_returnflag IN ('A', 'R')),
+s AS (
+  SELECT g,
+         CAST(SUM(CASE WHEN f = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN f = 'A' THEN v ELSE 0 END) AS BIGINT) AS s_a,
+         CAST(SUM(CASE WHEN f = 'A' THEN v * v ELSE 0 END) AS BIGINT)
+           AS ss_a,
+         CAST(SUM(CASE WHEN f = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN f = 'R' THEN v ELSE 0 END) AS BIGINT) AS s_b,
+         CAST(SUM(CASE WHEN f = 'R' THEN v * v ELSE 0 END) AS BIGINT)
+           AS ss_b
+  FROM b GROUP BY g),
+e AS (
+  SELECT g, n_a, n_b,
+         s_a::DOUBLE / n_a::DOUBLE AS mean_a,
+         s_b::DOUBLE / n_b::DOUBLE AS mean_b,
+         ((n_a::DOUBLE * ss_a::DOUBLE - s_a::DOUBLE * s_a::DOUBLE)
+          / (n_a::DOUBLE * (n_a::DOUBLE - 1.0))) / n_a::DOUBLE AS va,
+         ((n_b::DOUBLE * ss_b::DOUBLE - s_b::DOUBLE * s_b::DOUBLE)
+          / (n_b::DOUBLE * (n_b::DOUBLE - 1.0))) / n_b::DOUBLE AS vb
+  FROM s)
+SELECT g AS l_linestatus, n_a, n_b,
+       CASE WHEN n_a > 0 THEN mean_a END AS mean_a,
+       CASE WHEN n_b > 0 THEN mean_b END AS mean_b,
+       CASE WHEN n_a >= 2 AND n_b >= 2 AND va + vb > 0
+            THEN (mean_a - mean_b) / sqrt(va + vb) END AS t_stat,
+       CASE WHEN n_a >= 2 AND n_b >= 2 AND va + vb > 0
+            THEN ((va + vb) * (va + vb))
+                 / (va * va / (n_a::DOUBLE - 1.0)
+                    + vb * vb / (n_b::DOUBLE - 1.0)) END AS welch_df
+FROM e
+"""
+
+
+def _q165_snm_pairs(spark, sf):
+    """Sorted-neighborhood candidate pairs over the documents table
+    (window 3, 16-char normalized key, 2-char block partitioning —
+    never a global sort). Round-5 post-pin registration: in-repo
+    oracle sweep only."""
+    from kml2geojson_spark.textops import sorted_neighborhood_pairs
+    return sorted_neighborhood_pairs(_t(spark, sf, "documents"),
+                                     window=3)
+
+
+_O165 = """
+WITH b AS (
+  SELECT doc_id AS id,
+         substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+                1, 16) AS key
+  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+k AS (SELECT id, key, substr(key, 1, 2) AS blk FROM b
+      WHERE length(key) > 0),
+n AS (
+  SELECT id, key,
+         lead(id, 1) OVER w AS nid1, lead(key, 1) OVER w AS nkey1,
+         lead(id, 2) OVER w AS nid2, lead(key, 2) OVER w AS nkey2
+  FROM k WINDOW w AS (PARTITION BY blk ORDER BY key, id)),
+p AS (
+  SELECT id, key, nid1 AS nid, nkey1 AS nkey FROM n
+  WHERE nid1 IS NOT NULL
+  UNION ALL
+  SELECT id, key, nid2, nkey2 FROM n WHERE nid2 IS NOT NULL)
+SELECT LEAST(id, nid) AS id_a, GREATEST(id, nid) AS id_b,
+       CASE WHEN id < nid THEN key ELSE nkey END AS key_a,
+       CASE WHEN id < nid THEN nkey ELSE key END AS key_b
+FROM p
+"""
+
+
+def _q166_winnow(spark, sf):
+    """Winnowing fingerprints (k=8, w=4) over a deterministic 5%
+    doc_id slice (the explode is ~n_chars rows per doc — the slice
+    keeps the DuckDB replay tractable at sf0.1; the Spark side is
+    per-doc-partitioned and needs no slice). Round-5 post-pin
+    registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.textops import winnow_fingerprints
+    d = _t(spark, sf, "documents").where(F.col("doc_id") % 20 == 0)
+    return winnow_fingerprints(d, k=8, w=4)
+
+
+_O166 = """
+WITH b AS (
+  SELECT doc_id AS id, text AS t,
+         LEAST(length(text) - 8 + 1, 1048575) AS ng
+  FROM documents
+  WHERE doc_id IS NOT NULL AND doc_id % 20 = 0
+    AND text IS NOT NULL AND length(text) >= 8),
+g AS (
+  SELECT id, ng, CAST(gs.pos AS INTEGER) AS pos,
+         ('0x' || substr(md5(substr(t, CAST(gs.pos AS INTEGER), 8)),
+                         1, 8))::BIGINT * 1048576 + gs.pos AS key
+  FROM b, LATERAL (SELECT unnest(range(1, ng + 1)) AS pos) gs),
+m AS (
+  SELECT id, ng, pos,
+         MIN(key) OVER (PARTITION BY id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+           AS sel
+  FROM g)
+SELECT DISTINCT id AS doc_id, sel // 1048576 AS fp,
+       CAST(sel % 1048576 AS INTEGER) AS pos
+FROM m WHERE pos <= GREATEST(ng - 4 + 1, 1)
+"""
+
+
+def _q167_bfs_hops(spark, sf):
+    """BFS hop distance (≤ 3 undirected hops) from the nation%5
+    supplier seed set over the customer→supplier purchase graph
+    (supplier ids offset by 10⁷ as in q85) — frontier-relaxation
+    joins vs the oracle's depth-capped recursive CTE. Round-5
+    post-pin registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.graph import bfs_hops
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    edges = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+             .select(F.col("o_custkey").alias("src"),
+                     (F.col("l_suppkey") + 10_000_000).alias("dst")))
+    seeds = (_t(spark, sf, "supplier")
+             .where(F.col("s_nationkey") % 5 == 0)
+             .select((F.col("s_suppkey") + 10_000_000).alias("node")))
+    return bfs_hops(edges, seeds, max_hops=3)
+
+
+_O167 = """
+WITH RECURSIVE
+e0 AS (
+  SELECT o_custkey AS src, l_suppkey + 10000000 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL),
+e AS (SELECT DISTINCT src, dst FROM
+        (SELECT src, dst FROM e0
+         UNION ALL SELECT dst AS src, src AS dst FROM e0)),
+seed AS (
+  SELECT DISTINCT s_suppkey + 10000000 AS node
+  FROM supplier WHERE s_nationkey % 5 = 0 AND s_suppkey IS NOT NULL),
+walk(node, hops) AS (
+  SELECT node, 0 FROM seed
+  UNION
+  SELECT e.dst, walk.hops + 1 FROM walk JOIN e ON e.src = walk.node
+  WHERE walk.hops < 3)
+SELECT node, CAST(MIN(hops) AS INTEGER) AS hops FROM walk GROUP BY node
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -5211,6 +5426,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q160_jaccard_pairs": _q160_jaccard_pairs,
         "q161_corr_matrix": _q161_corr_matrix,
         "q162_classification_report": _q162_classification_report,
+        "q163_chi2": _q163_chi2,
+        "q164_welch_ttest": _q164_welch_ttest,
+        "q165_snm_pairs": _q165_snm_pairs,
+        "q166_winnow": _q166_winnow,
+        "q167_bfs_hops": _q167_bfs_hops,
     }
 
 
@@ -5365,6 +5585,11 @@ def oracle_sql() -> dict[str, str]:
         "q160_jaccard_pairs": _O160,
         "q161_corr_matrix": _O161,
         "q162_classification_report": _O162,
+        "q163_chi2": _O163,
+        "q164_welch_ttest": _O164,
+        "q165_snm_pairs": _O165,
+        "q166_winnow": _O166,
+        "q167_bfs_hops": _O167,
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by
