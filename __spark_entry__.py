@@ -5271,6 +5271,137 @@ SELECT node, CAST(MIN(hops) AS INTEGER) AS hops FROM walk GROUP BY node
 """
 
 
+def _q168_hits(spark, sf):
+    """Unnormalized integer HITS (2 rounds) over the customer→supplier
+    purchase graph (supplier ids offset by 10⁷ as in q85): exact
+    BIGINT alternating-path counts — float HITS could never
+    hash-match; the ranking is unchanged by normalization. Round-5
+    post-pin registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.graph import hits_scores
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    edges = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+             .select(F.col("o_custkey").alias("src"),
+                     (F.col("l_suppkey") + 10_000_000).alias("dst")))
+    return hits_scores(edges, n_iters=2)
+
+
+_O168 = """
+WITH e AS (
+  SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL),
+h0 AS (SELECT DISTINCT src AS node, CAST(1 AS BIGINT) AS score FROM e),
+a1 AS (SELECT e.dst AS node, CAST(SUM(h0.score) AS BIGINT) AS score
+       FROM e JOIN h0 ON e.src = h0.node GROUP BY e.dst),
+h1 AS (SELECT e.src AS node, CAST(SUM(a1.score) AS BIGINT) AS score
+       FROM e JOIN a1 ON e.dst = a1.node GROUP BY e.src),
+a2 AS (SELECT e.dst AS node, CAST(SUM(h1.score) AS BIGINT) AS score
+       FROM e JOIN h1 ON e.src = h1.node GROUP BY e.dst),
+h2 AS (SELECT e.src AS node, CAST(SUM(a2.score) AS BIGINT) AS score
+       FROM e JOIN a2 ON e.dst = a2.node GROUP BY e.src)
+SELECT COALESCE(h2.node, a2.node) AS node,
+       COALESCE(h2.score, 0) AS hub, COALESCE(a2.score, 0) AS auth
+FROM h2 FULL OUTER JOIN a2 ON h2.node = a2.node
+"""
+
+
+def _q169_label_vote(spark, sf):
+    """One-hop neighbor label vote: spread the lang label from the
+    doc_id%7 seed set across a deterministic same-source document
+    graph; majority vote over distinct labeled neighbors, ties to the
+    smallest label via min(struct(-votes, label)). Round-5 post-pin
+    registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.graph import neighbor_label_vote
+    docs = _t(spark, sf, "documents")
+    lab = (docs.where(F.col("doc_id") % 7 == 0)
+           .select(F.col("doc_id").alias("node"),
+                   F.col("lang").alias("label")))
+    e = (docs.alias("x").join(docs.alias("y"), "source")
+         .where(F.col("x.doc_id") < F.col("y.doc_id"))
+         .where((F.col("x.doc_id") + F.col("y.doc_id")) % 13 == 0)
+         .select(F.col("x.doc_id").alias("src"),
+                 F.col("y.doc_id").alias("dst")))
+    return neighbor_label_vote(e, lab)
+
+
+_O169 = """
+WITH e0 AS (
+  SELECT x.doc_id AS src, y.doc_id AS dst
+  FROM documents x JOIN documents y ON x.source = y.source
+  WHERE x.doc_id < y.doc_id AND (x.doc_id + y.doc_id) % 13 = 0),
+e AS (SELECT DISTINCT src, dst FROM
+       (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)),
+lab AS (SELECT DISTINCT doc_id AS n, lang AS l FROM documents
+        WHERE doc_id % 7 = 0 AND lang IS NOT NULL),
+v AS (SELECT e.dst AS node, lab.l AS label,
+             CAST(COUNT(*) AS BIGINT) AS votes
+      FROM e JOIN lab ON e.src = lab.n
+      WHERE e.dst NOT IN (SELECT n FROM lab)
+      GROUP BY e.dst, lab.l),
+r AS (SELECT node, label, votes,
+             ROW_NUMBER() OVER (PARTITION BY node
+                                ORDER BY votes DESC, label) AS rk
+      FROM v)
+SELECT node, label, votes FROM r WHERE rk = 1
+"""
+
+
+def _q170_psi_drift(spark, sf):
+    """PSI drift of the n_chars distribution between the doc_id%2
+    halves of the documents table: exact BIGINT bin counts, per-bin
+    ln integerized to milli-nats on the exact cross products before
+    any sum (addition-order independent), one final division.
+    Round-5 post-pin registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.quality import psi_drift
+    d = _t(spark, sf, "documents").withColumn(
+        "half", F.col("doc_id") % 2)
+    return psi_drift(d, value_col="n_chars", split_col="half",
+                     split_a=0, split_b=1, lo=0.0, hi=4000.0,
+                     n_bins=16)
+
+
+_O170 = """
+WITH b AS (
+  SELECT CASE WHEN FLOOR((CAST(n_chars AS DOUBLE) - 0.0) / 250.0) >= 16
+              THEN 15
+              ELSE CAST(FLOOR((CAST(n_chars AS DOUBLE) - 0.0) / 250.0)
+                        AS BIGINT) END AS bin,
+         doc_id % 2 AS half
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars >= 0 AND n_chars <= 4000),
+cells AS (
+  SELECT bin,
+         CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM b GROUP BY bin),
+tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+               CAST(SUM(cb) AS BIGINT) AS nb FROM cells),
+t AS (
+  SELECT cells.*, tot.na, tot.nb,
+         CASE WHEN ca > 0 AND cb > 0
+              THEN (ca * nb - cb * na)
+                   * (CAST(ROUND(ln(CAST(ca * nb AS DOUBLE)) * 1000.0)
+                           AS BIGINT)
+                      - CAST(ROUND(ln(CAST(cb * na AS DOUBLE)) * 1000.0)
+                             AS BIGINT))
+              ELSE 0 END AS term,
+         CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END AS used
+  FROM cells CROSS JOIN tot),
+agg AS (
+  SELECT MAX(na) AS n_a, MAX(nb) AS n_b,
+         CAST(SUM(used) AS BIGINT) AS n_bins_used,
+         CAST(SUM(1 - used) AS BIGINT) AS n_zero_bins,
+         CAST(SUM(term) AS BIGINT) AS psi_num
+  FROM t)
+SELECT n_a, n_b, n_bins_used, n_zero_bins, psi_num,
+       CASE WHEN n_a > 0 AND n_b > 0
+            THEN psi_num::DOUBLE / CAST(n_a * n_b * 1000 AS DOUBLE) END
+         AS psi
+FROM agg
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -5431,6 +5562,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q165_snm_pairs": _q165_snm_pairs,
         "q166_winnow": _q166_winnow,
         "q167_bfs_hops": _q167_bfs_hops,
+        "q168_hits": _q168_hits,
+        "q169_label_vote": _q169_label_vote,
+        "q170_psi_drift": _q170_psi_drift,
     }
 
 
@@ -5590,6 +5724,9 @@ def oracle_sql() -> dict[str, str]:
         "q165_snm_pairs": _O165,
         "q166_winnow": _O166,
         "q167_bfs_hops": _O167,
+        "q168_hits": _O168,
+        "q169_label_vote": _O169,
+        "q170_psi_drift": _O170,
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

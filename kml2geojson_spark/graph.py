@@ -392,3 +392,105 @@ def bfs_hops(edges: DataFrame, sources: DataFrame, *,
         dist = dist.unionByName(
             nxt.select("node", F.lit(hop).alias("hops")))
     return dist.select("node", F.col("hops").cast("int").alias("hops"))
+
+
+def hits_scores(edges: DataFrame, *, src: str = "src", dst: str = "dst",
+                n_iters: int = 2) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) with UNNORMALIZED
+    integer power iteration: starting from hub score 1 on every
+    source node, alternate ``auth = Σ hub(in-neighbors)`` and
+    ``hub = Σ auth(out-neighbors)`` for ``n_iters`` rounds — the
+    directed-importance complement to :func:`pagerank` (which ranks
+    by random-walk mass, not by the hub/authority split a citation or
+    link graph wants).
+
+    Determinism: the classic HITS normalizes by the L2 norm each
+    round — a float whose partial-sum order varies across engines and
+    partitionings. Dropping the normalization keeps every score an
+    exact BIGINT (after k rounds the authority score counts weighted
+    alternating paths of length 2k−1), and the RANKING is identical —
+    normalization rescales, never reorders. Caller bounds growth:
+    scores reach ~(d_max²)^k, so keep ``n_iters`` small (2–3, as with
+    integer :func:`pagerank`) — ANSI mode raises on overflow, never
+    wraps.
+
+    Scale shape: per half-round ONE equi-join on the node id + one
+    map-side-combinable hash-agg, partitioning reused across rounds;
+    duplicate edges collapse first (one distinct). No window, no
+    driver loop over data.
+
+    Output: (node, hub BIGINT, auth BIGINT) — every node of the edge
+    set, 0 for the side it never plays.
+    """
+    if n_iters < 1:
+        raise ValueError("n_iters must be >= 1")
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+         .distinct()
+         .localCheckpoint(eager=True))
+    hub = (e.select(F.col("src").alias("node")).distinct()
+           .withColumn("score", F.lit(1).cast("long")))
+    auth = None
+    for _ in range(n_iters):
+        auth = (e.join(hub, e["src"] == hub["node"])
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum("score").alias("score"))
+                .localCheckpoint(eager=True))
+        hub = (e.join(auth, e["dst"] == auth["node"])
+               .groupBy(F.col("src").alias("node"))
+               .agg(F.sum("score").alias("score"))
+               .localCheckpoint(eager=True))
+    return (hub.select("node", F.col("score").alias("hub"))
+            .join(auth.select("node", F.col("score").alias("auth")),
+                  "node", "full_outer")
+            .select("node",
+                    F.coalesce(F.col("hub"), F.lit(0)).alias("hub"),
+                    F.coalesce(F.col("auth"), F.lit(0)).alias("auth")))
+
+
+def neighbor_label_vote(edges: DataFrame, labels: DataFrame, *,
+                        src: str = "src", dst: str = "dst",
+                        node: str = "node", label: str = "label",
+                        directed: bool = False) -> DataFrame:
+    """One round of semi-supervised label propagation: every
+    UNLABELED node with at least one labeled neighbor takes the
+    majority label of its labeled neighbors (ties break to the
+    smallest label) — the cheap "spread the known languages / topics
+    / spam flags one hop" primitive between a full
+    :func:`connected_components` collapse (too coarse: one label per
+    component) and an ML classifier (too heavy for a first pass).
+
+    Deterministic: the vote count is an exact BIGINT over the
+    DISTINCT neighbor set (a duplicate edge is not a double vote),
+    and the argmax is ``min(struct(-votes, label))`` — an order-free
+    aggregate, not a sort. Already-labeled nodes are never
+    re-labeled (anti-join). NULL ids/labels drop.
+
+    Scale shape: one distinct on the symmetrized edges, one equi-join
+    labels→edges, one anti-join against the labeled set, two
+    hash-aggs — all shuffles on the node id. Iterate externally for
+    multi-hop spread (each round is this function).
+
+    Output: (node, label, votes BIGINT) — newly labeled nodes only.
+    """
+    e = (edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+         .where(F.col("_s").isNotNull() & F.col("_d").isNotNull()))
+    if not directed:
+        e = e.union(e.select(F.col("_d").alias("_s"),
+                             F.col("_s").alias("_d")))
+    e = e.distinct()
+    lab = (labels.select(F.col(node).alias("_n"), F.col(label).alias("_l"))
+           .where(F.col("_n").isNotNull() & F.col("_l").isNotNull())
+           .distinct())
+    votes = (e.join(lab, e["_s"] == lab["_n"])
+             .select(F.col("_d").alias("node"), F.col("_l").alias("label"))
+             .join(lab.select(F.col("_n").alias("node")).distinct(),
+                   "node", "left_anti")
+             .groupBy("node", "label")
+             .agg(F.count(F.lit(1)).alias("votes")))
+    best = (votes.groupBy("node")
+            .agg(F.min(F.struct((-F.col("votes")).alias("nv"),
+                                F.col("label").alias("label")))
+                 .alias("_b")))
+    return (best.select("node", F.col("_b.label").alias("label"),
+                        (-F.col("_b.nv")).alias("votes")))

@@ -281,3 +281,75 @@ def classification_report(df: DataFrame, *, actual_col: str,
         .otherwise(2.0 * F.col("tp").cast("double")
                    / (F.col("_ppn") + F.col("support")).cast("double"))
         .alias("f1"))
+
+
+def psi_drift(df: DataFrame, *, value_col: str, split_col: str,
+              split_a, split_b, lo: float, hi: float,
+              n_bins: int = 16) -> DataFrame:
+    """Population Stability Index between two slices of one table —
+    THE standard distribution-drift monitor in ML scoring pipelines
+    (rule of thumb: < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted).
+    ``PSI = Σ_bins (p_a − p_b) · ln(p_a / p_b)`` over a fixed-width
+    binning of ``[lo, hi]`` (same closed-right top edge as
+    ``histogram1d``; out-of-range and NULL values drop).
+
+    Determinism (the `group_entropy` integerized-ln rule, milli-nat
+    scaled): bin counts c_a, c_b and totals n_a, n_b are exact
+    BIGINTs; each bin's term is
+    ``(c_a·n_b − c_b·n_a) · (mln(c_a·n_b) − mln(c_b·n_a))`` with
+    ``mln(x) = round(ln(x)·10³)`` integerized PER EXACT PRODUCT
+    before any sum — an exact BIGINT, addition-order independent, and
+    sign-safe (ln is monotone, so rounding never flips a term's
+    sign). PSI is then ONE division by ``n_a·n_b·10³``. Bins empty on
+    either side are SKIPPED (no epsilon smoothing — exactness over
+    convention) and counted in ``n_zero_bins`` so the caller sees
+    when the binning is too fine — that counts OBSERVED bins with one
+    empty side (the ones whose mass the skip discards); bins empty on
+    both sides never reach the aggregate and discard nothing. Caller bound: c·n < 2⁶³/(27·10³)
+    (n_a·n_b < ~3·10¹⁴ — raise, never wrap, under ANSI).
+
+    Scale shape: ONE conditional hash-aggregate over the data (both
+    slices in one pass, map-side combined to ≤ n_bins cells per
+    side), then scalar work on n_bins rows. No window, no join, no
+    second scan.
+
+    Output: ONE row (n_a, n_b, n_bins_used, n_zero_bins,
+    psi_num BIGINT, psi DOUBLE).
+    """
+    if n_bins <= 0:
+        raise ValueError("n_bins must be positive")
+    lo = float(lo)
+    hi = float(hi)
+    if not hi > lo:
+        raise ValueError("hi must be greater than lo")
+    width = (hi - lo) / n_bins
+    v = F.col(value_col).cast("double")
+    raw = F.floor((v - F.lit(lo)) / F.lit(width)).cast("long")
+    bin_ = F.when(raw >= n_bins, F.lit(n_bins - 1).cast("long")) \
+        .otherwise(raw)
+    is_a = F.col(split_col) == F.lit(split_a)
+    is_b = F.col(split_col) == F.lit(split_b)
+    cells = (df.where(v.isNotNull() & (v >= lo) & (v <= hi)
+                      & (is_a | is_b))
+             .groupBy(bin_.alias("_bin"))
+             .agg(F.sum(F.when(is_a, 1).otherwise(0)).alias("_ca"),
+                  F.sum(F.when(is_b, 1).otherwise(0)).alias("_cb")))
+    tot = F.broadcast(cells.agg(F.sum("_ca").alias("_na"),
+                                F.sum("_cb").alias("_nb")))
+    pa = F.col("_ca") * F.col("_nb")
+    pb = F.col("_cb") * F.col("_na")
+    mln = [F.round(F.log(x.cast("double")) * F.lit(1000.0)).cast("long")
+           for x in (pa, pb)]
+    both = (F.col("_ca") > 0) & (F.col("_cb") > 0)
+    term = F.when(both, (pa - pb) * (mln[0] - mln[1])).otherwise(F.lit(0))
+    agg = (cells.crossJoin(tot)
+           .agg(F.max("_na").alias("n_a"), F.max("_nb").alias("n_b"),
+                F.sum(F.when(both, 1).otherwise(0)).alias("n_bins_used"),
+                F.sum(F.when(both, 0).otherwise(1)).alias("n_zero_bins"),
+                F.sum(term).alias("psi_num")))
+    return agg.withColumn(
+        "psi",
+        F.when((F.col("n_a") > 0) & (F.col("n_b") > 0),
+               F.col("psi_num").cast("double")
+               / (F.col("n_a") * F.col("n_b") * F.lit(1000))
+               .cast("double")))

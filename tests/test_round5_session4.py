@@ -284,3 +284,125 @@ def test_bfs_rejects_negative_cap(spark):
     with pytest.raises(ValueError):
         bfs_hops(edges, edges.select(F.col("src").alias("node")),
                  max_hops=-1)
+
+
+# ----------------------------------------------------------------- hits
+
+
+def test_hits_hand_graph(spark):
+    from kml2geojson_spark.graph import hits_scores
+    # u1 -> {v1, v2}, u2 -> {v1}; classic: v1 stronger authority,
+    # u1 stronger hub. Duplicate edge must not double-count.
+    edges = spark.createDataFrame(
+        [(1, 101), (1, 102), (2, 101), (2, 101)], "src long, dst long")
+    got = {r["node"]: (r["hub"], r["auth"])
+           for r in hits_scores(edges, n_iters=1).collect()}
+    # h0 = 1 everywhere; a1: v1=2, v2=1; h1: u1=3, u2=2
+    assert got == {1: (3, 0), 2: (2, 0), 101: (0, 2), 102: (0, 1)}
+
+
+def test_hits_second_iteration_and_validation(spark):
+    from kml2geojson_spark.graph import hits_scores
+    edges = spark.createDataFrame(
+        [(1, 101), (1, 102), (2, 101)], "src long, dst long")
+    got = {r["node"]: (r["hub"], r["auth"])
+           for r in hits_scores(edges, n_iters=2).collect()}
+    # a2: v1 = h1(u1)+h1(u2) = 5, v2 = h1(u1) = 3; h2: u1 = 8, u2 = 5
+    assert got == {1: (8, 0), 2: (5, 0), 101: (0, 5), 102: (0, 3)}
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        hits_scores(edges, n_iters=0)
+
+
+# ----------------------------------------------------------- label vote
+
+
+def test_vote_majority_and_tie_to_smallest(spark):
+    from kml2geojson_spark.graph import neighbor_label_vote
+    edges = spark.createDataFrame(
+        [(10, 1), (10, 2), (10, 3),   # node 10 sees en, en, fr
+         (20, 2), (20, 3)],           # node 20 sees en, fr → tie
+        "src long, dst long")
+    labels = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "fr")], "node long, label string")
+    got = {r["node"]: (r["label"], r["votes"])
+           for r in neighbor_label_vote(edges, labels).collect()}
+    assert got == {10: ("en", 2), 20: ("en", 1)}
+
+
+def test_vote_never_relabels_and_dedups_edges(spark):
+    from kml2geojson_spark.graph import neighbor_label_vote
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 2), (1, 2)], "src long, dst long")
+    labels = spark.createDataFrame([(1, "en"), (2, "fr")],
+                                   "node long, label string")
+    assert neighbor_label_vote(edges, labels).count() == 0
+    lab1 = labels.where(F.col("node") == 1)
+    (row,) = neighbor_label_vote(edges, lab1).collect()
+    assert (row["node"], row["label"], row["votes"]) == (2, "en", 1)
+
+
+def test_vote_directed_only_follows_edges(spark):
+    from kml2geojson_spark.graph import neighbor_label_vote
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    labels = spark.createDataFrame([(2, "fr")], "node long, label string")
+    assert neighbor_label_vote(edges, labels,
+                               directed=True).count() == 0
+    (row,) = neighbor_label_vote(edges, labels).collect()
+    assert row["node"] == 1 and row["label"] == "fr"
+
+
+# ------------------------------------------------------------------ psi
+
+
+def test_psi_identical_slices_zero(spark):
+    from kml2geojson_spark.quality import psi_drift
+    rows = [(0, float(v)) for v in range(100)] \
+        + [(1, float(v)) for v in range(100)]
+    df = spark.createDataFrame(rows, "half int, v double")
+    (r,) = psi_drift(df, value_col="v", split_col="half", split_a=0,
+                     split_b=1, lo=0.0, hi=100.0, n_bins=10).collect()
+    assert r["psi_num"] == 0 and r["psi"] == 0.0
+    assert r["n_bins_used"] == 10 and r["n_zero_bins"] == 0
+
+
+def test_psi_shift_positive_and_zero_bins_skipped(spark):
+    from kml2geojson_spark.quality import psi_drift
+    rows = ([(0, 5.0)] * 50 + [(0, 15.0)] * 50
+            + [(1, 5.0)] * 20 + [(1, 15.0)] * 80)
+    df = spark.createDataFrame(rows, "half int, v double")
+    (r,) = psi_drift(df, value_col="v", split_col="half", split_a=0,
+                     split_b=1, lo=0.0, hi=20.0, n_bins=2).collect()
+    import math
+    exp = (0.5 - 0.2) * math.log(0.5 / 0.2) \
+        + (0.5 - 0.8) * math.log(0.5 / 0.8)
+    assert r["psi"] == pytest.approx(exp, rel=1e-3)
+    assert r["psi_num"] > 0
+    # a one-sided bin is SKIPPED and reported; both-empty bins are not
+    df2 = spark.createDataFrame(
+        [(0, 1.0)] * 4 + [(0, 11.0)] * 4 + [(1, 1.0)] * 8,
+        "half int, v double")
+    (r2,) = psi_drift(df2, value_col="v", split_col="half", split_a=0,
+                      split_b=1, lo=0.0, hi=20.0, n_bins=2).collect()
+    assert r2["n_zero_bins"] == 1 and r2["n_bins_used"] == 1
+
+
+def test_psi_drops_out_of_range_and_other_splits(spark):
+    from kml2geojson_spark.quality import psi_drift
+    df = spark.createDataFrame(
+        [(0, 5.0), (1, 5.0), (2, 5.0), (0, 999.0), (0, None)],
+        "half int, v double")
+    (r,) = psi_drift(df, value_col="v", split_col="half", split_a=0,
+                     split_b=1, lo=0.0, hi=10.0, n_bins=2).collect()
+    assert r["n_a"] == 1 and r["n_b"] == 1
+
+
+def test_psi_validates_params(spark):
+    from kml2geojson_spark.quality import psi_drift
+    df = spark.createDataFrame([(0, 1.0)], "half int, v double")
+    with pytest.raises(ValueError):
+        psi_drift(df, value_col="v", split_col="half", split_a=0,
+                  split_b=1, lo=0.0, hi=1.0, n_bins=0)
+    with pytest.raises(ValueError):
+        psi_drift(df, value_col="v", split_col="half", split_a=0,
+                  split_b=1, lo=5.0, hi=5.0)
