@@ -5402,6 +5402,169 @@ FROM agg
 """
 
 
+def _q171_mannwhitney(spark, sf):
+    """Mann-Whitney U of returned-vs-refused line revenue per
+    linestatus: per-value side counts + exclusive prefix sum (the
+    ks_2sample shape), U carried ×2 as an exact BIGINT so tie-halves
+    stay integral, tie-corrected z one fixed double expression.
+    Round-5 post-pin registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.relational import mannwhitney_u
+    li = _t(spark, sf, "lineitem").select(
+        "l_linestatus", "l_returnflag",
+        F.round(F.col("l_extendedprice")).cast("long")
+        .alias("price_dollars"))
+    return mannwhitney_u(li, value_col="price_dollars",
+                         side_col="l_returnflag",
+                         side_a="A", side_b="R",
+                         group_cols=["l_linestatus"])
+
+
+_O171 = """
+WITH b AS (
+  SELECT l_linestatus AS g,
+         CAST(ROUND(l_extendedprice) AS BIGINT) AS v,
+         CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS a
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_linestatus IS NOT NULL
+    AND l_returnflag IN ('A', 'R')),
+pv AS (SELECT g, v, CAST(SUM(a) AS BIGINT) AS ca,
+              CAST(COUNT(*) - SUM(a) AS BIGINT) AS cb
+       FROM b GROUP BY g, v),
+st AS (
+  SELECT g, ca, cb,
+         COALESCE(SUM(cb) OVER (PARTITION BY g ORDER BY v
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS beforeb,
+         SUM(ca) OVER (PARTITION BY g) AS na,
+         SUM(cb) OVER (PARTITION BY g) AS nb,
+         (ca + cb) * (ca + cb) * (ca + cb) - (ca + cb) AS t3
+  FROM pv),
+s AS (
+  SELECT g, CAST(MAX(na) AS BIGINT) AS n_a,
+         CAST(MAX(nb) AS BIGINT) AS n_b,
+         CAST(SUM(ca * (2 * beforeb + cb)) AS BIGINT) AS u2_a,
+         CAST(SUM(t3) AS BIGINT) AS T3
+  FROM st GROUP BY g)
+SELECT g AS l_linestatus, n_a, n_b, u2_a,
+  CASE WHEN n_a > 0 AND n_b > 0
+       THEN u2_a::DOUBLE / 2.0 END AS u_a,
+  CASE WHEN n_a > 0 AND n_b > 0 AND
+            (n_a::DOUBLE * n_b::DOUBLE / 12.0)
+            * ((n_a + n_b)::DOUBLE + 1.0
+               - T3::DOUBLE / ((n_a + n_b)::DOUBLE
+                               * ((n_a + n_b)::DOUBLE - 1.0))) > 0
+       THEN (u2_a::DOUBLE - n_a::DOUBLE * n_b::DOUBLE)
+            / (2.0 * sqrt((n_a::DOUBLE * n_b::DOUBLE / 12.0)
+               * ((n_a + n_b)::DOUBLE + 1.0
+                  - T3::DOUBLE / ((n_a + n_b)::DOUBLE
+                                  * ((n_a + n_b)::DOUBLE - 1.0)))))
+  END AS z
+FROM s
+"""
+
+
+def _q172_prop_ztest(spark, sf):
+    """Two-proportion z-test of the urgent-order rate between order
+    statuses F and O: four exact BIGINTs from one conditional
+    hash-agg, rates/pooled-p/z fixed double expressions. Round-5
+    post-pin registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.relational import two_proportion_ztest
+    o = _t(spark, sf, "orders").select(
+        "o_orderstatus",
+        (F.col("o_orderpriority") == "1-URGENT").cast("long")
+        .alias("urgent"))
+    return two_proportion_ztest(o, success_col="urgent",
+                                group_col="o_orderstatus",
+                                group_a="F", group_b="O")
+
+
+_O172 = """
+WITH b AS (
+  SELECT o_orderstatus AS g,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS v
+  FROM orders WHERE o_orderstatus IN ('F', 'O')),
+s AS (
+  SELECT
+    CAST(SUM(CASE WHEN g = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN g <> 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    CAST(SUM(CASE WHEN g = 'F' THEN v ELSE 0 END) AS BIGINT) AS s_a,
+    CAST(SUM(CASE WHEN g <> 'F' THEN v ELSE 0 END) AS BIGINT) AS s_b
+  FROM b)
+SELECT n_a, n_b, s_a, s_b,
+  CASE WHEN n_a > 0 THEN s_a::DOUBLE / n_a::DOUBLE END AS p_a,
+  CASE WHEN n_b > 0 THEN s_b::DOUBLE / n_b::DOUBLE END AS p_b,
+  CASE WHEN n_a > 0 AND n_b > 0 AND s_a + s_b > 0
+            AND s_a + s_b < n_a + n_b
+       THEN (s_a::DOUBLE / n_a::DOUBLE - s_b::DOUBLE / n_b::DOUBLE)
+            / sqrt(((s_a + s_b)::DOUBLE / (n_a + n_b)::DOUBLE)
+                   * (1.0 - (s_a + s_b)::DOUBLE / (n_a + n_b)::DOUBLE)
+                   * (1.0 / n_a::DOUBLE + 1.0 / n_b::DOUBLE))
+  END AS z
+FROM s
+"""
+
+
+def _q173_lag_autocorr(spark, sf):
+    """Lag-1/2/3 autocorrelation of each supplier's line-revenue
+    series (order totalized as orderkey·100+linenumber — unique per
+    supplier): one per-group window sort feeds all lag leads, six
+    exact BIGINT sufficient statistics per (supplier, lag), acf one
+    fixed double expression. Round-5 post-pin registration: in-repo
+    oracle sweep only."""
+    from kml2geojson_spark.relational import lag_autocorr
+    li = _t(spark, sf, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_linenumber", "l_partkey",
+        F.round(F.col("l_extendedprice")).cast("long").alias("price"))
+    return lag_autocorr(li, value_col="price",
+                        order_cols=["l_orderkey", "l_linenumber",
+                                    "l_partkey"],
+                        group_cols=["l_suppkey"], lags=(1, 2, 3))
+
+
+_O173 = """
+WITH b AS (
+  SELECT l_suppkey AS g, l_orderkey AS o1, l_linenumber AS o2,
+         l_partkey AS o3,
+         CAST(ROUND(l_extendedprice) AS BIGINT) AS x
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_suppkey IS NOT NULL
+    AND l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+    AND l_partkey IS NOT NULL),
+led AS (
+  SELECT g, x,
+         lead(x, 1) OVER w AS y1,
+         lead(x, 2) OVER w AS y2,
+         lead(x, 3) OVER w AS y3
+  FROM b WINDOW w AS (PARTITION BY g ORDER BY o1, o2, o3)),
+p AS (
+  SELECT g, 1 AS lag, x, y1 AS y FROM led WHERE y1 IS NOT NULL
+  UNION ALL
+  SELECT g, 2, x, y2 FROM led WHERE y2 IS NOT NULL
+  UNION ALL
+  SELECT g, 3, x, y3 FROM led WHERE y3 IS NOT NULL),
+s AS (
+  SELECT g, lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM p GROUP BY g, lag)
+SELECT g AS l_suppkey, lag, n_pairs,
+  CASE WHEN n_pairs >= 2
+            AND n_pairs::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE
+                > 0
+            AND n_pairs::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE
+                > 0
+       THEN (n_pairs::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+            / sqrt((n_pairs::DOUBLE * sxx::DOUBLE
+                    - sx::DOUBLE * sx::DOUBLE)
+                 * (n_pairs::DOUBLE * syy::DOUBLE
+                    - sy::DOUBLE * sy::DOUBLE))
+  END AS acf
+FROM s
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -5565,6 +5728,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q168_hits": _q168_hits,
         "q169_label_vote": _q169_label_vote,
         "q170_psi_drift": _q170_psi_drift,
+        "q171_mannwhitney": _q171_mannwhitney,
+        "q172_prop_ztest": _q172_prop_ztest,
+        "q173_lag_autocorr": _q173_lag_autocorr,
     }
 
 
@@ -5727,6 +5893,9 @@ def oracle_sql() -> dict[str, str]:
         "q168_hits": _O168,
         "q169_label_vote": _O169,
         "q170_psi_drift": _O170,
+        "q171_mannwhitney": _O171,
+        "q172_prop_ztest": _O172,
+        "q173_lag_autocorr": _O173,
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

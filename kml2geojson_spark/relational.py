@@ -1088,3 +1088,226 @@ def welch_ttest(df: DataFrame, *, value_col: str, group_col: str,
         F.when(F.col("_n_b") > 0, out["b"][1]).alias("mean_b"),
         F.when(ok, t).alias("t_stat"),
         F.when(ok, wdf).alias("welch_df"))
+
+
+def mannwhitney_u(df: DataFrame, *, value_col: str, side_col: str,
+                  side_a: str, side_b: str,
+                  group_cols: list[str]) -> DataFrame:
+    """Per-group Mann-Whitney U (Wilcoxon rank-sum) test between two
+    labeled sides — the NONPARAMETRIC two-sample comparison that
+    :func:`welch_ttest` users reach for when the distributions are
+    skewed or outlier-heavy, completing the two-sample family
+    (Welch = means, KS = max CDF gap, MWU = stochastic dominance).
+
+    Determinism (the :func:`ks_2sample` value-count rule): U is
+    computed from per-value side counts, never per-row ranks —
+    ``2·U_a = Σ_v c_a(v) · (2·Σ_{w<v} c_b(w) + c_b(v))`` (each a-row
+    beats every b-row below it and half-ties the b-rows at its own
+    value), an exact BIGINT carried ×2 so tie-halves stay integral.
+    The normal approximation's tie-corrected variance uses
+    ``T3 = Σ_v (t³ − t)`` with ``t = c_a + c_b`` — also exact; z is
+    one fixed IEEE expression of those integers. Floats raise
+    (integerize first); caller guarantees n³ < 2⁶³ (n < ~2·10⁶ per
+    group). Rows whose side is neither label and NULL keys/values
+    drop.
+
+    Scale shape: one (group, value) hash-aggregate, then the
+    exclusive prefix sum and full-frame totals over the SAME group
+    partitioning (one Exchange), one final hash-agg. The window
+    frame is value-level, not row-level — cardinality = distinct
+    values per group.
+
+    Output: (group..., n_a, n_b, u2_a BIGINT, u_a DOUBLE, z DOUBLE);
+    z NULL when a side is empty or every row ties (zero variance).
+    """
+    from pyspark.sql.types import DoubleType, FloatType
+
+    fields = {f.name: f for f in df.schema.fields}
+    if isinstance(fields[value_col].dataType, (DoubleType, FloatType)):
+        raise ValueError(
+            f"mannwhitney_u: {value_col!r} is floating-point — "
+            "integerize first (exact integer rank sums are the "
+            "determinism contract)")
+    if not group_cols:
+        raise ValueError("mannwhitney_u: group_cols must be non-empty")
+    if side_a == side_b:
+        raise ValueError("mannwhitney_u: side_a and side_b must differ")
+    keep = (F.col(value_col).isNotNull()
+            & F.col(side_col).isin(side_a, side_b))
+    for g in group_cols:
+        keep = keep & F.col(g).isNotNull()
+    base = df.where(keep).select(
+        *group_cols,
+        F.col(value_col).cast("long").alias("_v"),
+        (F.col(side_col) == side_a).cast("long").alias("_a"))
+    per_val = base.groupBy(*group_cols, "_v").agg(
+        F.sum("_a").alias("_ca"),
+        (F.count(F.lit(1)) - F.sum("_a")).alias("_cb"))
+    wg = Window.partitionBy(*group_cols)
+    wprev = wg.orderBy(F.col("_v").asc()).rowsBetween(
+        Window.unboundedPreceding, -1)
+    t = F.col("_ca") + F.col("_cb")
+    stepped = per_val.select(
+        *group_cols, "_ca", "_cb",
+        F.coalesce(F.sum("_cb").over(wprev), F.lit(0)).alias("_beforeb"),
+        F.sum("_ca").over(wg).alias("_na"),
+        F.sum("_cb").over(wg).alias("_nb"),
+        (t * t * t - t).alias("_t3"))
+    s = stepped.groupBy(*group_cols).agg(
+        F.max("_na").alias("n_a"),
+        F.max("_nb").alias("n_b"),
+        F.sum(F.col("_ca") * (2 * F.col("_beforeb") + F.col("_cb")))
+        .alias("u2_a"),
+        F.sum("_t3").alias("_T3"))
+    nad = F.col("n_a").cast("double")
+    nbd = F.col("n_b").cast("double")
+    nd = (F.col("n_a") + F.col("n_b")).cast("double")
+    var = (nad * nbd / F.lit(12.0)) \
+        * ((nd + F.lit(1.0))
+           - F.col("_T3").cast("double") / (nd * (nd - F.lit(1.0))))
+    z = (F.col("u2_a").cast("double") - nad * nbd) \
+        / (F.lit(2.0) * F.sqrt(var))
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return s.select(
+        *group_cols, "n_a", "n_b", "u2_a",
+        F.when(ok, F.col("u2_a").cast("double") / F.lit(2.0))
+        .alias("u_a"),
+        F.when(ok & (var > F.lit(0.0)), z).alias("z"))
+
+
+def two_proportion_ztest(df: DataFrame, *, success_col: str,
+                         group_col: str, group_a: str, group_b: str,
+                         group_cols: list[str] | None = None
+                         ) -> DataFrame:
+    """Two-proportion z-test (pooled) between two levels of
+    ``group_col`` — the CTR / conversion-rate experiment readout
+    (success must be an INTEGER 0/1 column; cast booleans first).
+
+    Determinism: successes and trials per side are exact BIGINTs
+    from ONE conditional hash-aggregate; rates, the pooled
+    proportion, and z are fixed IEEE double expressions of identical
+    integers. Rows whose success value is outside {0, 1} drop (same
+    discipline as NULLs); floats raise outright.
+
+    Scale shape: one map-side-combinable hash-aggregate; no window,
+    no join. Cardinality-unbounded in ``group_cols``.
+
+    Output: (group..., n_a, n_b, s_a, s_b, p_a, p_b, z); z NULL when
+    either side is empty or the pooled proportion is 0 or 1.
+    """
+    from pyspark.sql.types import DoubleType, FloatType
+
+    fields = {f.name: f for f in df.schema.fields}
+    if isinstance(fields[success_col].dataType, (DoubleType, FloatType)):
+        raise ValueError(
+            f"two_proportion_ztest: {success_col!r} is floating-point "
+            "— use an integer 0/1 column (exact integer counts are "
+            "the determinism contract)")
+    gcols = list(group_cols or [])
+    v = F.col(success_col).cast("long")
+    keep = (v.isin(0, 1)
+            & F.col(group_col).isin(group_a, group_b))
+    for g in gcols:
+        keep = keep & F.col(g).isNotNull()
+    hit_a = F.col(group_col) == group_a
+    grouped = (df.where(keep).groupBy(*[F.col(g) for g in gcols])
+               if gcols else df.where(keep).groupBy())
+    s = grouped.agg(
+        F.sum(F.when(hit_a, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(~hit_a, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(hit_a, v).otherwise(0)).alias("s_a"),
+        F.sum(F.when(~hit_a, v).otherwise(0)).alias("s_b"))
+    nad, nbd = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    sad, sbd = F.col("s_a").cast("double"), F.col("s_b").cast("double")
+    pa, pb = sad / nad, sbd / nbd
+    pool = (sad + sbd) / (nad + nbd)
+    se = F.sqrt(pool * (F.lit(1.0) - pool)
+                * (F.lit(1.0) / nad + F.lit(1.0) / nbd))
+    ok = ((F.col("n_a") > 0) & (F.col("n_b") > 0)
+          & (F.col("s_a") + F.col("s_b") > 0)
+          & (F.col("s_a") + F.col("s_b") < F.col("n_a") + F.col("n_b")))
+    return s.select(
+        *gcols, "n_a", "n_b", "s_a", "s_b",
+        F.when(F.col("n_a") > 0, pa).alias("p_a"),
+        F.when(F.col("n_b") > 0, pb).alias("p_b"),
+        F.when(ok, (pa - pb) / se).alias("z"))
+
+
+def lag_autocorr(df: DataFrame, *, value_col: str,
+                 order_cols: list[str] | str,
+                 group_cols: list[str],
+                 lags: tuple[int, ...] = (1, 2, 3)) -> DataFrame:
+    """Per-series autocorrelation at the given lags — the
+    seasonality / persistence diagnostic (does yesterday predict
+    today?) beside :func:`cusum_changepoint`'s level-shift view.
+    For each lag k, Pearson correlation between the series and
+    itself shifted k steps, over the n−k overlapping pairs.
+
+    Determinism (the :func:`corr_matrix` rule): values must be
+    INTEGER (floats raise); the six sufficient statistics per
+    (group, lag) — pair count, Σx, Σy, Σx², Σy², Σxy — are exact
+    BIGINTs, and the correlation is one fixed IEEE expression of
+    them. ``order_cols`` (one column or a composite) must be UNIQUE
+    per group — duplicate order keys re-sort nondeterministically
+    across engines; pass enough tiebreak columns to totalize the
+    sort. NULL keys/values/orders drop.
+
+    Scale shape: ONE window partitioning (all lag leads share the
+    per-group sort), the lag explosion is k rows per input row, then
+    one (group, lag) hash-aggregate. No join, no global sort; state
+    is bounded by max(lags), not the series length.
+
+    Output: (group..., lag, n_pairs, acf) — acf NULL when fewer than
+    2 pairs or either side is constant.
+    """
+    from pyspark.sql.types import DoubleType, FloatType
+
+    fields = {f.name: f for f in df.schema.fields}
+    if isinstance(fields[value_col].dataType, (DoubleType, FloatType)):
+        raise ValueError(
+            f"lag_autocorr: {value_col!r} is floating-point — "
+            "integerize first (exact integer sums are the "
+            "determinism contract)")
+    if not group_cols:
+        raise ValueError("lag_autocorr: group_cols must be non-empty")
+    if not lags or any(k < 1 for k in lags) or len(set(lags)) != len(lags):
+        raise ValueError("lags must be distinct positive integers")
+    ocols = [order_cols] if isinstance(order_cols, str) else \
+        list(order_cols)
+    if not ocols:
+        raise ValueError("order_cols must be non-empty")
+    keep = F.col(value_col).isNotNull()
+    for c in ocols:
+        keep = keep & F.col(c).isNotNull()
+    for g in group_cols:
+        keep = keep & F.col(g).isNotNull()
+    led = df.where(keep).select(
+        *group_cols,
+        *[F.col(c).alias(f"_o{i}") for i, c in enumerate(ocols)],
+        F.col(value_col).cast("long").alias("_x"))
+    w = Window.partitionBy(*group_cols).orderBy(
+        *[F.col(f"_o{i}").asc() for i in range(len(ocols))])
+    for k in lags:
+        led = led.withColumn(f"_y{k}", F.lead("_x", k).over(w))
+    pairs = led.select(
+        *group_cols, "_x",
+        F.explode(F.array(*[
+            F.struct(F.lit(k).alias("lag"), F.col(f"_y{k}").alias("y"))
+            for k in lags])).alias("_p"))
+    y = F.col("_p.y")
+    s = (pairs.where(y.isNotNull())
+         .groupBy(*group_cols, F.col("_p.lag").alias("lag"))
+         .agg(F.count(F.lit(1)).alias("n_pairs"),
+              F.sum("_x").alias("_sx"), F.sum(y).alias("_sy"),
+              F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+              F.sum(y * y).alias("_syy"),
+              F.sum(F.col("_x") * y).alias("_sxy")))
+    nd = F.col("n_pairs").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    num = nd * F.col("_sxy").cast("double") - sx * sy
+    denx = nd * F.col("_sxx").cast("double") - sx * sx
+    deny = nd * F.col("_syy").cast("double") - sy * sy
+    return s.select(
+        *group_cols, "lag", "n_pairs",
+        F.when((F.col("n_pairs") >= 2) & (denx > 0) & (deny > 0),
+               num / F.sqrt(denx * deny)).alias("acf"))

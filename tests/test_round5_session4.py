@@ -406,3 +406,141 @@ def test_psi_validates_params(spark):
     with pytest.raises(ValueError):
         psi_drift(df, value_col="v", split_col="half", split_a=0,
                   split_b=1, lo=5.0, hi=5.0)
+
+
+# ----------------------------------------------------------- mann-whitney
+
+
+def _brute_u(a: list[int], b: list[int]) -> float:
+    return sum((1.0 if x > y else 0.5 if x == y else 0.0)
+               for x in a for y in b)
+
+
+def test_mwu_matches_brute_force_with_ties(spark):
+    from kml2geojson_spark.relational import mannwhitney_u
+    a, b = [1, 3, 3, 7, 9], [2, 3, 5, 5]
+    df = spark.createDataFrame(
+        [("g", "A", v) for v in a] + [("g", "B", v) for v in b],
+        "grp string, side string, v long")
+    (r,) = mannwhitney_u(df, value_col="v", side_col="side",
+                         side_a="A", side_b="B",
+                         group_cols=["grp"]).collect()
+    assert r["u_a"] == _brute_u(a, b)
+    assert r["u2_a"] == int(2 * _brute_u(a, b))
+    assert r["n_a"] == 5 and r["n_b"] == 4
+    # symmetry: U_a + U_b = n_a * n_b
+    (r2,) = mannwhitney_u(df, value_col="v", side_col="side",
+                          side_a="B", side_b="A",
+                          group_cols=["grp"]).collect()
+    assert r["u_a"] + r2["u_a"] == 20.0
+    assert r["z"] is not None and r2["z"] == -r["z"]
+
+
+def test_mwu_all_ties_z_null(spark):
+    from kml2geojson_spark.relational import mannwhitney_u
+    df = spark.createDataFrame(
+        [("g", "A", 5)] * 3 + [("g", "B", 5)] * 2,
+        "grp string, side string, v long")
+    (r,) = mannwhitney_u(df, value_col="v", side_col="side",
+                         side_a="A", side_b="B",
+                         group_cols=["grp"]).collect()
+    assert r["u_a"] == 3.0  # all half-ties: 3*2/2
+    assert r["z"] is None
+
+
+def test_mwu_validation(spark):
+    from kml2geojson_spark.relational import mannwhitney_u
+    df = spark.createDataFrame([("g", "A", 1.0)],
+                               "grp string, side string, v double")
+    with pytest.raises(ValueError):
+        mannwhitney_u(df, value_col="v", side_col="side",
+                      side_a="A", side_b="B", group_cols=["grp"])
+    with pytest.raises(ValueError):
+        mannwhitney_u(df.select("grp", "side",
+                                F.lit(1).alias("v")),
+                      value_col="v", side_col="side",
+                      side_a="A", side_b="A", group_cols=["grp"])
+
+
+# ------------------------------------------------------- two-proportion z
+
+
+def test_ztest_hand_case(spark):
+    from kml2geojson_spark.relational import two_proportion_ztest
+    rows = [("A", 1)] * 30 + [("A", 0)] * 70 \
+        + [("B", 1)] * 20 + [("B", 0)] * 80
+    df = spark.createDataFrame(rows, "g string, s long")
+    (r,) = two_proportion_ztest(df, success_col="s", group_col="g",
+                                group_a="A", group_b="B").collect()
+    assert (r["n_a"], r["s_a"], r["n_b"], r["s_b"]) == (100, 30, 100, 20)
+    assert r["p_a"] == 0.3 and r["p_b"] == 0.2
+    p = 50 / 200
+    se = math.sqrt(p * (1 - p) * (1 / 100 + 1 / 100))
+    assert r["z"] == pytest.approx(0.1 / se, rel=1e-12)
+
+
+def test_ztest_degenerate_pooled_rate_null(spark):
+    from kml2geojson_spark.relational import two_proportion_ztest
+    df = spark.createDataFrame(
+        [("A", 1), ("A", 1), ("B", 1)], "g string, s long")
+    (r,) = two_proportion_ztest(df, success_col="s", group_col="g",
+                                group_a="A", group_b="B").collect()
+    assert r["z"] is None and r["p_a"] == 1.0
+
+
+def test_ztest_drops_non_binary_and_rejects_float(spark):
+    from kml2geojson_spark.relational import two_proportion_ztest
+    df = spark.createDataFrame(
+        [("A", 1), ("A", 2), ("B", 0)], "g string, s long")
+    (r,) = two_proportion_ztest(df, success_col="s", group_col="g",
+                                group_a="A", group_b="B").collect()
+    assert r["n_a"] == 1  # the s=2 row dropped
+    dff = spark.createDataFrame([("A", 0.5)], "g string, s double")
+    with pytest.raises(ValueError):
+        two_proportion_ztest(dff, success_col="s", group_col="g",
+                             group_a="A", group_b="B")
+
+
+# ------------------------------------------------------------ autocorr
+
+
+def test_autocorr_perfect_and_alternating(spark):
+    from kml2geojson_spark.relational import lag_autocorr
+    # strictly increasing series: lag-1 acf = 1 is wrong (it's
+    # Pearson of two shifted *different* windows) — use alternating
+    # series where lag-2 pairs are identical → acf = 1 exactly.
+    rows = [("s", i, 10 if i % 2 == 0 else -10) for i in range(12)]
+    df = spark.createDataFrame(rows, "g string, o long, v long")
+    got = {r["lag"]: r for r in lag_autocorr(
+        df, value_col="v", order_cols="o", group_cols=["g"],
+        lags=(1, 2)).collect()}
+    assert got[2]["acf"] == 1.0
+    assert got[1]["acf"] == pytest.approx(-1.0)
+    assert got[1]["n_pairs"] == 11 and got[2]["n_pairs"] == 10
+
+
+def test_autocorr_constant_side_null_and_short_series(spark):
+    from kml2geojson_spark.relational import lag_autocorr
+    df = spark.createDataFrame(
+        [("s", 1, 5), ("s", 2, 5), ("s", 3, 5), ("t", 1, 7)],
+        "g string, o long, v long")
+    rows = lag_autocorr(df, value_col="v", order_cols="o",
+                        group_cols=["g"], lags=(1,)).collect()
+    by_g = {r["g"]: r for r in rows}
+    assert by_g["s"]["acf"] is None  # constant series
+    assert "t" not in by_g           # no pairs at lag 1
+
+
+def test_autocorr_validation(spark):
+    from kml2geojson_spark.relational import lag_autocorr
+    df = spark.createDataFrame([("s", 1, 1.0)],
+                               "g string, o long, v double")
+    with pytest.raises(ValueError):
+        lag_autocorr(df, value_col="v", order_cols="o", group_cols=["g"])
+    dfl = spark.createDataFrame([("s", 1, 1)], "g string, o long, v long")
+    with pytest.raises(ValueError):
+        lag_autocorr(dfl, value_col="v", order_cols="o",
+                     group_cols=["g"], lags=(0,))
+    with pytest.raises(ValueError):
+        lag_autocorr(dfl, value_col="v", order_cols="o",
+                     group_cols=["g"], lags=(1, 1))
