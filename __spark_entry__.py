@@ -5565,6 +5565,52 @@ FROM s
 """
 
 
+def _q174_benford(spark, sf):
+    """Benford first-digit audit of line revenue (dollars) per
+    returnflag: leading digit from the STRING rendering (never
+    floor(log10) — ulp-unsafe at powers of ten), expected
+    probabilities as precomputed micro-integer literals identical in
+    both plans, deviations exact BIGINTs. Round-5 post-pin
+    registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.quality import benford_audit
+    li = _t(spark, sf, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice")).cast("long")
+        .alias("price_dollars"))
+    return benford_audit(li, value_col="price_dollars",
+                         group_cols=["l_returnflag"])
+
+
+_O174 = """
+WITH m(digit, p_micro) AS (VALUES
+  (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+  (6, 66947), (7, 57992), (8, 51153), (9, 45757)),
+b AS (
+  SELECT l_returnflag AS g,
+         CAST(substr(CAST(ABS(CAST(ROUND(l_extendedprice) AS BIGINT))
+                          AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL
+    AND CAST(ROUND(l_extendedprice) AS BIGINT) <> 0
+    AND l_returnflag IS NOT NULL),
+c AS (SELECT g, digit, CAST(COUNT(*) AS BIGINT) AS n_d
+      FROM b GROUP BY g, digit),
+tot AS (SELECT g, CAST(SUM(n_d) AS BIGINT) AS n FROM c GROUP BY g),
+grid AS (SELECT DISTINCT c.g, m.digit, m.p_micro FROM c, m)
+SELECT grid.g AS l_returnflag, grid.digit,
+       COALESCE(c.n_d, 0) AS n_d, COALESCE(tot.n, 0) AS n,
+       CASE WHEN COALESCE(tot.n, 0) > 0
+            THEN COALESCE(c.n_d, 0)::DOUBLE / tot.n::DOUBLE
+       END AS p_obs,
+       grid.p_micro::DOUBLE / 1000000.0 AS p_exp,
+       ABS(COALESCE(c.n_d, 0) * 1000000
+           - COALESCE(tot.n, 0) * grid.p_micro) AS dev_micro
+FROM grid
+LEFT JOIN c ON c.g = grid.g AND c.digit = grid.digit
+LEFT JOIN tot ON tot.g = grid.g
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -5731,6 +5777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q171_mannwhitney": _q171_mannwhitney,
         "q172_prop_ztest": _q172_prop_ztest,
         "q173_lag_autocorr": _q173_lag_autocorr,
+        "q174_benford": _q174_benford,
     }
 
 
@@ -5896,6 +5943,7 @@ def oracle_sql() -> dict[str, str]:
         "q171_mannwhitney": _O171,
         "q172_prop_ztest": _O172,
         "q173_lag_autocorr": _O173,
+        "q174_benford": _O174,
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

@@ -353,3 +353,80 @@ def psi_drift(df: DataFrame, *, value_col: str, split_col: str,
                F.col("psi_num").cast("double")
                / (F.col("n_a") * F.col("n_b") * F.lit(1000))
                .cast("double")))
+
+
+# Benford expected first-digit probabilities, micro-scaled:
+# round(log10(1 + 1/d) * 1e6) for d = 1..9, precomputed so BOTH
+# engines consume identical integer literals (a runtime log10 could
+# differ by an ulp across libms).
+_BENFORD_MICRO = (301030, 176091, 124939, 96910, 79181,
+                  66947, 57992, 51153, 45757)
+
+
+def benford_audit(df: DataFrame, *, value_col: str,
+                  group_cols: list[str] | None = None) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    classic fabricated-data / synthetic-corpus screen (real-world
+    magnitudes follow P(d) = log10(1 + 1/d); generated or truncated
+    data usually does not).
+
+    Determinism: values must be INTEGER (floats raise); the first
+    significant digit is taken from the STRING rendering of |v|
+    (``substr(cast(abs(v) as string), 1, 1)``) — exact on every
+    engine, never ``floor(log10(v))`` whose ulp-level boundary at
+    powers of ten can differ across libms. Expected probabilities are
+    the precomputed micro-scaled integer literals above, identical in
+    both plans. Per digit the deviation
+    ``dev_micro = |n_d·10⁶ − n·p_micro|`` is an exact BIGINT. Zero
+    values drop (no leading digit); NULL keys drop.
+
+    Scale shape: ONE conditional hash-aggregate over the data (nine
+    digit counters per group, map-side combined), then a scalar
+    9-struct explode per group row — absent digits are zero by
+    construction, the table is scanned exactly once, and there is no
+    window, join, or second pass.
+
+    Output: (group..., digit INT 1–9, n_d, n, p_obs, p_exp,
+    dev_micro) — 9 rows per group; p_obs NULL when the group is
+    empty after filtering.
+    """
+    from pyspark.sql.types import DoubleType, FloatType
+
+    fields = {f.name: f for f in df.schema.fields}
+    if isinstance(fields[value_col].dataType, (DoubleType, FloatType)):
+        raise ValueError(
+            f"benford_audit: {value_col!r} is floating-point — "
+            "integerize first (scale by a power of ten; the leading "
+            "digit is scale-invariant)")
+    gcols = list(group_cols or [])
+    keep = F.col(value_col).isNotNull() & (F.col(value_col) != 0)
+    for g in gcols:
+        keep = keep & F.col(g).isNotNull()
+    digit = F.substring(
+        F.abs(F.col(value_col).cast("long")).cast("string"), 1, 1) \
+        .cast("int")
+    aggs = [F.sum(F.when(digit == d, 1).otherwise(0)).alias(f"_c{d}")
+            for d in range(1, 10)]
+    base = df.where(keep)
+    s = (base.groupBy(*gcols) if gcols else base.groupBy()).agg(*aggs)
+    n = sum((F.coalesce(F.col(f"_c{d}"), F.lit(0))
+             for d in range(2, 10)),
+            F.coalesce(F.col("_c1"), F.lit(0)))
+    rows = F.array(*[
+        F.struct(F.lit(d).alias("digit"),
+                 F.coalesce(F.col(f"_c{d}"), F.lit(0)).alias("n_d"),
+                 F.lit(_BENFORD_MICRO[d - 1]).alias("p_micro"))
+        for d in range(1, 10)])
+    e = (s.withColumn("n", n)
+         .select(*gcols, "n", F.explode(rows).alias("_r")))
+    return e.select(
+        *gcols,
+        F.col("_r.digit").alias("digit"),
+        F.col("_r.n_d").alias("n_d"), "n",
+        F.when(F.col("n") > 0,
+               F.col("_r.n_d").cast("double") / F.col("n").cast("double"))
+        .alias("p_obs"),
+        (F.col("_r.p_micro").cast("double") / F.lit(1000000.0))
+        .alias("p_exp"),
+        F.abs(F.col("_r.n_d") * F.lit(1000000)
+              - F.col("n") * F.col("_r.p_micro")).alias("dev_micro"))

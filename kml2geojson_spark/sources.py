@@ -164,3 +164,128 @@ def read_kmz_files(spark: SparkSession, path: str, *,
                 yield pd.DataFrame({"doc_id": ids, "spans": spans})
 
     return files.mapInPandas(unpack, spans_schema())
+
+
+_GEOJSON_FEATURES_SCHEMA = (
+    "doc_id string, feature_idx int, name string, geom_type string, "
+    "coordinates_json string, n_geoms int, properties_json string")
+
+
+def parse_geojson_features(docs: DataFrame, *, id_col: str = "doc_id",
+                           json_col: str = "geojson") -> DataFrame:
+    """Parse GeoJSON documents (FeatureCollection / single Feature /
+    bare geometry) into one row per feature — the INVERSE direction of
+    the engine's KML→GeoJSON pipeline, closing the round trip: output
+    written by :func:`kml2geojson_spark.sinks.write_geojson_dir` (or
+    any other producer) re-enters the engine as a typed features
+    frame for the spatial operators.
+
+    Geometry stays exact: ``coordinates_json`` is the canonical
+    re-serialization (sorted keys, no whitespace) of the feature's
+    coordinates — nesting depth varies by type, so it is carried as a
+    JSON string rather than a ragged array column; a
+    GeometryCollection carries its ``geometries`` array there and
+    reports ``n_geoms`` (single geometries report 1). Properties are
+    canonicalized the same way. Malformed JSON or features without a
+    geometry yield geom_type NULL (row preserved — auditable, not
+    silently dropped).
+
+    Scale shape: per-partition Arrow-batched Python parse
+    (``mapInPandas``) exactly like the KML parser lanes — per-doc
+    work, zero shuffle, no driver involvement. Feature order within a
+    document is the array order (``feature_idx``).
+    """
+    import json
+
+    cols = docs.select(F.col(id_col).cast("string").alias("doc_id"),
+                       F.col(json_col).alias("_j"))
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def canon(x) -> str:
+            return json.dumps(x, sort_keys=True, separators=(",", ":"))
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "feature_idx", "name",
+                                   "geom_type", "coordinates_json",
+                                   "n_geoms", "properties_json")}
+
+            def emit(did, idx, name, gtype, coords, ngeoms, props):
+                out["doc_id"].append(did)
+                out["feature_idx"].append(idx)
+                out["name"].append(name)
+                out["geom_type"].append(gtype)
+                out["coordinates_json"].append(coords)
+                out["n_geoms"].append(ngeoms)
+                out["properties_json"].append(props)
+
+            for did, txt in zip(pdf["doc_id"], pdf["_j"]):
+                try:
+                    obj = json.loads(txt)
+                    t = obj.get("type") if isinstance(obj, dict) else None
+                except (ValueError, TypeError):
+                    obj, t = None, None
+                if t == "FeatureCollection":
+                    feats = obj.get("features") or []
+                elif t == "Feature":
+                    feats = [obj]
+                elif t in ("Point", "MultiPoint", "LineString",
+                           "MultiLineString", "Polygon", "MultiPolygon",
+                           "GeometryCollection"):
+                    feats = [{"type": "Feature", "geometry": obj,
+                              "properties": {}}]
+                else:
+                    emit(did, 0, None, None, None, 0, None)
+                    continue
+                if not feats:
+                    emit(did, 0, None, None, None, 0, None)
+                    continue
+                for i, f in enumerate(feats):
+                    if not isinstance(f, dict):
+                        emit(did, i, None, None, None, 0, None)
+                        continue
+                    g = f.get("geometry")
+                    props = f.get("properties")
+                    name = None
+                    if isinstance(props, dict):
+                        nm = props.get("name")
+                        name = nm if isinstance(nm, str) else None
+                    pjson = canon(props) if props is not None else None
+                    if not isinstance(g, dict) or "type" not in g:
+                        emit(did, i, name, None, None, 0, pjson)
+                        continue
+                    gt = g["type"]
+                    if gt == "GeometryCollection":
+                        geoms = g.get("geometries") or []
+                        emit(did, i, name, gt, canon(geoms),
+                             len(geoms), pjson)
+                    else:
+                        emit(did, i, name, gt,
+                             canon(g.get("coordinates")), 1, pjson)
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(parse, _GEOJSON_FEATURES_SCHEMA)
+
+
+def read_geojson_files(spark: SparkSession, path: str, *,
+                       pattern: str = "*.geojson",
+                       doc_ids: str = "stem") -> DataFrame:
+    """Distributed scan of ``.geojson`` files → features frame (see
+    :func:`parse_geojson_features`). Same ``binaryFile`` listing,
+    glob pruning, and doc-id policy as :func:`read_kml_files`."""
+    if doc_ids not in ("stem", "path"):
+        raise ValueError("doc_ids must be 'stem' or 'path'")
+    files = (spark.read.format("binaryFile")
+             .option("pathGlobFilter", pattern)
+             .load(path)
+             .select("path", "content"))
+    docs = files.select(
+        F.col("path").alias("_p"),
+        F.col("content").cast("string").alias("geojson"))
+    if doc_ids == "stem":
+        stem = F.regexp_replace(
+            F.element_at(F.split(F.col("_p"), "/"), -1),
+            r"\.[^.]*$", "")
+        docs = docs.select(stem.alias("doc_id"), "geojson")
+    else:
+        docs = docs.select(F.col("_p").alias("doc_id"), "geojson")
+    return parse_geojson_features(docs)

@@ -544,3 +544,49 @@ def test_autocorr_validation(spark):
     with pytest.raises(ValueError):
         lag_autocorr(dfl, value_col="v", order_cols="o",
                      group_cols=["g"], lags=(1, 1))
+
+
+# -------------------------------------------------------------- benford
+
+
+def test_benford_hand_counts_and_zero_fill(spark):
+    from kml2geojson_spark.quality import benford_audit
+    # digits: 1 (from 123, -1500), 2 (from 29), none for 3..9
+    df = spark.createDataFrame(
+        [(123,), (-1500,), (29,), (0,), (None,)], "v long")
+    got = {r["digit"]: r for r in
+           benford_audit(df, value_col="v").collect()}
+    assert len(got) == 9
+    assert got[1]["n_d"] == 2 and got[2]["n_d"] == 1
+    assert all(got[d]["n_d"] == 0 for d in range(3, 10))
+    assert got[1]["n"] == 3
+    assert got[1]["p_obs"] == pytest.approx(2 / 3)
+    assert got[1]["p_exp"] == 0.30103
+    assert got[1]["dev_micro"] == abs(2 * 1000000 - 3 * 301030)
+
+
+def test_benford_true_benford_sample_low_deviation(spark):
+    from kml2geojson_spark.quality import benford_audit
+    # 2^k for k=0..199 is a classic Benford-conforming sequence
+    rows = [(2 ** k % (10 ** 15),) for k in range(1, 50)]
+    df = spark.createDataFrame([(int(str(v)[:9]),) for (v,) in rows],
+                               "v long")
+    out = benford_audit(df, value_col="v").collect()
+    tot_dev = sum(r["dev_micro"] for r in out)
+    n = out[0]["n"]
+    # average per-digit deviation well under 10% of n (uniform digits
+    # would sit near ~2e5 micro per digit)
+    assert tot_dev / (9 * n) < 100000
+
+
+def test_benford_grouped_and_float_raises(spark):
+    from kml2geojson_spark.quality import benford_audit
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 25), ("b", 9)], "g string, v long")
+    got = benford_audit(df, value_col="v", group_cols=["g"]).collect()
+    assert len(got) == 18  # 9 digits x 2 groups
+    by = {(r["g"], r["digit"]): r["n_d"] for r in got}
+    assert by[("a", 1)] == 1 and by[("a", 2)] == 1 and by[("b", 9)] == 1
+    dff = spark.createDataFrame([(1.5,)], "v double")
+    with pytest.raises(ValueError):
+        benford_audit(dff, value_col="v")

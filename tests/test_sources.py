@@ -73,3 +73,79 @@ def test_convert_kml_dir_max_files_gate(spark, kml_dir, tmp_path):
     written = convert_kml_dir(spark, str(kml_dir), str(tmp_path / "ok"),
                               max_files=n)
     assert written
+
+
+# ------------------------------------------------------- geojson source
+
+
+def test_parse_geojson_features_shapes(spark):
+    from kml2geojson_spark.sources import parse_geojson_features
+    fc = json.dumps({
+        "type": "FeatureCollection",
+        "features": [
+            {"type": "Feature",
+             "properties": {"name": "pt", "q": 1},
+             "geometry": {"type": "Point", "coordinates": [1.5, 2.5]}},
+            {"type": "Feature", "properties": None,
+             "geometry": {"type": "GeometryCollection", "geometries": [
+                 {"type": "Point", "coordinates": [0, 0]},
+                 {"type": "LineString",
+                  "coordinates": [[0, 0], [1, 1]]}]}},
+            {"type": "Feature", "properties": {}, "geometry": None},
+        ]})
+    bare = json.dumps({"type": "Point", "coordinates": [9, 9]})
+    docs = spark.createDataFrame(
+        [("a", fc), ("b", bare), ("c", "{not json"), ("d", "{}")],
+        "doc_id string, geojson string")
+    rows = {(r["doc_id"], r["feature_idx"]): r
+            for r in parse_geojson_features(docs).collect()}
+    assert len(rows) == 6
+    pt = rows[("a", 0)]
+    assert pt["geom_type"] == "Point" and pt["name"] == "pt"
+    assert json.loads(pt["coordinates_json"]) == [1.5, 2.5]
+    assert json.loads(pt["properties_json"]) == {"name": "pt", "q": 1}
+    gc = rows[("a", 1)]
+    assert gc["geom_type"] == "GeometryCollection" and gc["n_geoms"] == 2
+    assert rows[("a", 2)]["geom_type"] is None
+    assert rows[("b", 0)]["geom_type"] == "Point"
+    assert rows[("c", 0)]["geom_type"] is None
+    assert rows[("d", 0)]["geom_type"] is None
+
+
+def test_geojson_roundtrip_from_kml_convert(spark, kml_dir,
+                                            reference_module, tmp_path):
+    """KML → engine convert → .geojson files → read_geojson_files:
+    geometry coordinates must survive the round trip exactly."""
+    import kml2geojson_spark as k2gs
+    from kml2geojson_spark.sources import (read_geojson_files,
+                                           read_kml_files)
+
+    docs = read_kml_files(spark, str(kml_dir))
+    conv = {r["doc_id"]: r for r in
+            k2gs.convert_documents(docs).collect()}
+    out = tmp_path / "gj"
+    out.mkdir()
+    expected = {}
+    for doc_id, row in conv.items():
+        for lname, layer in zip(row["layer_names"], row["layers"]):
+            stem = f"{doc_id}__{lname}"
+            (out / f"{stem}.geojson").write_text(layer)
+            feats = json.loads(layer)["features"]
+            expected[stem] = [f.get("geometry") for f in feats]
+    got = read_geojson_files(spark, str(out)).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(expected)
+    for stem, feats in expected.items():
+        rows = sorted(by_doc[stem], key=lambda r: r["feature_idx"])
+        assert len(rows) == len(feats)
+        for r, g in zip(rows, feats):
+            if g is None:
+                assert r["geom_type"] is None
+            elif g["type"] == "GeometryCollection":
+                assert r["geom_type"] == "GeometryCollection"
+                assert json.loads(r["coordinates_json"]) == g["geometries"]
+            else:
+                assert r["geom_type"] == g["type"]
+                assert json.loads(r["coordinates_json"]) == g["coordinates"]
