@@ -5611,6 +5611,100 @@ LEFT JOIN tot ON tot.g = grid.g
 """
 
 
+def _q175_anova(spark, sf):
+    """One-way ANOVA F of line revenue across returnflag levels per
+    linestatus: per-level exact BIGINT n/Σv/Σv², between-groups
+    contributions milli-floored per level before the BIGINT sum
+    (addition-order independent), F one fixed double expression.
+    Round-5 post-pin registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.relational import oneway_anova
+    li = _t(spark, sf, "lineitem").select(
+        "l_linestatus", "l_returnflag",
+        F.round(F.col("l_extendedprice")).cast("long")
+        .alias("price_dollars"))
+    return oneway_anova(li, value_col="price_dollars",
+                        factor_col="l_returnflag",
+                        group_cols=["l_linestatus"])
+
+
+_O175 = """
+WITH b AS (
+  SELECT l_linestatus AS g, l_returnflag AS lvl,
+         CAST(ROUND(l_extendedprice) AS BIGINT) AS v
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_linestatus IS NOT NULL
+    AND l_returnflag IS NOT NULL),
+lv AS (
+  SELECT g, lvl, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(v) AS BIGINT) AS s, CAST(SUM(v * v) AS BIGINT) AS ss
+  FROM b GROUP BY g, lvl),
+agg AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS n,
+         CAST(SUM(s) AS BIGINT) AS S, CAST(SUM(ss) AS BIGINT) AS SS,
+         CAST(SUM(CAST(FLOOR(s::DOUBLE * s::DOUBLE / n::DOUBLE
+                             * 1000.0) AS BIGINT)) AS BIGINT) AS cb
+  FROM lv GROUP BY g),
+fin AS (
+  SELECT g, k, n,
+         cb - CAST(FLOOR(S::DOUBLE * S::DOUBLE / n::DOUBLE * 1000.0)
+                   AS BIGINT) AS ssb_milli,
+         1000 * SS - cb AS ssw_milli
+  FROM agg)
+SELECT g AS l_linestatus, k, n, ssb_milli, ssw_milli,
+  CASE WHEN k >= 2 AND n > k AND ssw_milli > 0
+       THEN (ssb_milli::DOUBLE / (k - 1)::DOUBLE)
+            / (ssw_milli::DOUBLE / (n - k)::DOUBLE) END AS f_stat
+FROM fin
+"""
+
+
+def _q176_bellman_ford(spark, sf):
+    """Bounded-horizon Bellman-Ford (≤ 3 undirected hops) from the
+    nation%5 supplier seeds over the purchase graph with small
+    integer edge weights (suppkey%5 + 1, so the oracle's recursive
+    CTE dedups on bounded distinct costs): exact BIGINT costs,
+    hops = first round the minimum was achieved. Round-5 post-pin
+    registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.graph import bellman_ford_hops
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    edges = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+             .select(F.col("o_custkey").alias("src"),
+                     (F.col("l_suppkey") + 10_000_000).alias("dst"),
+                     (F.col("l_suppkey") % 5 + 1).alias("weight")))
+    seeds = (_t(spark, sf, "supplier")
+             .where(F.col("s_nationkey") % 5 == 0)
+             .select((F.col("s_suppkey") + 10_000_000).alias("node")))
+    return bellman_ford_hops(edges, seeds, max_hops=3, directed=False)
+
+
+_O176 = """
+WITH RECURSIVE
+e0 AS (
+  SELECT o_custkey AS src, l_suppkey + 10000000 AS dst,
+         l_suppkey % 5 + 1 AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL),
+eu AS (SELECT src, dst, w FROM e0
+       UNION ALL SELECT dst, src, w FROM e0),
+e AS (SELECT src, dst, CAST(MIN(w) AS BIGINT) AS w
+      FROM eu GROUP BY src, dst),
+seed AS (SELECT DISTINCT s_suppkey + 10000000 AS node
+         FROM supplier WHERE s_nationkey % 5 = 0
+           AND s_suppkey IS NOT NULL),
+walk(node, cost, hops) AS (
+  SELECT node, CAST(0 AS BIGINT), 0 FROM seed
+  UNION
+  SELECT e.dst, walk.cost + e.w, walk.hops + 1
+  FROM walk JOIN e ON e.src = walk.node
+  WHERE walk.hops < 3),
+sel AS (SELECT node, MIN(cost) AS cost FROM walk GROUP BY node)
+SELECT w.node, s.cost, CAST(MIN(w.hops) AS INTEGER) AS hops
+FROM walk w JOIN sel s ON w.node = s.node AND w.cost = s.cost
+GROUP BY w.node, s.cost
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -5778,6 +5872,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q172_prop_ztest": _q172_prop_ztest,
         "q173_lag_autocorr": _q173_lag_autocorr,
         "q174_benford": _q174_benford,
+        "q175_anova": _q175_anova,
+        "q176_bellman_ford": _q176_bellman_ford,
     }
 
 
@@ -5944,6 +6040,8 @@ def oracle_sql() -> dict[str, str]:
         "q172_prop_ztest": _O172,
         "q173_lag_autocorr": _O173,
         "q174_benford": _O174,
+        "q175_anova": _O175,
+        "q176_bellman_ford": _O176,
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

@@ -494,3 +494,95 @@ def neighbor_label_vote(edges: DataFrame, labels: DataFrame, *,
                  .alias("_b")))
     return (best.select("node", F.col("_b.label").alias("label"),
                         (-F.col("_b.nv")).alias("votes")))
+
+
+def bellman_ford_hops(edges: DataFrame, sources: DataFrame, *,
+                      src: str = "src", dst: str = "dst",
+                      weight: str = "weight", node: str = "node",
+                      max_hops: int = 6,
+                      directed: bool = True) -> DataFrame:
+    """Minimum-cost path within ``max_hops`` edges from a seed set
+    over INTEGER edge weights — bounded-horizon Bellman-Ford, the
+    weighted upgrade of :func:`bfs_hops` (cheapest routing cost,
+    strongest influence chain) without the unbounded iteration a full
+    shortest-path would need.
+
+    Semantics: cost(v) = min total weight over all paths from any
+    seed to v using at most ``max_hops`` edges (the depth-capped
+    recursive-CTE shortest path). Weights must be INTEGER (floats
+    raise — costs stay exact BIGINTs) and NON-NEGATIVE (negative
+    weights raise: with a hop cap the relaxation is still
+    well-defined, but a negative-cycle answer would silently depend
+    on the cap — refuse instead). Seeds cost 0.
+
+    Scale shape: per round ONE equi-join of the CURRENT BEST table
+    against the edges + one min hash-aggregate, then a join back to
+    keep only improved nodes as the next frontier — the classic
+    distributed Bellman-Ford step, shuffles keyed on the node id
+    throughout, lineage truncated per round (``localCheckpoint``).
+    Early exit when no cost improves.
+
+    Output: (node, cost BIGINT, hops INT — the hop count at which the
+    minimum cost was first achieved).
+    """
+    from pyspark.sql.types import DoubleType, FloatType
+
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    fields = {f.name: f for f in edges.schema.fields}
+    if isinstance(fields[weight].dataType, (DoubleType, FloatType)):
+        raise ValueError(
+            f"bellman_ford_hops: {weight!r} is floating-point — "
+            "integerize first (exact integer costs are the "
+            "determinism contract)")
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"),
+                      F.col(weight).cast("long").alias("w"))
+         .where(F.col("src").isNotNull() & F.col("dst").isNotNull()
+                & F.col("w").isNotNull()))
+    if not directed:
+        e = e.union(e.select(F.col("dst").alias("src"),
+                             F.col("src").alias("dst"), "w"))
+    e = (e.groupBy("src", "dst").agg(F.min("w").alias("w"))
+         .localCheckpoint(eager=True))
+    if e.where(F.col("w") < 0).limit(1).count() > 0:
+        raise ValueError(
+            "bellman_ford_hops: negative edge weights are not "
+            "supported (hop-capped relaxation would silently depend "
+            "on the cap)")
+    best = (sources.select(F.col(node).alias("node"))
+            .where(F.col("node").isNotNull()).distinct()
+            .select("node", F.lit(0).cast("long").alias("cost"),
+                    F.lit(0).alias("hops"))
+            .localCheckpoint(eager=True))
+    frontier = best
+    for hop in range(1, max_hops + 1):
+        cand = (e.join(frontier, e["src"] == frontier["node"])
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min(F.col("cost") + F.col("w")).alias("cost"))
+                .withColumn("hops", F.lit(hop)))
+        improved = (cand.alias("c")
+                    .join(best.alias("b"), "node", "left")
+                    .where(F.col("b.cost").isNull()
+                           | (F.col("c.cost") < F.col("b.cost")))
+                    .select("node", F.col("c.cost").alias("cost"),
+                            F.col("c.hops").alias("hops"))
+                    .localCheckpoint(eager=True))
+        if improved.limit(1).count() == 0:
+            break
+        best = (best.alias("b")
+                .join(improved.alias("i"), "node", "full_outer")
+                .select(
+                    F.coalesce(F.col("b.node"), F.col("i.node"))
+                    .alias("node"),
+                    F.when(F.col("i.cost").isNull(), F.col("b.cost"))
+                    .when(F.col("b.cost").isNull(), F.col("i.cost"))
+                    .otherwise(F.least(F.col("b.cost"), F.col("i.cost")))
+                    .alias("cost"),
+                    F.when(F.col("i.cost").isNull(), F.col("b.hops"))
+                    .when(F.col("b.cost").isNull(), F.col("i.hops"))
+                    .when(F.col("i.cost") < F.col("b.cost"),
+                          F.col("i.hops"))
+                    .otherwise(F.col("b.hops")).alias("hops"))
+                .localCheckpoint(eager=True))
+        frontier = improved
+    return best.select("node", "cost", F.col("hops").cast("int").alias("hops"))

@@ -1311,3 +1311,75 @@ def lag_autocorr(df: DataFrame, *, value_col: str,
         *group_cols, "lag", "n_pairs",
         F.when((F.col("n_pairs") >= 2) & (denx > 0) & (deny > 0),
                num / F.sqrt(denx * deny)).alias("acf"))
+
+
+def oneway_anova(df: DataFrame, *, value_col: str, factor_col: str,
+                 group_cols: list[str] | None = None) -> DataFrame:
+    """One-way ANOVA F statistic across the k levels of
+    ``factor_col`` (optionally within each ``group_cols`` combination)
+    — the k-group generalization closing the comparison family
+    (:func:`welch_ttest` = 2 means, :func:`mannwhitney_u` = 2 ranks,
+    ANOVA = k means).
+
+    Determinism (the :func:`chi2_independence` micro-unit rule):
+    per-level n/Σv/Σv² are exact BIGINTs from ONE hash-aggregate;
+    each level's between-groups contribution
+    ``floor((Σvᵢ)²·10³ / nᵢ)`` is one fixed IEEE expression of exact
+    integers, floored to milli-units and SUMMED AS BIGINT — so the
+    sums of squares are addition-order independent (a float
+    Σ sᵢ²/nᵢ would vary in ULPs across partitionings):
+    ``SSB_milli = Σᵢ floor(sᵢ²·10³/nᵢ) − floor(S²·10³/N)`` and
+    ``SSW_milli = 10³·Σv² − Σᵢ floor(sᵢ²·10³/nᵢ)``. F is one double
+    expression of those integers. Floats raise (integerize first);
+    caller guarantees 10³·Σv² < 2⁶³ and Σv < 2⁵³ (|v| < ~10⁵ is safe
+    beyond 10¹⁰ rows per group). NULL keys/values drop.
+
+    Scale shape: one (group, level) hash-aggregate with map-side
+    combine, one group hash-aggregate over level rows. No window, no
+    join, no second scan.
+
+    Output: (group..., k, n, ssb_milli, ssw_milli, f_stat) — f_stat
+    NULL when k < 2, N ≤ k, or SSW is 0 (all within-level values
+    equal).
+    """
+    from pyspark.sql.types import DoubleType, FloatType
+
+    fields = {f.name: f for f in df.schema.fields}
+    if isinstance(fields[value_col].dataType, (DoubleType, FloatType)):
+        raise ValueError(
+            f"oneway_anova: {value_col!r} is floating-point — "
+            "integerize first (exact integer sums are the "
+            "determinism contract)")
+    gcols = list(group_cols or [])
+    keep = F.col(value_col).isNotNull() & F.col(factor_col).isNotNull()
+    for g in gcols:
+        keep = keep & F.col(g).isNotNull()
+    v = F.col(value_col).cast("long")
+    lvl = (df.where(keep)
+           .groupBy(*gcols, F.col(factor_col).alias("_lvl"))
+           .agg(F.count(F.lit(1)).alias("_n"),
+                F.sum(v).alias("_s"),
+                F.sum(v * v).alias("_ss")))
+    contrib = F.floor(F.col("_s").cast("double")
+                      * F.col("_s").cast("double")
+                      / F.col("_n").cast("double") * F.lit(1000.0))
+    grouped = (lvl.groupBy(*gcols) if gcols else lvl.groupBy())
+    s = grouped.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("_n").alias("n"),
+        F.sum("_s").alias("_S"),
+        F.sum("_ss").alias("_SS"),
+        F.sum(contrib).alias("_cb"))
+    grand = F.floor(F.col("_S").cast("double") * F.col("_S").cast("double")
+                    / F.col("n").cast("double") * F.lit(1000.0))
+    ssb = F.col("_cb") - grand
+    ssw = F.lit(1000) * F.col("_SS") - F.col("_cb")
+    out = s.select(*gcols, "k", "n",
+                   ssb.alias("ssb_milli"), ssw.alias("ssw_milli"))
+    fd = (F.col("ssb_milli").cast("double")
+          / (F.col("k") - 1).cast("double")) \
+        / (F.col("ssw_milli").cast("double")
+           / (F.col("n") - F.col("k")).cast("double"))
+    ok = ((F.col("k") >= 2) & (F.col("n") > F.col("k"))
+          & (F.col("ssw_milli") > 0))
+    return out.withColumn("f_stat", F.when(ok, fd))

@@ -590,3 +590,97 @@ def test_benford_grouped_and_float_raises(spark):
     dff = spark.createDataFrame([(1.5,)], "v double")
     with pytest.raises(ValueError):
         benford_audit(dff, value_col="v")
+
+
+# ------------------------------------------------------------------ anova
+
+
+def test_anova_hand_case(spark):
+    from kml2geojson_spark.relational import oneway_anova
+    data = {"a": [1, 2, 3], "b": [4, 5, 6], "c": [7, 8, 9]}
+    rows = [(lvl, v) for lvl, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, "lvl string, v long")
+    (r,) = oneway_anova(df, value_col="v", factor_col="lvl").collect()
+    assert r["k"] == 3 and r["n"] == 9
+    # exact: SSB = 54, SSW = 6 → F = (54/2)/(6/6) = 27
+    assert r["ssb_milli"] == 54000 and r["ssw_milli"] == 6000
+    assert r["f_stat"] == 27.0
+
+
+def test_anova_single_level_and_constant(spark):
+    from kml2geojson_spark.relational import oneway_anova
+    df1 = spark.createDataFrame([("a", 1), ("a", 2)], "lvl string, v long")
+    (r1,) = oneway_anova(df1, value_col="v", factor_col="lvl").collect()
+    assert r1["f_stat"] is None  # k < 2
+    df2 = spark.createDataFrame(
+        [("a", 5), ("a", 5), ("b", 5), ("b", 5)], "lvl string, v long")
+    (r2,) = oneway_anova(df2, value_col="v", factor_col="lvl").collect()
+    assert r2["ssw_milli"] == 0 and r2["f_stat"] is None
+
+
+def test_anova_grouped_and_float_raises(spark):
+    from kml2geojson_spark.relational import oneway_anova
+    df = spark.createDataFrame(
+        [("g1", "a", 1), ("g1", "b", 9), ("g2", "a", 3), ("g2", "b", 3)],
+        "g string, lvl string, v long")
+    rows = {r["g"]: r for r in oneway_anova(
+        df, value_col="v", factor_col="lvl", group_cols=["g"]).collect()}
+    assert rows["g1"]["ssb_milli"] == 32000
+    assert rows["g2"]["ssb_milli"] == 0
+    dff = spark.createDataFrame([("a", 1.0)], "lvl string, v double")
+    with pytest.raises(ValueError):
+        oneway_anova(dff, value_col="v", factor_col="lvl")
+
+
+# ----------------------------------------------------------- bellman-ford
+
+
+def test_bf_picks_cheaper_longer_path(spark):
+    from kml2geojson_spark.graph import bellman_ford_hops
+    # 1→4 direct costs 10; 1→2→3→4 costs 3
+    edges = spark.createDataFrame(
+        [(1, 4, 10), (1, 2, 1), (2, 3, 1), (3, 4, 1)],
+        "src long, dst long, weight long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r["node"]: (r["cost"], r["hops"])
+           for r in bellman_ford_hops(edges, seeds,
+                                      max_hops=3).collect()}
+    assert got == {1: (0, 0), 2: (1, 1), 3: (2, 2), 4: (3, 3)}
+    # hop cap 1: only the direct edge is reachable
+    got1 = {r["node"]: (r["cost"], r["hops"])
+            for r in bellman_ford_hops(edges, seeds,
+                                       max_hops=1).collect()}
+    assert got1[4] == (10, 1)
+
+
+def test_bf_parallel_edges_and_equal_cost_min_hops(spark):
+    from kml2geojson_spark.graph import bellman_ford_hops
+    # two edges 1→2 (5 and 3): min taken; 1→3 via 2 costs 3+2=5,
+    # direct 1→3 also 5 → hops must report 1 (first achievement)
+    edges = spark.createDataFrame(
+        [(1, 2, 5), (1, 2, 3), (2, 3, 2), (1, 3, 5)],
+        "src long, dst long, weight long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r["node"]: (r["cost"], r["hops"])
+           for r in bellman_ford_hops(edges, seeds,
+                                      max_hops=4).collect()}
+    assert got[2] == (3, 1) and got[3] == (5, 1)
+
+
+def test_bf_undirected_and_validation(spark):
+    from kml2geojson_spark.graph import bellman_ford_hops
+    edges = spark.createDataFrame([(1, 2, 7)],
+                                  "src long, dst long, weight long")
+    seeds = spark.createDataFrame([(2,)], "node long")
+    got = {r["node"]: r["cost"]
+           for r in bellman_ford_hops(edges, seeds, max_hops=2,
+                                      directed=False).collect()}
+    assert got == {2: 0, 1: 7}
+    neg = spark.createDataFrame([(1, 2, -1)],
+                                "src long, dst long, weight long")
+    with pytest.raises(ValueError):
+        bellman_ford_hops(neg, seeds, max_hops=2)
+    flt = spark.createDataFrame([(1, 2, 0.5)],
+                                "src long, dst long, weight double")
+    with pytest.raises(ValueError):
+        bellman_ford_hops(flt, seeds, max_hops=2)
