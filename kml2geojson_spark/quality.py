@@ -329,11 +329,15 @@ def psi_drift(df: DataFrame, *, value_col: str, split_col: str,
         .otherwise(raw)
     is_a = F.col(split_col) == F.lit(split_a)
     is_b = F.col(split_col) == F.lit(split_b)
+    # The bin frame feeds both the totals and the term sum;
+    # materialize it once (≤ n_bins rows) so the base table is
+    # scanned exactly once.
     cells = (df.where(v.isNotNull() & (v >= lo) & (v <= hi)
                       & (is_a | is_b))
              .groupBy(bin_.alias("_bin"))
              .agg(F.sum(F.when(is_a, 1).otherwise(0)).alias("_ca"),
-                  F.sum(F.when(is_b, 1).otherwise(0)).alias("_cb")))
+                  F.sum(F.when(is_b, 1).otherwise(0)).alias("_cb"))
+             .localCheckpoint(eager=True))
     tot = F.broadcast(cells.agg(F.sum("_ca").alias("_na"),
                                 F.sum("_cb").alias("_nb")))
     pa = F.col("_ca") * F.col("_nb")

@@ -973,9 +973,14 @@ def chi2_independence(df: DataFrame, *, col_a: str, col_b: str,
     sqrt of identical numbers. dof = (k_a−1)(k_b−1); dof = 0 → both
     doubles NULL.
     """
+    # The cell frame is re-used by four downstream branches (row and
+    # column marginals, the grid join, the grand total); materialize it
+    # ONCE — it is category-level (k_a·k_b observed cells), so the
+    # checkpoint is tiny and the base table is scanned exactly once.
     cells = (df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
              .groupBy(F.col(col_a).alias("_a"), F.col(col_b).alias("_b"))
-             .agg(F.count(F.lit(1)).alias("_obs")))
+             .agg(F.count(F.lit(1)).alias("_obs"))
+             .localCheckpoint(eager=True))
     ra = cells.groupBy("_a").agg(F.sum("_obs").alias("_ra"))
     cb = cells.groupBy("_b").agg(F.sum("_obs").alias("_cb"))
     grid = (ra.crossJoin(cb)
