@@ -674,3 +674,103 @@ def test_group_ols_single_hash_agg(spark):
     assert plan.count("HashAggregate") >= 2, plan  # map-side combine
     for marker in ("Join", "Window", "ArrowEvalPython"):
         assert marker not in plan, f"{marker} found in ols plan"
+
+
+def test_welch_and_ztest_single_hash_aggregate(spark):
+    """Both two-sample tests: ONE map-side-combinable hash aggregate —
+    no window, no join, no Python."""
+    from kml2geojson_spark.relational import (two_proportion_ztest,
+                                              welch_ttest)
+    df = spark.createDataFrame([("g", "A", 1), ("g", "B", 0)],
+                               "grp string, side string, v long")
+    for out in (welch_ttest(df, value_col="v", group_col="side",
+                            group_a="A", group_b="B",
+                            group_cols=["grp"]),
+                two_proportion_ztest(df, success_col="v",
+                                     group_col="side", group_a="A",
+                                     group_b="B", group_cols=["grp"])):
+        plan = _plan(out)
+        assert plan.count("Exchange") == 1, plan
+        assert plan.count("HashAggregate") >= 2, plan  # partial+final
+        for marker in ("Window", "Join", "ArrowEvalPython",
+                       "BatchEvalPython"):
+            assert marker not in plan, f"{marker} in two-sample plan"
+
+
+def test_mannwhitney_one_partitioning(spark):
+    """MWU: the value-count agg, the prefix/full-frame windows, and
+    the final agg all share the group partitioning — exactly one
+    Exchange, no join."""
+    from kml2geojson_spark.relational import mannwhitney_u
+    df = spark.createDataFrame([("g", "A", 1), ("g", "B", 2)],
+                               "grp string, side string, v long")
+    plan = _plan(mannwhitney_u(df, value_col="v", side_col="side",
+                               side_a="A", side_b="B",
+                               group_cols=["grp"]))
+    # (group, value) agg exchange + ONE group exchange shared by the
+    # prefix window, the full-frame window, and the final aggregate
+    assert plan.count("Exchange") == 2, plan
+    assert plan.count("Window") == 2, plan
+    assert "Join" not in plan, plan
+
+
+def test_anova_two_aggregates_one_exchange_chain(spark):
+    """ANOVA: (group, level) agg then group agg — no window, no join;
+    AQE may coalesce but never add a join."""
+    from kml2geojson_spark.relational import oneway_anova
+    df = spark.createDataFrame([("g", "a", 1), ("g", "b", 2)],
+                               "grp string, lvl string, v long")
+    plan = _plan(oneway_anova(df, value_col="v", factor_col="lvl",
+                              group_cols=["grp"]))
+    for marker in ("Window", "Join", "ArrowEvalPython",
+                   "BatchEvalPython"):
+        assert marker not in plan, f"{marker} in anova plan"
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_benford_single_scan_single_exchange(spark):
+    """Benford: one conditional hash agg (9 counters) + scalar
+    explode — ONE scan of the base relation, one Exchange, no join."""
+    from kml2geojson_spark.quality import benford_audit
+    df = spark.createDataFrame([("g", 123)], "grp string, v long")
+    plan = _plan(benford_audit(df, value_col="v", group_cols=["grp"]))
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Scan ExistingRDD") <= 1
+
+
+def test_lag_autocorr_one_window_partitioning(spark):
+    """All lag leads ride ONE per-group window sort; then one
+    (group, lag) hash agg — two Exchanges total, no join."""
+    from kml2geojson_spark.relational import lag_autocorr
+    df = spark.createDataFrame([("g", 1, 5), ("g", 2, 6)],
+                               "grp string, o long, v long")
+    plan = _plan(lag_autocorr(df, value_col="v", order_cols="o",
+                              group_cols=["grp"], lags=(1, 2, 3)))
+    assert plan.count("Window") == 1, plan
+    assert plan.count("Exchange") <= 2, plan
+    assert "Join" not in plan, plan
+
+
+def test_winnow_per_doc_window_no_join(spark):
+    """Winnowing: per-doc explode + per-doc ROWS-frame window + one
+    distinct — no join, no Python, window partitioned by the id."""
+    from kml2geojson_spark.textops import winnow_fingerprints
+    df = spark.createDataFrame([(1, "abcdefghij")],
+                               "doc_id long, text string")
+    plan = _plan(winnow_fingerprints(df, k=4, w=3))
+    for marker in ("Join", "ArrowEvalPython", "BatchEvalPython",
+                   "MapInPandas"):
+        assert marker not in plan, f"{marker} in winnow plan"
+    assert "windowspecdefinition(_id" in plan  # partitioned by doc
+
+
+def test_snm_leads_share_one_window_sort(spark):
+    """All window-1..w leads ride the same block-partitioned sort:
+    exactly one Window node, one Exchange, no join."""
+    from kml2geojson_spark.textops import sorted_neighborhood_pairs
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    plan = _plan(sorted_neighborhood_pairs(df, window=4))
+    assert plan.count("Window") == 1, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
