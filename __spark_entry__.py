@@ -5705,6 +5705,67 @@ GROUP BY w.node, s.cost
 """
 
 
+def _q177_centroid_drift(spark, sf):
+    """Centroid cosine drift between the vec_id%2 halves of the
+    embeddings table: per-vector int8 quantization (the q149 rule),
+    per-dimension EXACT BIGINT component sums, cosine one fixed
+    double expression of three BIGINT aggregates — the float
+    centroid's order-dependent reduction never appears. Round-5
+    post-pin registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.simsearch import embedding_centroid_drift
+    e = _t(spark, sf, "embeddings").withColumn(
+        "half", (F.col("vec_id") % 2).cast("int"))
+    return embedding_centroid_drift(e, split_col="half",
+                                    split_a=0, split_b=1)
+
+
+_O177 = """
+WITH b AS (
+  SELECT vec_id % 2 = 0 AS ia, embedding,
+         list_max(list_transform(embedding,
+                                 x -> abs(CAST(x AS DOUBLE)))) / 127.0
+           AS sc
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND vec_id % 2 IN (0, 1)),
+x AS (SELECT ia, sc,
+             unnest(generate_series(0, len(embedding) - 1)) AS d,
+             unnest(embedding) AS v
+      FROM b),
+qv AS (SELECT ia, d,
+              CAST(CASE WHEN sc = 0 THEN 0
+                        ELSE ROUND(CAST(v AS DOUBLE) / sc)
+                   END AS BIGINT) AS q
+       FROM x),
+pd_ AS (
+  SELECT d AS dim,
+         CAST(SUM(CASE WHEN ia THEN q ELSE 0 END) AS BIGINT) AS sa,
+         CAST(SUM(CASE WHEN NOT ia THEN q ELSE 0 END) AS BIGINT) AS sb,
+         CAST(SUM(CASE WHEN ia AND d = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS na0,
+         CAST(SUM(CASE WHEN NOT ia AND d = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS nb0
+  FROM qv GROUP BY d),
+agg AS (
+  SELECT CAST(MAX(na0) AS BIGINT) AS n_a,
+         CAST(MAX(nb0) AS BIGINT) AS n_b,
+         CAST(COUNT(*) AS BIGINT) AS dims,
+         CAST(SUM(sa * sb) AS BIGINT) AS dot,
+         CAST(SUM(sa * sa) AS BIGINT) AS norm2_a,
+         CAST(SUM(sb * sb) AS BIGINT) AS norm2_b
+  FROM pd_)
+SELECT n_a, n_b, dims, dot, norm2_a, norm2_b,
+  CASE WHEN n_a > 0 AND n_b > 0 AND norm2_a > 0 AND norm2_b > 0
+       THEN dot::DOUBLE
+            / (sqrt(norm2_a::DOUBLE) * sqrt(norm2_b::DOUBLE))
+  END AS cosine,
+  CASE WHEN n_a > 0 AND n_b > 0 AND norm2_a > 0 AND norm2_b > 0
+       THEN 1.0 - dot::DOUBLE
+            / (sqrt(norm2_a::DOUBLE) * sqrt(norm2_b::DOUBLE))
+  END AS drift
+FROM agg
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -5874,6 +5935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q174_benford": _q174_benford,
         "q175_anova": _q175_anova,
         "q176_bellman_ford": _q176_bellman_ford,
+        "q177_centroid_drift": _q177_centroid_drift,
     }
 
 
@@ -6042,6 +6104,7 @@ def oracle_sql() -> dict[str, str]:
         "q174_benford": _O174,
         "q175_anova": _O175,
         "q176_bellman_ford": _O176,
+        "q177_centroid_drift": _O177,
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

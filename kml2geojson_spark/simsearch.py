@@ -733,3 +733,72 @@ def quantize_embeddings(embeddings: DataFrame, *, id_col: str = "vec_id",
             .cast("int"))
     return exploded.select(id_col, F.col("idx").cast("int").alias("idx"),
                            qval.alias("qval"), "scale")
+
+
+def embedding_centroid_drift(embeddings: DataFrame, *,
+                             vec_col: str = "embedding",
+                             split_col: str = "split",
+                             split_a=0, split_b=1) -> DataFrame:
+    """Cosine drift between the centroids of two embedding slices —
+    the embedding-space companion to :func:`~kml2geojson_spark.
+    quality.psi_drift` (did the new crawl's representation
+    distribution move?): quantize each vector to int8 (the
+    :func:`quantize_embeddings` rule — per-vector scale, identical
+    IEEE expression), then compare the PER-DIMENSION EXACT BIGINT
+    component sums of the two slices by cosine.
+
+    Determinism: the float centroid of 10¹² vectors is a
+    partial-sum-order-dependent reduction no engine pair reproduces
+    bit-for-bit; the int8-quantized component sums are exact BIGINTs
+    (|q| ≤ 127, so Σq is exact beyond 10¹⁶ vectors), and the cosine
+    between the two sum-vectors is ONE fixed double expression of
+    three exact BIGINT aggregates (Σ sa·sb, Σ sa², Σ sb²). The
+    quantization-induced approximation of the true centroid cosine is
+    bounded by the int8 step; the DRIFT SIGNAL (1 − cosine trend over
+    snapshots) is what matters and it is exactly reproducible.
+
+    Scale shape: one narrow posexplode (no Python), ONE per-dimension
+    conditional hash-aggregate (map-side combined to ≤ dims cells per
+    side per partition), one final single-row aggregate over dims
+    rows. No window, no join, single scan.
+
+    Output: ONE row (n_a, n_b, dims, dot, norm2_a, norm2_b, cosine,
+    drift = 1 − cosine); cosine NULL when either slice is empty or a
+    sum-vector is all-zero.
+    """
+    is_a = F.col(split_col) == F.lit(split_a)
+    is_b = F.col(split_col) == F.lit(split_b)
+    xd = F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double")))
+    scale = F.array_max(xd) / F.lit(127.0)
+    base = (embeddings
+            .where(F.col(vec_col).isNotNull() & (is_a | is_b))
+            .select(is_a.alias("_ia"), F.col(vec_col).alias("_v"),
+                    scale.alias("_sc")))
+    exploded = base.select(
+        "_ia", "_sc", F.posexplode(F.col("_v")).alias("_d", "_x"))
+    q = (F.when(F.col("_sc") == 0, F.lit(0))
+         .otherwise(F.round(F.col("_x").cast("double") / F.col("_sc")))
+         .cast("long"))
+    per_dim = (exploded
+               .groupBy(F.col("_d").alias("dim"))
+               .agg(F.sum(F.when(F.col("_ia"), q).otherwise(0))
+                    .alias("_sa"),
+                    F.sum(F.when(~F.col("_ia"), q).otherwise(0))
+                    .alias("_sb"),
+                    F.sum(F.when(F.col("_ia") & (F.col("_d") == 0), 1)
+                          .otherwise(0)).alias("_na0"),
+                    F.sum(F.when(~F.col("_ia") & (F.col("_d") == 0), 1)
+                          .otherwise(0)).alias("_nb0")))
+    agg = per_dim.agg(
+        F.max("_na0").alias("n_a"), F.max("_nb0").alias("n_b"),
+        F.count(F.lit(1)).alias("dims"),
+        F.sum(F.col("_sa") * F.col("_sb")).alias("dot"),
+        F.sum(F.col("_sa") * F.col("_sa")).alias("norm2_a"),
+        F.sum(F.col("_sb") * F.col("_sb")).alias("norm2_b"))
+    cos = (F.col("dot").cast("double")
+           / (F.sqrt(F.col("norm2_a").cast("double"))
+              * F.sqrt(F.col("norm2_b").cast("double"))))
+    ok = ((F.col("n_a") > 0) & (F.col("n_b") > 0)
+          & (F.col("norm2_a") > 0) & (F.col("norm2_b") > 0))
+    return (agg.withColumn("cosine", F.when(ok, cos))
+            .withColumn("drift", F.when(ok, F.lit(1.0) - F.col("cosine"))))

@@ -684,3 +684,55 @@ def test_bf_undirected_and_validation(spark):
                                 "src long, dst long, weight double")
     with pytest.raises(ValueError):
         bellman_ford_hops(flt, seeds, max_hops=2)
+
+
+# --------------------------------------------------------- centroid drift
+
+
+def test_centroid_drift_identical_slices_zero(spark):
+    from kml2geojson_spark.simsearch import embedding_centroid_drift
+    rows = [(i, h, [1.0, 2.0, 3.0]) for i in range(4) for h in (0, 1)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, half int, embedding array<float>")
+    (r,) = embedding_centroid_drift(df, split_col="half").collect()
+    assert r["n_a"] == 4 and r["n_b"] == 4 and r["dims"] == 3
+    # sqrt(d)·sqrt(d) ≠ d at ulp level: deterministic, ≈1 not ==1
+    assert r["cosine"] == pytest.approx(1.0, abs=1e-12)
+    assert r["drift"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_centroid_drift_opposite_slices(spark):
+    from kml2geojson_spark.simsearch import embedding_centroid_drift
+    df = spark.createDataFrame(
+        [(1, 0, [1.0, 0.0]), (2, 1, [-1.0, 0.0])],
+        "vec_id long, half int, embedding array<float>")
+    (r,) = embedding_centroid_drift(df, split_col="half").collect()
+    assert r["cosine"] == -1.0 and r["drift"] == 2.0
+
+
+def test_centroid_drift_empty_side_and_zero_vectors(spark):
+    from kml2geojson_spark.simsearch import embedding_centroid_drift
+    df = spark.createDataFrame(
+        [(1, 0, [1.0, 2.0])],
+        "vec_id long, half int, embedding array<float>")
+    (r,) = embedding_centroid_drift(df, split_col="half").collect()
+    assert r["cosine"] is None and r["n_b"] == 0
+    dz = spark.createDataFrame(
+        [(1, 0, [0.0, 0.0]), (2, 1, [1.0, 1.0])],
+        "vec_id long, half int, embedding array<float>")
+    (r2,) = embedding_centroid_drift(dz, split_col="half").collect()
+    assert r2["cosine"] is None and r2["norm2_a"] == 0
+
+
+def test_centroid_drift_partition_invariant(spark):
+    from kml2geojson_spark.simsearch import embedding_centroid_drift
+    import random
+    rnd = random.Random(7)
+    rows = [(i, i % 2, [rnd.uniform(-1, 1) for _ in range(8)])
+            for i in range(200)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, half int, embedding array<float>")
+    a = embedding_centroid_drift(df, split_col="half").collect()[0]
+    b = embedding_centroid_drift(df.repartition(13),
+                                 split_col="half").collect()[0]
+    assert a == b  # exact BIGINT sums → bit-identical cosine
