@@ -5766,6 +5766,120 @@ FROM agg
 """
 
 
+def _q178_ndcg(spark, sf):
+    """NDCG@10 per returnflag: system ranks parts by revenue, graded
+    relevance = total quantity; discounts are precomputed micro
+    literals for the 10 fixed positions, DCG/IDCG exact BIGINT dot
+    products, both rankings totalized by the part id. Round-5
+    post-pin registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.relational import ndcg_at_k
+    li = _t(spark, sf, "lineitem")
+    d = (li.groupBy("l_returnflag", "l_partkey")
+         .agg(F.round(F.sum(F.col("l_extendedprice"))).cast("long")
+              .alias("rev"),
+              F.round(F.sum("l_quantity")).cast("long").alias("qty")))
+    return ndcg_at_k(d, group_cols=["l_returnflag"],
+                     id_col="l_partkey", score_col="rev",
+                     rel_col="qty", k=10)
+
+
+def _o178() -> str:
+    import math
+    disc = [round(1_000_000 / math.log2(i + 1)) for i in range(1, 11)]
+    darr = "[" + ", ".join(str(x) for x in disc) + "]"
+    return f"""
+WITH d AS (
+  SELECT l_returnflag AS g, l_partkey AS id,
+         CAST(ROUND(SUM(l_extendedprice)) AS BIGINT) AS s,
+         CAST(ROUND(SUM(l_quantity)) AS BIGINT) AS r
+  FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_partkey IS NOT NULL
+  GROUP BY 1, 2),
+rk AS (
+  SELECT g, r,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY s DESC, id ASC)
+           AS rk_sys,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY r DESC, id ASC)
+           AS rk_ideal
+  FROM d),
+agg AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_items,
+         CAST(SUM(CASE WHEN rk_sys <= 10
+                       THEN r * ({darr})[rk_sys] ELSE 0 END)
+              AS BIGINT) AS dcg_micro,
+         CAST(SUM(CASE WHEN rk_ideal <= 10
+                       THEN r * ({darr})[rk_ideal] ELSE 0 END)
+              AS BIGINT) AS idcg_micro
+  FROM rk GROUP BY g)
+SELECT g AS l_returnflag, n_items, dcg_micro, idcg_micro,
+       CASE WHEN idcg_micro > 0
+            THEN dcg_micro::DOUBLE / idcg_micro::DOUBLE END AS ndcg
+FROM agg
+"""
+
+
+def _q179_rrf(spark, sf):
+    """RRF fusion of two top-100 part rankings (by revenue, by
+    quantity): per-run min-rank collapse, one full-outer equi-join,
+    score a FIXED two-term IEEE sum — never a data-ordered float
+    aggregation. The run construction's global row_number windows run
+    over the part-level AGGREGATE (bounded by distinct parts), the
+    package's documented tiny-frame window exception. Round-5
+    post-pin registration: in-repo oracle sweep only."""
+    from pyspark.sql import Window as W
+    from kml2geojson_spark.relational import rrf_fuse
+    li = _t(spark, sf, "lineitem")
+    pa = (li.groupBy("l_partkey")
+          .agg(F.round(F.sum("l_extendedprice")).cast("long")
+               .alias("m")))
+    runa = pa.select(F.col("l_partkey").alias("item"),
+                     F.row_number().over(
+                         W.orderBy(F.col("m").desc(),
+                                   F.col("l_partkey").asc()))
+                     .alias("rnk"))
+    pb = (li.groupBy("l_partkey")
+          .agg(F.round(F.sum("l_quantity")).cast("long").alias("m")))
+    runb = pb.select(F.col("l_partkey").alias("item"),
+                     F.row_number().over(
+                         W.orderBy(F.col("m").desc(),
+                                   F.col("l_partkey").asc()))
+                     .alias("rnk"))
+    return rrf_fuse([runa.where(F.col("rnk") <= 100),
+                     runb.where(F.col("rnk") <= 100)], k=60)
+
+
+_O179 = """
+WITH pa AS (
+  SELECT l_partkey AS item,
+         ROW_NUMBER() OVER (ORDER BY CAST(ROUND(SUM(l_extendedprice))
+                                          AS BIGINT) DESC,
+                            l_partkey ASC) AS rnk
+  FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY l_partkey),
+pb AS (
+  SELECT l_partkey AS item,
+         ROW_NUMBER() OVER (ORDER BY CAST(ROUND(SUM(l_quantity))
+                                          AS BIGINT) DESC,
+                            l_partkey ASC) AS rnk
+  FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY l_partkey),
+a AS (SELECT item, CAST(MIN(rnk) AS BIGINT) AS rank_1 FROM pa
+      WHERE rnk <= 100 GROUP BY item),
+b AS (SELECT item, CAST(MIN(rnk) AS BIGINT) AS rank_2 FROM pb
+      WHERE rnk <= 100 GROUP BY item),
+f AS (SELECT COALESCE(a.item, b.item) AS item, rank_1, rank_2
+      FROM a FULL OUTER JOIN b ON a.item = b.item)
+SELECT item,
+       CAST((rank_1 IS NOT NULL)::INTEGER
+            + (rank_2 IS NOT NULL)::INTEGER AS INTEGER) AS n_runs_hit,
+       rank_1, rank_2,
+       (0.0 + CASE WHEN rank_1 IS NOT NULL
+                   THEN 1.0 / (60.0 + rank_1::DOUBLE) ELSE 0.0 END)
+           + CASE WHEN rank_2 IS NOT NULL
+                  THEN 1.0 / (60.0 + rank_2::DOUBLE) ELSE 0.0 END
+         AS rrf_score
+FROM f
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -5936,6 +6050,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q175_anova": _q175_anova,
         "q176_bellman_ford": _q176_bellman_ford,
         "q177_centroid_drift": _q177_centroid_drift,
+        "q178_ndcg": _q178_ndcg,
+        "q179_rrf": _q179_rrf,
     }
 
 
@@ -6105,6 +6221,8 @@ def oracle_sql() -> dict[str, str]:
         "q175_anova": _O175,
         "q176_bellman_ford": _O176,
         "q177_centroid_drift": _O177,
+        "q178_ndcg": _o178(),
+        "q179_rrf": _O179,
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

@@ -1388,3 +1388,129 @@ def oneway_anova(df: DataFrame, *, value_col: str, factor_col: str,
     ok = ((F.col("k") >= 2) & (F.col("n") > F.col("k"))
           & (F.col("ssw_milli") > 0))
     return out.withColumn("f_stat", F.when(ok, fd))
+
+
+def ndcg_at_k(df: DataFrame, *, group_cols: list[str], id_col: str,
+              score_col: str, rel_col: str, k: int = 10) -> DataFrame:
+    """NDCG@k per group — THE ranking-quality metric for search /
+    recommendation eval: how close does the system ranking (by
+    ``score_col``) come to the ideal ordering of the graded
+    relevances ``rel_col``.
+
+    Determinism: relevances must be INTEGER (floats raise) and the
+    position discounts ``1/log2(i+1)`` are precomputed micro-scaled
+    INTEGER LITERALS for the k fixed positions (a runtime log2 could
+    differ by an ulp across libms — same rule as
+    ``quality._BENFORD_MICRO``), so DCG@k and IDCG@k are exact BIGINT
+    dot products ``Σ relᵢ·disc_micro(i)`` and NDCG is ONE division of
+    identical integers. Both rankings are totalized (score/rel desc,
+    id asc) so ties never re-order across engines. NULL
+    keys/ids/scores/relevances drop.
+
+    Scale shape: TWO row_number windows over the SAME group
+    partitioning (one Exchange — system rank and ideal rank), a
+    filter to rank ≤ k, one final hash-aggregate. The discount lookup
+    is a literal array index — no join.
+
+    Output: (group..., n_items, dcg_micro, idcg_micro, ndcg) — ndcg
+    NULL when the group has no positive relevance (IDCG 0).
+    """
+    import math
+
+    from pyspark.sql.types import DoubleType, FloatType
+
+    fields = {f.name: f for f in df.schema.fields}
+    if isinstance(fields[rel_col].dataType, (DoubleType, FloatType)):
+        raise ValueError(
+            f"ndcg_at_k: {rel_col!r} is floating-point — integerize "
+            "first (exact integer gains are the determinism contract)")
+    if not group_cols:
+        raise ValueError("ndcg_at_k: group_cols must be non-empty")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    disc = [round(1_000_000 / math.log2(i + 1)) for i in range(1, k + 1)]
+    keep = (F.col(id_col).isNotNull() & F.col(score_col).isNotNull()
+            & F.col(rel_col).isNotNull())
+    for g in group_cols:
+        keep = keep & F.col(g).isNotNull()
+    base = df.where(keep).select(
+        *group_cols, F.col(id_col).alias("_id"),
+        F.col(score_col).alias("_s"),
+        F.col(rel_col).cast("long").alias("_r"))
+    w_sys = Window.partitionBy(*group_cols).orderBy(
+        F.col("_s").desc(), F.col("_id").asc())
+    w_ideal = Window.partitionBy(*group_cols).orderBy(
+        F.col("_r").desc(), F.col("_id").asc())
+    darr = F.array(*[F.lit(d) for d in disc])
+    ranked = base.select(
+        *group_cols, "_r",
+        F.row_number().over(w_sys).alias("_rk_sys"),
+        F.row_number().over(w_ideal).alias("_rk_ideal"))
+    dcg = F.sum(F.when(F.col("_rk_sys") <= k,
+                       F.col("_r")
+                       * F.element_at(darr, F.col("_rk_sys")))
+                .otherwise(F.lit(0)))
+    idcg = F.sum(F.when(F.col("_rk_ideal") <= k,
+                        F.col("_r")
+                        * F.element_at(darr, F.col("_rk_ideal")))
+                 .otherwise(F.lit(0)))
+    s = ranked.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dcg.alias("dcg_micro"), idcg.alias("idcg_micro"))
+    return s.withColumn(
+        "ndcg",
+        F.when(F.col("idcg_micro") > 0,
+               F.col("dcg_micro").cast("double")
+               / F.col("idcg_micro").cast("double")))
+
+
+def rrf_fuse(runs: list[DataFrame], *, item_col: str = "item",
+             rank_col: str = "rnk", k: int = 60) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack/Clarke/Büttcher 2009) over m
+    ranked runs: ``score(item) = Σ_runs 1/(k + rank)`` — the
+    no-tuning ensemble that routinely beats its inputs when fusing
+    lexical + vector retrieval (the hybrid-search default).
+
+    Determinism: ranks are integers and the fused score is a FIXED
+    left-to-right sum of m terms in run order (missing run → +0.0) —
+    the same IEEE expression tree on every engine; never a
+    data-ordered float aggregation. Duplicate items within one run
+    raise the ambiguity to the caller by keeping the MIN rank
+    (order-free aggregate).
+
+    Scale shape: each run collapses to (item, min rank) with one
+    hash-aggregate, then m−1 full-outer equi-joins on the item id
+    (m is the number of RUNS — 2 or 3 — not data); no window, no
+    global sort. Downstream top-n selection is the caller's
+    ``orderBy(...).limit(n)`` (TakeOrdered — no full sort at scale).
+
+    Output: (item, n_runs_hit, rank_1..rank_m, rrf_score).
+    """
+    if not runs or len(runs) < 2:
+        raise ValueError("rrf_fuse: need at least two runs")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    sides = []
+    for i, r in enumerate(runs, start=1):
+        sides.append(
+            r.where(F.col(item_col).isNotNull()
+                    & F.col(rank_col).isNotNull())
+            .groupBy(F.col(item_col).alias("item"))
+            .agg(F.min(F.col(rank_col).cast("long"))
+                 .alias(f"rank_{i}")))
+    fused = sides[0]
+    for s in sides[1:]:
+        fused = fused.join(s, "item", "full_outer")
+    rank_cols = [F.col(f"rank_{i}") for i in range(1, len(runs) + 1)]
+    score = F.lit(0.0)
+    for rc in rank_cols:
+        score = score + F.when(
+            rc.isNotNull(),
+            F.lit(1.0) / (F.lit(float(k)) + rc.cast("double"))) \
+            .otherwise(F.lit(0.0))
+    hits = sum((rc.isNotNull().cast("int") for rc in rank_cols[1:]),
+               rank_cols[0].isNotNull().cast("int"))
+    return fused.select(
+        "item", hits.alias("n_runs_hit"),
+        *[F.col(f"rank_{i}") for i in range(1, len(runs) + 1)],
+        score.alias("rrf_score"))

@@ -736,3 +736,94 @@ def test_centroid_drift_partition_invariant(spark):
     b = embedding_centroid_drift(df.repartition(13),
                                  split_col="half").collect()[0]
     assert a == b  # exact BIGINT sums → bit-identical cosine
+
+
+# ------------------------------------------------------------------ ndcg
+
+
+def test_ndcg_perfect_and_inverted(spark):
+    from kml2geojson_spark.relational import ndcg_at_k
+    # system ranking identical to relevance order → ndcg == 1
+    rows = [("g", i, 100 - i, 10 - i) for i in range(5)]
+    df = spark.createDataFrame(rows, "g string, id long, s long, r long")
+    (r,) = ndcg_at_k(df, group_cols=["g"], id_col="id", score_col="s",
+                     rel_col="r", k=5).collect()
+    assert r["ndcg"] == 1.0 and r["dcg_micro"] == r["idcg_micro"]
+    # inverted system order → ndcg < 1, hand-checkable
+    import math
+    rows2 = [("g", 1, 1, 3), ("g", 2, 2, 1)]  # system ranks id2 first
+    df2 = spark.createDataFrame(rows2, "g string, id long, s long, r long")
+    (r2,) = ndcg_at_k(df2, group_cols=["g"], id_col="id", score_col="s",
+                      rel_col="r", k=2).collect()
+    d1 = round(1_000_000 / math.log2(2))
+    d2 = round(1_000_000 / math.log2(3))
+    assert r2["dcg_micro"] == 1 * d1 + 3 * d2
+    assert r2["idcg_micro"] == 3 * d1 + 1 * d2
+    assert r2["ndcg"] == r2["dcg_micro"] / r2["idcg_micro"]
+
+
+def test_ndcg_zero_relevance_null_and_k_cut(spark):
+    from kml2geojson_spark.relational import ndcg_at_k
+    df = spark.createDataFrame([("g", 1, 5, 0), ("g", 2, 4, 0)],
+                               "g string, id long, s long, r long")
+    (r,) = ndcg_at_k(df, group_cols=["g"], id_col="id", score_col="s",
+                     rel_col="r", k=2).collect()
+    assert r["ndcg"] is None
+    # item outside top-k contributes nothing
+    df2 = spark.createDataFrame(
+        [("g", 1, 9, 1), ("g", 2, 8, 1), ("g", 3, 7, 100)],
+        "g string, id long, s long, r long")
+    (r2,) = ndcg_at_k(df2, group_cols=["g"], id_col="id",
+                      score_col="s", rel_col="r", k=2).collect()
+    assert r2["ndcg"] < 0.1  # the rel-100 item was ranked out
+
+
+def test_ndcg_validation(spark):
+    from kml2geojson_spark.relational import ndcg_at_k
+    df = spark.createDataFrame([("g", 1, 1, 0.5)],
+                               "g string, id long, s long, r double")
+    with pytest.raises(ValueError):
+        ndcg_at_k(df, group_cols=["g"], id_col="id", score_col="s",
+                  rel_col="r")
+    dfl = spark.createDataFrame([("g", 1, 1, 1)],
+                                "g string, id long, s long, r long")
+    with pytest.raises(ValueError):
+        ndcg_at_k(dfl, group_cols=[], id_col="id", score_col="s",
+                  rel_col="r")
+    with pytest.raises(ValueError):
+        ndcg_at_k(dfl, group_cols=["g"], id_col="id", score_col="s",
+                  rel_col="r", k=0)
+
+
+# ------------------------------------------------------------------- rrf
+
+
+def test_rrf_hand_scores_and_missing_items(spark):
+    from kml2geojson_spark.relational import rrf_fuse
+    ra = spark.createDataFrame([(10, 1), (20, 2)], "item long, rnk long")
+    rb = spark.createDataFrame([(20, 1), (30, 2)], "item long, rnk long")
+    got = {r["item"]: r for r in rrf_fuse([ra, rb], k=60).collect()}
+    assert got[20]["n_runs_hit"] == 2
+    assert got[20]["rrf_score"] == 1 / 62 + 1 / 61
+    assert got[10]["rrf_score"] == 1 / 61 and got[10]["rank_2"] is None
+    assert got[30]["rrf_score"] == 1 / 62 and got[30]["rank_1"] is None
+
+
+def test_rrf_dup_items_keep_min_rank_and_three_runs(spark):
+    from kml2geojson_spark.relational import rrf_fuse
+    ra = spark.createDataFrame([(1, 5), (1, 2)], "item long, rnk long")
+    rb = spark.createDataFrame([(1, 3)], "item long, rnk long")
+    rc = spark.createDataFrame([(2, 1)], "item long, rnk long")
+    got = {r["item"]: r for r in rrf_fuse([ra, rb, rc]).collect()}
+    assert got[1]["rank_1"] == 2  # min of the duplicates
+    assert got[1]["rrf_score"] == 1 / 62 + 1 / 63
+    assert got[2]["n_runs_hit"] == 1
+
+
+def test_rrf_validation(spark):
+    from kml2geojson_spark.relational import rrf_fuse
+    r = spark.createDataFrame([(1, 1)], "item long, rnk long")
+    with pytest.raises(ValueError):
+        rrf_fuse([r])
+    with pytest.raises(ValueError):
+        rrf_fuse([r, r], k=0)
