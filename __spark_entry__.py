@@ -5880,6 +5880,90 @@ FROM f
 """
 
 
+def _q180_kcore(spark, sf):
+    """8-core of the customer–supplier purchase graph: iterative
+    degree peeling to the fixpoint (raises rather than return a
+    partial peel), replayed by a rounds-unrolled MATERIALIZED-CTE
+    oracle — extra rounds after the fixpoint are no-ops, so the
+    unroll count only needs to be ≥ the convergence round. Round-5
+    post-pin registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.graph import k_core
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    edges = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+             .select(F.col("o_custkey").alias("src"),
+                     (F.col("l_suppkey") + 10_000_000).alias("dst")))
+    return k_core(edges, k=8, rounds=20)
+
+
+def _o180() -> str:
+    s = """
+WITH e0x AS (
+  SELECT o_custkey AS src, l_suppkey + 10000000 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL
+    AND o_custkey <> l_suppkey + 10000000),
+e0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+        (SELECT src, dst FROM e0x UNION ALL SELECT dst, src FROM e0x))"""
+    prev = "e0"
+    for i in range(1, 21):
+        s += f""",
+n{i} AS MATERIALIZED (SELECT src AS node FROM {prev} GROUP BY src
+         HAVING COUNT(*) >= 8),
+e{i} AS MATERIALIZED (SELECT t.src, t.dst FROM {prev} t
+         JOIN n{i} a ON t.src = a.node
+         JOIN n{i} b ON t.dst = b.node)"""
+        prev = f"e{i}"
+    s += f"""
+SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree
+FROM {prev} GROUP BY src"""
+    return s
+
+
+def _q181_burst_dedup(spark, sf):
+    """Burst (retry) dedup of the events stream per (user, type):
+    chained 1-hour gap bursts, keeper = min(struct(ts, id)), all time
+    arithmetic exact microsecond BIGINTs (timestampdiff — a float
+    epoch would flip threshold-adjacent bursts). Round-5 post-pin
+    registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.eventops import event_dedup_bursts
+    return event_dedup_bursts(_t(spark, sf, "events"),
+                              key_cols=["user_id", "event_type"],
+                              gap_seconds=3600)
+
+
+_O181 = """
+WITH b AS (
+  SELECT user_id AS u, event_type AS et, ts AS t, event_id AS id,
+         CASE WHEN date_diff('microseconds', lag(ts) OVER w, ts)
+                   > 3600000000
+                   OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS nw
+  FROM events
+  WHERE ts IS NOT NULL AND event_id IS NOT NULL
+    AND user_id IS NOT NULL AND event_type IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id, event_type
+               ORDER BY ts, event_id)),
+s AS (
+  SELECT u, et, t, id,
+         SUM(nw) OVER (PARTITION BY u, et ORDER BY t, id
+                       ROWS UNBOUNDED PRECEDING) AS burst
+  FROM b),
+agg AS (
+  SELECT u, et, burst,
+         MIN(struct_pack(t := t, id := id)) AS kp,
+         CAST(COUNT(*) AS BIGINT) AS burst_size,
+         CAST(date_diff('microseconds', MIN(t), MAX(t)) AS BIGINT)
+           AS burst_span_us
+  FROM s GROUP BY u, et, burst)
+SELECT u AS user_id, et AS event_type,
+       CAST(burst AS BIGINT) AS burst_idx,
+       kp.id AS keeper_id, kp.t AS keeper_ts, burst_size,
+       burst_span_us
+FROM agg
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -6052,6 +6136,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q177_centroid_drift": _q177_centroid_drift,
         "q178_ndcg": _q178_ndcg,
         "q179_rrf": _q179_rrf,
+        "q180_kcore": _q180_kcore,
+        "q181_burst_dedup": _q181_burst_dedup,
     }
 
 
@@ -6223,6 +6309,8 @@ def oracle_sql() -> dict[str, str]:
         "q177_centroid_drift": _O177,
         "q178_ndcg": _o178(),
         "q179_rrf": _O179,
+        "q180_kcore": _o180(),
+        "q181_burst_dedup": _O181,
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

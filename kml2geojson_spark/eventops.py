@@ -679,3 +679,65 @@ def max_streak(df: DataFrame, *, user_col: str, day_col: str) -> DataFrame:
                  F.count(F.lit(1)).alias("n_streaks"),
                  F.max("_len").alias("max_streak"))
             .withColumnRenamed("_u", user_col))
+
+
+def event_dedup_bursts(events: DataFrame, *, key_cols: list[str],
+                       ts_col: str = "ts", id_col: str = "event_id",
+                       gap_seconds: int = 60) -> DataFrame:
+    """Burst (retry/double-fire) deduplication: within each key,
+    events closer than ``gap_seconds`` to their predecessor belong to
+    one burst, and only the burst's FIRST event survives — the
+    standard telemetry-cleaning pass (double-clicks, at-least-once
+    delivery retries, webhook re-posts) that exact-dedup can't do
+    because the payloads differ by timestamp.
+
+    Semantics: bursts are gap sessions (the :func:`sessionize_batch`
+    rule — chained: a burst extends as long as consecutive gaps stay
+    ≤ gap_seconds); the keeper is ``min(struct(ts, id))`` — an
+    order-free aggregate, and the ORDER (ts, id) is totalized by the
+    event id, so duplicate timestamps never re-sort across engines.
+    All time arithmetic runs on EXACT MICROSECOND BIGINTs
+    (``timestampdiff(MICROSECOND, …)`` — NTZ-safe wall-clock
+    difference, DuckDB ``date_diff('microseconds', …)``): a
+    second-truncated or float-epoch gap test flips bursts whose gap
+    sits within a second of the threshold. NULL keys/timestamps/ids
+    drop.
+
+    Scale shape: ONE Exchange on the key — the lag window, the
+    running burst index, and the final per-burst aggregate all share
+    that partitioning. No join.
+
+    Output: (key..., burst_idx, keeper_id, keeper_ts,
+    burst_size BIGINT, burst_span_us BIGINT).
+    """
+    if gap_seconds < 0:
+        raise ValueError("gap_seconds must be >= 0")
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    keep = F.col(ts_col).isNotNull() & F.col(id_col).isNotNull()
+    for g in key_cols:
+        keep = keep & F.col(g).isNotNull()
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col("_t").asc(), F.col("_id").asc())
+    gap_us = int(gap_seconds) * 1_000_000
+    d = (events.where(keep)
+         .select(*key_cols, F.col(ts_col).alias("_t"),
+                 F.col(id_col).alias("_id"))
+         .withColumn("_prev_t", F.lag(F.col("_t")).over(w))
+         .withColumn("_new", F.when(
+             F.col("_prev_t").isNull()
+             | (F.expr("timestampdiff(MICROSECOND, _prev_t, _t)")
+                > gap_us),
+             F.lit(1)).otherwise(F.lit(0)))
+         .withColumn("_burst", F.sum("_new").over(
+             w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (d.groupBy(*key_cols, F.col("_burst").alias("burst_idx"))
+            .agg(F.min(F.struct(F.col("_t").alias("t"),
+                                F.col("_id").alias("i"))).alias("_k"),
+                 F.count(F.lit(1)).alias("burst_size"),
+                 F.expr("timestampdiff(MICROSECOND, min(_t), max(_t))")
+                 .alias("burst_span_us"))
+            .select(*key_cols, "burst_idx",
+                    F.col("_k.i").alias("keeper_id"),
+                    F.col("_k.t").alias("keeper_ts"),
+                    "burst_size", "burst_span_us"))

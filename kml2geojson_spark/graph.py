@@ -586,3 +586,65 @@ def bellman_ford_hops(edges: DataFrame, sources: DataFrame, *,
                 .localCheckpoint(eager=True))
         frontier = improved
     return best.select("node", "cost", F.col("hops").cast("int").alias("hops"))
+
+
+def k_core(edges: DataFrame, *, src: str = "src", dst: str = "dst",
+           k: int = 2, rounds: int = 20) -> DataFrame:
+    """The k-core of an undirected graph: the maximal subgraph where
+    every node keeps degree ≥ k — the standard graph-cleaning trim
+    (peel off weakly-connected spam/boilerplate tendrils before
+    :func:`pagerank`/:func:`triangle_count`; the 2-core drops all
+    dangling chains).
+
+    Algorithm: iterative peeling — each round recomputes degrees over
+    the surviving edge set and drops nodes below k together with
+    their incident edges; a fixpoint IS the k-core (Matula–Beck).
+    ``rounds`` bounds the iteration; on a non-fixpoint after
+    ``rounds`` the operator RAISES (returning a partial peel would
+    silently be wrong) — extra rounds after convergence are no-ops,
+    so any generous bound gives identical results, which also makes
+    the semantics exactly replayable by a ``rounds``-times unrolled
+    SQL oracle.
+
+    Scale shape: per round one degree hash-aggregate + one semi-join
+    of the edge set against surviving nodes (both keyed on the node
+    id, partitioning reused), lineage truncated per round
+    (``localCheckpoint``), early exit at the fixpoint. Duplicate and
+    NULL edges collapse first; self-loops are dropped (a self-loop
+    would grant its node degree from itself and never peel).
+
+    Output: (node, degree BIGINT — the node's degree INSIDE the
+    core).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .where(F.col("src").isNotNull() & F.col("dst").isNotNull()
+                & (F.col("src") != F.col("dst"))))
+    sym = (e.union(e.select(F.col("dst").alias("src"),
+                            F.col("src").alias("dst")))
+           .distinct()
+           .localCheckpoint(eager=True))
+    converged = False
+    for _ in range(rounds):
+        deg = (sym.groupBy(F.col("src").alias("node"))
+               .agg(F.count(F.lit(1)).alias("degree")))
+        keep = deg.where(F.col("degree") >= k)
+        dropped = deg.where(F.col("degree") < k).limit(1).count()
+        if dropped == 0:
+            converged = True
+            break
+        kn = keep.select("node")
+        sym = (sym.join(kn, sym["src"] == kn["node"], "left_semi"))
+        kn2 = keep.select("node")
+        sym = (sym.join(kn2, sym["dst"] == kn2["node"], "left_semi")
+               .localCheckpoint(eager=True))
+    if not converged:
+        raise RuntimeError(
+            f"k_core did not reach a fixpoint in {rounds} rounds — "
+            "raise `rounds` (each round peels at least one node, so "
+            "the worst case is the node count)")
+    return (sym.groupBy(F.col("src").alias("node"))
+            .agg(F.count(F.lit(1)).alias("degree")))

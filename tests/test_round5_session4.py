@@ -827,3 +827,110 @@ def test_rrf_validation(spark):
         rrf_fuse([r])
     with pytest.raises(ValueError):
         rrf_fuse([r, r], k=0)
+
+
+# ----------------------------------------------------------------- k-core
+
+
+def test_kcore_peels_tendrils(spark):
+    from kml2geojson_spark.graph import k_core
+    # triangle 1-2-3 plus a dangling chain 3-4-5
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "src long, dst long")
+    got = {r["node"]: r["degree"]
+           for r in k_core(edges, k=2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}  # chain peeled, triangle kept
+
+
+def test_kcore_cascade_and_empty_core(spark):
+    from kml2geojson_spark.graph import k_core
+    # path graph: 2-core is empty (peeling cascades end to end)
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "src long, dst long")
+    assert k_core(edges, k=2, rounds=10).count() == 0
+    # 1-core of the same graph = everything
+    assert k_core(edges, k=1).count() == 8
+
+
+def test_kcore_self_loops_dropped_and_validation(spark):
+    from kml2geojson_spark.graph import k_core
+    edges = spark.createDataFrame(
+        [(1, 1), (1, 2)], "src long, dst long")
+    assert k_core(edges, k=2).count() == 0  # self-loop grants nothing
+    with pytest.raises(ValueError):
+        k_core(edges, k=0)
+    with pytest.raises(RuntimeError):
+        # path graph needs ~3 peel rounds; rounds=1 must raise
+        p = spark.createDataFrame([(i, i + 1) for i in range(1, 8)],
+                                  "src long, dst long")
+        k_core(p, k=2, rounds=1)
+
+
+def test_kcore_matches_networkx_style_brute(spark):
+    from kml2geojson_spark.graph import k_core
+    import random
+    rnd = random.Random(11)
+    edges = list({(rnd.randint(1, 30), rnd.randint(1, 30))
+                  for _ in range(60)})
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["degree"] for r in k_core(df, k=3).collect()}
+    # brute-force peel in Python
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < 3:
+                for m in adj[n]:
+                    adj[m].discard(n)
+                del adj[n]
+                changed = True
+    assert got == {n: len(nb) for n, nb in adj.items()}
+
+
+# ----------------------------------------------------------- burst dedup
+
+
+def test_bursts_chain_and_keeper(spark):
+    import datetime as dt
+    from kml2geojson_spark.eventops import event_dedup_bursts
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 9, "click"),                                  # burst 1
+        (2, t0 + dt.timedelta(seconds=30), 9, "click"),       # chained
+        (3, t0 + dt.timedelta(seconds=55), 9, "click"),       # chained
+        (4, t0 + dt.timedelta(seconds=200), 9, "click"),      # burst 2
+        (5, t0, 9, "view"),                                   # other key
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string")
+    got = {(r["user_id"], r["event_type"], r["burst_idx"]): r
+           for r in event_dedup_bursts(
+               df, key_cols=["user_id", "event_type"],
+               gap_seconds=60).collect()}
+    b1 = got[(9, "click", 1)]
+    assert b1["keeper_id"] == 1 and b1["burst_size"] == 3
+    assert b1["burst_span_us"] == 55_000_000
+    assert got[(9, "click", 2)]["keeper_id"] == 4
+    assert got[(9, "view", 1)]["keeper_id"] == 5
+
+
+def test_bursts_duplicate_ts_totalized_and_validation(spark):
+    import datetime as dt
+    from kml2geojson_spark.eventops import event_dedup_bursts
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(7, t0, 1, "x"), (3, t0, 1, "x")],
+        "event_id long, ts timestamp, user_id long, event_type string")
+    (r,) = event_dedup_bursts(df, key_cols=["user_id", "event_type"],
+                              gap_seconds=60).collect()
+    assert r["keeper_id"] == 3 and r["burst_size"] == 2
+    with pytest.raises(ValueError):
+        event_dedup_bursts(df, key_cols=[], gap_seconds=60)
+    with pytest.raises(ValueError):
+        event_dedup_bursts(df, key_cols=["user_id"], gap_seconds=-1)
