@@ -395,3 +395,71 @@ def stream_dedup_new_docs(docs: DataFrame, *,
             .applyInPandasWithState(
                 fn, "content_hash string, doc_id string",
                 "doc_id string", "append", timeout))
+
+
+def stream_burst_dedup(events: DataFrame, *, gap_seconds: int = 60,
+                       state_timeout_minutes: int = 60) -> DataFrame:
+    """Streaming twin of :func:`kml2geojson_spark.eventops.
+    event_dedup_bursts`: per (user_id, event_type), events closer than
+    ``gap_seconds`` to the previous one belong to the same burst
+    (retry / double-fire), and only the burst's FIRST event is
+    emitted — emitted IMMEDIATELY (the keeper is the burst opener, so
+    unlike a session the answer needs no closing event), which makes
+    this an append-mode filter with O(1) state per key: (last event
+    us, keeper id of the open burst).
+
+    Late events admitted by the watermark that land INSIDE the open
+    burst's gap extend it (no emission); a late event EARLIER than
+    the current burst opener cannot retroactively replace the already
+    -emitted keeper — the batch op picks min(ts, id), so streaming
+    output can differ on late data by exactly that event; the pytest
+    pins the in-order equivalence.
+
+    State is partitioned by (user_id, event_type); timeout clears
+    idle keys past the watermark.
+
+    Output rows: (user_id, event_type, keeper_id, keeper_ts_us).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = int(gap_seconds) * 1_000_000
+
+    def fn(key, pdfs, state: GroupState):
+        user_id, event_type = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+        ts_us = rows["ts"].astype("datetime64[us]").astype("int64")
+        ids = rows["event_id"]
+        last_us = state.get[0] if state.exists else None
+        out = {"user_id": [], "event_type": [], "keeper_id": [],
+               "keeper_ts_us": []}
+        for t, eid in zip(ts_us, ids):
+            t, eid = int(t), int(eid)
+            if last_us is None or t - last_us > gap_us:
+                out["user_id"].append(user_id)
+                out["event_type"].append(event_type)
+                out["keeper_id"].append(eid)
+                out["keeper_ts_us"].append(t)
+                last_us = t
+            else:
+                last_us = max(last_us, t)
+        state.update((int(last_us),))
+        state.setTimeoutTimestamp(
+            int(last_us) // 1000 + state_timeout_minutes * 60_000)
+        if out["user_id"]:
+            yield pd.DataFrame(out)
+
+    return (events
+            .withWatermark("ts", f"{state_timeout_minutes} minutes")
+            .groupBy("user_id", "event_type")
+            .applyInPandasWithState(
+                fn,
+                outputStructType=("user_id long, event_type string, "
+                                  "keeper_id long, keeper_ts_us long"),
+                stateStructType="last_us long",
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout))

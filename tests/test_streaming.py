@@ -414,3 +414,69 @@ def test_stream_dedup_ttl_survives_null_event_times(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.sql("SELECT * FROM ddnull_mem").collect()
     assert [r["doc_id"] for r in rows] == ["n1"]
+
+
+def test_stream_burst_dedup_matches_batch_in_order(spark, tmp_path):
+    """In-order streaming burst dedup emits exactly the batch
+    keepers (event_dedup_bursts) — keeper ids, per-key counts, and
+    timestamps all agree."""
+    import pandas as pd
+    from kml2geojson_spark.eventops import event_dedup_bursts
+    from kml2geojson_spark.streaming import (stream_burst_dedup,
+                                             stream_events)
+
+    src = str(tmp_path / "evb")
+    base = pd.Timestamp("2024-01-01")
+    rows, eid = [], 0
+    for user in range(4):
+        t = base + pd.Timedelta(seconds=user)
+        for burst in range(3):
+            for k in range(3):  # 3 retries, 20s apart (gap 60 chains)
+                rows.append((eid, t, user, "click", 1.0, "{}"))
+                eid += 1
+                t += pd.Timedelta(seconds=20)
+            t += pd.Timedelta(minutes=10)  # > gap: next burst
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                      "event_type", "value", "props"])
+    df = spark.createDataFrame(pdf)
+    df.write.parquet(src)
+
+    out = stream_burst_dedup(stream_events(spark, src), gap_seconds=60)
+    q = (out.writeStream.format("memory").queryName("burst_mem")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "bck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM burst_mem").toPandas()
+
+    batch = (event_dedup_bursts(df, key_cols=["user_id", "event_type"],
+                                gap_seconds=60)
+             .select("user_id", "event_type", "keeper_id").toPandas())
+    assert len(got) == len(batch) == 12  # 4 users x 3 bursts
+    assert (set(map(tuple, got[["user_id", "keeper_id"]].values))
+            == set(map(tuple, batch[["user_id", "keeper_id"]].values)))
+
+
+def test_stream_burst_dedup_chained_burst_single_keeper(spark, tmp_path):
+    """A burst chained past the gap from its opener still emits only
+    the opener (gap is between CONSECUTIVE events, not to the
+    keeper)."""
+    import pandas as pd
+    from kml2geojson_spark.streaming import (stream_burst_dedup,
+                                             stream_events)
+
+    src = str(tmp_path / "evc")
+    base = pd.Timestamp("2024-01-01")
+    rows = [(i, base + pd.Timedelta(seconds=50 * i), 1, "x", 1.0, "{}")
+            for i in range(5)]  # 0,50,100,... all chained at gap=60
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                      "event_type", "value", "props"])
+    spark.createDataFrame(pdf).write.parquet(src)
+    out = stream_burst_dedup(stream_events(spark, src), gap_seconds=60)
+    q = (out.writeStream.format("memory").queryName("burst_mem2")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "bck2"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM burst_mem2").toPandas()
+    assert len(got) == 1 and got.iloc[0]["keeper_id"] == 0
