@@ -5964,6 +5964,49 @@ FROM agg
 """
 
 
+def _q182_trimmed_mean(spark, sf):
+    """5%-each-side trimmed mean of line revenue per returnflag:
+    value-level count prefix sums, exact integer trim counts and kept
+    multiplicities, ONE final division — no float quantile anywhere.
+    Round-5 post-pin registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.relational import trimmed_mean
+    li = _t(spark, sf, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice")).cast("long")
+        .alias("price_dollars"))
+    return trimmed_mean(li, value_col="price_dollars",
+                        group_cols=["l_returnflag"], trim_milli=50)
+
+
+_O182 = """
+WITH b AS (
+  SELECT l_returnflag AS g, CAST(ROUND(l_extendedprice) AS BIGINT) AS v
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL),
+pv AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY g, v),
+st AS (
+  SELECT g, v, c,
+         CAST(COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY v
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS BIGINT)
+           AS before,
+         CAST(SUM(c) OVER (PARTITION BY g) AS BIGINT) AS n
+  FROM pv),
+kp AS (
+  SELECT g, v, c, before, n,
+         GREATEST(0, LEAST(before + c, n - (n * 50) // 1000)
+                     - GREATEST(before, (n * 50) // 1000)) AS kept
+  FROM st)
+SELECT g AS l_returnflag, CAST(MAX(n) AS BIGINT) AS n,
+       CAST(SUM(kept) AS BIGINT) AS n_kept,
+       CAST(SUM(v * kept) AS BIGINT) AS trimmed_sum,
+       CASE WHEN SUM(kept) > 0
+            THEN SUM(v * kept)::DOUBLE / SUM(kept)::DOUBLE END
+         AS trimmed_mean
+FROM kp GROUP BY g
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -6138,6 +6181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q179_rrf": _q179_rrf,
         "q180_kcore": _q180_kcore,
         "q181_burst_dedup": _q181_burst_dedup,
+        "q182_trimmed_mean": _q182_trimmed_mean,
     }
 
 
@@ -6311,6 +6355,7 @@ def oracle_sql() -> dict[str, str]:
         "q179_rrf": _O179,
         "q180_kcore": _o180(),
         "q181_burst_dedup": _O181,
+        "q182_trimmed_mean": _O182,
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

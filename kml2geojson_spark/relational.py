@@ -1514,3 +1514,74 @@ def rrf_fuse(runs: list[DataFrame], *, item_col: str = "item",
         "item", hits.alias("n_runs_hit"),
         *[F.col(f"rank_{i}") for i in range(1, len(runs) + 1)],
         score.alias("rrf_score"))
+
+
+def trimmed_mean(df: DataFrame, *, value_col: str,
+                 group_cols: list[str],
+                 trim_milli: int = 50) -> DataFrame:
+    """Per-group trimmed mean: drop the lowest and highest
+    ``trim_milli``/1000 fraction of rows (BY COUNT, ties broken by
+    value order) and average the rest — the robust location estimate
+    between the mean (trim 0) and the median (trim 500), standard for
+    latency and revenue metrics with heavy tails.
+
+    Determinism (the :func:`ks_2sample` value-count rule): values
+    must be INTEGER (floats raise); per-value counts and the
+    exclusive prefix sum are exact BIGINTs, the per-side trim count
+    is the exact integer ``floor(n·trim_milli/1000)``, each value's
+    KEPT multiplicity is
+    ``max(0, min(cum, n−k) − max(cum_before, k))`` — pure integer
+    arithmetic — and the trimmed mean is ONE division of the exact
+    BIGINT kept-sum by the exact kept-count. No sort-based
+    percentile, no float quantile.
+
+    Scale shape: one (group, value) hash-aggregate, then the prefix
+    sum and full-frame total over the SAME group partitioning (the
+    two-Exchange MWU shape), one final hash-aggregate. Window frames
+    are value-level, not row-level.
+
+    Output: (group..., n, n_kept, trimmed_sum, trimmed_mean) —
+    mean NULL when the trim consumes the whole group.
+    """
+    from pyspark.sql.types import DoubleType, FloatType
+
+    fields = {f.name: f for f in df.schema.fields}
+    if isinstance(fields[value_col].dataType, (DoubleType, FloatType)):
+        raise ValueError(
+            f"trimmed_mean: {value_col!r} is floating-point — "
+            "integerize first (exact integer sums are the "
+            "determinism contract)")
+    if not group_cols:
+        raise ValueError("trimmed_mean: group_cols must be non-empty")
+    if not 0 <= trim_milli < 500:
+        raise ValueError("trim_milli must be in [0, 500)")
+    keep = F.col(value_col).isNotNull()
+    for g in group_cols:
+        keep = keep & F.col(g).isNotNull()
+    per_val = (df.where(keep)
+               .groupBy(*group_cols,
+                        F.col(value_col).cast("long").alias("_v"))
+               .agg(F.count(F.lit(1)).alias("_c")))
+    wg = Window.partitionBy(*group_cols)
+    wprev = wg.orderBy(F.col("_v").asc()).rowsBetween(
+        Window.unboundedPreceding, -1)
+    stepped = per_val.select(
+        *group_cols, "_v", "_c",
+        F.coalesce(F.sum("_c").over(wprev), F.lit(0)).alias("_before"),
+        F.sum("_c").over(wg).alias("_n"))
+    k = F.expr(f"(_n * {int(trim_milli)}) div 1000")
+    cum = F.col("_before") + F.col("_c")
+    kept = F.greatest(
+        F.lit(0),
+        F.least(cum, F.col("_n") - k) - F.greatest(F.col("_before"), k))
+    s = (stepped
+         .withColumn("_kept", kept)
+         .groupBy(*group_cols)
+         .agg(F.max("_n").alias("n"),
+              F.sum("_kept").alias("n_kept"),
+              F.sum(F.col("_v") * F.col("_kept")).alias("trimmed_sum")))
+    return s.withColumn(
+        "trimmed_mean",
+        F.when(F.col("n_kept") > 0,
+               F.col("trimmed_sum").cast("double")
+               / F.col("n_kept").cast("double")))

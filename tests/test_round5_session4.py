@@ -934,3 +934,53 @@ def test_bursts_duplicate_ts_totalized_and_validation(spark):
         event_dedup_bursts(df, key_cols=[], gap_seconds=60)
     with pytest.raises(ValueError):
         event_dedup_bursts(df, key_cols=["user_id"], gap_seconds=-1)
+
+
+# ------------------------------------------------------------ trimmed mean
+
+
+def test_trimmed_mean_hand_case_and_tie_handling(spark):
+    from kml2geojson_spark.relational import trimmed_mean
+    # 10 values, trim 10% each side → drop min and max exactly
+    vals = [100, 1, 2, 3, 4, 5, 6, 7, 8, -50]
+    df = spark.createDataFrame([("g", v) for v in vals],
+                               "grp string, v long")
+    (r,) = trimmed_mean(df, value_col="v", group_cols=["grp"],
+                        trim_milli=100).collect()
+    kept = sorted(vals)[1:-1]
+    assert r["n"] == 10 and r["n_kept"] == 8
+    assert r["trimmed_sum"] == sum(kept)
+    assert r["trimmed_mean"] == sum(kept) / 8
+    # duplicated extremes: trim removes BY COUNT, not by value
+    vals2 = [5, 5, 5, 1, 1, 9, 9]
+    df2 = spark.createDataFrame([("g", v) for v in vals2],
+                                "grp string, v long")
+    (r2,) = trimmed_mean(df2, value_col="v", group_cols=["grp"],
+                         trim_milli=200).collect()
+    kept2 = sorted(vals2)[1:-1]  # k = 7*200//1000 = 1 per side
+    assert r2["trimmed_sum"] == sum(kept2) and r2["n_kept"] == 5
+
+
+def test_trimmed_mean_zero_trim_is_mean_and_validation(spark):
+    from kml2geojson_spark.relational import trimmed_mean
+    df = spark.createDataFrame([("g", 1), ("g", 2), ("g", 3)],
+                               "grp string, v long")
+    (r,) = trimmed_mean(df, value_col="v", group_cols=["grp"],
+                        trim_milli=0).collect()
+    assert r["trimmed_mean"] == 2.0 and r["n_kept"] == 3
+    with pytest.raises(ValueError):
+        trimmed_mean(df, value_col="v", group_cols=["grp"],
+                     trim_milli=500)
+    dff = spark.createDataFrame([("g", 1.0)], "grp string, v double")
+    with pytest.raises(ValueError):
+        trimmed_mean(dff, value_col="v", group_cols=["grp"])
+
+
+def test_trimmed_mean_heavy_trim_leaves_median_like_core(spark):
+    from kml2geojson_spark.relational import trimmed_mean
+    df = spark.createDataFrame([("g", v) for v in range(1, 12)],
+                               "grp string, v long")
+    # n=11, trim 40% → k=4 per side → keep ranks 5..7 → values 5,6,7
+    (r,) = trimmed_mean(df, value_col="v", group_cols=["grp"],
+                        trim_milli=400).collect()
+    assert r["n_kept"] == 3 and r["trimmed_mean"] == 6.0
