@@ -6007,6 +6007,60 @@ FROM kp GROUP BY g
 """
 
 
+def _q183_ratio_metric(spark, sf):
+    """Delta-method ratio metric (revenue per unit quantity) per
+    returnflag: six exact BIGINT sufficient statistics from ONE
+    hash-agg; ratio and its standard error fixed double expressions
+    (nested whens so ANSI never divides by a zero denominator in an
+    unevaluated branch). Round-5 post-pin registration: in-repo
+    oracle sweep only."""
+    from kml2geojson_spark.relational import ratio_metric_stats
+    li = _t(spark, sf, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice")).cast("long").alias("rev"),
+        F.round(F.col("l_quantity")).cast("long").alias("qty"))
+    return ratio_metric_stats(li, num_col="rev", den_col="qty",
+                              group_cols=["l_returnflag"])
+
+
+_O183 = """
+WITH b AS (
+  SELECT l_returnflag AS g,
+         CAST(ROUND(l_extendedprice) AS BIGINT) AS x,
+         CAST(ROUND(l_quantity) AS BIGINT) AS y
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+    AND l_returnflag IS NOT NULL),
+s AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sum_num,
+         CAST(SUM(y) AS BIGINT) AS sum_den,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM b GROUP BY g),
+e AS (
+  SELECT g, n, sum_num, sum_den,
+         sum_num::DOUBLE / sum_den::DOUBLE AS r,
+         (n::DOUBLE * sxx::DOUBLE - sum_num::DOUBLE * sum_num::DOUBLE)
+           / (n::DOUBLE * (n::DOUBLE - 1.0)) AS vxx,
+         (n::DOUBLE * syy::DOUBLE - sum_den::DOUBLE * sum_den::DOUBLE)
+           / (n::DOUBLE * (n::DOUBLE - 1.0)) AS vyy,
+         (n::DOUBLE * sxy::DOUBLE - sum_num::DOUBLE * sum_den::DOUBLE)
+           / (n::DOUBLE * (n::DOUBLE - 1.0)) AS vxy,
+         sum_den::DOUBLE / n::DOUBLE AS ybar
+  FROM s)
+SELECT g AS l_returnflag, n, sum_num, sum_den,
+  CASE WHEN sum_den <> 0 THEN r END AS ratio,
+  CASE WHEN sum_den <> 0 AND n >= 2
+            AND (vxx + r * r * vyy - 2.0 * r * vxy)
+                / (n::DOUBLE * ybar * ybar) >= 0.0
+       THEN sqrt((vxx + r * r * vyy - 2.0 * r * vxy)
+                 / (n::DOUBLE * ybar * ybar)) END AS se
+FROM e
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -6182,6 +6236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q180_kcore": _q180_kcore,
         "q181_burst_dedup": _q181_burst_dedup,
         "q182_trimmed_mean": _q182_trimmed_mean,
+        "q183_ratio_metric": _q183_ratio_metric,
     }
 
 
@@ -6356,6 +6411,7 @@ def oracle_sql() -> dict[str, str]:
         "q180_kcore": _o180(),
         "q181_burst_dedup": _O181,
         "q182_trimmed_mean": _O182,
+        "q183_ratio_metric": _O183,
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

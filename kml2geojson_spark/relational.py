@@ -1585,3 +1585,77 @@ def trimmed_mean(df: DataFrame, *, value_col: str,
         F.when(F.col("n_kept") > 0,
                F.col("trimmed_sum").cast("double")
                / F.col("n_kept").cast("double")))
+
+
+def ratio_metric_stats(df: DataFrame, *, num_col: str, den_col: str,
+                       group_cols: list[str]) -> DataFrame:
+    """Per-group ratio-of-means metric with its delta-method standard
+    error — the experiment readout for ratio KPIs (revenue per
+    session, clicks per impression) where both numerator and
+    denominator are per-unit measurements and a naive per-row ratio
+    average is simply the wrong estimator.
+
+    ``R = Σx/Σy`` and
+    ``Var(R) ≈ (sₓₓ + R²·s_yy − 2R·sₓy) / (n·ȳ²)`` with the sample
+    (co)variances — the standard randomization-unit delta method
+    (Deng et al., KDD 2018 practice).
+
+    Determinism (the :func:`corr_matrix` rule): both columns must be
+    INTEGER (floats raise); the six sufficient statistics are exact
+    BIGINTs from ONE hash-aggregate, and R / se are fixed IEEE double
+    expressions of them. NULL keys or values drop (listwise — both
+    columns present).
+
+    Scale shape: one map-side-combinable hash-aggregate; no window,
+    no join, no second pass.
+
+    Output: (group..., n, sum_num, sum_den, ratio, se) — ratio NULL
+    when Σy = 0, se NULL when n < 2 or Σy = 0.
+    """
+    from pyspark.sql.types import DoubleType, FloatType
+
+    fields = {f.name: f for f in df.schema.fields}
+    for c in (num_col, den_col):
+        if isinstance(fields[c].dataType, (DoubleType, FloatType)):
+            raise ValueError(
+                f"ratio_metric_stats: {c!r} is floating-point — "
+                "integerize first (exact integer sums are the "
+                "determinism contract)")
+    if not group_cols:
+        raise ValueError("ratio_metric_stats: group_cols must be "
+                         "non-empty")
+    keep = F.col(num_col).isNotNull() & F.col(den_col).isNotNull()
+    for g in group_cols:
+        keep = keep & F.col(g).isNotNull()
+    x = F.col(num_col).cast("long")
+    y = F.col(den_col).cast("long")
+    s = (df.where(keep)
+         .groupBy(*group_cols)
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(x).alias("sum_num"), F.sum(y).alias("sum_den"),
+              F.sum(x * x).alias("_sxx"), F.sum(y * y).alias("_syy"),
+              F.sum(x * y).alias("_sxy")))
+    nd = F.col("n").cast("double")
+    sx = F.col("sum_num").cast("double")
+    sy = F.col("sum_den").cast("double")
+    r = sx / sy
+    # sample (co)variances: (n·Σab − Σa·Σb) / (n·(n−1))
+    def _cov(pab, sa, sb):
+        return (nd * pab.cast("double") - sa * sb) \
+            / (nd * (nd - F.lit(1.0)))
+    vxx = _cov(F.col("_sxx"), sx, sx)
+    vyy = _cov(F.col("_syy"), sy, sy)
+    vxy = _cov(F.col("_sxy"), sx, sy)
+    ybar = sy / nd
+    var_r = (vxx + r * r * vyy - F.lit(2.0) * r * vxy) \
+        / (nd * ybar * ybar)
+    ok_r = F.col("sum_den") != 0
+    # nested whens: var_r divides by ybar² and n(n−1) — under ANSI it
+    # must only be EVALUATED once the guards hold (a flat condition
+    # containing var_r would itself divide by zero)
+    return s.select(
+        *group_cols, "n", "sum_num", "sum_den",
+        F.when(ok_r, r).alias("ratio"),
+        F.when(ok_r & (F.col("n") >= 2),
+               F.when(var_r >= F.lit(0.0), F.sqrt(var_r)))
+        .alias("se"))

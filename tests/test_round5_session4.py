@@ -984,3 +984,48 @@ def test_trimmed_mean_heavy_trim_leaves_median_like_core(spark):
     (r,) = trimmed_mean(df, value_col="v", group_cols=["grp"],
                         trim_milli=400).collect()
     assert r["n_kept"] == 3 and r["trimmed_mean"] == 6.0
+
+
+# --------------------------------------------------------- ratio metrics
+
+
+def test_ratio_metric_hand_case(spark):
+    from kml2geojson_spark.relational import ratio_metric_stats
+    import math
+    xs, ys = [10, 20, 30], [1, 2, 3]
+    df = spark.createDataFrame([("g", x, y) for x, y in zip(xs, ys)],
+                               "grp string, x long, y long")
+    (r,) = ratio_metric_stats(df, num_col="x", den_col="y",
+                              group_cols=["grp"]).collect()
+    assert r["ratio"] == sum(xs) / sum(ys) == 10.0
+    n = 3
+    def cov(a, b):
+        return (n * sum(p * q for p, q in zip(a, b))
+                - sum(a) * sum(b)) / (n * (n - 1))
+    R = 10.0
+    ybar = sum(ys) / n
+    var = (cov(xs, xs) + R * R * cov(ys, ys)
+           - 2 * R * cov(xs, ys)) / (n * ybar * ybar)
+    assert r["se"] == pytest.approx(math.sqrt(var), abs=1e-15)
+    # perfectly proportional x = 10y → zero variance of the ratio
+    assert r["se"] == 0.0
+
+
+def test_ratio_metric_noise_and_degenerate(spark):
+    from kml2geojson_spark.relational import ratio_metric_stats
+    df = spark.createDataFrame(
+        [("g", 12, 1), ("g", 18, 2), ("g", 35, 3)],
+        "grp string, x long, y long")
+    (r,) = ratio_metric_stats(df, num_col="x", den_col="y",
+                              group_cols=["grp"]).collect()
+    assert r["se"] is not None and r["se"] > 0
+    dz = spark.createDataFrame([("g", 5, 0), ("g", 3, 0)],
+                               "grp string, x long, y long")
+    (r2,) = ratio_metric_stats(dz, num_col="x", den_col="y",
+                               group_cols=["grp"]).collect()
+    assert r2["ratio"] is None and r2["se"] is None
+    dff = spark.createDataFrame([("g", 1.0, 1)],
+                                "grp string, x double, y long")
+    with pytest.raises(ValueError):
+        ratio_metric_stats(dff, num_col="x", den_col="y",
+                           group_cols=["grp"])
