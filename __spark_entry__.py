@@ -6061,6 +6061,111 @@ FROM e
 """
 
 
+def _q184_table_diff(spark, sf):
+    """Snapshot diff of orders vs a deterministically perturbed copy
+    (drop orderkey%17 rows, bump price on orderkey%5): per-key md5
+    row-hash folds compared after distinct-shrink — never a row-level
+    value join. Round-5 post-pin registration: in-repo oracle sweep
+    only."""
+    from kml2geojson_spark.quality import table_diff
+    o = _t(spark, sf, "orders")
+    right = (o.where(F.col("o_orderkey") % 17 != 0)
+             .withColumn("o_totalprice",
+                         F.when(F.col("o_orderkey") % 5 == 0,
+                                F.col("o_totalprice") + 1)
+                         .otherwise(F.col("o_totalprice"))))
+    return table_diff(o, right, key_cols=["o_orderkey"],
+                      value_cols=["o_totalprice", "o_orderstatus"])
+
+
+_O184 = """
+WITH l0 AS (
+  SELECT o_orderkey AS k,
+         ('0x' || substr(md5(
+            COALESCE(CAST(o_totalprice AS VARCHAR), chr(0) || 'N')
+            || chr(31)
+            || COALESCE(CAST(o_orderstatus AS VARCHAR), chr(0) || 'N')
+            || chr(31)), 1, 15))::BIGINT AS h
+  FROM orders WHERE o_orderkey IS NOT NULL),
+r0 AS (
+  SELECT o_orderkey AS k,
+         ('0x' || substr(md5(
+            COALESCE(CAST(CASE WHEN o_orderkey % 5 = 0
+                               THEN o_totalprice + 1
+                               ELSE o_totalprice END AS VARCHAR),
+                     chr(0) || 'N')
+            || chr(31)
+            || COALESCE(CAST(o_orderstatus AS VARCHAR), chr(0) || 'N')
+            || chr(31)), 1, 15))::BIGINT AS h
+  FROM orders WHERE o_orderkey IS NOT NULL AND o_orderkey % 17 <> 0),
+lk AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS nl,
+              CAST(SUM(h) AS BIGINT) AS fl FROM l0 GROUP BY k),
+rk AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS nr,
+              CAST(SUM(h) AS BIGINT) AS fr FROM r0 GROUP BY k),
+j AS (SELECT lk.k AS k1, rk.k AS k2, nl, nr, fl, fr
+      FROM lk FULL OUTER JOIN rk ON lk.k = rk.k)
+SELECT CAST(COALESCE(SUM(nl), 0) AS BIGINT) AS n_left,
+       CAST(COALESCE(SUM(nr), 0) AS BIGINT) AS n_right,
+       CAST(SUM(CASE WHEN nl IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_left_keys,
+       CAST(SUM(CASE WHEN nr IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_right_keys,
+       CAST(SUM(CASE WHEN nl > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_keys_left,
+       CAST(SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_keys_right,
+       CAST(SUM(CASE WHEN nl IS NULL AND nr IS NOT NULL THEN 1 ELSE 0
+                END) AS BIGINT) AS n_added,
+       CAST(SUM(CASE WHEN nr IS NULL AND nl IS NOT NULL THEN 1 ELSE 0
+                END) AS BIGINT) AS n_removed,
+       CAST(SUM(CASE WHEN nl IS NOT NULL AND nr IS NOT NULL
+                      AND NOT (fl = fr AND nl = nr)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       CAST(SUM(CASE WHEN nl IS NOT NULL AND nr IS NOT NULL
+                      AND fl = fr AND nl = nr
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_same
+FROM j
+"""
+
+
+def _q185_cohort_ltv(spark, sf):
+    """Cohort LTV curves over the events table (cents-integerized
+    value, 30-day horizon): exact BIGINT per-(cohort, age) sums and
+    cumulative window; the cohort day is emitted as its ISO string so
+    the cross-engine hash is date-representation independent.
+    Round-5 post-pin registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.eventops import cohort_ltv
+    return (cohort_ltv(_t(spark, sf, "events"), value_scale=100,
+                       max_age_days=30)
+            .withColumn("cohort_day",
+                        F.col("cohort_day").cast("string")))
+
+
+_O185 = """
+WITH b AS (
+  SELECT user_id AS u, CAST(ts AS DATE) AS d,
+         CAST(ROUND(CAST(value AS DOUBLE) * 100.0) AS BIGINT) AS v
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+c AS (SELECT u, MIN(d) AS cd FROM b GROUP BY u),
+sz AS (SELECT cd, CAST(COUNT(*) AS BIGINT) AS n_users_cohort
+       FROM c GROUP BY cd),
+j AS (SELECT b.u, b.d, b.v, c.cd, date_diff('day', c.cd, b.d) AS age
+      FROM b JOIN c ON b.u = c.u
+      WHERE date_diff('day', c.cd, b.d) <= 30),
+pa AS (SELECT cd, age, CAST(SUM(v) AS BIGINT) AS value_scaled
+       FROM j GROUP BY cd, age)
+SELECT CAST(pa.cd AS VARCHAR) AS cohort_day,
+       CAST(pa.age AS INTEGER) AS age_days,
+       sz.n_users_cohort, pa.value_scaled,
+       CAST(SUM(pa.value_scaled) OVER (PARTITION BY pa.cd
+                       ORDER BY pa.age
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_value_scaled
+FROM pa JOIN sz ON sz.cd = pa.cd
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -6237,6 +6342,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q181_burst_dedup": _q181_burst_dedup,
         "q182_trimmed_mean": _q182_trimmed_mean,
         "q183_ratio_metric": _q183_ratio_metric,
+        "q184_table_diff": _q184_table_diff,
+        "q185_cohort_ltv": _q185_cohort_ltv,
     }
 
 
@@ -6412,6 +6519,8 @@ def oracle_sql() -> dict[str, str]:
         "q181_burst_dedup": _O181,
         "q182_trimmed_mean": _O182,
         "q183_ratio_metric": _O183,
+        "q184_table_diff": _O184,
+        "q185_cohort_ltv": _O185,
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

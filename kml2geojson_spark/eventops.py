@@ -741,3 +741,63 @@ def event_dedup_bursts(events: DataFrame, *, key_cols: list[str],
                     F.col("_k.i").alias("keeper_id"),
                     F.col("_k.t").alias("keeper_ts"),
                     "burst_size", "burst_span_us"))
+
+
+def cohort_ltv(events: DataFrame, *, user_col: str = "user_id",
+               ts_col: str = "ts", value_col: str = "value",
+               value_scale: int = 100,
+               max_age_days: int = 90) -> DataFrame:
+    """Cohort lifetime-value curves: users are cohorted by their
+    FIRST event's day, and each cohort reports the cumulative
+    integerized value at every observed age (days since cohort day)
+    up to ``max_age_days`` — the revenue twin of
+    :func:`cohort_retention` (which counts users; this sums what they
+    spent).
+
+    Determinism: values are integerized per row
+    (``round(value · value_scale)`` — cents by default, bit-identical
+    IEEE on every engine), so the per-(cohort, age) sums and the
+    cumulative window are exact BIGINTs. Cohort day = min event day
+    per user (order-free aggregate). NULL users/timestamps/values
+    drop; negative ages cannot occur (the cohort day is the min).
+
+    Scale shape: one user-level hash-aggregate (cohort assignment)
+    whose join back to the events rides the SAME user-key exchange,
+    then one (cohort, age) hash-aggregate, and the cumulative window
+    and cohort-size join share the cohort partitioning. No global
+    sort, no Python.
+
+    Output: (cohort_day DATE, age_days INT, n_users_cohort BIGINT,
+    value_scaled BIGINT, cum_value_scaled BIGINT).
+    """
+    if max_age_days < 0:
+        raise ValueError("max_age_days must be >= 0")
+    if value_scale <= 0:
+        raise ValueError("value_scale must be positive")
+    keep = (F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+            & F.col(value_col).isNotNull())
+    base = (events.where(keep)
+            .select(F.col(user_col).alias("_u"),
+                    F.to_date(F.col(ts_col)).alias("_d"),
+                    F.round(F.col(value_col).cast("double")
+                            * F.lit(float(value_scale)))
+                    .cast("long").alias("_v")))
+    cohort = (base.groupBy("_u")
+              .agg(F.min("_d").alias("_cd")))
+    joined = (base.join(cohort, "_u")
+              .withColumn("_age", F.datediff(F.col("_d"), F.col("_cd")))
+              .where(F.col("_age") <= max_age_days))
+    sizes = cohort.groupBy("_cd").agg(
+        F.count(F.lit(1)).alias("n_users_cohort"))
+    per_age = (joined.groupBy("_cd", "_age")
+               .agg(F.sum("_v").alias("value_scaled")))
+    return (per_age
+            .join(sizes, "_cd")
+            .select(F.col("_cd").alias("cohort_day"),
+                    F.col("_age").cast("int").alias("age_days"),
+                    "n_users_cohort", "value_scaled",
+                    F.sum("value_scaled").over(
+                        Window.partitionBy("_cd")
+                        .orderBy(F.col("_age").asc())
+                        .rowsBetween(Window.unboundedPreceding, 0))
+                    .alias("cum_value_scaled")))

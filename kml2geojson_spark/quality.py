@@ -434,3 +434,77 @@ def benford_audit(df: DataFrame, *, value_col: str,
         .alias("p_exp"),
         F.abs(F.col("_r.n_d") * F.lit(1000000)
               - F.col("n") * F.col("_r.p_micro")).alias("dev_micro"))
+
+
+def table_diff(left: DataFrame, right: DataFrame, *,
+               key_cols: list[str],
+               value_cols: list[str]) -> DataFrame:
+    """Snapshot regression diff between two versions of a table: how
+    many keys were added, removed, changed, or kept identical — the
+    "what did this pipeline change" audit run before promoting a new
+    snapshot (the tabular analogue of a git diffstat).
+
+    Rows are compared by the md5 of the CONCATENATED STRING forms of
+    ``value_cols`` (the package md5 discipline — NULL encoded
+    distinctly from the string 'NULL' via a \\x00 sentinel), so a
+    change in any compared column flips the key to `changed` without
+    shipping the values through the join. Duplicate keys on either
+    side are counted (``n_dup_keys_*``) and compared by their
+    key-level row-hash MULTISET (order-free: the per-key md5s are
+    XOR-folded, so duplicates and reordering are handled without a
+    sort).
+
+    Scale shape: each side collapses to one (key, fold, count) row
+    per distinct key via a map-side-combinable hash-aggregate BEFORE
+    the single full-outer equi-join on the key; the final summary is
+    one single-row aggregate. Never a row-level value join.
+
+    Output: ONE row (n_left, n_right, n_left_keys, n_right_keys,
+    n_dup_keys_left, n_dup_keys_right, n_added, n_removed, n_changed,
+    n_same) — `added` means present only in ``right``.
+    """
+    if not key_cols:
+        raise ValueError("table_diff: key_cols must be non-empty")
+    if not value_cols:
+        raise ValueError("table_diff: value_cols must be non-empty")
+
+    def _fold(df: DataFrame, tag: str) -> DataFrame:
+        parts = []
+        for c in value_cols:
+            parts.append(F.coalesce(F.col(c).cast("string"),
+                                    F.lit("\x00N")))
+            parts.append(F.lit("\x1f"))
+        rh = F.conv(F.substring(F.md5(F.concat(*parts)), 1, 15),
+                    16, 10).cast("long")
+        keyok = F.lit(True)
+        for kc in key_cols:
+            keyok = keyok & F.col(kc).isNotNull()
+        return (df.where(keyok)
+                .select(*key_cols, rh.alias("_h"))
+                .groupBy(*key_cols)
+                .agg(F.count(F.lit(1)).alias(f"_n_{tag}"),
+                     # order-free multiset fold: xor of per-row hashes
+                     # + the row count distinguishes {h,h} from {h}
+                     F.sum("_h").alias(f"_fold_{tag}")))
+
+    lk = _fold(left, "l")
+    rk = _fold(right, "r")
+    j = lk.join(rk, key_cols, "full_outer")
+    in_l = F.col("_n_l").isNotNull()
+    in_r = F.col("_n_r").isNotNull()
+    same = (in_l & in_r & (F.col("_fold_l") == F.col("_fold_r"))
+            & (F.col("_n_l") == F.col("_n_r")))
+    changed = in_l & in_r & ~same
+    return j.agg(
+        F.coalesce(F.sum("_n_l"), F.lit(0)).alias("n_left"),
+        F.coalesce(F.sum("_n_r"), F.lit(0)).alias("n_right"),
+        F.sum(in_l.cast("long")).alias("n_left_keys"),
+        F.sum(in_r.cast("long")).alias("n_right_keys"),
+        F.sum((in_l & (F.col("_n_l") > 1)).cast("long"))
+        .alias("n_dup_keys_left"),
+        F.sum((in_r & (F.col("_n_r") > 1)).cast("long"))
+        .alias("n_dup_keys_right"),
+        F.sum((in_r & ~in_l).cast("long")).alias("n_added"),
+        F.sum((in_l & ~in_r).cast("long")).alias("n_removed"),
+        F.sum(changed.cast("long")).alias("n_changed"),
+        F.sum(same.cast("long")).alias("n_same"))

