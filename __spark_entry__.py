@@ -6166,6 +6166,54 @@ FROM pa JOIN sz ON sz.cd = pa.cd
 """
 
 
+def _q186_spearman(spark, sf):
+    """Spearman rank correlation of quantity vs line price per
+    returnflag: doubled midranks (exact BIGINT window expressions),
+    DECIMAL(38,0) sufficient statistics, one final double ratio.
+    Round-5 post-pin registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.relational import spearman_corr
+    li = _t(spark, sf, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice")).cast("long")
+        .alias("price_dollars"))
+    return spearman_corr(li, x_col="qty", y_col="price_dollars",
+                         group_cols=["l_returnflag"])
+
+
+_O186 = """
+WITH b AS (
+  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS x,
+         CAST(ROUND(l_extendedprice) AS BIGINT) AS y
+  FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+    AND l_extendedprice IS NOT NULL),
+r AS (
+  SELECT g,
+         CAST(2 * RANK() OVER (PARTITION BY g ORDER BY x)
+              + COUNT(*) OVER (PARTITION BY g, x) - 1 AS HUGEINT)
+           AS rx,
+         CAST(2 * RANK() OVER (PARTITION BY g ORDER BY y)
+              + COUNT(*) OVER (PARTITION BY g, y) - 1 AS HUGEINT)
+           AS ry
+  FROM b),
+s AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(rx) AS sx, SUM(ry) AS sy,
+         SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy,
+         SUM(rx * ry) AS sxy
+  FROM r GROUP BY g)
+SELECT g AS l_returnflag, n,
+       CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+                 AND n * syy - sy * sy > 0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                 / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE))
+       END AS spearman
+FROM s
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -6344,6 +6392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q183_ratio_metric": _q183_ratio_metric,
         "q184_table_diff": _q184_table_diff,
         "q185_cohort_ltv": _q185_cohort_ltv,
+        "q186_spearman": _q186_spearman,
     }
 
 
@@ -6521,6 +6570,7 @@ def oracle_sql() -> dict[str, str]:
         "q183_ratio_metric": _O183,
         "q184_table_diff": _O184,
         "q185_cohort_ltv": _O185,
+        "q186_spearman": _O186,
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

@@ -1659,3 +1659,78 @@ def ratio_metric_stats(df: DataFrame, *, num_col: str, den_col: str,
         F.when(ok_r & (F.col("n") >= 2),
                F.when(var_r >= F.lit(0.0), F.sqrt(var_r)))
         .alias("se"))
+
+
+def spearman_corr(df: DataFrame, *, x_col: str, y_col: str,
+                  group_cols: list[str]) -> DataFrame:
+    """Per-group Spearman rank correlation of ``y`` vs ``x`` — the
+    monotone-association diagnostic that is robust to outliers and
+    nonlinear-but-monotone relationships, completing the Pearson view
+    :func:`corr_matrix` gives (price/quantity monotonicity, metric
+    drift vs time, feature/label screening).
+
+    Determinism contract (the :func:`group_ols` rule): ``x`` and
+    ``y`` must be INTEGER columns (floats raise). Each row's rank is
+    the textbook midrank (ties share the average rank) carried
+    DOUBLED so it stays integral: for a row in a tie block with
+    ``before`` strictly-smaller rows and block size ``c``,
+    ``2·midrank = 2·before + c + 1 = 2·RANK() + COUNT(tie block) − 1``
+    — exact BIGINTs via two same-partition window passes. Spearman is
+    Pearson on the doubled ranks (scale-invariant, so the doubling
+    cancels): the five sufficient statistics are summed as
+    DECIMAL(38,0) (exact, addition-order independent; doubled ranks
+    ≤ 2n so Σrxry ≤ 4n³ — 38 digits holds to n ≈ 10¹¹), the closed
+    form's cross products stay in DECIMAL(38,0), and ONLY the final
+    ratio converts to double — identical integers round identically
+    on every engine.
+
+    Scale shape: one Exchange (hash by group), two in-partition sorts
+    (the two rank orders share the partitioning), one hash-aggregate.
+    No join, no crossJoin, no Python. NULL keys/values are dropped.
+
+    Output: (group..., n, spearman) — NULL when either variable is
+    constant within the group (zero rank variance) or n < 2.
+    """
+    from pyspark.sql.types import DoubleType, FloatType
+
+    fields = {f.name: f for f in df.schema.fields}
+    for c in (x_col, y_col):
+        if isinstance(fields[c].dataType, (DoubleType, FloatType)):
+            raise ValueError(
+                f"spearman_corr: {c!r} is floating-point — integerize "
+                "first (exact integer rank sums are the determinism "
+                "contract)")
+    if not group_cols:
+        raise ValueError("spearman_corr: group_cols must be non-empty")
+    keep = F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    for g in group_cols:
+        keep = keep & F.col(g).isNotNull()
+    b = df.where(keep).select(
+        *group_cols,
+        F.col(x_col).cast("long").alias("_x"),
+        F.col(y_col).cast("long").alias("_y"))
+    wg = Window.partitionBy(*group_cols)
+    wx = wg.orderBy(F.col("_x").asc())
+    wy = wg.orderBy(F.col("_y").asc())
+    # doubled midrank = 2*RANK() + tie-block size - 1 (exact BIGINT)
+    rx = (F.lit(2) * F.rank().over(wx)
+          + F.count(F.lit(1)).over(wg.partitionBy(*group_cols, "_x"))
+          - F.lit(1)).cast("decimal(38,0)")
+    ry = (F.lit(2) * F.rank().over(wy)
+          + F.count(F.lit(1)).over(wg.partitionBy(*group_cols, "_y"))
+          - F.lit(1)).cast("decimal(38,0)")
+    ranked = b.select(*group_cols, rx.alias("_rx"), ry.alias("_ry"))
+    s = ranked.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_rx").alias("_sx"), F.sum("_ry").alias("_sy"),
+        F.sum(F.col("_rx") * F.col("_rx")).alias("_sxx"),
+        F.sum(F.col("_ry") * F.col("_ry")).alias("_syy"),
+        F.sum(F.col("_rx") * F.col("_ry")).alias("_sxy"))
+    nn = F.col("n").cast("decimal(38,0)")
+    num = nn * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    vx = nn * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    vy = nn * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    ok = (F.col("n") >= 2) & (vx > 0) & (vy > 0)
+    rho = F.when(ok, num.cast("double")
+                 / F.sqrt(vx.cast("double") * vy.cast("double")))
+    return s.select(*group_cols, "n", rho.alias("spearman"))

@@ -1125,3 +1125,80 @@ def test_cohort_ltv_age_cap_and_validation(spark):
         cohort_ltv(df, max_age_days=-1)
     with pytest.raises(ValueError):
         cohort_ltv(df, value_scale=0)
+
+
+# ------------------------------------------------------------ spearman
+
+
+def test_spearman_brute_force_midranks(spark):
+    from kml2geojson_spark.relational import spearman_corr
+    import random
+    random.seed(11)
+    rows = [("g", random.randint(0, 15), random.randint(0, 40))
+            for _ in range(150)]
+    df = spark.createDataFrame(rows, "grp string, x long, y long")
+    (r,) = spearman_corr(df, x_col="x", y_col="y",
+                         group_cols=["grp"]).collect()
+
+    def midranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        out = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while (j + 1 < len(order)
+                   and vals[order[j + 1]] == vals[order[i]]):
+                j += 1
+            avg = (i + 1 + j + 1) / 2
+            for k in range(i, j + 1):
+                out[order[k]] = avg
+            i = j + 1
+        return out
+
+    xs = [t[1] for t in rows]
+    ys = [t[2] for t in rows]
+    rx, ry = midranks(xs), midranks(ys)
+    n = len(rx)
+    sx, sy = sum(rx), sum(ry)
+    sxx = sum(a * a for a in rx)
+    syy = sum(a * a for a in ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    rho = ((n * sxy - sx * sy)
+           / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+    assert r["n"] == n
+    assert abs(r["spearman"] - rho) < 1e-12
+
+
+def test_spearman_edges_and_validation(spark):
+    from kml2geojson_spark.relational import spearman_corr
+    rows = ([("m", i, i * i) for i in range(8)]          # monotone -> 1
+            + [("a", i, -3 * i) for i in range(8)]       # anti -> -1
+            + [("c", 4, i) for i in range(5)]            # const x -> NULL
+            + [("s", 7, 9)])                             # n=1 -> NULL
+    df = spark.createDataFrame(rows, "grp string, x long, y long")
+    out = {r["grp"]: r for r in
+           spearman_corr(df, x_col="x", y_col="y",
+                         group_cols=["grp"]).collect()}
+    assert out["m"]["spearman"] == 1.0
+    assert out["a"]["spearman"] == -1.0
+    assert out["c"]["spearman"] is None
+    assert out["s"]["spearman"] is None
+    dff = spark.createDataFrame([("g", 1.0, 2)],
+                                "grp string, x double, y long")
+    with pytest.raises(ValueError):
+        spearman_corr(dff, x_col="x", y_col="y", group_cols=["grp"])
+    with pytest.raises(ValueError):
+        spearman_corr(df, x_col="x", y_col="y", group_cols=[])
+
+
+def test_spearman_plan_one_exchange_zero_python(spark):
+    from kml2geojson_spark.relational import spearman_corr
+    df = spark.createDataFrame([("g", i % 5, i % 7) for i in range(40)],
+                               "grp string, x long, y long")
+    plan = _plan(spearman_corr(df, x_col="x", y_col="y",
+                               group_cols=["grp"]))
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+    # window passes + final agg all share the group hash partitioning:
+    # exchanges = the group hash + the agg's (AQE may reuse); never a
+    # per-rank re-shuffle per window.
+    assert plan.count("Exchange") <= 3
