@@ -6214,6 +6214,144 @@ FROM s
 """
 
 
+def _q187_kruskal(spark, sf):
+    """Kruskal-Wallis H of the dollar-rounded order total across the
+    five order priorities per order status: doubled midranks,
+    per-level floor(S'^2/n) terms summed as BIGINT, exact tie-cube
+    correction, one final double expression.
+    Round-5 post-pin registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.relational import kruskal_wallis
+    od = _t(spark, sf, "orders").select(
+        "o_orderstatus", "o_orderpriority",
+        F.round(F.col("o_totalprice")).cast("long").alias("price"))
+    return kruskal_wallis(od, value_col="price",
+                          factor_col="o_orderpriority",
+                          group_cols=["o_orderstatus"])
+
+
+_O187 = """
+WITH b AS (
+  SELECT o_orderstatus AS g, o_orderpriority AS lvl,
+         CAST(ROUND(o_totalprice) AS BIGINT) AS v
+  FROM orders
+  WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+    AND o_totalprice IS NOT NULL),
+r AS (
+  SELECT g, lvl,
+         CAST(2 * RANK() OVER (PARTITION BY g ORDER BY v)
+              + COUNT(*) OVER (PARTITION BY g, v) - 1 AS HUGEINT) AS rr
+  FROM b),
+lv AS (
+  SELECT g, lvl, CAST(COUNT(*) AS BIGINT) AS n, SUM(rr) AS s
+  FROM r GROUP BY g, lvl),
+g1 AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS k, SUM(n) AS n,
+         CAST(SUM(CAST(FLOOR(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                        / CAST(n AS DOUBLE)) AS BIGINT)) AS BIGINT)
+           AS t_sum
+  FROM lv GROUP BY g),
+tie AS (
+  SELECT g, v, CAST(COUNT(*) AS HUGEINT) AS t FROM b GROUP BY g, v),
+g2 AS (
+  SELECT g, CAST(SUM(t * t * t - t) AS BIGINT) AS tie_cube FROM tie GROUP BY g)
+SELECT g1.g AS o_orderstatus, k, CAST(g1.n AS BIGINT) AS n, t_sum,
+       tie_cube,
+       CASE WHEN k >= 2 AND g1.n >= 2
+                 AND 1.0 - CAST(tie_cube AS DOUBLE)
+                     / CAST(CAST(g1.n AS HUGEINT) * g1.n * g1.n - g1.n
+                            AS DOUBLE) > 0.0
+            THEN (3.0 * CAST(t_sum AS DOUBLE)
+                  / (CAST(g1.n AS DOUBLE) * (CAST(g1.n AS DOUBLE) + 1.0))
+                  - 3.0 * (CAST(g1.n AS DOUBLE) + 1.0))
+                 / (1.0 - CAST(tie_cube AS DOUBLE)
+                    / CAST(CAST(g1.n AS HUGEINT) * g1.n * g1.n - g1.n
+                           AS DOUBLE))
+       END AS h_stat
+FROM g1 JOIN g2 ON g1.g = g2.g
+"""
+
+
+def _q188_moments(spark, sf):
+    """Per-returnflag skewness and excess kurtosis of quantity: exact
+    DECIMAL(38,0) power sums, exact scaled central moments, fixed
+    IEEE shape expressions (sqrt is correctly rounded).
+    Round-5 post-pin registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.relational import group_moments
+    li = _t(spark, sf, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("qty"))
+    return group_moments(li, value_col="qty",
+                         group_cols=["l_returnflag"])
+
+
+_O188 = """
+WITH b AS (
+  SELECT l_returnflag AS g, CAST(l_quantity AS HUGEINT) AS v
+  FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL),
+s AS (
+  SELECT g, CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(v) AS s1, SUM(v * v) AS s2,
+         SUM(v * v * v) AS s3, SUM(v * v * v * v) AS s4
+  FROM b GROUP BY g)
+SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+       CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+       CAST(n * s2 - s1 * s1 AS DOUBLE)
+         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS m2,
+       CASE WHEN n >= 2 AND n * s2 - s1 * s1 > 0
+            THEN CAST(n * n * s3 - 3 * n * s2 * s1
+                      + 2 * s1 * s1 * s1 AS DOUBLE)
+                 / (CAST(n * s2 - s1 * s1 AS DOUBLE)
+                    * SQRT(CAST(n * s2 - s1 * s1 AS DOUBLE)))
+       END AS skewness,
+       CASE WHEN n >= 2 AND n * s2 - s1 * s1 > 0
+            THEN CAST(n * n * n * s4 - 4 * n * n * s3 * s1
+                      + 6 * n * s2 * s1 * s1
+                      - 3 * s1 * s1 * s1 * s1 AS DOUBLE)
+                 / (CAST(n * s2 - s1 * s1 AS DOUBLE)
+                    * CAST(n * s2 - s1 * s1 AS DOUBLE)) - 3.0
+       END AS kurtosis_excess
+FROM s
+"""
+
+
+def _q189_quantiles(spark, sf):
+    """Exact p50/p90/p99 of the dollar-rounded order total per order
+    priority: integer permille targets ceil(n*pm/1000) over the
+    value-level cumulative — no float probability ever multiplies a
+    count. Round-5 post-pin registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.relational import group_quantiles
+    od = _t(spark, sf, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice")).cast("long").alias("price"))
+    return group_quantiles(od, value_col="price",
+                           group_cols=["o_orderpriority"],
+                           permilles=[500, 900, 990])
+
+
+_O189 = """
+WITH b AS (
+  SELECT o_orderpriority AS g,
+         CAST(ROUND(o_totalprice) AS BIGINT) AS v
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+pv AS (
+  SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY g, v),
+cum AS (
+  SELECT g, v, c,
+         CAST(SUM(c) OVER (PARTITION BY g ORDER BY v) AS BIGINT)
+           AS cm,
+         CAST(SUM(c) OVER (PARTITION BY g) AS BIGINT) AS n
+  FROM pv),
+ex AS (
+  SELECT g, v, c, cm, n, UNNEST([500, 900, 990]) AS permille
+  FROM cum)
+SELECT g AS o_orderpriority, permille, n, v AS value
+FROM ex
+WHERE cm >= CEIL(n * permille / 1000.0)
+  AND cm - c < CEIL(n * permille / 1000.0)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -6393,6 +6531,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q184_table_diff": _q184_table_diff,
         "q185_cohort_ltv": _q185_cohort_ltv,
         "q186_spearman": _q186_spearman,
+        "q187_kruskal_wallis": _q187_kruskal,
+        "q188_group_moments": _q188_moments,
+        "q189_group_quantiles": _q189_quantiles,
     }
 
 
@@ -6571,6 +6712,9 @@ def oracle_sql() -> dict[str, str]:
         "q184_table_diff": _O184,
         "q185_cohort_ltv": _O185,
         "q186_spearman": _O186,
+        "q187_kruskal_wallis": _O187,
+        "q188_group_moments": _O188,
+        "q189_group_quantiles": _O189,
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

@@ -1734,3 +1734,221 @@ def spearman_corr(df: DataFrame, *, x_col: str, y_col: str,
     rho = F.when(ok, num.cast("double")
                  / F.sqrt(vx.cast("double") * vy.cast("double")))
     return s.select(*group_cols, "n", rho.alias("spearman"))
+
+
+def kruskal_wallis(df: DataFrame, *, value_col: str, factor_col: str,
+                   group_cols: list[str] | None = None) -> DataFrame:
+    """Kruskal–Wallis H (rank-based one-way ANOVA, with tie
+    correction) across the k levels of ``factor_col`` — the
+    distribution-free k-sample test completing the rank family
+    (:func:`mannwhitney_u` = 2 samples, :func:`spearman_corr` =
+    association, KW = k samples) for skewed metrics where
+    :func:`oneway_anova`'s mean comparison is the wrong tool.
+
+    Determinism: values must be INTEGER (floats raise). Each row's
+    rank over the WHOLE group is the doubled midrank
+    ``2·RANK() + tie-block − 1`` (the :func:`spearman_corr` rule —
+    exact BIGINT window expressions). Per level, the doubled rank
+    sum S' is an exact DECIMAL(38,0); the between-levels term
+    ``floor(S'²/n_level)`` is one fixed IEEE expression of exact
+    integers floored to an exact BIGINT and SUMMED AS BIGINT (the
+    :func:`oneway_anova` rule — addition-order independent). The tie
+    correction ``C = 1 − Σ(t³−t)/(N³−N)`` uses exact DECIMAL(38,0)
+    cubes of the per-value tie counts. H is ONE double expression of
+    those integers:
+    ``H = (3·T/(N(N+1)) − 3(N+1)) / C`` with ``T = Σ floor(S'²/n)``
+    (the doubling cancels: Σ(S'/2)²/n = T/4 and 12/4 = 3). Caller
+    guarantees ``S'²/n < 2⁶³`` per level (N ≲ 10⁶ rows per group is
+    safe) — ANSI-raises, never wraps. NULL keys/values drop.
+
+    Scale shape: one Exchange (hash by group), one in-partition rank
+    sort, a (group, level) hash-aggregate and a (group, value)
+    hash-aggregate sharing that partitioning, one final group
+    aggregate. No join, no Python.
+
+    Output: (group..., k, n, t_sum, tie_cube, h_stat) — h_stat NULL
+    when k < 2 or every value in the group is tied (C = 0).
+    """
+    from pyspark.sql.types import DoubleType, FloatType
+
+    fields = {f.name: f for f in df.schema.fields}
+    if isinstance(fields[value_col].dataType, (DoubleType, FloatType)):
+        raise ValueError(
+            f"kruskal_wallis: {value_col!r} is floating-point — "
+            "integerize first (exact integer rank sums are the "
+            "determinism contract)")
+    gcols = list(group_cols or [])
+    keep = F.col(value_col).isNotNull() & F.col(factor_col).isNotNull()
+    for g in gcols:
+        keep = keep & F.col(g).isNotNull()
+    b = df.where(keep).select(
+        *gcols, F.col(factor_col).alias("_lvl"),
+        F.col(value_col).cast("long").alias("_v"))
+    wg = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+    wv = wg.orderBy(F.col("_v").asc())
+    tie = F.count(F.lit(1)).over(
+        Window.partitionBy(*gcols, "_v") if gcols
+        else Window.partitionBy("_v"))
+    rr = (F.lit(2) * F.rank().over(wv) + tie - F.lit(1))
+    ranked = b.select(*gcols, "_lvl", "_v",
+                      rr.cast("decimal(38,0)").alias("_r"))
+    lvl = ranked.groupBy(*gcols, "_lvl").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_r").alias("_s"))
+    term = F.floor(F.col("_s").cast("double") * F.col("_s").cast("double")
+                   / F.col("_n").cast("double"))
+    g1 = (lvl.groupBy(*gcols) if gcols else lvl.groupBy()).agg(
+        F.count(F.lit(1)).alias("k"), F.sum("_n").alias("n"),
+        F.sum(term).alias("t_sum"))
+    tc = F.col("_t").cast("decimal(38,0)")
+    ties = ranked.groupBy(*gcols, "_v").agg(
+        F.count(F.lit(1)).alias("_t"))
+    g2 = (ties.groupBy(*gcols) if gcols else ties.groupBy()).agg(
+        F.sum(tc * tc * tc - tc).alias("tie_cube"))
+    s = g1.join(g2, gcols) if gcols else g1.crossJoin(g2)
+    nd = F.col("n").cast("double")
+    nn = F.col("n").cast("decimal(38,0)")
+    denom = (nn * nn * nn - nn).cast("double")
+    c = F.lit(1.0) - F.col("tie_cube").cast("double") / denom
+    h = (F.lit(3.0) * F.col("t_sum").cast("double")
+         / (nd * (nd + F.lit(1.0)))
+         - F.lit(3.0) * (nd + F.lit(1.0))) / c
+    ok = (F.col("k") >= 2) & (F.col("n") >= 2) & (c > F.lit(0.0))
+    return s.select(*gcols, "k", "n", "t_sum", "tie_cube",
+                    F.when(ok, h).alias("h_stat"))
+
+
+def group_moments(df: DataFrame, *, value_col: str,
+                  group_cols: list[str]) -> DataFrame:
+    """Per-group skewness and excess kurtosis (population moments) —
+    the distribution-shape diagnostics completing the location
+    (:func:`trimmed_mean`) / spread (:func:`group_mad_outliers`) /
+    association (:func:`corr_matrix`) family: heavy-tail detection
+    for latency and revenue metrics, symmetry checks before a t-test.
+
+    Determinism: values must be INTEGER (floats raise). The four
+    power sums S₁..S₄ = Σx..Σx⁴ are exact DECIMAL(38,0) aggregates;
+    the scaled central moments are exact integer combinations
+    (``n²m₂ = n·S₂ − S₁²``, ``n³m₃ = n²·S₃ − 3n·S₂·S₁ + 2S₁³``,
+    ``n⁴m₄ = n³·S₄ − 4n²·S₃·S₁ + 6n·S₂·S₁² − 3S₁⁴``), and the shape
+    statistics are fixed IEEE expressions of those exact integers
+    (``g₁ = n³m₃ / (n²m₂ · √(n²m₂))`` — sqrt is correctly rounded by
+    IEEE 754 so this is bit-identical across engines;
+    ``g₂ = n⁴m₄/(n²m₂)² − 3``). Caller guarantees every combination
+    term fits DECIMAL(38,0): |x| ≤ 10³ with n ≤ 10⁶ rows per group
+    is safe (S₁⁴ ≤ 10³⁶); pre-scale wider values first — overflow
+    ANSI-raises, never wraps. NULL keys/values drop.
+
+    Scale shape: ONE map-side-combinable hash aggregate; the moment
+    assembly is per-group scalar arithmetic. No window, no join.
+
+    Output: (group..., n, mean, m2, skewness, kurtosis_excess) —
+    shape stats NULL when the group is constant (m₂ = 0) or n < 2.
+    """
+    from pyspark.sql.types import DoubleType, FloatType
+
+    fields = {f.name: f for f in df.schema.fields}
+    if isinstance(fields[value_col].dataType, (DoubleType, FloatType)):
+        raise ValueError(
+            f"group_moments: {value_col!r} is floating-point — "
+            "integerize first (exact integer power sums are the "
+            "determinism contract)")
+    if not group_cols:
+        raise ValueError("group_moments: group_cols must be non-empty")
+    keep = F.col(value_col).isNotNull()
+    for g in group_cols:
+        keep = keep & F.col(g).isNotNull()
+    v = F.col(value_col).cast("decimal(38,0)")
+    s = df.where(keep).groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("_s1"), F.sum(v * v).alias("_s2"),
+        F.sum(v * v * v).alias("_s3"),
+        F.sum(v * v * v * v).alias("_s4"))
+    nn = F.col("n").cast("decimal(38,0)")
+    s1, s2 = F.col("_s1"), F.col("_s2")
+    s3, s4 = F.col("_s3"), F.col("_s4")
+    m2n = nn * s2 - s1 * s1
+    m3n = nn * nn * s3 - F.lit(3).cast("decimal(38,0)") * nn * s2 * s1 \
+        + F.lit(2).cast("decimal(38,0)") * s1 * s1 * s1
+    m4n = (nn * nn * nn * s4
+           - F.lit(4).cast("decimal(38,0)") * nn * nn * s3 * s1
+           + F.lit(6).cast("decimal(38,0)") * nn * s2 * s1 * s1
+           - F.lit(3).cast("decimal(38,0)") * s1 * s1 * s1 * s1)
+    m2d = m2n.cast("double")
+    mean = s1.cast("double") / F.col("n").cast("double")
+    m2 = m2d / (F.col("n").cast("double") * F.col("n").cast("double"))
+    ok = (F.col("n") >= 2) & (m2n > 0)
+    g1 = F.when(ok, m3n.cast("double") / (m2d * F.sqrt(m2d)))
+    g2 = F.when(ok, m4n.cast("double") / (m2d * m2d) - F.lit(3.0))
+    return s.select(*group_cols, "n", mean.alias("mean"),
+                    F.when(F.col("n") >= 1, m2).alias("m2"),
+                    g1.alias("skewness"), g2.alias("kurtosis_excess"))
+
+
+def group_quantiles(df: DataFrame, *, value_col: str,
+                    group_cols: list[str],
+                    permilles: list[int]) -> DataFrame:
+    """Exact per-group discrete quantiles (type-1 / lower order
+    statistic) at the requested permille points — the p50/p90/p99
+    latency-dashboard primitive, exact where
+    :func:`sampled_quantiles` trades exactness for a single pass and
+    :func:`quantile_bucket_assign` assigns rows to buckets.
+
+    Determinism: values must be INTEGER (floats raise); quantile
+    probabilities are INTEGER PERMILLES (500 = median) so the target
+    index ``ceil(n·pm/1000)`` is exact integer arithmetic — no float
+    probability ever multiplies a count. The answer for permille pm
+    is the unique value whose inclusive cumulative count first
+    reaches the target — integer in, integer out, bit-stable.
+
+    Scale shape: one (group, value) hash-aggregate with map-side
+    combine, one cumulative window over the SAME group partitioning
+    (value-level rows, not raw rows — the :func:`trimmed_mean`
+    two-Exchange shape), then a constant-width explode of the
+    permille literals on value-level rows and one filter that keeps
+    exactly one row per (group, permille). No join, no Python,
+    cardinality bounded by distinct values × len(permilles).
+
+    Output: (group..., permille, n, value) — one row per group and
+    requested permille, empty groups absent.
+    """
+    from pyspark.sql.types import DoubleType, FloatType
+
+    fields = {f.name: f for f in df.schema.fields}
+    if isinstance(fields[value_col].dataType, (DoubleType, FloatType)):
+        raise ValueError(
+            f"group_quantiles: {value_col!r} is floating-point — "
+            "integerize first (exact integer order statistics are "
+            "the determinism contract)")
+    if not group_cols:
+        raise ValueError("group_quantiles: group_cols must be non-empty")
+    if not permilles or any(
+            not isinstance(p, int) or not 1 <= p <= 1000
+            for p in permilles):
+        raise ValueError(
+            "group_quantiles: permilles must be non-empty ints in "
+            "[1, 1000]")
+    if len(set(permilles)) != len(permilles):
+        raise ValueError("group_quantiles: duplicate permilles")
+    keep = F.col(value_col).isNotNull()
+    for g in group_cols:
+        keep = keep & F.col(g).isNotNull()
+    per_val = (df.where(keep)
+               .groupBy(*group_cols,
+                        F.col(value_col).cast("long").alias("_v"))
+               .agg(F.count(F.lit(1)).alias("_c")))
+    wg = Window.partitionBy(*group_cols).orderBy(F.col("_v").asc()) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wn = Window.partitionBy(*group_cols)
+    cum = per_val.select(
+        *group_cols, "_v", "_c",
+        F.sum("_c").over(wg).alias("_cum"),
+        F.sum("_c").over(wn).alias("n"))
+    pm = F.explode(F.array(*[F.lit(int(p)) for p in
+                             sorted(permilles)])).alias("permille")
+    ex = cum.select(*group_cols, "_v", "_c", "_cum", "n", pm)
+    target = F.ceil((F.col("n") * F.col("permille")) / F.lit(1000.0))
+    hit = (F.col("_cum") >= target) & (F.col("_cum") - F.col("_c")
+                                       < target)
+    return (ex.where(hit)
+            .select(*group_cols, "permille", "n",
+                    F.col("_v").alias("value")))
