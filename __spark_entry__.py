@@ -6352,6 +6352,202 @@ WHERE cm >= CEIL(n * permille / 1000.0)
 """
 
 
+def _q190_clustering(spark, sf):
+    """Per-node local clustering coefficient over the part co-order
+    graph (q86's edge set): exact degree + degree-oriented triangle
+    counts, ONE fixed IEEE ratio. Round-5 post-pin registration:
+    in-repo oracle sweep only."""
+    from kml2geojson_spark.graph import clustering_coefficient
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (a.join(b, "l_orderkey")
+             .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+             .select(F.col("a.l_partkey").alias("src"),
+                     F.col("b.l_partkey").alias("dst")))
+    return clustering_coefficient(edges)
+
+
+_O190 = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY node),
+t AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1 JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+corners AS (
+  SELECT a AS node FROM t
+  UNION ALL SELECT b FROM t
+  UNION ALL SELECT c FROM t),
+tri AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS nt FROM corners
+  GROUP BY node)
+SELECT deg.node, degree, COALESCE(nt, 0) AS n_triangles,
+       CASE WHEN degree >= 2
+            THEN 2.0 * CAST(COALESCE(nt, 0) AS DOUBLE)
+                 / (CAST(degree AS DOUBLE)
+                    * (CAST(degree AS DOUBLE) - 1.0))
+       END AS clustering_coeff
+FROM deg LEFT JOIN tri ON tri.node = deg.node
+"""
+
+
+def _q191_kaplan_meier(spark, sf):
+    """Kaplan-Meier survival of user lifetime (minutes between first
+    and last event), event = the user ever purchased, censored
+    otherwise, cohort = user_id mod 3: exact at-risk/event counts,
+    micro-nat integerized cumulative log-survival. The engine-local
+    exp(survival) column is projected out (exp differs by 1 ulp
+    across libms — measured); the oracle hashes exact integers only.
+    Round-5 post-pin registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.eventops import kaplan_meier
+    ev = _t(spark, sf, "events").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull())
+    pu = (ev.groupBy("user_id")
+          .agg((F.max(F.unix_micros(F.col("ts").cast("timestamp")))
+                - F.min(F.unix_micros(F.col("ts").cast("timestamp"))))
+               .alias("diff_us"),
+               F.max((F.col("event_type") == "purchase")
+                     .cast("long")).alias("ev")))
+    surv = pu.select(
+        F.pmod(F.col("user_id"), F.lit(3)).alias("cohort"),
+        F.expr("diff_us div 60000000").alias("dur_min"),
+        "ev")
+    return kaplan_meier(surv, duration_col="dur_min", event_col="ev",
+                        group_cols=["cohort"])         .select("cohort", "t", "at_risk", "events", "censored",
+                "log_surv_micro")
+
+
+_O191 = """
+WITH pu AS (
+  SELECT user_id % 3 AS cohort,
+         (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 60000000 AS t0,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS ev
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_type IS NOT NULL
+  GROUP BY user_id),
+pt AS (
+  SELECT cohort, CAST(t0 AS BIGINT) AS t,
+         CAST(SUM(ev) AS BIGINT) AS d,
+         CAST(SUM(1 - ev) AS BIGINT) AS c
+  FROM pu GROUP BY cohort, t0),
+w AS (
+  SELECT cohort, t, d, c,
+         CAST(SUM(d + c) OVER (PARTITION BY cohort) AS BIGINT)
+           AS total,
+         CAST(COALESCE(SUM(d + c) OVER (
+              PARTITION BY cohort ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS prior
+  FROM pt),
+evt AS (
+  SELECT cohort, t, d, c, total - prior AS at_risk
+  FROM w WHERE d > 0),
+lg AS (
+  SELECT cohort, t, at_risk, d, c,
+         CAST(SUM(CASE WHEN at_risk - d > 0
+              THEN CAST(ROUND(LN(CAST(at_risk - d AS DOUBLE)) * 1e6)
+                        AS BIGINT)
+                   - CAST(ROUND(LN(CAST(at_risk AS DOUBLE)) * 1e6)
+                          AS BIGINT)
+              ELSE 0 END) OVER (PARTITION BY cohort ORDER BY t)
+              AS BIGINT) AS cum,
+         MAX(CASE WHEN at_risk = d THEN 1 ELSE 0 END)
+           OVER (PARTITION BY cohort ORDER BY t) AS zf
+  FROM evt)
+SELECT cohort, t, at_risk, d AS events, c AS censored,
+       CASE WHEN zf = 0 THEN cum END AS log_surv_micro
+FROM lg
+"""
+
+
+def _q192_theil(spark, sf):
+    """Theil T inequality of document length per language: micro-nat
+    integerized x*ln(x) summed as exact BIGINT, ONE fixed double
+    expression. Round-5 post-pin registration: in-repo oracle sweep
+    only."""
+    from kml2geojson_spark.relational import theil_index
+    docs = _t(spark, sf, "documents").select(
+        "lang", F.col("n_chars").cast("long").alias("n_chars"))
+    return theil_index(docs, value_col="n_chars", group_cols=["lang"])
+
+
+_O192 = """
+WITH b AS (
+  SELECT lang AS g, CAST(n_chars AS BIGINT) AS v FROM documents
+  WHERE lang IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0),
+pv AS (
+  SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY g, v),
+s AS (
+  SELECT g, CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(c * v) AS BIGINT) AS sum_v,
+         CAST(SUM(c * v * CAST(ROUND(LN(CAST(v AS DOUBLE)) * 1e6)
+                               AS BIGINT)) AS BIGINT) AS xlnx_micro
+  FROM pv GROUP BY g)
+SELECT g AS lang, n, sum_v, xlnx_micro,
+       (CAST(xlnx_micro AS DOUBLE) / CAST(sum_v AS DOUBLE)
+        - CAST(CAST(ROUND(LN(CAST(sum_v AS DOUBLE)) * 1e6) AS BIGINT)
+               - CAST(ROUND(LN(CAST(n AS DOUBLE)) * 1e6) AS BIGINT)
+          AS DOUBLE)) / 1e6 AS theil
+FROM s
+"""
+
+
+def _q193_zipf(spark, sf):
+    """Zipf-law OLS fit of ln(freq) ~ ln(rank) over the corpus token
+    frequencies: two-phase distributed ranks, micro-nat integerized
+    lns, exact DECIMAL sufficient statistics, fixed IEEE closed form.
+    Round-5 post-pin registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.textops import zipf_fit
+    return zipf_fit(_t(spark, sf, "documents"))
+
+
+_O193 = """
+WITH toks AS (
+  SELECT UNNEST(string_split(lower(text), ' ')) AS token
+  FROM documents WHERE text IS NOT NULL),
+tf AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM toks WHERE token <> '' GROUP BY token),
+r AS (
+  SELECT freq,
+         ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC) AS rnk
+  FROM tf),
+l AS (
+  SELECT CAST(ROUND(LN(CAST(rnk AS DOUBLE)) * 1e6) AS HUGEINT) AS x,
+         CAST(ROUND(LN(CAST(freq AS DOUBLE)) * 1e6) AS HUGEINT) AS y
+  FROM r),
+s AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+  FROM l)
+SELECT CAST(n AS BIGINT) AS n_terms,
+  CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+       THEN CAST(n * sxy - sx * sy AS DOUBLE)
+            / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope,
+  CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+       THEN ((CAST(sy AS DOUBLE)
+              - (CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE))
+                * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) / 1e6
+  END AS intercept,
+  CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+            AND n * syy - sy * sy > 0
+       THEN CAST(n * sxy - sx * sy AS DOUBLE)
+            * CAST(n * sxy - sx * sy AS DOUBLE)
+            / (CAST(n * sxx - sx * sx AS DOUBLE)
+               * CAST(n * syy - sy * sy AS DOUBLE)) END AS r2
+FROM s
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -6534,6 +6730,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q187_kruskal_wallis": _q187_kruskal,
         "q188_group_moments": _q188_moments,
         "q189_group_quantiles": _q189_quantiles,
+        "q190_clustering_coeff": _q190_clustering,
+        "q191_kaplan_meier": _q191_kaplan_meier,
+        "q192_theil_index": _q192_theil,
+        "q193_zipf_fit": _q193_zipf,
     }
 
 
@@ -6715,6 +6915,10 @@ def oracle_sql() -> dict[str, str]:
         "q187_kruskal_wallis": _O187,
         "q188_group_moments": _O188,
         "q189_group_quantiles": _O189,
+        "q190_clustering_coeff": _O190,
+        "q191_kaplan_meier": _O191,
+        "q192_theil_index": _O192,
+        "q193_zipf_fit": _O193,
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

@@ -801,3 +801,89 @@ def cohort_ltv(events: DataFrame, *, user_col: str = "user_id",
                         .orderBy(F.col("_age").asc())
                         .rowsBetween(Window.unboundedPreceding, 0))
                     .alias("cum_value_scaled")))
+
+
+def kaplan_meier(df: DataFrame, *, duration_col: str, event_col: str,
+                 group_cols: list[str]) -> DataFrame:
+    """Per-group Kaplan–Meier survival table — the censoring-aware
+    retention/churn estimator (user lifetime, subscription survival,
+    ticket time-to-close) that a naive "mean duration" gets wrong the
+    moment observation windows truncate: censored subjects stay in
+    the at-risk denominator until their censoring time instead of
+    being dropped or counted as events.
+
+    Input: one row per subject with an INTEGER ``duration_col``
+    (floats raise) and an INTEGER 0/1 ``event_col`` (1 = event
+    observed at ``duration``, 0 = censored at ``duration``).
+
+    Determinism: at-risk / event / censored counts per time are
+    exact BIGINTs (per-time hash-agg + one cumulative window); the
+    cumulative log-survival
+    ``Σ_{s ≤ t, d_s>0} (ln(n_s − d_s) − ln(n_s))`` uses the
+    micro-nat integerized ln of :func:`~kml2geojson_spark.relational
+    .group_entropy` (each ln rounded PER exact integer before the
+    sum → addition-order independent exact BIGINT). The convenience
+    ``survival = exp(log_surv_micro/1e6)`` double is engine-local
+    (exp differs by 1 ulp between libms — measured), so CROSS-ENGINE
+    comparisons must hash the exact integer columns only.
+
+    Scale shape: one (group, duration) hash-aggregate with map-side
+    combine, then all windows over the SAME group partitioning
+    (time-level rows, not subject rows). No join, no Python.
+
+    Output: (group..., t, at_risk, events, censored,
+    log_surv_micro, survival) — one row per EVENT time (d > 0);
+    log_surv_micro/survival are NULL/0.0 from the step where the
+    last at-risk subject dies (n = d: survival reaches exact zero).
+    """
+    from pyspark.sql.types import DoubleType, FloatType
+
+    fields = {f.name: f for f in df.schema.fields}
+    for c in (duration_col, event_col):
+        if isinstance(fields[c].dataType, (DoubleType, FloatType)):
+            raise ValueError(
+                f"kaplan_meier: {c!r} is floating-point — integerize "
+                "first (exact integer counts are the determinism "
+                "contract)")
+    if not group_cols:
+        raise ValueError("kaplan_meier: group_cols must be non-empty")
+    keep = (F.col(duration_col).isNotNull()
+            & F.col(event_col).isNotNull()
+            & F.col(event_col).cast("long").isin(0, 1)
+            & (F.col(duration_col) >= 0))
+    for g in group_cols:
+        keep = keep & F.col(g).isNotNull()
+    ev = F.col(event_col).cast("long")
+    per_t = (df.where(keep)
+             .groupBy(*group_cols,
+                      F.col(duration_col).cast("long").alias("t"))
+             .agg(F.sum(ev).alias("events"),
+                  F.sum(F.lit(1) - ev).alias("censored")))
+    wg = Window.partitionBy(*group_cols)
+    w_prior = (wg.orderBy(F.col("t").asc())
+               .rowsBetween(Window.unboundedPreceding, -1))
+    leaving = F.col("events") + F.col("censored")
+    at_risk = (F.sum(leaving).over(wg)
+               - F.coalesce(F.sum(leaving).over(w_prior), F.lit(0)))
+    staged = per_t.select(*group_cols, "t", "events", "censored",
+                          at_risk.alias("at_risk")) \
+        .where(F.col("events") > 0)
+
+    def _lnmu(col: F.Column) -> F.Column:
+        return F.round(F.log(col.cast("double")) * 1e6).cast("long")
+
+    alive = F.col("at_risk") - F.col("events")
+    step = F.when(alive > 0,
+                  _lnmu(alive) - _lnmu(F.col("at_risk"))) \
+        .otherwise(F.lit(0))
+    w_cum = (wg.orderBy(F.col("t").asc())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.sum(step).over(w_cum)
+    dead = F.max((alive == 0).cast("int")).over(w_cum)
+    log_s = F.when(dead == 0, cum)
+    surv = F.when(dead == 0,
+                  F.exp(cum.cast("double") / F.lit(1e6))) \
+        .otherwise(F.lit(0.0))
+    return staged.select(*group_cols, "t", "at_risk", "events",
+                         "censored", log_s.alias("log_surv_micro"),
+                         surv.alias("survival"))

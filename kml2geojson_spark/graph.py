@@ -648,3 +648,45 @@ def k_core(edges: DataFrame, *, src: str = "src", dst: str = "dst",
             "the worst case is the node count)")
     return (sym.groupBy(F.col("src").alias("node"))
             .agg(F.count(F.lit(1)).alias("degree")))
+
+
+def clustering_coefficient(edges: DataFrame, *, src: str = "src",
+                           dst: str = "dst") -> DataFrame:
+    """Per-node local clustering coefficient
+    ``2·triangles(v) / (deg(v)·(deg(v)−1))`` over an undirected edge
+    list — the neighborhood-density signal that separates hub nodes
+    (high degree, low closure: spam, aggregators) from community
+    cores (high closure), complementing :func:`triangle_count`'s raw
+    counts with the degree-normalized view.
+
+    Exactness: degree and triangle counts are exact BIGINTs; the
+    coefficient is ONE fixed IEEE expression of those integers —
+    bit-identical across engines and partitionings.
+
+    Scale shape: the degree aggregate and the degree-oriented wedge
+    join of :func:`triangle_count` (hub skew handled structurally —
+    the hot node stops being the join key), plus one left equi-join
+    of the triangle counts back onto the degree frame. No windows,
+    no Python.
+
+    Output: (node, degree, n_triangles, clustering_coeff) for every
+    node with ≥ 1 edge — coefficient NULL when degree < 2 (the ratio
+    is undefined), 0.0 for closed-triangle-free nodes.
+    """
+    e = (edges.select(F.least(F.col(src), F.col(dst)).cast("long")
+                      .alias("u"),
+                      F.greatest(F.col(src), F.col(dst)).cast("long")
+                      .alias("v"))
+         .where(F.col("u") != F.col("v"))
+         .distinct())
+    deg = (e.select(F.col("u").alias("node"))
+           .unionAll(e.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("degree")))
+    tri = triangle_count(edges, src=src, dst=dst)
+    j = deg.join(tri, "node", "left")
+    nt = F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long")
+    d = F.col("degree").cast("double")
+    cc = F.when(F.col("degree") >= 2,
+                F.lit(2.0) * nt.cast("double") / (d * (d - F.lit(1.0))))
+    return j.select("node", "degree", nt.alias("n_triangles"),
+                    cc.alias("clustering_coeff"))

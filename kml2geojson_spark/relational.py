@@ -1952,3 +1952,60 @@ def group_quantiles(df: DataFrame, *, value_col: str,
     return (ex.where(hit)
             .select(*group_cols, "permille", "n",
                     F.col("_v").alias("value")))
+
+
+def theil_index(df: DataFrame, *, value_col: str,
+                group_cols: list[str]) -> DataFrame:
+    """Per-group Theil T inequality index
+    ``T = (1/n)·Σ (xᵢ/μ)·ln(xᵢ/μ)`` — the decomposable concentration
+    measure (0 = perfect equality, ln n = one row holds everything)
+    for traffic/revenue/token-budget concentration, complementing
+    :func:`group_gini` (rank-based) and :func:`top_p_coverage`
+    (head-count) with the information-theoretic view.
+
+    Determinism (the :func:`group_entropy` micro-nat rule): values
+    must be POSITIVE INTEGERS (floats raise; rows with v ≤ 0 are
+    dropped — ln is undefined there). Using
+    ``T = (Σ x·ln x)/S − ln S + ln n`` with ``S = Σx``, every ln is
+    integerized PER exact integer (``round(ln(k)·10⁶)``) before any
+    sum, so ``Σ x·lnμ(x)`` is an exact addition-order-independent
+    BIGINT and T is ONE fixed double expression of exact integers —
+    bit-identical across engines. Resolution is 1 micro-nat. Caller
+    guarantees Σ x·lnμ(x) < 2⁶³ (x ≤ 10⁶ with ~4·10⁴ rows per group,
+    or x ≤ 10³ with ~10⁸ rows, is safe) — ANSI-raises, never wraps.
+
+    Scale shape: one (group, value) hash-aggregate with map-side
+    combine, one group hash-aggregate. No window, no join.
+
+    Output: (group..., n, sum_v, xlnx_micro, theil).
+    """
+    from pyspark.sql.types import DoubleType, FloatType
+
+    fields = {f.name: f for f in df.schema.fields}
+    if isinstance(fields[value_col].dataType, (DoubleType, FloatType)):
+        raise ValueError(
+            f"theil_index: {value_col!r} is floating-point — "
+            "integerize first (exact integer sums are the "
+            "determinism contract)")
+    if not group_cols:
+        raise ValueError("theil_index: group_cols must be non-empty")
+    keep = F.col(value_col).isNotNull() & (F.col(value_col) > 0)
+    for g in group_cols:
+        keep = keep & F.col(g).isNotNull()
+    per_val = (df.where(keep)
+               .groupBy(*group_cols,
+                        F.col(value_col).cast("long").alias("_v"))
+               .agg(F.count(F.lit(1)).alias("_c")))
+    lnv = F.round(F.log(F.col("_v").cast("double")) * 1e6).cast("long")
+    s = per_val.groupBy(*group_cols).agg(
+        F.sum("_c").alias("n"),
+        F.sum(F.col("_c") * F.col("_v")).alias("sum_v"),
+        F.sum(F.col("_c") * F.col("_v") * lnv).alias("xlnx_micro"))
+    lns = F.round(F.log(F.col("sum_v").cast("double")) * 1e6) \
+        .cast("long")
+    lnn = F.round(F.log(F.col("n").cast("double")) * 1e6).cast("long")
+    theil = (F.col("xlnx_micro").cast("double")
+             / F.col("sum_v").cast("double")
+             - (lns - lnn).cast("double")) / F.lit(1e6)
+    return s.select(*group_cols, "n", "sum_v", "xlnx_micro",
+                    theil.alias("theil"))

@@ -1469,3 +1469,87 @@ def winnow_fingerprints(documents: DataFrame, *,
         F.expr(f"_sel div {1 << 20}").alias("fp"),
         (F.col("_sel") % F.lit(1 << 20)).cast("int").alias("pos"))
         .distinct())
+
+
+def zipf_fit(documents: DataFrame, *, text_col: str = "text",
+             min_freq: int = 1) -> DataFrame:
+    """Zipf-law fit of the corpus token-frequency distribution: OLS
+    of ``ln(freq)`` on ``ln(rank)`` over the ranked term-frequency
+    table — slope ≈ −1 with high R² is the classic natural-language
+    signature, so deviation flags synthetic/boilerplate/spam corpora
+    and the fitted slope feeds vocabulary-size planning.
+
+    Determinism: ranks are the deterministic total order
+    (freq desc, token asc) assembled with :func:`vocabulary`'s
+    two-phase range-partitioned row numbers (never one global window
+    task); both regression variables are micro-nat integerized lns
+    (``round(ln(k)·10⁶)`` per exact integer — the
+    :func:`~kml2geojson_spark.relational.group_entropy` rule), the
+    five sufficient statistics are exact DECIMAL(38,0) sums, and
+    slope/intercept/R² are fixed IEEE expressions of those exact
+    integers — bit-identical across engines and partitionings.
+
+    Scale shape: one token explode + (token) hash-aggregate with
+    map-side combine, one range repartition + per-bucket row
+    numbers + broadcast of the tiny per-bucket offsets (the
+    :func:`vocabulary` shape), one final global aggregate. No global
+    window, no Python.
+
+    Output: ONE row (n_terms, slope, intercept, r2) — slope/R² NULL
+    when fewer than 2 distinct ranked terms.
+    """
+    if min_freq < 1:
+        raise ValueError("zipf_fit: min_freq must be >= 1")
+    from pyspark.sql import Window
+
+    spark = documents.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    toks = documents.where(F.col(text_col).isNotNull()).select(
+        F.explode(F.split(F.lower(F.col(text_col)), " "))
+        .alias("token")).where(F.col("token") != "")
+    tf = (toks.groupBy("token")
+          .agg(F.count(F.lit(1)).alias("freq"))
+          .where(F.col("freq") >= min_freq))
+    ranked = (tf.repartitionByRange(
+                  n_parts, F.col("freq").desc(), F.col("token").asc())
+              .withColumn("_pid", F.spark_partition_id())
+              .withColumn("_rn", F.row_number().over(
+                  Window.partitionBy("_pid")
+                  .orderBy(F.col("freq").desc(), F.col("token").asc())))
+              .localCheckpoint(eager=False))
+    ptot = ranked.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    w_p = (Window.orderBy(F.col("_pid").asc())
+           .rowsBetween(Window.unboundedPreceding, -1))
+    offs = ptot.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(w_p), F.lit(0)))
+    rr = (ranked.join(F.broadcast(offs.select("_pid", "_off")), "_pid")
+          .select("freq", (F.col("_rn") + F.col("_off")).cast("long")
+                  .alias("rank")))
+
+    def _lnmu(col: F.Column) -> F.Column:
+        return F.round(F.log(col.cast("double")) * 1e6) \
+            .cast("decimal(38,0)")
+
+    lx = rr.select(_lnmu(F.col("rank")).alias("_x"),
+                   _lnmu(F.col("freq")).alias("_y"))
+    s = lx.agg(F.count(F.lit(1)).alias("n_terms"),
+               F.sum("_x").alias("_sx"), F.sum("_y").alias("_sy"),
+               F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+               F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+               F.sum(F.col("_y") * F.col("_y")).alias("_syy"))
+    nn = F.col("n_terms").cast("decimal(38,0)")
+    num = nn * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    dx = nn * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    dy = nn * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    slope = num.cast("double") / dx.cast("double")
+    intercept = ((F.col("_sy").cast("double")
+                  - slope * F.col("_sx").cast("double"))
+                 / F.col("n_terms").cast("double")) / F.lit(1e6)
+    r2 = (num.cast("double") * num.cast("double")
+          / (dx.cast("double") * dy.cast("double")))
+    okx = (F.col("n_terms") >= 2) & (dx > 0)
+    return s.select(
+        "n_terms",
+        F.when(okx, slope).alias("slope"),
+        F.when(okx, intercept).alias("intercept"),
+        F.when(okx & (dy > 0), r2).alias("r2"))

@@ -205,3 +205,168 @@ def test_group_quantiles_plan_no_join_no_python(spark):
                                  permilles=[500, 990]))
     assert "PythonUDF" not in plan
     assert "Join" not in plan                     # explode, not a join
+
+
+# ------------------------------------------------- clustering coefficient
+
+
+def test_clustering_coefficient_known_graph(spark):
+    from kml2geojson_spark.graph import clustering_coefficient
+    # triangle 1-2-3 plus pendant 4 attached to 1, isolated edge 5-6
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (1, 4), (5, 6), (2, 1)],  # dup reversed
+        "src long, dst long")
+    out = {r["node"]: r for r in
+           clustering_coefficient(edges).collect()}
+    assert out[1]["degree"] == 3 and out[1]["n_triangles"] == 1
+    assert abs(out[1]["clustering_coeff"] - 2 / 6) < 1e-15
+    assert out[2]["clustering_coeff"] == 1.0
+    assert out[3]["clustering_coeff"] == 1.0
+    assert out[4]["degree"] == 1 and out[4]["clustering_coeff"] is None
+    assert out[5]["n_triangles"] == 0
+    assert out[5]["clustering_coeff"] is None  # degree 1
+    assert len(out) == 6
+
+
+def test_clustering_coefficient_open_wedge_zero(spark):
+    from kml2geojson_spark.graph import clustering_coefficient
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    out = {r["node"]: r for r in
+           clustering_coefficient(edges).collect()}
+    assert out[2]["degree"] == 2 and out[2]["clustering_coeff"] == 0.0
+
+
+# ------------------------------------------------------------ kaplan-meier
+
+
+def test_kaplan_meier_hand_case(spark):
+    from kml2geojson_spark.eventops import kaplan_meier
+    # classic example: events at t=1 (2 deaths of 6), t=3 (1 of 3);
+    # censored at t=2 (1) and t=4 (2 never die)
+    rows = [("g", 1, 1), ("g", 1, 1), ("g", 2, 0), ("g", 3, 1),
+            ("g", 4, 0), ("g", 4, 0)]
+    df = spark.createDataFrame(rows, "grp string, dur long, ev long")
+    out = {r["t"]: r for r in
+           kaplan_meier(df, duration_col="dur", event_col="ev",
+                        group_cols=["grp"]).collect()}
+    assert set(out) == {1, 3}                    # event times only
+    assert out[1]["at_risk"] == 6 and out[1]["events"] == 2
+    assert out[3]["at_risk"] == 3 and out[3]["events"] == 1
+    import math
+    want1 = round(math.log(4) * 1e6) - round(math.log(6) * 1e6)
+    assert out[1]["log_surv_micro"] == want1
+    want3 = want1 + round(math.log(2) * 1e6) - round(math.log(3) * 1e6)
+    assert out[3]["log_surv_micro"] == want3
+    assert abs(out[1]["survival"] - 4 / 6) < 1e-5
+    assert abs(out[3]["survival"] - (4 / 6) * (2 / 3)) < 1e-5
+
+
+def test_kaplan_meier_zero_survival_and_validation(spark):
+    from kml2geojson_spark.eventops import kaplan_meier
+    rows = [("g", 1, 1), ("g", 2, 1), ("g", 2, 1)]  # all die by t=2
+    df = spark.createDataFrame(rows, "grp string, dur long, ev long")
+    out = {r["t"]: r for r in
+           kaplan_meier(df, duration_col="dur", event_col="ev",
+                        group_cols=["grp"]).collect()}
+    assert out[2]["at_risk"] == 2 and out[2]["events"] == 2
+    assert out[2]["log_surv_micro"] is None
+    assert out[2]["survival"] == 0.0
+    assert out[1]["survival"] > 0.0
+    dff = spark.createDataFrame([("g", 1.0, 1)],
+                                "grp string, dur double, ev long")
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        kaplan_meier(dff, duration_col="dur", event_col="ev",
+                     group_cols=["grp"])
+    with _pt.raises(ValueError):
+        kaplan_meier(df, duration_col="dur", event_col="ev",
+                     group_cols=[])
+    # rows with event flag outside {0,1} or negative duration drop
+    rows2 = [("g", 1, 1), ("g", 1, 7), ("g", -2, 1)]
+    df2 = spark.createDataFrame(rows2, "grp string, dur long, ev long")
+    (r,) = kaplan_meier(df2, duration_col="dur", event_col="ev",
+                        group_cols=["grp"]).collect()
+    assert r["at_risk"] == 1 and r["events"] == 1
+
+
+# ------------------------------------------------------------------ theil
+
+
+def test_theil_brute_force_and_edges(spark):
+    from kml2geojson_spark.relational import theil_index
+    import random
+    random.seed(13)
+    vals = [random.randint(1, 500) for _ in range(300)]
+    df = spark.createDataFrame([("g", v) for v in vals]
+                               + [("eq", 7)] * 10
+                               + [("g", 0), ("g", -4)],  # dropped
+                               "grp string, v long")
+    out = {r["grp"]: r for r in
+           theil_index(df, value_col="v", group_cols=["grp"]).collect()}
+    n, s = len(vals), sum(vals)
+    mu = s / n
+    want = sum((v / mu) * math.log(v / mu) for v in vals) / n
+    assert out["g"]["n"] == n and out["g"]["sum_v"] == s
+    assert abs(out["g"]["theil"] - want) < 1e-4   # micro-nat resolution
+    assert abs(out["eq"]["theil"]) < 2e-6         # equality -> ~0
+    dff = spark.createDataFrame([("g", 1.0)], "grp string, v double")
+    with pytest.raises(ValueError):
+        theil_index(dff, value_col="v", group_cols=["grp"])
+
+
+def test_theil_plan_two_aggs_no_python(spark):
+    from kml2geojson_spark.relational import theil_index
+    df = spark.createDataFrame([("g", i % 9 + 1) for i in range(50)],
+                               "grp string, v long")
+    plan = _plan(theil_index(df, value_col="v", group_cols=["grp"]))
+    assert "PythonUDF" not in plan and "Join" not in plan
+
+
+# --------------------------------------------------------------- zipf fit
+
+
+def test_zipf_fit_matches_plain_ols(spark):
+    from kml2geojson_spark.textops import zipf_fit
+    import random
+    random.seed(17)
+    # synthetic corpus with a Zipfy token distribution
+    vocab = [f"w{i}" for i in range(60)]
+    words = []
+    for i, w in enumerate(vocab):
+        words += [w] * max(1, int(200 / (i + 1)))
+    random.shuffle(words)
+    docs = []
+    for i in range(20):
+        docs.append((i, " ".join(words[i::20])))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    (r,) = zipf_fit(df).collect()
+    # replay: exact micro-nat OLS in plain python
+    from collections import Counter
+    cnt = Counter(words)
+    ordered = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    xs = [round(math.log(i + 1) * 1e6) for i in range(len(ordered))]
+    ys = [round(math.log(f) * 1e6) for _, f in ordered]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    syy = sum(y * y for y in ys)
+    num = n * sxy - sx * sy
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    assert r["n_terms"] == n
+    assert abs(r["slope"] - num / dx) < 1e-12
+    assert abs(r["r2"] - num * num / (dx * dy)) < 1e-12
+    assert -1.5 < r["slope"] < -0.5 and r["r2"] > 0.8
+
+
+def test_zipf_fit_edges(spark):
+    from kml2geojson_spark.textops import zipf_fit
+    df = spark.createDataFrame([(1, "only only only")],
+                               "doc_id long, text string")
+    (r,) = zipf_fit(df).collect()
+    assert r["n_terms"] == 1 and r["slope"] is None
+    (r2,) = zipf_fit(df, min_freq=5).collect()
+    assert r2["n_terms"] == 0
+    with pytest.raises(ValueError):
+        zipf_fit(df, min_freq=0)
