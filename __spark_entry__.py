@@ -6548,6 +6548,217 @@ FROM s
 """
 
 
+def _q194_odds_ratio(spark, sf):
+    """2x2 odds ratio per user-cohort: exposure = the user ever
+    clicked, outcome = the user ever purchased; exact BIGINT cells,
+    micro-nat integerized log-OR, Wald CI left in log scale (exp is
+    engine-local). Round-5 post-pin registration: in-repo oracle
+    sweep only."""
+    from kml2geojson_spark.relational import odds_ratio
+    ev = _t(spark, sf, "events").where(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+    pu = (ev.groupBy("user_id")
+          .agg(F.max((F.col("event_type") == "click").cast("long"))
+               .alias("e"),
+               F.max((F.col("event_type") == "purchase").cast("long"))
+               .alias("o")))
+    strata = pu.select(F.pmod(F.col("user_id"), F.lit(4))
+                       .alias("cohort"), "e", "o")
+    return odds_ratio(strata, exposure_col="e", outcome_col="o",
+                      group_cols=["cohort"])
+
+
+_O194 = """
+WITH pu AS (
+  SELECT user_id % 4 AS cohort,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS e,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS o
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY user_id),
+s AS (
+  SELECT cohort,
+    CAST(SUM(CASE WHEN e = 1 AND o = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n11,
+    CAST(SUM(CASE WHEN e = 1 AND o = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n10,
+    CAST(SUM(CASE WHEN e = 0 AND o = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n01,
+    CAST(SUM(CASE WHEN e = 0 AND o = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n00
+  FROM pu GROUP BY cohort),
+x AS (
+  SELECT cohort, n11, n10, n01, n00,
+         n11 > 0 AND n10 > 0 AND n01 > 0 AND n00 > 0 AS ok,
+         CASE WHEN n11 > 0 AND n10 > 0 AND n01 > 0 AND n00 > 0 THEN
+           CAST(ROUND(LN(CAST(n11 AS DOUBLE)) * 1e6) AS BIGINT)
+           + CAST(ROUND(LN(CAST(n00 AS DOUBLE)) * 1e6) AS BIGINT)
+           - CAST(ROUND(LN(CAST(n10 AS DOUBLE)) * 1e6) AS BIGINT)
+           - CAST(ROUND(LN(CAST(n01 AS DOUBLE)) * 1e6) AS BIGINT)
+         END AS lom,
+         SQRT(1.0 / CAST(n11 AS DOUBLE) + 1.0 / CAST(n10 AS DOUBLE)
+              + 1.0 / CAST(n01 AS DOUBLE)
+              + 1.0 / CAST(n00 AS DOUBLE)) AS se
+  FROM s)
+SELECT cohort, n11, n10, n01, n00,
+       CASE WHEN ok THEN CAST(n11 * n00 AS DOUBLE)
+                         / CAST(n10 * n01 AS DOUBLE) END AS odds_ratio,
+       CASE WHEN ok THEN lom END AS log_or_micro,
+       CASE WHEN ok THEN se END AS se_log_or,
+       CASE WHEN ok THEN CAST(lom AS DOUBLE) - 1.959964 * se * 1e6 END
+         AS ci_lo_log_micro,
+       CASE WHEN ok THEN CAST(lom AS DOUBLE) + 1.959964 * se * 1e6 END
+         AS ci_hi_log_micro
+FROM x
+"""
+
+
+def _q195_getis_ord(spark, sf):
+    """Getis-Ord Gi* hot-spot z-scores over the q10 customer cell
+    raster (res 9, radius-1 Chebyshev ring): cell_smooth's scatter
+    shape + one equi-join back + a broadcast 1-row global aggregate;
+    every inner term an exact BIGINT, ONE fixed IEEE expression per
+    cell. Round-5 post-pin registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.spatial import encode_points
+    from kml2geojson_spark.spatial.ops import getis_ord_gstar
+    counts = (encode_points(_customer_points(spark, sf), 9)
+              .groupBy("cell_id").agg(F.count(F.lit(1)).alias("n")))
+    return getis_ord_gstar(counts, 9, 1)
+
+
+def _o195() -> str:
+    n = 1 << 9
+    gx, gy = _grid_sql("x", "y", 9)
+    return (
+        f"WITH pts AS ({_PTS_SQL}), "
+        f"pg AS (SELECT {gx} AS cx, {gy} AS cy FROM pts), "
+        "cnt AS (SELECT cx, cy, CAST(COUNT(*) AS BIGINT) AS v "
+        "FROM pg GROUP BY cx, cy), "
+        "offs AS (SELECT t1.dx, t2.dy FROM range(-1,2) t1(dx), "
+        "range(-1,2) t2(dy)), "
+        f"sc AS (SELECT ((cx + dx) % {n} + {n}) % {n} AS tx, "
+        f"cy + dy AS ty, v FROM cnt, offs "
+        f"WHERE cy + dy >= 0 AND cy + dy < {n}), "
+        "ring AS (SELECT tx, ty, CAST(SUM(v) AS BIGINT) AS s, "
+        "CAST(COUNT(*) AS BIGINT) AS w FROM sc GROUP BY tx, ty), "
+        "gstats AS (SELECT CAST(COUNT(*) AS BIGINT) AS gn, "
+        "CAST(SUM(v) AS BIGINT) AS gt, "
+        "CAST(SUM(v * v) AS BIGINT) AS gu FROM cnt), "
+        "j AS (SELECT c.cx AS gx, c.cy AS gy, c.v, r.s, r.w, "
+        "g.gn, g.gt, g.gu FROM cnt c "
+        "JOIN ring r ON r.tx = c.cx AND r.ty = c.cy CROSS JOIN gstats g)"
+        + _morton_ctes("v, s, w, gn, gt, gu", 9, "j")
+        + " SELECT cell_id, v AS value, s AS nbr_sum, w AS nbr_cnt, "
+        "CASE WHEN gn >= 2 AND gn * gu - gt * gt > 0 "
+        "AND gn * w - w * w > 0 "
+        "THEN CAST(gn * s - gt * w AS DOUBLE) "
+        "/ SQRT(CAST(gn * gu - gt * gt AS DOUBLE) "
+        "* CAST(gn * w - w * w AS DOUBLE) "
+        "/ CAST(gn - 1 AS DOUBLE)) END AS gi_star FROM enc")
+
+
+def _q196_cohens_d(spark, sf):
+    """Cohen's d / Hedges' g of the dollar-rounded order total
+    between open and fulfilled orders per priority: exact BIGINT
+    sufficient statistics, fixed IEEE effect-size expressions.
+    Round-5 post-pin registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.relational import cohens_d
+    od = _t(spark, sf, "orders").select(
+        "o_orderpriority", "o_orderstatus",
+        F.round(F.col("o_totalprice")).cast("long").alias("price"))
+    return cohens_d(od, value_col="price", group_col="o_orderstatus",
+                    group_a="O", group_b="F",
+                    group_cols=["o_orderpriority"])
+
+
+_O196 = """
+WITH b AS (
+  SELECT o_orderpriority AS g, o_orderstatus AS lvl,
+         CAST(ROUND(o_totalprice) AS BIGINT) AS v
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+    AND o_orderstatus IN ('O', 'F')),
+s AS (
+  SELECT g,
+    CAST(SUM(CASE WHEN lvl = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+    CAST(SUM(CASE WHEN lvl = 'O' THEN v ELSE 0 END) AS BIGINT) AS sa,
+    CAST(SUM(CASE WHEN lvl = 'O' THEN v * v ELSE 0 END) AS BIGINT)
+      AS ssa,
+    CAST(SUM(CASE WHEN lvl = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+    CAST(SUM(CASE WHEN lvl = 'F' THEN v ELSE 0 END) AS BIGINT) AS sb,
+    CAST(SUM(CASE WHEN lvl = 'F' THEN v * v ELSE 0 END) AS BIGINT)
+      AS ssb
+  FROM b GROUP BY g),
+x AS (
+  SELECT g, na, nb,
+         CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS mean_a,
+         CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mean_b,
+         ((CAST(na AS DOUBLE) * CAST(ssa AS DOUBLE)
+           - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+          / CAST(na AS DOUBLE)
+          + (CAST(nb AS DOUBLE) * CAST(ssb AS DOUBLE)
+             - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))
+            / CAST(nb AS DOUBLE))
+         / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 2.0) AS sp2
+  FROM s)
+SELECT g AS o_orderpriority, na AS n_a, nb AS n_b, mean_a, mean_b,
+       CASE WHEN na >= 2 AND nb >= 2 AND sp2 > 0.0
+            THEN (mean_a - mean_b) / SQRT(sp2) END AS cohens_d,
+       CASE WHEN na >= 2 AND nb >= 2 AND sp2 > 0.0
+            THEN (mean_a - mean_b) / SQRT(sp2)
+                 * (1.0 - 3.0 / (4.0 * (CAST(na AS DOUBLE)
+                                        + CAST(nb AS DOUBLE)) - 9.0))
+       END AS hedges_g
+FROM x
+"""
+
+
+def _q197_twa(spark, sf):
+    """Time-weighted average event value (cents, held until the next
+    sample) per event type over epoch-minute timestamps: one LEAD on
+    the group exchange, exact BIGINT v*dt sums, one final double
+    division — the correct mean where bursty sampling skews a row
+    average. Round-5 post-pin registration: in-repo oracle sweep
+    only."""
+    from kml2geojson_spark.eventops import time_weighted_average
+    ev = _t(spark, sf, "events").where(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()).select(
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp)) div 60000000")
+        .alias("tm"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"))
+    return time_weighted_average(ev, ts_col="tm", value_col="cents",
+                                 group_cols=["event_type"])
+
+
+_O197 = """
+WITH b AS (
+  SELECT event_type AS g, epoch_us(ts) // 60000000 AS tm,
+         CAST(ROUND(value * 100) AS BIGINT) AS v
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    AND value IS NOT NULL),
+l AS (
+  SELECT g, tm, v,
+         LEAD(tm) OVER (PARTITION BY g ORDER BY tm, v) AS nxt
+  FROM b),
+s AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(MIN(tm) AS BIGINT) AS tmin,
+         CAST(MAX(tm) AS BIGINT) AS tmax,
+         CAST(SUM(CASE WHEN nxt IS NOT NULL THEN v * (nxt - tm)
+                       ELSE 0 END) AS BIGINT) AS vdt
+  FROM l GROUP BY g)
+SELECT g AS event_type, n, tmax - tmin AS t_span, vdt AS vdt_sum,
+       CASE WHEN tmax > tmin
+            THEN CAST(vdt AS DOUBLE) / CAST(tmax - tmin AS DOUBLE)
+       END AS twa
+FROM s
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -6734,6 +6945,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q191_kaplan_meier": _q191_kaplan_meier,
         "q192_theil_index": _q192_theil,
         "q193_zipf_fit": _q193_zipf,
+        "q194_odds_ratio": _q194_odds_ratio,
+        "q195_getis_ord": _q195_getis_ord,
+        "q196_cohens_d": _q196_cohens_d,
+        "q197_time_weighted_avg": _q197_twa,
     }
 
 
@@ -6919,6 +7134,10 @@ def oracle_sql() -> dict[str, str]:
         "q191_kaplan_meier": _O191,
         "q192_theil_index": _O192,
         "q193_zipf_fit": _O193,
+        "q194_odds_ratio": _O194,
+        "q195_getis_ord": _o195(),
+        "q196_cohens_d": _O196,
+        "q197_time_weighted_avg": _O197,
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

@@ -887,3 +887,65 @@ def kaplan_meier(df: DataFrame, *, duration_col: str, event_col: str,
     return staged.select(*group_cols, "t", "at_risk", "events",
                          "censored", log_s.alias("log_surv_micro"),
                          surv.alias("survival"))
+
+
+def time_weighted_average(df: DataFrame, *, ts_col: str,
+                          value_col: str,
+                          group_cols: list[str]) -> DataFrame:
+    """Per-group time-weighted average of an irregularly-sampled
+    value — the correct mean for sensor readings, account balances,
+    and fleet gauges where a plain row average over-weights bursty
+    sampling windows: each sample is held until the next one, so its
+    weight is its holding interval.
+
+    Determinism: both ``ts_col`` and ``value_col`` must be INTEGER
+    (floats raise — integerize timestamps to epoch minutes/seconds
+    first); the hold interval ``Δtᵢ = tᵢ₊₁ − tᵢ`` comes from one
+    LEAD over the totalized (ts, value) order (ties carry zero
+    weight for all but the block's last row, and equal values make
+    any within-block permutation sum identically), and
+    ``Σ v·Δt`` / ``t_max − t_min`` are exact BIGINTs with ONE final
+    double division. The last sample contributes no interval (the
+    observation window closes at ``t_max``). Caller guarantees
+    Σ|v·Δt| < 2⁶³. NULL keys/values drop.
+
+    Scale shape: one Exchange (hash by group), one in-partition sort
+    for the LEAD, one hash-aggregate on the same partitioning. No
+    join, no Python.
+
+    Output: (group..., n, t_span, vdt_sum, twa) — twa NULL when the
+    group has a single distinct timestamp (zero span).
+    """
+    from pyspark.sql.types import DoubleType, FloatType
+
+    fields = {f.name: f for f in df.schema.fields}
+    for c in (ts_col, value_col):
+        if isinstance(fields[c].dataType, (DoubleType, FloatType)):
+            raise ValueError(
+                f"time_weighted_average: {c!r} is floating-point — "
+                "integerize first (exact integer sums are the "
+                "determinism contract)")
+    if not group_cols:
+        raise ValueError(
+            "time_weighted_average: group_cols must be non-empty")
+    keep = F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    for g in group_cols:
+        keep = keep & F.col(g).isNotNull()
+    b = df.where(keep).select(
+        *group_cols, F.col(ts_col).cast("long").alias("_t"),
+        F.col(value_col).cast("long").alias("_v"))
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("_t").asc(), F.col("_v").asc())
+    nxt = F.lead("_t").over(w)
+    l = b.select(*group_cols, "_t", "_v", nxt.alias("_nxt"))
+    s = l.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("_t").alias("_tmin"), F.max("_t").alias("_tmax"),
+        F.sum(F.when(F.col("_nxt").isNotNull(),
+                     F.col("_v") * (F.col("_nxt") - F.col("_t")))
+              .otherwise(0)).alias("vdt_sum"))
+    span = F.col("_tmax") - F.col("_tmin")
+    twa = F.when(span > 0,
+                 F.col("vdt_sum").cast("double") / span.cast("double"))
+    return s.select(*group_cols, "n", span.alias("t_span"),
+                    "vdt_sum", twa.alias("twa"))

@@ -2009,3 +2009,150 @@ def theil_index(df: DataFrame, *, value_col: str,
              - (lns - lnn).cast("double")) / F.lit(1e6)
     return s.select(*group_cols, "n", "sum_v", "xlnx_micro",
                     theil.alias("theil"))
+
+
+def odds_ratio(df: DataFrame, *, exposure_col: str, outcome_col: str,
+               group_cols: list[str]) -> DataFrame:
+    """Per-group 2×2 odds ratio with a log-scale Wald interval — the
+    exposure/outcome association primitive (did clicking raise the
+    purchase odds; does a feature flag raise the error odds)
+    completing :func:`two_proportion_ztest` (difference view) and
+    :func:`chi2_independence` (k×m view) with the ratio view.
+
+    Input: INTEGER 0/1 ``exposure_col`` and ``outcome_col`` (floats
+    raise; rows with values outside {0, 1} or NULL drop).
+
+    Determinism: the four cell counts are exact BIGINTs from ONE
+    conditional hash-aggregate. ``odds_ratio = (n11·n00)/(n10·n01)``
+    is one division of exact integer products;
+    ``log_or_micro = lnμ(n11)+lnμ(n00)−lnμ(n10)−lnμ(n01)`` uses the
+    micro-nat integerized ln (the :func:`group_entropy` rule) so it
+    is an exact BIGINT; the Wald SE ``√(1/n11+1/n10+1/n01+1/n00)``
+    and the log-scale CI bounds are fixed IEEE expressions of exact
+    integers — bit-identical across engines. The CI is left in
+    micro-nat log scale (exponentiating is engine-local: exp differs
+    by 1 ulp across libms — measured).
+
+    Scale shape: ONE map-side-combinable hash aggregate; no window,
+    no join.
+
+    Output: (group..., n11, n10, n01, n00, odds_ratio, log_or_micro,
+    se_log_or, ci_lo_log_micro, ci_hi_log_micro) — ratio columns
+    NULL when any cell is 0 (apply a continuity correction upstream
+    if needed).
+    """
+    from pyspark.sql.types import DoubleType, FloatType
+
+    fields = {f.name: f for f in df.schema.fields}
+    for c in (exposure_col, outcome_col):
+        if isinstance(fields[c].dataType, (DoubleType, FloatType)):
+            raise ValueError(
+                f"odds_ratio: {c!r} is floating-point — integerize "
+                "first (exact integer counts are the determinism "
+                "contract)")
+    if not group_cols:
+        raise ValueError("odds_ratio: group_cols must be non-empty")
+    e = F.col(exposure_col).cast("long")
+    o = F.col(outcome_col).cast("long")
+    keep = e.isin(0, 1) & o.isin(0, 1)
+    for g in group_cols:
+        keep = keep & F.col(g).isNotNull()
+
+    def _cell(ev: int, ov: int) -> F.Column:
+        return F.sum(F.when((e == ev) & (o == ov), 1).otherwise(0))
+
+    s = df.where(keep).groupBy(*group_cols).agg(
+        _cell(1, 1).alias("n11"), _cell(1, 0).alias("n10"),
+        _cell(0, 1).alias("n01"), _cell(0, 0).alias("n00"))
+
+    def _lnmu(c: str) -> F.Column:
+        return F.round(F.log(F.col(c).cast("double")) * 1e6) \
+            .cast("long")
+
+    ok = ((F.col("n11") > 0) & (F.col("n10") > 0)
+          & (F.col("n01") > 0) & (F.col("n00") > 0))
+    orr = (F.col("n11") * F.col("n00")).cast("double") \
+        / (F.col("n10") * F.col("n01")).cast("double")
+    lom = _lnmu("n11") + _lnmu("n00") - _lnmu("n10") - _lnmu("n01")
+    se = F.sqrt(F.lit(1.0) / F.col("n11").cast("double")
+                + F.lit(1.0) / F.col("n10").cast("double")
+                + F.lit(1.0) / F.col("n01").cast("double")
+                + F.lit(1.0) / F.col("n00").cast("double"))
+    z = F.lit(1.959964)
+    lo = F.col("log_or_micro").cast("double") - z * se * F.lit(1e6)
+    hi = F.col("log_or_micro").cast("double") + z * se * F.lit(1e6)
+    return (s.withColumn("log_or_micro", F.when(ok, lom))
+            .select(*group_cols, "n11", "n10", "n01", "n00",
+                    F.when(ok, orr).alias("odds_ratio"),
+                    "log_or_micro",
+                    F.when(ok, se).alias("se_log_or"),
+                    F.when(ok, lo).alias("ci_lo_log_micro"),
+                    F.when(ok, hi).alias("ci_hi_log_micro")))
+
+
+def cohens_d(df: DataFrame, *, value_col: str, group_col: str,
+             group_a: str, group_b: str,
+             group_cols: list[str] | None = None) -> DataFrame:
+    """Cohen's d (pooled-SD standardized mean difference) and the
+    small-sample Hedges' g correction between two levels of
+    ``group_col`` — the EFFECT-SIZE companion to
+    :func:`welch_ttest`'s significance: a tiny p with d ≈ 0.02 is a
+    no-op launch; report both.
+
+    Determinism (the :func:`welch_ttest` rule): values must be
+    INTEGER (floats raise); per-side n/Σv/Σv² are exact BIGINTs from
+    ONE conditional hash-aggregate, and d/g are fixed IEEE double
+    expressions of those integers (n·Σv² is formed in doubles, so
+    only Σv² itself must stay under 2⁶³).
+
+    Scale shape: ONE map-side-combinable hash aggregate; no window,
+    no join.
+
+    Output: (group..., n_a, n_b, mean_a, mean_b, cohens_d,
+    hedges_g) — effect sizes NULL when either side has n < 2 or the
+    pooled variance is 0.
+    """
+    from pyspark.sql.types import DoubleType, FloatType
+
+    fields = {f.name: f for f in df.schema.fields}
+    if isinstance(fields[value_col].dataType, (DoubleType, FloatType)):
+        raise ValueError(
+            f"cohens_d: {value_col!r} is floating-point — integerize "
+            "first (exact integer sums are the determinism contract)")
+    gcols = list(group_cols or [])
+    keep = (F.col(value_col).isNotNull()
+            & F.col(group_col).isin(group_a, group_b))
+    for g in gcols:
+        keep = keep & F.col(g).isNotNull()
+    v = F.col(value_col).cast("long")
+    is_a = F.col(group_col) == group_a
+
+    def _side(side_a: bool):
+        cond = is_a if side_a else ~is_a
+        tag = "a" if side_a else "b"
+        return [F.sum(F.when(cond, 1).otherwise(0)).alias(f"_n{tag}"),
+                F.sum(F.when(cond, v).otherwise(0)).alias(f"_s{tag}"),
+                F.sum(F.when(cond, v * v).otherwise(0))
+                .alias(f"_ss{tag}")]
+
+    grouped = (df.where(keep).groupBy(*gcols) if gcols
+               else df.where(keep).groupBy())
+    s = grouped.agg(*(_side(True) + _side(False)))
+    na, nb = F.col("_na").cast("double"), F.col("_nb").cast("double")
+    sa, sb = F.col("_sa").cast("double"), F.col("_sb").cast("double")
+    ssa = F.col("_ssa").cast("double")
+    ssb = F.col("_ssb").cast("double")
+    mean_a, mean_b = sa / na, sb / nb
+    # (n-1)·s² per side as one double expression of exact ints
+    pa = (na * ssa - sa * sa) / na
+    pb = (nb * ssb - sb * sb) / nb
+    sp2 = (pa + pb) / (na + nb - F.lit(2.0))
+    d = (mean_a - mean_b) / F.sqrt(sp2)
+    g_corr = F.lit(1.0) - F.lit(3.0) / (F.lit(4.0) * (na + nb)
+                                        - F.lit(9.0))
+    ok = (F.col("_na") >= 2) & (F.col("_nb") >= 2) & (sp2 > F.lit(0.0))
+    return s.select(
+        *gcols, F.col("_na").alias("n_a"), F.col("_nb").alias("n_b"),
+        mean_a.alias("mean_a"), mean_b.alias("mean_b"),
+        F.when(ok, d).alias("cohens_d"),
+        F.when(ok, d * g_corr).alias("hedges_g"))

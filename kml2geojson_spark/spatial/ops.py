@@ -2729,3 +2729,90 @@ def convex_hull(points: DataFrame, *, group_col: str = "group_id",
 
     candidates = base.mapInPandas(_partial, schema)
     return candidates.groupBy(group_col).applyInPandas(_final, schema)
+
+
+def getis_ord_gstar(cells: DataFrame, res: int, radius: int = 1, *,
+                    cell_col: str = "cell_id",
+                    value_col: str = "n") -> DataFrame:
+    """Getis–Ord Gi* hot-spot z-scores over a cell raster — the LOCAL
+    spatial-association statistic (where are the statistically hot /
+    cold cells) complementing :func:`grid_moran`'s single global
+    autocorrelation number. Population = the OCCUPIED cells (sparse-
+    raster variant, documented); neighborhood = Chebyshev k-ring of
+    ``radius`` including self, with :func:`cell_smooth`'s ring
+    semantics (x wraps, y clamps, narrow grids shrink the offset row).
+
+    With exact BIGINTs n (occupied cells), T = Σx, U = Σx², and per
+    cell Sᵢ = Σ neighbor values, Wᵢ = occupied-neighbor count:
+    ``Gi* = (n·Sᵢ − T·Wᵢ) / √((n·U − T²)·(n·Wᵢ − Wᵢ²)/(n−1))`` —
+    every inner term an exact integer, ONE fixed IEEE expression per
+    cell (sqrt is correctly rounded) — bit-identical across engines.
+    Values must be INTEGER (floats raise); caller guarantees n·U and
+    T² under 2⁶³.
+
+    Scale shape: the :func:`cell_smooth` scatter (literal offset
+    explode + Morton re-encode + ONE hash-aggregate with map-side
+    combine), one equi-join back onto the occupied cells, and a
+    1-row global aggregate joined by literal key (broadcast). No
+    window, no Python, no crossJoin of data-sized frames.
+
+    Output: (cell_id, value, nbr_sum, nbr_cnt, gi_star) — gi_star
+    NULL when n < 2, the raster is constant (n·U = T²), or the
+    neighborhood covers every occupied cell (n·Wᵢ = Wᵢ²).
+    """
+    from pyspark.sql.types import DoubleType, FloatType
+
+    from .cells import RES_BITS, _spread_col, cell_decode_cols
+
+    fields = {f.name: f for f in cells.schema.fields}
+    if isinstance(fields[value_col].dataType, (DoubleType, FloatType)):
+        raise ValueError(
+            f"getis_ord_gstar: {value_col!r} is floating-point — "
+            "integerize first (exact integer sums are the "
+            "determinism contract)")
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be in [0, {MAX_RES}]")
+    if radius < 0:
+        raise ValueError("radius must be >= 0")
+    n_grid = 1 << res
+    span = 2 * radius + 1
+    dxs = (list(range(-radius, radius + 1)) if n_grid >= span
+           else list(range(n_grid)))
+    dys = list(range(-radius, radius + 1))
+    offs = F.array(*[F.struct(F.lit(dx).alias("dx"),
+                              F.lit(dy).alias("dy"))
+                     for dx in dxs for dy in dys])
+    occ = cells.select(F.col(cell_col).alias("cell_id"),
+                       F.col(value_col).cast("long").alias("value"))
+    ix, iy, cres = cell_decode_cols(F.col("cell_id"))
+    guard = F.when(cres == res, ix).otherwise(F.raise_error(F.concat(
+        F.lit(f"getis_ord_gstar: expected resolution {res}, got "),
+        F.col("cell_id").cast("string"))))
+    d = (occ.select(guard.alias("_sx"), iy.alias("_sy"),
+                    F.col("value").alias("_sv"))
+         .withColumn("_soff", F.explode(offs)))
+    xs = F.pmod(F.col("_sx") + F.col("_soff.dx"), F.lit(n_grid))
+    ys = F.col("_sy") + F.col("_soff.dy")
+    code = F.shiftleft(_spread_col(xs), 1).bitwiseOR(_spread_col(ys))
+    cell = F.shiftleft(code, RES_BITS).bitwiseOR(F.lit(res))
+    ring = (d.where((ys >= 0) & (ys < F.lit(n_grid)))
+            .groupBy(cell.alias("cell_id"))
+            .agg(F.sum("_sv").alias("nbr_sum"),
+                 F.count(F.lit(1)).alias("nbr_cnt")))
+    glob = occ.agg(F.count(F.lit(1)).alias("_n"),
+                   F.sum("value").alias("_t"),
+                   F.sum(F.col("value") * F.col("value")).alias("_u")) \
+        .withColumn("_k", F.lit(1))
+    j = (occ.join(ring, "cell_id")
+         .withColumn("_k", F.lit(1))
+         .join(F.broadcast(glob), "_k"))
+    a = F.col("_n") * F.col("nbr_sum") - F.col("_t") * F.col("nbr_cnt")
+    b = F.col("_n") * F.col("_u") - F.col("_t") * F.col("_t")
+    c = (F.col("_n") * F.col("nbr_cnt")
+         - F.col("nbr_cnt") * F.col("nbr_cnt"))
+    ok = (F.col("_n") >= 2) & (b > 0) & (c > 0)
+    gi = F.when(ok, a.cast("double")
+                / F.sqrt(b.cast("double") * c.cast("double")
+                         / (F.col("_n") - F.lit(1)).cast("double")))
+    return j.select("cell_id", "value", "nbr_sum", "nbr_cnt",
+                    gi.alias("gi_star"))

@@ -370,3 +370,186 @@ def test_zipf_fit_edges(spark):
     assert r2["n_terms"] == 0
     with pytest.raises(ValueError):
         zipf_fit(df, min_freq=0)
+
+
+# ------------------------------------------------------------- odds ratio
+
+
+def test_odds_ratio_hand_case(spark):
+    from kml2geojson_spark.relational import odds_ratio
+    rows = ([("g", 1, 1)] * 20 + [("g", 1, 0)] * 30
+            + [("g", 0, 1)] * 10 + [("g", 0, 0)] * 40
+            + [("z", 1, 1)] * 3 + [("z", 0, 0)] * 4)  # zero cells
+    df = spark.createDataFrame(rows, "grp string, e long, o long")
+    out = {r["grp"]: r for r in
+           odds_ratio(df, exposure_col="e", outcome_col="o",
+                      group_cols=["grp"]).collect()}
+    g = out["g"]
+    assert (g["n11"], g["n10"], g["n01"], g["n00"]) == (20, 30, 10, 40)
+    want_or = (20 * 40) / (30 * 10)
+    assert abs(g["odds_ratio"] - want_or) < 1e-12
+    lom = (round(math.log(20) * 1e6) + round(math.log(40) * 1e6)
+           - round(math.log(30) * 1e6) - round(math.log(10) * 1e6))
+    assert g["log_or_micro"] == lom
+    se = math.sqrt(1 / 20 + 1 / 30 + 1 / 10 + 1 / 40)
+    assert abs(g["se_log_or"] - se) < 1e-12
+    assert abs(g["ci_lo_log_micro"] - (lom - 1.959964 * se * 1e6)) < 1e-6
+    assert g["ci_lo_log_micro"] < g["log_or_micro"] < g["ci_hi_log_micro"]
+    assert out["z"]["odds_ratio"] is None
+    dff = spark.createDataFrame([("g", 1.0, 1)],
+                                "grp string, e double, o long")
+    with pytest.raises(ValueError):
+        odds_ratio(dff, exposure_col="e", outcome_col="o",
+                   group_cols=["grp"])
+
+
+def test_odds_ratio_drops_non_binary(spark):
+    from kml2geojson_spark.relational import odds_ratio
+    rows = [("g", 1, 1), ("g", 2, 1), ("g", 0, None), ("g", 0, 0)]
+    df = spark.createDataFrame(rows, "grp string, e long, o long")
+    (r,) = odds_ratio(df, exposure_col="e", outcome_col="o",
+                      group_cols=["grp"]).collect()
+    assert (r["n11"], r["n10"], r["n01"], r["n00"]) == (1, 0, 0, 1)
+
+
+# -------------------------------------------------------------- cohens d
+
+
+def test_cohens_d_brute_force(spark):
+    from kml2geojson_spark.relational import cohens_d
+    import random
+    random.seed(23)
+    av = [random.randint(40, 70) for _ in range(60)]
+    bv = [random.randint(30, 55) for _ in range(45)]
+    rows = ([("x", "A", v) for v in av] + [("x", "B", v) for v in bv]
+            + [("x", "C", 999)])                    # other level dropped
+    df = spark.createDataFrame(rows, "grp string, lvl string, v long")
+    (r,) = cohens_d(df, value_col="v", group_col="lvl",
+                    group_a="A", group_b="B",
+                    group_cols=["grp"]).collect()
+    na, nb = len(av), len(bv)
+    ma, mb = sum(av) / na, sum(bv) / nb
+    va = sum((v - ma) ** 2 for v in av)             # (n-1)s² numerator
+    vb = sum((v - mb) ** 2 for v in bv)
+    sp2 = (va + vb) / (na + nb - 2)
+    want_d = (ma - mb) / math.sqrt(sp2)
+    assert r["n_a"] == na and r["n_b"] == nb
+    assert abs(r["mean_a"] - ma) < 1e-9
+    assert abs(r["cohens_d"] - want_d) < 1e-9
+    corr = 1 - 3 / (4 * (na + nb) - 9)
+    assert abs(r["hedges_g"] - want_d * corr) < 1e-9
+
+
+def test_cohens_d_edges(spark):
+    from kml2geojson_spark.relational import cohens_d
+    rows = [("g", "A", 5), ("g", "A", 5), ("g", "B", 5), ("g", "B", 5)]
+    df = spark.createDataFrame(rows, "grp string, lvl string, v long")
+    (r,) = cohens_d(df, value_col="v", group_col="lvl",
+                    group_a="A", group_b="B", group_cols=["grp"]).collect()
+    assert r["cohens_d"] is None                     # zero pooled var
+    rows2 = [("g", "A", 5), ("g", "B", 4), ("g", "B", 6)]
+    df2 = spark.createDataFrame(rows2, "grp string, lvl string, v long")
+    (r2,) = cohens_d(df2, value_col="v", group_col="lvl",
+                     group_a="A", group_b="B",
+                     group_cols=["grp"]).collect()
+    assert r2["cohens_d"] is None                    # n_a < 2
+    dff = spark.createDataFrame([("g", "A", 1.0)],
+                                "grp string, lvl string, v double")
+    with pytest.raises(ValueError):
+        cohens_d(dff, value_col="v", group_col="lvl",
+                 group_a="A", group_b="B", group_cols=["grp"])
+
+
+# ------------------------------------------------------ time-weighted avg
+
+
+def test_time_weighted_average_hand_case(spark):
+    from kml2geojson_spark.eventops import time_weighted_average
+    # value 10 held 0->4 (w=4), 20 held 4->5 (w=1), 7 at close (w=0)
+    rows = [("g", 0, 10), ("g", 4, 20), ("g", 5, 7)]
+    df = spark.createDataFrame(rows, "grp string, t long, v long")
+    (r,) = time_weighted_average(df, ts_col="t", value_col="v",
+                                 group_cols=["grp"]).collect()
+    assert r["n"] == 3 and r["t_span"] == 5
+    assert r["vdt_sum"] == 10 * 4 + 20 * 1
+    assert abs(r["twa"] - 60 / 5) < 1e-15
+    # row average would be 12.33; TWA correctly 12.0
+    rows2 = [("s", 9, 3)]                            # single sample
+    df2 = spark.createDataFrame(rows2, "grp string, t long, v long")
+    (r2,) = time_weighted_average(df2, ts_col="t", value_col="v",
+                                  group_cols=["grp"]).collect()
+    assert r2["twa"] is None and r2["t_span"] == 0
+    dff = spark.createDataFrame([("g", 1.0, 2)],
+                                "grp string, t double, v long")
+    with pytest.raises(ValueError):
+        time_weighted_average(dff, ts_col="t", value_col="v",
+                              group_cols=["grp"])
+
+
+def test_time_weighted_average_tie_permutation_stable(spark):
+    from kml2geojson_spark.eventops import time_weighted_average
+    rows = [("g", 0, 5), ("g", 2, 8), ("g", 2, 8), ("g", 6, 1)]
+    for perm in ([0, 1, 2, 3], [3, 2, 1, 0], [2, 0, 3, 1]):
+        df = spark.createDataFrame([rows[i] for i in perm],
+                                   "grp string, t long, v long")
+        (r,) = time_weighted_average(df, ts_col="t", value_col="v",
+                                     group_cols=["grp"]).collect()
+        assert r["vdt_sum"] == 5 * 2 + 8 * 0 + 8 * 4
+        assert abs(r["twa"] - 42 / 6) < 1e-15
+
+
+# ------------------------------------------------------------ getis-ord
+
+
+def test_getis_ord_hand_case(spark):
+    from kml2geojson_spark.spatial.cells import cell_encode_np
+    from kml2geojson_spark.spatial.ops import getis_ord_gstar
+    import numpy as np
+    # 3 occupied cells in a row at res 4: values 10, 1, 1 — the hot
+    # cell's neighborhood (radius 1) catches itself + the middle one
+    lon = np.array([-170.0, -147.5, -125.0])
+    lat = np.array([-80.0, -80.0, -80.0])
+    ids = cell_encode_np(lon, lat, 4)
+    vals = [10, 1, 1]
+    df = spark.createDataFrame(
+        [(int(c), int(v)) for c, v in zip(ids, vals)],
+        "cell_id long, n long")
+    out = {r["cell_id"]: r for r in
+           getis_ord_gstar(df, 4, 1).collect()}
+    assert len(out) == 3
+    n, t, u = 3, 12, 102
+    for cid, v, s, w in [(int(ids[0]), 10, 11, 2),
+                         (int(ids[1]), 1, 12, 3),
+                         (int(ids[2]), 1, 2, 2)]:
+        r = out[cid]
+        assert (r["value"], r["nbr_sum"], r["nbr_cnt"]) == (v, s, w), r
+        bb = n * u - t * t
+        cc = n * w - w * w
+        if cc > 0:
+            want = (n * s - t * w) / math.sqrt(bb * cc / (n - 1))
+            assert abs(r["gi_star"] - want) < 1e-12
+        else:
+            assert r["gi_star"] is None
+    # middle cell sees everything -> C=0 -> NULL
+    assert out[int(ids[1])]["gi_star"] is None
+    assert out[int(ids[0])]["gi_star"] > 0          # hot
+    assert out[int(ids[2])]["gi_star"] < 0          # cold
+
+
+def test_getis_ord_validation_and_constant(spark):
+    from kml2geojson_spark.spatial.cells import cell_encode_np
+    from kml2geojson_spark.spatial.ops import getis_ord_gstar
+    import numpy as np
+    ids = cell_encode_np(np.array([0.0, 40.0]), np.array([0.0, 40.0]), 6)
+    df = spark.createDataFrame([(int(c), 5) for c in ids],
+                               "cell_id long, n long")
+    out = getis_ord_gstar(df, 6, 1).collect()
+    assert all(r["gi_star"] is None for r in out)   # constant raster
+    dff = spark.createDataFrame([(int(ids[0]), 1.5)],
+                                "cell_id long, n double")
+    with pytest.raises(ValueError):
+        getis_ord_gstar(dff, 6, 1)
+    with pytest.raises(ValueError):
+        getis_ord_gstar(df, -1, 1)
+    with pytest.raises(ValueError):
+        getis_ord_gstar(df, 6, -1)
