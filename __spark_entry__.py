@@ -6759,6 +6759,190 @@ FROM s
 """
 
 
+def _q198_mantel_haenszel(spark, sf):
+    """Mantel-Haenszel pooled click->purchase odds ratio across the
+    q194 user cohorts (confounder-adjusted pooling instead of
+    collapsing — Simpson-safe): per-stratum milli-floored terms
+    summed as exact BIGINT, one final division. Round-5 post-pin
+    registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.relational import mantel_haenszel_or
+    ev = _t(spark, sf, "events").where(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+    pu = (ev.groupBy("user_id")
+          .agg(F.max((F.col("event_type") == "click").cast("long"))
+               .alias("e"),
+               F.max((F.col("event_type") == "purchase").cast("long"))
+               .alias("o")))
+    strata = pu.select(F.pmod(F.col("user_id"), F.lit(4))
+                       .alias("cohort"), "e", "o")
+    return mantel_haenszel_or(strata, exposure_col="e",
+                              outcome_col="o", strata_col="cohort")
+
+
+_O198 = """
+WITH pu AS (
+  SELECT user_id % 4 AS cohort,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS e,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS o
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY user_id),
+per_s AS (
+  SELECT cohort,
+    CAST(SUM(CASE WHEN e = 1 AND o = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS a,
+    CAST(SUM(CASE WHEN e = 1 AND o = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS b,
+    CAST(SUM(CASE WHEN e = 0 AND o = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS c,
+    CAST(SUM(CASE WHEN e = 0 AND o = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS d
+  FROM pu GROUP BY cohort),
+t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k_strata,
+    CAST(SUM(CAST(FLOOR(CAST(a AS DOUBLE) * CAST(d AS DOUBLE) * 1000.0
+                        / CAST(a + b + c + d AS DOUBLE)) AS BIGINT))
+         AS BIGINT) AS num_milli,
+    CAST(SUM(CAST(FLOOR(CAST(b AS DOUBLE) * CAST(c AS DOUBLE) * 1000.0
+                        / CAST(a + b + c + d AS DOUBLE)) AS BIGINT))
+         AS BIGINT) AS den_milli
+  FROM per_s)
+SELECT k_strata, num_milli, den_milli,
+       CASE WHEN den_milli > 0
+            THEN CAST(num_milli AS DOUBLE) / CAST(den_milli AS DOUBLE)
+       END AS or_mh
+FROM t
+"""
+
+
+def _q199_pythagorean(spark, sf):
+    """Arithmetic/geometric/harmonic quantity means per returnflag:
+    exact BIGINT value sums, micro-nat geometric log sum, pico-unit
+    reciprocal sum. The engine-local exp() gmean column is projected
+    out (1-ulp libm drift — measured); the exact log sum is hashed
+    instead. Round-5 post-pin registration: in-repo oracle sweep
+    only."""
+    from kml2geojson_spark.relational import pythagorean_means
+    li = _t(spark, sf, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("qty"))
+    return pythagorean_means(li, value_col="qty",
+                             group_cols=["l_returnflag"]).drop("gmean")
+
+
+_O199 = """
+WITH b AS (
+  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v
+  FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+    AND l_quantity > 0),
+pv AS (
+  SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY g, v),
+s AS (
+  SELECT g, CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(c * v) AS BIGINT) AS sum_v,
+         CAST(SUM(c * CAST(ROUND(LN(CAST(v AS DOUBLE)) * 1e6)
+                           AS BIGINT)) AS BIGINT)
+           AS log_gmean_micro_sum,
+         CAST(SUM(c * CAST(ROUND(1e12 / CAST(v AS DOUBLE))
+                           AS BIGINT)) AS BIGINT) AS recip_pico_sum
+  FROM pv GROUP BY g)
+SELECT g AS l_returnflag, n, sum_v,
+       CAST(sum_v AS DOUBLE) / CAST(n AS DOUBLE) AS mean_arith,
+       log_gmean_micro_sum, recip_pico_sum,
+       CAST(n AS DOUBLE) * 1e12 / CAST(recip_pico_sum AS DOUBLE)
+         AS hmean
+FROM s
+"""
+
+
+def _q200_hourly_profile(spark, sf):
+    """Hour-of-week seasonality of event value (cents) per event
+    type: pure integer epoch arithmetic for (dow, hour) — no engine
+    date-function conventions — exact BIGINT bucket sums, seasonal
+    index as one division of exact integer products. Round-5
+    post-pin registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.eventops import hourly_profile
+    ev = _t(spark, sf, "events").where(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()).select(
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("tus"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"))
+    return hourly_profile(ev, ts_micros_col="tus", value_col="cents",
+                          group_cols=["event_type"])
+
+
+_O200 = """
+WITH b AS (
+  SELECT event_type AS g, epoch_us(ts) AS tus,
+         CAST(ROUND(value * 100) AS BIGINT) AS v
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    AND value IS NOT NULL),
+bb AS (
+  SELECT g, CAST(((tus // 86400000000) + 3) % 7 AS BIGINT) AS dow,
+         CAST((tus // 3600000000) % 24 AS BIGINT) AS hour, v
+  FROM b WHERE tus >= 0),
+pb AS (
+  SELECT g, dow, hour, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(v) AS BIGINT) AS value_sum
+  FROM bb GROUP BY g, dow, hour),
+w AS (
+  SELECT g, dow, hour, n_events, value_sum,
+         CAST(SUM(n_events) OVER (PARTITION BY g) AS BIGINT) AS tn,
+         CAST(SUM(value_sum) OVER (PARTITION BY g) AS BIGINT) AS tv
+  FROM pb)
+SELECT g AS event_type, dow, hour, n_events, value_sum,
+       CASE WHEN n_events > 0 AND tv != 0
+            THEN CAST(value_sum * tn AS DOUBLE)
+                 / CAST(n_events * tv AS DOUBLE)
+       END AS seasonal_index
+FROM w
+"""
+
+
+def _q201_assortativity(spark, sf):
+    """Degree assortativity of the part co-order graph: exact
+    DECIMAL(38,0) endpoint-degree sufficient statistics over the
+    symmetrized edges, ONE division. Round-5 post-pin registration:
+    in-repo oracle sweep only."""
+    from kml2geojson_spark.graph import degree_assortativity
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (a.join(b, "l_orderkey")
+             .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+             .select(F.col("a.l_partkey").alias("src"),
+                     F.col("b.l_partkey").alias("dst")))
+    return degree_assortativity(edges)
+
+
+_O201 = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey),
+sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+deg AS (
+  SELECT u AS node, CAST(COUNT(*) AS HUGEINT) AS d
+  FROM sym GROUP BY u),
+j AS (
+  SELECT d1.d AS du, d2.d AS dv
+  FROM sym JOIN deg d1 ON d1.node = sym.u
+  JOIN deg d2 ON d2.node = sym.v),
+s AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS m2, SUM(du) AS sx,
+         SUM(du * du) AS sxx, SUM(du * dv) AS sxy
+  FROM j)
+SELECT CAST(m2 // 2 AS BIGINT) AS m_edges,
+       CASE WHEN m2 * sxx - sx * sx > 0
+            THEN CAST(m2 * sxy - sx * sx AS DOUBLE)
+                 / CAST(m2 * sxx - sx * sx AS DOUBLE)
+       END AS assortativity
+FROM s
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -6949,6 +7133,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q195_getis_ord": _q195_getis_ord,
         "q196_cohens_d": _q196_cohens_d,
         "q197_time_weighted_avg": _q197_twa,
+        "q198_mantel_haenszel": _q198_mantel_haenszel,
+        "q199_pythagorean_means": _q199_pythagorean,
+        "q200_hourly_profile": _q200_hourly_profile,
+        "q201_assortativity": _q201_assortativity,
     }
 
 
@@ -7138,6 +7326,10 @@ def oracle_sql() -> dict[str, str]:
         "q195_getis_ord": _o195(),
         "q196_cohens_d": _O196,
         "q197_time_weighted_avg": _O197,
+        "q198_mantel_haenszel": _O198,
+        "q199_pythagorean_means": _O199,
+        "q200_hourly_profile": _O200,
+        "q201_assortativity": _O201,
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

@@ -690,3 +690,52 @@ def clustering_coefficient(edges: DataFrame, *, src: str = "src",
                 F.lit(2.0) * nt.cast("double") / (d * (d - F.lit(1.0))))
     return j.select("node", "degree", nt.alias("n_triangles"),
                     cc.alias("clustering_coeff"))
+
+
+def degree_assortativity(edges: DataFrame, *, src: str = "src",
+                         dst: str = "dst") -> DataFrame:
+    """Degree assortativity coefficient of an undirected graph — the
+    Pearson correlation of degrees across edge endpoints (Newman):
+    positive = hubs link to hubs (social networks), negative = hubs
+    link to leaves (hub-and-spoke infrastructure, dup-cluster
+    stars). One global diagnostic for the near-dup graphs this
+    package builds.
+
+    Determinism: with the symmetrized ordered endpoint pairs
+    (M = 2m of them), the marginals coincide, so
+    ``r = (M·Σdᵤdᵥ − (Σdᵤ)²) / (M·Σdᵤ² − (Σdᵤ)²)`` — the sufficient
+    statistics are exact DECIMAL(38,0) sums of exact BIGINT degrees,
+    and r is ONE division of exact integers — bit-identical across
+    engines. NULL when the graph is degree-regular (zero variance).
+
+    Scale shape: the degree hash-aggregate, one equi-join per
+    endpoint to attach degrees (hash joins on the node id), one
+    global aggregate. No windows, no Python.
+
+    Output: ONE row (m_edges, assortativity).
+    """
+    e = (edges.select(F.least(F.col(src), F.col(dst)).cast("long")
+                      .alias("u"),
+                      F.greatest(F.col(src), F.col(dst)).cast("long")
+                      .alias("v"))
+         .where(F.col("u") != F.col("v"))
+         .distinct())
+    sym = e.unionAll(e.select(F.col("v").alias("u"),
+                              F.col("u").alias("v")))
+    deg = (sym.groupBy(F.col("u").alias("node"))
+           .agg(F.count(F.lit(1)).alias("d")))
+    du = deg.select(F.col("node").alias("u"),
+                    F.col("d").cast("decimal(38,0)").alias("du"))
+    dv = deg.select(F.col("node").alias("v"),
+                    F.col("d").cast("decimal(38,0)").alias("dv"))
+    j = sym.join(du, "u").join(dv, "v")
+    s = j.agg(F.count(F.lit(1)).alias("_m2"),
+              F.sum("du").alias("_sx"),
+              F.sum(F.col("du") * F.col("du")).alias("_sxx"),
+              F.sum(F.col("du") * F.col("dv")).alias("_sxy"))
+    m2 = F.col("_m2").cast("decimal(38,0)")
+    num = m2 * F.col("_sxy") - F.col("_sx") * F.col("_sx")
+    den = m2 * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    r = F.when(den > 0, num.cast("double") / den.cast("double"))
+    return s.select((F.col("_m2") / F.lit(2)).cast("long")
+                    .alias("m_edges"), r.alias("assortativity"))

@@ -2156,3 +2156,130 @@ def cohens_d(df: DataFrame, *, value_col: str, group_col: str,
         mean_a.alias("mean_a"), mean_b.alias("mean_b"),
         F.when(ok, d).alias("cohens_d"),
         F.when(ok, d * g_corr).alias("hedges_g"))
+
+
+def mantel_haenszel_or(df: DataFrame, *, exposure_col: str,
+                       outcome_col: str, strata_col: str,
+                       group_cols: list[str] | None = None) -> DataFrame:
+    """Mantel–Haenszel pooled odds ratio across strata — the
+    confounder-adjusted association estimate (pool the per-cohort
+    2×2 tables of :func:`odds_ratio` instead of collapsing them,
+    which Simpson's paradox can invert):
+    ``OR_MH = Σₛ(aₛdₛ/nₛ) / Σₛ(bₛcₛ/nₛ)``.
+
+    Determinism (the :func:`oneway_anova` milli-unit rule): the four
+    cells per stratum are exact BIGINTs from ONE conditional
+    hash-aggregate; each stratum's numerator/denominator term is
+    ``floor(a·d·10³/n)`` / ``floor(b·c·10³/n)`` — one fixed IEEE
+    expression of exact integers floored to BIGINT milli-units and
+    SUMMED AS BIGINT (addition-order independent) — and OR_MH is one
+    division of those integers. Strata with n = 0 cannot occur;
+    caller guarantees a·d·10³/n < 2⁶³ (n ≤ ~10⁸ per stratum is
+    safe). Inputs must be INTEGER 0/1 (floats raise; other values
+    drop).
+
+    Scale shape: one (group, stratum) hash-aggregate with map-side
+    combine, one group hash-aggregate over stratum rows. No window,
+    no join — cardinality-unbounded in strata.
+
+    Output: (group..., k_strata, num_milli, den_milli, or_mh) —
+    or_mh NULL when the pooled denominator is 0.
+    """
+    from pyspark.sql.types import DoubleType, FloatType
+
+    fields = {f.name: f for f in df.schema.fields}
+    for c in (exposure_col, outcome_col):
+        if isinstance(fields[c].dataType, (DoubleType, FloatType)):
+            raise ValueError(
+                f"mantel_haenszel_or: {c!r} is floating-point — "
+                "integerize first (exact integer counts are the "
+                "determinism contract)")
+    gcols = list(group_cols or [])
+    e = F.col(exposure_col).cast("long")
+    o = F.col(outcome_col).cast("long")
+    keep = e.isin(0, 1) & o.isin(0, 1) & F.col(strata_col).isNotNull()
+    for g in gcols:
+        keep = keep & F.col(g).isNotNull()
+
+    def _cell(ev: int, ov: int) -> F.Column:
+        return F.sum(F.when((e == ev) & (o == ov), 1).otherwise(0))
+
+    per_s = df.where(keep).groupBy(*gcols, strata_col).agg(
+        _cell(1, 1).alias("_a"), _cell(1, 0).alias("_b"),
+        _cell(0, 1).alias("_c"), _cell(0, 0).alias("_d"))
+    n_s = (F.col("_a") + F.col("_b") + F.col("_c")
+           + F.col("_d")).cast("double")
+    num = F.floor(F.col("_a").cast("double") * F.col("_d").cast("double")
+                  * F.lit(1000.0) / n_s)
+    den = F.floor(F.col("_b").cast("double") * F.col("_c").cast("double")
+                  * F.lit(1000.0) / n_s)
+    grouped = (per_s.groupBy(*gcols) if gcols else per_s.groupBy())
+    s = grouped.agg(F.count(F.lit(1)).alias("k_strata"),
+                    F.sum(num).alias("num_milli"),
+                    F.sum(den).alias("den_milli"))
+    orr = F.when(F.col("den_milli") > 0,
+                 F.col("num_milli").cast("double")
+                 / F.col("den_milli").cast("double"))
+    return s.select(*gcols, "k_strata", "num_milli", "den_milli",
+                    orr.alias("or_mh"))
+
+
+def pythagorean_means(df: DataFrame, *, value_col: str,
+                      group_cols: list[str]) -> DataFrame:
+    """Per-group arithmetic / geometric / harmonic means of a
+    positive metric — the rate-averaging toolkit (harmonic for
+    speeds and rates, geometric for growth factors and multiplicative
+    scores, arithmetic as the reference; AM ≥ GM ≥ HM always).
+
+    Determinism: values must be POSITIVE INTEGERS (floats raise;
+    v ≤ 0 drops). Arithmetic: exact BIGINT Σv. Geometric: the exact
+    micro-nat ``Σ lnμ(v)`` (per-distinct-integer ln, the
+    :func:`group_entropy` rule) is emitted as ``log_gmean_micro_sum``
+    — the convenience ``gmean = exp(Σ/(n·10⁶))`` is engine-local
+    (exp drifts 1 ulp across libms — measured), so cross-engine
+    hashing uses the exact column. Harmonic: reciprocals integerized
+    PER DISTINCT VALUE to pico-units ``round(10¹²/v)`` and summed as
+    exact BIGINT; ``hmean = n·10¹²/Σ`` is one fixed double division.
+    Caller guarantees Σ round(10¹²/v) < 2⁶³ (~9·10⁶ rows of v = 1;
+    far more for realistic v > 1).
+
+    Scale shape: one (group, value) hash-aggregate with map-side
+    combine, one group hash-aggregate. No window, no join.
+
+    Output: (group..., n, sum_v, mean_arith, log_gmean_micro_sum,
+    gmean, recip_pico_sum, hmean).
+    """
+    from pyspark.sql.types import DoubleType, FloatType
+
+    fields = {f.name: f for f in df.schema.fields}
+    if isinstance(fields[value_col].dataType, (DoubleType, FloatType)):
+        raise ValueError(
+            f"pythagorean_means: {value_col!r} is floating-point — "
+            "integerize first (exact integer sums are the "
+            "determinism contract)")
+    if not group_cols:
+        raise ValueError(
+            "pythagorean_means: group_cols must be non-empty")
+    keep = F.col(value_col).isNotNull() & (F.col(value_col) > 0)
+    for g in group_cols:
+        keep = keep & F.col(g).isNotNull()
+    per_val = (df.where(keep)
+               .groupBy(*group_cols,
+                        F.col(value_col).cast("long").alias("_v"))
+               .agg(F.count(F.lit(1)).alias("_c")))
+    lnv = F.round(F.log(F.col("_v").cast("double")) * 1e6).cast("long")
+    rec = F.round(F.lit(1e12) / F.col("_v").cast("double")).cast("long")
+    s = per_val.groupBy(*group_cols).agg(
+        F.sum("_c").alias("n"),
+        F.sum(F.col("_c") * F.col("_v")).alias("sum_v"),
+        F.sum(F.col("_c") * lnv).alias("log_gmean_micro_sum"),
+        F.sum(F.col("_c") * rec).alias("recip_pico_sum"))
+    nd = F.col("n").cast("double")
+    gmean = F.exp(F.col("log_gmean_micro_sum").cast("double")
+                  / (nd * F.lit(1e6)))
+    hmean = nd * F.lit(1e12) / F.col("recip_pico_sum").cast("double")
+    return s.select(*group_cols, "n", "sum_v",
+                    (F.col("sum_v").cast("double") / nd)
+                    .alias("mean_arith"),
+                    "log_gmean_micro_sum", gmean.alias("gmean"),
+                    "recip_pico_sum", hmean.alias("hmean"))

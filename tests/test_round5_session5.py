@@ -553,3 +553,144 @@ def test_getis_ord_validation_and_constant(spark):
         getis_ord_gstar(df, -1, 1)
     with pytest.raises(ValueError):
         getis_ord_gstar(df, 6, -1)
+
+
+# -------------------------------------------------------- mantel-haenszel
+
+
+def test_mantel_haenszel_hand_case(spark):
+    from kml2geojson_spark.relational import mantel_haenszel_or
+    # two strata with different base rates; per-stratum OR = 2.25, 4.0
+    rows = ([("s1", 1, 1)] * 9 + [("s1", 1, 0)] * 1
+            + [("s1", 0, 1)] * 8 + [("s1", 0, 0)] * 2
+            + [("s2", 1, 1)] * 2 + [("s2", 1, 0)] * 8
+            + [("s2", 0, 1)] * 1 + [("s2", 0, 0)] * 16)
+    df = spark.createDataFrame(rows, "st string, e long, o long")
+    (r,) = mantel_haenszel_or(df, exposure_col="e", outcome_col="o",
+                              strata_col="st").collect()
+    num = (math.floor(9 * 2 * 1000 / 20.0)
+           + math.floor(2 * 16 * 1000 / 27.0))
+    den = (math.floor(1 * 8 * 1000 / 20.0)
+           + math.floor(8 * 1 * 1000 / 27.0))
+    assert r["k_strata"] == 2
+    assert r["num_milli"] == num and r["den_milli"] == den
+    assert abs(r["or_mh"] - num / den) < 1e-12
+    # textbook float MH-OR within milli-floor resolution
+    want = (9 * 2 / 20 + 2 * 16 / 27) / (1 * 8 / 20 + 8 * 1 / 27)
+    assert abs(r["or_mh"] - want) < 1e-2
+    dff = spark.createDataFrame([("s", 1.0, 1)],
+                                "st string, e double, o long")
+    with pytest.raises(ValueError):
+        mantel_haenszel_or(dff, exposure_col="e", outcome_col="o",
+                           strata_col="st")
+
+
+def test_mantel_haenszel_zero_denominator(spark):
+    from kml2geojson_spark.relational import mantel_haenszel_or
+    rows = [("s", 1, 1), ("s", 0, 0)]                # b = c = 0
+    df = spark.createDataFrame(rows, "st string, e long, o long")
+    (r,) = mantel_haenszel_or(df, exposure_col="e", outcome_col="o",
+                              strata_col="st").collect()
+    assert r["den_milli"] == 0 and r["or_mh"] is None
+
+
+# ---------------------------------------------------- pythagorean means
+
+
+def test_pythagorean_means_brute_force(spark):
+    from kml2geojson_spark.relational import pythagorean_means
+    import random
+    random.seed(29)
+    vals = [random.randint(1, 400) for _ in range(150)]
+    df = spark.createDataFrame([("g", v) for v in vals]
+                               + [("g", 0), ("g", -3)],  # dropped
+                               "grp string, v long")
+    (r,) = pythagorean_means(df, value_col="v",
+                             group_cols=["grp"]).collect()
+    n = len(vals)
+    am = sum(vals) / n
+    gm = math.exp(sum(math.log(v) for v in vals) / n)
+    hm = n / sum(1 / v for v in vals)
+    assert r["n"] == n and r["sum_v"] == sum(vals)
+    assert abs(r["mean_arith"] - am) < 1e-9
+    assert abs(r["gmean"] - gm) < 1e-3
+    assert abs(r["hmean"] - hm) < 1e-6
+    assert r["hmean"] < r["gmean"] < r["mean_arith"]  # AM>GM>HM strict here
+    assert r["log_gmean_micro_sum"] == sum(
+        round(math.log(v) * 1e6) for v in vals)
+    assert r["recip_pico_sum"] == sum(round(1e12 / v) for v in vals)
+    dff = spark.createDataFrame([("g", 1.0)], "grp string, v double")
+    with pytest.raises(ValueError):
+        pythagorean_means(dff, value_col="v", group_cols=["grp"])
+
+
+# --------------------------------------------------------- hourly profile
+
+
+def test_hourly_profile_hand_case(spark):
+    from kml2geojson_spark.eventops import hourly_profile
+    hour_us = 3_600_000_000
+    day_us = 24 * hour_us
+    # 1970-01-01 is a Thursday -> dow 3 under 0=Monday
+    rows = [("g", 0 * hour_us, 10),          # thu 00
+            ("g", 0 * hour_us + 100, 20),    # thu 00 (same bucket)
+            ("g", 5 * hour_us, 30),          # thu 05
+            ("g", 4 * day_us, 40)]           # monday 00
+    df = spark.createDataFrame(rows, "grp string, tus long, v long")
+    out = {(r["dow"], r["hour"]): r for r in
+           hourly_profile(df, ts_micros_col="tus", value_col="v",
+                          group_cols=["grp"]).collect()}
+    assert set(out) == {(3, 0), (3, 5), (0, 0)}
+    b = out[(3, 0)]
+    assert b["n_events"] == 2 and b["value_sum"] == 30
+    # index = (30*4)/(2*100) = 0.6
+    assert abs(b["seasonal_index"] - 0.6) < 1e-15
+    assert abs(out[(0, 0)]["seasonal_index"] - (40 * 4) / 100) < 1e-15
+    dff = spark.createDataFrame([("g", 1.0, 2)],
+                                "grp string, tus double, v long")
+    with pytest.raises(ValueError):
+        hourly_profile(dff, ts_micros_col="tus", value_col="v",
+                       group_cols=["grp"])
+
+
+# ----------------------------------------------------- degree assortativity
+
+
+def test_degree_assortativity_known_graphs(spark):
+    from kml2geojson_spark.graph import degree_assortativity
+    # star graph: perfectly disassortative -> r = -1
+    star = spark.createDataFrame([(0, i) for i in range(1, 6)],
+                                 "src long, dst long")
+    (r,) = degree_assortativity(star).collect()
+    assert r["m_edges"] == 5 and abs(r["assortativity"] - (-1.0)) < 1e-12
+    # regular ring: zero degree variance -> NULL
+    ring = spark.createDataFrame(
+        [(i, (i + 1) % 6) for i in range(6)], "src long, dst long")
+    (r2,) = degree_assortativity(ring).collect()
+    assert r2["m_edges"] == 6 and r2["assortativity"] is None
+
+
+def test_degree_assortativity_brute_force(spark):
+    from kml2geojson_spark.graph import degree_assortativity
+    import random
+    random.seed(31)
+    es = set()
+    while len(es) < 40:
+        a, b = random.randint(0, 14), random.randint(0, 14)
+        if a != b:
+            es.add((min(a, b), max(a, b)))
+    df = spark.createDataFrame(sorted(es), "src long, dst long")
+    (r,) = degree_assortativity(df).collect()
+    deg = {}
+    for a, b in es:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    pairs = [(deg[a], deg[b]) for a, b in es] \
+        + [(deg[b], deg[a]) for a, b in es]
+    m2 = len(pairs)
+    sx = sum(x for x, _ in pairs)
+    sxx = sum(x * x for x, _ in pairs)
+    sxy = sum(x * y for x, y in pairs)
+    want = (m2 * sxy - sx * sx) / (m2 * sxx - sx * sx)
+    assert r["m_edges"] == len(es)
+    assert abs(r["assortativity"] - want) < 1e-12
