@@ -6943,6 +6943,53 @@ FROM s
 """
 
 
+def _q202_bigram_lm(spark, sf):
+    """Per-document average bigram surprisal under a corpus-trained
+    add-1 bigram LM — the perplexity-proxy pretraining quality
+    filter; micro-nat integerized logs, exact BIGINT per-doc sums.
+    Round-5 post-pin registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.textops import bigram_lm_surprisal
+    return bigram_lm_surprisal(_t(spark, sf, "documents"))
+
+
+_O202 = """
+WITH arrs AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '')
+           AS ts
+  FROM documents WHERE text IS NOT NULL),
+big0 AS (
+  SELECT doc_id,
+         UNNEST(list_transform(range(1, len(ts)),
+                               i -> {'w1': ts[i], 'w2': ts[i + 1]}))
+           AS p
+  FROM arrs),
+big AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM big0),
+toks AS (SELECT doc_id, UNNEST(ts) AS w1 FROM arrs),
+cb AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+  FROM big GROUP BY w1, w2),
+cu AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM toks
+       GROUP BY w1),
+vv AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM cu),
+sc AS (
+  SELECT b.doc_id,
+         CAST(ROUND(LN(CAST(c12 + 1 AS DOUBLE)) * 1e6) AS BIGINT)
+         - CAST(ROUND(LN(CAST(c1 + v AS DOUBLE)) * 1e6) AS BIGINT)
+           AS contrib
+  FROM big b JOIN cb USING (w1, w2) JOIN cu USING (w1)
+  CROSS JOIN vv),
+s AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(contrib) AS BIGINT) AS logprob_micro
+  FROM sc GROUP BY doc_id)
+SELECT doc_id, n_bigrams, logprob_micro,
+       -CAST(logprob_micro AS DOUBLE)
+         / (CAST(n_bigrams AS DOUBLE) * 1e6) AS avg_surprisal
+FROM s
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -7137,6 +7184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q199_pythagorean_means": _q199_pythagorean,
         "q200_hourly_profile": _q200_hourly_profile,
         "q201_assortativity": _q201_assortativity,
+        "q202_bigram_lm": _q202_bigram_lm,
     }
 
 
@@ -7330,6 +7378,7 @@ def oracle_sql() -> dict[str, str]:
         "q199_pythagorean_means": _O199,
         "q200_hourly_profile": _O200,
         "q201_assortativity": _O201,
+        "q202_bigram_lm": _O202,
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

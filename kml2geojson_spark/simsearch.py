@@ -802,3 +802,92 @@ def embedding_centroid_drift(embeddings: DataFrame, *,
           & (F.col("norm2_a") > 0) & (F.col("norm2_b") > 0))
     return (agg.withColumn("cosine", F.when(ok, cos))
             .withColumn("drift", F.when(ok, F.lit(1.0) - F.col("cosine"))))
+
+
+def embedding_top_component(embeddings: DataFrame, *,
+                            vec_col: str = "embedding",
+                            iters: int = 20,
+                            center: bool = True) -> tuple:
+    """Top principal component of an embedding column via distributed
+    POWER ITERATION — matrix-free PCA-1 for drift direction, debiasing
+    (project out the dominant axis), and 1-D visualization ordering,
+    at corpus scales where materializing a d×d covariance via outer
+    products per row would still work but a full eigensolve on the
+    driver would not generalize past the top few components.
+
+    Each round is ONE job: with the current unit vector v broadcast
+    as literals, every row contributes ``(x−μ)·((x−μ)·v)`` via a
+    posexplode to (dim, partial) pairs pre-combined map-side, and the
+    d-dimensional result (d doubles — size-gated, like the IVF
+    codebook at simsearch.py:149) is collected, normalized on the
+    driver, and fed back. The mean μ is one prior aggregate (same
+    shape). Convergence is the standard |⟨v, v′⟩| → 1 power-iteration
+    guarantee (gap-dependent); ``iters`` bounds the rounds.
+
+    Floating-point note: this is a NUMERIC-ITERATIVE operator like
+    :func:`ivf_centroids` — results are deterministic for a fixed
+    partition count but carry float rounding, so its contract is the
+    pytest against numpy's eigensolver (|cos| ≈ 1), not a DuckDB
+    hash oracle.
+
+    Returns ``(component, eigenvalue, n_rows)`` — component a Python
+    list of unit-norm doubles, eigenvalue the Rayleigh quotient
+    estimate of the (centered if ``center``) second moment along it.
+    """
+    if iters < 1:
+        raise ValueError("embedding_top_component: iters must be >= 1")
+    base = embeddings.where(F.col(vec_col).isNotNull()).select(
+        F.col(vec_col).cast("array<double>").alias("x"))
+    base = base.localCheckpoint(eager=True)
+    n = base.count()
+    if n == 0:
+        raise ValueError("embedding_top_component: no vectors")
+    d = len(base.first()["x"])
+    if center:
+        sums = (base.select(F.posexplode("x").alias("i", "v"))
+                .groupBy("i").agg(F.sum("v").alias("s"))
+                .collect())
+        mu = [0.0] * d
+        for r in sums:
+            mu[r["i"]] = r["s"] / n
+    else:
+        mu = [0.0] * d
+    mu_lit = F.array(*[F.lit(float(m)) for m in mu])
+    import math as _math
+
+    v = [0.0] * d
+    v[0] = 1.0
+    lam = 0.0
+    for _ in range(iters):
+        v_lit = F.array(*[F.lit(float(c)) for c in v])
+        cx = F.zip_with("x", mu_lit, lambda a, b: a - b)
+        dot = F.aggregate(
+            F.zip_with(cx, v_lit, lambda a, b: a * b),
+            F.lit(0.0), lambda acc, y: acc + y)
+        contrib = base.select(
+            F.posexplode(F.transform(cx, lambda c: c * dot))
+            .alias("i", "p"))
+        rows = contrib.groupBy("i").agg(F.sum("p").alias("s")).collect()
+        w = [0.0] * d
+        for r in rows:
+            w[r["i"]] = r["s"]
+        lam = _math.sqrt(sum(c * c for c in w) / max(n, 1)) \
+            if any(w) else 0.0
+        nrm = _math.sqrt(sum(c * c for c in w))
+        if nrm == 0.0:
+            break
+        # sign convention: first nonzero component positive
+        w = [c / nrm for c in w]
+        for c in w:
+            if abs(c) > 1e-12:
+                if c < 0:
+                    w = [-y for y in w]
+                break
+        v = w
+    # Rayleigh quotient along the final direction
+    v_lit = F.array(*[F.lit(float(c)) for c in v])
+    cx = F.zip_with("x", mu_lit, lambda a, b: a - b)
+    dot = F.aggregate(F.zip_with(cx, v_lit, lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, y: acc + y)
+    lam = base.select(F.avg(dot * dot).alias("l")).first()["l"]
+    return v, float(lam), n

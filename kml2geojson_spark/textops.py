@@ -1553,3 +1553,142 @@ def zipf_fit(documents: DataFrame, *, text_col: str = "text",
         F.when(okx, slope).alias("slope"),
         F.when(okx, intercept).alias("intercept"),
         F.when(okx & (dy > 0), r2).alias("r2"))
+
+
+def bigram_lm_surprisal(documents: DataFrame, *, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Per-document average bigram surprisal under an add-1-smoothed
+    bigram language model trained on the corpus itself — the
+    perplexity-proxy quality filter a pretraining pipeline runs
+    where :func:`unigram_surprisal` is too blunt (it cannot see word
+    order): gibberish with common words scores high here, fluent
+    text low.
+
+    Model: ``P(w₂|w₁) = (C(w₁w₂)+1)/(C(w₁)+V)`` with corpus bigram /
+    unigram counts and vocabulary size V. Per document,
+    ``logprob_micro = Σ lnμ(C₁₂+1) − lnμ(C₁+V)`` over its adjacent
+    token pairs — every ln micro-nat integerized per exact integer
+    (the :func:`~kml2geojson_spark.relational.group_entropy` rule),
+    so the sum is an exact BIGINT and the average surprisal
+    ``−logprob/(n·10⁶)`` is one fixed double expression —
+    bit-identical across engines.
+
+    Scale shape: tokens via ONE posexplode of the empty-filtered
+    split (positions are over the filtered array, so adjacency is
+    well-defined); bigrams via LEAD on the per-doc partitioning (one
+    Exchange); corpus counts are two hash-aggregates; scoring is two
+    hash equi-joins (bigram, unigram) plus a broadcast 1-row V; one
+    final per-doc aggregate. Zipf-heavy unigram keys self-combine
+    map-side. No Python.
+
+    Output: (doc_id, n_bigrams, logprob_micro, avg_surprisal) — one
+    row per document with ≥ 2 tokens; surprisal NULL never (every
+    self-corpus bigram has count ≥ 1).
+    """
+    arr = F.filter(F.split(F.lower(F.col(text_col)), " "),
+                   lambda x: x != "")
+    toks = (documents.where(F.col(text_col).isNotNull())
+            .select(F.col(id_col).alias("doc_id"),
+                    F.posexplode(arr).alias("pos", "w1")))
+    w = SparkWindow.partitionBy("doc_id").orderBy(F.col("pos").asc())
+    big = (toks.select("doc_id", "w1",
+                       F.lead("w1").over(w).alias("w2"))
+           .where(F.col("w2").isNotNull()))
+    cb = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c12"))
+    cu = toks.groupBy("w1").agg(F.count(F.lit(1)).alias("_c1"))
+    vv = cu.agg(F.count(F.lit(1)).alias("_v")).withColumn(
+        "_k", F.lit(1))
+
+    def _lnmu(col: F.Column) -> F.Column:
+        return F.round(F.log(col.cast("double")) * 1e6).cast("long")
+
+    scored = (big.join(cb, ["w1", "w2"]).join(cu, "w1")
+              .withColumn("_k", F.lit(1))
+              .join(F.broadcast(vv), "_k"))
+    contrib = (_lnmu(F.col("_c12") + 1)
+               - _lnmu(F.col("_c1") + F.col("_v")))
+    s = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum(contrib).alias("logprob_micro"))
+    avg = (-F.col("logprob_micro").cast("double")
+           / (F.col("n_bigrams").cast("double") * F.lit(1e6)))
+    return s.select("doc_id", "n_bigrams", "logprob_micro",
+                    avg.alias("avg_surprisal"))
+
+
+def bpe_train_merges(documents: DataFrame, *, num_merges: int,
+                     text_col: str = "text",
+                     max_word_len: int = 64) -> list:
+    """Train byte-pair-encoding merge rules on a corpus — the
+    tokenizer-training primitive (the :func:`bpe_token_stats` scorer
+    APPLIES a BPE-ish pretokenizer; this LEARNS the merge table):
+    classic Sennrich BPE over the word-frequency table, greedy
+    left-to-right pair application, end-of-word marker ``</w>``.
+
+    Distributed shape: the STATE is the (symbols array, freq) word
+    table — vocabulary-sized, not corpus-sized — built from one
+    tokenize + hash-aggregate over the corpus and checkpointed. Each
+    merge round is (1) one adjacent-pair explode + weighted count +
+    global argmax, all in one job (the winning pair — ONE row — is
+    collected, the :func:`~kml2geojson_spark.simsearch.ivf_centroids`
+    size-gated-collect rule), and (2) one pure-Column greedy fold
+    (``F.aggregate``) rewriting every word's symbol array, lineage-
+    truncated per round. No Python UDF anywhere; corpus size only
+    affects the initial aggregate.
+
+    Determinism: pair counts are exact BIGINTs; ties break on
+    (count desc, left asc, right asc) via one ``max(struct(...))``
+    with inverted-lexicographic helpers — bit-stable across
+    partitionings. Contract is the pytest against a pure-Python
+    reference implementation (the merge list is exact, so no float
+    oracle is needed; it is not registered as a SQL query because a
+    10-round iterative argmax is not one DuckDB statement).
+
+    Returns the ordered list of ``(left, right)`` merge pairs
+    (length ≤ ``num_merges``; shorter if the corpus runs dry).
+    """
+    if num_merges < 1:
+        raise ValueError("bpe_train_merges: num_merges must be >= 1")
+    toks = (documents.where(F.col(text_col).isNotNull())
+            .select(F.explode(F.filter(
+                F.split(F.lower(F.col(text_col)), " "),
+                lambda x: x != "")).alias("w")))
+    words = (toks.where(F.length("w") <= max_word_len)
+             .groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+             .select(F.concat(F.split(F.col("w"), ""),
+                              F.array(F.lit("</w>"))).alias("syms"),
+                     "freq")
+             .localCheckpoint(eager=True))
+    merges: list = []
+    for _ in range(num_merges):
+        pair_arr = F.when(
+            F.size("syms") >= 2,
+            F.expr("transform(sequence(1, size(syms) - 1), "
+                   "i -> struct(syms[i - 1] AS a, syms[i] AS b))")) \
+            .otherwise(F.expr(
+                "CAST(array() AS array<struct<a: string, b: string>>)"))
+        pairs = words.select("freq", F.explode(pair_arr).alias("p"))
+        cnt = (pairs.groupBy("p").agg(F.sum("freq").alias("c"))
+               .localCheckpoint(eager=True))
+        top = cnt.agg(F.max("c").alias("maxc")).first()
+        if top is None or top["maxc"] is None or top["maxc"] < 2:
+            break
+        best = (cnt.where(F.col("c") == top["maxc"])
+                .agg(F.min(F.struct(F.col("p.a").alias("a"),
+                                    F.col("p.b").alias("b")))
+                     .alias("m")).first()["m"])
+        a, b = best["a"], best["b"]
+        merges.append((a, b))
+        la, lb = F.lit(a), F.lit(b)
+        merged = F.aggregate(
+            F.col("syms"),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == la) & (x == lb),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                         F.array(F.concat(la, lb))))
+            .otherwise(F.concat(acc, F.array(x))))
+        words = words.select(merged.alias("syms"), "freq") \
+            .localCheckpoint(eager=True)
+    return merges

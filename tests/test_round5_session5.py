@@ -694,3 +694,140 @@ def test_degree_assortativity_brute_force(spark):
     want = (m2 * sxy - sx * sx) / (m2 * sxx - sx * sx)
     assert r["m_edges"] == len(es)
     assert abs(r["assortativity"] - want) < 1e-12
+
+
+# ------------------------------------------------------- bigram surprisal
+
+
+def test_bigram_lm_surprisal_brute_force(spark):
+    from kml2geojson_spark.textops import bigram_lm_surprisal
+    docs = [(1, "the cat sat on the mat"),
+            (2, "the cat sat"),
+            (3, "mat the on sat cat the"),     # same words, scrambled
+            (4, "solo"),                        # < 2 tokens -> no row
+            (5, "  the   cat  ")]               # empty-token filtering
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bigram_lm_surprisal(df).collect()}
+    assert 4 not in out
+    # python replay
+    from collections import Counter
+    toks = {i: [t for t in txt.lower().split(" ") if t]
+            for i, txt in docs}
+    cu = Counter(t for ts in toks.values() for t in ts)
+    cb = Counter((a, b) for ts in toks.values()
+                 for a, b in zip(ts, ts[1:]))
+    vocab = len(cu)
+    for i, ts in toks.items():
+        pairs = list(zip(ts, ts[1:]))
+        if not pairs:
+            continue
+        lp = sum(round(math.log(cb[p] + 1) * 1e6)
+                 - round(math.log(cu[p[0]] + vocab) * 1e6)
+                 for p in pairs)
+        assert out[i]["n_bigrams"] == len(pairs)
+        assert out[i]["logprob_micro"] == lp, i
+        assert abs(out[i]["avg_surprisal"]
+                   - (-lp / (len(pairs) * 1e6))) < 1e-12
+    # fluent repeated phrasing scores LESS surprising than scrambled
+    assert out[2]["avg_surprisal"] < out[3]["avg_surprisal"]
+    assert out[5]["n_bigrams"] == 1
+
+
+def test_bigram_lm_surprisal_plan_no_python(spark):
+    from kml2geojson_spark.textops import bigram_lm_surprisal
+    df = spark.createDataFrame([(1, "a b c a b")],
+                               "doc_id long, text string")
+    plan = _plan(bigram_lm_surprisal(df))
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------- bpe trainer
+
+
+def _bpe_reference(word_freqs: dict, num_merges: int) -> list:
+    """Pure-python Sennrich BPE with (count desc, pair asc) ties and
+    greedy left-to-right merging."""
+    words = {tuple(list(w) + ["</w>"]): f for w, f in word_freqs.items()}
+    merges = []
+    for _ in range(num_merges):
+        counts = {}
+        for syms, f in words.items():
+            for p in zip(syms, syms[1:]):
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        best = min(counts, key=lambda p: (-counts[p], p))
+        if counts[best] < 2:
+            break
+        merges.append(best)
+        a, b = best
+        new_words = {}
+        for syms, f in words.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            new_words[tuple(out)] = new_words.get(tuple(out), 0) + f
+        words = new_words
+    return merges
+
+
+def test_bpe_train_merges_matches_reference(spark):
+    from kml2geojson_spark.textops import bpe_train_merges
+    corpus = ["low low low low low",
+              "lower lower newest newest newest",
+              "newest newest newest widest widest",
+              "low lower newest widest"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(corpus)],
+                               "doc_id long, text string")
+    got = bpe_train_merges(df, num_merges=8)
+    from collections import Counter
+    wf = Counter(w for t in corpus for w in t.split())
+    want = _bpe_reference(dict(wf), 8)
+    assert got == want, (got, want)
+    # sanity: the classic 'es'/'est'-style merges appear
+    assert len(got) == 8 and all(isinstance(p, tuple) for p in got)
+
+
+def test_bpe_train_merges_stops_when_dry(spark):
+    from kml2geojson_spark.textops import bpe_train_merges
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    # every word is a single char + </w>; each pair occurs once -> no
+    # merge reaches count 2 -> empty merge list
+    assert bpe_train_merges(df, num_merges=5) == []
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        bpe_train_merges(df, num_merges=0)
+
+
+# -------------------------------------------------- power-iteration PCA
+
+
+def test_embedding_top_component_matches_numpy(spark):
+    from kml2geojson_spark.simsearch import embedding_top_component
+    import numpy as np
+    rng = np.random.default_rng(42)
+    # anisotropic cloud: dominant direction along a known axis mix
+    base = rng.normal(size=(400, 8))
+    base[:, 0] *= 6.0
+    base[:, 3] *= 2.5
+    rot = np.linalg.qr(rng.normal(size=(8, 8)))[0]
+    x = base @ rot + rng.normal(size=8)             # off-center
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<double>")
+    v, lam, n = embedding_top_component(df, iters=30)
+    assert n == 400 and len(v) == 8
+    assert abs(sum(c * c for c in v) - 1.0) < 1e-9   # unit norm
+    xc = x - x.mean(axis=0)
+    cov = xc.T @ xc / len(x)
+    evals, evecs = np.linalg.eigh(cov)
+    top = evecs[:, -1]
+    cos = abs(float(np.dot(top, np.array(v))))
+    assert cos > 0.999, cos
+    assert abs(lam - evals[-1]) / evals[-1] < 0.01
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        embedding_top_component(df, iters=0)
