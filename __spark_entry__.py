@@ -6990,6 +6990,244 @@ FROM s
 """
 
 
+def _q203_js_divergence(spark, sf):
+    """Jensen–Shannon divergence (micro-nat integerized log-ratio
+    terms, exact BIGINT weighted sums) between the return-flag mix of
+    open vs finished lineitems. Round-5 post-pin registration:
+    in-repo oracle sweep only."""
+    from kml2geojson_spark.relational import js_divergence
+    return js_divergence(_t(spark, sf, "lineitem"),
+                         cat_col="l_returnflag",
+                         group_col="l_linestatus",
+                         group_a="O", group_b="F")
+
+
+_O203 = """
+WITH b AS (
+  SELECT l_returnflag AS cat,
+         CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c2
+  FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_linestatus IN ('O', 'F')
+  GROUP BY l_returnflag),
+t AS (
+  SELECT c1, c2,
+         CAST(SUM(c1) OVER () AS BIGINT) AS n1,
+         CAST(SUM(c2) OVER () AS BIGINT) AS n2
+  FROM b),
+s AS (
+  SELECT MAX(n1) AS n_a, MAX(n2) AS n_b,
+         CAST(COUNT(*) AS BIGINT) AS k_cats,
+         CAST(SUM(CASE WHEN c1 > 0 THEN c1 * (
+             CAST(ROUND(LN(CAST(2 * c1 * n2 AS DOUBLE)) * 1e6)
+                  AS BIGINT)
+           - CAST(ROUND(LN(CAST(c1 * n2 + c2 * n1 AS DOUBLE)) * 1e6)
+                  AS BIGINT)) ELSE 0 END) AS BIGINT)
+           AS jsd_num_a_micro,
+         CAST(SUM(CASE WHEN c2 > 0 THEN c2 * (
+             CAST(ROUND(LN(CAST(2 * c2 * n1 AS DOUBLE)) * 1e6)
+                  AS BIGINT)
+           - CAST(ROUND(LN(CAST(c1 * n2 + c2 * n1 AS DOUBLE)) * 1e6)
+                  AS BIGINT)) ELSE 0 END) AS BIGINT)
+           AS jsd_num_b_micro
+  FROM t)
+SELECT n_a, n_b, k_cats, jsd_num_a_micro, jsd_num_b_micro,
+       CASE WHEN n_a > 0 AND n_b > 0 THEN
+         (CAST(jsd_num_a_micro AS DOUBLE) / CAST(n_a AS DOUBLE)
+          + CAST(jsd_num_b_micro AS DOUBLE) / CAST(n_b AS DOUBLE))
+         / 2e6
+       END AS jsd
+FROM s
+"""
+
+
+def _q204_map_at_k(spark, sf):
+    """MAP@3 per order, relevance = high-quantity line: totalized
+    (score desc, id asc) ranking, per-hit milli-floored precision
+    summed as exact BIGINT. Round-5 post-pin registration: in-repo
+    oracle sweep only."""
+    from kml2geojson_spark.relational import map_at_k
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice",
+        (F.col("l_quantity") > 25).cast("int").alias("rel"))
+    return map_at_k(li, group_cols=["l_orderkey"],
+                    id_col="l_linenumber",
+                    score_col="l_extendedprice", rel_col="rel", k=3)
+
+
+_O204 = """
+WITH b AS (
+  SELECT l_orderkey,
+         l_linenumber AS id,
+         l_extendedprice AS s,
+         CAST(l_quantity > 25 AS BIGINT) AS r
+  FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+    AND l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+ranked AS (
+  SELECT l_orderkey, r,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                            ORDER BY s DESC, id ASC) AS rnk,
+         SUM(r) OVER (PARTITION BY l_orderkey
+                      ORDER BY s DESC, id ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cum,
+         SUM(r) OVER (PARTITION BY l_orderkey) AS nrel
+  FROM b),
+s AS (
+  SELECT l_orderkey,
+         CAST(MAX(nrel) AS BIGINT) AS n_rel,
+         CAST(SUM(CASE WHEN r = 1 AND rnk <= 3 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hits_at_k,
+         CAST(SUM(CASE WHEN r = 1 AND rnk <= 3
+                  THEN CAST(FLOOR(CAST(cum AS DOUBLE) * 1000.0
+                                  / CAST(rnk AS DOUBLE)) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS ap_milli_sum
+  FROM ranked GROUP BY l_orderkey)
+SELECT l_orderkey, n_rel, n_hits_at_k, ap_milli_sum,
+       CASE WHEN n_rel > 0 THEN
+         CAST(ap_milli_sum AS DOUBLE)
+         / (CAST(LEAST(n_rel, 3) AS DOUBLE) * 1000.0)
+       END AS map_at_k
+FROM s
+"""
+
+
+def _q205_runs_test(spark, sf):
+    """Wald–Wolfowitz runs test per user over the high-value flag of
+    their (ts, event_id)-totalized event stream: one LAG, exact
+    BIGINT run counts, one fixed IEEE z. Round-5 post-pin
+    registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.relational import runs_test
+    ev = _t(spark, sf, "events").select(
+        "user_id", "ts", "event_id",
+        (F.col("value") > 50).cast("int").alias("hi"))
+    return runs_test(ev, flag_col="hi", order_col="ts",
+                     id_col="event_id", group_cols=["user_id"])
+
+
+_O205 = """
+WITH b AS (
+  SELECT user_id, ts, event_id,
+         CAST(value > 50 AS BIGINT) AS x
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_id IS NOT NULL AND value IS NOT NULL),
+lagged AS (
+  SELECT user_id, x,
+         LAG(x) OVER (PARTITION BY user_id
+                      ORDER BY ts ASC, event_id ASC) AS px
+  FROM b),
+s AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS n1,
+         CAST(SUM(1 - x) AS BIGINT) AS n0,
+         CAST(SUM(CASE WHEN px IS NULL OR px <> x THEN 1 ELSE 0 END)
+              AS BIGINT) AS runs
+  FROM lagged GROUP BY user_id)
+SELECT user_id, n, n1, n0, runs,
+       CASE WHEN n1 > 0 AND n0 > 0 AND n >= 2
+             AND 2.0 * n1 * n0 * (2.0 * n1 * n0 - n)
+                 / (CAST(n AS DOUBLE) * n * (n - 1.0)) > 0
+            THEN (CAST(runs AS DOUBLE) - 1.0
+                  - 2.0 * n1 * n0 / CAST(n AS DOUBLE))
+                 / SQRT(2.0 * n1 * n0 * (2.0 * n1 * n0 - n)
+                        / (CAST(n AS DOUBLE) * n * (n - 1.0)))
+       END AS z
+FROM s
+"""
+
+
+def _q206_poisson_rate(spark, sf):
+    """Two-sample Poisson rate z-test (returned vs clean lineitems;
+    quantity events per line-number exposure): ONE conditional
+    hash-aggregate of exact BIGINT sums, one fixed IEEE z. Round-5
+    post-pin registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.relational import poisson_rate_ztest
+    li = _t(spark, sf, "lineitem").select(
+        "l_returnflag", "l_linenumber",
+        F.col("l_quantity").cast("long").alias("qty"))
+    return poisson_rate_ztest(li, count_col="qty",
+                              exposure_col="l_linenumber",
+                              group_col="l_returnflag",
+                              group_a="R", group_b="N")
+
+
+_O206 = """
+WITH b AS (
+  SELECT l_returnflag AS g,
+         CAST(l_quantity AS BIGINT) AS k,
+         CAST(l_linenumber AS BIGINT) AS t
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_linenumber IS NOT NULL
+    AND CAST(l_quantity AS BIGINT) >= 0 AND l_linenumber > 0
+    AND l_returnflag IN ('R', 'N')),
+s AS (
+  SELECT CAST(SUM(CASE WHEN g = 'R' THEN k ELSE 0 END) AS BIGINT)
+           AS k_a,
+         CAST(SUM(CASE WHEN g = 'R' THEN t ELSE 0 END) AS BIGINT)
+           AS t_a,
+         CAST(SUM(CASE WHEN g <> 'R' THEN k ELSE 0 END) AS BIGINT)
+           AS k_b,
+         CAST(SUM(CASE WHEN g <> 'R' THEN t ELSE 0 END) AS BIGINT)
+           AS t_b
+  FROM b)
+SELECT k_a, t_a, k_b, t_b,
+       CASE WHEN t_a > 0 THEN CAST(k_a AS DOUBLE) / t_a END AS rate_a,
+       CASE WHEN t_b > 0 THEN CAST(k_b AS DOUBLE) / t_b END AS rate_b,
+       CASE WHEN t_a > 0 AND t_b > 0 AND (k_a > 0 OR k_b > 0)
+            THEN (CAST(k_a AS DOUBLE) / t_a
+                  - CAST(k_b AS DOUBLE) / t_b)
+                 / SQRT(CAST(k_a AS DOUBLE)
+                        / (CAST(t_a AS DOUBLE) * t_a)
+                        + CAST(k_b AS DOUBLE)
+                          / (CAST(t_b AS DOUBLE) * t_b))
+       END AS z
+FROM s
+"""
+
+
+def _q207_char_entropy(spark, sf):
+    """Per-document character-level Shannon entropy (micro-nat
+    integerized logs, exact BIGINT numerators) — the gibberish /
+    encoded-blob filter. Round-5 post-pin registration: in-repo
+    oracle sweep only."""
+    from kml2geojson_spark.textops import char_entropy
+    return char_entropy(_t(spark, sf, "documents"))
+
+
+_O207 = """
+WITH chars AS (
+  SELECT doc_id, substring(text, CAST(i AS INTEGER), 1) AS ch
+  FROM documents, UNNEST(range(1, length(text) + 1)) AS u(i)
+  WHERE text IS NOT NULL),
+per_c AS (
+  SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+  FROM chars WHERE ch <> '' GROUP BY doc_id, ch),
+s AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_chars_counted,
+         CAST(COUNT(*) AS BIGINT) AS k_chars,
+         CAST(SUM(c * CAST(ROUND(LN(CAST(c AS DOUBLE)) * 1e6)
+                           AS BIGINT)) AS BIGINT) AS sclc
+  FROM per_c GROUP BY doc_id)
+SELECT doc_id, n_chars_counted, k_chars,
+       n_chars_counted
+         * CAST(ROUND(LN(CAST(n_chars_counted AS DOUBLE)) * 1e6)
+                AS BIGINT)
+         - sclc AS ent_num_micro,
+       CAST(n_chars_counted
+              * CAST(ROUND(LN(CAST(n_chars_counted AS DOUBLE)) * 1e6)
+                     AS BIGINT)
+              - sclc AS DOUBLE)
+         / (CAST(n_chars_counted AS DOUBLE) * 1e6) AS char_entropy
+FROM s
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -7185,6 +7423,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q200_hourly_profile": _q200_hourly_profile,
         "q201_assortativity": _q201_assortativity,
         "q202_bigram_lm": _q202_bigram_lm,
+        "q203_js_divergence": _q203_js_divergence,
+        "q204_map_at_k": _q204_map_at_k,
+        "q205_runs_test": _q205_runs_test,
+        "q206_poisson_rate": _q206_poisson_rate,
+        "q207_char_entropy": _q207_char_entropy,
     }
 
 
@@ -7379,6 +7622,11 @@ def oracle_sql() -> dict[str, str]:
         "q200_hourly_profile": _O200,
         "q201_assortativity": _O201,
         "q202_bigram_lm": _O202,
+        "q203_js_divergence": _O203,
+        "q204_map_at_k": _O204,
+        "q205_runs_test": _O205,
+        "q206_poisson_rate": _O206,
+        "q207_char_entropy": _O207,
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

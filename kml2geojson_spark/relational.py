@@ -2283,3 +2283,269 @@ def pythagorean_means(df: DataFrame, *, value_col: str,
                     .alias("mean_arith"),
                     "log_gmean_micro_sum", gmean.alias("gmean"),
                     "recip_pico_sum", hmean.alias("hmean"))
+
+
+def js_divergence(df: DataFrame, *, cat_col: str, group_col: str,
+                  group_a: str, group_b: str,
+                  group_cols: list[str] | None = None) -> DataFrame:
+    """Jensen–Shannon divergence (nats) between the categorical
+    distributions of two cohorts — the SYMMETRIC, bounded (≤ ln 2)
+    drift measure beside :func:`psi_drift` (which blows up on empty
+    bins) and :func:`ks_2sample` (ordinal only): source-mix shift
+    between snapshots, label drift between train/eval shards.
+
+    Determinism: with per-category counts c₁, c₂ and totals N₁, N₂
+    (exact BIGINTs from ONE conditional hash-aggregate), every log
+    term is a log of a RATIO OF INTEGERS, so the micro-nat rule
+    applies end-to-end:
+    ``ln(p/m) = ln(2c₁N₂) − ln(c₁N₂ + c₂N₁)`` (p = c₁/N₁,
+    m = (p+q)/2), each ln integerized PER exact integer product.
+    The two weighted sums ``Σ c₁·lnμ(…)`` are exact BIGINTs and JSD
+    is ONE fixed double expression of them. Caller guarantees
+    c·N < 2⁶² (N ≤ ~10⁹ per side is safe). NULL keys drop; rows of
+    other ``group_col`` levels drop.
+
+    Scale shape: one (group, category) conditional hash-aggregate
+    with map-side combine, one window total over category-level rows
+    on the same partitioning, one final hash-aggregate. No join.
+
+    Output: (group..., n_a, n_b, k_cats, jsd_num_a_micro,
+    jsd_num_b_micro, jsd) — jsd NULL when either side is empty;
+    0 ≤ jsd ≤ ln 2 + 2 micro-nats.
+    """
+    gcols = list(group_cols or [])
+    keep = (F.col(cat_col).isNotNull()
+            & F.col(group_col).isin(group_a, group_b))
+    for g in gcols:
+        keep = keep & F.col(g).isNotNull()
+    is_a = F.col(group_col) == group_a
+    per_cat = df.where(keep).groupBy(*gcols, cat_col).agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).alias("_c1"),
+        F.sum(F.when(~is_a, 1).otherwise(0)).alias("_c2"))
+    wg = (Window.partitionBy(*gcols) if gcols
+          else Window.partitionBy(F.lit(1)))
+    n1 = F.sum("_c1").over(wg)
+    n2 = F.sum("_c2").over(wg)
+    staged = per_cat.select(*gcols, "_c1", "_c2",
+                            n1.alias("_n1"), n2.alias("_n2"))
+
+    def _lnmu(col: F.Column) -> F.Column:
+        return F.round(F.log(col.cast("double")) * 1e6).cast("long")
+
+    mix = F.col("_c1") * F.col("_n2") + F.col("_c2") * F.col("_n1")
+    ta = F.when(F.col("_c1") > 0,
+                F.col("_c1")
+                * (_lnmu(F.lit(2) * F.col("_c1") * F.col("_n2"))
+                   - _lnmu(mix))).otherwise(F.lit(0))
+    tb = F.when(F.col("_c2") > 0,
+                F.col("_c2")
+                * (_lnmu(F.lit(2) * F.col("_c2") * F.col("_n1"))
+                   - _lnmu(mix))).otherwise(F.lit(0))
+    grouped = (staged.groupBy(*gcols) if gcols else staged.groupBy())
+    s = grouped.agg(F.max("_n1").alias("n_a"),
+                    F.max("_n2").alias("n_b"),
+                    F.count(F.lit(1)).alias("k_cats"),
+                    F.sum(ta).alias("jsd_num_a_micro"),
+                    F.sum(tb).alias("jsd_num_b_micro"))
+    jsd = (F.col("jsd_num_a_micro").cast("double")
+           / F.col("n_a").cast("double")
+           + F.col("jsd_num_b_micro").cast("double")
+           / F.col("n_b").cast("double")) / F.lit(2e6)
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return s.select(*gcols, "n_a", "n_b", "k_cats",
+                    "jsd_num_a_micro", "jsd_num_b_micro",
+                    F.when(ok, jsd).alias("jsd"))
+
+
+def map_at_k(df: DataFrame, *, group_cols: list[str], id_col: str,
+             score_col: str, rel_col: str, k: int = 10) -> DataFrame:
+    """Mean-average-precision@k per group — the binary-relevance
+    ranking metric beside :func:`ndcg_at_k` (graded) and
+    :func:`rrf_fuse` (fusion): AP = mean over the relevant hits in
+    the top k of precision-at-that-hit, normalized by
+    ``min(n_rel, k)``.
+
+    Determinism: relevance must be INTEGER 0/1 (floats raise); the
+    ranking is totalized (score desc, id asc) so ties never reorder
+    across engines; each hit's precision ``cum_rel/rank`` is a ratio
+    of small exact integers milli-floored PER HIT
+    (``floor(cum_rel·10³/rank)`` — the :func:`oneway_anova` rule)
+    and summed as exact BIGINT; AP is ONE division of exact
+    integers. NULL keys/scores/relevances drop.
+
+    Scale shape: ONE row_number window per group partitioning, a
+    rank ≤ k filter, one hash-aggregate (plus a group-total
+    aggregate for n_rel over the SAME partitioning). No join.
+
+    Output: (group..., n_rel, n_hits_at_k, ap_milli_sum, map_at_k)
+    — NULL when the group has no relevant item.
+    """
+    from pyspark.sql.types import DoubleType, FloatType
+
+    fields = {f.name: f for f in df.schema.fields}
+    if isinstance(fields[rel_col].dataType, (DoubleType, FloatType)):
+        raise ValueError(
+            f"map_at_k: {rel_col!r} is floating-point — binarize "
+            "first (exact integer precision sums are the determinism "
+            "contract)")
+    if not group_cols:
+        raise ValueError("map_at_k: group_cols must be non-empty")
+    if k < 1:
+        raise ValueError("map_at_k: k must be >= 1")
+    rel = F.col(rel_col).cast("long")
+    keep = (rel.isin(0, 1) & F.col(score_col).isNotNull()
+            & F.col(id_col).isNotNull())
+    for g in group_cols:
+        keep = keep & F.col(g).isNotNull()
+    b = df.where(keep).select(*group_cols,
+                              F.col(id_col).alias("_id"),
+                              F.col(score_col).alias("_s"),
+                              rel.alias("_r"))
+    wg = Window.partitionBy(*group_cols)
+    wo = wg.orderBy(F.col("_s").desc(), F.col("_id").asc())
+    ranked = b.select(
+        *group_cols, "_r",
+        F.row_number().over(wo).alias("_rank"),
+        F.sum("_r").over(wo.rowsBetween(Window.unboundedPreceding,
+                                        Window.currentRow))
+        .alias("_cum"),
+        F.sum("_r").over(wg).alias("_nrel"))
+    hit = F.when((F.col("_r") == 1) & (F.col("_rank") <= k),
+                 F.floor(F.col("_cum").cast("double") * F.lit(1000.0)
+                         / F.col("_rank").cast("double"))) \
+        .otherwise(F.lit(0))
+    s = ranked.groupBy(*group_cols).agg(
+        F.max("_nrel").alias("n_rel"),
+        F.sum(F.when((F.col("_r") == 1) & (F.col("_rank") <= k), 1)
+              .otherwise(0)).alias("n_hits_at_k"),
+        F.sum(hit).alias("ap_milli_sum"))
+    denom = F.least(F.col("n_rel"), F.lit(k))
+    ap = F.when(F.col("n_rel") > 0,
+                F.col("ap_milli_sum").cast("double")
+                / (denom.cast("double") * F.lit(1000.0)))
+    return s.select(*group_cols, "n_rel", "n_hits_at_k",
+                    "ap_milli_sum", ap.alias("map_at_k"))
+
+
+def runs_test(df: DataFrame, *, flag_col: str, order_col: str,
+              id_col: str, group_cols: list[str]) -> DataFrame:
+    """Wald–Wolfowitz runs test per group — is a binary sequence
+    randomly ordered, or does it cluster (fewer runs: flaky-test
+    streaks, regime-switching errors) / alternate (more runs:
+    oscillation)? The sequence-randomness check none of the
+    two-sample tests cover.
+
+    Determinism: the flag must be INTEGER 0/1 (floats raise); the
+    sequence order is totalized by (order, id) — supply a unique
+    ``id_col``; ties in ``order_col`` alone would make "the
+    sequence" ill-defined. Run count R = 1 + Σ(xᵢ ≠ xᵢ₋₁) via ONE
+    LAG on the group partitioning; n₁/n₀/R are exact BIGINTs and
+    ``z = (R − 1 − 2n₁n₀/n) / √(2n₁n₀(2n₁n₀ − n)/(n²(n−1)))`` is one
+    fixed IEEE expression of them (the big products are formed in
+    doubles — the :func:`welch_ttest` rule).
+
+    Scale shape: one Exchange (hash by group), one in-partition
+    sort + LAG, one hash-aggregate. No join, no Python.
+
+    Output: (group..., n, n1, n0, runs, z) — z NULL when either
+    symbol is absent or n < 2.
+    """
+    from pyspark.sql.types import DoubleType, FloatType
+
+    fields = {f.name: f for f in df.schema.fields}
+    if isinstance(fields[flag_col].dataType, (DoubleType, FloatType)):
+        raise ValueError(
+            f"runs_test: {flag_col!r} is floating-point — binarize "
+            "first (exact integer run counts are the determinism "
+            "contract)")
+    if not group_cols:
+        raise ValueError("runs_test: group_cols must be non-empty")
+    x = F.col(flag_col).cast("long")
+    keep = (x.isin(0, 1) & F.col(order_col).isNotNull()
+            & F.col(id_col).isNotNull())
+    for g in group_cols:
+        keep = keep & F.col(g).isNotNull()
+    b = df.where(keep).select(*group_cols, x.alias("_x"),
+                              F.col(order_col).alias("_o"),
+                              F.col(id_col).alias("_i"))
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("_o").asc(), F.col("_i").asc())
+    prev = F.lag("_x").over(w)
+    staged = b.select(*group_cols, "_x",
+                      F.when(prev.isNull() | (prev != F.col("_x")), 1)
+                      .otherwise(0).alias("_brk"))
+    s = staged.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("n1"),
+        F.sum(F.lit(1) - F.col("_x")).alias("n0"),
+        F.sum("_brk").alias("runs"))
+    nd = F.col("n").cast("double")
+    p2 = (F.lit(2.0) * F.col("n1").cast("double")
+          * F.col("n0").cast("double"))
+    var = p2 * (p2 - nd) / (nd * nd * (nd - F.lit(1.0)))
+    z = (F.col("runs").cast("double") - F.lit(1.0) - p2 / nd) \
+        / F.sqrt(var)
+    ok = ((F.col("n1") > 0) & (F.col("n0") > 0) & (F.col("n") >= 2)
+          & (var > F.lit(0.0)))
+    return s.select(*group_cols, "n", "n1", "n0", "runs",
+                    F.when(ok, z).alias("z"))
+
+
+def poisson_rate_ztest(df: DataFrame, *, count_col: str,
+                       exposure_col: str, group_col: str,
+                       group_a: str, group_b: str,
+                       group_cols: list[str] | None = None
+                       ) -> DataFrame:
+    """Two-sample Poisson rate z-test — compares EVENT RATES PER
+    EXPOSURE (errors per machine-hour, orders per session-minute)
+    between two cohorts, which :func:`two_proportion_ztest` cannot
+    (it needs bounded trials, not open exposure windows).
+
+    Determinism: counts and exposures must be INTEGER (floats
+    raise); per-side Σk and Σt are exact BIGINTs from ONE
+    conditional hash-aggregate, and
+    ``z = (k₁/t₁ − k₂/t₂) / √(k₁/t₁² + k₂/t₂²)`` is one fixed IEEE
+    expression of them.
+
+    Scale shape: ONE map-side-combinable hash aggregate; no window,
+    no join.
+
+    Output: (group..., k_a, t_a, k_b, t_b, rate_a, rate_b, z) — z
+    NULL when either exposure is 0 or both counts are 0.
+    """
+    from pyspark.sql.types import DoubleType, FloatType
+
+    fields = {f.name: f for f in df.schema.fields}
+    for c in (count_col, exposure_col):
+        if isinstance(fields[c].dataType, (DoubleType, FloatType)):
+            raise ValueError(
+                f"poisson_rate_ztest: {c!r} is floating-point — "
+                "integerize first (exact integer sums are the "
+                "determinism contract)")
+    gcols = list(group_cols or [])
+    keep = (F.col(count_col).isNotNull()
+            & F.col(exposure_col).isNotNull()
+            & (F.col(count_col) >= 0) & (F.col(exposure_col) > 0)
+            & F.col(group_col).isin(group_a, group_b))
+    for g in gcols:
+        keep = keep & F.col(g).isNotNull()
+    k = F.col(count_col).cast("long")
+    t = F.col(exposure_col).cast("long")
+    is_a = F.col(group_col) == group_a
+    grouped = (df.where(keep).groupBy(*gcols) if gcols
+               else df.where(keep).groupBy())
+    s = grouped.agg(
+        F.sum(F.when(is_a, k).otherwise(0)).alias("k_a"),
+        F.sum(F.when(is_a, t).otherwise(0)).alias("t_a"),
+        F.sum(F.when(~is_a, k).otherwise(0)).alias("k_b"),
+        F.sum(F.when(~is_a, t).otherwise(0)).alias("t_b"))
+    ka, ta = F.col("k_a").cast("double"), F.col("t_a").cast("double")
+    kb, tb = F.col("k_b").cast("double"), F.col("t_b").cast("double")
+    ra, rb = ka / ta, kb / tb
+    z = (ra - rb) / F.sqrt(ka / (ta * ta) + kb / (tb * tb))
+    ok = ((F.col("t_a") > 0) & (F.col("t_b") > 0)
+          & ((F.col("k_a") > 0) | (F.col("k_b") > 0)))
+    return s.select(*gcols, "k_a", "t_a", "k_b", "t_b",
+                    F.when(F.col("t_a") > 0, ra).alias("rate_a"),
+                    F.when(F.col("t_b") > 0, rb).alias("rate_b"),
+                    F.when(ok, z).alias("z"))

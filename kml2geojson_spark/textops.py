@@ -1692,3 +1692,50 @@ def bpe_train_merges(documents: DataFrame, *, num_merges: int,
         words = words.select(merged.alias("syms"), "freq") \
             .localCheckpoint(eager=True)
     return merges
+
+
+def char_entropy(documents: DataFrame, *, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Per-document character-level Shannon entropy (nats) — the
+    classic gibberish / base64-blob / keyboard-mash filter: natural
+    language sits in a narrow entropy band, encoded blobs above it,
+    repeated-character spam below. Complements
+    :func:`bigram_lm_surprisal` (word order) and
+    :func:`repetition_stats` (span repeats) at the character level.
+
+    Determinism (the :func:`~kml2geojson_spark.relational
+    .group_entropy` micro-nat rule applied per document): per-doc
+    char counts c are exact BIGINTs; entropy numerator
+    ``n·lnμ(n) − Σ c·lnμ(c)`` is an exact BIGINT (each ln
+    integerized per exact integer), and the entropy is ONE division
+    of identical integers.
+
+    Scale shape: one char explode (rows = total corpus chars — the
+    same cost class as the tokenize path), one (doc, char)
+    hash-aggregate with map-side combine, one doc hash-aggregate.
+    No window, no join.
+
+    Output: (doc_id, n_chars_counted, k_chars, ent_num_micro,
+    char_entropy) — empty/NULL texts yield no row.
+    """
+    chars = (documents.where(F.col(text_col).isNotNull())
+             .select(F.col(id_col).alias("doc_id"),
+                     F.explode(F.split(F.col(text_col), ""))
+                     .alias("ch"))
+             .where(F.col("ch") != ""))
+    per_c = chars.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).alias("_c"))
+    lnc = F.round(F.log(F.col("_c").cast("double")) * 1e6).cast("long")
+    s = per_c.groupBy("doc_id").agg(
+        F.sum("_c").alias("n_chars_counted"),
+        F.count(F.lit(1)).alias("k_chars"),
+        F.sum(F.col("_c") * lnc).alias("_sclc"))
+    lnn = F.round(F.log(F.col("n_chars_counted").cast("double"))
+                  * 1e6).cast("long")
+    num = F.col("n_chars_counted") * lnn - F.col("_sclc")
+    return s.select(
+        "doc_id", "n_chars_counted", "k_chars",
+        num.alias("ent_num_micro"),
+        (num.cast("double")
+         / (F.col("n_chars_counted").cast("double") * F.lit(1e6)))
+        .alias("char_entropy"))
