@@ -7228,6 +7228,177 @@ FROM s
 """
 
 
+def _q208_basket_lift(spark, sf):
+    """Market-basket pair lift over order baskets (apriori pruning
+    cascade: size-capped baskets → frequent items → basket equi-join,
+    never all-pairs). Round-5 post-pin registration: in-repo oracle
+    sweep only."""
+    from kml2geojson_spark.relational import basket_lift
+    return basket_lift(_t(spark, sf, "lineitem"),
+                       basket_col="l_orderkey", item_col="l_partkey",
+                       min_count=2, max_basket=64)
+
+
+_O208 = """
+WITH b AS (
+  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+  FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+sz AS (SELECT bk FROM b GROUP BY bk HAVING COUNT(*) <= 64),
+kept AS (SELECT b.bk, b.it FROM b JOIN sz USING (bk)),
+ic AS (SELECT it, CAST(COUNT(*) AS BIGINT) AS ni
+       FROM kept GROUP BY it),
+f AS (SELECT kept.bk, kept.it, ic.ni
+      FROM kept JOIN ic USING (it) WHERE ni >= 2),
+p AS (
+  SELECT a.it AS item_a, c.it AS item_b,
+         CAST(MAX(a.ni) AS BIGINT) AS n_a,
+         CAST(MAX(c.ni) AS BIGINT) AS n_b,
+         CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM f a JOIN f c ON a.bk = c.bk AND a.it < c.it
+  GROUP BY a.it, c.it HAVING COUNT(*) >= 2),
+nb AS (SELECT CAST(COUNT(DISTINCT bk) AS BIGINT) AS n_baskets
+       FROM kept)
+SELECT item_a, item_b, n_a, n_b, n_ab, n_baskets,
+       CAST(n_ab AS DOUBLE) / CAST(n_baskets AS DOUBLE) AS support,
+       CAST(n_ab AS DOUBLE) / CAST(n_a AS DOUBLE) AS confidence,
+       CAST(n_ab * n_baskets AS DOUBLE)
+         / CAST(n_a * n_b AS DOUBLE) AS lift
+FROM p CROSS JOIN nb
+"""
+
+
+def _q209_rfm_scores(spark, sf):
+    """RFM quintile segmentation per customer: exact epoch recency,
+    exact counts, cent-integerized spend, totalized NTILE buckets.
+    Round-5 post-pin registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.eventops import rfm_scores
+    return rfm_scores(_t(spark, sf, "orders"))
+
+
+_O209 = """
+WITH b AS (
+  SELECT o_custkey AS custkey,
+         epoch_us(o_orderdate) // 1000000 AS t,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+    AND o_totalprice IS NOT NULL),
+pc AS (
+  SELECT custkey, MAX(t) AS last_t,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(c) AS BIGINT) AS monetary_cents
+  FROM b GROUP BY custkey),
+g AS (SELECT MAX(last_t) AS gmax FROM pc),
+st AS (SELECT custkey, CAST(gmax - last_t AS BIGINT) AS recency_s,
+              frequency, monetary_cents
+       FROM pc CROSS JOIN g),
+sc AS (
+  SELECT custkey, recency_s, frequency, monetary_cents,
+         NTILE(5) OVER (ORDER BY recency_s ASC, custkey ASC) AS rr,
+         NTILE(5) OVER (ORDER BY frequency ASC, custkey ASC)
+           AS f_score,
+         NTILE(5) OVER (ORDER BY monetary_cents ASC, custkey ASC)
+           AS m_score
+  FROM st)
+SELECT custkey, recency_s, frequency, monetary_cents,
+       6 - rr AS r_score, f_score, m_score,
+       (6 - rr) * 100 + f_score * 10 + m_score AS rfm
+FROM sc
+"""
+
+
+def _q210_rolling_zscore(spark, sf):
+    """Trailing-20-event z-score anomalies per user over
+    cent-integerized event values; exact-integer anomaly verdict.
+    Round-5 post-pin registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.relational import rolling_zscore
+    ev = _t(spark, sf, "events").select(
+        "user_id", "event_id",
+        F.col("ts").cast("timestamp").cast("long").alias("ts_s"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"))
+    return rolling_zscore(ev, value_col="cents", order_col="ts_s",
+                          id_col="event_id", group_cols=["user_id"],
+                          window=20, min_periods=5,
+                          threshold_milli=3000)
+
+
+_O210 = """
+WITH b AS (
+  SELECT user_id, event_id,
+         epoch_us(ts) // 1000000 AS o,
+         CAST(ROUND(value * 100) AS BIGINT) AS v
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_id IS NOT NULL AND value IS NOT NULL),
+st AS (
+  SELECT user_id, event_id AS id, o, v,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n,
+         CAST(SUM(v) OVER w AS BIGINT) AS s,
+         CAST(SUM(v * v) OVER w AS BIGINT) AS q
+  FROM b
+  WINDOW w AS (PARTITION BY user_id ORDER BY o ASC, event_id ASC
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+SELECT user_id, id, o AS "order", v AS value, n AS n_window,
+       CASE WHEN n >= 5 AND n * q - s * s > 0
+            THEN CAST(n * v - s AS DOUBLE)
+                 / SQRT(CAST(n * q - s * s AS DOUBLE))
+       END AS z,
+       CASE WHEN n >= 5 AND n * q - s * s > 0
+            THEN (n * v - s) * (n * v - s) * 1000000
+                 > 3000 * 3000 * (n * q - s * s)
+            ELSE FALSE END AS is_anomaly
+FROM st
+"""
+
+
+def _q211_inter_arrival(spark, sf):
+    """Per-user inter-arrival gap statistics + Goh–Barabási
+    burstiness (exact BIGINT second gaps from ONE LAG). Round-5
+    post-pin registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.eventops import inter_arrival_stats
+    return inter_arrival_stats(_t(spark, sf, "events"))
+
+
+_O211 = """
+WITH b AS (
+  SELECT user_id, epoch_us(ts) // 1000000 AS t, event_id
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_id IS NOT NULL),
+l AS (
+  SELECT user_id,
+         t - LAG(t) OVER (PARTITION BY user_id
+                          ORDER BY t ASC, event_id ASC) AS g
+  FROM b),
+s AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         CAST(SUM(g) AS BIGINT) AS gap_sum_s,
+         CAST(MIN(g) AS BIGINT) AS gap_min_s,
+         CAST(MAX(g) AS BIGINT) AS gap_max_s,
+         CAST(SUM(g * g) AS BIGINT) AS q
+  FROM l WHERE g IS NOT NULL GROUP BY user_id)
+SELECT user_id, n_gaps, gap_sum_s, gap_min_s, gap_max_s,
+       CAST(gap_sum_s AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+         AS mean_gap_s,
+       CASE WHEN SQRT(CAST(n_gaps * q - gap_sum_s * gap_sum_s
+                           AS DOUBLE)) / CAST(n_gaps AS DOUBLE)
+                 + CAST(gap_sum_s AS DOUBLE)
+                   / CAST(n_gaps AS DOUBLE) > 0
+            THEN (SQRT(CAST(n_gaps * q - gap_sum_s * gap_sum_s
+                            AS DOUBLE)) / CAST(n_gaps AS DOUBLE)
+                  - CAST(gap_sum_s AS DOUBLE)
+                    / CAST(n_gaps AS DOUBLE))
+                 / (SQRT(CAST(n_gaps * q - gap_sum_s * gap_sum_s
+                              AS DOUBLE)) / CAST(n_gaps AS DOUBLE)
+                    + CAST(gap_sum_s AS DOUBLE)
+                      / CAST(n_gaps AS DOUBLE))
+       END AS burstiness
+FROM s
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -7428,6 +7599,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q205_runs_test": _q205_runs_test,
         "q206_poisson_rate": _q206_poisson_rate,
         "q207_char_entropy": _q207_char_entropy,
+        "q208_basket_lift": _q208_basket_lift,
+        "q209_rfm_scores": _q209_rfm_scores,
+        "q210_rolling_zscore": _q210_rolling_zscore,
+        "q211_inter_arrival": _q211_inter_arrival,
     }
 
 
@@ -7627,6 +7802,10 @@ def oracle_sql() -> dict[str, str]:
         "q205_runs_test": _O205,
         "q206_poisson_rate": _O206,
         "q207_char_entropy": _O207,
+        "q208_basket_lift": _O208,
+        "q209_rfm_scores": _O209,
+        "q210_rolling_zscore": _O210,
+        "q211_inter_arrival": _O211,
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

@@ -2549,3 +2549,149 @@ def poisson_rate_ztest(df: DataFrame, *, count_col: str,
                     F.when(F.col("t_a") > 0, ra).alias("rate_a"),
                     F.when(F.col("t_b") > 0, rb).alias("rate_b"),
                     F.when(ok, z).alias("z"))
+
+
+def basket_lift(df: DataFrame, *, basket_col: str, item_col: str,
+                min_count: int = 2, max_basket: int = 64) -> DataFrame:
+    """Market-basket pair association (support / confidence / lift)
+    — the co-occurrence miner behind "items bought together", related
+    queries, and co-edited files: which item PAIRS appear in the same
+    basket more often than independence predicts (lift > 1)?
+
+    Determinism: all counts (basket total, per-item, per-pair) are
+    exact BIGINTs; support/confidence/lift are single fixed IEEE
+    divisions of exact integer products. Pair identity is totalized
+    as ``item_a < item_b``. NULL baskets/items drop.
+
+    Scale shape — the apriori pruning cascade, never all-pairs:
+    (1) distinct (basket, item) hash-agg; (2) baskets with more than
+    ``max_basket`` distinct items are EXCLUDED OUTRIGHT (a pathological
+    mega-basket contributes quadratically many pairs and no signal —
+    the same cap discipline as `common_neighbor_similarity`'s
+    max_degree); (3) per-item counts, items below ``min_count`` are
+    pruned BEFORE the pair join (broadcast frequent-item semi-join —
+    the frequent set is small by construction); (4) pair generation is
+    an EQUI-join on the basket key over frequent items only, bounded
+    by max_basket² pairs per basket; (5) pairs below ``min_count``
+    drop. Item counts join back via broadcast.
+
+    Caller guarantees counts < 2³¹ so n_ab·n_baskets and n_a·n_b stay
+    inside BIGINT.
+
+    Output: (item_a, item_b, n_a, n_b, n_ab, n_baskets, support,
+    confidence, lift) — confidence is P(b|a) with a the
+    lower-sorted item.
+    """
+    if min_count < 1:
+        raise ValueError("basket_lift: min_count must be >= 1")
+    if max_basket < 2:
+        raise ValueError("basket_lift: max_basket must be >= 2")
+    b = (df.where(F.col(basket_col).isNotNull()
+                  & F.col(item_col).isNotNull())
+         .select(F.col(basket_col).alias("_b"),
+                 F.col(item_col).alias("_i"))
+         .distinct())
+    wb = Window.partitionBy("_b")
+    kept = (b.withColumn("_sz", F.count(F.lit(1)).over(wb))
+            .where(F.col("_sz") <= max_basket)
+            .drop("_sz"))
+    item_counts = kept.groupBy("_i").agg(
+        F.count(F.lit(1)).alias("_ni"))
+    freq = item_counts.where(F.col("_ni") >= min_count)
+    f = kept.join(F.broadcast(freq), "_i").select("_b", "_i", "_ni")
+    a_side = f.select("_b", F.col("_i").alias("item_a"),
+                      F.col("_ni").alias("n_a"))
+    b_side = f.select("_b", F.col("_i").alias("item_b"),
+                      F.col("_ni").alias("n_b"))
+    pairs = (a_side.join(b_side, "_b")
+             .where(F.col("item_a") < F.col("item_b"))
+             .groupBy("item_a", "item_b")
+             .agg(F.max("n_a").alias("n_a"),
+                  F.max("n_b").alias("n_b"),
+                  F.count(F.lit(1)).alias("n_ab"))
+             .where(F.col("n_ab") >= min_count))
+    nb = kept.agg(F.count_distinct("_b").alias("n_baskets"))
+    out = pairs.crossJoin(F.broadcast(nb))
+    nbd = F.col("n_baskets").cast("double")
+    return out.select(
+        "item_a", "item_b", "n_a", "n_b", "n_ab", "n_baskets",
+        (F.col("n_ab").cast("double") / nbd).alias("support"),
+        (F.col("n_ab").cast("double") / F.col("n_a").cast("double"))
+        .alias("confidence"),
+        ((F.col("n_ab") * F.col("n_baskets")).cast("double")
+         / (F.col("n_a") * F.col("n_b")).cast("double"))
+        .alias("lift"))
+
+
+def rolling_zscore(df: DataFrame, *, value_col: str, order_col: str,
+                   id_col: str, group_cols: list[str],
+                   window: int = 20, min_periods: int = 5,
+                   threshold_milli: int = 3000) -> DataFrame:
+    """Per-point trailing-window z-score anomaly detection — "is this
+    reading unusual vs its OWN recent history?" (the streaming-shaped
+    complement to :func:`group_mad_outliers`' whole-group view).
+
+    Determinism: the value must be INTEGER (floats raise — integerize
+    upstream to the resolution that matters); the sequence is
+    totalized by (order, id). Over the trailing frame of the last
+    ``window`` rows (inclusive), n, S = Σv and Q = Σv² are exact
+    BIGINTs, ``z = (n·v − S)/√(n·Q − S²)`` is one fixed IEEE
+    expression, and the anomaly verdict never touches a float:
+    ``is_anomaly ⇔ (n·v − S)²·10⁶ > thr²·(n·Q − S²)`` with
+    ``thr = threshold_milli`` — an EXACT INTEGER comparison (the
+    :func:`group_mad_outliers` k_milli rule). Caller guarantees
+    n·Q < 2⁶² (|v| ≤ ~10⁸ at window 20 is safe). Rows in a frame
+    shorter than ``min_periods`` emit NULL z and are NEVER flagged
+    (``is_anomaly`` is total — FALSE on short or zero-variance
+    frames — so downstream filters need no NULL handling).
+
+    Scale shape: ONE Exchange (hash by group), one in-partition sort,
+    three frame aggregates over the SAME window spec (one Window
+    node). No join, no Python.
+
+    Output: (group..., id, order, value, n_window, z, is_anomaly).
+    """
+    from pyspark.sql.types import DoubleType, FloatType
+
+    fields = {f.name: f for f in df.schema.fields}
+    if isinstance(fields[value_col].dataType, (DoubleType, FloatType)):
+        raise ValueError(
+            f"rolling_zscore: {value_col!r} is floating-point — "
+            "integerize first (exact integer frame sums are the "
+            "determinism contract)")
+    if not group_cols:
+        raise ValueError("rolling_zscore: group_cols must be non-empty")
+    if window < 2 or min_periods < 2 or min_periods > window:
+        raise ValueError(
+            "rolling_zscore: need window >= 2 and "
+            "2 <= min_periods <= window")
+    if threshold_milli <= 0:
+        raise ValueError("rolling_zscore: threshold_milli must be > 0")
+    v = F.col(value_col).cast("long")
+    keep = (v.isNotNull() & F.col(order_col).isNotNull()
+            & F.col(id_col).isNotNull())
+    for g in group_cols:
+        keep = keep & F.col(g).isNotNull()
+    b = df.where(keep).select(*group_cols, v.alias("_v"),
+                              F.col(order_col).alias("_o"),
+                              F.col(id_col).alias("_i"))
+    w = (Window.partitionBy(*group_cols)
+         .orderBy(F.col("_o").asc(), F.col("_i").asc())
+         .rowsBetween(-(window - 1), Window.currentRow))
+    staged = b.select(
+        *group_cols, "_i", "_o", "_v",
+        F.count(F.lit(1)).over(w).alias("_n"),
+        F.sum("_v").over(w).alias("_s"),
+        F.sum(F.col("_v") * F.col("_v")).over(w).alias("_q"))
+    num = F.col("_n") * F.col("_v") - F.col("_s")
+    den2 = F.col("_n") * F.col("_q") - F.col("_s") * F.col("_s")
+    ok = (F.col("_n") >= min_periods) & (den2 > 0)
+    thr = F.lit(int(threshold_milli))
+    return staged.select(
+        *group_cols, F.col("_i").alias("id"),
+        F.col("_o").alias("order"), F.col("_v").alias("value"),
+        F.col("_n").alias("n_window"),
+        F.when(ok, num.cast("double") / F.sqrt(den2.cast("double")))
+        .alias("z"),
+        F.when(ok, num * num * F.lit(1000000) > thr * thr * den2)
+        .otherwise(F.lit(False)).alias("is_anomaly"))

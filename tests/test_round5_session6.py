@@ -391,3 +391,245 @@ def test_char_entropy_plan_no_python_no_join(spark):
     plan = _plan(char_entropy(df))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Join" not in plan and "Window" not in plan
+
+
+# --------------------------------------------------------- basket_lift
+
+from kml2geojson_spark.relational import basket_lift, rolling_zscore
+from kml2geojson_spark.eventops import inter_arrival_stats, rfm_scores
+
+
+def _lift_reference(baskets: dict[int, set[str]], min_count: int,
+                    max_basket: int):
+    kept = {b: its for b, its in baskets.items()
+            if len(its) <= max_basket}
+    nb = len(kept)
+    ic: dict[str, int] = {}
+    for its in kept.values():
+        for i in its:
+            ic[i] = ic.get(i, 0) + 1
+    freq = {i for i, c in ic.items() if c >= min_count}
+    pc: dict[tuple[str, str], int] = {}
+    for its in kept.values():
+        f = sorted(i for i in its if i in freq)
+        for x in range(len(f)):
+            for y in range(x + 1, len(f)):
+                pc[(f[x], f[y])] = pc.get((f[x], f[y]), 0) + 1
+    out = {}
+    for (a, b), nab in pc.items():
+        if nab >= min_count:
+            out[(a, b)] = (ic[a], ic[b], nab, nb,
+                           nab / nb, nab / ic[a],
+                           nab * nb / (ic[a] * ic[b]))
+    return out
+
+
+def test_basket_lift_matches_reference(spark):
+    import random
+    random.seed(13)
+    items = [f"i{k}" for k in range(12)]
+    baskets = {b: set(random.sample(items, random.randint(2, 6)))
+               for b in range(60)}
+    rows = [(b, i) for b, its in baskets.items() for i in its]
+    # duplicate rows must not double-count
+    rows += rows[:20]
+    df = spark.createDataFrame(rows, "bk long, it string")
+    got = {(r["item_a"], r["item_b"]): r for r in
+           basket_lift(df, basket_col="bk", item_col="it",
+                       min_count=3, max_basket=64).collect()}
+    exp = _lift_reference(baskets, 3, 64)
+    assert set(got) == set(exp)
+    for k, (na, nbq, nab, nb, sup, conf, lift) in exp.items():
+        r = got[k]
+        assert (r["n_a"], r["n_b"], r["n_ab"], r["n_baskets"]) == \
+            (na, nbq, nab, nb)
+        assert r["support"] == pytest.approx(sup, abs=1e-15)
+        assert r["confidence"] == pytest.approx(conf, abs=1e-15)
+        assert r["lift"] == pytest.approx(lift, abs=1e-12)
+
+
+def test_basket_lift_max_basket_excludes_mega_basket(spark):
+    rows = ([("big", f"i{k}") for k in range(10)]
+            + [("s1", "a"), ("s1", "b"), ("s2", "a"), ("s2", "b")])
+    df = spark.createDataFrame(rows, "bk string, it string")
+    out = basket_lift(df, basket_col="bk", item_col="it",
+                      min_count=2, max_basket=5).collect()
+    assert len(out) == 1
+    (r,) = out
+    assert (r["item_a"], r["item_b"]) == ("a", "b")
+    assert r["n_baskets"] == 2  # the mega-basket is not in the universe
+    assert r["lift"] == pytest.approx(2 * 2 / (2 * 2))
+
+
+def test_basket_lift_min_count_prunes_and_validates(spark):
+    rows = [("b1", "a"), ("b1", "x"), ("b2", "a"), ("b2", "x"),
+            ("b3", "rare")]
+    df = spark.createDataFrame(rows, "bk string, it string")
+    out = basket_lift(df, basket_col="bk", item_col="it",
+                      min_count=2, max_basket=10).collect()
+    assert {(r["item_a"], r["item_b"]) for r in out} == {("a", "x")}
+    with pytest.raises(ValueError, match="min_count"):
+        basket_lift(df, basket_col="bk", item_col="it", min_count=0)
+    with pytest.raises(ValueError, match="max_basket"):
+        basket_lift(df, basket_col="bk", item_col="it", max_basket=1)
+
+
+def test_basket_lift_plan_broadcasts_frequent_items(spark):
+    df = spark.createDataFrame([("b", "a"), ("b", "c")],
+                               "bk string, it string")
+    plan = _plan(basket_lift(df, basket_col="bk", item_col="it"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan  # frequent-item prune + n_baskets
+    assert "CartesianProduct" not in plan
+
+
+# --------------------------------------------------------- rolling_zscore
+
+
+def test_rolling_zscore_matches_reference(spark):
+    import random
+    random.seed(17)
+    vals = [random.randint(-50, 150) for _ in range(40)]
+    rows = [("g", i, i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "grp string, eid long, o long, v long")
+    out = {r["id"]: r for r in
+           rolling_zscore(df, value_col="v", order_col="o",
+                          id_col="eid", group_cols=["grp"], window=10,
+                          min_periods=4,
+                          threshold_milli=1500).collect()}
+    for i, v in enumerate(vals):
+        frame = vals[max(0, i - 9):i + 1]
+        n, s, q = len(frame), sum(frame), sum(x * x for x in frame)
+        r = out[i]
+        assert r["n_window"] == n
+        den2 = n * q - s * s
+        if n >= 4 and den2 > 0:
+            z = (n * v - s) / math.sqrt(den2)
+            assert r["z"] == pytest.approx(z, abs=1e-12)
+            assert r["is_anomaly"] == (
+                (n * v - s) ** 2 * 1000000 > 1500 ** 2 * den2)
+        else:
+            assert r["z"] is None
+            assert r["is_anomaly"] is False
+
+
+def test_rolling_zscore_flags_spike_not_noise(spark):
+    vals = [100] * 19 + [100000]
+    rows = [("g", i, i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "grp string, eid long, o long, v long")
+    out = {r["id"]: r for r in
+           rolling_zscore(df, value_col="v", order_col="o",
+                          id_col="eid", group_cols=["grp"],
+                          window=20, min_periods=5).collect()}
+    assert out[19]["is_anomaly"] is True
+    # constant prefix: zero variance -> never flagged, z NULL
+    assert out[10]["is_anomaly"] is False and out[10]["z"] is None
+
+
+def test_rolling_zscore_validation_and_plan(spark):
+    df = spark.createDataFrame([("g", 1, 1, 1.5)],
+                               "grp string, eid long, o long, v double")
+    with pytest.raises(ValueError, match="floating-point"):
+        rolling_zscore(df, value_col="v", order_col="o", id_col="eid",
+                       group_cols=["grp"])
+    di = spark.createDataFrame([("g", 1, 1, 1)],
+                               "grp string, eid long, o long, v long")
+    with pytest.raises(ValueError, match="min_periods"):
+        rolling_zscore(di, value_col="v", order_col="o", id_col="eid",
+                       group_cols=["grp"], window=5, min_periods=6)
+    plan = _plan(rolling_zscore(di, value_col="v", order_col="o",
+                                id_col="eid", group_cols=["grp"]))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan
+    assert plan.count("Window") == 1  # one Window node for all frames
+
+
+# --------------------------------------------------------- inter-arrival
+
+
+def test_inter_arrival_stats_matches_reference(spark):
+    from datetime import datetime, timedelta
+    base = datetime(2024, 1, 1)
+    gaps = [5, 5, 5, 100, 1, 1]
+    ts = [base]
+    for g in gaps:
+        ts.append(ts[-1] + timedelta(seconds=g))
+    rows = [(7, t, i) for i, t in enumerate(ts)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    (r,) = inter_arrival_stats(df).collect()
+    n = len(gaps)
+    s = sum(gaps)
+    q = sum(g * g for g in gaps)
+    mu = s / n
+    sigma = math.sqrt(n * q - s * s) / n
+    assert (r["n_gaps"], r["gap_sum_s"], r["gap_min_s"],
+            r["gap_max_s"]) == (n, s, 1, 100)
+    assert r["mean_gap_s"] == pytest.approx(mu)
+    assert r["burstiness"] == pytest.approx((sigma - mu) / (sigma + mu),
+                                            abs=1e-12)
+
+
+def test_inter_arrival_regular_vs_bursty_ordering(spark):
+    from datetime import datetime, timedelta
+    base = datetime(2024, 1, 1)
+    rows = []
+    # machine-regular: constant gap -> burstiness -1
+    for i in range(20):
+        rows.append((1, base + timedelta(seconds=60 * i), i))
+    # bursty: many tiny gaps + one huge
+    t = base
+    for i in range(19):
+        t = t + timedelta(seconds=1 if i != 10 else 86400)
+        rows.append((2, t, 100 + i))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    out = {r["user_id"]: r for r in inter_arrival_stats(df).collect()}
+    assert out[1]["burstiness"] == pytest.approx(-1.0)
+    assert out[2]["burstiness"] > 0.5
+
+
+def test_inter_arrival_single_event_user_emits_no_row(spark):
+    from datetime import datetime
+    df = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), 0)],
+        "user_id long, ts timestamp, event_id long")
+    assert inter_arrival_stats(df).count() == 0
+
+
+# --------------------------------------------------------- rfm_scores
+
+
+def test_rfm_scores_matches_reference(spark):
+    from datetime import datetime, timedelta
+    base = datetime(2024, 1, 1)
+    rows = []
+    # 10 customers: customer c has c+1 orders, last order c days after
+    # base, each order worth 100*(c+1) dollars
+    for c in range(10):
+        for k in range(c + 1):
+            rows.append((c, base + timedelta(days=c - k),
+                         100.0 * (c + 1)))
+    df = spark.createDataFrame(
+        rows, "o_custkey long, o_orderdate timestamp, o_totalprice double")
+    out = {r["custkey"]: r for r in rfm_scores(df, buckets=5).collect()}
+    assert len(out) == 10
+    # customer 9: most recent, most frequent, highest spend -> 555
+    assert out[9]["rfm"] == 555
+    # customer 0: least recent, least frequent, lowest spend -> 111
+    assert out[0]["rfm"] == 111
+    assert out[9]["recency_s"] == 0
+    assert out[0]["recency_s"] == 9 * 86400
+    assert out[3]["frequency"] == 4
+    assert out[3]["monetary_cents"] == 4 * 100 * 400
+    # ntile(5) over 10 rows: exactly 2 customers per bucket
+    from collections import Counter
+    assert Counter(r["f_score"] for r in out.values()) == \
+        {b: 2 for b in range(1, 6)}
+
+
+def test_rfm_scores_validates_buckets(spark):
+    from datetime import datetime
+    df = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), 10.0)],
+        "o_custkey long, o_orderdate timestamp, o_totalprice double")
+    with pytest.raises(ValueError, match="buckets"):
+        rfm_scores(df, buckets=1)
