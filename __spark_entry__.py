@@ -7399,6 +7399,117 @@ FROM s
 """
 
 
+def _q212_topk_overlap(spark, sf):
+    """Overlap@5 per customer between the value ranking and the
+    recency ranking of their orders (two totalized row_number
+    windows on one exchange, zero joins). Round-5 post-pin
+    registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.relational import topk_overlap
+    od = _t(spark, sf, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice",
+        F.col("o_orderdate").cast("timestamp").cast("long")
+        .alias("recency"))
+    return topk_overlap(od, group_cols=["o_custkey"],
+                        id_col="o_orderkey",
+                        score_a_col="o_totalprice",
+                        score_b_col="recency", k=5)
+
+
+_O212 = """
+WITH b AS (
+  SELECT o_custkey, o_orderkey AS id, o_totalprice AS sa,
+         epoch_us(o_orderdate) // 1000000 AS sb
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderkey IS NOT NULL
+    AND o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL),
+ranked AS (
+  SELECT o_custkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY sa DESC, id ASC) AS ra,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY sb DESC, id ASC) AS rb
+  FROM b),
+s AS (
+  SELECT o_custkey,
+         CAST(COUNT(*) AS BIGINT) AS n_items,
+         CAST(SUM(CASE WHEN ra <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_top_a,
+         CAST(SUM(CASE WHEN ra <= 5 AND rb <= 5 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_overlap
+  FROM ranked GROUP BY o_custkey)
+SELECT o_custkey, n_items, n_top_a, n_overlap,
+       CAST(n_overlap AS DOUBLE)
+         / CAST(LEAST(5, n_items) AS DOUBLE) AS overlap_at_k
+FROM s
+"""
+
+
+def _q213_calibration_bins(spark, sf):
+    """Reliability-curve deciles of event value vs purchase label
+    (totalized NTILE, milli-integerized score sums). Round-5
+    post-pin registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.relational import calibration_bins
+    ev = _t(spark, sf, "events").select(
+        "event_id", "value",
+        (F.col("event_type") == "purchase").cast("int").alias("y"))
+    return calibration_bins(ev, score_col="value", label_col="y",
+                            id_col="event_id", bins=10)
+
+
+_O213 = """
+WITH b AS (
+  SELECT CAST(event_type = 'purchase' AS BIGINT) AS y,
+         value AS s, event_id AS i,
+         CAST(ROUND(value * 1000.0) AS BIGINT) AS sm
+  FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL
+    AND event_id IS NOT NULL),
+binned AS (
+  SELECT y, sm, NTILE(10) OVER (ORDER BY s ASC, i ASC) AS bin
+  FROM b),
+s AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS n_pos,
+         CAST(SUM(sm) AS BIGINT) AS score_milli_sum
+  FROM binned GROUP BY bin)
+SELECT bin, n, n_pos, score_milli_sum,
+       CAST(score_milli_sum AS DOUBLE)
+         / (CAST(n AS DOUBLE) * 1000.0) AS mean_score,
+       CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS frac_pos
+FROM s
+"""
+
+
+def _q214_attribution(spark, sf):
+    """Last-touch purchase attribution per channel (one totalized
+    window last() on the user exchange). Round-5 post-pin
+    registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.eventops import last_touch_attribution
+    return last_touch_attribution(_t(spark, sf, "events"),
+                                  conversion_type="purchase")
+
+
+_O214 = """
+WITH b AS (
+  SELECT user_id, ts, event_id, event_type
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_id IS NOT NULL AND event_type IS NOT NULL),
+touched AS (
+  SELECT event_type,
+         last_value(CASE WHEN event_type <> 'purchase'
+                         THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS ch
+  FROM b)
+SELECT COALESCE(ch, '(none)') AS channel,
+       CAST(COUNT(*) AS BIGINT) AS n_conversions
+FROM touched WHERE event_type = 'purchase'
+GROUP BY COALESCE(ch, '(none)')
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -7603,6 +7714,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q209_rfm_scores": _q209_rfm_scores,
         "q210_rolling_zscore": _q210_rolling_zscore,
         "q211_inter_arrival": _q211_inter_arrival,
+        "q212_topk_overlap": _q212_topk_overlap,
+        "q213_calibration_bins": _q213_calibration_bins,
+        "q214_attribution": _q214_attribution,
     }
 
 
@@ -7806,6 +7920,9 @@ def oracle_sql() -> dict[str, str]:
         "q209_rfm_scores": _O209,
         "q210_rolling_zscore": _O210,
         "q211_inter_arrival": _O211,
+        "q212_topk_overlap": _O212,
+        "q213_calibration_bins": _O213,
+        "q214_attribution": _O214,
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

@@ -1129,3 +1129,48 @@ def rfm_scores(orders: DataFrame, *, cust_col: str = "o_custkey",
         r_score.alias("r_score"), "f_score", "m_score",
         (r_score * 100 + F.col("f_score") * 10
          + F.col("m_score")).alias("rfm"))
+
+
+def last_touch_attribution(events: DataFrame, *,
+                           conversion_type: str,
+                           user_col: str = "user_id",
+                           ts_col: str = "ts",
+                           id_col: str = "event_id",
+                           type_col: str = "event_type") -> DataFrame:
+    """Last-touch conversion attribution — every conversion event is
+    credited to the MOST RECENT preceding non-conversion event
+    ("channel") in the same user's stream; the output is the credited
+    conversion count per channel (the marketing-attribution baseline
+    and the sanity check against which multi-touch models are
+    diffed).
+
+    Determinism: the stream is totalized by (ts, id); the credited
+    channel is ``last(non-conversion type, ignorenulls)`` over the
+    UNBOUNDED-PRECEDING-to-1-PRECEDING frame — with a totalized
+    order that last value is unique, so attribution never depends on
+    partitioning. Conversions with no preceding touch attribute to
+    NULL and are reported under channel ``'(none)'`` (kept — silent
+    drops would understate conversions). NULL users/ts/ids/types
+    drop.
+
+    Scale shape: ONE Exchange (hash by user), one in-partition sort,
+    one window last(), one hash-aggregate. No join, no Python, no
+    per-user event collection.
+
+    Output: (channel, n_conversions) — exact BIGINT counts.
+    """
+    keep = (F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+            & F.col(id_col).isNotNull() & F.col(type_col).isNotNull())
+    b = events.where(keep).select(
+        F.col(user_col).alias("_u"), F.col(ts_col).alias("_t"),
+        F.col(id_col).alias("_i"), F.col(type_col).alias("_y"))
+    w = (Window.partitionBy("_u")
+         .orderBy(F.col("_t").asc(), F.col("_i").asc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    touch = F.last(F.when(F.col("_y") != conversion_type,
+                          F.col("_y")), ignorenulls=True).over(w)
+    conv = (b.withColumn("_ch", touch)
+            .where(F.col("_y") == conversion_type))
+    return (conv.groupBy(F.coalesce(F.col("_ch"), F.lit("(none)"))
+                 .alias("channel"))
+            .agg(F.count(F.lit(1)).alias("n_conversions")))

@@ -2695,3 +2695,118 @@ def rolling_zscore(df: DataFrame, *, value_col: str, order_col: str,
         .alias("z"),
         F.when(ok, num * num * F.lit(1000000) > thr * thr * den2)
         .otherwise(F.lit(False)).alias("is_anomaly"))
+
+
+def topk_overlap(df: DataFrame, *, group_cols: list[str], id_col: str,
+                 score_a_col: str, score_b_col: str,
+                 k: int = 10) -> DataFrame:
+    """Overlap@k between two rankings of the same items per group —
+    the rank-stability diagnostic behind "did the new scorer change
+    what surfaces?": A/B scorer comparison, ANN-vs-exact recall,
+    feature-ablation impact on a leaderboard.
+
+    Determinism: both rankings are TOTALIZED (score desc, id asc);
+    the overlap count is an exact BIGINT; overlap@k (= recall@k of B
+    against A when both lists are full) is ONE division by
+    ``min(k, n_items)`` so short groups score against what exists.
+    NULL keys/ids/scores drop.
+
+    Scale shape: two row_number windows over the SAME group exchange
+    (one sort each, zero joins — the two ranks are computed
+    side-by-side on the same rows), one hash-aggregate. Never a
+    self-join of ranked lists.
+
+    Output: (group..., n_items, n_top_a, n_overlap, overlap_at_k).
+    """
+    if not group_cols:
+        raise ValueError("topk_overlap: group_cols must be non-empty")
+    if k < 1:
+        raise ValueError("topk_overlap: k must be >= 1")
+    keep = (F.col(id_col).isNotNull()
+            & F.col(score_a_col).isNotNull()
+            & F.col(score_b_col).isNotNull())
+    for g in group_cols:
+        keep = keep & F.col(g).isNotNull()
+    b = df.where(keep).select(*group_cols,
+                              F.col(id_col).alias("_i"),
+                              F.col(score_a_col).alias("_sa"),
+                              F.col(score_b_col).alias("_sb"))
+    wg = Window.partitionBy(*group_cols)
+    ra = F.row_number().over(
+        wg.orderBy(F.col("_sa").desc(), F.col("_i").asc()))
+    rb = F.row_number().over(
+        wg.orderBy(F.col("_sb").desc(), F.col("_i").asc()))
+    ranked = b.select(*group_cols, ra.alias("_ra"), rb.alias("_rb"))
+    s = ranked.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.when(F.col("_ra") <= k, 1).otherwise(0))
+        .alias("n_top_a"),
+        F.sum(F.when((F.col("_ra") <= k) & (F.col("_rb") <= k), 1)
+              .otherwise(0)).alias("n_overlap"))
+    denom = F.least(F.lit(k).cast("long"), F.col("n_items"))
+    return s.select(*group_cols, "n_items", "n_top_a", "n_overlap",
+                    (F.col("n_overlap").cast("double")
+                     / denom.cast("double")).alias("overlap_at_k"))
+
+
+def calibration_bins(df: DataFrame, *, score_col: str, label_col: str,
+                     id_col: str, bins: int = 10,
+                     group_cols: list[str] | None = None) -> DataFrame:
+    """Reliability-curve bins (calibration table) — does a score of
+    0.8 convert 80% of the time? Equal-COUNT score bins (NTILE
+    deciles by default), each reporting predicted (mean score) vs
+    observed (positive fraction); feed a reliability plot or an ECE
+    sum downstream.
+
+    Determinism: labels must be INTEGER 0/1 (floats raise); the bin
+    assignment is a TOTALIZED NTILE by (score, id); scores are
+    integerized to milli-units per row (``round(s·10³)`` — the
+    :func:`weighted_median` rule) so the per-bin score sum is an
+    exact BIGINT and both curve coordinates are single divisions of
+    exact integers. NULL keys/scores/labels drop.
+
+    Scale shape: ONE NTILE window per group partitioning (global
+    sort when ungrouped — over the scored table, document the
+    single-reducer sort; at true 100-TB pre-bin with
+    `sampled_quantiles` edges), one hash-aggregate.
+
+    Output: (group..., bin, n, n_pos, score_milli_sum, mean_score,
+    frac_pos) — bin 1 = lowest scores.
+    """
+    from pyspark.sql.types import DoubleType, FloatType
+
+    fields = {f.name: f for f in df.schema.fields}
+    if isinstance(fields[label_col].dataType, (DoubleType, FloatType)):
+        raise ValueError(
+            f"calibration_bins: {label_col!r} is floating-point — "
+            "binarize first (exact integer positive counts are the "
+            "determinism contract)")
+    if bins < 2:
+        raise ValueError("calibration_bins: bins must be >= 2")
+    gcols = list(group_cols or [])
+    lab = F.col(label_col).cast("long")
+    keep = (lab.isin(0, 1) & F.col(score_col).isNotNull()
+            & F.col(id_col).isNotNull())
+    for g in gcols:
+        keep = keep & F.col(g).isNotNull()
+    sm = F.round(F.col(score_col).cast("double") * 1000.0).cast("long")
+    b = df.where(keep).select(*gcols, lab.alias("_y"),
+                              F.col(score_col).alias("_s"),
+                              F.col(id_col).alias("_i"),
+                              sm.alias("_sm"))
+    w = (Window.partitionBy(*gcols) if gcols
+         else Window.partitionBy(F.lit(1)))
+    nt = F.ntile(bins).over(
+        w.orderBy(F.col("_s").asc(), F.col("_i").asc()))
+    s = (b.withColumn("bin", nt)
+         .groupBy(*gcols, "bin")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("_y").alias("n_pos"),
+              F.sum("_sm").alias("score_milli_sum")))
+    return s.select(
+        *gcols, "bin", "n", "n_pos", "score_milli_sum",
+        (F.col("score_milli_sum").cast("double")
+         / (F.col("n").cast("double") * F.lit(1000.0)))
+        .alias("mean_score"),
+        (F.col("n_pos").cast("double") / F.col("n").cast("double"))
+        .alias("frac_pos"))

@@ -633,3 +633,166 @@ def test_rfm_scores_validates_buckets(spark):
         "o_custkey long, o_orderdate timestamp, o_totalprice double")
     with pytest.raises(ValueError, match="buckets"):
         rfm_scores(df, buckets=1)
+
+
+# --------------------------------------------------------- topk_overlap
+
+from kml2geojson_spark.relational import calibration_bins, topk_overlap
+from kml2geojson_spark.eventops import last_touch_attribution
+
+
+def test_topk_overlap_matches_reference(spark):
+    import random
+    random.seed(23)
+    rows = []
+    expect = {}
+    for g in range(12):
+        items = [(g, i, random.random(), random.random())
+                 for i in range(random.randint(2, 15))]
+        rows += items
+        top_a = {t[1] for t in sorted(items, key=lambda t: (-t[2], t[1]))[:4]}
+        top_b = {t[1] for t in sorted(items, key=lambda t: (-t[3], t[1]))[:4]}
+        n_ov = len(top_a & top_b)
+        expect[g] = (len(items), len(top_a), n_ov,
+                     n_ov / min(4, len(items)))
+    df = spark.createDataFrame(rows, "grp long, iid long, sa double, sb double")
+    out = {r["grp"]: r for r in
+           topk_overlap(df, group_cols=["grp"], id_col="iid",
+                        score_a_col="sa", score_b_col="sb",
+                        k=4).collect()}
+    for g, (n, nta, nov, ov) in expect.items():
+        r = out[g]
+        assert (r["n_items"], r["n_top_a"], r["n_overlap"]) == \
+            (n, nta, nov)
+        assert r["overlap_at_k"] == pytest.approx(ov, abs=1e-15)
+
+
+def test_topk_overlap_identical_and_disjoint(spark):
+    rows = [("s", i, float(i), float(i)) for i in range(10)]
+    rows += [("d", i, float(i), float(-i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "grp string, iid long, sa double, sb double")
+    out = {r["grp"]: r for r in
+           topk_overlap(df, group_cols=["grp"], id_col="iid",
+                        score_a_col="sa", score_b_col="sb",
+                        k=3).collect()}
+    assert out["s"]["overlap_at_k"] == pytest.approx(1.0)
+    assert out["d"]["overlap_at_k"] == 0.0
+
+
+def test_topk_overlap_short_group_scores_against_what_exists(spark):
+    df = spark.createDataFrame([("g", 1, 1.0, 2.0), ("g", 2, 2.0, 1.0)],
+                               "grp string, iid long, sa double, sb double")
+    (r,) = topk_overlap(df, group_cols=["grp"], id_col="iid",
+                        score_a_col="sa", score_b_col="sb",
+                        k=10).collect()
+    assert r["n_items"] == 2 and r["overlap_at_k"] == pytest.approx(1.0)
+
+
+def test_topk_overlap_plan_no_join(spark):
+    df = spark.createDataFrame([("g", 1, 1.0, 2.0)],
+                               "grp string, iid long, sa double, sb double")
+    plan = _plan(topk_overlap(df, group_cols=["grp"], id_col="iid",
+                              score_a_col="sa", score_b_col="sb"))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# --------------------------------------------------------- calibration
+
+
+def test_calibration_bins_matches_reference(spark):
+    import random
+    random.seed(29)
+    rows = [(i, random.random(),
+             1 if random.random() < 0.3 else 0) for i in range(200)]
+    df = spark.createDataFrame(rows, "iid long, s double, y long")
+    out = {r["bin"]: r for r in
+           calibration_bins(df, score_col="s", label_col="y",
+                            id_col="iid", bins=5).collect()}
+    ordered = sorted(rows, key=lambda t: (t[1], t[0]))
+    # ntile(5) over 200 rows -> 40 per bin
+    for b in range(1, 6):
+        chunk = ordered[(b - 1) * 40: b * 40]
+        r = out[b]
+        assert r["n"] == 40
+        assert r["n_pos"] == sum(y for _, _, y in chunk)
+        sm = sum(round(s * 1000.0) for _, s, _ in chunk)
+        assert r["score_milli_sum"] == sm
+        assert r["mean_score"] == pytest.approx(sm / 40000.0, abs=1e-15)
+    # monotone mean score across bins (equal-count quantile bins)
+    means = [out[b]["mean_score"] for b in range(1, 6)]
+    assert means == sorted(means)
+
+
+def test_calibration_bins_well_calibrated_score(spark):
+    import random
+    random.seed(31)
+    rows = []
+    for i in range(4000):
+        s = random.random()
+        rows.append((i, s, 1 if random.random() < s else 0))
+    df = spark.createDataFrame(rows, "iid long, s double, y long")
+    out = calibration_bins(df, score_col="s", label_col="y",
+                           id_col="iid", bins=4).collect()
+    for r in out:
+        assert r["frac_pos"] == pytest.approx(r["mean_score"], abs=0.06)
+
+
+def test_calibration_bins_validation(spark):
+    df = spark.createDataFrame([(1, 0.5, 1.0)],
+                               "iid long, s double, y double")
+    with pytest.raises(ValueError, match="floating-point"):
+        calibration_bins(df, score_col="s", label_col="y",
+                         id_col="iid")
+    di = spark.createDataFrame([(1, 0.5, 1)], "iid long, s double, y long")
+    with pytest.raises(ValueError, match="bins"):
+        calibration_bins(di, score_col="s", label_col="y",
+                         id_col="iid", bins=1)
+
+
+# --------------------------------------------------------- attribution
+
+
+def test_last_touch_attribution_matches_reference(spark):
+    from datetime import datetime, timedelta
+    base = datetime(2024, 1, 1)
+    rows = []
+    # user 1: view -> click -> BUY (click), click -> BUY (click),
+    #         BUY with no preceding touch? no — first is view
+    seq1 = ["view", "click", "BUY", "click", "BUY"]
+    for i, t in enumerate(seq1):
+        rows.append((1, base + timedelta(seconds=i), i, t))
+    # user 2: BUY first (no touch) then email -> BUY
+    seq2 = ["BUY", "email", "BUY"]
+    for i, t in enumerate(seq2):
+        rows.append((2, base + timedelta(seconds=i), 100 + i, t))
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string")
+    out = {r["channel"]: r["n_conversions"] for r in
+           last_touch_attribution(df, conversion_type="BUY").collect()}
+    assert out == {"click": 2, "email": 1, "(none)": 1}
+
+
+def test_last_touch_attribution_consecutive_conversions_share_touch(spark):
+    from datetime import datetime, timedelta
+    base = datetime(2024, 1, 1)
+    rows = [(1, base + timedelta(seconds=i), i, t)
+            for i, t in enumerate(["ad", "BUY", "BUY", "BUY"])]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string")
+    out = {r["channel"]: r["n_conversions"] for r in
+           last_touch_attribution(df, conversion_type="BUY").collect()}
+    # a conversion is never a touch: all three credit the ad
+    assert out == {"ad": 3}
+
+
+def test_last_touch_attribution_tie_order_by_id(spark):
+    from datetime import datetime
+    t0 = datetime(2024, 1, 1)
+    # same timestamp: id order decides -> touch (id 1) precedes BUY (id 2)
+    rows = [(1, t0, 1, "promo"), (1, t0, 2, "BUY")]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string")
+    out = {r["channel"]: r["n_conversions"] for r in
+           last_touch_attribution(df, conversion_type="BUY").collect()}
+    assert out == {"promo": 1}
