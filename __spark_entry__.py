@@ -7510,6 +7510,123 @@ GROUP BY COALESCE(ch, '(none)')
 """
 
 
+def _q215_embedding_norms(spark, sf):
+    """Embedding-table norm health check: in-order-fold norm²
+    micro-integerized, DECIMAL(38,0) corpus moments, exact-integer
+    outlier verdict. Round-5 post-pin registration: in-repo oracle
+    sweep only."""
+    from kml2geojson_spark.simsearch import embedding_norm_stats
+    return embedding_norm_stats(_t(spark, sf, "embeddings"))
+
+
+_O215 = """
+WITH per AS (
+  SELECT vec_id, len(embedding) AS dim,
+         CAST(ROUND(list_dot_product(embedding::DOUBLE[],
+                                     embedding::DOUBLE[]) * 1e6)
+              AS BIGINT) AS norm2_micro
+  FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+g AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(CAST(norm2_micro AS HUGEINT)) AS s,
+         SUM(CAST(norm2_micro AS HUGEINT)
+             * CAST(norm2_micro AS HUGEINT)) AS q
+  FROM per)
+SELECT vec_id, dim, norm2_micro,
+       CASE WHEN n * q - s * s > 0
+            THEN CAST(n * CAST(norm2_micro AS HUGEINT) - s AS DOUBLE)
+                 / SQRT(CAST(n * q - s * s AS DOUBLE))
+       END AS z_norm,
+       CASE WHEN n * q - s * s > 0
+            THEN (n * CAST(norm2_micro AS HUGEINT) - s)
+                 * (n * CAST(norm2_micro AS HUGEINT) - s) * 1000000
+                 > 3000 * 3000 * (n * q - s * s)
+            ELSE FALSE END AS is_outlier
+FROM per CROSS JOIN g
+"""
+
+
+def _q216_doc_novelty(spark, sf):
+    """Per-document trigram novelty vs the rest of the corpus
+    (distinct (doc, gram) universe, gram-key equi-joins only).
+    Round-5 post-pin registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.textops import doc_novelty
+    return doc_novelty(_t(spark, sf, "documents"), n=3)
+
+
+_O216 = """
+WITH arrs AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '')
+           AS ts
+  FROM documents
+  WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+grams AS (
+  SELECT DISTINCT doc_id,
+         md5(ts[CAST(i AS INTEGER)] || chr(31)
+             || ts[CAST(i AS INTEGER) + 1] || chr(31)
+             || ts[CAST(i AS INTEGER) + 2]) AS g
+  FROM arrs, UNNEST(range(1, len(ts) - 1)) AS u(i)),
+dfc AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS df
+        FROM grams GROUP BY g),
+per AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_novel
+  FROM grams JOIN dfc USING (g) GROUP BY doc_id),
+alld AS (SELECT DISTINCT doc_id FROM arrs)
+SELECT alld.doc_id,
+       COALESCE(n_grams, 0) AS n_grams,
+       COALESCE(n_novel, 0) AS n_novel,
+       CASE WHEN COALESCE(n_grams, 0) > 0
+            THEN CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE)
+       END AS novelty
+FROM alld LEFT JOIN per USING (doc_id)
+"""
+
+
+def _q217_reciprocity(spark, sf):
+    """Directed-graph reciprocity over a synthetic user→pseudo-user
+    event edge set (unordered-pair hash-agg, NO reverse-edge
+    self-join). Round-5 post-pin registration: in-repo oracle sweep
+    only."""
+    from kml2geojson_spark.graph import graph_reciprocity
+    ev = _t(spark, sf, "events").select(
+        F.col("user_id").alias("src"),
+        (F.col("event_id") % 150).alias("dst"))
+    return graph_reciprocity(ev)
+
+
+_O217 = """
+WITH e AS (
+  SELECT DISTINCT user_id AS u, event_id % 150 AS v
+  FROM events
+  WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+    AND user_id <> event_id % 150),
+pair AS (
+  SELECT LEAST(u, v) AS a, GREATEST(u, v) AS b,
+         SUM(CASE WHEN u < v THEN 1 ELSE 0 END) AS fwd,
+         SUM(CASE WHEN u > v THEN 1 ELSE 0 END) AS rev
+  FROM e GROUP BY LEAST(u, v), GREATEST(u, v)),
+s AS (
+  SELECT CAST(COALESCE(SUM(fwd + rev), 0) AS BIGINT) AS n_edges,
+         CAST(COALESCE(SUM(CASE WHEN fwd > 0 AND rev > 0 THEN 2
+                           ELSE 0 END), 0) AS BIGINT)
+           AS n_reciprocal_edges,
+         CAST(COALESCE(SUM(CASE WHEN fwd > 0 AND rev > 0 THEN 1
+                           ELSE 0 END), 0) AS BIGINT)
+           AS n_mutual_pairs
+  FROM pair)
+SELECT n_edges, n_reciprocal_edges, n_mutual_pairs,
+       CASE WHEN n_edges > 0
+            THEN CAST(n_reciprocal_edges AS DOUBLE)
+                 / CAST(n_edges AS DOUBLE)
+       END AS reciprocity
+FROM s
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -7717,6 +7834,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q212_topk_overlap": _q212_topk_overlap,
         "q213_calibration_bins": _q213_calibration_bins,
         "q214_attribution": _q214_attribution,
+        "q215_embedding_norms": _q215_embedding_norms,
+        "q216_doc_novelty": _q216_doc_novelty,
+        "q217_reciprocity": _q217_reciprocity,
     }
 
 
@@ -7923,6 +8043,9 @@ def oracle_sql() -> dict[str, str]:
         "q212_topk_overlap": _O212,
         "q213_calibration_bins": _O213,
         "q214_attribution": _O214,
+        "q215_embedding_norms": _O215,
+        "q216_doc_novelty": _O216,
+        "q217_reciprocity": _O217,
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

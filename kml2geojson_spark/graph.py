@@ -739,3 +739,53 @@ def degree_assortativity(edges: DataFrame, *, src: str = "src",
     r = F.when(den > 0, num.cast("double") / den.cast("double"))
     return s.select((F.col("_m2") / F.lit(2)).cast("long")
                     .alias("m_edges"), r.alias("assortativity"))
+
+
+def graph_reciprocity(edges: DataFrame, *, src: str = "src",
+                      dst: str = "dst") -> DataFrame:
+    """Directed-graph reciprocity — the fraction of (deduplicated,
+    loop-free) directed edges whose reverse edge also exists: mutual
+    follows on a social graph, bidirectional links on the web,
+    request/reply pairs in a service mesh. Near 0 = broadcast
+    structure, near 1 = mutual-consent structure.
+
+    Determinism: edge universe is DISTINCT directed pairs with
+    ``u ≠ v`` and non-NULL endpoints; per UNORDERED pair one
+    conditional hash-aggregate counts each direction (0/1 each), a
+    reciprocated pair contributes 2 reciprocal edges; all counts
+    exact BIGINT, the ratio ONE fixed division.
+
+    Scale shape: one distinct hash-agg, one (min,max)-keyed hash-agg
+    with map-side combine, one global agg. NO self-join — the
+    classic reverse-edge equi-join is replaced by the unordered-key
+    aggregation, halving the shuffle.
+
+    Output: ONE row (n_edges, n_reciprocal_edges, n_mutual_pairs,
+    reciprocity) — reciprocity NULL on an empty edge set.
+    """
+    e = (edges.where(F.col(src).isNotNull() & F.col(dst).isNotNull()
+                     & (F.col(src) != F.col(dst)))
+         .select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
+         .distinct())
+    pair = e.groupBy(
+        F.least("_u", "_v").alias("_a"),
+        F.greatest("_u", "_v").alias("_b")).agg(
+        F.sum(F.when(F.col("_u") < F.col("_v"), 1).otherwise(0))
+        .alias("_fwd"),
+        F.sum(F.when(F.col("_u") > F.col("_v"), 1).otherwise(0))
+        .alias("_rev"))
+    both = (F.col("_fwd") > 0) & (F.col("_rev") > 0)
+    s = pair.agg(
+        F.sum(F.col("_fwd") + F.col("_rev")).alias("n_edges"),
+        F.sum(F.when(both, 2).otherwise(0))
+        .alias("n_reciprocal_edges"),
+        F.sum(F.when(both, 1).otherwise(0)).alias("n_mutual_pairs"))
+    return s.select(
+        F.coalesce(F.col("n_edges"), F.lit(0)).alias("n_edges"),
+        F.coalesce(F.col("n_reciprocal_edges"), F.lit(0))
+        .alias("n_reciprocal_edges"),
+        F.coalesce(F.col("n_mutual_pairs"), F.lit(0))
+        .alias("n_mutual_pairs"),
+        F.when(F.coalesce(F.col("n_edges"), F.lit(0)) > 0,
+               F.col("n_reciprocal_edges").cast("double")
+               / F.col("n_edges").cast("double")).alias("reciprocity"))

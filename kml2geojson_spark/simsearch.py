@@ -891,3 +891,58 @@ def embedding_top_component(embeddings: DataFrame, *,
                       F.lit(0.0), lambda acc, y: acc + y)
     lam = base.select(F.avg(dot * dot).alias("l")).first()["l"]
     return v, float(lam), n
+
+
+def embedding_norm_stats(embeddings: DataFrame, *,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         threshold_milli: int = 3000) -> DataFrame:
+    """Per-vector L2-norm² + corpus z-score + outlier flag — the
+    embedding-table health check: collapsed encoders emit near-zero
+    norms, exploded activations emit huge ones, and both poison
+    cosine ANN (norms cancel in cosine but dominate recall when
+    quantizing or using dot-product indexes).
+
+    Determinism: norm² is the package's in-order double fold
+    (:func:`_dot` — bit-identical to DuckDB ``list_dot_product``)
+    micro-integerized PER VECTOR (``round(norm²·10⁶)`` exact BIGINT);
+    corpus n, S = Σm and Q = Σm² are exact DECIMAL(38,0) sums (the
+    :func:`~kml2geojson_spark.graph.degree_assortativity` rule —
+    n·Q alone overflows BIGINT at corpus scale), z is one fixed IEEE
+    expression, and the outlier verdict is an EXACT INTEGER
+    comparison (``(n·m − S)²·10⁶ > thr²·(n·Q − S²)`` in DECIMAL —
+    the `rolling_zscore` rule, widened). NULL ids/vectors drop.
+
+    Scale shape: one narrow projection (fold per row), ONE global
+    hash-aggregate producing a 1-row frame broadcast back — no
+    window, no shuffle of the vector column itself beyond the scan.
+
+    Output: (vec_id, dim, norm2_micro, z_norm, is_outlier) —
+    is_outlier total (FALSE when the corpus is degenerate).
+    """
+    if threshold_milli <= 0:
+        raise ValueError(
+            "embedding_norm_stats: threshold_milli must be > 0")
+    b = (embeddings.where(F.col(id_col).isNotNull()
+                          & F.col(vec_col).isNotNull())
+         .select(F.col(id_col).alias("vec_id"),
+                 _as_double(vec_col).alias("_v")))
+    m = F.round(_dot("_v", "_v") * F.lit(1000000.0)).cast("long")
+    per = b.select("vec_id", F.size("_v").alias("dim"),
+                   m.alias("norm2_micro"))
+    md = F.col("norm2_micro").cast("decimal(38,0)")
+    g = per.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+                F.sum(md).alias("_s"),
+                F.sum(md * md).alias("_q"))
+    j = per.crossJoin(F.broadcast(g))
+    num = F.col("_n") * md - F.col("_s")
+    den2 = F.col("_n") * F.col("_q") - F.col("_s") * F.col("_s")
+    thr = F.lit(int(threshold_milli)).cast("decimal(38,0)")
+    return j.select(
+        "vec_id", "dim", "norm2_micro",
+        F.when(den2 > 0,
+               num.cast("double") / F.sqrt(den2.cast("double")))
+        .alias("z_norm"),
+        F.when(den2 > 0,
+               num * num * F.lit(1000000) > thr * thr * den2)
+        .otherwise(F.lit(False)).alias("is_outlier"))

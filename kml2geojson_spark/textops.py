@@ -1739,3 +1739,66 @@ def char_entropy(documents: DataFrame, *, id_col: str = "doc_id",
         (num.cast("double")
          / (F.col("n_chars_counted").cast("double") * F.lit(1e6)))
         .alias("char_entropy"))
+
+
+def doc_novelty(documents: DataFrame, *, n: int = 3,
+                id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Per-document n-gram novelty — what fraction of a document's
+    DISTINCT word n-grams appear in NO other document? The inverse
+    lens of :func:`boilerplate_ngrams` (which surfaces the shared
+    spans): high novelty = fresh content worth upsampling, near-zero
+    novelty = templated/mirrored text a curriculum should downweight.
+
+    Determinism: tokenization is the package's standard
+    lower+space-split+empty-filter; n-grams are formed by LEAD over
+    the per-doc position order (exact, no regex); the document
+    universe per gram is a DISTINCT (doc, gram) set, so repeats
+    inside one document never inflate its document frequency; counts
+    are exact BIGINTs and novelty is ONE division. Documents with
+    fewer than ``n`` tokens emit a row with n_grams = 0 and NULL
+    novelty (they have no n-gram evidence either way).
+
+    Scale shape: one posexplode (corpus-token rows), one LEAD on the
+    per-doc partitioning, one (doc, gram) distinct-agg, one gram
+    hash-agg for document frequency, one equi-join back on the gram
+    key, one doc hash-agg. All joins are equi-joins on the gram hash;
+    no all-pairs anything.
+
+    Output: (doc_id, n_grams, n_novel, novelty).
+    """
+    if n < 1:
+        raise ValueError("doc_novelty: n must be >= 1")
+    arr = F.filter(F.split(F.lower(F.col(text_col)), " "),
+                   lambda t: t != "")
+    base = (documents.where(F.col(text_col).isNotNull()
+                            & F.col(id_col).isNotNull())
+            .select(F.col(id_col).alias("doc_id"), arr.alias("_ts")))
+    toks = base.select("doc_id",
+                       F.posexplode("_ts").alias("pos", "w0"))
+    w = SparkWindow.partitionBy("doc_id").orderBy(F.col("pos").asc())
+    cols = [F.col("w0")]
+    g = toks
+    for i in range(1, n):
+        g = g.withColumn(f"w{i}", F.lead("w0", i).over(w))
+        cols.append(F.col(f"w{i}"))
+    gram = F.concat_ws("\x1f", *cols)
+    keep = cols[-1].isNotNull() if n > 1 else F.lit(True)
+    dg = (g.where(keep)
+          .select("doc_id", F.md5(gram).alias("_g"))
+          .distinct())
+    df_counts = dg.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("_df"))
+    per_doc = (dg.join(df_counts, "_g")
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_grams"),
+                    F.sum(F.when(F.col("_df") == 1, 1).otherwise(0))
+                    .alias("n_novel")))
+    all_docs = base.select("doc_id").distinct()
+    out = all_docs.join(per_doc, "doc_id", "left")
+    ng = F.coalesce(F.col("n_grams"), F.lit(0))
+    nv = F.coalesce(F.col("n_novel"), F.lit(0))
+    return out.select(
+        "doc_id", ng.alias("n_grams"), nv.alias("n_novel"),
+        F.when(ng > 0, nv.cast("double") / ng.cast("double"))
+        .alias("novelty"))

@@ -796,3 +796,148 @@ def test_last_touch_attribution_tie_order_by_id(spark):
     out = {r["channel"]: r["n_conversions"] for r in
            last_touch_attribution(df, conversion_type="BUY").collect()}
     assert out == {"promo": 1}
+
+
+# --------------------------------------------------- embedding_norm_stats
+
+from kml2geojson_spark.simsearch import embedding_norm_stats
+from kml2geojson_spark.graph import graph_reciprocity
+from kml2geojson_spark.textops import doc_novelty
+
+
+def test_embedding_norm_stats_matches_reference(spark):
+    import random
+    random.seed(37)
+    vecs = [(i, [random.uniform(-1, 1) for _ in range(8)])
+            for i in range(30)]
+    # one collapsed and one exploded vector
+    vecs.append((30, [0.0] * 8))
+    vecs.append((31, [50.0] * 8))
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in embedding_norm_stats(df).collect()}
+    ms = {}
+    for i, v in vecs:
+        acc = 0.0
+        for x in v:
+            acc += x * x
+        ms[i] = round(acc * 1e6)
+    n = len(ms)
+    s = sum(ms.values())
+    q = sum(m * m for m in ms.values())
+    den2 = n * q - s * s
+    for i, m in ms.items():
+        r = out[i]
+        assert r["norm2_micro"] == m
+        assert r["dim"] == 8
+        z = (n * m - s) / math.sqrt(den2)
+        assert r["z_norm"] == pytest.approx(z, rel=1e-12)
+        assert r["is_outlier"] == \
+            ((n * m - s) ** 2 * 1000000 > 3000 ** 2 * den2)
+    assert out[31]["is_outlier"] is True
+    assert out[5]["is_outlier"] is False
+
+
+def test_embedding_norm_stats_degenerate_constant_corpus(spark):
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(5)],
+        "vec_id long, embedding array<double>")
+    out = embedding_norm_stats(df).collect()
+    for r in out:
+        assert r["z_norm"] is None
+        assert r["is_outlier"] is False
+
+
+def test_embedding_norm_stats_plan_broadcast_no_window(spark):
+    df = spark.createDataFrame([(1, [1.0])],
+                               "vec_id long, embedding array<double>")
+    plan = _plan(embedding_norm_stats(df))
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+# --------------------------------------------------------- doc_novelty
+
+
+def test_doc_novelty_matches_reference(spark):
+    docs = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat sat on a hat"),       # shares "the cat sat"
+        (2, "completely different words here now"),
+        (3, "xy"),                          # < 3 tokens -> no grams
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in doc_novelty(df, n=3).collect()}
+
+    def grams(t):
+        ts = [w for w in t.lower().split(" ") if w]
+        return {tuple(ts[i:i + 3]) for i in range(len(ts) - 2)}
+
+    allg = [grams(t) for _, t in docs]
+    for i, (_, t) in enumerate(docs):
+        gs = allg[i]
+        novel = {g for g in gs
+                 if all(g not in allg[j] for j in range(len(docs))
+                        if j != i)}
+        r = out[i]
+        assert r["n_grams"] == len(gs)
+        assert r["n_novel"] == len(novel)
+        if gs:
+            assert r["novelty"] == pytest.approx(len(novel) / len(gs))
+        else:
+            assert r["novelty"] is None
+    assert out[3]["n_grams"] == 0 and out[3]["novelty"] is None
+    assert out[2]["novelty"] == 1.0
+
+
+def test_doc_novelty_repeats_inside_doc_do_not_inflate_df(spark):
+    # "a b c" appears twice in doc 0 but nowhere else: still novel
+    df = spark.createDataFrame(
+        [(0, "a b c x a b c"), (1, "unrelated text entirely")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in doc_novelty(df, n=3).collect()}
+    assert out[0]["novelty"] == 1.0
+
+
+def test_doc_novelty_validates_n(spark):
+    df = spark.createDataFrame([(0, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="n must"):
+        doc_novelty(df, n=0)
+
+
+# --------------------------------------------------------- reciprocity
+
+
+def test_graph_reciprocity_matches_reference(spark):
+    edges = [(1, 2), (2, 1),          # mutual
+             (1, 3),                  # one-way
+             (3, 4), (4, 3),          # mutual
+             (5, 5),                  # loop: dropped
+             (1, 2),                  # duplicate: deduped
+             (None, 1), (1, None)]    # nulls: dropped
+    df = spark.createDataFrame(edges, "src long, dst long")
+    (r,) = graph_reciprocity(df).collect()
+    assert r["n_edges"] == 5
+    assert r["n_reciprocal_edges"] == 4
+    assert r["n_mutual_pairs"] == 2
+    assert r["reciprocity"] == pytest.approx(0.8)
+
+
+def test_graph_reciprocity_empty_and_pure_cases(spark):
+    from pyspark.sql.types import StructType, StructField, LongType
+    schema = StructType([StructField("src", LongType()),
+                         StructField("dst", LongType())])
+    empty = spark.createDataFrame([], schema)
+    (r,) = graph_reciprocity(empty).collect()
+    assert r["n_edges"] == 0 and r["reciprocity"] is None
+    oneway = spark.createDataFrame([(1, 2), (2, 3)], schema)
+    (r2,) = graph_reciprocity(oneway).collect()
+    assert r2["reciprocity"] == 0.0
+    mutual = spark.createDataFrame([(1, 2), (2, 1)], schema)
+    (r3,) = graph_reciprocity(mutual).collect()
+    assert r3["reciprocity"] == 1.0
+
+
+def test_graph_reciprocity_plan_no_self_join(spark):
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    plan = _plan(graph_reciprocity(df))
+    assert "Join" not in plan  # unordered-key agg, not a reverse join
