@@ -289,3 +289,35 @@ def read_geojson_files(spark: SparkSession, path: str, *,
     else:
         docs = docs.select(F.col("_p").alias("doc_id"), "geojson")
     return parse_geojson_features(docs)
+
+
+def read_jsonl_docs(spark: SparkSession, path: str, *,
+                    id_field: str = "doc_id",
+                    text_field: str = "text",
+                    pattern: str = "*.jsonl") -> DataFrame:
+    """Distributed JSONL corpus source — the lingua franca of LLM
+    training dumps (one JSON object per line). Returns the package's
+    ``documents`` shape (doc_id, text, extra JSON carried verbatim)
+    plus an auditable corrupt-line lane: malformed lines surface as
+    rows with NULL doc_id/text and the raw line in ``corrupt_record``
+    — NEVER silently dropped (count them, then filter).
+
+    Scale shape: Spark's native JSON reader — line-splittable, so one
+    100 GB file still fans out across executors (unlike whole-file
+    formats); schema is pinned (no inference pass over 100 TB) to
+    exactly (id, text, corrupt) and Catalyst prunes any other key at
+    the scan. Zero Python.
+
+    Output: (doc_id, text, corrupt_record).
+    """
+    schema = (f"`{id_field}` STRING, `{text_field}` STRING, "
+              "`_corrupt` STRING")
+    df = (spark.read
+          .schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt")
+          .option("pathGlobFilter", pattern)
+          .json(path))
+    return df.select(F.col(id_field).alias("doc_id"),
+                     F.col(text_field).alias("text"),
+                     F.col("_corrupt").alias("corrupt_record"))

@@ -1802,3 +1802,55 @@ def doc_novelty(documents: DataFrame, *, n: int = 3,
         "doc_id", ng.alias("n_grams"), nv.alias("n_novel"),
         F.when(ng > 0, nv.cast("double") / ng.cast("double"))
         .alias("novelty"))
+
+
+def compression_ratio(documents: DataFrame, *, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      level: int = 6) -> DataFrame:
+    """Per-document zlib compression ratio — the classic "is this
+    text?" filter the big web-corpus pipelines run first: natural
+    language compresses to ~0.3-0.5 of its size, base64/random blobs
+    barely compress (ratio → 1), and pathological repetition
+    compresses to almost nothing. The byte-level complement to
+    :func:`char_entropy` (symbol mix) and :func:`repetition_stats`
+    (span repeats) — zlib sees LONG-RANGE redundancy both miss.
+
+    Determinism: zlib with a FIXED level and default strategy is a
+    deterministic pure function of the utf-8 bytes (same bytes →
+    same compressed length on every CPython/zlib the sandbox and a
+    cluster ship), so the ratio is a ratio of exact integers. No SQL
+    oracle exists (DuckDB has no zlib) — contract pinned by pytest
+    against direct ``zlib.compress`` calls, same evidence class as
+    the streaming operators.
+
+    Scale shape: ONE Arrow-batched ``mapInPandas`` projection — per
+    batch, a tight loop of C-implemented zlib calls; no shuffle, no
+    driver work, embarrassingly parallel.
+
+    Output: (doc_id, n_bytes, n_compressed, ratio) — empty texts
+    yield ratio NULL; NULL texts/ids drop.
+    """
+    import zlib as _zlib  # stdlib, executor-side
+
+    if not (0 <= level <= 9):
+        raise ValueError("compression_ratio: level must be in 0..9")
+    base = (documents.where(F.col(text_col).isNotNull()
+                            & F.col(id_col).isNotNull())
+            .select(F.col(id_col).alias("doc_id"),
+                    F.col(text_col).alias("_t")))
+
+    def kernel(batches):
+        import pandas as pd  # noqa: F811 (executor import)
+        for pdf in batches:
+            raw = [t.encode("utf-8") for t in pdf["_t"]]
+            nb = [len(b) for b in raw]
+            nc = [len(_zlib.compress(b, level)) for b in raw]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"], "n_bytes": nb,
+                "n_compressed": nc,
+                "ratio": [c / n if n > 0 else None
+                          for n, c in zip(nb, nc)]})
+
+    return base.mapInPandas(
+        kernel,
+        "doc_id long, n_bytes long, n_compressed long, ratio double")

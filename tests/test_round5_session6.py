@@ -941,3 +941,81 @@ def test_graph_reciprocity_plan_no_self_join(spark):
     df = spark.createDataFrame([(1, 2)], "src long, dst long")
     plan = _plan(graph_reciprocity(df))
     assert "Join" not in plan  # unordered-key agg, not a reverse join
+
+
+# ----------------------------------------------------- compression_ratio
+
+from kml2geojson_spark.textops import compression_ratio
+from kml2geojson_spark.sources import read_jsonl_docs
+
+
+def test_compression_ratio_matches_zlib(spark):
+    import zlib
+    texts = ["hello world " * 50,
+             "the quick brown fox jumps over the lazy dog",
+             "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa",
+             ""]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    out = {r["doc_id"]: r for r in compression_ratio(df).collect()}
+    for i, t in enumerate(texts):
+        b = t.encode("utf-8")
+        r = out[i]
+        assert r["n_bytes"] == len(b)
+        assert r["n_compressed"] == len(zlib.compress(b, 6))
+        if b:
+            assert r["ratio"] == pytest.approx(
+                len(zlib.compress(b, 6)) / len(b))
+        else:
+            assert r["ratio"] is None
+
+
+def test_compression_ratio_separates_text_classes(spark):
+    import random
+    random.seed(41)
+    blob = "".join(random.choice(
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789")
+        for _ in range(2000))
+    prose = ("it was the best of times it was the worst of times it "
+             "was the age of wisdom it was the age of foolishness ") * 10
+    spam = "z" * 2000
+    df = spark.createDataFrame(
+        [(0, blob), (1, prose), (2, spam)], "doc_id long, text string")
+    out = {r["doc_id"]: r["ratio"]
+           for r in compression_ratio(df).collect()}
+    assert out[2] < out[1] < out[0]
+    assert out[0] > 0.7   # random blob barely compresses
+    assert out[2] < 0.02  # pure repetition collapses
+
+
+def test_compression_ratio_validates_level_and_drops_nulls(spark):
+    df = spark.createDataFrame([(1, "x"), (2, None), (None, "y")],
+                               "doc_id long, text string")
+    with pytest.raises(ValueError, match="level"):
+        compression_ratio(df, level=10)
+    out = compression_ratio(df).collect()
+    assert [r["doc_id"] for r in out] == [1]
+
+
+# ------------------------------------------------------ read_jsonl_docs
+
+
+def test_read_jsonl_docs_reads_and_audits(spark, tmp_path):
+    p = tmp_path / "corpus"
+    p.mkdir()
+    (p / "a.jsonl").write_text(
+        '{"doc_id": "d1", "text": "hello", "extra": 1}\n'
+        '{"doc_id": "d2", "text": "world"}\n'
+        'not json at all\n'
+        '{"doc_id": "d3", "text": "ok"}\n')
+    (p / "b.jsonl").write_text('{"doc_id": "d4", "text": "more"}\n')
+    (p / "ignored.txt").write_text("nope\n")
+    out = read_jsonl_docs(spark, str(p)).collect()
+    good = {r["doc_id"]: r["text"] for r in out
+            if r["corrupt_record"] is None}
+    bad = [r for r in out if r["corrupt_record"] is not None]
+    assert good == {"d1": "hello", "d2": "world", "d3": "ok",
+                    "d4": "more"}
+    assert len(bad) == 1
+    assert bad[0]["corrupt_record"].startswith("not json")
+    assert bad[0]["doc_id"] is None
