@@ -7627,6 +7627,66 @@ FROM s
 """
 
 
+def _q218_chunk_documents(spark, sf):
+    """Fixed-size token chunking with overlap (pure-Column
+    transform(sequence)+posexplode, exact chunk grammar). Round-5
+    post-pin registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.textops import chunk_documents
+    return chunk_documents(_t(spark, sf, "documents"),
+                           chunk_tokens=16, overlap=4)
+
+
+_O218 = """
+WITH arrs AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '')
+           AS ts
+  FROM documents
+  WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+base AS (SELECT doc_id, ts, len(ts) AS n FROM arrs WHERE len(ts) > 0),
+idx AS (
+  SELECT doc_id, ts, n,
+         UNNEST(range(0, 1 + (GREATEST(n - 16, 0) + 11) // 12)) AS i
+  FROM base),
+c AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+         ts[CAST(i * 12 + 1 AS INTEGER)
+            : CAST(LEAST(i * 12 + 16, n) AS INTEGER)] AS ck
+  FROM idx)
+SELECT doc_id, chunk_id,
+       CAST(len(ck) AS INTEGER) AS n_tokens,
+       array_to_string(ck, ' ') AS chunk_text
+FROM c
+"""
+
+
+def _q219_trigram_paths(spark, sf):
+    """Frequent 3-step event paths (two LEADs on one user exchange,
+    one hash-agg). Round-5 post-pin registration: in-repo oracle
+    sweep only."""
+    from kml2geojson_spark.eventops import event_trigram_paths
+    return event_trigram_paths(_t(spark, sf, "events"), min_count=2)
+
+
+_O219 = """
+WITH b AS (
+  SELECT user_id, ts, event_id, event_type AS step1
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_id IS NOT NULL AND event_type IS NOT NULL),
+g AS (
+  SELECT step1,
+         LEAD(step1, 1) OVER w AS step2,
+         LEAD(step1, 2) OVER w AS step3
+  FROM b
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+SELECT step1, step2, step3, CAST(COUNT(*) AS BIGINT) AS n_paths
+FROM g WHERE step3 IS NOT NULL
+GROUP BY step1, step2, step3
+HAVING COUNT(*) >= 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -7837,6 +7897,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q215_embedding_norms": _q215_embedding_norms,
         "q216_doc_novelty": _q216_doc_novelty,
         "q217_reciprocity": _q217_reciprocity,
+        "q218_chunk_documents": _q218_chunk_documents,
+        "q219_trigram_paths": _q219_trigram_paths,
     }
 
 
@@ -8046,6 +8108,8 @@ def oracle_sql() -> dict[str, str]:
         "q215_embedding_norms": _O215,
         "q216_doc_novelty": _O216,
         "q217_reciprocity": _O217,
+        "q218_chunk_documents": _O218,
+        "q219_trigram_paths": _O219,
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

@@ -1174,3 +1174,43 @@ def last_touch_attribution(events: DataFrame, *,
     return (conv.groupBy(F.coalesce(F.col("_ch"), F.lit("(none)"))
                  .alias("channel"))
             .agg(F.count(F.lit(1)).alias("n_conversions")))
+
+
+def event_trigram_paths(events: DataFrame, *,
+                        user_col: str = "user_id",
+                        ts_col: str = "ts", id_col: str = "event_id",
+                        type_col: str = "event_type",
+                        min_count: int = 1) -> DataFrame:
+    """Frequent 3-step behavior paths — the next order of structure
+    above :func:`event_transition_counts` (2-step): which exact
+    click→view→purchase sequences dominate, which error→retry→error
+    loops burn users.
+
+    Determinism: each user's stream is totalized by (ts, id); the two
+    look-aheads are LEADs over that order; counts are exact BIGINTs;
+    paths crossing a user boundary never form (LEAD stays inside the
+    partition). NULL users/ts/ids/types drop.
+
+    Scale shape: ONE Exchange (hash by user), one in-partition sort
+    feeding both LEADs (one Window node), one hash-aggregate with
+    map-side combine. No join, no per-user collection.
+
+    Output: (step1, step2, step3, n_paths), paths below ``min_count``
+    dropped.
+    """
+    if min_count < 1:
+        raise ValueError("event_trigram_paths: min_count must be >= 1")
+    keep = (F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+            & F.col(id_col).isNotNull() & F.col(type_col).isNotNull())
+    b = events.where(keep).select(
+        F.col(user_col).alias("_u"), F.col(ts_col).alias("_t"),
+        F.col(id_col).alias("_i"), F.col(type_col).alias("step1"))
+    w = Window.partitionBy("_u").orderBy(
+        F.col("_t").asc(), F.col("_i").asc())
+    g = b.select("step1",
+                 F.lead("step1", 1).over(w).alias("step2"),
+                 F.lead("step1", 2).over(w).alias("step3"))
+    return (g.where(F.col("step3").isNotNull())
+            .groupBy("step1", "step2", "step3")
+            .agg(F.count(F.lit(1)).alias("n_paths"))
+            .where(F.col("n_paths") >= min_count))

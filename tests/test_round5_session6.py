@@ -1019,3 +1019,121 @@ def test_read_jsonl_docs_reads_and_audits(spark, tmp_path):
     assert len(bad) == 1
     assert bad[0]["corrupt_record"].startswith("not json")
     assert bad[0]["doc_id"] is None
+
+
+# ------------------------------------------------------ chunk_documents
+
+from kml2geojson_spark.textops import chunk_documents
+from kml2geojson_spark.eventops import event_trigram_paths
+
+
+def _chunks_reference(tokens, chunk, overlap):
+    stride = chunk - overlap
+    n = len(tokens)
+    if n == 0:
+        return []
+    n_chunks = 1 + -(-max(0, n - chunk) // stride)
+    return [tokens[i * stride: i * stride + chunk]
+            for i in range(n_chunks)]
+
+
+def test_chunk_documents_matches_reference(spark):
+    import random
+    random.seed(43)
+    docs = []
+    for d in range(10):
+        nt = random.choice([0, 1, 5, 16, 17, 40, 100])
+        docs.append((d, " ".join(f"w{random.randint(0, 50)}"
+                                 for _ in range(nt))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {}
+    for r in chunk_documents(df, chunk_tokens=16, overlap=4).collect():
+        out.setdefault(r["doc_id"], {})[r["chunk_id"]] = r
+    for d, t in docs:
+        toks = [w for w in t.lower().split(" ") if w]
+        ref = _chunks_reference(toks, 16, 4)
+        got = out.get(d, {})
+        assert len(got) == len(ref)
+        for i, ck in enumerate(ref):
+            assert got[i]["n_tokens"] == len(ck)
+            assert got[i]["chunk_text"] == " ".join(ck)
+
+
+def test_chunk_documents_full_coverage_and_overlap_invariants(spark):
+    toks = [f"t{i}" for i in range(100)]
+    df = spark.createDataFrame([(0, " ".join(toks))],
+                               "doc_id long, text string")
+    out = sorted(chunk_documents(df, chunk_tokens=32,
+                                 overlap=8).collect(),
+                 key=lambda r: r["chunk_id"])
+    # every token covered, consecutive chunks share exactly `overlap`
+    covered = set()
+    for r in out:
+        covered.update(r["chunk_text"].split(" "))
+    assert covered == set(toks)
+    for a, b in zip(out, out[1:]):
+        ta, tb = a["chunk_text"].split(" "), b["chunk_text"].split(" ")
+        shared = [w for w in tb if w in set(ta)]
+        if b["n_tokens"] >= 8:
+            assert len(shared) == 8
+
+
+def test_chunk_documents_short_doc_single_chunk_and_validation(spark):
+    df = spark.createDataFrame([(0, "a b c"), (1, ""), (2, None)],
+                               "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=16, overlap=4).collect()
+    assert len(out) == 1
+    assert out[0]["doc_id"] == 0 and out[0]["chunk_text"] == "a b c"
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=8, overlap=8)
+    with pytest.raises(ValueError, match="chunk_tokens"):
+        chunk_documents(df, chunk_tokens=0, overlap=0)
+
+
+def test_chunk_documents_plan_pure_column(spark):
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    plan = _plan(chunk_documents(df))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan and "Window" not in plan
+
+
+# --------------------------------------------------- event_trigram_paths
+
+
+def test_event_trigram_paths_matches_reference(spark):
+    from datetime import datetime, timedelta
+    base = datetime(2024, 1, 1)
+    streams = {1: ["a", "b", "c", "b", "c", "a"],
+               2: ["a", "b", "c"],
+               3: ["x", "y"]}  # too short: no trigram
+    rows = []
+    eid = 0
+    for u, seq in streams.items():
+        for i, t in enumerate(seq):
+            rows.append((u, base + timedelta(seconds=i), eid, t))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string")
+    out = {(r["step1"], r["step2"], r["step3"]): r["n_paths"]
+           for r in event_trigram_paths(df, min_count=1).collect()}
+    ref = {}
+    for seq in streams.values():
+        for i in range(len(seq) - 2):
+            k = tuple(seq[i:i + 3])
+            ref[k] = ref.get(k, 0) + 1
+    assert out == ref
+    # min_count prunes
+    out2 = {(r["step1"], r["step2"], r["step3"]): r["n_paths"]
+            for r in event_trigram_paths(df, min_count=2).collect()}
+    assert out2 == {k: v for k, v in ref.items() if v >= 2}
+
+
+def test_event_trigram_paths_never_cross_users(spark):
+    from datetime import datetime, timedelta
+    base = datetime(2024, 1, 1)
+    rows = [(1, base, 0, "a"), (1, base + timedelta(seconds=1), 1, "b"),
+            (2, base + timedelta(seconds=2), 2, "c"),
+            (2, base + timedelta(seconds=3), 3, "d")]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string")
+    assert event_trigram_paths(df).count() == 0
