@@ -7687,6 +7687,82 @@ HAVING COUNT(*) >= 2
 """
 
 
+def _q220_funnel_latency(spark, sf):
+    """Stage-to-stage funnel latency (greedy earliest-completion
+    frontier cascade, exact BIGINT second gaps). Round-5 post-pin
+    registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.eventops import funnel_latency
+    return funnel_latency(_t(spark, sf, "events"),
+                          ["signup", "click", "purchase"])
+
+
+_O220 = """
+WITH ev AS (
+  SELECT user_id, ts, event_type FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_type IS NOT NULL),
+s0 AS (SELECT user_id AS u, MIN(ts) AS r FROM ev
+       WHERE event_type = 'signup' GROUP BY user_id),
+s1 AS (SELECT e.user_id AS u, MIN(e.ts) AS r
+       FROM ev e JOIN s0 ON e.user_id = s0.u
+       WHERE e.event_type = 'click' AND e.ts > s0.r
+       GROUP BY e.user_id),
+s2 AS (SELECT e.user_id AS u, MIN(e.ts) AS r
+       FROM ev e JOIN s1 ON e.user_id = s1.u
+       WHERE e.event_type = 'purchase' AND e.ts > s1.r
+       GROUP BY e.user_id),
+g1 AS (SELECT epoch_us(s1.r) // 1000000 - epoch_us(s0.r) // 1000000
+         AS g FROM s1 JOIN s0 USING (u)),
+g2 AS (SELECT epoch_us(s2.r) // 1000000 - epoch_us(s1.r) // 1000000
+         AS g FROM s2 JOIN s1 USING (u))
+SELECT 1 AS stage_idx, 'click' AS stage,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(g) AS BIGINT) AS gap_sum_s,
+       CAST(MIN(g) AS BIGINT) AS gap_min_s,
+       CAST(MAX(g) AS BIGINT) AS gap_max_s,
+       CASE WHEN COUNT(*) > 0 THEN CAST(SUM(g) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE) END AS mean_gap_s
+FROM g1
+UNION ALL
+SELECT 2, 'purchase', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(g) AS BIGINT), CAST(MIN(g) AS BIGINT),
+       CAST(MAX(g) AS BIGINT),
+       CASE WHEN COUNT(*) > 0 THEN CAST(SUM(g) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE) END
+FROM g2
+"""
+
+
+def _q221_k_anonymity(spark, sf):
+    """k-anonymity audit over the (lang, source) quasi-identifier
+    pair of the documents sidecar. Round-5 post-pin registration:
+    in-repo oracle sweep only."""
+    from kml2geojson_spark.quality import k_anonymity_audit
+    return k_anonymity_audit(_t(spark, sf, "documents"),
+                             quasi_cols=["lang", "source"], k=5)
+
+
+_O221 = """
+WITH g AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY lang, source),
+s AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_groups,
+         CAST(MIN(n) AS BIGINT) AS min_group_size,
+         CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+           AS groups_at_risk,
+         CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+           AS rows_at_risk
+  FROM g)
+SELECT n_rows, n_groups, min_group_size, groups_at_risk,
+       rows_at_risk,
+       CASE WHEN n_rows > 0 THEN CAST(rows_at_risk AS DOUBLE)
+            / CAST(n_rows AS DOUBLE) END AS risk_fraction
+FROM s
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -7899,6 +7975,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q217_reciprocity": _q217_reciprocity,
         "q218_chunk_documents": _q218_chunk_documents,
         "q219_trigram_paths": _q219_trigram_paths,
+        "q220_funnel_latency": _q220_funnel_latency,
+        "q221_k_anonymity": _q221_k_anonymity,
     }
 
 
@@ -8110,6 +8188,8 @@ def oracle_sql() -> dict[str, str]:
         "q217_reciprocity": _O217,
         "q218_chunk_documents": _O218,
         "q219_trigram_paths": _O219,
+        "q220_funnel_latency": _O220,
+        "q221_k_anonymity": _O221,
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

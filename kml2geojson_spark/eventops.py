@@ -1214,3 +1214,71 @@ def event_trigram_paths(events: DataFrame, *,
             .groupBy("step1", "step2", "step3")
             .agg(F.count(F.lit(1)).alias("n_paths"))
             .where(F.col("n_paths") >= min_count))
+
+
+def funnel_latency(events: DataFrame, stages: list[str], *,
+                   user_col: str = "user_id", ts_col: str = "ts",
+                   type_col: str = "event_type") -> DataFrame:
+    """Stage-to-stage funnel LATENCY — how long users take between
+    consecutive funnel completions (:func:`funnel_counts` tells you
+    HOW MANY arrive; this tells you HOW SLOWLY): activation lag,
+    checkout friction, retry storms.
+
+    Semantics match :func:`funnel_counts` exactly (earliest-possible
+    greedy completion, stage i strictly after stage i−1's completion
+    timestamp), so the user sets agree between the two operators by
+    construction. Gaps are EXACT BIGINT SECONDS between truncated
+    epoch completion times; per-transition n/Σ/min/max are exact and
+    the mean is ONE division.
+
+    Scale shape: the funnel_counts frontier cascade (min-ts hash-agg
+    + one user-key equi-join per stage, monotonically shrinking) plus
+    one user-key join per transition to pair consecutive completion
+    times. No windows, no Python.
+
+    Output: one row per TRANSITION (stage_idx ≥ 1): (stage_idx,
+    stage, n_users, gap_sum_s, gap_min_s, gap_max_s, mean_gap_s).
+    """
+    if len(stages) < 2:
+        raise ValueError("funnel_latency: need at least 2 stages")
+    keep = (F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+            & F.col(type_col).isNotNull())
+    ev_all = events.where(keep)
+    frontiers = []
+    frontier = None
+    for stage in stages:
+        ev = ev_all.where(F.col(type_col) == stage).select(
+            F.col(user_col).alias("user"), F.col(ts_col).alias("t"))
+        if frontier is None:
+            frontier = ev.groupBy("user").agg(
+                F.min("t").alias("reached"))
+        else:
+            frontier = (ev.join(frontier, "user")
+                        .where(F.col("t") > F.col("reached"))
+                        .groupBy("user").agg(
+                            F.min("t").alias("reached")))
+        frontiers.append(frontier)
+    out = None
+    for i in range(1, len(stages)):
+        prev = frontiers[i - 1].select(
+            "user", F.col("reached").cast("timestamp").cast("long")
+            .alias("_t0"))
+        cur = frontiers[i].select(
+            "user", F.col("reached").cast("timestamp").cast("long")
+            .alias("_t1"))
+        gaps = cur.join(prev, "user").select(
+            (F.col("_t1") - F.col("_t0")).alias("_g"))
+        row = gaps.agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("_g").alias("gap_sum_s"),
+            F.min("_g").alias("gap_min_s"),
+            F.max("_g").alias("gap_max_s")).select(
+            F.lit(i).alias("stage_idx"),
+            F.lit(stages[i]).alias("stage"),
+            "n_users", "gap_sum_s", "gap_min_s", "gap_max_s",
+            F.when(F.col("n_users") > 0,
+                   F.col("gap_sum_s").cast("double")
+                   / F.col("n_users").cast("double"))
+            .alias("mean_gap_s"))
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -508,3 +508,46 @@ def table_diff(left: DataFrame, right: DataFrame, *,
         F.sum((in_l & ~in_r).cast("long")).alias("n_removed"),
         F.sum(changed.cast("long")).alias("n_changed"),
         F.sum(same.cast("long")).alias("n_same"))
+
+
+def k_anonymity_audit(df: DataFrame, *, quasi_cols: list[str],
+                      k: int = 5) -> DataFrame:
+    """k-anonymity audit over a set of quasi-identifier columns —
+    before a table (or a training corpus's metadata sidecar) ships,
+    how many rows sit in a quasi-identifier group smaller than k and
+    are therefore re-identifiable by joining on those columns?
+
+    Semantics: groups are the DISTINCT quasi-identifier combinations
+    (NULL is a value — a NULL zip code still identifies the cohort of
+    rows missing a zip code, so it audits like any other level). All
+    counts are exact BIGINTs, the risk fraction ONE division.
+
+    Scale shape: one hash-aggregate to group grain (map-side
+    combine), one global aggregate over the (much smaller) group
+    table. No window, no join, no Python.
+
+    Output: ONE row (n_rows, n_groups, min_group_size,
+    groups_at_risk, rows_at_risk, risk_fraction) — a table passes
+    k-anonymity iff rows_at_risk = 0.
+    """
+    if not quasi_cols:
+        raise ValueError(
+            "k_anonymity_audit: quasi_cols must be non-empty")
+    if k < 2:
+        raise ValueError("k_anonymity_audit: k must be >= 2")
+    g = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("_n"))
+    s = g.agg(
+        F.sum("_n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("_n").alias("min_group_size"),
+        F.sum(F.when(F.col("_n") < k, 1).otherwise(0))
+        .alias("groups_at_risk"),
+        F.sum(F.when(F.col("_n") < k, F.col("_n")).otherwise(0))
+        .alias("rows_at_risk"))
+    return s.select(
+        "n_rows", "n_groups", "min_group_size", "groups_at_risk",
+        "rows_at_risk",
+        F.when(F.col("n_rows") > 0,
+               F.col("rows_at_risk").cast("double")
+               / F.col("n_rows").cast("double"))
+        .alias("risk_fraction"))

@@ -1137,3 +1137,102 @@ def test_event_trigram_paths_never_cross_users(spark):
     df = spark.createDataFrame(
         rows, "user_id long, ts timestamp, event_id long, event_type string")
     assert event_trigram_paths(df).count() == 0
+
+
+# -------------------------------------------------------- funnel_latency
+
+from kml2geojson_spark.eventops import funnel_latency, funnel_counts
+from kml2geojson_spark.quality import k_anonymity_audit
+
+
+def test_funnel_latency_matches_hand_case(spark):
+    from datetime import datetime, timedelta
+    base = datetime(2024, 1, 1)
+
+    def ev(u, sec, t):
+        return (u, base + timedelta(seconds=sec), t)
+
+    rows = [
+        # user 1: A@0 -> B@10 -> C@40 (gaps 10, 30)
+        ev(1, 0, "A"), ev(1, 10, "B"), ev(1, 40, "C"),
+        # user 2: A@5 -> B@6 (gap 1), never C
+        ev(2, 5, "A"), ev(2, 6, "B"),
+        # user 3: B@0 before A@1: B does not count until after A;
+        # B@100 completes (gap 99), C@50 is BEFORE B-completion: no C
+        ev(3, 0, "B"), ev(3, 1, "A"), ev(3, 100, "B"), ev(3, 50, "C"),
+        # user 4: only C: nothing
+        ev(4, 0, "C"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, "
+                                     "event_type string")
+    out = {r["stage_idx"]: r for r in
+           funnel_latency(df, ["A", "B", "C"]).collect()}
+    b = out[1]
+    assert b["stage"] == "B" and b["n_users"] == 3
+    assert (b["gap_min_s"], b["gap_max_s"]) == (1, 99)
+    assert b["gap_sum_s"] == 10 + 1 + 99
+    assert b["mean_gap_s"] == pytest.approx(110 / 3)
+    c = out[2]
+    assert c["stage"] == "C" and c["n_users"] == 1
+    assert c["gap_sum_s"] == 30
+
+
+def test_funnel_latency_user_sets_agree_with_funnel_counts(spark):
+    import random
+    from datetime import datetime, timedelta
+    random.seed(47)
+    base = datetime(2024, 1, 1)
+    rows = []
+    for u in range(40):
+        for i in range(12):
+            rows.append((u, base + timedelta(seconds=random.randint(0, 500)),
+                         random.choice(["A", "B", "C", "x"])))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, "
+                                     "event_type string")
+    counts = {r["stage_idx"]: r["n_users"] for r in
+              funnel_counts(df, ["A", "B", "C"]).collect()}
+    lat = {r["stage_idx"]: r["n_users"] for r in
+           funnel_latency(df, ["A", "B", "C"]).collect()}
+    assert lat[1] == counts[1] and lat[2] == counts[2]
+
+
+def test_funnel_latency_validates_stages(spark):
+    df = spark.createDataFrame([(1, None, "A")],
+                               "user_id long, ts timestamp, event_type string")
+    with pytest.raises(ValueError, match="2 stages"):
+        funnel_latency(df, ["A"])
+
+
+# ------------------------------------------------------ k_anonymity
+
+
+def test_k_anonymity_audit_matches_hand_case(spark):
+    rows = ([("us", "a")] * 10 + [("us", "b")] * 3 + [("de", "a")] * 1
+            + [(None, "a")] * 2)
+    df = spark.createDataFrame(rows, "country string, plan string")
+    (r,) = k_anonymity_audit(df, quasi_cols=["country", "plan"],
+                             k=5).collect()
+    assert r["n_rows"] == 16
+    assert r["n_groups"] == 4
+    assert r["min_group_size"] == 1
+    assert r["groups_at_risk"] == 3   # sizes 3, 1, 2 (< 5)
+    assert r["rows_at_risk"] == 6
+    assert r["risk_fraction"] == pytest.approx(6 / 16)
+
+
+def test_k_anonymity_audit_pass_and_validation(spark):
+    rows = [("x",)] * 5 + [("y",)] * 7
+    df = spark.createDataFrame(rows, "qc string")
+    (r,) = k_anonymity_audit(df, quasi_cols=["qc"], k=5).collect()
+    assert r["rows_at_risk"] == 0 and r["groups_at_risk"] == 0
+    with pytest.raises(ValueError, match="quasi_cols"):
+        k_anonymity_audit(df, quasi_cols=[], k=5)
+    with pytest.raises(ValueError, match="k must"):
+        k_anonymity_audit(df, quasi_cols=["qc"], k=1)
+
+
+def test_k_anonymity_audit_plan_two_aggs_no_join(spark):
+    df = spark.createDataFrame([("x",)], "qc string")
+    plan = _plan(k_anonymity_audit(df, quasi_cols=["qc"]))
+    assert "Join" not in plan and "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
