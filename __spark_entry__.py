@@ -7763,6 +7763,95 @@ FROM s
 """
 
 
+def _q222_period_over_period(spark, sf):
+    """Weekly revenue period-over-period per order priority
+    (fixed-length epoch buckets, exact cent sums, one LAG over the
+    aggregated frame). Round-5 post-pin registration: in-repo oracle
+    sweep only."""
+    from kml2geojson_spark.relational import period_over_period
+    od = _t(spark, sf, "orders").select(
+        "o_orderpriority", "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long")
+        .alias("cents"))
+    return period_over_period(od, ts_col="o_orderdate",
+                              value_col="cents",
+                              group_cols=["o_orderpriority"],
+                              period_seconds=604800)
+
+
+_O222 = """
+WITH b AS (
+  SELECT o_orderpriority,
+         (epoch_us(o_orderdate) // 1000000) // 604800 AS bucket,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_orderdate IS NOT NULL
+    AND o_totalprice IS NOT NULL),
+per AS (
+  SELECT o_orderpriority, bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(v) AS BIGINT) AS value_sum
+  FROM b GROUP BY o_orderpriority, bucket),
+lagged AS (
+  SELECT o_orderpriority, bucket,
+         CAST(bucket * 604800 AS BIGINT) AS period_start_s,
+         n_events, value_sum,
+         LAG(value_sum) OVER (PARTITION BY o_orderpriority
+                              ORDER BY bucket ASC) AS prev_sum
+  FROM per)
+SELECT o_orderpriority, bucket, period_start_s, n_events, value_sum,
+       prev_sum, value_sum - prev_sum AS delta,
+       CASE WHEN prev_sum <> 0
+            THEN CAST(value_sum - prev_sum AS DOUBLE)
+                 / CAST(prev_sum AS DOUBLE)
+       END AS pct_change
+FROM lagged
+"""
+
+
+def _q223_wilson_ci(spark, sf):
+    """Wilson score interval for the high-value-event rate per event
+    type (exact BIGINT n/k, fixed IEEE interval). Round-5 post-pin
+    registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.relational import wilson_ci
+    ev = _t(spark, sf, "events").select(
+        "event_type", (F.col("value") > 50).cast("int").alias("hi"))
+    return wilson_ci(ev, label_col="hi", group_cols=["event_type"])
+
+
+_O223 = """
+WITH s AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(value > 50 AS BIGINT)) AS BIGINT) AS k
+  FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL
+  GROUP BY event_type)
+SELECT event_type, n, k,
+       CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p_hat,
+       ((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+         + 1.96 * 1.96 / CAST(n AS DOUBLE) / 2.0)
+        / (1.0 + 1.96 * 1.96 / CAST(n AS DOUBLE)))
+       - (1.96 * SQRT(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                      * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                      / CAST(n AS DOUBLE)
+                      + 1.96 * 1.96
+                        / (4.0 * CAST(n AS DOUBLE)
+                           * CAST(n AS DOUBLE))))
+         / (1.0 + 1.96 * 1.96 / CAST(n AS DOUBLE)) AS ci_lo,
+       ((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+         + 1.96 * 1.96 / CAST(n AS DOUBLE) / 2.0)
+        / (1.0 + 1.96 * 1.96 / CAST(n AS DOUBLE)))
+       + (1.96 * SQRT(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                      * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                      / CAST(n AS DOUBLE)
+                      + 1.96 * 1.96
+                        / (4.0 * CAST(n AS DOUBLE)
+                           * CAST(n AS DOUBLE))))
+         / (1.0 + 1.96 * 1.96 / CAST(n AS DOUBLE)) AS ci_hi
+FROM s
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -7977,6 +8066,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q219_trigram_paths": _q219_trigram_paths,
         "q220_funnel_latency": _q220_funnel_latency,
         "q221_k_anonymity": _q221_k_anonymity,
+        "q222_period_over_period": _q222_period_over_period,
+        "q223_wilson_ci": _q223_wilson_ci,
     }
 
 
@@ -8190,6 +8281,8 @@ def oracle_sql() -> dict[str, str]:
         "q219_trigram_paths": _O219,
         "q220_funnel_latency": _O220,
         "q221_k_anonymity": _O221,
+        "q222_period_over_period": _O222,
+        "q223_wilson_ci": _O223,
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

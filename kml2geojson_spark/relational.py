@@ -2810,3 +2810,123 @@ def calibration_bins(df: DataFrame, *, score_col: str, label_col: str,
         .alias("mean_score"),
         (F.col("n_pos").cast("double") / F.col("n").cast("double"))
         .alias("frac_pos"))
+
+
+def period_over_period(df: DataFrame, *, ts_col: str, value_col: str,
+                       group_cols: list[str],
+                       period_seconds: int = 604800) -> DataFrame:
+    """Period-over-period deltas (WoW/MoM-style) per group — the
+    dashboard staple: bucket a timeline into fixed-length periods,
+    then compare each period's total to the PREVIOUS OBSERVED
+    period's. Fixed-length buckets (epoch // period_seconds) rather
+    than calendar months keep the bucketing an exact integer
+    operation with no engine-local calendar conventions; compose with
+    :func:`~kml2geojson_spark.eventops.time_bucket_gapfill` first if
+    empty periods must count as zero rather than be skipped.
+
+    Determinism: values must be INTEGER (floats raise — integerize to
+    cents upstream); bucket ids and per-bucket sums are exact
+    BIGINTs; prev comes from ONE LAG over the bucket order (bucket
+    ids are unique per group, so the order is total); delta is exact
+    and pct_change is ONE division (NULL on first period or zero
+    base). NULL keys/ts/values drop.
+
+    Scale shape: one (group, bucket) hash-aggregate with map-side
+    combine, one LAG over the AGGREGATED frame (tiny: one row per
+    period) on the same group partitioning. No join.
+
+    Output: (group..., bucket, period_start_s, n_events, value_sum,
+    prev_sum, delta, pct_change).
+    """
+    from pyspark.sql.types import DoubleType, FloatType
+
+    fields = {f.name: f for f in df.schema.fields}
+    if isinstance(fields[value_col].dataType, (DoubleType, FloatType)):
+        raise ValueError(
+            f"period_over_period: {value_col!r} is floating-point — "
+            "integerize first (exact integer period sums are the "
+            "determinism contract)")
+    if not group_cols:
+        raise ValueError(
+            "period_over_period: group_cols must be non-empty")
+    if period_seconds < 1:
+        raise ValueError(
+            "period_over_period: period_seconds must be >= 1")
+    t = F.col(ts_col).cast("timestamp").cast("long")
+    v = F.col(value_col).cast("long")
+    keep = (F.col(ts_col).isNotNull() & v.isNotNull())
+    for g in group_cols:
+        keep = keep & F.col(g).isNotNull()
+    b = df.where(keep).select(
+        *group_cols, F.floor(t / F.lit(period_seconds)).alias("bucket"),
+        v.alias("_v"))
+    per = b.groupBy(*group_cols, "bucket").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("_v").alias("value_sum"))
+    w = Window.partitionBy(*group_cols).orderBy(F.col("bucket").asc())
+    prev = F.lag("value_sum").over(w)
+    staged = per.select(
+        *group_cols, "bucket",
+        (F.col("bucket") * period_seconds).alias("period_start_s"),
+        "n_events", "value_sum", prev.alias("prev_sum"))
+    return staged.select(
+        *group_cols, "bucket", "period_start_s", "n_events",
+        "value_sum", "prev_sum",
+        (F.col("value_sum") - F.col("prev_sum")).alias("delta"),
+        F.when(F.col("prev_sum") != 0,
+               (F.col("value_sum") - F.col("prev_sum")).cast("double")
+               / F.col("prev_sum").cast("double")).alias("pct_change"))
+
+
+def wilson_ci(df: DataFrame, *, label_col: str,
+              group_cols: list[str],
+              z_milli: int = 1960) -> DataFrame:
+    """Wilson score confidence interval for a per-group binomial rate
+    — the interval that stays honest at small n and extreme p where
+    the naive normal interval collapses or escapes [0, 1]: ranking
+    conversion rates of low-traffic variants, sorting items by
+    "percent positive" without letting 1-of-1 beat 98-of-100.
+
+    Determinism: labels must be INTEGER 0/1 (floats raise); n and k
+    are exact BIGINTs from ONE conditional hash-aggregate; with
+    z = z_milli/10³ a FIXED literal, center/half-width are one fixed
+    IEEE expression tree of (n, k, z) — bit-identical across engines.
+    NULL keys/labels drop; groups with n = 0 cannot occur (a group
+    exists only if a row survived).
+
+    Scale shape: ONE map-side-combinable hash aggregate; no window,
+    no join, no Python.
+
+    Output: (group..., n, k, p_hat, ci_lo, ci_hi) with
+    0 ≤ ci_lo ≤ p̂-center ≤ ci_hi ≤ 1.
+    """
+    from pyspark.sql.types import DoubleType, FloatType
+
+    fields = {f.name: f for f in df.schema.fields}
+    if isinstance(fields[label_col].dataType, (DoubleType, FloatType)):
+        raise ValueError(
+            f"wilson_ci: {label_col!r} is floating-point — binarize "
+            "first (exact integer success counts are the determinism "
+            "contract)")
+    if not group_cols:
+        raise ValueError("wilson_ci: group_cols must be non-empty")
+    if z_milli <= 0:
+        raise ValueError("wilson_ci: z_milli must be > 0")
+    lab = F.col(label_col).cast("long")
+    keep = lab.isin(0, 1)
+    for g in group_cols:
+        keep = keep & F.col(g).isNotNull()
+    s = df.where(keep).groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(lab).alias("k"))
+    nd = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+    z = F.lit(z_milli / 1000.0)
+    p = kd / nd
+    z2n = z * z / nd
+    denom = F.lit(1.0) + z2n
+    center = (p + z2n / F.lit(2.0)) / denom
+    half = (z * F.sqrt(p * (F.lit(1.0) - p) / nd
+                       + z * z / (F.lit(4.0) * nd * nd))) / denom
+    return s.select(*group_cols, "n", "k", p.alias("p_hat"),
+                    (center - half).alias("ci_lo"),
+                    (center + half).alias("ci_hi"))

@@ -1236,3 +1236,114 @@ def test_k_anonymity_audit_plan_two_aggs_no_join(spark):
     plan = _plan(k_anonymity_audit(df, quasi_cols=["qc"]))
     assert "Join" not in plan and "Window" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# --------------------------------------------------- period_over_period
+
+from kml2geojson_spark.relational import period_over_period, wilson_ci
+
+
+def test_period_over_period_matches_reference(spark):
+    from datetime import datetime, timedelta
+    base = datetime(2024, 1, 1)
+    rows = []
+    # group g: weeks 0,1,3 present (week 2 missing -> LAG skips it)
+    for week, vals in [(0, [100, 200]), (1, [50]), (3, [400])]:
+        for v in vals:
+            rows.append(("g", base + timedelta(days=7 * week, hours=1), v))
+    df = spark.createDataFrame(rows, "grp string, ts timestamp, v long")
+    out = {r["bucket"]: r for r in
+           period_over_period(df, ts_col="ts", value_col="v",
+                              group_cols=["grp"],
+                              period_seconds=604800).collect()}
+    buckets = sorted(out)
+    assert len(buckets) == 3
+    b0, b1, b3 = buckets
+    assert b1 == b0 + 1 and b3 == b0 + 3
+    assert out[b0]["value_sum"] == 300 and out[b0]["prev_sum"] is None
+    assert out[b0]["pct_change"] is None
+    assert out[b1]["prev_sum"] == 300 and out[b1]["delta"] == -250
+    assert out[b1]["pct_change"] == pytest.approx(-250 / 300)
+    # missing week 2: week 3 compares against week 1 (previous OBSERVED)
+    assert out[b3]["prev_sum"] == 50 and out[b3]["delta"] == 350
+    assert out[b0]["period_start_s"] == b0 * 604800
+
+
+def test_period_over_period_zero_base_and_validation(spark):
+    from datetime import datetime, timedelta
+    base = datetime(2024, 1, 1)
+    rows = [("g", base, 0), ("g", base + timedelta(days=7), 10)]
+    df = spark.createDataFrame(rows, "grp string, ts timestamp, v long")
+    out = sorted(period_over_period(df, ts_col="ts", value_col="v",
+                                    group_cols=["grp"],
+                                    period_seconds=604800).collect(),
+                 key=lambda r: r["bucket"])
+    assert out[1]["prev_sum"] == 0 and out[1]["pct_change"] is None
+    fdf = spark.createDataFrame([("g", base, 1.5)],
+                                "grp string, ts timestamp, v double")
+    with pytest.raises(ValueError, match="floating-point"):
+        period_over_period(fdf, ts_col="ts", value_col="v",
+                           group_cols=["grp"])
+    with pytest.raises(ValueError, match="period_seconds"):
+        period_over_period(df, ts_col="ts", value_col="v",
+                           group_cols=["grp"], period_seconds=0)
+
+
+def test_period_over_period_plan_lag_on_aggregated_frame(spark):
+    from datetime import datetime
+    df = spark.createDataFrame([("g", datetime(2024, 1, 1), 1)],
+                               "grp string, ts timestamp, v long")
+    plan = _plan(period_over_period(df, ts_col="ts", value_col="v",
+                                    group_cols=["grp"]))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ----------------------------------------------------------- wilson_ci
+
+
+def _wilson_reference(k, n, z=1.96):
+    p = k / n
+    denom = 1.0 + z * z / n
+    center = (p + z * z / n / 2.0) / denom
+    half = z * math.sqrt(p * (1 - p) / n + z * z / (4.0 * n * n)) / denom
+    return center - half, center + half
+
+
+def test_wilson_ci_matches_reference(spark):
+    rows = ([("a", 1)] * 40 + [("a", 0)] * 60
+            + [("b", 1)] * 1 + [("b", 0)] * 0
+            + [("c", 1)] * 98 + [("c", 0)] * 2)
+    df = spark.createDataFrame(rows, "grp string, y long")
+    out = {r["grp"]: r for r in
+           wilson_ci(df, label_col="y", group_cols=["grp"]).collect()}
+    for grp, k, n in [("a", 40, 100), ("b", 1, 1), ("c", 98, 100)]:
+        lo, hi = _wilson_reference(k, n)
+        r = out[grp]
+        assert (r["n"], r["k"]) == (n, k)
+        assert r["ci_lo"] == pytest.approx(lo, abs=1e-12)
+        assert r["ci_hi"] == pytest.approx(hi, abs=1e-12)
+        assert 0.0 <= r["ci_lo"] <= r["ci_hi"] <= 1.0
+    # the small-sample property the naive interval lacks:
+    # 1-of-1 does NOT beat 98-of-100 on the lower bound
+    assert out["b"]["ci_lo"] < out["c"]["ci_lo"]
+
+
+def test_wilson_ci_extremes_stay_in_unit_interval(spark):
+    rows = [("z", 0)] * 7 + [("o", 1)] * 7
+    df = spark.createDataFrame(rows, "grp string, y long")
+    out = {r["grp"]: r for r in
+           wilson_ci(df, label_col="y", group_cols=["grp"]).collect()}
+    assert out["z"]["ci_lo"] == pytest.approx(0.0, abs=1e-12)
+    assert out["z"]["ci_hi"] > 0.0
+    assert out["o"]["ci_hi"] == pytest.approx(1.0, abs=1e-12)
+    assert out["o"]["ci_lo"] < 1.0
+
+
+def test_wilson_ci_validation(spark):
+    df = spark.createDataFrame([("g", 0.5)], "grp string, y double")
+    with pytest.raises(ValueError, match="floating-point"):
+        wilson_ci(df, label_col="y", group_cols=["grp"])
+    di = spark.createDataFrame([("g", 1)], "grp string, y long")
+    with pytest.raises(ValueError, match="z_milli"):
+        wilson_ci(di, label_col="y", group_cols=["grp"], z_milli=0)
