@@ -2645,6 +2645,12 @@ def rolling_zscore(df: DataFrame, *, value_col: str, order_col: str,
     (``is_anomaly`` is total — FALSE on short or zero-variance
     frames — so downstream filters need no NULL handling).
 
+    Threshold sizing: the frame INCLUDES the current point, so |z| is
+    mathematically bounded by √(n−1) — a window of 10 can never
+    produce z > 3. Pick ``window ≥ threshold² + 1`` (e.g. window 20
+    for the default 3.0 threshold, max attainable z ≈ 4.36) or the
+    flag is unsatisfiable by construction.
+
     Scale shape: ONE Exchange (hash by group), one in-partition sort,
     three frame aggregates over the SAME window spec (one Window
     node). No join, no Python.

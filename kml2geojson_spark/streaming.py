@@ -463,3 +463,101 @@ def stream_burst_dedup(events: DataFrame, *, gap_seconds: int = 60,
                 stateStructType="last_us long",
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.EventTimeTimeout))
+
+
+def stream_rolling_zscore(events: DataFrame, *, value_col: str = "value",
+                          ts_col: str = "ts",
+                          id_col: str = "event_id",
+                          key_col: str = "user_id",
+                          window: int = 20, min_periods: int = 5,
+                          threshold_milli: int = 3000) -> DataFrame:
+    """Streaming twin of :func:`kml2geojson_spark.relational
+    .rolling_zscore`: per-key trailing-window z-score anomaly flags
+    over a live event stream — the "alert when a sensor departs its
+    OWN recent history" operator, emitted per event in append mode.
+
+    Semantics match the batch operator for in-order arrival (the
+    pytest pins batch parity on an in-order corpus): per key, the
+    trailing frame is the last ``window`` INTEGER values in (ts, id)
+    order; n/S/Q are exact Python ints; ``z = (n·v − S)/√(n·Q − S²)``
+    is the identical IEEE expression and the anomaly verdict the
+    identical exact-integer comparison. Within a micro-batch rows are
+    sorted by (ts, id) before folding; late rows in LATER batches
+    fold in arrival order — the documented streaming trade (same
+    class as :func:`stream_burst_dedup`'s late-event note).
+
+    State per key is EXACTLY the last ``window − 1`` values (a tuple
+    of ints, ~8·window bytes) — bounded by key cardinality ×
+    window, never by stream length. The batch operator's threshold
+    bound applies unchanged: |z| ≤ √(window − 1), so size
+    ``window ≥ threshold² + 1``.
+
+    Output (append): (key, id, order_s, value, n_window, z,
+    is_anomaly).
+    """
+    import math as _math
+
+    import pandas as pd
+
+    if window < 2 or min_periods < 2 or min_periods > window:
+        raise ValueError(
+            "stream_rolling_zscore: need window >= 2 and "
+            "2 <= min_periods <= window")
+    if threshold_milli <= 0:
+        raise ValueError(
+            "stream_rolling_zscore: threshold_milli must be > 0")
+    hashed = events.select(
+        F.col(key_col).alias("key"),
+        F.col(id_col).alias("id"),
+        F.col(ts_col).cast("timestamp").cast("long").alias("order_s"),
+        F.col(value_col).cast("long").alias("value")).where(
+        F.col("key").isNotNull() & F.col("id").isNotNull()
+        & F.col("order_s").isNotNull() & F.col("value").isNotNull())
+
+    thr2 = threshold_milli * threshold_milli
+
+    def fn(key, pdfs, state):
+        (k,) = key
+        tail: list[int] = list(state.get[0]) if state.exists else []
+        rows = {"key": [], "id": [], "order_s": [], "value": [],
+                "n_window": [], "z": [], "is_anomaly": []}
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["order_s", "id"])
+            for _i, r in pdf.iterrows():
+                v = int(r["value"])
+                frame = tail[-(window - 1):] + [v]
+                n = len(frame)
+                s = sum(frame)
+                q = sum(x * x for x in frame)
+                num = n * v - s
+                den2 = n * q - s * s
+                if n >= min_periods and den2 > 0:
+                    z = float(num) / _math.sqrt(float(den2))
+                    flag = num * num * 1000000 > thr2 * den2
+                else:
+                    z = None
+                    flag = False
+                rows["key"].append(k)
+                rows["id"].append(int(r["id"]))
+                rows["order_s"].append(int(r["order_s"]))
+                rows["value"].append(v)
+                rows["n_window"].append(n)
+                rows["z"].append(z)
+                rows["is_anomaly"].append(bool(flag))
+                tail = frame[-(window - 1):]
+        if not rows["key"]:
+            return
+        state.update((tuple(tail),))
+        yield pd.DataFrame(rows)
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (hashed.groupBy("key")
+            .applyInPandasWithState(
+                fn,
+                "key long, id long, order_s long, value long, "
+                "n_window int, z double, is_anomaly boolean",
+                "tail array<long>", "append",
+                GroupStateTimeout.NoTimeout))
