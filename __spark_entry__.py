@@ -7627,39 +7627,6 @@ FROM s
 """
 
 
-def _q218_chunk_documents(spark, sf):
-    """Fixed-size token chunking with overlap (pure-Column
-    transform(sequence)+posexplode, exact chunk grammar). Round-5
-    post-pin registration: in-repo oracle sweep only."""
-    from kml2geojson_spark.textops import chunk_documents
-    return chunk_documents(_t(spark, sf, "documents"),
-                           chunk_tokens=16, overlap=4)
-
-
-_O218 = """
-WITH arrs AS (
-  SELECT doc_id,
-         list_filter(string_split(lower(text), ' '), x -> x <> '')
-           AS ts
-  FROM documents
-  WHERE text IS NOT NULL AND doc_id IS NOT NULL),
-base AS (SELECT doc_id, ts, len(ts) AS n FROM arrs WHERE len(ts) > 0),
-idx AS (
-  SELECT doc_id, ts, n,
-         UNNEST(range(0, 1 + (GREATEST(n - 16, 0) + 11) // 12)) AS i
-  FROM base),
-c AS (
-  SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
-         ts[CAST(i * 12 + 1 AS INTEGER)
-            : CAST(LEAST(i * 12 + 16, n) AS INTEGER)] AS ck
-  FROM idx)
-SELECT doc_id, chunk_id,
-       CAST(len(ck) AS INTEGER) AS n_tokens,
-       array_to_string(ck, ' ') AS chunk_text
-FROM c
-"""
-
-
 def _q219_trigram_paths(spark, sf):
     """Frequent 3-step event paths (two LEADs on one user exchange,
     one hash-agg). Round-5 post-pin registration: in-repo oracle
@@ -8062,7 +8029,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q215_embedding_norms": _q215_embedding_norms,
         "q216_doc_novelty": _q216_doc_novelty,
         "q217_reciprocity": _q217_reciprocity,
-        "q218_chunk_documents": _q218_chunk_documents,
         "q219_trigram_paths": _q219_trigram_paths,
         "q220_funnel_latency": _q220_funnel_latency,
         "q221_k_anonymity": _q221_k_anonymity,
@@ -8277,7 +8243,6 @@ def oracle_sql() -> dict[str, str]:
         "q215_embedding_norms": _O215,
         "q216_doc_novelty": _O216,
         "q217_reciprocity": _O217,
-        "q218_chunk_documents": _O218,
         "q219_trigram_paths": _O219,
         "q220_funnel_latency": _O220,
         "q221_k_anonymity": _O221,

@@ -1142,7 +1142,10 @@ def last_touch_attribution(events: DataFrame, *,
     ("channel") in the same user's stream; the output is the credited
     conversion count per channel (the marketing-attribution baseline
     and the sanity check against which multi-touch models are
-    diffed).
+    diffed). Complements :func:`touch_attribution`, which restricts
+    touches to a NAMED type set and reports the joint
+    (first_type, last_type) matrix; this operator credits ANY
+    non-conversion type and reports the single-channel marginal.
 
     Determinism: the stream is totalized by (ts, id); the credited
     channel is ``last(non-conversion type, ignorenulls)`` over the

@@ -1854,55 +1854,3 @@ def compression_ratio(documents: DataFrame, *, id_col: str = "doc_id",
     return base.mapInPandas(
         kernel,
         "doc_id long, n_bytes long, n_compressed long, ratio double")
-
-
-def chunk_documents(documents: DataFrame, *, chunk_tokens: int = 512,
-                    overlap: int = 64, id_col: str = "doc_id",
-                    text_col: str = "text") -> DataFrame:
-    """Split documents into fixed-size token chunks with overlap —
-    THE pre-training / RAG-indexing primitive: every token is covered
-    by at least one chunk, consecutive chunks share ``overlap``
-    tokens so no span is ever cut without context, and the last
-    chunk is allowed to run short rather than be dropped.
-
-    Exact chunk grammar (the oracle-checkable contract): with
-    ``stride = chunk_tokens − overlap``, chunk ``i`` covers tokens
-    ``[i·stride, min(i·stride + chunk_tokens, n))`` and
-    ``n_chunks = 1 + ⌈max(0, n − chunk_tokens)/stride⌉`` (exact
-    integer ceiling-division), so a doc with ≤ chunk_tokens tokens is
-    exactly one chunk and chunk starts never pass the end. Empty/
-    NULL texts yield no rows. Tokenization is the package's standard
-    lower+space-split+empty-filter.
-
-    Scale shape: pure Column — ONE ``transform(sequence(...))`` per
-    row builds the chunk structs, ONE posexplode emits them; no
-    window, no join, no Python; output rows ≈ input tokens ×
-    (1 + overlap/stride) and each is independent, so the explode
-    parallelizes perfectly.
-
-    Output: (doc_id, chunk_id, n_tokens, chunk_text).
-    """
-    if chunk_tokens < 1:
-        raise ValueError("chunk_documents: chunk_tokens must be >= 1")
-    if not (0 <= overlap < chunk_tokens):
-        raise ValueError(
-            "chunk_documents: need 0 <= overlap < chunk_tokens")
-    stride = chunk_tokens - overlap
-    arr = F.filter(F.split(F.lower(F.col(text_col)), " "),
-                   lambda t: t != "")
-    base = (documents.where(F.col(text_col).isNotNull()
-                            & F.col(id_col).isNotNull())
-            .select(F.col(id_col).alias("doc_id"), arr.alias("_ts"))
-            .where(F.size("_ts") > 0))
-    n = F.size("_ts")
-    extra = F.greatest(n - F.lit(chunk_tokens), F.lit(0))
-    n_chunks = F.lit(1) + (extra + F.lit(stride - 1)) / F.lit(stride)
-    idx = F.sequence(F.lit(0), n_chunks.cast("int") - F.lit(1))
-    chunks = F.transform(
-        idx, lambda i: F.slice(F.col("_ts"), i * stride + 1,
-                               chunk_tokens))
-    e = base.select("doc_id",
-                    F.posexplode(chunks).alias("chunk_id", "_c"))
-    return e.select("doc_id", "chunk_id",
-                    F.size("_c").alias("n_tokens"),
-                    F.concat_ws(" ", "_c").alias("chunk_text"))

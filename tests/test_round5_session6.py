@@ -1022,6 +1022,8 @@ def test_read_jsonl_docs_reads_and_audits(spark, tmp_path):
 
 
 # ------------------------------------------------------ chunk_documents
+# (the round-5 chunker registered as q144; these tests pin its exact
+# chunk grammar from the session-6 angle: coverage + overlap invariants)
 
 from kml2geojson_spark.textops import chunk_documents
 from kml2geojson_spark.eventops import event_trigram_paths
@@ -1032,7 +1034,7 @@ def _chunks_reference(tokens, chunk, overlap):
     n = len(tokens)
     if n == 0:
         return []
-    n_chunks = 1 + -(-max(0, n - chunk) // stride)
+    n_chunks = 1 if n <= chunk else 1 + -(-(n - chunk) // stride)
     return [tokens[i * stride: i * stride + chunk]
             for i in range(n_chunks)]
 
@@ -1043,14 +1045,14 @@ def test_chunk_documents_matches_reference(spark):
     docs = []
     for d in range(10):
         nt = random.choice([0, 1, 5, 16, 17, 40, 100])
-        docs.append((d, " ".join(f"w{random.randint(0, 50)}"
+        docs.append((d, " ".join(f"W{random.randint(0, 50)}"
                                  for _ in range(nt))))
     df = spark.createDataFrame(docs, "doc_id long, text string")
     out = {}
     for r in chunk_documents(df, chunk_tokens=16, overlap=4).collect():
-        out.setdefault(r["doc_id"], {})[r["chunk_id"]] = r
+        out.setdefault(r["doc_id"], {})[r["chunk_idx"]] = r
     for d, t in docs:
-        toks = [w for w in t.lower().split(" ") if w]
+        toks = [w for w in t.split(" ") if w]  # case PRESERVED
         ref = _chunks_reference(toks, 16, 4)
         got = out.get(d, {})
         assert len(got) == len(ref)
@@ -1065,7 +1067,7 @@ def test_chunk_documents_full_coverage_and_overlap_invariants(spark):
                                "doc_id long, text string")
     out = sorted(chunk_documents(df, chunk_tokens=32,
                                  overlap=8).collect(),
-                 key=lambda r: r["chunk_id"])
+                 key=lambda r: r["chunk_idx"])
     # every token covered, consecutive chunks share exactly `overlap`
     covered = set()
     for r in out:
