@@ -3259,10 +3259,29 @@ g AS (
          s - LAG(s) OVER (PARTITION BY user_id
                           ORDER BY ts, event_id) AS gap
   FROM e)
-SELECT user_id, COUNT(*) AS n_events, COUNT(gap) AS n_gaps,
-       MIN(gap) AS min_gap_s, MAX(gap) AS max_gap_s,
-       CAST(COALESCE(SUM(gap), 0) AS BIGINT) AS span_s
-FROM g GROUP BY user_id
+, s AS (
+  SELECT user_id, COUNT(*) AS n_events, COUNT(gap) AS n_gaps,
+         MIN(gap) AS min_gap_s, MAX(gap) AS max_gap_s,
+         CAST(COALESCE(SUM(gap), 0) AS BIGINT) AS span_s,
+         CAST(COALESCE(SUM(gap * gap), 0) AS BIGINT) AS gap_sq_sum
+  FROM g GROUP BY user_id)
+SELECT user_id, n_events, n_gaps, min_gap_s, max_gap_s, span_s,
+       gap_sq_sum,
+       CASE WHEN n_gaps > 0 THEN CAST(span_s AS DOUBLE)
+            / CAST(n_gaps AS DOUBLE) END AS mean_gap_s,
+       CASE WHEN n_gaps > 0
+             AND SQRT(CAST(n_gaps * gap_sq_sum - span_s * span_s
+                           AS DOUBLE)) / CAST(n_gaps AS DOUBLE)
+                 + CAST(span_s AS DOUBLE) / CAST(n_gaps AS DOUBLE) > 0
+            THEN (SQRT(CAST(n_gaps * gap_sq_sum - span_s * span_s
+                            AS DOUBLE)) / CAST(n_gaps AS DOUBLE)
+                  - CAST(span_s AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                 / (SQRT(CAST(n_gaps * gap_sq_sum - span_s * span_s
+                              AS DOUBLE)) / CAST(n_gaps AS DOUBLE)
+                    + CAST(span_s AS DOUBLE)
+                      / CAST(n_gaps AS DOUBLE))
+       END AS burstiness
+FROM s
 """
 
 
@@ -7268,46 +7287,6 @@ FROM p CROSS JOIN nb
 """
 
 
-def _q209_rfm_scores(spark, sf):
-    """RFM quintile segmentation per customer: exact epoch recency,
-    exact counts, cent-integerized spend, totalized NTILE buckets.
-    Round-5 post-pin registration: in-repo oracle sweep only."""
-    from kml2geojson_spark.eventops import rfm_scores
-    return rfm_scores(_t(spark, sf, "orders"))
-
-
-_O209 = """
-WITH b AS (
-  SELECT o_custkey AS custkey,
-         epoch_us(o_orderdate) // 1000000 AS t,
-         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
-  FROM orders
-  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
-    AND o_totalprice IS NOT NULL),
-pc AS (
-  SELECT custkey, MAX(t) AS last_t,
-         CAST(COUNT(*) AS BIGINT) AS frequency,
-         CAST(SUM(c) AS BIGINT) AS monetary_cents
-  FROM b GROUP BY custkey),
-g AS (SELECT MAX(last_t) AS gmax FROM pc),
-st AS (SELECT custkey, CAST(gmax - last_t AS BIGINT) AS recency_s,
-              frequency, monetary_cents
-       FROM pc CROSS JOIN g),
-sc AS (
-  SELECT custkey, recency_s, frequency, monetary_cents,
-         NTILE(5) OVER (ORDER BY recency_s ASC, custkey ASC) AS rr,
-         NTILE(5) OVER (ORDER BY frequency ASC, custkey ASC)
-           AS f_score,
-         NTILE(5) OVER (ORDER BY monetary_cents ASC, custkey ASC)
-           AS m_score
-  FROM st)
-SELECT custkey, recency_s, frequency, monetary_cents,
-       6 - rr AS r_score, f_score, m_score,
-       (6 - rr) * 100 + f_score * 10 + m_score AS rfm
-FROM sc
-"""
-
-
 def _q210_rolling_zscore(spark, sf):
     """Trailing-20-event z-score anomalies per user over
     cent-integerized event values; exact-integer anomaly verdict.
@@ -7349,53 +7328,6 @@ SELECT user_id, id, o AS "order", v AS value, n AS n_window,
                  > 3000 * 3000 * (n * q - s * s)
             ELSE FALSE END AS is_anomaly
 FROM st
-"""
-
-
-def _q211_inter_arrival(spark, sf):
-    """Per-user inter-arrival gap statistics + Goh–Barabási
-    burstiness (exact BIGINT second gaps from ONE LAG). Round-5
-    post-pin registration: in-repo oracle sweep only."""
-    from kml2geojson_spark.eventops import inter_arrival_stats
-    return inter_arrival_stats(_t(spark, sf, "events"))
-
-
-_O211 = """
-WITH b AS (
-  SELECT user_id, epoch_us(ts) // 1000000 AS t, event_id
-  FROM events
-  WHERE user_id IS NOT NULL AND ts IS NOT NULL
-    AND event_id IS NOT NULL),
-l AS (
-  SELECT user_id,
-         t - LAG(t) OVER (PARTITION BY user_id
-                          ORDER BY t ASC, event_id ASC) AS g
-  FROM b),
-s AS (
-  SELECT user_id,
-         CAST(COUNT(*) AS BIGINT) AS n_gaps,
-         CAST(SUM(g) AS BIGINT) AS gap_sum_s,
-         CAST(MIN(g) AS BIGINT) AS gap_min_s,
-         CAST(MAX(g) AS BIGINT) AS gap_max_s,
-         CAST(SUM(g * g) AS BIGINT) AS q
-  FROM l WHERE g IS NOT NULL GROUP BY user_id)
-SELECT user_id, n_gaps, gap_sum_s, gap_min_s, gap_max_s,
-       CAST(gap_sum_s AS DOUBLE) / CAST(n_gaps AS DOUBLE)
-         AS mean_gap_s,
-       CASE WHEN SQRT(CAST(n_gaps * q - gap_sum_s * gap_sum_s
-                           AS DOUBLE)) / CAST(n_gaps AS DOUBLE)
-                 + CAST(gap_sum_s AS DOUBLE)
-                   / CAST(n_gaps AS DOUBLE) > 0
-            THEN (SQRT(CAST(n_gaps * q - gap_sum_s * gap_sum_s
-                            AS DOUBLE)) / CAST(n_gaps AS DOUBLE)
-                  - CAST(gap_sum_s AS DOUBLE)
-                    / CAST(n_gaps AS DOUBLE))
-                 / (SQRT(CAST(n_gaps * q - gap_sum_s * gap_sum_s
-                              AS DOUBLE)) / CAST(n_gaps AS DOUBLE)
-                    + CAST(gap_sum_s AS DOUBLE)
-                      / CAST(n_gaps AS DOUBLE))
-       END AS burstiness
-FROM s
 """
 
 
@@ -8020,9 +7952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q206_poisson_rate": _q206_poisson_rate,
         "q207_char_entropy": _q207_char_entropy,
         "q208_basket_lift": _q208_basket_lift,
-        "q209_rfm_scores": _q209_rfm_scores,
         "q210_rolling_zscore": _q210_rolling_zscore,
-        "q211_inter_arrival": _q211_inter_arrival,
         "q212_topk_overlap": _q212_topk_overlap,
         "q213_calibration_bins": _q213_calibration_bins,
         "q214_attribution": _q214_attribution,
@@ -8234,9 +8164,7 @@ def oracle_sql() -> dict[str, str]:
         "q206_poisson_rate": _O206,
         "q207_char_entropy": _O207,
         "q208_basket_lift": _O208,
-        "q209_rfm_scores": _O209,
         "q210_rolling_zscore": _O210,
-        "q211_inter_arrival": _O211,
         "q212_topk_overlap": _O212,
         "q213_calibration_bins": _O213,
         "q214_attribution": _O214,

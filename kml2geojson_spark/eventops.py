@@ -376,8 +376,17 @@ def inter_event_stats(events: DataFrame, *, user_col: str = "user_id",
     carries a single Exchange, no global sort, no Python. Window state
     is one row of lookback per user.
 
+    Beyond min/max/span, the exact second moment ``gap_sq_sum = Σg²``
+    (BIGINT; caller guarantees n·Σg² < 2⁶² — gaps ≤ ~30 years at 10⁶
+    events/user is safe) feeds the Goh–Barabási burstiness
+    ``B = (σ − μ)/(σ + μ)`` (population σ = √(nΣg² − S²)/n), emitted
+    as one fixed IEEE expression: machine-regular streams → −1,
+    scraper bursts → +1, human browsing ≈ 0. NULL when a user has no
+    gaps or all gaps are zero.
+
     Output: (user_id, n_events, n_gaps, min_gap_s, max_gap_s,
-    span_s = sum of gaps = last - first).
+    span_s = sum of gaps = last - first, gap_sq_sum, mean_gap_s,
+    burstiness).
     """
     w = Window.partitionBy("_u").orderBy(F.col("_t").asc(),
                                          F.col("_o").asc())
@@ -388,14 +397,27 @@ def inter_event_stats(events: DataFrame, *, user_col: str = "user_id",
                        F.col(order_col).alias("_o"))
          .where(F.col("_t").isNotNull() & F.col("_u").isNotNull())
          .select("_u", gap))
-    return (d.groupBy("_u")
-            .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.count("_gap").alias("n_gaps"),
-                 F.min("_gap").alias("min_gap_s"),
-                 F.max("_gap").alias("max_gap_s"),
-                 F.coalesce(F.sum("_gap"), F.lit(0)).cast("long")
-                 .alias("span_s"))
-            .withColumnRenamed("_u", "user_id"))
+    s = (d.groupBy("_u")
+         .agg(F.count(F.lit(1)).alias("n_events"),
+              F.count("_gap").alias("n_gaps"),
+              F.min("_gap").alias("min_gap_s"),
+              F.max("_gap").alias("max_gap_s"),
+              F.coalesce(F.sum("_gap"), F.lit(0)).cast("long")
+              .alias("span_s"),
+              F.coalesce(F.sum(F.col("_gap") * F.col("_gap")),
+                         F.lit(0)).cast("long").alias("gap_sq_sum"))
+         .withColumnRenamed("_u", "user_id"))
+    n = F.col("n_gaps").cast("double")
+    mu = F.col("span_s").cast("double") / n
+    var_num = (F.col("n_gaps") * F.col("gap_sq_sum")
+               - F.col("span_s") * F.col("span_s"))
+    sigma = F.sqrt(var_num.cast("double")) / n
+    return s.select(
+        "user_id", "n_events", "n_gaps", "min_gap_s", "max_gap_s",
+        "span_s", "gap_sq_sum",
+        F.when(F.col("n_gaps") > 0, mu).alias("mean_gap_s"),
+        F.when((F.col("n_gaps") > 0) & ((sigma + mu) > 0),
+               (sigma - mu) / (sigma + mu)).alias("burstiness"))
 
 
 def customer_rfm(orders: DataFrame, *, cust_col: str = "o_custkey",
@@ -1011,126 +1033,6 @@ def hourly_profile(df: DataFrame, *, ts_micros_col: str,
                  / (F.col("n_events") * tot_v).cast("double"))
     return per_b.select(*group_cols, "dow", "hour", "n_events",
                         "value_sum", idx.alias("seasonal_index"))
-
-
-def inter_arrival_stats(events: DataFrame, *, user_col: str = "user_id",
-                        ts_col: str = "ts",
-                        id_col: str = "event_id") -> DataFrame:
-    """Per-user inter-arrival-time statistics + burstiness — the
-    activity-rhythm profile behind bot detection (machine-regular
-    gaps → burstiness ≈ −1), scraper bursts (≈ +1), and human
-    browsing (≈ 0): Goh & Barabási B = (σ − μ)/(σ + μ) over the gaps
-    between consecutive events.
-
-    Determinism: the event order is totalized by (ts, id); gaps are
-    EXACT BIGINT SECONDS (epoch arithmetic — no engine date
-    conventions) from ONE LAG on the user partitioning; n, Σg, Σg²
-    are exact BIGINTs and mean/σ/burstiness are fixed IEEE
-    expressions of them (population σ: ``√(nΣg² − S²)/n``). Caller
-    guarantees n·Σg² < 2⁶² (gaps ≤ ~30 years at 10⁶ events/user is
-    safe). NULL users/timestamps/ids drop.
-
-    Scale shape: ONE Exchange (hash by user), one in-partition sort +
-    LAG, one hash-aggregate. No join, no Python.
-
-    Output: (user_id, n_gaps, gap_sum_s, gap_min_s, gap_max_s,
-    mean_gap_s, burstiness) — users with fewer than 2 events emit no
-    row; burstiness NULL when σ + μ = 0 (all gaps zero).
-    """
-    t = F.col(ts_col).cast("timestamp").cast("long")
-    b = (events.where(F.col(user_col).isNotNull()
-                      & F.col(ts_col).isNotNull()
-                      & F.col(id_col).isNotNull())
-         .select(F.col(user_col).alias("user_id"), t.alias("_t"),
-                 F.col(id_col).alias("_i")))
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("_t").asc(), F.col("_i").asc())
-    g = (b.withColumn("_g", F.col("_t") - F.lag("_t").over(w))
-         .where(F.col("_g").isNotNull()))
-    s = g.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_gaps"),
-        F.sum("_g").alias("gap_sum_s"),
-        F.min("_g").alias("gap_min_s"),
-        F.max("_g").alias("gap_max_s"),
-        F.sum(F.col("_g") * F.col("_g")).alias("_q"))
-    n = F.col("n_gaps").cast("double")
-    mu = F.col("gap_sum_s").cast("double") / n
-    var_num = (F.col("n_gaps") * F.col("_q")
-               - F.col("gap_sum_s") * F.col("gap_sum_s"))
-    sigma = F.sqrt(var_num.cast("double")) / n
-    burst = F.when((sigma + mu) > 0,
-                   (sigma - mu) / (sigma + mu))
-    return s.select("user_id", "n_gaps", "gap_sum_s", "gap_min_s",
-                    "gap_max_s", mu.alias("mean_gap_s"),
-                    burst.alias("burstiness"))
-
-
-def rfm_scores(orders: DataFrame, *, cust_col: str = "o_custkey",
-               ts_col: str = "o_orderdate",
-               amount_col: str = "o_totalprice",
-               buckets: int = 5) -> DataFrame:
-    """RFM (recency / frequency / monetary) quantile scoring per
-    customer — the classic marketing segmentation: rank every
-    customer 1..buckets on how recently they ordered, how often, and
-    how much, then concatenate into one segment code.
-
-    Determinism: recency is EXACT BIGINT SECONDS from the corpus-max
-    timestamp (epoch arithmetic); frequency is an exact count;
-    monetary is integerized to CENTS per order (``round(x·100)`` —
-    the :func:`~kml2geojson_spark.relational.weighted_median` milli
-    rule) and summed as exact BIGINT. Each NTILE ranking is TOTALIZED
-    by (metric, custkey) so bucket assignment never depends on
-    partitioning: higher score = better (most recent / most frequent
-    / highest spend gets ``buckets``). NULL customers/dates/amounts
-    drop.
-
-    Scale shape: one hash-aggregate to customer grain, then three
-    NTILE windows over the aggregated (one-row-per-customer) frame —
-    global windows, but over the CUSTOMER table cardinality, not the
-    order table (document the single-reducer sort; at true 100-TB
-    customer counts swap in `sampled_quantiles` bucket edges — the
-    exact NTILE is the oracle-checkable contract).
-
-    Output: (custkey, recency_s, frequency, monetary_cents, r_score,
-    f_score, m_score, rfm) with rfm = 100·r + 10·f + m.
-    """
-    if buckets < 2:
-        raise ValueError("rfm_scores: buckets must be >= 2")
-    t = F.col(ts_col).cast("timestamp").cast("long")
-    cents = F.round(F.col(amount_col).cast("double") * 100.0) \
-        .cast("long")
-    b = (orders.where(F.col(cust_col).isNotNull()
-                      & F.col(ts_col).isNotNull()
-                      & F.col(amount_col).isNotNull())
-         .select(F.col(cust_col).alias("custkey"), t.alias("_t"),
-                 cents.alias("_c")))
-    per_c = b.groupBy("custkey").agg(
-        F.max("_t").alias("_last"),
-        F.count(F.lit(1)).alias("frequency"),
-        F.sum("_c").alias("monetary_cents"))
-    gmax = per_c.agg(F.max("_last").alias("_gmax"))
-    staged = per_c.crossJoin(F.broadcast(gmax)).select(
-        "custkey", (F.col("_gmax") - F.col("_last")).alias("recency_s"),
-        "frequency", "monetary_cents")
-    wr = Window.orderBy(F.col("recency_s").asc(),
-                        F.col("custkey").asc())
-    wf = Window.orderBy(F.col("frequency").asc(),
-                        F.col("custkey").asc())
-    wm = Window.orderBy(F.col("monetary_cents").asc(),
-                        F.col("custkey").asc())
-    scored = staged.select(
-        "custkey", "recency_s", "frequency", "monetary_cents",
-        F.ntile(buckets).over(wr).alias("_rr"),
-        F.ntile(buckets).over(wf).alias("f_score"),
-        F.ntile(buckets).over(wm).alias("m_score"))
-    r_score = (F.lit(buckets + 1) - F.col("_rr"))
-    return scored.select(
-        "custkey", "recency_s", "frequency", "monetary_cents",
-        r_score.alias("r_score"), "f_score", "m_score",
-        (r_score * 100 + F.col("f_score") * 10
-         + F.col("m_score")).alias("rfm"))
-
-
 def last_touch_attribution(events: DataFrame, *,
                            conversion_type: str,
                            user_col: str = "user_id",

@@ -2557,6 +2557,10 @@ def basket_lift(df: DataFrame, *, basket_col: str, item_col: str,
     — the co-occurrence miner behind "items bought together", related
     queries, and co-edited files: which item PAIRS appear in the same
     basket more often than independence predicts (lift > 1)?
+    Extends :func:`cooccurrence_pairs` (raw pair counts) with the
+    association-rule metrics AND the apriori frequent-item prune
+    BEFORE the pair join — prefer this one when min_count > 1, the
+    prune shrinks the join input by the infrequent-item mass.
 
     Determinism: all counts (basket total, per-item, per-pair) are
     exact BIGINTs; support/confidence/lift are single fixed IEEE

@@ -396,7 +396,6 @@ def test_char_entropy_plan_no_python_no_join(spark):
 # --------------------------------------------------------- basket_lift
 
 from kml2geojson_spark.relational import basket_lift, rolling_zscore
-from kml2geojson_spark.eventops import inter_arrival_stats, rfm_scores
 
 
 def _lift_reference(baskets: dict[int, set[str]], min_count: int,
@@ -544,10 +543,12 @@ def test_rolling_zscore_validation_and_plan(spark):
     assert plan.count("Window") == 1  # one Window node for all frames
 
 
-# --------------------------------------------------------- inter-arrival
+# ------------------------------------- inter_event_stats burstiness ext.
+
+from kml2geojson_spark.eventops import inter_event_stats
 
 
-def test_inter_arrival_stats_matches_reference(spark):
+def test_inter_event_stats_burstiness_matches_reference(spark):
     from datetime import datetime, timedelta
     base = datetime(2024, 1, 1)
     gaps = [5, 5, 5, 100, 1, 1]
@@ -556,20 +557,19 @@ def test_inter_arrival_stats_matches_reference(spark):
         ts.append(ts[-1] + timedelta(seconds=g))
     rows = [(7, t, i) for i, t in enumerate(ts)]
     df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
-    (r,) = inter_arrival_stats(df).collect()
+    (r,) = inter_event_stats(df).collect()
     n = len(gaps)
-    s = sum(gaps)
+    ssum = sum(gaps)
     q = sum(g * g for g in gaps)
-    mu = s / n
-    sigma = math.sqrt(n * q - s * s) / n
-    assert (r["n_gaps"], r["gap_sum_s"], r["gap_min_s"],
-            r["gap_max_s"]) == (n, s, 1, 100)
+    mu = ssum / n
+    sigma = math.sqrt(n * q - ssum * ssum) / n
+    assert (r["n_gaps"], r["span_s"], r["gap_sq_sum"]) == (n, ssum, q)
     assert r["mean_gap_s"] == pytest.approx(mu)
     assert r["burstiness"] == pytest.approx((sigma - mu) / (sigma + mu),
                                             abs=1e-12)
 
 
-def test_inter_arrival_regular_vs_bursty_ordering(spark):
+def test_inter_event_stats_regular_vs_bursty_ordering(spark):
     from datetime import datetime, timedelta
     base = datetime(2024, 1, 1)
     rows = []
@@ -582,57 +582,19 @@ def test_inter_arrival_regular_vs_bursty_ordering(spark):
         t = t + timedelta(seconds=1 if i != 10 else 86400)
         rows.append((2, t, 100 + i))
     df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
-    out = {r["user_id"]: r for r in inter_arrival_stats(df).collect()}
+    out = {r["user_id"]: r for r in inter_event_stats(df).collect()}
     assert out[1]["burstiness"] == pytest.approx(-1.0)
     assert out[2]["burstiness"] > 0.5
 
 
-def test_inter_arrival_single_event_user_emits_no_row(spark):
+def test_inter_event_stats_single_event_null_burstiness(spark):
     from datetime import datetime
     df = spark.createDataFrame(
         [(1, datetime(2024, 1, 1), 0)],
         "user_id long, ts timestamp, event_id long")
-    assert inter_arrival_stats(df).count() == 0
-
-
-# --------------------------------------------------------- rfm_scores
-
-
-def test_rfm_scores_matches_reference(spark):
-    from datetime import datetime, timedelta
-    base = datetime(2024, 1, 1)
-    rows = []
-    # 10 customers: customer c has c+1 orders, last order c days after
-    # base, each order worth 100*(c+1) dollars
-    for c in range(10):
-        for k in range(c + 1):
-            rows.append((c, base + timedelta(days=c - k),
-                         100.0 * (c + 1)))
-    df = spark.createDataFrame(
-        rows, "o_custkey long, o_orderdate timestamp, o_totalprice double")
-    out = {r["custkey"]: r for r in rfm_scores(df, buckets=5).collect()}
-    assert len(out) == 10
-    # customer 9: most recent, most frequent, highest spend -> 555
-    assert out[9]["rfm"] == 555
-    # customer 0: least recent, least frequent, lowest spend -> 111
-    assert out[0]["rfm"] == 111
-    assert out[9]["recency_s"] == 0
-    assert out[0]["recency_s"] == 9 * 86400
-    assert out[3]["frequency"] == 4
-    assert out[3]["monetary_cents"] == 4 * 100 * 400
-    # ntile(5) over 10 rows: exactly 2 customers per bucket
-    from collections import Counter
-    assert Counter(r["f_score"] for r in out.values()) == \
-        {b: 2 for b in range(1, 6)}
-
-
-def test_rfm_scores_validates_buckets(spark):
-    from datetime import datetime
-    df = spark.createDataFrame(
-        [(1, datetime(2024, 1, 1), 10.0)],
-        "o_custkey long, o_orderdate timestamp, o_totalprice double")
-    with pytest.raises(ValueError, match="buckets"):
-        rfm_scores(df, buckets=1)
+    (r,) = inter_event_stats(df).collect()
+    assert r["n_gaps"] == 0 and r["gap_sq_sum"] == 0
+    assert r["mean_gap_s"] is None and r["burstiness"] is None
 
 
 # --------------------------------------------------------- topk_overlap
