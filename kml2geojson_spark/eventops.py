@@ -1089,7 +1089,10 @@ def event_trigram_paths(events: DataFrame, *,
     """Frequent 3-step behavior paths — the next order of structure
     above :func:`event_transition_counts` (2-step): which exact
     click→view→purchase sequences dominate, which error→retry→error
-    loops burn users.
+    loops burn users. Unlike :func:`session_path_counts` (which
+    censuses each SESSION's full path under a gap rule), this slides
+    a fixed 3-gram over the user's WHOLE stream — no session
+    boundary, bounded output alphabet³, the n-gram view of behavior.
 
     Determinism: each user's stream is totalized by (ts, id); the two
     look-aheads are LEADs over that order; counts are exact BIGINTs;

@@ -2766,7 +2766,11 @@ def calibration_bins(df: DataFrame, *, score_col: str, label_col: str,
     0.8 convert 80% of the time? Equal-COUNT score bins (NTILE
     deciles by default), each reporting predicted (mean score) vs
     observed (positive fraction); feed a reliability plot or an ECE
-    sum downstream.
+    sum downstream. (For plain value bucketing without labels — and
+    without the global NTILE sort — use the shuffle-free
+    `quantile_bucket_assign`; this operator's deliverable is the
+    predicted-vs-observed CURVE, which needs the label join the
+    bucketing op doesn't have.)
 
     Determinism: labels must be INTEGER 0/1 (floats raise); the bin
     assignment is a TOTALIZED NTILE by (score, id); scores are

@@ -1701,7 +1701,10 @@ def char_entropy(documents: DataFrame, *, id_col: str = "doc_id",
     language sits in a narrow entropy band, encoded blobs above it,
     repeated-character spam below. Complements
     :func:`bigram_lm_surprisal` (word order) and
-    :func:`repetition_stats` (span repeats) at the character level.
+    :func:`repetition_stats` (span repeats) at the character level;
+    the per-DOCUMENT counterpart of
+    :func:`~kml2geojson_spark.relational.group_entropy` (which
+    measures one categorical column's mix per GROUP).
 
     Determinism (the :func:`~kml2geojson_spark.relational
     .group_entropy` micro-nat rule applied per document): per-doc
