@@ -7751,6 +7751,108 @@ FROM s
 """
 
 
+def _q224_fisher(spark, sf):
+    """Per-label Fisher scatter over the embeddings table (exact
+    DECIMAL(38,0) scatter numerators; doubles are single fixed
+    divisions of them — the DECIMAL columns themselves are pinned by
+    pytest, dropped here because DuckDB HUGEINT→pandas is not
+    hash-stable). Round-5 post-pin registration: in-repo oracle
+    sweep only."""
+    from kml2geojson_spark.simsearch import fisher_separability
+    return fisher_separability(_t(spark, sf, "embeddings")).select(
+        "label", "n_vecs", "dim", "within_ss", "between_ss",
+        "fisher_ratio")
+
+
+_O224 = """
+WITH base AS (
+  SELECT label, embedding::DOUBLE[] AS v
+  FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+    AND label IS NOT NULL),
+ex AS (
+  SELECT label, CAST(i AS INTEGER) AS d,
+         CAST(ROUND(v[CAST(i AS INTEGER)] * 1e6) AS HUGEINT) AS xm
+  FROM base, UNNEST(range(1, len(v) + 1)) AS u(i)),
+per_ld AS (
+  SELECT label, d, CAST(COUNT(*) AS BIGINT) AS nl,
+         SUM(xm) AS s, SUM(xm * xm) AS q
+  FROM ex GROUP BY label, d),
+per_d AS (
+  SELECT d, SUM(s) AS sd, SUM(CAST(nl AS HUGEINT)) AS n
+  FROM per_ld GROUP BY d),
+j AS (
+  SELECT label, nl,
+         CAST(nl AS HUGEINT) * q - s * s AS w_term,
+         (n * s - CAST(nl AS HUGEINT) * sd)
+           * (n * s - CAST(nl AS HUGEINT) * sd) AS b_term,
+         n
+  FROM per_ld JOIN per_d USING (d)),
+per_l AS (
+  SELECT label, CAST(MAX(nl) AS BIGINT) AS n_vecs,
+         CAST(COUNT(*) AS BIGINT) AS dim,
+         SUM(w_term) AS w_num, SUM(b_term) AS b_num,
+         MAX(n) AS nd
+  FROM j GROUP BY label)
+SELECT label, n_vecs, dim,
+       CAST(w_num AS DOUBLE)
+         / (CAST(n_vecs AS DOUBLE) * 1e12) AS within_ss,
+       CAST(b_num AS DOUBLE)
+         / (CAST(n_vecs AS DOUBLE) * CAST(nd AS DOUBLE)
+            * CAST(nd AS DOUBLE) * 1e12) AS between_ss,
+       CASE WHEN w_num > 0 THEN
+         (CAST(b_num AS DOUBLE)
+          / (CAST(n_vecs AS DOUBLE) * CAST(nd AS DOUBLE)
+             * CAST(nd AS DOUBLE) * 1e12))
+         / (CAST(w_num AS DOUBLE)
+            / (CAST(n_vecs AS DOUBLE) * 1e12))
+       END AS fisher_ratio
+FROM per_l
+"""
+
+
+def _q225_information_gain(spark, sf):
+    """Mutual information I(returnflag; linestatus) in exact
+    micro-nats (every term a BIGINT — the group_entropy rule
+    extended to the joint decomposition). Round-5 post-pin
+    registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.relational import information_gain
+    return information_gain(_t(spark, sf, "lineitem"),
+                            x_col="l_returnflag",
+                            y_col="l_linestatus")
+
+
+_O225 = """
+WITH cell AS (
+  SELECT l_returnflag AS x, l_linestatus AS y,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+  GROUP BY l_returnflag, l_linestatus),
+staged AS (
+  SELECT x, y, c,
+         CAST(SUM(c) OVER () AS BIGINT) AS n,
+         CAST(SUM(c) OVER (PARTITION BY x) AS BIGINT) AS cx,
+         CAST(SUM(c) OVER (PARTITION BY y) AS BIGINT) AS cy
+  FROM cell),
+s AS (
+  SELECT MAX(n) AS n,
+         CAST(COUNT(DISTINCT x) AS BIGINT) AS k_x,
+         CAST(COUNT(DISTINCT y) AS BIGINT) AS k_y,
+         CAST(SUM(c * (
+             CAST(ROUND(LN(CAST(c AS DOUBLE)) * 1e6) AS BIGINT)
+           - CAST(ROUND(LN(CAST(cx AS DOUBLE)) * 1e6) AS BIGINT)
+           - CAST(ROUND(LN(CAST(cy AS DOUBLE)) * 1e6) AS BIGINT)
+           + CAST(ROUND(LN(CAST(n AS DOUBLE)) * 1e6) AS BIGINT)))
+           AS BIGINT) AS ig_num_micro
+  FROM staged)
+SELECT n, k_x, k_y, ig_num_micro,
+       CAST(ig_num_micro AS DOUBLE)
+         / (CAST(n AS DOUBLE) * 1e6) AS info_gain
+FROM s
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -7964,6 +8066,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q221_k_anonymity": _q221_k_anonymity,
         "q222_period_over_period": _q222_period_over_period,
         "q223_wilson_ci": _q223_wilson_ci,
+        "q224_fisher": _q224_fisher,
+        "q225_information_gain": _q225_information_gain,
     }
 
 
@@ -8176,6 +8280,8 @@ def oracle_sql() -> dict[str, str]:
         "q221_k_anonymity": _O221,
         "q222_period_over_period": _O222,
         "q223_wilson_ci": _O223,
+        "q224_fisher": _O224,
+        "q225_information_gain": _O225,
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

@@ -2944,3 +2944,69 @@ def wilson_ci(df: DataFrame, *, label_col: str,
     return s.select(*group_cols, "n", "k", p.alias("p_hat"),
                     (center - half).alias("ci_lo"),
                     (center + half).alias("ci_hi"))
+
+
+def information_gain(df: DataFrame, *, x_col: str, y_col: str,
+                     group_cols: list[str] | None = None) -> DataFrame:
+    """Mutual information / information gain I(X; Y) in nats between
+    two categorical columns — the feature-selection score beside
+    :func:`chi2_independence` (significance) and
+    :func:`group_entropy` (one column's mix): how many nats of the
+    label Y does knowing feature X buy?
+
+    Determinism (the exact micro-nat decomposition — every term is an
+    exact BIGINT): with cell counts c_xy, marginals c_x, c_y and
+    total n, ``IG_num = n·lnμ(n) − Σ_y c_y·lnμ(c_y)
+    − Σ_x c_x·lnμ(c_x) + Σ_xy c_xy·lnμ(c_xy)`` (each ln integerized
+    per exact integer — the :func:`group_entropy` rule), and
+    ``info_gain = IG_num/(n·10⁶)`` is ONE division. Identically-zero
+    when X and Y are independent count-wise; ≤ min(H(X), H(Y)) up to
+    micro-nat slack. NULL keys drop.
+
+    Scale shape: one (x, y) hash-aggregate with map-side combine,
+    marginals via two windows OVER THE AGGREGATED (k_x·k_y-row)
+    frame on the same partitioning, one final hash-aggregate. No
+    join against the base table.
+
+    Output: (group..., n, k_x, k_y, ig_num_micro, info_gain).
+    """
+    gcols = list(group_cols or [])
+    keep = F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    for g in gcols:
+        keep = keep & F.col(g).isNotNull()
+    cell = df.where(keep).groupBy(
+        *gcols, F.col(x_col).alias("_x"), F.col(y_col).alias("_y")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    wg = (Window.partitionBy(*gcols) if gcols
+          else Window.partitionBy(F.lit(1)))
+    wx = (Window.partitionBy(*gcols, "_x") if gcols
+          else Window.partitionBy("_x"))
+    wy = (Window.partitionBy(*gcols, "_y") if gcols
+          else Window.partitionBy("_y"))
+    staged = cell.select(
+        *gcols, "_x", "_y", "_c",
+        F.sum("_c").over(wg).alias("_n"),
+        F.sum("_c").over(wx).alias("_cx"),
+        F.sum("_c").over(wy).alias("_cy"))
+
+    def _lnmu(col: F.Column) -> F.Column:
+        return F.round(F.log(col.cast("double")) * 1e6).cast("long")
+
+    # per-cell contribution: c·lnμ(c); the marginal terms divide out
+    # evenly because Σ_y over cells of one x is c_x (and vice versa):
+    # attribute −c·lnμ(c_x) − c·lnμ(c_y) + c·lnμ(n) per cell
+    contrib = (F.col("_c") * (_lnmu(F.col("_c"))
+                              - _lnmu(F.col("_cx"))
+                              - _lnmu(F.col("_cy"))
+                              + _lnmu(F.col("_n"))))
+    grouped = (staged.groupBy(*gcols) if gcols else staged.groupBy())
+    s = grouped.agg(
+        F.max("_n").alias("n"),
+        F.count_distinct("_x").alias("k_x"),
+        F.count_distinct("_y").alias("k_y"),
+        F.sum(contrib).alias("ig_num_micro"))
+    return s.select(
+        *gcols, "n", "k_x", "k_y", "ig_num_micro",
+        (F.col("ig_num_micro").cast("double")
+         / (F.col("n").cast("double") * F.lit(1e6)))
+        .alias("info_gain"))

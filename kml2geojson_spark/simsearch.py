@@ -946,3 +946,80 @@ def embedding_norm_stats(embeddings: DataFrame, *,
         F.when(den2 > 0,
                num * num * F.lit(1000000) > thr * thr * den2)
         .otherwise(F.lit(False)).alias("is_outlier"))
+
+
+def fisher_separability(embeddings: DataFrame, *,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        label_col: str = "label") -> DataFrame:
+    """Per-class Fisher scatter diagnostic over an embedding table —
+    "are my labels actually separable in this embedding space?":
+    within-class scatter (how diffuse each class is) vs between-class
+    scatter (how far its centroid sits from the global centroid),
+    per label. A class whose between/within ratio ≈ 0 is invisible
+    to any linear probe; the table-level ratio is the one-way-ANOVA
+    F statistic generalized to vectors (sum the per-label columns —
+    k rows — for the global decomposition).
+
+    Determinism: elements are micro-integerized per coordinate
+    (``round(x·10⁶)`` exact BIGINT); per (label, dim) sums S and Σx²
+    and all scatter numerators are exact DECIMAL(38,0) (the
+    :func:`~kml2geojson_spark.graph.degree_assortativity` rule):
+    ``within_num_l = Σ_d (n_l·Q_ld − S_ld²)`` and
+    ``between_num_l = Σ_d (n·S_ld − n_l·S_d)²`` — the real-unit
+    doubles are ONE fixed IEEE division each
+    (within /(n_l·10¹²), between /(n_l·n²·10¹²)). Emitting PER-LABEL
+    rows (never a cross-label float sum) keeps every aggregate an
+    integer aggregate. Caller guarantees n·|x|·10⁶ < 10¹⁹ per
+    coordinate (unit-norm embeddings at 10⁹ rows are safe).
+
+    Scale shape: ONE posexplode to (label, dim, x_micro) — n·d rows,
+    the linear cost any per-coordinate statistic pays — then one
+    (label, dim) hash-agg with map-side combine, one dim-level
+    hash-agg for global sums broadcast back (d rows), one label-level
+    hash-agg. Equi-joins on the dim key only.
+
+    Output: (label, n_vecs, dim, within_num_dec, between_num_dec,
+    within_ss, between_ss, fisher_ratio) — ratio NULL for a
+    zero-variance class.
+    """
+    b = (embeddings.where(F.col(id_col).isNotNull()
+                          & F.col(vec_col).isNotNull()
+                          & F.col(label_col).isNotNull())
+         .select(F.col(label_col).alias("label"),
+                 _as_double(vec_col).alias("_v")))
+    ex = b.select(
+        "label", F.posexplode("_v").alias("d", "_x")).select(
+        "label", "d",
+        F.round(F.col("_x") * F.lit(1000000.0)).cast("long")
+        .alias("_xm"))
+    xd = F.col("_xm").cast("decimal(38,0)")
+    per_ld = ex.groupBy("label", "d").agg(
+        F.count(F.lit(1)).alias("_nl"),
+        F.sum(xd).alias("_s"),
+        F.sum(xd * xd).alias("_q"))
+    per_d = per_ld.groupBy("d").agg(
+        F.sum("_s").alias("_sd"),
+        F.sum(F.col("_nl").cast("decimal(38,0)")).alias("_n"))
+    j = per_ld.join(F.broadcast(per_d), "d")
+    nl = F.col("_nl").cast("decimal(38,0)")
+    w_term = nl * F.col("_q") - F.col("_s") * F.col("_s")
+    b_inner = F.col("_n") * F.col("_s") - nl * F.col("_sd")
+    per_l = j.groupBy("label").agg(
+        F.max("_nl").alias("n_vecs"),
+        F.count(F.lit(1)).alias("dim"),
+        F.sum(w_term).alias("within_num_dec"),
+        F.sum(b_inner * b_inner).alias("between_num_dec"),
+        F.max("_n").alias("_nd"))
+    nld = F.col("n_vecs").cast("double")
+    nd = F.col("_nd").cast("double")
+    w_ss = (F.col("within_num_dec").cast("double")
+            / (nld * F.lit(1e12)))
+    b_ss = (F.col("between_num_dec").cast("double")
+            / (nld * nd * nd * F.lit(1e12)))
+    return per_l.select(
+        "label", "n_vecs", "dim", "within_num_dec",
+        "between_num_dec", w_ss.alias("within_ss"),
+        b_ss.alias("between_ss"),
+        F.when(F.col("within_num_dec") > 0, b_ss / w_ss)
+        .alias("fisher_ratio"))

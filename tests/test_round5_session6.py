@@ -1311,3 +1311,144 @@ def test_wilson_ci_validation(spark):
     di = spark.createDataFrame([("g", 1)], "grp string, y long")
     with pytest.raises(ValueError, match="z_milli"):
         wilson_ci(di, label_col="y", group_cols=["grp"], z_milli=0)
+
+
+# ------------------------------------------------- fisher_separability
+
+from kml2geojson_spark.simsearch import fisher_separability
+from kml2geojson_spark.relational import information_gain
+
+
+def test_fisher_separability_matches_reference(spark):
+    import random
+    random.seed(61)
+    rows = []
+    # two tight, well-separated classes + one diffuse class
+    for i in range(30):
+        rows.append((i, [10.0 + random.uniform(-.1, .1),
+                         0.0 + random.uniform(-.1, .1)], 0))
+        rows.append((100 + i, [-10.0 + random.uniform(-.1, .1),
+                               0.0 + random.uniform(-.1, .1)], 1))
+        rows.append((200 + i, [random.uniform(-8, 8),
+                               random.uniform(-8, 8)], 2))
+    df = spark.createDataFrame(rows,
+                               "vec_id long, embedding array<double>, "
+                               "label int")
+    out = {r["label"]: r for r in fisher_separability(df).collect()}
+
+    # plain-python replay of the integerized contract
+    from collections import defaultdict
+    xm = defaultdict(lambda: defaultdict(list))
+    for _i, v, lab in rows:
+        for d, x in enumerate(v):
+            xm[lab][d].append(round(x * 1e6))
+    nl = {lab: len(next(iter(dims.values()))) for lab, dims in xm.items()}
+    n = sum(nl.values())
+    sd = {d: sum(sum(xm[lab][d]) for lab in xm) for d in (0, 1)}
+    for lab in xm:
+        within = sum(nl[lab] * sum(x * x for x in xs) - sum(xs) ** 2
+                     for d, xs in xm[lab].items())
+        between = sum((n * sum(xs) - nl[lab] * sd[d]) ** 2
+                      for d, xs in xm[lab].items())
+        r = out[lab]
+        assert r["n_vecs"] == nl[lab] and r["dim"] == 2
+        assert int(r["within_num_dec"]) == within
+        assert int(r["between_num_dec"]) == between
+        w_ss = within / (nl[lab] * 1e12)
+        b_ss = between / (nl[lab] * n * n * 1e12)
+        assert r["within_ss"] == pytest.approx(w_ss, rel=1e-12)
+        assert r["between_ss"] == pytest.approx(b_ss, rel=1e-12)
+    # tight separated classes dominate the diffuse one
+    assert out[0]["fisher_ratio"] > 100 * out[2]["fisher_ratio"]
+    assert out[1]["fisher_ratio"] > 100 * out[2]["fisher_ratio"]
+
+
+def test_fisher_separability_zero_variance_class(spark):
+    rows = ([(i, [1.0, 1.0], 0) for i in range(5)]
+            + [(10 + i, [float(i), 2.0], 1) for i in range(5)])
+    df = spark.createDataFrame(rows,
+                               "vec_id long, embedding array<double>, "
+                               "label int")
+    out = {r["label"]: r for r in fisher_separability(df).collect()}
+    assert int(out[0]["within_num_dec"]) == 0
+    assert out[0]["fisher_ratio"] is None
+    assert out[1]["fisher_ratio"] is not None
+
+
+def test_fisher_separability_plan_no_python(spark):
+    df = spark.createDataFrame([(1, [1.0], 0)],
+                               "vec_id long, embedding array<double>, "
+                               "label int")
+    plan = _plan(fisher_separability(df))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------- information_gain
+
+
+def _ig_reference(pairs):
+    from collections import Counter
+    cxy = Counter(pairs)
+    cx = Counter(x for x, _ in pairs)
+    cy = Counter(y for _, y in pairs)
+    n = len(pairs)
+
+    def lnmu(v):
+        return round(math.log(v) * 1e6)
+
+    num = (n * lnmu(n)
+           - sum(c * lnmu(c) for c in cy.values())
+           - sum(c * lnmu(c) for c in cx.values())
+           + sum(c * lnmu(c) for c in cxy.values()))
+    return num, num / (n * 1e6)
+
+
+def test_information_gain_matches_reference(spark):
+    import random
+    random.seed(67)
+    # correlated: y mostly tracks x
+    pairs = []
+    for _ in range(400):
+        x = random.choice("abc")
+        y = x.upper() if random.random() < 0.8 else \
+            random.choice("ABC")
+        pairs.append((x, y))
+    df = spark.createDataFrame(pairs, "x string, y string")
+    (r,) = information_gain(df, x_col="x", y_col="y").collect()
+    num, ig = _ig_reference(pairs)
+    assert r["ig_num_micro"] == num
+    assert r["info_gain"] == pytest.approx(ig, abs=1e-12)
+    assert r["info_gain"] > 0.3  # strongly informative feature
+
+
+def test_information_gain_independent_is_zero(spark):
+    # perfectly independent counts: IG numerator exactly 0
+    pairs = [(x, y) for x in "ab" for y in "cd" for _ in range(25)]
+    df = spark.createDataFrame(pairs, "x string, y string")
+    (r,) = information_gain(df, x_col="x", y_col="y").collect()
+    assert r["ig_num_micro"] == 0
+    assert r["info_gain"] == 0.0
+
+
+def test_information_gain_deterministic_function_is_full_entropy(spark):
+    # y = f(x): IG = H(Y) (up to micro-nat slack)
+    pairs = [("a", "A")] * 30 + [("b", "B")] * 70
+    df = spark.createDataFrame(pairs, "x string, y string")
+    (r,) = information_gain(df, x_col="x", y_col="y").collect()
+    h_y = -(0.3 * math.log(0.3) + 0.7 * math.log(0.7))
+    assert r["info_gain"] == pytest.approx(h_y, abs=1e-4)
+
+
+def test_information_gain_grouped_and_plan(spark):
+    pairs = ([("g1", "a", "A")] * 10 + [("g1", "b", "B")] * 10
+             + [("g2", "a", "A")] * 5 + [("g2", "a", "B")] * 5)
+    df = spark.createDataFrame(pairs, "seg string, x string, y string")
+    out = {r["seg"]: r for r in
+           information_gain(df, x_col="x", y_col="y",
+                            group_cols=["seg"]).collect()}
+    assert out["g1"]["info_gain"] == pytest.approx(math.log(2), abs=1e-4)
+    assert out["g2"]["ig_num_micro"] == 0  # x constant in g2
+    plan = _plan(information_gain(df, x_col="x", y_col="y",
+                                  group_cols=["seg"]))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan
