@@ -7853,6 +7853,106 @@ FROM s
 """
 
 
+def _q226_silhouette(spark, sf):
+    """Per-label simplified (centroid) silhouette over the embeddings
+    table — the scalable O(n·d·k) substitute for the O(n²) Rousseeuw
+    silhouette. Exact DECIMAL squared-distance numerators, IEEE sqrt,
+    nano-floored per-row scores summed as BIGINT. Round-5 post-pin
+    registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.simsearch import simplified_silhouette
+    return simplified_silhouette(_t(spark, sf, "embeddings"))
+
+
+_O226 = """
+WITH base AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v
+  FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+    AND label IS NOT NULL),
+ex AS (
+  SELECT vec_id, label, CAST(i AS INTEGER) AS d,
+         CAST(ROUND(v[CAST(i AS INTEGER)] * 1e6) AS HUGEINT) AS xm
+  FROM base, UNNEST(range(1, len(v) + 1)) AS u(i)),
+cent AS (
+  SELECT label AS k, d, CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(xm) AS s
+  FROM ex GROUP BY label, d),
+per_vk AS (
+  SELECT e.vec_id, e.label, c.k, MAX(c.n) AS n,
+         SUM((c.n * e.xm - c.s) * (c.n * e.xm - c.s)) AS dd
+  FROM ex e JOIN cent c USING (d)
+  GROUP BY e.vec_id, e.label, c.k),
+d2 AS (
+  SELECT vec_id, label, k,
+         CAST(dd AS DOUBLE)
+           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1e12) AS dist2
+  FROM per_vk),
+per_v AS (
+  SELECT vec_id, label,
+         MIN(CASE WHEN label = k THEN dist2 END) AS a2,
+         MIN(CASE WHEN label <> k THEN dist2 END) AS b2
+  FROM d2 GROUP BY vec_id, label),
+srow AS (
+  SELECT label,
+         CASE WHEN GREATEST(SQRT(a2), SQRT(b2)) > 0 THEN
+           CAST(FLOOR((SQRT(b2) - SQRT(a2))
+                      / GREATEST(SQRT(a2), SQRT(b2)) * 1e9) AS BIGINT)
+         ELSE CAST(0 AS BIGINT) END AS sq
+  FROM per_v WHERE b2 IS NOT NULL)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CASE WHEN sq > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_positive,
+       CAST(SUM(sq) AS BIGINT) AS silh_nano_sum,
+       CAST(SUM(sq) AS DOUBLE)
+         / (CAST(COUNT(*) AS DOUBLE) * 1e9) AS mean_silhouette
+FROM srow GROUP BY label
+"""
+
+
+def _q227_lpa_communities(spark, sf):
+    """3-round synchronous label-propagation communities over the
+    customer→supplier purchase graph (q85's edge list, symmetrized).
+    Pure-BIGINT counts, min-label tie-break — every round replays in
+    SQL. Round-5 post-pin registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.graph import lpa_communities
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    edges = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+             .select(F.col("o_custkey").alias("src"),
+                     (F.col("l_suppkey") + 10_000_000).alias("dst")))
+    return lpa_communities(edges, n_rounds=3)
+
+
+def _o227() -> str:
+    rounds = []
+    prev = "l0"
+    for i in (1, 2, 3):
+        rounds.append(f"""
+c{i} AS (
+  SELECT s.b AS node, l.community, COUNT(*) AS c
+  FROM sym s JOIN {prev} l ON s.a = l.node
+  GROUP BY s.b, l.community),
+l{i} AS (
+  SELECT node, community FROM (
+    SELECT node, community,
+           ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY c DESC, community ASC) AS rn
+    FROM c{i}) WHERE rn = 1)""")
+        prev = f"l{i}"
+    return f"""
+WITH e0 AS (
+  SELECT DISTINCT o_custkey AS a, l_suppkey + 10000000 AS b
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+sym AS (
+  SELECT a, b FROM e0 WHERE a <> b
+  UNION
+  SELECT b AS a, a AS b FROM e0 WHERE a <> b),
+l0 AS (SELECT DISTINCT a AS node, a AS community FROM sym),
+{",".join(rounds)}
+SELECT node, community FROM l3
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -8068,6 +8168,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q223_wilson_ci": _q223_wilson_ci,
         "q224_fisher": _q224_fisher,
         "q225_information_gain": _q225_information_gain,
+        "q226_silhouette": _q226_silhouette,
+        "q227_lpa_communities": _q227_lpa_communities,
     }
 
 
@@ -8282,6 +8384,8 @@ def oracle_sql() -> dict[str, str]:
         "q223_wilson_ci": _O223,
         "q224_fisher": _O224,
         "q225_information_gain": _O225,
+        "q226_silhouette": _O226,
+        "q227_lpa_communities": _o227(),
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

@@ -789,3 +789,55 @@ def graph_reciprocity(edges: DataFrame, *, src: str = "src",
         F.when(F.coalesce(F.col("n_edges"), F.lit(0)) > 0,
                F.col("n_reciprocal_edges").cast("double")
                / F.col("n_edges").cast("double")).alias("reciprocity"))
+
+
+def lpa_communities(edges: DataFrame, *, src: str = "src",
+                    dst: str = "dst", n_rounds: int = 3) -> DataFrame:
+    """Fixed-round SYNCHRONOUS label-propagation community detection
+    over an undirected graph (edges are symmetrized; self-loops
+    dropped): every node starts labeled with its own id, and each
+    round simultaneously adopts the label most frequent among its
+    neighbors' PREVIOUS-round labels, ties broken by the minimum
+    label. Bounded rounds make the pass deterministic and replayable
+    (the :func:`bellman_ford_hops` rule — asynchronous/converge-to-
+    fixpoint LPA is run-order dependent and could never hash-match an
+    oracle); callers wanting coarser communities raise ``n_rounds``.
+
+    Complements :func:`connected_components` (pure reachability) and
+    :func:`neighbor_label_vote` (ONE round seeded by external
+    labels): LPA discovers density clusters inside a single connected
+    component with no seed labels at all — the dedup/link-analysis
+    "which docs form a citation clique" question.
+
+    Scale shape: per round ONE hash join of the label frame to the
+    symmetrized edge list on the source key, one map-side-combinable
+    (node, label) count, one node-key arg-min hash-agg
+    (``min(struct(-count, label))`` — no window, no sort), lineage
+    truncated per round. All shuffles stay on node-id keys. Counts
+    are BIGINT; nothing floats.
+
+    Output: (node, community) for every endpoint, BIGINT both.
+    """
+    if n_rounds < 0:
+        raise ValueError("n_rounds must be >= 0")
+    e0 = (edges.select(F.col(src).cast("long").alias("a"),
+                       F.col(dst).cast("long").alias("b"))
+          .where(F.col("a").isNotNull() & F.col("b").isNotNull()
+                 & (F.col("a") != F.col("b"))))
+    sym = (e0.union(e0.select(F.col("b").alias("a"),
+                              F.col("a").alias("b")))
+           .distinct().localCheckpoint(eager=True))
+    nodes = sym.select(F.col("a").alias("node")).distinct() \
+        .localCheckpoint(eager=True)
+    labels = nodes.withColumn("community", F.col("node"))
+    for _ in range(n_rounds):
+        cnt = (sym.join(labels.withColumnRenamed("node", "a"), "a")
+               .groupBy(F.col("b").alias("node"), "community")
+               .agg(F.count(F.lit(1)).alias("_c")))
+        labels = (cnt.groupBy("node")
+                  .agg(F.min(F.struct((-F.col("_c")).alias("_nc"),
+                                      F.col("community").alias("_l")))
+                       .alias("_best"))
+                  .select("node", F.col("_best._l").alias("community"))
+                  .localCheckpoint(eager=True))
+    return labels

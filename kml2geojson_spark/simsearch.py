@@ -1023,3 +1023,92 @@ def fisher_separability(embeddings: DataFrame, *,
         b_ss.alias("between_ss"),
         F.when(F.col("within_num_dec") > 0, b_ss / w_ss)
         .alias("fisher_ratio"))
+
+
+def simplified_silhouette(embeddings: DataFrame, *,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          label_col: str = "label") -> DataFrame:
+    """Per-label simplified (centroid) silhouette — "do my labels
+    form tight, well-separated clusters in this embedding space?":
+    for each vector, a = distance to its OWN label centroid, b = the
+    nearest OTHER label centroid, s = (b − a)/max(a, b) ∈ [−1, 1];
+    positive s means the vector sits closer to its own centroid than
+    to any rival. The simplified variant (centroid distances instead
+    of all-pairs mean distances) is the only silhouette that scales:
+    exact Rousseeuw silhouette is O(n²) pairwise, this is O(n·d·k)
+    with k = #labels — the classic large-n substitute (Hruschka et
+    al.). Complements :func:`fisher_separability` (variance ratios)
+    with a per-POINT margin statistic.
+
+    Determinism: coordinates micro-integerized (``round(x·10⁶)``,
+    the :func:`fisher_separability` rule); the squared centroid
+    distance is the exact DECIMAL(38,0) numerator
+    ``D_k = Σ_d (n_k·x_d − S_kd)²`` (centroid = S/n kept as an exact
+    rational — never a float mean), made real by ONE fixed IEEE
+    division ``D_k/(n_k²·10¹²)``; a and b are IEEE ``sqrt`` of those
+    doubles (correctly rounded, engine-independent); per-row s is
+    nano-floored to BIGINT before the group sum, so the per-label
+    aggregate is an exact integer aggregate (cross-row float sums
+    would never hash-replay).
+
+    Scale shape: one posexplode to (vec, dim, x_micro) — n·d rows —
+    one (label, dim) hash-agg for the k·d centroid table (broadcast:
+    k·d rows), one equi-join on the dim key fanning each coordinate
+    to k candidate labels (n·d·k rows, map-side-combined into n·k
+    groups), then a and b fold in ONE further vec-key hash-agg
+    (conditional mins — NOT an own⋈other self-join) and one label
+    hash-agg. No window, no join wider than the broadcast, no
+    all-pairs.
+
+    Output: (label, n_vecs, n_positive, silh_nano_sum,
+    mean_silhouette) — mean_silhouette is the nano-floored mean,
+    NULL never (labels with one vector get a = 0 exactly). Requires
+    ≥ 2 distinct labels (b is undefined otherwise; rows vanish).
+    """
+    b = (embeddings.where(F.col(id_col).isNotNull()
+                          & F.col(vec_col).isNotNull()
+                          & F.col(label_col).isNotNull())
+         .select(F.col(id_col).alias("_vid"),
+                 F.col(label_col).alias("label"),
+                 _as_double(vec_col).alias("_v")))
+    ex = b.select(
+        "_vid", "label", F.posexplode("_v").alias("d", "_x")).select(
+        "_vid", "label", "d",
+        F.round(F.col("_x") * F.lit(1000000.0)).cast("long")
+        .alias("_xm"))
+    xd = F.col("_xm").cast("decimal(38,0)")
+    cent = (ex.groupBy(F.col("label").alias("_k"), "d")
+            .agg(F.count(F.lit(1)).cast("long").alias("_nk"),
+                 F.sum(xd).alias("_s")))
+    nk_dec = F.col("_nk").cast("decimal(38,0)")
+    term = (nk_dec * xd - F.col("_s")) * (nk_dec * xd - F.col("_s"))
+    per_vk = (ex.join(F.broadcast(cent), "d")
+              .groupBy("_vid", "label", "_k")
+              .agg(F.sum(term).alias("_dd"), F.max("_nk").alias("_n")))
+    nkd = F.col("_n").cast("double")
+    d2 = per_vk.select(
+        "_vid", "label", "_k",
+        (F.col("_dd").cast("double") / (nkd * nkd * F.lit(1e12)))
+        .alias("_d2"))
+    per_v = (d2.groupBy("_vid", "label")
+             .agg(F.min(F.when(F.col("label") == F.col("_k"),
+                               F.col("_d2"))).alias("_a2"),
+                  F.min(F.when(F.col("label") != F.col("_k"),
+                               F.col("_d2"))).alias("_b2"))
+             .where(F.col("_b2").isNotNull()))
+    a = F.sqrt("_a2")
+    bb = F.sqrt("_b2")
+    mx = F.greatest(a, bb)
+    s_nano = F.when(mx > 0, F.floor((bb - a) / mx * F.lit(1e9))
+                    .cast("long")).otherwise(F.lit(0).cast("long"))
+    rows = per_v.select("label", s_nano.alias("_sq"))
+    return (rows.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 F.sum(F.when(F.col("_sq") > 0, 1).otherwise(0))
+                 .cast("long").alias("n_positive"),
+                 F.sum("_sq").alias("silh_nano_sum"))
+            .select("label", "n_vecs", "n_positive", "silh_nano_sum",
+                    (F.col("silh_nano_sum").cast("double")
+                     / (F.col("n_vecs").cast("double") * F.lit(1e9)))
+                    .alias("mean_silhouette")))
