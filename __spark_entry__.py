@@ -7953,6 +7953,90 @@ SELECT node, community FROM l3
 """
 
 
+def _q228_hll_overlap(spark, sf):
+    """Pairwise approximate vocabulary overlap between document
+    sources — inclusion–exclusion over grouped HLL sketches (register
+    MAX union is lossless). One pass over the token stream; the G²
+    pairing runs on the tiny register frame. Round-5 post-pin
+    registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.sketch import hll_overlap
+    toks = (_t(spark, sf, "documents")
+            .select("source",
+                    F.explode(F.split(F.lower(F.col("text")), " "))
+                    .alias("tok"))
+            .where(F.col("tok") != ""))
+    return hll_overlap(toks, "tok", "source", p=8)
+
+
+def _o228() -> str:
+    from kml2geojson_spark.sketch import hll_overlap_sql
+    toks = ("(SELECT source, tok FROM "
+            "(SELECT source, unnest(string_split(lower(text), ' ')) "
+            "AS tok FROM documents) WHERE tok != '') t")
+    return hll_overlap_sql("tok", toks, "source", p=8)
+
+
+def _q229_er_entities(spark, sf):
+    """One-call entity resolution over customer records: exact
+    blocking on (nation, segment), Fellegi–Sunter integer milli-
+    weights on phone-exchange / account-bucket / address-initial /
+    comment-length fields, threshold into match edges, star
+    components → (record_id, entity_id). Round-5 post-pin
+    registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.linkage import resolve_entities
+    c = _t(spark, sf, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment",
+        F.expr("substr(c_name, length(c_name) - 1, 2)").alias("name2"),
+        F.floor(F.col("c_acctbal") / F.lit(500.0)).alias("acct_b"),
+        F.expr("CAST(ROUND(c_acctbal * 100) AS BIGINT) % 10")
+        .alias("cents"))
+    return resolve_entities(
+        c, id_col="c_custkey",
+        block_cols=["c_nationkey", "c_mktsegment"],
+        fields=[("name2", 2000, -400), ("acct_b", 1200, -300),
+                ("cents", 900, -200)],
+        threshold_milli=2700, max_block=1000)
+
+
+_O229 = """
+WITH RECURSIVE r AS (
+  SELECT c_custkey AS id, c_nationkey AS bk1, c_mktsegment AS bk2,
+         substr(c_name, length(c_name) - 1, 2) AS f1,
+         CAST(FLOOR(c_acctbal / 500.0) AS BIGINT) AS f2,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) % 10 AS f3
+  FROM customer
+  WHERE c_custkey IS NOT NULL AND c_nationkey IS NOT NULL
+    AND c_mktsegment IS NOT NULL),
+ok AS (
+  SELECT bk1, bk2 FROM r GROUP BY bk1, bk2
+  HAVING COUNT(*) <= 1000),
+b AS (SELECT r.* FROM r JOIN ok USING (bk1, bk2)),
+scored AS (
+  SELECT a.id AS id_a, c.id AS id_b,
+         (CASE WHEN a.f1 IS NULL OR c.f1 IS NULL THEN 0
+               WHEN a.f1 = c.f1 THEN 2000 ELSE -400 END)
+       + (CASE WHEN a.f2 IS NULL OR c.f2 IS NULL THEN 0
+               WHEN a.f2 = c.f2 THEN 1200 ELSE -300 END)
+       + (CASE WHEN a.f3 IS NULL OR c.f3 IS NULL THEN 0
+               WHEN a.f3 = c.f3 THEN 900 ELSE -200 END) AS s
+  FROM b a JOIN b c
+    ON a.bk1 = c.bk1 AND a.bk2 = c.bk2 AND a.id < c.id),
+m AS (SELECT id_a, id_b FROM scored WHERE s >= 2700),
+edges AS (SELECT id_a AS s, id_b AS d FROM m
+          UNION SELECT id_b, id_a FROM m),
+reach(node, rr) AS (
+  SELECT DISTINCT s, s FROM edges
+  UNION
+  SELECT reach.node, edges.d FROM reach JOIN edges
+    ON reach.rr = edges.s),
+comp AS (SELECT node, MIN(rr) AS cmp FROM reach GROUP BY node)
+SELECT ids.id AS record_id, COALESCE(comp.cmp, ids.id) AS entity_id
+FROM (SELECT DISTINCT c_custkey AS id FROM customer
+      WHERE c_custkey IS NOT NULL) ids
+LEFT JOIN comp ON comp.node = ids.id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -8170,6 +8254,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q225_information_gain": _q225_information_gain,
         "q226_silhouette": _q226_silhouette,
         "q227_lpa_communities": _q227_lpa_communities,
+        "q228_hll_overlap": _q228_hll_overlap,
+        "q229_er_entities": _q229_er_entities,
     }
 
 
@@ -8386,6 +8472,8 @@ def oracle_sql() -> dict[str, str]:
         "q225_information_gain": _O225,
         "q226_silhouette": _O226,
         "q227_lpa_communities": _o227(),
+        "q228_hll_overlap": _o228(),
+        "q229_er_entities": _O229,
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

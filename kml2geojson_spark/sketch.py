@@ -508,3 +508,130 @@ def quantile_bucket_assign(df: DataFrame, value_col: str, *,
     return df.withColumn(
         bucket_col,
         F.when(F.col(value_col).isNull(), F.lit(None)).otherwise(bucket))
+
+
+def hll_overlap(df: DataFrame, value_col: str, group_col: str, *,
+                p: int = 8, max_groups: int = 64) -> DataFrame:
+    """Pairwise approximate set overlap between groups from ONE pass
+    over the data — "how much does source A's vocabulary overlap
+    source B's?", the cross-source contamination / audience-overlap
+    question at 100 TB, where the exact answer is a distinct-join per
+    pair. Inclusion–exclusion over HLL sketches:
+    ``|A∩B| ≈ est(A) + est(B) − est(A∪B)`` with the union estimated
+    from the register-wise MAX (the HLL union is LOSSLESS — the union
+    sketch equals the sketch of the union).
+
+    Determinism: registers and the integer-scaled estimator are the
+    bit-exact :func:`hll_registers` / :func:`hll_estimate` machinery;
+    overlap is integer arithmetic over the rounded BIGINT estimates
+    (clamped at 0 — inclusion–exclusion noise can go negative);
+    jaccard is ONE fixed division of two BIGINTs.
+
+    Scale shape: the data-sized work is the single register build
+    (one hash-agg with map-side combine, |groups|·2^p output cells);
+    everything after operates on that tiny frame — the G(G−1)/2
+    pairing is quadratic in GROUPS, not rows, and is capped by
+    ``max_groups`` (raises; pairwise overlap over thousands of groups
+    is a different algorithm — sketch-join on register signatures).
+
+    Output: (group_a, group_b, est_a, est_b, est_union, overlap_est,
+    jaccard_est) for every unordered pair group_a < group_b.
+    """
+    regs = hll_registers(df, value_col, group_cols=[group_col],
+                         p=p).localCheckpoint(eager=True)
+    n_groups = regs.select(group_col).distinct().count()
+    if n_groups > max_groups:
+        raise ValueError(
+            f"hll_overlap: {n_groups} groups exceeds max_groups="
+            f"{max_groups} — the G² pairing is meant for handfuls of "
+            "sources/langs, not high-cardinality keys")
+    est = (hll_estimate(regs, group_cols=[group_col], p=p)
+           .withColumnRenamed(group_col, "_g")
+           .localCheckpoint(eager=True))
+    ga = est.select(F.col("_g").alias("_ga"))
+    gb = est.select(F.col("_g").alias("_gb"))
+    pairs = ga.join(gb, F.col("_ga") < F.col("_gb"))  # tiny × tiny
+    ra = (regs.join(F.broadcast(pairs),
+                    F.col(group_col) == F.col("_ga"))
+          .select("_ga", "_gb", "bucket", "max_rho"))
+    rb = (regs.join(F.broadcast(pairs),
+                    F.col(group_col) == F.col("_gb"))
+          .select("_ga", "_gb", "bucket", "max_rho"))
+    u = (ra.unionByName(rb)
+         .groupBy("_ga", "_gb", "bucket")
+         .agg(F.max("max_rho").alias("max_rho")))
+    uest = (hll_estimate(u, group_cols=["_ga", "_gb"], p=p)
+            .withColumnRenamed("estimate", "est_union"))
+    out = (uest
+           .join(F.broadcast(est.select(F.col("_g").alias("_ga"),
+                                        F.col("estimate")
+                                        .alias("est_a"))), "_ga")
+           .join(F.broadcast(est.select(F.col("_g").alias("_gb"),
+                                        F.col("estimate")
+                                        .alias("est_b"))), "_gb"))
+    overlap = F.greatest(
+        F.lit(0).cast("long"),
+        F.col("est_a") + F.col("est_b") - F.col("est_union"))
+    return out.select(
+        F.col("_ga").alias("group_a"), F.col("_gb").alias("group_b"),
+        "est_a", "est_b", "est_union", overlap.alias("overlap_est"),
+        F.when(F.col("est_union") > 0,
+               overlap.cast("double")
+               / F.col("est_union").cast("double"))
+        .alias("jaccard_est"))
+
+
+def hll_overlap_sql(value_expr: str, table: str, group_col: str, *,
+                    p: int = 8) -> str:
+    """DuckDB oracle for :func:`hll_overlap` — identical register
+    build, identical integer-scaled estimates, identical
+    inclusion–exclusion over the rounded BIGINTs."""
+    m = 1 << p
+    rem_bits = 60 - p
+    r_max = rem_bits + 1
+    alpha_mm = 0.7213 / (1.0 + 1.079 / m) * m * m
+    regs = hll_registers_sql(value_expr, table,
+                             group_cols=[group_col], p=p)
+
+    def est_select(keys: str, src: str) -> str:
+        return f"""
+  SELECT {keys},
+         CAST(ROUND(CASE WHEN raw <= {2.5 * m!r} AND zeros > 0
+                         THEN {float(m)!r} * ln({float(m)!r} / zeros)
+                         ELSE raw END) AS BIGINT) AS estimate
+  FROM (SELECT {keys},
+               {alpha_mm!r} / (CAST(isum + ({m} - nonzero)
+                                    * (1::BIGINT << {r_max})
+                                    AS DOUBLE) / {float(1 << r_max)!r})
+                 AS raw,
+               {m} - nonzero AS zeros
+        FROM (SELECT {keys},
+                     SUM((1::BIGINT << ({r_max} - max_rho))) AS isum,
+                     COUNT(*) AS nonzero
+              FROM {src} GROUP BY {keys}))"""
+
+    return f"""
+WITH regs AS ({regs}),
+gest AS ({est_select(group_col, "regs")}),
+pairs AS (
+  SELECT a.{group_col} AS ga, b.{group_col} AS gb
+  FROM gest a JOIN gest b ON a.{group_col} < b.{group_col}),
+ur AS (
+  SELECT p.ga, p.gb, r.bucket, MAX(r.max_rho) AS max_rho
+  FROM pairs p JOIN regs r
+    ON r.{group_col} = p.ga OR r.{group_col} = p.gb
+  GROUP BY p.ga, p.gb, r.bucket),
+uest AS ({est_select("ga, gb", "ur")})
+SELECT u.ga AS group_a, u.gb AS group_b,
+       ea.estimate AS est_a, eb.estimate AS est_b,
+       u.estimate AS est_union,
+       GREATEST(0, ea.estimate + eb.estimate - u.estimate)
+         AS overlap_est,
+       CASE WHEN u.estimate > 0 THEN
+         CAST(GREATEST(0, ea.estimate + eb.estimate - u.estimate)
+              AS DOUBLE) / CAST(u.estimate AS DOUBLE)
+       END AS jaccard_est
+FROM uest u
+JOIN gest ea ON ea.{group_col} = u.ga
+JOIN gest eb ON eb.{group_col} = u.gb
+"""

@@ -192,3 +192,117 @@ def test_lpa_rejects_negative_rounds(spark):
     df = spark.createDataFrame([(1, 2)], "src long, dst long")
     with pytest.raises(ValueError):
         lpa_communities(df, n_rounds=-1)
+
+
+# ----------------------------------------------------------- hll_overlap
+
+
+def test_hll_overlap_disjoint_and_identical(spark):
+    from kml2geojson_spark.sketch import hll_overlap
+    rows = ([("A", f"x{i}") for i in range(3000)]
+            + [("B", f"x{i}") for i in range(3000)]      # B == A
+            + [("C", f"y{i}") for i in range(3000)])     # C disjoint
+    df = spark.createDataFrame(rows, "grp string, v string")
+    got = {(r["group_a"], r["group_b"]): r
+           for r in hll_overlap(df, "v", "grp", p=10).collect()}
+    ab = got[("A", "B")]
+    # identical sets: union == each side, overlap == the estimate
+    assert ab["est_union"] == ab["est_a"] == ab["est_b"]
+    assert ab["overlap_est"] == ab["est_a"]
+    assert ab["jaccard_est"] == 1.0
+    # p=10 → ~3.3% standard error; assert within 15%
+    assert abs(ab["est_a"] - 3000) / 3000 < 0.15
+    ac = got[("A", "C")]
+    # disjoint: overlap small relative to set size
+    assert ac["overlap_est"] < 0.15 * 3000
+    assert ac["est_union"] > ac["est_a"]
+
+
+def test_hll_overlap_partial(spark):
+    from kml2geojson_spark.sketch import hll_overlap
+    rows = ([("A", f"k{i}") for i in range(4000)]
+            + [("B", f"k{i}") for i in range(2000, 6000)])  # 50% shared
+    df = spark.createDataFrame(rows, "grp string, v string")
+    (r,) = hll_overlap(df, "v", "grp", p=10).collect()
+    assert abs(r["overlap_est"] - 2000) / 2000 < 0.3
+    assert abs(r["est_union"] - 6000) / 6000 < 0.15
+
+
+def test_hll_overlap_max_groups_guard(spark):
+    from kml2geojson_spark.sketch import hll_overlap
+    rows = [(f"g{i}", f"v{j}") for i in range(5) for j in range(3)]
+    df = spark.createDataFrame(rows, "grp string, v string")
+    with pytest.raises(ValueError, match="max_groups"):
+        hll_overlap(df, "v", "grp", p=8, max_groups=4)
+    # 5 groups → 10 unordered pairs when allowed
+    assert hll_overlap(df, "v", "grp", p=8, max_groups=5).count() == 10
+
+
+# ------------------------------------------------------ record linkage
+
+
+def test_block_candidate_pairs_basic(spark):
+    from kml2geojson_spark.linkage import block_candidate_pairs
+    rows = [(1, "k1"), (2, "k1"), (3, "k1"),
+            (4, "k2"), (5, "k2"),
+            (6, None), (None, "k3"), (7, "k4")]
+    df = spark.createDataFrame(rows, "rid long, bk string")
+    got = sorted((r["id_a"], r["id_b"]) for r in
+                 block_candidate_pairs(df, id_col="rid",
+                                       block_cols=["bk"]).collect())
+    assert got == [(1, 2), (1, 3), (2, 3), (4, 5)]
+
+
+def test_block_candidate_pairs_oversized_block_dropped(spark):
+    from kml2geojson_spark.linkage import block_candidate_pairs
+    rows = [(i, "big") for i in range(10)] + [(100, "ok"), (101, "ok")]
+    df = spark.createDataFrame(rows, "rid long, bk string")
+    got = sorted((r["id_a"], r["id_b"]) for r in
+                 block_candidate_pairs(df, id_col="rid",
+                                       block_cols=["bk"],
+                                       max_block=5).collect())
+    assert got == [(100, 101)]
+    with pytest.raises(ValueError):
+        block_candidate_pairs(df, id_col="rid", block_cols=["bk"],
+                              max_block=1)
+
+
+def test_linkage_scores_null_and_weights(spark):
+    from kml2geojson_spark.linkage import linkage_scores
+    recs = spark.createDataFrame(
+        [(1, "x", 5), (2, "x", 5), (3, "y", 5), (4, None, 7)],
+        "rid long, f1 string, f2 long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "id_a long, id_b long")
+    got = {(r["id_a"], r["id_b"]): r["score_milli"] for r in
+           linkage_scores(pairs, recs, id_col="rid",
+                          fields=[("f1", 1000, -400),
+                                  ("f2", 700, -100)]).collect()}
+    assert got[(1, 2)] == 1700        # both agree
+    assert got[(1, 3)] == -400 + 700  # f1 differs, f2 agrees
+    assert got[(1, 4)] == 0 - 100     # f1 NULL → 0, f2 differs
+    with pytest.raises(ValueError):
+        linkage_scores(pairs, recs, id_col="rid", fields=[])
+
+
+def test_resolve_entities_transitive_chain(spark):
+    from kml2geojson_spark.linkage import resolve_entities
+    # A(1,2): same f1 → match. B(2,3): same f1 → match. (1,3) differ
+    # on f1 BUT land in one entity via the 2-chain. 4 is a singleton;
+    # 5 has a NULL block key and stays its own entity.
+    rows = [(1, "blk", "p", 10), (2, "blk", "p", 99),
+            (3, "blk", "q", 99), (4, "blk", "z", 1),
+            (5, None, "p", 10)]
+    df = spark.createDataFrame(rows, "rid long, bk string, "
+                                     "f1 string, f2 long")
+    got = {r["record_id"]: r["entity_id"] for r in
+           resolve_entities(df, id_col="rid", block_cols=["bk"],
+                            fields=[("f1", 1000, -400),
+                                    ("f2", 1000, -400)],
+                            threshold_milli=600).collect()}
+    # (1,2): f1 agree, f2 differ → 600 ✓; (2,3): f2 agree, f1 differ
+    # → 600 ✓; (1,3): both differ → -800 ✗ — transitivity merges all
+    assert got[1] == got[2] == got[3] == 1
+    assert got[4] == 4
+    assert got[5] == 5
+    assert set(got) == {1, 2, 3, 4, 5}
