@@ -8037,6 +8037,71 @@ LEFT JOIN comp ON comp.node = ids.id
 """
 
 
+def _q230_cume_gains(spark, sf):
+    """Cumulative gains/lift table over lineitem (score = price
+    cents, positive = returned line): sampled-boundary deciles (the
+    q146 100-TB-safe ntile), exact BIGINT band counts, cumulative
+    windows over the ≤10-row aggregate only. Round-5 post-pin
+    registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.relational import cume_gains
+    li = _t(spark, sf, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100.0).cast("long")
+        .alias("price_cents"),
+        (F.col("l_returnflag") == "R").cast("int").alias("returned"))
+    return cume_gains(li, score_col="price_cents",
+                      label_col="returned", n_buckets=10)
+
+
+def _o230() -> str:
+    qs = ", ".join(f"({i / 10!r}::DOUBLE)" for i in range(1, 10))
+    return f"""
+WITH base AS (
+  SELECT CAST(ROUND(l_extendedprice * 100.0) AS BIGINT) AS s,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL),
+samp AS (
+  SELECT s FROM base
+  WHERE ('0x' || substr(md5(CAST(s AS VARCHAR)), 1, 2))::BIGINT < 16),
+ranked AS (
+  SELECT s, ROW_NUMBER() OVER (ORDER BY s ASC) AS rn,
+         COUNT(*) OVER () AS cnt
+  FROM samp),
+bounds AS (
+  SELECT s AS b
+  FROM ranked CROSS JOIN (VALUES {qs}) AS qv(q)
+  WHERE rn = CAST(FLOOR(q * (cnt - 1)) AS BIGINT) + 1),
+a AS (
+  SELECT (SELECT COUNT(*) FROM bounds WHERE b <= base.s) AS bucket, y
+  FROM base),
+per_b AS (
+  SELECT CAST(bucket AS INTEGER) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS n_pos
+  FROM a GROUP BY bucket),
+g AS (
+  SELECT bucket, n, n_pos,
+         CAST(ROW_NUMBER() OVER (ORDER BY bucket DESC) AS INTEGER)
+           AS rank,
+         CAST(SUM(n) OVER (ORDER BY bucket DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS cum_n,
+         CAST(SUM(n_pos) OVER (ORDER BY bucket DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS cum_pos,
+         CAST(SUM(n) OVER () AS BIGINT) AS tn,
+         CAST(SUM(n_pos) OVER () AS BIGINT) AS tp
+  FROM per_b)
+SELECT rank, bucket, n, n_pos, cum_n, cum_pos,
+       CASE WHEN tp > 0 THEN
+         CAST(cum_pos AS DOUBLE) / CAST(tp AS DOUBLE) END AS capture,
+       CASE WHEN tp > 0 AND cum_n > 0 THEN
+         CAST(cum_pos * tn AS DOUBLE)
+           / CAST(cum_n * tp AS DOUBLE) END AS lift
+FROM g
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -8256,6 +8321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q227_lpa_communities": _q227_lpa_communities,
         "q228_hll_overlap": _q228_hll_overlap,
         "q229_er_entities": _q229_er_entities,
+        "q230_cume_gains": _q230_cume_gains,
     }
 
 
@@ -8474,6 +8540,7 @@ def oracle_sql() -> dict[str, str]:
         "q227_lpa_communities": _o227(),
         "q228_hll_overlap": _o228(),
         "q229_er_entities": _O229,
+        "q230_cume_gains": _o230(),
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

@@ -3010,3 +3010,82 @@ def information_gain(df: DataFrame, *, x_col: str, y_col: str,
         (F.col("ig_num_micro").cast("double")
          / (F.col("n").cast("double") * F.lit(1e6)))
         .alias("info_gain"))
+
+
+def cume_gains(df: DataFrame, *, score_col: str, label_col: str,
+               n_buckets: int = 10, rate_num: int = 1,
+               rate_den: int = 16) -> DataFrame:
+    """Cumulative gains / lift table — the model-eval staple beside
+    :func:`group_auc` and the q213 calibration bins: rank rows by a
+    model score, cut into ``n_buckets`` score bands, and report how
+    much of the positive class the TOP bands capture ("the top decile
+    holds 4.1× its share of converters"). AUC says the ranking is
+    good; the gains table says where to spend the budget.
+
+    Determinism: scores must be INTEGER (floats raise — the
+    :func:`group_auc` rule); labels must be 0/1 (anything else raises
+    inside the plan). Banding comes from
+    :func:`~kml2geojson_spark.sketch.quantile_bucket_assign`'s
+    hash-deterministic sampled boundaries — NOT a global ntile sort —
+    so bucket membership replays cross-engine; boundary-equal scores
+    fall in the lower bucket. All counts are exact BIGINTs; capture
+    and lift are single fixed divisions of BIGINT products.
+
+    Scale shape: one full-data pass for the pure-Column bucket
+    assignment (boundaries are broadcast literals), one bucket-grain
+    hash-agg with map-side combine, then cumulative windows over the
+    ≤ n_buckets-row AGGREGATE — never over base rows. Buckets are
+    cumulated HIGHEST-score-first (bucket N−1 is rank 1): the "top
+    k%" reading a gains chart expects.
+
+    Output: (rank, bucket, n, n_pos, cum_n, cum_pos, capture, lift)
+    — rank 1 = highest-score band; capture = cum_pos/total_pos;
+    lift = (cum_pos/cum_n)/(total_pos/total_n). NULL capture/lift
+    when the table has no positives.
+    """
+    from pyspark.sql.types import DoubleType, FloatType
+
+    fields = {f.name: f for f in df.schema.fields}
+    if isinstance(fields[score_col].dataType, (DoubleType, FloatType)):
+        raise ValueError(
+            f"cume_gains: {score_col!r} is floating-point — "
+            "integerize first (exact integer order statistics are "
+            "the determinism contract)")
+    lab = F.when(~F.col(label_col).cast("long").isin(0, 1),
+                 F.raise_error(F.concat(
+                     F.lit("cume_gains: label not in {0,1}: "),
+                     F.col(label_col).cast("string")))) \
+        .otherwise(F.col(label_col).cast("long"))
+    base = (df.where(F.col(score_col).isNotNull()
+                     & F.col(label_col).isNotNull())
+            .select(F.col(score_col).cast("long").alias("_s"),
+                    lab.alias("_y")))
+    from .sketch import quantile_bucket_assign
+    assigned = quantile_bucket_assign(base, "_s", n_buckets=n_buckets,
+                                      rate_num=rate_num,
+                                      rate_den=rate_den)
+    per_b = (assigned.groupBy("bucket")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("_y").alias("n_pos")))
+    w_all = Window.partitionBy(F.lit(1))
+    w_cum = (w_all.orderBy(F.col("bucket").desc())
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.currentRow))
+    g = per_b.select(
+        "bucket", "n", "n_pos",
+        F.row_number().over(w_all.orderBy(F.col("bucket").desc()))
+        .alias("rank"),
+        F.sum("n").over(w_cum).alias("cum_n"),
+        F.sum("n_pos").over(w_cum).alias("cum_pos"),
+        F.sum("n").over(w_all).alias("_tn"),
+        F.sum("n_pos").over(w_all).alias("_tp"))
+    capture = F.when(F.col("_tp") > 0,
+                     F.col("cum_pos").cast("double")
+                     / F.col("_tp").cast("double"))
+    lift = F.when(
+        (F.col("_tp") > 0) & (F.col("cum_n") > 0),
+        (F.col("cum_pos") * F.col("_tn")).cast("double")
+        / (F.col("cum_n") * F.col("_tp")).cast("double"))
+    return g.select("rank", "bucket", "n", "n_pos", "cum_n",
+                    "cum_pos", capture.alias("capture"),
+                    lift.alias("lift"))
