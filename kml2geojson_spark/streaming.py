@@ -561,3 +561,143 @@ def stream_rolling_zscore(events: DataFrame, *, value_col: str = "value",
                 "n_window int, z double, is_anomaly boolean",
                 "tail array<long>", "append",
                 GroupStateTimeout.NoTimeout))
+
+
+def _mg_fold(counters: dict, decrements: int, values,
+             capacity: int) -> tuple[dict, int]:
+    """One Misra–Gries pass: fold ``values`` (arrival order) into the
+    counter dict, decrementing ALL counters when a new value arrives
+    at capacity. Returns (counters, total decrement rounds) — every
+    counter underestimates its true frequency by at most
+    ``decrements``."""
+    for v in values:
+        if v in counters:
+            counters[v] += 1
+        elif len(counters) < capacity:
+            counters[v] = 1
+        else:
+            decrements += 1
+            dead = []
+            for key in counters:
+                counters[key] -= 1
+                if counters[key] == 0:
+                    dead.append(key)
+            for key in dead:
+                del counters[key]
+    return counters, decrements
+
+
+def heavy_hitters_mg(events: DataFrame, *, value_col: str,
+                     capacity: int = 64,
+                     n_shards: int = 8) -> DataFrame:
+    """Batch Misra–Gries heavy-hitters summary, value-sharded: every
+    value hashes (md5) to ONE shard, each shard keeps at most
+    ``capacity`` counters, so memory is shards × capacity REGARDLESS
+    of value cardinality — the bounded-space substitute for an exact
+    value-grain count when the key space is huge (URLs, user agents,
+    n-grams). Guarantee per shard: any value with true count >
+    (shard stream length)/(capacity+1) survives, and each reported
+    count underestimates truth by at most ``err_ub`` (the shard's
+    decrement total): count ≤ true ≤ count + err_ub.
+
+    The fold runs per shard in partition-arrival order inside one
+    ``applyInPandas``; the SET of survivors and the error bound hold
+    for ANY order (Misra–Gries guarantees are order-free), only the
+    exact residual counts are order-sensitive — callers needing
+    bit-replayable counts should pre-sort the input (the parity
+    pytest does). :func:`stream_heavy_hitters` is the streaming twin
+    — identical fold, state carried across micro-batches.
+
+    Compare `cms_registers` (q76): CMS answers point queries with
+    overestimates and needs a candidate list; Misra–Gries SURFACES
+    the candidates with underestimates. Output: (shard, value,
+    count_lb, err_ub).
+    """
+    import pandas as pd
+
+    if capacity < 1:
+        raise ValueError("capacity must be >= 1")
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    hashed = events.where(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("string").alias("value"),
+        (F.conv(F.substring(F.md5(F.col(value_col).cast("string")),
+                            1, 15), 16, 10).cast("long")
+         % n_shards).alias("shard"))
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["shard"].iloc[0])
+        counters, dec = _mg_fold({}, 0, pdf["value"].tolist(),
+                                 capacity)
+        return pd.DataFrame({
+            "shard": [shard] * len(counters),
+            "value": list(counters.keys()),
+            "count_lb": [int(c) for c in counters.values()],
+            "err_ub": [dec] * len(counters)})
+
+    return (hashed.groupBy("shard")
+            .applyInPandas(fn, "shard long, value string, "
+                               "count_lb long, err_ub long"))
+
+
+def stream_heavy_hitters(events: DataFrame, *, value_col: str,
+                         capacity: int = 64,
+                         n_shards: int = 8) -> DataFrame:
+    """Streaming twin of :func:`heavy_hitters_mg`: per-shard
+    Misra–Gries counters carried across micro-batches in
+    ``applyInPandasWithState`` — the live "top talkers" board with
+    state bounded at shards × capacity (value, count) pairs, never
+    stream length. Each micro-batch that touches a shard re-emits
+    that shard's FULL summary snapshot (append mode — downstream
+    takes the latest rows per shard); identical fold as the batch
+    twin, so single-pass delivery in arrival order reproduces the
+    batch summary exactly.
+
+    Output rows per emission: (shard, value, count_lb, err_ub) with
+    count ≤ true ≤ count + err_ub per shard.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if capacity < 1:
+        raise ValueError("capacity must be >= 1")
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    hashed = events.where(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("string").alias("value"),
+        (F.conv(F.substring(F.md5(F.col(value_col).cast("string")),
+                            1, 15), 16, 10).cast("long")
+         % n_shards).alias("shard"))
+
+    def fn(key, pdfs, state):
+        (shard,) = key
+        if state.exists:
+            vals, counts, dec = state.get
+            counters = dict(zip(list(vals), [int(c) for c in counts]))
+            dec = int(dec)
+        else:
+            counters, dec = {}, 0
+        seen = False
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            seen = True
+            counters, dec = _mg_fold(counters, dec,
+                                     pdf["value"].tolist(), capacity)
+        if not seen:
+            return
+        state.update((tuple(counters.keys()),
+                      tuple(int(c) for c in counters.values()),
+                      int(dec)))
+        yield pd.DataFrame({
+            "shard": [int(shard)] * len(counters),
+            "value": list(counters.keys()),
+            "count_lb": [int(c) for c in counters.values()],
+            "err_ub": [dec] * len(counters)})
+
+    return (hashed.groupBy("shard")
+            .applyInPandasWithState(
+                fn,
+                "shard long, value string, count_lb long, err_ub long",
+                "vals array<string>, counts array<long>, dec long",
+                "append", GroupStateTimeout.NoTimeout))

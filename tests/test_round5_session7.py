@@ -355,3 +355,125 @@ def test_cume_gains_guards(spark):
     with pytest.raises(Exception, match="label not in"):
         cume_gains(bad, score_col="score", label_col="y",
                    rate_num=1, rate_den=1).collect()
+
+
+# ------------------------------------------------- heavy hitters (MG)
+
+
+def _mg_python(values, capacity):
+    counters, dec = {}, 0
+    for v in values:
+        if v in counters:
+            counters[v] += 1
+        elif len(counters) < capacity:
+            counters[v] = 1
+        else:
+            dec += 1
+            for key in list(counters):
+                counters[key] -= 1
+                if counters[key] == 0:
+                    del counters[key]
+    return counters, dec
+
+
+def test_heavy_hitters_mg_guarantees(spark):
+    from kml2geojson_spark.streaming import heavy_hitters_mg
+    import random
+    random.seed(5)
+    # zipf-ish: value v{i} appears ~3000/i times
+    values = []
+    for i in range(1, 40):
+        values += [f"v{i}"] * (3000 // i)
+    random.shuffle(values)
+    df = spark.createDataFrame([(v,) for v in values], "val string")
+    rows = heavy_hitters_mg(df, value_col="val", capacity=16,
+                            n_shards=4).collect()
+    got = {r["value"]: (r["count_lb"], r["err_ub"]) for r in rows}
+    from collections import Counter
+    truth = Counter(values)
+    # per-value sandwich: count_lb <= true <= count_lb + err_ub
+    for v, (lb, err) in got.items():
+        assert lb <= truth[v] <= lb + err
+    # the heaviest values must all survive (true count far above any
+    # shard's n/(capacity+1))
+    for i in range(1, 6):
+        assert f"v{i}" in got
+    # bounded summary: at most capacity counters per shard
+    from collections import defaultdict
+    per_shard = defaultdict(int)
+    for r in rows:
+        per_shard[r["shard"]] += 1
+    assert all(c <= 16 for c in per_shard.values())
+
+
+def test_heavy_hitters_mg_exact_when_under_capacity(spark):
+    from kml2geojson_spark.streaming import heavy_hitters_mg
+    values = ["a"] * 5 + ["b"] * 3 + ["c"] * 1
+    df = spark.createDataFrame([(v,) for v in values], "val string")
+    got = {r["value"]: (r["count_lb"], r["err_ub"])
+           for r in heavy_hitters_mg(df, value_col="val",
+                                     capacity=8).collect()}
+    # never decremented → exact counts, zero error
+    assert got == {"a": (5, 0), "b": (3, 0), "c": (1, 0)}
+
+
+def test_stream_heavy_hitters_matches_batch(spark, tmp_path):
+    import pandas as pd
+    from kml2geojson_spark.streaming import (heavy_hitters_mg,
+                                             stream_heavy_hitters)
+    import random
+    random.seed(9)
+    values = []
+    for i in range(1, 20):
+        values += [f"v{i}"] * (400 // i)
+    random.shuffle(values)
+    src = tmp_path / "hh"
+    src.mkdir()
+    # two time-split files → two micro-batches carrying MG state
+    half = len(values) // 2
+    for j, chunk in enumerate((values[:half], values[half:])):
+        pd.DataFrame({"val": chunk}).to_parquet(
+            str(src / f"part-{j:03d}.parquet"))
+    stream = spark.readStream.schema("val string") \
+        .option("maxFilesPerTrigger", 1).parquet(str(src))
+    out = stream_heavy_hitters(stream, value_col="val", capacity=8,
+                               n_shards=2)
+    q = (out.writeStream.format("memory").queryName("hh_mem")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "hhck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM hh_mem").toPandas()
+    # take the LAST emitted snapshot per shard: highest total err/cnt
+    # emission per shard is the final one; reconstruct from python
+    # reference instead — shard values with md5 like the operator,
+    # fold each shard's full sequence, compare the final snapshot.
+    import hashlib
+    def shard_of(v):
+        return int(hashlib.md5(v.encode()).hexdigest()[:15], 16) % 2
+    finals = {}
+    for s in (0, 1):
+        seq = [v for v in values if shard_of(v) == s]
+        finals[s] = _mg_python(seq, 8)
+    # the last snapshot rows per shard are the rows from the final
+    # micro-batch; dedupe by keeping the max-err emission per shard
+    for s in (0, 1):
+        sub = got[got["shard"] == s]
+        last_err = sub["err_ub"].max()
+        snap = {r["value"]: int(r["count_lb"])
+                for _, r in sub[sub["err_ub"] == last_err].iterrows()}
+        ref_counters, ref_dec = finals[s]
+        # stream arrival order within a shard may differ from the
+        # python replay order across partitions; assert the
+        # order-free MG guarantees instead of exact residuals
+        assert last_err <= len([v for v in values
+                                if shard_of(v) == s]) // (8 + 1) + 1
+        from collections import Counter
+        truth = Counter(v for v in values if shard_of(v) == s)
+        for v, lb in snap.items():
+            assert lb <= truth[v] <= lb + last_err
+        # heavy values survive in both
+        top = [v for v, c in truth.most_common(3)]
+        for v in top:
+            if truth[v] > len(list(truth.elements())) // 9:
+                assert v in snap and v in ref_counters
