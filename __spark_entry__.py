@@ -8102,6 +8102,240 @@ FROM g
 """
 
 
+
+
+# ------------------------------------------------------------------
+# Round-5 session-8 registrations (post-pin: in-repo oracle sweep)
+# ------------------------------------------------------------------
+
+
+def _q231_mrr_at_k(spark, sf):
+    """MRR@5 per order, relevance = very-high-quantity line:
+    totalized (score desc, id asc) ranking, exact integer first-hit
+    rank, ONE division for the reciprocal. Round-5 post-pin
+    registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.relational import mrr_at_k
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice",
+        (F.col("l_quantity") > 40).cast("int").alias("rel"))
+    return mrr_at_k(li, group_cols=["l_orderkey"],
+                    id_col="l_linenumber",
+                    score_col="l_extendedprice", rel_col="rel", k=5)
+
+
+_O231 = """
+WITH b AS (
+  SELECT l_orderkey, l_linenumber AS id, l_extendedprice AS s,
+         CAST(l_quantity > 40 AS BIGINT) AS r
+  FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+    AND l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+ranked AS (
+  SELECT l_orderkey, r,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                            ORDER BY s DESC, id ASC) AS rnk
+  FROM b),
+s AS (
+  SELECT l_orderkey,
+         CAST(SUM(r) AS BIGINT) AS n_rel,
+         CAST(MIN(CASE WHEN r = 1 AND rnk <= 5 THEN rnk END)
+              AS INTEGER) AS first_rel_rank
+  FROM ranked GROUP BY l_orderkey)
+SELECT l_orderkey, n_rel, first_rel_rank,
+       CASE WHEN n_rel > 0 THEN
+         CASE WHEN first_rel_rank IS NOT NULL
+              THEN 1.0 / CAST(first_rel_rank AS DOUBLE) ELSE 0.0 END
+       END AS rr_at_k
+FROM s
+"""
+
+
+def _q232_script_mix(spark, sf):
+    """Character-class composition per document: explicit ASCII
+    classes only (Java regex and RE2 agree symbol-for-symbol), exact
+    BIGINT counts, single-division fractions. Round-5 post-pin
+    registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.textops import script_mix_stats
+    return script_mix_stats(_t(spark, sf, "documents"))
+
+
+_O232 = """
+WITH c AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(text) - length(regexp_replace(text, '[a-z]', '', 'g'))
+              AS BIGINT) AS n_lower,
+         CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))
+              AS BIGINT) AS n_upper,
+         CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+              AS BIGINT) AS n_digit,
+         CAST(length(text) - length(regexp_replace(text, '[ \t\n\r]', '', 'g'))
+              AS BIGINT) AS n_space,
+         CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g'))
+              AS BIGINT) AS n_punct
+  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL)
+SELECT doc_id, n_chars, n_lower, n_upper, n_digit, n_space, n_punct,
+       n_chars - n_lower - n_upper - n_digit - n_space - n_punct AS n_other,
+       CASE WHEN n_chars > 0 THEN CAST(n_lower + n_upper AS DOUBLE)
+            / CAST(n_chars AS DOUBLE) END AS frac_alpha,
+       CASE WHEN n_chars > 0 THEN CAST(n_digit AS DOUBLE)
+            / CAST(n_chars AS DOUBLE) END AS frac_digit,
+       CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)
+            / CAST(n_chars AS DOUBLE) END AS frac_punct
+FROM c
+"""
+
+
+def _q233_circular_time(spark, sf):
+    """Circular time-of-day statistics per event type: per-row
+    micro-floored cos/sin summed as exact BIGINT, resultant/variance
+    derived by IEEE-exact ops. Round-5 post-pin registration: in-repo
+    oracle sweep only."""
+    from kml2geojson_spark.eventops import circular_time_stats
+    return circular_time_stats(_t(spark, sf, "events"))
+
+
+_K233 = repr(2.0 * __import__("math").pi / 86400.0)
+
+_O233 = f"""
+WITH b AS (
+  SELECT event_type,
+         CAST(extract(hour FROM ts) * 3600 + extract(minute FROM ts) * 60
+              + extract(second FROM ts) AS DOUBLE) * {_K233} AS theta
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+g AS (
+  SELECT event_type AS grp, COUNT(*) AS n,
+         CAST(SUM(CAST(FLOOR(cos(theta) * 1000000.0) AS BIGINT))
+              AS BIGINT) AS cq,
+         CAST(SUM(CAST(FLOOR(sin(theta) * 1000000.0) AS BIGINT))
+              AS BIGINT) AS sq
+  FROM b GROUP BY event_type)
+SELECT grp AS "group", CAST(n AS BIGINT) AS n,
+       cq AS cos_sum_q, sq AS sin_sum_q,
+       sqrt(CAST(cq AS DOUBLE) * CAST(cq AS DOUBLE)
+            + CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+         / (CAST(n AS DOUBLE) * 1000000.0) AS resultant_len,
+       1.0 - sqrt(CAST(cq AS DOUBLE) * CAST(cq AS DOUBLE)
+                  + CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+         / (CAST(n AS DOUBLE) * 1000000.0) AS circ_variance
+FROM g
+"""
+
+
+_SUPP_POLY_SQL = """
+SELECT CAST(s_suppkey AS BIGINT) AS poly_id,
+       ((s_suppkey * 2971 + 1234) % 30000) / 100.0 - 150.0 AS cx,
+       ((s_suppkey * 4231 + 567) % 13000) / 100.0 - 65.0 AS cy,
+       1.0 + CAST(s_suppkey % 8 AS DOUBLE) * 1.0 AS r
+FROM supplier
+"""
+
+
+def _supplier_diamonds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(poly_id, rings) — 1000-per-sf0.1 convex CCW closed diamonds
+    from supplier keys (single Python-side source; SQL side:
+    _SUPP_POLY_SQL). Denser than the nation corpus so the overlap
+    join has real pair volume."""
+    s = _t(spark, sf_dir, "supplier")
+    cx = ((F.col("s_suppkey") * 2971 + 1234) % 30000) / 100.0 - 150.0
+    cy = ((F.col("s_suppkey") * 4231 + 567) % 13000) / 100.0 - 65.0
+    r = F.lit(1.0) + (F.col("s_suppkey") % 8).cast("double") * 1.0
+    base = s.select(F.col("s_suppkey").cast("long").alias("poly_id"),
+                    cx.alias("cx"), cy.alias("cy"), r.alias("r"))
+    ring = F.array(
+        F.array(F.col("cx") + F.col("r"), F.col("cy")),
+        F.array(F.col("cx"), F.col("cy") + F.col("r")),
+        F.array(F.col("cx") - F.col("r"), F.col("cy")),
+        F.array(F.col("cx"), F.col("cy") - F.col("r")),
+        F.array(F.col("cx") + F.col("r"), F.col("cy")),
+    )
+    return base.select("poly_id", F.array(ring).alias("rings"))
+
+
+def _q234_polygon_overlap(spark, sf):
+    """Polygon-polygon overlap self-join over supplier diamonds:
+    bbox-cell equi-join candidates (never all-pairs), strict-bbox
+    parity filter, general-edge Sutherland-Hodgman clip whose float
+    sequence the DuckDB oracle replays bit-for-bit. Round-5 post-pin
+    registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.spatial import polygon_overlap_pairs
+    return polygon_overlap_pairs(_supplier_diamonds(spark, sf), 6)
+
+
+def _sh_clip_edge_sql(L: str, ex: str, ey: str, fx: str, fy: str) -> str:
+    """One GENERAL half-plane Sutherland-Hodgman clip as a DuckDB
+    list expression — the SQL twin of _clip_edge_many: side test
+    ((fx-ex)*(y-ey) - (fy-ey)*(x-ex)) >= 0, t = sp/(sp-sq),
+    emission (kept vertex, then intersection) per subject edge."""
+    j = f"((i % len({L})) + 1)"
+
+    def side(pt: str) -> str:
+        return (f"((({fx}) - ({ex})) * ({pt}.y - ({ey})) "
+                f"- ((({fy}) - ({ey})) * ({pt}.x - ({ex}))))")
+
+    sp = side(f"{L}[i]")
+    sq = side(f"{L}[{j}]")
+    i_in = f"({sp} >= 0.0)"
+    j_in = f"({sq} >= 0.0)"
+    t = f"({sp} / ({sp} - {sq}))"
+    inter = (f"{{'x': {L}[i].x + {t} * ({L}[{j}].x - {L}[i].x), "
+             f"'y': {L}[i].y + {t} * ({L}[{j}].y - {L}[i].y)}}")
+    return (f"flatten(list_transform(range(1, len({L}) + 1), i -> "
+            f"(CASE WHEN {i_in} THEN [{L}[i]] ELSE [] END) || "
+            f"(CASE WHEN {i_in} != {j_in} THEN [{inter}] ELSE [] END)))")
+
+
+def _shoelace_sql(L: str) -> str:
+    """In-order shoelace fold (the _shoelace_many bit-contract):
+    abs(0.5 * left-fold of x_i*y_j - x_j*y_i), 0 when len < 3."""
+    j = f"((i % len({L})) + 1)"
+    terms = (f"list_transform(range(1, len({L}) + 1), i -> "
+             f"{L}[i].x * {L}[{j}].y - {L}[{j}].x * {L}[i].y)")
+    return (f"CASE WHEN len({L}) >= 3 THEN "
+            f"abs(0.5 * list_reduce(list_prepend(0.0, {terms}), "
+            f"(a, b) -> a + b)) ELSE 0.0 END")
+
+
+def _o234() -> str:
+    c1 = _sh_clip_edge_sql("ra", "rb[1].x", "rb[1].y", "rb[2].x", "rb[2].y")
+    c2 = _sh_clip_edge_sql("c1.pts", "rb[2].x", "rb[2].y", "rb[3].x", "rb[3].y")
+    c3 = _sh_clip_edge_sql("c2.pts", "rb[3].x", "rb[3].y", "rb[4].x", "rb[4].y")
+    c4 = _sh_clip_edge_sql("c3.pts", "rb[4].x", "rb[4].y", "rb[5].x", "rb[5].y")
+    shoe_a = _shoelace_sql("ra")
+    shoe_b = _shoelace_sql("rb")
+    shoe_i = _shoelace_sql("c4.pts")
+    return f"""
+WITH polys AS ({_SUPP_POLY_SQL}),
+d AS (
+  SELECT poly_id,
+         [{{'x': cx + r, 'y': cy}}, {{'x': cx, 'y': cy + r}},
+          {{'x': cx - r, 'y': cy}}, {{'x': cx, 'y': cy - r}},
+          {{'x': cx + r, 'y': cy}}] AS ring,
+         cx - r AS x0, cx + r AS x1, cy - r AS y0, cy + r AS y1
+  FROM polys),
+pr AS (
+  SELECT a.poly_id AS id_a, b.poly_id AS id_b,
+         a.ring AS ra, b.ring AS rb
+  FROM d a JOIN d b
+    ON a.poly_id < b.poly_id
+   AND a.x0 < b.x1 AND b.x0 < a.x1 AND a.y0 < b.y1 AND b.y0 < a.y1),
+c1 AS MATERIALIZED (SELECT id_a, id_b, ra, rb, {c1} AS pts FROM pr),
+c2 AS MATERIALIZED (SELECT id_a, id_b, ra, rb, {c2} AS pts FROM c1),
+c3 AS MATERIALIZED (SELECT id_a, id_b, ra, rb, {c3} AS pts FROM c2),
+c4 AS MATERIALIZED (SELECT id_a, id_b, ra, rb, {c4} AS pts FROM c3),
+ar AS (
+  SELECT id_a, id_b, {shoe_a} AS area_a, {shoe_b} AS area_b,
+         {shoe_i} AS inter_area
+  FROM c4)
+SELECT id_a, id_b, area_a, area_b, inter_area,
+       CASE WHEN LEAST(area_a, area_b) > 0.0
+            THEN inter_area / LEAST(area_a, area_b)
+            ELSE 0.0 END AS overlap_frac
+FROM ar WHERE inter_area > 0.0
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -8322,6 +8556,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q228_hll_overlap": _q228_hll_overlap,
         "q229_er_entities": _q229_er_entities,
         "q230_cume_gains": _q230_cume_gains,
+        "q231_mrr_at_k": _q231_mrr_at_k,
+        "q232_script_mix": _q232_script_mix,
+        "q233_circular_time": _q233_circular_time,
+        "q234_polygon_overlap": _q234_polygon_overlap,
     }
 
 
@@ -8541,6 +8779,10 @@ def oracle_sql() -> dict[str, str]:
         "q228_hll_overlap": _o228(),
         "q229_er_entities": _O229,
         "q230_cume_gains": _o230(),
+        "q231_mrr_at_k": _O231,
+        "q232_script_mix": _O232,
+        "q233_circular_time": _O233,
+        "q234_polygon_overlap": _o234(),
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

@@ -3089,3 +3089,61 @@ def cume_gains(df: DataFrame, *, score_col: str, label_col: str,
     return g.select("rank", "bucket", "n", "n_pos", "cum_n",
                     "cum_pos", capture.alias("capture"),
                     lift.alias("lift"))
+
+
+def mrr_at_k(df: DataFrame, *, group_cols: list[str], id_col: str,
+             score_col: str, rel_col: str, k: int = 10) -> DataFrame:
+    """Mean-reciprocal-rank@k per group — the "where does the FIRST
+    relevant item land" metric beside :func:`map_at_k` (all hits
+    weighted) and :func:`ndcg_at_k` (graded): RR = 1/rank of the
+    first relevant item inside the top ``k``, 0 when the group has
+    relevant items but none rank ≤ k, NULL when it has none at all.
+
+    Determinism: relevance must be INTEGER 0/1 (floats raise); the
+    ranking is totalized (score desc, id asc) so ties never reorder
+    across engines; ``first_rel_rank`` is an exact integer MIN and
+    the reciprocal is ONE division of exact integers. NULL
+    keys/scores/relevances drop.
+
+    Scale shape: ONE row_number window per group partitioning and
+    one hash-aggregate over the same keys — no join, no second
+    shuffle (the window's sort partitioning is reused by the agg).
+
+    Output: (group..., n_rel, first_rel_rank, rr_at_k).
+    """
+    from pyspark.sql.types import DoubleType, FloatType
+
+    fields = {f.name: f for f in df.schema.fields}
+    if isinstance(fields[rel_col].dataType, (DoubleType, FloatType)):
+        raise ValueError(
+            f"mrr_at_k: {rel_col!r} is floating-point — binarize "
+            "first (exact integer rank arithmetic is the determinism "
+            "contract)")
+    if not group_cols:
+        raise ValueError("mrr_at_k: group_cols must be non-empty")
+    if k < 1:
+        raise ValueError("mrr_at_k: k must be >= 1")
+    rel = F.col(rel_col).cast("long")
+    keep = (rel.isin(0, 1) & F.col(score_col).isNotNull()
+            & F.col(id_col).isNotNull())
+    for g in group_cols:
+        keep = keep & F.col(g).isNotNull()
+    b = df.where(keep).select(*group_cols,
+                              F.col(id_col).alias("_id"),
+                              F.col(score_col).alias("_s"),
+                              rel.alias("_r"))
+    wo = Window.partitionBy(*group_cols) \
+        .orderBy(F.col("_s").desc(), F.col("_id").asc())
+    ranked = b.select(*group_cols, "_r",
+                      F.row_number().over(wo).alias("_rank"))
+    s = ranked.groupBy(*group_cols).agg(
+        F.sum("_r").alias("n_rel"),
+        F.min(F.when((F.col("_r") == 1) & (F.col("_rank") <= k),
+                     F.col("_rank"))).alias("first_rel_rank"))
+    rr = F.when(F.col("n_rel") > 0,
+                F.when(F.col("first_rel_rank").isNotNull(),
+                       F.lit(1.0)
+                       / F.col("first_rel_rank").cast("double"))
+                .otherwise(F.lit(0.0)))
+    return s.select(*group_cols, "n_rel", "first_rel_rank",
+                    rr.alias("rr_at_k"))

@@ -2816,3 +2816,196 @@ def getis_ord_gstar(cells: DataFrame, res: int, radius: int = 1, *,
                          / (F.col("_n") - F.lit(1)).cast("double")))
     return j.select("cell_id", "value", "nbr_sum", "nbr_cnt",
                     gi.alias("gi_star"))
+
+
+def _clip_edge_many(pts: np.ndarray, cnt: np.ndarray, ex: np.ndarray,
+                    ey: np.ndarray, fx: np.ndarray, fy: np.ndarray):
+    """Vectorized Sutherland–Hodgman against ONE GENERAL half-plane
+    per polygon: the clip edge runs (ex,ey)→(fx,fy) and the kept side
+    is its LEFT (``side >= 0`` with ``side = (fx-ex)*(y-ey) -
+    (fy-ey)*(x-ex)``) — the CCW-interior convention. Emission order
+    per subject edge (kept vertex, then intersection) and the
+    intersection formula ``p + t*(q-p)`` with ``t = sp/(sp-sq)``
+    are the bit-contract the SQL oracle replays symbol-for-symbol
+    (the general-edge sibling of :func:`_clip_half_many`)."""
+    C, M, _ = pts.shape
+    if M == 0 or not cnt.any():
+        return pts[:, :0], np.zeros(C, dtype=np.int64)
+    idx = np.arange(M)
+    valid = idx[None, :] < cnt[:, None]
+    safe = np.maximum(cnt, 1)
+    nxt = np.where(idx[None, :] + 1 < safe[:, None], idx[None, :] + 1, 0)
+    dx = (fx - ex)[:, None]
+    dy = (fy - ey)[:, None]
+    side = dx * (pts[:, :, 1] - ey[:, None]) \
+        - dy * (pts[:, :, 0] - ex[:, None])
+    side_q = np.take_along_axis(side, nxt, axis=1)
+    inside_p = side >= 0.0
+    inside_q = side_q >= 0.0
+    keep_v = inside_p & valid
+    cross = (inside_p != inside_q) & valid
+    mask = np.empty((C, 2 * M), dtype=bool)
+    mask[:, 0::2] = keep_v
+    mask[:, 1::2] = cross
+    new_cnt = mask.sum(axis=1).astype(np.int64)
+    new_m = int(new_cnt.max()) if C else 0
+    out = np.zeros((C, new_m, 2))
+    if new_m == 0:
+        return out, new_cnt
+    pos = mask.cumsum(axis=1)
+    pos -= 1
+    r0, k0 = np.nonzero(keep_v)
+    out[r0, pos[r0, 2 * k0]] = pts[r0, k0]
+    r1, k1 = np.nonzero(cross)
+    if len(r1):
+        p = pts[r1, k1]
+        q = pts[r1, nxt[r1, k1]]
+        sp = side[r1, k1]
+        sq = side_q[r1, k1]
+        t = sp / (sp - sq)
+        out[r1, pos[r1, 2 * k1 + 1]] = p + t[:, None] * (q - p)
+    return out, new_cnt
+
+
+def _pad_rings(rings_list) -> tuple[np.ndarray, np.ndarray]:
+    """Outer rings (first ring of each) → (C, M, 2) padded float64
+    storage + counts; malformed rows get count 0 (dropped later)."""
+    rs = []
+    for rings in rings_list:
+        parsed = _rings_to_np(rings)
+        rs.append(parsed[0] if parsed else np.empty((0, 2)))
+    C = len(rs)
+    M = max((len(r) for r in rs), default=0)
+    pts = np.zeros((C, M, 2))
+    cnt = np.zeros(C, dtype=np.int64)
+    for i, r in enumerate(rs):
+        pts[i, :len(r)] = r
+        cnt[i] = len(r)
+    return pts, cnt
+
+
+def polygon_overlap_pairs(polys: DataFrame, res: int, *,
+                          id_col: str = "poly_id",
+                          rings_col: str = "rings") -> DataFrame:
+    """Polygon↔polygon overlap self-join: every pair of polygons whose
+    OUTER rings intersect with positive area, with the exact
+    intersection area (Sutherland–Hodgman clip of the lower-id
+    polygon by each edge of the higher-id one + in-order shoelace).
+    The polygon-valued sibling of :func:`rect_intersection_join` —
+    geofence dedup, overlapping-AOI audits, coverage double-count
+    detection.
+
+    Semantics: outer rings only (holes ignored — document per call
+    site); rings must be CLOSED (first vertex repeated last) and the
+    CLIP polygon (higher id) must be CONVEX and CCW — Sutherland–
+    Hodgman intersects the subject with the clip's half-planes, which
+    is exact only for convex clips. Subject convexity is NOT required.
+
+    Determinism: subject/clip roles are fixed by id order (subject =
+    smaller id); the clip kernel and the SQL oracle execute the same
+    float ops in the same order (side test ``(fx-ex)*(y-ey) -
+    (fy-ey)*(x-ex)``, ``t = sp/(sp-sq)``, in-order shoelace fold), so
+    every double matches bit-for-bit cross-engine.
+
+    Scale shape (the 100-TB contract): candidates come from a
+    bbox-cell equi-join at ``res`` (each polygon → its bbox cells via
+    :func:`cover_cells_rect`, pure Column) — NEVER all-pairs; the
+    pair set is deduped by key before rings are joined back, and the
+    exact clip runs only on bbox-overlapping candidates in Arrow
+    batches. Pick ``res`` so a typical bbox spans O(1..100) cells.
+
+    Output: (id_a, id_b, area_a, area_b, inter_area, overlap_frac)
+    with id_a < id_b, inter_area > 0; overlap_frac =
+    inter_area / min(area_a, area_b).
+    """
+    base = polys.where(F.col(id_col).isNotNull()
+                       & F.col(rings_col).isNotNull()) \
+        .select(F.col(id_col).alias("_pid"), F.col(rings_col).alias("_rings"))
+    outer = F.col("_rings")[0]
+    xs = F.transform(outer, lambda p: p[0])
+    ys = F.transform(outer, lambda p: p[1])
+    rect = base.select(
+        "_pid",
+        F.array_min(xs).alias("west"), F.array_min(ys).alias("south"),
+        F.array_max(xs).alias("east"), F.array_max(ys).alias("north"))
+    cells = cover_cells_rect(rect, res, with_fraction=False) \
+        .select("_pid", "cell_id", "west", "south", "east", "north")
+    a = cells.select(F.col("_pid").alias("id_a"), "cell_id",
+                     F.col("west").alias("_aw"), F.col("south").alias("_as"),
+                     F.col("east").alias("_ae"), F.col("north").alias("_an"))
+    b = cells.select(F.col("_pid").alias("id_b"), "cell_id",
+                     F.col("west").alias("_bw"), F.col("south").alias("_bs"),
+                     F.col("east").alias("_be"), F.col("north").alias("_bn"))
+    # STRICT bbox overlap: a positive-area polygon intersection implies
+    # open bbox overlap in both axes, and open bbox overlap implies a
+    # shared bbox-cover cell at any res — so (shared cell) ∧ (strict
+    # bbox) equals plain strict-bbox candidates exactly, which is what
+    # the SQL oracle enumerates. Boundary-touching pairs (zero area by
+    # construction, float-degenerate to clip) are excluded from BOTH
+    # candidate sets by the strict test.
+    pairs = (a.join(b, "cell_id")
+             .where(F.col("id_a") < F.col("id_b"))
+             .where((F.col("_aw") < F.col("_be"))
+                    & (F.col("_bw") < F.col("_ae"))
+                    & (F.col("_as") < F.col("_bn"))
+                    & (F.col("_bs") < F.col("_an")))
+             .select("id_a", "id_b").distinct())
+    with_rings = (pairs
+                  .join(base.select(F.col("_pid").alias("id_a"),
+                                    F.col("_rings").alias("_ra")), "id_a")
+                  .join(base.select(F.col("_pid").alias("id_b"),
+                                    F.col("_rings").alias("_rb")), "id_b")
+                  .select("id_a", "id_b", "_ra", "_rb"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        empty = pd.DataFrame({
+            "id_a": pd.Series([], dtype="int64"),
+            "id_b": pd.Series([], dtype="int64"),
+            "area_a": pd.Series([], dtype="float64"),
+            "area_b": pd.Series([], dtype="float64"),
+            "inter_area": pd.Series([], dtype="float64"),
+            "overlap_frac": pd.Series([], dtype="float64")})
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seen = True
+            pts_a, cnt_a = _pad_rings(pdf["_ra"])
+            pts_b, cnt_b = _pad_rings(pdf["_rb"])
+            area_a = _shoelace_many(pts_a, cnt_a)
+            area_b = _shoelace_many(pts_b, cnt_b)
+            cur, cur_cnt = pts_a, cnt_a.copy()
+            max_e = int((cnt_b - 1).max()) if len(cnt_b) else 0
+            for k in range(max(0, max_e)):
+                act = (k + 1) < cnt_b
+                if not act.any():
+                    break
+                new, new_cnt = _clip_edge_many(
+                    cur, np.where(act, cur_cnt, 0),
+                    pts_b[:, min(k, pts_b.shape[1] - 1), 0],
+                    pts_b[:, min(k, pts_b.shape[1] - 1), 1],
+                    pts_b[:, min(k + 1, pts_b.shape[1] - 1), 0],
+                    pts_b[:, min(k + 1, pts_b.shape[1] - 1), 1])
+                m = max(new.shape[1], cur.shape[1])
+                merged = np.zeros((len(cnt_b), m, 2))
+                merged[act, :new.shape[1]] = new[act]
+                merged[~act, :cur.shape[1]] = cur[~act]
+                cur = merged
+                cur_cnt = np.where(act, new_cnt, cur_cnt)
+            inter = _shoelace_many(cur, cur_cnt)
+            ok = inter > 0.0
+            denom = np.minimum(area_a, area_b)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                frac = np.where(denom > 0.0, inter / denom, 0.0)
+            yield pd.DataFrame({
+                "id_a": pdf["id_a"].to_numpy()[ok],
+                "id_b": pdf["id_b"].to_numpy()[ok],
+                "area_a": area_a[ok], "area_b": area_b[ok],
+                "inter_area": inter[ok], "overlap_frac": frac[ok]})
+        if not seen:
+            yield empty
+
+    return with_rings.mapInPandas(
+        kernel,
+        "id_a long, id_b long, area_a double, area_b double, "
+        "inter_area double, overlap_frac double")

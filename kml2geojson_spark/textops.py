@@ -1857,3 +1857,66 @@ def compression_ratio(documents: DataFrame, *, id_col: str = "doc_id",
     return base.mapInPandas(
         kernel,
         "doc_id long, n_bytes long, n_compressed long, ratio double")
+
+
+def script_mix_stats(documents: DataFrame, *, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-document character-class composition — the script/noise
+    profile beside :func:`quality_score` (word-level ratios) and
+    :func:`lang_guess` (n-gram hints): how much of each document is
+    lowercase / uppercase / digit / whitespace / ASCII punctuation /
+    other. Mixed-script and symbol-heavy documents are classic
+    training-data noise (code dumps, table fragments, mojibake) and
+    this is the cheap first-pass filter signal for them.
+
+    Determinism: every count is ``length(s) -
+    length(regexp_replace(s, class, ''))`` over EXPLICIT ASCII
+    character classes (``[a-z]``, ``[A-Z]``, ``[0-9]``,
+    ``[ \\t\\n\\r]``, ``[!-/:-@[-`{-~]``) — no locale- or
+    Unicode-category-dependent classes, so Java regex and RE2
+    agree symbol-for-symbol; ``n_other`` is the exact integer
+    remainder. Lengths are UTF-16 code units on the JVM — identical
+    to code points for all BMP text; documented caveat for astral
+    symbols. Fractions are single divisions of exact BIGINTs.
+
+    Scale shape: pure-Column, whole-stage codegen, zero shuffle,
+    zero Python — a scan-shaped operator safe at any corpus size.
+
+    Output: (doc_id, n_chars, n_lower, n_upper, n_digit, n_space,
+    n_punct, n_other, frac_alpha, frac_digit, frac_punct) —
+    fractions NULL for empty text; NULL text/id drop.
+    """
+    t = F.col("_t")
+
+    def cnt(pattern: str):
+        return (F.length(t)
+                - F.length(F.regexp_replace(t, pattern, ""))) \
+            .cast("long")
+
+    base = (documents.where(F.col(text_col).isNotNull()
+                            & F.col(id_col).isNotNull())
+            .select(F.col(id_col).alias("doc_id"),
+                    F.col(text_col).alias("_t")))
+    c = base.select(
+        "doc_id",
+        F.length(t).cast("long").alias("n_chars"),
+        cnt("[a-z]").alias("n_lower"),
+        cnt("[A-Z]").alias("n_upper"),
+        cnt("[0-9]").alias("n_digit"),
+        cnt("[ \t\n\r]").alias("n_space"),
+        cnt("[!-/:-@\\[-`{-~]").alias("n_punct"))
+    other = (F.col("n_chars") - F.col("n_lower") - F.col("n_upper")
+             - F.col("n_digit") - F.col("n_space")
+             - F.col("n_punct")).alias("n_other")
+
+    def frac(num):
+        return F.when(F.col("n_chars") > 0,
+                      num.cast("double")
+                      / F.col("n_chars").cast("double"))
+
+    return c.select(
+        "doc_id", "n_chars", "n_lower", "n_upper", "n_digit",
+        "n_space", "n_punct", other,
+        frac(F.col("n_lower") + F.col("n_upper")).alias("frac_alpha"),
+        frac(F.col("n_digit")).alias("frac_digit"),
+        frac(F.col("n_punct")).alias("frac_punct"))
