@@ -8336,6 +8336,120 @@ FROM ar WHERE inter_area > 0.0
 """
 
 
+
+
+def _q235_rolling_active(spark, sf):
+    """Exact DAU + trailing-7-day active users over events: dedup
+    before the bounded window fan-out, pure BIGINT set arithmetic.
+    Round-5 post-pin registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.eventops import rolling_active_users
+    return rolling_active_users(_t(spark, sf, "events"), window_days=7)
+
+
+_O235 = """
+WITH ud AS (
+  SELECT DISTINCT user_id AS u,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day),
+ex AS (SELECT DISTINCT u, day + x AS day2
+       FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS x) t),
+wau AS (SELECT day2, CAST(COUNT(*) AS BIGINT) AS rolling_active
+        FROM ex GROUP BY day2)
+SELECT CAST(dau.day AS BIGINT) AS day, dau.dau, wau.rolling_active
+FROM dau JOIN wau ON wau.day2 = dau.day
+"""
+
+
+def _q236_readability(spark, sf):
+    """Flesch reading-ease per document: exact regexp_count BIGINTs
+    over explicit ASCII classes, IEEE-exact derived score. Round-5
+    post-pin registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.textops import readability_scores
+    return readability_scores(_t(spark, sf, "documents"))
+
+
+_O236 = """
+WITH c AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[a-zA-Z]+')) AS BIGINT)
+           AS n_words,
+         CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)
+           AS n_sentences,
+         CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS BIGINT)
+           AS n_syllables
+  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CASE WHEN n_sentences > 0 THEN CAST(n_words AS DOUBLE)
+            / CAST(n_sentences AS DOUBLE) END AS words_per_sentence,
+       CASE WHEN n_words > 0 THEN CAST(n_syllables AS DOUBLE)
+            / CAST(n_words AS DOUBLE) END AS syllables_per_word,
+       CASE WHEN n_sentences > 0 AND n_words > 0 THEN
+         206.835
+         - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+         - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+       END AS flesch
+FROM c
+"""
+
+
+def _q237_hits(spark, sf):
+    """3-round integer HITS over the customer-supplier purchase graph
+    (the q85 edge synthesis): max-normalized milli-unit half-rounds,
+    pure BIGINT. Round-5 post-pin registration: in-repo oracle sweep
+    only."""
+    from kml2geojson_spark.graph import hits_scores
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    edges = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+             .select(F.col("o_custkey").alias("src"),
+                     (F.col("l_suppkey") + 10_000_000).alias("dst")))
+    return hits_scores(edges, n_iters=3)
+
+
+def _o237() -> str:
+    rounds = []
+    prev_h = "h0"
+    for i in (1, 2, 3):
+        rounds.append(f"""
+ar{i} AS (
+  SELECT e.dst AS node, CAST(SUM(s.h) AS BIGINT) AS x
+  FROM e JOIN {prev_h} s ON s.node = e.src GROUP BY e.dst),
+af{i} AS (
+  SELECT n.node, CAST(COALESCE(r.x, 0) AS BIGINT) AS x
+  FROM nodes n LEFT JOIN ar{i} r ON n.node = r.node),
+am{i} AS (SELECT MAX(x) AS mx FROM af{i}),
+a{i} AS (
+  SELECT f.node,
+         CAST(CASE WHEN m.mx > 0 THEN (f.x * 1000) // m.mx ELSE 0 END
+              AS BIGINT) AS a
+  FROM af{i} f CROSS JOIN am{i} m),
+hr{i} AS (
+  SELECT e.src AS node, CAST(SUM(s.a) AS BIGINT) AS x
+  FROM e JOIN a{i} s ON s.node = e.dst GROUP BY e.src),
+hf{i} AS (
+  SELECT n.node, CAST(COALESCE(r.x, 0) AS BIGINT) AS x
+  FROM nodes n LEFT JOIN hr{i} r ON n.node = r.node),
+hm{i} AS (SELECT MAX(x) AS mx FROM hf{i}),
+h{i} AS (
+  SELECT f.node,
+         CAST(CASE WHEN m.mx > 0 THEN (f.x * 1000) // m.mx ELSE 0 END
+              AS BIGINT) AS h
+  FROM hf{i} f CROSS JOIN hm{i} m)"""
+        )
+        prev_h = f"h{i}"
+    return f"""
+WITH e AS (
+  SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+h0 AS (SELECT node, CAST(1000 AS BIGINT) AS h FROM nodes),
+{",".join(rounds)}
+SELECT h3.node, h3.h AS hub_milli, a3.a AS auth_milli
+FROM h3 JOIN a3 ON a3.node = h3.node
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -8560,6 +8674,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q232_script_mix": _q232_script_mix,
         "q233_circular_time": _q233_circular_time,
         "q234_polygon_overlap": _q234_polygon_overlap,
+        "q235_rolling_active": _q235_rolling_active,
+        "q236_readability": _q236_readability,
+        "q237_hits": _q237_hits,
     }
 
 
@@ -8783,6 +8900,9 @@ def oracle_sql() -> dict[str, str]:
         "q232_script_mix": _O232,
         "q233_circular_time": _O233,
         "q234_polygon_overlap": _o234(),
+        "q235_rolling_active": _O235,
+        "q236_readability": _O236,
+        "q237_hits": _o237(),
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

@@ -1243,3 +1243,47 @@ def circular_time_stats(events: DataFrame, *, ts_col: str = "ts",
     return agg.select("group", "n", "cos_sum_q", "sin_sum_q",
                       r.alias("resultant_len"),
                       (F.lit(1.0) - r).alias("circ_variance"))
+
+
+def rolling_active_users(events: DataFrame, *, ts_col: str = "ts",
+                         user_col: str = "user_id",
+                         window_days: int = 7) -> DataFrame:
+    """Daily active users plus trailing-window active users (the
+    DAU/WAU board) — EXACT rolling distinct counts, not sketches:
+    each distinct (user, day) activation is fanned out to the
+    ``window_days`` trailing windows it keeps alive, deduped, and
+    counted. The retention-adjacent "is the product alive" metric
+    beside :func:`cohort_retention` (who returns) and
+    :func:`max_streak` (how regularly).
+
+    Determinism: days are integer epoch-day indexes (TIMESTAMP_NTZ
+    cast, session-timezone independent); everything is exact BIGINT
+    set arithmetic — no floats anywhere.
+
+    Scale shape: distinct (user, day) first (one shuffle — this is
+    the 100-TB crux: raw events dedupe to at most users × days rows
+    BEFORE the window fan-out), then an explode by ``window_days``
+    (bounded ×W blowup on the deduped frame), a second dedup, and
+    two tiny per-day hash-aggregates joined on day. Exact rolling
+    distincts cannot skip the second dedup; for approximate boards
+    at planetary scale compose grouped HLL sketches instead.
+
+    Output: (day, dau, rolling_active) for every day present in the
+    data — ``rolling_active`` counts users active in the
+    ``window_days`` window ENDING that day.
+    """
+    if window_days < 1:
+        raise ValueError("rolling_active_users: window_days must be >= 1")
+    day = F.datediff(F.col(ts_col).cast("date"),
+                     F.to_date(F.lit("1970-01-01"))).cast("long")
+    ud = (events.where(F.col(ts_col).isNotNull()
+                       & F.col(user_col).isNotNull())
+          .select(F.col(user_col).alias("_u"), day.alias("day"))
+          .distinct())
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    ex = (ud.select("_u", F.explode(
+        F.sequence(F.col("day"),
+                   F.col("day") + F.lit(window_days - 1))).alias("day"))
+          .distinct())
+    wau = ex.groupBy("day").agg(F.count(F.lit(1)).alias("rolling_active"))
+    return dau.join(wau, "day").select("day", "dau", "rolling_active")

@@ -1920,3 +1920,53 @@ def script_mix_stats(documents: DataFrame, *, text_col: str = "text",
         frac(F.col("n_lower") + F.col("n_upper")).alias("frac_alpha"),
         frac(F.col("n_digit")).alias("frac_digit"),
         frac(F.col("n_punct")).alias("frac_punct"))
+
+
+def readability_scores(documents: DataFrame, *, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Flesch reading-ease per document — the classic readability
+    quality signal (training corpora skew unreadable when scraped
+    from tables/code/navigation): ``206.835 - 1.015·(words/sentence)
+    - 84.6·(syllables/word)`` with the standard cheap proxies —
+    words = ``[a-zA-Z]+`` runs, sentences = ``[.!?]+`` runs,
+    syllables = vowel-group (``[aeiouyAEIOUY]+``) runs. A heuristic
+    by construction (documented); the VALUE is fully deterministic.
+
+    Determinism: all three counts are ``regexp_count`` over explicit
+    ASCII classes (Java regex ≡ RE2 for these patterns) as exact
+    BIGINTs; the score is derived by IEEE-exact ops on the exact
+    integers (two divisions, two multiplications by decimal literals,
+    two subtractions — identical order cross-engine, hence
+    bit-identical doubles). Score NULL when words or sentences are 0.
+
+    Scale shape: pure-Column, whole-stage codegen, zero shuffle,
+    zero Python. Scan-shaped, any-scale-safe.
+
+    Output: (doc_id, n_words, n_sentences, n_syllables,
+    words_per_sentence, syllables_per_word, flesch).
+    """
+    t = F.col("_t")
+    base = (documents.where(F.col(text_col).isNotNull()
+                            & F.col(id_col).isNotNull())
+            .select(F.col(id_col).alias("doc_id"),
+                    F.col(text_col).alias("_t")))
+    c = base.select(
+        "doc_id",
+        F.regexp_count(t, F.lit("[a-zA-Z]+")).cast("long")
+        .alias("n_words"),
+        F.regexp_count(t, F.lit("[.!?]+")).cast("long")
+        .alias("n_sentences"),
+        F.regexp_count(t, F.lit("[aeiouyAEIOUY]+")).cast("long")
+        .alias("n_syllables"))
+    w = F.col("n_words").cast("double")
+    s = F.col("n_sentences").cast("double")
+    y = F.col("n_syllables").cast("double")
+    wps = F.when(F.col("n_sentences") > 0, w / s)
+    spw = F.when(F.col("n_words") > 0, y / w)
+    flesch = F.when((F.col("n_sentences") > 0) & (F.col("n_words") > 0),
+                    F.lit(206.835) - F.lit(1.015) * (w / s)
+                    - F.lit(84.6) * (y / w))
+    return c.select("doc_id", "n_words", "n_sentences", "n_syllables",
+                    wps.alias("words_per_sentence"),
+                    spw.alias("syllables_per_word"),
+                    flesch.alias("flesch"))

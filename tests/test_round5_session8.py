@@ -246,3 +246,112 @@ def test_clip_edge_many_matches_scalar():
             ref_pad[0, :len(ref)] = ref
         a2 = _shoelace_many(ref_pad, np.array([len(ref)]))[0]
         assert a1 == a2
+
+
+# -------------------------------------------------- rolling_active_users
+
+
+def test_rolling_active_users_hand_checked(spark):
+    from kml2geojson_spark.eventops import rolling_active_users
+    rows = [
+        (1, "2024-01-01 05:00:00"), (1, "2024-01-01 09:00:00"),  # dup day
+        (2, "2024-01-01 10:00:00"),
+        (1, "2024-01-03 10:00:00"),
+        (3, "2024-01-09 10:00:00"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"]) \
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    out = {r["day"]: r for r in
+           rolling_active_users(df, window_days=7).collect()}
+    d0 = 19723  # 2024-01-01 epoch day
+    assert set(out) == {d0, d0 + 2, d0 + 8}  # observed days only
+    assert out[d0]["dau"] == 2 and out[d0]["rolling_active"] == 2
+    assert out[d0 + 2]["dau"] == 1
+    # window ending Jan 3 covers Jan 1-3: users 1, 2
+    assert out[d0 + 2]["rolling_active"] == 2
+    # window ending Jan 9 covers Jan 3-9: users 1 (Jan 3) and 3
+    assert out[d0 + 8]["dau"] == 1
+    assert out[d0 + 8]["rolling_active"] == 2
+
+
+def test_rolling_active_users_window1_equals_dau(spark):
+    from kml2geojson_spark.eventops import rolling_active_users
+    rows = [(u, f"2024-01-0{d} 01:00:00") for u in (1, 2, 3)
+            for d in (1, 2)]
+    df = spark.createDataFrame(rows, ["user_id", "ts"]) \
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    for r in rolling_active_users(df, window_days=1).collect():
+        assert r["dau"] == r["rolling_active"]
+
+
+# ---------------------------------------------------- readability_scores
+
+
+def test_readability_hand_checked(spark):
+    from kml2geojson_spark.textops import readability_scores
+    text = "The cat sat. It purred!"  # 5 words, 2 sentences
+    # vowel groups: e, a, a, I, u, e -> 6 syllables
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    row = readability_scores(df).collect()[0]
+    assert row["n_words"] == 5
+    assert row["n_sentences"] == 2
+    assert row["n_syllables"] == 6
+    assert row["words_per_sentence"] == 2.5
+    assert row["syllables_per_word"] == 1.2
+    assert row["flesch"] == 206.835 - 1.015 * 2.5 - 84.6 * 1.2
+
+
+def test_readability_degenerate_null(spark):
+    from kml2geojson_spark.textops import readability_scores
+    df = spark.createDataFrame([(1, "no sentence marker"),
+                                (2, "...")], ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in readability_scores(df).collect()}
+    assert rows[1]["flesch"] is None  # zero sentences
+    assert rows[2]["flesch"] is None  # zero words
+    assert rows[2]["n_sentences"] == 1
+
+
+def test_readability_pure_column_plan(spark):
+    from kml2geojson_spark.textops import readability_scores
+    df = spark.createDataFrame([(1, "x.")], ["doc_id", "text"])
+    plan = _plan(readability_scores(df))
+    assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+# ------------------------------------------------------------ hits_scores
+
+
+def test_hits_star_graph(spark):
+    from kml2geojson_spark.graph import hits_scores
+    # one hub (0) pointing at 3 authorities; a weak hub (9) at one
+    edges = [(0, 1), (0, 2), (0, 3), (9, 1)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = {r["node"]: r for r in hits_scores(df, n_iters=2).collect()}
+    assert out[0]["hub_milli"] == 1000          # best hub normalizes to max
+    assert out[9]["hub_milli"] < 1000
+    assert out[1]["auth_milli"] == 1000         # pointed at by both hubs
+    assert out[2]["auth_milli"] == out[3]["auth_milli"]
+    assert out[2]["auth_milli"] < 1000
+    # pure-sink/source nodes get 0 on the unused side
+    assert out[1]["hub_milli"] == 0
+    assert out[0]["auth_milli"] == 0
+
+
+def test_hits_deterministic_integers(spark):
+    from kml2geojson_spark.graph import hits_scores
+    import random
+    rng = random.Random(5)
+    edges = [(rng.randrange(20), 100 + rng.randrange(10))
+             for _ in range(60)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    a = sorted(map(tuple, hits_scores(df, n_iters=3).collect()))
+    b = sorted(map(tuple, hits_scores(
+        df.repartition(7), n_iters=3).collect()))
+    assert a == b  # partitioning can never change the BIGINT scores
+
+
+def test_hits_rejects_zero_iters(spark):
+    from kml2geojson_spark.graph import hits_scores
+    df = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    with pytest.raises(ValueError):
+        hits_scores(df, n_iters=0)
