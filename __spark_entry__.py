@@ -8450,6 +8450,110 @@ FROM h3 JOIN a3 ON a3.node = h3.node
 """
 
 
+
+
+def _q238_haversine(spark, sf):
+    """Great-circle meters from every lineitem point to the (0,0)
+    anchor, aggregated per returnflag as floored-integer-meter exact
+    BIGINT sums (the libm-quantization oracle discipline). Round-5
+    post-pin registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.spatial import haversine_m
+    li = _t(spark, sf, "lineitem")
+    x = ((F.col("l_orderkey") * 131 + F.col("l_linenumber") * 7 + 17)
+         % 36000) / 100.0 - 180.0
+    y = ((F.col("l_orderkey") * 241 + F.col("l_linenumber") * 11 + 29)
+         % 17000) / 100.0 - 85.0
+    pts = li.select(F.col("l_returnflag").alias("flag"),
+                    x.alias("lon"), y.alias("lat"))
+    d = haversine_m(F.col("lat"), F.col("lon"), F.lit(0.0), F.lit(0.0))
+    g = pts.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(d).cast("long")).alias("dist_m_sum"))
+    return g.select("flag", "n", "dist_m_sum",
+                    (F.col("dist_m_sum").cast("double")
+                     / F.col("n").cast("double")).alias("mean_dist_m"))
+
+
+_K238 = repr(__import__("math").pi / 180.0)
+
+_O238 = f"""
+WITH pts AS (
+  SELECT l_returnflag AS flag,
+         ((l_orderkey * 131 + l_linenumber * 7 + 17) % 36000) / 100.0
+           - 180.0 AS lon,
+         ((l_orderkey * 241 + l_linenumber * 11 + 29) % 17000) / 100.0
+           - 85.0 AS lat
+  FROM lineitem),
+d AS (
+  SELECT flag,
+         6371000.0 * 2.0 * asin(sqrt(least(
+           sin(((0.0 - lat) * {_K238}) / 2.0)
+             * sin(((0.0 - lat) * {_K238}) / 2.0)
+           + cos(lat * {_K238}) * cos(0.0 * {_K238})
+             * sin(((0.0 - lon) * {_K238}) / 2.0)
+             * sin(((0.0 - lon) * {_K238}) / 2.0),
+           1.0))) AS dm
+  FROM pts)
+SELECT flag, COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(dm) AS BIGINT)) AS BIGINT) AS dist_m_sum,
+       CAST(SUM(CAST(FLOOR(dm) AS BIGINT)) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS mean_dist_m
+FROM d GROUP BY flag
+"""
+
+
+def _q239_winsorized(spark, sf):
+    """Per-returnflag winsorized mean of price cents (clamp the 10%
+    tails to the boundary values): exact value-count integer
+    arithmetic, ONE final division. Round-5 post-pin registration:
+    in-repo oracle sweep only."""
+    from kml2geojson_spark.relational import winsorized_mean
+    li = _t(spark, sf, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100.0).cast("long")
+        .alias("cents"))
+    return winsorized_mean(li, value_col="cents",
+                           group_cols=["l_returnflag"], wins_milli=100)
+
+
+_O239 = """
+WITH b AS (
+  SELECT l_returnflag AS g,
+         CAST(ROUND(l_extendedprice * 100.0) AS BIGINT) AS v
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL),
+pv AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY g, v),
+st AS (
+  SELECT g, v, c,
+         CAST(COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY v
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS BIGINT)
+           AS before,
+         CAST(SUM(c) OVER (PARTITION BY g) AS BIGINT) AS n
+  FROM pv),
+kp AS (
+  SELECT g, v, c, before, n, (n * 100) // 1000 AS k,
+         GREATEST(0, LEAST(before + c, n - (n * 100) // 1000)
+                     - GREATEST(before, (n * 100) // 1000)) AS mid
+  FROM st),
+agg AS (
+  SELECT g, CAST(MAX(n) AS BIGINT) AS n,
+         CAST(MAX(k) AS BIGINT) AS k_per_side,
+         CAST(MAX(CASE WHEN before <= k AND before + c > k THEN v END)
+              AS BIGINT) AS lo_clamp,
+         CAST(MAX(CASE WHEN before < n - k AND before + c >= n - k
+                  THEN v END) AS BIGINT) AS hi_clamp,
+         CAST(SUM(v * mid) AS BIGINT) AS midsum
+  FROM kp GROUP BY g)
+SELECT g AS l_returnflag, n, k_per_side, lo_clamp, hi_clamp,
+       CAST(midsum + k_per_side * lo_clamp + k_per_side * hi_clamp
+            AS BIGINT) AS winsorized_sum,
+       CAST(midsum + k_per_side * lo_clamp + k_per_side * hi_clamp
+            AS DOUBLE) / CAST(n AS DOUBLE) AS winsorized_mean
+FROM agg
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -8677,6 +8781,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q235_rolling_active": _q235_rolling_active,
         "q236_readability": _q236_readability,
         "q237_hits": _q237_hits,
+        "q238_haversine": _q238_haversine,
+        "q239_winsorized": _q239_winsorized,
     }
 
 
@@ -8903,6 +9009,8 @@ def oracle_sql() -> dict[str, str]:
         "q235_rolling_active": _O235,
         "q236_readability": _O236,
         "q237_hits": _o237(),
+        "q238_haversine": _O238,
+        "q239_winsorized": _O239,
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

@@ -3147,3 +3147,81 @@ def mrr_at_k(df: DataFrame, *, group_cols: list[str], id_col: str,
                 .otherwise(F.lit(0.0)))
     return s.select(*group_cols, "n_rel", "first_rel_rank",
                     rr.alias("rr_at_k"))
+
+
+def winsorized_mean(df: DataFrame, *, value_col: str,
+                    group_cols: list[str],
+                    wins_milli: int = 50) -> DataFrame:
+    """Per-group winsorized mean: CLAMP the lowest and highest
+    ``wins_milli``/1000 fraction of rows (by count) to the nearest
+    kept value instead of dropping them — :func:`trimmed_mean`'s
+    sibling that preserves sample size, the standard robust location
+    for metrics where the tail rows still count (revenue caps,
+    latency SLOs).
+
+    Determinism (the :func:`trimmed_mean` value-count rule): values
+    must be INTEGER (floats raise); per-value counts and exclusive
+    prefix sums are exact BIGINTs; the per-side clamp count is
+    ``k = floor(n·wins_milli/1000)``; the clamp boundaries are the
+    values whose count-intervals contain ranks ``k+1`` and ``n−k``;
+    the winsorized sum is ``Σ v·kept + k·lo + k·hi`` — pure integer
+    arithmetic — and the mean is ONE division of exact BIGINTs.
+
+    Scale shape: one (group, value) hash-aggregate, prefix-sum
+    windows over the SAME group partitioning, one final
+    hash-aggregate (the trimmed_mean two-Exchange shape).
+
+    Output: (group..., n, k_per_side, lo_clamp, hi_clamp,
+    winsorized_sum, winsorized_mean) — NULL mean for empty groups
+    never appears (empty groups emit no row).
+    """
+    from pyspark.sql.types import DoubleType, FloatType
+
+    fields = {f.name: f for f in df.schema.fields}
+    if isinstance(fields[value_col].dataType, (DoubleType, FloatType)):
+        raise ValueError(
+            f"winsorized_mean: {value_col!r} is floating-point — "
+            "integerize first (exact integer sums are the "
+            "determinism contract)")
+    if not group_cols:
+        raise ValueError("winsorized_mean: group_cols must be non-empty")
+    if not 0 <= wins_milli < 500:
+        raise ValueError("wins_milli must be in [0, 500)")
+    keep = F.col(value_col).isNotNull()
+    for g in group_cols:
+        keep = keep & F.col(g).isNotNull()
+    per_val = (df.where(keep)
+               .groupBy(*group_cols,
+                        F.col(value_col).cast("long").alias("_v"))
+               .agg(F.count(F.lit(1)).alias("_c")))
+    wg = Window.partitionBy(*group_cols)
+    wprev = wg.orderBy(F.col("_v").asc()).rowsBetween(
+        Window.unboundedPreceding, -1)
+    stepped = per_val.select(
+        *group_cols, "_v", "_c",
+        F.coalesce(F.sum("_c").over(wprev), F.lit(0)).alias("_before"),
+        F.sum("_c").over(wg).alias("_n"))
+    k = F.expr(f"(_n * {int(wins_milli)}) div 1000")
+    cum = F.col("_before") + F.col("_c")
+    mid = F.greatest(
+        F.lit(0),
+        F.least(cum, F.col("_n") - k) - F.greatest(F.col("_before"), k))
+    lo_here = (F.col("_before") <= k) & (cum > k)
+    hi_here = (F.col("_before") < F.col("_n") - k) \
+        & (cum >= F.col("_n") - k)
+    s = (stepped
+         .withColumn("_k", k)
+         .groupBy(*group_cols)
+         .agg(F.max("_n").alias("n"),
+              F.max("_k").alias("k_per_side"),
+              F.max(F.when(lo_here, F.col("_v"))).alias("lo_clamp"),
+              F.max(F.when(hi_here, F.col("_v"))).alias("hi_clamp"),
+              F.sum(F.col("_v") * mid).alias("_midsum")))
+    wsum = (F.col("_midsum")
+            + F.col("k_per_side") * F.col("lo_clamp")
+            + F.col("k_per_side") * F.col("hi_clamp"))
+    return s.select(
+        *group_cols, "n", "k_per_side", "lo_clamp", "hi_clamp",
+        wsum.alias("winsorized_sum"),
+        (wsum.cast("double") / F.col("n").cast("double"))
+        .alias("winsorized_mean"))

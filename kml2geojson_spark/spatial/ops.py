@@ -3009,3 +3009,35 @@ def polygon_overlap_pairs(polys: DataFrame, res: int, *,
         kernel,
         "id_a long, id_b long, area_a double, area_b double, "
         "inter_area double, overlap_frac double")
+
+
+#: mean Earth radius in meters (IUGG R1) used by :func:`haversine_m`.
+EARTH_RADIUS_M = 6371000.0
+
+
+def haversine_m(lat1, lon1, lat2, lon2,
+                radius_m: float = EARTH_RADIUS_M):
+    """Great-circle distance in METERS as a pure Column expression —
+    the true-distance complement to the package's planar-degree
+    spatial ops (knn/within_distance document their Chebyshev/planar
+    semantics; use this where meters matter: trajectory lengths,
+    radius filters near the poles, OD distance matrices).
+
+    Standard haversine: ``a = sin²(Δφ/2) + cosφ₁·cosφ₂·sin²(Δλ/2)``,
+    ``d = 2R·asin(√min(a,1))`` (the clamp guards the antipodal
+    rounding case). Whole-stage codegen, no Python.
+
+    Determinism note: trig routes through libm — engines may differ
+    in the last ulp (~1e-9 m at Earth scale), so cross-engine
+    comparisons should quantize to integer meters/millimeters (the
+    oracle discipline); within one engine the expression is a pure
+    function of its inputs.
+    """
+    import math as _math
+    k = _math.pi / 180.0
+    f1 = F.lit(float(radius_m)) * F.lit(2.0)
+    s1 = F.sin((lat2 - lat1) * F.lit(k) / F.lit(2.0))
+    s2 = F.sin((lon2 - lon1) * F.lit(k) / F.lit(2.0))
+    a = (s1 * s1
+         + F.cos(lat1 * F.lit(k)) * F.cos(lat2 * F.lit(k)) * s2 * s2)
+    return f1 * F.asin(F.sqrt(F.least(a, F.lit(1.0))))

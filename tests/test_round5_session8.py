@@ -355,3 +355,82 @@ def test_hits_rejects_zero_iters(spark):
     df = spark.createDataFrame([(1, 2)], ["src", "dst"])
     with pytest.raises(ValueError):
         hits_scores(df, n_iters=0)
+
+
+# ------------------------------------------------------------ haversine_m
+
+
+def test_haversine_known_distances(spark):
+    from kml2geojson_spark.spatial import haversine_m
+    df = spark.createDataFrame(
+        [(1, 0.0, 0.0, 0.0, 1.0),    # 1 deg along the equator
+         (2, 0.0, 0.0, 90.0, 0.0),   # equator to pole = quarter circle
+         (3, 10.0, 20.0, 10.0, 20.0),  # same point
+         (4, 0.0, 0.0, 0.0, 180.0)],  # antipodal on the equator
+        ["id", "lat1", "lon1", "lat2", "lon2"])
+    out = {r["id"]: r["d"] for r in df.select(
+        "id", haversine_m(F.col("lat1"), F.col("lon1"),
+                          F.col("lat2"), F.col("lon2")).alias("d"))
+        .collect()}
+    R = 6371000.0
+    assert out[1] == pytest.approx(R * math.pi / 180.0, rel=1e-12)
+    assert out[2] == pytest.approx(R * math.pi / 2.0, rel=1e-12)
+    assert out[3] == 0.0
+    assert out[4] == pytest.approx(R * math.pi, rel=1e-12)
+
+
+def test_haversine_pure_column_plan(spark):
+    from kml2geojson_spark.spatial import haversine_m
+    df = spark.createDataFrame([(0.0, 0.0)], ["lat", "lon"])
+    plan = _plan(df.select(haversine_m(
+        F.col("lat"), F.col("lon"), F.lit(1.0), F.lit(1.0)).alias("d")))
+    assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+# -------------------------------------------------------- winsorized_mean
+
+
+def test_winsorized_hand_checked(spark):
+    from kml2geojson_spark.relational import winsorized_mean
+    # 10 values 1..10, wins_milli=100 -> k=1: clamp 1->2 and 10->9
+    rows = [("a", v) for v in range(1, 11)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    row = winsorized_mean(df, value_col="v", group_cols=["g"],
+                          wins_milli=100).collect()[0]
+    assert row["n"] == 10 and row["k_per_side"] == 1
+    assert row["lo_clamp"] == 2 and row["hi_clamp"] == 9
+    # 2 + 2+3+...+9 + 9 = 55 - 1 - 10 + 2 + 9 = 55
+    assert row["winsorized_sum"] == 55
+    assert row["winsorized_mean"] == 5.5
+
+
+def test_winsorized_zero_k_equals_mean(spark):
+    from kml2geojson_spark.relational import winsorized_mean
+    rows = [("a", v) for v in (3, 5, 100)]  # n=3, k = floor(3*0.1)=0
+    df = spark.createDataFrame(rows, ["g", "v"])
+    row = winsorized_mean(df, value_col="v", group_cols=["g"],
+                          wins_milli=100).collect()[0]
+    assert row["k_per_side"] == 0
+    assert row["winsorized_sum"] == 108
+    assert row["winsorized_mean"] == 36.0
+
+
+def test_winsorized_duplicates_cross_boundary(spark):
+    from kml2geojson_spark.relational import winsorized_mean
+    # 10 rows of which the lowest 3 are equal: k=1 clamps ONE copy of
+    # the duplicated minimum onto... itself (lo_clamp = 1), sum unchanged
+    rows = [("a", v) for v in (1, 1, 1, 4, 5, 6, 7, 8, 9, 20)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    row = winsorized_mean(df, value_col="v", group_cols=["g"],
+                          wins_milli=100).collect()[0]
+    assert row["k_per_side"] == 1
+    assert row["lo_clamp"] == 1   # rank 2 is still value 1
+    assert row["hi_clamp"] == 9   # rank 9
+    assert row["winsorized_sum"] == 1 + 1 + 1 + 4 + 5 + 6 + 7 + 8 + 9 + 9
+
+
+def test_winsorized_float_raises(spark):
+    from kml2geojson_spark.relational import winsorized_mean
+    df = spark.createDataFrame([("a", 1.5)], ["g", "v"])
+    with pytest.raises(ValueError, match="integerize"):
+        winsorized_mean(df, value_col="v", group_cols=["g"])
