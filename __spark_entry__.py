@@ -8554,6 +8554,91 @@ FROM agg
 """
 
 
+
+
+def _q240_table_profile(spark, sf):
+    """Exact one-pass data-quality profile of five orders columns:
+    BIGINT row/non-null/distinct counts, single-division null_frac.
+    Round-5 post-pin registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.relational import table_profile
+    return table_profile(
+        _t(spark, sf, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_totalprice", "o_orderpriority"])
+
+
+_O240 = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS "column", COUNT(*) AS n_rows,
+       CAST(COUNT({c}) AS BIGINT) AS n_nonnull,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CASE WHEN COUNT(*) > 0 THEN
+         CAST(COUNT(*) - COUNT({c}) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) END AS null_frac
+FROM orders"""
+    for c in ["o_orderkey", "o_custkey", "o_orderstatus",
+              "o_totalprice", "o_orderpriority"])
+
+
+def _q241_keyword_snippets(spark, sf):
+    """First-occurrence keyword-in-context snippets for 'spark' over
+    documents: integer locate/substring arithmetic, no regex.
+    Round-5 post-pin registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.textops import keyword_snippets
+    return keyword_snippets(_t(spark, sf, "documents"), "spark",
+                            context=20)
+
+
+_O241 = """
+SELECT doc_id,
+       CAST(strpos(text, 'spark') AS BIGINT) AS pos,
+       substr(text,
+              GREATEST(1, CAST(strpos(text, 'spark') AS BIGINT) - 20),
+              45) AS snippet
+FROM documents
+WHERE text IS NOT NULL AND doc_id IS NOT NULL
+  AND strpos(text, 'spark') > 0
+"""
+
+
+def _q242_bearing(spark, sf):
+    """Initial bearing (milli-degree-quantized exact BIGINT) from the
+    (0,0) anchor to every supplier diamond center. Round-5 post-pin
+    registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.spatial.ops import bearing_deg
+    s = _t(spark, sf, "supplier")
+    cx = ((F.col("s_suppkey") * 2971 + 1234) % 30000) / 100.0 - 150.0
+    cy = ((F.col("s_suppkey") * 4231 + 567) % 13000) / 100.0 - 65.0
+    base = s.select(F.col("s_suppkey").cast("long").alias("poly_id"),
+                    cx.alias("cx"), cy.alias("cy"))
+    b = bearing_deg(F.lit(0.0), F.lit(0.0), F.col("cy"), F.col("cx"))
+    return base.select(
+        "poly_id", F.floor(b * F.lit(1000.0)).cast("long")
+        .alias("bearing_millideg"))
+
+
+_K242 = repr(__import__("math").pi / 180.0)
+_KK242 = repr(180.0 / __import__("math").pi)
+
+_O242 = f"""
+WITH p AS (
+  SELECT CAST(s_suppkey AS BIGINT) AS poly_id,
+         ((s_suppkey * 2971 + 1234) % 30000) / 100.0 - 150.0 AS cx,
+         ((s_suppkey * 4231 + 567) % 13000) / 100.0 - 65.0 AS cy
+  FROM supplier),
+b AS (
+  SELECT poly_id,
+         (atan2(sin((cx - 0.0) * {_K242}) * cos(cy * {_K242}),
+                cos(0.0 * {_K242}) * sin(cy * {_K242})
+                - sin(0.0 * {_K242}) * cos(cy * {_K242})
+                  * cos((cx - 0.0) * {_K242}))
+          * {_KK242} + 360.0) % 360.0 AS deg
+  FROM p)
+SELECT poly_id,
+       CAST(FLOOR(deg * 1000.0) AS BIGINT) AS bearing_millideg
+FROM b
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -8783,6 +8868,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q237_hits": _q237_hits,
         "q238_haversine": _q238_haversine,
         "q239_winsorized": _q239_winsorized,
+        "q240_table_profile": _q240_table_profile,
+        "q241_keyword_snippets": _q241_keyword_snippets,
+        "q242_bearing": _q242_bearing,
     }
 
 
@@ -9011,6 +9099,9 @@ def oracle_sql() -> dict[str, str]:
         "q237_hits": _o237(),
         "q238_haversine": _O238,
         "q239_winsorized": _O239,
+        "q240_table_profile": _O240,
+        "q241_keyword_snippets": _O241,
+        "q242_bearing": _O242,
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

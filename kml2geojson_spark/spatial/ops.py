@@ -3041,3 +3041,26 @@ def haversine_m(lat1, lon1, lat2, lon2,
     a = (s1 * s1
          + F.cos(lat1 * F.lit(k)) * F.cos(lat2 * F.lit(k)) * s2 * s2)
     return f1 * F.asin(F.sqrt(F.least(a, F.lit(1.0))))
+
+
+def bearing_deg(lat1, lon1, lat2, lon2):
+    """Initial great-circle bearing (azimuth) in degrees [0, 360) as
+    a pure Column — :func:`haversine_m`'s directional partner
+    (``θ = atan2(sin Δλ·cos φ₂, cos φ₁·sin φ₂ − sin φ₁·cos φ₂·cos Δλ)``).
+
+    Same determinism note as :func:`haversine_m`: trig routes
+    through libm, so cross-engine comparisons should quantize
+    (milli-degrees is ample — the ulp mismatch is ~1e-13 deg);
+    within one engine it is a pure function of its inputs.
+    """
+    import math as _math
+    k = _math.pi / 180.0
+    kk = 180.0 / _math.pi
+    dl = (lon2 - lon1) * F.lit(k)
+    p1 = lat1 * F.lit(k)
+    p2 = lat2 * F.lit(k)
+    y = F.sin(dl) * F.cos(p2)
+    x = (F.cos(p1) * F.sin(p2)
+         - F.sin(p1) * F.cos(p2) * F.cos(dl))
+    deg = F.atan2(y, x) * F.lit(kk)
+    return (deg + F.lit(360.0)) % F.lit(360.0)

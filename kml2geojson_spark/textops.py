@@ -1970,3 +1970,39 @@ def readability_scores(documents: DataFrame, *, text_col: str = "text",
                     wps.alias("words_per_sentence"),
                     spw.alias("syllables_per_word"),
                     flesch.alias("flesch"))
+
+
+def keyword_snippets(documents: DataFrame, term: str, *,
+                     context: int = 30, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """First-occurrence keyword-in-context snippets — the search
+    preview beside :func:`keyword_search_all` (which only flags):
+    documents containing ``term`` (exact, case-sensitive substring)
+    with ``context`` characters either side of the first hit.
+
+    Determinism: pure integer position arithmetic on 1-based
+    ``locate``/``substring`` (identical semantics in Spark SQL and
+    DuckDB's strpos/substr); no regex, so no engine-dialect risk.
+
+    Scale shape: pure-Column, zero shuffle, zero Python —
+    scan-shaped with the contains-filter pushed into the scan.
+
+    Output: (doc_id, pos, snippet) — pos is the 1-based offset of
+    the first occurrence; non-matching/NULL documents drop.
+    """
+    if not term:
+        raise ValueError("keyword_snippets: term must be non-empty")
+    if context < 0:
+        raise ValueError("keyword_snippets: context must be >= 0")
+    t = F.col(text_col)
+    pos = F.locate(term, t)
+    start = F.greatest(F.lit(1), pos - F.lit(context))
+    width = F.lit(context + len(term) + context)
+    return (documents
+            .where(t.isNotNull() & F.col(id_col).isNotNull())
+            .select(F.col(id_col).alias("doc_id"),
+                    pos.alias("pos"),
+                    F.substring(t, start, width).alias("_s"))
+            .where(F.col("pos") > 0)
+            .select("doc_id", F.col("pos").cast("long").alias("pos"),
+                    F.col("_s").alias("snippet")))

@@ -434,3 +434,77 @@ def test_winsorized_float_raises(spark):
     df = spark.createDataFrame([("a", 1.5)], ["g", "v"])
     with pytest.raises(ValueError, match="integerize"):
         winsorized_mean(df, value_col="v", group_cols=["g"])
+
+
+# ------------------------------------------------------------ table_profile
+
+
+def test_table_profile_hand_checked(spark):
+    from kml2geojson_spark.relational import table_profile
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, "b")], ["x", "y"])
+    out = {r["column"]: r for r in
+           table_profile(df, columns=["x", "y"]).collect()}
+    assert out["x"]["n_rows"] == 4
+    assert out["x"]["n_nonnull"] == 3
+    assert out["x"]["n_distinct"] == 3
+    assert out["x"]["null_frac"] == 0.25
+    assert out["y"]["n_nonnull"] == 3
+    assert out["y"]["n_distinct"] == 2
+    assert out["y"]["null_frac"] == 0.25
+
+
+def test_table_profile_empty_columns_raises(spark):
+    from kml2geojson_spark.relational import table_profile
+    df = spark.createDataFrame([(1,)], ["x"])
+    with pytest.raises(ValueError):
+        table_profile(df, columns=[])
+
+
+# --------------------------------------------------------- keyword_snippets
+
+
+def test_keyword_snippets_positions(spark):
+    from kml2geojson_spark.textops import keyword_snippets
+    docs = spark.createDataFrame(
+        [(1, "xxcatxx"), (2, "cat at the start"),
+         (3, "no match here"), (4, "tail ends with cat")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           keyword_snippets(docs, "cat", context=3).collect()}
+    assert 3 not in out
+    assert out[1]["pos"] == 3 and out[1]["snippet"] == "xxcatxx"
+    # start clamps to 1 when pos - context < 1
+    assert out[2]["pos"] == 1 and out[2]["snippet"] == "cat at th"
+    # end clamps at the string end
+    assert out[4]["snippet"] == "th cat"
+
+
+def test_keyword_snippets_validation(spark):
+    from kml2geojson_spark.textops import keyword_snippets
+    docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        keyword_snippets(docs, "")
+    with pytest.raises(ValueError):
+        keyword_snippets(docs, "x", context=-1)
+
+
+# --------------------------------------------------------------- bearing_deg
+
+
+def test_bearing_cardinal_directions(spark):
+    from kml2geojson_spark.spatial.ops import bearing_deg
+    df = spark.createDataFrame(
+        [(1, 0.0, 0.0, 10.0, 0.0),    # due north
+         (2, 0.0, 0.0, 0.0, 10.0),    # due east
+         (3, 0.0, 0.0, -10.0, 0.0),   # due south
+         (4, 0.0, 0.0, 0.0, -10.0)],  # due west
+        ["id", "lat1", "lon1", "lat2", "lon2"])
+    out = {r["id"]: r["b"] for r in df.select(
+        "id", bearing_deg(F.col("lat1"), F.col("lon1"),
+                          F.col("lat2"), F.col("lon2")).alias("b"))
+        .collect()}
+    assert out[1] == pytest.approx(0.0, abs=1e-9)
+    assert out[2] == pytest.approx(90.0, abs=1e-9)
+    assert out[3] == pytest.approx(180.0, abs=1e-9)
+    assert out[4] == pytest.approx(270.0, abs=1e-9)
