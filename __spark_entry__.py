@@ -8639,6 +8639,106 @@ FROM b
 """
 
 
+
+
+def _q243_hhi(spark, sf):
+    """Herfindahl concentration of part brands within each part
+    type: exact BIGINT squared-count sums, one final double
+    expression. Round-5 post-pin registration: in-repo oracle sweep
+    only."""
+    from kml2geojson_spark.relational import herfindahl_index
+    return herfindahl_index(_t(spark, sf, "part"),
+                            item_col="p_brand",
+                            group_cols=["p_type"])
+
+
+_O243 = """
+WITH pi AS (
+  SELECT p_type, p_brand, CAST(COUNT(*) AS BIGINT) AS c
+  FROM part WHERE p_type IS NOT NULL AND p_brand IS NOT NULL
+  GROUP BY p_type, p_brand)
+SELECT p_type, CAST(SUM(c) AS BIGINT) AS n,
+       COUNT(*) AS n_items,
+       CAST(SUM(c * c) AS BIGINT) AS sum_sq,
+       CAST(SUM(c * c) AS DOUBLE)
+         / (CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE)) AS hhi
+FROM pi GROUP BY p_type
+"""
+
+
+def _q244_cohens_kappa(spark, sf):
+    """Cohen's kappa between two binary "big line" judges over
+    lineitem (quantity > 25 vs price > 30000): exact BIGINT
+    agreement and marginal products, single-division metrics.
+    Round-5 post-pin registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.quality import cohens_kappa
+    li = _t(spark, sf, "lineitem").select(
+        (F.col("l_quantity") > 25).cast("int").alias("ra"),
+        (F.col("l_extendedprice") > 30000.0).cast("int").alias("rb"))
+    return cohens_kappa(li, rater_a="ra", rater_b="rb")
+
+
+_O244 = """
+WITH base AS (
+  SELECT CAST(CAST(l_quantity > 25 AS INTEGER) AS VARCHAR) AS a,
+         CAST(CAST(l_extendedprice > 30000.0 AS INTEGER) AS VARCHAR) AS b
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+tot AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_agree
+  FROM base),
+na AS (SELECT a AS l, CAST(COUNT(*) AS BIGINT) AS na FROM base GROUP BY a),
+nb AS (SELECT b AS l, CAST(COUNT(*) AS BIGINT) AS nb FROM base GROUP BY b),
+pe AS (SELECT CAST(COALESCE(SUM(na.na * nb.nb), 0) AS BIGINT) AS pn
+       FROM na JOIN nb ON na.l = nb.l)
+SELECT n, n_agree,
+       CASE WHEN n > 0 THEN CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE)
+       END AS po,
+       CASE WHEN n > 0 THEN CAST(pn AS DOUBLE)
+         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) END AS pe,
+       CASE WHEN n > 0 AND n * n != pn THEN
+         CAST(n_agree * n - pn AS DOUBLE)
+           / CAST(n * n - pn AS DOUBLE) END AS kappa
+FROM tot CROSS JOIN pe
+"""
+
+
+def _q245_int8_quant(spark, sf):
+    """Int8 min-max quantization audit per embedding vector:
+    IEEE-exact error sequence with an in-order fold, replayed
+    verbatim by the oracle. Round-5 post-pin registration: in-repo
+    oracle sweep only."""
+    from kml2geojson_spark.simsearch import int8_quantize_stats
+    return int8_quantize_stats(_t(spark, sf, "embeddings"))
+
+
+_O245 = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
+    AND len(embedding) > 0),
+b AS (
+  SELECT vec_id, v, CAST(len(v) AS BIGINT) AS dim,
+         list_min(v) AS vmin, list_max(v) AS vmax
+  FROM e),
+er AS (
+  SELECT vec_id, dim, vmin, vmax,
+         CASE WHEN vmax > vmin THEN
+           list_transform(v, x -> abs(x - (vmin
+             + FLOOR((x - vmin) / (vmax - vmin) * 255.0 + 0.5)
+               * (vmax - vmin) / 255.0)))
+         ELSE list_transform(v, x -> 0.0) END AS errs
+  FROM b)
+SELECT vec_id, dim, vmin, vmax,
+       list_max(errs) AS max_abs_err,
+       list_reduce(list_prepend(0.0, errs), (a, x) -> a + x)
+         / CAST(dim AS DOUBLE) AS mean_abs_err
+FROM er
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -8871,6 +8971,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q240_table_profile": _q240_table_profile,
         "q241_keyword_snippets": _q241_keyword_snippets,
         "q242_bearing": _q242_bearing,
+        "q243_hhi": _q243_hhi,
+        "q244_cohens_kappa": _q244_cohens_kappa,
+        "q245_int8_quant": _q245_int8_quant,
     }
 
 
@@ -9102,6 +9205,9 @@ def oracle_sql() -> dict[str, str]:
         "q240_table_profile": _O240,
         "q241_keyword_snippets": _O241,
         "q242_bearing": _O242,
+        "q243_hhi": _O243,
+        "q244_cohens_kappa": _O244,
+        "q245_int8_quant": _O245,
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

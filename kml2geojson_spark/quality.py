@@ -551,3 +551,54 @@ def k_anonymity_audit(df: DataFrame, *, quasi_cols: list[str],
                F.col("rows_at_risk").cast("double")
                / F.col("n_rows").cast("double"))
         .alias("risk_fraction"))
+
+
+def cohens_kappa(df: DataFrame, *, rater_a: str,
+                 rater_b: str) -> DataFrame:
+    """Cohen's kappa inter-rater agreement between two label columns
+    over the same rows — chance-corrected agreement, THE metric for
+    "do my two quality filters / LLM judges / annotators actually
+    agree?" beside :func:`classification_report` (which presumes one
+    side is ground truth).
+
+    Determinism: observed agreement and the per-label marginal
+    products are exact BIGINTs off two tiny hash-aggregates;
+    ``kappa = (agree·n − Σ na·nb) / (n·n − Σ na·nb)`` is ONE
+    division of exact integers (po/pe likewise single divisions).
+    NULL labels on either side drop the row.
+
+    Scale shape: one full-scan aggregate for (n, agree), two
+    per-label aggregates joined on the tiny label set, two 1-row
+    broadcast cross-joins. Overflow headroom: n·n — safe to ~3·10⁹
+    rows (documented).
+
+    Output: one row (n, n_agree, po, pe, kappa) — kappa NULL when
+    pe = 1 (both raters constant and equal: agreement is
+    indistinguishable from chance).
+    """
+    base = (df.where(F.col(rater_a).isNotNull()
+                     & F.col(rater_b).isNotNull())
+            .select(F.col(rater_a).cast("string").alias("_a"),
+                    F.col(rater_b).cast("string").alias("_b")))
+    tot = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("_a") == F.col("_b")).cast("long"))
+        .alias("n_agree"))
+    na = base.groupBy(F.col("_a").alias("_l")).agg(
+        F.count(F.lit(1)).alias("_na"))
+    nb = base.groupBy(F.col("_b").alias("_l")).agg(
+        F.count(F.lit(1)).alias("_nb"))
+    pe_num = (na.join(nb, "_l")
+              .agg(F.coalesce(F.sum(F.col("_na") * F.col("_nb")),
+                              F.lit(0)).alias("_pn")))
+    j = tot.crossJoin(F.broadcast(pe_num))
+    n = F.col("n")
+    nd = n.cast("double")
+    po = F.when(n > 0, F.col("n_agree").cast("double") / nd)
+    pe = F.when(n > 0, F.col("_pn").cast("double") / (nd * nd))
+    kap = F.when(
+        (n > 0) & (n * n != F.col("_pn")),
+        (F.col("n_agree") * n - F.col("_pn")).cast("double")
+        / (n * n - F.col("_pn")).cast("double"))
+    return j.select("n", "n_agree", po.alias("po"), pe.alias("pe"),
+                    kap.alias("kappa"))

@@ -3264,3 +3264,41 @@ def table_profile(df: DataFrame, *, columns: list[str]) -> DataFrame:
         F.when(F.col("_n") > 0,
                (F.col("_n") - F.col("n_nonnull")).cast("double")
                / F.col("_n").cast("double")).alias("null_frac"))
+
+
+def herfindahl_index(df: DataFrame, *, item_col: str,
+                     group_cols: list[str]) -> DataFrame:
+    """Herfindahl–Hirschman concentration index per group —
+    ``HHI = Σ share_i²`` over item frequency shares; 1/n_items
+    (perfectly even) … 1.0 (single item). The one-number "is this
+    source/vendor/domain mix dangerously concentrated" answer beside
+    :func:`group_entropy` (its information-theoretic cousin) and
+    :func:`top_p_coverage` (the head-mass view).
+
+    Determinism: per-item counts and the sum of squared counts are
+    exact BIGINTs (overflow at ~3·10⁹ rows per item — documented);
+    HHI is ONE expression over exact integers
+    (``sum_sq / (n·n)`` with the denominator multiplied in double to
+    dodge BIGINT overflow on huge groups).
+
+    Scale shape: one (group, item) hash-aggregate with map-side
+    combine, then one group aggregate. No window, no join.
+
+    Output: (group..., n, n_items, sum_sq, hhi).
+    """
+    if not group_cols:
+        raise ValueError("herfindahl_index: group_cols must be non-empty")
+    keep = F.col(item_col).isNotNull()
+    for g in group_cols:
+        keep = keep & F.col(g).isNotNull()
+    per_item = (df.where(keep)
+                .groupBy(*group_cols, F.col(item_col).alias("_i"))
+                .agg(F.count(F.lit(1)).alias("_c")))
+    s = per_item.groupBy(*group_cols).agg(
+        F.sum("_c").alias("n"),
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("_c") * F.col("_c")).alias("sum_sq"))
+    nd = F.col("n").cast("double")
+    return s.select(*group_cols, "n", "n_items", "sum_sq",
+                    (F.col("sum_sq").cast("double") / (nd * nd))
+                    .alias("hhi"))

@@ -1112,3 +1112,56 @@ def simplified_silhouette(embeddings: DataFrame, *,
                     (F.col("silh_nano_sum").cast("double")
                      / (F.col("n_vecs").cast("double") * F.lit(1e9)))
                     .alias("mean_silhouette")))
+
+
+def int8_quantize_stats(embeddings: DataFrame, *,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """Per-vector int8 (0..255) min-max quantization audit — the
+    "can I ship these embeddings quantized" readout for the ANN
+    scale path (4× memory cut for IVF/LSH candidate stores): each
+    vector's range, its worst reconstruction error and the mean
+    error after round-trip through ``q = floor((x-mn)/rng·255+0.5)``.
+
+    Determinism: min/max/max-error are order-independent reductions
+    over per-element values computed by an IEEE-exact op sequence
+    replayed verbatim by the SQL oracle; the error SUM is an
+    IN-ORDER left fold (``F.aggregate`` ≡ ``list_reduce``), so every
+    double matches bit-for-bit cross-engine. Constant vectors
+    (rng = 0) quantize to 0 with zero error.
+
+    Scale shape: pure-Column array expressions (transform/
+    aggregate), zero shuffle, zero Python — scan-shaped.
+
+    Output: (vec_id, dim, vmin, vmax, max_abs_err, mean_abs_err).
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = (embeddings.where(F.col(vec_col).isNotNull()
+                             & F.col(id_col).isNotNull())
+            .select(F.col(id_col).alias("vec_id"), v.alias("_v"))
+            .where(F.size("_v") > 0))
+    mn = F.array_min("_v")
+    mx = F.array_max("_v")
+    rng = mx - mn
+    b = base.select("vec_id", "_v",
+                    F.size("_v").cast("long").alias("dim"),
+                    mn.alias("vmin"), mx.alias("vmax"))
+
+    def err(x):
+        q = F.floor((x - F.col("vmin"))
+                    / (F.col("vmax") - F.col("vmin"))
+                    * F.lit(255.0) + F.lit(0.5))
+        recon = (F.col("vmin")
+                 + q.cast("double") * (F.col("vmax") - F.col("vmin"))
+                 / F.lit(255.0))
+        return F.abs(x - recon)
+
+    errs = F.when(F.col("vmax") > F.col("vmin"),
+                  F.transform(F.col("_v"), err)) \
+        .otherwise(F.transform(F.col("_v"), lambda x: F.lit(0.0)))
+    e = b.select("vec_id", "dim", "vmin", "vmax", errs.alias("_e"))
+    esum = F.aggregate("_e", F.lit(0.0), lambda a, x: a + x)
+    return e.select(
+        "vec_id", "dim", "vmin", "vmax",
+        F.array_max("_e").alias("max_abs_err"),
+        (esum / F.col("dim").cast("double")).alias("mean_abs_err"))

@@ -508,3 +508,84 @@ def test_bearing_cardinal_directions(spark):
     assert out[2] == pytest.approx(90.0, abs=1e-9)
     assert out[3] == pytest.approx(180.0, abs=1e-9)
     assert out[4] == pytest.approx(270.0, abs=1e-9)
+
+
+# --------------------------------------------------------- herfindahl_index
+
+
+def test_hhi_bounds(spark):
+    from kml2geojson_spark.relational import herfindahl_index
+    rows = ([("mono", "x")] * 5
+            + [("even", it) for it in "abcd"]
+            + [("skew", "a"), ("skew", "a"), ("skew", "a"), ("skew", "b")])
+    df = spark.createDataFrame(rows, ["g", "item"])
+    out = {r["g"]: r for r in herfindahl_index(
+        df, item_col="item", group_cols=["g"]).collect()}
+    assert out["mono"]["hhi"] == 1.0
+    assert out["even"]["hhi"] == 0.25  # 4 * (1/4)^2
+    assert out["skew"]["sum_sq"] == 10  # 9 + 1
+    assert out["skew"]["hhi"] == 10.0 / 16.0
+
+
+# ------------------------------------------------------------- cohens_kappa
+
+
+def test_kappa_hand_checked(spark):
+    from kml2geojson_spark.quality import cohens_kappa
+    # classic 2x2: a=(1,1,1,0,0,0,1,0,1,1) b=(1,1,0,0,0,1,1,0,1,0)
+    a = [1, 1, 1, 0, 0, 0, 1, 0, 1, 1]
+    b = [1, 1, 0, 0, 0, 1, 1, 0, 1, 0]
+    df = spark.createDataFrame(list(zip(a, b)), ["ra", "rb"])
+    row = cohens_kappa(df, rater_a="ra", rater_b="rb").collect()[0]
+    n = 10
+    agree = sum(1 for x, y in zip(a, b) if x == y)
+    pn = (a.count(1) * b.count(1)) + (a.count(0) * b.count(0))
+    assert row["n"] == n and row["n_agree"] == agree
+    assert row["po"] == agree / n
+    assert row["pe"] == pn / (n * n)
+    assert row["kappa"] == (agree * n - pn) / (n * n - pn)
+
+
+def test_kappa_constant_raters_null(spark):
+    from kml2geojson_spark.quality import cohens_kappa
+    df = spark.createDataFrame([(1, 1)] * 4, ["ra", "rb"])
+    row = cohens_kappa(df, rater_a="ra", rater_b="rb").collect()[0]
+    assert row["po"] == 1.0 and row["pe"] == 1.0
+    assert row["kappa"] is None  # pe = 1: chance-indistinguishable
+
+
+def test_kappa_disjoint_labels(spark):
+    from kml2geojson_spark.quality import cohens_kappa
+    df = spark.createDataFrame([("x", "y"), ("x", "z")], ["ra", "rb"])
+    row = cohens_kappa(df, rater_a="ra", rater_b="rb").collect()[0]
+    assert row["n_agree"] == 0 and row["pe"] == 0.0 and row["kappa"] == 0.0
+
+
+# -------------------------------------------------------- int8_quantize_stats
+
+
+def test_int8_quant_exact_grid(spark):
+    from kml2geojson_spark.simsearch import int8_quantize_stats
+    # values on the exact 255-step grid of [0, 255] quantize losslessly
+    df = spark.createDataFrame(
+        [(1, [0.0, 51.0, 255.0]), (2, [7.5, 7.5, 7.5])],
+        "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in int8_quantize_stats(df).collect()}
+    assert out[1]["vmin"] == 0.0 and out[1]["vmax"] == 255.0
+    assert out[1]["max_abs_err"] == 0.0
+    assert out[1]["mean_abs_err"] == 0.0
+    # constant vector: rng = 0 path, zero error by definition
+    assert out[2]["max_abs_err"] == 0.0 and out[2]["mean_abs_err"] == 0.0
+
+
+def test_int8_quant_error_bound(spark):
+    from kml2geojson_spark.simsearch import int8_quantize_stats
+    import random
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)])
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for r in int8_quantize_stats(df).collect():
+        half_step = (r["vmax"] - r["vmin"]) / 255.0 / 2.0
+        assert r["max_abs_err"] <= half_step * (1 + 1e-9)
+        assert 0.0 <= r["mean_abs_err"] <= r["max_abs_err"]
