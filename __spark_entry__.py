@@ -8739,6 +8739,52 @@ FROM er
 """
 
 
+
+
+def _q246_simhash_curve(spark, sf):
+    """Near-dup pair counts by SimHash hamming distance — the
+    dedup-threshold tuning curve over the q26 banded join. Round-5
+    post-pin registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.textops import simhash_threshold_curve
+    return simhash_threshold_curve(_t(spark, sf, "documents"),
+                                   max_hamming=3, bands=4)
+
+
+def _o246() -> str:
+    return (f"WITH {_simhash_pairs_cte()} "
+            "SELECT hamming, COUNT(*) AS n_pairs FROM pairs "
+            "GROUP BY hamming")
+
+
+def _q247_dimension_profile(spark, sf):
+    """Per-dimension corpus statistics over embeddings (dead/dominant
+    dimension audit): micro-quantized exact BIGINT sums, fixed double
+    mean/variance expressions. Round-5 post-pin registration: in-repo
+    oracle sweep only."""
+    from kml2geojson_spark.simsearch import dimension_profile
+    return dimension_profile(_t(spark, sf, "embeddings"))
+
+
+_O247 = """
+WITH e AS (
+  SELECT embedding::DOUBLE[] AS v FROM embeddings
+  WHERE embedding IS NOT NULL),
+ex AS (SELECT v, unnest(generate_series(1, len(v))) AS i FROM e),
+q AS (SELECT CAST(i - 1 AS BIGINT) AS dim,
+             CAST(ROUND(v[i] * 1000000.0) AS BIGINT) AS xq FROM ex),
+g AS (SELECT dim, COUNT(*) AS n, CAST(SUM(xq) AS BIGINT) AS sum_q,
+             CAST(SUM(xq * xq) AS BIGINT) AS sumsq_q
+      FROM q GROUP BY dim)
+SELECT dim, n, sum_q, sumsq_q,
+       CAST(sum_q AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) AS mean,
+       (CAST(sumsq_q AS DOUBLE) / CAST(n AS DOUBLE)
+        - (CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE))
+          * (CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE)))
+         / (1000000.0 * 1000000.0) AS variance
+FROM g
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -8974,6 +9020,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q243_hhi": _q243_hhi,
         "q244_cohens_kappa": _q244_cohens_kappa,
         "q245_int8_quant": _q245_int8_quant,
+        "q246_simhash_curve": _q246_simhash_curve,
+        "q247_dimension_profile": _q247_dimension_profile,
     }
 
 
@@ -9208,6 +9256,8 @@ def oracle_sql() -> dict[str, str]:
         "q243_hhi": _O243,
         "q244_cohens_kappa": _O244,
         "q245_int8_quant": _O245,
+        "q246_simhash_curve": _o246(),
+        "q247_dimension_profile": _O247,
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

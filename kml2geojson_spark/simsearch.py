@@ -1165,3 +1165,46 @@ def int8_quantize_stats(embeddings: DataFrame, *,
         "vec_id", "dim", "vmin", "vmax",
         F.array_max("_e").alias("max_abs_err"),
         (esum / F.col("dim").cast("double")).alias("mean_abs_err"))
+
+
+def dimension_profile(embeddings: DataFrame, *,
+                      vec_col: str = "embedding",
+                      scale: int = 1_000_000) -> DataFrame:
+    """Per-DIMENSION statistics across the whole embedding corpus —
+    the "which dimensions are dead or dominant" audit (collapsed
+    dims mean the encoder is under-using capacity; wildly dominant
+    ones break cosine geometry and quantization alike; run before
+    :func:`int8_quantize_stats` commits to a layout).
+
+    Determinism: each element is micro-quantized
+    (``round(x·scale)`` as exact BIGINT — the silhouette/q224
+    discipline) so sums and sums-of-squares are exact integers in
+    any partial-aggregation order; mean/variance are fixed double
+    expressions over the exact sums. Overflow headroom: sum-of-
+    squares ~ (|x|·scale)²·n — lower ``scale`` for >10⁶-row corpora
+    of unit-scale vectors (documented).
+
+    Scale shape: one posexplode (rows × dim — the honest cost of a
+    per-dimension audit) and ONE hash-aggregate keyed by dimension
+    (at most `dim` groups, map-side combined). No window, no join.
+
+    Output: (dim, n, sum_q, sumsq_q, mean, variance) — dim 0-based.
+    """
+    base = embeddings.where(F.col(vec_col).isNotNull()) \
+        .select(F.posexplode(F.col(vec_col)).alias("dim", "_x"))
+    xm = F.round(F.col("_x").cast("double") * F.lit(float(scale))) \
+        .cast("long")
+    g = base.select(F.col("dim").cast("long").alias("dim"),
+                    xm.alias("_q")) \
+        .groupBy("dim").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_q").alias("sum_q"),
+            F.sum(F.col("_q") * F.col("_q")).alias("sumsq_q"))
+    nd = F.col("n").cast("double")
+    sd = F.lit(float(scale))
+    mean = F.col("sum_q").cast("double") / (nd * sd)
+    m_q = F.col("sum_q").cast("double") / nd
+    var = (F.col("sumsq_q").cast("double") / nd - m_q * m_q) \
+        / (sd * sd)
+    return g.select("dim", "n", "sum_q", "sumsq_q",
+                    mean.alias("mean"), var.alias("variance"))

@@ -2006,3 +2006,23 @@ def keyword_snippets(documents: DataFrame, term: str, *,
             .where(F.col("pos") > 0)
             .select("doc_id", F.col("pos").cast("long").alias("pos"),
                     F.col("_s").alias("snippet")))
+
+
+def simhash_threshold_curve(documents: DataFrame, *,
+                            max_hamming: int = 3, bands: int = 4,
+                            bits: int = 60) -> DataFrame:
+    """Near-dup pair counts by SimHash hamming distance — the
+    threshold-tuning curve for :func:`simhash_near_pairs`: "how many
+    more pairs does raising max_hamming from 2 to 3 pull in?" is the
+    question every dedup rollout asks before committing a threshold.
+
+    Same determinism and scale shape as the underlying banded pair
+    join (exact BIGINT pair counts per distance); distances with no
+    pairs emit no row.
+
+    Output: (hamming, n_pairs) for hamming in 0..max_hamming.
+    """
+    pairs = simhash_near_pairs(documents, max_hamming=max_hamming,
+                               bands=bands, bits=bits)
+    return pairs.groupBy("hamming").agg(
+        F.count(F.lit(1)).alias("n_pairs"))

@@ -589,3 +589,49 @@ def test_int8_quant_error_bound(spark):
         half_step = (r["vmax"] - r["vmin"]) / 255.0 / 2.0
         assert r["max_abs_err"] <= half_step * (1 + 1e-9)
         assert 0.0 <= r["mean_abs_err"] <= r["max_abs_err"]
+
+
+# ------------------------------------------------- simhash_threshold_curve
+
+
+def test_simhash_curve_sums_to_pair_count(spark):
+    from kml2geojson_spark.textops import (simhash_near_pairs,
+                                           simhash_threshold_curve)
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " + ("x" if i % 2 else "y"))
+         for i in range(12)], ["doc_id", "text"])
+    pairs = simhash_near_pairs(docs, max_hamming=3, bands=4)
+    curve = simhash_threshold_curve(docs, max_hamming=3, bands=4)
+    rows = curve.collect()
+    assert sum(r["n_pairs"] for r in rows) == pairs.count()
+    assert all(0 <= r["hamming"] <= 3 for r in rows)
+
+
+# ---------------------------------------------------------- dimension_profile
+
+
+def test_dimension_profile_hand_checked(spark):
+    from kml2geojson_spark.simsearch import dimension_profile
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [3.0, 0.0]), (3, [5.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    out = {r["dim"]: r for r in dimension_profile(df).collect()}
+    assert out[0]["n"] == 3
+    assert out[0]["sum_q"] == 9_000_000
+    assert out[0]["mean"] == 3.0
+    # var = E[x^2] - E[x]^2 = (1+9+25)/3 - 9 = 8/3
+    assert out[0]["variance"] == pytest.approx(8.0 / 3.0, rel=1e-12)
+    # dead dimension: zero mean, zero variance
+    assert out[1]["sum_q"] == 0 and out[1]["variance"] == 0.0
+
+
+def test_dimension_profile_partition_invariant(spark):
+    from kml2geojson_spark.simsearch import dimension_profile
+    import random
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = sorted(map(tuple, dimension_profile(df).collect()))
+    b = sorted(map(tuple, dimension_profile(df.repartition(13)).collect()))
+    assert a == b  # exact integer sums: partitioning cannot change them
