@@ -8785,6 +8785,66 @@ FROM g
 """
 
 
+
+
+def _q248_frame_checksums(spark, sf):
+    """Video-shaped frame sampling over real binary payloads: stub
+    fetch synthesizes PPM bytes (md5 chain), sample_frames slices 4
+    evenly spaced byte 'frames', frame_checksums emits exact integer
+    sums — the oracle replays header bytes + md5 chain + the SAME
+    slice arithmetic in SQL, so the sampling itself is verified
+    bit-exactly. Round-5 post-pin registration: in-repo oracle sweep
+    only."""
+    from kml2geojson_spark.multimodal import (fetch_media_stub,
+                                              frame_checksums,
+                                              sample_frames)
+    docs = _t(spark, sf, "documents")
+    refs = (docs.where(F.col("doc_id") % 5 == 0)
+            .select(F.col("doc_id").cast("string").alias("doc_id"),
+                    F.concat(F.lit("media/"),
+                             F.col("doc_id").cast("string"),
+                             F.lit(".ppm")).alias("media_ref"),
+                    F.lit("ppm").alias("ext"),
+                    F.lit(0).alias("offset")))
+    fetched = fetch_media_stub(refs, payload="ppm")
+    return frame_checksums(sample_frames(fetched, n_frames=4))
+
+
+# PPM payload for 16x16: 13 header bytes "P6\n16 16\n255\n" + 768
+# md5-chain body bytes = 781 total; step = 781 // 4 = 195; frame i
+# starts at min(i*195, 781-195).
+_O248 = """
+WITH refs AS (
+  SELECT 'media/' || CAST(doc_id AS VARCHAR) || '.ppm' AS media_ref
+  FROM documents WHERE doc_id % 5 = 0),
+hdr AS (
+  SELECT media_ref, t.p, t.b
+  FROM refs, (VALUES (0,80),(1,54),(2,10),(3,49),(4,54),(5,32),
+                     (6,49),(7,54),(8,10),(9,50),(10,53),(11,53),
+                     (12,10)) t(p, b)),
+chunks AS (
+  SELECT media_ref, i,
+         md5(media_ref || ':' || CAST(i AS VARCHAR)) AS hx
+  FROM refs, generate_series(0, 47) AS t(i)),
+body AS (
+  SELECT media_ref, 13 + 16 * i + j AS p,
+         (strpos('0123456789abcdef', substr(hx, 2 * j + 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(hx, 2 * j + 2, 1)) - 1) AS b
+  FROM chunks, generate_series(0, 15) AS u(j)),
+allb AS (SELECT * FROM hdr UNION ALL SELECT * FROM body),
+fr AS (SELECT CAST(f.i AS INTEGER) AS frame_idx,
+              LEAST(f.i * 195, 781 - 195) AS strt
+       FROM generate_series(0, 3) AS f(i)),
+asg AS (
+  SELECT a.media_ref, fr.frame_idx, a.p - fr.strt AS rel, a.b
+  FROM allb a JOIN fr ON a.p >= fr.strt AND a.p < fr.strt + 195)
+SELECT media_ref, frame_idx, COUNT(*)::BIGINT AS n_bytes,
+       SUM(b)::BIGINT AS byte_sum,
+       SUM((rel + 1) * b)::BIGINT AS byte_wsum
+FROM asg GROUP BY media_ref, frame_idx
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -9022,6 +9082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q245_int8_quant": _q245_int8_quant,
         "q246_simhash_curve": _q246_simhash_curve,
         "q247_dimension_profile": _q247_dimension_profile,
+        "q248_frame_checksums": _q248_frame_checksums,
     }
 
 
@@ -9258,6 +9319,7 @@ def oracle_sql() -> dict[str, str]:
         "q245_int8_quant": _O245,
         "q246_simhash_curve": _o246(),
         "q247_dimension_profile": _O247,
+        "q248_frame_checksums": _O248,
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

@@ -259,3 +259,33 @@ def span_mix_stats(documents_kml: DataFrame) -> DataFrame:
         n_media.alias("n_media"),
         text_chars.alias("text_chars"),
         transitions.alias("n_transitions"))
+
+
+def frame_checksums(frames: DataFrame) -> DataFrame:
+    """Exact integer checksums per sampled 'frame' —
+    :func:`sample_frames`' verification tail: byte count, byte sum
+    and position-weighted byte sum per (media_ref, frame_idx), all
+    pure integers so the frame SLICING itself (offsets, step, tail
+    clamp) is cross-engine checkable bit-exactly (driver-style
+    oracle replays the md5 payload chain + the same slice
+    arithmetic in SQL). The real-codec version of this tail is the
+    per-frame feature extractor; the checksum stands in for it
+    without codec libs (the q43 fetch-layer-stub discipline).
+
+    Output: (media_ref, frame_idx, n_bytes, byte_sum, byte_wsum).
+    """
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            arrs = [np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+                    for b in pdf["frame"]]
+            yield pd.DataFrame({
+                "media_ref": pdf["media_ref"],
+                "frame_idx": pdf["frame_idx"],
+                "n_bytes": [len(a) for a in arrs],
+                "byte_sum": [int(a.sum()) for a in arrs],
+                "byte_wsum": [int((a * (np.arange(len(a)) + 1)).sum())
+                              for a in arrs]})
+
+    return frames.mapInPandas(
+        run, "media_ref string, frame_idx int, n_bytes long, "
+             "byte_sum long, byte_wsum long")

@@ -635,3 +635,31 @@ def test_dimension_profile_partition_invariant(spark):
     a = sorted(map(tuple, dimension_profile(df).collect()))
     b = sorted(map(tuple, dimension_profile(df.repartition(13)).collect()))
     assert a == b  # exact integer sums: partitioning cannot change them
+
+
+# ------------------------------------------------------------ frame_checksums
+
+
+def test_frame_checksums_python_replay(spark):
+    from kml2geojson_spark.multimodal import (_ppm_payload,
+                                              fetch_media_stub,
+                                              frame_checksums,
+                                              sample_frames)
+    refs = spark.createDataFrame(
+        [("1", "media/1.ppm", "ppm", 0), ("2", "media/2.ppm", "ppm", 0)],
+        ["doc_id", "media_ref", "ext", "offset"])
+    fetched = fetch_media_stub(refs, payload="ppm")
+    out = frame_checksums(sample_frames(fetched, n_frames=4)).collect()
+    assert len(out) == 8
+    got = {(r["media_ref"], r["frame_idx"]):
+           (r["n_bytes"], r["byte_sum"], r["byte_wsum"]) for r in out}
+    for ref in ("media/1.ppm", "media/2.ppm"):
+        blob = _ppm_payload(ref, 16, 16)
+        n = len(blob)
+        step = n // 4
+        for i in range(4):
+            start = min(i * step, n - step)
+            fr = blob[start:start + step]
+            exp = (len(fr), sum(fr),
+                   sum((k + 1) * b for k, b in enumerate(fr)))
+            assert got[(ref, i)] == exp
