@@ -8556,29 +8556,6 @@ FROM agg
 
 
 
-def _q240_table_profile(spark, sf):
-    """Exact one-pass data-quality profile of five orders columns:
-    BIGINT row/non-null/distinct counts, single-division null_frac.
-    Round-5 post-pin registration: in-repo oracle sweep only."""
-    from kml2geojson_spark.relational import table_profile
-    return table_profile(
-        _t(spark, sf, "orders"),
-        columns=["o_orderkey", "o_custkey", "o_orderstatus",
-                 "o_totalprice", "o_orderpriority"])
-
-
-_O240 = "\nUNION ALL\n".join(
-    f"""SELECT '{c}' AS "column", COUNT(*) AS n_rows,
-       CAST(COUNT({c}) AS BIGINT) AS n_nonnull,
-       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
-       CASE WHEN COUNT(*) > 0 THEN
-         CAST(COUNT(*) - COUNT({c}) AS DOUBLE)
-           / CAST(COUNT(*) AS DOUBLE) END AS null_frac
-FROM orders"""
-    for c in ["o_orderkey", "o_custkey", "o_orderstatus",
-              "o_totalprice", "o_orderpriority"])
-
-
 def _q241_keyword_snippets(spark, sf):
     """First-occurrence keyword-in-context snippets for 'spark' over
     documents: integer locate/substring arithmetic, no regex.
@@ -9074,7 +9051,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q237_hits": _q237_hits,
         "q238_haversine": _q238_haversine,
         "q239_winsorized": _q239_winsorized,
-        "q240_table_profile": _q240_table_profile,
         "q241_keyword_snippets": _q241_keyword_snippets,
         "q242_bearing": _q242_bearing,
         "q243_hhi": _q243_hhi,
@@ -9311,7 +9287,6 @@ def oracle_sql() -> dict[str, str]:
         "q237_hits": _o237(),
         "q238_haversine": _O238,
         "q239_winsorized": _O239,
-        "q240_table_profile": _O240,
         "q241_keyword_snippets": _O241,
         "q242_bearing": _O242,
         "q243_hhi": _O243,

@@ -3227,45 +3227,6 @@ def winsorized_mean(df: DataFrame, *, value_col: str,
         .alias("winsorized_mean"))
 
 
-def table_profile(df: DataFrame, *, columns: list[str]) -> DataFrame:
-    """One-pass data-quality profile: per column, total rows,
-    non-NULL count and EXACT distinct count — the first thing anyone
-    runs on an unfamiliar or freshly-landed table (null-rate spikes
-    and distinct-count collapses are the classic upstream-breakage
-    tells). Exact by design; for planetary-cardinality columns
-    compose :func:`~kml2geojson_spark.sketch.hll_registers` instead.
-
-    Determinism: all outputs are exact BIGINT counts; null_frac is
-    ONE division of exact integers.
-
-    Scale shape: ONE logical aggregate over one scan — Spark expands
-    the multi-distinct into an expand+partial-agg plan (cost grows
-    with the column count, the documented exact-distinct price); the
-    wide 1-row result is unpivoted driver-free via stack().
-
-    Output: (column, n_rows, n_nonnull, n_distinct, null_frac).
-    """
-    if not columns:
-        raise ValueError("table_profile: columns must be non-empty")
-    aggs = [F.count(F.lit(1)).alias("_n")]
-    for c in columns:
-        aggs.append(F.count(F.col(c)).alias(f"_nn_{c}"))
-        aggs.append(F.countDistinct(F.col(c)).alias(f"_nd_{c}"))
-    wide = df.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{c}', _nn_{c}, _nd_{c}" for c in columns)
-    long = wide.selectExpr(
-        "_n",
-        f"stack({len(columns)}, {stack_args}) "
-        "AS (column, n_nonnull, n_distinct)")
-    return long.select(
-        "column", F.col("_n").alias("n_rows"),
-        "n_nonnull", "n_distinct",
-        F.when(F.col("_n") > 0,
-               (F.col("_n") - F.col("n_nonnull")).cast("double")
-               / F.col("_n").cast("double")).alias("null_frac"))
-
-
 def herfindahl_index(df: DataFrame, *, item_col: str,
                      group_cols: list[str]) -> DataFrame:
     """Herfindahl–Hirschman concentration index per group —

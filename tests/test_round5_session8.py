@@ -436,31 +436,6 @@ def test_winsorized_float_raises(spark):
         winsorized_mean(df, value_col="v", group_cols=["g"])
 
 
-# ------------------------------------------------------------ table_profile
-
-
-def test_table_profile_hand_checked(spark):
-    from kml2geojson_spark.relational import table_profile
-    df = spark.createDataFrame(
-        [(1, "a"), (2, None), (3, "a"), (None, "b")], ["x", "y"])
-    out = {r["column"]: r for r in
-           table_profile(df, columns=["x", "y"]).collect()}
-    assert out["x"]["n_rows"] == 4
-    assert out["x"]["n_nonnull"] == 3
-    assert out["x"]["n_distinct"] == 3
-    assert out["x"]["null_frac"] == 0.25
-    assert out["y"]["n_nonnull"] == 3
-    assert out["y"]["n_distinct"] == 2
-    assert out["y"]["null_frac"] == 0.25
-
-
-def test_table_profile_empty_columns_raises(spark):
-    from kml2geojson_spark.relational import table_profile
-    df = spark.createDataFrame([(1,)], ["x"])
-    with pytest.raises(ValueError):
-        table_profile(df, columns=[])
-
-
 # --------------------------------------------------------- keyword_snippets
 
 
