@@ -8394,9 +8394,11 @@ FROM c
 
 
 def _q237_hits(spark, sf):
-    """3-round integer HITS over the customer-supplier purchase graph
-    (the q85 edge synthesis): max-normalized milli-unit half-rounds,
-    pure BIGINT. Round-5 post-pin registration: in-repo oracle sweep
+    """3-round UNNORMALIZED integer HITS over the customer-supplier
+    purchase graph (the q85 edge synthesis): every score an exact
+    BIGINT count of weighted alternating paths — rankings identical
+    to the L2-normalized textbook scores, which could never
+    hash-match. Round-5 post-pin registration: in-repo oracle sweep
     only."""
     from kml2geojson_spark.graph import hits_scores
     li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
@@ -8412,44 +8414,25 @@ def _o237() -> str:
     prev_h = "h0"
     for i in (1, 2, 3):
         rounds.append(f"""
-ar{i} AS (
-  SELECT e.dst AS node, CAST(SUM(s.h) AS BIGINT) AS x
-  FROM e JOIN {prev_h} s ON s.node = e.src GROUP BY e.dst),
-af{i} AS (
-  SELECT n.node, CAST(COALESCE(r.x, 0) AS BIGINT) AS x
-  FROM nodes n LEFT JOIN ar{i} r ON n.node = r.node),
-am{i} AS (SELECT MAX(x) AS mx FROM af{i}),
 a{i} AS (
-  SELECT f.node,
-         CAST(CASE WHEN m.mx > 0 THEN (f.x * 1000) // m.mx ELSE 0 END
-              AS BIGINT) AS a
-  FROM af{i} f CROSS JOIN am{i} m),
-hr{i} AS (
-  SELECT e.src AS node, CAST(SUM(s.a) AS BIGINT) AS x
-  FROM e JOIN a{i} s ON s.node = e.dst GROUP BY e.src),
-hf{i} AS (
-  SELECT n.node, CAST(COALESCE(r.x, 0) AS BIGINT) AS x
-  FROM nodes n LEFT JOIN hr{i} r ON n.node = r.node),
-hm{i} AS (SELECT MAX(x) AS mx FROM hf{i}),
+  SELECT e.dst AS node, CAST(SUM(s.score) AS BIGINT) AS score
+  FROM e JOIN {prev_h} s ON s.node = e.src GROUP BY e.dst),
 h{i} AS (
-  SELECT f.node,
-         CAST(CASE WHEN m.mx > 0 THEN (f.x * 1000) // m.mx ELSE 0 END
-              AS BIGINT) AS h
-  FROM hf{i} f CROSS JOIN hm{i} m)"""
+  SELECT e.src AS node, CAST(SUM(s.score) AS BIGINT) AS score
+  FROM e JOIN a{i} s ON s.node = e.dst GROUP BY e.src)"""
         )
         prev_h = f"h{i}"
     return f"""
 WITH e AS (
   SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-h0 AS (SELECT node, CAST(1000 AS BIGINT) AS h FROM nodes),
+h0 AS (SELECT DISTINCT src AS node, CAST(1 AS BIGINT) AS score FROM e),
 {",".join(rounds)}
-SELECT h3.node, h3.h AS hub_milli, a3.a AS auth_milli
-FROM h3 JOIN a3 ON a3.node = h3.node
+SELECT COALESCE(h3.node, a3.node) AS node,
+       CAST(COALESCE(h3.score, 0) AS BIGINT) AS hub,
+       CAST(COALESCE(a3.score, 0) AS BIGINT) AS auth
+FROM h3 FULL OUTER JOIN a3 ON a3.node = h3.node
 """
-
-
 
 
 def _q238_haversine(spark, sf):

@@ -842,64 +842,3 @@ def lpa_communities(edges: DataFrame, *, src: str = "src",
                   .localCheckpoint(eager=True))
     return labels
 
-
-def hits_scores(edges: DataFrame, *, src: str = "src", dst: str = "dst",
-                n_iters: int = 3) -> DataFrame:
-    """Fixed-iteration HITS (hubs & authorities) over a directed edge
-    list with PURE INTEGER arithmetic — the bipartite-flavored twin
-    of :func:`pagerank`: a node is a good HUB if it points at good
-    authorities, a good AUTHORITY if good hubs point at it (buyer ↔
-    product, crawler ↔ canonical page, citing ↔ cited).
-
-    Semantics: ``n_iters`` synchronous rounds of ``a = Σ_in h`` then
-    ``h = Σ_out a``, each half-round MAX-normalized to milli-units
-    (``(x·1000) div max(x)`` — integer floor division), replacing the
-    textbook L2 normalization: float L2 sums in nondeterministic
-    partial-aggregate order and would never hash-match an oracle; the
-    max-normalized fixed point has the same ranking. Scores stay in
-    [0, 1000] after every half-round, so overflow headroom is
-    ~1000·max_degree per sum — safe to ~10^15-degree hubs.
-
-    Scale shape: per round, two hash joins of scores to edges and two
-    map-side-combinable sums, all shuffling on node-id keys; the
-    per-half-round max is a 1-row aggregate broadcast back (no driver
-    collect); lineage truncated per round via localCheckpoint (the
-    :func:`pagerank` discipline).
-
-    Output: (node, hub_milli, auth_milli) for every node in src ∪ dst.
-    """
-    if n_iters < 1:
-        raise ValueError("hits_scores: n_iters must be >= 1")
-    e = (edges.select(F.col(src).cast("long").alias("src"),
-                      F.col(dst).cast("long").alias("dst"))
-         .distinct().localCheckpoint(eager=True))
-    nodes = (e.select(F.col("src").alias("node"))
-             .union(e.select(F.col("dst").alias("node")))
-             .distinct().localCheckpoint(eager=True))
-    h = nodes.withColumn("h", F.lit(1000).cast("long"))
-
-    def _norm(raw: DataFrame, col: str) -> DataFrame:
-        """LEFT-join raw sums onto all nodes, then (x*1000) div max."""
-        full = (nodes.join(raw, "node", "left")
-                .select("node", F.coalesce(F.col("_s"), F.lit(0))
-                        .cast("long").alias("_x")))
-        mx = full.agg(F.max("_x").alias("_mx"))
-        return (full.crossJoin(F.broadcast(mx))
-                .select("node",
-                        F.when(F.col("_mx") > 0,
-                               F.expr("(_x * 1000L) div _mx"))
-                        .otherwise(F.lit(0)).cast("long").alias(col)))
-
-    a = None
-    for _ in range(n_iters):
-        a_raw = (e.join(h.withColumnRenamed("node", "src"), "src")
-                 .groupBy(F.col("dst").alias("node"))
-                 .agg(F.sum("h").alias("_s")))
-        a = _norm(a_raw, "a").localCheckpoint(eager=True)
-        h_raw = (e.join(a.withColumnRenamed("node", "dst"), "dst")
-                 .groupBy(F.col("src").alias("node"))
-                 .agg(F.sum("a").alias("_s")))
-        h = _norm(h_raw, "h").localCheckpoint(eager=True)
-    return (h.join(a, "node")
-            .select("node", F.col("h").alias("hub_milli"),
-                    F.col("a").alias("auth_milli")))

@@ -319,22 +319,23 @@ def test_readability_pure_column_plan(spark):
 
 
 # ------------------------------------------------------------ hits_scores
+# (the session-4 unnormalized integer HITS — q237 registers it over
+# the purchase graph; a drafted max-normalized variant was dropped as
+# a duplicate of this prior art)
 
 
-def test_hits_star_graph(spark):
+def test_hits_star_graph_unnormalized(spark):
     from kml2geojson_spark.graph import hits_scores
-    # one hub (0) pointing at 3 authorities; a weak hub (9) at one
+    # hub 0 -> {1,2,3}; weak hub 9 -> {1}
     edges = [(0, 1), (0, 2), (0, 3), (9, 1)]
     df = spark.createDataFrame(edges, ["src", "dst"])
     out = {r["node"]: r for r in hits_scores(df, n_iters=2).collect()}
-    assert out[0]["hub_milli"] == 1000          # best hub normalizes to max
-    assert out[9]["hub_milli"] < 1000
-    assert out[1]["auth_milli"] == 1000         # pointed at by both hubs
-    assert out[2]["auth_milli"] == out[3]["auth_milli"]
-    assert out[2]["auth_milli"] < 1000
-    # pure-sink/source nodes get 0 on the unused side
-    assert out[1]["hub_milli"] == 0
-    assert out[0]["auth_milli"] == 0
+    # h0=1 on {0,9}; a1: 1->2, 2->1, 3->1; h1: 0->4, 9->2
+    # a2: 1->6, 2->4, 3->4;  h2: 0->14, 9->6
+    assert out[0]["hub"] == 14 and out[9]["hub"] == 6
+    assert out[1]["auth"] == 6
+    assert out[2]["auth"] == 4 and out[3]["auth"] == 4
+    assert out[1]["hub"] == 0 and out[0]["auth"] == 0
 
 
 def test_hits_deterministic_integers(spark):
@@ -348,13 +349,6 @@ def test_hits_deterministic_integers(spark):
     b = sorted(map(tuple, hits_scores(
         df.repartition(7), n_iters=3).collect()))
     assert a == b  # partitioning can never change the BIGINT scores
-
-
-def test_hits_rejects_zero_iters(spark):
-    from kml2geojson_spark.graph import hits_scores
-    df = spark.createDataFrame([(1, 2)], ["src", "dst"])
-    with pytest.raises(ValueError):
-        hits_scores(df, n_iters=0)
 
 
 # ------------------------------------------------------------ haversine_m
