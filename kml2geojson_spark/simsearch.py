@@ -701,7 +701,9 @@ def quantize_embeddings(embeddings: DataFrame, *, id_col: str = "vec_id",
                         vec_col: str = "embedding") -> DataFrame:
     """Symmetric per-vector int8 quantization — the 4× embedding-store
     compressor (scale = max|v| / 127, q = round(v / scale)) that
-    precedes shipping vectors to an ANN index or a training shard.
+    precedes shipping vectors to an ANN index or a training shard
+    (:func:`int8_quantize_stats` is the error AUDIT run before
+    committing to a quantized layout).
     Emitted FLAT (one row per component) rather than as an array so
     the cross-engine hash covers every component; re-assembly is one
     ``collect_list`` over (id, idx).
@@ -1117,11 +1119,14 @@ def simplified_silhouette(embeddings: DataFrame, *,
 def int8_quantize_stats(embeddings: DataFrame, *,
                         vec_col: str = "embedding",
                         id_col: str = "vec_id") -> DataFrame:
-    """Per-vector int8 (0..255) min-max quantization audit — the
-    "can I ship these embeddings quantized" readout for the ANN
-    scale path (4× memory cut for IVF/LSH candidate stores): each
-    vector's range, its worst reconstruction error and the mean
+    """Per-vector int8 (0..255) min-max quantization AUDIT — the
+    "can I ship these embeddings quantized" readout that precedes
+    committing to :func:`quantize_embeddings` (q149, which emits the
+    quantized values under the SYMMETRIC scale=max|v|/127 layout):
+    each vector's range, its worst reconstruction error and the mean
     error after round-trip through ``q = floor((x-mn)/rng·255+0.5)``.
+    Min-max here deliberately bounds the error of the asymmetric
+    layout too (its per-vector range is what min-max measures).
 
     Determinism: min/max/max-error are order-independent reductions
     over per-element values computed by an IEEE-exact op sequence
