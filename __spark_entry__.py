@@ -8805,6 +8805,49 @@ FROM asg GROUP BY media_ref, frame_idx
 """
 
 
+
+
+def _q249_peak_concurrency(spark, sf):
+    """Peak simultaneously-open synthetic order intervals per
+    priority (half-open sweep, totalized (t, delta) order, exact
+    BIGINT running sums). Round-5 post-pin registration: in-repo
+    oracle sweep only."""
+    from kml2geojson_spark.eventops import peak_concurrency
+    o = _t(spark, sf, "orders")
+    day = F.datediff(F.col("o_orderdate").cast("date"),
+                     F.to_date(F.lit("1970-01-01"))).cast("long")
+    iv = o.where(F.col("o_orderpriority").isNotNull()
+                 & F.col("o_orderdate").isNotNull()
+                 & F.col("o_orderkey").isNotNull())         .select(F.col("o_orderpriority").alias("key"),
+                day.alias("start"),
+                (day + 1 + (F.col("o_orderkey") % 30)).alias("end"))
+    return peak_concurrency(iv)
+
+
+_O249 = """
+WITH iv AS (
+  SELECT o_orderpriority AS k,
+         datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+           AS s,
+         datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+           + 1 + (o_orderkey % 30) AS e
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_orderdate IS NOT NULL
+    AND o_orderkey IS NOT NULL),
+ev AS (SELECT k, s AS t, CAST(1 AS BIGINT) AS d FROM iv
+       UNION ALL
+       SELECT k, e AS t, CAST(-1 AS BIGINT) AS d FROM iv),
+run AS (
+  SELECT k, SUM(d) OVER (PARTITION BY k ORDER BY t ASC, d ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS r
+  FROM ev)
+SELECT k AS key, CAST(COUNT(*) / 2 AS BIGINT) AS n_intervals,
+       CAST(MAX(r) AS BIGINT) AS peak
+FROM run GROUP BY k
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -9042,6 +9085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q246_simhash_curve": _q246_simhash_curve,
         "q247_dimension_profile": _q247_dimension_profile,
         "q248_frame_checksums": _q248_frame_checksums,
+        "q249_peak_concurrency": _q249_peak_concurrency,
     }
 
 
@@ -9278,6 +9322,7 @@ def oracle_sql() -> dict[str, str]:
         "q246_simhash_curve": _o246(),
         "q247_dimension_profile": _O247,
         "q248_frame_checksums": _O248,
+        "q249_peak_concurrency": _O249,
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

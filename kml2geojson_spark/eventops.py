@@ -1287,3 +1287,51 @@ def rolling_active_users(events: DataFrame, *, ts_col: str = "ts",
           .distinct())
     wau = ex.groupBy("day").agg(F.count(F.lit(1)).alias("rolling_active"))
     return dau.join(wau, "day").select("day", "dau", "rolling_active")
+
+
+def peak_concurrency(intervals: DataFrame, *, key_col: str = "key",
+                     start_col: str = "start",
+                     end_col: str = "end") -> DataFrame:
+    """Peak number of simultaneously-open intervals per key — the
+    capacity-planning number (max concurrent sessions per service,
+    max overlapping jobs per queue) that :func:`merge_intervals`
+    (which only unions) cannot answer.
+
+    Semantics: intervals are HALF-OPEN ``[start, end)`` — an interval
+    ending exactly when another starts does NOT overlap it (the
+    boundary convention every scheduler uses). Implemented as the
+    classic sweep: ±1 boundary events, a running sum over the
+    per-key timeline, max. Degenerate intervals (end <= start)
+    contribute nothing; NULL keys/bounds drop.
+
+    Determinism: the sweep order is totalized — (time, delta) with
+    the −1 sorting before the +1 at equal times (that IS the
+    half-open rule), so the running BIGINT sum is engine-independent.
+
+    Scale shape: one explode to 2 rows per interval, ONE per-key
+    window (running sum), one hash-agg for the max — no join, no
+    global sort; the window partitioning is the aggregation key.
+
+    Output: (key, n_intervals, peak).
+    """
+    base = (intervals.where(
+        F.col(key_col).isNotNull() & F.col(start_col).isNotNull()
+        & F.col(end_col).isNotNull()
+        & (F.col(end_col) > F.col(start_col)))
+        .select(F.col(key_col).alias("_k"),
+                F.col(start_col).alias("_s"),
+                F.col(end_col).alias("_e")))
+    ev = base.select(
+        "_k", F.explode(F.array(
+            F.struct(F.col("_s").alias("t"),
+                     F.lit(1).cast("long").alias("d")),
+            F.struct(F.col("_e").alias("t"),
+                     F.lit(-1).cast("long").alias("d")))).alias("_ev")) \
+        .select("_k", F.col("_ev.t").alias("_t"), F.col("_ev.d").alias("_d"))
+    w = Window.partitionBy("_k").orderBy(F.col("_t").asc(),
+                                         F.col("_d").asc()) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    run = ev.select("_k", F.sum("_d").over(w).alias("_run"))
+    return (run.groupBy(F.col("_k").alias("key"))
+            .agg((F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
+                 F.max("_run").alias("peak")))

@@ -632,3 +632,34 @@ def test_frame_checksums_python_replay(spark):
             exp = (len(fr), sum(fr),
                    sum((k + 1) * b for k, b in enumerate(fr)))
             assert got[(ref, i)] == exp
+
+
+# ------------------------------------------------------------ peak_concurrency
+
+
+def test_peak_concurrency_hand_checked(spark):
+    from kml2geojson_spark.eventops import peak_concurrency
+    rows = [
+        # key a: [0,10), [5,15), [14,20) -> peak 2 (at 5-10 and 14-15)
+        ("a", 0, 10), ("a", 5, 15), ("a", 14, 20),
+        # key b: back-to-back [0,5), [5,10) -> half-open: peak 1
+        ("b", 0, 5), ("b", 5, 10),
+        # key c: triple stack
+        ("c", 0, 9), ("c", 1, 8), ("c", 2, 7),
+        # key d: degenerate interval contributes nothing
+        ("d", 3, 3), ("d", 1, 2),
+    ]
+    df = spark.createDataFrame(rows, ["key", "start", "end"])
+    out = {r["key"]: r for r in peak_concurrency(df).collect()}
+    assert out["a"]["peak"] == 2 and out["a"]["n_intervals"] == 3
+    assert out["b"]["peak"] == 1
+    assert out["c"]["peak"] == 3
+    assert out["d"]["peak"] == 1 and out["d"]["n_intervals"] == 1
+
+
+def test_peak_concurrency_single_window_plan(spark):
+    from kml2geojson_spark.eventops import peak_concurrency
+    df = spark.createDataFrame([("a", 0, 1)], ["key", "start", "end"])
+    plan = _plan(peak_concurrency(df))
+    assert "Join" not in plan
+    assert plan.count("Window") == 1
