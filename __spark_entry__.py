@@ -8848,6 +8848,56 @@ FROM run GROUP BY k
 """
 
 
+
+
+def _q250_zonal_stats(spark, sf):
+    """Zonal statistics: exact cents sums of customer account
+    balances per containing nation diamond (pip_join + value join +
+    hash-agg). Round-5 post-pin registration: in-repo oracle sweep
+    only."""
+    from kml2geojson_spark.spatial.ops import zonal_stats
+    c = _t(spark, sf, "customer")
+    pts = _customer_points(spark, sf).join(
+        c.select(F.col("c_custkey").alias("point_id"),
+                 F.round(F.col("c_acctbal") * 100.0).cast("long")
+                 .alias("value")), "point_id")
+    return zonal_stats(pts, _nation_diamonds(spark, sf), 6)
+
+
+_O250 = f"""
+WITH polys AS ({_POLY_SQL}),
+edges AS (
+  SELECT poly_id,
+         cx + dx1 * r AS x1, cy + dy1 * r AS y1,
+         cx + dx2 * r AS x2, cy + dy2 * r AS y2
+  FROM polys CROSS JOIN (VALUES
+    (1.0, 0.0, 0.0, 1.0), (0.0, 1.0, -1.0, 0.0),
+    (-1.0, 0.0, 0.0, -1.0), (0.0, -1.0, 1.0, 0.0)
+  ) AS d(dx1, dy1, dx2, dy2)
+),
+pts AS ({_PTS_SQL}),
+crossings AS (
+  SELECT p.point_id, e.poly_id,
+         CASE WHEN ((e.y1 > p.y) != (e.y2 > p.y))
+               AND (p.x < (e.x2 - e.x1) * (p.y - e.y1) / (e.y2 - e.y1) + e.x1)
+              THEN 1 ELSE 0 END AS c
+  FROM pts p CROSS JOIN edges e
+),
+hits AS (
+  SELECT point_id, poly_id FROM crossings
+  GROUP BY point_id, poly_id HAVING SUM(c) % 2 = 1),
+vals AS (
+  SELECT c_custkey AS point_id,
+         CAST(ROUND(c_acctbal * 100.0) AS BIGINT) AS v
+  FROM customer WHERE c_acctbal IS NOT NULL)
+SELECT h.poly_id, COUNT(*) AS n_points,
+       CAST(SUM(v.v) AS BIGINT) AS value_sum,
+       CAST(SUM(v.v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS value_mean
+FROM hits h JOIN vals v ON v.point_id = h.point_id
+GROUP BY h.poly_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -9086,6 +9136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q247_dimension_profile": _q247_dimension_profile,
         "q248_frame_checksums": _q248_frame_checksums,
         "q249_peak_concurrency": _q249_peak_concurrency,
+        "q250_zonal_stats": _q250_zonal_stats,
     }
 
 
@@ -9323,6 +9374,7 @@ def oracle_sql() -> dict[str, str]:
         "q247_dimension_profile": _O247,
         "q248_frame_checksums": _O248,
         "q249_peak_concurrency": _O249,
+        "q250_zonal_stats": _O250,
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

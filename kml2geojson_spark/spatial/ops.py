@@ -3064,3 +3064,49 @@ def bearing_deg(lat1, lon1, lat2, lon2):
          - F.sin(p1) * F.cos(p2) * F.cos(dl))
     deg = F.atan2(y, x) * F.lit(kk)
     return (deg + F.lit(360.0)) % F.lit(360.0)
+
+
+def zonal_stats(points: DataFrame, polygons: DataFrame, res: int, *,
+                value_col: str = "value",
+                point_id: str = "point_id", x: str = "x", y: str = "y",
+                poly_id: str = "poly_id", rings: str = "rings",
+                **pip_kwargs) -> DataFrame:
+    """Zonal statistics — the classic GIS aggregation: for each
+    polygon, count and sum an INTEGER point value over the points it
+    contains (population per district, revenue per territory). One
+    call over :func:`pip_join` + a value join + a hash-aggregate.
+
+    Determinism: the value must be INTEGER (floats raise —
+    integerize to cents/micros first, the package-wide rule); count
+    and sum are exact BIGINTs, the mean is ONE division.
+
+    Scale shape: inherits :func:`pip_join`'s cell-bucketed candidate
+    discipline (broadcast dimension polygons or any-scale cogroup via
+    ``pip_kwargs``); the value join is a key equi-join on point_id;
+    the final aggregate is keyed by polygon. Points outside every
+    polygon contribute nothing (inner semantics — use
+    :func:`pip_anti_join` for the complement).
+
+    Output: (poly_id, n_points, value_sum, value_mean).
+    """
+    from pyspark.sql.types import DoubleType, FloatType
+
+    fields = {f.name: f for f in points.schema.fields}
+    if isinstance(fields[value_col].dataType, (DoubleType, FloatType)):
+        raise ValueError(
+            f"zonal_stats: {value_col!r} is floating-point — "
+            "integerize first (exact integer sums are the "
+            "determinism contract)")
+    hits = pip_join(points.select(point_id, x, y), polygons, res,
+                    point_id=point_id, x=x, y=y, poly_id=poly_id,
+                    rings=rings, **pip_kwargs)
+    vals = points.where(F.col(value_col).isNotNull()).select(
+        point_id, F.col(value_col).cast("long").alias("_v"))
+    g = (hits.join(vals, point_id)
+         .groupBy(poly_id)
+         .agg(F.count(F.lit(1)).alias("n_points"),
+              F.sum("_v").alias("value_sum")))
+    return g.select(
+        poly_id, "n_points", "value_sum",
+        (F.col("value_sum").cast("double")
+         / F.col("n_points").cast("double")).alias("value_mean"))

@@ -663,3 +663,33 @@ def test_peak_concurrency_single_window_plan(spark):
     plan = _plan(peak_concurrency(df))
     assert "Join" not in plan
     assert plan.count("Window") == 1
+
+
+# ------------------------------------------------------------- zonal_stats
+
+
+def test_zonal_stats_hand_checked(spark):
+    from kml2geojson_spark.spatial.ops import zonal_stats
+    # diamond |x|+|y| <= 2 contains (0,0) and (1,0); (3,3) outside
+    pts = spark.createDataFrame(
+        [(1, 0.0, 0.0, 10), (2, 1.0, 0.0, 30), (3, 3.0, 3.0, 99)],
+        ["point_id", "x", "y", "value"])
+    polys = spark.createDataFrame(
+        [_diamond(7, 0.0, 0.0, 2.0)], ["poly_id", "rings"])
+    rows = zonal_stats(pts, polys, 6).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["poly_id"] == 7
+    assert r["n_points"] == 2
+    assert r["value_sum"] == 40
+    assert r["value_mean"] == 20.0
+
+
+def test_zonal_stats_float_value_raises(spark):
+    from kml2geojson_spark.spatial.ops import zonal_stats
+    pts = spark.createDataFrame(
+        [(1, 0.0, 0.0, 1.5)], ["point_id", "x", "y", "value"])
+    polys = spark.createDataFrame(
+        [_diamond(7, 0.0, 0.0, 2.0)], ["poly_id", "rings"])
+    with pytest.raises(ValueError, match="integerize"):
+        zonal_stats(pts, polys, 6)
