@@ -8898,6 +8898,331 @@ GROUP BY h.poly_id
 """
 
 
+def _q251_spatial_thin(spark, sf):
+    """Spatial thinning: one deterministic (min point_id)
+    representative per res-6 Morton cell over the customer points —
+    a single hash-aggregate, output bounded by the cell count.
+    Round-5 post-pin registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.spatial.ops import spatial_thin
+    return spatial_thin(_customer_points(spark, sf), 6)
+
+
+def _o251() -> str:
+    gx, gy = _grid_sql("x", "y", 6)
+    return (f"WITH pts AS ({_PTS_SQL}), "
+            f"g AS (SELECT point_id, {gx} AS gx, {gy} AS gy FROM pts)"
+            + _morton_ctes("point_id", 6, "g")
+            + """
+, agg AS (SELECT cell_id, MIN(point_id) AS point_id,
+                 COUNT(*)::BIGINT AS n_points
+          FROM enc GROUP BY cell_id)
+SELECT a.cell_id, a.point_id, p.x, p.y, a.n_points
+FROM agg a JOIN pts p USING (point_id)
+""")
+
+
+def _q252_adamic_adar(spark, sf):
+    """Adamic-Adar link prediction over the q97 customer-supplier
+    bipartite graph: shared suppliers weighted 1/ln(degree),
+    integerized to exact micro-units before the BIGINT pair sum.
+    Round-5 post-pin registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.graph import adamic_adar
+    li = (_t(spark, sf, "lineitem").where(F.col("l_suppkey") <= 20)
+          .select("l_orderkey", "l_suppkey"))
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    edges = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+             .select(F.col("o_custkey").alias("src"),
+                     F.col("l_suppkey").alias("dst")))
+    return adamic_adar(edges, min_common=2)
+
+
+_O252 = """
+WITH e AS (
+  SELECT DISTINCT o_custkey AS l, l_suppkey AS r
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_suppkey <= 20),
+w AS (SELECT r, CAST(FLOOR(1000000.0 / ln(COUNT(*)::DOUBLE)) AS BIGINT)
+             AS wt
+      FROM e GROUP BY r HAVING COUNT(*) >= 2)
+SELECT a.l AS node_a, b.l AS node_b, COUNT(*)::BIGINT AS n_common,
+       SUM(w.wt)::BIGINT AS aa_micro
+FROM e a JOIN e b ON a.r = b.r AND a.l < b.l JOIN w ON w.r = a.r
+GROUP BY a.l, b.l HAVING COUNT(*) >= 2
+"""
+
+
+def _q253_distinctive_terms(spark, sf):
+    """Per-language distinctive tokens by informative-Dirichlet
+    log-odds z (Monroe et al.): exact BIGINT counts, one fixed IEEE
+    z expression, micro-quantized output, totalized top-5 rank.
+    Round-5 post-pin registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.textops import distinctive_terms
+    return distinctive_terms(_t(spark, sf, "documents"),
+                             group_col="lang", k=5, min_count=3)
+
+
+_O253 = """
+WITH toks AS (
+  SELECT lang AS grp, t.token AS token
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(token)
+  WHERE lang IS NOT NULL AND text IS NOT NULL AND t.token <> ''),
+gt AS (SELECT grp, token, COUNT(*)::BIGINT AS y_g
+       FROM toks GROUP BY grp, token),
+tt AS (SELECT token, SUM(y_g)::BIGINT AS tot_t FROM gt GROUP BY token),
+tg AS (SELECT grp, SUM(y_g)::BIGINT AS n_g FROM gt GROUP BY grp),
+nn AS (SELECT SUM(y_g)::BIGINT AS N FROM gt),
+j AS (SELECT gt.grp, gt.token, gt.y_g, tt.tot_t, tg.n_g, nn.N
+      FROM gt JOIN tt USING (token) JOIN tg USING (grp) CROSS JOIN nn
+      WHERE gt.y_g >= 3),
+sc AS (
+  SELECT grp, token, y_g, tot_t - y_g AS n_rest,
+         CAST(ROUND(
+           ((ln((y_g::DOUBLE + (100.0 * tot_t::DOUBLE) / N::DOUBLE)
+                / (((n_g::DOUBLE + 100.0) - y_g::DOUBLE)
+                   - (100.0 * tot_t::DOUBLE) / N::DOUBLE))
+             - ln(((tot_t - y_g)::DOUBLE
+                   + (100.0 * tot_t::DOUBLE) / N::DOUBLE)
+                  / ((((N - n_g)::DOUBLE + 100.0)
+                      - (tot_t - y_g)::DOUBLE)
+                     - (100.0 * tot_t::DOUBLE) / N::DOUBLE)))
+            / sqrt(1.0 / (y_g::DOUBLE
+                          + (100.0 * tot_t::DOUBLE) / N::DOUBLE)
+                   + 1.0 / ((tot_t - y_g)::DOUBLE
+                            + (100.0 * tot_t::DOUBLE) / N::DOUBLE)))
+           * 1000000.0) AS BIGINT) AS zeta_micro
+  FROM j),
+rk AS (SELECT grp AS lang, token, y_g AS n_group, n_rest, zeta_micro,
+              ROW_NUMBER() OVER (PARTITION BY grp
+                                 ORDER BY zeta_micro DESC, token ASC)
+                AS rank
+       FROM sc)
+SELECT * FROM rk WHERE rank <= 5
+"""
+
+
+def _q254_ewma_last(spark, sf):
+    """Per-user EWMA (dyadic weights over the last 6 events) at the
+    latest event: exact BIGINT num/den, ONE division. Round-5
+    post-pin registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.eventops import ewma_last
+    return ewma_last(_t(spark, sf, "events"), window=6)
+
+
+_O254 = """
+WITH e AS (
+  SELECT user_id AS key, ts, event_id,
+         CAST(ROUND(value * 1000.0) AS BIGINT) AS v
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_id IS NOT NULL AND value IS NOT NULL),
+l AS (
+  SELECT key, v,
+         lag(v, 1) OVER w AS v1, lag(v, 2) OVER w AS v2,
+         lag(v, 3) OVER w AS v3, lag(v, 4) OVER w AS v4,
+         lag(v, 5) OVER w AS v5,
+         ROW_NUMBER() OVER (PARTITION BY key
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY key) AS n_events
+  FROM e
+  WINDOW w AS (PARTITION BY key ORDER BY ts ASC, event_id ASC)),
+f AS (
+  SELECT key, n_events,
+         (COALESCE(v * 32, 0) + COALESCE(v1 * 16, 0)
+          + COALESCE(v2 * 8, 0) + COALESCE(v3 * 4, 0)
+          + COALESCE(v4 * 2, 0) + COALESCE(v5 * 1, 0))::BIGINT AS num,
+         (CASE WHEN v IS NOT NULL THEN 32 ELSE 0 END
+          + CASE WHEN v1 IS NOT NULL THEN 16 ELSE 0 END
+          + CASE WHEN v2 IS NOT NULL THEN 8 ELSE 0 END
+          + CASE WHEN v3 IS NOT NULL THEN 4 ELSE 0 END
+          + CASE WHEN v4 IS NOT NULL THEN 2 ELSE 0 END
+          + CASE WHEN v5 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS den
+  FROM l WHERE rn = 1)
+SELECT key, n_events, num, den,
+       num::DOUBLE / den::DOUBLE AS ewma_milli
+FROM f
+"""
+
+
+def _q255_mann_kendall(spark, sf):
+    """Mann-Kendall trend test per user over event value cents
+    ((ts, event_id)-totalized pair order, exact BIGINT S and
+    tie-corrected 18-Var, fixed IEEE z). Round-5 post-pin
+    registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.relational import mann_kendall
+    ev = _t(spark, sf, "events").select(
+        "user_id", "ts", "event_id",
+        F.round(F.col("value") * 100.0).cast("long").alias("cents"))
+    return mann_kendall(ev, value_col="cents",
+                        order_cols=["ts", "event_id"],
+                        group_cols=["user_id"])
+
+
+_O255 = """
+WITH b AS (
+  SELECT user_id AS grp, ts, event_id,
+         CAST(ROUND(value * 100.0) AS BIGINT) AS x
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_id IS NOT NULL AND value IS NOT NULL),
+s AS (
+  SELECT a.grp,
+         SUM(CASE WHEN b2.x > a.x THEN 1
+                  WHEN b2.x < a.x THEN -1 ELSE 0 END)::BIGINT AS s_stat
+  FROM b a JOIN b b2
+    ON a.grp = b2.grp AND (a.ts, a.event_id) < (b2.ts, b2.event_id)
+  GROUP BY a.grp),
+n AS (SELECT grp, COUNT(*)::BIGINT AS n FROM b GROUP BY grp),
+t AS (SELECT grp, SUM(t * (t - 1) * (2 * t + 5))::BIGINT AS corr
+      FROM (SELECT grp, x, COUNT(*)::BIGINT AS t FROM b GROUP BY grp, x)
+      GROUP BY grp),
+f AS (
+  SELECT n.grp, n.n, COALESCE(s.s_stat, 0)::BIGINT AS s_stat,
+         (n.n * (n.n - 1) * (2 * n.n + 5) - t.corr)::BIGINT AS var18
+  FROM n JOIN t USING (grp) LEFT JOIN s USING (grp))
+SELECT grp AS user_id, n, s_stat, var18,
+       CASE WHEN n >= 2 AND var18 > 0 THEN
+         CASE WHEN s_stat > 0
+              THEN (s_stat - 1)::DOUBLE / sqrt(var18::DOUBLE / 18.0)
+              WHEN s_stat < 0
+              THEN (s_stat + 1)::DOUBLE / sqrt(var18::DOUBLE / 18.0)
+              ELSE 0.0 END
+       END AS z
+FROM f
+"""
+
+
+def _q256_brown_forsythe(spark, sf):
+    """Brown-Forsythe variance-equality F across returnflag levels of
+    line revenue (dollars): lower-median deviations (exact BIGINT),
+    then oneway_anova's milli-floored sums. Round-5 post-pin
+    registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.relational import brown_forsythe
+    li = _t(spark, sf, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice")).cast("long")
+        .alias("price_dollars"))
+    return brown_forsythe(li, value_col="price_dollars",
+                          factor_col="l_returnflag")
+
+
+_O256 = """
+WITH b AS (
+  SELECT l_returnflag AS lvl,
+         CAST(ROUND(l_extendedprice) AS BIGINT) AS v
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL),
+r AS (SELECT lvl, v,
+             ROW_NUMBER() OVER (PARTITION BY lvl ORDER BY v ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY lvl) AS n
+      FROM b),
+m AS (SELECT lvl, v AS med FROM r WHERE rn = (n + 1) // 2),
+d AS (SELECT b.lvl, ABS(b.v - m.med)::BIGINT AS z
+      FROM b JOIN m USING (lvl)),
+lv AS (SELECT lvl, CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(z) AS BIGINT) AS s,
+              CAST(SUM(z * z) AS BIGINT) AS ss
+       FROM d GROUP BY lvl),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS n,
+         CAST(SUM(s) AS BIGINT) AS S, CAST(SUM(ss) AS BIGINT) AS SS,
+         CAST(SUM(CAST(FLOOR(s::DOUBLE * s::DOUBLE / n::DOUBLE
+                             * 1000.0) AS BIGINT)) AS BIGINT) AS cb
+  FROM lv),
+fin AS (
+  SELECT k, n,
+         cb - CAST(FLOOR(S::DOUBLE * S::DOUBLE / n::DOUBLE * 1000.0)
+                   AS BIGINT) AS ssb_milli,
+         1000 * SS - cb AS ssw_milli
+  FROM agg)
+SELECT k, n, ssb_milli, ssw_milli,
+  CASE WHEN k >= 2 AND n > k AND ssw_milli > 0
+       THEN (ssb_milli::DOUBLE / (k - 1)::DOUBLE)
+            / (ssw_milli::DOUBLE / (n - k)::DOUBLE) END AS f_stat
+FROM fin
+"""
+
+
+def _q257_bh_fdr(spark, sf):
+    """Multiple-comparisons pipeline: Welch t per suppkey%37 bucket
+    (A vs R revenue, null true by construction) -> normal two-sided p
+    via the fixed A&S erfc polynomial -> Benjamini-Hochberg step-up
+    adjustment, micro-quantized. Round-5 post-pin registration:
+    in-repo oracle sweep only."""
+    from kml2geojson_spark.relational import (bh_fdr,
+                                              normal_two_sided_p,
+                                              welch_ttest)
+    li = _t(spark, sf, "lineitem").select(
+        (F.col("l_suppkey") % 37).alias("bucket"), "l_returnflag",
+        F.round(F.col("l_extendedprice")).cast("long")
+        .alias("price_dollars"))
+    w = welch_ttest(li, value_col="price_dollars",
+                    group_col="l_returnflag",
+                    group_a="A", group_b="R", group_cols=["bucket"])
+    tests = (w.where(F.col("t_stat").isNotNull())
+             .select(F.col("bucket").alias("tid"),
+                     normal_two_sided_p(F.col("t_stat")).alias("p")))
+    out = bh_fdr(tests, p_col="p", test_id_col="tid")
+    return out.select(
+        "test_id", "rank", "m",
+        F.round(F.col("p") * F.lit(1_000_000.0)).cast("long")
+        .alias("p_micro"),
+        "adj_p_micro", "significant")
+
+
+def _o257() -> str:
+    from kml2geojson_spark.relational import normal_two_sided_p_sql
+    p_expr = normal_two_sided_p_sql("t_stat")
+    return f"""
+WITH b AS (
+  SELECT l_suppkey % 37 AS tid, l_returnflag AS f,
+         CAST(ROUND(l_extendedprice) AS BIGINT) AS v
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_suppkey IS NOT NULL
+    AND l_returnflag IN ('A', 'R')),
+s AS (
+  SELECT tid,
+         CAST(SUM(CASE WHEN f = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN f = 'A' THEN v ELSE 0 END) AS BIGINT) AS s_a,
+         CAST(SUM(CASE WHEN f = 'A' THEN v * v ELSE 0 END) AS BIGINT)
+           AS ss_a,
+         CAST(SUM(CASE WHEN f = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN f = 'R' THEN v ELSE 0 END) AS BIGINT) AS s_b,
+         CAST(SUM(CASE WHEN f = 'R' THEN v * v ELSE 0 END) AS BIGINT)
+           AS ss_b
+  FROM b GROUP BY tid),
+e AS (
+  SELECT tid, n_a, n_b,
+         s_a::DOUBLE / n_a::DOUBLE AS mean_a,
+         s_b::DOUBLE / n_b::DOUBLE AS mean_b,
+         ((n_a::DOUBLE * ss_a::DOUBLE - s_a::DOUBLE * s_a::DOUBLE)
+          / (n_a::DOUBLE * (n_a::DOUBLE - 1.0))) / n_a::DOUBLE AS va,
+         ((n_b::DOUBLE * ss_b::DOUBLE - s_b::DOUBLE * s_b::DOUBLE)
+          / (n_b::DOUBLE * (n_b::DOUBLE - 1.0))) / n_b::DOUBLE AS vb
+  FROM s),
+tt AS (
+  SELECT tid,
+         CASE WHEN n_a >= 2 AND n_b >= 2 AND va + vb > 0
+              THEN (mean_a - mean_b) / sqrt(va + vb) END AS t_stat
+  FROM e),
+p AS (SELECT tid, {p_expr} AS p FROM tt WHERE t_stat IS NOT NULL),
+r AS (SELECT tid, p,
+             ROW_NUMBER() OVER (ORDER BY p ASC, tid ASC) AS rank,
+             COUNT(*) OVER () AS m
+      FROM p),
+a AS (SELECT tid, p, rank, m,
+             LEAST(1.0, MIN(m::DOUBLE * p / rank::DOUBLE)
+                        OVER (ORDER BY rank DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW)) AS adj
+      FROM r)
+SELECT tid AS test_id, rank, m,
+       CAST(ROUND(p * 1000000.0) AS BIGINT) AS p_micro,
+       CAST(ROUND(adj * 1000000.0) AS BIGINT) AS adj_p_micro,
+       (CAST(ROUND(adj * 1000000.0) AS BIGINT) <= 50000) AS significant
+FROM a
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -9137,6 +9462,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q248_frame_checksums": _q248_frame_checksums,
         "q249_peak_concurrency": _q249_peak_concurrency,
         "q250_zonal_stats": _q250_zonal_stats,
+        "q251_spatial_thin": _q251_spatial_thin,
+        "q252_adamic_adar": _q252_adamic_adar,
+        "q253_distinctive_terms": _q253_distinctive_terms,
+        "q254_ewma_last": _q254_ewma_last,
+        "q255_mann_kendall": _q255_mann_kendall,
+        "q256_brown_forsythe": _q256_brown_forsythe,
+        "q257_bh_fdr": _q257_bh_fdr,
     }
 
 
@@ -9375,6 +9707,13 @@ def oracle_sql() -> dict[str, str]:
         "q248_frame_checksums": _O248,
         "q249_peak_concurrency": _O249,
         "q250_zonal_stats": _O250,
+        "q251_spatial_thin": _o251(),
+        "q252_adamic_adar": _O252,
+        "q253_distinctive_terms": _O253,
+        "q254_ewma_last": _O254,
+        "q255_mann_kendall": _O255,
+        "q256_brown_forsythe": _O256,
+        "q257_bh_fdr": _o257(),
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

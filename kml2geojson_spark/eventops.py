@@ -1335,3 +1335,68 @@ def peak_concurrency(intervals: DataFrame, *, key_col: str = "key",
     return (run.groupBy(F.col("_k").alias("key"))
             .agg((F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
                  F.max("_run").alias("peak")))
+
+
+def ewma_last(events: DataFrame, *, key_col: str = "user_id",
+              ts_col: str = "ts", id_col: str = "event_id",
+              value_col: str = "value",
+              window: int = 8) -> DataFrame:
+    """Per-key exponentially-weighted moving average (half-life = one
+    step, i.e. α = 1/2) over the LAST ``window`` observations,
+    evaluated at each key's most recent event — the "current smoothed
+    level" primitive for monitoring/forecast seeds, the finite-window
+    EWMA twin of :func:`~kml2geojson_spark.streaming.stream_rolling_zscore`.
+
+    EXACT-integer formulation: values integerize to milli-units per
+    row; the i-th most recent present value (i = 0 newest) carries
+    weight 2^(window−1−i), so
+
+        num = Σᵢ v_milli,i · 2^(window−1−i)   (BIGINT, exact)
+        den = Σᵢ          2^(window−1−i)      (BIGINT, exact)
+        ewma_milli = num / den                (ONE double division)
+
+    Dyadic weights make every product exact; keys with fewer than
+    ``window`` events sum only the present terms (a growing-window
+    EWMA), so no imputation bias. Caller guarantees
+    |v|·10³·2^window < 2⁶³ (window ≤ 16 and |v| < 10⁸ is safe).
+
+    Scale shape: ONE window partitioning per key (ts, id totalized
+    order) supplies the ``window`` lags AND the last-row marker —
+    single Exchange, no join, no second scan; state per key is the
+    lag buffer (``window`` values), never the series. NULL
+    keys/ts/values drop.
+
+    Output: (key, n_events, num BIGINT, den BIGINT, ewma_milli
+    DOUBLE) — one row per key, evaluated at max (ts, id).
+    """
+    if not 1 <= window <= 16:
+        raise ValueError(f"window must be in [1, 16], got {window}")
+    base = (events
+            .where(F.col(key_col).isNotNull() & F.col(ts_col).isNotNull()
+                   & F.col(id_col).isNotNull()
+                   & F.col(value_col).isNotNull())
+            .select(F.col(key_col).alias("key"),
+                    F.col(ts_col).alias("_t"), F.col(id_col).alias("_i"),
+                    F.round(F.col(value_col) * F.lit(1000.0))
+                    .cast("long").alias("_v")))
+    w = Window.partitionBy("key").orderBy(
+        F.col("_t").asc(), F.col("_i").asc())
+    num = F.lit(0).cast("long")
+    den = F.lit(0).cast("long")
+    for i in range(window):
+        wt = 1 << (window - 1 - i)
+        vi = F.col("_v") if i == 0 else F.lag("_v", i).over(w)
+        num = num + F.coalesce(vi * F.lit(wt), F.lit(0))
+        den = den + F.when(vi.isNotNull(), F.lit(wt)).otherwise(F.lit(0))
+    marked = base.select(
+        "key", num.alias("num"), den.alias("den"),
+        F.row_number().over(Window.partitionBy("key").orderBy(
+            F.col("_t").desc(), F.col("_i").desc())).alias("_rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("key")
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing)).alias("n_events"))
+    return (marked.where(F.col("_rn") == 1)
+            .select("key", "n_events", "num", "den",
+                    (F.col("num").cast("double")
+                     / F.col("den").cast("double")).alias("ewma_milli")))

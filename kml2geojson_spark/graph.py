@@ -335,6 +335,65 @@ def common_neighbor_similarity(edges: DataFrame, *, left: str = "src",
                     .alias("jaccard_milli")))
 
 
+def adamic_adar(edges: DataFrame, *, left: str = "src",
+                right: str = "dst",
+                min_common: int = 1,
+                max_degree: int | None = None) -> DataFrame:
+    """Adamic–Adar link-prediction score for pairs of left-side nodes
+    in a bipartite edge list — :func:`common_neighbor_similarity`'s
+    frequency-weighted sibling: each shared right-side neighbor ``w``
+    contributes ``1 / ln(deg(w))`` instead of 1, so rare shared
+    neighbors dominate (the same inverse-frequency argument as
+    tf-idf). The reference (a KML converter,
+    /root/reference/kml2geojson/main.py) has no graph surface; this
+    extends the §2.4 link-prediction family.
+
+    Determinism: the per-neighbor weight is integerized ONCE as
+    ``w_micro = floor(10⁶ / ln(d))`` (d ≥ 2 for any shared neighbor,
+    so ln(d) ≥ ln 2 > 0) and the pair score is an exact BIGINT sum of
+    those micro-weights — addition-order independent, so bit-exact
+    across engines and partitionings. ln routes through libm, but a
+    last-ulp difference flips the floor only if 10⁶/ln(d) sits
+    exactly on an integer boundary for some integer d — no such d
+    exists in the 2⁶³ range of interest.
+
+    Scale shape: mirrors :func:`common_neighbor_similarity` — one
+    distinct, one right-degree hash-aggregate joined back onto the
+    edges (token-key join), then the wedge self-join keyed on the
+    right node: candidates are generated per shared neighbor, never
+    all-pairs. ``max_degree`` prunes hub right-nodes BEFORE the wedge
+    join (each bucket then holds ≤ max_degree² candidates); hubs
+    carry the least Adamic–Adar weight anyway (1/ln d → 0), so the
+    cap deletes the flattest part of the signal first. Pair scoring
+    is one (a, b) hash-aggregate with map-side combine.
+
+    Output: (node_a, node_b, n_common, aa_micro BIGINT) with
+    node_a < node_b and n_common >= min_common.
+    """
+    e = (edges.select(F.col(left).cast("long").alias("l"),
+                      F.col(right).cast("long").alias("r"))
+         .distinct())
+    rdeg = e.groupBy("r").agg(F.count(F.lit(1)).alias("_rd"))
+    if max_degree is not None:
+        if max_degree < 1:
+            raise ValueError(f"max_degree must be >= 1, got {max_degree}")
+        rdeg = rdeg.where(F.col("_rd") <= max_degree)
+    # deg 1 right-nodes cannot be shared; dropping them up front also
+    # keeps ln(d) strictly positive.
+    rdeg = rdeg.where(F.col("_rd") >= 2).withColumn(
+        "_w", F.floor(F.lit(1_000_000.0)
+                      / F.log(F.col("_rd").cast("double"))).cast("long"))
+    we = e.join(rdeg, "r")
+    w1 = we.select(F.col("l").alias("node_a"), "r", "_w")
+    w2 = we.select(F.col("l").alias("node_b"), "r")
+    return (w1.join(w2, "r")
+            .where(F.col("node_a") < F.col("node_b"))
+            .groupBy("node_a", "node_b")
+            .agg(F.count(F.lit(1)).alias("n_common"),
+                 F.sum("_w").alias("aa_micro"))
+            .where(F.col("n_common") >= min_common))
+
+
 def bfs_hops(edges: DataFrame, sources: DataFrame, *,
              src: str = "src", dst: str = "dst",
              node: str = "node",

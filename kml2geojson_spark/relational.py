@@ -3263,3 +3263,228 @@ def herfindahl_index(df: DataFrame, *, item_col: str,
     return s.select(*group_cols, "n", "n_items", "sum_sq",
                     (F.col("sum_sq").cast("double") / (nd * nd))
                     .alias("hhi"))
+
+
+def mann_kendall(df: DataFrame, *, value_col: str,
+                 order_cols: list[str] | str,
+                 group_cols: list[str]) -> DataFrame:
+    """Mann–Kendall monotonic-trend test per group — the
+    nonparametric "is this series drifting?" primitive beside
+    :func:`cusum_changepoint`'s level-shift view and
+    :func:`lag_autocorr`'s persistence view: S = Σ_{i<j}
+    sign(x_j − x_i) over all ordered pairs, with the tie-corrected
+    variance and the standard ±1-continuity z.
+
+    Determinism: values must be INTEGER (floats raise — integerize
+    first, the :func:`corr_matrix` rule); S is an exact BIGINT sum of
+    ±1/0, and 18·Var(S) = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) over tie
+    groups t is exact BIGINT arithmetic, so z is ONE fixed IEEE
+    expression (sqrt is correctly rounded) — bit-identical across
+    engines with no quantization needed. ``order_cols`` must be
+    UNIQUE per group (composite keys allowed; the pair predicate is
+    lexicographic), exactly the :func:`lag_autocorr` contract.
+
+    Scale shape: the pair generation is a PER-GROUP self-join (one
+    equi-join on the group key) — O(n²) pairs per group by
+    definition of S, so this is for MANY SMALL SERIES (per-user /
+    per-sensor trend screens), not one giant series; a hot group with
+    n rows forms n² candidates in one bucket. For a single huge
+    series, thin it first (e.g. daily aggregates). Tie counts and n
+    come from two more hash-aggregates sharing the group key.
+
+    Output: (group..., n, s_stat BIGINT, var18 BIGINT, z DOUBLE) — z
+    NULL when n < 2 or Var(S) = 0 (all values tied).
+    """
+    from pyspark.sql.types import DoubleType, FloatType
+
+    fields = {f.name: f for f in df.schema.fields}
+    if isinstance(fields[value_col].dataType, (DoubleType, FloatType)):
+        raise ValueError(
+            f"mann_kendall: {value_col!r} is floating-point — "
+            "integerize first (exact integer sums are the "
+            "determinism contract)")
+    if not group_cols:
+        raise ValueError("mann_kendall: group_cols must be non-empty")
+    ocols = [order_cols] if isinstance(order_cols, str) else \
+        list(order_cols)
+    if not ocols:
+        raise ValueError("order_cols must be non-empty")
+    keep = F.col(value_col).isNotNull()
+    for c in ocols + group_cols:
+        keep = keep & F.col(c).isNotNull()
+    base = df.where(keep).select(
+        *group_cols,
+        F.struct(*[F.col(c) for c in ocols]).alias("_o"),
+        F.col(value_col).cast("long").alias("_x"))
+    a = base.select(*group_cols, F.col("_o").alias("_oi"),
+                    F.col("_x").alias("_xi"))
+    b = base.select(*group_cols, F.col("_o").alias("_oj"),
+                    F.col("_x").alias("_xj"))
+    s = (a.join(b, group_cols)
+         .where(F.col("_oi") < F.col("_oj"))
+         .groupBy(*group_cols)
+         .agg(F.sum(F.signum(F.col("_xj") - F.col("_xi"))
+                    .cast("long")).alias("s_stat")))
+    nrow = base.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n"))
+    ties = (base.groupBy(*group_cols, "_x")
+            .agg(F.count(F.lit(1)).alias("_t"))
+            .groupBy(*group_cols)
+            .agg(F.sum(F.col("_t") * (F.col("_t") - 1)
+                       * (2 * F.col("_t") + 5)).alias("_corr")))
+    nn = F.col("n").cast("long")
+    var18 = (nn * (nn - 1) * (2 * nn + 5) - F.col("_corr"))
+    out = (nrow.join(ties, group_cols).join(s, group_cols, "left")
+           .select(*group_cols, "n",
+                   F.coalesce(F.col("s_stat"), F.lit(0).cast("long"))
+                   .alias("s_stat"),
+                   var18.alias("var18")))
+    sd = F.sqrt(F.col("var18").cast("double") / F.lit(18.0))
+    zc = (F.when(F.col("s_stat") > 0,
+                 (F.col("s_stat") - 1).cast("double") / sd)
+          .when(F.col("s_stat") < 0,
+                (F.col("s_stat") + 1).cast("double") / sd)
+          .otherwise(F.lit(0.0)))
+    ok = (F.col("n") >= 2) & (F.col("var18") > 0)
+    return out.withColumn("z", F.when(ok, zc))
+
+
+def brown_forsythe(df: DataFrame, *, value_col: str,
+                   factor_col: str) -> DataFrame:
+    """Brown–Forsythe equality-of-variances test across the k levels
+    of ``factor_col`` — the robust Levene variant: one-way ANOVA on
+    the absolute deviations from each level's MEDIAN. The gatekeeper
+    you run before trusting :func:`oneway_anova`'s equal-variance
+    assumption.
+
+    Determinism: values must be INTEGER (floats raise); the level
+    median is the LOWER median (the ceil(n/2)-th smallest — kept
+    integral so |x − med| stays an exact BIGINT; for even n this
+    deviates from the interpolated median by at most half the central
+    gap, a documented robustness-irrelevant choice). The deviations
+    then flow through :func:`oneway_anova`'s exact milli-unit sums —
+    every cross-engine guarantee carries over.
+
+    Scale shape: one window per level (row_number + count share a
+    single Exchange) to select the median row, a broadcast join of
+    the k-row median frame back onto the data, then oneway_anova's
+    two hash-aggregates. NULL values/levels drop.
+
+    Output: (k, n, ssb_milli, ssw_milli, f_stat) — oneway_anova's
+    contract on the deviation frame.
+    """
+    from pyspark.sql.types import DoubleType, FloatType
+
+    fields = {f.name: f for f in df.schema.fields}
+    if isinstance(fields[value_col].dataType, (DoubleType, FloatType)):
+        raise ValueError(
+            f"brown_forsythe: {value_col!r} is floating-point — "
+            "integerize first (exact integer sums are the "
+            "determinism contract)")
+    base = (df.where(F.col(value_col).isNotNull()
+                     & F.col(factor_col).isNotNull())
+            .select(F.col(factor_col).alias("_lvl"),
+                    F.col(value_col).cast("long").alias("_x")))
+    w = Window.partitionBy("_lvl").orderBy(F.col("_x").asc())
+    wall = Window.partitionBy("_lvl").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    med = (base.select("_lvl", "_x",
+                       F.row_number().over(w).alias("_rn"),
+                       F.count(F.lit(1)).over(wall).alias("_n"))
+           .where(F.col("_rn") == F.expr("(_n + 1) div 2"))
+           .select("_lvl", F.col("_x").alias("_med")))
+    dev = (base.join(F.broadcast(med), "_lvl")
+           .select("_lvl", F.abs(F.col("_x") - F.col("_med"))
+                   .alias("_z")))
+    return oneway_anova(dev, value_col="_z", factor_col="_lvl")
+
+
+#: Abramowitz & Stegun 7.1.26 erfc coefficients — FIXED literals so
+#: both engines evaluate the identical polynomial (the
+#: quality._BENFORD_MICRO rule: never let a runtime libm special
+#: function shape a value the oracle must reproduce beyond exp, whose
+#: ulp noise the micro-quantized outputs absorb).
+_ERFC_P = 0.3275911
+_ERFC_A = (0.254829592, -0.284496736, 1.421413741,
+           -1.453152027, 1.061405429)
+
+
+def normal_two_sided_p(z):
+    """Two-sided normal tail probability ``P(|Z| > |z|)`` as a pure
+    Column — erfc(|z|/√2) via the Abramowitz–Stegun 7.1.26 rational
+    approximation (|error| < 1.5e-7, ample for screening): a fixed
+    5-term polynomial in t = 1/(1 + p·x) times exp(−x²). Single fixed
+    IEEE expression; exp may differ by an ulp across engines, so
+    cross-engine comparisons quantize to micro-units (the
+    :func:`~kml2geojson_spark.spatial.ops.haversine_m` rule).
+    """
+    import math
+    x = F.abs(z) / F.lit(math.sqrt(2.0))
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(_ERFC_P) * x)
+    poly = F.lit(_ERFC_A[4])
+    for a in reversed(_ERFC_A[:4]):
+        poly = poly * t + F.lit(a)
+    return poly * t * F.exp(-(x * x))
+
+
+def normal_two_sided_p_sql(z_expr: str) -> str:
+    """The ANSI-SQL replay of :func:`normal_two_sided_p` — the same
+    literals in the same evaluation order, for DuckDB oracles."""
+    import math
+    x = f"(ABS({z_expr}) / {math.sqrt(2.0)!r})"
+    t = f"(1.0 / (1.0 + {_ERFC_P!r} * {x}))"
+    poly = repr(_ERFC_A[4])
+    for a in reversed(_ERFC_A[:4]):
+        poly = f"(({poly}) * {t} + {a!r})"
+    return f"(({poly}) * {t} * EXP(-({x} * {x})))"
+
+
+def bh_fdr(df: DataFrame, *, p_col: str, test_id_col: str,
+           q: float = 0.05) -> DataFrame:
+    """Benjamini–Hochberg false-discovery-rate adjustment over a
+    frame of test results — the multiple-comparisons closer for the
+    package's test family (:func:`welch_ttest`, :func:`mannwhitney_u`,
+    :func:`poisson_rate_ztest`, ...): rank the m p-values ascending,
+    adjusted p_(i) = min_{j ≥ i} (m·p_(j)/j) clamped to 1, reject at
+    FDR level ``q`` iff adjusted p ≤ q.
+
+    Determinism: the rank order totalizes on (p, test_id); the
+    step-up running minimum is a window over the RANKED frame; the
+    adjusted value quantizes to micro-units (``adj_p_micro`` BIGINT)
+    so upstream libm ulp noise in the p's cannot leak. Two p's within
+    an ulp of each other may swap ranks across engines — their m·p/j
+    then differ at the 1/j scale; totalizing on test_id makes the
+    swap deterministic PER ENGINE, and real-valued test statistics
+    make cross-engine near-ties measure-zero (exact ties order by id
+    identically everywhere).
+
+    Scale shape: this runs over a RESULTS frame (one row per test —
+    thousands, not billions), so the single-partition rank window is
+    free by construction; at millions of tests swap in the
+    :func:`vocabulary` two-phase distributed ranking. NULL p's drop.
+
+    Output: (test_id, p, rank, m, adj_p_micro BIGINT, significant
+    BOOLEAN).
+    """
+    base = (df.where(F.col(p_col).isNotNull()
+                     & F.col(test_id_col).isNotNull())
+            .select(F.col(test_id_col).alias("test_id"),
+                    F.col(p_col).cast("double").alias("p")))
+    wr = Window.orderBy(F.col("p").asc(), F.col("test_id").asc())
+    wm = Window.rowsBetween(Window.unboundedPreceding,
+                            Window.unboundedFollowing)
+    ranked = base.select(
+        "test_id", "p",
+        F.row_number().over(wr).alias("rank"),
+        F.count(F.lit(1)).over(wm).alias("m"))
+    step = (F.col("m").cast("double") * F.col("p")
+            / F.col("rank").cast("double"))
+    wmin = (Window.orderBy(F.col("rank").desc())
+            .rowsBetween(Window.unboundedPreceding, 0))
+    adj = F.least(F.lit(1.0), F.min(step).over(wmin))
+    out = ranked.withColumn(
+        "adj_p_micro",
+        F.round(adj * F.lit(1_000_000.0)).cast("long"))
+    return out.withColumn(
+        "significant",
+        F.col("adj_p_micro") <= F.round(F.lit(float(q) * 1_000_000.0))
+        .cast("long"))

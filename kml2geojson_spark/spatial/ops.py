@@ -3110,3 +3110,49 @@ def zonal_stats(points: DataFrame, polygons: DataFrame, res: int, *,
         poly_id, "n_points", "value_sum",
         (F.col("value_sum").cast("double")
          / F.col("n_points").cast("double")).alias("value_mean"))
+
+
+def spatial_thin(points: DataFrame, res: int, *,
+                 point_id: str = "point_id",
+                 x: str = "x", y: str = "y") -> DataFrame:
+    """Spatial thinning: keep ONE deterministic representative point
+    per Morton cell at resolution ``res`` — the density-equalization
+    primitive that precedes visualization, balanced kNN training-set
+    construction, or species-distribution-style sampling (dense urban
+    clusters collapse to one point per cell, sparse areas survive
+    untouched). The reference (a KML converter,
+    /root/reference/kml2geojson/main.py) has no sampling surface;
+    this extends the §2.3 tiling family.
+
+    The representative is the row with the MINIMUM ``point_id`` in
+    the cell (ids are unique, so the winner is total-order
+    deterministic regardless of partitioning); ``n_points`` reports
+    how many inputs the cell collapsed.
+
+    Scale shape: cell encode is pure-Column bit math inside
+    whole-stage codegen, then ONE map-side-combinable hash-aggregate
+    ``min(struct(point_id, x, y)) + count`` keyed by cell_id — no
+    window, no join, no second scan. Output rows are bounded by the
+    cell count at ``res`` (4^res), not the input size. NULL
+    ids/coords drop.
+
+    Output: (cell_id, point_id, x, y, n_points).
+    """
+    from .cells import cell_encode_col
+
+    pts = (points
+           .where(F.col(point_id).isNotNull()
+                  & F.col(x).isNotNull() & F.col(y).isNotNull())
+           .select(cell_encode_col(F.col(x), F.col(y), res)
+                   .alias("cell_id"),
+                   F.col(point_id).alias("_id"),
+                   F.col(x).alias("_x"), F.col(y).alias("_y")))
+    g = (pts.groupBy("cell_id")
+         .agg(F.min(F.struct(F.col("_id"), F.col("_x"), F.col("_y")))
+              .alias("_rep"),
+              F.count(F.lit(1)).alias("n_points")))
+    return g.select("cell_id",
+                    F.col("_rep._id").alias(point_id),
+                    F.col("_rep._x").alias(x),
+                    F.col("_rep._y").alias(y),
+                    "n_points")

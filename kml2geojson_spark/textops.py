@@ -2026,3 +2026,83 @@ def simhash_threshold_curve(documents: DataFrame, *,
                                bands=bands, bits=bits)
     return pairs.groupBy("hamming").agg(
         F.count(F.lit(1)).alias("n_pairs"))
+
+
+def distinctive_terms(documents: DataFrame, *, group_col: str = "source",
+                      alpha0: float = 100.0, k: int = 10,
+                      min_count: int = 2,
+                      min_token_len: int = 1) -> DataFrame:
+    """Per-group distinctive terms by the informative-Dirichlet
+    log-odds z-score (Monroe et al. 2008, "Fightin' Words") — the
+    corpus-comparison primitive beside :func:`tfidf_top_terms`'s
+    per-document view: which tokens does THIS source/language slice
+    over-use relative to the rest of the corpus, normalized so rare
+    tokens don't dominate on noise (raw log-odds variance shrinks
+    with evidence; the z-score divides it back out).
+
+    For token t in group g with count y_g (group total n_g), rest
+    count y_r = total_t − y_g (rest total n_r = N − n_g) and prior
+    α_t = alpha0·total_t/N (prior mass proportional to corpus
+    frequency, Σα_t = alpha0):
+
+        δ = ln((y_g+α_t)/(n_g+alpha0−y_g−α_t))
+          − ln((y_r+α_t)/(n_r+alpha0−y_r−α_t))
+        z = δ / sqrt(1/(y_g+α_t) + 1/(y_r+α_t))
+
+    Determinism: all counts are exact BIGINTs from hash-aggregates;
+    δ/z are ONE fixed IEEE expression of identical integers, and the
+    OUTPUT quantizes z to micro-units (``zeta_micro`` BIGINT, the
+    :func:`~kml2geojson_spark.spatial.ops.haversine_m` libm rule —
+    ln may differ by an ulp across engines, far below 1e-6). The
+    top-k ordering compares the quantized value with a token
+    tiebreak, so ranks are engine-stable.
+
+    Scale shape: one tokenize-explode → (group, token) hash-aggregate
+    with map-side combine; token totals re-aggregate THAT frame (no
+    second corpus scan) and join back on token; group totals are a
+    tiny broadcast. The rank window partitions by group. Vocabulary
+    skew (stopwords) is bounded by the per-(group, token) collapse —
+    the join key frame holds one row per distinct token.
+
+    Output: (group, token, n_group, n_rest, zeta_micro, rank) with
+    rank ≤ k by (zeta_micro desc, token asc), n_group ≥ min_count.
+    """
+    if alpha0 <= 0:
+        raise ValueError(f"alpha0 must be > 0, got {alpha0}")
+    toks = (documents
+            .where(F.col(group_col).isNotNull()
+                   & F.col("text").isNotNull())
+            .select(F.col(group_col).alias("grp"),
+                    F.explode(F.split(F.lower(F.col("text")), " "))
+                    .alias("token"))
+            .where((F.col("token") != "")
+                   & (F.length("token") >= min_token_len)))
+    gt = toks.groupBy("grp", "token").agg(
+        F.count(F.lit(1)).alias("y_g"))
+    tot_t = gt.groupBy("token").agg(F.sum("y_g").alias("tot_t"))
+    tot_g = gt.groupBy("grp").agg(F.sum("y_g").alias("n_g"))
+    big_n = gt.agg(F.sum("y_g").alias("N"))
+    j = (gt.join(tot_t, "token")
+         .join(F.broadcast(tot_g), "grp")
+         .crossJoin(F.broadcast(big_n)))
+    a0 = F.lit(float(alpha0))
+    alpha_t = (a0 * F.col("tot_t").cast("double")
+               / F.col("N").cast("double"))
+    yg = F.col("y_g").cast("double") + alpha_t
+    yr = ((F.col("tot_t") - F.col("y_g")).cast("double") + alpha_t)
+    dg = (F.col("n_g").cast("double") + a0
+          - F.col("y_g").cast("double") - alpha_t)
+    dr = ((F.col("N") - F.col("n_g")).cast("double") + a0
+          - (F.col("tot_t") - F.col("y_g")).cast("double") - alpha_t)
+    delta = F.log(yg / dg) - F.log(yr / dr)
+    z = delta / F.sqrt(F.lit(1.0) / yg + F.lit(1.0) / yr)
+    scored = (j.where(F.col("y_g") >= min_count)
+              .select(F.col("grp").alias(group_col), "token",
+                      F.col("y_g").alias("n_group"),
+                      (F.col("tot_t") - F.col("y_g")).alias("n_rest"),
+                      F.round(z * F.lit(1_000_000.0)).cast("long")
+                      .alias("zeta_micro")))
+    w = SparkWindow.partitionBy(group_col).orderBy(
+        F.col("zeta_micro").desc(), F.col("token").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
