@@ -9223,6 +9223,203 @@ FROM a
 """
 
 
+def _q258_kendall_tau(spark, sf):
+    """Kendall tau-b per user between event value cents and event
+    epoch seconds (is spend drifting with time, rank-wise): exact
+    BIGINT C/D/tie counts off a per-group pair self-join, ONE fixed
+    IEEE tau expression. Round-5 post-pin registration: in-repo
+    oracle sweep only."""
+    from kml2geojson_spark.relational import kendall_tau
+    ev = _t(spark, sf, "events").select(
+        "user_id", "event_id",
+        F.round(F.col("value") * 100.0).cast("long").alias("cents"),
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("tsec"))
+    return kendall_tau(ev, col_x="tsec", col_y="cents",
+                       id_col="event_id", group_cols=["user_id"])
+
+
+_O258 = """
+WITH b AS (
+  SELECT user_id AS grp, event_id AS i,
+         CAST(floor(epoch(ts)) AS BIGINT) AS x,
+         CAST(ROUND(value * 100.0) AS BIGINT) AS y
+  FROM events
+  WHERE value IS NOT NULL AND ts IS NOT NULL
+    AND event_id IS NOT NULL AND user_id IS NOT NULL),
+cd AS (
+  SELECT a.grp,
+         SUM(CASE WHEN (a.x - b2.x) * (a.y - b2.y) > 0
+                  THEN 1 ELSE 0 END)::BIGINT AS c,
+         SUM(CASE WHEN (a.x - b2.x) * (a.y - b2.y) < 0
+                  THEN 1 ELSE 0 END)::BIGINT AS d
+  FROM b a JOIN b b2 ON a.grp = b2.grp AND a.i < b2.i
+  GROUP BY a.grp),
+n AS (SELECT grp, COUNT(*)::BIGINT AS n FROM b GROUP BY grp),
+tx AS (SELECT grp, (SUM(t * (t - 1)) / 2)::BIGINT AS n1
+       FROM (SELECT grp, x, COUNT(*)::BIGINT AS t FROM b GROUP BY grp, x)
+       GROUP BY grp),
+ty AS (SELECT grp, (SUM(t * (t - 1)) / 2)::BIGINT AS n2
+       FROM (SELECT grp, y, COUNT(*)::BIGINT AS t FROM b GROUP BY grp, y)
+       GROUP BY grp),
+f AS (
+  SELECT n.grp, n.n,
+         COALESCE(cd.c, 0)::BIGINT AS concordant,
+         COALESCE(cd.d, 0)::BIGINT AS discordant,
+         (n.n * (n.n - 1) / 2)::BIGINT AS n0, tx.n1, ty.n2
+  FROM n JOIN tx USING (grp) JOIN ty USING (grp)
+  LEFT JOIN cd USING (grp))
+SELECT grp AS user_id, n, concordant, discordant, n0, n1, n2,
+       CASE WHEN n0 > n1 AND n0 > n2 THEN
+         (concordant - discordant)::DOUBLE
+         / sqrt((n0 - n1)::DOUBLE * (n0 - n2)::DOUBLE)
+       END AS tau_b
+FROM f
+"""
+
+
+def _q259_idw_interpolate(spark, sf):
+    """IDW gap-filling of customer account-balance cents onto the
+    empty res-6 cells within ring-2 of sampled cells: exact BIGINT
+    1e9-div-d2 weights and sums, ONE division, cell_smooth's scatter
+    shape plus one anti-join. Round-5 post-pin registration: in-repo
+    oracle sweep only."""
+    from kml2geojson_spark.spatial.ops import idw_interpolate
+    c = _t(spark, sf, "customer")
+    pts = c.select(
+        (((F.col("c_custkey") * 9301 + 49297) % 36000) / 100.0 - 180.0)
+        .alias("x"),
+        (((F.col("c_custkey") * 7919 + 104729) % 17000) / 100.0 - 85.0)
+        .alias("y"),
+        F.round(F.col("c_acctbal") * 100.0).cast("long").alias("value"))
+    return idw_interpolate(pts, 6, 2)
+
+
+def _o259() -> str:
+    n = 1 << 6
+    gx, gy = _grid_sql("x", "y", 6)
+    return (f"""
+WITH pts AS (
+  SELECT ((c_custkey * 9301 + 49297) % 36000) / 100.0 - 180.0 AS x,
+         ((c_custkey * 7919 + 104729) % 17000) / 100.0 - 85.0 AS y,
+         CAST(ROUND(c_acctbal * 100.0) AS BIGINT) AS v
+  FROM customer WHERE c_acctbal IS NOT NULL),
+pg AS (SELECT {gx} AS sx, {gy} AS sy, v FROM pts),
+cells AS (SELECT sx, sy, COUNT(*)::BIGINT AS cn, SUM(v)::BIGINT AS cs
+          FROM pg GROUP BY sx, sy),
+offs AS (SELECT t1.dx, t2.dy FROM range(-2,3) t1(dx), range(-2,3) t2(dy)
+         WHERE t1.dx * t1.dx + t2.dy * t2.dy > 0),
+sc AS (SELECT ((sx + dx) % {n} + {n}) % {n} AS tx, sy + dy AS ty,
+              (1000000000 // (dx * dx + dy * dy))::BIGINT AS w, cn, cs
+       FROM cells, offs
+       WHERE sy + dy >= 0 AND sy + dy < {n}),
+agg AS (SELECT tx, ty, COUNT(*)::BIGINT AS n_cells,
+               SUM(cn)::BIGINT AS n_samples,
+               SUM(w * cs)::BIGINT AS num, SUM(w * cn)::BIGINT AS den
+        FROM sc GROUP BY tx, ty),
+g AS (SELECT tx AS gx, ty AS gy, n_cells, n_samples, num, den
+      FROM agg a
+      WHERE NOT EXISTS (SELECT 1 FROM cells c
+                        WHERE c.sx = a.tx AND c.sy = a.ty))"""
+            + _morton_ctes("n_cells, n_samples, num, den", 6, "g")
+            + """
+SELECT cell_id, n_cells, n_samples, num, den,
+       num::DOUBLE / den::DOUBLE AS idw_est
+FROM enc
+""")
+
+
+def _q260_two_hop_reach(spark, sf):
+    """1- and 2-hop distinct reach over the supplier co-purchase
+    graph (edges between suppliers sharing an order), middle nodes
+    capped at out-degree 40 before the wedge join — the documented
+    hub-prune approximation, replayed identically by the oracle.
+    Round-5 post-pin registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.graph import two_hop_reach
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.select(F.col("l_orderkey").alias("k"),
+                  F.col("l_suppkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("k"),
+                  F.col("l_suppkey").alias("dst"))
+    edges = (a.join(b, "k")
+             .where(F.col("src") != F.col("dst"))
+             .select("src", "dst"))
+    return two_hop_reach(edges, max_mid_degree=40)
+
+
+_O260 = """
+WITH e AS (
+  SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_suppkey <> b.l_suppkey),
+mid AS (
+  SELECT e.a, e.b FROM e
+  JOIN (SELECT a, COUNT(*)::BIGINT AS d FROM e GROUP BY a) dg
+    ON dg.a = e.a
+  WHERE dg.d <= 40),
+two AS (
+  SELECT e1.a AS a, e2.b AS b
+  FROM e e1 JOIN mid e2 ON e1.b = e2.a
+  WHERE e1.a <> e2.b),
+u AS (SELECT a, b FROM e UNION SELECT a, b FROM two),
+r2 AS (SELECT a, COUNT(*)::BIGINT AS reach2 FROM u GROUP BY a),
+r1 AS (SELECT a, COUNT(*)::BIGINT AS reach1 FROM e GROUP BY a)
+SELECT r1.a AS node, r1.reach1, r2.reach2
+FROM r1 JOIN r2 ON r1.a = r2.a
+"""
+
+
+def _q261_parse_wkt(spark, sf):
+    """WKT interop round-trip: deterministic POINT/LINESTRING/
+    MULTIPOINT strings built from integer milli-degree customer
+    formulas, parsed back vertex-per-row by the pure-Column WKT
+    parser (the oracle derives the identical vertices from the
+    formulas directly — an independent derivation, not a replay of
+    the parse). Round-5 post-pin registration: in-repo oracle sweep
+    only."""
+    from kml2geojson_spark.spatial.ops import parse_wkt_vertices
+    c = _t(spark, sf, "customer")
+    xm = ((F.col("c_custkey") * 9301 + 49297) % 36000 - 18000)
+    ym = ((F.col("c_custkey") * 7919 + 104729) % 17000 - 8500)
+    xm2 = ((F.col("c_custkey") * 6151 + 331) % 36000 - 18000)
+    ym2 = ((F.col("c_custkey") * 911 + 7177) % 17000 - 8500)
+    one = F.concat(F.lit("("), xm.cast("string"), F.lit(" "),
+                   ym.cast("string"), F.lit(")"))
+    two = F.concat(F.lit("("), xm.cast("string"), F.lit(" "),
+                   ym.cast("string"), F.lit(", "), xm2.cast("string"),
+                   F.lit(" "), ym2.cast("string"), F.lit(")"))
+    wkt = (F.when(F.col("c_custkey") % 3 == 0,
+                  F.concat(F.lit("POINT "), one))
+           .when(F.col("c_custkey") % 3 == 1,
+                 F.concat(F.lit("LINESTRING "), two))
+           .otherwise(F.concat(F.lit("MULTIPOINT "), two)))
+    docs = c.select(F.col("c_custkey").alias("geom_id"),
+                    wkt.alias("wkt"))
+    return parse_wkt_vertices(docs)
+
+
+_O261 = """
+WITH c AS (
+  SELECT c_custkey AS id, c_custkey % 3 AS m,
+         (c_custkey * 9301 + 49297) % 36000 - 18000 AS xm,
+         (c_custkey * 7919 + 104729) % 17000 - 8500 AS ym,
+         (c_custkey * 6151 + 331) % 36000 - 18000 AS xm2,
+         (c_custkey * 911 + 7177) % 17000 - 8500 AS ym2
+  FROM customer),
+v AS (
+  SELECT id,
+         CASE m WHEN 0 THEN 'POINT' WHEN 1 THEN 'LINESTRING'
+                ELSE 'MULTIPOINT' END AS kind,
+         0 AS vertex_idx, xm::DOUBLE AS x, ym::DOUBLE AS y
+  FROM c
+  UNION ALL
+  SELECT id,
+         CASE m WHEN 1 THEN 'LINESTRING' ELSE 'MULTIPOINT' END AS kind,
+         1 AS vertex_idx, xm2::DOUBLE AS x, ym2::DOUBLE AS y
+  FROM c WHERE m <> 0)
+SELECT id, kind, vertex_idx, x, y FROM v
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -9469,6 +9666,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q255_mann_kendall": _q255_mann_kendall,
         "q256_brown_forsythe": _q256_brown_forsythe,
         "q257_bh_fdr": _q257_bh_fdr,
+        "q258_kendall_tau": _q258_kendall_tau,
+        "q259_idw_interpolate": _q259_idw_interpolate,
+        "q260_two_hop_reach": _q260_two_hop_reach,
+        "q261_parse_wkt": _q261_parse_wkt,
     }
 
 
@@ -9714,6 +9915,10 @@ def oracle_sql() -> dict[str, str]:
         "q255_mann_kendall": _O255,
         "q256_brown_forsythe": _O256,
         "q257_bh_fdr": _o257(),
+        "q258_kendall_tau": _O258,
+        "q259_idw_interpolate": _o259(),
+        "q260_two_hop_reach": _O260,
+        "q261_parse_wkt": _O261,
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

@@ -901,3 +901,57 @@ def lpa_communities(edges: DataFrame, *, src: str = "src",
                   .localCheckpoint(eager=True))
     return labels
 
+
+
+def two_hop_reach(edges: DataFrame, *, src: str = "src",
+                  dst: str = "dst",
+                  max_mid_degree: int | None = None) -> DataFrame:
+    """Per-node distinct reach within one and two directed hops —
+    the neighborhood-size profile behind friend-of-friend
+    recommendation fan-out, influence estimates, and join-cardinality
+    planning on the follow graph. The reference (a KML converter,
+    /root/reference/kml2geojson/main.py) has no graph surface; this
+    extends the §2.4 graph family beside :func:`bfs_hops` (which
+    needs seed nodes; this profiles EVERY node).
+
+    Semantics: ``reach1`` = |{v : src→v}|; ``reach2`` = |{v : v
+    reachable in ≤ 2 hops, v ≠ src}| — self-loops and the node
+    itself never count, and a node reachable both directly and
+    through a middle node counts once (set union, not path count).
+
+    Scale shape: edges dedup once; the 2-hop wedge is ONE equi-join
+    keyed on the middle node, then a distinct + count-distinct
+    hash-aggregate per source. The middle-node key is the blowup
+    axis (a hub with in×out = d² forms d² wedge rows in one bucket):
+    ``max_mid_degree`` prunes middle nodes whose OUT-degree exceeds
+    the cap BEFORE the join — an explicit approximation (documented,
+    the :func:`common_neighbor_similarity` discipline), because at
+    100 TB the exact answer through celebrity hubs is a different
+    algorithm (HLL per frontier). NULL endpoints drop.
+
+    Output: (node, reach1, reach2) — one row per node with ≥ 1
+    out-edge.
+    """
+    e = (edges
+         .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+         .select(F.col(src).cast("long").alias("a"),
+                 F.col(dst).cast("long").alias("b"))
+         .where(F.col("a") != F.col("b"))
+         .distinct())
+    mid = e
+    if max_mid_degree is not None:
+        if max_mid_degree < 1:
+            raise ValueError(
+                f"max_mid_degree must be >= 1, got {max_mid_degree}")
+        deg = (e.groupBy("a").agg(F.count(F.lit(1)).alias("_d"))
+               .where(F.col("_d") <= max_mid_degree).select("a"))
+        mid = e.join(deg, "a")
+    two = (e.alias("e1")
+           .join(mid.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+           .select(F.col("e1.a").alias("a"), F.col("e2.b").alias("b"))
+           .where(F.col("a") != F.col("b")))
+    reach = (e.unionByName(two).distinct()
+             .groupBy("a").agg(F.count(F.lit(1)).alias("reach2")))
+    one = e.groupBy("a").agg(F.count(F.lit(1)).alias("reach1"))
+    return (one.join(reach, "a")
+            .select(F.col("a").alias("node"), "reach1", "reach2"))

@@ -3488,3 +3488,96 @@ def bh_fdr(df: DataFrame, *, p_col: str, test_id_col: str,
         "significant",
         F.col("adj_p_micro") <= F.round(F.lit(float(q) * 1_000_000.0))
         .cast("long"))
+
+
+def kendall_tau(df: DataFrame, *, col_x: str, col_y: str,
+                id_col: str, group_cols: list[str]) -> DataFrame:
+    """Kendall's τ-b rank correlation per group — the pair-concordance
+    association measure beside :func:`spearman_corr` (rank Pearson)
+    and :func:`mann_kendall` (which tests ONE series against time;
+    this relates TWO columns): over all unordered row pairs, C counts
+    concordant ((xᵢ−xⱼ)(yᵢ−yⱼ) > 0), D discordant, and
+
+        τ_b = (C − D) / sqrt((n₀ − n₁)(n₀ − n₂))
+
+    with n₀ = n(n−1)/2 and the tie corrections n₁ = Σ_t t(t−1)/2 over
+    x-tie groups, n₂ likewise over y.
+
+    Determinism: both value columns must be INTEGER (floats raise —
+    integerize first, the :func:`corr_matrix` rule); C, D, n₀, n₁, n₂
+    are exact BIGINTs and τ_b is ONE fixed IEEE expression of them —
+    bit-identical across engines. ``id_col`` must be UNIQUE per group
+    (it de-duplicates the pair self-join; which row is "i" never
+    matters because concordance is symmetric).
+
+    Scale shape: the pair generation is a PER-GROUP self-join — O(n²)
+    pairs per group BY DEFINITION of τ (the same contract as
+    :func:`mann_kendall`): built for MANY SMALL SERIES (per-user /
+    per-segment association screens), not one giant series — a hot
+    group with n rows forms n² candidates in one bucket; thin a huge
+    series first. Tie counts come from two more hash-aggregates
+    sharing the group key.
+
+    Output: (group..., n, concordant, discordant, n0, n1, n2, tau_b)
+    — tau_b NULL when either tie-corrected denominator factor is 0
+    (all x tied or all y tied, or n < 2).
+    """
+    from pyspark.sql.types import DoubleType, FloatType
+
+    fields = {f.name: f for f in df.schema.fields}
+    for c in (col_x, col_y):
+        if isinstance(fields[c].dataType, (DoubleType, FloatType)):
+            raise ValueError(
+                f"kendall_tau: {c!r} is floating-point — integerize "
+                "first (exact integer sums are the determinism "
+                "contract)")
+    if not group_cols:
+        raise ValueError("kendall_tau: group_cols must be non-empty")
+    keep = (F.col(col_x).isNotNull() & F.col(col_y).isNotNull()
+            & F.col(id_col).isNotNull())
+    for c in group_cols:
+        keep = keep & F.col(c).isNotNull()
+    base = df.where(keep).select(
+        *group_cols, F.col(id_col).alias("_i"),
+        F.col(col_x).cast("long").alias("_x"),
+        F.col(col_y).cast("long").alias("_y"))
+    a = base.select(*group_cols, F.col("_i").alias("_ia"),
+                    F.col("_x").alias("_xa"), F.col("_y").alias("_ya"))
+    b = base.select(*group_cols, F.col("_i").alias("_ib"),
+                    F.col("_x").alias("_xb"), F.col("_y").alias("_yb"))
+    prod = ((F.col("_xa") - F.col("_xb"))
+            * (F.col("_ya") - F.col("_yb")))
+    cd = (a.join(b, group_cols)
+          .where(F.col("_ia") < F.col("_ib"))
+          .groupBy(*group_cols)
+          .agg(F.sum(F.when(prod > 0, 1).otherwise(0)).cast("long")
+               .alias("concordant"),
+               F.sum(F.when(prod < 0, 1).otherwise(0)).cast("long")
+               .alias("discordant")))
+    nrow = base.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n"))
+    tx = (base.groupBy(*group_cols, "_x")
+          .agg(F.count(F.lit(1)).alias("_t"))
+          .groupBy(*group_cols)
+          .agg((F.sum(F.col("_t") * (F.col("_t") - 1)) / 2)
+               .cast("long").alias("n1")))
+    ty = (base.groupBy(*group_cols, "_y")
+          .agg(F.count(F.lit(1)).alias("_t"))
+          .groupBy(*group_cols)
+          .agg((F.sum(F.col("_t") * (F.col("_t") - 1)) / 2)
+               .cast("long").alias("n2")))
+    nn = F.col("n").cast("long")
+    out = (nrow.join(tx, group_cols).join(ty, group_cols)
+           .join(cd, group_cols, "left")
+           .select(*group_cols, "n",
+                   F.coalesce(F.col("concordant"), F.lit(0).cast("long"))
+                   .alias("concordant"),
+                   F.coalesce(F.col("discordant"), F.lit(0).cast("long"))
+                   .alias("discordant"),
+                   (nn * (nn - 1) / 2).cast("long").alias("n0"),
+                   "n1", "n2"))
+    f1 = (F.col("n0") - F.col("n1")).cast("double")
+    f2 = (F.col("n0") - F.col("n2")).cast("double")
+    tau = ((F.col("concordant") - F.col("discordant")).cast("double")
+           / F.sqrt(f1 * f2))
+    ok = (F.col("n0") > F.col("n1")) & (F.col("n0") > F.col("n2"))
+    return out.withColumn("tau_b", F.when(ok, tau))

@@ -3156,3 +3156,145 @@ def spatial_thin(points: DataFrame, res: int, *,
                     F.col("_rep._x").alias(x),
                     F.col("_rep._y").alias(y),
                     "n_points")
+
+
+def idw_interpolate(points: DataFrame, res: int, radius: int = 2, *,
+                    value_col: str = "value",
+                    x: str = "x", y: str = "y") -> DataFrame:
+    """Inverse-distance-weighted interpolation of an INTEGER sample
+    value onto the EMPTY cells of the quadtree grid — the classic GIS
+    gap-filling surface (sensor readings → a continuous raster): every
+    cell within Chebyshev distance ``radius`` of a sampled cell, but
+    holding no sample itself, receives the 1/d²-weighted average of
+    the nearby cell-aggregated samples. The reference (a KML
+    converter, /root/reference/kml2geojson/main.py) has no raster
+    surface; this extends the §2.3 tiling family beside
+    :func:`cell_smooth` (which smooths COUNTS; this interpolates a
+    VALUE field into the gaps).
+
+    Determinism: values must be INTEGER (floats raise — integerize
+    first, the package-wide rule). Samples aggregate per cell to
+    exact BIGINT (n, sum); the squared grid distance d² = dx² + dy²
+    is an exact integer of the scatter OFFSETS (so torus-wrapped x
+    neighbors measure their true ring distance), the weight is the
+    exact integer ``w = 10⁹ div d²`` (d² ≥ 1 by construction — the
+    d² = 0 self-contribution is excluded because sampled cells are
+    not gaps), and num = Σ w·sum_c, den = Σ w·n_c are exact BIGINT
+    sums — addition-order independent. The estimate is ONE double
+    division. Caller guarantees |value|·10⁹·(2r+1)² < 2⁶³ per ring
+    (values under ~10⁷ are always safe).
+
+    Scale shape: one (cell) hash-aggregate collapses samples, a
+    literal (dx, dy) offset explode + Morton re-encode scatters each
+    SAMPLED CELL (not each sample row) to its ring — whole-stage
+    codegen, zero Python, the :func:`cell_smooth` shape — then one
+    hash-aggregate keyed by target cell and one LEFT ANTI hash join
+    removes targets that hold samples. Ring semantics match
+    :func:`..cells.cell_kring_np`: x wraps (pmod), y clamps at the
+    poles; a grid narrower than the ring shrinks the x-offset list to
+    one full row. NULL coords/values drop.
+
+    Output: (cell_id, n_cells, n_samples, num BIGINT, den BIGINT,
+    idw_est DOUBLE) — one row per gap cell; ``n_cells`` = sampled
+    cells contributing, ``n_samples`` = raw sample rows behind them.
+    """
+    from pyspark.sql.types import DoubleType, FloatType
+    from .cells import RES_BITS, _grid_col, _spread_col
+
+    fields = {f.name: f for f in points.schema.fields}
+    if isinstance(fields[value_col].dataType, (DoubleType, FloatType)):
+        raise ValueError(
+            f"idw_interpolate: {value_col!r} is floating-point — "
+            "integerize first (exact integer sums are the "
+            "determinism contract)")
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be in [0, {MAX_RES}]")
+    if radius < 1:
+        raise ValueError("radius must be >= 1")
+    n = 1 << res
+    cells = (points
+             .where(F.col(x).isNotNull() & F.col(y).isNotNull()
+                    & F.col(value_col).isNotNull())
+             .select(_grid_col(F.col(x), 180.0, 360.0, res).alias("_sx"),
+                     _grid_col(F.col(y), 90.0, 180.0, res).alias("_sy"),
+                     F.col(value_col).cast("long").alias("_v"))
+             .groupBy("_sx", "_sy")
+             .agg(F.count(F.lit(1)).alias("_n"),
+                  F.sum("_v").alias("_s")))
+    span = 2 * radius + 1
+    dxs = list(range(-radius, radius + 1)) if n >= span else list(range(n))
+    dys = list(range(-radius, radius + 1))
+    offs = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                     for dx in dxs for dy in dys
+                     if dx * dx + dy * dy > 0])
+    d = cells.withColumn("_ioff", F.explode(offs))
+    xs = F.pmod(F.col("_sx") + F.col("_ioff.dx"), F.lit(n))
+    ys = F.col("_sy") + F.col("_ioff.dy")
+    d2 = (F.col("_ioff.dx") * F.col("_ioff.dx")
+          + F.col("_ioff.dy") * F.col("_ioff.dy")).cast("long")
+    scat = (d.where((ys >= 0) & (ys < F.lit(n)))
+            .select(xs.alias("_tx"), ys.alias("_ty"),
+                    (F.lit(1_000_000_000).cast("long") / d2)
+                    .cast("long").alias("_w"),
+                    F.col("_n"), F.col("_s")))
+    agg = (scat.groupBy("_tx", "_ty")
+           .agg(F.count(F.lit(1)).alias("n_cells"),
+                F.sum("_n").alias("n_samples"),
+                F.sum(F.col("_w") * F.col("_s")).alias("num"),
+                F.sum(F.col("_w") * F.col("_n")).alias("den")))
+    gaps = agg.join(cells.select(F.col("_sx").alias("_tx"),
+                                 F.col("_sy").alias("_ty")),
+                    ["_tx", "_ty"], "left_anti")
+    code = F.shiftleft(_spread_col(F.col("_tx")), 1).bitwiseOR(
+        _spread_col(F.col("_ty")))
+    cell = F.shiftleft(code, RES_BITS).bitwiseOR(F.lit(res))
+    return gaps.select(cell.alias("cell_id"), "n_cells", "n_samples",
+                       "num", "den",
+                       (F.col("num").cast("double")
+                        / F.col("den").cast("double")).alias("idw_est"))
+
+
+def parse_wkt_vertices(df: DataFrame, *, wkt_col: str = "wkt",
+                       id_col: str = "geom_id") -> DataFrame:
+    """Parse single-ring WKT geometry strings (``POINT (x y)``,
+    ``LINESTRING (x y, x y, ...)``, ``MULTIPOINT (x y, x y)``) into
+    one row per vertex — the interop front door for the GIS
+    ecosystem's lingua-franca text format, feeding every coordinate
+    operator in this package (:func:`encode_points`,
+    :func:`simplify_lines`, :func:`line_cover`, ...). The KML
+    coordinate parser (reference main.py:129-142, our
+    convert_core.parse_coord_seq) covers KML's comma-separated
+    variant; this covers the space-separated SQL/WKT variant.
+
+    Pure-Column: geometry kind via one anchored regexp_extract,
+    body between the parens via another, vertices split on commas and
+    posexploded, x/y split on whitespace and cast — all inside
+    whole-stage codegen, zero Python, zero shuffle (scan-shaped).
+    Casting is the engine's decimal-string→double conversion
+    (correctly rounded in both Spark and DuckDB, so shared inputs
+    parse bit-identically). Rows whose prefix is not one of the three
+    supported kinds, or with a NULL id/wkt, are dropped (nested-paren
+    kinds — POLYGON, MULTILINESTRING — need ring structure; use the
+    GeoJSON reader for those). Malformed vertex tokens cast to NULL
+    x/y rather than raising, and are dropped.
+
+    Output: (id, kind, vertex_idx INT 0-based, x DOUBLE, y DOUBLE).
+    """
+    kind = F.regexp_extract(
+        F.upper(F.trim(F.col(wkt_col))),
+        r"^(POINT|LINESTRING|MULTIPOINT)\s*\(", 1)
+    body = F.regexp_extract(F.col(wkt_col), r"\(([^()]*)\)", 1)
+    base = (df.where(F.col(id_col).isNotNull()
+                     & F.col(wkt_col).isNotNull())
+            .select(F.col(id_col).alias("id"), kind.alias("kind"),
+                    body.alias("_body"))
+            .where(F.col("kind") != ""))
+    verts = base.select(
+        "id", "kind",
+        F.posexplode(F.split(F.col("_body"), ","))
+        .alias("vertex_idx", "_pair"))
+    xy = F.split(F.trim(F.col("_pair")), r"\s+")
+    return (verts.select("id", "kind", "vertex_idx",
+                         F.element_at(xy, 1).cast("double").alias("x"),
+                         F.element_at(xy, 2).cast("double").alias("y"))
+            .where(F.col("x").isNotNull() & F.col("y").isNotNull()))
