@@ -9420,6 +9420,145 @@ SELECT id, kind, vertex_idx, x, y FROM v
 """
 
 
+def _q262_pcm_features(spark, sf):
+    """Audio-shaped multimodal lane: stub fetch synthesizes 256
+    md5-chain bytes per ref, pcm_window_features decodes int16-LE
+    samples and emits window-local exact integer acoustics (abs sum,
+    peak, zero crossings) — the oracle replays the md5 chain, the
+    int16 decode, and the identical window arithmetic in SQL.
+    Round-5 post-pin registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.multimodal import (fetch_media_stub,
+                                              pcm_window_features)
+    docs = _t(spark, sf, "documents")
+    refs = (docs.where(F.col("doc_id") % 7 == 0)
+            .select(F.col("doc_id").cast("string").alias("doc_id"),
+                    F.concat(F.lit("audio/"),
+                             F.col("doc_id").cast("string"),
+                             F.lit(".pcm")).alias("media_ref"),
+                    F.lit("pcm").alias("ext"),
+                    F.lit(0).alias("offset")))
+    fetched = fetch_media_stub(refs, payload="pcm", payload_bytes=256)
+    return pcm_window_features(fetched, window=32)
+
+
+# 256 payload bytes = 16 md5 chunks = 128 int16-LE samples = 4 windows
+# of 32; sample = lo + 256*hi - 65536*[hi >= 128].
+_O262 = """
+WITH refs AS (
+  SELECT 'audio/' || CAST(doc_id AS VARCHAR) || '.pcm' AS media_ref
+  FROM documents WHERE doc_id % 7 = 0),
+chunks AS (
+  SELECT media_ref, i,
+         md5(media_ref || ':' || CAST(i AS VARCHAR)) AS hx
+  FROM refs, generate_series(0, 15) AS t(i)),
+bytes AS (
+  SELECT media_ref, 16 * i + j AS p,
+         (strpos('0123456789abcdef', substr(hx, 2 * j + 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(hx, 2 * j + 2, 1)) - 1) AS b
+  FROM chunks, generate_series(0, 15) AS u(j)),
+samp AS (
+  SELECT media_ref, p // 2 AS s,
+         SUM(CASE WHEN p % 2 = 0 THEN b ELSE 0 END)
+         + 256 * SUM(CASE WHEN p % 2 = 1 THEN b ELSE 0 END)
+         - 65536 * MAX(CASE WHEN p % 2 = 1 AND b >= 128
+                            THEN 1 ELSE 0 END) AS v
+  FROM bytes GROUP BY media_ref, p // 2),
+w AS (
+  SELECT media_ref, CAST(s // 32 AS INTEGER) AS window_idx, s % 32 AS pos,
+         v, lag(v) OVER (PARTITION BY media_ref, s // 32
+                         ORDER BY s % 32) AS pv
+  FROM samp)
+SELECT media_ref, window_idx, CAST(32 AS INTEGER) AS n_samples,
+       SUM(ABS(v))::BIGINT AS abs_sum,
+       MAX(ABS(v))::BIGINT AS peak,
+       SUM(CASE WHEN pos > 0
+                 AND (v >= 0) <> (pv >= 0) THEN 1 ELSE 0 END)::BIGINT
+         AS zero_crossings
+FROM w GROUP BY media_ref, window_idx
+"""
+
+
+def _q263_jl_project(spark, sf):
+    """Johnson-Lindenstrauss Rademacher projection 64d -> 8d over the
+    embeddings: sign-mask-literal unrolled chains (the q41 zero-Python
+    discipline), 1/sqrt(8) scale, micro-quantized output. Round-5
+    post-pin registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.simsearch import jl_project
+    return jl_project(_t(spark, sf, "embeddings"), dim=64, out_dim=8)
+
+
+def _o263() -> str:
+    import math
+    from kml2geojson_spark.simsearch import rademacher_hyperplanes
+    dim, k = 64, 8
+    H = rademacher_hyperplanes(dim, k, seed=42)
+    rows = []
+    for j in range(k):
+        arr = ", ".join(str(float(H[i, j])) for i in range(dim))
+        rows.append(f"({j}, [{arr}]::DOUBLE[])")
+    hp = ",\n    ".join(rows)
+    scale = repr(1.0 / math.sqrt(float(k)))
+    return f"""
+WITH hp(k, h) AS (VALUES
+    {hp}),
+base AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+         WHERE vec_id IS NOT NULL AND embedding IS NOT NULL)
+SELECT b.id, CAST(hp.k AS INTEGER) AS proj_idx,
+       CAST(ROUND(list_dot_product(b.v, hp.h) * {scale} * 1000000.0)
+            AS BIGINT) AS y_micro
+FROM base b CROSS JOIN hp
+"""
+
+
+def _q264_seasonality(spark, sf):
+    """Hour-of-day seasonality strength (ANOVA eta-squared on the
+    phase bucket) of event value cents per event type: pure integer
+    phase arithmetic, oneway_anova's exact milli-floored sums, ONE
+    division for eta2. Round-5 post-pin registration: in-repo oracle
+    sweep only."""
+    from kml2geojson_spark.eventops import seasonality_strength
+    ev = _t(spark, sf, "events").select(
+        "event_type", "ts",
+        F.round(F.col("value") * 100.0).cast("long").alias("cents"))
+    return seasonality_strength(ev, value_col="cents",
+                                group_cols=["event_type"])
+
+
+_O264 = """
+WITH b AS (
+  SELECT event_type AS g,
+         ((CAST(floor(epoch(ts)) AS BIGINT) % 86400 + 86400) % 86400)
+           * 24 // 86400 AS ph,
+         CAST(ROUND(value * 100.0) AS BIGINT) AS v
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL),
+lv AS (SELECT g, ph, CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(v) AS BIGINT) AS s,
+              CAST(SUM(v * v) AS BIGINT) AS ss
+       FROM b GROUP BY g, ph),
+agg AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS n,
+         CAST(SUM(s) AS BIGINT) AS S, CAST(SUM(ss) AS BIGINT) AS SS,
+         CAST(SUM(CAST(FLOOR(s::DOUBLE * s::DOUBLE / n::DOUBLE
+                             * 1000.0) AS BIGINT)) AS BIGINT) AS cb
+  FROM lv GROUP BY g),
+fin AS (
+  SELECT g, k, n,
+         cb - CAST(FLOOR(S::DOUBLE * S::DOUBLE / n::DOUBLE * 1000.0)
+                   AS BIGINT) AS ssb_milli,
+         1000 * SS - cb AS ssw_milli
+  FROM agg)
+SELECT g AS event_type, k, n, ssb_milli, ssw_milli,
+  CASE WHEN k >= 2 AND n > k AND ssw_milli > 0
+       THEN (ssb_milli::DOUBLE / (k - 1)::DOUBLE)
+            / (ssw_milli::DOUBLE / (n - k)::DOUBLE) END AS f_stat,
+  CASE WHEN ssb_milli + ssw_milli > 0
+       THEN ssb_milli::DOUBLE / (ssb_milli + ssw_milli)::DOUBLE
+  END AS eta2
+FROM fin
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -9670,6 +9809,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q259_idw_interpolate": _q259_idw_interpolate,
         "q260_two_hop_reach": _q260_two_hop_reach,
         "q261_parse_wkt": _q261_parse_wkt,
+        "q262_pcm_features": _q262_pcm_features,
+        "q263_jl_project": _q263_jl_project,
+        "q264_seasonality": _q264_seasonality,
     }
 
 
@@ -9919,6 +10061,9 @@ def oracle_sql() -> dict[str, str]:
         "q259_idw_interpolate": _o259(),
         "q260_two_hop_reach": _O260,
         "q261_parse_wkt": _O261,
+        "q262_pcm_features": _O262,
+        "q263_jl_project": _o263(),
+        "q264_seasonality": _O264,
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

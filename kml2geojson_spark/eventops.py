@@ -1400,3 +1400,51 @@ def ewma_last(events: DataFrame, *, key_col: str = "user_id",
             .select("key", "n_events", "num", "den",
                     (F.col("num").cast("double")
                      / F.col("den").cast("double")).alias("ewma_milli")))
+
+
+def seasonality_strength(events: DataFrame, *, value_col: str,
+                         ts_col: str = "ts",
+                         group_cols: list[str] | None = None,
+                         period_seconds: int = 86400,
+                         n_phases: int = 24) -> DataFrame:
+    """Seasonality strength per group — how much of an INTEGER
+    metric's variance is explained by its position within a repeating
+    period (hour-of-day by default): the eta² of a one-way ANOVA on
+    the phase bucket, ``eta2 = SSB / (SSB + SSW)`` ∈ [0, 1]. 0 ≈ no
+    daily rhythm, → 1 ≈ the clock explains everything. The
+    decomposition screen you run before :func:`hourly_profile` (which
+    SHOWS the shape; this scores whether the shape matters) and
+    before trusting :func:`~kml2geojson_spark.relational.mann_kendall`
+    trend z's on strongly periodic series.
+
+    Phase = ``(epoch mod period) · n_phases div period`` — pure
+    integer arithmetic, identical across engines. Everything
+    downstream is :func:`~kml2geojson_spark.relational.oneway_anova`'s
+    exact milli-floored integer sums (values must be INTEGER — floats
+    raise there; eta² is ONE division of exact BIGINTs).
+
+    Scale shape: oneway_anova's two hash-aggregates keyed by
+    (group, phase) then (group) — map-side combinable, no window, no
+    join. NULL ts drop.
+
+    Output: (group..., k, n, ssb_milli, ssw_milli, f_stat,
+    eta2 DOUBLE) — k = phases observed; eta2 NULL when SSB+SSW = 0
+    (all values identical within every phase).
+    """
+    from .relational import oneway_anova
+
+    if period_seconds < 1 or n_phases < 2:
+        raise ValueError("period_seconds >= 1 and n_phases >= 2 required")
+    epoch = F.floor(F.unix_timestamp(F.col(ts_col))).cast("long")
+    sec = F.pmod(epoch, F.lit(period_seconds))
+    phase = (sec * n_phases - F.pmod(sec * n_phases,
+                                     F.lit(period_seconds))) \
+        / F.lit(period_seconds)
+    base = (events.where(F.col(ts_col).isNotNull())
+            .withColumn("_phase", phase.cast("long")))
+    out = oneway_anova(base, value_col=value_col, factor_col="_phase",
+                       group_cols=group_cols)
+    tot = F.col("ssb_milli") + F.col("ssw_milli")
+    return out.withColumn(
+        "eta2", F.when(tot > 0, F.col("ssb_milli").cast("double")
+                       / tot.cast("double")))

@@ -111,10 +111,13 @@ def fetch_media_stub(media: DataFrame, *, strict: bool = False,
     ``payload`` picks the byte shape: ``"noise"`` — opaque rng bytes
     (the original stand-in); ``"ppm"`` — a REAL binary PPM image
     (md5-chain pixels, :func:`_ppm_payload`) that :func:`decode_ppm` /
-    ``media_features(decode="ppm")`` genuinely parse. ``strict=True``
-    raises NotImplementedError the way the real fetcher's
-    unsupported-scheme branch would."""
-    if payload not in ("noise", "ppm"):
+    ``media_features(decode="ppm")`` genuinely parse; ``"pcm"`` —
+    ``payload_bytes`` of raw md5-chain bytes read as int16-LE mono
+    samples by :func:`pcm_window_features` (the audio-shaped lane —
+    SQL-replayable, unlike ``"noise"``). ``strict=True`` raises
+    NotImplementedError the way the real fetcher's unsupported-scheme
+    branch would."""
+    if payload not in ("noise", "ppm", "pcm"):
         raise ValueError(f"unknown payload mode {payload!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -126,6 +129,9 @@ def fetch_media_stub(media: DataFrame, *, strict: bool = False,
             pdf = pdf.copy()
             if payload == "ppm":
                 pdf["content"] = [_ppm_payload(r, width, height)
+                                  for r in pdf["media_ref"]]
+            elif payload == "pcm":
+                pdf["content"] = [_md5_chain(r, payload_bytes)
                                   for r in pdf["media_ref"]]
             else:
                 pdf["content"] = [_fake_payload(r, payload_bytes)
@@ -289,3 +295,70 @@ def frame_checksums(frames: DataFrame) -> DataFrame:
     return frames.mapInPandas(
         run, "media_ref string, frame_idx int, n_bytes long, "
              "byte_sum long, byte_wsum long")
+
+
+def pcm_window_features(with_content: DataFrame, *,
+                        window: int = 64) -> DataFrame:
+    """Audio-shaped feature extraction over the binary column — the
+    PCM lane of the multimodal family beside the image
+    (:func:`decode_ppm`) and video (:func:`sample_frames` →
+    :func:`frame_checksums`) lanes: read ``content`` as int16
+    LITTLE-ENDIAN mono samples and emit per-window integer acoustics
+    — mean-absolute-amplitude numerator (``abs_sum``), peak
+    (``peak``), and window-local ``zero_crossings`` (sign flips
+    between consecutive samples, sign(0) = +1) — the
+    energy/percussiveness signals a real audio curation pipeline
+    gates on. Fetch-layer-stub discipline (q43): only the network
+    fetch is stubbed (``payload="pcm"`` synthesizes the md5-chain
+    bytes); the int16 decode and the windowed feature math here are
+    REAL and run on any actual PCM bytes.
+
+    Determinism: every output is an exact integer of the payload
+    bytes (sample = b₀ + 256·b₁ − 65536·[b₁ ≥ 128]), so a
+    driver-style oracle replays the md5 chain + the identical decode
+    and window arithmetic in SQL, bit-exactly. A trailing partial
+    window (and a trailing odd byte) is DROPPED — windows are
+    fixed-size by contract so per-window stats are comparable.
+    Crossings are window-local (no cross-window lag), keeping each
+    window's row independent of its neighbors.
+
+    Scale shape: Arrow-batched ``mapInPandas`` (vectorized numpy per
+    batch, no per-row Python), embarrassingly parallel per media row,
+    zero shuffle. Output rows = ⌊bytes/2/window⌋ per ref.
+
+    Output: (media_ref, window_idx INT, n_samples INT, abs_sum
+    BIGINT, peak BIGINT, zero_crossings BIGINT).
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            refs, widx, nsamp, asum, peak, zc = [], [], [], [], [], []
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                buf = bytes(content)
+                n = (len(buf) // 2) * 2
+                s = np.frombuffer(buf[:n], dtype="<i2").astype(np.int64)
+                nw = len(s) // window
+                if nw == 0:
+                    continue
+                w = s[:nw * window].reshape(nw, window)
+                sign = np.where(w >= 0, 1, -1)
+                flips = (sign[:, 1:] != sign[:, :-1]).sum(axis=1)
+                refs += [ref] * nw
+                widx += list(range(nw))
+                nsamp += [window] * nw
+                asum += [int(v) for v in np.abs(w).sum(axis=1)]
+                peak += [int(v) for v in np.abs(w).max(axis=1)]
+                zc += [int(v) for v in flips]
+            yield pd.DataFrame({
+                "media_ref": pd.Series(refs, dtype="object"),
+                "window_idx": pd.Series(widx, dtype="int32"),
+                "n_samples": pd.Series(nsamp, dtype="int32"),
+                "abs_sum": pd.Series(asum, dtype="int64"),
+                "peak": pd.Series(peak, dtype="int64"),
+                "zero_crossings": pd.Series(zc, dtype="int64")})
+
+    return with_content.mapInPandas(
+        run, "media_ref string, window_idx int, n_samples int, "
+             "abs_sum long, peak long, zero_crossings long")

@@ -1213,3 +1213,65 @@ def dimension_profile(embeddings: DataFrame, *,
         / (sd * sd)
     return g.select("dim", "n", "sum_q", "sumsq_q",
                     mean.alias("mean"), var.alias("variance"))
+
+
+def jl_project(df: DataFrame, *, dim: int, out_dim: int = 8,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               seed: int = 42) -> DataFrame:
+    """Johnson–Lindenstrauss random projection to ``out_dim``
+    dimensions with md5-derived Rademacher (±1) directions
+    (Achlioptas 2001 — same distance-preservation guarantees as
+    Gaussian, and any engine can recompute the signs) — the cheap
+    dimensionality-reduction front end for clustering / coarse ANN /
+    visualization when 64-d cosine work is overkill. Output is the
+    long-format reduced representation; join it back by (id,
+    proj_idx) or pivot for a vector column.
+
+    Determinism: the same sign-mask-literal unrolled-chain machinery
+    as :func:`hyperplane_band_buckets` (driver q41) — each projection
+    is a left-associated ``v[1]·±1 + v[2]·±1 + ...`` chain,
+    bit-identical to the DuckDB oracle's in-order
+    ``list_dot_product`` over the inlined ±1 arrays; the 1/√K scale
+    is ONE further multiply by a fixed literal, and the OUTPUT
+    quantizes to micro-units (``y_micro`` BIGINT) so the exactness
+    never depends on a libm call. NULL ids/vectors drop.
+
+    Scale shape: a K-struct literal array explodes against each
+    vector and every chain runs inside whole-stage codegen — zero
+    Python, zero join, zero shuffle; output is K rows per vector.
+
+    Output: (id, proj_idx INT, y_micro BIGINT).
+    """
+    if not 1 <= out_dim <= 64:
+        raise ValueError(f"out_dim must be in [1, 64], got {out_dim}")
+    if dim > 64:
+        raise ValueError("sign-mask projection covers dim <= 64")
+    import math
+    H = rademacher_hyperplanes(dim, out_dim, seed)
+    structs = []
+    for j in range(out_dim):
+        mask = 0
+        for i in range(dim):
+            if H[i, j] > 0:
+                mask |= 1 << i
+        if mask >= 1 << 63:
+            mask -= 1 << 64
+        structs.append(F.struct(
+            F.lit(j).alias("k"), F.lit(mask).cast("long").alias("mask")))
+    d = (df.where(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
+         .select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
+         .withColumn("_jp", F.explode(F.array(*structs))))
+    mask_col = F.col("_jp.mask")
+
+    def term(i: int) -> F.Column:
+        sign = F.when(F.shiftright(mask_col, i).bitwiseAND(F.lit(1)) == 1,
+                      F.lit(1.0)).otherwise(F.lit(-1.0))
+        return F.element_at("_v", i + 1).cast("double") * sign
+
+    dot = term(0)
+    for i in range(1, dim):
+        dot = dot + term(i)
+    y = dot * F.lit(1.0 / math.sqrt(float(out_dim)))
+    return d.select("id", F.col("_jp.k").alias("proj_idx"),
+                    F.round(y * F.lit(1_000_000.0)).cast("long")
+                    .alias("y_micro"))
