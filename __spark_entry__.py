@@ -9559,6 +9559,110 @@ FROM fin
 """
 
 
+def _q265_destination_point(spark, sf):
+    """Forward geodesic: customer points pushed (1 + key % 50) km
+    along bearing (key * 37) % 360 on the package sphere —
+    haversine_m/bearing_deg's third leg; micro-degree quantized (the
+    libm rule). Round-5 post-pin registration: in-repo oracle sweep
+    only."""
+    from kml2geojson_spark.spatial.ops import destination_point
+    p = _customer_points(spark, sf).select(
+        "point_id", "x", "y",
+        ((F.col("point_id") * 37) % 360).cast("double").alias("brg"),
+        (F.lit(1000.0) * (1 + F.col("point_id") % 50)).alias("d"))
+    lat2, lon2 = destination_point(F.col("y"), F.col("x"),
+                                   F.col("brg"), F.col("d"))
+    return p.select(
+        "point_id",
+        F.round(lat2 * F.lit(1_000_000.0)).cast("long")
+        .alias("lat2_microdeg"),
+        F.round(lon2 * F.lit(1_000_000.0)).cast("long")
+        .alias("lon2_microdeg"))
+
+
+def _o265() -> str:
+    import math
+    k = repr(math.pi / 180.0)
+    kk = repr(180.0 / math.pi)
+    return f"""
+WITH p AS (
+  SELECT c_custkey AS point_id,
+         ((c_custkey * 9301 + 49297) % 36000) / 100.0 - 180.0 AS x,
+         ((c_custkey * 7919 + 104729) % 17000) / 100.0 - 85.0 AS y,
+         CAST((c_custkey * 37) % 360 AS DOUBLE) AS brg,
+         1000.0 * (1 + c_custkey % 50) AS d
+  FROM customer),
+t AS (
+  SELECT point_id, x, y, brg, d,
+         sin(y * {k}) * cos(d / 6371000.0)
+         + cos(y * {k}) * sin(d / 6371000.0) * cos(brg * {k}) AS sp2
+  FROM p),
+o AS (
+  SELECT point_id, asin(sp2) * {kk} AS lat2,
+         ((x * {k}
+           + atan2(sin(brg * {k}) * sin(d / 6371000.0) * cos(y * {k}),
+                   cos(d / 6371000.0) - sin(y * {k}) * sp2)) * {kk}
+          + 180.0) AS shifted
+  FROM t)
+SELECT point_id,
+       CAST(ROUND(lat2 * 1000000.0) AS BIGINT) AS lat2_microdeg,
+       CAST(ROUND((((shifted % 360.0) + 360.0) % 360.0 - 180.0)
+                  * 1000000.0) AS BIGINT) AS lon2_microdeg
+FROM o
+"""
+
+
+def _q266_rolling_corr(spark, sf):
+    """Trailing-12-event Pearson correlation between event value
+    cents and epoch seconds per user (is spend locally tracking
+    time): exact BIGINT window sums, ONE fixed IEEE expression,
+    micro-quantized. Round-5 post-pin registration: in-repo oracle
+    sweep only."""
+    from kml2geojson_spark.relational import rolling_corr
+    # rebase epoch seconds to 2024-01-01 so n*x*x stays inside int64
+    # over the 12-row frame (the operator's documented bound)
+    ev = _t(spark, sf, "events").select(
+        "user_id", "event_id",
+        (F.floor(F.unix_timestamp("ts")).cast("long")
+         - F.lit(1_704_067_200)).alias("tsec"),
+        F.round(F.col("value") * 100.0).cast("long").alias("cents"))
+    return rolling_corr(ev, x_col="tsec", y_col="cents",
+                        order_col="tsec", id_col="event_id",
+                        group_cols=["user_id"], window=12,
+                        min_periods=4)
+
+
+_O266 = """
+WITH b AS (
+  SELECT user_id AS g,
+         CAST(floor(epoch(ts)) AS BIGINT) - 1704067200 AS o,
+         event_id AS id,
+         CAST(floor(epoch(ts)) AS BIGINT) - 1704067200 AS x,
+         CAST(ROUND(value * 100.0) AS BIGINT) AS y
+  FROM events
+  WHERE value IS NOT NULL AND ts IS NOT NULL
+    AND event_id IS NOT NULL AND user_id IS NOT NULL),
+w AS (
+  SELECT g, o, id, x, y,
+         COUNT(*) OVER fr AS n,
+         SUM(x) OVER fr AS sx, SUM(y) OVER fr AS sy,
+         SUM(x * y) OVER fr AS sxy,
+         SUM(x * x) OVER fr AS sxx, SUM(y * y) OVER fr AS syy
+  FROM b
+  WINDOW fr AS (PARTITION BY g ORDER BY o ASC, id ASC
+                ROWS BETWEEN 11 PRECEDING AND CURRENT ROW))
+SELECT g AS user_id, o, id, x, y, n::BIGINT AS n_window,
+       CASE WHEN n >= 4 AND n * sxx - sx * sx > 0
+                 AND n * syy - sy * sy > 0
+            THEN CAST(ROUND((n * sxy - sx * sy)::DOUBLE
+                            / sqrt((n * sxx - sx * sx)::DOUBLE
+                                   * (n * syy - sy * sy)::DOUBLE)
+                            * 1000000.0) AS BIGINT)
+       END AS corr_micro
+FROM w
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -9812,6 +9916,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q262_pcm_features": _q262_pcm_features,
         "q263_jl_project": _q263_jl_project,
         "q264_seasonality": _q264_seasonality,
+        "q265_destination_point": _q265_destination_point,
+        "q266_rolling_corr": _q266_rolling_corr,
     }
 
 
@@ -10064,6 +10170,8 @@ def oracle_sql() -> dict[str, str]:
         "q262_pcm_features": _O262,
         "q263_jl_project": _o263(),
         "q264_seasonality": _O264,
+        "q265_destination_point": _o265(),
+        "q266_rolling_corr": _O266,
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

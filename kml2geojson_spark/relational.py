@@ -3581,3 +3581,78 @@ def kendall_tau(df: DataFrame, *, col_x: str, col_y: str,
            / F.sqrt(f1 * f2))
     ok = (F.col("n0") > F.col("n1")) & (F.col("n0") > F.col("n2"))
     return out.withColumn("tau_b", F.when(ok, tau))
+
+
+def rolling_corr(df: DataFrame, *, x_col: str, y_col: str,
+                 order_col: str, id_col: str,
+                 group_cols: list[str], window: int = 20,
+                 min_periods: int = 5) -> DataFrame:
+    """Per-point trailing-window Pearson correlation between two
+    INTEGER series — "are these two metrics moving together RIGHT
+    NOW?" (pairs trading, sensor cross-checks, metric drift): the
+    two-column sibling of :func:`rolling_zscore`, over the same
+    totalized trailing frame of the last ``window`` rows (inclusive).
+
+    Determinism: both values must be INTEGER (floats raise); over the
+    frame n, Sx, Sy, Sxy, Sxx, Syy are exact BIGINT window sums —
+    frame membership is row-count-defined, so they are partitioning-
+    independent — and
+
+        corr = (n·Sxy − Sx·Sy)
+               / sqrt((n·Sxx − Sx²) · (n·Syy − Sy²))
+
+    is ONE fixed IEEE expression of identical integers, quantized to
+    micro-units (``corr_micro``) for cross-engine comparison. The
+    sequence totalizes by (order, id); ``id_col`` must be unique per
+    group. Caller guarantees n·|x·y| < 2⁶³ per frame. corr_micro NULL
+    while fewer than ``min_periods`` rows are in frame or either
+    variance term is 0.
+
+    Scale shape: ONE window partitioning per group supplies every
+    sum — single Exchange, no join, no second scan; state per task is
+    the ``window``-row frame buffer. NULL keys/ids/values drop.
+
+    Output: input keys + (order, id, x, y, n_window, corr_micro).
+    """
+    from pyspark.sql.types import DoubleType, FloatType
+
+    fields = {f.name: f for f in df.schema.fields}
+    for c in (x_col, y_col):
+        if isinstance(fields[c].dataType, (DoubleType, FloatType)):
+            raise ValueError(
+                f"rolling_corr: {c!r} is floating-point — integerize "
+                "first (exact integer sums are the determinism "
+                "contract)")
+    if not group_cols:
+        raise ValueError("rolling_corr: group_cols must be non-empty")
+    if window < 2 or min_periods < 2:
+        raise ValueError("window and min_periods must be >= 2")
+    keep = (F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+            & F.col(order_col).isNotNull() & F.col(id_col).isNotNull())
+    for c in group_cols:
+        keep = keep & F.col(c).isNotNull()
+    base = df.where(keep).select(
+        *group_cols, F.col(order_col).alias("o"),
+        F.col(id_col).alias("id"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"))
+    w = (Window.partitionBy(*group_cols)
+         .orderBy(F.col("o").asc(), F.col("id").asc())
+         .rowsBetween(-(window - 1), 0))
+    n = F.count(F.lit(1)).over(w)
+    sx = F.sum("x").over(w)
+    sy = F.sum("y").over(w)
+    sxy = F.sum(F.col("x") * F.col("y")).over(w)
+    sxx = F.sum(F.col("x") * F.col("x")).over(w)
+    syy = F.sum(F.col("y") * F.col("y")).over(w)
+    cov = n * sxy - sx * sy
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    corr = (cov.cast("double")
+            / F.sqrt(vx.cast("double") * vy.cast("double")))
+    ok = (n >= min_periods) & (vx > 0) & (vy > 0)
+    return base.select(
+        *group_cols, "o", "id", "x", "y",
+        n.cast("long").alias("n_window"),
+        F.when(ok, F.round(corr * F.lit(1_000_000.0)).cast("long"))
+        .alias("corr_micro"))

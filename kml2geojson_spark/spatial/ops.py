@@ -3298,3 +3298,43 @@ def parse_wkt_vertices(df: DataFrame, *, wkt_col: str = "wkt",
                          F.element_at(xy, 1).cast("double").alias("x"),
                          F.element_at(xy, 2).cast("double").alias("y"))
             .where(F.col("x").isNotNull() & F.col("y").isNotNull()))
+
+
+def destination_point(lat, lon, bearing, distance_m):
+    """Forward geodesic ("dead reckoning") on the sphere as a pure
+    Column pair: the point reached from (lat, lon) travelling
+    ``distance_m`` meters along initial ``bearing`` degrees —
+    completing the navigation trio with :func:`haversine_m`
+    (distance) and :func:`bearing_deg` (direction). Standard
+    spherical formulas on the package's EARTH_RADIUS_M sphere (so a
+    haversine_m round trip returns ``distance_m`` exactly up to
+    float rounding):
+
+        φ₂ = asin(sin φ₁ cos δ + cos φ₁ sin δ cos θ)
+        λ₂ = λ₁ + atan2(sin θ sin δ cos φ₁, cos δ − sin φ₁ sin φ₂)
+
+    with δ = d/R; longitude normalized to [−180, 180).
+
+    Same determinism note as :func:`haversine_m`: trig routes through
+    libm, so cross-engine comparisons quantize (micro-degrees is
+    ample — the ulp mismatch is ~1e-12 deg); within one engine it is
+    a pure function of its inputs. Whole-stage codegen, no Python.
+
+    Returns (lat2, lon2) Columns in degrees.
+    """
+    import math as _math
+    k = _math.pi / 180.0
+    kk = 180.0 / _math.pi
+    r = EARTH_RADIUS_M
+    p1 = lat * F.lit(k)
+    th = bearing * F.lit(k)
+    dl = distance_m / F.lit(r)
+    sp2 = (F.sin(p1) * F.cos(dl)
+           + F.cos(p1) * F.sin(dl) * F.cos(th))
+    p2 = F.asin(sp2)
+    lam = (lon * F.lit(k)
+           + F.atan2(F.sin(th) * F.sin(dl) * F.cos(p1),
+                     F.cos(dl) - F.sin(p1) * sp2))
+    lon2 = F.pmod(lam * F.lit(kk) + F.lit(180.0),
+                  F.lit(360.0)) - F.lit(180.0)
+    return p2 * F.lit(kk), lon2

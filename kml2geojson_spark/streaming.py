@@ -701,3 +701,85 @@ def stream_heavy_hitters(events: DataFrame, *, value_col: str,
                 "shard long, value string, count_lb long, err_ub long",
                 "vals array<string>, counts array<long>, dec long",
                 "append", GroupStateTimeout.NoTimeout))
+
+
+def stream_ewma(events: DataFrame, *, value_col: str = "value",
+                ts_col: str = "ts", id_col: str = "event_id",
+                key_col: str = "user_id",
+                window: int = 8) -> DataFrame:
+    """Streaming twin of :func:`kml2geojson_spark.eventops.ewma_last`:
+    the per-key finite-window dyadic-weight EWMA level, re-emitted
+    per event in append mode — the live "current smoothed level"
+    board the batch operator computes once at the latest event.
+
+    Semantics match the batch operator for in-order arrival (the
+    pytest pins parity on an in-order corpus): per key, the i-th most
+    recent of the last ``window`` milli-integerized values carries
+    weight 2^(window−1−i); num/den are exact Python ints and
+    ``ewma_milli = num/den`` is the identical single IEEE division.
+    Within a micro-batch rows sort by (ts, id); late rows in LATER
+    batches fold in arrival order — the documented streaming trade
+    (:func:`stream_rolling_zscore`'s class).
+
+    State per key is EXACTLY the last ``window`` milli-values (a
+    tuple of ints plus the running event count) — bounded by key
+    cardinality × window, never stream length.
+
+    Output (append): (key, id, order_s, n_events, num, den,
+    ewma_milli).
+    """
+    import pandas as pd
+
+    if not 1 <= window <= 16:
+        raise ValueError(f"window must be in [1, 16], got {window}")
+    hashed = events.select(
+        F.col(key_col).alias("key"),
+        F.col(id_col).alias("id"),
+        F.col(ts_col).cast("timestamp").cast("long").alias("order_s"),
+        F.round(F.col(value_col) * F.lit(1000.0)).cast("long")
+        .alias("vm")).where(
+        F.col("key").isNotNull() & F.col("id").isNotNull()
+        & F.col("order_s").isNotNull() & F.col("vm").isNotNull())
+
+    def fn(key, pdfs, state):
+        (k,) = key
+        if state.exists:
+            tail = list(state.get[0])
+            seen = int(state.get[1])
+        else:
+            tail, seen = [], 0
+        rows = {"key": [], "id": [], "order_s": [], "n_events": [],
+                "num": [], "den": [], "ewma_milli": []}
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["order_s", "id"])
+            for _i, r in pdf.iterrows():
+                tail = (tail + [int(r["vm"])])[-window:]
+                seen += 1
+                num = den = 0
+                for i, v in enumerate(reversed(tail)):
+                    wt = 1 << (window - 1 - i)
+                    num += v * wt
+                    den += wt
+                rows["key"].append(k)
+                rows["id"].append(int(r["id"]))
+                rows["order_s"].append(int(r["order_s"]))
+                rows["n_events"].append(seen)
+                rows["num"].append(num)
+                rows["den"].append(den)
+                rows["ewma_milli"].append(float(num) / float(den))
+        if not rows["key"]:
+            return
+        state.update((tuple(tail), seen))
+        yield pd.DataFrame(rows)
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (hashed.groupBy("key")
+            .applyInPandasWithState(
+                fn,
+                "key long, id long, order_s long, n_events long, "
+                "num long, den long, ewma_milli double",
+                "tail array<long>, seen long", "append",
+                GroupStateTimeout.NoTimeout))
