@@ -9663,6 +9663,164 @@ FROM w
 """
 
 
+def _q267_target_encode(spark, sf):
+    """Leakage-guarded target encoding of market segment against
+    account-balance cents: md5 folds, exact BIGINT leave-fold-out
+    sums, ONE division. Round-5 post-pin registration: in-repo oracle
+    sweep only."""
+    from kml2geojson_spark.relational import target_encode_loo
+    c = _t(spark, sf, "customer").select(
+        "c_custkey", "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100.0).cast("long").alias("cents"))
+    return target_encode_loo(c, cat_col="c_mktsegment",
+                             target_col="cents", id_col="c_custkey",
+                             n_folds=5)
+
+
+_O267 = """
+WITH b AS (
+  SELECT c_mktsegment AS cat,
+         CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 2))
+              AS BIGINT) % 5 AS fold,
+         CAST(ROUND(c_acctbal * 100.0) AS BIGINT) AS y
+  FROM customer
+  WHERE c_mktsegment IS NOT NULL AND c_custkey IS NOT NULL
+    AND c_acctbal IS NOT NULL),
+cf AS (SELECT cat, CAST(fold AS INTEGER) AS fold,
+              COUNT(*)::BIGINT AS n, SUM(y)::BIGINT AS s
+       FROM b GROUP BY cat, fold),
+tot AS (SELECT cat, SUM(n)::BIGINT AS tn, SUM(s)::BIGINT AS ts
+        FROM cf GROUP BY cat)
+SELECT cf.cat, cf.fold, (tn - n)::BIGINT AS loo_n,
+       (ts - s)::BIGINT AS loo_sum,
+       CASE WHEN tn - n > 0
+            THEN (ts - s)::DOUBLE / (tn - n)::DOUBLE END AS encoding
+FROM cf JOIN tot USING (cat)
+"""
+
+
+def _q268_cronbach(spark, sf):
+    """Cronbach's alpha over the first three line quantities per
+    order (complete 3-line orders only): one aggregate pass, exact
+    BIGINT variance numerators with the n^2 denominators cancelled,
+    ONE IEEE expression. Round-5 post-pin registration: in-repo
+    oracle sweep only."""
+    from kml2geojson_spark.relational import cronbach_alpha
+    li = _t(spark, sf, "lineitem")
+    items = (li.where(F.col("l_linenumber") <= 3)
+             .groupBy("l_orderkey")
+             .agg(*[F.max(F.when(F.col("l_linenumber") == i,
+                                 F.col("l_quantity").cast("long")))
+                    .alias(f"q{i}") for i in (1, 2, 3)]))
+    return cronbach_alpha(items, item_cols=["q1", "q2", "q3"])
+
+
+_O268 = """
+WITH items AS (
+  SELECT l_orderkey,
+         MAX(CASE WHEN l_linenumber = 1
+                  THEN CAST(l_quantity AS BIGINT) END) AS q1,
+         MAX(CASE WHEN l_linenumber = 2
+                  THEN CAST(l_quantity AS BIGINT) END) AS q2,
+         MAX(CASE WHEN l_linenumber = 3
+                  THEN CAST(l_quantity AS BIGINT) END) AS q3
+  FROM lineitem WHERE l_linenumber <= 3 GROUP BY l_orderkey),
+c AS (SELECT q1, q2, q3, q1 + q2 + q3 AS t FROM items
+      WHERE q1 IS NOT NULL AND q2 IS NOT NULL AND q3 IS NOT NULL),
+g AS (
+  SELECT COUNT(*)::BIGINT AS n,
+         SUM(q1)::BIGINT AS s1, SUM(q1 * q1)::BIGINT AS ss1,
+         SUM(q2)::BIGINT AS s2, SUM(q2 * q2)::BIGINT AS ss2,
+         SUM(q3)::BIGINT AS s3, SUM(q3 * q3)::BIGINT AS ss3,
+         SUM(t)::BIGINT AS st, SUM(t * t)::BIGINT AS sst
+  FROM c),
+f AS (
+  SELECT CAST(3 AS INTEGER) AS k, n,
+         ((n * ss1 - s1 * s1) + (n * ss2 - s2 * s2)
+          + (n * ss3 - s3 * s3))::BIGINT AS item_var_num,
+         (n * sst - st * st)::BIGINT AS total_var_num
+  FROM g)
+SELECT k, n, item_var_num, total_var_num,
+       CASE WHEN n >= 2 AND total_var_num > 0
+            THEN 1.5 * (1.0 - item_var_num::DOUBLE
+                        / total_var_num::DOUBLE) END AS alpha
+FROM f
+"""
+
+
+def _q269_negative_samples(spark, sf):
+    """Deterministic md5 negative sampling over the q97 customer ->
+    supplier purchase graph (k=5 draws per customer into the 20-node
+    supplier universe, true edges anti-joined away) — the link-
+    prediction training-set complement. Round-5 post-pin
+    registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.graph import negative_edge_samples
+    li = (_t(spark, sf, "lineitem").where(F.col("l_suppkey") <= 20)
+          .select("l_orderkey", "l_suppkey"))
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    edges = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+             .select(F.col("o_custkey").alias("src"),
+                     F.col("l_suppkey").alias("dst")))
+    return negative_edge_samples(edges, k=5)
+
+
+_O269 = """
+WITH e AS (
+  SELECT DISTINCT o_custkey AS s, l_suppkey AS d
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_suppkey <= 20),
+dn AS (SELECT d, ROW_NUMBER() OVER (ORDER BY d ASC) - 1 AS idx
+       FROM (SELECT DISTINCT d FROM e)),
+nd AS (SELECT COUNT(*)::BIGINT AS c FROM dn),
+cand AS (
+  SELECT s.s, j.j,
+         ((('0x' || substr(md5('neg:42:' || CAST(s.s AS VARCHAR)
+                               || ':' || CAST(j.j AS VARCHAR)), 1, 15))
+           ::BIGINT % nd.c) + nd.c) % nd.c AS idx
+  FROM (SELECT DISTINCT s FROM e) s, generate_series(0, 4) j(j), nd),
+withd AS (
+  SELECT c.s, dn.d, c.j FROM cand c JOIN dn USING (idx)
+  WHERE c.s <> dn.d),
+neg AS (
+  SELECT w.s, w.d, w.j FROM withd w
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.s = w.s AND e.d = w.d))
+SELECT s AS src, d AS neg_dst, CAST(MIN(j) AS INTEGER) AS try_idx
+FROM neg GROUP BY s, d
+"""
+
+
+def _q270_hashed_features(spark, sf):
+    """Hashing-trick signed count vectors over order priority/status
+    (32 buckets): md5 bucket + hex-parity sign, one (id, bucket)
+    hash-aggregate — the vocabulary-free categorical vectorizer.
+    Round-5 post-pin registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.relational import hashed_features
+    o = _t(spark, sf, "orders")
+    return hashed_features(o, id_col="o_orderkey",
+                           cat_cols=["o_orderpriority", "o_orderstatus"],
+                           n_buckets=32)
+
+
+_O270 = """
+WITH f AS (
+  SELECT o_orderkey AS id,
+         'o_orderpriority=' || o_orderpriority AS feat
+  FROM orders WHERE o_orderpriority IS NOT NULL
+  UNION ALL
+  SELECT o_orderkey, 'o_orderstatus=' || o_orderstatus
+  FROM orders WHERE o_orderstatus IS NOT NULL),
+h AS (
+  SELECT id,
+         CAST(((('0x' || substr(md5(feat), 1, 15))::BIGINT % 32) + 32)
+              % 32 AS INTEGER) AS bucket,
+         CASE WHEN ('0x' || substr(md5(feat), 16, 1))::BIGINT % 2 = 0
+              THEN 1 ELSE -1 END AS sgn
+  FROM f)
+SELECT id, bucket, SUM(sgn)::BIGINT AS feat_val
+FROM h GROUP BY id, bucket
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -9918,6 +10076,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q264_seasonality": _q264_seasonality,
         "q265_destination_point": _q265_destination_point,
         "q266_rolling_corr": _q266_rolling_corr,
+        "q267_target_encode": _q267_target_encode,
+        "q268_cronbach": _q268_cronbach,
+        "q269_negative_samples": _q269_negative_samples,
+        "q270_hashed_features": _q270_hashed_features,
     }
 
 
@@ -10172,6 +10334,10 @@ def oracle_sql() -> dict[str, str]:
         "q264_seasonality": _O264,
         "q265_destination_point": _o265(),
         "q266_rolling_corr": _O266,
+        "q267_target_encode": _O267,
+        "q268_cronbach": _O268,
+        "q269_negative_samples": _O269,
+        "q270_hashed_features": _O270,
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

@@ -955,3 +955,64 @@ def two_hop_reach(edges: DataFrame, *, src: str = "src",
     one = e.groupBy("a").agg(F.count(F.lit(1)).alias("reach1"))
     return (one.join(reach, "a")
             .select(F.col("a").alias("node"), "reach1", "reach2"))
+
+
+def negative_edge_samples(edges: DataFrame, *, k: int = 5,
+                          src: str = "src", dst: str = "dst",
+                          seed: int = 42) -> DataFrame:
+    """Deterministic negative sampling for link prediction — the
+    training-data complement of :func:`adamic_adar` /
+    :func:`common_neighbor_similarity`: for every left node, up to
+    ``k`` right nodes it is NOT connected to, drawn uniformly from
+    the observed right-node set by md5 (no RNG, so the sample is
+    identical across runs, engines and partitionings — the
+    :func:`~kml2geojson_spark.textops.split_assign_col` property a
+    reproducible training set needs).
+
+    Candidate j for node s is right-node index
+    ``md5(f"neg:{seed}:{s}:{j}") mod |dst|`` (60-bit hex prefix, the
+    package's md5→BIGINT idiom); true edges and self-pairs are then
+    removed by ONE left-anti join, so a node can yield FEWER than
+    ``k`` negatives (collisions with its true edges or duplicate
+    draws — callers oversample ``k`` accordingly; for hub nodes whose
+    degree approaches |dst| rejection sampling is the wrong tool
+    anyway). Duplicate draws of the same (s, candidate) collapse.
+
+    Scale shape: the right-node index is a two-phase global
+    row_number over the DISTINCT right nodes (cardinality = node
+    count, not edge count); candidates are a k-literal explode joined
+    to that index on the computed position (equi-join), then one
+    anti-join against the edge set. All md5/bit math inside
+    whole-stage codegen.
+
+    Output: (src, neg_dst, try_idx INT) — distinct (src, neg_dst).
+    """
+    from pyspark.sql import Window
+
+    if k < 1 or k > 1000:
+        raise ValueError(f"k must be in [1, 1000], got {k}")
+    e = (edges
+         .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+         .select(F.col(src).cast("long").alias("s"),
+                 F.col(dst).cast("long").alias("d"))
+         .distinct())
+    dnodes = (e.select("d").distinct()
+              .withColumn("_idx", F.row_number().over(
+                  Window.orderBy(F.col("d").asc())) - 1))
+    n_d = dnodes.groupBy().agg(F.count(F.lit(1)).alias("_nd"))
+    srcs = e.select("s").distinct()
+    cand = (srcs.crossJoin(F.broadcast(n_d))
+            .withColumn("_j", F.explode(F.array(
+                *[F.lit(j) for j in range(k)])))
+            .withColumn("_h", F.conv(F.substring(F.md5(F.concat_ws(
+                ":", F.lit("neg"), F.lit(seed), F.col("s"),
+                F.col("_j"))), 1, 15), 16, 10).cast("long"))
+            .withColumn("_idx", F.pmod(F.col("_h"), F.col("_nd"))))
+    withd = (cand.join(dnodes, "_idx")
+             .where(F.col("s") != F.col("d"))
+             .select("s", "d", F.col("_j").cast("int").alias("try_idx")))
+    neg = withd.join(e, ["s", "d"], "left_anti")
+    return (neg.groupBy("s", "d")
+            .agg(F.min("try_idx").alias("try_idx"))
+            .select(F.col("s").alias(src), F.col("d").alias("neg_dst"),
+                    "try_idx"))

@@ -3656,3 +3656,184 @@ def rolling_corr(df: DataFrame, *, x_col: str, y_col: str,
         n.cast("long").alias("n_window"),
         F.when(ok, F.round(corr * F.lit(1_000_000.0)).cast("long"))
         .alias("corr_micro"))
+
+
+def target_encode_loo(df: DataFrame, *, cat_col: str, target_col: str,
+                      id_col: str, n_folds: int = 5) -> DataFrame:
+    """Leakage-guarded (leave-fold-out) target encoding table — the
+    standard way to turn a high-cardinality categorical into a model
+    feature without letting each row see its own label: rows are
+    assigned to ``n_folds`` deterministic folds by md5 of their id
+    (the :func:`~kml2geojson_spark.textops.split_assign_col`
+    discipline — stable across runs, engines and partitionings), and
+    fold f's encoding for a category is the target mean computed from
+    the OTHER folds only. Join the output back on (cat, fold) to
+    attach the feature.
+
+    Determinism: the target must be INTEGER (floats raise); per
+    (cat, fold) n/sum are exact BIGINTs from ONE hash-aggregate,
+    category totals re-aggregate THAT frame (no second scan), the
+    leave-out numerator/denominator are exact differences, and the
+    encoding is ONE division. ``encoding`` NULL when the category
+    exists only in that fold (loo_n = 0 — caller falls back to the
+    global prior).
+
+    Scale shape: one (cat, fold) hash-aggregate with map-side
+    combine, one re-aggregate keyed by cat, one equi-join back on cat
+    — never keyed by row. NULL cats/ids/targets drop.
+
+    Output: (cat, fold INT, loo_n BIGINT, loo_sum BIGINT,
+    encoding DOUBLE).
+    """
+    from pyspark.sql.types import DoubleType, FloatType
+
+    from .textops import md5_bucket_col
+
+    fields = {f.name: f for f in df.schema.fields}
+    if isinstance(fields[target_col].dataType, (DoubleType, FloatType)):
+        raise ValueError(
+            f"target_encode_loo: {target_col!r} is floating-point — "
+            "integerize first (exact integer sums are the "
+            "determinism contract)")
+    if not 2 <= n_folds <= 256:
+        raise ValueError(f"n_folds must be in [2, 256], got {n_folds}")
+    base = (df.where(F.col(cat_col).isNotNull()
+                     & F.col(id_col).isNotNull()
+                     & F.col(target_col).isNotNull())
+            .select(F.col(cat_col).alias("cat"),
+                    (md5_bucket_col(F.col(id_col)) % n_folds)
+                    .cast("int").alias("fold"),
+                    F.col(target_col).cast("long").alias("_y")))
+    cf = (base.groupBy("cat", "fold")
+          .agg(F.count(F.lit(1)).alias("_n"), F.sum("_y").alias("_s")))
+    tot = (cf.groupBy("cat")
+           .agg(F.sum("_n").alias("_tn"), F.sum("_s").alias("_ts")))
+    j = cf.join(tot, "cat")
+    loo_n = (F.col("_tn") - F.col("_n")).alias("loo_n")
+    loo_s = (F.col("_ts") - F.col("_s")).alias("loo_sum")
+    return j.select(
+        "cat", "fold", loo_n, loo_s,
+        F.when(F.col("_tn") - F.col("_n") > 0,
+               (F.col("_ts") - F.col("_s")).cast("double")
+               / (F.col("_tn") - F.col("_n")).cast("double"))
+        .alias("encoding"))
+
+
+def cronbach_alpha(df: DataFrame, *, item_cols: list[str]) -> DataFrame:
+    """Cronbach's α internal-consistency reliability over k INTEGER
+    item columns — "do these k measurements hang together as one
+    scale?" (survey items, repeated quality raters, redundant
+    sensors); the reliability closer beside
+    :func:`~kml2geojson_spark.quality.cohens_kappa` (two raters,
+    categorical) and :func:`corr_matrix` (pairwise only):
+
+        α = k/(k−1) · (1 − Σᵢ σ²ᵢ / σ²_T),   T = Σᵢ itemᵢ
+
+    Determinism: population variances enter only as a RATIO with the
+    same n² denominator, so it cancels exactly: A = Σᵢ (n·Σxᵢ² −
+    Sᵢ²) and B = n·ΣT² − S_T² are exact BIGINTs off ONE
+    hash-aggregate pass, and α = k/(k−1)·(1 − A/B) is ONE fixed IEEE
+    expression — no flooring, no quantization needed. Rows with ANY
+    NULL item drop (complete-case, the classical definition). Floats
+    raise; caller guarantees n·k²·max|x|² < 2⁶³.
+
+    Scale shape: one scan, one single-row aggregate (map-side
+    combinable) — the k item sums and the total-score sums ride the
+    same pass. α NULL when n < 2, k < 2 or σ²_T = 0.
+
+    Output: ONE row (k, n, item_var_num BIGINT, total_var_num BIGINT,
+    alpha DOUBLE).
+    """
+    from pyspark.sql.types import DoubleType, FloatType
+
+    k = len(item_cols)
+    if k < 2:
+        raise ValueError("cronbach_alpha needs >= 2 item columns")
+    fields = {f.name: f for f in df.schema.fields}
+    for c in item_cols:
+        if isinstance(fields[c].dataType, (DoubleType, FloatType)):
+            raise ValueError(
+                f"cronbach_alpha: {c!r} is floating-point — "
+                "integerize first (exact integer sums are the "
+                "determinism contract)")
+    keep = F.lit(True)
+    for c in item_cols:
+        keep = keep & F.col(c).isNotNull()
+    items = [F.col(c).cast("long") for c in item_cols]
+    t = items[0]
+    for it in items[1:]:
+        t = t + it
+    base = df.where(keep).select(
+        *[it.alias(f"_x{i}") for i, it in enumerate(items)],
+        t.alias("_t"))
+    aggs = [F.count(F.lit(1)).alias("n"),
+            F.sum("_t").alias("_st"),
+            F.sum(F.col("_t") * F.col("_t")).alias("_sst")]
+    for i in range(k):
+        aggs += [F.sum(f"_x{i}").alias(f"_s{i}"),
+                 F.sum(F.col(f"_x{i}") * F.col(f"_x{i}"))
+                 .alias(f"_ss{i}")]
+    g = base.agg(*aggs)
+    nn = F.col("n").cast("long")
+    a = F.lit(0).cast("long")
+    for i in range(k):
+        a = a + (nn * F.col(f"_ss{i}") - F.col(f"_s{i}") * F.col(f"_s{i}"))
+    b = nn * F.col("_sst") - F.col("_st") * F.col("_st")
+    out = g.select(F.lit(k).alias("k"), "n",
+                   a.alias("item_var_num"), b.alias("total_var_num"))
+    alpha = (F.lit(float(k) / (k - 1))
+             * (F.lit(1.0) - F.col("item_var_num").cast("double")
+                / F.col("total_var_num").cast("double")))
+    ok = (F.col("n") >= 2) & (F.col("total_var_num") > 0)
+    return out.withColumn("alpha", F.when(ok, alpha))
+
+
+def hashed_features(df: DataFrame, *, id_col: str,
+                    cat_cols: list[str],
+                    n_buckets: int = 64) -> DataFrame:
+    """The hashing trick (feature hashing, Weinberger et al. 2009):
+    map arbitrary-cardinality categorical columns into a fixed
+    ``n_buckets``-dimensional signed count vector per row — the
+    vocabulary-free vectorizer for linear/GBDT baselines over web-
+    scale categoricals (no fit pass, no dictionary to ship). Long
+    format: join/pivot downstream as needed.
+
+    Feature value ``col=value`` hashes with md5 (engine-portable, the
+    :func:`~kml2geojson_spark.textops.md5_bucket_col` discipline):
+    bucket = 60-bit hex prefix mod ``n_buckets``; the collision-bias
+    sign is the parity of hex digit 16 (+1 even, −1 odd) — the
+    standard signed variant that makes colliding features cancel in
+    expectation rather than accumulate. Per (id, bucket) the value is
+    an exact BIGINT sum of ±1. NULL category values contribute
+    nothing (skipped, not hashed).
+
+    Scale shape: a k-struct literal array explodes each row into its
+    k present features (zero Python, whole-stage codegen md5), then
+    ONE (id, bucket) hash-aggregate with map-side combine. Output
+    rows ≤ k per input row — never n_buckets.
+
+    Output: (id, bucket INT, feat_val BIGINT).
+    """
+    if not cat_cols:
+        raise ValueError("hashed_features: cat_cols must be non-empty")
+    if not 2 <= n_buckets <= 1 << 20:
+        raise ValueError(
+            f"n_buckets must be in [2, 2^20], got {n_buckets}")
+    feats = F.array(*[
+        F.when(F.col(c).isNotNull(),
+               F.concat_ws("=", F.lit(c), F.col(c).cast("string")))
+        for c in cat_cols])
+    d = (df.where(F.col(id_col).isNotNull())
+         .select(F.col(id_col).alias("id"),
+                 F.explode(feats).alias("_f"))
+         .where(F.col("_f").isNotNull()))
+    hx = F.md5(F.col("_f"))
+    h = F.conv(F.substring(hx, 1, 15), 16, 10).cast("long")
+    sign_digit = F.conv(F.substring(hx, 16, 1), 16, 10).cast("long")
+    sign = F.when(sign_digit % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+    return (d.select("id",
+                     F.pmod(h, F.lit(n_buckets)).cast("int")
+                     .alias("bucket"),
+                     sign.alias("_sgn"))
+            .groupBy("id", "bucket")
+            .agg(F.sum("_sgn").cast("long").alias("feat_val")))
