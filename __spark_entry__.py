@@ -9821,6 +9821,252 @@ FROM h GROUP BY id, bucket
 """
 
 
+def _q271_cuped(spark, sf):
+    """CUPED variance-reduced readout over orders: arm =
+    o_orderpriority, metric = total-price cents, covariate = a
+    deterministic custkey stratum; exact BIGINT sums off one pass,
+    pooled theta ONE expression. Round-5 post-pin registration:
+    in-repo oracle sweep only."""
+    from kml2geojson_spark.relational import cuped_adjusted_means
+    o = _t(spark, sf, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100.0).cast("long").alias("y"),
+        (F.col("o_custkey") % 1000).cast("long").alias("x"))
+    return cuped_adjusted_means(o, metric_col="y", covariate_col="x",
+                                arm_col="o_orderpriority")
+
+
+_O271 = """
+WITH b AS (
+  SELECT o_orderpriority AS arm,
+         CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS y,
+         CAST(o_custkey % 1000 AS BIGINT) AS x
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+    AND o_custkey IS NOT NULL),
+arms AS (
+  SELECT arm, COUNT(*)::BIGINT AS n, SUM(y)::BIGINT AS sy,
+         SUM(x)::BIGINT AS sx, SUM(x * y)::BIGINT AS sxy,
+         SUM(x * x)::BIGINT AS sxx
+  FROM b GROUP BY arm),
+p AS (SELECT SUM(n)::BIGINT AS pn, SUM(sy)::BIGINT AS psy,
+             SUM(sx)::BIGINT AS psx, SUM(sxy)::BIGINT AS psxy,
+             SUM(sxx)::BIGINT AS psxx
+      FROM arms)
+SELECT arm, n,
+       sy::DOUBLE / n::DOUBLE AS mean_y,
+       sx::DOUBLE / n::DOUBLE AS mean_x,
+       CASE WHEN pn * psxx - psx * psx > 0
+            THEN (pn * psxy - psx * psy)::DOUBLE
+                 / (pn * psxx - psx * psx)::DOUBLE END AS theta,
+       CASE WHEN pn * psxx - psx * psx > 0
+            THEN sy::DOUBLE / n::DOUBLE
+                 - ((pn * psxy - psx * psy)::DOUBLE
+                    / (pn * psxx - psx * psx)::DOUBLE)
+                   * (sx::DOUBLE / n::DOUBLE - psx::DOUBLE / pn::DOUBLE)
+            ELSE sy::DOUBLE / n::DOUBLE END AS adjusted_mean
+FROM arms, p
+"""
+
+
+def _q272_diff_in_diff(spark, sf):
+    """Difference-in-differences over orders: treated = even
+    customers, post = orderdate >= 1995-01-01, metric = total-price
+    cents; four exact BIGINT cells off one aggregate, DID one fixed
+    expression. Round-5 post-pin registration: in-repo oracle sweep
+    only."""
+    from kml2geojson_spark.relational import diff_in_diff
+    o = _t(spark, sf, "orders").select(
+        F.when(F.col("o_custkey") % 2 == 0, F.lit("t"))
+        .otherwise(F.lit("c")).alias("grp"),
+        F.when(F.col("o_orderdate") >= F.lit("1995-01-01"),
+               F.lit("post")).otherwise(F.lit("pre")).alias("period"),
+        F.round(F.col("o_totalprice") * 100.0).cast("long").alias("y"))
+    return diff_in_diff(o, metric_col="y", group_col="grp",
+                        period_col="period", treated_value="t",
+                        post_value="post")
+
+
+_O272 = """
+WITH b AS (
+  SELECT CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END AS t,
+         CASE WHEN o_orderdate >= DATE '1995-01-01'
+              THEN 1 ELSE 0 END AS p,
+         CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS y
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+    AND o_totalprice IS NOT NULL),
+g AS (
+  SELECT SUM(CASE WHEN t = 1 AND p = 1 THEN 1 ELSE 0 END)::BIGINT AS n_tp,
+         SUM(CASE WHEN t = 1 AND p = 1 THEN y ELSE 0 END)::BIGINT AS stp,
+         SUM(CASE WHEN t = 1 AND p = 0 THEN 1 ELSE 0 END)::BIGINT AS n_tr,
+         SUM(CASE WHEN t = 1 AND p = 0 THEN y ELSE 0 END)::BIGINT AS str_,
+         SUM(CASE WHEN t = 0 AND p = 1 THEN 1 ELSE 0 END)::BIGINT AS n_cp,
+         SUM(CASE WHEN t = 0 AND p = 1 THEN y ELSE 0 END)::BIGINT AS scp,
+         SUM(CASE WHEN t = 0 AND p = 0 THEN 1 ELSE 0 END)::BIGINT AS n_cr,
+         SUM(CASE WHEN t = 0 AND p = 0 THEN y ELSE 0 END)::BIGINT AS scr
+  FROM b)
+SELECT n_tp, n_tr, n_cp, n_cr,
+       CASE WHEN n_tp > 0 THEN stp::DOUBLE / n_tp::DOUBLE END
+         AS mean_treated_post,
+       CASE WHEN n_tr > 0 THEN str_::DOUBLE / n_tr::DOUBLE END
+         AS mean_treated_pre,
+       CASE WHEN n_cp > 0 THEN scp::DOUBLE / n_cp::DOUBLE END
+         AS mean_control_post,
+       CASE WHEN n_cr > 0 THEN scr::DOUBLE / n_cr::DOUBLE END
+         AS mean_control_pre,
+       CASE WHEN n_tp > 0 AND n_tr > 0 AND n_cp > 0 AND n_cr > 0
+            THEN (stp::DOUBLE / n_tp::DOUBLE - str_::DOUBLE / n_tr::DOUBLE)
+                 - (scp::DOUBLE / n_cp::DOUBLE
+                    - scr::DOUBLE / n_cr::DOUBLE) END AS did
+FROM g
+"""
+
+
+def _q273_parse_url(spark, sf):
+    """URL decomposition round-trip: deterministic URLs built from
+    customer keys (4 structural shapes: port, credentials, query,
+    bare host), parsed by the pure-Column parser; the oracle derives
+    the components independently from the generating formulas.
+    Round-5 post-pin registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.netops import parse_url
+    c = _t(spark, sf, "customer")
+    k = F.col("c_custkey")
+    host = F.concat(F.lit("h"), (k % 97).cast("string"),
+                    F.lit(".Example.com"))
+    url = (F.when(k % 4 == 0,
+                  F.concat(F.lit("https://"), host, F.lit("/p/"),
+                           k.cast("string"), F.lit("?q="),
+                           (k % 13).cast("string")))
+           .when(k % 4 == 1,
+                 F.concat(F.lit("http://"), host, F.lit(":8080/")))
+           .when(k % 4 == 2,
+                 F.concat(F.lit("ftp://user:pw@"), host, F.lit("/f.bin")))
+           .otherwise(F.concat(F.lit("https://"), host)))
+    docs = c.select(F.col("c_custkey").alias("doc_id"),
+                    url.alias("url"))
+    return parse_url(docs)
+
+
+_O273 = """
+WITH c AS (
+  SELECT c_custkey AS id, c_custkey % 4 AS m,
+         'h' || CAST(c_custkey % 97 AS VARCHAR) || '.example.com' AS lh
+  FROM customer)
+SELECT id,
+       CASE m WHEN 1 THEN 'http' WHEN 2 THEN 'ftp'
+              ELSE 'https' END AS scheme,
+       lh AS host,
+       CASE WHEN m = 1 THEN 8080 END AS port,
+       CASE m WHEN 0 THEN '/p/' || CAST(id AS VARCHAR)
+              WHEN 1 THEN '/' WHEN 2 THEN '/f.bin' ELSE '' END AS path,
+       CASE WHEN m = 0 THEN 'q=' || CAST(id % 13 AS VARCHAR)
+            ELSE '' END AS query,
+       'example.com' AS domain2
+FROM c
+"""
+
+
+def _q274_gc_interpolate(spark, sf):
+    """Great-circle interpolation: each customer point slid a
+    key-dependent fraction toward its supplier-formula twin —
+    micro-degree quantized (the libm rule), slerp replayed literally
+    by the oracle. Round-5 post-pin registration: in-repo oracle
+    sweep only."""
+    from kml2geojson_spark.spatial.ops import great_circle_interpolate
+    p = _customer_points(spark, sf).select(
+        "point_id", "x", "y",
+        (((F.col("point_id") * 6151 + 331) % 36000) / 100.0 - 180.0)
+        .alias("x2"),
+        (((F.col("point_id") * 911 + 7177) % 17000) / 100.0 - 85.0)
+        .alias("y2"),
+        ((F.col("point_id") % 10).cast("double") / 10.0).alias("f"))
+    lat, lon = great_circle_interpolate(F.col("y"), F.col("x"),
+                                        F.col("y2"), F.col("x2"),
+                                        F.col("f"))
+    return p.select(
+        "point_id",
+        F.round(lat * F.lit(1_000_000.0)).cast("long")
+        .alias("lat_microdeg"),
+        F.round(lon * F.lit(1_000_000.0)).cast("long")
+        .alias("lon_microdeg"))
+
+
+def _o274() -> str:
+    import math
+    k = repr(math.pi / 180.0)
+    kk = repr(180.0 / math.pi)
+    return f"""
+WITH p AS (
+  SELECT c_custkey AS point_id,
+         (((c_custkey * 9301 + 49297) % 36000) / 100.0 - 180.0) * {k} AS l1,
+         (((c_custkey * 7919 + 104729) % 17000) / 100.0 - 85.0) * {k} AS p1,
+         (((c_custkey * 6151 + 331) % 36000) / 100.0 - 180.0) * {k} AS l2,
+         (((c_custkey * 911 + 7177) % 17000) / 100.0 - 85.0) * {k} AS p2,
+         CAST(c_custkey % 10 AS DOUBLE) / 10.0 AS f
+  FROM customer),
+d AS (
+  SELECT *,
+         2.0 * asin(sqrt(pow(sin((p2 - p1) / 2), 2)
+                         + cos(p1) * cos(p2)
+                           * pow(sin((l2 - l1) / 2), 2))) AS delta
+  FROM p),
+s AS (
+  SELECT *, sin(delta) AS sd,
+         sin((1.0 - f) * delta) / sin(delta) AS a,
+         sin(f * delta) / sin(delta) AS b
+  FROM d),
+v AS (
+  SELECT point_id, p1, l1, sd,
+         a * cos(p1) * cos(l1) + b * cos(p2) * cos(l2) AS x,
+         a * cos(p1) * sin(l1) + b * cos(p2) * sin(l2) AS y,
+         a * sin(p1) + b * sin(p2) AS z
+  FROM s)
+SELECT point_id,
+       CAST(ROUND(CASE WHEN sd > 1e-12
+                       THEN atan2(z, sqrt(x * x + y * y)) * {kk}
+                       ELSE p1 * {kk} END * 1000000.0) AS BIGINT)
+         AS lat_microdeg,
+       CAST(ROUND(CASE WHEN sd > 1e-12 THEN atan2(y, x) * {kk}
+                       ELSE l1 * {kk} END * 1000000.0) AS BIGINT)
+         AS lon_microdeg
+FROM v
+"""
+
+
+def _q275_dimension_quantiles(spark, sf):
+    """Per-dimension exact micro-unit quartiles of the embedding
+    corpus (robust-scaler bounds): one posexplode into
+    group_quantiles' exact integer order-statistic machinery.
+    Round-5 post-pin registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.simsearch import dimension_quantiles
+    return dimension_quantiles(_t(spark, sf, "embeddings"),
+                               permilles=[250, 500, 750])
+
+
+_O275 = """
+WITH e AS (
+  SELECT embedding::DOUBLE[] AS v FROM embeddings
+  WHERE embedding IS NOT NULL),
+ex AS (SELECT v, unnest(generate_series(1, len(v))) AS i FROM e),
+q AS (SELECT CAST(i - 1 AS BIGINT) AS dim,
+             CAST(ROUND(v[i] * 1000000.0) AS BIGINT) AS xq FROM ex),
+pv AS (SELECT dim, xq, CAST(COUNT(*) AS BIGINT) AS c
+       FROM q GROUP BY dim, xq),
+cum AS (
+  SELECT dim, xq, c,
+         CAST(SUM(c) OVER (PARTITION BY dim ORDER BY xq) AS BIGINT) AS cm,
+         CAST(SUM(c) OVER (PARTITION BY dim) AS BIGINT) AS n
+  FROM pv),
+exq AS (SELECT dim, xq, c, cm, n, UNNEST([250, 500, 750]) AS permille
+        FROM cum)
+SELECT dim, permille, n, xq AS q_micro
+FROM exq
+WHERE cm >= CEIL(n * permille / 1000.0)
+  AND cm - c < CEIL(n * permille / 1000.0)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -10080,6 +10326,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q268_cronbach": _q268_cronbach,
         "q269_negative_samples": _q269_negative_samples,
         "q270_hashed_features": _q270_hashed_features,
+        "q271_cuped": _q271_cuped,
+        "q272_diff_in_diff": _q272_diff_in_diff,
+        "q273_parse_url": _q273_parse_url,
+        "q274_gc_interpolate": _q274_gc_interpolate,
+        "q275_dimension_quantiles": _q275_dimension_quantiles,
     }
 
 
@@ -10338,6 +10589,11 @@ def oracle_sql() -> dict[str, str]:
         "q268_cronbach": _O268,
         "q269_negative_samples": _O269,
         "q270_hashed_features": _O270,
+        "q271_cuped": _O271,
+        "q272_diff_in_diff": _O272,
+        "q273_parse_url": _O273,
+        "q274_gc_interpolate": _o274(),
+        "q275_dimension_quantiles": _O275,
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

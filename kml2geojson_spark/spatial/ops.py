@@ -3338,3 +3338,45 @@ def destination_point(lat, lon, bearing, distance_m):
     lon2 = F.pmod(lam * F.lit(kk) + F.lit(180.0),
                   F.lit(360.0)) - F.lit(180.0)
     return p2 * F.lit(kk), lon2
+
+
+def great_circle_interpolate(lat1, lon1, lat2, lon2, frac):
+    """Point a fraction ``frac`` ∈ [0, 1] along the great circle from
+    (lat1, lon1) to (lat2, lon2) — the route-interpolation primitive
+    (trajectory resampling in TRUE geometry, flight-path rendering)
+    closing the spherical family with :func:`haversine_m`,
+    :func:`bearing_deg` and :func:`destination_point`. Standard
+    slerp:
+
+        δ  = central angle (haversine),  a = sin((1−f)δ)/sin δ,
+        b  = sin(fδ)/sin δ,
+        (x, y, z) = a·(x₁,y₁,z₁) + b·(x₂,y₂,z₂)  →  (lat, lon)
+
+    Degenerate δ = 0 (coincident endpoints) returns the start point.
+    Antipodal endpoints (sin δ ≈ 0, δ ≈ π) have no unique great
+    circle — the formula's limit behavior applies; callers that care
+    should gate on ``haversine_m``. Same libm caveat as the rest of
+    the family: quantize to micro-degrees for cross-engine
+    comparison. Pure Column, whole-stage codegen.
+
+    Returns (lat, lon) Columns in degrees.
+    """
+    import math as _math
+    k = _math.pi / 180.0
+    kk = 180.0 / _math.pi
+    p1, l1 = lat1 * F.lit(k), lon1 * F.lit(k)
+    p2, l2 = lat2 * F.lit(k), lon2 * F.lit(k)
+    sd2 = (F.pow(F.sin((p2 - p1) / 2), 2)
+           + F.cos(p1) * F.cos(p2) * F.pow(F.sin((l2 - l1) / 2), 2))
+    delta = F.lit(2.0) * F.asin(F.sqrt(sd2))
+    sd = F.sin(delta)
+    a = F.sin((F.lit(1.0) - frac) * delta) / sd
+    b = F.sin(frac * delta) / sd
+    x = (a * F.cos(p1) * F.cos(l1) + b * F.cos(p2) * F.cos(l2))
+    y = (a * F.cos(p1) * F.sin(l1) + b * F.cos(p2) * F.sin(l2))
+    z = a * F.sin(p1) + b * F.sin(p2)
+    lat = F.atan2(z, F.sqrt(x * x + y * y)) * F.lit(kk)
+    lon = F.atan2(y, x) * F.lit(kk)
+    ok = sd > F.lit(1e-12)
+    return (F.when(ok, lat).otherwise(lat1),
+            F.when(ok, lon).otherwise(lon1))
