@@ -10067,6 +10067,165 @@ WHERE cm >= CEIL(n * permille / 1000.0)
 """
 
 
+def _q276_theil_sen(spark, sf):
+    """Theil-Sen robust slope per user over event value cents vs
+    epoch-micros time (exact long pair differences, one IEEE
+    division per pair, lower-median selection by sort position) —
+    mann_kendall's (q255) companion magnitude. Round-5 post-pin
+    registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.relational import theil_sen
+    ev = _t(spark, sf, "events").select(
+        "user_id",
+        F.expr("timestampdiff(MICROSECOND, "
+               "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)").alias("t_us"),
+        F.round(F.col("value") * 100.0).cast("long").alias("cents"))
+    return theil_sen(ev, value_col="cents", t_col="t_us",
+                     group_cols=["user_id"])
+
+
+_O276 = """
+WITH b AS (
+  SELECT user_id AS g, epoch_us(ts) AS t,
+         CAST(ROUND(value * 100.0) AS BIGINT) AS x
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+p AS (
+  SELECT a.g, (b2.x - a.x)::DOUBLE / (b2.t - a.t)::DOUBLE AS s
+  FROM b a JOIN b b2 ON a.g = b2.g AND a.t < b2.t),
+r AS (
+  SELECT g, s,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY s ASC) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS m
+  FROM p),
+med AS (SELECT g, m, s FROM r
+        WHERE rn = CAST(FLOOR((m + 1) / 2.0) AS BIGINT)),
+allg AS (SELECT DISTINCT g FROM b)
+SELECT allg.g AS user_id,
+       COALESCE(med.m, 0)::BIGINT AS n_pairs, med.s AS slope
+FROM allg LEFT JOIN med ON allg.g = med.g
+"""
+
+
+_RIPLEY_RADII = [2.0, 5.0, 10.0, 20.0]
+_SPATIAL_AREA = 360.0 * 170.0  # x in [-180,180), y in [-85,85)
+
+
+def _q277_ripley_k(spark, sf):
+    """Ripley's K over the customer point field at four radii — ONE
+    k-ring DWithin join at max(r), conditional-sum aggregate per
+    radius; K/L are fixed double expressions over exact BIGINT pair
+    counts. Round-5 post-pin registration: in-repo oracle sweep
+    only."""
+    from kml2geojson_spark.spatial.ops import ripley_k
+    return ripley_k(_customer_points(spark, sf), _RIPLEY_RADII,
+                    _SPATIAL_AREA, res=4)
+
+
+def _o277() -> str:
+    conds = ", ".join(
+        f"SUM(CASE WHEN dist2 <= {r * r!r} THEN 1 ELSE 0 END)::BIGINT"
+        f" AS p{i}" for i, r in enumerate(_RIPLEY_RADII))
+    rows = " UNION ALL ".join(
+        f"SELECT {r!r}::DOUBLE AS r, n, p{i} AS pairs FROM agg"
+        for i, r in enumerate(_RIPLEY_RADII))
+    return f"""
+WITH pts AS ({_PTS_SQL}),
+d AS (
+  SELECT (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+  FROM pts a JOIN pts b ON a.point_id != b.point_id),
+n AS (SELECT COUNT(*)::BIGINT AS n FROM pts),
+agg AS (SELECT n.n, {conds} FROM d CROSS JOIN n GROUP BY n.n),
+tall AS ({rows})
+SELECT r, n, pairs,
+       CASE WHEN n >= 2 THEN {_SPATIAL_AREA!r} * pairs::DOUBLE
+                             / (n::DOUBLE * (n::DOUBLE - 1.0)) END AS k_est,
+       CASE WHEN n >= 2 THEN SQRT(({_SPATIAL_AREA!r} * pairs::DOUBLE
+                             / (n::DOUBLE * (n::DOUBLE - 1.0)))
+                             / 3.141592653589793) END AS l_est
+FROM tall
+"""
+
+
+def _q278_clark_evans(spark, sf):
+    """Clark-Evans nearest-neighbour index over the customer point
+    field — adaptive k-ring kNN (k=2, self dropped by id), exact
+    micro-unit NN-distance sum, fixed double R expression.
+    Round-5 post-pin registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.spatial.ops import clark_evans
+    return clark_evans(_customer_points(spark, sf), _SPATIAL_AREA,
+                       res=6)
+
+
+_O278 = f"""
+WITH pts AS ({_PTS_SQL}),
+nn AS (
+  SELECT a.point_id,
+         MIN((a.x - b.x) * (a.x - b.x)
+             + (a.y - b.y) * (a.y - b.y)) AS m
+  FROM pts a JOIN pts b ON a.point_id != b.point_id
+  GROUP BY a.point_id),
+q AS (SELECT CAST(FLOOR(SQRT(m) * 1000000.0 + 0.5) AS BIGINT) AS nnm
+      FROM nn),
+agg AS (SELECT COUNT(*)::BIGINT AS n, SUM(nnm)::BIGINT AS sum_nn_micro
+        FROM q)
+SELECT n, sum_nn_micro,
+  CASE WHEN n >= 2
+       THEN sum_nn_micro::DOUBLE / 1000000.0 / n::DOUBLE END AS mean_nn,
+  CASE WHEN n >= 2
+       THEN 0.5 / SQRT(n::DOUBLE / {_SPATIAL_AREA!r}) END AS expected_nn,
+  CASE WHEN n >= 2
+       THEN (sum_nn_micro::DOUBLE / 1000000.0 / n::DOUBLE)
+            / (0.5 / SQRT(n::DOUBLE / {_SPATIAL_AREA!r})) END AS r_index
+FROM agg
+"""
+
+
+def _q279_ring_audit(spark, sf):
+    """Ring validity audit over the nation diamond rings — exact
+    micro-unit shoelace area2, closure and winding flags, pure
+    Column zip_with/aggregate (no shuffle). Round-5 post-pin
+    registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.spatial.ops import ring_audit
+    base = _nation_diamond_params(spark, sf)
+
+    ring = F.array(
+        F.struct((F.col("cx") + F.col("r")).alias("x"),
+                 F.col("cy").alias("y")),
+        F.struct(F.col("cx").alias("x"),
+                 (F.col("cy") + F.col("r")).alias("y")),
+        F.struct((F.col("cx") - F.col("r")).alias("x"),
+                 F.col("cy").alias("y")),
+        F.struct(F.col("cx").alias("x"),
+                 (F.col("cy") - F.col("r")).alias("y")),
+        F.struct((F.col("cx") + F.col("r")).alias("x"),
+                 F.col("cy").alias("y")),
+    )
+    return ring_audit(base.withColumn("ring", ring),
+                      id_cols=["poly_id"])
+
+
+_O279 = f"""
+WITH polys AS ({_POLY_SQL}),
+qv AS (
+  SELECT poly_id,
+         CAST(FLOOR((cx + r) * 1000000.0 + 0.5) AS BIGINT) AS x1,
+         CAST(FLOOR(cy * 1000000.0 + 0.5) AS BIGINT)       AS y1,
+         CAST(FLOOR(cx * 1000000.0 + 0.5) AS BIGINT)       AS x2,
+         CAST(FLOOR((cy + r) * 1000000.0 + 0.5) AS BIGINT) AS y2,
+         CAST(FLOOR((cx - r) * 1000000.0 + 0.5) AS BIGINT) AS x3,
+         CAST(FLOOR(cy * 1000000.0 + 0.5) AS BIGINT)       AS y3,
+         CAST(FLOOR(cx * 1000000.0 + 0.5) AS BIGINT)       AS x4,
+         CAST(FLOOR((cy - r) * 1000000.0 + 0.5) AS BIGINT) AS y4
+  FROM polys)
+SELECT poly_id, 5 AS n_vertices, TRUE AS is_closed,
+       ((x1 * y2 - x2 * y1) + (x2 * y3 - x3 * y2)
+        + (x3 * y4 - x4 * y3) + (x4 * y1 - x1 * y4))::BIGINT
+         AS area2_scaled,
+       'ccw' AS orientation, FALSE AS is_degenerate
+FROM qv
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -10331,6 +10490,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q273_parse_url": _q273_parse_url,
         "q274_gc_interpolate": _q274_gc_interpolate,
         "q275_dimension_quantiles": _q275_dimension_quantiles,
+        "q276_theil_sen": _q276_theil_sen,
+        "q277_ripley_k": _q277_ripley_k,
+        "q278_clark_evans": _q278_clark_evans,
+        "q279_ring_audit": _q279_ring_audit,
     }
 
 
@@ -10594,6 +10757,10 @@ def oracle_sql() -> dict[str, str]:
         "q273_parse_url": _O273,
         "q274_gc_interpolate": _o274(),
         "q275_dimension_quantiles": _O275,
+        "q276_theil_sen": _O276,
+        "q277_ripley_k": _o277(),
+        "q278_clark_evans": _O278,
+        "q279_ring_audit": _O279,
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

@@ -3971,3 +3971,79 @@ def diff_in_diff(df: DataFrame, *, metric_col: str,
         mtp.alias("mean_treated_post"), mtr.alias("mean_treated_pre"),
         mcp.alias("mean_control_post"), mcr.alias("mean_control_pre"),
         F.when(ok, (mtp - mtr) - (mcp - mcr)).alias("did"))
+
+
+def theil_sen(df: DataFrame, *, value_col: str, t_col: str,
+              group_cols: list[str]) -> DataFrame:
+    """Theil–Sen slope estimator per group — the robust trend
+    MAGNITUDE beside :func:`mann_kendall`'s trend DIRECTION test
+    (same pairwise shape; run them together): the lower median of the
+    pairwise slopes (x_j − x_i)/(t_j − t_i) over all pairs with
+    t_i < t_j.  Breakdown point ~29% — a single wild outlier that
+    would wreck :func:`group_ols`'s least-squares slope moves the
+    pairwise-slope median not at all.
+
+    Determinism: value AND time must be INTEGER (floats raise — the
+    :func:`mann_kendall` integerize-first rule).  Each pair slope is
+    ONE long-subtraction pair and ONE IEEE double division
+    (correctly rounded) — bit-identical on every engine; pairs with
+    t_i = t_j are EXCLUDED (slope undefined; ties in t belong to the
+    Mann–Kendall tie correction, not the slope set).  The reported
+    slope is the LOWER median — the ceil(m/2)-th smallest of the m
+    pair slopes — selected by sort position, so it is always an
+    actual quotient of the data, never an interpolated midpoint.
+
+    Scale shape: pair generation is a per-group equi-self-join
+    (O(n²) pairs per group — MANY SMALL SERIES, the mann_kendall
+    contract; thin a single huge series first), then ONE window
+    (row_number over slope) per group to select the median position.
+    NULL values/times/keys drop.
+
+    Output: (group..., n_pairs BIGINT, slope DOUBLE) — slope NULL
+    when no pair has distinct times.
+    """
+    from pyspark.sql.types import DoubleType, FloatType
+
+    fields = {f.name: f for f in df.schema.fields}
+    for c in (value_col, t_col):
+        if isinstance(fields[c].dataType, (DoubleType, FloatType)):
+            raise ValueError(
+                f"theil_sen: {c!r} is floating-point — integerize "
+                "first (exact integer differences are the "
+                "determinism contract)")
+    if not group_cols:
+        raise ValueError("theil_sen: group_cols must be non-empty")
+    keep = F.col(value_col).isNotNull() & F.col(t_col).isNotNull()
+    for c in group_cols:
+        keep = keep & F.col(c).isNotNull()
+    base = df.where(keep).select(
+        *group_cols,
+        F.col(t_col).cast("long").alias("_t"),
+        F.col(value_col).cast("long").alias("_x"))
+    a = base.select(*group_cols, F.col("_t").alias("_ti"),
+                    F.col("_x").alias("_xi"))
+    b = base.select(*group_cols, F.col("_t").alias("_tj"),
+                    F.col("_x").alias("_xj"))
+    pairs = (a.join(b, group_cols)
+             .where(F.col("_ti") < F.col("_tj"))
+             .select(*group_cols,
+                     ((F.col("_xj") - F.col("_xi")).cast("double")
+                      / (F.col("_tj") - F.col("_ti")).cast("double"))
+                     .alias("_slope")))
+    w = Window.partitionBy(*group_cols).orderBy(F.col("_slope").asc())
+    ranked = (pairs
+              .withColumn("_rn", F.row_number().over(w))
+              .withColumn("_m", F.count(F.lit(1)).over(
+                  Window.partitionBy(*group_cols))))
+    med = (ranked
+           .where(F.col("_rn") == F.floor((F.col("_m") + 1) / 2))
+           .select(*group_cols, F.col("_m").alias("n_pairs"),
+                   F.col("_slope").alias("slope")))
+    # groups whose every pair is t-tied produce zero pairs: surface
+    # them with NULL slope so the caller sees the degenerate series
+    allg = base.select(*group_cols).distinct()
+    return (allg.join(med, group_cols, "left")
+            .select(*group_cols,
+                    F.coalesce(F.col("n_pairs"), F.lit(0).cast("long"))
+                    .alias("n_pairs"),
+                    "slope"))

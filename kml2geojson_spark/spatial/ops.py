@@ -3380,3 +3380,197 @@ def great_circle_interpolate(lat1, lon1, lat2, lon2, frac):
     ok = sd > F.lit(1e-12)
     return (F.when(ok, lat).otherwise(lat1),
             F.when(ok, lon).otherwise(lon1))
+
+
+def ripley_k(points: DataFrame, radii: list[float], area: float,
+             res: int, *, point_id: str = "point_id", x: str = "x",
+             y: str = "y") -> DataFrame:
+    """Ripley's K function — the classic second-order point-pattern
+    statistic (clustered vs dispersed vs CSR) the reference's tiling
+    stack has no equivalent for: K(r) = area · P(r) / (n·(n−1)) with
+    P(r) = #{ordered pairs i≠j, dist(i,j) ≤ r}, evaluated at every
+    radius in ``radii``.  Under complete spatial randomness
+    K(r) ≈ πr², so L(r) = sqrt(K/π) − r > 0 flags clustering at
+    scale r.  (No edge correction — the uncorrected estimator;
+    callers comparing windows should pass the same frame.)
+
+    Scale shape: ONE candidate join at max(radii) — the k-ring
+    DWithin machinery of :func:`within_distance_join` (ring count
+    derived from the radius, exact d² ≤ r² filter, never all-pairs)
+    — then every radius is answered from the SAME pair set by a
+    conditional-sum hash aggregate (one shuffle of pre-combined
+    partials, rows = |radii|).  Choose ``res`` so the cell dimension
+    is on the order of max(radii): too fine → many rings; too coarse
+    → fat candidate buckets.
+
+    Determinism: pair counts are exact BIGINTs (the d² filter is the
+    same IEEE expression the SQL oracle runs); K is ONE fixed
+    double expression area·P/(n·(n−1)) and L one sqrt — correctly
+    rounded, bit-identical cross-engine.
+
+    Output: one row per radius, (r DOUBLE, n BIGINT, pairs BIGINT,
+    k_est DOUBLE, l_est DOUBLE), k/l NULL when n < 2.
+    """
+    if not radii:
+        raise ValueError("ripley_k: radii must be non-empty")
+    rs = sorted(float(r) for r in radii)
+    if rs[0] < 0:
+        raise ValueError(f"ripley_k: negative radius {rs[0]}")
+    if area <= 0:
+        raise ValueError(f"ripley_k: area must be positive, got {area}")
+    pts = points.select(F.col(point_id).alias("point_id"),
+                        F.col(x).cast("double").alias("x"),
+                        F.col(y).cast("double").alias("y"))
+    qs = pts.select(F.col("point_id").alias("query_id"),
+                    "x", "y")
+    pairs = (within_distance_join(pts, qs, rs[-1], res)
+             .where(F.col("query_id") != F.col("point_id")))
+    per_r = pairs.groupBy().agg(*[
+        F.sum(F.when(F.col("dist2") <= F.lit(r * r), 1)
+              .otherwise(0)).cast("long").alias(f"_p{i}")
+        for i, r in enumerate(rs)])
+    n_row = pts.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    wide = n_row.crossJoin(per_r)  # 1×1 rows — trivially broadcast
+    tall = wide.select(
+        "n",
+        F.explode(F.array(*[
+            F.struct(F.lit(r).alias("r"),
+                     F.coalesce(F.col(f"_p{i}"), F.lit(0).cast("long"))
+                     .alias("pairs"))
+            for i, r in enumerate(rs)])).alias("_e"))
+    nn = F.col("n").cast("double")
+    k_est = (F.lit(area) * F.col("pairs").cast("double")
+             / (nn * (nn - F.lit(1.0))))
+    return (tall.select("n", F.col("_e.r").alias("r"),
+                        F.col("_e.pairs").alias("pairs"))
+            .withColumn("k_est", F.when(F.col("n") >= 2, k_est))
+            .withColumn("l_est", F.sqrt(F.col("k_est")
+                                        / F.lit(3.141592653589793)))
+            .select("r", "n", "pairs", "k_est", "l_est"))
+
+
+def clark_evans(points: DataFrame, area: float, res: int, *,
+                point_id: str = "point_id", x: str = "x",
+                y: str = "y") -> DataFrame:
+    """Clark–Evans nearest-neighbour index — the one-number
+    companion to :func:`ripley_k`'s full curve: R = observed mean
+    nearest-neighbour distance / expected mean under CSR
+    (0.5/sqrt(n/area)).  R < 1 clustered, R ≈ 1 random, R > 1
+    dispersed.  (Uncorrected estimator, no edge correction.)
+
+    Scale shape: the NN search is :func:`knn_join_adaptive` with
+    k = 2 against the point set itself (rank 1 is the self-match at
+    distance 0; a coincident twin may claim rank 1 instead, so self
+    is dropped BY ID and the nearest survivor re-selected per query
+    with one window) — multi-resolution k-ring, no magic radius,
+    never all-pairs.  The final reduce is one exact BIGINT sum.
+
+    Determinism: each NN distance is one sqrt (correctly rounded)
+    half-up-quantized to integer MICRO-units via floor(d·1e6 + 0.5)
+    — the engine-portable rounding spelling — so the sum is exact;
+    mean/expected/R are then fixed double expressions.
+
+    Output: ONE row (n BIGINT, sum_nn_micro BIGINT, mean_nn DOUBLE,
+    expected_nn DOUBLE, r_index DOUBLE) — NULLs when n < 2.
+    """
+    if area <= 0:
+        raise ValueError(f"clark_evans: area must be positive, got {area}")
+    pts = points.select(F.col(point_id).alias("point_id"),
+                        F.col(x).cast("double").alias("x"),
+                        F.col(y).cast("double").alias("y"))
+    qs = pts.select(F.col("point_id").alias("query_id"), "x", "y")
+    nn2 = knn_join_adaptive(pts, qs, 2, res)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist2").asc(), F.col("neighbor_id").asc())
+    nn = (nn2.where(F.col("neighbor_id") != F.col("query_id"))
+          .withColumn("_rk", F.row_number().over(w))
+          .where(F.col("_rk") == 1)
+          .select("query_id",
+                  F.floor(F.sqrt(F.col("dist2")) * F.lit(1e6)
+                          + F.lit(0.5)).alias("_nn_micro")))
+    agg = nn.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_nn_micro").alias("sum_nn_micro"))
+    nn_d = F.col("n").cast("double")
+    mean_nn = (F.col("sum_nn_micro").cast("double")
+               / F.lit(1e6) / nn_d)
+    expected = F.lit(0.5) / F.sqrt(nn_d / F.lit(area))
+    ok = F.col("n") >= 2
+    return agg.select(
+        "n", "sum_nn_micro",
+        F.when(ok, mean_nn).alias("mean_nn"),
+        F.when(ok, expected).alias("expected_nn"),
+        F.when(ok, mean_nn / expected).alias("r_index"))
+
+
+def ring_audit(polys: DataFrame, *, ring_col: str = "ring",
+               id_cols: list[str] | None = None,
+               scale: float = 1e6) -> DataFrame:
+    """Polygon-ring validity audit — closure, vertex count, exact
+    shoelace signed area, and winding orientation per ring: the
+    pre-flight check before :func:`polygon_cover` /
+    :func:`pip_join` trust a ring's geometry (GeoJSON RFC 7946
+    wants CCW exteriors; KML sources routinely violate it).
+
+    ``ring_col`` is ARRAY<STRUCT<x: double, y: double>> — one ring
+    per row (explode multi-ring polygons first).
+
+    Determinism: vertices are half-up-quantized to integer units of
+    ``1/scale`` degrees (floor(v·scale + 0.5), the engine-portable
+    spelling), so twice-the-signed-area Σ (x_i·y_{i+1} − x_{i+1}·y_i)
+    is an EXACT BIGINT in scale² units — no float summation order
+    anywhere.  At the default micro-degree scale the per-term
+    magnitude is < 6.5·10¹⁶, so rings up to ~140 vertices are
+    overflow-proof worst-case (real-world coordinates are far
+    smaller); pass a coarser scale for pathological rings.
+
+    Pure-Column: one ``zip_with`` over the ring and its rotation +
+    one ``aggregate`` — whole-stage codegen, zero Python, no
+    shuffle (per-row map).
+
+    Output: (id..., n_vertices INT, is_closed BOOLEAN — first
+    vertex equals last at quantized precision, area2_scaled BIGINT
+    — CCW-positive twice-area in scale² units over the CLOSED ring
+    (the closing edge is implied when absent), orientation STRING
+    'ccw'/'cw'/'degenerate', is_degenerate BOOLEAN — fewer than 3
+    distinct-position vertices or zero area).
+    """
+    ids = list(id_cols) if id_cols else []
+    q = F.lit(float(scale))
+    ring = F.col(ring_col)
+    # quantize once; drop an explicit closing vertex so the rotation
+    # supplies the closing edge exactly once
+    qx = F.transform(ring, lambda v: F.floor(v["x"] * q + F.lit(0.5)))
+    qy = F.transform(ring, lambda v: F.floor(v["y"] * q + F.lit(0.5)))
+    n = F.size(ring)
+    closed = ((n >= 2)
+              & (F.element_at(qx, 1) == F.element_at(qx, -1))
+              & (F.element_at(qy, 1) == F.element_at(qy, -1)))
+    body_x = F.when(closed, F.slice(qx, 1, n - 1)).otherwise(qx)
+    body_y = F.when(closed, F.slice(qy, 1, n - 1)).otherwise(qy)
+    m = F.size(body_x)
+    rot_x = F.when(m > 1, F.concat(F.slice(body_x, 2, m - 1),
+                                   F.slice(body_x, 1, 1))) \
+        .otherwise(body_x)
+    rot_y = F.when(m > 1, F.concat(F.slice(body_y, 2, m - 1),
+                                   F.slice(body_y, 1, 1))) \
+        .otherwise(body_y)
+    t1 = F.zip_with(body_x, rot_y, lambda a, b: a * b)
+    t2 = F.zip_with(rot_x, body_y, lambda a, b: a * b)
+    zero = F.lit(0).cast("long")
+    area2 = (F.aggregate(t1, zero, lambda acc, v: acc + v)
+             - F.aggregate(t2, zero, lambda acc, v: acc + v))
+    distinct_pos = F.size(F.array_distinct(F.zip_with(
+        body_x, body_y,
+        lambda a, b: F.struct(a.alias("x"), b.alias("y")))))
+    degenerate = (distinct_pos < 3) | (area2 == 0)
+    orient = (F.when(degenerate, F.lit("degenerate"))
+              .when(area2 > 0, F.lit("ccw"))
+              .otherwise(F.lit("cw")))
+    return polys.select(
+        *ids,
+        n.cast("int").alias("n_vertices"),
+        closed.alias("is_closed"),
+        area2.alias("area2_scaled"),
+        orient.alias("orientation"),
+        degenerate.alias("is_degenerate"))
