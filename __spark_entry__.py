@@ -10226,6 +10226,237 @@ FROM qv
 """
 
 
+def _q282_bootstrap_ci(spark, sf):
+    """Derandomized percentile bootstrap CI for the mean event value
+    (cents): md5(seed:id:b) 52-bit uniforms -> Poisson(1) weights,
+    exact BIGINT resample sums, order-statistic CI bounds. Round-5
+    post-pin registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.relational import bootstrap_ci
+    ev = _t(spark, sf, "events").select(
+        "event_id",
+        F.round(F.col("value") * 100.0).cast("long").alias("cents"))
+    return bootstrap_ci(ev, value_col="cents", id_col="event_id",
+                        n_resamples=100, alpha_permille=50,
+                        seed="boot")
+
+
+def _poisson1_case_sql(u_expr: str) -> str:
+    from kml2geojson_spark.relational import POISSON1_CDF
+    cases = " ".join(
+        f"WHEN {u_expr} < {c!r} THEN {k}"
+        for k, c in enumerate(POISSON1_CDF))
+    return f"CASE {cases} ELSE 7 END"
+
+
+_U52_SQL = ("(('0x' || substr(md5({s}), 1, 13))::BIGINT::DOUBLE"
+            " / 4503599627370496.0)")
+
+
+def _o282() -> str:
+    u = _U52_SQL.format(
+        s="'boot:' || CAST(event_id AS VARCHAR) || ':' "
+          "|| CAST(b AS VARCHAR)")
+    return f"""
+WITH base AS (
+  SELECT event_id, CAST(ROUND(value * 100.0) AS BIGINT) AS x
+  FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL),
+obs AS (SELECT COUNT(*)::BIGINT AS n,
+               SUM(x)::DOUBLE / COUNT(*)::DOUBLE AS observed_mean
+        FROM base),
+rs AS (SELECT event_id, x, b
+       FROM base, generate_series(1, 100) AS t(b)),
+wt AS (SELECT b, x, CAST({_poisson1_case_sql(u)} AS BIGINT) AS w
+       FROM rs),
+means AS (
+  SELECT b, SUM(w * x)::DOUBLE / SUM(w)::DOUBLE AS m
+  FROM wt GROUP BY b HAVING SUM(w) > 0),
+ranked AS (
+  SELECT m, ROW_NUMBER() OVER (ORDER BY m ASC) AS rn,
+         CAST(COUNT(*) OVER () AS BIGINT) AS beff
+  FROM means),
+half AS (SELECT beff, CAST(CEIL(beff * 50 / 2000.0) AS BIGINT) AS h
+         FROM ranked LIMIT 1),
+lo AS (SELECT r.beff AS b_eff, r.m AS lo_mean
+       FROM ranked r JOIN half ON r.rn = half.h),
+hi AS (SELECT r.m AS hi_mean
+       FROM ranked r JOIN half ON r.rn = half.beff - half.h + 1)
+SELECT obs.n, obs.observed_mean, lo.b_eff, lo.lo_mean, hi.hi_mean
+FROM obs CROSS JOIN lo CROSS JOIN hi
+"""
+
+
+def _q283_permutation_test(spark, sf):
+    """Derandomized binomial-relabeling permutation test: click vs
+    view mean event cents; md5(seed:id:r) uniforms relabel each row
+    per round, exact integer sums per pseudo-group, add-one p.
+    Round-5 post-pin registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.relational import permutation_test
+    ev = _t(spark, sf, "events").select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 100.0).cast("long").alias("cents"))
+    return permutation_test(ev, value_col="cents",
+                            group_col="event_type", group_a="click",
+                            group_b="view", id_col="event_id",
+                            n_rounds=100, seed="perm")
+
+
+def _o283() -> str:
+    u = _U52_SQL.format(
+        s="'perm:' || CAST(event_id AS VARCHAR) || ':' "
+          "|| CAST(r AS VARCHAR)")
+    return f"""
+WITH base AS (
+  SELECT event_id, event_type = 'click' AS is_a,
+         CAST(ROUND(value * 100.0) AS BIGINT) AS x
+  FROM events
+  WHERE value IS NOT NULL AND event_id IS NOT NULL
+    AND event_type IN ('click', 'view')),
+obs AS (
+  SELECT SUM(CASE WHEN is_a THEN 1 ELSE 0 END)::BIGINT AS n_a,
+         SUM(CASE WHEN is_a THEN 0 ELSE 1 END)::BIGINT AS n_b,
+         SUM(CASE WHEN is_a THEN x END)::DOUBLE
+           / SUM(CASE WHEN is_a THEN 1 ELSE 0 END)::DOUBLE
+         - SUM(CASE WHEN NOT is_a THEN x END)::DOUBLE
+           / SUM(CASE WHEN is_a THEN 0 ELSE 1 END)::DOUBLE
+           AS observed_diff,
+         SUM(CASE WHEN is_a THEN 1 ELSE 0 END)::DOUBLE
+           / COUNT(*)::DOUBLE AS pa
+  FROM base),
+rs AS (SELECT event_id, x, r
+       FROM base, generate_series(1, 100) AS t(r)),
+lab AS (SELECT r, x, ({u}) < obs.pa AS to_a FROM rs CROSS JOIN obs),
+rounds AS (
+  SELECT r,
+         SUM(CASE WHEN to_a THEN 1 ELSE 0 END)::BIGINT AS na,
+         SUM(CASE WHEN to_a THEN 0 ELSE 1 END)::BIGINT AS nb,
+         SUM(CASE WHEN to_a THEN x END) AS sa,
+         SUM(CASE WHEN NOT to_a THEN x END) AS sb
+  FROM lab GROUP BY r HAVING SUM(CASE WHEN to_a THEN 1 ELSE 0 END) > 0
+       AND SUM(CASE WHEN to_a THEN 0 ELSE 1 END) > 0),
+ds AS (SELECT sa::DOUBLE / na::DOUBLE - sb::DOUBLE / nb::DOUBLE AS d
+       FROM rounds),
+tally AS (
+  SELECT COUNT(*)::BIGINT AS r_eff,
+         SUM(CASE WHEN ABS(d) >= ABS(obs.observed_diff)
+                  THEN 1 ELSE 0 END)::BIGINT AS n_extreme
+  FROM ds CROSS JOIN obs
+  GROUP BY obs.observed_diff)
+SELECT obs.n_a, obs.n_b, obs.observed_diff, tally.r_eff,
+       tally.n_extreme,
+       (1 + tally.n_extreme)::DOUBLE / (tally.r_eff + 1)::DOUBLE
+         AS p_value
+FROM obs CROSS JOIN tally
+"""
+
+
+_AHASH_SQL_BODY = """
+chunks AS (
+  SELECT doc_id, media_ref, i,
+         md5(media_ref || ':' || CAST(i AS VARCHAR)) AS hx
+  FROM refs, generate_series(0, 47) AS t(i)),
+bytes AS (
+  SELECT doc_id, media_ref, 16 * i + j AS p,
+         (strpos('0123456789abcdef', substr(hx, 2 * j + 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(hx, 2 * j + 2, 1)) - 1) AS b
+  FROM chunks, generate_series(0, 15) AS u(j)),
+gray AS (
+  SELECT doc_id, media_ref, p // 3 AS px, SUM(b)::BIGINT AS g
+  FROM bytes GROUP BY doc_id, media_ref, p // 3),
+blocks AS (
+  SELECT doc_id, media_ref,
+         ((px // 16) // 2) * 8 + (px % 16) // 2 AS blk,
+         SUM(g)::BIGINT AS bs
+  FROM gray GROUP BY doc_id, media_ref,
+                     ((px // 16) // 2) * 8 + (px % 16) // 2),
+tot AS (SELECT doc_id, media_ref, SUM(bs)::BIGINT AS total
+        FROM blocks GROUP BY doc_id, media_ref),
+bits AS (
+  SELECT b.doc_id, b.media_ref, b.blk,
+         CASE WHEN b.bs * 64 >= t.total THEN 1 ELSE 0 END AS bit
+  FROM blocks b JOIN tot t
+    ON b.doc_id = t.doc_id AND b.media_ref = t.media_ref),
+bands AS (
+  SELECT doc_id, media_ref, blk // 16 AS bj,
+         SUM(bit * (1::BIGINT << CAST(blk % 16 AS INT)))::INT AS bv
+  FROM bits GROUP BY doc_id, media_ref, blk // 16),
+hashes AS (
+  SELECT doc_id, media_ref,
+         MAX(CASE WHEN bj = 0 THEN bv END) AS b0,
+         MAX(CASE WHEN bj = 1 THEN bv END) AS b1,
+         MAX(CASE WHEN bj = 2 THEN bv END) AS b2,
+         MAX(CASE WHEN bj = 3 THEN bv END) AS b3
+  FROM bands GROUP BY doc_id, media_ref)
+"""
+
+
+def _q280_image_ahash(spark, sf):
+    """Perceptual average-hash over REAL decoded PPM payloads —
+    integer-exact (block_sum*64 >= total comparison, no floats), so
+    the DuckDB oracle replays the md5 pixel chain -> grayscale ->
+    8x8 block bits -> four 16-bit bands bit-identically. Round-5
+    post-pin registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.multimodal import fetch_media_stub, image_ahash
+    docs = _t(spark, sf, "documents")
+    refs = (docs.where(F.col("doc_id") % 5 == 0)
+            .select(F.col("doc_id").cast("string").alias("doc_id"),
+                    F.concat(F.lit("media/"),
+                             F.col("doc_id").cast("string"),
+                             F.lit(".ppm")).alias("media_ref"),
+                    F.lit("ppm").alias("ext"),
+                    F.lit(0).alias("offset")))
+    fetched = fetch_media_stub(refs, payload="ppm", width=16, height=16)
+    return image_ahash(fetched)
+
+
+_O280 = f"""
+WITH refs AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         'media/' || CAST(doc_id AS VARCHAR) || '.ppm' AS media_ref
+  FROM documents WHERE doc_id % 5 = 0),
+{_AHASH_SQL_BODY}
+SELECT doc_id, media_ref, b0, b1, b2, b3 FROM hashes
+"""
+
+
+def _q281_ahash_pairs(spark, sf):
+    """Image near-duplicate pairs: docs sharing a media ref decode
+    to identical PPMs; banded aHash self-join (4x16-bit bands,
+    pigeonhole-complete for hamming <= 3) recovers exactly the
+    same-image pairs, never all-pairs. Round-5 post-pin
+    registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.multimodal import (fetch_media_stub,
+                                              image_ahash,
+                                              image_ahash_pairs)
+    docs = _t(spark, sf, "documents")
+    refs = (docs.where(F.col("doc_id") % 3 == 0)
+            .select(F.col("doc_id").cast("string").alias("doc_id"),
+                    F.concat(F.lit("media/g"),
+                             (F.col("doc_id") % 40).cast("string"),
+                             F.lit(".ppm")).alias("media_ref"),
+                    F.lit("ppm").alias("ext"),
+                    F.lit(0).alias("offset")))
+    fetched = fetch_media_stub(refs, payload="ppm", width=16, height=16)
+    return image_ahash_pairs(image_ahash(fetched), max_hamming=3)
+
+
+_O281 = f"""
+WITH refs AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         'media/g' || CAST(doc_id % 40 AS VARCHAR) || '.ppm' AS media_ref
+  FROM documents WHERE doc_id % 3 = 0),
+{_AHASH_SQL_BODY}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       (bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+        + bit_count(xor(a.b2, b.b2))
+        + bit_count(xor(a.b3, b.b3)))::INT AS hamming
+FROM hashes a JOIN hashes b
+  ON a.doc_id < b.doc_id
+ AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+      + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -10494,6 +10725,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q277_ripley_k": _q277_ripley_k,
         "q278_clark_evans": _q278_clark_evans,
         "q279_ring_audit": _q279_ring_audit,
+        "q280_image_ahash": _q280_image_ahash,
+        "q281_ahash_pairs": _q281_ahash_pairs,
+        "q282_bootstrap_ci": _q282_bootstrap_ci,
+        "q283_permutation_test": _q283_permutation_test,
     }
 
 
@@ -10761,6 +10996,10 @@ def oracle_sql() -> dict[str, str]:
         "q277_ripley_k": _o277(),
         "q278_clark_evans": _O278,
         "q279_ring_audit": _O279,
+        "q280_image_ahash": _O280,
+        "q281_ahash_pairs": _O281,
+        "q282_bootstrap_ci": _o282(),
+        "q283_permutation_test": _o283(),
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

@@ -362,3 +362,101 @@ def pcm_window_features(with_content: DataFrame, *,
     return with_content.mapInPandas(
         run, "media_ref string, window_idx int, n_samples int, "
              "abs_sum long, peak long, zero_crossings long")
+
+
+def image_ahash(with_content: DataFrame) -> DataFrame:
+    """Perceptual average-hash (aHash) over the DECODED image — the
+    image lane's near-duplicate fingerprint beside the text family's
+    :func:`~kml2geojson_spark.textops.simhash_near_pairs`: decode the
+    PPM (:func:`parse_ppm` — a true format decode), grayscale each
+    pixel as the exact integer channel sum r+g+b (scale-free: the
+    mean comparison below is division-free), reduce to an 8×8 block
+    grid, and set bit i when block i's mean is ≥ the image mean —
+    compared as ``block_sum·64 ≥ total_sum``, EXACT integers, no
+    float anywhere, so the hash is bit-identical cross-engine and the
+    DuckDB oracle replays it from the md5 pixel chain.
+
+    The 64 bits are emitted as four 16-bit band values (``b0..b3``,
+    block index ``16·j + i`` → bit ``i`` of band ``j``) — the shape
+    :func:`image_ahash_pairs`' banded self-join consumes directly,
+    and sign-safe in every engine (no 2⁶³ BIGINT edge).
+
+    Width and height must each be divisible by 8 (raises otherwise).
+    Arrow-batched ``mapInPandas``, zero shuffle.
+
+    Output: (doc_id, media_ref, b0 INT, b1 INT, b2 INT, b3 INT).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": pdf["doc_id"],
+                   "media_ref": pdf["media_ref"]}
+            bands: list[list[int]] = [[], [], [], []]
+            for blob in pdf["content"]:
+                w, h, _maxval, px = parse_ppm(bytes(blob))
+                if w % 8 or h % 8:
+                    raise ValueError(
+                        f"image_ahash needs 8-divisible dims, got {w}x{h}")
+                gray = px.astype(np.int64).reshape(h, w, 3).sum(axis=2)
+                bs = gray.reshape(8, h // 8, 8, w // 8).sum(axis=(1, 3))
+                bits = (bs * 64 >= gray.sum()).astype(np.int64).ravel()
+                weights = np.int64(1) << np.arange(16, dtype=np.int64)
+                for j in range(4):
+                    bands[j].append(int(
+                        (bits[16 * j:16 * j + 16] * weights).sum()))
+            for j in range(4):
+                out[f"b{j}"] = pd.Series(bands[j], dtype="int32")
+            yield pd.DataFrame(out)
+
+    return with_content.mapInPandas(
+        run, "doc_id string, media_ref string, "
+             "b0 int, b1 int, b2 int, b3 int")
+
+
+def image_ahash_pairs(hashes: DataFrame, *, max_hamming: int = 3,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Image near-duplicate pairs by aHash Hamming distance — the
+    banded LSH self-join over :func:`image_ahash` output: candidates
+    share at least one EQUAL 16-bit band (4 equi-join buckets, never
+    all-pairs), then the exact Hamming distance Σ bit_count(bᵃ⊕bᵇ)
+    filters to ≤ ``max_hamming``.  Pigeonhole-complete for
+    ``max_hamming ≤ 3``: 4 bands can absorb at most 3 differing bits
+    without one band matching exactly (the simhash guarantee) —
+    larger thresholds raise.
+
+    Scale shape: explode to (band_idx, band_val) → one shuffle on the
+    band key, per-bucket pairing, distinct on the ordered id pair;
+    identical-image clusters of size k produce k² band candidates —
+    collapse exact duplicates first on a dup-heavy corpus (the
+    :func:`~kml2geojson_spark.textops.near_dedup_representatives`
+    composition rule).
+
+    Output: (id_a, id_b, hamming INT), id_a < id_b.
+    """
+    if not 0 <= max_hamming <= 3:
+        raise ValueError(
+            f"max_hamming must be in [0, 3] (4-band pigeonhole "
+            f"completeness), got {max_hamming}")
+    base = hashes.select(F.col(id_col).alias("_id"),
+                         "b0", "b1", "b2", "b3")
+    expl = base.select(
+        "_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("bj"),
+                     F.col(f"b{j}").alias("bv")) for j in range(4)]))
+        .alias("_e")).select("_id", "_e.bj", "_e.bv")
+    a = expl.select(F.col("_id").alias("id_a"), "bj", "bv")
+    b = expl.select(F.col("_id").alias("id_b"), "bj", "bv")
+    cand = (a.join(b, ["bj", "bv"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    ha = base.select(F.col("_id").alias("id_a"),
+                     *[F.col(f"b{j}").alias(f"_a{j}") for j in range(4)])
+    hb = base.select(F.col("_id").alias("id_b"),
+                     *[F.col(f"b{j}").alias(f"_b{j}") for j in range(4)])
+    ham = sum(F.bit_count(F.col(f"_a{j}").bitwiseXOR(F.col(f"_b{j}")))
+              for j in range(4))
+    return (cand.join(ha, "id_a").join(hb, "id_b")
+            .withColumn("hamming", ham.cast("int"))
+            .where(F.col("hamming") <= F.lit(int(max_hamming)))
+            .select("id_a", "id_b", "hamming"))

@@ -4047,3 +4047,212 @@ def theil_sen(df: DataFrame, *, value_col: str, t_col: str,
                     F.coalesce(F.col("n_pairs"), F.lit(0).cast("long"))
                     .alias("n_pairs"),
                     "slope"))
+
+
+#: Poisson(1) CDF at k = 0..6 — the exact double literals shared with
+#: the DuckDB oracle's CASE chain (draws capped at 7; P(X>7) ~ 1e-5).
+POISSON1_CDF = (0.36787944117144233, 0.7357588823428847,
+                0.9196986029286058, 0.9810118431238463,
+                0.9963401531726563, 0.9994058151824183,
+                0.999916758850712)
+
+#: 2^52 — md5's first 13 hex chars as an exactly-double-representable
+#: uniform denominator (u = h / 2^52 is exact; no rounding in the
+#: threshold compares).
+_U52_DEN = 4503599627370496.0
+
+
+def _md5_u52(*parts: F.Column) -> F.Column:
+    """Deterministic uniform in [0,1): first 13 md5 hex chars (52
+    bits) of the ':'-joined parts → exact double division. DuckDB
+    replay: ``('0x' || substr(md5(s), 1, 13))::BIGINT / 2^52``."""
+    s = F.concat_ws(":", *parts)
+    return (F.conv(F.substring(F.md5(s), 1, 13), 16, 10)
+            .cast("long").cast("double") / F.lit(_U52_DEN))
+
+
+def poisson1_draw(u: F.Column) -> F.Column:
+    """Inverse-CDF Poisson(1) draw from a uniform — the multinomial
+    approximation a DISTRIBUTED bootstrap uses for resample weights
+    (Kleiner et al.'s bag-of-little-bootstraps observation: per-row
+    iid Poisson(1) counts ≈ sampling with replacement, with no global
+    coordination). Fixed literal thresholds → engine-portable."""
+    out = F.lit(7)
+    for k in range(len(POISSON1_CDF) - 1, -1, -1):
+        out = F.when(u < F.lit(POISSON1_CDF[k]), F.lit(k)).otherwise(out)
+    return out
+
+
+def bootstrap_ci(df: DataFrame, *, value_col: str, id_col: str,
+                 n_resamples: int = 200, alpha_permille: int = 50,
+                 seed: str = "boot") -> DataFrame:
+    """Deterministic percentile-bootstrap CI for the mean — the
+    uncertainty attachment for any pipeline metric
+    (:func:`winsorized_mean`, quality scores, A/B deltas) without a
+    normality assumption.  Resampling is DERANDOMIZED: row weights
+    are Poisson(1) draws from md5(seed:id:b) (:func:`poisson1_draw`
+    — the distributed bootstrap's multinomial approximation), so
+    every engine, run, and partitioning produces the SAME resamples
+    — the reproducibility contract of :func:`split_assign_col`.
+
+    Determinism: values must be INTEGER (floats raise); each
+    resample mean is exact BIGINT Σw·x / Σw with ONE IEEE division;
+    the CI bounds are ORDER STATISTICS of the resample means (the
+    ceil(B_eff·α/2·10⁻³)-th smallest / largest — selected, never
+    interpolated).  Resamples whose total weight is 0 (possible only
+    for tiny n) are dropped and B_eff reported.
+
+    Scale shape: one explode to n·B rows (generated map-side, no
+    shuffle), ONE hash-aggregate to B rows (map-side partials), one
+    tiny window over B rows.  B multiplies the scan — at 100 TB
+    bound B (~100-500) or bootstrap a deterministic sample
+    (:func:`~kml2geojson_spark.sketch.deterministic_sample`).
+
+    Output ONE row: (n BIGINT, observed_mean DOUBLE, b_eff BIGINT,
+    lo_mean DOUBLE, hi_mean DOUBLE).
+    """
+    from pyspark.sql.types import DoubleType, FloatType
+
+    fields = {f.name: f for f in df.schema.fields}
+    if isinstance(fields[value_col].dataType, (DoubleType, FloatType)):
+        raise ValueError(
+            f"bootstrap_ci: {value_col!r} is floating-point — "
+            "integerize first (exact integer sums are the "
+            "determinism contract)")
+    if n_resamples < 2:
+        raise ValueError(f"n_resamples must be >= 2, got {n_resamples}")
+    if not 0 < alpha_permille < 1000:
+        raise ValueError(
+            f"alpha_permille must be in (0, 1000), got {alpha_permille}")
+    base = (df.where(F.col(value_col).isNotNull()
+                     & F.col(id_col).isNotNull())
+            .select(F.col(id_col).cast("string").alias("_id"),
+                    F.col(value_col).cast("long").alias("_x")))
+    obs = base.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("_x").cast("double")
+         / F.count(F.lit(1)).cast("double")).alias("observed_mean"))
+    rs = base.select(
+        "_id", "_x",
+        F.explode(F.sequence(F.lit(1), F.lit(int(n_resamples))))
+        .alias("_b"))
+    w = poisson1_draw(_md5_u52(F.lit(seed), F.col("_id"),
+                               F.col("_b").cast("string"))).cast("long")
+    means = (rs.withColumn("_w", w)
+             .groupBy("_b")
+             .agg(F.sum(F.col("_w") * F.col("_x")).alias("_sx"),
+                  F.sum("_w").alias("_sw"))
+             .where(F.col("_sw") > 0)
+             .select((F.col("_sx").cast("double")
+                      / F.col("_sw").cast("double")).alias("_m")))
+    wnd = Window.orderBy(F.col("_m").asc())
+    ranked = (means.withColumn("_rn", F.row_number().over(wnd))
+              .withColumn("_beff", F.count(F.lit(1)).over(
+                  Window.partitionBy())))
+    half = F.ceil(F.col("_beff") * F.lit(int(alpha_permille))
+                  / F.lit(2000.0)).cast("long")
+    lo = (ranked.where(F.col("_rn") == half)
+          .select(F.col("_beff").alias("b_eff"),
+                  F.col("_m").alias("lo_mean")))
+    hi = (ranked.where(F.col("_rn") == F.col("_beff") - half + 1)
+          .select(F.col("_beff").alias("b_eff2"),
+                  F.col("_m").alias("hi_mean")))
+    return (obs.crossJoin(lo).crossJoin(hi)  # all single-row frames
+            .select("n", "observed_mean", "b_eff", "lo_mean", "hi_mean"))
+
+
+def permutation_test(df: DataFrame, *, value_col: str, group_col: str,
+                     group_a: str, group_b: str, id_col: str,
+                     n_rounds: int = 200,
+                     seed: str = "perm") -> DataFrame:
+    """Derandomized two-sample randomization test for the difference
+    of means — the nonparametric p-value beside :func:`welch_ttest`'s
+    parametric one, with NO distributional assumption: in each round
+    every row is RELABELED to pseudo-group A with probability
+    n_a/(n_a+n_b) by its md5(seed:id:round) uniform (the
+    binomial-relabeling variant of the permutation test — group
+    sizes vary binomially instead of being held exactly fixed, the
+    price of a coordination-free distributed shuffle; exact
+    fixed-size permutation would need a global sort per round), and
+    the round's mean difference is compared to the observed one.
+
+    p = (1 + #{|d_r| ≥ |d_obs|}) / (R_eff + 1) — the add-one
+    estimator, never exactly 0.  Rounds where either pseudo-group is
+    empty are dropped (tiny-n edge) and R_eff reported.
+
+    Determinism: integer values enforced; every mean is exact BIGINT
+    sums + ONE division; the relabeling threshold n_a/n is one
+    double division — all engine-portable, zero RNG state.
+
+    Scale shape: one explode to n·R rows (map-side), ONE
+    hash-aggregate to R rows (conditional sums — no join), driver-free
+    final reduce.  Same B-bounding advice as :func:`bootstrap_ci`.
+
+    Output ONE row: (n_a BIGINT, n_b BIGINT, observed_diff DOUBLE,
+    r_eff BIGINT, n_extreme BIGINT, p_value DOUBLE).
+    """
+    from pyspark.sql.types import DoubleType, FloatType
+
+    fields = {f.name: f for f in df.schema.fields}
+    if isinstance(fields[value_col].dataType, (DoubleType, FloatType)):
+        raise ValueError(
+            f"permutation_test: {value_col!r} is floating-point — "
+            "integerize first (exact integer sums are the "
+            "determinism contract)")
+    if n_rounds < 1:
+        raise ValueError(f"n_rounds must be >= 1, got {n_rounds}")
+    if group_a == group_b:
+        raise ValueError("group_a and group_b must differ")
+    base = (df.where(F.col(value_col).isNotNull()
+                     & F.col(id_col).isNotNull()
+                     & F.col(group_col).isin(group_a, group_b))
+            .select(F.col(id_col).cast("string").alias("_id"),
+                    (F.col(group_col) == group_a).alias("_is_a"),
+                    F.col(value_col).cast("long").alias("_x")))
+    obs = base.groupBy().agg(
+        F.sum(F.when(F.col("_is_a"), 1).otherwise(0)).cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("_is_a"), 0).otherwise(1)).cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("_is_a"), F.col("_x"))).alias("_sa"),
+        F.sum(F.when(~F.col("_is_a"), F.col("_x"))).alias("_sb"))
+    obs = obs.select(
+        "n_a", "n_b",
+        (F.col("_sa").cast("double") / F.col("n_a").cast("double")
+         - F.col("_sb").cast("double") / F.col("n_b").cast("double"))
+        .alias("observed_diff"),
+        (F.col("n_a").cast("double")
+         / (F.col("n_a") + F.col("n_b")).cast("double")).alias("_pa"))
+    rs = base.select(
+        "_id", "_x",
+        F.explode(F.sequence(F.lit(1), F.lit(int(n_rounds))))
+        .alias("_r"))
+    u = _md5_u52(F.lit(seed), F.col("_id"), F.col("_r").cast("string"))
+    # threshold _pa is a 1-row broadcast join (scalar, no shuffle skew)
+    rounds = (rs.crossJoin(F.broadcast(obs.select("_pa")))
+              .withColumn("_to_a", u < F.col("_pa"))
+              .groupBy("_r")
+              .agg(F.sum(F.when(F.col("_to_a"), 1).otherwise(0))
+                   .cast("long").alias("_na"),
+                   F.sum(F.when(~F.col("_to_a"), 1).otherwise(0))
+                   .cast("long").alias("_nb"),
+                   F.sum(F.when(F.col("_to_a"), F.col("_x")))
+                   .alias("_sa"),
+                   F.sum(F.when(~F.col("_to_a"), F.col("_x")))
+                   .alias("_sb"))
+              .where((F.col("_na") > 0) & (F.col("_nb") > 0))
+              .select((F.col("_sa").cast("double")
+                       / F.col("_na").cast("double")
+                       - F.col("_sb").cast("double")
+                       / F.col("_nb").cast("double")).alias("_d")))
+    tally = rounds.crossJoin(F.broadcast(obs)).groupBy().agg(
+        F.first("n_a").alias("n_a"), F.first("n_b").alias("n_b"),
+        F.first("observed_diff").alias("observed_diff"),
+        F.count(F.lit(1)).alias("r_eff"),
+        F.sum(F.when(F.abs(F.col("_d"))
+                     >= F.abs(F.col("observed_diff")), 1)
+              .otherwise(0)).cast("long").alias("n_extreme"))
+    return tally.select(
+        "n_a", "n_b", "observed_diff", "r_eff", "n_extreme",
+        ((F.lit(1) + F.col("n_extreme")).cast("double")
+         / (F.col("r_eff") + F.lit(1)).cast("double")).alias("p_value"))

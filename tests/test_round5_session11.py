@@ -227,3 +227,223 @@ def test_ring_audit_quantization_closure(spark):
     r = ring_audit(df, id_cols=["poly_id"]).collect()[0]
     assert r.is_closed and r.orientation == "ccw"
     assert r.area2_scaled == 2 * 10 ** 12
+
+
+# ---------------------------------------------------------------------------
+# image_ahash / image_ahash_pairs
+# ---------------------------------------------------------------------------
+
+def _ppm_bytes(px):
+    h, w, _ = px.shape
+    return bytearray(b"P6\n%d %d\n255\n" % (w, h)
+                     + px.astype(np.uint8).tobytes())
+
+
+def _brute_ahash_bits(px):
+    g = px.astype(np.int64).sum(axis=2)
+    h, w = g.shape
+    bs = g.reshape(8, h // 8, 8, w // 8).sum(axis=(1, 3))
+    return (bs * 64 >= g.sum()).astype(int).ravel()
+
+
+def _media_df(spark, imgs):
+    from pyspark.sql import Row
+    rows = [Row(doc_id=d, media_ref=f"m/{d}", ext="ppm", offset=0,
+                content=_ppm_bytes(px)) for d, px in imgs]
+    return spark.createDataFrame(
+        rows, "doc_id string, media_ref string, ext string, offset int, "
+              "content binary")
+
+
+def test_image_ahash_matches_brute(spark):
+    from kml2geojson_spark.multimodal import image_ahash
+
+    rng = np.random.default_rng(41)
+    imgs = [(f"d{i}", rng.integers(0, 256, (16, 16, 3)))
+            for i in range(6)]
+    # a 24x32 image exercises non-square non-16 dims
+    imgs.append(("big", rng.integers(0, 256, (24, 32, 3))))
+    got = {r.doc_id: r for r in
+           image_ahash(_media_df(spark, imgs)).collect()}
+    for d, px in imgs:
+        bits = _brute_ahash_bits(px)
+        for j in range(4):
+            want = int((bits[16 * j:16 * j + 16]
+                        * (1 << np.arange(16))).sum())
+            assert got[d][f"b{j}"] == want, (d, j)
+
+
+def test_image_ahash_rejects_bad_dims(spark):
+    from kml2geojson_spark.multimodal import image_ahash
+    import py4j.protocol
+    from pyspark.errors import PythonException
+
+    rng = np.random.default_rng(1)
+    df = _media_df(spark, [("d0", rng.integers(0, 256, (10, 12, 3)))])
+    with pytest.raises((PythonException, py4j.protocol.Py4JJavaError),
+                       match="8-divisible"):
+        image_ahash(df).collect()
+
+
+def test_image_ahash_pairs_brute_and_completeness(spark):
+    from kml2geojson_spark.multimodal import image_ahash, image_ahash_pairs
+
+    rng = np.random.default_rng(17)
+    base = rng.integers(0, 256, (16, 16, 3))
+    near = base.copy()
+    near[3, 7] = (0, 0, 0)          # near-duplicate (few bits)
+    twin = base.copy()              # exact duplicate (hamming 0)
+    far = rng.integers(0, 256, (16, 16, 3))
+    df = _media_df(spark, [("a", base), ("b", near), ("c", far),
+                           ("t", twin)])
+    h = image_ahash(df)
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in image_ahash_pairs(h, max_hamming=3).collect()}
+    bits = {d: _brute_ahash_bits(px)
+            for d, px in [("a", base), ("b", near), ("c", far),
+                          ("t", twin)]}
+    ids = sorted(bits)
+    want = {}
+    for i, x in enumerate(ids):
+        for y in ids[i + 1:]:
+            ham = int((bits[x] != bits[y]).sum())
+            if ham <= 3:
+                want[(x, y)] = ham
+    assert got == want
+    assert ("a", "t") in got and got[("a", "t")] == 0
+
+
+def test_image_ahash_pairs_threshold_guard(spark):
+    from kml2geojson_spark.multimodal import image_ahash_pairs
+
+    df = spark.createDataFrame([("a", 1, 2, 3, 4)],
+                               "doc_id string, b0 int, b1 int, "
+                               "b2 int, b3 int")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        image_ahash_pairs(df, max_hamming=4)
+
+
+# ---------------------------------------------------------------------------
+# bootstrap_ci / permutation_test
+# ---------------------------------------------------------------------------
+
+def _u52(s):
+    import hashlib
+    return int(hashlib.md5(s.encode()).hexdigest()[:13], 16) / 2.0 ** 52
+
+
+def test_bootstrap_ci_matches_brute(spark):
+    from kml2geojson_spark.relational import POISSON1_CDF, bootstrap_ci
+
+    rng = np.random.default_rng(31)
+    rows = [(i, int(v)) for i, v in enumerate(rng.integers(0, 1000, 80))]
+    df = spark.createDataFrame(rows, "id long, v long")
+    B = 50
+    got = bootstrap_ci(df, value_col="v", id_col="id",
+                       n_resamples=B, alpha_permille=100).collect()[0]
+
+    def draw(u):
+        for k, c in enumerate(POISSON1_CDF):
+            if u < c:
+                return k
+        return 7
+
+    means = []
+    for b in range(1, B + 1):
+        sw = sx = 0
+        for i, v in rows:
+            w = draw(_u52(f"boot:{i}:{b}"))
+            sw += w
+            sx += w * v
+        if sw > 0:
+            means.append(sx / sw)
+    means.sort()
+    half = math.ceil(len(means) * 100 / 2000.0)
+    assert got.n == 80 and got.b_eff == len(means)
+    assert got.observed_mean == pytest.approx(
+        sum(v for _, v in rows) / 80, rel=1e-12)
+    assert got.lo_mean == means[half - 1]
+    assert got.hi_mean == means[len(means) - half]
+    assert got.lo_mean <= got.observed_mean <= got.hi_mean
+
+
+def test_bootstrap_ci_validation(spark):
+    from kml2geojson_spark.relational import bootstrap_ci
+
+    df = spark.createDataFrame([(1, 1.5)], "id long, v double")
+    with pytest.raises(ValueError, match="integerize"):
+        bootstrap_ci(df, value_col="v", id_col="id")
+    df2 = spark.createDataFrame([(1, 1)], "id long, v long")
+    with pytest.raises(ValueError, match="n_resamples"):
+        bootstrap_ci(df2, value_col="v", id_col="id", n_resamples=1)
+    with pytest.raises(ValueError, match="alpha_permille"):
+        bootstrap_ci(df2, value_col="v", id_col="id", alpha_permille=0)
+
+
+def test_permutation_test_detects_effect_and_null(spark):
+    from kml2geojson_spark.relational import permutation_test
+
+    rng = np.random.default_rng(37)
+    effect = [(i, "a" if i % 2 else "b",
+               int(v) + (60 if i % 2 else 0))
+              for i, v in enumerate(rng.integers(0, 50, 300))]
+    df = spark.createDataFrame(effect, "id long, g string, v long")
+    r = permutation_test(df, value_col="v", group_col="g",
+                         group_a="a", group_b="b", id_col="id",
+                         n_rounds=99).collect()[0]
+    assert r.n_a == 150 and r.n_b == 150
+    assert r.p_value == pytest.approx(1 / 100)  # max significance
+    assert r.observed_diff > 50
+
+    null = [(i, "a" if i % 2 else "b", int(v))
+            for i, v in enumerate(rng.integers(0, 50, 300))]
+    df0 = spark.createDataFrame(null, "id long, g string, v long")
+    r0 = permutation_test(df0, value_col="v", group_col="g",
+                          group_a="a", group_b="b", id_col="id",
+                          n_rounds=99).collect()[0]
+    assert r0.p_value > 0.05
+
+
+def test_permutation_test_matches_brute(spark):
+    from kml2geojson_spark.relational import permutation_test
+
+    rng = np.random.default_rng(43)
+    rows = [(i, "a" if i < 20 else "b", int(v))
+            for i, v in enumerate(rng.integers(0, 100, 50))]
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    R = 40
+    got = permutation_test(df, value_col="v", group_col="g",
+                           group_a="a", group_b="b", id_col="id",
+                           n_rounds=R).collect()[0]
+    n_a = 20
+    n = len(rows)
+    pa = n_a / n
+    sa = sum(v for i, g, v in rows if g == "a")
+    sb = sum(v for i, g, v in rows if g == "b")
+    d_obs = sa / n_a - sb / (n - n_a)
+    extreme = r_eff = 0
+    for r in range(1, R + 1):
+        ga = [v for i, g, v in rows if _u52(f"perm:{i}:{r}") < pa]
+        gb = [v for i, g, v in rows if not _u52(f"perm:{i}:{r}") < pa]
+        if not ga or not gb:
+            continue
+        r_eff += 1
+        d = sum(ga) / len(ga) - sum(gb) / len(gb)
+        if abs(d) >= abs(d_obs):
+            extreme += 1
+    assert got.observed_diff == pytest.approx(d_obs, rel=1e-12)
+    assert (got.r_eff, got.n_extreme) == (r_eff, extreme)
+    assert got.p_value == pytest.approx((1 + extreme) / (r_eff + 1))
+
+
+def test_permutation_test_validation(spark):
+    from kml2geojson_spark.relational import permutation_test
+
+    df = spark.createDataFrame([(1, "a", 1)], "id long, g string, v long")
+    with pytest.raises(ValueError, match="differ"):
+        permutation_test(df, value_col="v", group_col="g",
+                         group_a="a", group_b="a", id_col="id")
+    with pytest.raises(ValueError, match="n_rounds"):
+        permutation_test(df, value_col="v", group_col="g",
+                         group_a="a", group_b="b", id_col="id",
+                         n_rounds=0)
