@@ -10226,6 +10226,124 @@ FROM qv
 """
 
 
+def _supplier_polylines(spark, sf, limit_key: int | None = None):
+    """(line_id, line ARRAY<STRUCT<x,y>>) — 5-vertex hash-formula
+    polylines per supplier; the single Python-side source of the
+    vertex formulas (SQL twin: _LINE_VERTS_SQL)."""
+    s = _t(spark, sf, "supplier")
+    if limit_key is not None:
+        s = s.where(F.col("s_suppkey") <= limit_key)
+    k = F.col("s_suppkey")
+    verts = F.array(*[
+        F.struct(
+            (((k * 2551 + j * 1733 + 97) % 36000) / 100.0 - 180.0)
+            .alias("x"),
+            (((k * 1423 + j * 911 + 55) % 17000) / 100.0 - 85.0)
+            .alias("y"))
+        for j in range(5)])
+    return s.select(k.cast("long").alias("line_id"),
+                    verts.alias("line"))
+
+
+def _line_verts_sql(where: str = "") -> str:
+    return f"""
+SELECT s_suppkey AS line_id, j,
+       ((s_suppkey * 2551 + j * 1733 + 97) % 36000) / 100.0 - 180.0 AS x,
+       ((s_suppkey * 1423 + j * 911 + 55) % 17000) / 100.0 - 85.0 AS y
+FROM supplier, LATERAL (SELECT unnest(generate_series(0, 4)) AS j)
+{where}
+"""
+
+
+def _q284_line_interpolate(spark, sf):
+    """Linear referencing over supplier polylines: the point at a
+    per-line hash fraction of arc length — micro-integer cumulative
+    lengths (no float cumsum association), single pure-Column fold.
+    Round-5 post-pin registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.spatial.ops import line_interpolate
+    lines = _supplier_polylines(spark, sf).withColumn(
+        "frac", ((F.col("line_id") * 7) % 100) / F.lit(100.0))
+    return line_interpolate(lines, id_cols=["line_id"])
+
+
+_O284 = f"""
+WITH verts AS ({_line_verts_sql()}),
+segs AS (
+  SELECT line_id, j, x AS x0, y AS y0,
+         LEAD(x) OVER (PARTITION BY line_id ORDER BY j) AS x1,
+         LEAD(y) OVER (PARTITION BY line_id ORDER BY j) AS y1
+  FROM verts),
+sl AS (
+  SELECT line_id, j, x0, y0, x1, y1,
+         CAST(FLOOR(SQRT((x1 - x0) * (x1 - x0)
+                         + (y1 - y0) * (y1 - y0)) * 1000000.0 + 0.5)
+              AS BIGINT) AS lm
+  FROM segs WHERE x1 IS NOT NULL),
+cum AS (SELECT *, SUM(lm) OVER (PARTITION BY line_id
+                                ORDER BY j)::BIGINT AS cm FROM sl),
+tot AS (SELECT line_id, MAX(cm)::BIGINT AS total FROM cum
+        GROUP BY line_id),
+tgt AS (SELECT line_id, total,
+               CAST(FLOOR((((line_id * 7) % 100) / 100.0)
+                          * total::DOUBLE) AS BIGINT) AS target
+        FROM tot),
+pick AS (
+  SELECT c.line_id, c.x0, c.y0, c.x1, c.y1, c.lm, c.cm,
+         g.target, g.total,
+         ROW_NUMBER() OVER (PARTITION BY c.line_id
+                            ORDER BY c.j) AS rk
+  FROM cum c JOIN tgt g ON c.line_id = g.line_id
+  WHERE c.lm > 0 AND c.cm >= g.target),
+sel AS (SELECT line_id, total,
+               (target - (cm - lm))::DOUBLE / lm::DOUBLE AS t,
+               x0, y0, x1, y1
+        FROM pick WHERE rk = 1)
+SELECT line_id, 5 AS n_vertices, total AS total_len_micro,
+       CAST(FLOOR((x0 + t * (x1 - x0)) * 1000000.0 + 0.5) AS BIGINT)
+         AS px_micro,
+       CAST(FLOOR((y0 + t * (y1 - y0)) * 1000000.0 + 0.5) AS BIGINT)
+         AS py_micro
+FROM sel
+"""
+
+
+def _q285_hausdorff(spark, sf):
+    """Discrete Hausdorff distance for the 190 supplier polyline
+    pairs (candidate pairing is the pruning family's job at scale;
+    the refine is a zero-shuffle pure-Column nested min/max over
+    exact squared distances, one final sqrt micro-quantized).
+    Round-5 post-pin registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.spatial.ops import discrete_hausdorff
+    lines = _supplier_polylines(spark, sf, limit_key=20)
+    a = lines.select(F.col("line_id").alias("id_a"),
+                     F.col("line").alias("line_a"))
+    b = lines.select(F.col("line_id").alias("id_b"),
+                     F.col("line").alias("line_b"))
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    return discrete_hausdorff(pairs, id_cols=["id_a", "id_b"])
+
+
+_O285 = f"""
+WITH verts AS ({_line_verts_sql("WHERE s_suppkey <= 20")}),
+d AS (
+  SELECT a.line_id AS ia, b.line_id AS ib, a.j AS ja, b.j AS jb,
+         (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+  FROM verts a JOIN verts b ON a.line_id < b.line_id),
+hab AS (SELECT ia, ib, MAX(md) AS h
+        FROM (SELECT ia, ib, ja, MIN(d2) AS md
+              FROM d GROUP BY ia, ib, ja)
+        GROUP BY ia, ib),
+hba AS (SELECT ia, ib, MAX(md) AS h
+        FROM (SELECT ia, ib, jb, MIN(d2) AS md
+              FROM d GROUP BY ia, ib, jb)
+        GROUP BY ia, ib)
+SELECT hab.ia AS id_a, hab.ib AS id_b,
+       CAST(FLOOR(SQRT(GREATEST(hab.h, hba.h)) * 1000000.0 + 0.5)
+            AS BIGINT) AS hausdorff_micro
+FROM hab JOIN hba ON hab.ia = hba.ia AND hab.ib = hba.ib
+"""
+
+
 def _q282_bootstrap_ci(spark, sf):
     """Derandomized percentile bootstrap CI for the mean event value
     (cents): md5(seed:id:b) 52-bit uniforms -> Poisson(1) weights,
@@ -10729,6 +10847,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q281_ahash_pairs": _q281_ahash_pairs,
         "q282_bootstrap_ci": _q282_bootstrap_ci,
         "q283_permutation_test": _q283_permutation_test,
+        "q284_line_interpolate": _q284_line_interpolate,
+        "q285_hausdorff": _q285_hausdorff,
     }
 
 
@@ -11000,6 +11120,8 @@ def oracle_sql() -> dict[str, str]:
         "q281_ahash_pairs": _O281,
         "q282_bootstrap_ci": _o282(),
         "q283_permutation_test": _o283(),
+        "q284_line_interpolate": _O284,
+        "q285_hausdorff": _O285,
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

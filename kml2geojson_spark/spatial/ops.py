@@ -3574,3 +3574,130 @@ def ring_audit(polys: DataFrame, *, ring_col: str = "ring",
         area2.alias("area2_scaled"),
         orient.alias("orientation"),
         degenerate.alias("is_degenerate"))
+
+
+def line_interpolate(lines: DataFrame, *, line_col: str = "line",
+                     frac_col: str = "frac",
+                     id_cols: list[str] | None = None) -> DataFrame:
+    """Linear referencing: the point at fraction ``frac`` ∈ [0,1] of
+    a polyline's arc length (clamped outside) — the inverse of
+    :func:`nearest_segment_join`'s snap, and the primitive behind
+    "place a label/stop at 37% of the route".
+
+    ``line_col`` is ARRAY<STRUCT<x: double, y: double>>.
+
+    Determinism: each segment length is ONE sqrt half-up-quantized to
+    integer MICRO-units (floor(len·1e6 + 0.5) — the engine-portable
+    spelling), so the cumulative arc length is an EXACT BIGINT prefix
+    sum with no float-association anywhere (a windowed DOUBLE cumsum
+    would be segment-tree-reordered on some engines); the target is
+    floor(frac·total_micro) (exact — totals < 2⁵³), and only the
+    final within-segment interpolation t = (target − cum)/len and
+    the two affine combines are IEEE ops, each a single fixed
+    expression.  The selected segment is the FIRST (in vertex order)
+    non-degenerate segment whose cumulative end reaches the target —
+    zero-length segments never divide.  frac = 1 lands exactly on
+    the last vertex (the subtraction total − cum_prev is exact).
+
+    Degenerate lines (< 2 vertices, or every segment zero-length)
+    fall back to the first vertex; empty lines yield NULLs.
+
+    Pure-Column single fold (``aggregate`` over the segment array) —
+    whole-stage codegen, zero Python, zero shuffle.
+
+    Output: (id..., n_vertices INT, total_len_micro BIGINT, px_micro
+    BIGINT, py_micro BIGINT).
+    """
+    ids = list(id_cols) if id_cols else []
+    line = F.col(line_col)
+    n = F.size(line)
+    frac = F.greatest(F.lit(0.0),
+                      F.least(F.lit(1.0),
+                              F.col(frac_col).cast("double")))
+    m = F.greatest(n - 1, F.lit(0))
+    starts = F.slice(line, 1, m)
+    ends = F.slice(line, 2, m)
+    segs = F.zip_with(
+        starts, ends,
+        lambda p, q: F.struct(
+            p["x"].alias("x0"), p["y"].alias("y0"),
+            q["x"].alias("x1"), q["y"].alias("y1"),
+            F.floor(F.sqrt((q["x"] - p["x"]) * (q["x"] - p["x"])
+                           + (q["y"] - p["y"]) * (q["y"] - p["y"]))
+                    * F.lit(1e6) + F.lit(0.5)).alias("lm")))
+    total = F.aggregate(
+        segs, F.lit(0).cast("long"), lambda acc, s: acc + s["lm"])
+    target = F.floor(frac * total.cast("double")).cast("long")
+    init = F.struct(
+        F.lit(0).cast("long").alias("cum"),
+        F.lit(None).cast("double").alias("px"),
+        F.lit(None).cast("double").alias("py"),
+        F.lit(False).alias("done"))
+    t_expr = lambda acc, s: ((target - acc["cum"]).cast("double")
+                             / s["lm"].cast("double"))
+
+    def step(acc, s):
+        hit = (~acc["done"] & (s["lm"] > 0)
+               & (acc["cum"] + s["lm"] >= target))
+        t = t_expr(acc, s)
+        return F.struct(
+            (acc["cum"] + s["lm"]).alias("cum"),
+            F.when(hit, s["x0"] + t * (s["x1"] - s["x0"]))
+            .otherwise(acc["px"]).alias("px"),
+            F.when(hit, s["y0"] + t * (s["y1"] - s["y0"]))
+            .otherwise(acc["py"]).alias("py"),
+            (acc["done"] | hit).alias("done"))
+
+    fold = F.aggregate(segs, init, step)
+    first = F.get(line, 0)  # NULL-safe on empty lines (ANSI mode)
+    px = F.when(fold["done"], fold["px"]).otherwise(first["x"])
+    py = F.when(fold["done"], fold["py"]).otherwise(first["y"])
+    return lines.select(
+        *ids,
+        n.cast("int").alias("n_vertices"),
+        total.alias("total_len_micro"),
+        F.floor(px * F.lit(1e6) + F.lit(0.5)).alias("px_micro"),
+        F.floor(py * F.lit(1e6) + F.lit(0.5)).alias("py_micro"))
+
+
+def discrete_hausdorff(pairs: DataFrame, *, line_a: str = "line_a",
+                       line_b: str = "line_b",
+                       id_cols: list[str] | None = None) -> DataFrame:
+    """Discrete (vertex-sampled) Hausdorff distance for CANDIDATE
+    line pairs — the trajectory/shape similarity refine step:
+    H = max(h(A,B), h(B,A)), h(A,B) = max over a∈A of min over b∈B
+    of dist(a,b), over the vertex sets.
+
+    This operator deliberately takes PRE-PAIRED lines (one row per
+    candidate pair, both vertex arrays inline): candidate generation
+    is the existing pruning family's job (:func:`bbox_prune_filter` /
+    :func:`rect_overlap_join` equi-joins — never all-pairs), and the
+    refine is then a pure-Column nested ``transform``/``array_min``/
+    ``array_max`` over the pair row — whole-stage codegen, zero
+    Python, ZERO shuffle, O(|A|·|B|) per pair (vertex counts are
+    small by construction; resample long lines first, e.g.
+    :func:`simplify_lines`).
+
+    Determinism: all comparisons happen on EXACT squared-distance
+    doubles (products/sums of coordinates — single fixed expression
+    per vertex pair; min/max are selections, not accumulations), and
+    only the FINAL result takes one sqrt, half-up micro-quantized.
+    Empty vertex arrays yield NULL.
+
+    Output: (id..., hausdorff_micro BIGINT).
+    """
+    ids = list(id_cols) if id_cols else []
+    A, B = F.col(line_a), F.col(line_b)
+
+    def h(src, dst):
+        return F.array_max(F.transform(
+            src, lambda a: F.array_min(F.transform(
+                dst, lambda b: (a["x"] - b["x"]) * (a["x"] - b["x"])
+                + (a["y"] - b["y"]) * (a["y"] - b["y"])))))
+
+    h2 = F.greatest(h(A, B), h(B, A))
+    ok = (F.size(A) > 0) & (F.size(B) > 0)
+    return pairs.select(
+        *ids,
+        F.when(ok, F.floor(F.sqrt(h2) * F.lit(1e6) + F.lit(0.5)))
+        .alias("hausdorff_micro"))

@@ -447,3 +447,112 @@ def test_permutation_test_validation(spark):
         permutation_test(df, value_col="v", group_col="g",
                          group_a="a", group_b="b", id_col="id",
                          n_rounds=0)
+
+
+# ---------------------------------------------------------------------------
+# line_interpolate / discrete_hausdorff
+# ---------------------------------------------------------------------------
+
+def test_line_interpolate_known_points(spark):
+    from kml2geojson_spark.spatial.ops import line_interpolate
+
+    rows = [
+        (1, [(0.0, 0.0), (10.0, 0.0)], 0.5),           # midpoint
+        (2, [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0)], 0.75),  # corner walk
+        (3, [(0.0, 0.0), (0.0, 0.0), (2.0, 0.0)], 0.0),   # zero-len seg
+        (4, [(1.0, 2.0)], 0.5),                        # single vertex
+        (5, [(0.0, 0.0), (3.0, 4.0)], 1.0),            # exact endpoint
+        (6, [], 0.3),                                  # empty
+        (7, [(2.0, 2.0), (6.0, 2.0)], 1.7),            # clamped to 1
+        (8, [(2.0, 2.0), (6.0, 2.0)], -0.4),           # clamped to 0
+    ]
+    df = spark.createDataFrame(
+        rows, "line_id long, line array<struct<x double, y double>>, "
+              "frac double")
+    got = {r.line_id: r for r in
+           line_interpolate(df, id_cols=["line_id"]).collect()}
+    want = {1: (5.0, 0.0), 2: (4.0, 2.0), 3: (0.0, 0.0),
+            4: (1.0, 2.0), 5: (3.0, 4.0), 7: (6.0, 2.0),
+            8: (2.0, 2.0)}
+    for lid, (x, y) in want.items():
+        assert got[lid].px_micro == round(x * 1e6), lid
+        assert got[lid].py_micro == round(y * 1e6), lid
+    assert got[6].px_micro is None and got[6].py_micro is None
+    assert got[1].total_len_micro == 10_000_000
+    assert got[2].total_len_micro == 8_000_000
+
+
+def test_line_interpolate_matches_brute_sweep(spark):
+    """Random polylines x a fraction sweep against a numpy oracle."""
+    from kml2geojson_spark.spatial.ops import line_interpolate
+
+    rng = np.random.default_rng(51)
+    rows, brute = [], {}
+    lid = 0
+    for _ in range(12):
+        nv = int(rng.integers(2, 7))
+        vs = [(float(x), float(y))
+              for x, y in rng.uniform(-50, 50, (nv, 2))]
+        for frac in (0.0, 0.33, 0.5, 0.9, 1.0):
+            rows.append((lid, vs, frac))
+            lms = [math.floor(math.hypot(x1 - x0, y1 - y0) * 1e6 + 0.5)
+                   for (x0, y0), (x1, y1) in zip(vs, vs[1:])]
+            total = sum(lms)
+            target = math.floor(frac * float(total))
+            cum, px, py = 0, vs[0][0], vs[0][1]
+            for (x0, y0), (x1, y1), lm in zip(vs, vs[1:], lms):
+                if lm > 0 and cum + lm >= target:
+                    t = float(target - cum) / float(lm)
+                    px, py = x0 + t * (x1 - x0), y0 + t * (y1 - y0)
+                    break
+                cum += lm
+            brute[lid] = (total, math.floor(px * 1e6 + 0.5),
+                          math.floor(py * 1e6 + 0.5))
+            lid += 1
+    df = spark.createDataFrame(
+        rows, "line_id long, line array<struct<x double, y double>>, "
+              "frac double")
+    got = {r.line_id: (r.total_len_micro, r.px_micro, r.py_micro)
+           for r in line_interpolate(df, id_cols=["line_id"]).collect()}
+    assert got == brute
+
+
+def test_discrete_hausdorff_brute(spark):
+    from kml2geojson_spark.spatial.ops import discrete_hausdorff
+
+    rng = np.random.default_rng(61)
+    rows, brute = [], {}
+    for p in range(15):
+        na, nb = int(rng.integers(1, 6)), int(rng.integers(1, 6))
+        A = [(float(x), float(y)) for x, y in rng.uniform(-20, 20, (na, 2))]
+        B = [(float(x), float(y)) for x, y in rng.uniform(-20, 20, (nb, 2))]
+        rows.append((p, A, B))
+        h_ab = max(min((ax - bx) ** 2 + (ay - by) ** 2
+                       for bx, by in B) for ax, ay in A)
+        h_ba = max(min((ax - bx) ** 2 + (ay - by) ** 2
+                       for ax, ay in A) for bx, by in B)
+        brute[p] = math.floor(math.sqrt(max(h_ab, h_ba)) * 1e6 + 0.5)
+    df = spark.createDataFrame(
+        rows, "pid long, line_a array<struct<x double, y double>>, "
+              "line_b array<struct<x double, y double>>")
+    got = {r.pid: r.hausdorff_micro
+           for r in discrete_hausdorff(df, id_cols=["pid"]).collect()}
+    assert got == brute
+
+
+def test_discrete_hausdorff_properties(spark):
+    from kml2geojson_spark.spatial.ops import discrete_hausdorff
+
+    # identical lines -> 0; empty side -> NULL; asymmetric h matters
+    a = [(0.0, 0.0), (5.0, 0.0)]
+    spread = [(0.0, 0.0), (5.0, 0.0), (5.0, 12.0)]
+    rows = [(1, a, list(a)), (2, a, []), (3, a, spread), (4, spread, a)]
+    df = spark.createDataFrame(
+        rows, "pid long, line_a array<struct<x double, y double>>, "
+              "line_b array<struct<x double, y double>>")
+    got = {r.pid: r.hausdorff_micro
+           for r in discrete_hausdorff(df, id_cols=["pid"]).collect()}
+    assert got[1] == 0
+    assert got[2] is None
+    # symmetric by definition: max of both directed distances
+    assert got[3] == got[4] == 12_000_000
