@@ -556,3 +556,67 @@ def test_discrete_hausdorff_properties(spark):
     assert got[2] is None
     # symmetric by definition: max of both directed distances
     assert got[3] == got[4] == 12_000_000
+
+
+# ---------------------------------------------------------------------------
+# plan-shape assertions for the session-11 operators (100-TB visibility)
+# ---------------------------------------------------------------------------
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_ripley_k_plan_no_cartesian(spark):
+    """The pair stage must be the k-ring equi-join, never all-pairs."""
+    from kml2geojson_spark.spatial.ops import ripley_k
+
+    pts = spark.createDataFrame(
+        [(i, float(i % 9), float(i % 7)) for i in range(50)],
+        "point_id long, x double, y double")
+    plan = _plan(ripley_k(pts, [1.0, 2.0], 400.0, res=4))
+    assert "CartesianProduct" not in plan, plan
+    # the candidate stage is a cell_id equi-join (k-ring DWithin);
+    # the only nested-loop node is the deliberate 1-row x 1-row
+    # scalar combine of (n) with the per-radius sums
+    assert "cell_id" in plan and (
+        "SortMergeJoin [cell_id" in plan
+        or "ShuffledHashJoin [cell_id" in plan
+        or "BroadcastHashJoin [cell_id" in plan), plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+
+
+def test_image_ahash_pairs_plan_band_equi_join(spark):
+    """Candidates come from a hash equi-join on (band_idx, band_val)."""
+    from kml2geojson_spark.multimodal import image_ahash_pairs
+
+    h = spark.createDataFrame(
+        [(f"d{i}", i % 7, i % 5, i % 3, i % 2) for i in range(20)],
+        "doc_id string, b0 int, b1 int, b2 int, b3 int")
+    plan = _plan(image_ahash_pairs(h, max_hamming=3))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_bootstrap_and_linear_ops_no_python_nodes(spark):
+    """bootstrap_ci / theil_sen / line_interpolate stay JVM-side —
+    no Python eval node anywhere in the plan."""
+    from kml2geojson_spark.relational import bootstrap_ci, theil_sen
+    from kml2geojson_spark.spatial.ops import line_interpolate
+
+    ev = spark.createDataFrame([(i, i % 13) for i in range(40)],
+                               "id long, v long")
+    lines = spark.createDataFrame(
+        [(1, [(0.0, 0.0), (3.0, 4.0)], 0.5)],
+        "line_id long, line array<struct<x double, y double>>, "
+        "frac double")
+    ts = spark.createDataFrame([("a", 1, 2), ("a", 2, 4)],
+                               "g string, t long, v long")
+    for df in (bootstrap_ci(ev, value_col="v", id_col="id",
+                            n_resamples=10),
+               theil_sen(ts, value_col="v", t_col="t",
+                         group_cols=["g"]),
+               line_interpolate(lines, id_cols=["line_id"])):
+        plan = _plan(df)
+        for marker in ("ArrowEvalPython", "BatchEvalPython",
+                       "MapInPandas", "PythonMapInArrow"):
+            assert marker not in plan, f"{marker} in plan"
