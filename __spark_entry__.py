@@ -10106,6 +10106,82 @@ FROM allg LEFT JOIN med ON allg.g = med.g
 """
 
 
+def _q286_hodges_lehmann(spark, sf):
+    """Hodges-Lehmann robust location of event value cents per user
+    (lower median of exact-integer Walsh averages, selection by sort
+    position). Round-5 post-pin registration: in-repo oracle sweep
+    only."""
+    from kml2geojson_spark.relational import hodges_lehmann
+    ev = _t(spark, sf, "events").select(
+        "user_id", "ts", "event_id",
+        F.round(F.col("value") * 100.0).cast("long").alias("cents"))
+    return hodges_lehmann(ev, value_col="cents",
+                          order_cols=["ts", "event_id"],
+                          group_cols=["user_id"])
+
+
+_O286 = """
+WITH b AS (
+  SELECT user_id AS g, ts, event_id,
+         CAST(ROUND(value * 100.0) AS BIGINT) AS x
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_id IS NOT NULL AND value IS NOT NULL),
+p AS (
+  SELECT a.g, (a.x + b2.x)::DOUBLE / 2.0 AS w
+  FROM b a JOIN b b2
+    ON a.g = b2.g AND (a.ts, a.event_id) <= (b2.ts, b2.event_id)),
+r AS (SELECT g, w,
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY w ASC) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS m
+      FROM p)
+SELECT g AS user_id, m AS n_pairs, w AS hl_estimate
+FROM r WHERE rn = CAST(FLOOR((m + 1) / 2.0) AS BIGINT)
+"""
+
+
+def _q287_siegel_slope(spark, sf):
+    """Siegel repeated-medians slope per user (50% breakdown): the
+    per-point lower-median of pairwise slopes, then the lower median
+    of those — same exact-integer pair machinery as q276. Round-5
+    post-pin registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.relational import siegel_slope
+    ev = _t(spark, sf, "events").select(
+        "user_id",
+        F.expr("timestampdiff(MICROSECOND, "
+               "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)").alias("t_us"),
+        F.round(F.col("value") * 100.0).cast("long").alias("cents"))
+    return siegel_slope(ev, value_col="cents", t_col="t_us",
+                        group_cols=["user_id"])
+
+
+_O287 = """
+WITH b AS (
+  SELECT user_id AS g, epoch_us(ts) AS t,
+         CAST(ROUND(value * 100.0) AS BIGINT) AS x
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+p AS (
+  SELECT a.g, a.t AS ti, a.x AS xi,
+         (b2.x - a.x)::DOUBLE / (b2.t - a.t)::DOUBLE AS s
+  FROM b a JOIN b b2 ON a.g = b2.g AND a.t != b2.t),
+r1 AS (SELECT g, ti, xi, s,
+              ROW_NUMBER() OVER (PARTITION BY g, ti, xi
+                                 ORDER BY s ASC) AS rn,
+              CAST(COUNT(*) OVER (PARTITION BY g, ti, xi) AS BIGINT)
+                AS m
+       FROM p),
+mi AS (SELECT g, s AS mi FROM r1
+       WHERE rn = CAST(FLOOR((m + 1) / 2.0) AS BIGINT)),
+r2 AS (SELECT g, mi,
+              ROW_NUMBER() OVER (PARTITION BY g ORDER BY mi ASC) AS rn,
+              CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS np
+       FROM mi)
+SELECT g AS user_id, np AS n_points, mi AS slope
+FROM r2 WHERE rn = CAST(FLOOR((np + 1) / 2.0) AS BIGINT)
+"""
+
+
 _RIPLEY_RADII = [2.0, 5.0, 10.0, 20.0]
 _SPATIAL_AREA = 360.0 * 170.0  # x in [-180,180), y in [-85,85)
 
@@ -10849,6 +10925,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q283_permutation_test": _q283_permutation_test,
         "q284_line_interpolate": _q284_line_interpolate,
         "q285_hausdorff": _q285_hausdorff,
+        "q286_hodges_lehmann": _q286_hodges_lehmann,
+        "q287_siegel_slope": _q287_siegel_slope,
     }
 
 
@@ -11122,6 +11200,8 @@ def oracle_sql() -> dict[str, str]:
         "q283_permutation_test": _o283(),
         "q284_line_interpolate": _O284,
         "q285_hausdorff": _O285,
+        "q286_hodges_lehmann": _O286,
+        "q287_siegel_slope": _O287,
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

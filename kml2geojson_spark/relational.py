@@ -4256,3 +4256,130 @@ def permutation_test(df: DataFrame, *, value_col: str, group_col: str,
         "n_a", "n_b", "observed_diff", "r_eff", "n_extreme",
         ((F.lit(1) + F.col("n_extreme")).cast("double")
          / (F.col("r_eff") + F.lit(1)).cast("double")).alias("p_value"))
+
+
+def hodges_lehmann(df: DataFrame, *, value_col: str,
+                   order_cols: list[str] | str,
+                   group_cols: list[str]) -> DataFrame:
+    """Hodges–Lehmann location estimator per group — the robust
+    CENTER beside :func:`theil_sen`'s robust slope: the lower median
+    of the Walsh averages (x_i + x_j)/2 over all pairs i ≤ j
+    (singletons included).  ~29% breakdown, ~95% Gaussian efficiency
+    — strictly better than the median's 64% when the data is clean,
+    just as robust when it isn't.
+
+    Determinism: values must be INTEGER (floats raise); each Walsh
+    average is ONE exact long addition and ONE IEEE halving; the
+    reported value is the LOWER median selected by sort position.
+    ``order_cols`` must be unique per group (the
+    :func:`mann_kendall` contract) — they only define the i ≤ j pair
+    universe, never the result value.
+
+    Scale shape: per-group equi-self-join (O(n²) Walsh pairs — many
+    small series) + ONE selection window per group.
+
+    Output: (group..., n_pairs BIGINT, hl_estimate DOUBLE).
+    """
+    from pyspark.sql.types import DoubleType, FloatType
+
+    fields = {f.name: f for f in df.schema.fields}
+    if isinstance(fields[value_col].dataType, (DoubleType, FloatType)):
+        raise ValueError(
+            f"hodges_lehmann: {value_col!r} is floating-point — "
+            "integerize first (exact integer sums are the "
+            "determinism contract)")
+    if not group_cols:
+        raise ValueError("hodges_lehmann: group_cols must be non-empty")
+    ocols = [order_cols] if isinstance(order_cols, str) else \
+        list(order_cols)
+    keep = F.col(value_col).isNotNull()
+    for c in ocols + group_cols:
+        keep = keep & F.col(c).isNotNull()
+    base = df.where(keep).select(
+        *group_cols,
+        F.struct(*[F.col(c) for c in ocols]).alias("_o"),
+        F.col(value_col).cast("long").alias("_x"))
+    a = base.select(*group_cols, F.col("_o").alias("_oi"),
+                    F.col("_x").alias("_xi"))
+    b = base.select(*group_cols, F.col("_o").alias("_oj"),
+                    F.col("_x").alias("_xj"))
+    pairs = (a.join(b, group_cols)
+             .where(F.col("_oi") <= F.col("_oj"))
+             .select(*group_cols,
+                     ((F.col("_xi") + F.col("_xj")).cast("double")
+                      / F.lit(2.0)).alias("_w")))
+    w = Window.partitionBy(*group_cols).orderBy(F.col("_w").asc())
+    ranked = (pairs.withColumn("_rn", F.row_number().over(w))
+              .withColumn("_m", F.count(F.lit(1)).over(
+                  Window.partitionBy(*group_cols))))
+    return (ranked.where(F.col("_rn") == F.floor((F.col("_m") + 1) / 2))
+            .select(*group_cols, F.col("_m").alias("n_pairs"),
+                    F.col("_w").alias("hl_estimate")))
+
+
+def siegel_slope(df: DataFrame, *, value_col: str, t_col: str,
+                 group_cols: list[str]) -> DataFrame:
+    """Siegel repeated-medians slope per group — the 50%-breakdown
+    upgrade of :func:`theil_sen` (29%): for every point i take the
+    lower median over j (t_j ≠ t_i) of the pairwise slope
+    (x_j − x_i)/(t_j − t_i), then report the lower median of those
+    per-point medians.  Survives even when HALF the points are
+    corrupted.
+
+    Determinism: integer value and time enforced; each slope is one
+    exact-long-difference IEEE division; both median levels are
+    selected by sort position (never interpolated).  Points whose
+    every partner is t-tied contribute no per-point median;
+    duplicate (t, x) rows collapse into one per-point median (their
+    slope sets are identical); groups with no usable point yield no
+    row (degenerate series — all timestamps equal).
+
+    Scale shape: the same per-group pair equi-self-join as
+    :func:`theil_sen` (many small series), then TWO selection
+    windows — per (group, point) and per group.
+
+    Output: (group..., n_points BIGINT, slope DOUBLE).
+    """
+    from pyspark.sql.types import DoubleType, FloatType
+
+    fields = {f.name: f for f in df.schema.fields}
+    for c in (value_col, t_col):
+        if isinstance(fields[c].dataType, (DoubleType, FloatType)):
+            raise ValueError(
+                f"siegel_slope: {c!r} is floating-point — integerize "
+                "first (exact integer differences are the "
+                "determinism contract)")
+    if not group_cols:
+        raise ValueError("siegel_slope: group_cols must be non-empty")
+    keep = F.col(value_col).isNotNull() & F.col(t_col).isNotNull()
+    for c in group_cols:
+        keep = keep & F.col(c).isNotNull()
+    base = df.where(keep).select(
+        *group_cols,
+        F.col(t_col).cast("long").alias("_t"),
+        F.col(value_col).cast("long").alias("_x"))
+    a = base.select(*group_cols, F.col("_t").alias("_ti"),
+                    F.col("_x").alias("_xi"))
+    b = base.select(*group_cols, F.col("_t").alias("_tj"),
+                    F.col("_x").alias("_xj"))
+    pairs = (a.join(b, group_cols)
+             .where(F.col("_ti") != F.col("_tj"))
+             .select(*group_cols, "_ti", "_xi",
+                     ((F.col("_xj") - F.col("_xi")).cast("double")
+                      / (F.col("_tj") - F.col("_ti")).cast("double"))
+                     .alias("_s")))
+    # point identity = (t, x): duplicate (t, x) rows collapse into one
+    # per-point median (their slope sets are identical), documented
+    w1 = Window.partitionBy(*group_cols, "_ti", "_xi")         .orderBy(F.col("_s").asc())
+    per_pt = (pairs.withColumn("_rn", F.row_number().over(w1))
+              .withColumn("_m", F.count(F.lit(1)).over(
+                  Window.partitionBy(*group_cols, "_ti", "_xi")))
+              .where(F.col("_rn") == F.floor((F.col("_m") + 1) / 2))
+              .select(*group_cols, F.col("_s").alias("_mi")))
+    w2 = Window.partitionBy(*group_cols).orderBy(F.col("_mi").asc())
+    return (per_pt.withColumn("_rn", F.row_number().over(w2))
+            .withColumn("_np", F.count(F.lit(1)).over(
+                Window.partitionBy(*group_cols)))
+            .where(F.col("_rn") == F.floor((F.col("_np") + 1) / 2))
+            .select(*group_cols, F.col("_np").alias("n_points"),
+                    F.col("_mi").alias("slope")))

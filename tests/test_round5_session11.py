@@ -620,3 +620,89 @@ def test_bootstrap_and_linear_ops_no_python_nodes(spark):
         for marker in ("ArrowEvalPython", "BatchEvalPython",
                        "MapInPandas", "PythonMapInArrow"):
             assert marker not in plan, f"{marker} in plan"
+
+
+# ---------------------------------------------------------------------------
+# hodges_lehmann / siegel_slope
+# ---------------------------------------------------------------------------
+
+def test_hodges_lehmann_matches_brute(spark):
+    from kml2geojson_spark.relational import hodges_lehmann
+
+    rng = np.random.default_rng(71)
+    rows, expect = [], {}
+    for g in range(6):
+        n = int(rng.integers(1, 15))
+        xs = [int(v) for v in rng.integers(-500, 500, n)]
+        ws = sorted((a + b) / 2 for i, a in enumerate(xs)
+                    for b in xs[i:])
+        expect[f"g{g}"] = (len(ws), ws[(len(ws) + 1) // 2 - 1])
+        rows += [(f"g{g}", i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "g string, o long, v long")
+    got = {r.g: (r.n_pairs, r.hl_estimate)
+           for r in hodges_lehmann(df, value_col="v", order_cols="o",
+                                   group_cols=["g"]).collect()}
+    assert got == expect
+
+
+def test_hodges_lehmann_outlier_robust(spark):
+    from kml2geojson_spark.relational import hodges_lehmann
+
+    rows = [("a", i, 100) for i in range(9)] + [("a", 9, 10 ** 9)]
+    df = spark.createDataFrame(rows, "g string, o long, v long")
+    r = hodges_lehmann(df, value_col="v", order_cols="o",
+                       group_cols=["g"]).collect()[0]
+    assert r.hl_estimate == 100.0  # one wild point cannot move it
+
+
+def test_siegel_slope_breakdown_beats_theil_sen(spark):
+    """~45% corrupted points: Siegel still reads slope 3, while the
+    Theil-Sen pairwise median is dragged away (its breakdown is
+    ~29%)."""
+    from kml2geojson_spark.relational import siegel_slope, theil_sen
+
+    rows = [("s", t, 3 * t) for t in range(1, 12)] + \
+           [("s", t, -7000 - 100 * t) for t in range(12, 21)]
+    df = spark.createDataFrame(rows, "g string, t long, v long")
+    sg = siegel_slope(df, value_col="v", t_col="t",
+                      group_cols=["g"]).collect()[0]
+    ts = theil_sen(df, value_col="v", t_col="t",
+                   group_cols=["g"]).collect()[0]
+    assert sg.slope == pytest.approx(3.0)
+    assert abs(ts.slope - 3.0) > 10  # corrupted beyond breakdown
+
+
+def test_siegel_slope_matches_brute(spark):
+    from kml2geojson_spark.relational import siegel_slope
+
+    rng = np.random.default_rng(83)
+    rows, expect = [], {}
+    for g in range(5):
+        n = int(rng.integers(2, 10))
+        ts_ = sorted(rng.choice(100, size=n, replace=False).tolist())
+        xs = [int(v) for v in rng.integers(-100, 100, n)]
+        mis = []
+        for i in range(n):
+            ss = sorted((xs[j] - xs[i]) / (ts_[j] - ts_[i])
+                        for j in range(n) if ts_[j] != ts_[i])
+            if ss:
+                mis.append(ss[(len(ss) + 1) // 2 - 1])
+        mis.sort()
+        expect[f"g{g}"] = (len(mis), mis[(len(mis) + 1) // 2 - 1])
+        rows += [(f"g{g}", t, x) for t, x in zip(ts_, xs)]
+    df = spark.createDataFrame(rows, "g string, t long, v long")
+    got = {r.g: (r.n_points, r.slope)
+           for r in siegel_slope(df, value_col="v", t_col="t",
+                                 group_cols=["g"]).collect()}
+    assert got == expect
+
+
+def test_robust_estimators_reject_float_columns(spark):
+    from kml2geojson_spark.relational import hodges_lehmann, siegel_slope
+
+    df = spark.createDataFrame([("a", 1, 1.5)], "g string, t long, v double")
+    with pytest.raises(ValueError, match="integerize"):
+        hodges_lehmann(df, value_col="v", order_cols="t",
+                       group_cols=["g"])
+    with pytest.raises(ValueError, match="integerize"):
+        siegel_slope(df, value_col="v", t_col="t", group_cols=["g"])
