@@ -10106,6 +10106,58 @@ FROM allg LEFT JOIN med ON allg.g = med.g
 """
 
 
+def _q288_spherical_area(spark, sf):
+    """Spherical polygon area (m²) of the nation diamonds — the
+    geodesic correction to the planar shoelace; micro-steradian
+    quantized trapezoid terms summed as exact BIGINTs. Round-5
+    post-pin registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.spatial.ops import spherical_polygon_area
+    base = _nation_diamond_params(spark, sf)
+    ring = F.array(
+        F.struct((F.col("cx") + F.col("r")).alias("x"),
+                 F.col("cy").alias("y")),
+        F.struct(F.col("cx").alias("x"),
+                 (F.col("cy") + F.col("r")).alias("y")),
+        F.struct((F.col("cx") - F.col("r")).alias("x"),
+                 F.col("cy").alias("y")),
+        F.struct(F.col("cx").alias("x"),
+                 (F.col("cy") - F.col("r")).alias("y")),
+        F.struct((F.col("cx") + F.col("r")).alias("x"),
+                 F.col("cy").alias("y")),
+    )
+    return spherical_polygon_area(base.withColumn("ring", ring),
+                                  id_cols=["poly_id"])
+
+
+def _o288() -> str:
+    import math
+    k = repr(math.pi / 180.0)
+    pi = repr(math.pi)
+    two_pi = repr(2.0 * math.pi)
+
+    def term(l1, p1, l2, p2):
+        d = (f"(({l2}) * {k} - ({l1}) * {k})"
+             f" - {two_pi} * FLOOR(((({l2}) * {k} - ({l1}) * {k})"
+             f" + {pi}) / {two_pi})")
+        s = f"(2.0 + SIN(({p1}) * {k}) + SIN(({p2}) * {k}))"
+        return (f"CAST(FLOOR(({d}) * {s} * 1000000000000.0 + 0.5) "
+                f"AS BIGINT)")
+
+    edges = [("cx + r", "cy", "cx", "cy + r"),
+             ("cx", "cy + r", "cx - r", "cy"),
+             ("cx - r", "cy", "cx", "cy - r"),
+             ("cx", "cy - r", "cx + r", "cy")]
+    terms = " + ".join(term(*e) for e in edges)
+    return f"""
+WITH polys AS ({_POLY_SQL}),
+acc AS (SELECT poly_id, ({terms}) AS s FROM polys)
+SELECT poly_id, 5 AS n_vertices,
+       CAST(FLOOR(ABS(s)::DOUBLE / 1000000000000.0 / 2.0
+                  * 6371000.0 * 6371000.0 + 0.5) AS BIGINT) AS area_m2
+FROM acc
+"""
+
+
 def _q286_hodges_lehmann(spark, sf):
     """Hodges-Lehmann robust location of event value cents per user
     (lower median of exact-integer Walsh averages, selection by sort
@@ -10927,6 +10979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q285_hausdorff": _q285_hausdorff,
         "q286_hodges_lehmann": _q286_hodges_lehmann,
         "q287_siegel_slope": _q287_siegel_slope,
+        "q288_spherical_area": _q288_spherical_area,
     }
 
 
@@ -11202,6 +11255,7 @@ def oracle_sql() -> dict[str, str]:
         "q285_hausdorff": _O285,
         "q286_hodges_lehmann": _O286,
         "q287_siegel_slope": _O287,
+        "q288_spherical_area": _o288(),
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

@@ -3701,3 +3701,77 @@ def discrete_hausdorff(pairs: DataFrame, *, line_a: str = "line_a",
         *ids,
         F.when(ok, F.floor(F.sqrt(h2) * F.lit(1e6) + F.lit(0.5)))
         .alias("hausdorff_micro"))
+
+
+def spherical_polygon_area(polys: DataFrame, *, ring_col: str = "ring",
+                           id_cols: list[str] | None = None,
+                           radius_m: float = EARTH_RADIUS_M) -> DataFrame:
+    """Spherical polygon area in m² — the geodesic correction to
+    :func:`ring_audit`'s planar shoelace (degrees² lie badly off the
+    equator; a 1°×1° cell at 60°N is half its equatorial area): the
+    standard spherical-trapezoid accumulation
+
+        area = R² · |Σᵢ (λ_{i+1} − λᵢ) · (2 + sin φᵢ + sin φ_{i+1})| / 2
+
+    with λ, φ in radians and the closing edge implied when the ring
+    is open (same closure rule as :func:`ring_audit`).  Longitude
+    differences are wrapped to (−π, π] so rings crossing the
+    antimeridian accumulate correctly; polar-cap rings (enclosing a
+    pole) are NOT handled — split them first.
+
+    ``ring_col`` is ARRAY<STRUCT<x: double, y: double>> (lon, lat
+    degrees).  The family libm caveat applies (sin is
+    correctly-rounded-ish, not bitwise-pinned across libms), so the
+    result is half-up-quantized to WHOLE m² — the
+    :func:`haversine_m` rule — and the accumulation is kept
+    association-safe by quantizing each trapezoid term to 1e-12
+    steradian MICRO-units first (exact BIGINT sum, same spelling as
+    :func:`line_interpolate`'s micro-lengths).
+
+    Pure-Column zip_with/aggregate, zero shuffle. Rings with < 3
+    distinct vertices yield area 0.
+
+    Output: (id..., n_vertices INT, area_m2 BIGINT).
+    """
+    import math as _math
+    ids = list(id_cols) if id_cols else []
+    k = _math.pi / 180.0
+    ring = F.col(ring_col)
+    n = F.size(ring)
+    lam = F.transform(ring, lambda v: v["x"] * F.lit(k))
+    phi = F.transform(ring, lambda v: v["y"] * F.lit(k))
+    closed = ((n >= 2)
+              & (F.get(lam, 0) == F.get(lam, n - 1))
+              & (F.get(phi, 0) == F.get(phi, n - 1)))
+    m_body = F.when(closed, n - 1).otherwise(n)
+    body_l = F.slice(lam, 1, F.greatest(m_body, F.lit(0)))
+    body_p = F.slice(phi, 1, F.greatest(m_body, F.lit(0)))
+    m = F.size(body_l)
+    rot_l = F.when(m > 1, F.concat(F.slice(body_l, 2, m - 1),
+                                   F.slice(body_l, 1, 1))) \
+        .otherwise(body_l)
+    rot_p = F.when(m > 1, F.concat(F.slice(body_p, 2, m - 1),
+                                   F.slice(body_p, 1, 1))) \
+        .otherwise(body_p)
+    two_pi = F.lit(2.0 * _math.pi)
+    pi = F.lit(_math.pi)
+
+    def dlon(l2, l1):
+        d = l2 - l1
+        # wrap to (-pi, pi]: d - 2pi*floor((d + pi) / (2pi))
+        return d - two_pi * F.floor((d + pi) / two_pi)
+
+    dl = F.zip_with(body_l, rot_l, lambda a, b: dlon(b, a))
+    sp = F.zip_with(body_p, rot_p,
+                    lambda a, b: F.lit(2.0) + F.sin(a) + F.sin(b))
+    # quantize each trapezoid term to 1e-12 sr -> exact BIGINT sum
+    terms = F.zip_with(dl, sp, lambda a, b: F.floor(
+        a * b * F.lit(1e12) + F.lit(0.5)))
+    acc = F.aggregate(terms, F.lit(0).cast("long"),
+                      lambda acc, v: acc + v)
+    area = (F.abs(acc).cast("double") / F.lit(1e12) / F.lit(2.0)
+            * F.lit(float(radius_m)) * F.lit(float(radius_m)))
+    return polys.select(
+        *ids,
+        n.cast("int").alias("n_vertices"),
+        F.floor(area + F.lit(0.5)).alias("area_m2"))

@@ -706,3 +706,49 @@ def test_robust_estimators_reject_float_columns(spark):
                        group_cols=["g"])
     with pytest.raises(ValueError, match="integerize"):
         siegel_slope(df, value_col="v", t_col="t", group_cols=["g"])
+
+
+# ---------------------------------------------------------------------------
+# spherical_polygon_area
+# ---------------------------------------------------------------------------
+
+def test_spherical_area_matches_band_formula(spark):
+    """1-degree quads vs the exact spherical band area
+    R^2 * dlon * (sin lat2 - sin lat1)."""
+    from kml2geojson_spark.spatial.ops import (EARTH_RADIUS_M,
+                                               spherical_polygon_area)
+
+    R = EARTH_RADIUS_M
+    k = math.pi / 180.0
+    quads = [(1, 0.0, 0.0), (2, 40.0, 59.5), (3, -120.0, -80.0)]
+    rows = [(pid, [(lon, lat), (lon + 1, lat), (lon + 1, lat + 1),
+                   (lon, lat + 1), (lon, lat)])
+            for pid, lon, lat in quads]
+    df = spark.createDataFrame(
+        rows, "pid long, ring array<struct<x double, y double>>")
+    got = {r.pid: r.area_m2 for r in
+           spherical_polygon_area(df, id_cols=["pid"]).collect()}
+    for pid, lon, lat in quads:
+        exact = R * R * (1 * k) * (math.sin((lat + 1) * k)
+                                   - math.sin(lat * k))
+        assert got[pid] == pytest.approx(exact, rel=1e-6), pid
+    # high latitude really is smaller: the planar shoelace cannot
+    # see this (all three quads are 1 deg^2 planar)
+    assert got[2] < got[1] * 0.55
+    assert got[3] < got[1] * 0.2
+
+
+def test_spherical_area_antimeridian_and_orientation(spark):
+    from kml2geojson_spark.spatial.ops import spherical_polygon_area
+
+    cross = [(179.5, 0.0), (-179.5, 0.0), (-179.5, 1.0), (179.5, 1.0)]
+    same_cw = list(reversed(cross))
+    df = spark.createDataFrame(
+        [(1, cross), (2, same_cw),
+         (3, [(5.0, 5.0), (5.0, 5.0), (5.0, 5.0)]), (4, [])],
+        "pid long, ring array<struct<x double, y double>>")
+    got = {r.pid: r.area_m2 for r in
+           spherical_polygon_area(df, id_cols=["pid"]).collect()}
+    assert got[1] > 1e10           # ~12,300 km^2 in m^2
+    assert got[1] == got[2]        # |area| orientation-independent
+    assert got[3] == 0 and got[4] == 0
