@@ -10703,6 +10703,499 @@ WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
 """
 
 
+def _q289_pettitt(spark, sf):
+    """Pettitt rank changepoint per user over event value cents —
+    rank-identity O(n log n) form (no pair join), exact BIGINT U_t,
+    micro-quantized significance. Round-5 post-pin registration:
+    in-repo oracle sweep only."""
+    from kml2geojson_spark.relational import pettitt_test
+    ev = _t(spark, sf, "events").select(
+        "user_id", "ts", "event_id",
+        F.round(F.col("value") * 100.0).cast("long").alias("cents"))
+    return pettitt_test(ev, value_col="cents",
+                        order_cols=["ts", "event_id"],
+                        group_cols=["user_id"])
+
+
+_O289 = """
+WITH b AS (
+  SELECT user_id AS g, ts, event_id,
+         CAST(ROUND(value * 100.0) AS BIGINT) AS x
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_id IS NOT NULL AND value IS NOT NULL),
+r AS (
+  SELECT g, ts, event_id, x,
+         RANK() OVER (PARTITION BY g ORDER BY x ASC) AS rlo,
+         RANK() OVER (PARTITION BY g ORDER BY x DESC) AS rrev,
+         CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n
+  FROM b),
+u AS (
+  SELECT g, n,
+         CAST(SUM(rlo + (n + 1 - rrev) - 1 - n) OVER (
+           PARTITION BY g ORDER BY ts ASC, event_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS u,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY g ORDER BY ts ASC, event_id ASC)
+           AS BIGINT) AS t
+  FROM r),
+c AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY g ORDER BY ABS(u) DESC, t ASC) AS rn
+  FROM u WHERE t < n)
+SELECT g AS user_id, n, ABS(u) AS k_stat, t AS t_index, u AS u_at_t,
+       CAST(FLOOR(LEAST(
+         2.0 * EXP(-6.0 * (ABS(u)::DOUBLE) * (ABS(u)::DOUBLE)
+                   / ((n::DOUBLE) * (n::DOUBLE) * (n::DOUBLE)
+                      + (n::DOUBLE) * (n::DOUBLE))), 1.0)
+         * 1000000.0 + 0.5) AS BIGINT) AS p_micro
+FROM c WHERE rn = 1
+"""
+
+
+def _q290_grubbs(spark, sf):
+    """Grubbs extreme-outlier statistic per order priority over total
+    price cents — exact HUGEINT/DECIMAL(38) moment sums, one
+    correctly-rounded IEEE tree for sd and G, smallest-key
+    tie-break. Round-5 post-pin registration: in-repo oracle sweep
+    only."""
+    from kml2geojson_spark.relational import grubbs_test
+    o = _t(spark, sf, "orders").select(
+        "o_orderpriority", "o_orderkey",
+        F.round(F.col("o_totalprice") * 100.0).cast("long")
+        .alias("cents"))
+    return grubbs_test(o, value_col="cents", id_col="o_orderkey",
+                       group_cols=["o_orderpriority"])
+
+
+_O290 = """
+WITH b AS (
+  SELECT o_orderpriority AS g, o_orderkey AS id,
+         CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS x
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL
+    AND o_orderpriority IS NOT NULL),
+m AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(x AS HUGEINT)) AS s1,
+         SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS s2
+  FROM b GROUP BY g),
+j AS (
+  SELECT b.g, b.id, b.x, m.n, m.s1, m.s2,
+         ABS((b.x::DOUBLE) - ((m.s1::DOUBLE) / (m.n::DOUBLE))) AS dev
+  FROM b JOIN m USING (g)),
+p AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY g ORDER BY dev DESC, id ASC) AS rn
+  FROM j)
+SELECT g AS o_orderpriority, n, id AS outlier_id,
+       x AS outlier_value, dev AS max_dev,
+       CASE WHEN n >= 3 AND (CAST(n AS HUGEINT) * s2 - s1 * s1) > 0
+            THEN dev / SQRT(((CAST(n AS HUGEINT) * s2 - s1 * s1)::DOUBLE)
+                            / ((n::DOUBLE) * ((n::DOUBLE) - 1.0)))
+       END AS g_stat
+FROM p WHERE rn = 1
+"""
+
+
+def _q291_jarque_bera(spark, sf):
+    """Jarque-Bera normality screen per event type over WHOLE-unit
+    event values (not cents: whole units keep the exact power sums
+    below 2^53, inside the window where HUGEINT->DOUBLE conversion
+    is bit-identical across engines — the documented jarque_bera
+    caveat) — one hash-aggregate of exact DECIMAL(38)/HUGEINT sums,
+    one shared IEEE tree for skew/kurtosis/JB. Round-5 post-pin
+    registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.relational import jarque_bera
+    ev = _t(spark, sf, "events").select(
+        "event_type",
+        F.round(F.col("value")).cast("long").alias("units"))
+    return jarque_bera(ev, value_col="units",
+                       group_cols=["event_type"])
+
+
+def _o291() -> str:
+    nd = "(n::DOUBLE)"
+    mu = f"((s1::DOUBLE) / {nd})"
+    m2 = f"((s2::DOUBLE) / {nd} - {mu} * {mu})"
+    m3 = (f"((s3::DOUBLE) / {nd} - 3.0 * {mu} * ((s2::DOUBLE) / {nd})"
+          f" + 2.0 * {mu} * {mu} * {mu})")
+    m4 = (f"((s4::DOUBLE) / {nd} - 4.0 * {mu} * ((s3::DOUBLE) / {nd})"
+          f" + 6.0 * {mu} * {mu} * ((s2::DOUBLE) / {nd})"
+          f" - 3.0 * {mu} * {mu} * {mu} * {mu})")
+    skew = f"({m3} / ({m2} * SQRT({m2})))"
+    exk = f"({m4} / ({m2} * {m2}) - 3.0)"
+    jb = f"({nd} / 6.0 * ({skew} * {skew} + {exk} * {exk} / 4.0))"
+    ok = f"(n >= 4 AND {m2} > 0)"
+    return f"""
+WITH b AS (
+  SELECT event_type AS g,
+         CAST(ROUND(value) AS BIGINT) AS x
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+m AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(x AS HUGEINT)) AS s1,
+         SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS s2,
+         SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)
+             * CAST(x AS HUGEINT)) AS s3,
+         SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)
+             * CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS s4
+  FROM b GROUP BY g)
+SELECT g AS event_type, n,
+       CASE WHEN {ok} THEN {skew} END AS skewness,
+       CASE WHEN {ok} THEN {exk} END AS ex_kurtosis,
+       CASE WHEN {ok} THEN {jb} END AS jb_stat
+FROM m
+"""
+
+
+def _q292_mcnemar(spark, sf):
+    """McNemar paired flip test: per user-cohort, did users with a
+    purchase in the first half of the month keep purchasing in the
+    second half? Exact discordant counts, continuity-corrected chi2,
+    micro-quantized p. Round-5 post-pin registration: in-repo oracle
+    sweep only."""
+    from kml2geojson_spark.relational import mcnemar_test
+    ev = _t(spark, sf, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    is_p = (F.col("event_type") == "purchase")
+    flags = (ev.where(F.col("user_id").isNotNull()
+                      & F.col("ts").isNotNull())
+             .groupBy("user_id")
+             .agg(F.max(F.when(is_p & (F.col("ts") < cut), 1)
+                        .otherwise(0)).alias("before"),
+                  F.max(F.when(is_p & (F.col("ts") >= cut), 1)
+                        .otherwise(0)).alias("after"))
+             .withColumn("cohort", F.col("user_id") % 4))
+    return mcnemar_test(flags, before_col="before", after_col="after",
+                        group_cols=["cohort"])
+
+
+def _o292() -> str:
+    from kml2geojson_spark.relational import normal_two_sided_p_sql
+    p_expr = normal_two_sided_p_sql("SQRT(chi2)")
+    return f"""
+WITH flags AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase'
+                   AND ts < TIMESTAMP '2024-01-16 00:00:00'
+                  THEN 1 ELSE 0 END) AS before,
+         MAX(CASE WHEN event_type = 'purchase'
+                   AND ts >= TIMESTAMP '2024-01-16 00:00:00'
+                  THEN 1 ELSE 0 END) AS after
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  GROUP BY user_id),
+agg AS (
+  SELECT user_id % 4 AS cohort,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(CASE WHEN before = 1 AND after = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         CAST(SUM(CASE WHEN before = 0 AND after = 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS c
+  FROM flags GROUP BY user_id % 4),
+st AS (
+  SELECT *,
+         ((GREATEST(ABS(b - c) - 1, 0))::DOUBLE
+          * (GREATEST(ABS(b - c) - 1, 0))::DOUBLE)
+         / ((b + c)::DOUBLE) AS chi2
+  FROM agg)
+SELECT cohort, n_pairs, b, c,
+       CASE WHEN b + c > 0 THEN chi2 END AS chi2,
+       CASE WHEN b + c > 0 THEN
+         CAST(FLOOR(LEAST({p_expr}, 1.0) * 1000000.0 + 0.5)
+              AS BIGINT) END AS p_micro
+FROM st
+"""
+
+
+def _q293_kmv_registers(spark, sf):
+    """KMV distinct sketch per lineitem return flag: the 64 smallest
+    60-bit md5 hashes of the distinct part keys — rank-by-value
+    selection over one distinct shuffle. Round-5 post-pin
+    registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.sketch import kmv_registers
+    li = _t(spark, sf, "lineitem").select("l_returnflag", "l_partkey")
+    return kmv_registers(li, "l_partkey", k=64,
+                         group_cols=["l_returnflag"])
+
+
+_O293 = """
+WITH h AS (
+  SELECT DISTINCT l_returnflag,
+         ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT
+           AS h
+  FROM lineitem WHERE l_partkey IS NOT NULL)
+SELECT l_returnflag,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY l_returnflag ORDER BY h ASC) AS INT) AS rn, h
+FROM h
+QUALIFY rn <= 64
+"""
+
+
+def _q294_kmv_estimate(spark, sf):
+    """KMV distinct-count estimate from the q293 sketch —
+    (k-1)/R_k when full, the exact kept count when not. Round-5
+    post-pin registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.sketch import kmv_estimate, kmv_registers
+    li = _t(spark, sf, "lineitem").select("l_returnflag", "l_partkey")
+    regs = kmv_registers(li, "l_partkey", k=64,
+                         group_cols=["l_returnflag"])
+    return kmv_estimate(regs, k=64, group_cols=["l_returnflag"])
+
+
+_O294 = """
+WITH h AS (
+  SELECT DISTINCT l_returnflag,
+         ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT
+           AS h
+  FROM lineitem WHERE l_partkey IS NOT NULL),
+topk AS (
+  SELECT l_returnflag, h,
+         ROW_NUMBER() OVER (
+           PARTITION BY l_returnflag ORDER BY h ASC) AS rn
+  FROM h QUALIFY rn <= 64),
+agg AS (
+  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         MAX(h) AS hk
+  FROM topk GROUP BY l_returnflag)
+SELECT l_returnflag, n_kept,
+       CASE WHEN n_kept >= 64
+            THEN 63.0 / ((hk::DOUBLE) / 1152921504606846976.0)
+            ELSE n_kept::DOUBLE END AS estimate
+FROM agg
+"""
+
+
+def _q295_hex_bin(spark, sf):
+    """Hexagonal density binning of the synthetic customer points
+    (pointy-top axial cells, cube rounding) — pure codegen
+    arithmetic + one hash-aggregate. Round-5 post-pin registration:
+    in-repo oracle sweep only."""
+    from kml2geojson_spark.spatial.ops import hex_bin
+    return hex_bin(_customer_points(spark, sf), size=3.0)
+
+
+def _o295() -> str:
+    import math
+    c1 = repr(math.sqrt(3.0) / 3.0)
+    c2 = repr(2.0 / 3.0)
+    return f"""
+WITH p AS ({_PTS_SQL}),
+f AS (
+  SELECT ({c1} * x - y / 3.0) / 3.0 AS fq,
+         ({c2} * y) / 3.0 AS fr
+  FROM p WHERE x IS NOT NULL AND y IS NOT NULL),
+f2 AS (SELECT fq, fr, -fq - fr AS fs FROM f),
+r AS (
+  SELECT fq, fr, fs, ROUND(fq) AS rq, ROUND(fr) AS rr,
+         ROUND(fs) AS rs
+  FROM f2),
+d AS (
+  SELECT *, ABS(rq - fq) AS dq, ABS(rr - fr) AS dr,
+         ABS(rs - fs) AS ds
+  FROM r),
+hx AS (
+  SELECT CAST(CASE WHEN dq > dr AND dq > ds THEN -rr - rs
+              ELSE rq END AS BIGINT) AS hq,
+         CAST(CASE WHEN dq > dr AND dq > ds THEN rr
+                   WHEN dr > ds THEN -rq - rs
+              ELSE rr END AS BIGINT) AS hr
+  FROM d)
+SELECT hq, hr, CAST(COUNT(*) AS BIGINT) AS n
+FROM hx GROUP BY hq, hr
+"""
+
+
+def _q296_quantile_normalize(spark, sf):
+    """Quantile normalization of document lengths across sources —
+    every source ends up with an identical length distribution
+    (rank window + rank-mean join). Round-5 post-pin registration:
+    in-repo oracle sweep only."""
+    from kml2geojson_spark.relational import quantile_normalize
+    docs = _t(spark, sf, "documents")
+    return quantile_normalize(docs, value_col="n_chars",
+                              id_col="doc_id", dist_col="source")
+
+
+_O296 = """
+WITH b AS (
+  SELECT source AS dist, doc_id AS id, n_chars AS value
+  FROM documents
+  WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL
+    AND source IS NOT NULL),
+ranked AS (
+  SELECT dist, id, value,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY dist ORDER BY value ASC, id ASC)
+           AS BIGINT) AS rank
+  FROM b),
+means AS (
+  SELECT rank,
+         (SUM(CAST(value AS HUGEINT))::DOUBLE)
+         / (COUNT(*)::DOUBLE) AS normalized
+  FROM ranked GROUP BY rank)
+SELECT r.dist, r.id, r.value, r.rank, m.normalized
+FROM ranked r JOIN means m USING (rank)
+"""
+
+
+def _q297_neighbor_jaccard(spark, sf):
+    """Jaccard neighborhood similarity between suppliers over the
+    parts they ship (sampled part universe) — wedge self-join on the
+    shared part, exact counts, one IEEE division. Round-5 post-pin
+    registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.graph import neighbor_jaccard
+    li = (_t(spark, sf, "lineitem")
+          .where(F.col("l_partkey") % 10 == 0)
+          .select(F.col("l_suppkey").alias("src"),
+                  F.col("l_partkey").alias("dst")))
+    return neighbor_jaccard(li, min_common=2)
+
+
+_O297 = """
+WITH e AS (
+  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS l,
+         CAST(l_partkey AS BIGINT) AS r
+  FROM lineitem WHERE l_partkey % 10 = 0),
+ldeg AS (SELECT l, CAST(COUNT(*) AS BIGINT) AS ld FROM e GROUP BY l),
+rok AS (SELECT r FROM e GROUP BY r HAVING COUNT(*) >= 2),
+we AS (SELECT e.l, e.r FROM e JOIN rok USING (r)),
+pairs AS (
+  SELECT a.l AS node_a, b.l AS node_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM we a JOIN we b ON a.r = b.r AND a.l < b.l
+  GROUP BY a.l, b.l
+  HAVING COUNT(*) >= 2)
+SELECT p.node_a, p.node_b, p.n_common,
+       da.ld AS deg_a, db.ld AS deg_b,
+       (p.n_common::DOUBLE)
+       / ((da.ld + db.ld - p.n_common)::DOUBLE) AS jaccard
+FROM pairs p
+JOIN ldeg da ON da.l = p.node_a
+JOIN ldeg db ON db.l = p.node_b
+"""
+
+
+def _q298_shot_boundaries(spark, sf):
+    """Shot-boundary detection over the deterministic sampled-frame
+    checksums (q248 pipeline + one LAG window per media ref): flag
+    frames whose exact byte-sum jump exceeds the threshold. Round-5
+    post-pin registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.multimodal import (fetch_media_stub,
+                                              frame_checksums,
+                                              sample_frames,
+                                              shot_boundaries)
+    docs = _t(spark, sf, "documents")
+    refs = (docs.where(F.col("doc_id") % 5 == 0)
+            .select(F.col("doc_id").cast("string").alias("doc_id"),
+                    F.concat(F.lit("media/"),
+                             F.col("doc_id").cast("string"),
+                             F.lit(".ppm")).alias("media_ref"),
+                    F.lit("ppm").alias("ext"),
+                    F.lit(0).alias("offset")))
+    fetched = fetch_media_stub(refs, payload="ppm")
+    cks = frame_checksums(sample_frames(fetched, n_frames=4))
+    return shot_boundaries(cks, threshold=2000)
+
+
+_O298 = """
+WITH refs AS (
+  SELECT 'media/' || CAST(doc_id AS VARCHAR) || '.ppm' AS media_ref
+  FROM documents WHERE doc_id % 5 = 0),
+hdr AS (
+  SELECT media_ref, t.p, t.b
+  FROM refs, (VALUES (0,80),(1,54),(2,10),(3,49),(4,54),(5,32),
+                     (6,49),(7,54),(8,10),(9,50),(10,53),(11,53),
+                     (12,10)) t(p, b)),
+chunks AS (
+  SELECT media_ref, i,
+         md5(media_ref || ':' || CAST(i AS VARCHAR)) AS hx
+  FROM refs, generate_series(0, 47) AS t(i)),
+body AS (
+  SELECT media_ref, 13 + 16 * i + j AS p,
+         (strpos('0123456789abcdef', substr(hx, 2 * j + 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(hx, 2 * j + 2, 1)) - 1) AS b
+  FROM chunks, generate_series(0, 15) AS u(j)),
+allb AS (SELECT * FROM hdr UNION ALL SELECT * FROM body),
+fr AS (SELECT CAST(f.i AS INTEGER) AS frame_idx,
+              LEAST(f.i * 195, 781 - 195) AS strt
+       FROM generate_series(0, 3) AS f(i)),
+asg AS (
+  SELECT a.media_ref, fr.frame_idx, a.b
+  FROM allb a JOIN fr ON a.p >= fr.strt AND a.p < fr.strt + 195),
+cks AS (
+  SELECT media_ref, frame_idx, CAST(SUM(b) AS BIGINT) AS byte_sum
+  FROM asg GROUP BY media_ref, frame_idx),
+lagd AS (
+  SELECT media_ref, frame_idx, byte_sum,
+         ABS(byte_sum - LAG(byte_sum, 1) OVER (
+           PARTITION BY media_ref ORDER BY frame_idx ASC)) AS jump
+  FROM cks)
+SELECT media_ref, frame_idx, byte_sum, jump,
+       COALESCE(jump > 2000, FALSE) AS is_boundary
+FROM lagd
+"""
+
+
+def _q299_friedman(spark, sf):
+    """Friedman repeated-measures rank test: do the five event types
+    differ in per-user spend, blocking by user? Complete blocks
+    only, exact 2R integer ranks, one fixed IEEE tree for the
+    statistic. Round-5 post-pin registration: in-repo oracle sweep
+    only."""
+    from kml2geojson_spark.relational import friedman_test
+    ev = _t(spark, sf, "events")
+    cells = (ev.where(F.col("user_id").isNotNull()
+                      & F.col("event_type").isNotNull()
+                      & F.col("value").isNotNull())
+             .groupBy("user_id", "event_type")
+             .agg(F.sum(F.round(F.col("value") * 100.0).cast("long"))
+                  .alias("cents")))
+    return (friedman_test(cells, block_col="user_id",
+                          treatment_col="event_type",
+                          value_col="cents")
+            .select("k_treatments", "n_blocks", "chi2_f"))
+
+
+_O299 = """
+WITH cell AS (
+  SELECT user_id AS b, event_type AS tr,
+         SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS x
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    AND value IS NOT NULL
+  GROUP BY user_id, event_type),
+kk AS (SELECT COUNT(DISTINCT tr) AS k FROM cell),
+comp AS (SELECT b FROM cell GROUP BY b
+         HAVING COUNT(*) = (SELECT k FROM kk)),
+kept AS (SELECT cell.* FROM cell JOIN comp USING (b)),
+r AS (
+  SELECT b, tr,
+         RANK() OVER (PARTITION BY b ORDER BY x ASC)
+         + ((COUNT(*) OVER (PARTITION BY b)) + 1
+            - RANK() OVER (PARTITION BY b ORDER BY x DESC)) AS r2
+  FROM kept),
+s AS (SELECT tr, CAST(SUM(r2) AS BIGINT) AS s2r FROM r GROUP BY tr),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_treatments,
+             CAST(SUM(s2r * s2r) AS BIGINT) AS sumsq4
+      FROM s),
+nb AS (SELECT CAST(COUNT(*) / COUNT(DISTINCT tr) AS BIGINT)
+         AS n_blocks FROM kept)
+SELECT k_treatments, n_blocks,
+       CASE WHEN n_blocks > 0 AND k_treatments >= 2 THEN
+         12.0 / ((n_blocks::DOUBLE) * (k_treatments::DOUBLE)
+                 * ((k_treatments::DOUBLE) + 1.0))
+         * ((sumsq4::DOUBLE) / 4.0)
+         - 3.0 * (n_blocks::DOUBLE) * ((k_treatments::DOUBLE) + 1.0)
+       END AS chi2_f
+FROM t, nb
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": _q01_filter_project,
@@ -10980,6 +11473,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q286_hodges_lehmann": _q286_hodges_lehmann,
         "q287_siegel_slope": _q287_siegel_slope,
         "q288_spherical_area": _q288_spherical_area,
+        "q289_pettitt": _q289_pettitt,
+        "q290_grubbs": _q290_grubbs,
+        "q291_jarque_bera": _q291_jarque_bera,
+        "q292_mcnemar": _q292_mcnemar,
+        "q293_kmv_registers": _q293_kmv_registers,
+        "q294_kmv_estimate": _q294_kmv_estimate,
+        "q295_hex_bin": _q295_hex_bin,
+        "q296_quantile_normalize": _q296_quantile_normalize,
+        "q297_neighbor_jaccard": _q297_neighbor_jaccard,
+        "q298_shot_boundaries": _q298_shot_boundaries,
+        "q299_friedman": _q299_friedman,
     }
 
 
@@ -11256,6 +11760,17 @@ def oracle_sql() -> dict[str, str]:
         "q286_hodges_lehmann": _O286,
         "q287_siegel_slope": _O287,
         "q288_spherical_area": _o288(),
+        "q289_pettitt": _O289,
+        "q290_grubbs": _O290,
+        "q291_jarque_bera": _o291(),
+        "q292_mcnemar": _o292(),
+        "q293_kmv_registers": _O293,
+        "q294_kmv_estimate": _O294,
+        "q295_hex_bin": _o295(),
+        "q296_quantile_normalize": _O296,
+        "q297_neighbor_jaccard": _O297,
+        "q298_shot_boundaries": _O298,
+        "q299_friedman": _O299,
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

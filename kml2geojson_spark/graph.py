@@ -1016,3 +1016,63 @@ def negative_edge_samples(edges: DataFrame, *, k: int = 5,
             .agg(F.min("try_idx").alias("try_idx"))
             .select(F.col("s").alias(src), F.col("d").alias("neg_dst"),
                     "try_idx"))
+
+
+def neighbor_jaccard(edges: DataFrame, *, left: str = "src",
+                     right: str = "dst",
+                     min_common: int = 1,
+                     max_degree: int | None = None) -> DataFrame:
+    """Jaccard neighborhood similarity for pairs of left-side nodes
+    in a bipartite edge list — |N(a) ∩ N(b)| / |N(a) ∪ N(b)| — the
+    set-overlap member of the link-prediction family beside
+    :func:`common_neighbor_similarity` (raw count) and
+    :func:`adamic_adar` (inverse-log-frequency weight). Jaccard
+    penalizes promiscuous nodes symmetrically: two hubs sharing 10
+    of their 10,000 neighbors score ~0.0005, not 10.
+
+    Determinism: intersection and degrees are exact BIGINT counts;
+    the score is ONE correctly-rounded IEEE division — bit-exact
+    cross-engine (the :func:`grubbs_test` rule, no quantization
+    needed).
+
+    Scale shape: identical to :func:`adamic_adar` — dedup, one
+    left-degree hash-aggregate joined back per pair, wedge self-join
+    keyed on the shared right node (candidates per shared neighbor,
+    never all-pairs), ``max_degree`` prunes hub right-nodes BEFORE
+    the wedge join. Union size comes from the two degrees and the
+    intersection (inclusion–exclusion), so no second pass over
+    edges.
+
+    Output: (node_a, node_b, n_common BIGINT, deg_a BIGINT,
+    deg_b BIGINT, jaccard DOUBLE) with node_a < node_b and
+    n_common >= min_common.
+    """
+    e = (edges.select(F.col(left).cast("long").alias("l"),
+                      F.col(right).cast("long").alias("r"))
+         .distinct())
+    ldeg = e.groupBy("l").agg(F.count(F.lit(1)).alias("_ld"))
+    rdeg = e.groupBy("r").agg(F.count(F.lit(1)).alias("_rd"))
+    if max_degree is not None:
+        if max_degree < 1:
+            raise ValueError(f"max_degree must be >= 1, got {max_degree}")
+        rdeg = rdeg.where(F.col("_rd") <= max_degree)
+    rdeg = rdeg.where(F.col("_rd") >= 2).select("r")
+    we = e.join(rdeg, "r")
+    w1 = we.select(F.col("l").alias("node_a"), "r")
+    w2 = we.select(F.col("l").alias("node_b"), "r")
+    pairs = (w1.join(w2, "r")
+             .where(F.col("node_a") < F.col("node_b"))
+             .groupBy("node_a", "node_b")
+             .agg(F.count(F.lit(1)).alias("n_common"))
+             .where(F.col("n_common") >= min_common))
+    da = ldeg.select(F.col("l").alias("node_a"),
+                     F.col("_ld").alias("deg_a"))
+    db = ldeg.select(F.col("l").alias("node_b"),
+                     F.col("_ld").alias("deg_b"))
+    out = pairs.join(da, "node_a").join(db, "node_b")
+    uni = (F.col("deg_a") + F.col("deg_b") - F.col("n_common")) \
+        .cast("double")
+    return out.select("node_a", "node_b", "n_common", "deg_a",
+                      "deg_b",
+                      (F.col("n_common").cast("double") / uni)
+                      .alias("jaccard"))

@@ -460,3 +460,37 @@ def image_ahash_pairs(hashes: DataFrame, *, max_hamming: int = 3,
             .withColumn("hamming", ham.cast("int"))
             .where(F.col("hamming") <= F.lit(int(max_hamming)))
             .select("id_a", "id_b", "hamming"))
+
+
+def shot_boundaries(checksums: DataFrame, *,
+                    threshold: int = 2000) -> DataFrame:
+    """Shot-boundary detection over a :func:`frame_checksums` table:
+    flag frames whose exact integer byte-sum jumps from the previous
+    frame by more than ``threshold`` — the standard
+    content-difference cut detector, here over the deterministic
+    frame features (the real decoder would feed per-frame color
+    histograms through the SAME plumbing; only the pixel source is
+    synthetic, the :func:`fetch_media_stub` discipline).
+
+    Determinism: one LAG window per media ref ordered by frame_idx;
+    the jump is an exact BIGINT difference — bit-exact cross-engine.
+    Frame 0 has no predecessor: jump NULL, never a boundary.
+
+    Scale shape: ONE window hash-partitioned by media_ref (frames
+    per ref are few — the partition is tiny), no join; composes
+    directly after the mapInPandas decode stage.
+
+    Output: (media_ref, frame_idx, byte_sum BIGINT, jump BIGINT,
+    is_boundary BOOLEAN).
+    """
+    from pyspark.sql import Window
+    w = Window.partitionBy("media_ref").orderBy(
+        F.col("frame_idx").asc())
+    jump = F.abs(F.col("byte_sum")
+                 - F.lag("byte_sum", 1).over(w))
+    return (checksums
+            .select("media_ref", "frame_idx", "byte_sum",
+                    jump.alias("jump"))
+            .withColumn("is_boundary",
+                        F.coalesce(F.col("jump") > F.lit(int(threshold)),
+                                   F.lit(False))))

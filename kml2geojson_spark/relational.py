@@ -4383,3 +4383,410 @@ def siegel_slope(df: DataFrame, *, value_col: str, t_col: str,
             .where(F.col("_rn") == F.floor((F.col("_np") + 1) / 2))
             .select(*group_cols, F.col("_np").alias("n_points"),
                     F.col("_mi").alias("slope")))
+
+
+def _require_integer(df: DataFrame, col: str, op: str) -> None:
+    """Raise when ``col`` is floating-point — exact integer sums are
+    the cross-engine determinism contract (the :func:`mann_kendall`
+    rule)."""
+    from pyspark.sql.types import DoubleType, FloatType
+
+    fields = {f.name: f for f in df.schema.fields}
+    if isinstance(fields[col].dataType, (DoubleType, FloatType)):
+        raise ValueError(
+            f"{op}: {col!r} is floating-point — integerize first "
+            "(exact integer sums are the determinism contract)")
+
+
+def pettitt_test(df: DataFrame, *, value_col: str,
+                 order_cols: list[str] | str,
+                 group_cols: list[str]) -> DataFrame:
+    """Pettitt single-changepoint test per group — the nonparametric
+    "WHERE did this series shift?" primitive completing the trend
+    family: :func:`mann_kendall` asks IS it drifting,
+    :func:`cusum_changepoint` finds a mean shift parametrically, and
+    Pettitt locates the split t maximizing the rank statistic
+    ``U_t = Σ_{i≤t} Σ_{j>t} sign(x_i − x_j)`` with no distribution
+    assumption.
+
+    Algorithm (rank identity, NO pair join): since
+    ``Σ_{i,j≤t} sign(x_i − x_j) = 0`` by antisymmetry,
+    ``U_t = Σ_{i≤t} (r_lo(i) + r_hi(i) − 1 − n)`` where r_lo/r_hi are
+    the min/max competition ranks of x_i in the group (their sum is
+    2× the average rank, an exact integer even with ties). So the
+    whole test is two rank windows + one cumulative sum —
+    O(n log n), not the textbook O(n²).
+
+    Determinism: values must be INTEGER (floats raise); every U_t is
+    an exact BIGINT; K = max_{1≤t<n} |U_t| with the EARLIEST t on
+    ties. The approximate significance
+    ``p = min(1, 2·exp(−6K²/(n³+n²)))`` routes through libm exp, so
+    it is reported micro-quantized (``p_micro``, the
+    :func:`normal_two_sided_p` rule). ``order_cols`` must be unique
+    per group (the :func:`mann_kendall` contract).
+
+    Scale shape: three windows sharing ONE hash partitioning on the
+    group key (rank asc, rank desc, cumulative-by-time) plus a final
+    per-group argmax window — no self-join, no shuffle beyond the
+    group key. Groups with n < 2 are dropped (no interior split
+    exists).
+
+    Output: (group..., n BIGINT, k_stat BIGINT, t_index BIGINT
+    (1-based prefix length of the pre-change segment), u_at_t BIGINT,
+    p_micro BIGINT).
+    """
+    _require_integer(df, value_col, "pettitt_test")
+    if not group_cols:
+        raise ValueError("pettitt_test: group_cols must be non-empty")
+    ocols = [order_cols] if isinstance(order_cols, str) else \
+        list(order_cols)
+    if not ocols:
+        raise ValueError("order_cols must be non-empty")
+    keep = F.col(value_col).isNotNull()
+    for c in ocols + group_cols:
+        keep = keep & F.col(c).isNotNull()
+    base = df.where(keep).select(
+        *group_cols,
+        F.struct(*[F.col(c) for c in ocols]).alias("_o"),
+        F.col(value_col).cast("long").alias("_x"))
+    g = Window.partitionBy(*group_cols)
+    r_lo = F.rank().over(g.orderBy(F.col("_x").asc())).cast("long")
+    r_hi_rev = F.rank().over(g.orderBy(F.col("_x").desc())).cast("long")
+    n = F.count(F.lit(1)).over(g).cast("long")
+    # r_hi = n + 1 - rank_desc = count of values <= x (max rank)
+    sgn = (r_lo + (n + 1 - r_hi_rev) - 1 - n)
+    wt = g.orderBy(F.col("_o").asc()) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    stamped = (base
+               .withColumn("_sgn", sgn)
+               .withColumn("_n", n)
+               .withColumn("_u", F.sum("_sgn").over(wt))
+               .withColumn("_t", F.row_number().over(
+                   g.orderBy(F.col("_o").asc())).cast("long")))
+    cand = stamped.where(F.col("_t") < F.col("_n"))
+    pick = Window.partitionBy(*group_cols).orderBy(
+        F.abs(F.col("_u")).desc(), F.col("_t").asc())
+    kd = F.abs(F.col("_u")).cast("double")
+    nd = F.col("_n").cast("double")
+    p_raw = F.lit(2.0) * F.exp(F.lit(-6.0) * kd * kd
+                               / (nd * nd * nd + nd * nd))
+    return (cand.withColumn("_rn", F.row_number().over(pick))
+            .where(F.col("_rn") == 1)
+            .select(*group_cols, F.col("_n").alias("n"),
+                    F.abs(F.col("_u")).alias("k_stat"),
+                    F.col("_t").alias("t_index"),
+                    F.col("_u").alias("u_at_t"),
+                    F.floor(F.least(p_raw, F.lit(1.0))
+                            * F.lit(1000000.0) + F.lit(0.5))
+                    .cast("long").alias("p_micro")))
+
+
+def grubbs_test(df: DataFrame, *, value_col: str, id_col: str,
+                group_cols: list[str]) -> DataFrame:
+    """Grubbs extreme-outlier statistic per group — "is the single
+    most extreme point too extreme?": G = max|x − mean| / sd, with
+    the offending row id. The single-point complement to
+    :func:`mad_outliers`' bulk flagging (MAD flags many; Grubbs
+    scores THE one, with a known null distribution for testing).
+
+    Determinism: values must be INTEGER (floats raise); Σx and Σx²
+    are exact DECIMAL(38,0) sums (HUGEINT on the DuckDB side), and
+    n·Σx² − (Σx)² stays exact before ONE conversion to double, so
+    sd = sqrt(exact/(n(n−1))) and every |x − mean| are fixed trees of
+    correctly-rounded IEEE ops — bit-identical cross-engine, no
+    quantization needed. Ties on the max deviation break to the
+    SMALLEST id.
+
+    Scale shape: one hash-aggregate for the moments, joined back on
+    the group key (one shuffle each), then a per-group argmax window
+    sharing that partitioning. The critical-value lookup (a
+    t-quantile) is left to the caller — the statistic itself is the
+    deterministic part.
+
+    Output: (group..., n BIGINT, outlier_id, outlier_value BIGINT,
+    max_dev DOUBLE, g_stat DOUBLE — NULL when n < 3 or sd = 0).
+    """
+    _require_integer(df, value_col, "grubbs_test")
+    if not group_cols:
+        raise ValueError("grubbs_test: group_cols must be non-empty")
+    keep = (F.col(value_col).isNotNull() & F.col(id_col).isNotNull())
+    for c in group_cols:
+        keep = keep & F.col(c).isNotNull()
+    base = df.where(keep).select(
+        *group_cols, F.col(id_col).alias("_id"),
+        F.col(value_col).cast("long").alias("_x"))
+    xd = F.col("_x").cast("decimal(38,0)")
+    mom = (base.groupBy(*group_cols)
+           .agg(F.count(F.lit(1)).cast("long").alias("_n"),
+                F.sum(xd).alias("_s1"),
+                F.sum(xd * xd).alias("_s2")))
+    nn = F.col("_n").cast("decimal(38,0)")
+    varnum = (nn * F.col("_s2") - F.col("_s1") * F.col("_s1")) \
+        .cast("double")
+    ndd = F.col("_n").cast("double")
+    sd = F.sqrt(varnum / (ndd * (ndd - F.lit(1.0))))
+    mom = mom.withColumn(
+        "_mean", F.col("_s1").cast("double") / F.col("_n").cast("double")) \
+        .withColumn("_sd", F.when(F.col("_n") >= 2, sd))
+    j = base.join(mom.select(*group_cols, "_n", "_mean", "_sd"),
+                  group_cols)
+    dev = F.abs(F.col("_x").cast("double") - F.col("_mean"))
+    pick = Window.partitionBy(*group_cols).orderBy(
+        dev.desc(), F.col("_id").asc())
+    ok = (F.col("_n") >= 3) & F.col("_sd").isNotNull() \
+        & (F.col("_sd") > 0)
+    return (j.withColumn("_dev", dev)
+            .withColumn("_rn", F.row_number().over(pick))
+            .where(F.col("_rn") == 1)
+            .select(*group_cols, F.col("_n").alias("n"),
+                    F.col("_id").alias("outlier_id"),
+                    F.col("_x").alias("outlier_value"),
+                    F.col("_dev").alias("max_dev"),
+                    F.when(ok, F.col("_dev") / F.col("_sd"))
+                    .alias("g_stat")))
+
+
+def jarque_bera(df: DataFrame, *, value_col: str,
+                group_cols: list[str]) -> DataFrame:
+    """Jarque–Bera normality screen per group:
+    ``JB = n/6 · (S² + (K−3)²/4)`` from the sample skewness S and
+    kurtosis K — the "can I even use the parametric tests on this
+    segment?" gate in front of :func:`welch_ttest` /
+    :func:`cohens_d` (both assume rough normality).
+
+    Determinism: values must be INTEGER (floats raise); Σx..Σx⁴ are
+    exact DECIMAL(38,0) sums (HUGEINT in the DuckDB oracle), so the
+    central-moment formulas are ONE fixed tree of correctly-rounded
+    IEEE ops applied to identical doubles — bit-exact cross-engine.
+    Keep |x| ≤ ~10⁶ so x⁴ sums fit 38 digits at any realistic group
+    size (10²⁴ per row × 10¹³ rows). Oracle-comparison caveat: the
+    exact→double conversion itself is only guaranteed identical
+    across engines while |Σx⁴| < 2⁵³ (exactly representable);
+    beyond that DuckDB's two-step HUGEINT→DOUBLE can differ from the
+    JVM by an ulp — integerize coarsely enough to stay inside the
+    window (whole units, not cents, for wide-range metrics) or
+    quantize before comparing.
+
+    Scale shape: ONE hash-aggregate with map-side combine — four
+    power sums per group, no window, no join. The textbook two-pass
+    (mean first, then centered powers) is deliberately avoided.
+
+    Output: (group..., n BIGINT, skewness DOUBLE, ex_kurtosis DOUBLE,
+    jb_stat DOUBLE — NULL when n < 4 or variance = 0).
+    """
+    _require_integer(df, value_col, "jarque_bera")
+    if not group_cols:
+        raise ValueError("jarque_bera: group_cols must be non-empty")
+    keep = F.col(value_col).isNotNull()
+    for c in group_cols:
+        keep = keep & F.col(c).isNotNull()
+    base = df.where(keep).select(
+        *group_cols, F.col(value_col).cast("long").alias("_x"))
+    xd = F.col("_x").cast("decimal(38,0)")
+    agg = (base.groupBy(*group_cols)
+           .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(xd).alias("_s1"),
+                F.sum(xd * xd).alias("_s2"),
+                F.sum(xd * xd * xd).alias("_s3"),
+                F.sum(xd * xd * xd * xd).alias("_s4")))
+    nd = F.col("n").cast("double")
+    s1 = F.col("_s1").cast("double")
+    s2 = F.col("_s2").cast("double")
+    s3 = F.col("_s3").cast("double")
+    s4 = F.col("_s4").cast("double")
+    mu = s1 / nd
+    m2 = s2 / nd - mu * mu
+    m3 = s3 / nd - F.lit(3.0) * mu * (s2 / nd) + F.lit(2.0) * mu * mu * mu
+    m4 = (s4 / nd - F.lit(4.0) * mu * (s3 / nd)
+          + F.lit(6.0) * mu * mu * (s2 / nd)
+          - F.lit(3.0) * mu * mu * mu * mu)
+    skew = m3 / (m2 * F.sqrt(m2))
+    exk = m4 / (m2 * m2) - F.lit(3.0)
+    jb = nd / F.lit(6.0) * (skew * skew + exk * exk / F.lit(4.0))
+    ok = (F.col("n") >= 4) & (m2 > 0)
+    return agg.select(*group_cols, "n",
+                      F.when(ok, skew).alias("skewness"),
+                      F.when(ok, exk).alias("ex_kurtosis"),
+                      F.when(ok, jb).alias("jb_stat"))
+
+
+def mcnemar_test(df: DataFrame, *, before_col: str, after_col: str,
+                 group_cols: list[str]) -> DataFrame:
+    """McNemar paired-binary test per group — "did the flag FLIP more
+    one way than the other?" over paired observations (same subject
+    before/after): only the discordant counts b = #(1→0) and
+    c = #(0→1) matter; χ² = (|b−c|−1)²/(b+c) with the standard
+    continuity correction. The paired complement to
+    :func:`prop_ztest`'s independent two-sample comparison.
+
+    Determinism: b, c are exact BIGINT counts; χ² is one fixed IEEE
+    tree — bit-exact. The 1-df significance routes through
+    :func:`normal_two_sided_p` (erfc poly, includes exp) so it is
+    micro-quantized (``p_micro``).
+
+    Scale shape: ONE hash-aggregate with map-side combine. Rows with
+    a NULL flag on either side are dropped (the pair is incomplete).
+
+    Output: (group..., n_pairs BIGINT, b BIGINT, c BIGINT,
+    chi2 DOUBLE, p_micro BIGINT — chi2/p NULL when b + c = 0).
+    """
+    if not group_cols:
+        raise ValueError("mcnemar_test: group_cols must be non-empty")
+    keep = (F.col(before_col).isNotNull() & F.col(after_col).isNotNull())
+    for c in group_cols:
+        keep = keep & F.col(c).isNotNull()
+    bf = F.col(before_col).cast("int")
+    af = F.col(after_col).cast("int")
+    agg = (df.where(keep)
+           .groupBy(*group_cols)
+           .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                F.sum(F.when((bf == 1) & (af == 0), 1).otherwise(0))
+                .cast("long").alias("b"),
+                F.sum(F.when((bf == 0) & (af == 1), 1).otherwise(0))
+                .cast("long").alias("c")))
+    disc = (F.col("b") + F.col("c")).cast("double")
+    num = F.greatest(
+        F.abs(F.col("b") - F.col("c")) - F.lit(1), F.lit(0)) \
+        .cast("double")
+    chi2 = num * num / disc
+    ok = (F.col("b") + F.col("c")) > 0
+    p = normal_two_sided_p(F.sqrt(chi2))
+    return agg.select(*group_cols, "n_pairs", "b", "c",
+                      F.when(ok, chi2).alias("chi2"),
+                      F.when(ok, F.floor(F.least(p, F.lit(1.0))
+                                         * F.lit(1000000.0)
+                                         + F.lit(0.5)).cast("long"))
+                      .alias("p_micro"))
+
+
+def quantile_normalize(df: DataFrame, *, value_col: str, id_col: str,
+                       dist_col: str) -> DataFrame:
+    """Quantile normalization across distributions: rank every row
+    within its distribution (``dist_col`` — a source, a shard, a
+    day), then replace each value with the MEAN of the values holding
+    the same rank across all distributions — after which every
+    distribution has an identical empirical distribution. The batch
+    de-biasing primitive for cross-source score comparison (the
+    microarray-normalization classic), completing
+    :func:`percentile_rank`'s within-group view with a cross-group
+    equalizer.
+
+    Determinism: values must be INTEGER (floats raise); rank is
+    ``row_number`` ordered by (value, id) — total order; the target
+    for rank r is the exact BIGINT sum of the rank-r values divided
+    by their count (one correctly-rounded IEEE division). Unequal
+    distribution sizes: rank r averages over the distributions that
+    HAVE a rank r (the simple variant; interpolation is out of
+    scope and documented away).
+
+    Scale shape: one window (hash-partitioned by distribution), one
+    hash-aggregate keyed on rank, one equi-join back on rank — three
+    shuffles total, no all-pairs anything. Rank cardinality = max
+    distribution size, so the rank-mean table is small relative to
+    the data and AQE will broadcast the join side when it fits.
+
+    Output: (dist, id, value BIGINT, rank BIGINT,
+    normalized DOUBLE).
+    """
+    _require_integer(df, value_col, "quantile_normalize")
+    keep = (F.col(value_col).isNotNull() & F.col(id_col).isNotNull()
+            & F.col(dist_col).isNotNull())
+    base = df.where(keep).select(
+        F.col(dist_col).alias("dist"), F.col(id_col).alias("id"),
+        F.col(value_col).cast("long").alias("value"))
+    w = Window.partitionBy("dist").orderBy(
+        F.col("value").asc(), F.col("id").asc())
+    ranked = base.withColumn("rank",
+                             F.row_number().over(w).cast("long"))
+    means = (ranked.groupBy("rank")
+             .agg((F.sum("value").cast("double")
+                   / F.count(F.lit(1)).cast("double"))
+                  .alias("normalized")))
+    return ranked.join(means, "rank").select(
+        "dist", "id", "value", "rank", "normalized")
+
+
+def friedman_test(df: DataFrame, *, block_col: str,
+                  treatment_col: str, value_col: str) -> DataFrame:
+    """Friedman rank test — "do the k treatments differ, blocking by
+    subject?": rank the k treatment values WITHIN each block, sum
+    ranks per treatment, and compute
+    ``χ²_F = 12/(n·k·(k+1)) · Σ_j R_j² − 3·n·(k+1)`` (k−1 df). The
+    repeated-measures complement to :func:`kruskal_wallis`'s
+    independent-groups test.
+
+    Only COMPLETE blocks count: k = the global number of distinct
+    treatments, and a block enters iff it has exactly one
+    non-NULL value per treatment (duplicates raise — aggregate
+    first). Ties within a block take average ranks, carried as the
+    exact integer 2R = r_min + r_max (competition ranks), so every
+    rank sum is an exact BIGINT; the tie CORRECTION term is omitted
+    (the classic uncorrected statistic — documented bias toward
+    conservatism with heavy ties).
+
+    Determinism: values must be INTEGER (floats raise); χ² is one
+    fixed IEEE tree over exact BIGINTs — bit-exact cross-engine.
+    The k−1-df significance needs the incomplete gamma — out of
+    scope; callers test χ²_F against their own critical value.
+
+    Scale shape: one distinct-count for k, one per-block
+    completeness filter (hash-aggregate + semi join), two rank
+    windows partitioned by block, one treatment hash-aggregate, one
+    final single-row reduce. Blocks are small (k rows) — the block
+    windows are cheap; everything shuffles on block or treatment
+    keys only.
+
+    Output: ONE row (k_treatments BIGINT, n_blocks BIGINT,
+    chi2_f DOUBLE — NULL when n_blocks = 0 or k < 2) plus the
+    per-treatment rank sums as a sorted array of (treatment,
+    rank2_sum) structs for auditability.
+    """
+    _require_integer(df, value_col, "friedman_test")
+    keep = (F.col(block_col).isNotNull()
+            & F.col(treatment_col).isNotNull()
+            & F.col(value_col).isNotNull())
+    base = df.where(keep).select(
+        F.col(block_col).alias("_b"),
+        F.col(treatment_col).alias("_tr"),
+        F.col(value_col).cast("long").alias("_x"))
+    kdf = base.agg(F.countDistinct("_tr").alias("_k"))
+    # completeness: one row per (block, treatment), all k present
+    per = (base.groupBy("_b", "_tr")
+           .agg(F.count(F.lit(1)).alias("_c")))
+    dup = per.where(F.col("_c") > 1).limit(1).count()
+    if dup:
+        raise ValueError(
+            "friedman_test: duplicate (block, treatment) rows — "
+            "aggregate to one value per cell first")
+    complete = (per.groupBy("_b")
+                .agg(F.count(F.lit(1)).alias("_nt"))
+                .join(kdf)
+                .where(F.col("_nt") == F.col("_k"))
+                .select("_b"))
+    kept = base.join(complete, "_b")
+    wb = Window.partitionBy("_b")
+    r_lo = F.rank().over(wb.orderBy(F.col("_x").asc())).cast("long")
+    r_rev = F.rank().over(wb.orderBy(F.col("_x").desc())).cast("long")
+    k_in_block = F.count(F.lit(1)).over(wb).cast("long")
+    ranked = kept.withColumn("_r2", r_lo + (k_in_block + 1 - r_rev))
+    per_tr = (ranked.groupBy("_tr")
+              .agg(F.sum("_r2").alias("_s2r")))
+    tot = (per_tr.agg(
+        F.count(F.lit(1)).cast("long").alias("k_treatments"),
+        F.sum(F.col("_s2r") * F.col("_s2r")).alias("_sumsq4"),
+        F.sort_array(F.collect_list(F.struct(
+            F.col("_tr").alias("treatment"),
+            F.col("_s2r").alias("rank2_sum")))).alias("rank_sums"))
+           .join(kept.agg((F.count(F.lit(1))
+                           / F.countDistinct("_tr"))
+                          .cast("long").alias("n_blocks"))))
+    nd = F.col("n_blocks").cast("double")
+    kd = F.col("k_treatments").cast("double")
+    # R_j = S2_j / 2 -> sum R_j^2 = sumsq4 / 4
+    chi2 = (F.lit(12.0) / (nd * kd * (kd + F.lit(1.0)))
+            * (F.col("_sumsq4").cast("double") / F.lit(4.0))
+            - F.lit(3.0) * nd * (kd + F.lit(1.0)))
+    ok = (F.col("n_blocks") > 0) & (F.col("k_treatments") >= 2)
+    return tot.select("k_treatments", "n_blocks",
+                      F.when(ok, chi2).alias("chi2_f"),
+                      "rank_sums")

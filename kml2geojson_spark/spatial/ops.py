@@ -3775,3 +3775,67 @@ def spherical_polygon_area(polys: DataFrame, *, ring_col: str = "ring",
         *ids,
         n.cast("int").alias("n_vertices"),
         F.floor(area + F.lit(0.5)).alias("area_m2"))
+
+
+def hex_encode(x, y, *, size: float):
+    """Axial hex-cell coordinates (pointy-top) for a planar point as
+    a pair of pure Columns — the hexagonal alternative to the square
+    :func:`~kml2geojson_spark.spatial.cells.cell_encode` grid (hexes
+    have uniform neighbor distance, the standard choice for density
+    maps and movement models). ``size`` is the hex circumradius in
+    input units.
+
+    Fractional axial coords ``q = (√3/3·x − y/3)/size``,
+    ``r = (2y/3)/size`` are cube-rounded: round q, r, s = −q−r
+    independently, then recompute the component with the LARGEST
+    rounding error from the other two (the constraint q+r+s = 0
+    picks the nearest hex center).
+
+    Determinism: a fixed tree of IEEE arithmetic plus half-away-
+    from-zero ROUND — both engines round doubles identically, and
+    the error comparison uses the same subtraction order, so the
+    cell assignment is bit-exact cross-engine except for points
+    EXACTLY on a hex boundary whose fractional coords differ in the
+    last ulp — the same caveat as every float grid encoder, avoided
+    in oracles by the shared-formula discipline.
+
+    Returns (hq Column<long>, hr Column<long>).
+    """
+    import math as _math
+    if size <= 0:
+        raise ValueError("size must be > 0")
+    fq = (F.lit(_math.sqrt(3.0) / 3.0) * x - y / F.lit(3.0)) \
+        / F.lit(float(size))
+    fr = (F.lit(2.0 / 3.0) * y) / F.lit(float(size))
+    fs = -fq - fr
+    rq = F.round(fq, 0)
+    rr = F.round(fr, 0)
+    rs = F.round(fs, 0)
+    dq = F.abs(rq - fq)
+    dr = F.abs(rr - fr)
+    ds = F.abs(rs - fs)
+    hq = F.when((dq > dr) & (dq > ds), -rr - rs).otherwise(rq)
+    hr = F.when((dq > dr) & (dq > ds), rr) \
+        .when(dr > ds, -rq - rs).otherwise(rr)
+    return hq.cast("long"), hr.cast("long")
+
+
+def hex_bin(points: DataFrame, *, x_col: str = "x", y_col: str = "y",
+            size: float) -> DataFrame:
+    """Hexagonal density binning: assign every point to its
+    pointy-top hex cell (:func:`hex_encode`) and count per cell —
+    the hex twin of the square-cell ``cell_counts`` rollup.
+
+    Scale shape: pure whole-stage-codegen arithmetic then ONE
+    hash-aggregate with map-side combine — no window, no join;
+    identical to the square grid path, so everything built on cell
+    counts (smoothing, top-k, merge) composes.
+
+    Output: (hq BIGINT, hr BIGINT, n BIGINT).
+    """
+    hq, hr = hex_encode(F.col(x_col), F.col(y_col), size=size)
+    return (points.where(F.col(x_col).isNotNull()
+                         & F.col(y_col).isNotNull())
+            .select(hq.alias("hq"), hr.alias("hr"))
+            .groupBy("hq", "hr")
+            .agg(F.count(F.lit(1)).alias("n")))

@@ -1,0 +1,451 @@
+"""Round-5 session-12: pettitt_test, grubbs_test, jarque_bera,
+mcnemar_test, quantile_normalize, friedman_test, neighbor_jaccard,
+kmv sketch, hex_bin, shot_boundaries."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# pettitt_test
+# ---------------------------------------------------------------------------
+
+def _brute_pettitt(xs):
+    n = len(xs)
+    best = None
+    for t in range(1, n):
+        u = sum((xs[i] > xs[j]) - (xs[i] < xs[j])
+                for i in range(t) for j in range(t, n))
+        if best is None or abs(u) > abs(best[1]):
+            best = (t, u)
+    k = abs(best[1])
+    p = min(1.0, 2.0 * math.exp(-6.0 * k * k / (n ** 3 + n ** 2)))
+    return n, k, best[0], best[1], math.floor(p * 1e6 + 0.5)
+
+
+def test_pettitt_matches_brute(spark):
+    from kml2geojson_spark.relational import pettitt_test
+
+    rng = np.random.default_rng(12)
+    rows, expect = [], {}
+    for g in range(10):
+        n = int(rng.integers(2, 25))
+        # level shift at a random point, coarse values to force ties
+        cut = int(rng.integers(1, n))
+        xs = [int(rng.integers(0, 6)) for _ in range(cut)] + \
+             [int(rng.integers(3, 9)) for _ in range(n - cut)]
+        expect[f"g{g}"] = _brute_pettitt(xs)
+        rows += [(f"g{g}", t, x) for t, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "g string, t long, v long")
+    got = {r.g: (r.n, r.k_stat, r.t_index, r.u_at_t, r.p_micro)
+           for r in pettitt_test(df, value_col="v", order_cols="t",
+                                 group_cols=["g"]).collect()}
+    assert got == expect
+
+
+def test_pettitt_edges(spark):
+    from kml2geojson_spark.relational import pettitt_test
+
+    # n = 1 group dropped; all-tied group -> K = 0, earliest t
+    rows = [("solo", 0, 5)] + [("tied", t, 7) for t in range(4)]
+    df = spark.createDataFrame(rows, "g string, t long, v long")
+    got = {r.g: r for r in pettitt_test(
+        df, value_col="v", order_cols="t", group_cols=["g"]).collect()}
+    assert "solo" not in got
+    assert got["tied"].k_stat == 0 and got["tied"].t_index == 1
+    assert got["tied"].p_micro == 1_000_000
+
+    fdf = spark.createDataFrame([("a", 1, 1.0)],
+                                "g string, t long, v double")
+    with pytest.raises(ValueError, match="integerize"):
+        pettitt_test(fdf, value_col="v", order_cols="t",
+                     group_cols=["g"])
+
+
+# ---------------------------------------------------------------------------
+# grubbs_test
+# ---------------------------------------------------------------------------
+
+def test_grubbs_matches_numpy(spark):
+    from kml2geojson_spark.relational import grubbs_test
+
+    rng = np.random.default_rng(3)
+    rows, expect = [], {}
+    for g in range(6):
+        n = int(rng.integers(3, 30))
+        xs = rng.integers(-1000, 1001, size=n).tolist()
+        arr = np.array(xs, dtype=float)
+        dev = np.abs(arr - arr.mean())
+        sd = arr.std(ddof=1)
+        i = int(np.lexsort((np.arange(n), -dev))[0])
+        expect[f"g{g}"] = (n, i, float(dev[i] / sd) if sd > 0 else None)
+        rows += [(f"g{g}", j, int(x)) for j, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    got = {r.g: r for r in grubbs_test(df, value_col="v", id_col="id",
+                                       group_cols=["g"]).collect()}
+    for g, (n, i, gs) in expect.items():
+        assert got[g].n == n and got[g].outlier_id == i
+        if gs is None:
+            assert got[g].g_stat is None
+        else:
+            assert got[g].g_stat == pytest.approx(gs, rel=1e-12)
+
+
+def test_grubbs_ties_and_small_n(spark):
+    from kml2geojson_spark.relational import grubbs_test
+
+    # symmetric pair of extremes: tie on |dev| -> smallest id wins
+    rows = [("a", 1, -10), ("a", 2, 10), ("a", 3, 0), ("a", 4, 0)]
+    # n = 2 -> g NULL
+    rows += [("b", 1, 0), ("b", 2, 4)]
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    got = {r.g: r for r in grubbs_test(df, value_col="v", id_col="id",
+                                       group_cols=["g"]).collect()}
+    assert got["a"].outlier_id == 1
+    assert got["b"].g_stat is None and got["b"].n == 2
+
+
+# ---------------------------------------------------------------------------
+# jarque_bera
+# ---------------------------------------------------------------------------
+
+def test_jarque_bera_matches_numpy(spark):
+    from kml2geojson_spark.relational import jarque_bera
+
+    rng = np.random.default_rng(5)
+    rows, expect = [], {}
+    for g in range(6):
+        n = int(rng.integers(4, 200))
+        xs = rng.integers(-500, 501, size=n).tolist()
+        a = np.array(xs, dtype=float)
+        m2 = ((a - a.mean()) ** 2).mean()
+        m3 = ((a - a.mean()) ** 3).mean()
+        m4 = ((a - a.mean()) ** 4).mean()
+        if m2 == 0:
+            expect[f"g{g}"] = (n, None, None, None)
+        else:
+            s = m3 / m2 ** 1.5
+            k = m4 / m2 ** 2 - 3.0
+            expect[f"g{g}"] = (n, s, k, n / 6.0 * (s * s + k * k / 4.0))
+        rows += [(f"g{g}", int(x)) for x in xs]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {r.g: r for r in jarque_bera(df, value_col="v",
+                                       group_cols=["g"]).collect()}
+    for g, (n, s, k, jb) in expect.items():
+        assert got[g].n == n
+        if s is None:
+            assert got[g].jb_stat is None
+        else:
+            assert got[g].skewness == pytest.approx(s, rel=1e-9)
+            assert got[g].ex_kurtosis == pytest.approx(k, rel=1e-9)
+            assert got[g].jb_stat == pytest.approx(jb, rel=1e-9)
+
+
+def test_jarque_bera_degenerate(spark):
+    from kml2geojson_spark.relational import jarque_bera
+
+    rows = [("const", 7)] * 10 + [("tiny", 1), ("tiny", 2),
+                                  ("tiny", 3)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {r.g: r for r in jarque_bera(df, value_col="v",
+                                       group_cols=["g"]).collect()}
+    assert got["const"].jb_stat is None       # zero variance
+    assert got["tiny"].jb_stat is None        # n < 4
+
+
+# ---------------------------------------------------------------------------
+# mcnemar_test
+# ---------------------------------------------------------------------------
+
+def test_mcnemar_hand_case(spark):
+    from kml2geojson_spark.relational import mcnemar_test
+
+    # b = 6 (1->0), c = 2 (0->1): chi2 = (|6-2|-1)^2 / 8 = 1.125
+    rows = ([("g", 1, 0)] * 6 + [("g", 0, 1)] * 2
+            + [("g", 1, 1)] * 5 + [("g", 0, 0)] * 3)
+    df = spark.createDataFrame(rows, "g string, before int, after int")
+    r = mcnemar_test(df, before_col="before", after_col="after",
+                     group_cols=["g"]).collect()[0]
+    assert (r.n_pairs, r.b, r.c) == (16, 6, 2)
+    assert r.chi2 == pytest.approx(1.125)
+    # p ~ 0.2888 for z = sqrt(1.125)
+    assert 280_000 < r.p_micro < 300_000
+
+
+def test_mcnemar_no_discordance(spark):
+    from kml2geojson_spark.relational import mcnemar_test
+
+    rows = [("g", 1, 1)] * 4 + [("g", 0, 0)] * 3
+    df = spark.createDataFrame(rows, "g string, before int, after int")
+    r = mcnemar_test(df, before_col="before", after_col="after",
+                     group_cols=["g"]).collect()[0]
+    assert r.chi2 is None and r.p_micro is None and r.n_pairs == 7
+
+
+# ---------------------------------------------------------------------------
+# quantile_normalize
+# ---------------------------------------------------------------------------
+
+def test_quantile_normalize_classic(spark):
+    from kml2geojson_spark.relational import quantile_normalize
+
+    # the wikipedia microarray example (3 distributions x 4 rows)
+    data = {"A": [5, 2, 3, 4], "B": [4, 1, 4, 2], "C": [3, 4, 6, 8]}
+    rows = [(d, i, v) for d, vs in data.items()
+            for i, v in enumerate(vs)]
+    df = spark.createDataFrame(rows, "dist string, id long, v long")
+    out = quantile_normalize(df, value_col="v", id_col="id",
+                             dist_col="dist").collect()
+    got = {(r.dist, r.id): (r.rank, r.normalized) for r in out}
+    # rank-1 values: A->2, B->1, C->3  => mean 2.0
+    # rank-2: A->3, B->2, C->4 => 3.0; rank-3: A->4, B->4(id2), C->6
+    # => 14/3; rank-4: A->5, B->4(id0... wait B sorts (1,2,4,4) by
+    # (v,id): ids 1,3,0,2) -> A 5, B 4, C 8 => 17/3
+    assert got[("A", 1)] == (1, pytest.approx(2.0))
+    assert got[("B", 3)] == (2, pytest.approx(3.0))
+    assert got[("C", 2)] == (3, pytest.approx(14.0 / 3.0))
+    assert got[("A", 0)] == (4, pytest.approx(17.0 / 3.0))
+    # every distribution ends up with the same normalized multiset
+    by_dist = {}
+    for r in out:
+        by_dist.setdefault(r.dist, []).append(round(r.normalized, 9))
+    vals = [sorted(v) for v in by_dist.values()]
+    assert vals[0] == vals[1] == vals[2]
+
+
+def test_quantile_normalize_unequal_sizes(spark):
+    from kml2geojson_spark.relational import quantile_normalize
+
+    rows = [("A", 0, 10), ("A", 1, 20), ("A", 2, 30), ("B", 0, 100)]
+    df = spark.createDataFrame(rows, "dist string, id long, v long")
+    got = {(r.dist, r.id): r.normalized
+           for r in quantile_normalize(df, value_col="v", id_col="id",
+                                       dist_col="dist").collect()}
+    assert got[("A", 0)] == pytest.approx(55.0)   # (10+100)/2
+    assert got[("A", 1)] == pytest.approx(20.0)   # rank 2: only A
+    assert got[("B", 0)] == pytest.approx(55.0)
+
+
+# ---------------------------------------------------------------------------
+# friedman_test
+# ---------------------------------------------------------------------------
+
+def _brute_friedman(blocks):
+    # blocks: list of dict treatment -> value (complete, no dup)
+    k = len(blocks[0])
+    trs = sorted(blocks[0])
+    rsum = dict.fromkeys(trs, 0.0)
+    for b in blocks:
+        vals = sorted(b.values())
+        for t in trs:
+            lo = 1 + sum(v < b[t] for v in vals)
+            hi = sum(v <= b[t] for v in vals)
+            rsum[t] += (lo + hi) / 2.0
+    n = len(blocks)
+    ss = sum(r * r for r in rsum.values())
+    return 12.0 / (n * k * (k + 1)) * ss - 3.0 * n * (k + 1)
+
+
+def test_friedman_matches_brute(spark):
+    from kml2geojson_spark.relational import friedman_test
+
+    rng = np.random.default_rng(9)
+    trs = ["t1", "t2", "t3", "t4"]
+    blocks = []
+    rows = []
+    for b in range(12):
+        d = {t: int(rng.integers(0, 8)) for t in trs}   # ties likely
+        blocks.append(d)
+        rows += [(f"b{b}", t, v) for t, v in d.items()]
+    # an incomplete block must be excluded entirely
+    rows += [("partial", "t1", 3), ("partial", "t2", 5)]
+    df = spark.createDataFrame(rows, "b string, tr string, v long")
+    r = friedman_test(df, block_col="b", treatment_col="tr",
+                      value_col="v").collect()[0]
+    assert r.k_treatments == 4 and r.n_blocks == 12
+    assert r.chi2_f == pytest.approx(_brute_friedman(blocks),
+                                     rel=1e-12)
+
+
+def test_friedman_duplicate_cell_raises(spark):
+    from kml2geojson_spark.relational import friedman_test
+
+    rows = [("b1", "t1", 1), ("b1", "t1", 2), ("b1", "t2", 3)]
+    df = spark.createDataFrame(rows, "b string, tr string, v long")
+    with pytest.raises(ValueError, match="duplicate"):
+        friedman_test(df, block_col="b", treatment_col="tr",
+                      value_col="v")
+
+
+# ---------------------------------------------------------------------------
+# neighbor_jaccard
+# ---------------------------------------------------------------------------
+
+def test_neighbor_jaccard_matches_brute(spark):
+    from kml2geojson_spark.graph import neighbor_jaccard
+
+    rng = np.random.default_rng(21)
+    edges = {(int(rng.integers(0, 12)), int(rng.integers(0, 20)))
+             for _ in range(120)}
+    nbrs = {}
+    for u, w in edges:
+        nbrs.setdefault(u, set()).add(w)
+    expect = {}
+    for a in nbrs:
+        for b in nbrs:
+            if a < b:
+                inter = len(nbrs[a] & nbrs[b])
+                if inter:
+                    expect[(a, b)] = (inter, len(nbrs[a]), len(nbrs[b]),
+                                      inter / len(nbrs[a] | nbrs[b]))
+    df = spark.createDataFrame(sorted(edges), "src long, dst long")
+    got = {(r.node_a, r.node_b): (r.n_common, r.deg_a, r.deg_b,
+                                  r.jaccard)
+           for r in neighbor_jaccard(df).collect()}
+    assert set(got) == set(expect)
+    for k in expect:
+        assert got[k][:3] == expect[k][:3]
+        assert got[k][3] == pytest.approx(expect[k][3], rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# kmv sketch
+# ---------------------------------------------------------------------------
+
+def _h60(v) -> int:
+    return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+
+
+def test_kmv_registers_are_k_smallest(spark):
+    from kml2geojson_spark.sketch import kmv_registers
+
+    vals = [f"item-{i}" for i in range(500)]
+    # duplicates must not matter
+    df = spark.createDataFrame([(v,) for v in vals * 3], "v string")
+    out = kmv_registers(df, "v", k=32).collect()
+    want = sorted({_h60(v) for v in vals})[:32]
+    got = [r.h for r in sorted(out, key=lambda r: r.rn)]
+    assert got == want
+
+
+def test_kmv_estimate_accuracy_and_exact_path(spark):
+    from kml2geojson_spark.sketch import kmv_estimate, kmv_registers
+
+    big = spark.createDataFrame([(f"u{i}",) for i in range(5000)],
+                                "v string")
+    regs = kmv_registers(big, "v", k=256)
+    est = kmv_estimate(regs, k=256).collect()[0]
+    assert est.n_kept == 256
+    assert abs(est.estimate - 5000) / 5000 < 0.2   # ~6% expected err
+    small = spark.createDataFrame([("a",), ("b",), ("a",)], "v string")
+    r = kmv_estimate(kmv_registers(small, "v", k=64), k=64).collect()[0]
+    assert r.n_kept == 2 and r.estimate == 2.0
+
+
+def test_kmv_merge_is_union_retake(spark):
+    from kml2geojson_spark.sketch import kmv_registers
+
+    a = spark.createDataFrame([(f"x{i}",) for i in range(300)],
+                              "v string")
+    b = spark.createDataFrame([(f"x{i}",) for i in range(150, 450)],
+                              "v string")
+    both = a.union(b)
+    direct = [r.h for r in sorted(
+        kmv_registers(both, "v", k=48).collect(), key=lambda r: r.rn)]
+    # merge path: union the two registers tables, dedup, re-take k
+    ra = kmv_registers(a, "v", k=48).select("h")
+    rb = kmv_registers(b, "v", k=48).select("h")
+    merged = sorted({r.h for r in ra.union(rb).collect()})[:48]
+    assert direct == merged
+
+
+# ---------------------------------------------------------------------------
+# hex_bin
+# ---------------------------------------------------------------------------
+
+def _brute_hex(x, y, size):
+    fq = (math.sqrt(3.0) / 3.0 * x - y / 3.0) / size
+    fr = (2.0 / 3.0 * y) / size
+    fs = -fq - fr
+
+    def rnd(v):   # round half away from zero, like Spark/DuckDB ROUND
+        return math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
+
+    rq, rr, rs = rnd(fq), rnd(fr), rnd(fs)
+    dq, dr, ds = abs(rq - fq), abs(rr - fr), abs(rs - fs)
+    if dq > dr and dq > ds:
+        rq = -rr - rs
+    elif dr > ds:
+        rr = -rq - rs
+    return int(rq), int(rr)
+
+
+def test_hex_bin_matches_brute(spark):
+    from kml2geojson_spark.spatial.ops import hex_bin
+
+    rng = np.random.default_rng(31)
+    pts = [(float(x), float(y))
+           for x, y in rng.uniform(-50, 50, size=(400, 2))]
+    from collections import Counter
+    want = Counter(_brute_hex(x, y, 7.5) for x, y in pts)
+    df = spark.createDataFrame(pts, "x double, y double")
+    got = {(r.hq, r.hr): r.n for r in hex_bin(df, size=7.5).collect()}
+    assert got == dict(want)
+
+
+def test_hex_bin_center_and_neighbors(spark):
+    from kml2geojson_spark.spatial.ops import hex_bin
+
+    # hex centers land exactly in their own cell
+    centers = [(0.0, 0.0), (math.sqrt(3.0), 0.0),
+               (math.sqrt(3.0) / 2.0, 1.5)]
+    df = spark.createDataFrame(centers, "x double, y double")
+    got = {(r.hq, r.hr): r.n for r in hex_bin(df, size=1.0).collect()}
+    assert got == {(0, 0): 1, (1, 0): 1, (0, 1): 1}
+
+
+# ---------------------------------------------------------------------------
+# shot_boundaries
+# ---------------------------------------------------------------------------
+
+def test_shot_boundaries_hand_case(spark):
+    from kml2geojson_spark.multimodal import shot_boundaries
+
+    rows = [("m1", 0, 1000), ("m1", 1, 1300), ("m1", 2, 9000),
+            ("m1", 3, 9100), ("m2", 0, 50)]
+    df = spark.createDataFrame(
+        rows, "media_ref string, frame_idx int, byte_sum long")
+    got = {(r.media_ref, r.frame_idx): (r.jump, r.is_boundary)
+           for r in shot_boundaries(df, threshold=2000).collect()}
+    assert got[("m1", 0)] == (None, False)
+    assert got[("m1", 1)] == (300, False)
+    assert got[("m1", 2)] == (7700, True)
+    assert got[("m1", 3)] == (100, False)
+    assert got[("m2", 0)] == (None, False)
+
+
+def test_shot_boundaries_over_real_frames(spark):
+    from kml2geojson_spark.multimodal import (fetch_media_stub,
+                                              frame_checksums,
+                                              sample_frames,
+                                              shot_boundaries)
+
+    refs = spark.createDataFrame(
+        [(f"d{i}", f"media/d{i}.ppm", "ppm", 0) for i in range(6)],
+        "doc_id string, media_ref string, ext string, offset int")
+    cks = frame_checksums(sample_frames(
+        fetch_media_stub(refs, payload="ppm"), n_frames=4))
+    out = shot_boundaries(cks, threshold=500).collect()
+    assert len(out) == 24
+    for r in out:
+        if r.frame_idx == 0:
+            assert r.jump is None and not r.is_boundary
+        else:
+            assert r.jump is not None
+            assert r.is_boundary == (r.jump > 500)
