@@ -11010,6 +11010,231 @@ FROM hx GROUP BY hq, hr
 """
 
 
+def _q300_hex_smooth(spark, sf):
+    """Radius-1 hex k-ring smoothing of the q295 hex raster (7-cell
+    scatter + one hash-aggregate, no join). Round-5 post-pin
+    registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.spatial.ops import hex_bin, hex_smooth
+    cells = hex_bin(_customer_points(spark, sf), size=3.0)
+    return hex_smooth(cells, radius=1)
+
+
+def _o300() -> str:
+    base = _o295()
+    return f"""
+WITH cells AS ({base}),
+offs(dq, dr) AS (VALUES (-1, 0), (-1, 1), (0, -1), (0, 0), (0, 1),
+                        (1, -1), (1, 0))
+SELECT c.hq + o.dq AS hq, c.hr + o.dr AS hr,
+       CAST(SUM(c.n) AS BIGINT) AS smoothed
+FROM cells c, offs o
+GROUP BY c.hq + o.dq, c.hr + o.dr
+"""
+
+
+def _q301_cochran_armitage(spark, sf):
+    """Cochran-Armitage purchase-rate trend over week-of-month dose
+    per small user cohort (cohorts sized so the exact B statistic
+    stays inside the 2^53 cross-engine conversion window — the
+    documented cochran_armitage caveat). Round-5 post-pin
+    registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.relational import cochran_armitage
+    ev = _t(spark, sf, "events")
+    dd = F.datediff(F.col("ts").cast("date"),
+                    F.to_date(F.lit("2024-01-01")))
+    base = (ev.where(F.col("user_id").isNotNull()
+                     & F.col("ts").isNotNull()
+                     & F.col("event_type").isNotNull())
+            .select((F.col("user_id") % 40).alias("cohort"),
+                    F.floor(dd.cast("double") / F.lit(7.0))
+                    .cast("long").alias("week"),
+                    F.when(F.col("event_type") == "purchase", 1)
+                    .otherwise(0).cast("long").alias("purchased")))
+    out = cochran_armitage(base, dose_col="week",
+                           label_col="purchased",
+                           group_cols=["cohort"])
+    return out.select("cohort", "n", "cases",
+                      F.col("a_stat").cast("long").alias("a_stat"),
+                      F.col("b_stat").cast("long").alias("b_stat"),
+                      "z")
+
+
+_O301 = """
+WITH b AS (
+  SELECT user_id % 40 AS g,
+         CAST(FLOOR(
+           datediff('day', DATE '2024-01-01', CAST(ts AS DATE))::DOUBLE
+           / 7.0) AS BIGINT) AS s,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_type IS NOT NULL),
+per AS (
+  SELECT g, s, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS r
+  FROM b GROUP BY g, s),
+agg AS (
+  SELECT g, CAST(SUM(n) AS BIGINT) AS n,
+         CAST(SUM(r) AS BIGINT) AS cases,
+         COUNT(DISTINCT s) AS k,
+         SUM(CAST(s AS HUGEINT) * CAST(r AS HUGEINT)) AS sr,
+         SUM(CAST(s AS HUGEINT) * CAST(n AS HUGEINT)) AS sn,
+         SUM(CAST(s AS HUGEINT) * CAST(s AS HUGEINT)
+             * CAST(n AS HUGEINT)) AS ssn
+  FROM per GROUP BY g),
+st AS (
+  SELECT g, n, cases, k,
+         CAST(n AS HUGEINT) * sr - CAST(cases AS HUGEINT) * sn AS a,
+         CAST(cases AS HUGEINT) * (CAST(n AS HUGEINT)
+                                   - CAST(cases AS HUGEINT))
+         * (CAST(n AS HUGEINT) * ssn - sn * sn) AS bb
+  FROM agg)
+SELECT g AS cohort, n, cases,
+       CAST(a AS BIGINT) AS a_stat, CAST(bb AS BIGINT) AS b_stat,
+       CASE WHEN bb > 0 AND k >= 2 THEN
+         (a::DOUBLE) / SQRT((bb::DOUBLE) / (n::DOUBLE))
+       END AS z
+FROM st
+"""
+
+
+def _q302_durbin_watson(spark, sf):
+    """Durbin-Watson residual autocorrelation of each user's OLS
+    spend trend over the observation index (row number per user —
+    unique, integer, overflow-safe): exact long OLS sums, residuals
+    quantized once to milli-units. Round-5 post-pin registration:
+    in-repo oracle sweep only."""
+    from kml2geojson_spark.relational import durbin_watson
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc())
+    base = (ev.where(F.col("user_id").isNotNull()
+                     & F.col("ts").isNotNull()
+                     & F.col("event_id").isNotNull()
+                     & F.col("value").isNotNull())
+            .select("user_id",
+                    F.round(F.col("value")).cast("long").alias("units"),
+                    F.row_number().over(w).cast("long").alias("t")))
+    return durbin_watson(base, y_col="units", t_col="t",
+                         group_cols=["user_id"])
+
+
+_O302 = """
+WITH b AS (
+  SELECT user_id AS g, ts, event_id,
+         CAST(ROUND(value) AS BIGINT) AS y
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_id IS NOT NULL AND value IS NOT NULL),
+idx AS (
+  SELECT g, y,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY g ORDER BY ts ASC, event_id ASC)
+           AS BIGINT) AS t
+  FROM b),
+mom AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(t) AS BIGINT) AS st, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(t * t) AS BIGINT) AS stt,
+         CAST(SUM(t * y) AS BIGINT) AS sty
+  FROM idx GROUP BY g),
+fit AS (
+  SELECT g, n, st, sy,
+         CASE WHEN (n * stt - st * st) > 0 THEN
+           ((n * sty - st * sy)::DOUBLE)
+           / ((n * stt - st * st)::DOUBLE) END AS b,
+         CASE WHEN (n * stt - st * st) > 0 THEN
+           ((sy::DOUBLE)
+            - (((n * sty - st * sy)::DOUBLE)
+               / ((n * stt - st * st)::DOUBLE)) * (st::DOUBLE))
+           / (n::DOUBLE) END AS a
+  FROM mom),
+res AS (
+  SELECT i.g, i.t, f.n, f.a, f.b,
+         CAST(FLOOR(((i.y::DOUBLE)
+                     - (f.a + f.b * (i.t::DOUBLE))) * 1000.0 + 0.5)
+              AS BIGINT) AS em
+  FROM idx i JOIN fit f USING (g)),
+lagd AS (
+  SELECT g, n, a, b, em,
+         em - LAG(em, 1) OVER (PARTITION BY g ORDER BY t ASC) AS dm
+  FROM res),
+fin AS (
+  SELECT g, MAX(n) AS n, MAX(b) AS slope, MAX(a) AS intercept,
+         CAST(SUM(dm * dm) AS BIGINT) AS sd2,
+         CAST(SUM(em * em) AS BIGINT) AS se2
+  FROM lagd GROUP BY g)
+SELECT g AS user_id, n, slope, intercept,
+       CASE WHEN n >= 3 AND slope IS NOT NULL AND se2 > 0 THEN
+         (sd2::DOUBLE) / (se2::DOUBLE) END AS dw
+FROM fin
+"""
+
+
+def _q303_cliffs_delta(spark, sf):
+    """Cliff's delta effect size of purchase vs view spend per user
+    cohort — rank-identity form (no pair join), exact BIGINT
+    numerator, banded magnitude label. Round-5 post-pin
+    registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.relational import cliffs_delta
+    ev = _t(spark, sf, "events")
+    base = (ev.where(F.col("event_type").isin("purchase", "view")
+                     & F.col("user_id").isNotNull()
+                     & F.col("value").isNotNull())
+            .select((F.col("user_id") % 8).alias("cohort"),
+                    F.round(F.col("value")).cast("long").alias("units"),
+                    F.when(F.col("event_type") == "purchase", 1)
+                    .otherwise(0).cast("long").alias("is_a")))
+    return cliffs_delta(base, value_col="units", flag_col="is_a",
+                        group_cols=["cohort"])
+
+
+_O303 = """
+WITH b AS (
+  SELECT user_id % 8 AS g, CAST(ROUND(value) AS BIGINT) AS x,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS f
+  FROM events
+  WHERE event_type IN ('purchase', 'view')
+    AND user_id IS NOT NULL AND value IS NOT NULL),
+r AS (
+  SELECT g, f,
+         CAST(RANK() OVER (PARTITION BY g ORDER BY x ASC)
+              AS BIGINT) AS rlo,
+         CAST(RANK() OVER (PARTITION BY g ORDER BY x DESC)
+              AS BIGINT) AS rrev,
+         CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n
+  FROM b),
+agg AS (
+  SELECT g,
+         CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_a,
+         CAST(SUM(CASE WHEN f = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_b,
+         CAST(SUM(CASE WHEN f = 1 THEN rlo + (n + 1 - rrev)
+                  ELSE 0 END) AS BIGINT) AS r2a
+  FROM r GROUP BY g),
+st AS (
+  SELECT g, n_a, n_b,
+         r2a - n_a * (n_a + 1) - n_a * n_b AS num
+  FROM agg),
+fin AS (
+  SELECT g, n_a, n_b, num,
+         CASE WHEN n_a > 0 AND n_b > 0 THEN
+           (num::DOUBLE) / ((n_a * n_b)::DOUBLE) END AS delta
+  FROM st)
+SELECT g AS cohort, n_a, n_b,
+       CASE WHEN n_a > 0 AND n_b > 0 THEN num END AS delta_num,
+       delta,
+       CASE WHEN n_a > 0 AND n_b > 0 THEN
+         CASE WHEN ABS(delta) < 0.147 THEN 'negligible'
+              WHEN ABS(delta) < 0.33 THEN 'small'
+              WHEN ABS(delta) < 0.474 THEN 'medium'
+              ELSE 'large' END
+       END AS magnitude
+FROM fin
+"""
+
+
 def _q296_quantile_normalize(spark, sf):
     """Quantile normalization of document lengths across sources —
     every source ends up with an identical length distribution
@@ -11484,6 +11709,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q297_neighbor_jaccard": _q297_neighbor_jaccard,
         "q298_shot_boundaries": _q298_shot_boundaries,
         "q299_friedman": _q299_friedman,
+        "q300_hex_smooth": _q300_hex_smooth,
+        "q301_cochran_armitage": _q301_cochran_armitage,
+        "q302_durbin_watson": _q302_durbin_watson,
+        "q303_cliffs_delta": _q303_cliffs_delta,
     }
 
 
@@ -11771,6 +12000,10 @@ def oracle_sql() -> dict[str, str]:
         "q297_neighbor_jaccard": _O297,
         "q298_shot_boundaries": _O298,
         "q299_friedman": _O299,
+        "q300_hex_smooth": _o300(),
+        "q301_cochran_armitage": _O301,
+        "q302_durbin_watson": _O302,
+        "q303_cliffs_delta": _O303,
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

@@ -4790,3 +4790,218 @@ def friedman_test(df: DataFrame, *, block_col: str,
     return tot.select("k_treatments", "n_blocks",
                       F.when(ok, chi2).alias("chi2_f"),
                       "rank_sums")
+
+
+def cochran_armitage(df: DataFrame, *, dose_col: str, label_col: str,
+                     group_cols: list[str]) -> DataFrame:
+    """Cochran–Armitage trend test per group — "does the event RATE
+    rise with the ordered dose?": for categories with integer dose
+    score s, totals n_s and cases r_s, the trend statistic is
+    ``z = A / sqrt(B / N)`` with the exact integer numerators
+    ``A = N·Σs·r − R·Σs·n`` and
+    ``B = R·(N−R)·(N·Σs²·n − (Σs·n)²)`` (N = total rows, R = total
+    cases). The ORDERED complement to :func:`chi2`'s unordered k×2
+    association — a monotone dose–response spends all its power on
+    one degree of freedom.
+
+    Determinism: doses and labels must be INTEGER (floats raise;
+    labels must be 0/1 — violators raise at action time); A and B
+    are exact DECIMAL(38,0)/HUGEINT arithmetic, z is one
+    correctly-rounded IEEE tree. Oracle-comparison caveat (the
+    :func:`jarque_bera` rule): B's exact→double conversion is only
+    guaranteed identical cross-engine while B < 2⁵³ — keep
+    |dose| ≤ ~10 and group sizes ≤ ~10⁵, or quantize z before
+    comparing.
+
+    Scale shape: one per-(group, dose) hash-aggregate, one per-group
+    reduce — two shuffles on the group key, no window, no join.
+
+    Output: (group..., n BIGINT, cases BIGINT, a_stat exact,
+    b_stat exact, z DOUBLE — NULL when B ≤ 0 or fewer than two
+    doses).
+    """
+    _require_integer(df, dose_col, "cochran_armitage")
+    _require_integer(df, label_col, "cochran_armitage")
+    if not group_cols:
+        raise ValueError("cochran_armitage: group_cols must be non-empty")
+    keep = (F.col(dose_col).isNotNull() & F.col(label_col).isNotNull())
+    for c in group_cols:
+        keep = keep & F.col(c).isNotNull()
+    lab = F.col(label_col).cast("long")
+    chk = F.when((lab == 0) | (lab == 1), lab).otherwise(
+        F.raise_error(F.concat(
+            F.lit("cochran_armitage: label must be 0/1, got "),
+            lab.cast("string"))))
+    base = df.where(keep).select(
+        *group_cols, F.col(dose_col).cast("long").alias("_s"),
+        chk.alias("_y"))
+    per = (base.groupBy(*group_cols, "_s")
+           .agg(F.count(F.lit(1)).cast("long").alias("_n"),
+                F.sum("_y").alias("_r")))
+    sd = F.col("_s").cast("decimal(38,0)")
+    nd = F.col("_n").cast("decimal(38,0)")
+    rd = F.col("_r").cast("decimal(38,0)")
+    agg = (per.groupBy(*group_cols)
+           .agg(F.sum("_n").alias("n"),
+                F.sum("_r").alias("cases"),
+                F.countDistinct("_s").alias("_k"),
+                F.sum(sd * rd).alias("_sr"),
+                F.sum(sd * nd).alias("_sn"),
+                F.sum(sd * sd * nd).alias("_ssn")))
+    nn = F.col("n").cast("decimal(38,0)")
+    rr = F.col("cases").cast("decimal(38,0)")
+    a = (nn * F.col("_sr") - rr * F.col("_sn"))
+    b = (rr * (nn - rr)
+         * (nn * F.col("_ssn") - F.col("_sn") * F.col("_sn")))
+    z = (a.cast("double")
+         / F.sqrt(b.cast("double") / F.col("n").cast("double")))
+    ok = (b > 0) & (F.col("_k") >= 2)
+    return agg.select(*group_cols, "n", "cases",
+                      a.alias("a_stat"), b.alias("b_stat"),
+                      F.when(ok, z).alias("z"))
+
+
+def durbin_watson(df: DataFrame, *, y_col: str, t_col: str,
+                  group_cols: list[str]) -> DataFrame:
+    """Durbin–Watson serial-correlation statistic of per-group OLS
+    residuals — "after the trend line, are the errors still
+    correlated in time?" (DW ≈ 2 → none, → 0 positive, → 4
+    negative): fit y = a + b·t by least squares, then
+    ``DW = Σ(e_t − e_{t−1})² / Σe_t²`` over the time-ordered
+    residuals. The residual-diagnostics complement to
+    :func:`lag_autocorr`'s raw-series view and :func:`group_ols`'s
+    fit itself.
+
+    Determinism: y and t must be INTEGER (floats raise); the OLS
+    slope/intercept are fixed IEEE trees over exact BIGINT sums, and
+    each residual is quantized ONCE to milli-units
+    (``floor(e·1000 + 0.5)`` — documented approximation) so both DW
+    sums are exact BIGINTs and the final division is one
+    correctly-rounded IEEE op. Keep |y| ≤ ~10⁶ and per-group n ≤
+    ~10⁶ so the milli-residual square sums stay < 2⁵³ (the
+    :func:`jarque_bera` conversion window). ``t_col`` must be unique
+    per group.
+
+    Scale shape: one hash-aggregate for the OLS sums, one join back
+    on the group key, one LAG window sharing that partitioning, one
+    final reduce.
+
+    Output: (group..., n BIGINT, slope DOUBLE, intercept DOUBLE,
+    dw DOUBLE — NULL when n < 3, the t-values are all equal, or all
+    residuals quantize to zero).
+    """
+    _require_integer(df, y_col, "durbin_watson")
+    _require_integer(df, t_col, "durbin_watson")
+    if not group_cols:
+        raise ValueError("durbin_watson: group_cols must be non-empty")
+    keep = (F.col(y_col).isNotNull() & F.col(t_col).isNotNull())
+    for c in group_cols:
+        keep = keep & F.col(c).isNotNull()
+    base = df.where(keep).select(
+        *group_cols, F.col(t_col).cast("long").alias("_t"),
+        F.col(y_col).cast("long").alias("_y"))
+    mom = (base.groupBy(*group_cols)
+           .agg(F.count(F.lit(1)).cast("long").alias("_n"),
+                F.sum("_t").alias("_st"),
+                F.sum("_y").alias("_sy"),
+                F.sum(F.col("_t") * F.col("_t")).alias("_stt"),
+                F.sum(F.col("_t") * F.col("_y")).alias("_sty")))
+    nn = F.col("_n").cast("double")
+    den = (F.col("_n") * F.col("_stt")
+           - F.col("_st") * F.col("_st")).cast("double")
+    num = (F.col("_n") * F.col("_sty")
+           - F.col("_st") * F.col("_sy")).cast("double")
+    mom = (mom.withColumn("_b", F.when(den > 0, num / den))
+           .withColumn("_a", (F.col("_sy").cast("double")
+                              - F.col("_b") * F.col("_st").cast("double"))
+                       / nn))
+    j = base.join(mom, group_cols)
+    e = (F.col("_y").cast("double")
+         - (F.col("_a") + F.col("_b") * F.col("_t").cast("double")))
+    em = F.floor(e * F.lit(1000.0) + F.lit(0.5)).cast("long")
+    w = Window.partitionBy(*group_cols).orderBy(F.col("_t").asc())
+    lagd = (j.withColumn("_em", em)
+            .withColumn("_dm", F.col("_em") - F.lag("_em", 1).over(w)))
+    out = (lagd.groupBy(*group_cols)
+           .agg(F.max("_n").alias("n"),
+                F.max("_b").alias("slope"),
+                F.max("_a").alias("intercept"),
+                F.sum(F.col("_dm") * F.col("_dm")).alias("_sd2"),
+                F.sum(F.col("_em") * F.col("_em")).alias("_se2")))
+    ok = (F.col("n") >= 3) & F.col("slope").isNotNull() \
+        & (F.col("_se2") > 0)
+    return out.select(*group_cols, "n", "slope", "intercept",
+                      F.when(ok, F.col("_sd2").cast("double")
+                             / F.col("_se2").cast("double"))
+                      .alias("dw"))
+
+
+def cliffs_delta(df: DataFrame, *, value_col: str, flag_col: str,
+                 group_cols: list[str]) -> DataFrame:
+    """Cliff's delta ordinal effect size per group —
+    ``δ = P(x_A > x_B) − P(x_A < x_B)`` between the flag=1 (A) and
+    flag=0 (B) samples — the magnitude companion to
+    :func:`mannwhitney`'s significance: δ ∈ [−1, 1] with the
+    conventional |δ| bands negligible < 0.147 ≤ small < 0.33 ≤
+    medium < 0.474 ≤ large.
+
+    Algorithm (rank identity, NO pair join): with combined average
+    ranks carried as the exact integer 2R = r_min + r_max,
+    ``2·U_A = Σ_A 2R − n_A(n_A + 1)`` counts ties at ½ each, and
+    ``δ = (2·U_A − n_A·n_B) / (n_A·n_B)`` exactly — one rank window
+    pair + one reduce, O(n log n).
+
+    Determinism: values must be INTEGER (floats raise); flags must
+    be 0/1 (violators raise at action time); the numerator is an
+    exact BIGINT and δ is one correctly-rounded IEEE division (keep
+    n_A·n_B < 2⁵³ — any realistic group). Band edges compare that
+    exact-ratio double against fixed literals.
+
+    Scale shape: two rank windows sharing one hash partitioning on
+    the group key, one reduce. No join, no pairs.
+
+    Output: (group..., n_a BIGINT, n_b BIGINT, delta_num BIGINT,
+    delta DOUBLE, magnitude STRING — delta NULL when either sample
+    is empty).
+    """
+    _require_integer(df, value_col, "cliffs_delta")
+    _require_integer(df, flag_col, "cliffs_delta")
+    if not group_cols:
+        raise ValueError("cliffs_delta: group_cols must be non-empty")
+    keep = (F.col(value_col).isNotNull() & F.col(flag_col).isNotNull())
+    for c in group_cols:
+        keep = keep & F.col(c).isNotNull()
+    fl = F.col(flag_col).cast("long")
+    chk = F.when((fl == 0) | (fl == 1), fl).otherwise(
+        F.raise_error(F.concat(
+            F.lit("cliffs_delta: flag must be 0/1, got "),
+            fl.cast("string"))))
+    base = df.where(keep).select(
+        *group_cols, F.col(value_col).cast("long").alias("_x"),
+        chk.alias("_f"))
+    g = Window.partitionBy(*group_cols)
+    r_lo = F.rank().over(g.orderBy(F.col("_x").asc())).cast("long")
+    r_rev = F.rank().over(g.orderBy(F.col("_x").desc())).cast("long")
+    n = F.count(F.lit(1)).over(g).cast("long")
+    r2 = r_lo + (n + 1 - r_rev)
+    agg = (base.withColumn("_r2", r2)
+           .groupBy(*group_cols)
+           .agg(F.sum(F.when(F.col("_f") == 1, 1).otherwise(0))
+                .cast("long").alias("n_a"),
+                F.sum(F.when(F.col("_f") == 0, 1).otherwise(0))
+                .cast("long").alias("n_b"),
+                F.sum(F.when(F.col("_f") == 1, F.col("_r2"))
+                      .otherwise(0)).cast("long").alias("_r2a")))
+    num = (F.col("_r2a") - F.col("n_a") * (F.col("n_a") + 1)
+           - F.col("n_a") * F.col("n_b"))
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    delta = num.cast("double") / (F.col("n_a") * F.col("n_b")) \
+        .cast("double")
+    mag = (F.when(F.abs(delta) < 0.147, "negligible")
+           .when(F.abs(delta) < 0.33, "small")
+           .when(F.abs(delta) < 0.474, "medium")
+           .otherwise("large"))
+    return agg.select(*group_cols, "n_a", "n_b",
+                      F.when(ok, num).alias("delta_num"),
+                      F.when(ok, delta).alias("delta"),
+                      F.when(ok, mag).alias("magnitude"))

@@ -3839,3 +3839,38 @@ def hex_bin(points: DataFrame, *, x_col: str = "x", y_col: str = "y",
             .select(hq.alias("hq"), hr.alias("hr"))
             .groupBy("hq", "hr")
             .agg(F.count(F.lit(1)).alias("n")))
+
+
+def hex_smooth(cells: DataFrame, *, radius: int = 1,
+               hq_col: str = "hq", hr_col: str = "hr",
+               n_col: str = "n") -> DataFrame:
+    """Box-kernel k-ring smoothing of a :func:`hex_bin` raster — the
+    hexagonal twin of :func:`cell_smooth`: every hex scatters its
+    count to each hex within axial-ring distance ``radius`` (itself
+    included; the radius-r hex ring is the (dq, dr) set with
+    |dq| ≤ r, |dr| ≤ r, |dq + dr| ≤ r — 1 + 3r(r+1) cells), and the
+    output carries the summed value over the dilated support. Unlike
+    the quadtree grid there is no wrap/clamp: axial coords are
+    unbounded.
+
+    Scale shape: literal offset explode (all whole-stage codegen,
+    zero Python) then ONE ``groupBy(hq, hr)`` hash aggregate with
+    map-side combine — no join, the :func:`cell_smooth` shape
+    exactly.
+
+    Output: (hq BIGINT, hr BIGINT, smoothed BIGINT).
+    """
+    if radius < 0:
+        raise ValueError("radius must be >= 0")
+    offs = F.array(*[F.struct(F.lit(dq).alias("dq"),
+                              F.lit(dr).alias("dr"))
+                     for dq in range(-radius, radius + 1)
+                     for dr in range(-radius, radius + 1)
+                     if abs(dq + dr) <= radius])
+    d = (cells.select(F.col(hq_col).alias("_q"),
+                      F.col(hr_col).alias("_r"),
+                      F.col(n_col).alias("_n"))
+         .withColumn("_o", F.explode(offs)))
+    return (d.groupBy((F.col("_q") + F.col("_o.dq")).alias("hq"),
+                      (F.col("_r") + F.col("_o.dr")).alias("hr"))
+            .agg(F.sum("_n").alias("smoothed")))

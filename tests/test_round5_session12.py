@@ -449,3 +449,205 @@ def test_shot_boundaries_over_real_frames(spark):
         else:
             assert r.jump is not None
             assert r.is_boundary == (r.jump > 500)
+
+
+# ---------------------------------------------------------------------------
+# hex_smooth
+# ---------------------------------------------------------------------------
+
+def test_hex_smooth_matches_brute(spark):
+    from kml2geojson_spark.spatial.ops import hex_smooth
+
+    rng = np.random.default_rng(41)
+    cells = {(int(q), int(r)): int(n) for q, r, n in
+             zip(rng.integers(-5, 6, 30), rng.integers(-5, 6, 30),
+                 rng.integers(1, 9, 30))}
+    offs = [(dq, dr) for dq in (-1, 0, 1) for dr in (-1, 0, 1)
+            if abs(dq + dr) <= 1]
+    assert len(offs) == 7
+    from collections import Counter
+    want = Counter()
+    for (q, r), n in cells.items():
+        for dq, dr in offs:
+            want[(q + dq, r + dr)] += n
+    df = spark.createDataFrame(
+        [(q, r, n) for (q, r), n in cells.items()],
+        "hq long, hr long, n long")
+    got = {(r.hq, r.hr): r.smoothed
+           for r in hex_smooth(df, radius=1).collect()}
+    assert got == dict(want)
+
+
+def test_hex_smooth_radius0_identity(spark):
+    from kml2geojson_spark.spatial.ops import hex_smooth
+
+    df = spark.createDataFrame([(0, 0, 5), (2, -1, 3)],
+                               "hq long, hr long, n long")
+    got = {(r.hq, r.hr): r.smoothed
+           for r in hex_smooth(df, radius=0).collect()}
+    assert got == {(0, 0): 5, (2, -1): 3}
+
+
+# ---------------------------------------------------------------------------
+# cochran_armitage
+# ---------------------------------------------------------------------------
+
+def _brute_ca(rows):
+    # rows: (dose, label)
+    from collections import defaultdict
+    n_s, r_s = defaultdict(int), defaultdict(int)
+    for s, y in rows:
+        n_s[s] += 1
+        r_s[s] += y
+    N = sum(n_s.values())
+    R = sum(r_s.values())
+    sr = sum(s * r_s[s] for s in n_s)
+    sn = sum(s * n_s[s] for s in n_s)
+    ssn = sum(s * s * n_s[s] for s in n_s)
+    A = N * sr - R * sn
+    B = R * (N - R) * (N * ssn - sn * sn)
+    z = A / math.sqrt(B / N) if B > 0 and len(n_s) >= 2 else None
+    return N, R, A, B, z
+
+
+def test_cochran_armitage_matches_brute(spark):
+    from kml2geojson_spark.relational import cochran_armitage
+
+    rng = np.random.default_rng(17)
+    rows, expect = [], {}
+    for g in range(5):
+        data = [(int(s), int(rng.random() < 0.2 + 0.15 * s))
+                for s in rng.integers(0, 4, size=60)]
+        expect[f"g{g}"] = _brute_ca(data)
+        rows += [(f"g{g}", s, y) for s, y in data]
+    # degenerate: single dose level -> z NULL
+    rows += [("one", 2, 1), ("one", 2, 0)]
+    df = spark.createDataFrame(rows, "g string, dose long, y long")
+    got = {r.g: r for r in cochran_armitage(
+        df, dose_col="dose", label_col="y",
+        group_cols=["g"]).collect()}
+    for g, (N, R, A, B, z) in expect.items():
+        r = got[g]
+        assert (r.n, r.cases, int(r.a_stat), int(r.b_stat)) == \
+            (N, R, A, B)
+        if z is None:
+            assert r.z is None
+        else:
+            assert r.z == pytest.approx(z, rel=1e-12)
+    assert got["one"].z is None
+
+
+def test_cochran_armitage_rejects_bad_label(spark):
+    from kml2geojson_spark.relational import cochran_armitage
+
+    df = spark.createDataFrame([("g", 1, 2)],
+                               "g string, dose long, y long")
+    with pytest.raises(Exception, match="0/1"):
+        cochran_armitage(df, dose_col="dose", label_col="y",
+                         group_cols=["g"]).collect()
+
+
+# ---------------------------------------------------------------------------
+# durbin_watson
+# ---------------------------------------------------------------------------
+
+def _brute_dw(pts):
+    n = len(pts)
+    st = sum(t for t, _ in pts)
+    sy = sum(y for _, y in pts)
+    stt = sum(t * t for t, _ in pts)
+    sty = sum(t * y for t, y in pts)
+    den = n * stt - st * st
+    if den <= 0:
+        return None
+    b = (n * sty - st * sy) / den
+    a = (sy - b * st) / n
+    em = [math.floor((y - (a + b * t)) * 1000.0 + 0.5)
+          for t, y in sorted(pts)]
+    se2 = sum(e * e for e in em)
+    if n < 3 or se2 == 0:
+        return None
+    sd2 = sum((em[i] - em[i - 1]) ** 2 for i in range(1, len(em)))
+    return sd2 / se2
+
+
+def test_durbin_watson_matches_brute(spark):
+    from kml2geojson_spark.relational import durbin_watson
+
+    rng = np.random.default_rng(23)
+    rows, expect = [], {}
+    for g in range(6):
+        n = int(rng.integers(3, 40))
+        ts = sorted(rng.choice(500, size=n, replace=False).tolist())
+        ys = [int(3 * t + rng.integers(-40, 41)) for t in ts]
+        pts = list(zip(ts, ys))
+        expect[f"g{g}"] = _brute_dw(pts)
+        rows += [(f"g{g}", t, y) for t, y in pts]
+    df = spark.createDataFrame(rows, "g string, t long, y long")
+    got = {r.g: r.dw for r in durbin_watson(
+        df, y_col="y", t_col="t", group_cols=["g"]).collect()}
+    for g, dw in expect.items():
+        if dw is None:
+            assert got[g] is None
+        else:
+            assert got[g] == pytest.approx(dw, rel=1e-12)
+
+
+def test_durbin_watson_alternating_residuals(spark):
+    from kml2geojson_spark.relational import durbin_watson
+
+    # residuals alternate +-1 around a flat line: DW -> ~4
+    rows = [("g", t, 100 + (1 if t % 2 == 0 else -1))
+            for t in range(40)]
+    df = spark.createDataFrame(rows, "g string, t long, y long")
+    r = durbin_watson(df, y_col="y", t_col="t",
+                      group_cols=["g"]).collect()[0]
+    assert r.dw is not None and r.dw > 3.5
+
+
+# ---------------------------------------------------------------------------
+# cliffs_delta
+# ---------------------------------------------------------------------------
+
+def _brute_cliffs(a_vals, b_vals):
+    gt = sum(1 for a in a_vals for b in b_vals if a > b)
+    lt = sum(1 for a in a_vals for b in b_vals if a < b)
+    return (gt - lt), (gt - lt) / (len(a_vals) * len(b_vals))
+
+
+def test_cliffs_delta_matches_brute(spark):
+    from kml2geojson_spark.relational import cliffs_delta
+
+    rng = np.random.default_rng(29)
+    rows, expect = [], {}
+    for g in range(6):
+        na, nb = int(rng.integers(2, 25)), int(rng.integers(2, 25))
+        a = rng.integers(0, 10, size=na).tolist()   # ties guaranteed
+        b = rng.integers(0, 10, size=nb).tolist()
+        expect[f"g{g}"] = (na, nb) + _brute_cliffs(a, b)
+        rows += [(f"g{g}", int(v), 1) for v in a]
+        rows += [(f"g{g}", int(v), 0) for v in b]
+    df = spark.createDataFrame(rows, "g string, v long, f long")
+    got = {r.g: r for r in cliffs_delta(
+        df, value_col="v", flag_col="f", group_cols=["g"]).collect()}
+    for g, (na, nb, num, delta) in expect.items():
+        r = got[g]
+        assert (r.n_a, r.n_b, r.delta_num) == (na, nb, num)
+        assert r.delta == pytest.approx(delta, rel=1e-12)
+
+
+def test_cliffs_delta_magnitude_bands(spark):
+    from kml2geojson_spark.relational import cliffs_delta
+
+    rows = ([("sep", v, 1) for v in (10, 11, 12)]
+            + [("sep", v, 0) for v in (1, 2, 3)]       # delta = 1
+            + [("same", v, 1) for v in (5, 5)]
+            + [("same", v, 0) for v in (5, 5)]          # delta = 0
+            + [("onesided", 1, 1), ("onesided", 2, 1)])  # no B rows
+    df = spark.createDataFrame(rows, "g string, v long, f long")
+    got = {r.g: r for r in cliffs_delta(
+        df, value_col="v", flag_col="f", group_cols=["g"]).collect()}
+    assert got["sep"].delta == 1.0 and got["sep"].magnitude == "large"
+    assert got["same"].delta == 0.0
+    assert got["same"].magnitude == "negligible"
+    assert got["onesided"].delta is None
