@@ -11235,6 +11235,142 @@ FROM fin
 """
 
 
+def _q304_boxplot(spark, sf):
+    """Tukey boxplot five-number summary + fence outlier counts per
+    order priority over total price cents (exact rank-selected
+    quartiles). Round-5 post-pin registration: in-repo oracle sweep
+    only."""
+    from kml2geojson_spark.relational import boxplot_stats
+    o = _t(spark, sf, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100.0).cast("long")
+        .alias("cents"))
+    return boxplot_stats(o, value_col="cents",
+                         group_cols=["o_orderpriority"])
+
+
+_O304 = """
+WITH b AS (
+  SELECT o_orderpriority AS g,
+         CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS x
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL),
+st AS (
+  SELECT g, x,
+         CAST(ROW_NUMBER() OVER (PARTITION BY g ORDER BY x ASC)
+              AS BIGINT) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n
+  FROM b),
+q AS (
+  SELECT g, MAX(n) AS n,
+         MAX(CASE WHEN rn = CAST(CEIL((n::DOUBLE) / 4.0) AS BIGINT)
+                  THEN x END) AS q1,
+         MAX(CASE WHEN rn = CAST(FLOOR(((n + 1)::DOUBLE) / 2.0)
+                                 AS BIGINT) THEN x END) AS median,
+         MAX(CASE WHEN rn = CAST(CEIL(3.0 * (n::DOUBLE) / 4.0)
+                                 AS BIGINT) THEN x END) AS q3
+  FROM st GROUP BY g),
+qq AS (
+  SELECT g, n, q1, median, q3, q3 - q1 AS iqr,
+         (q1::DOUBLE) - 1.5 * ((q3 - q1)::DOUBLE) AS lo_fence,
+         (q3::DOUBLE) + 1.5 * ((q3 - q1)::DOUBLE) AS hi_fence
+  FROM q)
+SELECT qq.g AS o_orderpriority, qq.n, qq.q1, qq.median, qq.q3,
+       qq.iqr, qq.lo_fence, qq.hi_fence,
+       CAST(SUM(CASE WHEN (b.x::DOUBLE) < qq.lo_fence
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+       CAST(SUM(CASE WHEN (b.x::DOUBLE) > qq.hi_fence
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+FROM b JOIN qq USING (g)
+GROUP BY qq.g, qq.n, qq.q1, qq.median, qq.q3, qq.iqr, qq.lo_fence,
+         qq.hi_fence
+"""
+
+
+def _q305_fd_violations(spark, sf):
+    """Functional-dependency audit: users whose events span more than
+    one event type (user_id -> event_type deliberately violated by
+    the data — every multi-type user reports). Round-5 post-pin
+    registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.quality import fd_violations
+    ev = _t(spark, sf, "events")
+    return fd_violations(ev, key_cols=["user_id"],
+                         dep_cols=["event_type"])
+
+
+_O305 = """
+SELECT user_id,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_variants,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM events
+WHERE user_id IS NOT NULL
+GROUP BY user_id
+HAVING COUNT(DISTINCT event_type) > 1
+"""
+
+
+def _q306_source_mix(spark, sf):
+    """Temperature alpha=0.5 source mixing weights over the document
+    sources with a 100k-doc target recipe — micro-quantized sqrt
+    weights, exact normalization. Round-5 post-pin registration:
+    in-repo oracle sweep only."""
+    from kml2geojson_spark.textops import source_mix_weights
+    return source_mix_weights(_t(spark, sf, "documents"),
+                              target_total=100000)
+
+
+_O306 = """
+WITH c AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents WHERE source IS NOT NULL GROUP BY source),
+w AS (
+  SELECT source, n_docs,
+         CAST(FLOOR(SQRT(n_docs::DOUBLE) * 1000000.0 + 0.5)
+              AS BIGINT) AS w_micro
+  FROM c),
+t AS (
+  SELECT source, n_docs, w_micro,
+         CAST(SUM(w_micro) OVER () AS BIGINT) AS tot
+  FROM w)
+SELECT source, n_docs, w_micro,
+       (w_micro::DOUBLE) / (tot::DOUBLE) AS weight,
+       CAST(FLOOR((w_micro::DOUBLE) / (tot::DOUBLE) * 100000.0 + 0.5)
+            AS BIGINT) AS target_docs
+FROM t
+"""
+
+
+def _q307_chao1(spark, sf):
+    """Chao1 vocabulary-richness extrapolation per language over the
+    shared split-lowercase tokenization (exact D/f1/f2, one IEEE
+    division). Round-5 post-pin registration: in-repo oracle sweep
+    only."""
+    from kml2geojson_spark.textops import chao1_richness
+    return chao1_richness(_t(spark, sf, "documents"),
+                          group_cols=["lang"])
+
+
+_O307 = """
+WITH toks AS (
+  SELECT lang, unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+ne AS (SELECT lang, tok FROM toks WHERE tok != ''),
+freq AS (
+  SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM ne GROUP BY lang, tok),
+agg AS (
+  SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS distinct_tokens,
+         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+  FROM freq GROUP BY lang)
+SELECT lang, n_tokens, distinct_tokens, f1, f2,
+       (distinct_tokens::DOUBLE)
+       + ((f1 * (f1 - 1))::DOUBLE) / ((2 * (f2 + 1))::DOUBLE) AS chao1
+FROM agg
+"""
+
+
 def _q296_quantile_normalize(spark, sf):
     """Quantile normalization of document lengths across sources —
     every source ends up with an identical length distribution
@@ -11713,6 +11849,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q301_cochran_armitage": _q301_cochran_armitage,
         "q302_durbin_watson": _q302_durbin_watson,
         "q303_cliffs_delta": _q303_cliffs_delta,
+        "q304_boxplot": _q304_boxplot,
+        "q305_fd_violations": _q305_fd_violations,
+        "q306_source_mix": _q306_source_mix,
+        "q307_chao1": _q307_chao1,
     }
 
 
@@ -12004,6 +12144,10 @@ def oracle_sql() -> dict[str, str]:
         "q301_cochran_armitage": _O301,
         "q302_durbin_watson": _O302,
         "q303_cliffs_delta": _O303,
+        "q304_boxplot": _O304,
+        "q305_fd_violations": _O305,
+        "q306_source_mix": _O306,
+        "q307_chao1": _O307,
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

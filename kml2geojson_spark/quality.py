@@ -602,3 +602,36 @@ def cohens_kappa(df: DataFrame, *, rater_a: str,
         / (n * n - F.col("_pn")).cast("double"))
     return j.select("n", "n_agree", po.alias("po"), pe.alias("pe"),
                     kap.alias("kappa"))
+
+
+def fd_violations(df: DataFrame, *, key_cols: list[str],
+                  dep_cols: list[str]) -> DataFrame:
+    """Functional-dependency audit: which keys map to MORE than one
+    distinct dependent tuple? The "should-be-determined" data-quality
+    check beside :func:`orphan_audit`'s referential view — a clean
+    key→attribute dependency (user → country, order → priority)
+    violated by dirty ingestion shows up here as a key with
+    n_variants > 1.
+
+    Determinism: exact distinct counts — bit-exact cross-engine.
+
+    Scale shape: one distinct on (key, dep) with map-side combine,
+    one hash-aggregate on the key, then the violation filter — two
+    shuffles on the key, no join. The output is bounded by the
+    number of VIOLATING keys (clean data → empty).
+
+    Output: (key..., n_variants BIGINT, n_rows BIGINT) for keys
+    with n_variants > 1.
+    """
+    if not key_cols or not dep_cols:
+        raise ValueError("fd_violations: key_cols and dep_cols must "
+                         "be non-empty")
+    keep = F.lit(True)
+    for c in key_cols:
+        keep = keep & F.col(c).isNotNull()
+    base = df.where(keep)
+    per = (base.groupBy(*key_cols)
+           .agg(F.countDistinct(F.struct(*[F.col(c) for c in dep_cols]))
+                .cast("long").alias("n_variants"),
+                F.count(F.lit(1)).cast("long").alias("n_rows")))
+    return per.where(F.col("n_variants") > 1)

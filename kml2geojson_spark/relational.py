@@ -5005,3 +5005,81 @@ def cliffs_delta(df: DataFrame, *, value_col: str, flag_col: str,
                       F.when(ok, num).alias("delta_num"),
                       F.when(ok, delta).alias("delta"),
                       F.when(ok, mag).alias("magnitude"))
+
+
+def boxplot_stats(df: DataFrame, *, value_col: str,
+                  group_cols: list[str]) -> DataFrame:
+    """Tukey boxplot summary per group — the five-number EDA
+    primitive beside :func:`mad_outliers` (robust flags) and
+    :func:`winsorized_mean` (robust center): exact rank-selected
+    quartiles, the 1.5·IQR fences, and the outlier counts beyond
+    each fence.
+
+    Quartile convention (documented, deterministic): q1 = value at
+    ascending rank ⌈n/4⌉, median = lower median (rank ⌊(n+1)/2⌋),
+    q3 = value at rank ⌈3n/4⌉ — pure order statistics, never
+    interpolated, so every reported quartile is an actual data
+    value.
+
+    Determinism: values must be INTEGER (floats raise); quartiles
+    and IQR are exact BIGINTs; the fences are ONE fixed IEEE tree
+    (q1 − 1.5·IQR) and outlier comparisons cast the exact value to
+    double once — bit-exact cross-engine.
+
+    Scale shape: one rank window (hash-partitioned on the group
+    key), one hash-aggregate picking the three ranks, one join back
+    on the group key for the fence counts — no self-join, no
+    all-pairs.
+
+    Output: (group..., n BIGINT, q1 BIGINT, median BIGINT,
+    q3 BIGINT, iqr BIGINT, lo_fence DOUBLE, hi_fence DOUBLE,
+    n_low BIGINT, n_high BIGINT).
+    """
+    _require_integer(df, value_col, "boxplot_stats")
+    if not group_cols:
+        raise ValueError("boxplot_stats: group_cols must be non-empty")
+    keep = F.col(value_col).isNotNull()
+    for c in group_cols:
+        keep = keep & F.col(c).isNotNull()
+    base = df.where(keep).select(
+        *group_cols, F.col(value_col).cast("long").alias("_x"))
+    g = Window.partitionBy(*group_cols)
+    rn = F.row_number().over(g.orderBy(F.col("_x").asc())).cast("long")
+    n = F.count(F.lit(1)).over(g).cast("long")
+    stamped = (base.withColumn("_rn", rn).withColumn("_n", n)
+               .withColumn("_r1", F.ceil(F.col("_n").cast("double")
+                                         / F.lit(4.0)).cast("long"))
+               .withColumn("_r2", F.floor((F.col("_n") + 1)
+                                          .cast("double") / F.lit(2.0))
+                           .cast("long"))
+               .withColumn("_r3", F.ceil(F.lit(3.0)
+                                         * F.col("_n").cast("double")
+                                         / F.lit(4.0)).cast("long")))
+    q = (stamped.groupBy(*group_cols)
+         .agg(F.max("_n").alias("n"),
+              F.max(F.when(F.col("_rn") == F.col("_r1"), F.col("_x")))
+              .alias("q1"),
+              F.max(F.when(F.col("_rn") == F.col("_r2"), F.col("_x")))
+              .alias("median"),
+              F.max(F.when(F.col("_rn") == F.col("_r3"), F.col("_x")))
+              .alias("q3")))
+    iqr = F.col("q3") - F.col("q1")
+    lo = (F.col("q1").cast("double")
+          - F.lit(1.5) * iqr.cast("double"))
+    hi = (F.col("q3").cast("double")
+          + F.lit(1.5) * iqr.cast("double"))
+    q = (q.withColumn("iqr", iqr).withColumn("lo_fence", lo)
+         .withColumn("hi_fence", hi))
+    j = base.join(q, group_cols)
+    return (j.groupBy(*group_cols)
+            .agg(F.max("n").alias("n"), F.max("q1").alias("q1"),
+                 F.max("median").alias("median"),
+                 F.max("q3").alias("q3"), F.max("iqr").alias("iqr"),
+                 F.max("lo_fence").alias("lo_fence"),
+                 F.max("hi_fence").alias("hi_fence"),
+                 F.sum(F.when(F.col("_x").cast("double")
+                              < F.col("lo_fence"), 1).otherwise(0))
+                 .cast("long").alias("n_low"),
+                 F.sum(F.when(F.col("_x").cast("double")
+                              > F.col("hi_fence"), 1).otherwise(0))
+                 .cast("long").alias("n_high")))

@@ -2106,3 +2106,105 @@ def distinctive_terms(documents: DataFrame, *, group_col: str = "source",
         F.col("zeta_micro").desc(), F.col("token").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
+
+
+def source_mix_weights(docs: DataFrame, *, group_col: str = "source",
+                       alpha: float = 0.5,
+                       target_total: int | None = None) -> DataFrame:
+    """Temperature-based source mixing weights for a training-data
+    recipe: weight each source ∝ count^α and normalize — α = 1
+    reproduces natural proportions, α = 0 uniform, the standard
+    α ≈ 0.5–0.7 upsamples small high-quality sources (the
+    multilingual/pile mixing rule). Completing the sampling family:
+    :func:`quality_quota_sample` enforces per-bucket quotas,
+    :func:`split_assign` deterministic splits — this computes the
+    quota TABLE itself.
+
+    Determinism: count^α routes through libm pow, so the raw weight
+    is quantized ONCE to exact micro-units
+    (``w_micro = floor(count^α·10⁶ + 0.5)``) and the normalization
+    is one correctly-rounded IEEE division of exact BIGINTs —
+    bit-exact cross-engine (α = 0.5 even avoids the pow ulp risk:
+    sqrt is correctly rounded).
+
+    Scale shape: ONE hash-aggregate (source cardinality is tiny) +
+    one unpartitioned window over the aggregated rows — the window
+    input is the source table, never the data.
+
+    Output: (source, n_docs BIGINT, w_micro BIGINT, weight DOUBLE
+    [, target_docs BIGINT when target_total given]).
+    """
+    from pyspark.sql import Window
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    counts = (docs.where(F.col(group_col).isNotNull())
+              .groupBy(F.col(group_col).alias("source"))
+              .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
+    if alpha == 0.5:
+        raw = F.sqrt(F.col("n_docs").cast("double"))
+    else:
+        raw = F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha)))
+    wm = F.floor(raw * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    w = Window.partitionBy()
+    out = (counts.withColumn("w_micro", wm)
+           .withColumn("_tot", F.sum("w_micro").over(w))
+           .withColumn("weight", F.col("w_micro").cast("double")
+                       / F.col("_tot").cast("double")))
+    if target_total is not None:
+        out = out.withColumn(
+            "target_docs",
+            F.floor(F.col("weight") * F.lit(float(target_total))
+                    + F.lit(0.5)).cast("long"))
+    return out.drop("_tot")
+
+
+def chao1_richness(docs: DataFrame, *, text_col: str = "text",
+                   group_cols: list[str]) -> DataFrame:
+    """Chao1 vocabulary-richness estimator per group — "how many
+    token types does this corpus slice REALLY have, including the
+    ones we haven't seen yet?": the abundance-based estimator
+    ``chao1 = D + f1·(f1−1) / (2·(f2+1))`` (bias-corrected form)
+    from the observed distinct count D, singletons f1 and doubletons
+    f2. The coverage extrapolation beside :func:`vocabulary`'s
+    observed counts — a slice whose chao1 far exceeds D is
+    undersampled (more scraping will keep finding new words).
+
+    Tokenization: the :func:`vocabulary` recipe exactly —
+    ``split(lower(text), ' ')``, empty tokens dropped — so the
+    DuckDB replay is shared.
+
+    Determinism: D, f1, f2 and the correction numerator are exact
+    BIGINTs; chao1 is one correctly-rounded IEEE division —
+    bit-exact cross-engine.
+
+    Scale shape: explode → one (group, token) hash-aggregate with
+    map-side combine → one group reduce. Two shuffles, no window
+    over the vocabulary, no join.
+
+    Output: (group..., n_tokens BIGINT, distinct_tokens BIGINT,
+    f1 BIGINT, f2 BIGINT, chao1 DOUBLE).
+    """
+    if not group_cols:
+        raise ValueError("chao1_richness: group_cols must be non-empty")
+    keep = F.col(text_col).isNotNull()
+    for c in group_cols:
+        keep = keep & F.col(c).isNotNull()
+    toks = (docs.where(keep)
+            .select(*group_cols,
+                    F.explode(F.split(F.lower(F.col(text_col)),
+                                      " ")).alias("_tok"))
+            .where(F.col("_tok") != ""))
+    freq = (toks.groupBy(*group_cols, "_tok")
+            .agg(F.count(F.lit(1)).cast("long").alias("_c")))
+    agg = (freq.groupBy(*group_cols)
+           .agg(F.sum("_c").alias("n_tokens"),
+                F.count(F.lit(1)).cast("long").alias("distinct_tokens"),
+                F.sum(F.when(F.col("_c") == 1, 1).otherwise(0))
+                .cast("long").alias("f1"),
+                F.sum(F.when(F.col("_c") == 2, 1).otherwise(0))
+                .cast("long").alias("f2")))
+    chao = (F.col("distinct_tokens").cast("double")
+            + (F.col("f1") * (F.col("f1") - 1)).cast("double")
+            / (F.lit(2) * (F.col("f2") + 1)).cast("double"))
+    return agg.select(*group_cols, "n_tokens", "distinct_tokens",
+                      "f1", "f2", chao.alias("chao1"))

@@ -651,3 +651,110 @@ def test_cliffs_delta_magnitude_bands(spark):
     assert got["same"].delta == 0.0
     assert got["same"].magnitude == "negligible"
     assert got["onesided"].delta is None
+
+
+# ---------------------------------------------------------------------------
+# boxplot_stats
+# ---------------------------------------------------------------------------
+
+def _brute_box(xs):
+    s = sorted(xs)
+    n = len(s)
+    q1 = s[math.ceil(n / 4) - 1]
+    med = s[math.floor((n + 1) / 2) - 1]
+    q3 = s[math.ceil(3 * n / 4) - 1]
+    iqr = q3 - q1
+    lo, hi = q1 - 1.5 * iqr, q3 + 1.5 * iqr
+    return (n, q1, med, q3, iqr,
+            sum(1 for x in s if x < lo), sum(1 for x in s if x > hi))
+
+
+def test_boxplot_stats_matches_brute(spark):
+    from kml2geojson_spark.relational import boxplot_stats
+
+    rng = np.random.default_rng(37)
+    rows, expect = [], {}
+    for g in range(7):
+        n = int(rng.integers(1, 60))
+        xs = rng.integers(-100, 101, size=n).tolist()
+        if g == 0:
+            xs += [10_000, -10_000]        # guaranteed outliers
+        expect[f"g{g}"] = _brute_box(xs)
+        rows += [(f"g{g}", int(x)) for x in xs]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {r.g: (r.n, r.q1, r.median, r.q3, r.iqr, r.n_low, r.n_high)
+           for r in boxplot_stats(df, value_col="v",
+                                  group_cols=["g"]).collect()}
+    assert got == expect
+    assert got["g0"][5] >= 1 and got["g0"][6] >= 1
+
+
+# ---------------------------------------------------------------------------
+# fd_violations
+# ---------------------------------------------------------------------------
+
+def test_fd_violations(spark):
+    from kml2geojson_spark.quality import fd_violations
+
+    rows = [(1, "US", "a"), (1, "US", "b"),      # clean key 1
+            (2, "US", "a"), (2, "DE", "a"),      # violating key 2
+            (3, None, "a"), (3, "FR", "a"),      # NULL is a variant
+            (None, "GB", "a")]                   # NULL key dropped
+    df = spark.createDataFrame(rows, "uid int, country string, x string")
+    got = {r.uid: (r.n_variants, r.n_rows)
+           for r in fd_violations(df, key_cols=["uid"],
+                                  dep_cols=["country"]).collect()}
+    # countDistinct skips NULL structs? struct(NULL) is non-null, so
+    # key 3 has 2 variants (NULL-country struct counts)
+    assert got == {2: (2, 2), 3: (2, 2)}
+
+
+# ---------------------------------------------------------------------------
+# source_mix_weights
+# ---------------------------------------------------------------------------
+
+def test_source_mix_weights(spark):
+    from kml2geojson_spark.textops import source_mix_weights
+
+    rows = [("web",)] * 400 + [("books",)] * 100 + [("code",)] * 25
+    df = spark.createDataFrame(rows, "source string")
+    got = {r.source: r for r in source_mix_weights(
+        df, target_total=1000).collect()}
+    # sqrt weights: 20 : 10 : 5 -> 4/7, 2/7, 1/7
+    assert got["web"].w_micro == 20_000_000
+    assert got["books"].w_micro == 10_000_000
+    assert got["code"].w_micro == 5_000_000
+    assert got["web"].weight == pytest.approx(4 / 7)
+    assert got["code"].target_docs == round(1000 / 7)
+    assert sum(r.weight for r in got.values()) == pytest.approx(1.0)
+    # upsampling: code's share of docs is 25/525 ~ 4.8%, weight 14.3%
+    assert got["code"].weight > 25 / 525
+
+
+# ---------------------------------------------------------------------------
+# chao1_richness
+# ---------------------------------------------------------------------------
+
+def test_chao1_matches_brute(spark):
+    from collections import Counter
+
+    from kml2geojson_spark.textops import chao1_richness
+
+    docs = [("en", "the cat sat on the mat"),
+            ("en", "the dog sat alone"),
+            ("fr", "le chat le chien")]
+    df = spark.createDataFrame(docs, "lang string, text string")
+    expect = {}
+    for lang in ("en", "fr"):
+        c = Counter(t for lg, txt in docs if lg == lang
+                    for t in txt.lower().split(" ") if t)
+        d = len(c)
+        f1 = sum(1 for v in c.values() if v == 1)
+        f2 = sum(1 for v in c.values() if v == 2)
+        expect[lang] = (sum(c.values()), d, f1, f2,
+                        d + f1 * (f1 - 1) / (2 * (f2 + 1)))
+    got = {r.lang: (r.n_tokens, r.distinct_tokens, r.f1, r.f2, r.chao1)
+           for r in chao1_richness(df, group_cols=["lang"]).collect()}
+    for lang, (nt, d, f1, f2, c1) in expect.items():
+        assert got[lang][:4] == (nt, d, f1, f2)
+        assert got[lang][4] == pytest.approx(c1, rel=1e-12)
