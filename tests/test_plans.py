@@ -774,3 +774,94 @@ def test_snm_leads_share_one_window_sort(spark):
     assert plan.count("Window") == 1, plan
     assert plan.count("Exchange") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_pettitt_single_exchange_no_join(spark):
+    """Pettitt: both rank windows, the cumulative U window and the
+    argmax pick all share ONE group-key partitioning — one Exchange,
+    no join, no pair blowup, no Python."""
+    from kml2geojson_spark.relational import pettitt_test
+    df = spark.createDataFrame([("g", 1, 2)], "g string, t long, v long")
+    plan = _plan(pettitt_test(df, value_col="v", order_cols="t",
+                              group_cols=["g"]))
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+
+def test_cliffs_delta_single_exchange_no_join(spark):
+    """Cliff's delta via the rank identity: two rank windows + the
+    reduce share one group partitioning — one Exchange, no pair
+    join."""
+    from kml2geojson_spark.relational import cliffs_delta
+    df = spark.createDataFrame([("g", 1, 1)], "g string, v long, f long")
+    plan = _plan(cliffs_delta(df, value_col="v", flag_col="f",
+                              group_cols=["g"]))
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_jarque_bera_one_hash_aggregate(spark):
+    """JB: four power sums in ONE hash-aggregate with map-side
+    combine — one Exchange, no window, no join (the one-pass shape,
+    not the textbook two-pass)."""
+    from kml2geojson_spark.relational import jarque_bera
+    df = spark.createDataFrame([("g", 1)], "g string, v long")
+    plan = _plan(jarque_bera(df, value_col="v", group_cols=["g"]))
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" not in plan and "Join" not in plan, plan
+
+
+def test_kmv_distinct_then_rank_share_partitioning(spark):
+    """KMV: the distinct and the top-k rank window stay in one
+    Exchange chain, all JVM-side."""
+    from kml2geojson_spark.sketch import kmv_registers
+    df = spark.createDataFrame([("a",)], "v string")
+    plan = _plan(kmv_registers(df, "v", k=4))
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+
+def test_hex_bin_and_smooth_single_aggregate(spark):
+    """Hex binning/smoothing: pure codegen arithmetic (or literal
+    offset explode) then ONE hash-aggregate — one Exchange, no join,
+    no Python."""
+    from kml2geojson_spark.spatial.ops import hex_bin, hex_smooth
+    pts = spark.createDataFrame([(1.0, 2.0)], "x double, y double")
+    p1 = _plan(hex_bin(pts, size=2.0))
+    assert p1.count("Exchange") == 1 and "Join" not in p1, p1
+    cells = spark.createDataFrame([(0, 0, 1)], "hq long, hr long, n long")
+    p2 = _plan(hex_smooth(cells))
+    assert p2.count("Exchange") == 1 and "Join" not in p2, p2
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in p1 and marker not in p2
+
+
+def test_neighbor_jaccard_equi_joins_only(spark):
+    """Neighbor Jaccard: every join is an equi-join keyed on the
+    shared neighbor or the node id — never a nested-loop/cartesian
+    candidate generator."""
+    from kml2geojson_spark.graph import neighbor_jaccard
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    plan = _plan(neighbor_jaccard(e))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_grubbs_boxplot_join_back_is_equi(spark):
+    """Grubbs / boxplot: the moment join-back is an equi-join on the
+    group key — no nested loop, no Python."""
+    from kml2geojson_spark.relational import boxplot_stats, grubbs_test
+    df = spark.createDataFrame([("g", 1, 5)], "g string, id long, v long")
+    for out in (grubbs_test(df, value_col="v", id_col="id",
+                            group_cols=["g"]),
+                boxplot_stats(df, value_col="v", group_cols=["g"])):
+        plan = _plan(out)
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        for marker in ("BatchEvalPython", "ArrowEvalPython",
+                       "MapInPandas"):
+            assert marker not in plan
