@@ -11371,6 +11371,157 @@ FROM agg
 """
 
 
+def _q308_mood_median(spark, sf):
+    """Mood's k-sample median test over whole-unit event values per
+    event type — global lower median via the distinct-value
+    histogram, micro-quantized chi2 contributions summed exactly.
+    Round-5 post-pin registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.relational import mood_median_test
+    ev = _t(spark, sf, "events").select(
+        "event_type",
+        F.round(F.col("value")).cast("long").alias("units"))
+    return mood_median_test(ev, value_col="units",
+                            group_col="event_type")
+
+
+_O308 = """
+WITH b AS (
+  SELECT event_type AS g, CAST(ROUND(value) AS BIGINT) AS x
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+hist AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY x),
+cum AS (
+  SELECT x,
+         CAST(SUM(c) OVER (ORDER BY x ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum,
+         CAST(SUM(c) OVER () AS BIGINT) AS tot
+  FROM hist),
+med AS (
+  SELECT MIN(x) AS med, MAX(tot) AS nt
+  FROM cum
+  WHERE cum >= CAST(FLOOR(((tot + 1)::DOUBLE) / 2.0) AS BIGINT)),
+per AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN b.x > m.med THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_above,
+         MAX(m.nt) AS nt
+  FROM b, med m GROUP BY g),
+tot2 AS (
+  SELECT g, n, n_above, nt,
+         CAST(SUM(n_above) OVER () AS BIGINT) AS a_tot,
+         CAST(COUNT(*) OVER () AS BIGINT) AS k
+  FROM per),
+ct AS (
+  SELECT g, n, n_above, nt, a_tot, k,
+         CASE WHEN a_tot > 0 AND a_tot < nt THEN
+           CAST(FLOOR((
+             ((n_above::DOUBLE) - (n::DOUBLE) * (a_tot::DOUBLE)
+              / (nt::DOUBLE))
+             * ((n_above::DOUBLE) - (n::DOUBLE) * (a_tot::DOUBLE)
+                / (nt::DOUBLE))
+             / ((n::DOUBLE) * (a_tot::DOUBLE) / (nt::DOUBLE))
+             + (((n - n_above)::DOUBLE) - (n::DOUBLE)
+                * ((nt - a_tot)::DOUBLE) / (nt::DOUBLE))
+             * (((n - n_above)::DOUBLE) - (n::DOUBLE)
+                * ((nt - a_tot)::DOUBLE) / (nt::DOUBLE))
+             / ((n::DOUBLE) * ((nt - a_tot)::DOUBLE) / (nt::DOUBLE)))
+             * 1000000.0 + 0.5) AS BIGINT)
+         END AS contrib_micro
+  FROM tot2)
+SELECT g AS event_type, n, n_above, contrib_micro,
+       CAST(SUM(contrib_micro) OVER () AS BIGINT) AS chi2_micro, k
+FROM ct
+"""
+
+
+def _q309_page_trend(spark, sf):
+    """Page's L ordered trend test: do per-user event COUNTS rise
+    across the alphabetically ordered event types? Complete blocks,
+    exact 2R ranks, doubled-L BIGINT statistic. Round-5 post-pin
+    registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.relational import page_trend_test
+    ev = _t(spark, sf, "events")
+    cells = (ev.where(F.col("user_id").isNotNull()
+                      & F.col("event_type").isNotNull())
+             .groupBy("user_id", "event_type")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_events")))
+    return page_trend_test(cells, block_col="user_id",
+                           treatment_col="event_type",
+                           value_col="n_events")
+
+
+_O309 = """
+WITH cell AS (
+  SELECT user_id AS b, event_type AS tr,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY user_id, event_type),
+kk AS (SELECT COUNT(DISTINCT tr) AS k FROM cell),
+comp AS (SELECT b FROM cell GROUP BY b
+         HAVING COUNT(*) = (SELECT k FROM kk)),
+kept AS (SELECT cell.* FROM cell JOIN comp USING (b)),
+r AS (
+  SELECT b, tr,
+         RANK() OVER (PARTITION BY b ORDER BY x ASC)
+         + ((COUNT(*) OVER (PARTITION BY b)) + 1
+            - RANK() OVER (PARTITION BY b ORDER BY x DESC)) AS r2
+  FROM kept),
+s AS (SELECT tr, CAST(SUM(r2) AS BIGINT) AS s2r FROM r GROUP BY tr),
+sj AS (SELECT tr, s2r,
+              CAST(DENSE_RANK() OVER (ORDER BY tr ASC) AS BIGINT)
+                AS j
+       FROM s),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_treatments,
+             CAST(SUM(j * s2r) AS BIGINT) AS l2_stat
+      FROM sj),
+nb AS (SELECT CAST(COUNT(*) / COUNT(DISTINCT tr) AS BIGINT)
+         AS n_blocks FROM kept)
+SELECT k_treatments, n_blocks, l2_stat,
+       CASE WHEN k_treatments >= 3 AND n_blocks > 0 THEN
+         ((l2_stat::DOUBLE)
+          - (n_blocks::DOUBLE) * (k_treatments::DOUBLE)
+            * ((k_treatments::DOUBLE) + 1.0)
+            * ((k_treatments::DOUBLE) + 1.0) / 2.0)
+         / (2.0 * SQRT((n_blocks::DOUBLE) * (k_treatments::DOUBLE)
+                       * (k_treatments::DOUBLE)
+                       * ((k_treatments::DOUBLE) + 1.0)
+                       * ((k_treatments::DOUBLE)
+                          * (k_treatments::DOUBLE) - 1.0) / 144.0))
+       END AS z
+FROM t, nb
+"""
+
+
+def _q310_cross_track(spark, sf):
+    """Cross-track / along-track great-circle distances from every
+    synthetic customer point to a fixed route, floor-half-up
+    quantized to integer meters (the libm oracle discipline).
+    Round-5 post-pin registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.spatial.ops import track_distances
+    pts = _customer_points(spark, sf)
+    xt, at = track_distances(F.lit(10.0), F.lit(-20.0), F.lit(35.0),
+                             F.lit(60.0), F.col("y"), F.col("x"))
+    return pts.select(
+        "point_id",
+        F.floor(xt + F.lit(0.5)).cast("long").alias("xt_m"),
+        F.floor(at + F.lit(0.5)).cast("long").alias("at_m"))
+
+
+def _o310() -> str:
+    from kml2geojson_spark.spatial.ops import track_distances_sql
+    xe, ae = track_distances_sql("10.0", "-20.0", "35.0", "60.0",
+                                 "y", "x")
+    return f"""
+WITH p AS ({_PTS_SQL})
+SELECT point_id,
+       CAST(FLOOR({xe} + 0.5) AS BIGINT) AS xt_m,
+       CAST(FLOOR({ae} + 0.5) AS BIGINT) AS at_m
+FROM p
+"""
+
+
 def _q296_quantile_normalize(spark, sf):
     """Quantile normalization of document lengths across sources —
     every source ends up with an identical length distribution
@@ -11853,6 +12004,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q305_fd_violations": _q305_fd_violations,
         "q306_source_mix": _q306_source_mix,
         "q307_chao1": _q307_chao1,
+        "q308_mood_median": _q308_mood_median,
+        "q309_page_trend": _q309_page_trend,
+        "q310_cross_track": _q310_cross_track,
     }
 
 
@@ -12148,6 +12302,9 @@ def oracle_sql() -> dict[str, str]:
         "q305_fd_violations": _O305,
         "q306_source_mix": _O306,
         "q307_chao1": _O307,
+        "q308_mood_median": _O308,
+        "q309_page_trend": _O309,
+        "q310_cross_track": _o310(),
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

@@ -5083,3 +5083,149 @@ def boxplot_stats(df: DataFrame, *, value_col: str,
                  F.sum(F.when(F.col("_x").cast("double")
                               > F.col("hi_fence"), 1).otherwise(0))
                  .cast("long").alias("n_high")))
+
+
+def mood_median_test(df: DataFrame, *, value_col: str,
+                     group_col: str) -> DataFrame:
+    """Mood's median test — "do the k groups share a common median?":
+    split every row at the GLOBAL lower median and chi²-test the
+    k×2 above/at-or-below table. The crudest but most
+    assumption-free of the k-sample location tests (beside
+    :func:`kruskal_wallis`, which needs comparable shapes) — it only
+    uses sign information, so it survives wild outliers and censored
+    tails.
+
+    Determinism: values must be INTEGER (floats raise); the global
+    median is SELECTED (smallest value whose cumulative count ≥
+    ⌊(N+1)/2⌋ — the lower median, computed over the DISTINCT-value
+    histogram, never a row sort); cell counts are exact BIGINTs;
+    each group's chi² contribution is one fixed IEEE tree quantized
+    to micro-units so the k-term total is an exact BIGINT sum
+    (addition-order independent — the :func:`adamic_adar` rule).
+
+    Scale shape: one distinct-value histogram + one cumulative
+    window over DISTINCT VALUES (cardinality-bounded, not
+    row-bounded), one broadcast 1-row median join, one per-group
+    hash-aggregate, one k-row total window. No row-level window, no
+    pair join.
+
+    Output: one row per group (group, n BIGINT, n_above BIGINT,
+    contrib_micro BIGINT, chi2_micro BIGINT — the same total on
+    every row, NULL when a margin is empty, k BIGINT).
+    """
+    _require_integer(df, value_col, "mood_median_test")
+    base = df.where(F.col(value_col).isNotNull()
+                    & F.col(group_col).isNotNull()).select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("long").alias("_x"))
+    hist = base.groupBy("_x").agg(F.count(F.lit(1)).alias("_c"))
+    wcum = Window.orderBy(F.col("_x").asc()) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy()
+    med = (hist.withColumn("_cum", F.sum("_c").over(wcum))
+           .withColumn("_tot", F.sum("_c").over(wall))
+           .where(F.col("_cum")
+                  >= F.floor((F.col("_tot") + 1).cast("double")
+                             / F.lit(2.0)))
+           .agg(F.min("_x").alias("_med"),
+                F.max("_tot").alias("_n_total")))
+    j = base.join(F.broadcast(med))
+    per = (j.groupBy("grp")
+           .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(F.when(F.col("_x") > F.col("_med"), 1)
+                      .otherwise(0)).cast("long").alias("n_above"),
+                F.max("_n_total").alias("_nt")))
+    wk = Window.partitionBy()
+    per = (per.withColumn("_a_tot", F.sum("n_above").over(wk))
+           .withColumn("_k", F.count(F.lit(1)).over(wk).cast("long")))
+    nt = F.col("_nt").cast("double")
+    at = F.col("_a_tot").cast("double")
+    bt = (F.col("_nt") - F.col("_a_tot")).cast("double")
+    ng = F.col("n").cast("double")
+    ea = ng * at / nt
+    eb = ng * bt / nt
+    oa = F.col("n_above").cast("double")
+    ob = (F.col("n") - F.col("n_above")).cast("double")
+    contrib = ((oa - ea) * (oa - ea) / ea
+               + (ob - eb) * (ob - eb) / eb)
+    ok = (F.col("_a_tot") > 0) & (F.col("_a_tot") < F.col("_nt"))
+    per = per.withColumn(
+        "contrib_micro",
+        F.when(ok, F.floor(contrib * F.lit(1000000.0) + F.lit(0.5))
+               .cast("long")))
+    return (per.withColumn("chi2_micro",
+                           F.sum("contrib_micro").over(wk))
+            .select(F.col("grp").alias(group_col), "n", "n_above",
+                    "contrib_micro", "chi2_micro",
+                    F.col("_k").alias("k")))
+
+
+def page_trend_test(df: DataFrame, *, block_col: str,
+                    treatment_col: str, value_col: str) -> DataFrame:
+    """Page's L trend test — :func:`friedman_test` with an ORDERED
+    alternative ("values rise with the treatment level"): over
+    complete blocks, rank within block (average ranks as the exact
+    integer 2R), weight each treatment's rank sum by its order index
+    j, and compare ``L = Σ j·R_j`` against the no-trend null
+    (μ = nk(k+1)²/4, σ² = nk²(k+1)(k²−1)/144). Spends its power on
+    the monotone direction the unordered Friedman χ² dilutes —
+    exactly :func:`cochran_armitage`'s relationship to :func:`chi2`.
+
+    Treatment ORDER is the ascending sort of the distinct treatment
+    values (dense rank 1..k — a tiny k-row window); pass an integer
+    level column when the natural order isn't lexicographic.
+    Completeness, duplicate-cell raising, and the exact-2R rank
+    discipline are shared with :func:`friedman_test` verbatim.
+
+    Determinism: L is carried doubled (``l2 = Σ j·S2_j`` with
+    S2 = 2R, an exact BIGINT); z = (l2 − 2μ)/(2σ) is one fixed IEEE
+    tree. Output one row: (k_treatments BIGINT, n_blocks BIGINT,
+    l2_stat BIGINT, z DOUBLE — NULL when k < 3 or n = 0).
+    """
+    _require_integer(df, value_col, "page_trend_test")
+    keep = (F.col(block_col).isNotNull()
+            & F.col(treatment_col).isNotNull()
+            & F.col(value_col).isNotNull())
+    base = df.where(keep).select(
+        F.col(block_col).alias("_b"),
+        F.col(treatment_col).alias("_tr"),
+        F.col(value_col).cast("long").alias("_x"))
+    kdf = base.agg(F.countDistinct("_tr").alias("_k"))
+    per = (base.groupBy("_b", "_tr")
+           .agg(F.count(F.lit(1)).alias("_c")))
+    dup = per.where(F.col("_c") > 1).limit(1).count()
+    if dup:
+        raise ValueError(
+            "page_trend_test: duplicate (block, treatment) rows — "
+            "aggregate to one value per cell first")
+    complete = (per.groupBy("_b")
+                .agg(F.count(F.lit(1)).alias("_nt"))
+                .join(kdf)
+                .where(F.col("_nt") == F.col("_k"))
+                .select("_b"))
+    kept = base.join(complete, "_b")
+    wb = Window.partitionBy("_b")
+    r_lo = F.rank().over(wb.orderBy(F.col("_x").asc())).cast("long")
+    r_rev = F.rank().over(wb.orderBy(F.col("_x").desc())).cast("long")
+    k_in = F.count(F.lit(1)).over(wb).cast("long")
+    ranked = kept.withColumn("_r2", r_lo + (k_in + 1 - r_rev))
+    per_tr = (ranked.groupBy("_tr")
+              .agg(F.sum("_r2").alias("_s2r")))
+    wj = Window.orderBy(F.col("_tr").asc())
+    per_tr = per_tr.withColumn("_j",
+                               F.dense_rank().over(wj).cast("long"))
+    tot = (per_tr.agg(
+        F.count(F.lit(1)).cast("long").alias("k_treatments"),
+        F.sum(F.col("_j") * F.col("_s2r")).alias("l2_stat"))
+        .join(kept.agg((F.count(F.lit(1)) / F.countDistinct("_tr"))
+                       .cast("long").alias("n_blocks"))))
+    nd = F.col("n_blocks").cast("double")
+    kd = F.col("k_treatments").cast("double")
+    mu2 = nd * kd * (kd + F.lit(1.0)) * (kd + F.lit(1.0)) / F.lit(2.0)
+    var = (nd * kd * kd * (kd + F.lit(1.0))
+           * (kd * kd - F.lit(1.0)) / F.lit(144.0))
+    z = (F.col("l2_stat").cast("double") - mu2) \
+        / (F.lit(2.0) * F.sqrt(var))
+    ok = (F.col("k_treatments") >= 3) & (F.col("n_blocks") > 0)
+    return tot.select("k_treatments", "n_blocks", "l2_stat",
+                      F.when(ok, z).alias("z"))

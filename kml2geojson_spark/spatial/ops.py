@@ -3874,3 +3874,84 @@ def hex_smooth(cells: DataFrame, *, radius: int = 1,
     return (d.groupBy((F.col("_q") + F.col("_o.dq")).alias("hq"),
                       (F.col("_r") + F.col("_o.dr")).alias("hr"))
             .agg(F.sum("_n").alias("smoothed")))
+
+
+def track_distances(lat1, lon1, lat2, lon2, plat, plon,
+                    radius_m: float = EARTH_RADIUS_M):
+    """Cross-track and along-track great-circle distances from a
+    point to the path lat1/lon1 → lat2/lon2, as a pair of pure
+    Columns — the "how far off-route, and how far along it" pair
+    that completes :func:`haversine_m` (how far) and
+    :func:`bearing_deg` (which way): map-matching residuals,
+    corridor filters, progress-along-route.
+
+    Standard spherical formulas: with the angular distance
+    δ₁₃ (haversine tree) and initial bearings θ₁₃, θ₁₂ (atan2
+    trees), ``xt = asin(sin δ₁₃ · sin(θ₁₃ − θ₁₂))·R`` (signed:
+    NEGATIVE left of the path, positive right — the aviation
+    formulary convention) and
+    ``at = acos(clamp(cos δ₁₃ / cos(xt/R)))·R`` (unsigned distance
+    from the start to the point's projection).
+
+    Same determinism note as the rest of the family: trig routes
+    through libm, so cross-engine comparisons quantize to integer
+    meters (the :func:`haversine_m` oracle discipline); within one
+    engine the pair is a pure function of its inputs.
+
+    Returns (xt_m Column<double>, at_m Column<double>).
+    """
+    import math as _math
+    k = _math.pi / 180.0
+    s1 = F.sin((plat - lat1) * F.lit(k) / F.lit(2.0))
+    s2 = F.sin((plon - lon1) * F.lit(k) / F.lit(2.0))
+    a = (s1 * s1
+         + F.cos(lat1 * F.lit(k)) * F.cos(plat * F.lit(k)) * s2 * s2)
+    d13 = F.lit(2.0) * F.asin(F.sqrt(F.least(a, F.lit(1.0))))
+    t13 = F.atan2(
+        F.sin((plon - lon1) * F.lit(k)) * F.cos(plat * F.lit(k)),
+        F.cos(lat1 * F.lit(k)) * F.sin(plat * F.lit(k))
+        - F.sin(lat1 * F.lit(k)) * F.cos(plat * F.lit(k))
+        * F.cos((plon - lon1) * F.lit(k)))
+    t12 = F.atan2(
+        F.sin((lon2 - lon1) * F.lit(k)) * F.cos(lat2 * F.lit(k)),
+        F.cos(lat1 * F.lit(k)) * F.sin(lat2 * F.lit(k))
+        - F.sin(lat1 * F.lit(k)) * F.cos(lat2 * F.lit(k))
+        * F.cos((lon2 - lon1) * F.lit(k)))
+    xt_rad = F.asin(F.sin(d13) * F.sin(t13 - t12))
+    cosxt = F.cos(xt_rad)
+    ratio = F.greatest(F.least(F.cos(d13) / cosxt, F.lit(1.0)),
+                       F.lit(-1.0))
+    at_rad = F.acos(ratio)
+    r = F.lit(float(radius_m))
+    return xt_rad * r, at_rad * r
+
+
+def track_distances_sql(lat1: str, lon1: str, lat2: str, lon2: str,
+                        plat: str, plon: str,
+                        radius_m: float = EARTH_RADIUS_M) \
+        -> tuple[str, str]:
+    """The ANSI-SQL replay of :func:`track_distances` — the same
+    literals in the same evaluation order, for DuckDB oracles.
+    Returns (xt_expr, at_expr)."""
+    import math as _math
+    k = repr(_math.pi / 180.0)
+    s1 = f"SIN((({plat}) - ({lat1})) * {k} / 2.0)"
+    s2 = f"SIN((({plon}) - ({lon1})) * {k} / 2.0)"
+    a = (f"({s1} * {s1} + COS(({lat1}) * {k}) * COS(({plat}) * {k})"
+         f" * {s2} * {s2})")
+    d13 = f"(2.0 * ASIN(SQRT(LEAST({a}, 1.0))))"
+    t13 = (f"ATAN2(SIN((({plon}) - ({lon1})) * {k})"
+           f" * COS(({plat}) * {k}),"
+           f" COS(({lat1}) * {k}) * SIN(({plat}) * {k})"
+           f" - SIN(({lat1}) * {k}) * COS(({plat}) * {k})"
+           f" * COS((({plon}) - ({lon1})) * {k}))")
+    t12 = (f"ATAN2(SIN((({lon2}) - ({lon1})) * {k})"
+           f" * COS(({lat2}) * {k}),"
+           f" COS(({lat1}) * {k}) * SIN(({lat2}) * {k})"
+           f" - SIN(({lat1}) * {k}) * COS(({lat2}) * {k})"
+           f" * COS((({lon2}) - ({lon1})) * {k}))")
+    xt_rad = f"ASIN(SIN({d13}) * SIN({t13} - {t12}))"
+    ratio = (f"GREATEST(LEAST(COS({d13}) / COS({xt_rad}), 1.0),"
+             f" -1.0)")
+    r = repr(float(radius_m))
+    return f"({xt_rad} * {r})", f"(ACOS({ratio}) * {r})"

@@ -783,3 +783,67 @@ def stream_ewma(events: DataFrame, *, value_col: str = "value",
                 "num long, den long, ewma_milli double",
                 "tail array<long>, seen long", "append",
                 GroupStateTimeout.NoTimeout))
+
+
+def stream_shot_boundaries(checksums: DataFrame, *,
+                           threshold: int = 2000) -> DataFrame:
+    """Streaming twin of
+    :func:`kml2geojson_spark.multimodal.shot_boundaries`: per media
+    ref, flag frames whose byte-sum jumps from the PREVIOUS frame by
+    more than ``threshold`` — the live cut detector for a frame
+    stream (decode upstream, this is the temporal step).
+
+    Semantics match the batch operator for in-order arrival (the
+    pytest pins parity): within a micro-batch frames sort by
+    frame_idx; frames arriving in LATER batches fold against the
+    last state frame in arrival order — the documented streaming
+    trade (:func:`stream_ewma`'s class). State per media ref is
+    EXACTLY the last (frame_idx, byte_sum) pair — O(1) per key.
+
+    Output (append): (media_ref, frame_idx, byte_sum, jump,
+    is_boundary) — jump NULL on each ref's first-ever frame.
+    """
+    import pandas as pd
+
+    keyed = checksums.select(
+        F.col("media_ref").cast("string").alias("media_ref"),
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("byte_sum").cast("long").alias("byte_sum")).where(
+        F.col("media_ref").isNotNull() & F.col("frame_idx").isNotNull()
+        & F.col("byte_sum").isNotNull())
+
+    thr = int(threshold)
+
+    def fn(key, pdfs, state):
+        (ref,) = key
+        last = state.get[0] if state.exists else None
+        rows = {"media_ref": [], "frame_idx": [], "byte_sum": [],
+                "jump": [], "is_boundary": []}
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values("frame_idx")
+            for _i, r in pdf.iterrows():
+                bs = int(r["byte_sum"])
+                jump = None if last is None else abs(bs - last)
+                rows["media_ref"].append(ref)
+                rows["frame_idx"].append(int(r["frame_idx"]))
+                rows["byte_sum"].append(bs)
+                rows["jump"].append(jump)
+                rows["is_boundary"].append(
+                    jump is not None and jump > thr)
+                last = bs
+        if not rows["media_ref"]:
+            return
+        state.update((last,))
+        yield pd.DataFrame(rows)
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (keyed.groupBy("media_ref")
+            .applyInPandasWithState(
+                fn,
+                "media_ref string, frame_idx long, byte_sum long, "
+                "jump long, is_boundary boolean",
+                "last_sum long", "append",
+                GroupStateTimeout.NoTimeout))

@@ -758,3 +758,191 @@ def test_chao1_matches_brute(spark):
     for lang, (nt, d, f1, f2, c1) in expect.items():
         assert got[lang][:4] == (nt, d, f1, f2)
         assert got[lang][4] == pytest.approx(c1, rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# mood_median_test
+# ---------------------------------------------------------------------------
+
+def _brute_mood(groups):
+    allv = sorted(v for vs in groups.values() for v in vs)
+    n = len(allv)
+    med = allv[(n + 1) // 2 - 1]
+    a_tot = sum(1 for v in allv if v > med)
+    b_tot = n - a_tot
+    out = {}
+    chi2 = 0
+    for g, vs in groups.items():
+        ng = len(vs)
+        oa = sum(1 for v in vs if v > med)
+        ob = ng - oa
+        ea = ng * a_tot / n
+        eb = ng * b_tot / n
+        c = (oa - ea) ** 2 / ea + (ob - eb) ** 2 / eb
+        cm = math.floor(c * 1e6 + 0.5)
+        out[g] = (ng, oa, cm)
+        chi2 += cm
+    return out, chi2
+
+
+def test_mood_median_matches_brute(spark):
+    from kml2geojson_spark.relational import mood_median_test
+
+    rng = np.random.default_rng(43)
+    groups = {f"g{i}": (rng.integers(0, 50, size=int(rng.integers(5, 40)))
+                        + 5 * i).tolist()
+              for i in range(4)}
+    rows = [(g, int(v)) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v long")
+    want, chi2 = _brute_mood(groups)
+    got = {r.g: r for r in mood_median_test(
+        df, value_col="v", group_col="g").collect()}
+    for g, (ng, oa, cm) in want.items():
+        assert (got[g].n, got[g].n_above, got[g].contrib_micro) == \
+            (ng, oa, cm)
+        assert got[g].chi2_micro == chi2 and got[g].k == 4
+
+
+def test_mood_median_degenerate_all_equal(spark):
+    from kml2geojson_spark.relational import mood_median_test
+
+    df = spark.createDataFrame([("a", 5)] * 4 + [("b", 5)] * 4,
+                               "g string, v long")
+    got = mood_median_test(df, value_col="v", group_col="g").collect()
+    assert all(r.contrib_micro is None for r in got)
+
+
+# ---------------------------------------------------------------------------
+# page_trend_test
+# ---------------------------------------------------------------------------
+
+def test_page_trend_detects_monotone(spark):
+    from kml2geojson_spark.relational import page_trend_test
+
+    # 10 blocks, 4 treatments with a strict rise: L is maximal
+    rows = [(f"b{b}", f"t{j}", 10 * j + b)
+            for b in range(10) for j in range(1, 5)]
+    df = spark.createDataFrame(rows, "b string, tr string, v long")
+    r = page_trend_test(df, block_col="b", treatment_col="tr",
+                        value_col="v").collect()[0]
+    # perfect trend: R_j = 10*j, L = sum j*10*j = 300; l2 = 600
+    assert (r.k_treatments, r.n_blocks, r.l2_stat) == (4, 10, 600)
+    # z = (L - mu)/sigma, mu = 10*4*25/4 = 250, var = 10*16*5*15/144
+    mu, var = 250.0, 10 * 16 * 5 * 15 / 144.0
+    assert r.z == pytest.approx((300 - mu) / math.sqrt(var), rel=1e-12)
+    assert r.z > 4
+
+
+def test_page_trend_null_and_incomplete(spark):
+    from kml2geojson_spark.relational import page_trend_test
+
+    rng = np.random.default_rng(47)
+    rows = [(f"b{b}", f"t{j}", int(rng.integers(0, 100)))
+            for b in range(8) for j in range(1, 4)]
+    rows += [("partial", "t1", 5)]
+    df = spark.createDataFrame(rows, "b string, tr string, v long")
+    r = page_trend_test(df, block_col="b", treatment_col="tr",
+                        value_col="v").collect()[0]
+    assert r.n_blocks == 8 and r.k_treatments == 3
+    assert abs(r.z) < 3        # no systematic trend
+
+
+# ---------------------------------------------------------------------------
+# track_distances
+# ---------------------------------------------------------------------------
+
+def test_track_distances_known_geometry(spark):
+    from kml2geojson_spark.spatial.ops import (EARTH_RADIUS_M,
+                                               track_distances)
+
+    # path along the equator; point at lat 1 deg, lon 45: cross-track
+    # ~ 1 deg of arc (LEFT of the eastward path -> negative),
+    # along-track ~ 45 deg of arc
+    df = spark.createDataFrame([(1.0, 45.0)], "plat double, plon double")
+    xt, at = track_distances(F.lit(0.0), F.lit(0.0), F.lit(0.0),
+                             F.lit(90.0), F.col("plat"), F.col("plon"))
+    r = df.select(xt.alias("xt"), at.alias("at")).collect()[0]
+    deg_m = math.pi / 180.0 * EARTH_RADIUS_M
+    assert r.xt == pytest.approx(-deg_m, rel=1e-3)
+    assert r.at == pytest.approx(45 * deg_m, rel=1e-3)
+    # point exactly on the path: xt ~ 0
+    df0 = spark.createDataFrame([(0.0, 30.0)], "plat double, plon double")
+    xt0, at0 = track_distances(F.lit(0.0), F.lit(0.0), F.lit(0.0),
+                               F.lit(90.0), F.col("plat"),
+                               F.col("plon"))
+    r0 = df0.select(xt0.alias("xt"), at0.alias("at")).collect()[0]
+    assert abs(r0.xt) < 1e-6
+    assert r0.at == pytest.approx(30 * deg_m, rel=1e-9)
+
+
+def test_track_distances_sql_twin_matches(spark):
+    import duckdb
+
+    from kml2geojson_spark.spatial.ops import (track_distances,
+                                               track_distances_sql)
+
+    rng = np.random.default_rng(53)
+    pts = [(float(a), float(b))
+           for a, b in zip(rng.uniform(-80, 80, 40),
+                           rng.uniform(-170, 170, 40))]
+    df = spark.createDataFrame(pts, "plat double, plon double")
+    xt, at = track_distances(F.lit(10.0), F.lit(-20.0), F.lit(35.0),
+                             F.lit(60.0), F.col("plat"), F.col("plon"))
+    got = (df.select(F.floor(xt + F.lit(0.5)).cast("long").alias("x"),
+                     F.floor(at + F.lit(0.5)).cast("long").alias("a"))
+           .collect())
+    xe, ae = track_distances_sql("10.0", "-20.0", "35.0", "60.0",
+                                 "plat", "plon")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p(plat DOUBLE, plon DOUBLE)")
+    con.executemany("INSERT INTO p VALUES (?, ?)", pts)
+    want = con.execute(
+        f"SELECT CAST(FLOOR({xe} + 0.5) AS BIGINT), "
+        f"CAST(FLOOR({ae} + 0.5) AS BIGINT) FROM p").fetchall()
+    assert [(r.x, r.a) for r in got] == [tuple(w) for w in want]
+
+
+# ---------------------------------------------------------------------------
+# stream_shot_boundaries
+# ---------------------------------------------------------------------------
+
+def test_stream_shot_boundaries_batch_parity(spark, tmp_path):
+    import glob
+    import os
+
+    from kml2geojson_spark.multimodal import shot_boundaries
+    from kml2geojson_spark.streaming import stream_shot_boundaries
+
+    rng = np.random.default_rng(59)
+    rows = []
+    for m in range(4):
+        s = 1000
+        for i in range(12):
+            s += int(rng.integers(-500, 501)) + (5000 if i == 6 else 0)
+            rows.append((f"m{m}", i, s))
+    df = spark.createDataFrame(
+        rows, "media_ref string, frame_idx int, byte_sum long")
+    ref = {(r.media_ref, r.frame_idx): (r.jump, r.is_boundary)
+           for r in shot_boundaries(df, threshold=2000).collect()}
+
+    src = str(tmp_path / "frames")
+    first = df.where(F.col("frame_idx") < 6)
+    rest = df.where(F.col("frame_idx") >= 6)
+    first.coalesce(1).write.parquet(src)
+    f1 = set(glob.glob(src + "/*.parquet"))
+    rest.coalesce(1).write.mode("append").parquet(src)
+    later = max(os.path.getmtime(f) for f in f1) + 10
+    for f in set(glob.glob(src + "/*.parquet")) - f1:
+        os.utime(f, (later, later))
+
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = stream_shot_boundaries(stream, threshold=2000)
+    q = (out.writeStream.format("memory").queryName("shot_mem")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "shotck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.media_ref, r.frame_idx): (r.jump, r.is_boundary)
+           for r in spark.sql("SELECT * FROM shot_mem").collect()}
+    assert got == ref
