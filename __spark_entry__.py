@@ -11522,6 +11522,187 @@ FROM p
 """
 
 
+def _q311_raster_peaks(spark, sf):
+    """Non-max-suppression peaks of the 1-degree customer-point
+    raster (scatter-to-neighbors explode + one aggregate + one
+    equi-join, strict-inequality tie rule). Round-5 post-pin
+    registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.spatial.ops import raster_peaks
+    pts = _customer_points(spark, sf)
+    cells = (pts.select(F.floor(F.col("x")).alias("cx"),
+                        F.floor(F.col("y")).alias("cy"))
+             .groupBy("cx", "cy")
+             .agg(F.count(F.lit(1)).alias("n")))
+    return raster_peaks(cells)
+
+
+_O311 = f"""
+WITH p AS ({_PTS_SQL}),
+cells AS (
+  SELECT CAST(FLOOR(x) AS BIGINT) AS cx,
+         CAST(FLOOR(y) AS BIGINT) AS cy,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM p GROUP BY 1, 2),
+offs(dx, dy) AS (VALUES (-1,-1), (-1,0), (-1,1), (0,-1), (0,1),
+                        (1,-1), (1,0), (1,1)),
+nbr AS (
+  SELECT c.cx + o.dx AS cx, c.cy + o.dy AS cy,
+         CAST(MAX(c.n) AS BIGINT) AS nbr_max
+  FROM cells c, offs o GROUP BY c.cx + o.dx, c.cy + o.dy)
+SELECT c.cx, c.cy, c.n, COALESCE(nbr.nbr_max, 0) AS nbr_max
+FROM cells c LEFT JOIN nbr ON nbr.cx = c.cx AND nbr.cy = c.cy
+WHERE c.n > 0 AND c.n > COALESCE(nbr.nbr_max, 0)
+"""
+
+
+def _q312_lead_lag(spark, sf):
+    """Lead-lag cross-correlation per user between whole-unit event
+    values and the props-payload length over the observation index
+    (exact sufficient sums per lag, one window partitioning, no
+    self-join). Round-5 post-pin registration: in-repo oracle sweep
+    only."""
+    from kml2geojson_spark.relational import lead_lag_corr
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc())
+    base = (ev.where(F.col("user_id").isNotNull()
+                     & F.col("ts").isNotNull()
+                     & F.col("event_id").isNotNull()
+                     & F.col("value").isNotNull()
+                     & F.col("props").isNotNull())
+            .select("user_id",
+                    F.round(F.col("value")).cast("long").alias("x"),
+                    F.length(F.col("props")).cast("long").alias("y"),
+                    F.row_number().over(w).cast("long").alias("t")))
+    return lead_lag_corr(base, x_col="x", y_col="y", order_col="t",
+                         group_cols=["user_id"], max_lag=3)
+
+
+_O312 = """
+WITH idx AS (
+  SELECT user_id AS g,
+         CAST(ROUND(value) AS BIGINT) AS x,
+         CAST(length(props) AS BIGINT) AS y,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+           AS BIGINT) AS t
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_id IS NOT NULL AND value IS NOT NULL
+    AND props IS NOT NULL),
+lags(k) AS (VALUES (-3), (-2), (-1), (0), (1), (2), (3)),
+pairs AS (
+  SELECT a.g, l.k AS lag, a.x, b.y
+  FROM idx a, lags l
+  JOIN idx b ON b.g = a.g AND b.t = a.t + l.k),
+agg AS (
+  SELECT g, lag, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM pairs GROUP BY g, lag)
+SELECT g AS user_id, CAST(lag AS INT) AS lag, n,
+       CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0
+                 AND (n * syy - sy * sy) > 0 THEN
+         ((n * sxy - sx * sy)::DOUBLE)
+         / SQRT(((n * sxx - sx * sx)::DOUBLE)
+                * ((n * syy - sy * sy)::DOUBLE))
+       END AS corr
+FROM agg
+"""
+
+
+def _q313_elbow(spark, sf):
+    """Elbow of each return flag's quantity survival curve
+    (y = rows with quantity >= x): exact cross-product argmax on the
+    chord rule. Round-5 post-pin registration: in-repo oracle sweep
+    only."""
+    from kml2geojson_spark.relational import elbow_point
+    li = _t(spark, sf, "lineitem").where(F.col("l_quantity").isNotNull())
+    hist = (li.select("l_returnflag",
+                      F.col("l_quantity").cast("long").alias("q"))
+            .groupBy("l_returnflag", "q")
+            .agg(F.count(F.lit(1)).alias("_c")))
+    wrev = (Window.partitionBy("l_returnflag")
+            .orderBy(F.col("q").asc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    curve = hist.select("l_returnflag", "q",
+                        F.sum("_c").over(wrev).alias("surv"))
+    return elbow_point(curve, x_col="q", y_col="surv",
+                       group_cols=["l_returnflag"])
+
+
+_O313 = """
+WITH hist AS (
+  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS q,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem WHERE l_quantity IS NOT NULL
+  GROUP BY l_returnflag, l_quantity),
+curve AS (
+  SELECT g, q,
+         CAST(SUM(c) OVER (PARTITION BY g ORDER BY q ASC
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS BIGINT) AS surv
+  FROM hist),
+ends AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+         MIN({'q': q, 'surv': surv}) AS p1,
+         MAX({'q': q, 'surv': surv}) AS p2
+  FROM curve GROUP BY g),
+j AS (
+  SELECT c.g, c.n, c.q, c.surv,
+         ABS((c.x2 - c.x1) * (c.y1 - c.surv)
+             - (c.x1 - c.q) * (c.y2 - c.y1)) AS cr
+  FROM (SELECT curve.g, curve.q, curve.surv, ends.n,
+               ends.p1['q'] AS x1, ends.p1['surv'] AS y1,
+               ends.p2['q'] AS x2, ends.p2['surv'] AS y2
+        FROM curve JOIN ends USING (g)
+        WHERE ends.n >= 3) c),
+pick AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY g ORDER BY cr DESC, q ASC) AS rn
+  FROM j)
+SELECT g AS l_returnflag, n, q AS elbow_x, surv AS elbow_y,
+       cr AS cross_stat
+FROM pick WHERE rn = 1
+"""
+
+
+def _q314_sequence_gaps(spark, sf):
+    """Inactivity gaps per user: maximal missing-day ranges in each
+    user's active-day sequence (the SQL islands classic, exact lag
+    arithmetic). Round-5 post-pin registration: in-repo oracle sweep
+    only."""
+    from kml2geojson_spark.relational import sequence_gaps
+    ev = _t(spark, sf, "events")
+    days = ev.where(F.col("user_id").isNotNull()
+                    & F.col("ts").isNotNull()).select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"),
+                   F.to_date(F.lit("2024-01-01"))).cast("long")
+        .alias("day"))
+    return sequence_gaps(days, id_col="day", group_cols=["user_id"])
+
+
+_O314 = """
+WITH d AS (
+  SELECT DISTINCT user_id,
+         CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS day
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+lagd AS (
+  SELECT user_id, day,
+         LAG(day, 1) OVER (PARTITION BY user_id ORDER BY day ASC)
+           AS prev
+  FROM d)
+SELECT user_id, prev + 1 AS gap_start, day - 1 AS gap_end,
+       day - prev - 1 AS gap_len
+FROM lagd
+WHERE prev IS NOT NULL AND day - prev > 1
+"""
+
+
 def _q296_quantile_normalize(spark, sf):
     """Quantile normalization of document lengths across sources —
     every source ends up with an identical length distribution
@@ -12007,6 +12188,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q308_mood_median": _q308_mood_median,
         "q309_page_trend": _q309_page_trend,
         "q310_cross_track": _q310_cross_track,
+        "q311_raster_peaks": _q311_raster_peaks,
+        "q312_lead_lag": _q312_lead_lag,
+        "q313_elbow": _q313_elbow,
+        "q314_sequence_gaps": _q314_sequence_gaps,
     }
 
 
@@ -12305,6 +12490,10 @@ def oracle_sql() -> dict[str, str]:
         "q308_mood_median": _O308,
         "q309_page_trend": _O309,
         "q310_cross_track": _o310(),
+        "q311_raster_peaks": _O311,
+        "q312_lead_lag": _O312,
+        "q313_elbow": _O313,
+        "q314_sequence_gaps": _O314,
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

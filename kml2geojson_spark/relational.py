@@ -5229,3 +5229,166 @@ def page_trend_test(df: DataFrame, *, block_col: str,
     ok = (F.col("k_treatments") >= 3) & (F.col("n_blocks") > 0)
     return tot.select("k_treatments", "n_blocks", "l2_stat",
                       F.when(ok, z).alias("z"))
+
+
+def lead_lag_corr(df: DataFrame, *, x_col: str, y_col: str,
+                  order_col: str, group_cols: list[str],
+                  max_lag: int = 4) -> DataFrame:
+    """Lead–lag cross-correlation per group: Pearson corr(x_t,
+    y_{t+k}) for every lag k ∈ [−max_lag, max_lag] — "does x LEAD y
+    (peak at k > 0) or LAG it?", the alignment question
+    :func:`rolling_corr` (same-time, windowed) and
+    :func:`lag_autocorr` (one series with itself) cannot answer.
+
+    Determinism: x and y must be INTEGER (floats raise — the
+    :func:`corr_matrix` rule); per lag, the five sufficient sums are
+    exact BIGINTs over the overlapping pairs and corr is ONE fixed
+    IEEE tree — bit-exact cross-engine. ``order_col`` must be a
+    unique integer time index per group (build one with
+    row_number, the :func:`durbin_watson` registration pattern).
+
+    Scale shape: 2·max_lag+1 LEAD/LAG columns over ONE window
+    partitioning, stacked by a literal array explode (map-side), one
+    (group, lag) hash-aggregate. No self-join.
+
+    Output: (group..., lag INT, n BIGINT, corr DOUBLE — NULL when
+    n < 2 or either variance is 0).
+    """
+    _require_integer(df, x_col, "lead_lag_corr")
+    _require_integer(df, y_col, "lead_lag_corr")
+    if not group_cols:
+        raise ValueError("lead_lag_corr: group_cols must be non-empty")
+    if not 1 <= max_lag <= 16:
+        raise ValueError(f"max_lag must be in [1, 16], got {max_lag}")
+    keep = (F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+            & F.col(order_col).isNotNull())
+    for c in group_cols:
+        keep = keep & F.col(c).isNotNull()
+    base = df.where(keep).select(
+        *group_cols, F.col(order_col).cast("long").alias("_t"),
+        F.col(x_col).cast("long").alias("_x"),
+        F.col(y_col).cast("long").alias("_y"))
+    w = Window.partitionBy(*group_cols).orderBy(F.col("_t").asc())
+    names = []
+    shifted = base
+    for k in range(-max_lag, max_lag + 1):
+        if k >= 0:
+            yk = F.lead("_y", k).over(w)
+        else:
+            yk = F.lag("_y", -k).over(w)
+        name = f"_yk{k + max_lag}"
+        names.append((k, name))
+        shifted = shifted.withColumn(name, yk)
+    pairs = [F.struct(F.lit(k).alias("lag"),
+                      F.col("_x").alias("x"),
+                      F.col(name).alias("y"))
+             for k, name in names]
+    ex = (shifted.withColumn("_p", F.explode(F.array(*pairs)))
+          .select(*group_cols, F.col("_p.lag").alias("lag"),
+                  F.col("_p.x").alias("_x"), F.col("_p.y").alias("_y"))
+          .where(F.col("_y").isNotNull()))
+    agg = (ex.groupBy(*group_cols, "lag")
+           .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("_x").alias("_sx"), F.sum("_y").alias("_sy"),
+                F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+                F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+                F.sum(F.col("_x") * F.col("_y")).alias("_sxy")))
+    nn = F.col("n")
+    cnum = (nn * F.col("_sxy") - F.col("_sx") * F.col("_sy")) \
+        .cast("double")
+    vx = (nn * F.col("_sxx") - F.col("_sx") * F.col("_sx"))
+    vy = (nn * F.col("_syy") - F.col("_sy") * F.col("_sy"))
+    ok = (nn >= 2) & (vx > 0) & (vy > 0)
+    corr = cnum / F.sqrt(vx.cast("double") * vy.cast("double"))
+    return agg.select(*group_cols, "lag", "n",
+                      F.when(ok, corr).alias("corr"))
+
+
+def elbow_point(df: DataFrame, *, x_col: str, y_col: str,
+                group_cols: list[str]) -> DataFrame:
+    """Knee/elbow detection on a per-group curve (the Kneedle chord
+    rule, exact form): the point maximizing the distance to the
+    straight chord between the curve's endpoints — "how many
+    clusters / how deep a threshold" read off an inertia or
+    coverage curve without eyeballing.
+
+    Determinism: x and y must be INTEGER (floats raise); the
+    distance ordering is decided by the UNNORMALIZED cross product
+    ``|(x₂−x₁)(y₁−y) − (x₁−x)(y₂−y₁)|`` — an exact BIGINT per point
+    (the common √((x₂−x₁)²+(y₂−y₁)²) denominator never changes the
+    argmax) — with ties broken to the smallest x. Endpoints are the
+    rows at min/max x (smallest y on an x tie, exact struct
+    selection).
+
+    Scale shape: one endpoint hash-aggregate joined back on the
+    group key, one argmax window sharing that partitioning. Curves
+    are small by nature (one row per candidate k); the shape stays
+    shuffle-minimal anyway.
+
+    Output: (group..., n BIGINT, elbow_x BIGINT, elbow_y BIGINT,
+    cross_stat BIGINT — groups with fewer than 3 points are
+    dropped, no interior point exists).
+    """
+    _require_integer(df, x_col, "elbow_point")
+    _require_integer(df, y_col, "elbow_point")
+    if not group_cols:
+        raise ValueError("elbow_point: group_cols must be non-empty")
+    keep = (F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    for c in group_cols:
+        keep = keep & F.col(c).isNotNull()
+    base = df.where(keep).select(
+        *group_cols, F.col(x_col).cast("long").alias("_x"),
+        F.col(y_col).cast("long").alias("_y"))
+    ends = (base.groupBy(*group_cols)
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.min(F.struct(F.col("_x"), F.col("_y"))).alias("_p1"),
+                 F.max(F.struct(F.col("_x"), F.col("_y"))).alias("_p2")))
+    j = base.join(ends, group_cols).where(F.col("n") >= 3)
+    x1, y1 = F.col("_p1._x"), F.col("_p1._y")
+    x2, y2 = F.col("_p2._x"), F.col("_p2._y")
+    cross = F.abs((x2 - x1) * (y1 - F.col("_y"))
+                  - (x1 - F.col("_x")) * (y2 - y1))
+    pick = Window.partitionBy(*group_cols).orderBy(
+        cross.desc(), F.col("_x").asc())
+    return (j.withColumn("_cr", cross)
+            .withColumn("_rn", F.row_number().over(pick))
+            .where(F.col("_rn") == 1)
+            .select(*group_cols, "n", F.col("_x").alias("elbow_x"),
+                    F.col("_y").alias("elbow_y"),
+                    F.col("_cr").alias("cross_stat")))
+
+
+def sequence_gaps(df: DataFrame, *, id_col: str,
+                  group_cols: list[str]) -> DataFrame:
+    """Missing-range detection in a per-group integer sequence (the
+    SQL islands-and-gaps classic): report every maximal run of
+    absent ids between the observed min and max — the data-quality
+    "which partitions / offsets / invoice numbers are missing?"
+    primitive beside :func:`fd_violations`.
+
+    Determinism: exact integer lag arithmetic — bit-exact
+    cross-engine. Duplicate ids collapse (distinct first).
+
+    Scale shape: one distinct (map-side combine), one LAG window on
+    the group partitioning, then the gap filter — output is bounded
+    by the number of GAPS, not ids.
+
+    Output: (group..., gap_start BIGINT, gap_end BIGINT,
+    gap_len BIGINT).
+    """
+    if not group_cols:
+        raise ValueError("sequence_gaps: group_cols must be non-empty")
+    keep = F.col(id_col).isNotNull()
+    for c in group_cols:
+        keep = keep & F.col(c).isNotNull()
+    base = (df.where(keep)
+            .select(*group_cols, F.col(id_col).cast("long").alias("_i"))
+            .distinct())
+    w = Window.partitionBy(*group_cols).orderBy(F.col("_i").asc())
+    lagd = base.withColumn("_prev", F.lag("_i", 1).over(w))
+    return (lagd.where(F.col("_prev").isNotNull()
+                       & (F.col("_i") - F.col("_prev") > 1))
+            .select(*group_cols,
+                    (F.col("_prev") + 1).alias("gap_start"),
+                    (F.col("_i") - 1).alias("gap_end"),
+                    (F.col("_i") - F.col("_prev") - 1).alias("gap_len")))

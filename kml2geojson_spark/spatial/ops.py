@@ -3955,3 +3955,42 @@ def track_distances_sql(lat1: str, lon1: str, lat2: str, lon2: str,
              f" -1.0)")
     r = repr(float(radius_m))
     return f"({xt_rad} * {r})", f"(ACOS({ratio}) * {r})"
+
+
+def raster_peaks(cells: DataFrame, *, x_col: str = "cx",
+                 y_col: str = "cy", n_col: str = "n") -> DataFrame:
+    """Local maxima of an integer cell raster — the peaks of a
+    density surface (hotspot CENTERS, where :func:`grid_cluster`
+    gives hotspot EXTENTS): a cell is a peak iff its count strictly
+    exceeds all eight neighbors' counts (absent neighbor = 0, so an
+    isolated occupied cell is a peak; plateau cells are NOT peaks —
+    the strict inequality is the documented tie rule).
+
+    Determinism: exact integer counts and comparisons — bit-exact
+    cross-engine.
+
+    Scale shape: the non-max-suppression classic re-shaped for
+    shuffle economy — every cell SCATTERS its count to its eight
+    neighbors (literal offset explode, whole-stage codegen), one
+    hash-aggregate takes the neighbor max per cell, one equi-join
+    back on the cell key. No window over the raster, no self-join
+    on inequality ranges.
+
+    Output: (cx, cy, n, nbr_max BIGINT) — peak cells only.
+    """
+    offs = F.array(*[F.struct(F.lit(dx).alias("dx"),
+                              F.lit(dy).alias("dy"))
+                     for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+                     if not (dx == 0 and dy == 0)])
+    base = cells.select(F.col(x_col).cast("long").alias("cx"),
+                        F.col(y_col).cast("long").alias("cy"),
+                        F.col(n_col).cast("long").alias("n"))
+    nbr = (base.withColumn("_o", F.explode(offs))
+           .groupBy((F.col("cx") + F.col("_o.dx")).alias("cx"),
+                    (F.col("cy") + F.col("_o.dy")).alias("cy"))
+           .agg(F.max("n").alias("nbr_max")))
+    j = base.join(nbr, ["cx", "cy"], "left")
+    return (j.withColumn("nbr_max",
+                         F.coalesce(F.col("nbr_max"),
+                                    F.lit(0).cast("long")))
+            .where((F.col("n") > 0) & (F.col("n") > F.col("nbr_max"))))

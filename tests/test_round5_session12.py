@@ -946,3 +946,131 @@ def test_stream_shot_boundaries_batch_parity(spark, tmp_path):
     got = {(r.media_ref, r.frame_idx): (r.jump, r.is_boundary)
            for r in spark.sql("SELECT * FROM shot_mem").collect()}
     assert got == ref
+
+
+# ---------------------------------------------------------------------------
+# raster_peaks
+# ---------------------------------------------------------------------------
+
+def test_raster_peaks_matches_brute(spark):
+    from kml2geojson_spark.spatial.ops import raster_peaks
+
+    rng = np.random.default_rng(61)
+    cells = {(int(x), int(y)): int(n) for x, y, n in
+             zip(rng.integers(0, 12, 80), rng.integers(0, 12, 80),
+                 rng.integers(1, 50, 80))}
+    want = {}
+    for (x, y), n in cells.items():
+        nbr = max((cells.get((x + dx, y + dy), 0)
+                   for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+                   if (dx, dy) != (0, 0)), default=0)
+        if n > 0 and n > nbr:
+            want[(x, y)] = (n, nbr)
+    df = spark.createDataFrame(
+        [(x, y, n) for (x, y), n in cells.items()],
+        "cx long, cy long, n long")
+    got = {(r.cx, r.cy): (r.n, r.nbr_max)
+           for r in raster_peaks(df).collect()}
+    assert got == want
+
+
+def test_raster_peaks_plateau_not_peak(spark):
+    from kml2geojson_spark.spatial.ops import raster_peaks
+
+    # two adjacent equal cells: neither is a peak; isolated cell is
+    rows = [(0, 0, 5), (0, 1, 5), (10, 10, 1)]
+    df = spark.createDataFrame(rows, "cx long, cy long, n long")
+    got = {(r.cx, r.cy) for r in raster_peaks(df).collect()}
+    assert got == {(10, 10)}
+
+
+# ---------------------------------------------------------------------------
+# lead_lag_corr
+# ---------------------------------------------------------------------------
+
+def test_lead_lag_corr_finds_true_lag(spark):
+    from kml2geojson_spark.relational import lead_lag_corr
+
+    rng = np.random.default_rng(67)
+    xs = rng.integers(-50, 51, size=120).tolist()
+    # y follows x with lag 3 (y_t = x_{t-3}): corr(x_t, y_{t+3}) = 1
+    ys = [0, 0, 0] + xs[:-3]
+    rows = [("g", t, int(x), int(y))
+            for t, (x, y) in enumerate(zip(xs, ys))]
+    df = spark.createDataFrame(rows, "g string, t long, x long, y long")
+    got = {r.lag: r for r in lead_lag_corr(
+        df, x_col="x", y_col="y", order_col="t", group_cols=["g"],
+        max_lag=4).collect()}
+    assert set(got) == set(range(-4, 5))
+    assert got[3].corr == pytest.approx(1.0)
+    assert all(abs(got[k].corr) < 0.5 for k in got
+               if k != 3 and got[k].corr is not None)
+    # overlap counts shrink with |lag|
+    assert got[4].n == 116 and got[0].n == 120 and got[-4].n == 116
+
+
+def test_lead_lag_corr_matches_numpy(spark):
+    from kml2geojson_spark.relational import lead_lag_corr
+
+    rng = np.random.default_rng(71)
+    xs = rng.integers(0, 100, size=40)
+    ys = rng.integers(0, 100, size=40)
+    rows = [("g", t, int(x), int(y))
+            for t, (x, y) in enumerate(zip(xs, ys))]
+    df = spark.createDataFrame(rows, "g string, t long, x long, y long")
+    got = {r.lag: r.corr for r in lead_lag_corr(
+        df, x_col="x", y_col="y", order_col="t", group_cols=["g"],
+        max_lag=2).collect()}
+    for k in range(-2, 3):
+        if k >= 0:
+            a, b = xs[:40 - k], ys[k:]
+        else:
+            a, b = xs[-k:], ys[:40 + k]
+        want = float(np.corrcoef(a, b)[0, 1])
+        assert got[k] == pytest.approx(want, rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# elbow_point
+# ---------------------------------------------------------------------------
+
+def test_elbow_point_on_l_curve(spark):
+    from kml2geojson_spark.relational import elbow_point
+
+    # classic L-curve: steep drop then flat -> elbow at the corner
+    pts = [(1, 100), (2, 40), (3, 15), (4, 12), (5, 10), (6, 9)]
+    df = spark.createDataFrame([("g", x, y) for x, y in pts],
+                               "g string, x long, y long")
+    r = elbow_point(df, x_col="x", y_col="y",
+                    group_cols=["g"]).collect()[0]
+    assert (r.elbow_x, r.elbow_y) == (3, 15)
+    # brute check of the cross statistic
+    x1, y1, x2, y2 = 1, 100, 6, 9
+    want = max(abs((x2 - x1) * (y1 - y) - (x1 - x) * (y2 - y1))
+               for x, y in pts)
+    assert r.cross_stat == want
+
+
+def test_elbow_point_small_groups_dropped(spark):
+    from kml2geojson_spark.relational import elbow_point
+
+    df = spark.createDataFrame([("a", 1, 10), ("a", 2, 5)],
+                               "g string, x long, y long")
+    assert elbow_point(df, x_col="x", y_col="y",
+                       group_cols=["g"]).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# sequence_gaps
+# ---------------------------------------------------------------------------
+
+def test_sequence_gaps(spark):
+    from kml2geojson_spark.relational import sequence_gaps
+
+    rows = [("a", i) for i in [1, 2, 3, 7, 8, 12]]    # gaps 4-6, 9-11
+    rows += [("b", i) for i in [5, 5, 6]]             # dup, no gap
+    df = spark.createDataFrame(rows, "g string, i long")
+    got = {(r.g, r.gap_start, r.gap_end, r.gap_len)
+           for r in sequence_gaps(df, id_col="i",
+                                  group_cols=["g"]).collect()}
+    assert got == {("a", 4, 6, 3), ("a", 9, 11, 3)}
