@@ -11703,6 +11703,38 @@ WHERE prev IS NOT NULL AND day - prev > 1
 """
 
 
+def _q315_quadkey(spark, sf):
+    """Bing-style quadkey tile counts at zoom 8 over the customer
+    points (equirectangular tile mapping, prefix-is-parent string
+    keys). Round-5 post-pin registration: in-repo oracle sweep
+    only."""
+    from kml2geojson_spark.spatial.cells import quadkey_col
+    pts = _customer_points(spark, sf)
+    ix = F.least(F.lit(255), F.floor((F.col("x") + F.lit(180.0))
+                                     / F.lit(360.0) * F.lit(256.0))
+                 .cast("long"))
+    iy = F.least(F.lit(255), F.floor((F.lit(85.0) - F.col("y"))
+                                     / F.lit(170.0) * F.lit(256.0))
+                 .cast("long"))
+    return (pts.select(quadkey_col(ix, iy, 8).alias("quadkey"))
+            .groupBy("quadkey")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def _o315() -> str:
+    from kml2geojson_spark.spatial.cells import quadkey_sql
+    ix = ("LEAST(255, CAST(FLOOR((x + 180.0) / 360.0 * 256.0)"
+          " AS BIGINT))")
+    iy = ("LEAST(255, CAST(FLOOR((85.0 - y) / 170.0 * 256.0)"
+          " AS BIGINT))")
+    qk = quadkey_sql(f"({ix})", f"({iy})", 8)
+    return f"""
+WITH p AS ({_PTS_SQL})
+SELECT {qk} AS quadkey, CAST(COUNT(*) AS BIGINT) AS n
+FROM p GROUP BY 1
+"""
+
+
 def _q296_quantile_normalize(spark, sf):
     """Quantile normalization of document lengths across sources —
     every source ends up with an identical length distribution
@@ -12192,6 +12224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q312_lead_lag": _q312_lead_lag,
         "q313_elbow": _q313_elbow,
         "q314_sequence_gaps": _q314_sequence_gaps,
+        "q315_quadkey": _q315_quadkey,
     }
 
 
@@ -12494,6 +12527,7 @@ def oracle_sql() -> dict[str, str]:
         "q312_lead_lag": _O312,
         "q313_elbow": _O313,
         "q314_sequence_gaps": _O314,
+        "q315_quadkey": _o315(),
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

@@ -406,3 +406,41 @@ def geohash_encode_sql(lon_expr: str, lat_expr: str,
             f"substring('{GEOHASH_ALPHABET}', CAST({idx} AS INTEGER) + 1, 1)")
     concat = " || ".join(parts)
     return f"(SELECT {concat} FROM (SELECT {code} AS code) AS _gh)"
+
+
+def quadkey_col(ix, iy, z: int):
+    """Bing-style quadkey STRING for integer tile coordinates at zoom
+    ``z`` — the interchange format the Morton
+    :func:`cell_encode`/:func:`geohash_encode` family lacks: one
+    base-4 digit per zoom level, digit i = x-bit + 2·y-bit at level
+    i, so a PREFIX of a quadkey is exactly its ancestor tile (prefix
+    joins give pyramid rollups for free, the
+    :func:`~kml2geojson_spark.spatial.ops.tile_pyramid` trick in
+    string space).
+
+    Pure Column bit arithmetic + one concat — whole-stage codegen,
+    trivially replayed in SQL. Callers clamp ix/iy to [0, 2^z).
+    """
+    if not 1 <= z <= 23:
+        raise ValueError(f"z must be in [1, 23], got {z}")
+    digits = []
+    for i in range(1, z + 1):
+        shift = z - i
+        dx = F.shiftright(ix, shift).bitwiseAND(F.lit(1))
+        dy = F.shiftright(iy, shift).bitwiseAND(F.lit(1))
+        digits.append((dx + dy * F.lit(2)).cast("string"))
+    return F.concat(*digits)
+
+
+def quadkey_sql(ix: str, iy: str, z: int) -> str:
+    """The DuckDB replay of :func:`quadkey_col` — same digits, same
+    concat order."""
+    if not 1 <= z <= 23:
+        raise ValueError(f"z must be in [1, 23], got {z}")
+    parts = []
+    for i in range(1, z + 1):
+        shift = z - i
+        parts.append(
+            f"CAST(((({ix}) >> {shift}) & 1)"
+            f" + 2 * ((({iy}) >> {shift}) & 1) AS VARCHAR)")
+    return " || ".join(parts)

@@ -865,3 +865,50 @@ def test_grubbs_boxplot_join_back_is_equi(spark):
         for marker in ("BatchEvalPython", "ArrowEvalPython",
                        "MapInPandas"):
             assert marker not in plan
+
+
+def test_sequence_gaps_one_partitioning(spark):
+    """Islands/gaps: distinct + LAG window share the group key — no
+    join, no Python."""
+    from kml2geojson_spark.relational import sequence_gaps
+    df = spark.createDataFrame([("g", 1)], "g string, i long")
+    plan = _plan(sequence_gaps(df, id_col="i", group_cols=["g"]))
+    assert "Join" not in plan, plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+
+def test_lead_lag_corr_no_self_join(spark):
+    """Lead-lag corr: all 2K+1 shifts run over ONE window
+    partitioning, the stack is a map-side explode — no self-join."""
+    from kml2geojson_spark.relational import lead_lag_corr
+    df = spark.createDataFrame([("g", 1, 2, 3)],
+                               "g string, t long, x long, y long")
+    plan = _plan(lead_lag_corr(df, x_col="x", y_col="y",
+                               order_col="t", group_cols=["g"],
+                               max_lag=3))
+    assert "Join" not in plan, plan
+    assert plan.count("Window") == 1, plan
+
+
+def test_raster_peaks_scatter_join_is_equi(spark):
+    """Peak detection: neighbor-max via scatter + ONE aggregate and
+    an equi-join back — no window over the raster, no BNL."""
+    from kml2geojson_spark.spatial.ops import raster_peaks
+    df = spark.createDataFrame([(0, 0, 1)], "cx long, cy long, n long")
+    plan = _plan(raster_peaks(df))
+    assert "Window" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_quadkey_whole_stage_codegen(spark):
+    """Quadkey: pure bit arithmetic + concat, zero Python, one
+    aggregate exchange in the q315 shape."""
+    from kml2geojson_spark.spatial.cells import quadkey_col
+    df = spark.createDataFrame([(1, 2)], "ix long, iy long")
+    plan = _plan(df.select(quadkey_col(F.col("ix"), F.col("iy"), 8)
+                           .alias("qk")))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+    assert plan.lstrip().startswith("*("), plan[:200]

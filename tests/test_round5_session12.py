@@ -1074,3 +1074,49 @@ def test_sequence_gaps(spark):
            for r in sequence_gaps(df, id_col="i",
                                   group_cols=["g"]).collect()}
     assert got == {("a", 4, 6, 3), ("a", 9, 11, 3)}
+
+
+# ---------------------------------------------------------------------------
+# quadkey
+# ---------------------------------------------------------------------------
+
+def _brute_quadkey(ix, iy, z):
+    out = []
+    for i in range(1, z + 1):
+        shift = z - i
+        out.append(str(((ix >> shift) & 1) + 2 * ((iy >> shift) & 1)))
+    return "".join(out)
+
+
+def test_quadkey_matches_brute_and_sql(spark):
+    import duckdb
+
+    from kml2geojson_spark.spatial.cells import quadkey_col, quadkey_sql
+
+    rng = np.random.default_rng(73)
+    tiles = [(int(a), int(b)) for a, b in
+             zip(rng.integers(0, 256, 50), rng.integers(0, 256, 50))]
+    df = spark.createDataFrame(tiles, "ix long, iy long")
+    got = [r.qk for r in df.select(
+        quadkey_col(F.col("ix"), F.col("iy"), 8).alias("qk")).collect()]
+    assert got == [_brute_quadkey(ix, iy, 8) for ix, iy in tiles]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(ix BIGINT, iy BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", tiles)
+    want = [r[0] for r in con.execute(
+        f"SELECT {quadkey_sql('ix', 'iy', 8)} FROM t").fetchall()]
+    assert got == want
+
+
+def test_quadkey_prefix_is_parent(spark):
+    from kml2geojson_spark.spatial.cells import quadkey_col
+
+    df = spark.createDataFrame([(180, 41)], "ix long, iy long")
+    r = df.select(
+        quadkey_col(F.col("ix"), F.col("iy"), 8).alias("q8"),
+        quadkey_col(F.shiftright(F.col("ix"), 2),
+                    F.shiftright(F.col("iy"), 2), 6).alias("q6")) \
+        .collect()[0]
+    assert r.q8.startswith(r.q6)
+    with pytest.raises(ValueError, match="z must"):
+        quadkey_col(F.col("ix"), F.col("iy"), 0)
