@@ -11735,6 +11735,189 @@ FROM p GROUP BY 1
 """
 
 
+def _q316_langid_eval(spark, sf):
+    """Language-ID evaluation: classification_report of the built-in
+    marker-based lang_guess against the corpus gold labels — the
+    composed eval readout (per-class precision/recall/F1, exact
+    confusion counts). Round-5 post-pin registration: in-repo
+    oracle sweep only."""
+    from kml2geojson_spark.quality import classification_report
+    from kml2geojson_spark.textops import lang_guess
+    guessed = lang_guess(_t(spark, sf, "documents"))
+    return classification_report(guessed, actual_col="lang_label",
+                                 predicted_col="lang_guess")
+
+
+def _o316() -> str:
+    guess = _o23()
+    return f"""
+WITH d AS (
+  SELECT lang_label AS actual, lang_guess AS predicted
+  FROM ({guess})),
+conf AS (SELECT actual AS a, predicted AS p,
+                CAST(COUNT(*) AS BIGINT) AS c
+         FROM d WHERE actual IS NOT NULL AND predicted IS NOT NULL
+         GROUP BY actual, predicted),
+ap AS (SELECT a AS label, CAST(SUM(c) AS BIGINT) AS support
+       FROM conf GROUP BY a),
+pp AS (SELECT p AS label, CAST(SUM(c) AS BIGINT) AS ppn
+       FROM conf GROUP BY p),
+tp AS (SELECT a AS label, CAST(SUM(c) AS BIGINT) AS tpn
+       FROM conf WHERE a = p GROUP BY a),
+o AS (SELECT COALESCE(ap.label, pp.label) AS label,
+             COALESCE(tpn, 0) AS tp,
+             COALESCE(ppn, 0) - COALESCE(tpn, 0) AS fp,
+             COALESCE(support, 0) - COALESCE(tpn, 0) AS fn,
+             COALESCE(support, 0) AS support,
+             COALESCE(ppn, 0) AS ppn
+      FROM ap FULL OUTER JOIN pp ON ap.label = pp.label
+      LEFT JOIN tp ON COALESCE(ap.label, pp.label) = tp.label)
+SELECT label, tp, fp, fn, support,
+  CASE WHEN ppn = 0 THEN NULL
+       ELSE tp::DOUBLE / ppn::DOUBLE END AS precision,
+  CASE WHEN support = 0 THEN NULL
+       ELSE tp::DOUBLE / support::DOUBLE END AS recall,
+  CASE WHEN ppn + support = 0 THEN NULL
+       ELSE 2.0 * tp::DOUBLE / (ppn + support)::DOUBLE END AS f1
+FROM o
+"""
+
+
+def _q317_weighted_quantile(spark, sf):
+    """Quantity-weighted P90 of extended price per return flag —
+    weighted_median generalized to any permille level, same exact
+    milli-mass machinery. Round-5 post-pin registration: in-repo
+    oracle sweep only."""
+    from kml2geojson_spark.relational import weighted_quantile
+    li = _t(spark, sf, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity",
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("rid"))
+    return weighted_quantile(li, group_col="l_returnflag",
+                             value_col="l_extendedprice",
+                             weight_col="l_quantity", id_col="rid",
+                             p_milli=900)
+
+
+_O317 = """
+WITH d AS (
+  SELECT l_returnflag AS g, l_extendedprice AS v,
+         l_orderkey * 8 + l_linenumber AS i,
+         CAST(ROUND(l_quantity * 1000.0) AS BIGINT) AS wm
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+    AND CAST(ROUND(l_quantity * 1000.0) AS BIGINT) > 0),
+run AS (
+  SELECT g, v, i, wm,
+         CAST(SUM(wm) OVER (PARTITION BY g ORDER BY v ASC, i ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum,
+         CAST(SUM(wm) OVER (PARTITION BY g) AS BIGINT) AS tot
+  FROM d),
+q AS (SELECT * FROM run WHERE cum * 1000 >= tot * 900)
+SELECT g AS l_returnflag,
+       MIN({'v': v, 'i': i})['v'] AS quantile,
+       CAST(MAX(tot) AS BIGINT) AS total_weight_milli
+FROM q GROUP BY g
+"""
+
+
+def _q318_sn_scale(spark, sf):
+    """Rousseeuw-Croux Sn robust spread of purchase cents per user
+    (50% breakdown, two exact selection medians over the pair
+    distances). Round-5 post-pin registration: in-repo oracle sweep
+    only."""
+    from kml2geojson_spark.relational import sn_scale
+    ev = (_t(spark, sf, "events")
+          .where(F.col("event_type") == "purchase")
+          .select("user_id", "ts", "event_id",
+                  F.round(F.col("value") * 100.0).cast("long")
+                  .alias("cents")))
+    return sn_scale(ev, value_col="cents",
+                    order_cols=["ts", "event_id"],
+                    group_cols=["user_id"])
+
+
+_O318 = """
+WITH b AS (
+  SELECT user_id AS g, ts, event_id,
+         CAST(ROUND(value * 100.0) AS BIGINT) AS x
+  FROM events
+  WHERE event_type = 'purchase' AND user_id IS NOT NULL
+    AND ts IS NOT NULL AND event_id IS NOT NULL
+    AND value IS NOT NULL),
+pairs AS (
+  SELECT a.g, a.ts, a.event_id, ABS(a.x - b2.x) AS d
+  FROM b a JOIN b b2
+    ON a.g = b2.g AND (a.ts, a.event_id) <> (b2.ts, b2.event_id)),
+per_i AS (
+  SELECT g, d AS mi
+  FROM (SELECT g, ts, event_id, d,
+               ROW_NUMBER() OVER (PARTITION BY g, ts, event_id
+                                  ORDER BY d ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY g, ts, event_id) AS m
+        FROM pairs)
+  WHERE rn = CAST(FLOOR((m::DOUBLE) / 2.0) AS BIGINT) + 1),
+fin AS (
+  SELECT g, mi,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY mi ASC) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n
+  FROM per_i)
+SELECT g AS user_id, n, mi AS sn_raw,
+       (mi::DOUBLE) * 1.1926 AS sn
+FROM fin WHERE rn = CAST(FLOOR(((n + 1)::DOUBLE) / 2.0) AS BIGINT)
+"""
+
+
+def _q319_canonical_url(spark, sf):
+    """URL-dedup canonicalization over deterministically messy URLs
+    (mixed-case hosts, default ports, shuffled tracking params,
+    fragments): canonical keys + collision counts. Round-5 post-pin
+    registration: in-repo oracle sweep only."""
+    from kml2geojson_spark.netops import canonical_url_col
+    c = _t(spark, sf, "customer")
+    k = F.col("c_custkey")
+    host = F.when(k % 2 == 0,
+                  F.concat(F.lit("Site"), (k % 50).cast("string"),
+                           F.lit(".Example.COM"))) \
+        .otherwise(F.concat(F.lit("site"), (k % 50).cast("string"),
+                            F.lit(".example.com")))
+    port = F.when(k % 3 == 0, F.lit(":443")).otherwise(F.lit(""))
+    track = (F.when(k % 4 == 0, F.lit("?utm_source=a&b=2&a=1"))
+             .when(k % 4 == 1, F.lit("?a=1&b=2&utm_medium=x"))
+             .when(k % 4 == 2, F.lit("?b=2&gclid=zz&a=1"))
+             .otherwise(F.lit("?a=1&b=2")))
+    frag = F.when(k % 5 == 0, F.lit("#sec")).otherwise(F.lit(""))
+    url = F.concat(F.lit("HTTPS://"), host, port, F.lit("/p/"),
+                   (k % 20).cast("string"), F.lit("/"), track, frag)
+    urls = c.select(url.alias("url"))
+    return (urls.select(canonical_url_col("url").alias("canonical_url"))
+            .groupBy("canonical_url")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def _o319() -> str:
+    from kml2geojson_spark.netops import canonical_url_sql
+    url = ("'HTTPS://' || CASE WHEN c_custkey % 2 = 0 THEN"
+           " 'Site' || CAST(c_custkey % 50 AS VARCHAR)"
+           " || '.Example.COM'"
+           " ELSE 'site' || CAST(c_custkey % 50 AS VARCHAR)"
+           " || '.example.com' END"
+           " || CASE WHEN c_custkey % 3 = 0 THEN ':443' ELSE '' END"
+           " || '/p/' || CAST(c_custkey % 20 AS VARCHAR) || '/'"
+           " || CASE WHEN c_custkey % 4 = 0 THEN"
+           " '?utm_source=a&b=2&a=1'"
+           " WHEN c_custkey % 4 = 1 THEN '?a=1&b=2&utm_medium=x'"
+           " WHEN c_custkey % 4 = 2 THEN '?b=2&gclid=zz&a=1'"
+           " ELSE '?a=1&b=2' END"
+           " || CASE WHEN c_custkey % 5 = 0 THEN '#sec' ELSE '' END")
+    canon = canonical_url_sql("url")
+    return f"""
+WITH u AS (SELECT ({url}) AS url FROM customer)
+SELECT {canon} AS canonical_url, CAST(COUNT(*) AS BIGINT) AS n
+FROM u GROUP BY 1
+"""
+
+
 def _q296_quantile_normalize(spark, sf):
     """Quantile normalization of document lengths across sources —
     every source ends up with an identical length distribution
@@ -12225,6 +12408,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q313_elbow": _q313_elbow,
         "q314_sequence_gaps": _q314_sequence_gaps,
         "q315_quadkey": _q315_quadkey,
+        "q316_langid_eval": _q316_langid_eval,
+        "q317_weighted_quantile": _q317_weighted_quantile,
+        "q318_sn_scale": _q318_sn_scale,
+        "q319_canonical_url": _q319_canonical_url,
     }
 
 
@@ -12528,6 +12715,10 @@ def oracle_sql() -> dict[str, str]:
         "q313_elbow": _O313,
         "q314_sequence_gaps": _O314,
         "q315_quadkey": _o315(),
+        "q316_langid_eval": _o316(),
+        "q317_weighted_quantile": _O317,
+        "q318_sn_scale": _O318,
+        "q319_canonical_url": _o319(),
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

@@ -174,3 +174,104 @@ def parse_url(df: DataFrame, *, url_col: str = "url",
                     path.alias("path"), query.alias("query"),
                     domain2.alias("domain2"))
             .where((F.col("scheme") != "") & (F.col("host") != "")))
+
+
+_TRACKING_PREFIXES = ("utm_", "fbclid=", "gclid=")
+
+
+def canonical_url_col(url) -> Column:
+    """Canonical URL normalization as a pure Column — the URL-dedup
+    key a crawl pipeline computes before :func:`exact-dedup
+    <kml2geojson_spark.textops.exact_duplicates>` by URL: lowercase
+    scheme and host, strip the fragment, drop the scheme's default
+    port (:80/:443), collapse an empty path to "/" and strip a
+    trailing slash elsewhere, remove utm_*/fbclid/gclid tracking
+    params, and SORT the surviving query params (byte order — both
+    engines sort ASCII identically). NULL for strings without
+    "://" (not a absolute URL — no guessing).
+
+    Everything is locate/substr/list arithmetic with single-pass
+    evaluation — codegen, no regex backtracking, no Python; the
+    oracle replay comes from :func:`canonical_url_sql`.
+    """
+    c = F.col(url) if isinstance(url, str) else url
+    hash_pos = F.locate("#", c)
+    defrag = F.when(hash_pos > 0, F.substring(c, 1, hash_pos - 1)) \
+        .otherwise(c)
+    sep = F.locate("://", defrag)
+    scheme = F.lower(F.substring(defrag, 1, sep - 1))
+    rest = F.substring(defrag, sep + 3, F.lit(1 << 20))
+    slash = F.locate("/", rest)
+    hostport = F.lower(
+        F.when(slash > 0, F.substring(rest, 1, slash - 1))
+        .otherwise(rest))
+    pathq = F.when(slash > 0,
+                   F.substring(rest, slash, F.lit(1 << 20))) \
+        .otherwise(F.lit("/"))
+    host = (F.when((scheme == "http") & hostport.endswith(":80"),
+                   F.substring(hostport, 1,
+                               F.length(hostport) - 3))
+            .when((scheme == "https") & hostport.endswith(":443"),
+                  F.substring(hostport, 1, F.length(hostport) - 4))
+            .otherwise(hostport))
+    qpos = F.locate("?", pathq)
+    path = F.when(qpos > 0, F.substring(pathq, 1, qpos - 1)) \
+        .otherwise(pathq)
+    query = F.when(qpos > 0,
+                   F.substring(pathq, qpos + 1, F.lit(1 << 20))) \
+        .otherwise(F.lit(""))
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    path = F.when((F.length(path) > 1) & path.endswith("/"),
+                  F.substring(path, 1, F.length(path) - 1)) \
+        .otherwise(path)
+    keepp = F.filter(
+        F.split(query, "&"),
+        lambda p: ((p != "")
+                   & ~p.startswith(_TRACKING_PREFIXES[0])
+                   & ~p.startswith(_TRACKING_PREFIXES[1])
+                   & ~p.startswith(_TRACKING_PREFIXES[2])))
+    qs = F.array_join(F.array_sort(keepp), "&")
+    out = F.concat(scheme, F.lit("://"), host, path,
+                   F.when(qs == "", F.lit(""))
+                   .otherwise(F.concat(F.lit("?"), qs)))
+    return F.when(sep > 0, out)
+
+
+def canonical_url_sql(url_expr: str) -> str:
+    """The DuckDB replay of :func:`canonical_url_col` — the same
+    locate/substr/list pipeline, emitted as one expression."""
+    c = f"({url_expr})"
+    defrag = (f"(CASE WHEN strpos({c}, '#') > 0 THEN "
+              f"substr({c}, 1, strpos({c}, '#') - 1) ELSE {c} END)")
+    sep = f"strpos({defrag}, '://')"
+    scheme = f"lower(substr({defrag}, 1, {sep} - 1))"
+    rest = f"substr({defrag}, {sep} + 3)"
+    slash = f"strpos({rest}, '/')"
+    hostport = (f"lower(CASE WHEN {slash} > 0 THEN "
+                f"substr({rest}, 1, {slash} - 1) ELSE {rest} END)")
+    pathq = (f"(CASE WHEN {slash} > 0 THEN substr({rest}, {slash}) "
+             f"ELSE '/' END)")
+    host = (f"(CASE WHEN {scheme} = 'http' AND {hostport} LIKE '%:80'"
+            f" THEN substr({hostport}, 1, length({hostport}) - 3)"
+            f" WHEN {scheme} = 'https' AND {hostport} LIKE '%:443'"
+            f" THEN substr({hostport}, 1, length({hostport}) - 4)"
+            f" ELSE {hostport} END)")
+    qpos = f"strpos({pathq}, '?')"
+    path0 = (f"(CASE WHEN {qpos} > 0 THEN "
+             f"substr({pathq}, 1, {qpos} - 1) ELSE {pathq} END)")
+    query = (f"(CASE WHEN {qpos} > 0 THEN substr({pathq}, {qpos} + 1)"
+             f" ELSE '' END)")
+    path1 = f"(CASE WHEN {path0} = '' THEN '/' ELSE {path0} END)"
+    path = (f"(CASE WHEN length({path1}) > 1 AND {path1} LIKE '%/'"
+            f" THEN substr({path1}, 1, length({path1}) - 1)"
+            f" ELSE {path1} END)")
+    keepp = (f"list_filter(string_split({query}, '&'), "
+             f"p -> p <> '' AND NOT starts_with(p, 'utm_') "
+             f"AND NOT starts_with(p, 'fbclid=') "
+             f"AND NOT starts_with(p, 'gclid='))")
+    # DuckDB: array_to_string/list_sort of an EMPTY list yields NULL
+    # (Spark's array_join gives '') — coalesce to keep the twins equal
+    qs = f"COALESCE(array_to_string(list_sort({keepp}), '&'), '')"
+    out = (f"({scheme} || '://' || {host} || {path} || "
+           f"CASE WHEN {qs} = '' THEN '' ELSE '?' || {qs} END)")
+    return f"(CASE WHEN {sep} > 0 THEN {out} END)"

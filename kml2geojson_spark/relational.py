@@ -5392,3 +5392,110 @@ def sequence_gaps(df: DataFrame, *, id_col: str,
                     (F.col("_prev") + 1).alias("gap_start"),
                     (F.col("_i") - 1).alias("gap_end"),
                     (F.col("_i") - F.col("_prev") - 1).alias("gap_len")))
+
+
+def weighted_quantile(df: DataFrame, *, group_col: str, value_col: str,
+                      weight_col: str, id_col: str,
+                      p_milli: int = 500) -> DataFrame:
+    """Exact weighted quantile per group — :func:`weighted_median`
+    generalized to any permille level p: the smallest value (ordered
+    by value, ties by id) whose cumulative milli-integerized weight
+    reaches ``p/1000`` of the group's total (``1000·cum ≥ p·tot``,
+    never a float aggregate; p = 500 reproduces the median exactly).
+    The weighted tail-threshold primitive (quantity-weighted P90
+    price, token-weighted quality cutoffs).
+
+    Milli-unit quantization, NULL/zero-mass filtering, and the
+    one-shuffle window shape are the :func:`weighted_median` contract
+    verbatim.
+
+    Output: (group_col, quantile DOUBLE, total_weight_milli BIGINT).
+    """
+    if not 1 <= int(p_milli) <= 999:
+        raise ValueError(f"p_milli must be in [1, 999], got {p_milli}")
+    wm = F.round(F.col(weight_col).cast("double") * 1000.0).cast("long")
+    d = (df.where(F.col(value_col).isNotNull()
+                  & F.col(weight_col).isNotNull()
+                  & (wm > 0) & F.col(id_col).isNotNull())
+         .select(F.col(group_col).alias("_g"),
+                 F.col(value_col).cast("double").alias("_v"),
+                 F.col(id_col).alias("_i"), wm.alias("_wm")))
+    wrun = (Window.partitionBy("_g")
+            .orderBy(F.col("_v").asc(), F.col("_i").asc())
+            .rowsBetween(Window.unboundedPreceding, 0))
+    q = (d.withColumn("_cum", F.sum("_wm").over(wrun))
+         .withColumn("_tot", F.sum("_wm").over(Window.partitionBy("_g")))
+         .where(F.col("_cum") * 1000 >= F.col("_tot") * int(p_milli)))
+    return (q.groupBy("_g")
+            .agg(F.min(F.struct("_v", "_i")).alias("_m"),
+                 F.max("_tot").alias("total_weight_milli"))
+            .select(F.col("_g").alias(group_col),
+                    F.col("_m._v").alias("quantile"),
+                    "total_weight_milli"))
+
+
+def sn_scale(df: DataFrame, *, value_col: str,
+             order_cols: list[str] | str,
+             group_cols: list[str]) -> DataFrame:
+    """Rousseeuw–Croux Sₙ robust scale per group — the 50%-breakdown
+    spread estimator beside :func:`mad_outliers`' MAD (Sₙ needs no
+    location estimate, keeps ~58% Gaussian efficiency vs MAD's 37%,
+    and behaves at asymmetric distributions):
+    ``Sₙ = 1.1926 · lowmed_i ( highmed_{j≠i} |x_i − x_j| )``.
+
+    Determinism: values must be INTEGER (floats raise); every
+    pairwise distance is an exact BIGINT; both medians are
+    SELECTIONS by sort position (inner HIGH median = rank
+    ⌊(n−1)/2⌋+1 of the n−1 distances, outer LOW median = rank
+    ⌊(n+1)/2⌋ of the n per-point medians — the Rousseeuw–Croux
+    convention), so ``sn_raw`` is an exact BIGINT and only the final
+    1.1926 consistency scaling is IEEE. ``order_cols`` must be
+    unique per group (point identity — the :func:`hodges_lehmann`
+    contract). Groups with n < 2 are dropped.
+
+    Scale shape: per-group pair self-join (O(n²) — many small
+    series, the :func:`mann_kendall` family note) + two selection
+    windows sharing the group partitioning.
+
+    Output: (group..., n BIGINT, sn_raw BIGINT, sn DOUBLE).
+    """
+    _require_integer(df, value_col, "sn_scale")
+    if not group_cols:
+        raise ValueError("sn_scale: group_cols must be non-empty")
+    ocols = [order_cols] if isinstance(order_cols, str) else \
+        list(order_cols)
+    keep = F.col(value_col).isNotNull()
+    for c in ocols + group_cols:
+        keep = keep & F.col(c).isNotNull()
+    base = df.where(keep).select(
+        *group_cols,
+        F.struct(*[F.col(c) for c in ocols]).alias("_o"),
+        F.col(value_col).cast("long").alias("_x"))
+    a = base.select(*group_cols, F.col("_o").alias("_oi"),
+                    F.col("_x").alias("_xi"))
+    b = base.select(*group_cols, F.col("_o").alias("_oj"),
+                    F.col("_x").alias("_xj"))
+    pairs = (a.join(b, group_cols)
+             .where(F.col("_oi") != F.col("_oj"))
+             .select(*group_cols, "_oi",
+                     F.abs(F.col("_xi") - F.col("_xj")).alias("_d")))
+    wi = Window.partitionBy(*group_cols, "_oi") \
+        .orderBy(F.col("_d").asc())
+    per_i = (pairs.withColumn("_rn", F.row_number().over(wi))
+             .withColumn("_m", F.count(F.lit(1)).over(
+                 Window.partitionBy(*group_cols, "_oi")))
+             .where(F.col("_rn")
+                    == F.floor(F.col("_m").cast("double") / F.lit(2.0))
+                    .cast("long") + 1)
+             .select(*group_cols, F.col("_d").alias("_mi")))
+    wo = Window.partitionBy(*group_cols).orderBy(F.col("_mi").asc())
+    return (per_i.withColumn("_rn", F.row_number().over(wo))
+            .withColumn("_n", F.count(F.lit(1)).over(
+                Window.partitionBy(*group_cols)))
+            .where(F.col("_rn")
+                   == F.floor((F.col("_n") + 1).cast("double")
+                              / F.lit(2.0)).cast("long"))
+            .select(*group_cols, F.col("_n").alias("n"),
+                    F.col("_mi").alias("sn_raw"),
+                    (F.col("_mi").cast("double") * F.lit(1.1926))
+                    .alias("sn")))

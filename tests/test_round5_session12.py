@@ -1120,3 +1120,144 @@ def test_quadkey_prefix_is_parent(spark):
     assert r.q8.startswith(r.q6)
     with pytest.raises(ValueError, match="z must"):
         quadkey_col(F.col("ix"), F.col("iy"), 0)
+
+
+# ---------------------------------------------------------------------------
+# weighted_quantile
+# ---------------------------------------------------------------------------
+
+def test_weighted_quantile_brute_and_median_parity(spark):
+    from kml2geojson_spark.relational import (weighted_median,
+                                              weighted_quantile)
+
+    rng = np.random.default_rng(79)
+    rows = []
+    data = {}
+    for g in range(4):
+        n = int(rng.integers(3, 25))
+        vs = [(float(rng.integers(0, 100)),
+               float(rng.integers(1, 10)) / 2.0, i)
+              for i in range(n)]
+        data[f"g{g}"] = vs
+        rows += [(f"g{g}", v, w, i) for v, w, i in vs]
+    df = spark.createDataFrame(rows,
+                               "g string, v double, w double, i long")
+
+    def brute(vs, p):
+        items = sorted((v, i, round(w * 1000)) for v, w, i in vs)
+        tot = sum(m for _, _, m in items)
+        cum = 0
+        for v, _, m in items:
+            cum += m
+            if cum * 1000 >= p * tot:
+                return v
+        return items[-1][0]
+
+    for p in (250, 500, 900):
+        got = {r.g: r.quantile for r in weighted_quantile(
+            df, group_col="g", value_col="v", weight_col="w",
+            id_col="i", p_milli=p).collect()}
+        want = {g: brute(vs, p) for g, vs in data.items()}
+        assert got == want
+    med = {r.g: r.median for r in weighted_median(
+        df, group_col="g", value_col="v", weight_col="w",
+        id_col="i").collect()}
+    q50 = {r.g: r.quantile for r in weighted_quantile(
+        df, group_col="g", value_col="v", weight_col="w",
+        id_col="i", p_milli=500).collect()}
+    assert med == q50
+
+
+# ---------------------------------------------------------------------------
+# sn_scale
+# ---------------------------------------------------------------------------
+
+def _brute_sn(xs):
+    n = len(xs)
+    meds = []
+    for i, xi in enumerate(xs):
+        ds = sorted(abs(xi - xj) for j, xj in enumerate(xs) if j != i)
+        meds.append(ds[(len(ds)) // 2])        # high median rank m//2+1
+    meds.sort()
+    raw = meds[(n + 1) // 2 - 1]               # low median
+    return n, raw, raw * 1.1926
+
+
+def test_sn_scale_matches_brute(spark):
+    from kml2geojson_spark.relational import sn_scale
+
+    rng = np.random.default_rng(83)
+    rows, expect = [], {}
+    for g in range(6):
+        n = int(rng.integers(2, 25))
+        xs = rng.integers(-100, 101, size=n).tolist()
+        expect[f"g{g}"] = _brute_sn(xs)
+        rows += [(f"g{g}", i, int(x)) for i, x in enumerate(xs)]
+    rows += [("solo", 0, 5)]
+    df = spark.createDataFrame(rows, "g string, i long, v long")
+    got = {r.g: (r.n, r.sn_raw, r.sn) for r in sn_scale(
+        df, value_col="v", order_cols="i", group_cols=["g"]).collect()}
+    assert "solo" not in got
+    for g, (n, raw, sn) in expect.items():
+        assert got[g][0] == n and got[g][1] == raw
+        assert got[g][2] == pytest.approx(sn, rel=1e-12)
+
+
+def test_sn_scale_outlier_robust(spark):
+    from kml2geojson_spark.relational import sn_scale
+
+    # tight cluster + one wild outlier: Sn stays near the cluster
+    rows = [("g", i, v) for i, v in
+            enumerate([10, 11, 12, 13, 14, 15, 1_000_000])]
+    df = spark.createDataFrame(rows, "g string, i long, v long")
+    r = sn_scale(df, value_col="v", order_cols="i",
+                 group_cols=["g"]).collect()[0]
+    assert r.sn_raw <= 5
+
+
+# ---------------------------------------------------------------------------
+# canonical_url
+# ---------------------------------------------------------------------------
+
+def test_canonical_url_normalizations(spark):
+    from kml2geojson_spark.netops import canonical_url_col
+
+    cases = [
+        ("HTTP://Example.COM:80/a/?utm_source=x&b=2&a=1#frag",
+         "http://example.com/a?a=1&b=2"),
+        ("https://Host.io:443/", "https://host.io/"),
+        ("https://host.io", "https://host.io/"),
+        ("https://h.io/p/?gclid=1&fbclid=2&utm_campaign=z",
+         "https://h.io/p"),
+        ("ftp://X.org:80/f.bin", "ftp://x.org:80/f.bin"),
+        ("not-a-url", None),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.c for r in df.select(
+        canonical_url_col("url").alias("c")).collect()]
+    assert got == [w for _, w in cases]
+
+
+def test_canonical_url_sql_twin_matches(spark):
+    import duckdb
+
+    from kml2geojson_spark.netops import (canonical_url_col,
+                                          canonical_url_sql)
+
+    urls = [
+        "HTTP://A.com:80/x/y/?utm_a=1&z=9&y=8#f",
+        "https://B.org:443/only/",
+        "https://c.net/p?a=1&utm_b=2",
+        "http://d.io",
+        "weird",
+        "scheme://UPPER.HOST/Path/?b=2&a=3&fbclid=zz",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [r.c for r in df.select(
+        canonical_url_col("url").alias("c")).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE u(url VARCHAR)")
+    con.executemany("INSERT INTO u VALUES (?)", [(u,) for u in urls])
+    want = [r[0] for r in con.execute(
+        f"SELECT {canonical_url_sql('url')} FROM u").fetchall()]
+    assert got == want
