@@ -11918,6 +11918,145 @@ FROM u GROUP BY 1
 """
 
 
+def _q320_cochran_q(spark, sf):
+    """Cochran's Q over per-user big-ticket flags across the five
+    event types (complete blocks, exact BIGINT totals, one IEEE
+    division). Round-5 post-pin registration: in-repo oracle sweep
+    only."""
+    from kml2geojson_spark.relational import cochran_q
+    ev = _t(spark, sf, "events")
+    cells = (ev.where(F.col("user_id").isNotNull()
+                      & F.col("event_type").isNotNull()
+                      & F.col("value").isNotNull())
+             .groupBy("user_id", "event_type")
+             .agg(F.max(F.when(F.col("value") > 200.0, 1)
+                        .otherwise(0)).cast("long").alias("big")))
+    return cochran_q(cells, block_col="user_id",
+                     treatment_col="event_type", label_col="big")
+
+
+_O320 = """
+WITH cell AS (
+  SELECT user_id AS b, event_type AS tr,
+         CAST(MAX(CASE WHEN value > 200.0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS y
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    AND value IS NOT NULL
+  GROUP BY user_id, event_type),
+kk AS (SELECT COUNT(DISTINCT tr) AS k FROM cell),
+comp AS (SELECT b FROM cell GROUP BY b
+         HAVING COUNT(*) = (SELECT k FROM kk)),
+kept AS (SELECT cell.* FROM cell JOIN comp USING (b)),
+gj AS (SELECT tr, CAST(SUM(y) AS BIGINT) AS g FROM kept GROUP BY tr),
+li AS (SELECT b, CAST(SUM(y) AS BIGINT) AS l FROM kept GROUP BY b),
+tg AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_treatments,
+              CAST(SUM(g * g) AS BIGINT) AS sg2,
+              CAST(SUM(g) AS BIGINT) AS grand_total
+       FROM gj),
+tl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+              CAST(SUM(l * l) AS BIGINT) AS sl2
+       FROM li)
+SELECT k_treatments, n_blocks, grand_total,
+       CASE WHEN k_treatments >= 2 AND n_blocks > 0
+                 AND (k_treatments * grand_total - sl2) > 0 THEN
+         (((k_treatments - 1) * (k_treatments * sg2
+            - grand_total * grand_total))::DOUBLE)
+         / ((k_treatments * grand_total - sl2)::DOUBLE)
+       END AS q_stat
+FROM tg, tl
+"""
+
+
+def _q321_poisson_dispersion(spark, sf):
+    """Poisson overdispersion of per-user daily event counts — are
+    users' daily activity counts clumped? One exact-sum aggregate
+    per user. Round-5 post-pin registration: in-repo oracle sweep
+    only."""
+    from kml2geojson_spark.relational import poisson_dispersion
+    ev = _t(spark, sf, "events")
+    daily = (ev.where(F.col("user_id").isNotNull()
+                      & F.col("ts").isNotNull())
+             .groupBy("user_id",
+                      F.datediff(F.col("ts").cast("date"),
+                                 F.to_date(F.lit("2024-01-01")))
+                      .alias("day"))
+             .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    return poisson_dispersion(daily, count_col="cnt",
+                              group_cols=["user_id"])
+
+
+_O321 = """
+WITH daily AS (
+  SELECT user_id,
+         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  GROUP BY user_id, datediff('day', DATE '2024-01-01',
+                             CAST(ts AS DATE))),
+agg AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS s,
+         CAST(SUM(c * c) AS BIGINT) AS ss
+  FROM daily GROUP BY user_id)
+SELECT user_id, n,
+       CASE WHEN n >= 2 AND s > 0
+            THEN (s::DOUBLE) / (n::DOUBLE) END AS mean,
+       CASE WHEN n >= 2 AND s > 0 THEN
+         (((n * ss - s * s)::DOUBLE)
+          / ((n::DOUBLE) * ((n::DOUBLE) - 1.0)))
+         / ((s::DOUBLE) / (n::DOUBLE))
+       END AS dispersion,
+       CASE WHEN n >= 2 AND s > 0 THEN
+         ((n::DOUBLE) - 1.0)
+         * ((((n * ss - s * s)::DOUBLE)
+             / ((n::DOUBLE) * ((n::DOUBLE) - 1.0)))
+            / ((s::DOUBLE) / (n::DOUBLE)))
+       END AS chi2_stat
+FROM agg
+"""
+
+
+def _q322_holm(spark, sf):
+    """Holm step-down FWER adjustment over deterministic synthetic
+    p-values (one tiny unpartitioned window over the m-row test
+    table — the bh_fdr shape). Round-5 post-pin registration:
+    in-repo oracle sweep only."""
+    from kml2geojson_spark.relational import holm_adjust
+    s = _t(spark, sf, "supplier")
+    p = (((F.col("s_suppkey") * 2654435761) % 1000000)
+         .cast("double") / F.lit(1000000.0))
+    tests = s.select(F.concat(F.lit("test-"),
+                              F.col("s_suppkey").cast("string"))
+                     .alias("tid"), p.alias("p"))
+    return holm_adjust(tests, p_col="p", test_id_col="tid")
+
+
+_O322 = """
+WITH t AS (
+  SELECT 'test-' || CAST(s_suppkey AS VARCHAR) AS test_id,
+         (((s_suppkey * 2654435761) % 1000000)::DOUBLE)
+         / 1000000.0 AS p
+  FROM supplier),
+r AS (
+  SELECT test_id, p,
+         CAST(ROW_NUMBER() OVER (ORDER BY p ASC, test_id ASC)
+              AS BIGINT) AS rank,
+         CAST(COUNT(*) OVER () AS BIGINT) AS m
+  FROM t),
+s AS (
+  SELECT test_id, p, rank,
+         LEAST(1.0, MAX(((m - rank + 1)::DOUBLE) * p) OVER (
+           ORDER BY p ASC, test_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+           AS adj_p
+  FROM r)
+SELECT test_id, p, rank, adj_p, adj_p <= 0.05 AS significant
+FROM s
+"""
+
+
 def _q296_quantile_normalize(spark, sf):
     """Quantile normalization of document lengths across sources —
     every source ends up with an identical length distribution
@@ -12412,6 +12551,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q317_weighted_quantile": _q317_weighted_quantile,
         "q318_sn_scale": _q318_sn_scale,
         "q319_canonical_url": _q319_canonical_url,
+        "q320_cochran_q": _q320_cochran_q,
+        "q321_poisson_dispersion": _q321_poisson_dispersion,
+        "q322_holm": _q322_holm,
     }
 
 
@@ -12719,6 +12861,9 @@ def oracle_sql() -> dict[str, str]:
         "q317_weighted_quantile": _O317,
         "q318_sn_scale": _O318,
         "q319_canonical_url": _o319(),
+        "q320_cochran_q": _O320,
+        "q321_poisson_dispersion": _O321,
+        "q322_holm": _O322,
         "q41_lsh_cosine_topk": _o41_sql(),
         "q43_media_features": _O43,
         # q44: rows-only (the IVF candidate set is approximate by

@@ -5499,3 +5499,163 @@ def sn_scale(df: DataFrame, *, value_col: str,
                     F.col("_mi").alias("sn_raw"),
                     (F.col("_mi").cast("double") * F.lit(1.1926))
                     .alias("sn")))
+
+
+def cochran_q(df: DataFrame, *, block_col: str, treatment_col: str,
+              label_col: str) -> DataFrame:
+    """Cochran's Q test — the k-treatment BINARY repeated-measures
+    test completing the family (``mcnemar_test`` is its k = 2 case,
+    :func:`friedman_test` its ordinal generalization): over complete
+    blocks, ``Q = (k−1)·(k·ΣG_j² − N²) / (k·N − ΣL_i²)`` from the
+    per-treatment success totals G_j, per-block success totals L_i
+    and the grand total N; Q ~ χ²(k−1) under "all treatments share
+    one success rate".
+
+    Completeness, duplicate-cell raising and the 0/1-label contract
+    follow :func:`friedman_test` / :func:`mcnemar_test` verbatim.
+
+    Determinism: every total and both Q numerator/denominator are
+    exact BIGINTs; Q is ONE correctly-rounded IEEE division —
+    bit-exact cross-engine.
+
+    Scale shape: one completeness filter (hash-aggregate + semi
+    join), one treatment aggregate, one block aggregate, one final
+    reduce — everything keyed on block or treatment, no window over
+    the data.
+
+    Output: ONE row (k_treatments BIGINT, n_blocks BIGINT,
+    grand_total BIGINT, q_stat DOUBLE — NULL when k < 2, n = 0, or
+    the denominator is 0 i.e. every block is all-0 or all-1).
+    """
+    keep = (F.col(block_col).isNotNull()
+            & F.col(treatment_col).isNotNull()
+            & F.col(label_col).isNotNull())
+    lab = F.col(label_col).cast("long")
+    chk = F.when((lab == 0) | (lab == 1), lab).otherwise(
+        F.raise_error(F.concat(
+            F.lit("cochran_q: label must be 0/1, got "),
+            lab.cast("string"))))
+    base = df.where(keep).select(
+        F.col(block_col).alias("_b"),
+        F.col(treatment_col).alias("_tr"),
+        chk.alias("_y"))
+    kdf = base.agg(F.countDistinct("_tr").alias("_k"))
+    per = (base.groupBy("_b", "_tr")
+           .agg(F.count(F.lit(1)).alias("_c")))
+    dup = per.where(F.col("_c") > 1).limit(1).count()
+    if dup:
+        raise ValueError(
+            "cochran_q: duplicate (block, treatment) rows — "
+            "aggregate to one flag per cell first")
+    complete = (per.groupBy("_b")
+                .agg(F.count(F.lit(1)).alias("_nt"))
+                .join(kdf)
+                .where(F.col("_nt") == F.col("_k"))
+                .select("_b"))
+    kept = base.join(complete, "_b")
+    gj = (kept.groupBy("_tr").agg(F.sum("_y").alias("_g")))
+    li = (kept.groupBy("_b").agg(F.sum("_y").alias("_l")))
+    tg = gj.agg(F.count(F.lit(1)).cast("long").alias("k_treatments"),
+                F.sum(F.col("_g") * F.col("_g")).alias("_sg2"),
+                F.sum("_g").alias("grand_total"))
+    tl = li.agg(F.count(F.lit(1)).cast("long").alias("n_blocks"),
+                F.sum(F.col("_l") * F.col("_l")).alias("_sl2"))
+    tot = tg.join(tl)
+    k = F.col("k_treatments")
+    nn = F.col("grand_total")
+    num = (k - 1) * (k * F.col("_sg2") - nn * nn)
+    den = k * nn - F.col("_sl2")
+    ok = (k >= 2) & (F.col("n_blocks") > 0) & (den > 0)
+    return tot.select("k_treatments", "n_blocks", "grand_total",
+                      F.when(ok, num.cast("double")
+                             / den.cast("double")).alias("q_stat"))
+
+
+def poisson_dispersion(df: DataFrame, *, count_col: str,
+                       group_cols: list[str]) -> DataFrame:
+    """Poisson overdispersion screen per group — "are these counts
+    really Poisson?": the variance-to-mean ratio (index of
+    dispersion) and the χ²-shaped statistic (n−1)·s²/x̄ that is
+    ~χ²(n−1) under Poisson. Rates drifting (D ≫ 1, clumping) or
+    under-dispersed (D ≪ 1, regularity) both break the Poisson
+    assumptions behind :func:`poisson_rate_z`-style comparisons —
+    run this gate first.
+
+    Determinism: counts must be INTEGER (floats raise); Σx and Σx²
+    are exact BIGINT sums and both reported statistics are fixed
+    IEEE trees over them — bit-exact cross-engine (keep Σx² < 2⁶³,
+    any realistic count table).
+
+    Scale shape: ONE hash-aggregate with map-side combine.
+
+    Output: (group..., n BIGINT, mean DOUBLE, dispersion DOUBLE,
+    chi2_stat DOUBLE — NULL when n < 2 or the mean is 0).
+    """
+    _require_integer(df, count_col, "poisson_dispersion")
+    if not group_cols:
+        raise ValueError(
+            "poisson_dispersion: group_cols must be non-empty")
+    keep = F.col(count_col).isNotNull()
+    for c in group_cols:
+        keep = keep & F.col(c).isNotNull()
+    base = df.where(keep).select(
+        *group_cols, F.col(count_col).cast("long").alias("_x"))
+    agg = (base.groupBy(*group_cols)
+           .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("_x").alias("_s"),
+                F.sum(F.col("_x") * F.col("_x")).alias("_ss")))
+    nd = F.col("n").cast("double")
+    mean = F.col("_s").cast("double") / nd
+    varnum = (F.col("n") * F.col("_ss")
+              - F.col("_s") * F.col("_s")).cast("double")
+    svar = varnum / (nd * (nd - F.lit(1.0)))
+    disp = svar / mean
+    ok = (F.col("n") >= 2) & (F.col("_s") > 0)
+    return agg.select(*group_cols, "n",
+                      F.when(ok, mean).alias("mean"),
+                      F.when(ok, disp).alias("dispersion"),
+                      F.when(ok, (nd - F.lit(1.0)) * disp)
+                      .alias("chi2_stat"))
+
+
+def holm_adjust(df: DataFrame, *, p_col: str, test_id_col: str,
+                alpha: float = 0.05) -> DataFrame:
+    """Holm step-down multiple-testing adjustment — the
+    family-wise-error companion to :func:`bh_fdr`'s
+    false-discovery-rate control (stricter guarantees, no
+    independence assumption): order the m p-values ascending,
+    ``adj_i = min(1, max_{j≤i} (m−j+1)·p_j)``, reject while
+    adj ≤ α.
+
+    Determinism: the order is (p, test_id) — total; each candidate
+    is ONE IEEE multiplication of the input double by an exact
+    integer, and the running max / min(1, ·) are selections — so the
+    output is a pure function of the inputs (feed micro-quantized
+    p-values, the package-wide p discipline, for cross-engine hash
+    equality).
+
+    Scale shape: the m tests are the OUTPUT of upstream aggregation
+    (one row per test), so the single unpartitioned window runs over
+    an already-tiny frame — the :func:`bh_fdr` note verbatim.
+
+    Output: (test_id, p, rank BIGINT, adj_p DOUBLE,
+    significant BOOLEAN).
+    """
+    base = df.where(F.col(p_col).isNotNull()
+                    & F.col(test_id_col).isNotNull()).select(
+        F.col(test_id_col).alias("test_id"),
+        F.col(p_col).cast("double").alias("p"))
+    w = Window.orderBy(F.col("p").asc(), F.col("test_id").asc())
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    m = F.count(F.lit(1)).over(Window.partitionBy())
+    ranked = (base.withColumn("rank", F.row_number().over(w)
+                              .cast("long"))
+              .withColumn("_m", m))
+    cand = (F.col("_m") - F.col("rank") + 1).cast("double") \
+        * F.col("p")
+    stepped = (ranked.withColumn("_cand", cand)
+               .withColumn("adj_p", F.least(
+                   F.lit(1.0), F.max("_cand").over(wrun))))
+    return stepped.select("test_id", "p", "rank", "adj_p",
+                          (F.col("adj_p") <= F.lit(float(alpha)))
+                          .alias("significant"))

@@ -1261,3 +1261,131 @@ def test_canonical_url_sql_twin_matches(spark):
     want = [r[0] for r in con.execute(
         f"SELECT {canonical_url_sql('url')} FROM u").fetchall()]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# cochran_q
+# ---------------------------------------------------------------------------
+
+def test_cochran_q_matches_brute(spark):
+    from kml2geojson_spark.relational import cochran_q
+
+    rng = np.random.default_rng(89)
+    trs = ["t1", "t2", "t3"]
+    rows, blocks = [], []
+    for b in range(20):
+        d = {t: int(rng.random() < (0.3 + 0.2 * i))
+             for i, t in enumerate(trs)}
+        blocks.append(d)
+        rows += [(f"b{b}", t, v) for t, v in d.items()]
+    rows += [("partial", "t1", 1)]
+    df = spark.createDataFrame(rows, "b string, tr string, y long")
+    r = cochran_q(df, block_col="b", treatment_col="tr",
+                  label_col="y").collect()[0]
+    k = 3
+    gj = {t: sum(b[t] for b in blocks) for t in trs}
+    li = [sum(b.values()) for b in blocks]
+    N = sum(gj.values())
+    num = (k - 1) * (k * sum(g * g for g in gj.values()) - N * N)
+    den = k * N - sum(x * x for x in li)
+    assert (r.k_treatments, r.n_blocks, r.grand_total) == (3, 20, N)
+    if den > 0:
+        assert r.q_stat == pytest.approx(num / den, rel=1e-12)
+
+
+def test_cochran_q_degenerate(spark):
+    from kml2geojson_spark.relational import cochran_q
+
+    # every block all-1: denominator 0 -> NULL
+    rows = [(f"b{b}", t, 1) for b in range(4) for t in ("x", "y")]
+    df = spark.createDataFrame(rows, "b string, tr string, y long")
+    r = cochran_q(df, block_col="b", treatment_col="tr",
+                  label_col="y").collect()[0]
+    assert r.q_stat is None
+    bad = spark.createDataFrame([("b", "t", 2)],
+                                "b string, tr string, y long")
+    with pytest.raises(Exception, match="0/1"):
+        cochran_q(bad, block_col="b", treatment_col="tr",
+                  label_col="y").collect()
+
+
+# ---------------------------------------------------------------------------
+# poisson_dispersion
+# ---------------------------------------------------------------------------
+
+def test_poisson_dispersion_matches_numpy(spark):
+    from kml2geojson_spark.relational import poisson_dispersion
+
+    rng = np.random.default_rng(97)
+    rows, expect = [], {}
+    # poisson group ~ D near 1; clumped group (negative-binomial-ish)
+    pois = rng.poisson(5, size=200).tolist()
+    clump = (rng.poisson(1, size=200) * rng.integers(0, 8, 200)).tolist()
+    for g, xs in (("pois", pois), ("clump", clump)):
+        a = np.array(xs, dtype=float)
+        expect[g] = (len(xs), a.mean(),
+                     a.var(ddof=1) / a.mean(),
+                     (len(xs) - 1) * a.var(ddof=1) / a.mean())
+        rows += [(g, int(x)) for x in xs]
+    df = spark.createDataFrame(rows, "g string, c long")
+    got = {r.g: r for r in poisson_dispersion(
+        df, count_col="c", group_cols=["g"]).collect()}
+    for g, (n, mean, d, chi) in expect.items():
+        assert got[g].n == n
+        assert got[g].mean == pytest.approx(mean, rel=1e-12)
+        assert got[g].dispersion == pytest.approx(d, rel=1e-12)
+        assert got[g].chi2_stat == pytest.approx(chi, rel=1e-12)
+    assert got["clump"].dispersion > 1.5 > got["pois"].dispersion * 0.9
+
+
+def test_poisson_dispersion_degenerate(spark):
+    from kml2geojson_spark.relational import poisson_dispersion
+
+    df = spark.createDataFrame([("z", 0), ("z", 0), ("one", 3)],
+                               "g string, c long")
+    got = {r.g: r for r in poisson_dispersion(
+        df, count_col="c", group_cols=["g"]).collect()}
+    assert got["z"].dispersion is None      # mean 0
+    assert got["one"].dispersion is None    # n < 2
+
+
+# ---------------------------------------------------------------------------
+# holm_adjust
+# ---------------------------------------------------------------------------
+
+def test_holm_matches_statsmodels_formula(spark):
+    from kml2geojson_spark.relational import holm_adjust
+
+    ps = [0.01, 0.04, 0.03, 0.005, 0.8, 0.2]
+    df = spark.createDataFrame(
+        [(f"t{i}", p) for i, p in enumerate(ps)],
+        "tid string, p double")
+    got = {r.test_id: r for r in holm_adjust(
+        df, p_col="p", test_id_col="tid").collect()}
+    # brute holm
+    order = sorted(range(len(ps)), key=lambda i: (ps[i], f"t{i}"))
+    m = len(ps)
+    run = 0.0
+    want = {}
+    for r_, i in enumerate(order):
+        run = max(run, (m - r_) * ps[i])
+        want[f"t{i}"] = min(1.0, run)
+    for tid, adj in want.items():
+        assert got[tid].adj_p == pytest.approx(adj, rel=1e-12)
+    assert got["t3"].rank == 1 and got["t4"].adj_p == pytest.approx(0.8)
+    assert got["t3"].significant and not got["t4"].significant
+
+
+def test_holm_monotone_in_rank(spark):
+    from kml2geojson_spark.relational import holm_adjust
+
+    rng = np.random.default_rng(101)
+    ps = rng.uniform(0, 1, 30).round(4).tolist()
+    df = spark.createDataFrame(
+        [(f"t{i}", float(p)) for i, p in enumerate(ps)],
+        "tid string, p double")
+    rows = sorted(holm_adjust(df, p_col="p",
+                              test_id_col="tid").collect(),
+                  key=lambda r: r.rank)
+    for a, b in zip(rows, rows[1:]):
+        assert a.adj_p <= b.adj_p + 1e-15
