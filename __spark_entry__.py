@@ -9828,10 +9828,13 @@ def _q271_cuped(spark, sf):
     pooled theta ONE expression. Round-5 post-pin registration:
     in-repo oracle sweep only."""
     from kml2geojson_spark.relational import cuped_adjusted_means
+    # kilodollar metric units and a 4-bit covariate keep every pooled
+    # cross-product below 2^53 through sf1 (the jarque_bera
+    # conversion-window rule) — cents overflowed BIGINT at sf0.1
     o = _t(spark, sf, "orders").select(
         "o_orderpriority",
-        F.round(F.col("o_totalprice") * 100.0).cast("long").alias("y"),
-        (F.col("o_custkey") % 1000).cast("long").alias("x"))
+        F.round(F.col("o_totalprice") / 1000.0).cast("long").alias("y"),
+        (F.col("o_custkey") % 16).cast("long").alias("x"))
     return cuped_adjusted_means(o, metric_col="y", covariate_col="x",
                                 arm_col="o_orderpriority")
 
@@ -9839,8 +9842,8 @@ def _q271_cuped(spark, sf):
 _O271 = """
 WITH b AS (
   SELECT o_orderpriority AS arm,
-         CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS y,
-         CAST(o_custkey % 1000 AS BIGINT) AS x
+         CAST(ROUND(o_totalprice / 1000.0) AS BIGINT) AS y,
+         CAST(o_custkey % 16 AS BIGINT) AS x
   FROM orders
   WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
     AND o_custkey IS NOT NULL),

@@ -3891,9 +3891,19 @@ def cuped_adjusted_means(df: DataFrame, *, metric_col: str,
         F.sum("_sx").alias("_psx"), F.sum("_sxy").alias("_psxy"),
         F.sum("_sxx").alias("_psxx")))
     j = arms.crossJoin(pooled)
-    pn = F.col("_pn").cast("long")
-    varx = pn * F.col("_psxx") - F.col("_psx") * F.col("_psx")
-    covxy = pn * F.col("_psxy") - F.col("_psx") * F.col("_psy")
+    # the pooled cross-products overflow BIGINT at ~1e5 rows of
+    # cent-scale metrics (pn·Σxy ~ n²·mean(xy)) — carry them as
+    # DECIMAL(38,0)/HUGEINT exact values; the oracle-comparison
+    # caveat is the jarque_bera 2^53 conversion-window rule: size
+    # the integerization so |pn·Σxy| < 2^53 when hash-comparing
+    # cross-engine
+    pn = F.col("_pn").cast("decimal(38,0)")
+    psxx = F.col("_psxx").cast("decimal(38,0)")
+    psxy = F.col("_psxy").cast("decimal(38,0)")
+    psx = F.col("_psx").cast("decimal(38,0)")
+    psy = F.col("_psy").cast("decimal(38,0)")
+    varx = pn * psxx - psx * psx
+    covxy = pn * psxy - psx * psy
     theta = F.when(varx > 0, covxy.cast("double") / varx.cast("double"))
     mean_y = F.col("_sy").cast("double") / F.col("n").cast("double")
     mean_x = F.col("_sx").cast("double") / F.col("n").cast("double")
